@@ -1,0 +1,502 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ops.Sorts
+import graft.ops.Sorts.SortKey
+import graft.ssa._
+
+/** Relational query surface: the reference's operator inventory (SURVEY §2 —
+  * scan, SSA expressions, aggregation, sort/merge/dedup, union) plus the
+  * beyond-reference relational layer (joins, windows, set ops) Spark gives
+  * natively.
+  *
+  * Every query is paired with DuckDB oracle SQL. Determinism conventions so
+  * results hash-match the oracle bit-for-bit:
+  *  - money/double sums go through DECIMAL(12,2) (data is exact 2-decimal),
+  *    then cast to double — order-independent, exact in both engines;
+  *  - every query ends in a total ORDER BY (nulls-first made explicit);
+  *  - DuckDB integer-sum results are cast to BIGINT (its SUM(int) is
+  *    HUGEINT, Spark's is long).
+  */
+object CoreQueries {
+
+  private def T(s: SparkSession, dir: String, n: String): DataFrame = Engine.table(s, dir, n)
+  private def dec(c: Column): Column = c.cast(DecimalType(12, 2))
+  /** Order-independent exact double sum of a 2-decimal double column. */
+  private def dsum(c: Column): Column = sum(dec(c)).cast(DoubleType)
+
+  type QFn = (SparkSession, String) => DataFrame
+
+  /** (name, spark impl, oracle sql) triples; oracle None → rows-only check. */
+  val defs: Seq[(String, QFn, Option[String])] = Seq(
+
+    // ── scans / projection / filter (SURVEY §2.1, §2.2) ──────────────────
+    ("scan_project", (s, d) =>
+      T(s, d, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+        .orderBy("l_orderkey", "l_partkey", "l_quantity").limit(500),
+      Some("""SELECT l_orderkey, l_partkey, l_quantity FROM lineitem
+              ORDER BY l_orderkey, l_partkey, l_quantity LIMIT 500""")),
+
+    ("filter_pushdown", (s, d) =>
+      T(s, d, "orders")
+        .filter(col("o_totalprice") > 100000.0 && col("o_orderstatus") === "O")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+              WHERE o_totalprice > 100000.0 AND o_orderstatus = 'O'
+              ORDER BY o_orderkey""")),
+
+    // ── SSA program built through the graft.ssa ADT (SURVEY §3.1) ────────
+    ("ssa_program", (s, d) => {
+      val prog = Program(Seq(ProgramStep(
+        assignes = Seq(
+          Assign("c2", EOperation.Constant, const = Some(2L)),
+          Assign("key2", EOperation.Multiply, Seq("l_orderkey", "c2")),
+          Assign("ln_l", EOperation.CastInt64, Seq("l_linenumber")),
+          Assign("is_a", EOperation.MatchSubstring, Seq("l_returnflag"), const = Some("A"))),
+        filters = Seq("is_a"),
+        groupBy = Seq(
+          AggregateAssign("cnt", EAggregate.Count),
+          AggregateAssign("qmin", EAggregate.Min, Some("l_quantity")),
+          AggregateAssign("qmax", EAggregate.Max, Some("l_quantity")),
+          AggregateAssign("ln_sum", EAggregate.Sum, Some("ln_l")),
+          AggregateAssign("key2_max", EAggregate.Max, Some("key2"))),
+        groupByKeys = Seq("l_linestatus"),
+        projection = Seq("l_linestatus", "cnt", "qmin", "qmax", "ln_sum", "key2_max"))))
+      prog.applyTo(T(s, d, "lineitem")).orderBy("l_linestatus")
+    },
+      Some("""SELECT l_linestatus, COUNT(*) AS cnt, MIN(l_quantity) AS qmin,
+                     MAX(l_quantity) AS qmax,
+                     CAST(SUM(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS ln_sum,
+                     MAX(l_orderkey * 2) AS key2_max
+              FROM lineitem WHERE contains(l_returnflag, 'A')
+              GROUP BY l_linestatus ORDER BY l_linestatus""")),
+
+    // ── scalar expression families (SURVEY §2.2 EOperation groups) ───────
+    ("expr_arith", (s, d) =>
+      T(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        (col("l_quantity") + col("l_discount")).as("a_add"),
+        (col("l_quantity") - col("l_tax")).as("a_sub"),
+        (col("l_quantity") * col("l_discount")).as("a_mul"),
+        (col("l_extendedprice") / col("l_quantity")).as("a_div"),
+        abs(col("l_discount") - col("l_tax")).as("a_abs"),
+        negate(col("l_quantity")).as("a_neg"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber,
+                     l_quantity + l_discount AS a_add,
+                     l_quantity - l_tax AS a_sub,
+                     l_quantity * l_discount AS a_mul,
+                     l_extendedprice / l_quantity AS a_div,
+                     abs(l_discount - l_tax) AS a_abs,
+                     -l_quantity AS a_neg
+              FROM lineitem ORDER BY l_orderkey, l_linenumber""")),
+
+    ("expr_checked", (s, d) =>
+      T(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        try_add(col("l_orderkey"), col("l_partkey")).as("c_add"),
+        try_divide(col("l_quantity"), col("l_linenumber") - 1).as("c_div"),
+        try_add(lit(Long.MaxValue), col("l_orderkey")).as("c_over"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber,
+                     l_orderkey + l_partkey AS c_add,
+                     l_quantity / nullif(l_linenumber - 1, 0) AS c_div,
+                     CASE WHEN l_orderkey > 0 THEN NULL
+                          ELSE 9223372036854775807 + l_orderkey END AS c_over
+              FROM lineitem ORDER BY l_orderkey, l_linenumber""")),
+
+    ("expr_strings", (s, d) =>
+      T(s, d, "part").select(
+        col("p_partkey"),
+        length(col("p_name")).as("name_len"),
+        col("p_name").contains("ring").as("has_ring"),
+        col("p_name").like("red%").as("like_red"),
+        col("p_name").startsWith("blue").as("sw_blue"),
+        col("p_name").endsWith("bolt").as("ew_bolt"),
+        lower(col("p_type")).contains("economy").as("ci_economy"))
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey, length(p_name) AS name_len,
+                     contains(p_name, 'ring') AS has_ring,
+                     p_name LIKE 'red%' AS like_red,
+                     starts_with(p_name, 'blue') AS sw_blue,
+                     ends_with(p_name, 'bolt') AS ew_bolt,
+                     contains(lower(p_type), 'economy') AS ci_economy
+              FROM part ORDER BY p_partkey""")),
+
+    ("expr_rounding", (s, d) =>
+      T(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        floor(col("l_extendedprice") / 7.0).as("r_floor"),
+        ceil(col("l_extendedprice") / 7.0).as("r_ceil"),
+        round(col("l_extendedprice") / 7.0).cast(LongType).as("r_round"),
+        when(col("l_discount") - col("l_tax") >= 0,
+          floor((col("l_discount") - col("l_tax")) * 10))
+          .otherwise(ceil((col("l_discount") - col("l_tax")) * 10)).as("r_trunc"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber,
+                     CAST(floor(l_extendedprice / 7.0) AS BIGINT) AS r_floor,
+                     CAST(ceil(l_extendedprice / 7.0) AS BIGINT) AS r_ceil,
+                     CAST(round(l_extendedprice / 7.0, 0) AS BIGINT) AS r_round,
+                     CAST(trunc((l_discount - l_tax) * 10) AS BIGINT) AS r_trunc
+              FROM lineitem ORDER BY l_orderkey, l_linenumber""")),
+
+    ("expr_casts", (s, d) =>
+      T(s, d, "orders").select(
+        col("o_orderkey").cast(IntegerType).as("k_int"),
+        col("o_orderkey").cast(StringType).as("k_str"),
+        col("o_totalprice").cast(DecimalType(12, 2)).as("p_dec"),
+        col("o_orderdate").cast(DateType).as("d_date"),
+        col("o_orderdate").cast(DateType).cast(StringType).as("d_str"))
+        .orderBy("k_int"),
+      Some("""SELECT CAST(o_orderkey AS INT) AS k_int,
+                     CAST(o_orderkey AS VARCHAR) AS k_str,
+                     CAST(o_totalprice AS DECIMAL(12,2)) AS p_dec,
+                     CAST(o_orderdate AS DATE) AS d_date,
+                     CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS d_str
+              FROM orders ORDER BY k_int""")),
+
+    ("expr_null", (s, d) =>
+      T(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        nullif(col("l_returnflag"), lit("N")).as("nk"),
+        nullif(col("l_returnflag"), lit("N")).isNull.as("is_n"),
+        nullif(col("l_tax"), lit(0.0)).isNotNull.as("has_tax"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber,
+                     nullif(l_returnflag, 'N') AS nk,
+                     nullif(l_returnflag, 'N') IS NULL AS is_n,
+                     nullif(l_tax, 0.0) IS NOT NULL AS has_tax
+              FROM lineitem ORDER BY l_orderkey, l_linenumber""")),
+
+    // ── aggregation (SURVEY §2.3) ────────────────────────────────────────
+    ("q1_agg", (s, d) =>
+      T(s, d, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast(TimestampType))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .cast(DoubleType).as("sum_disc_price"),
+          sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))
+            * (lit(1) + dec(col("l_tax")))).cast(DoubleType).as("sum_charge"),
+          (sum(dec(col("l_quantity"))).cast(DoubleType) / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) * (1 + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+                COUNT(*) AS count_order
+              FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+              GROUP BY l_returnflag, l_linestatus
+              ORDER BY l_returnflag, l_linestatus""")),
+
+    ("agg_global", (s, d) =>
+      T(s, d, "lineitem").agg(
+        count(lit(1)).as("cnt"),
+        count(col("l_quantity")).as("cnt_qty"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        (sum(dec(col("l_quantity"))).cast(DoubleType) / count(col("l_quantity"))).as("avg_qty")),
+      Some("""SELECT COUNT(*) AS cnt, COUNT(l_quantity) AS cnt_qty,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+                MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty
+              FROM lineitem""")),
+
+    // Keyless aggregation over empty input still yields one row (count=0,
+    // sums NULL) — reference Aggregator.cpp:571-577; Spark + DuckDB agree.
+    ("agg_global_empty", (s, d) =>
+      T(s, d, "lineitem").filter(col("l_quantity") < 0).agg(
+        count(lit(1)).as("cnt"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        min(col("l_quantity")).as("min_qty")),
+      Some("""SELECT COUNT(*) AS cnt,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+                MIN(l_quantity) AS min_qty
+              FROM lineitem WHERE l_quantity < 0""")),
+
+    // NULL is a valid group key forming its own group (reference
+    // Aggregator.h:72-108; ut_ssa_step.cpp:261-287), and count(col) skips
+    // nulls while count(*) does not (AggregateFunctionCount.h:44-62).
+    ("agg_nullkey", (s, d) =>
+      T(s, d, "lineitem")
+        .groupBy(nullif(col("l_returnflag"), lit("N")).as("nk"))
+        .agg(
+          count(lit(1)).as("cnt_star"),
+          count(nullif(col("l_tax"), lit(0.0))).as("cnt_tax"),
+          dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("nk").asc_nulls_first),
+      Some("""SELECT nullif(l_returnflag, 'N') AS nk, COUNT(*) AS cnt_star,
+                COUNT(nullif(l_tax, 0.0)) AS cnt_tax,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+              FROM lineitem GROUP BY nullif(l_returnflag, 'N')
+              ORDER BY nk NULLS FIRST""")),
+
+    ("agg_count_distinct", (s, d) =>
+      T(s, d, "lineitem").groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("nd_part"),
+          countDistinct(col("l_suppkey")).as("nd_supp"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS nd_part,
+                COUNT(DISTINCT l_suppkey) AS nd_supp
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // "any" (reference EAggregate::Some = first non-null in stream order) is
+    // nondeterministic under parallel merge in BOTH engines; the
+    // deterministic stand-in for the oracle gate is min_by over a unique
+    // ordering key. graft.ssa maps AnyValue → first(ignoreNulls).
+    ("agg_any", (s, d) =>
+      T(s, d, "lineitem").groupBy(col("l_returnflag"))
+        .agg(min_by(col("l_quantity"),
+          col("l_orderkey") * 10 + col("l_linenumber")).as("any_qty"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+                min_by(l_quantity, l_orderkey * 10 + l_linenumber) AS any_qty
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // Two-phase partial→final equivalence (reference ut_aggregator.cpp:
+    // 133-149): aggregation after an explicit repartition must equal the
+    // single-pass result — Catalyst's Partial/Final HashAggregate pair.
+    ("agg_two_phase", (s, d) =>
+      T(s, d, "lineitem").repartition(8, col("l_partkey"))
+        .groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy("l_partkey"),
+      Some("""SELECT l_partkey, COUNT(*) AS cnt,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+              FROM lineitem GROUP BY l_partkey ORDER BY l_partkey""")),
+
+    // ── sort / merge / dedup / limit (SURVEY §2.4) ───────────────────────
+    ("sort_composite", (s, d) =>
+      Sorts.sort(T(s, d, "events").select("user_id", "event_type", "event_id"),
+        Seq(SortKey("user_id"), SortKey("event_type"), SortKey("event_id"))),
+      Some("""SELECT user_id, event_type, event_id FROM events
+              ORDER BY user_id NULLS FIRST, event_type NULLS FIRST, event_id NULLS FIRST""")),
+
+    ("sort_desc", (s, d) =>
+      Sorts.sort(
+        T(s, d, "events").select(
+          col("event_id"), nullif(col("event_type"), lit("click")).as("et"), col("value")),
+        Seq(SortKey("et", ascending = false), SortKey("event_id", ascending = false))),
+      Some("""SELECT event_id, nullif(event_type, 'click') AS et, value FROM events
+              ORDER BY et DESC NULLS FIRST, event_id DESC NULLS FIRST""")),
+
+    ("topk", (s, d) =>
+      Sorts.topK(
+        T(s, d, "orders").select("o_orderkey", "o_totalprice"),
+        Seq(SortKey("o_totalprice", ascending = false), SortKey("o_orderkey")), 100),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+              ORDER BY o_totalprice DESC NULLS FIRST, o_orderkey NULLS FIRST LIMIT 100""")),
+
+    // k-way merge of overlapping sorted runs, duplicates preserved
+    // (reference MergingSortedInputStream without replace key).
+    ("merge_sorted", (s, d) => {
+      val li = T(s, d, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
+      val keys = Seq(SortKey("l_orderkey"), SortKey("l_linenumber"), SortKey("l_quantity"))
+      val runs = Seq(
+        Sorts.sort(li.filter(col("l_quantity") < 20), keys),
+        Sorts.sort(li.filter(col("l_quantity") >= 10 && col("l_quantity") < 35), keys),
+        Sorts.sort(li.filter(col("l_quantity") >= 30), keys))
+      Sorts.mergeSorted(runs, keys)
+    },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM (
+                SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity < 20
+                UNION ALL
+                SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity >= 10 AND l_quantity < 35
+                UNION ALL
+                SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity >= 30)
+              ORDER BY l_orderkey NULLS FIRST, l_linenumber NULLS FIRST, l_quantity NULLS FIRST""")),
+
+    // Replace-key dedup: latest event per (user_id, event_type) — the
+    // reference's ReplacingMergeTree semantics (ut_modes.cpp:529-569).
+    ("replace_dedup", (s, d) =>
+      Sorts.sort(
+        Sorts.replaceDedup(
+          T(s, d, "events").select(col("user_id"), col("event_type"), col("ts"), col("value")),
+          replaceKey = Seq("user_id", "event_type"),
+          sortKeys = Seq(SortKey("ts", ascending = false), SortKey("value", ascending = false))),
+        Seq(SortKey("user_id"), SortKey("event_type"))),
+      Some("""SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value FROM (
+                SELECT user_id, event_type, ts, value,
+                       row_number() OVER (PARTITION BY user_id, event_type
+                                          ORDER BY ts DESC NULLS FIRST, value DESC NULLS FIRST) AS rn
+                FROM events) WHERE rn = 1
+              ORDER BY user_id NULLS FIRST, event_type NULLS FIRST""")),
+
+    // ── union / distinct / set ops (SURVEY §2.5) ─────────────────────────
+    ("union_all", (s, d) =>
+      T(s, d, "region").select(col("r_regionkey").as("id"), col("r_name").as("name"))
+        .unionAll(T(s, d, "nation").select(col("n_nationkey").as("id"), col("n_name").as("name")))
+        .orderBy("id", "name"),
+      Some("""SELECT id, name FROM (
+                SELECT r_regionkey AS id, r_name AS name FROM region
+                UNION ALL
+                SELECT n_nationkey AS id, n_name AS name FROM nation)
+              ORDER BY id, name""")),
+
+    ("distinct_q", (s, d) =>
+      T(s, d, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+              ORDER BY l_returnflag, l_linestatus""")),
+
+    ("setop_intersect", (s, d) =>
+      T(s, d, "orders").filter(col("o_orderstatus") === "O").select("o_custkey")
+        .intersect(T(s, d, "orders").filter(col("o_orderstatus") === "F").select("o_custkey"))
+        .orderBy("o_custkey"),
+      Some("""SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+              INTERSECT
+              SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+              ORDER BY o_custkey""")),
+
+    ("setop_except", (s, d) =>
+      T(s, d, "orders").filter(col("o_orderstatus") === "O").select("o_custkey")
+        .except(T(s, d, "orders").filter(col("o_orderstatus") === "F").select("o_custkey"))
+        .orderBy("o_custkey"),
+      Some("""SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+              EXCEPT
+              SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+              ORDER BY o_custkey""")),
+
+    // ── joins (absent in reference — SURVEY §2.6 — native in Spark) ──────
+    ("join_broadcast", (s, d) =>
+      T(s, d, "lineitem")
+        .join(broadcast(T(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .cast(DoubleType).as("revenue"))
+        .orderBy("s_name"),
+      Some("""SELECT s_name, COUNT(*) AS cnt,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+              FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+              GROUP BY s_name ORDER BY s_name""")),
+
+    ("join_multi", (s, d) =>
+      T(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .join(T(s, d, "orders"), col("c_custkey") === col("o_custkey"))
+        .join(T(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"))
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast(DoubleType).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey")).limit(10),
+      Some("""SELECT o_orderkey, o_orderdate,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+              FROM customer JOIN orders ON c_custkey = o_custkey
+                            JOIN lineitem ON o_orderkey = l_orderkey
+              WHERE c_mktsegment = 'BUILDING'
+              GROUP BY o_orderkey, o_orderdate
+              ORDER BY revenue DESC NULLS FIRST, o_orderkey LIMIT 10""")),
+
+    ("join_anti", (s, d) =>
+      T(s, d, "customer")
+        .join(T(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name").orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_name FROM customer
+              WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+              ORDER BY c_custkey""")),
+
+    ("join_semi", (s, d) =>
+      T(s, d, "customer")
+        .join(T(s, d, "orders").filter(col("o_orderstatus") === "P"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_mktsegment").orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_mktsegment FROM customer
+              WHERE EXISTS (SELECT 1 FROM orders
+                            WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+              ORDER BY c_custkey""")),
+
+    ("join_left", (s, d) =>
+      T(s, d, "nation")
+        .join(T(s, d, "supplier"), col("n_nationkey") === col("s_nationkey"), "left")
+        .select(col("n_nationkey"), col("n_name"), col("s_suppkey"), col("s_name"))
+        .orderBy(col("n_nationkey"), col("s_suppkey").asc_nulls_first),
+      Some("""SELECT n_nationkey, n_name, s_suppkey, s_name
+              FROM nation LEFT JOIN supplier ON n_nationkey = s_nationkey
+              ORDER BY n_nationkey, s_suppkey NULLS FIRST""")),
+
+    // ── window functions (absent in reference — SURVEY §2.7) ─────────────
+    ("window_rank", (s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      T(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          rank().over(w).as("rk"))
+        .filter(col("rk") <= 3)
+        .orderBy("o_custkey", "rk", "o_orderkey")
+    },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       rank() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC NULLS FIRST, o_orderkey) AS rk
+                FROM orders) WHERE rk <= 3
+              ORDER BY o_custkey, rk, o_orderkey""")),
+
+    ("window_running_sum", (s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      T(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          sum(dec(col("o_totalprice"))).over(w).cast(DoubleType).as("running_total"))
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    },
+      Some("""SELECT o_custkey, o_orderkey, o_orderdate,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                     OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+              FROM orders
+              ORDER BY o_custkey, o_orderdate, o_orderkey""")),
+
+    // ── events: JSON + time bucketing ────────────────────────────────────
+    ("events_json", (s, d) =>
+      T(s, d, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"), sum(col("k")).as("sum_k"), max(col("k")).as("max_k"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type, COUNT(*) AS cnt,
+                CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+                MAX(CAST(props->>'$.k' AS BIGINT)) AS max_k
+              FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    ("events_time_buckets", (s, d) =>
+      T(s, d, "events")
+        .groupBy(
+          year(col("ts")).as("y"), month(col("ts")).as("m"),
+          dayofmonth(col("ts")).as("dd"), hour(col("ts")).as("h"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast(DecimalType(14, 4))).cast(DoubleType).as("sum_value"))
+        .orderBy("y", "m", "dd", "h"),
+      Some("""SELECT CAST(EXTRACT(year FROM ts) AS INT) AS y,
+                     CAST(EXTRACT(month FROM ts) AS INT) AS m,
+                     CAST(EXTRACT(day FROM ts) AS INT) AS dd,
+                     CAST(EXTRACT(hour FROM ts) AS INT) AS h,
+                     COUNT(*) AS cnt,
+                     CAST(SUM(CAST(value AS DECIMAL(14,4))) AS DOUBLE) AS sum_value
+              FROM events GROUP BY 1, 2, 3, 4 ORDER BY y, m, dd, h""")),
+
+    // ── hashing (SURVEY §2.2 hash functions; md5/sha are the
+    //    oracle-reproducible ones, xxhash64 is Spark-native) ──────────────
+    ("hash_md5", (s, d) =>
+      T(s, d, "documents").select(
+        col("doc_id"),
+        md5(col("text")).as("h_md5"),
+        sha2(col("text"), 256).as("h_sha256"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, md5(text) AS h_md5, sha256(text) AS h_sha256
+              FROM documents ORDER BY doc_id""")))
+}

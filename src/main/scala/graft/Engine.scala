@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Engine facade: session construction and table access.
+  *
+  * Mirrors the reference's source layer (ParquetBlockInputStream,
+  * /root/reference/DataStreams/ParquetBlockInputStream.cpp:20-54) — but
+  * Spark's Parquet DataSource already performs the row-group selection and
+  * column pruning the reference does by hand, driven by Catalyst's pushdown.
+  *
+  * Scale note: reads are path-based so the same code runs against a
+  * directory of thousands of files on a cluster; nothing here assumes
+  * single-file or single-node layout.
+  */
+object Engine {
+
+  /** Standard session config for this engine. Local testing uses
+    * local[N]; on a real cluster the master/memory flags come from
+    * spark-submit and everything else here still applies.
+    */
+  def session(appName: String = "graft", master: String = "local[*]"): SparkSession = {
+    val b = SparkSession.builder()
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+    val withMaster = if (master.nonEmpty) b.master(master) else b
+    val spark = withMaster.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Read one named table from a scale-factor directory.
+    * `$dir/$name.parquet` may be a single file or a directory of parts.
+    *
+    * Nanosecond parquet timestamps (the `events.ts` column) are illegal for
+    * Spark's reader; with `spark.sql.legacy.parquet.nanosAsLong` they load
+    * as epoch-nanos longs, which we convert to TimestampType (µs) here —
+    * integer `div` so the int64 nanos never round-trip through a double. */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    df.schema.fields.foldLeft(df) { (d, f) =>
+      if (f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType)
+        d.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+      else d
+    }
+  }
+
+  /** Empty frame with a declared schema — the reference's
+    * NullBlockInputStream (DataStreams/NullBlockInputStream.h). */
+  def nullSource(spark: SparkSession, schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+}

@@ -1,0 +1,237 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Training-data pipeline surface: dedup (exact / MinHash-LSH / SimHash /
+  * n-gram Jaccard / embedding), similarity search, text analysis, and
+  * multimodal-column plumbing — over the `documents` and `embeddings`
+  * tables. See graft.ops.* for the scale rationale of each operator.
+  *
+  * Oracle notes: md5-based constructions are chosen precisely so DuckDB can
+  * reproduce signatures bit-for-bit; xxhash64-based ops (LSH planes, stub
+  * decode) have no DuckDB twin and get rows-only checks.
+  */
+object PipelineQueries {
+
+  private def T(s: SparkSession, dir: String, n: String): DataFrame = Engine.table(s, dir, n)
+
+  /** DuckDB CTE producing (doc_id, shingle) — mirrors Dedup.shingleRows. */
+  private def shingleCte(w: Int): String =
+    s"""sh AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), $w) AS shingle
+       |  FROM documents,
+       |  LATERAL (SELECT unnest(generate_series(1, GREATEST(length(text) - ${w - 1}, 1)))) t(i))""".stripMargin
+
+  private val minhashK = 8
+  private val minhashW = 8
+  private def sigSelect: String =
+    (0 until minhashK).map(i => s"MIN(md5('$i|' || shingle)) AS mh_$i").mkString(", ")
+
+  /** Cosine in DuckDB with the same left-to-right double fold as
+    * graft.ops.Similarity.cosine (list_reduce starts from the first
+    * element; +0.0 init is an IEEE no-op, so the folds agree exactly). */
+  private def duckCos(a: String, b: String): String =
+    s"""round(
+       |  list_reduce(list_transform(list_zip($a, $b), z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (acc, x) -> acc + x)
+       |  / (sqrt(list_reduce(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, x) -> acc + x))
+       |   * sqrt(list_reduce(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, x) -> acc + x))), 9)""".stripMargin
+
+  type QFn = (SparkSession, String) => DataFrame
+
+  val defs: Seq[(String, QFn, Option[String])] = Seq(
+
+    // ── exact dedup ──────────────────────────────────────────────────────
+    ("dedup_exact", (s, d) =>
+      Dedup.exact(T(s, d, "documents"), "doc_id", "text").orderBy("text_hash"),
+      Some("""SELECT md5(text) AS text_hash, MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
+              FROM documents GROUP BY md5(text) ORDER BY text_hash""")),
+
+    // ── MinHash signatures + LSH candidate pairs ─────────────────────────
+    ("dedup_minhash_sig", (s, d) =>
+      Dedup.minhashSignature(T(s, d, "documents"), "doc_id", "text", minhashW, minhashK)
+        .orderBy("doc_id"),
+      Some(s"""WITH ${shingleCte(minhashW)}
+               SELECT doc_id, $sigSelect FROM sh GROUP BY doc_id ORDER BY doc_id""")),
+
+    ("dedup_minhash_pairs", (s, d) =>
+      Dedup.minhashCandidatePairs(T(s, d, "documents"), "doc_id", "text",
+        minhashW, minhashK, bands = 4).orderBy("id_a", "id_b"),
+      Some(s"""WITH ${shingleCte(minhashW)},
+               sig AS (SELECT doc_id, $sigSelect FROM sh GROUP BY doc_id),
+               bands AS (
+                 SELECT doc_id, 0 AS band, md5(mh_0 || '|' || mh_1) AS bh FROM sig
+                 UNION ALL SELECT doc_id, 1, md5(mh_2 || '|' || mh_3) FROM sig
+                 UNION ALL SELECT doc_id, 2, md5(mh_4 || '|' || mh_5) FROM sig
+                 UNION ALL SELECT doc_id, 3, md5(mh_6 || '|' || mh_7) FROM sig)
+               SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+               FROM bands a JOIN bands b
+                 ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+               ORDER BY id_a, id_b""")),
+
+    // ── exact n-gram Jaccard pairs ───────────────────────────────────────
+    ("dedup_jaccard_pairs", (s, d) =>
+      Dedup.ngramJaccardPairs(T(s, d, "documents"), "doc_id", "text",
+        width = 6, threshold = 0.5).orderBy("id_a", "id_b"),
+      Some(s"""WITH ${shingleCte(6)},
+               sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+               common AS (
+                 SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+                 FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                 GROUP BY a.doc_id, b.doc_id)
+               SELECT id_a, id_b,
+                      CAST(c AS DOUBLE) / CAST(sa.sz + sb.sz - c AS DOUBLE) AS jaccard
+               FROM common
+               JOIN sizes sa ON sa.doc_id = id_a
+               JOIN sizes sb ON sb.doc_id = id_b
+               WHERE CAST(c AS DOUBLE) / CAST(sa.sz + sb.sz - c AS DOUBLE) >= 0.5
+               ORDER BY id_a, id_b""")),
+
+    // ── SimHash (md5-bit construction; oracle deferred — unit-tested) ────
+    ("dedup_simhash", (s, d) =>
+      Dedup.simhash(T(s, d, "documents"), "doc_id", "text").orderBy("doc_id"),
+      None),
+
+    // ── embedding near-dup + similarity search ───────────────────────────
+    ("embed_neardup", (s, d) =>
+      Dedup.embeddingNearDupPairs(T(s, d, "embeddings"), "vec_id", "embedding",
+        threshold = 0.45)
+        .withColumn("cos", round(col("cos"), 9))
+        .orderBy("id_a", "id_b"),
+      Some(s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                      ${duckCos("a.embedding", "b.embedding")} AS cos
+               FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+               WHERE ${duckCos("a.embedding", "b.embedding")} >= 0.45
+               ORDER BY id_a, id_b""")),
+
+    ("ann_brute_topk", (s, d) => {
+      val e = T(s, d, "embeddings")
+      Similarity.bruteForceTopK(
+        corpus = e.select(col("vec_id"), col("embedding")),
+        queries = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe")),
+        idCol = "vec_id", vecCol = "embedding", qidCol = "qid", qvecCol = "qe",
+        k = 5).orderBy("qid", "rk")
+    },
+      Some(s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+               p AS (SELECT q.qid, e.vec_id, ${duckCos("q.qe", "e.embedding")} AS cos
+                     FROM embeddings e, q)
+               SELECT qid, vec_id, cos, rk FROM (
+                 SELECT qid, vec_id, cos,
+                        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+                 FROM p) WHERE rk <= 5
+               ORDER BY qid, rk""")),
+
+    // LSH-bucketed ANN (xxhash64 planes — no DuckDB twin; rows-only).
+    ("ann_lsh_topk", (s, d) => {
+      val e = T(s, d, "embeddings")
+      Similarity.lshTopK(
+        corpus = e.select(col("vec_id"), col("embedding")),
+        queries = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe")),
+        idCol = "vec_id", vecCol = "embedding", qidCol = "qid", qvecCol = "qe",
+        k = 5, nPlanes = 4).orderBy("qid", "rk")
+    }, None),
+
+    // ── text analysis ────────────────────────────────────────────────────
+    ("text_stats", (s, d) =>
+      T(s, d, "documents").select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tok"),
+        TextAnalysis.subwordTokenCount(col("text")).as("n_subtok"),
+        TextAnalysis.meanTokenLen(col("text")).as("mean_tok_len"),
+        TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
+        TextAnalysis.stopwordRatio(col("text")).as("stopword_ratio"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id"),
+      Some(raw"""SELECT doc_id,
+                 CAST(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS INT) AS n_tok,
+                 CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS n_subtok,
+                 CASE WHEN len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) > 0
+                      THEN CAST(list_sum(list_transform(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0), x -> len(x))) AS DOUBLE)
+                           / CAST(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS DOUBLE)
+                      ELSE 0.0 END AS mean_tok_len,
+                 CASE WHEN len(text) > 0
+                      THEN CAST(len(text) - len(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE) / CAST(len(text) AS DOUBLE)
+                      ELSE 0.0 END AS punct_ratio,
+                 CASE WHEN len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) > 0
+                      THEN CAST(len(list_filter(string_split_regex(text, '\s+'), x -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','this','for','on','with','as','at','by','be','are'], lower(x)))) AS DOUBLE)
+                           / CAST(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS DOUBLE)
+                      ELSE 0.0 END AS stopword_ratio,
+                 round(
+                   (CASE WHEN len(text) BETWEEN 20 AND 5000 THEN 0.25 ELSE 0.0 END) +
+                   (CASE WHEN (CASE WHEN len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) > 0
+                               THEN CAST(list_sum(list_transform(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0), x -> len(x))) AS DOUBLE)
+                                    / CAST(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS DOUBLE)
+                               ELSE 0.0 END) BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0.0 END) +
+                   (CASE WHEN (CASE WHEN len(text) > 0
+                               THEN CAST(len(text) - len(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE) / CAST(len(text) AS DOUBLE)
+                               ELSE 0.0 END) <= 0.2 THEN 0.25 ELSE 0.0 END) +
+                   (CASE WHEN (CASE WHEN len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) > 0
+                               THEN CAST(len(list_filter(string_split_regex(text, '\s+'), x -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','this','for','on','with','as','at','by','be','are'], lower(x)))) AS DOUBLE)
+                                    / CAST(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS DOUBLE)
+                               ELSE 0.0 END) BETWEEN 0.01 AND 0.6 THEN 0.25 ELSE 0.0 END), 2) AS quality
+               FROM documents ORDER BY doc_id""")),
+
+    ("lang_id", (s, d) =>
+      T(s, d, "documents").select(
+        col("doc_id"),
+        TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id"),
+      Some(langIdOracle)),
+
+    ("doc_fingerprint", (s, d) =>
+      T(s, d, "documents").select(
+        col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+                md5(trim(regexp_replace(lower(text), '[ \t\n\r]+', ' ', 'g'))) AS fp
+              FROM documents ORDER BY doc_id""")),
+
+    // ── multimodal plumbing (payload = utf8 bytes of text; stub decode) ──
+    ("multimodal_stats", (s, d) =>
+      Multimodal.payloadStats(
+        T(s, d, "documents").select(col("doc_id"), col("text").cast("binary").as("payload")),
+        "doc_id", "payload").orderBy("doc_id"),
+      Some("""SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS INT) AS payload_bytes,
+                md5(text) AS payload_md5
+              FROM documents ORDER BY doc_id""")),
+
+    // Stub feature extraction (xxhash64-derived floats — rows-only check).
+    ("multimodal_features", (s, d) =>
+      Multimodal.featurize(
+        T(s, d, "documents").select(col("doc_id"), col("text").cast("binary").as("payload")),
+        "doc_id", "payload", dim = 8).orderBy("doc_id"),
+      None))
+
+  /** DuckDB replica of TextAnalysis.langId: marker-ratio argmax with
+    * greatest-struct tie semantics (score first, then lang desc), CJK share
+    * shortcut, "und" when no marker hits. */
+  private lazy val langIdOracle: String = {
+    def ratio(markers: Seq[String]): String = {
+      val lst = markers.map(m => s"'$m'").mkString("[", ",", "]")
+      s"""CAST(len(list_filter(toks, x -> list_contains($lst, lower(x)))) AS DOUBLE)
+         | / CAST(GREATEST(len(toks), 1) AS DOUBLE)""".stripMargin
+    }
+    val marks = TextAnalysis.langMarkers.toSeq.sortBy(_._1)
+    val scoreCols = marks.map { case (lang, m) => s"(${ratio(m)}) AS s_$lang" }.mkString(", ")
+    // greatest(struct(score, lang)): max score, ties → lexicographically
+    // larger lang code. Languages sorted: de < en < es < fr.
+    raw"""WITH tok AS (
+       |  SELECT doc_id, text,
+       |         list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+       |  FROM documents),
+       |scored AS (SELECT doc_id, text, $scoreCols FROM tok)
+       |SELECT doc_id,
+       |  CASE WHEN len(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) * 3 > len(text) THEN 'zh'
+       |       WHEN GREATEST(s_de, s_en, s_es, s_fr) > 0 THEN
+       |         CASE WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+       |              WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+       |              WHEN s_en >= s_de THEN 'en'
+       |              ELSE 'de' END
+       |       ELSE 'und' END AS lang_pred
+       |FROM scored ORDER BY doc_id""".stripMargin
+  }
+}

@@ -1,0 +1,88 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (Array[Float]) — beyond-reference
+  * surface for training-data pipelines.
+  *
+  * All scalar math is column expressions (zip_with / aggregate higher-order
+  * functions) computed in double with left-to-right summation, so results are
+  * bit-deterministic and reproducible by the SQL oracle.
+  */
+object Similarity {
+
+  /** Dot product of two array columns, accumulated left-to-right in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; null-safe only insofar as null arrays yield null. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force exact top-k cosine neighbors of each query vector against
+    * the corpus. The query set is broadcast (it is the small side by
+    * construction), so the corpus streams partition-local with no shuffle
+    * until the per-query top-k selection.
+    *
+    * Ranking is deterministic: ties and cross-engine f.p. noise are handled
+    * by ranking on round(cos, 9) desc then corpus id asc.
+    *
+    * Scale: cost is |queries|·|corpus| multiplies, embarrassingly parallel
+    * over corpus partitions. The window partitions by query id — fine for
+    * thousands of queries; for huge query sets switch to [[lshTopK]]. */
+  def bruteForceTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, qidCol: String, qvecCol: String,
+      k: Int): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(queries))
+      .select(
+        col(qidCol), col(idCol),
+        round(cosine(col(qvecCol), col(vecCol)), 9).as("cos"))
+    val w = Window.partitionBy(col(qidCol)).orderBy(col("cos").desc, col(idCol).asc)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col(qidCol), col(idCol), col("cos"), col("rk"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane j, dim d):
+    * xxhash64 folded to [-1, 1]. Good enough for sign-LSH; no RNG state. */
+  private def planeComponent(j: Int, d: Column): Column =
+    (pmod(xxhash64(lit(j), d), lit(2000001)).cast("double") / 1000000.0) - 1.0
+
+  /** Sign-LSH bucket id: bit j = sign of <v, plane_j>, packed into an int.
+    * Vectors in the same bucket are cosine-close with high probability. */
+  def hyperplaneBucket(v: Column, nPlanes: Int): Column = {
+    require(nPlanes > 0 && nPlanes <= 30, "nPlanes in 1..30")
+    val bits = (0 until nPlanes).map { j =>
+      val s = aggregate(
+        zip_with(v, sequence(lit(0), size(v) - 1), (x, d) => x.cast("double") * planeComponent(j, d)),
+        lit(0.0), (acc, x) => acc + x)
+      when(s > 0, lit(1 << j)).otherwise(lit(0))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** LSH-bucketed approximate top-k: queries and corpus are bucketed by
+    * [[hyperplaneBucket]]; each query only scores its own bucket. The
+    * bucket join shuffles on the bucket id — sub-linear candidate sets at
+    * the cost of recall (multi-probe = union over plane subsets is the
+    * upgrade path). */
+  def lshTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, qidCol: String, qvecCol: String,
+      k: Int, nPlanes: Int): DataFrame = {
+    val cb = corpus.withColumn("bucket", hyperplaneBucket(col(vecCol), nPlanes))
+    val qb = queries.withColumn("qbucket", hyperplaneBucket(col(qvecCol), nPlanes))
+    val scored = cb.join(qb, col("bucket") === col("qbucket"))
+      .select(
+        col(qidCol), col(idCol),
+        round(cosine(col(qvecCol), col(vecCol)), 9).as("cos"))
+    val w = Window.partitionBy(col(qidCol)).orderBy(col("cos").desc, col(idCol).asc)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col(qidCol), col(idCol), col("cos"), col("rk"))
+  }
+}

@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text analysis for corpus curation: token stats, quality scoring,
+  * language-ID heuristic, fingerprinting. Beyond-reference surface.
+  *
+  * Everything is a pure column expression (codegen-friendly, no UDFs) and
+  * deterministic, so the DuckDB oracle can reproduce results exactly.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens, empty-safe. */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => length(t) > 0)
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword token count: runs of letters, runs of digits, and
+    * single other non-space chars each count as one token — a cheap,
+    * deterministic stand-in for a real tokenizer's token count. */
+  def subwordTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Stopword ratio against a fixed public English stopword list. */
+  val stopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "this", "for", "on", "with", "as", "at", "by", "be", "are")
+
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(text)
+    val stops = filter(toks, t => lower(t).isInCollection(stopwords))
+    when(size(toks) > 0, size(stops).cast("double") / size(toks).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Punctuation character ratio. */
+  def punctRatio(text: Column): Column =
+    when(length(text) > 0,
+      (length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))).cast("double")
+        / length(text).cast("double"))
+      .otherwise(lit(0.0))
+
+  /** Mean token length (0 for empty text). */
+  def meanTokenLen(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) > 0,
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double")
+        / size(toks).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Heuristic quality score in [0,1]: length band + sane mean token length
+    * + low punctuation + moderate stopword presence. The exact weights are
+    * a policy choice; what matters is determinism and that each component
+    * is a scan-local expression. */
+  def qualityScore(text: Column): Column = {
+    val lenScore = when(length(text).between(20, 5000), 0.25).otherwise(0.0)
+    val tokScore = when(meanTokenLen(text).between(2.0, 12.0), 0.25).otherwise(0.0)
+    val punScore = when(punctRatio(text) <= 0.2, 0.25).otherwise(0.0)
+    val stpScore = when(stopwordRatio(text).between(0.01, 0.6), 0.25).otherwise(0.0)
+    round(lenScore + tokScore + punScore + stpScore, 2)
+  }
+
+  /** Marker stopword lists for a few languages (public common words). */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une"),
+    "es" -> Seq("el", "los", "las", "y", "es", "un", "una"))
+
+  /** Language-ID heuristic: CJK codepoint share decides "zh"; otherwise the
+    * marker-list with the highest hit ratio wins (ties broken by language
+    * code order); no hits → "und". A real system would use character
+    * n-gram profiles; the shape (scan-local scoring, argmax) is the same. */
+  def langId(text: Column): Column = {
+    val cjk = length(regexp_replace(text, "[^\\x{4e00}-\\x{9fff}]", ""))
+    val toks = tokens(text)
+    val total = size(toks)
+    val scores = langMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
+      val hits = size(filter(toks, t => lower(t).isInCollection(markers)))
+      struct((hits.cast("double") / greatest(total, lit(1)).cast("double")).as("score"),
+        lit(lang).as("lang"))
+    }
+    val best = greatest(scores: _*) // struct compare: score first, then lang
+    when(cjk * 3 > length(text), lit("zh"))
+      .when(best.getField("score") > 0, best.getField("lang"))
+      .otherwise(lit("und"))
+  }
+
+  /** Document fingerprint: md5 of case-folded, whitespace-collapsed text —
+    * the canonical near-exact-dup key. */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "[ \\t\\n\\r]+", " ")))
+
+  /** Rolling polynomial hash (base 31, mod 2^31-1) over the normalized
+    * text's bytes — an order-sensitive fingerprint cheap enough to compute
+    * per chunk. Expressed with aggregate() so it stays in codegen. */
+  def rollingHash(text: Column): Column = {
+    val norm = trim(regexp_replace(lower(text), "[ \\t\\n\\r]+", " "))
+    val codes = transform(split(norm, ""), ch => ascii(ch).cast("long"))
+    aggregate(codes, lit(0L), (acc, c) => pmod(acc * 31 + c, lit(2147483647L)))
+  }
+}
