@@ -70,22 +70,34 @@ object PipelineQueries {
                  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
                ORDER BY id_a, id_b""")),
 
-    // ── exact n-gram Jaccard pairs ───────────────────────────────────────
+    // ── n-gram Jaccard pairs: LSH candidates → exact verification ────────
     ("dedup_jaccard_pairs", (s, d) =>
-      Dedup.ngramJaccardPairs(T(s, d, "documents"), "doc_id", "text",
-        width = 6, threshold = 0.5).orderBy("id_a", "id_b"),
+      Dedup.jaccardPairsLsh(T(s, d, "documents"), "doc_id", "text",
+        width = 6, threshold = 0.5, k = minhashK, bands = 4).orderBy("id_a", "id_b"),
       Some(s"""WITH ${shingleCte(6)},
+               sig AS (SELECT doc_id, $sigSelect FROM sh GROUP BY doc_id),
+               bands AS (
+                 SELECT doc_id, 0 AS band, md5(mh_0 || '|' || mh_1) AS bh FROM sig
+                 UNION ALL SELECT doc_id, 1, md5(mh_2 || '|' || mh_3) FROM sig
+                 UNION ALL SELECT doc_id, 2, md5(mh_4 || '|' || mh_5) FROM sig
+                 UNION ALL SELECT doc_id, 3, md5(mh_6 || '|' || mh_7) FROM sig),
+               cand AS (
+                 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                 FROM bands a JOIN bands b
+                   ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
                sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
                common AS (
-                 SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
-                 FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-                 GROUP BY a.doc_id, b.doc_id)
+                 SELECT cd.id_a, cd.id_b, COUNT(*) AS nc
+                 FROM cand cd
+                 JOIN sh a ON a.doc_id = cd.id_a
+                 JOIN sh b ON b.doc_id = cd.id_b AND b.shingle = a.shingle
+                 GROUP BY cd.id_a, cd.id_b)
                SELECT id_a, id_b,
-                      CAST(c AS DOUBLE) / CAST(sa.sz + sb.sz - c AS DOUBLE) AS jaccard
+                      CAST(nc AS DOUBLE) / CAST(sa.sz + sb.sz - nc AS DOUBLE) AS jaccard
                FROM common
                JOIN sizes sa ON sa.doc_id = id_a
                JOIN sizes sb ON sb.doc_id = id_b
-               WHERE CAST(c AS DOUBLE) / CAST(sa.sz + sb.sz - c AS DOUBLE) >= 0.5
+               WHERE CAST(nc AS DOUBLE) / CAST(sa.sz + sb.sz - nc AS DOUBLE) >= 0.5
                ORDER BY id_a, id_b""")),
 
     // ── SimHash (md5-bit construction; oracle deferred — unit-tested) ────
