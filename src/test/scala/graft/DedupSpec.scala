@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Dedup
+
+/** Dedup operator semantics on crafted corpora (beyond-reference surface). */
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat"),   // near dup of 1
+    (4L, "completely different content about spark engines"),
+    (5L, "")).toDF("doc_id", "text")
+
+  test("exact dedup keeps min id and counts duplicates") {
+    val out = Dedup.exact(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("dup_count")).toMap
+    assert(out(1L) === 2L)       // docs 1+2 collapse, min id 1 kept
+    assert(!out.contains(2L))
+    assert(out(3L) === 1L && out(4L) === 1L && out(5L) === 1L)
+  }
+
+  test("minhash: identical docs get identical signatures; different docs differ") {
+    val sig = Dedup.minhashSignature(docs, "doc_id", "text", width = 4, k = 8)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (0 until 8).map(i => r.getAs[String](s"mh_$i"))).toMap
+    assert(sig(1L) === sig(2L))
+    assert(sig(1L) !== sig(4L))
+    // near-dup shares most minhashes with its original
+    val shared = sig(1L).zip(sig(3L)).count { case (a, b) => a == b }
+    assert(shared >= 4, s"near-dup docs shared only $shared/8 minhashes")
+  }
+
+  test("LSH candidate pairs contain the exact-dup pair, not the unrelated one") {
+    val pairs = Dedup.minhashCandidatePairs(docs, "doc_id", "text",
+      width = 4, k = 8, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 4L)) && !pairs.contains((2L, 4L)))
+  }
+
+  test("LSH-verified jaccard: exact dup scores 1.0; verified against definition") {
+    val out = Dedup.jaccardPairsLsh(docs, "doc_id", "text",
+      width = 4, threshold = 0.2, k = 8, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jaccard")).toMap
+    assert(out((1L, 2L)) === 1.0)
+    // independent recomputation of jaccard(1,3) from shingle sets
+    def shingles(s: String) = s.sliding(4).toSet
+    val (a, b) = (shingles(docs.collect()(0).getString(1)), shingles(docs.collect()(2).getString(1)))
+    val expected = a.intersect(b).size.toDouble / a.union(b).size.toDouble
+    out.get((1L, 3L)).foreach(j => assert(math.abs(j - expected) < 1e-12))
+  }
+
+  test("sorted-merge intersect kernel agrees with array_intersect") {
+    val df = Seq(
+      (Seq("a", "b", "c", "d"), Seq("b", "d", "e")),
+      (Seq("x"), Seq("y")),
+      (Seq[String](), Seq("a"))).toDF("l", "r")
+    val out = df.select(
+      graft.functions.VectorExpressions.sortedIntersectSize(
+        array_sort(col("l")), array_sort(col("r"))).as("k"),
+      size(array_intersect(col("l"), col("r"))).cast("long").as("ref"))
+      .collect()
+    out.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
+
+  test("simhash: identical docs identical; near-dups closer than unrelated") {
+    val fp = Dedup.simhash(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("simhash")).toMap
+    assert(fp(1L) === fp(2L))
+    assert(fp(1L).length === 16)
+    def hamming(x: String, y: String): Int =
+      x.zip(y).map { case (a, b) =>
+        Integer.bitCount(Integer.parseInt(a.toString, 16) ^ Integer.parseInt(b.toString, 16))
+      }.sum
+    assert(hamming(fp(1L), fp(3L)) < hamming(fp(1L), fp(4L)),
+      s"near-dup ${hamming(fp(1L), fp(3L))} !< unrelated ${hamming(fp(1L), fp(4L))}")
+  }
+
+  test("embedding near-dup pairs by cosine threshold") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.99f, 0.14f, 0.0f)),   // ~cos 0.990 with 1
+      (3L, Array(0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDupPairs(vecs, "vec_id", "embedding", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Similarity
+
+/** Similarity search: codegen kernel vs HOF bit-equality, top-k semantics. */
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("codegen VectorDot is bit-identical to the HOF formulation") {
+    val rnd = new scala.util.Random(42)
+    val vecs = (0 until 200).map { i =>
+      (i.toLong, Array.fill(64)(rnd.nextFloat() * 2 - 1), Array.fill(64)(rnd.nextFloat() * 2 - 1))
+    }.toDF("id", "a", "b")
+    val out = vecs.select(
+      Similarity.dot(col("a"), col("b")).as("fast"),
+      Similarity.dotHof(col("a"), col("b")).as("ref")).collect()
+    out.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))  // exact, not approx
+  }
+
+  test("cosine: self similarity is 1, orthogonal is 0") {
+    val df = Seq(
+      (Array(3.0f, 4.0f), Array(3.0f, 4.0f)),
+      (Array(1.0f, 0.0f), Array(0.0f, 5.0f))).toDF("a", "b")
+    val out = df.select(round(Similarity.cosine(col("a"), col("b")), 9)).collect()
+    assert(out(0).getDouble(0) === 1.0)
+    assert(out(1).getDouble(0) === 0.0)
+  }
+
+  test("brute-force top-k returns nearest first with deterministic tiebreak") {
+    val corpus = Seq(
+      (10L, Array(1.0f, 0.0f)),
+      (11L, Array(0.9f, 0.1f)),
+      (12L, Array(0.0f, 1.0f)),
+      (13L, Array(-1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val queries = Seq((1L, Array(1.0f, 0.0f))).toDF("qid", "qe")
+    val out = Similarity.bruteForceTopK(corpus, queries,
+      "vec_id", "embedding", "qid", "qe", k = 3)
+      .orderBy("rk").collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("rk")))
+    assert(out.toSeq === Seq((10L, 1), (11L, 2), (12L, 3)))
+  }
+
+  test("LSH top-k: same-bucket neighbors are exact-ranked; buckets deterministic") {
+    val rnd = new scala.util.Random(7)
+    val corpus = (0L until 100L).map(i => (i, Array.fill(16)(rnd.nextFloat()))).toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" < 3).select($"vec_id".as("qid"), $"embedding".as("qe"))
+    val out = Similarity.lshTopK(corpus, queries, "vec_id", "embedding", "qid", "qe",
+      k = 5, nPlanes = 2)
+    // every query finds at least itself (cos=1, same bucket by construction)
+    val byQ = out.collect().groupBy(_.getAs[Long]("qid"))
+    assert(byQ.keySet === Set(0L, 1L, 2L))
+    byQ.foreach { case (q, rows) =>
+      assert(rows.map(_.getAs[Long]("vec_id")).contains(q))
+      val sims = rows.sortBy(_.getAs[Int]("rk")).map(_.getAs[Double]("cos"))
+      assert(sims.sameElements(sims.sortBy(-(_: Double))), "ranked by cos desc")
+    }
+  }
+}

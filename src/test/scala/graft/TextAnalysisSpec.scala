@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.TextAnalysis
+
+/** Text analysis semantics on crafted strings. */
+class TextAnalysisSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def one(text: String, c: org.apache.spark.sql.Column): Any =
+    Seq(text).toDF("t").select(c).head().get(0)
+
+  test("token counts: whitespace and subword") {
+    assert(one("hello  world", TextAnalysis.tokenCount(col("t"))) === 2)
+    assert(one("", TextAnalysis.tokenCount(col("t"))) === 0)
+    assert(one("  ", TextAnalysis.tokenCount(col("t"))) === 0)
+    // "don't stop123" → [don] ['] [t] [stop] [123] = 5
+    assert(one("don't stop123", TextAnalysis.subwordTokenCount(col("t"))) === 5)
+  }
+
+  test("ratios: stopword, punctuation, mean token length") {
+    assert(one("the cat", TextAnalysis.stopwordRatio(col("t"))) === 0.5)
+    assert(one("a.b,c!", TextAnalysis.punctRatio(col("t"))) === 0.5)
+    assert(one("ab cdef", TextAnalysis.meanTokenLen(col("t"))) === 3.0)
+    assert(one("", TextAnalysis.meanTokenLen(col("t"))) === 0.0)
+  }
+
+  test("quality score components sum in [0,1]") {
+    val good = "the quick brown fox jumps over a lazy dog and keeps running fast"
+    assert(one(good, TextAnalysis.qualityScore(col("t"))) === 1.0)
+    assert(one("", TextAnalysis.qualityScore(col("t"))) === 0.25) // only punct=0 passes
+  }
+
+  test("language id heuristic") {
+    assert(one("the cat sat on the mat and it is happy",
+      TextAnalysis.langId(col("t"))) === "en")
+    assert(one("der hund und die katze das ist gut",
+      TextAnalysis.langId(col("t"))) === "de")
+    assert(one("le chat est sur la table et les livres",
+      TextAnalysis.langId(col("t"))) === "fr")
+    assert(one("el perro y los gatos es un animal",
+      TextAnalysis.langId(col("t"))) === "es")
+    assert(one("中文文本处理", TextAnalysis.langId(col("t"))) === "zh")
+    assert(one("zzz qqq xxx", TextAnalysis.langId(col("t"))) === "und")
+  }
+
+  test("fingerprint is case/whitespace-normalization invariant") {
+    val df = Seq(
+      ("a", "Hello   World"),
+      ("b", "hello world"),
+      ("c", " HELLO\tWORLD "),
+      ("d", "different")).toDF("id", "t")
+    val fps = df.select(col("id"), TextAnalysis.fingerprint(col("t")).as("fp"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(fps("a") === fps("b"))
+    assert(fps("b") === fps("c"))
+    assert(fps("a") !== fps("d"))
+  }
+
+  test("rolling hash: order-sensitive, normalization-invariant") {
+    val df = Seq(
+      ("a", "ab c"), ("b", "AB  C"), ("c", "c ab")).toDF("id", "t")
+    val hs = df.select(col("id"), TextAnalysis.rollingHash(col("t")).as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(hs("a") === hs("b"))
+    assert(hs("a") !== hs("c"))
+  }
+}
