@@ -498,5 +498,82 @@ object CoreQueries {
         sha2(col("text"), 256).as("h_sha256"))
         .orderBy("doc_id"),
       Some("""SELECT doc_id, md5(text) AS h_md5, sha256(text) AS h_sha256
-              FROM documents ORDER BY doc_id""")))
+              FROM documents ORDER BY doc_id""")),
+
+    // Spark-native hashes (reference FunctionsHashing.h roles; no DuckDB
+    // twin for xxhash64/murmur3 → rows-only check, semantics unit-tested).
+    ("hash_native", (s, d) =>
+      T(s, d, "documents").select(
+        col("doc_id"),
+        graft.functions.Hashes.xxHash64(col("text")).as("h_xx64"),
+        graft.functions.Hashes.hash32(col("text")).as("h_murmur"),
+        graft.functions.Hashes.crc32Of(col("text")).as("h_crc32"))
+        .orderBy("doc_id"),
+      None),
+
+    // Boolean EOperation family: And / Or / Xor / Invert (SURVEY §2.2).
+    ("expr_bool", (s, d) =>
+      T(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        (col("l_returnflag") === "A").as("a"),
+        (col("l_linestatus") === "O").as("b"),
+        ((col("l_returnflag") === "A") && (col("l_linestatus") === "O")).as("b_and"),
+        ((col("l_returnflag") === "A") || (col("l_linestatus") === "O")).as("b_or"),
+        ((col("l_returnflag") === "A") =!= (col("l_linestatus") === "O")).as("b_xor"),
+        (!(col("l_returnflag") === "A")).as("b_not"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber,
+                     l_returnflag = 'A' AS a, l_linestatus = 'O' AS b,
+                     (l_returnflag = 'A') AND (l_linestatus = 'O') AS b_and,
+                     (l_returnflag = 'A') OR (l_linestatus = 'O') AS b_or,
+                     (l_returnflag = 'A') <> (l_linestatus = 'O') AS b_xor,
+                     NOT (l_returnflag = 'A') AS b_not
+              FROM lineitem ORDER BY l_orderkey, l_linenumber""")),
+
+    // GROUP BY row cap + overflow row — reference max_rows_to_group_by with
+    // OverflowMode::ANY (Aggregator.cpp:531-550); deterministic variant
+    // keeps the smallest maxGroups keys (see Aggregates.withOverflowRow).
+    ("agg_overflow", (s, d) => {
+      val grouped = T(s, d, "lineitem").groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("cnt"), sum(dec(col("l_quantity"))).as("sq"))
+      graft.ops.Aggregates.withOverflowRow(grouped, "l_partkey", 50,
+        Seq(sum(col("cnt")).as("cnt"), sum(col("sq")).as("sq")))
+        .select(col("l_partkey"), col("cnt"), col("sq").cast(DoubleType).as("sum_qty"))
+        .orderBy(col("l_partkey").asc_nulls_first)
+    },
+      Some("""WITH g AS (SELECT l_partkey, COUNT(*) AS cnt,
+                                SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sq
+                         FROM lineitem GROUP BY l_partkey),
+                   kept AS (SELECT * FROM g ORDER BY l_partkey LIMIT 50),
+                   ovf AS (SELECT NULL AS l_partkey, CAST(SUM(cnt) AS BIGINT) AS cnt, SUM(sq) AS sq
+                           FROM g WHERE l_partkey NOT IN (SELECT l_partkey FROM kept)
+                           HAVING COUNT(*) > 0)
+              SELECT l_partkey, cnt, CAST(sq AS DOUBLE) AS sum_qty
+              FROM (SELECT * FROM kept UNION ALL SELECT * FROM ovf)
+              ORDER BY l_partkey NULLS FIRST""")),
+
+    // Structured-Streaming transforms exercised in batch mode (identical
+    // semantics; streamed variants are unit-tested with MemoryStream).
+    ("stream_windowed_stats", (s, d) =>
+      graft.streaming.EventStreams.windowedStats(T(s, d, "events"), "1 hour", "1 hour")
+        .orderBy("w_start", "event_type"),
+      Some("""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS w_start, event_type,
+                     COUNT(*) AS cnt,
+                     CAST(SUM(CAST(value AS DECIMAL(14,4))) AS DOUBLE) AS sum_value
+              FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""")),
+
+    ("stream_latest_per_key", (s, d) => {
+      import s.implicits._
+      val ds = T(s, d, "events")
+        .select(col("user_id"), col("event_type"), col("ts"), col("value"))
+        .as[graft.streaming.EventStreams.EventIn]
+      graft.streaming.EventStreams.latestPerKey(ds).toDF()
+        .orderBy("user_id", "event_type")
+    },
+      Some("""SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value FROM (
+                SELECT user_id, event_type, ts, value,
+                       row_number() OVER (PARTITION BY user_id, event_type
+                                          ORDER BY ts DESC, value DESC) AS rn
+                FROM events) WHERE rn = 1
+              ORDER BY user_id, event_type""")))
 }

@@ -216,7 +216,17 @@ object PipelineQueries {
       Multimodal.featurize(
         T(s, d, "documents").select(col("doc_id"), col("text").cast("binary").as("payload")),
         "doc_id", "payload", dim = 8).orderBy("doc_id"),
-      None))
+      None),
+
+    // mapPartitions batch-decode path (per-partition decoder lifecycle;
+    // stub kernel — rows-only check, shape unit-tested).
+    ("multimodal_partitions", (s, d) => {
+      import s.implicits._
+      val ds = T(s, d, "documents")
+        .select(col("doc_id").as("id"), col("text").cast("binary").as("payload"))
+        .as[Multimodal.MediaRecord]
+      Multimodal.featurizePartitions(ds, dim = 8).toDF().orderBy("id")
+    }, None))
 
   /** DuckDB replica of TextAnalysis.langId: marker-ratio argmax with
     * greatest-struct tie semantics (score first, then lang desc), CJK share

@@ -27,6 +27,11 @@ object Dedup {
     * per doc. The explode distributes; no driver state. Texts shorter than
     * `width` contribute the whole text as their single shingle. */
   def shingleRows(df: DataFrame, idCol: String, textCol: String, width: Int): DataFrame =
+    shingleRowsRaw(df, idCol, textCol, width).distinct()
+
+  /** Non-distinct shingles — enough for MinHash (min ignores multiplicity);
+    * Jaccard sizes/sets need the distinct variant. */
+  def shingleRowsRaw(df: DataFrame, idCol: String, textCol: String, width: Int): DataFrame =
     df.select(
         col(idCol),
         explode(
@@ -34,7 +39,6 @@ object Dedup {
             sequence(lit(1), greatest(octet_length(col(textCol)) - (width - 1), lit(1))),
             i => col(textCol).substr(i, lit(width)))
         ).as("shingle"))
-      .distinct()
 
   /** MinHash signature: for each of `k` seeded hash functions, the minimum
     * hash over the document's shingle set. Hash = md5("<seed>|" ++ shingle),
@@ -46,7 +50,9 @@ object Dedup {
     * means the shuffle carries O(docs·k) rows, not O(shingles). */
   def minhashSignature(
       df: DataFrame, idCol: String, textCol: String, width: Int, k: Int): DataFrame =
-    minhashSignatureFromShingles(shingleRows(df, idCol, textCol, width), idCol, k)
+    // Raw (non-distinct) shingles: min over a multiset equals min over the
+    // set, so the distinct's extra shuffle would be pure waste here.
+    minhashSignatureFromShingles(shingleRowsRaw(df, idCol, textCol, width), idCol, k)
 
   /** Signature from pre-computed (id, shingle) rows — lets pipelines share
     * one shingle set between signature and verification stages. */

@@ -42,7 +42,8 @@ object Multimodal {
     * binary chunks. */
   def sampleFrames(payload: Column, frameBytes: Int, stride: Int): Column =
     transform(
-      sequence(lit(0), greatest((octet_length(payload) / (frameBytes * stride)) - 1, lit(0))),
+      sequence(lit(0),
+        greatest(floor(octet_length(payload) / lit(frameBytes * stride)).cast("int") - 1, lit(0))),
       i => payload.substr((i * (frameBytes * stride) + 1).cast("int"), lit(frameBytes)))
 
   /** Payload stats every pipeline wants without decoding: size + hash. */
@@ -59,4 +60,30 @@ object Multimodal {
       col(idCol),
       octet_length(col(payloadCol)).as("payload_bytes"),
       fakeDecodeFeatures(col(payloadCol), dim).as("features"))
+
+  final case class MediaRecord(id: Long, payload: Array[Byte])
+  final case class MediaFeatures(id: Long, payload_bytes: Int, features: Array[Float])
+
+  /** The mapPartitions batch-decode path — the shape a REAL decoder needs:
+    * per-partition iteration so a native decoder (image/audio lib, not in
+    * this container) can be initialized once per partition and fed batches
+    * of byte payloads. The decode kernel is a deterministic STUB
+    * (murmur3-derived floats); schema, batching, and partition lifecycle
+    * are the real contract. */
+  def featurizePartitions(
+      ds: org.apache.spark.sql.Dataset[MediaRecord], dim: Int
+  ): org.apache.spark.sql.Dataset[MediaFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      // real impl: val decoder = NativeDecoder.open() — once per partition
+      it.map { r =>
+        val feats = Array.tabulate(dim) { d =>
+          // STUB decode: deterministic pseudo-feature from payload bytes
+          val h = scala.util.hashing.MurmurHash3.bytesHash(r.payload, d)
+          (math.floorMod(h, 2000001) / 1000000.0f) - 1.0f
+        }
+        MediaFeatures(r.id, r.payload.length, feats)
+      }
+    }
+  }
 }

@@ -1,0 +1,55 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.GroupStateTimeout
+
+/** Structured Streaming surface. The reference's "streams" are pull
+  * iterators (SURVEY §3.2) with no event-time semantics — this module is
+  * beyond-reference capability for the `events` table: watermarked windowed
+  * aggregation and stateful latest-per-key (the streaming twin of
+  * graft.ops.Sorts.replaceDedup).
+  *
+  * Every transform here works identically on a batch frame (unit tests) and
+  * a readStream frame (production): that symmetry is the point of the
+  * DataFrame abstraction.
+  */
+object EventStreams {
+
+  /** Tumbling-window stats per event type with a watermark. On a stream:
+    * late rows beyond `watermarkDelay` are dropped and state is evicted —
+    * bounded state at any scale. */
+  def windowedStats(events: DataFrame, windowDur: String, watermarkDelay: String): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowDur).as("w"), col("event_type"))
+      // Decimal-cast sum: order-independent exact accumulation (the data is
+      // 4-decimal), so results are reproducible across retries and engines.
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(14, 4)))
+          .cast("double").as("sum_value"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("cnt"), col("sum_value"))
+
+  final case class EventIn(user_id: Long, event_type: String, ts: Timestamp, value: Double)
+
+  /** Streaming replace-dedup: keep the latest (max ts, tiebreak max value)
+    * event per (user_id, event_type), maintained incrementally in keyed
+    * state. State is one row per live key — the streaming analog of the
+    * replace-key merge; emit-per-batch via Update mode. */
+  def latestPerKey(events: Dataset[EventIn]): Dataset[EventIn] = {
+    import events.sparkSession.implicits._
+    def newer(a: EventIn, b: EventIn): EventIn =
+      if (a.ts.after(b.ts) || (a.ts == b.ts && a.value >= b.value)) a else b
+    events
+      .groupByKey(e => (e.user_id, e.event_type))
+      .mapGroupsWithState[EventIn, EventIn](GroupStateTimeout.NoTimeout) {
+        case (_, it, state) =>
+          val incoming = it.reduce(newer)
+          val best = state.getOption.map(newer(incoming, _)).getOrElse(incoming)
+          state.update(best)
+          best
+      }
+  }
+}

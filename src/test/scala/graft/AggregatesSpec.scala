@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Aggregates
+
+/** GROUP BY overflow row (reference max_rows_to_group_by + OverflowMode::ANY)
+  * and the UDAF extension point. */
+class AggregatesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // 100 rows over 10 keys (0..9), 10 rows each, value = key.
+  private lazy val grouped = (0 until 100).map(i => (i % 10, i % 10))
+    .toDF("k", "v").groupBy("k")
+    .agg(count(lit(1)).as("cnt"), sum($"v").as("sv"))
+
+  test("overflow row: smallest maxGroups keys kept, rest merged under null key") {
+    val out = Aggregates.withOverflowRow(grouped, "k", 3,
+      Seq(sum($"cnt").as("cnt"), sum($"sv").as("sv")))
+      .collect().map(r => (if (r.isNullAt(0)) None else Some(r.getInt(0)),
+        r.getLong(1), r.getLong(2))).toSet
+    assert(out === Set(
+      (Some(0), 10L, 0L), (Some(1), 10L, 10L), (Some(2), 10L, 20L),
+      // keys 3..9: 70 rows, sum v = 10*(3+…+9) = 420
+      (None, 70L, 420L)))
+  }
+
+  test("no overflow row when groups fit the cap") {
+    val out = Aggregates.withOverflowRow(grouped, "k", 100,
+      Seq(sum($"cnt").as("cnt"), sum($"sv").as("sv")))
+    assert(out.count() === 10)
+    assert(out.filter($"k".isNull).count() === 0)
+  }
+
+  test("UDAF registration: graft_any_long returns a member value") {
+    Aggregates.registerHouseFunctions(spark)
+    val df = Seq((1, 10L), (1, 20L), (2, 30L)).toDF("g", "x")
+    df.createOrReplaceTempView("anyt")
+    val rows = spark.sql("SELECT g, graft_any_long(x) AS a FROM anyt GROUP BY g")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(Set(10L, 20L).contains(rows(1)))
+    assert(rows(2) === 30L)
+  }
+
+  test("UDAF skips nulls like the reference 'any'") {
+    Aggregates.registerHouseFunctions(spark)
+    val df = Seq((1, Option.empty[Long]), (1, Some(7L))).toDF("g", "x")
+    df.createOrReplaceTempView("anyn")
+    val r = spark.sql("SELECT graft_any_long(x) FROM anyn GROUP BY g").head()
+    assert(r.getLong(0) === 7L)
+  }
+}

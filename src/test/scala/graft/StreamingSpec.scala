@@ -1,0 +1,72 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.EventIn
+
+/** Structured Streaming semantics driven through MemoryStream — windowed
+  * aggregation under watermark and incremental latest-per-key state. */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(min: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+
+  test("windowed stats over a stream: per-window counts and exact sums") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[EventIn]
+    val q = EventStreams.windowedStats(in.toDF(), "10 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("winstats")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      in.addData(
+        EventIn(1, "click", ts(1), 1.5),
+        EventIn(1, "click", ts(5), 2.5),
+        EventIn(2, "view", ts(12), 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("winstats")
+        .collect().map(r => (r.getAs[Timestamp]("w_start"), r.getAs[String]("event_type"),
+          r.getAs[Long]("cnt"), r.getAs[Double]("sum_value"))).toSet
+      assert(rows === Set(
+        (ts(0), "click", 2L, 4.0),
+        (ts(10), "view", 1L, 4.0)))
+    } finally q.stop()
+  }
+
+  test("latest-per-key state updates incrementally across batches") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[EventIn]
+    val q = EventStreams.latestPerKey(in.toDS())
+      .writeStream.format("memory").queryName("latest")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      in.addData(EventIn(1, "click", ts(1), 1.0))
+      q.processAllAvailable()
+      in.addData(EventIn(1, "click", ts(5), 2.0))   // newer → replaces
+      q.processAllAvailable()
+      in.addData(EventIn(1, "click", ts(3), 9.0))   // older → state survives
+      q.processAllAvailable()
+      val last = spark.table("latest").collect().map(r =>
+        (r.getAs[Long]("user_id"), r.getAs[String]("event_type"),
+          r.getAs[Timestamp]("ts"), r.getAs[Double]("value")))
+      // Update-mode memory sink appends each batch's emission; the final
+      // emission for the key must carry the newest event (ts 10:05).
+      assert(last.last === ((1L, "click", ts(5), 2.0)))
+    } finally q.stop()
+  }
+
+  test("batch and streaming transforms agree (windowedStats on batch frame)") {
+    val batch = Seq(
+      EventIn(1, "click", ts(1), 1.5),
+      EventIn(1, "click", ts(5), 2.5)).toDF()
+    val out = EventStreams.windowedStats(batch, "10 minutes", "10 minutes").collect()
+    assert(out.length === 1)
+    assert(out(0).getAs[Long]("cnt") === 2L)
+    assert(out(0).getAs[Double]("sum_value") === 4.0)
+  }
+}
