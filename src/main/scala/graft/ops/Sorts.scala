@@ -81,6 +81,41 @@ object Sorts {
   def topK(df: DataFrame, keys: Seq[SortKey], k: Int): DataFrame =
     sort(df, keys).limit(k)
 
+  /** Skew-safe two-stage replace-dedup for 100 TB corpora (SURVEY §7 risk 4):
+    * stage 1 dedups within (replaceKey, salt) partitions — shrinking a hot
+    * key's rows by the duplication factor before any single reducer sees it —
+    * stage 2 dedups the per-salt winners. Identical result to
+    * [[replaceDedup]] for any salt count (dedup is idempotent and the final
+    * stage sees one candidate per salt). */
+  def replaceDedupSalted(
+      df: DataFrame, replaceKey: Seq[String], sortKeys: Seq[SortKey],
+      salts: Int = 16): DataFrame = {
+    val salted = df.withColumn("__salt",
+      pmod(hash(sortKeys.map(k => col(k.name)): _*), lit(salts)))
+    val stage1 = {
+      val w = Window.partitionBy((replaceKey.map(col) :+ col("__salt")): _*)
+        .orderBy(sortKeys.map(_.column): _*)
+      salted.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+    }
+    replaceDedup(stage1, replaceKey, sortKeys).drop("__salt")
+  }
+
+  /** MergeBatchColumns analog (reference YdbModes/helpers.cpp:368-450): zip
+    * two frames of identical row count and disjoint columns positionally.
+    * Positional zip is only meaningful with aligned partitions — the RDD
+    * zip contract; use a join on a real key wherever one exists. */
+  def zipColumns(a: DataFrame, b: DataFrame): DataFrame = {
+    require(a.columns.toSet.intersect(b.columns.toSet).isEmpty,
+      "zipColumns requires disjoint column names")
+    val spark = a.sparkSession
+    val zipped = a.rdd.zip(b.rdd).map { case (ra, rb) =>
+      org.apache.spark.sql.Row.fromSeq(ra.toSeq ++ rb.toSeq)
+    }
+    spark.createDataFrame(zipped,
+      org.apache.spark.sql.types.StructType(a.schema.fields ++ b.schema.fields))
+  }
+
   /** Test utility mirroring CheckSortedBlockInputStream
     * (YdbModes/CheckSortedBlockInputStream.cpp:26-56): is `df` globally
     * sorted by `keys`? Collects — test-only, like the reference's. */
