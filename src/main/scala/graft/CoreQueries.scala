@@ -562,6 +562,112 @@ object CoreQueries {
                      CAST(SUM(CAST(value AS DECIMAL(14,4))) AS DOUBLE) AS sum_value
               FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""")),
 
+    // ── TPC-H-style multi-join + selective-filter aggregates ─────────────
+    ("q5_region_revenue", (s, d) =>
+      T(s, d, "region")
+        .join(broadcast(T(s, d, "nation")), col("r_regionkey") === col("n_regionkey"))
+        .join(broadcast(T(s, d, "supplier")), col("n_nationkey") === col("s_nationkey"))
+        .join(T(s, d, "lineitem"), col("s_suppkey") === col("l_suppkey"))
+        .groupBy(col("r_name"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .cast(DoubleType).as("revenue"))
+        .orderBy("r_name"),
+      Some("""SELECT r_name, COUNT(*) AS cnt,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+              FROM region
+              JOIN nation ON r_regionkey = n_regionkey
+              JOIN supplier ON n_nationkey = s_nationkey
+              JOIN lineitem ON s_suppkey = l_suppkey
+              GROUP BY r_name ORDER BY r_name""")),
+
+    ("q6_selective_agg", (s, d) =>
+      T(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast(TimestampType) &&
+          col("l_shipdate") < lit("1997-01-01").cast(TimestampType) &&
+          col("l_discount").between(0.03, 0.07) && col("l_quantity") < 24)
+        .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
+          .cast(DoubleType).as("revenue"), count(lit(1)).as("cnt")),
+      Some("""SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+                     COUNT(*) AS cnt
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+                AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""")),
+
+    // Exact statistical moments via decimal sums (reference has no
+    // var/stddev — commented out in IAggregateFunction.h:454-473; this is
+    // the deterministic beyond-reference version) + exact median.
+    ("agg_stats", (s, d) => {
+      val q = dec(col("l_quantity"))
+      T(s, d, "lineitem").groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(q).cast(DoubleType).as("s1"),
+          sum(q * q).cast(DoubleType).as("s2"),
+          expr("percentile(l_quantity, 0.5)").as("median"))
+        .select(
+          col("l_returnflag"), col("n"),
+          (col("s1") / col("n")).as("mean"),
+          (col("s2") / col("n") - (col("s1") / col("n")) * (col("s1") / col("n"))).as("var_pop"),
+          col("median"))
+        .orderBy("l_returnflag")
+    },
+      Some("""SELECT l_returnflag, n, s1 / n AS mean, s2 / n - (s1 / n) * (s1 / n) AS var_pop, median
+              FROM (
+                SELECT l_returnflag, COUNT(*) AS n,
+                       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS s1,
+                       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS s2,
+                       quantile_cont(l_quantity, 0.5) AS median
+                FROM lineitem GROUP BY l_returnflag)
+              ORDER BY l_returnflag""")),
+
+    // ── sessionization (gap-based) ───────────────────────────────────────
+    ("sessionize", (s, d) =>
+      graft.ops.Sessions.sessionize(
+        T(s, d, "events").select("user_id", "event_id", "ts"),
+        "user_id", "ts", gapSeconds = 600, tiebreak = Seq("event_id"))
+        .select(col("user_id"), col("event_id"), col("session_seq").cast(LongType))
+        .orderBy("user_id", "event_id"),
+      Some("""SELECT user_id, event_id, CAST(session_seq AS BIGINT) AS session_seq FROM (
+                SELECT user_id, event_id,
+                       SUM(isnew) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+                FROM (
+                  SELECT user_id, event_id, ts,
+                         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                                   OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 600000000
+                              THEN 1 ELSE 0 END AS isnew
+                  FROM events))
+              ORDER BY user_id, event_id""")),
+
+    ("session_stats", (s, d) => {
+      val sess = graft.ops.Sessions.sessionize(
+        T(s, d, "events").select("user_id", "event_id", "ts", "value"),
+        "user_id", "ts", gapSeconds = 600, tiebreak = Seq("event_id"))
+      graft.ops.Sessions.sessionStats(sess, "user_id", "value")
+        .select(col("user_id"), col("session_seq").cast(LongType),
+          col("n_events"), col("t_start"), col("t_end"), col("sum_value"))
+        .orderBy("user_id", "session_seq")
+    },
+      Some("""WITH sess AS (
+                SELECT user_id, value, ts,
+                       SUM(isnew) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+                FROM (
+                  SELECT user_id, event_id, value, ts,
+                         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                                   OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 600000000
+                              THEN 1 ELSE 0 END AS isnew
+                  FROM events))
+              SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+                     COUNT(*) AS n_events,
+                     CAST(MIN(ts) AS TIMESTAMP) AS t_start,
+                     CAST(MAX(ts) AS TIMESTAMP) AS t_end,
+                     CAST(SUM(CAST(value AS DECIMAL(14,4))) AS DOUBLE) AS sum_value
+              FROM sess GROUP BY user_id, session_seq
+              ORDER BY user_id, session_seq""")),
+
     ("stream_latest_per_key", (s, d) => {
       import s.implicits._
       val ds = T(s, d, "events")

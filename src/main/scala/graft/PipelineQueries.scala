@@ -135,6 +135,18 @@ object PipelineQueries {
                  FROM p) WHERE rk <= 5
                ORDER BY qid, rk""")),
 
+    // IVF ANN (xxhash64-seeded centroids — no DuckDB twin; rows-only;
+    // recall vs brute force is unit-tested).
+    ("ann_ivf_topk", (s, d) => {
+      val e = T(s, d, "embeddings")
+      Similarity.ivfTopK(
+        corpus = e.select(col("vec_id"), col("embedding")),
+        queries = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe")),
+        idCol = "vec_id", vecCol = "embedding", qidCol = "qid", qvecCol = "qe",
+        k = 5, nlist = 16, nprobe = 4).orderBy("qid", "rk")
+    }, None),
+
     // LSH-bucketed ANN (xxhash64 planes — no DuckDB twin; rows-only).
     ("ann_lsh_topk", (s, d) => {
       val e = T(s, d, "embeddings")

@@ -76,6 +76,72 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** IVF (inverted-file) approximate top-k — the classic ANN scale path:
+    * partition the corpus into `nlist` Voronoi cells around centroids; a
+    * query scores only the cells of its `nprobe` nearest centroids, so the
+    * scan cost drops from |corpus| to ≈ |corpus|·nprobe/nlist per query.
+    *
+    * Index build (deterministic, no RNG state): seed centroids = the nlist
+    * corpus vectors with smallest xxhash64(id) (a pseudo-random but
+    * reproducible sample), refined by one Lloyd step (assign → per-cell
+    * elementwise mean). All distributed: assignment is a broadcast cross
+    * join against the tiny centroid set; the mean is a posexplode +
+    * per-(cell,dim) average — no driver-side collect.
+    *
+    * Cell assignment maximizes cosine (normalized dot). Returned `cos` is
+    * the same rounded cosine as [[bruteForceTopK]], so results are directly
+    * comparable for recall measurement. */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, qidCol: String, qvecCol: String,
+      k: Int, nlist: Int, nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nprobe >= 1 && nprobe <= nlist)
+
+    val seeds = corpus
+      .withColumn("__h", xxhash64(col(idCol)))
+      .orderBy(col("__h")).limit(nlist)
+      .withColumn("cid", row_number().over(Window.orderBy(col("__h"))))
+      .select(col("cid"), col(vecCol).as("cvec"))
+
+    def assign(df: DataFrame, id: String, vec: String, cents: DataFrame): DataFrame =
+      df.crossJoin(broadcast(cents))
+        .withColumn("__sim", dot(col(vec), col("cvec")) / (norm(col(vec)) * norm(col("cvec"))))
+        .groupBy(col(id))
+        .agg(max_by(col("cid"), struct(col("__sim"), -col("cid"))).as("cid"))
+
+    // One Lloyd refinement step: per-cell elementwise mean.
+    val assigned0 = corpus.join(assign(corpus, idCol, vecCol, seeds), idCol)
+    val centroids = assigned0
+      .select(col("cid"), posexplode(col(vecCol)))
+      .groupBy(col("cid"), col("pos"))
+      .agg(avg(col("col").cast("double")).as("m"))
+      .groupBy(col("cid"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("cid"), expr("transform(pm, x -> x.m)").as("cvec"))
+
+    val cells = corpus.join(assign(corpus, idCol, vecCol, centroids), idCol)
+      .withColumn("cn", norm(col(vecCol)))
+
+    // Query side: nprobe nearest centroids per query.
+    val probes = queries.crossJoin(broadcast(centroids))
+      .withColumn("__sim", dot(col(qvecCol), col("cvec")) / (norm(col(qvecCol)) * norm(col("cvec"))))
+      .withColumn("__pr", row_number().over(
+        Window.partitionBy(col(qidCol)).orderBy(col("__sim").desc, col("cid"))))
+      .filter(col("__pr") <= nprobe)
+      .select(col(qidCol), col("cid"))
+
+    val candidates = queries.withColumn("qn", norm(col(qvecCol)))
+      .join(probes, qidCol)
+      .join(cells, "cid")
+    val scored = candidates.select(
+      col(qidCol), col(idCol),
+      round(dot(col(qvecCol), col(vecCol)) / (col("qn") * col("cn")), 9).as("cos"))
+    val w = Window.partitionBy(col(qidCol)).orderBy(col("cos").desc, col(idCol).asc)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col(qidCol), col(idCol), col("cos"), col("rk"))
+  }
+
   /** LSH-bucketed approximate top-k: queries and corpus are bucketed by
     * [[hyperplaneBucket]]; each query only scores its own bucket. The
     * bucket join shuffles on the bucket id — sub-linear candidate sets at

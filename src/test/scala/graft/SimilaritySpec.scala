@@ -43,6 +43,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out.toSeq === Seq((10L, 1), (11L, 2), (12L, 3)))
   }
 
+  test("IVF top-k: high recall vs brute force on clustered data") {
+    // 4 well-separated clusters of 25 vectors each; queries from 2 clusters.
+    val rnd = new scala.util.Random(11)
+    val centers = Seq(
+      Array.fill(16)(5.0f), Array.fill(16)(-5.0f),
+      Array.tabulate(16)(i => if (i < 8) 5.0f else -5.0f),
+      Array.tabulate(16)(i => if (i < 8) -5.0f else 5.0f))
+    val corpus = (0 until 100).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(v => v + rnd.nextFloat() * 0.5f))
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" < 4)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"))
+    val brute = Similarity.bruteForceTopK(corpus, queries,
+      "vec_id", "embedding", "qid", "qe", k = 5)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))).toSet
+    val ivf = Similarity.ivfTopK(corpus, queries,
+      "vec_id", "embedding", "qid", "qe", k = 5, nlist = 8, nprobe = 4)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))).toSet
+    val recall = brute.intersect(ivf).size.toDouble / brute.size
+    assert(recall >= 0.8, s"IVF recall $recall < 0.8 (ivf=$ivf brute=$brute)")
+  }
+
   test("LSH top-k: same-bucket neighbors are exact-ranked; buckets deterministic") {
     val rnd = new scala.util.Random(7)
     val corpus = (0L until 100L).map(i => (i, Array.fill(16)(rnd.nextFloat()))).toDF("vec_id", "embedding")
