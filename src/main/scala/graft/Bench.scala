@@ -7,11 +7,12 @@ object Bench {
   /** Headline set: the scale-sensitive queries (scans, the big agg, joins,
     * windows, dedup family, ANN) — not the micro expression checks. */
   private val headline = Seq(
-    "q1_agg", "agg_two_phase", "join_broadcast", "join_multi",
+    "q1_agg", "q5_region_revenue", "q6_selective_agg", "agg_two_phase",
+    "agg_overflow", "join_broadcast", "join_multi",
     "window_running_sum", "replace_dedup", "topk", "events_time_buckets",
-    "dedup_exact", "dedup_minhash_sig", "dedup_minhash_pairs",
+    "sessionize", "dedup_exact", "dedup_minhash_sig", "dedup_minhash_pairs",
     "dedup_jaccard_pairs", "dedup_simhash", "text_stats",
-    "ann_brute_topk", "ann_lsh_topk", "embed_neardup")
+    "ann_brute_topk", "ann_lsh_topk", "ann_ivf_topk", "embed_neardup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -100,10 +100,33 @@ object PipelineQueries {
                WHERE CAST(nc AS DOUBLE) / CAST(sa.sz + sb.sz - nc AS DOUBLE) >= 0.5
                ORDER BY id_a, id_b""")),
 
-    // ── SimHash (md5-bit construction; oracle deferred — unit-tested) ────
+    // ── SimHash (md5-bit construction, oracle-reproducible) ──────────────
     ("dedup_simhash", (s, d) =>
       Dedup.simhash(T(s, d, "documents"), "doc_id", "text").orderBy("doc_id"),
-      None),
+      Some(raw"""WITH tok AS (
+                 SELECT doc_id, md5(t) AS h FROM (
+                   SELECT doc_id,
+                          unnest(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS t
+                   FROM documents)),
+               digits AS (
+                 SELECT doc_id, i AS pos,
+                        strpos('0123456789abcdef', substr(h, CAST(i + 1 AS INT), 1)) - 1 AS dig
+                 FROM tok, LATERAL (SELECT unnest(generate_series(0, 15))) t(i)),
+               sums AS (
+                 SELECT doc_id, pos, COUNT(*) AS n,
+                        SUM((dig // 8) % 2) AS c3, SUM((dig // 4) % 2) AS c2,
+                        SUM((dig // 2) % 2) AS c1, SUM(dig % 2) AS c0
+                 FROM digits GROUP BY doc_id, pos),
+               nibs AS (
+                 SELECT doc_id, pos,
+                        (CASE WHEN 2 * c3 > n THEN 8 ELSE 0 END) +
+                        (CASE WHEN 2 * c2 > n THEN 4 ELSE 0 END) +
+                        (CASE WHEN 2 * c1 > n THEN 2 ELSE 0 END) +
+                        (CASE WHEN 2 * c0 > n THEN 1 ELSE 0 END) AS nib
+                 FROM sums)
+               SELECT doc_id,
+                      string_agg(substr('0123456789abcdef', CAST(nib + 1 AS INT), 1), '' ORDER BY pos) AS simhash
+               FROM nibs GROUP BY doc_id ORDER BY doc_id""")),
 
     // ── embedding near-dup + similarity search ───────────────────────────
     ("embed_neardup", (s, d) =>
@@ -147,7 +170,9 @@ object PipelineQueries {
         k = 5, nlist = 16, nprobe = 4).orderBy("qid", "rk")
     }, None),
 
-    // LSH-bucketed ANN (xxhash64 planes — no DuckDB twin; rows-only).
+    // LSH-bucketed ANN. The hyperplanes are plan-time literal constants, so
+    // the oracle recomputes the same buckets from the same values (doubles
+    // serialized via exact decimal expansion).
     ("ann_lsh_topk", (s, d) => {
       val e = T(s, d, "embeddings")
       Similarity.lshTopK(
@@ -155,8 +180,8 @@ object PipelineQueries {
         queries = e.filter(col("vec_id") < 10)
           .select(col("vec_id").as("qid"), col("embedding").as("qe")),
         idCol = "vec_id", vecCol = "embedding", qidCol = "qid", qvecCol = "qe",
-        k = 5, nPlanes = 4).orderBy("qid", "rk")
-    }, None),
+        k = 5, nPlanes = 4, dim = 64).orderBy("qid", "rk")
+    }, Some(lshOracle)),
 
     // ── text analysis ────────────────────────────────────────────────────
     ("text_stats", (s, d) =>
@@ -239,6 +264,37 @@ object PipelineQueries {
         .as[Multimodal.MediaRecord]
       Multimodal.featurizePartitions(ds, dim = 8).toDF().orderBy("id")
     }, None))
+
+  /** DuckDB replica of Similarity.lshTopK with the SAME literal hyperplanes
+    * (exact decimal expansion of each double → DuckDB parses back the
+    * identical binary value; the dot fold matches VectorDot's order). */
+  private lazy val lshOracle: String = {
+    def exact(x: Double): String = new java.math.BigDecimal(x).toPlainString
+    def planeDot(vec: String, p: Array[Double]): String = {
+      val arr = p.map(exact).mkString("[", ", ", "]")
+      s"""list_reduce(list_transform(list_zip($vec, $arr), z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (acc, x) -> acc + x)"""
+    }
+    def bucket(vec: String): String =
+      Similarity.planes(4, 64).zipWithIndex.map { case (p, j) =>
+        s"(CASE WHEN ${planeDot(vec, p)} > 0 THEN ${1 << j} ELSE 0 END)"
+      }.mkString(" + ")
+    def norm2(vec: String): String =
+      s"sqrt(list_reduce(list_transform($vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, x) -> acc + x))"
+    s"""WITH cb AS (SELECT vec_id, embedding, ${bucket("embedding")} AS bucket,
+                           ${norm2("embedding")} AS cn
+                    FROM embeddings),
+        qb AS (SELECT vec_id AS qid, embedding AS qe, bucket AS qbucket, cn AS qn
+               FROM cb WHERE vec_id < 10),
+        p AS (SELECT qb.qid, cb.vec_id,
+                     round(list_reduce(list_transform(list_zip(qb.qe, cb.embedding), z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (acc, x) -> acc + x)
+                           / (qb.qn * cb.cn), 9) AS cos
+              FROM cb JOIN qb ON cb.bucket = qb.qbucket)
+        SELECT qid, vec_id, cos, rk FROM (
+          SELECT qid, vec_id, cos,
+                 row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+          FROM p) WHERE rk <= 5
+        ORDER BY qid, rk"""
+  }
 
   /** DuckDB replica of TextAnalysis.langId: marker-ratio argmax with
     * greatest-struct tie semantics (score first, then lang desc), CJK share

@@ -204,14 +204,14 @@ object Dedup {
     * for test scale. */
   def embeddingNearDupPairs(
       df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, nPlanes: Int = 0): DataFrame = {
+      threshold: Double, nPlanes: Int = 0, dim: Int = 0): DataFrame = {
     // Norm is computed ONCE per vector here, not per pair — same cosine
     // formula dot/(|a|·|b|) bit-for-bit, ~3× fewer per-pair flops.
     val withNorm = df.select(col(idCol), col(vecCol),
       Similarity.norm(col(vecCol)).as("nrm"))
     val withBucket =
       if (nPlanes <= 0) withNorm.withColumn("bucket", lit(0))
-      else withNorm.withColumn("bucket", Similarity.hyperplaneBucket(col(vecCol), nPlanes))
+      else withNorm.withColumn("bucket", Similarity.hyperplaneBucket(col(vecCol), nPlanes, dim))
     val a = withBucket.as("a")
     val b = withBucket.as("b")
     a.join(b, col("a.bucket") === col("b.bucket") && col(s"a.$idCol") < col(s"b.$idCol"))

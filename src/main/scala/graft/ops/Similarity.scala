@@ -58,19 +58,22 @@ object Similarity {
       .select(col(qidCol), col(idCol), col("cos"), col("rk"))
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane j, dim d):
-    * xxhash64 folded to [-1, 1]. Good enough for sign-LSH; no RNG state. */
-  private def planeComponent(j: Int, d: Column): Column =
-    (pmod(xxhash64(lit(j), d), lit(2000001)).cast("double") / 1000000.0) - 1.0
+  /** Deterministic pseudo-random hyperplanes: plane j is seeded Random
+    * (seed 1000+j) uniform components in [-1, 1]. Generated at PLAN time and
+    * embedded as literals — no per-row hashing, and any engine (the SQL
+    * oracle included) can reproduce buckets from the same constants. */
+  def planes(nPlanes: Int, dim: Int): Seq[Array[Double]] =
+    (0 until nPlanes).map { j =>
+      val r = new scala.util.Random(1000L + j)
+      Array.fill(dim)(r.nextDouble() * 2 - 1)
+    }
 
   /** Sign-LSH bucket id: bit j = sign of <v, plane_j>, packed into an int.
     * Vectors in the same bucket are cosine-close with high probability. */
-  def hyperplaneBucket(v: Column, nPlanes: Int): Column = {
+  def hyperplaneBucket(v: Column, nPlanes: Int, dim: Int): Column = {
     require(nPlanes > 0 && nPlanes <= 30, "nPlanes in 1..30")
-    val bits = (0 until nPlanes).map { j =>
-      val s = aggregate(
-        zip_with(v, sequence(lit(0), size(v) - 1), (x, d) => x.cast("double") * planeComponent(j, d)),
-        lit(0.0), (acc, x) => acc + x)
+    val bits = planes(nPlanes, dim).zipWithIndex.map { case (p, j) =>
+      val s = dot(v, typedLit(p))
       when(s > 0, lit(1 << j)).otherwise(lit(0))
     }
     bits.reduce(_ + _)
@@ -150,10 +153,10 @@ object Similarity {
   def lshTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, qidCol: String, qvecCol: String,
-      k: Int, nPlanes: Int): DataFrame = {
-    val cb = corpus.withColumn("bucket", hyperplaneBucket(col(vecCol), nPlanes))
+      k: Int, nPlanes: Int, dim: Int): DataFrame = {
+    val cb = corpus.withColumn("bucket", hyperplaneBucket(col(vecCol), nPlanes, dim))
       .withColumn("cn", norm(col(vecCol)))
-    val qb = queries.withColumn("qbucket", hyperplaneBucket(col(qvecCol), nPlanes))
+    val qb = queries.withColumn("qbucket", hyperplaneBucket(col(qvecCol), nPlanes, dim))
       .withColumn("qn", norm(col(qvecCol)))
     val scored = cb.join(qb, col("bucket") === col("qbucket"))
       .select(

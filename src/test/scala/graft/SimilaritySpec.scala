@@ -71,7 +71,7 @@ class SimilaritySpec extends AnyFunSuite {
     val corpus = (0L until 100L).map(i => (i, Array.fill(16)(rnd.nextFloat()))).toDF("vec_id", "embedding")
     val queries = corpus.filter($"vec_id" < 3).select($"vec_id".as("qid"), $"embedding".as("qe"))
     val out = Similarity.lshTopK(corpus, queries, "vec_id", "embedding", "qid", "qe",
-      k = 5, nPlanes = 2)
+      k = 5, nPlanes = 2, dim = 16)
     // every query finds at least itself (cos=1, same bucket by construction)
     val byQ = out.collect().groupBy(_.getAs[Long]("qid"))
     assert(byQ.keySet === Set(0L, 1L, 2L))
