@@ -101,19 +101,27 @@ object Dedup {
   def jaccardPairsLsh(
       df: DataFrame, idCol: String, textCol: String,
       width: Int, threshold: Double, k: Int, bands: Int): DataFrame = {
-    val sh = shingleRows(df, idCol, textCol, width)
-    val cand = minhashCandidatePairsFromSig(
-      minhashSignatureFromShingles(sh, idCol, k), idCol, k, bands)
-    // Verification via per-doc SORTED shingle sets + a codegen linear-merge
-    // intersection kernel. Alternatives measured at sf0.1 (345k candidates):
+    // ONE explode + ONE groupBy(collect_set) builds the per-doc sorted
+    // shingle set; signatures are then array_min over a transform of that
+    // set (pure expressions, no further shuffle) instead of a second
+    // explode+distinct+groupBy pass. Bit-identical to the exploded
+    // min(md5(seed|shingle)) construction the SQL oracle uses.
+    val sets = shingleRowsRaw(df, idCol, textCol, width)
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_set(col("shingle"))).as("shset"))
+      .withColumn("sz", size(col("shset")).cast("long"))
+    val sigCols = (0 until k).map(s =>
+      array_min(transform(col("shset"), x => md5(concat(lit(s.toString + "|"), x)))).as(s"mh_$s"))
+    val sig = sets.select(col(idCol) +: sigCols: _*)
+    val cand = minhashCandidatePairsFromSig(sig, idCol, k, bands)
+    // Verification via the codegen linear-merge intersection kernel over the
+    // sorted sets. Alternatives measured at sf0.1 (345k candidates):
     // re-joining candidates against exploded shingle rows shuffles
     // |candidates|·shingles/doc rows (73 s); array_intersect allocates a
     // hash set per row (238 s); the sorted merge is allocation-free. Sets
     // are one row per doc; broadcast so candidate pairs never shuffle with
     // array payloads. On a cluster where the set frame outgrows broadcast,
     // drop the hint — the join keys (id_a/id_b) hash-partition cleanly.
-    val sets = sh.groupBy(col(idCol))
-      .agg(array_sort(collect_list(col("shingle"))).as("shset"), count(lit(1)).as("sz"))
     val setsA = broadcast(sets.select(col(idCol).as("id_a"),
       col("shset").as("set_a"), col("sz").as("sz_a")))
     val setsB = broadcast(sets.select(col(idCol).as("id_b"),
