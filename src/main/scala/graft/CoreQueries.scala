@@ -326,8 +326,9 @@ object CoreQueries {
           T(s, d, "events").select(col("user_id"), col("event_type"), col("ts"), col("value")),
           replaceKey = Seq("user_id", "event_type"),
           sortKeys = Seq(SortKey("ts", ascending = false), SortKey("value", ascending = false))),
-        Seq(SortKey("user_id"), SortKey("event_type"))),
-      Some("""SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value FROM (
+        Seq(SortKey("user_id"), SortKey("event_type")))
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"), col("value")),
+      Some("""SELECT user_id, event_type, epoch_us(ts) AS ts_us, value FROM (
                 SELECT user_id, event_type, ts, value,
                        row_number() OVER (PARTITION BY user_id, event_type
                                           ORDER BY ts DESC NULLS FIRST, value DESC NULLS FIRST) AS rn
@@ -388,16 +389,16 @@ object CoreQueries {
       T(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
         .join(T(s, d, "orders"), col("c_custkey") === col("o_custkey"))
         .join(T(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
-        .groupBy(col("o_orderkey"), col("o_orderdate"))
+        .groupBy(col("o_orderkey"), col("o_orderdate").cast(DateType).as("o_orderdate"))
         .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
           .cast(DoubleType).as("revenue"))
         .orderBy(col("revenue").desc, col("o_orderkey")).limit(10),
-      Some("""SELECT o_orderkey, o_orderdate,
+      Some("""SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
               FROM customer JOIN orders ON c_custkey = o_custkey
                             JOIN lineitem ON o_orderkey = l_orderkey
               WHERE c_mktsegment = 'BUILDING'
-              GROUP BY o_orderkey, o_orderdate
+              GROUP BY o_orderkey, CAST(o_orderdate AS DATE)
               ORDER BY revenue DESC NULLS FIRST, o_orderkey LIMIT 10""")),
 
     ("join_anti", (s, d) =>
@@ -449,11 +450,12 @@ object CoreQueries {
         .orderBy(col("o_orderdate"), col("o_orderkey"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       T(s, d, "orders")
-        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast(DateType).as("o_orderdate"),
           sum(dec(col("o_totalprice"))).over(w).cast(DoubleType).as("running_total"))
         .orderBy("o_custkey", "o_orderdate", "o_orderkey")
     },
-      Some("""SELECT o_custkey, o_orderkey, o_orderdate,
+      Some("""SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
                 CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
                      OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
@@ -556,11 +558,13 @@ object CoreQueries {
     // semantics; streamed variants are unit-tested with MemoryStream).
     ("stream_windowed_stats", (s, d) =>
       graft.streaming.EventStreams.windowedStats(T(s, d, "events"), "1 hour", "1 hour")
-        .orderBy("w_start", "event_type"),
-      Some("""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS w_start, event_type,
+        .select(unix_micros(col("w_start")).as("w_start_us"), col("event_type"),
+          col("cnt"), col("sum_value"))
+        .orderBy("w_start_us", "event_type"),
+      Some("""SELECT epoch_us(CAST(date_trunc('hour', ts) AS TIMESTAMP)) AS w_start_us, event_type,
                      COUNT(*) AS cnt,
                      CAST(SUM(CAST(value AS DECIMAL(14,4))) AS DOUBLE) AS sum_value
-              FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""")),
+              FROM events GROUP BY 1, 2 ORDER BY w_start_us, event_type""")),
 
     // ── TPC-H-style multi-join + selective-filter aggregates ─────────────
     ("q5_region_revenue", (s, d) =>
@@ -647,7 +651,8 @@ object CoreQueries {
         "user_id", "ts", gapSeconds = 600, tiebreak = Seq("event_id"))
       graft.ops.Sessions.sessionStats(sess, "user_id", "value")
         .select(col("user_id"), col("session_seq").cast(LongType),
-          col("n_events"), col("t_start"), col("t_end"), col("sum_value"))
+          col("n_events"), unix_micros(col("t_start")).as("t_start_us"),
+          unix_micros(col("t_end")).as("t_end_us"), col("sum_value"))
         .orderBy("user_id", "session_seq")
     },
       Some("""WITH sess AS (
@@ -662,8 +667,8 @@ object CoreQueries {
                   FROM events))
               SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
                      COUNT(*) AS n_events,
-                     CAST(MIN(ts) AS TIMESTAMP) AS t_start,
-                     CAST(MAX(ts) AS TIMESTAMP) AS t_end,
+                     epoch_us(MIN(ts)) AS t_start_us,
+                     epoch_us(MAX(ts)) AS t_end_us,
                      CAST(SUM(CAST(value AS DECIMAL(14,4))) AS DOUBLE) AS sum_value
               FROM sess GROUP BY user_id, session_seq
               ORDER BY user_id, session_seq""")),
@@ -674,9 +679,10 @@ object CoreQueries {
         .select(col("user_id"), col("event_type"), col("ts"), col("value"))
         .as[graft.streaming.EventStreams.EventIn]
       graft.streaming.EventStreams.latestPerKey(ds).toDF()
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"), col("value"))
         .orderBy("user_id", "event_type")
     },
-      Some("""SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value FROM (
+      Some("""SELECT user_id, event_type, epoch_us(ts) AS ts_us, value FROM (
                 SELECT user_id, event_type, ts, value,
                        row_number() OVER (PARTITION BY user_id, event_type
                                           ORDER BY ts DESC, value DESC) AS rn
