@@ -64,15 +64,19 @@ object CoreQueries {
           AggregateAssign("qmin", EAggregate.Min, Some("l_quantity")),
           AggregateAssign("qmax", EAggregate.Max, Some("l_quantity")),
           AggregateAssign("ln_sum", EAggregate.Sum, Some("ln_l")),
-          AggregateAssign("key2_max", EAggregate.Max, Some("key2"))),
+          AggregateAssign("key2_max", EAggregate.Max, Some("key2")),
+          // avg over integral-valued doubles: every partial sum is an exact
+          // integer < 2^53, so the result is order-independent.
+          AggregateAssign("qavg", EAggregate.Avg, Some("l_quantity"))),
         groupByKeys = Seq("l_linestatus"),
-        projection = Seq("l_linestatus", "cnt", "qmin", "qmax", "ln_sum", "key2_max"))))
+        projection = Seq("l_linestatus", "cnt", "qmin", "qmax", "ln_sum", "key2_max", "qavg"))))
       prog.applyTo(T(s, d, "lineitem")).orderBy("l_linestatus")
     },
       Some("""SELECT l_linestatus, COUNT(*) AS cnt, MIN(l_quantity) AS qmin,
                      MAX(l_quantity) AS qmax,
                      CAST(SUM(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS ln_sum,
-                     MAX(l_orderkey * 2) AS key2_max
+                     MAX(l_orderkey * 2) AS key2_max,
+                     AVG(l_quantity) AS qavg
               FROM lineitem WHERE contains(l_returnflag, 'A')
               GROUP BY l_linestatus ORDER BY l_linestatus""")),
 
@@ -501,6 +505,19 @@ object CoreQueries {
         .orderBy("doc_id"),
       Some("""SELECT doc_id, md5(text) AS h_md5, sha256(text) AS h_sha256
               FROM documents ORDER BY doc_id""")),
+
+    // Approximate aggregates (HLL++ distinct count, approximate quantiles) —
+    // sketch algorithms differ per engine, so rows-only; bounds are
+    // unit-tested. At 100 TB these replace their exact twins wherever the
+    // answer feeds a heuristic rather than a ledger.
+    ("agg_approx", (s, d) =>
+      T(s, d, "lineitem").groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("nd_approx"),
+          expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("p50"),
+          expr("approx_percentile(l_extendedprice, 0.99, 1000)").as("p99"))
+        .orderBy("l_returnflag"),
+      None),
 
     // Spark-native hashes (reference FunctionsHashing.h roles; no DuckDB
     // twin for xxhash64/murmur3 → rows-only check, semantics unit-tested).

@@ -7,6 +7,12 @@ import org.apache.spark.sql.functions._
   * surface — the reference's only dedup is the replace-key merge, which
   * [[Sorts.replaceDedup]] covers).
   *
+  * Algorithms follow the published constructions: MinHash resemblance
+  * (Broder, "On the resemblance and containment of documents", 1997),
+  * banded LSH (Indyk & Motwani 1998; Leskovec/Rajaraman/Ullman, MMDS ch.3),
+  * SimHash (Charikar, "Similarity estimation techniques from rounding
+  * algorithms", 2002; Manku et al., WWW 2007 for near-dup detection).
+  *
   * Scale design: every operator here is a pure DataFrame pipeline — shingle
   * explode, hash-shuffle on content keys, band-bucket joins — no driver-side
   * loops, no collect. Pairwise work is always bounded by bucketing (LSH

@@ -44,6 +44,26 @@ class AggregatesSpec extends AnyFunSuite {
     assert(rows(2) === 30L)
   }
 
+  test("approximate aggregates land within sketch error of exact") {
+    val df = (1 to 5000).map(i => (i % 997, i.toDouble)).toDF("k", "v")
+    val r = df.agg(
+      approx_count_distinct($"k").as("nd"),
+      expr("approx_percentile(v, 0.5, 1000)").as("p50")).head()
+    assert(math.abs(r.getLong(0) - 997) < 60)          // HLL++ ~2% std error
+    assert(math.abs(r.getDouble(1) - 2500.0) < 150.0)  // mid quantile
+  }
+
+  test("sortWithinPartitions orders every partition without a shuffle") {
+    val df = (0 until 1000).map(i => (i * 37 % 1000)).toDF("x").repartition(4)
+    val parts = graft.ops.Sorts.sortWithinPartitions(df,
+      Seq(graft.ops.Sorts.SortKey("x")))
+      .rdd.glom().collect()
+    parts.foreach { p =>
+      val xs = p.map(_.getInt(0)).toSeq
+      assert(xs === xs.sorted)
+    }
+  }
+
   test("UDAF skips nulls like the reference 'any'") {
     Aggregates.registerHouseFunctions(spark)
     val df = Seq((1, Option.empty[Long]), (1, Some(7L))).toDF("g", "x")
