@@ -1,0 +1,68 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Sinks
+
+/** Write layouts and the plans they buy: bucketed co-located joins
+  * (no shuffle), partitioned layout (partition pruning). */
+class SinksSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(): String = Files.createTempDirectory("graft-sink").toString
+
+  test("partitioned write prunes partitions on read") {
+    val path = tmp()
+    val df = (0 until 100).map(i => (i, s"p${i % 4}")).toDF("x", "part")
+    Sinks.writePartitioned(df, path, Seq("part"))
+    val read = spark.read.parquet(path).filter($"part" === "p1")
+    assert(read.count() === 25)
+    val plan = read.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      (plan.contains("isnotnull(part") || plan.contains("part#")),
+      s"expected partition filters in:\n$plan")
+  }
+
+  test("bucketed tables join without a shuffle") {
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    assert(wh != null)
+    val a = (0 until 1000).map(i => (i.toLong, i * 2)).toDF("k", "va")
+    val b = (0 until 1000).map(i => (i.toLong, i * 3)).toDF("k", "vb")
+    Sinks.writeBucketed(a, "bkt_a", "k", 4, sortCol = Some("k"))
+    Sinks.writeBucketed(b, "bkt_b", "k", 4, sortCol = Some("k"))
+    val joined = Sinks.readTable(spark, "bkt_a")
+      .join(Sinks.readTable(spark, "bkt_b"), "k")
+    assert(joined.count() === 1000)
+    val plan = joined.queryExecution.executedPlan.toString
+    // Co-located bucketed join: no ShuffleExchange on either side.
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"unexpected shuffle in bucketed join plan:\n$plan")
+  }
+
+  test("clustered write produces range-disjoint sorted files") {
+    val path = tmp()
+    val df = (0 until 1000).map(i => (i * 7919 % 1000, i)).toDF("key", "v")
+    Sinks.writeClustered(df, path, Seq("key"), partitions = 4)
+    val back = spark.read.parquet(path)
+    assert(back.count() === 1000)
+    // row-group stats selectivity: a narrow range filter reads fine
+    assert(back.filter($"key".between(10, 20)).count() ===
+      (0 until 1000).map(i => i * 7919 % 1000).count(k => k >= 10 && k <= 20))
+  }
+
+  test("N:1 and N:N parquet sinks round-trip") {
+    val p1 = tmp(); val p2 = tmp()
+    val df = (0 until 64).toDF("x").repartition(8)
+    Sinks.writeParquet(df, p1, single = true)
+    Sinks.writeParquet(df, p2, single = false)
+    assert(spark.read.parquet(p1).count() === 64)
+    assert(spark.read.parquet(p2).count() === 64)
+    // N:1 wrote exactly one data file
+    val files1 = new java.io.File(p1).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files1 === 1)
+  }
+}
