@@ -23,6 +23,7 @@ object Engine {
     val b = SparkSession.builder()
       .appName(appName)
       .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -28,8 +28,8 @@ class SinksSpec extends AnyFunSuite {
   }
 
   test("bucketed tables join without a shuffle") {
-    val wh = spark.conf.get("spark.sql.warehouse.dir")
-    assert(wh != null)
+    spark.sql("DROP TABLE IF EXISTS bkt_a")
+    spark.sql("DROP TABLE IF EXISTS bkt_b")
     val a = (0 until 1000).map(i => (i.toLong, i * 2)).toDF("k", "va")
     val b = (0 until 1000).map(i => (i.toLong, i * 3)).toDF("k", "vb")
     Sinks.writeBucketed(a, "bkt_a", "k", 4, sortCol = Some("k"))
