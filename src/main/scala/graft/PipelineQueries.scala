@@ -263,7 +263,92 @@ object PipelineQueries {
         .select(col("doc_id").as("id"), col("text").cast("binary").as("payload"))
         .as[Multimodal.MediaRecord]
       Multimodal.featurizePartitions(ds, dim = 8).toDF().orderBy("id")
-    }, None))
+    }, None),
+
+    // ── flagship corpus-cleaning pipeline: quality gate → language tag →
+    //    greedy near-dup removal (drop the larger id of each similar pair),
+    //    all composed into one plan — the end-to-end shape of a
+    //    training-data curation job, oracle-checked. ─────────────────────
+    ("pipeline_clean", (s, d) => {
+      val docs = T(s, d, "documents")
+      val scored = docs.select(
+        col("doc_id"),
+        TextAnalysis.langId(col("text")).as("lang_pred"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+      val dupIds = Dedup.jaccardPairsLsh(docs, "doc_id", "text",
+        width = 6, threshold = 0.6, k = minhashK, bands = 4)
+        .select(col("id_b").as("doc_id")).distinct()
+      scored.filter(col("quality") >= 0.5)
+        .join(dupIds, Seq("doc_id"), "left_anti")
+        .orderBy("doc_id")
+    }, Some(pipelineCleanOracle)))
+
+  /** Composed oracle for pipeline_clean: jaccard-pair CTEs + lang scoring +
+    * quality expression, assembled from the same verified constructions the
+    * individual queries use. */
+  private lazy val pipelineCleanOracle: String = {
+    val marks = TextAnalysis.langMarkers.toSeq.sortBy(_._1)
+    def ratio(markers: Seq[String]): String = {
+      val lst = markers.map(m => s"'$m'").mkString("[", ",", "]")
+      s"""CAST(len(list_filter(toks, x -> list_contains($lst, lower(x)))) AS DOUBLE)
+         | / CAST(GREATEST(len(toks), 1) AS DOUBLE)""".stripMargin
+    }
+    val scoreCols = marks.map { case (lang, m) => s"(${ratio(m)}) AS s_$lang" }.mkString(", ")
+    raw"""WITH ${shingleCte(6)},
+       sig AS (SELECT doc_id, $sigSelect FROM sh GROUP BY doc_id),
+       bands AS (
+         SELECT doc_id, 0 AS band, md5(mh_0 || '|' || mh_1) AS bh FROM sig
+         UNION ALL SELECT doc_id, 1, md5(mh_2 || '|' || mh_3) FROM sig
+         UNION ALL SELECT doc_id, 2, md5(mh_4 || '|' || mh_5) FROM sig
+         UNION ALL SELECT doc_id, 3, md5(mh_6 || '|' || mh_7) FROM sig),
+       cand AS (
+         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+       sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+       common AS (
+         SELECT cd.id_a, cd.id_b, COUNT(*) AS nc
+         FROM cand cd
+         JOIN sh a ON a.doc_id = cd.id_a
+         JOIN sh b ON b.doc_id = cd.id_b AND b.shingle = a.shingle
+         GROUP BY cd.id_a, cd.id_b),
+       dup AS (
+         SELECT DISTINCT cm.id_b AS doc_id
+         FROM common cm
+         JOIN sizes sa ON sa.doc_id = cm.id_a
+         JOIN sizes sb ON sb.doc_id = cm.id_b
+         WHERE CAST(nc AS DOUBLE) / CAST(sa.sz + sb.sz - nc AS DOUBLE) >= 0.6),
+       tok AS (
+         SELECT doc_id, text,
+                list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+         FROM documents),
+       scored AS (SELECT doc_id, text, toks, $scoreCols FROM tok),
+       q AS (
+         SELECT doc_id,
+           CASE WHEN len(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) * 3 > len(text) THEN 'zh'
+                WHEN GREATEST(s_de, s_en, s_es, s_fr) > 0 THEN
+                  CASE WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+                       WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+                       WHEN s_en >= s_de THEN 'en'
+                       ELSE 'de' END
+                ELSE 'und' END AS lang_pred,
+           round(
+             (CASE WHEN len(text) BETWEEN 20 AND 5000 THEN 0.25 ELSE 0.0 END) +
+             (CASE WHEN (CASE WHEN len(toks) > 0
+                         THEN CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+                         ELSE 0.0 END) BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0.0 END) +
+             (CASE WHEN (CASE WHEN len(text) > 0
+                         THEN CAST(len(text) - len(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS DOUBLE) / CAST(len(text) AS DOUBLE)
+                         ELSE 0.0 END) <= 0.2 THEN 0.25 ELSE 0.0 END) +
+             (CASE WHEN (CASE WHEN len(toks) > 0
+                         THEN CAST(len(list_filter(toks, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','this','for','on','with','as','at','by','be','are'], lower(x)))) AS DOUBLE)
+                              / CAST(len(toks) AS DOUBLE)
+                         ELSE 0.0 END) BETWEEN 0.01 AND 0.6 THEN 0.25 ELSE 0.0 END), 2) AS quality
+         FROM scored)
+       SELECT doc_id, lang_pred, quality FROM q
+       WHERE quality >= 0.5 AND doc_id NOT IN (SELECT doc_id FROM dup)
+       ORDER BY doc_id"""
+  }
 
   /** DuckDB replica of Similarity.lshTopK with the SAME literal hyperplanes
     * (exact decimal expansion of each double → DuckDB parses back the
