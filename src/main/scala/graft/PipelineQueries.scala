@@ -265,6 +265,13 @@ object PipelineQueries {
       Multimodal.featurizePartitions(ds, dim = 8).toDF().orderBy("id")
     }, None),
 
+    // ── near-dup clusters: connected components over jaccard pairs ───────
+    ("dedup_components", (s, d) => {
+      val pairs = Dedup.jaccardPairsLsh(T(s, d, "documents"), "doc_id", "text",
+        width = 6, threshold = 0.6, k = minhashK, bands = 4)
+      Dedup.connectedComponents(pairs, "doc_id").orderBy("doc_id")
+    }, Some(componentsOracle)),
+
     // ── flagship corpus-cleaning pipeline: quality gate → language tag →
     //    greedy near-dup removal (drop the larger id of each similar pair),
     //    all composed into one plan — the end-to-end shape of a
@@ -282,6 +289,45 @@ object PipelineQueries {
         .join(dupIds, Seq("doc_id"), "left_anti")
         .orderBy("doc_id")
     }, Some(pipelineCleanOracle)))
+
+  /** Shared CTE chain producing jaccard pairs at a threshold. */
+  private def jaccardPairsCtes(threshold: Double): String =
+    s"""${shingleCte(6)},
+       sig AS (SELECT doc_id, $sigSelect FROM sh GROUP BY doc_id),
+       bands AS (
+         SELECT doc_id, 0 AS band, md5(mh_0 || '|' || mh_1) AS bh FROM sig
+         UNION ALL SELECT doc_id, 1, md5(mh_2 || '|' || mh_3) FROM sig
+         UNION ALL SELECT doc_id, 2, md5(mh_4 || '|' || mh_5) FROM sig
+         UNION ALL SELECT doc_id, 3, md5(mh_6 || '|' || mh_7) FROM sig),
+       cand AS (
+         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+       sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+       common AS (
+         SELECT cd.id_a, cd.id_b, COUNT(*) AS nc
+         FROM cand cd
+         JOIN sh a ON a.doc_id = cd.id_a
+         JOIN sh b ON b.doc_id = cd.id_b AND b.shingle = a.shingle
+         GROUP BY cd.id_a, cd.id_b),
+       jp AS (
+         SELECT cm.id_a, cm.id_b
+         FROM common cm
+         JOIN sizes sa ON sa.doc_id = cm.id_a
+         JOIN sizes sb ON sb.doc_id = cm.id_b
+         WHERE CAST(nc AS DOUBLE) / CAST(sa.sz + sb.sz - nc AS DOUBLE) >= $threshold)"""
+
+  /** Recursive-CTE oracle for connected components over jaccard pairs. */
+  private lazy val componentsOracle: String =
+    s"""WITH RECURSIVE ${jaccardPairsCtes(0.6)},
+       edges AS (SELECT id_a AS u, id_b AS v FROM jp
+                 UNION SELECT id_b, id_a FROM jp),
+       reach(u, v) AS (
+         SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+         UNION
+         SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+       SELECT u AS doc_id, MIN(v) AS component FROM reach GROUP BY u
+       ORDER BY doc_id"""
 
   /** Composed oracle for pipeline_clean: jaccard-pair CTEs + lang scoring +
     * quality expression, assembled from the same verified constructions the

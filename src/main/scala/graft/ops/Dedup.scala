@@ -212,6 +212,50 @@ object Dedup {
         .as("simhash"))
   }
 
+  /** Connected components over a similarity-pair graph — the clustering
+    * step that turns pairwise near-dup hits into dedup groups (keep one
+    * representative per component). Iterative min-label propagation: each
+    * node takes the minimum label among itself and its neighbors until
+    * fixpoint. O(diameter) joins; near-dup components are shallow in
+    * practice, and the label frame stays (node, long) sized. The classic
+    * large-star/small-star optimization is the upgrade path for adversarial
+    * graphs.
+    *
+    * @param pairs (id_a, id_b) undirected edges
+    * @return (idCol, component) — component = min node id reachable
+    */
+  def connectedComponents(
+      pairs: DataFrame, idCol: String = "doc_id", maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+      .unionAll(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+      .distinct().cache()
+    val nodes = edges.select(col("u")).distinct()
+    var labels = nodes.select(col("u"), col("u").as("label"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // neighbor minimum, then take min(own, neighbors'). Columns renamed
+      // before every join — these frames share lineage (iterative self
+      // joins) and qualified refs would be ambiguous.
+      val lbl = labels.select(col("u").as("lu"), col("label").as("llabel"))
+      val neighborMin = edges.join(lbl, col("v") === col("lu"))
+        .groupBy(col("u").as("nu")).agg(min(col("llabel")).as("nmin"))
+      val updated = labels.join(neighborMin, col("u") === col("nu"), "left")
+        .select(col("u"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .cache()
+      val old = labels.select(col("u").as("ou"), col("label").as("old"))
+      val changed = updated.join(old, col("u") === col("ou"))
+        .filter(col("label") =!= col("old")).limit(1).count()
+      labels.unpersist()
+      labels = updated
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("u").as(idCol), col("label").as("component"))
+  }
+
   /** Embedding near-duplicate pairs by cosine ≥ threshold. nPlanes>0
     * buckets vectors by random-hyperplane signs first so only same-bucket
     * pairs are compared (the scale path); nPlanes=0 is exact brute force

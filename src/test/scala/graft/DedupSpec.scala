@@ -82,6 +82,15 @@ class DedupSpec extends AnyFunSuite {
       s"near-dup ${hamming(fp(1L), fp(3L))} !< unrelated ${hamming(fp(1L), fp(4L))}")
   }
 
+  test("connected components: min-label propagation across chains") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(pairs, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      6L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("embedding near-dup pairs by cosine threshold") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)),
