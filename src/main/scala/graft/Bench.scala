@@ -11,8 +11,9 @@ object Bench {
     "agg_overflow", "join_broadcast", "join_multi",
     "window_running_sum", "replace_dedup", "topk", "events_time_buckets",
     "sessionize", "dedup_exact", "dedup_minhash_sig", "dedup_minhash_pairs",
-    "dedup_jaccard_pairs", "dedup_simhash", "text_stats",
-    "ann_brute_topk", "ann_lsh_topk", "ann_ivf_topk", "embed_neardup")
+    "dedup_jaccard_pairs", "dedup_components", "dedup_simhash", "text_stats",
+    "pipeline_clean", "ann_brute_topk", "ann_lsh_topk", "ann_ivf_topk",
+    "embed_neardup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
