@@ -506,6 +506,28 @@ object CoreQueries {
       Some("""SELECT doc_id, md5(text) AS h_md5, sha256(text) AS h_sha256
               FROM documents ORDER BY doc_id""")),
 
+    // The reference's declared-but-disabled scalar ops, enabled through the
+    // SSA ADT (modulo, sqrt, banker's rounding, is_in).
+    ("expr_extra", (s, d) => {
+      val prog = Program(Seq(ProgramStep(
+        assignes = Seq(
+          Assign("c7", EOperation.Constant, const = Some(7L)),
+          Assign("c100d", EOperation.Constant, const = Some(100.0)),
+          Assign("m7", EOperation.Modulo, Seq("l_orderkey", "c7")),
+          Assign("sq", EOperation.Sqrt, Seq("l_quantity")),
+          Assign("ep100", EOperation.Divide, Seq("l_extendedprice", "c100d")),
+          Assign("rb", EOperation.RoundBankers, Seq("ep100")),
+          Assign("in_ar", EOperation.IsIn, Seq("l_returnflag"), const = Some(Seq("A", "R")))),
+        projection = Seq("l_orderkey", "l_linenumber", "m7", "sq", "rb", "in_ar"))))
+      prog.applyTo(T(s, d, "lineitem")).orderBy("l_orderkey", "l_linenumber")
+    },
+      Some("""SELECT l_orderkey, l_linenumber,
+                     l_orderkey % 7 AS m7,
+                     sqrt(l_quantity) AS sq,
+                     round_even(l_extendedprice / 100.0, 0) AS rb,
+                     l_returnflag IN ('A', 'R') AS in_ar
+              FROM lineitem ORDER BY l_orderkey, l_linenumber""")),
+
     // Approximate aggregates (HLL++ distinct count, approximate quantiles) —
     // sketch algorithms differ per engine, so rows-only; bounds are
     // unit-tested. At 100 TB these replace their exact twins wherever the
@@ -689,6 +711,30 @@ object CoreQueries {
                      CAST(SUM(CAST(value AS DECIMAL(14,4))) AS DOUBLE) AS sum_value
               FROM sess GROUP BY user_id, session_seq
               ORDER BY user_id, session_seq""")),
+
+    // Native session_window vs the manual sessionize CTE: the boundary is
+    // INCLUSIVE (an event at exactly last_ts + gap extends the session), so
+    // the oracle breaks on diff > gap.
+    ("stream_session_window", (s, d) =>
+      graft.streaming.EventStreams.sessionWindowStats(
+        T(s, d, "events").select("user_id", "ts", "value"), "10 minutes")
+        .orderBy("user_id", "s_start_us"),
+      Some("""WITH sess AS (
+                SELECT user_id, value, ts,
+                       SUM(isnew) OVER (PARTITION BY user_id ORDER BY ts
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+                FROM (
+                  SELECT user_id, value, ts,
+                         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                                   OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 600000000
+                              THEN 1 ELSE 0 END AS isnew
+                  FROM events))
+              SELECT user_id, epoch_us(MIN(ts)) AS s_start_us,
+                     epoch_us(MAX(ts)) + 600000000 AS s_end_us,
+                     COUNT(*) AS n_events,
+                     CAST(SUM(CAST(value AS DECIMAL(14,4))) AS DOUBLE) AS sum_value
+              FROM sess GROUP BY user_id, session_seq
+              ORDER BY user_id, s_start_us""")),
 
     ("stream_latest_per_key", (s, d) => {
       import s.implicits._

@@ -80,6 +80,14 @@ object EOperation {
   case object Ceil extends EOperation
   case object Trunc extends EOperation
   case object Round extends EOperation
+  // Declared-but-disabled ops the reference earmarks as future work
+  // (SsaProgram.cpp:112-121 Modulo; :156 math fns / RoundBankers; :190
+  // is_in TODO) — trivial on Spark, enabled here.
+  case object Modulo extends EOperation
+  case object Sqrt extends EOperation
+  case object RoundBankers extends EOperation
+  /** membership test; the value set rides in Assign.const as a Seq. */
+  case object IsIn extends EOperation
 }
 
 /** Aggregate function ids — the implemented subset of the reference's
@@ -241,6 +249,10 @@ object ProgramStep {
       // non-negatives, ceil for negatives.
       case Trunc          => when(arg0 >= 0, floor(arg0)).otherwise(ceil(arg0))
       case Round          => round(arg0)
+      case Modulo         => arg0 % arg1   // remainder, sign of dividend
+      case Sqrt           => sqrt(arg0)
+      case RoundBankers   => bround(arg0)
+      case IsIn           => arg0.isInCollection(a.const.get.asInstanceOf[Seq[Any]])
     }
   }
 }

@@ -32,6 +32,22 @@ object EventStreams {
           .cast("double").as("sum_value"))
       .select(col("w.start").as("w_start"), col("event_type"), col("cnt"), col("sum_value"))
 
+  /** Native session windows: merge events of a user into sessions separated
+    * by more than `gap` of silence (the boundary is inclusive: an event at
+    * exactly last_ts + gap extends the session). Works identically on batch frames and
+    * watermarked streams — Spark's built-in twin of
+    * [[graft.ops.Sessions.sessionize]]. */
+  def sessionWindowStats(events: DataFrame, gap: String): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap).as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(14, 4)))
+          .cast("double").as("sum_value"))
+      .select(col("user_id"),
+        unix_micros(col("sw.start")).as("s_start_us"),
+        unix_micros(col("sw.end")).as("s_end_us"),
+        col("n_events"), col("sum_value"))
+
   final case class EventIn(user_id: Long, event_type: String, ts: Timestamp, value: Double)
 
   /** Streaming replace-dedup: keep the latest (max ts, tiebreak max value)

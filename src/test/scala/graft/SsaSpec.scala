@@ -105,6 +105,26 @@ class SsaSpec extends AnyFunSuite {
     assert(r.getInt(0) === 1 && r.isNullAt(1))
   }
 
+  test("future ops enabled: modulo, sqrt, banker's rounding, is_in") {
+    val out = run1(xyz, ProgramStep(
+      assignes = Seq(
+        Assign("c3", Constant, const = Some(3L)),
+        Assign("m", Modulo, Seq("x", "c3")),
+        Assign("sx", Sqrt, Seq("z")),
+        Assign("inset", IsIn, Seq("x"), const = Some(Seq(7L, -4L)))),
+      projection = Seq("x", "m", "sx", "inset")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3))).toSet
+    assert(out === Set(
+      (10L, 1L, math.sqrt(2.0), false),
+      (7L, 1L, 0.0, true),
+      (-4L, -1L, math.sqrt(8.0), true)))  // remainder keeps dividend sign
+    val rb = Seq(2.5, 3.5, -2.5).toDF("v")
+    val got = run1(rb, ProgramStep(
+      assignes = Seq(Assign("b", RoundBankers, Seq("v"))),
+      projection = Seq("b"))).collect().map(_.getDouble(0)).toSet
+    assert(got === Set(2.0, 4.0, -2.0))  // half-even
+  }
+
   test("duplicate assign name rejected (reference applyAssignes contract)") {
     intercept[IllegalArgumentException] {
       run1(xyz, ProgramStep(assignes = Seq(

@@ -60,6 +60,20 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("session_window merges events within gap, inclusive at the boundary") {
+    val batch = Seq(
+      EventIn(1, "a", ts(0), 1.0),
+      EventIn(1, "a", ts(9), 2.0),    // +9m < 10m → same session
+      EventIn(1, "a", ts(19), 3.0),   // +10m = gap → boundary is inclusive: extends
+      EventIn(2, "a", ts(0), 5.0))
+      .toDF().select($"user_id", $"ts", $"value")
+    val out = EventStreams.sessionWindowStats(batch, "10 minutes")
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
+        r.getAs[Double]("sum_value"))).toSet
+    // ts(19) lands exactly at session end (ts(9)+10m): inclusive → merged
+    assert(out === Set((1L, 3L, 6.0), (2L, 1L, 5.0)))
+  }
+
   test("batch and streaming transforms agree (windowedStats on batch frame)") {
     val batch = Seq(
       EventIn(1, "click", ts(1), 1.5),
