@@ -112,6 +112,10 @@ object Dedup {
     // set (pure expressions, no further shuffle) instead of a second
     // explode+distinct+groupBy pass. Bit-identical to the exploded
     // min(md5(seed|shingle)) construction the SQL oracle uses.
+    // Note: collect_set is order-nondeterministic, so Catalyst recomputes
+    // this subplan per reference (sig + both verify sides). A localCheckpoint
+    // was tried and measured SLOWER (serializes the pipeline, ~17s vs ~12s
+    // at sf0.1) — recompute wins while the explode is cheap.
     val sets = shingleRowsRaw(df, idCol, textCol, width)
       .groupBy(col(idCol))
       .agg(array_sort(collect_set(col("shingle"))).as("shset"))
@@ -226,9 +230,12 @@ object Dedup {
     */
   def connectedComponents(
       pairs: DataFrame, idCol: String = "doc_id", maxIter: Int = 20): DataFrame = {
+    // Eager localCheckpoint: materializes the (small) edge set once and
+    // truncates the upstream lineage — otherwise every iteration re-plans
+    // (and on cache eviction re-executes) the full pair-generation pipeline.
     val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
       .unionAll(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
-      .distinct().cache()
+      .distinct().localCheckpoint(true)
     val nodes = edges.select(col("u")).distinct()
     var labels = nodes.select(col("u"), col("u").as("label"))
     var converged = false
@@ -259,7 +266,6 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
-    edges.unpersist()
     labels.select(col("u").as(idCol), col("label").as("component"))
   }
 
