@@ -281,6 +281,48 @@ object CoreQueries {
                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
               FROM lineitem GROUP BY l_partkey ORDER BY l_partkey""")),
 
+    // Beyond-reference OLAP shapes: rollup subtotals, pivot, lag/lead.
+    ("agg_rollup", (s, d) =>
+      T(s, d, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
+      Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+              FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+              ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")),
+
+    ("agg_pivot", (s, d) =>
+      T(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+                COUNT(*) FILTER (WHERE l_linestatus = 'F') AS F,
+                COUNT(*) FILTER (WHERE l_linestatus = 'O') AS O
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    ("window_lag_lead", (s, d) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+      T(s, d, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        first(col("o_orderkey")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("first_key"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+      Some("""SELECT o_custkey, o_orderkey,
+                lag(o_totalprice, 1) OVER w AS prev_price,
+                lead(o_totalprice, 1) OVER w AS next_price,
+                first_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_key
+              FROM orders
+              WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+              ORDER BY o_custkey, o_orderkey""")),
+
     // ── sort / merge / dedup / limit (SURVEY §2.4) ───────────────────────
     ("sort_composite", (s, d) =>
       Sorts.sort(T(s, d, "events").select("user_id", "event_type", "event_id"),
