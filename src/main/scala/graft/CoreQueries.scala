@@ -149,18 +149,23 @@ object CoreQueries {
                      CAST(trunc((l_discount - l_tax) * 10) AS BIGINT) AS r_trunc
               FROM lineitem ORDER BY l_orderkey, l_linenumber""")),
 
+    // Cast chain exercises the reference's cast surface; outputs are
+    // canonicalized per the repo convention (decimal → double, date →
+    // epoch-day int) so the driver's hasher sees engine-neutral scalars —
+    // the round-1 hash mismatch was canonicalization, not values.
     ("expr_casts", (s, d) =>
       T(s, d, "orders").select(
         col("o_orderkey").cast(IntegerType).as("k_int"),
         col("o_orderkey").cast(StringType).as("k_str"),
-        col("o_totalprice").cast(DecimalType(12, 2)).as("p_dec"),
-        col("o_orderdate").cast(DateType).as("d_date"),
+        col("o_totalprice").cast(DecimalType(12, 2)).cast(DoubleType).as("p_dec"),
+        datediff(col("o_orderdate").cast(DateType),
+          lit("1970-01-01").cast(DateType)).as("d_epoch"),
         col("o_orderdate").cast(DateType).cast(StringType).as("d_str"))
         .orderBy("k_int"),
       Some("""SELECT CAST(o_orderkey AS INT) AS k_int,
                      CAST(o_orderkey AS VARCHAR) AS k_str,
-                     CAST(o_totalprice AS DECIMAL(12,2)) AS p_dec,
-                     CAST(o_orderdate AS DATE) AS d_date,
+                     CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS p_dec,
+                     CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS INT) AS d_epoch,
                      CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS d_str
               FROM orders ORDER BY k_int""")),
 

@@ -24,10 +24,53 @@ object PipelineQueries {
        |  FROM documents,
        |  LATERAL (SELECT unnest(generate_series(1, GREATEST(length(text) - ${w - 1}, 1)))) t(i))""".stripMargin
 
-  private val minhashK = 8
+  // LSH parameters: k=64 MinHash values in 16 bands of r=4 — the S-curve
+  // P(candidate) = 1-(1-s⁴)¹⁶ crosses 50% at s≈0.5 and admits <0.2% of
+  // s=0.1 pairs (vs ~4% with the round-1 k=8/r=2 family, which
+  // over-generated candidates near-quadratically; MMDS ch.3).
+  private val minhashK = 64
+  private val minhashBands = 16
+  private val minhashR = minhashK / minhashBands
   private val minhashW = 8
+
+  // embed_neardup LSH family: 8 tables × 4 planes. At the loose 0.45
+  // threshold (p≈0.65/plane) this holds ~80% recall; tight thresholds
+  // (the production near-dup case) prune far harder with the same operator.
+  // (Declared BEFORE `defs`, which eagerly forces the oracle builders.)
+  private val embedLshR = 4
+  private val embedLshTables = 8
+
+  /** 32-bit base hash in DuckDB — identical to [[Dedup.shingleBase]]. */
+  private def duckBase(e: String): String =
+    s"CAST(concat('0x', substr(md5($e), 1, 8)) AS BIGINT)"
+
+  /** The k derived-hash MIN aggregates over the base-hash column `mhb` —
+    * the same (a, b, P) constants as [[Dedup.minhashCoeffs]]. */
   private def sigSelect: String =
-    (0 until minhashK).map(i => s"MIN(md5('$i|' || shingle)) AS mh_$i").mkString(", ")
+    graft.ops.Dedup.minhashCoeffs(minhashK).zipWithIndex.map { case ((a, b), i) =>
+      s"MIN(($a * mhb + $b) % ${graft.ops.Dedup.MinhashP}) AS mh_$i"
+    }.mkString(", ")
+
+  /** The 16 LSH band arms (band id + '|'-joined r-tuple). */
+  private def bandArms: String =
+    (0 until minhashBands).map { bnd =>
+      val parts = (0 until minhashR).map(i => s"mh_${bnd * minhashR + i}").mkString(", ")
+      if (bnd == 0) s"SELECT doc_id, 0 AS band, concat_ws('|', $parts) AS bh FROM sig"
+      else s"UNION ALL SELECT doc_id, $bnd, concat_ws('|', $parts) FROM sig"
+    }.mkString("\n                 ")
+
+  /** CTE chain: shingles → base hashes → signature → bands → candidate
+    * pairs. Mirrors Dedup.minhashSignature + minhashCandidatePairsFromSig. */
+  private def candCtes(w: Int): String =
+    s"""${shingleCte(w)},
+       bases AS (SELECT doc_id, ${duckBase("shingle")} AS mhb FROM sh),
+       sig AS (SELECT doc_id, $sigSelect FROM bases GROUP BY doc_id),
+       bands AS (
+                 $bandArms),
+       cand AS (
+         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)"""
 
   /** Cosine in DuckDB with the same left-to-right double fold as
     * graft.ops.Similarity.cosine (list_reduce starts from the first
@@ -52,39 +95,22 @@ object PipelineQueries {
     ("dedup_minhash_sig", (s, d) =>
       Dedup.minhashSignature(T(s, d, "documents"), "doc_id", "text", minhashW, minhashK)
         .orderBy("doc_id"),
-      Some(s"""WITH ${shingleCte(minhashW)}
-               SELECT doc_id, $sigSelect FROM sh GROUP BY doc_id ORDER BY doc_id""")),
+      Some(s"""WITH ${shingleCte(minhashW)},
+               bases AS (SELECT doc_id, ${duckBase("shingle")} AS mhb FROM sh)
+               SELECT doc_id, $sigSelect FROM bases GROUP BY doc_id ORDER BY doc_id""")),
 
     ("dedup_minhash_pairs", (s, d) =>
       Dedup.minhashCandidatePairs(T(s, d, "documents"), "doc_id", "text",
-        minhashW, minhashK, bands = 4).orderBy("id_a", "id_b"),
-      Some(s"""WITH ${shingleCte(minhashW)},
-               sig AS (SELECT doc_id, $sigSelect FROM sh GROUP BY doc_id),
-               bands AS (
-                 SELECT doc_id, 0 AS band, md5(mh_0 || '|' || mh_1) AS bh FROM sig
-                 UNION ALL SELECT doc_id, 1, md5(mh_2 || '|' || mh_3) FROM sig
-                 UNION ALL SELECT doc_id, 2, md5(mh_4 || '|' || mh_5) FROM sig
-                 UNION ALL SELECT doc_id, 3, md5(mh_6 || '|' || mh_7) FROM sig)
-               SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-               FROM bands a JOIN bands b
-                 ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
-               ORDER BY id_a, id_b""")),
+        minhashW, minhashK, bands = minhashBands).orderBy("id_a", "id_b"),
+      Some(s"""WITH ${candCtes(minhashW)}
+               SELECT id_a, id_b FROM cand ORDER BY id_a, id_b""")),
 
     // ── n-gram Jaccard pairs: LSH candidates → exact verification ────────
     ("dedup_jaccard_pairs", (s, d) =>
       Dedup.jaccardPairsLsh(T(s, d, "documents"), "doc_id", "text",
-        width = 6, threshold = 0.5, k = minhashK, bands = 4).orderBy("id_a", "id_b"),
-      Some(s"""WITH ${shingleCte(6)},
-               sig AS (SELECT doc_id, $sigSelect FROM sh GROUP BY doc_id),
-               bands AS (
-                 SELECT doc_id, 0 AS band, md5(mh_0 || '|' || mh_1) AS bh FROM sig
-                 UNION ALL SELECT doc_id, 1, md5(mh_2 || '|' || mh_3) FROM sig
-                 UNION ALL SELECT doc_id, 2, md5(mh_4 || '|' || mh_5) FROM sig
-                 UNION ALL SELECT doc_id, 3, md5(mh_6 || '|' || mh_7) FROM sig),
-               cand AS (
-                 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-                 FROM bands a JOIN bands b
-                   ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+        width = 6, threshold = 0.5, k = minhashK, bands = minhashBands)
+        .orderBy("id_a", "id_b"),
+      Some(s"""WITH ${candCtes(6)},
                sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
                common AS (
                  SELECT cd.id_a, cd.id_b, COUNT(*) AS nc
@@ -129,16 +155,15 @@ object PipelineQueries {
                FROM nibs GROUP BY doc_id ORDER BY doc_id""")),
 
     // ── embedding near-dup + similarity search ───────────────────────────
+    // Banded multi-table sign-LSH bucketing (the scale path — bucket join,
+    // no O(n²) self-join) + exact cosine verification; the oracle replicates
+    // the same literal hyperplanes, so candidates match bit-for-bit.
     ("embed_neardup", (s, d) =>
       Dedup.embeddingNearDupPairs(T(s, d, "embeddings"), "vec_id", "embedding",
-        threshold = 0.45)
+        threshold = 0.45, planesPerTable = embedLshR, nTables = embedLshTables, dim = 64)
         .withColumn("cos", round(col("cos"), 9))
         .orderBy("id_a", "id_b"),
-      Some(s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                      ${duckCos("a.embedding", "b.embedding")} AS cos
-               FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-               WHERE ${duckCos("a.embedding", "b.embedding")} >= 0.45
-               ORDER BY id_a, id_b""")),
+      Some(embedNeardupOracle)),
 
     ("ann_brute_topk", (s, d) => {
       val e = T(s, d, "embeddings")
@@ -248,27 +273,36 @@ object PipelineQueries {
                 md5(text) AS payload_md5
               FROM documents ORDER BY doc_id""")),
 
-    // Stub feature extraction (xxhash64-derived floats — rows-only check).
-    ("multimodal_features", (s, d) =>
-      Multimodal.featurize(
+    // Stub feature extraction (md5-derived doubles). The array stays inside
+    // the plan; the query emits scalar feature columns so the driver's
+    // sorter/hasher handles them — and the md5 construction gives the stub
+    // path a full DuckDB hash check.
+    ("multimodal_features", (s, d) => {
+      val feats = Multimodal.featurize(
         T(s, d, "documents").select(col("doc_id"), col("text").cast("binary").as("payload")),
-        "doc_id", "payload", dim = 8).orderBy("doc_id"),
-      None),
+        "doc_id", "payload", dim = 8)
+      feats.select(col("doc_id") +: col("payload_bytes") +:
+        (0 until 8).map(i => element_at(col("features"), i + 1).as(s"f_$i")): _*)
+        .orderBy("doc_id")
+    }, Some(multimodalOracle("doc_id"))),
 
-    // mapPartitions batch-decode path (per-partition decoder lifecycle;
-    // stub kernel — rows-only check, shape unit-tested).
+    // mapPartitions batch-decode path (per-partition decoder lifecycle);
+    // same md5 stub kernel as the column path → same full oracle.
     ("multimodal_partitions", (s, d) => {
       import s.implicits._
       val ds = T(s, d, "documents")
         .select(col("doc_id").as("id"), col("text").cast("binary").as("payload"))
         .as[Multimodal.MediaRecord]
-      Multimodal.featurizePartitions(ds, dim = 8).toDF().orderBy("id")
-    }, None),
+      val feats = Multimodal.featurizePartitions(ds, dim = 8).toDF()
+      feats.select(col("id") +: col("payload_bytes") +:
+        (0 until 8).map(i => element_at(col("features"), i + 1).as(s"f_$i")): _*)
+        .orderBy("id")
+    }, Some(multimodalOracle("id"))),
 
     // ── near-dup clusters: connected components over jaccard pairs ───────
     ("dedup_components", (s, d) => {
       val pairs = Dedup.jaccardPairsLsh(T(s, d, "documents"), "doc_id", "text",
-        width = 6, threshold = 0.6, k = minhashK, bands = 4)
+        width = 6, threshold = 0.6, k = minhashK, bands = minhashBands)
       Dedup.connectedComponents(pairs, "doc_id").orderBy("doc_id")
     }, Some(componentsOracle)),
 
@@ -283,7 +317,7 @@ object PipelineQueries {
         TextAnalysis.langId(col("text")).as("lang_pred"),
         TextAnalysis.qualityScore(col("text")).as("quality"))
       val dupIds = Dedup.jaccardPairsLsh(docs, "doc_id", "text",
-        width = 6, threshold = 0.6, k = minhashK, bands = 4)
+        width = 6, threshold = 0.6, k = minhashK, bands = minhashBands)
         .select(col("id_b").as("doc_id")).distinct()
       scored.filter(col("quality") >= 0.5)
         .join(dupIds, Seq("doc_id"), "left_anti")
@@ -292,17 +326,7 @@ object PipelineQueries {
 
   /** Shared CTE chain producing jaccard pairs at a threshold. */
   private def jaccardPairsCtes(threshold: Double): String =
-    s"""${shingleCte(6)},
-       sig AS (SELECT doc_id, $sigSelect FROM sh GROUP BY doc_id),
-       bands AS (
-         SELECT doc_id, 0 AS band, md5(mh_0 || '|' || mh_1) AS bh FROM sig
-         UNION ALL SELECT doc_id, 1, md5(mh_2 || '|' || mh_3) FROM sig
-         UNION ALL SELECT doc_id, 2, md5(mh_4 || '|' || mh_5) FROM sig
-         UNION ALL SELECT doc_id, 3, md5(mh_6 || '|' || mh_7) FROM sig),
-       cand AS (
-         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         FROM bands a JOIN bands b
-           ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+    s"""${candCtes(6)},
        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
        common AS (
          SELECT cd.id_a, cd.id_b, COUNT(*) AS nc
@@ -340,30 +364,8 @@ object PipelineQueries {
          | / CAST(GREATEST(len(toks), 1) AS DOUBLE)""".stripMargin
     }
     val scoreCols = marks.map { case (lang, m) => s"(${ratio(m)}) AS s_$lang" }.mkString(", ")
-    raw"""WITH ${shingleCte(6)},
-       sig AS (SELECT doc_id, $sigSelect FROM sh GROUP BY doc_id),
-       bands AS (
-         SELECT doc_id, 0 AS band, md5(mh_0 || '|' || mh_1) AS bh FROM sig
-         UNION ALL SELECT doc_id, 1, md5(mh_2 || '|' || mh_3) FROM sig
-         UNION ALL SELECT doc_id, 2, md5(mh_4 || '|' || mh_5) FROM sig
-         UNION ALL SELECT doc_id, 3, md5(mh_6 || '|' || mh_7) FROM sig),
-       cand AS (
-         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         FROM bands a JOIN bands b
-           ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
-       sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
-       common AS (
-         SELECT cd.id_a, cd.id_b, COUNT(*) AS nc
-         FROM cand cd
-         JOIN sh a ON a.doc_id = cd.id_a
-         JOIN sh b ON b.doc_id = cd.id_b AND b.shingle = a.shingle
-         GROUP BY cd.id_a, cd.id_b),
-       dup AS (
-         SELECT DISTINCT cm.id_b AS doc_id
-         FROM common cm
-         JOIN sizes sa ON sa.doc_id = cm.id_a
-         JOIN sizes sb ON sb.doc_id = cm.id_b
-         WHERE CAST(nc AS DOUBLE) / CAST(sa.sz + sb.sz - nc AS DOUBLE) >= 0.6),
+    raw"""WITH ${jaccardPairsCtes(0.6)},
+       dup AS (SELECT DISTINCT id_b AS doc_id FROM jp),
        tok AS (
          SELECT doc_id, text,
                 list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
@@ -394,6 +396,47 @@ object PipelineQueries {
        SELECT doc_id, lang_pred, quality FROM q
        WHERE quality >= 0.5 AND doc_id NOT IN (SELECT doc_id FROM dup)
        ORDER BY doc_id"""
+  }
+
+  /** DuckDB replica of Multimodal.fakeDecodeFeatures over utf8-text
+    * payloads: f_d = (first-8-hex-chars-of-md5(payload ++ d) % 2000001)
+    * / 1e6 − 1. Exact integer ops then identical double ops — bit-equal. */
+  private def multimodalOracle(idAlias: String): String = {
+    val fCols = (0 until 8).map { d =>
+      s"CAST(${duckBase(s"text || '$d'")} % 2000001 AS DOUBLE) / 1000000.0 - 1.0 AS f_$d"
+    }.mkString(",\n               ")
+    s"""SELECT doc_id AS $idAlias,
+               CAST(octet_length(CAST(text AS BLOB)) AS INT) AS payload_bytes,
+               $fCols
+        FROM documents ORDER BY $idAlias"""
+  }
+
+  /** DuckDB replica of Dedup.embeddingNearDupPairs: identical literal
+    * hyperplanes (exact decimal expansion), same (table, bucket) candidate
+    * join, same exact-cosine verification. */
+  private lazy val embedNeardupOracle: String = {
+    def exact(x: Double): String = new java.math.BigDecimal(x).toPlainString
+    def planeDot(vec: String, p: Array[Double]): String = {
+      val arr = p.map(exact).mkString("[", ", ", "]")
+      s"list_reduce(list_transform(list_zip($vec, $arr), z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (acc, x) -> acc + x)"
+    }
+    val all = Similarity.planes(embedLshR * embedLshTables, 64)
+    val arms = (0 until embedLshTables).map { t =>
+      val bucket = (0 until embedLshR).map { j =>
+        s"(CASE WHEN ${planeDot("embedding", all(t * embedLshR + j))} > 0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString(" + ")
+      s"SELECT vec_id, $t AS tbl, $bucket AS bucket FROM embeddings"
+    }.mkString("\n        UNION ALL ")
+    s"""WITH cb AS ($arms),
+        cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+                 FROM cb a JOIN cb b
+                   ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+        SELECT id_a, id_b, ${duckCos("ea.embedding", "eb.embedding")} AS cos
+        FROM cand
+        JOIN embeddings ea ON ea.vec_id = id_a
+        JOIN embeddings eb ON eb.vec_id = id_b
+        WHERE ${duckCos("ea.embedding", "eb.embedding")} >= 0.45
+        ORDER BY id_a, id_b"""
   }
 
   /** DuckDB replica of Similarity.lshTopK with the SAME literal hyperplanes

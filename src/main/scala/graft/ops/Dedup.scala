@@ -36,21 +36,44 @@ object Dedup {
     shingleRowsRaw(df, idCol, textCol, width).distinct()
 
   /** Non-distinct shingles — enough for MinHash (min ignores multiplicity);
-    * Jaccard sizes/sets need the distinct variant. */
+    * Jaccard sizes/sets need the distinct variant. Bounds use character
+    * `length` to match `substr`'s character semantics (octet_length would
+    * mis-bound any non-ASCII text and diverge from the char-based oracle). */
   def shingleRowsRaw(df: DataFrame, idCol: String, textCol: String, width: Int): DataFrame =
     df.select(
         col(idCol),
         explode(
           transform(
-            sequence(lit(1), greatest(octet_length(col(textCol)) - (width - 1), lit(1))),
+            sequence(lit(1), greatest(length(col(textCol)) - (width - 1), lit(1))),
             i => col(textCol).substr(i, lit(width)))
         ).as("shingle"))
 
-  /** MinHash signature: for each of `k` seeded hash functions, the minimum
-    * hash over the document's shingle set. Hash = md5("<seed>|" ++ shingle),
-    * compared lexicographically on the hex string — deterministic and
-    * reproducible by any engine with md5 (the SQL oracle uses the same
-    * construction). Output: one row per doc, columns mh_0 … mh_{k-1}.
+  /** Smallest prime > 2^32 — modulus of the derived MinHash family. */
+  val MinhashP: Long = 4294967311L
+
+  /** Deterministic (a, b) coefficients for the k derived hash functions
+    * h_i(x) = (a_i·x + b_i) mod P over the 32-bit base hash. a_i < 2^20 keeps
+    * a_i·x < 2^52 — exact in a long (and in DuckDB's BIGINT), no wrapping, so
+    * the SQL oracle reproduces values bit-for-bit from the same constants. */
+  def minhashCoeffs(k: Int): Seq[(Long, Long)] =
+    (0 until k).map { i =>
+      val r = new scala.util.Random(0x5EED0000L + i)
+      (1L + r.nextInt((1 << 20) - 1).toLong, math.floorMod(r.nextLong(), MinhashP))
+    }
+
+  /** 32-bit base hash of a shingle: first 8 hex chars of its md5. ONE md5
+    * per shingle; the k MinHash functions are then cheap affine transforms —
+    * the standard construction (MMDS ch.3), k× cheaper than k full hashes. */
+  def shingleBase(shingle: Column): Column =
+    conv(substring(md5(shingle), 1, 8), 16, 10).cast("long")
+
+  /** Derived hash i over a base-hash column. */
+  def derivedHash(base: Column, coeff: (Long, Long)): Column =
+    (lit(coeff._1) * base + lit(coeff._2)) % lit(MinhashP)
+
+  /** MinHash signature: for each of `k` derived hash functions, the minimum
+    * over the document's shingle set. Output: one row per doc, long columns
+    * mh_0 … mh_{k-1}.
     *
     * One explode + one groupBy(doc); partial (map-side) min aggregation
     * means the shuffle carries O(docs·k) rows, not O(shingles). */
@@ -63,9 +86,13 @@ object Dedup {
   /** Signature from pre-computed (id, shingle) rows — lets pipelines share
     * one shingle set between signature and verification stages. */
   def minhashSignatureFromShingles(sh: DataFrame, idCol: String, k: Int): DataFrame = {
-    val aggs = (0 until k).map(s =>
-      min(md5(concat(lit(s.toString + "|"), col("shingle")))).as(s"mh_$s"))
-    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    // Base hash projected once per row so the 64 min-aggregates run on plain
+    // long arithmetic, not 64 md5 evaluations.
+    val based = sh.select(col(idCol), shingleBase(col("shingle")).as("__mhb"))
+    val aggs = minhashCoeffs(k).zipWithIndex.map { case (c, i) =>
+      min(derivedHash(col("__mhb"), c)).as(s"mh_$i")
+    }
+    based.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
   /** MinHash + LSH candidate pairs: signatures are cut into `bands` bands of
@@ -79,14 +106,16 @@ object Dedup {
     minhashCandidatePairsFromSig(
       minhashSignature(df, idCol, textCol, width, k), idCol, k, bands)
 
-  /** LSH band-bucket candidate pairs from a signature frame. */
+  /** LSH band-bucket candidate pairs from a signature frame. The band key is
+    * the plain '|'-joined r-tuple (exact equality — no hash, no collisions;
+    * string concat is reproduced verbatim by the SQL oracle). */
   def minhashCandidatePairsFromSig(
       sig: DataFrame, idCol: String, k: Int, bands: Int): DataFrame = {
     require(k % bands == 0, s"k=$k must divide into bands=$bands")
     val r = k / bands
     val bandCols = (0 until bands).map { bnd =>
       val parts = (0 until r).map(i => col(s"mh_${bnd * r + i}"))
-      struct(lit(bnd).as("band"), md5(concat_ws("|", parts: _*)).as("bh"))
+      struct(lit(bnd).as("band"), concat_ws("|", parts: _*).as("bh"))
     }
     val buckets = sig.select(col(idCol), explode(array(bandCols: _*)).as("bk"))
       .select(col(idCol), col("bk.band").as("band"), col("bk.bh").as("bh"))
@@ -107,35 +136,38 @@ object Dedup {
   def jaccardPairsLsh(
       df: DataFrame, idCol: String, textCol: String,
       width: Int, threshold: Double, k: Int, bands: Int): DataFrame = {
-    // ONE explode + ONE groupBy(collect_set) builds the per-doc sorted
-    // shingle set; signatures are then array_min over a transform of that
-    // set (pure expressions, no further shuffle) instead of a second
-    // explode+distinct+groupBy pass. Bit-identical to the exploded
-    // min(md5(seed|shingle)) construction the SQL oracle uses.
+    // ONE explode + ONE aggregation builds, per doc, BOTH the sorted shingle
+    // set (for exact verification) and the k MinHash values (min over the
+    // multiset == min over the set). The base hash is projected once per
+    // shingle row; the k mins are plain long arithmetic with map-side
+    // partial aggregation, so the shuffle carries O(docs·k) longs.
     // Note: collect_set is order-nondeterministic, so Catalyst recomputes
-    // this subplan per reference (sig + both verify sides). A localCheckpoint
-    // was tried and measured SLOWER (serializes the pipeline, ~17s vs ~12s
-    // at sf0.1) — recompute wins while the explode is cheap.
-    val sets = shingleRowsRaw(df, idCol, textCol, width)
-      .groupBy(col(idCol))
-      .agg(array_sort(collect_set(col("shingle"))).as("shset"))
+    // this subplan per reference (cand + both verify sides) — after
+    // array_sort the content is deterministic, and recompute was measured
+    // faster than a localCheckpoint at this size (the explode is cheap). At
+    // 100 TB, persist `docs` to storage once instead.
+    val coeffs = minhashCoeffs(k)
+    val sh = shingleRowsRaw(df, idCol, textCol, width)
+      .select(col(idCol), col("shingle"), shingleBase(col("shingle")).as("__mhb"))
+    val aggs = array_sort(collect_set(col("shingle"))).as("shset") +:
+      coeffs.zipWithIndex.map { case (c, i) => min(derivedHash(col("__mhb"), c)).as(s"mh_$i") }
+    val docs = sh.groupBy(col(idCol))
+      .agg(aggs.head, aggs.tail: _*)
       .withColumn("sz", size(col("shset")).cast("long"))
-    val sigCols = (0 until k).map(s =>
-      array_min(transform(col("shset"), x => md5(concat(lit(s.toString + "|"), x)))).as(s"mh_$s"))
-    val sig = sets.select(col(idCol) +: sigCols: _*)
+    val sig = docs.select(col(idCol) +: (0 until k).map(i => col(s"mh_$i")): _*)
     val cand = minhashCandidatePairsFromSig(sig, idCol, k, bands)
     // Verification via the codegen linear-merge intersection kernel over the
-    // sorted sets. Alternatives measured at sf0.1 (345k candidates):
-    // re-joining candidates against exploded shingle rows shuffles
-    // |candidates|·shingles/doc rows (73 s); array_intersect allocates a
-    // hash set per row (238 s); the sorted merge is allocation-free. Sets
-    // are one row per doc; broadcast so candidate pairs never shuffle with
-    // array payloads. On a cluster where the set frame outgrows broadcast,
-    // drop the hint — the join keys (id_a/id_b) hash-partition cleanly.
-    val setsA = broadcast(sets.select(col(idCol).as("id_a"),
-      col("shset").as("set_a"), col("sz").as("sz_a")))
-    val setsB = broadcast(sets.select(col(idCol).as("id_b"),
-      col("shset").as("set_b"), col("sz").as("sz_b")))
+    // sorted sets. Alternatives measured at sf0.1: re-joining candidates
+    // against exploded shingle rows shuffles |candidates|·shingles/doc rows;
+    // array_intersect allocates a hash set per row; the sorted merge is
+    // allocation-free. The set frames join on id_a/id_b as plain shuffle
+    // hash joins — no corpus-wide broadcast (a driver OOM at scale); with
+    // tight banding the candidate side is small, so the shuffled array
+    // payload volume is bounded by the docs frame itself.
+    val setsA = docs.select(col(idCol).as("id_a"),
+      col("shset").as("set_a"), col("sz").as("sz_a"))
+    val setsB = docs.select(col(idCol).as("id_b"),
+      col("shset").as("set_b"), col("sz").as("sz_b"))
     cand.join(setsA, "id_a").join(setsB, "id_b")
       .withColumn("common",
         graft.functions.VectorExpressions.sortedIntersectSize(col("set_a"), col("set_b")))
@@ -237,7 +269,7 @@ object Dedup {
       .unionAll(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
       .distinct().localCheckpoint(true)
     val nodes = edges.select(col("u")).distinct()
-    var labels = nodes.select(col("u"), col("u").as("label"))
+    var labels = nodes.select(col("u"), col("u").as("label")).localCheckpoint(true)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -254,42 +286,83 @@ object Dedup {
       // node ids, so the lookup is total). Turns O(diameter) rounds into
       // O(log diameter) — a chain of 1000 converges in ~10 rounds.
       val byNode = stepped.select(col("u").as("ru"), col("label").as("rlabel"))
+      // ONE lineage truncation per round (the round's only materializing
+      // job); `stepped` is computed twice inside it — two cheap joins beat a
+      // second driver-synchronous checkpoint.
       val updated = stepped.join(byNode, col("label") === col("ru"), "left")
         .select(col("u"), coalesce(col("rlabel"), col("label")).as("label"))
-        // truncate lineage — iterative plans otherwise grow per round and
-        // analysis time dominates
         .localCheckpoint(true)
-      val old = labels.select(col("u").as("ou"), col("label").as("old"))
-      val changed = updated.join(old, col("u") === col("ou"))
-        .filter(col("label") =!= col("old")).limit(1).count()
-      labels = updated
-      converged = changed == 0
       iter += 1
+      // Convergence is a driver-synchronous barrier — check only every 2nd
+      // round (pointer doubling converges in O(log d) rounds, so at most one
+      // wasted round) and on the last permitted round. Both sides are
+      // checkpointed, so the probe itself is a trivial job.
+      if (iter % 2 == 0 || iter >= maxIter) {
+        val old = labels.select(col("u").as("ou"), col("label").as("old"))
+        converged = updated.join(old, col("u") === col("ou"))
+          .filter(col("label") =!= col("old")).limit(1).count() == 0
+      }
+      labels = updated
+    }
+    if (!converged) {
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"connectedComponents: maxIter=$maxIter exhausted without convergence; " +
+          "labels may be non-final (raise maxIter or use large-star/small-star)")
     }
     labels.select(col("u").as(idCol), col("label").as("component"))
   }
 
-  /** Embedding near-duplicate pairs by cosine ≥ threshold. nPlanes>0
-    * buckets vectors by random-hyperplane signs first so only same-bucket
-    * pairs are compared (the scale path); nPlanes=0 is exact brute force
-    * for test scale. */
+  /** Embedding near-duplicate pairs by cosine ≥ threshold, via banded
+    * multi-table sign-LSH (Charikar 2002 + the AND-OR amplification of MMDS
+    * ch.3): each of `nTables` tables buckets a vector by the signs of
+    * `planesPerTable` hyperplane dots; docs sharing a bucket in ANY table
+    * become candidates, which are then verified with the EXACT cosine — so
+    * precision is always 1.0 and only recall is approximate
+    * (P(candidate) = 1−(1−p^r)^b, p = 1−θ/π). The bucket join shuffles on
+    * (table, bucket) — never an all-pairs cross join.
+    *
+    * Candidate volume scales with the threshold: sign-LSH separates cleanly
+    * for tight thresholds (cos ≥ 0.9 ⇒ p≈0.86); for loose thresholds raise
+    * `planesPerTable` (and tables, to hold recall). `nTables = 0` is the
+    * exact all-pairs mode for tests/oracles at toy scale. */
   def embeddingNearDupPairs(
-      df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, nPlanes: Int = 0, dim: Int = 0): DataFrame = {
-    // Norm is computed ONCE per vector here, not per pair — same cosine
-    // formula dot/(|a|·|b|) bit-for-bit, ~3× fewer per-pair flops.
+      df: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      planesPerTable: Int = 4, nTables: Int = 8, dim: Int = 64): DataFrame = {
+    // Norm is computed ONCE per vector, not per pair.
     val withNorm = df.select(col(idCol), col(vecCol),
       Similarity.norm(col(vecCol)).as("nrm"))
-    val withBucket =
-      if (nPlanes <= 0) withNorm.withColumn("bucket", lit(0))
-      else withNorm.withColumn("bucket", Similarity.hyperplaneBucket(col(vecCol), nPlanes, dim))
-    val a = withBucket.as("a")
-    val b = withBucket.as("b")
-    a.join(b, col("a.bucket") === col("b.bucket") && col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(
-        col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
-        (Similarity.dot(col(s"a.$vecCol"), col(s"b.$vecCol"))
-          / (col("a.nrm") * col("b.nrm"))).as("cos"))
+    val cand =
+      if (nTables <= 0) {
+        val a = withNorm.select(col(idCol).as("id_a"))
+        val b = withNorm.select(col(idCol).as("id_b"))
+        a.join(b, col("id_a") < col("id_b"))
+      } else {
+        // Hyperplanes are plan-time literal constants (Similarity.planes),
+        // so the SQL oracle reproduces identical buckets.
+        val all = Similarity.planes(planesPerTable * nTables, dim)
+        val arms = (0 until nTables).map { t =>
+          val bits = (0 until planesPerTable).map { j =>
+            when(Similarity.dot(col(vecCol), typedLit(all(t * planesPerTable + j))) > 0,
+              lit(1L << j)).otherwise(lit(0L))
+          }
+          struct(lit(t).as("tbl"), bits.reduce(_ + _).as("bucket"))
+        }
+        val buckets = df.select(col(idCol), explode(array(arms: _*)).as("tb"))
+          .select(col(idCol), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+        val a = buckets.as("a")
+        val b = buckets.as("b")
+        a.join(b, col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+            col(s"a.$idCol") < col(s"b.$idCol"))
+          .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+          .distinct()
+      }
+    // Exact verification: shuffle joins on the id keys (no corpus
+    // broadcast); cosine computed once per surviving candidate.
+    val va = withNorm.select(col(idCol).as("id_a"), col(vecCol).as("__va"), col("nrm").as("__na"))
+    val vb = withNorm.select(col(idCol).as("id_b"), col(vecCol).as("__vb"), col("nrm").as("__nb"))
+    cand.join(va, "id_a").join(vb, "id_b")
+      .select(col("id_a"), col("id_b"),
+        (Similarity.dot(col("__va"), col("__vb")) / (col("__na") * col("__nb"))).as("cos"))
       .filter(col("cos") >= threshold)
   }
 }

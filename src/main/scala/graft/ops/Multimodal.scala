@@ -24,12 +24,14 @@ object Multimodal {
 
   /** STUB decode → fixed-dim feature vector. A production build would run
     * the image/audio decoder here (e.g. over Arrow batches); this fake
-    * derives `dim` deterministic floats in [-1,1] from the payload bytes
-    * via seeded xxhash64 — same batch shape, schema, and partitioning as
-    * the real thing. */
+    * derives `dim` deterministic doubles in [-1,1] from the payload bytes
+    * via per-dimension md5 — same batch shape, schema, and partitioning as
+    * the real thing, and (being md5-based) bit-reproducible by the SQL
+    * oracle, so the stub path gets a full hash check. */
   def fakeDecodeFeatures(payload: Column, dim: Int): Column =
     transform(sequence(lit(0), lit(dim - 1)), d =>
-      (pmod(xxhash64(payload, d), lit(2000001)).cast("double") / 1000000.0) - 1.0)
+      (conv(substring(md5(concat(payload, encode(d.cast("string"), "UTF-8"))), 1, 8), 16, 10)
+        .cast("long") % lit(2000001L)).cast("double") / 1000000.0 - 1.0)
 
   /** STUB "resize": real impl re-encodes pixels; the fake keeps the byte
     * budget contract (truncate payload to maxBytes) so downstream size
@@ -62,25 +64,29 @@ object Multimodal {
       fakeDecodeFeatures(col(payloadCol), dim).as("features"))
 
   final case class MediaRecord(id: Long, payload: Array[Byte])
-  final case class MediaFeatures(id: Long, payload_bytes: Int, features: Array[Float])
+  final case class MediaFeatures(id: Long, payload_bytes: Int, features: Array[Double])
 
   /** The mapPartitions batch-decode path — the shape a REAL decoder needs:
     * per-partition iteration so a native decoder (image/audio lib, not in
     * this container) can be initialized once per partition and fed batches
-    * of byte payloads. The decode kernel is a deterministic STUB
-    * (murmur3-derived floats); schema, batching, and partition lifecycle
-    * are the real contract. */
+    * of byte payloads. The decode kernel is a deterministic STUB computing
+    * exactly [[fakeDecodeFeatures]] (md5-derived doubles), so the two decode
+    * paths are cross-checkable and both oracle-verifiable; schema, batching,
+    * and partition lifecycle are the real contract. */
   def featurizePartitions(
       ds: org.apache.spark.sql.Dataset[MediaRecord], dim: Int
   ): org.apache.spark.sql.Dataset[MediaFeatures] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
-      // real impl: val decoder = NativeDecoder.open() — once per partition
+      // Once per partition — exactly where a real NativeDecoder.open() goes.
+      val md = java.security.MessageDigest.getInstance("MD5")
       it.map { r =>
         val feats = Array.tabulate(dim) { d =>
-          // STUB decode: deterministic pseudo-feature from payload bytes
-          val h = scala.util.hashing.MurmurHash3.bytesHash(r.payload, d)
-          (math.floorMod(h, 2000001) / 1000000.0f) - 1.0f
+          val h = md.digest(r.payload ++ d.toString.getBytes("UTF-8"))
+          // first 4 md5 bytes big-endian == first 8 hex chars of md5(x)
+          val base = ((h(0) & 0xFFL) << 24) | ((h(1) & 0xFFL) << 16) |
+            ((h(2) & 0xFFL) << 8) | (h(3) & 0xFFL)
+          (base % 2000001L) / 1000000.0 - 1.0
         }
         MediaFeatures(r.id, r.payload.length, feats)
       }

@@ -35,12 +35,13 @@ object Sessions {
 
   /** Per-session rollup: bounds, event count, exact value sum. */
   def sessionStats(
-      sessionized: DataFrame, userCol: String, valueCol: String): DataFrame =
+      sessionized: DataFrame, userCol: String, valueCol: String,
+      tsCol: String = "ts"): DataFrame =
     sessionized.groupBy(col(userCol), col("session_seq"))
       .agg(
         count(lit(1)).as("n_events"),
-        min(col("ts")).as("t_start"),
-        max(col("ts")).as("t_end"),
+        min(col(tsCol)).as("t_start"),
+        max(col(tsCol)).as("t_end"),
         sum(col(valueCol).cast(org.apache.spark.sql.types.DecimalType(14, 4)))
           .cast("double").as("sum_value"))
 }

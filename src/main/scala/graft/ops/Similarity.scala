@@ -101,20 +101,31 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     require(nprobe >= 1 && nprobe <= nlist)
 
-    val seeds = corpus
+    // Corpus norms computed ONCE and reused by assignment and scoring.
+    val corpusN = corpus.withColumn("cn", norm(col(vecCol)))
+
+    // Seed cell ids are the xxhash64 values themselves — deterministic,
+    // already distinct (they survived a smallest-nlist TakeOrdered), and no
+    // single-partition Window.orderBy to densify them.
+    val seeds = corpusN
       .withColumn("__h", xxhash64(col(idCol)))
       .orderBy(col("__h")).limit(nlist)
-      .withColumn("cid", row_number().over(Window.orderBy(col("__h"))))
-      .select(col("cid"), col(vecCol).as("cvec"))
+      .select(col("__h").as("cid"), col(vecCol).as("cvec"))
 
+    // Cell assignment maximizes cosine; ties break to the larger cid via the
+    // struct max (deterministic, overflow-safe). `cn` is reused — the only
+    // per-pair work is the dot against the tiny broadcast centroid set.
     def assign(df: DataFrame, id: String, vec: String, cents: DataFrame): DataFrame =
       df.crossJoin(broadcast(cents))
-        .withColumn("__sim", dot(col(vec), col("cvec")) / (norm(col(vec)) * norm(col("cvec"))))
+        .withColumn("__sim", dot(col(vec), col("cvec")) / (col("cn") * norm(col("cvec"))))
         .groupBy(col(id))
-        .agg(max_by(col("cid"), struct(col("__sim"), -col("cid"))).as("cid"))
+        .agg(max(struct(col("__sim"), col("cid"))).getField("cid").as("cid"))
 
-    // One Lloyd refinement step: per-cell elementwise mean.
-    val assigned0 = corpus.join(assign(corpus, idCol, vecCol, seeds), idCol)
+    // One Lloyd refinement step: per-cell elementwise mean. The refined
+    // centroid frame is tiny (nlist×dim) but closes over the full seed
+    // assignment pass — eagerly checkpointed so the two consumers below
+    // (corpus re-assignment + query probes) don't each recompute it.
+    val assigned0 = corpusN.join(assign(corpusN, idCol, vecCol, seeds), idCol)
     val centroids = assigned0
       .select(col("cid"), posexplode(col(vecCol)))
       .groupBy(col("cid"), col("pos"))
@@ -122,19 +133,21 @@ object Similarity {
       .groupBy(col("cid"))
       .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
       .select(col("cid"), expr("transform(pm, x -> x.m)").as("cvec"))
+      .localCheckpoint(true)
 
-    val cells = corpus.join(assign(corpus, idCol, vecCol, centroids), idCol)
-      .withColumn("cn", norm(col(vecCol)))
+    val cells = corpusN.join(assign(corpusN, idCol, vecCol, centroids), idCol)
 
-    // Query side: nprobe nearest centroids per query.
-    val probes = queries.crossJoin(broadcast(centroids))
-      .withColumn("__sim", dot(col(qvecCol), col("cvec")) / (norm(col(qvecCol)) * norm(col("cvec"))))
+    // Query side: nprobe nearest centroids per query (window partitioned by
+    // query id — never a global sort).
+    val queriesN = queries.withColumn("qn", norm(col(qvecCol)))
+    val probes = queriesN.crossJoin(broadcast(centroids))
+      .withColumn("__sim", dot(col(qvecCol), col("cvec")) / (col("qn") * norm(col("cvec"))))
       .withColumn("__pr", row_number().over(
         Window.partitionBy(col(qidCol)).orderBy(col("__sim").desc, col("cid"))))
       .filter(col("__pr") <= nprobe)
       .select(col(qidCol), col("cid"))
 
-    val candidates = queries.withColumn("qn", norm(col(qvecCol)))
+    val candidates = queriesN
       .join(probes, qidCol)
       .join(cells, "cid")
     val scored = candidates.select(

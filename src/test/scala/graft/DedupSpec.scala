@@ -28,7 +28,7 @@ class DedupSpec extends AnyFunSuite {
   test("minhash: identical docs get identical signatures; different docs differ") {
     val sig = Dedup.minhashSignature(docs, "doc_id", "text", width = 4, k = 8)
       .collect().map(r => r.getAs[Long]("doc_id") ->
-        (0 until 8).map(i => r.getAs[String](s"mh_$i"))).toMap
+        (0 until 8).map(i => r.getAs[Long](s"mh_$i"))).toMap
     assert(sig(1L) === sig(2L))
     assert(sig(1L) !== sig(4L))
     // near-dup shares most minhashes with its original
@@ -91,13 +91,35 @@ class DedupSpec extends AnyFunSuite {
       6L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
-  test("embedding near-dup pairs by cosine threshold") {
+  test("embedding near-dup pairs by cosine threshold (exact mode)") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)),
       (2L, Array(0.99f, 0.14f, 0.0f)),   // ~cos 0.990 with 1
       (3L, Array(0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
-    val pairs = Dedup.embeddingNearDupPairs(vecs, "vec_id", "embedding", threshold = 0.9)
+    val pairs = Dedup.embeddingNearDupPairs(vecs, "vec_id", "embedding",
+      threshold = 0.9, nTables = 0, dim = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs === Set((1L, 2L)))
+  }
+
+  test("banded sign-LSH near-dup: subset of exact, high recall on planted dups") {
+    val r = new scala.util.Random(7)
+    def vec() = Array.fill(64)(r.nextGaussian().toFloat)
+    val base = (1 to 40).map(i => (i.toLong, vec()))
+    val dups = base.take(20).map { case (i, v) =>
+      (i + 1000L, v.map(x => x + 0.3f * r.nextGaussian().toFloat)) // cos ≈ 0.95
+    }
+    val df = (base ++ dups).toDF("vec_id", "embedding")
+    def pairsOf(out: org.apache.spark.sql.DataFrame) =
+      out.collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val exact = pairsOf(Dedup.embeddingNearDupPairs(
+      df, "vec_id", "embedding", threshold = 0.8, nTables = 0, dim = 64))
+    val lsh = pairsOf(Dedup.embeddingNearDupPairs(
+      df, "vec_id", "embedding", threshold = 0.8,
+      planesPerTable = 4, nTables = 8, dim = 64))
+    assert(exact.size >= 20, s"expected the 20 planted pairs, got ${exact.size}")
+    assert(lsh.subsetOf(exact), "LSH emitted a pair the exact path rejected")
+    assert(lsh.size.toDouble / exact.size >= 0.9,
+      s"LSH recall ${lsh.size}/${exact.size} below 0.9")
   }
 }

@@ -49,6 +49,15 @@ class MultimodalSpec extends AnyFunSuite {
     assert(again.map(_.features.toSeq).toSeq === out.sortBy(_.id).map(_.features.toSeq).toSeq)
   }
 
+  test("column and mapPartitions stub kernels agree bit-for-bit") {
+    val colFeats = Multimodal.featurize(media, "id", "payload", dim = 6)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](r.fieldIndex("features"))).toMap
+    val ds = media.select(col("id"), col("payload")).as[MediaRecord]
+    val partFeats = Multimodal.featurizePartitions(ds, dim = 6).collect()
+      .map(f => f.id -> f.features.toSeq).toMap
+    assert(colFeats === partFeats)
+  }
+
   test("resize and frame sampling respect byte budgets") {
     // resize caps bytes
     assert(media.select(octet_length(Multimodal.resizePayload(col("payload"), 10)))
