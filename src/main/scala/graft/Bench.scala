@@ -16,6 +16,9 @@ object Bench {
     "embed_neardup")
 
   def main(args: Array[String]): Unit = {
+    // Iteration aid: SPARK_GRAFT_ONLY=q1,q2 restricts the run to a subset.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val selected = only.fold(headline)(s => headline.filter(s))
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -31,7 +34,7 @@ object Bench {
     // Warm the JVM/codegen paths once so timings measure the engine, not
     // first-query class loading.
     SparkEntry.queries("q1_agg")(spark, sfDir).count()
-    val results = headline.filter(SparkEntry.queries.contains).map { name =>
+    val results = selected.filter(SparkEntry.queries.contains).map { name =>
       val t0 = System.nanoTime()
       try { SparkEntry.queries(name)(spark, sfDir).count() }
       catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); -1L }

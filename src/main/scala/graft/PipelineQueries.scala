@@ -59,11 +59,13 @@ object PipelineQueries {
       else s"UNION ALL SELECT doc_id, $bnd, concat_ws('|', $parts) FROM sig"
     }.mkString("\n                 ")
 
-  /** CTE chain: shingles → base hashes → signature → bands → candidate
-    * pairs. Mirrors Dedup.minhashSignature + minhashCandidatePairsFromSig. */
+  /** CTE chain: shingles → DISTINCT (doc, 32-bit hash) rows → signature →
+    * bands → candidate pairs. `bases` is distinct at the HASH level — the
+    * same hashed shingle sets the engine verifies on (Dedup.jaccardDocs);
+    * MINs are unaffected by the distinct. */
   private def candCtes(w: Int): String =
     s"""${shingleCte(w)},
-       bases AS (SELECT doc_id, ${duckBase("shingle")} AS mhb FROM sh),
+       bases AS (SELECT DISTINCT doc_id, ${duckBase("shingle")} AS mhb FROM sh),
        sig AS (SELECT doc_id, $sigSelect FROM bases GROUP BY doc_id),
        bands AS (
                  $bandArms),
@@ -76,10 +78,15 @@ object PipelineQueries {
     * graft.ops.Similarity.cosine (list_reduce starts from the first
     * element; +0.0 init is an IEEE no-op, so the folds agree exactly). */
   private def duckCos(a: String, b: String): String =
-    s"""round(
-       |  list_reduce(list_transform(list_zip($a, $b), z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (acc, x) -> acc + x)
+    s"round(\n${duckCosRaw(a, b)}, 9)"
+
+  /** Unrounded cosine — used where the ENGINE filters on the raw value
+    * (rounding only for display), so the oracle's threshold boundary
+    * matches the engine's exactly. */
+  private def duckCosRaw(a: String, b: String): String =
+    s"""  list_reduce(list_transform(list_zip($a, $b), z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (acc, x) -> acc + x)
        |  / (sqrt(list_reduce(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, x) -> acc + x))
-       |   * sqrt(list_reduce(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, x) -> acc + x))), 9)""".stripMargin
+       |   * sqrt(list_reduce(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, x) -> acc + x)))""".stripMargin
 
   type QFn = (SparkSession, String) => DataFrame
 
@@ -111,12 +118,12 @@ object PipelineQueries {
         width = 6, threshold = 0.5, k = minhashK, bands = minhashBands)
         .orderBy("id_a", "id_b"),
       Some(s"""WITH ${candCtes(6)},
-               sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+               sizes AS (SELECT doc_id, COUNT(*) AS sz FROM bases GROUP BY doc_id),
                common AS (
                  SELECT cd.id_a, cd.id_b, COUNT(*) AS nc
                  FROM cand cd
-                 JOIN sh a ON a.doc_id = cd.id_a
-                 JOIN sh b ON b.doc_id = cd.id_b AND b.shingle = a.shingle
+                 JOIN bases a ON a.doc_id = cd.id_a
+                 JOIN bases b ON b.doc_id = cd.id_b AND b.mhb = a.mhb
                  GROUP BY cd.id_a, cd.id_b)
                SELECT id_a, id_b,
                       CAST(nc AS DOUBLE) / CAST(sa.sz + sb.sz - nc AS DOUBLE) AS jaccard
@@ -327,12 +334,12 @@ object PipelineQueries {
   /** Shared CTE chain producing jaccard pairs at a threshold. */
   private def jaccardPairsCtes(threshold: Double): String =
     s"""${candCtes(6)},
-       sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+       sizes AS (SELECT doc_id, COUNT(*) AS sz FROM bases GROUP BY doc_id),
        common AS (
          SELECT cd.id_a, cd.id_b, COUNT(*) AS nc
          FROM cand cd
-         JOIN sh a ON a.doc_id = cd.id_a
-         JOIN sh b ON b.doc_id = cd.id_b AND b.shingle = a.shingle
+         JOIN bases a ON a.doc_id = cd.id_a
+         JOIN bases b ON b.doc_id = cd.id_b AND b.mhb = a.mhb
          GROUP BY cd.id_a, cd.id_b),
        jp AS (
          SELECT cm.id_a, cm.id_b
@@ -435,7 +442,7 @@ object PipelineQueries {
         FROM cand
         JOIN embeddings ea ON ea.vec_id = id_a
         JOIN embeddings eb ON eb.vec_id = id_b
-        WHERE ${duckCos("ea.embedding", "eb.embedding")} >= 0.45
+        WHERE ${duckCosRaw("ea.embedding", "eb.embedding")} >= 0.45
         ORDER BY id_a, id_b"""
   }
 

@@ -81,24 +81,32 @@ case class VectorDot(left: Expression, right: Expression) extends BinaryExpressi
     copy(left = newLeft, right = newRight)
 }
 
-/** Intersection size of two SORTED string arrays via linear merge — the
-  * verification kernel for LSH-candidate Jaccard. Spark's `array_intersect`
-  * builds a per-row hash set (alloc-heavy: measured 238 s over 345k
-  * candidate pairs at sf0.1); a merge over pre-sorted shingle sets is
-  * allocation-free and codegen-friendly. Arrays must be sorted and
-  * duplicate-free (collect_list + array_sort of distinct shingles).
+/** Intersection size of two SORTED arrays (string or long) via linear
+  * merge — the verification kernel for LSH-candidate Jaccard. Spark's
+  * `array_intersect` builds a per-row hash set (alloc-heavy: measured 238 s
+  * over 345k candidate pairs at sf0.1); a merge over pre-sorted shingle sets
+  * is allocation-free and codegen-friendly. Arrays must be sorted and
+  * duplicate-free (array_sort of collect_set output). The long variant is
+  * the scale path: fixed-width sets cache/shuffle far cheaper than strings.
   */
 case class SortedArrayIntersectSize(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = LongType
 
+  private lazy val isLongElems = left.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
     case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
       TypeCheckResult.TypeCheckSuccess
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
     case other =>
       TypeCheckResult.TypeCheckFailure(
-        s"sorted_intersect_size needs two array<string> args, got $other")
+        s"sorted_intersect_size needs two array<string> or two array<long> args, got $other")
   }
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
@@ -107,7 +115,9 @@ case class SortedArrayIntersectSize(left: Expression, right: Expression)
     val (na, nb) = (la.numElements(), lb.numElements())
     var i = 0; var j = 0; var c = 0L
     while (i < na && j < nb) {
-      val cmp = la.getUTF8String(i).compareTo(lb.getUTF8String(j))
+      val cmp =
+        if (isLongElems) java.lang.Long.compare(la.getLong(i), lb.getLong(j))
+        else la.getUTF8String(i).compareTo(lb.getUTF8String(j))
       if (cmp == 0) { c += 1; i += 1; j += 1 }
       else if (cmp < 0) i += 1
       else j += 1
@@ -120,11 +130,14 @@ case class SortedArrayIntersectSize(left: Expression, right: Expression)
       val i = ctx.freshName("i"); val j = ctx.freshName("j")
       val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
       val c = ctx.freshName("c"); val cmp = ctx.freshName("cmp")
+      val cmpExpr =
+        if (isLongElems) s"java.lang.Long.compare($a.getLong($i), $b.getLong($j))"
+        else s"$a.getUTF8String($i).compareTo($b.getUTF8String($j))"
       s"""
          |int $na = $a.numElements(); int $nb = $b.numElements();
          |int $i = 0; int $j = 0; long $c = 0L;
          |while ($i < $na && $j < $nb) {
-         |  int $cmp = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+         |  int $cmp = $cmpExpr;
          |  if ($cmp == 0) { $c++; $i++; $j++; }
          |  else if ($cmp < 0) { $i++; } else { $j++; }
          |}

@@ -47,24 +47,74 @@ object Aggregates {
     kept.unionByName(overflowNonEmpty.select(kept.columns.map(col): _*))
   }
 
+  /** GROUP BY overflow modes — the reference's `OverflowMode` enum
+    * (arrow_clickhouse_types.h:24-34) applied to an aggregated frame
+    * (Aggregator.cpp:531-550 checks the cap as new keys are admitted).
+    * Distributed execution has no "first seen" order, so like
+    * [[withOverflowRow]] the deterministic variant keeps the `maxGroups`
+    * SMALLEST keys — same resource-guard contract, oracle-checkable. */
+  sealed trait OverflowMode
+  object OverflowMode {
+    /** Excess keys fold into one overflow row (NULL key) — [[withOverflowRow]]. */
+    case object Any extends OverflowMode
+    /** Exceeding the cap is an error: the query fails at execution time. */
+    case object Throw extends OverflowMode
+    /** Stop admitting new keys past the cap; retained keys keep their full
+      * aggregates, excess keys are dropped (no overflow row). */
+    case object Break extends OverflowMode
+  }
+
+  /** Apply a group-count cap to an aggregated frame under the given
+    * overflow mode. `mergeAggs` is only consulted for [[OverflowMode.Any]].
+    *
+    * THROW stays fully lazy and distributed: the group count rides in as a
+    * broadcast scalar and a per-row guard raises once it exceeds the cap —
+    * no driver-side action at plan-construction time. */
+  def withGroupLimit(
+      grouped: DataFrame, keyCol: String, maxGroups: Int,
+      mode: OverflowMode, mergeAggs: Seq[Column] = Nil): DataFrame = mode match {
+    case OverflowMode.Any =>
+      withOverflowRow(grouped, keyCol, maxGroups, mergeAggs)
+    case OverflowMode.Break =>
+      grouped.orderBy(col(keyCol).asc_nulls_first).limit(maxGroups)
+    case OverflowMode.Throw =>
+      val cnt = grouped.agg(count(lit(1)).as("__gcnt"))
+      grouped.crossJoin(broadcast(cnt))
+        .filter(
+          when(col("__gcnt") <= maxGroups, lit(true))
+            .otherwise(raise_error(concat(
+              lit("GROUP BY overflow (OverflowMode.THROW): "),
+              col("__gcnt").cast("string"),
+              lit(s" groups > max_rows_to_group_by=$maxGroups"))).cast("boolean")))
+        .drop("__gcnt")
+  }
+
   /** The reference's "any" aggregate (first non-null in stream order,
     * AggregateFunctionMinMaxAny.h:526-534) as a typed Aggregator — the
     * UDAF extension-point demo mirroring the arrow FunctionRegistry
     * registration pattern (tests/ut_aggregator.cpp:20-31). Order-dependent
-    * under parallel merge, exactly like the reference. */
-  class AnyLongAgg extends Aggregator[java.lang.Long, (Boolean, Long), java.lang.Long] {
-    def zero: (Boolean, Long) = (false, 0L)
-    def reduce(b: (Boolean, Long), a: java.lang.Long): (Boolean, Long) =
-      if (b._1 || a == null) b else (true, a.longValue())
-    def merge(a: (Boolean, Long), b: (Boolean, Long)): (Boolean, Long) =
+    * under parallel merge, exactly like the reference, and type-generic
+    * like the reference's template (instantiated per boxed element type so
+    * null flows through encoders unharmed). */
+  class AnyAgg[T >: Null <: AnyRef](elem: Encoder[T])
+      extends Aggregator[T, (Boolean, T), T] {
+    def zero: (Boolean, T) = (false, null)
+    def reduce(b: (Boolean, T), a: T): (Boolean, T) =
+      if (b._1 || a == null) b else (true, a)
+    def merge(a: (Boolean, T), b: (Boolean, T)): (Boolean, T) =
       if (a._1) a else b
-    def finish(r: (Boolean, Long)): java.lang.Long = if (r._1) r._2 else null
-    def bufferEncoder: Encoder[(Boolean, Long)] = Encoders.tuple(Encoders.scalaBoolean, Encoders.scalaLong)
-    def outputEncoder: Encoder[java.lang.Long] = Encoders.LONG
+    def finish(r: (Boolean, T)): T = if (r._1) r._2 else null
+    def bufferEncoder: Encoder[(Boolean, T)] =
+      Encoders.tuple(Encoders.scalaBoolean, elem)
+    def outputEncoder: Encoder[T] = elem
   }
 
   /** Register the house aggregates on a session — the analog of the
-    * reference registering "ch.any" etc. in the arrow FunctionRegistry. */
-  def registerHouseFunctions(spark: SparkSession): Unit =
-    spark.udf.register("graft_any_long", udaf(new AnyLongAgg))
+    * reference registering "ch.any" etc. in the arrow FunctionRegistry.
+    * One instantiation per element type, like the reference template. */
+  def registerHouseFunctions(spark: SparkSession): Unit = {
+    spark.udf.register("graft_any_long", udaf(new AnyAgg[java.lang.Long](Encoders.LONG)))
+    spark.udf.register("graft_any_double", udaf(new AnyAgg[java.lang.Double](Encoders.DOUBLE)))
+    spark.udf.register("graft_any_string", udaf(new AnyAgg[String](Encoders.STRING)))
+  }
 }

@@ -135,25 +135,52 @@ object Dedup {
     * measured 263 s vs <10 s at sf0.1). */
   def jaccardPairsLsh(
       df: DataFrame, idCol: String, textCol: String,
-      width: Int, threshold: Double, k: Int, bands: Int): DataFrame = {
-    // ONE explode + ONE aggregation builds, per doc, BOTH the sorted shingle
-    // set (for exact verification) and the k MinHash values (min over the
-    // multiset == min over the set). The base hash is projected once per
-    // shingle row; the k mins are plain long arithmetic with map-side
-    // partial aggregation, so the shuffle carries O(docs·k) longs.
-    // Note: collect_set is order-nondeterministic, so Catalyst recomputes
-    // this subplan per reference (cand + both verify sides) — after
-    // array_sort the content is deterministic, and recompute was measured
-    // faster than a localCheckpoint at this size (the explode is cheap). At
-    // 100 TB, persist `docs` to storage once instead.
+      width: Int, threshold: Double, k: Int, bands: Int): DataFrame =
+    jaccardPairsFromDocs(jaccardDocs(df, idCol, textCol, width, k),
+      idCol, threshold, k, bands)
+
+  /** The per-doc frame both LSH stages share: the sorted set of 32-bit
+    * shingle hashes (for exact-on-hashes verification), its size, and the k
+    * MinHash values — built by ONE explode + ONE aggregation. The base hash
+    * is projected once per shingle row; the k mins are plain long arithmetic
+    * with map-side partial aggregation, so the shuffle carries O(docs·k)
+    * longs.
+    *
+    * Verification operates on the HASHED shingle sets, not the strings:
+    * identical Jaccard up to 32-bit collisions (P[in-doc collision] ≈
+    * m²/2³³ per doc — negligible, and the SQL oracle replicates the same
+    * construction so checks stay exact). The payoff is a fully FIXED-WIDTH
+    * frame (id + array<long> + longs): it caches and shuffles at a fraction
+    * of the cost of string sets — hashing the shingles is also what
+    * production-scale dedup pipelines do.
+    *
+    * The frame is persisted (MEMORY_AND_DISK, lazy): `collect_set` is
+    * order-nondeterministic, so without a materialization barrier Catalyst
+    * re-executes this subplan once per consumer — candidate generation plus
+    * BOTH verify sides, and every further composition (components,
+    * pipeline_clean) multiplies it again. One cached copy caps that at 1×;
+    * the cache is block-evictable (it costs no extra driver-synchronous job,
+    * and at cluster scale spills to local disk instead of recomputing a
+    * 100 TB explode). Callers composing several dedup stages can also call
+    * this directly and pass the frame to [[jaccardPairsFromDocs]] to share
+    * it across stages. */
+  def jaccardDocs(
+      df: DataFrame, idCol: String, textCol: String, width: Int, k: Int): DataFrame = {
     val coeffs = minhashCoeffs(k)
     val sh = shingleRowsRaw(df, idCol, textCol, width)
-      .select(col(idCol), col("shingle"), shingleBase(col("shingle")).as("__mhb"))
-    val aggs = array_sort(collect_set(col("shingle"))).as("shset") +:
+      .select(col(idCol), shingleBase(col("shingle")).as("__mhb"))
+    val aggs = array_sort(collect_set(col("__mhb"))).as("shset") +:
       coeffs.zipWithIndex.map { case (c, i) => min(derivedHash(col("__mhb"), c)).as(s"mh_$i") }
-    val docs = sh.groupBy(col(idCol))
+    sh.groupBy(col(idCol))
       .agg(aggs.head, aggs.tail: _*)
       .withColumn("sz", size(col("shset")).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** LSH candidates + exact Jaccard verification over a pre-built (and
+    * ideally persisted) [[jaccardDocs]] frame. */
+  def jaccardPairsFromDocs(
+      docs: DataFrame, idCol: String, threshold: Double, k: Int, bands: Int): DataFrame = {
     val sig = docs.select(col(idCol) +: (0 until k).map(i => col(s"mh_$i")): _*)
     val cand = minhashCandidatePairsFromSig(sig, idCol, k, bands)
     // Verification via the codegen linear-merge intersection kernel over the
@@ -258,18 +285,32 @@ object Dedup {
     * graphs.
     *
     * @param pairs (id_a, id_b) undirected edges
+    * @param checkpointDir when set, per-round materialization uses RELIABLE
+    *   `checkpoint()` under this directory (survives executor loss — the
+    *   cluster-mode path; `localCheckpoint` blocks are executor-local and an
+    *   executor death mid-iteration kills the job). Default keeps the
+    *   zero-I/O localCheckpoint, right for local mode and tests.
     * @return (idCol, component) — component = min node id reachable
     */
   def connectedComponents(
-      pairs: DataFrame, idCol: String = "doc_id", maxIter: Int = 20): DataFrame = {
-    // Eager localCheckpoint: materializes the (small) edge set once and
+      pairs: DataFrame, idCol: String = "doc_id", maxIter: Int = 20,
+      checkpointDir: Option[String] = None): DataFrame = {
+    // Eager checkpoint per round: materializes the (small) frame once and
     // truncates the upstream lineage — otherwise every iteration re-plans
     // (and on cache eviction re-executes) the full pair-generation pipeline.
+    val chk: DataFrame => DataFrame = checkpointDir match {
+      case Some(dir) =>
+        val sc = pairs.sparkSession.sparkContext
+        if (!sc.getCheckpointDir.contains(dir)) sc.setCheckpointDir(dir)
+        df => df.checkpoint(true)
+      case None => df => df.localCheckpoint(true)
+    }
     val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
       .unionAll(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
-      .distinct().localCheckpoint(true)
-    val nodes = edges.select(col("u")).distinct()
-    var labels = nodes.select(col("u"), col("u").as("label")).localCheckpoint(true)
+      .distinct()
+    val checkedEdges = chk(edges)
+    val nodes = checkedEdges.select(col("u")).distinct()
+    var labels = chk(nodes.select(col("u"), col("u").as("label")))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -277,7 +318,7 @@ object Dedup {
       // before every join — these frames share lineage (iterative self
       // joins) and qualified refs would be ambiguous.
       val lbl = labels.select(col("u").as("lu"), col("label").as("llabel"))
-      val neighborMin = edges.join(lbl, col("v") === col("lu"))
+      val neighborMin = checkedEdges.join(lbl, col("v") === col("lu"))
         .groupBy(col("u").as("nu")).agg(min(col("llabel")).as("nmin"))
       val stepped = labels.join(neighborMin, col("u") === col("nu"), "left")
         .select(col("u"),
@@ -289,9 +330,8 @@ object Dedup {
       // ONE lineage truncation per round (the round's only materializing
       // job); `stepped` is computed twice inside it — two cheap joins beat a
       // second driver-synchronous checkpoint.
-      val updated = stepped.join(byNode, col("label") === col("ru"), "left")
-        .select(col("u"), coalesce(col("rlabel"), col("label")).as("label"))
-        .localCheckpoint(true)
+      val updated = chk(stepped.join(byNode, col("label") === col("ru"), "left")
+        .select(col("u"), coalesce(col("rlabel"), col("label")).as("label")))
       iter += 1
       // Convergence is a driver-synchronous barrier — check only every 2nd
       // round (pointer doubling converges in O(log d) rounds, so at most one
@@ -328,8 +368,19 @@ object Dedup {
   def embeddingNearDupPairs(
       df: DataFrame, idCol: String, vecCol: String, threshold: Double,
       planesPerTable: Int = 4, nTables: Int = 8, dim: Int = 64): DataFrame = {
+    // Guard: VectorDot folds to the shorter operand, so a vector whose
+    // length differs from `dim` would silently hash against truncated
+    // hyperplanes (degraded recall, no error). Fail loudly per bad row
+    // instead — a cheap scan-local predicate.
+    val checked =
+      if (nTables <= 0) df
+      else df.filter(
+        when(size(col(vecCol)) === dim, lit(true))
+          .otherwise(raise_error(concat(
+            lit(s"embeddingNearDupPairs: expected $vecCol of dim=$dim, got "),
+            size(col(vecCol)).cast("string"))).cast("boolean")))
     // Norm is computed ONCE per vector, not per pair.
-    val withNorm = df.select(col(idCol), col(vecCol),
+    val withNorm = checked.select(col(idCol), col(vecCol),
       Similarity.norm(col(vecCol)).as("nrm"))
     val cand =
       if (nTables <= 0) {
@@ -347,7 +398,7 @@ object Dedup {
           }
           struct(lit(t).as("tbl"), bits.reduce(_ + _).as("bucket"))
         }
-        val buckets = df.select(col(idCol), explode(array(arms: _*)).as("tb"))
+        val buckets = checked.select(col(idCol), explode(array(arms: _*)).as("tb"))
           .select(col(idCol), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
         val a = buckets.as("a")
         val b = buckets.as("b")

@@ -82,7 +82,12 @@ object Multimodal {
       val md = java.security.MessageDigest.getInstance("MD5")
       it.map { r =>
         val feats = Array.tabulate(dim) { d =>
-          val h = md.digest(r.payload ++ d.toString.getBytes("UTF-8"))
+          // Incremental digest — no payload ++ suffix copy per dimension
+          // (that copy is O(dim × payloadBytes) on exactly the path built
+          // for large media payloads). digest() resets the instance.
+          md.update(r.payload)
+          md.update(d.toString.getBytes("UTF-8"))
+          val h = md.digest()
           // first 4 md5 bytes big-endian == first 8 hex chars of md5(x)
           val base = ((h(0) & 0xFFL) << 24) | ((h(1) & 0xFFL) << 16) |
             ((h(2) & 0xFFL) << 8) | (h(3) & 0xFFL)

@@ -71,4 +71,33 @@ class AggregatesSpec extends AnyFunSuite {
     val r = spark.sql("SELECT graft_any_long(x) FROM anyn GROUP BY g").head()
     assert(r.getLong(0) === 7L)
   }
+
+  test("generic any UDAF: double and string instantiations, all-null group -> null") {
+    Aggregates.registerHouseFunctions(spark)
+    Seq((1, Option(1.5), Option("a")), (1, Option(2.5), Option("b")),
+        (2, Option.empty[Double], Option.empty[String]))
+      .toDF("g", "d", "s").createOrReplaceTempView("anyg")
+    val rows = spark.sql(
+      "SELECT g, graft_any_double(d) AS ad, graft_any_string(s) AS astr FROM anyg GROUP BY g")
+      .collect().map(r => r.getInt(0) -> r).toMap
+    assert(Set(1.5, 2.5).contains(rows(1).getDouble(1)))
+    assert(Set("a", "b").contains(rows(1).getString(2)))
+    assert(rows(2).isNullAt(1) && rows(2).isNullAt(2))
+  }
+
+  test("OverflowMode.BREAK keeps the smallest keys fully aggregated, drops the rest") {
+    val out = Aggregates.withGroupLimit(grouped, "k", 3, Aggregates.OverflowMode.Break)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out === Set((0, 10L, 0L), (1, 10L, 10L), (2, 10L, 20L)))
+  }
+
+  test("OverflowMode.THROW raises past the cap, passes under it") {
+    val ok = Aggregates.withGroupLimit(grouped, "k", 10, Aggregates.OverflowMode.Throw)
+    assert(ok.count() === 10)
+    val bad = Aggregates.withGroupLimit(grouped, "k", 3, Aggregates.OverflowMode.Throw)
+    val e = intercept[Exception] { bad.collect() }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("OverflowMode.THROW")))
+  }
 }

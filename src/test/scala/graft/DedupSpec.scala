@@ -91,6 +91,19 @@ class DedupSpec extends AnyFunSuite {
       6L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("connected components: reliable-checkpoint path (cluster mode) gives same labels") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-chk").toString
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(pairs, "doc_id", checkpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+    // The reliable path actually wrote RDD checkpoint files under the dir.
+    def anyFile(f: java.io.File): Boolean =
+      f.isFile || Option(f.listFiles).exists(_.exists(anyFile))
+    assert(anyFile(new java.io.File(dir)), s"no checkpoint files under $dir")
+  }
+
   test("embedding near-dup pairs by cosine threshold (exact mode)") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)),
