@@ -599,6 +599,21 @@ object CoreQueries {
         .orderBy("doc_id"),
       None),
 
+    // The reference's full declared hash family, bit-exact (cityHash64 =
+    // CityHash v1.0.2, xxHash32/64 + xxh3 = xxhash seed 0, wyHash64 =
+    // wyhash final 3) — vector-verified in RefHashSpec against the upstream
+    // C libraries; no DuckDB twin → rows-only here.
+    ("hash_reference", (s, d) =>
+      T(s, d, "documents").select(
+        col("doc_id"),
+        graft.functions.Hashes.cityHash64(col("text")).as("h_city64"),
+        graft.functions.Hashes.xxHash32Exact(col("text")).as("h_xx32"),
+        graft.functions.Hashes.xxHash64Exact(col("text")).as("h_xx64raw"),
+        graft.functions.Hashes.xxh3(col("text")).as("h_xxh3"),
+        graft.functions.Hashes.wyHash64(col("text")).as("h_wy64"))
+        .orderBy("doc_id"),
+      None),
+
     // Boolean EOperation family: And / Or / Xor / Invert (SURVEY §2.2).
     ("expr_bool", (s, d) =>
       T(s, d, "lineitem").select(

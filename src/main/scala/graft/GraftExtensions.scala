@@ -4,7 +4,8 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{SortedArrayIntersectSize, VectorDot}
+import graft.functions.{CityHash64Expr, SortedArrayIntersectSize, VectorDot,
+  WyHash64Expr, XxHash32Expr, XxHash64RawExpr, Xxh3Expr}
 
 /** SparkSessionExtensions hook: registers the engine's native expressions as
   * SQL functions — the analog of the reference registering "ch.*" kernels in
@@ -24,5 +25,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("sorted_intersect_size"),
       new ExpressionInfo(classOf[SortedArrayIntersectSize].getName, "sorted_intersect_size"),
       (args: Seq[Expression]) => SortedArrayIntersectSize(args(0), args(1))))
+    // Bit-exact reference hash family (FunctionsHashing.h:42-116).
+    ext.injectFunction((
+      FunctionIdentifier("city_hash64"),
+      new ExpressionInfo(classOf[CityHash64Expr].getName, "city_hash64"),
+      (args: Seq[Expression]) => CityHash64Expr(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("xx_hash32"),
+      new ExpressionInfo(classOf[XxHash32Expr].getName, "xx_hash32"),
+      (args: Seq[Expression]) => XxHash32Expr(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("xx_hash64_raw"),
+      new ExpressionInfo(classOf[XxHash64RawExpr].getName, "xx_hash64_raw"),
+      (args: Seq[Expression]) => XxHash64RawExpr(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("xxh3_64"),
+      new ExpressionInfo(classOf[Xxh3Expr].getName, "xxh3_64"),
+      (args: Seq[Expression]) => Xxh3Expr(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("wy_hash64"),
+      new ExpressionInfo(classOf[WyHash64Expr].getName, "wy_hash64"),
+      (args: Seq[Expression]) => WyHash64Expr(args.head)))
   }
 }

@@ -80,4 +80,24 @@ class SortsSpec extends AnyFunSuite {
     val top = Sorts.topK(df, keys, 25).collect().map(recompose)
     assert(top.toSeq === (0 until 25))
   }
+
+  test("sortWithinPartitions: batch-local order per partition, no exchange (ut_modes.cpp:275-398)") {
+    // Composite keys, like the reference's batch-local SortingBlockInputStream
+    // test: every partition independently ordered; global order NOT required.
+    val df = f3((0 until 1000).reverse).repartition(5)
+    val sorted = Sorts.sortWithinPartitions(df, keys)
+    val parts = sorted.rdd.glom().collect()
+    assert(parts.length === 5)
+    parts.foreach { p =>
+      val xs = p.map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSeq
+      assert(xs === xs.sorted, "partition not locally sorted")
+    }
+    // Batch-local means NO shuffle for the sort itself: the only exchange in
+    // the plan is the repartition below it.
+    val plan = sorted.queryExecution.executedPlan.toString
+    assert(plan.split("Exchange").length - 1 === 1, s"unexpected exchanges:\n$plan")
+    // ...and the global order is genuinely not established (5 interleaved runs).
+    val flat = parts.flatMap(_.map(recompose)).toSeq
+    assert(flat.sorted === (0 until 1000))
+  }
 }

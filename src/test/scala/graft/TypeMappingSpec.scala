@@ -66,6 +66,18 @@ class TypeMappingSpec extends AnyFunSuite {
     assert(d.head().getAs[java.time.Duration](0) === java.time.Duration.ofSeconds(90))
   }
 
+  test("month interval maps to YearMonthIntervalType in memory") {
+    // switch_type.h:63-66 dispatches arrow MONTH_INTERVAL; the Spark twin
+    // is YearMonthIntervalType (java.time.Period, month resolution).
+    import spark.implicits._
+    val d = Seq(java.time.Period.ofMonths(14)).toDF("mival")
+    assert(d.schema("mival").dataType.isInstanceOf[YearMonthIntervalType])
+    // Survives arithmetic and round-trips the value (14 months = 1y 2m).
+    val r = d.select($"mival" + org.apache.spark.sql.functions.expr("INTERVAL '1' MONTH"))
+      .as[java.time.Period].head()
+    assert(r === java.time.Period.of(1, 3, 0).normalized())
+  }
+
   test("nulls survive in every column (validity bitmap semantics)") {
     val nullRow = Row(schema.fields.map(_ => null): _*)
     val df = spark.createDataFrame(spark.sparkContext.parallelize(Seq(nullRow)), schema)
