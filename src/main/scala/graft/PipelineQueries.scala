@@ -190,8 +190,10 @@ object PipelineQueries {
                  FROM p) WHERE rk <= 5
                ORDER BY qid, rk""")),
 
-    // IVF ANN (xxhash64-seeded centroids — no DuckDB twin; rows-only;
-    // recall vs brute force is unit-tested).
+    // IVF ANN. The whole index build is order-deterministic (md5-based
+    // seeds, id-ordered centroid-mean folds), so the oracle replays it
+    // bit-for-bit: full hash check (recall vs brute force is also
+    // unit-tested).
     ("ann_ivf_topk", (s, d) => {
       val e = T(s, d, "embeddings")
       Similarity.ivfTopK(
@@ -200,7 +202,7 @@ object PipelineQueries {
           .select(col("vec_id").as("qid"), col("embedding").as("qe")),
         idCol = "vec_id", vecCol = "embedding", qidCol = "qid", qvecCol = "qe",
         k = 5, nlist = 16, nprobe = 4).orderBy("qid", "rk")
-    }, None),
+    }, Some(ivfOracle)),
 
     // LSH-bucketed ANN. The hyperplanes are plan-time literal constants, so
     // the oracle recomputes the same buckets from the same values (doubles
@@ -213,7 +215,19 @@ object PipelineQueries {
           .select(col("vec_id").as("qid"), col("embedding").as("qe")),
         idCol = "vec_id", vecCol = "embedding", qidCol = "qid", qvecCol = "qe",
         k = 5, nPlanes = 4, dim = 64).orderBy("qid", "rk")
-    }, Some(lshOracle)),
+    }, Some(lshOracle(multiProbe = false))),
+
+    // Multi-probe variant: query bucket + all Hamming-1 neighbor buckets —
+    // the recall upgrade at (nPlanes+1)× candidate volume, still sub-linear.
+    ("ann_lsh_multiprobe", (s, d) => {
+      val e = T(s, d, "embeddings")
+      Similarity.lshTopK(
+        corpus = e.select(col("vec_id"), col("embedding")),
+        queries = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe")),
+        idCol = "vec_id", vecCol = "embedding", qidCol = "qid", qvecCol = "qe",
+        k = 5, nPlanes = 4, dim = 64, multiProbe = true).orderBy("qid", "rk")
+    }, Some(lshOracle(multiProbe = true))),
 
     // ── text analysis ────────────────────────────────────────────────────
     ("text_stats", (s, d) =>
@@ -448,8 +462,10 @@ object PipelineQueries {
 
   /** DuckDB replica of Similarity.lshTopK with the SAME literal hyperplanes
     * (exact decimal expansion of each double → DuckDB parses back the
-    * identical binary value; the dot fold matches VectorDot's order). */
-  private lazy val lshOracle: String = {
+    * identical binary value; the dot fold matches VectorDot's order). The
+    * multi-probe variant unnests the query bucket plus its Hamming-1
+    * neighbors, exactly like the engine's explode. */
+  private def lshOracle(multiProbe: Boolean): String = {
     def exact(x: Double): String = new java.math.BigDecimal(x).toPlainString
     def planeDot(vec: String, p: Array[Double]): String = {
       val arr = p.map(exact).mkString("[", ", ", "]")
@@ -461,19 +477,86 @@ object PipelineQueries {
       }.mkString(" + ")
     def norm2(vec: String): String =
       s"sqrt(list_reduce(list_transform($vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, x) -> acc + x))"
+    val probeList =
+      if (!multiProbe) "[qbucket]"
+      else (0 until 4).map(j => s"xor(qbucket, ${1 << j})")
+        .mkString("[qbucket, ", ", ", "]")
     s"""WITH cb AS (SELECT vec_id, embedding, ${bucket("embedding")} AS bucket,
                            ${norm2("embedding")} AS cn
                     FROM embeddings),
         qb AS (SELECT vec_id AS qid, embedding AS qe, bucket AS qbucket, cn AS qn
                FROM cb WHERE vec_id < 10),
-        p AS (SELECT qb.qid, cb.vec_id,
-                     round(list_reduce(list_transform(list_zip(qb.qe, cb.embedding), z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (acc, x) -> acc + x)
-                           / (qb.qn * cb.cn), 9) AS cos
-              FROM cb JOIN qb ON cb.bucket = qb.qbucket)
+        qp AS (SELECT qid, qe, qn, unnest($probeList) AS pbucket FROM qb),
+        p AS (SELECT qp.qid, cb.vec_id,
+                     round(list_reduce(list_transform(list_zip(qp.qe, cb.embedding), z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (acc, x) -> acc + x)
+                           / (qp.qn * cb.cn), 9) AS cos
+              FROM cb JOIN qp ON cb.bucket = qp.pbucket)
         SELECT qid, vec_id, cos, rk FROM (
           SELECT qid, vec_id, cos,
                  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
           FROM p) WHERE rk <= 5
+        ORDER BY qid, rk"""
+  }
+
+  /** DuckDB replica of Similarity.ivfTopK (k=5, nlist=16, nprobe=4, queries
+    * = vec_id < 10): same md5-derived seed ids, same assign→mean→assign
+    * Lloyd step with id-ordered 0.0-seeded mean folds, same probe and
+    * scoring windows — every float op in the same order ⇒ identical bits.
+    * Tie rules mirrored exactly: cell assignment breaks ties to the LARGER
+    * cid (Spark's max(struct(sim, cid))), probe selection to the SMALLER. */
+  private lazy val ivfOracle: String = {
+    def dot(a: String, b: String): String =
+      s"list_reduce(list_transform(list_zip($a, $b), z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (acc, x) -> acc + x)"
+    def norm2(v: String): String =
+      s"sqrt(list_reduce(list_transform($v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, x) -> acc + x))"
+    s"""WITH c AS (SELECT vec_id, embedding, ${norm2("embedding")} AS cn FROM embeddings),
+        seeds AS (
+          SELECT ${duckBase("CAST(vec_id AS VARCHAR)")} AS cid, embedding AS cvec
+          FROM embeddings ORDER BY 1 LIMIT 16),
+        s0 AS (
+          SELECT c.vec_id, s.cid,
+                 row_number() OVER (PARTITION BY c.vec_id
+                   ORDER BY ${dot("c.embedding", "s.cvec")} / (c.cn * ${norm2("s.cvec")}) DESC,
+                            s.cid DESC) AS rn
+          FROM c CROSS JOIN seeds s),
+        a0 AS (SELECT vec_id, cid FROM s0 WHERE rn = 1),
+        el AS (
+          SELECT a0.cid, c.vec_id, i AS pos,
+                 CAST(c.embedding[CAST(i AS INT)] AS DOUBLE) AS v
+          FROM a0 JOIN c ON a0.vec_id = c.vec_id,
+          LATERAL (SELECT unnest(generate_series(1, len(c.embedding)))) t(i)),
+        cm AS (
+          SELECT cid, pos,
+                 list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(v ORDER BY vec_id)),
+                             (acc, x) -> acc + x) / COUNT(*) AS m
+          FROM el GROUP BY cid, pos),
+        centroids AS (
+          SELECT cid, list(m ORDER BY pos) AS cvec FROM cm GROUP BY cid),
+        s1 AS (
+          SELECT c.vec_id, ct.cid,
+                 row_number() OVER (PARTITION BY c.vec_id
+                   ORDER BY ${dot("c.embedding", "ct.cvec")} / (c.cn * ${norm2("ct.cvec")}) DESC,
+                            ct.cid DESC) AS rn
+          FROM c CROSS JOIN centroids ct),
+        cells AS (SELECT vec_id, cid FROM s1 WHERE rn = 1),
+        pr AS (
+          SELECT q.vec_id AS qid, ct.cid,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY ${dot("q.embedding", "ct.cvec")} / (q.cn * ${norm2("ct.cvec")}) DESC,
+                            ct.cid ASC) AS rn
+          FROM c q CROSS JOIN centroids ct WHERE q.vec_id < 10),
+        probes AS (SELECT qid, cid FROM pr WHERE rn <= 4),
+        scored AS (
+          SELECT p.qid, ce.vec_id,
+                 round(${dot("q.embedding", "ce.embedding")} / (q.cn * ce.cn), 9) AS cos
+          FROM probes p
+          JOIN cells m ON m.cid = p.cid
+          JOIN c ce ON ce.vec_id = m.vec_id
+          JOIN c q ON q.vec_id = p.qid)
+        SELECT qid, vec_id, cos, rk FROM (
+          SELECT qid, vec_id, cos,
+                 row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+          FROM scored) WHERE rk <= 5
         ORDER BY qid, rk"""
   }
 

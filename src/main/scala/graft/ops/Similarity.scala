@@ -85,11 +85,21 @@ object Similarity {
     * scan cost drops from |corpus| to ≈ |corpus|·nprobe/nlist per query.
     *
     * Index build (deterministic, no RNG state): seed centroids = the nlist
-    * corpus vectors with smallest xxhash64(id) (a pseudo-random but
-    * reproducible sample), refined by one Lloyd step (assign → per-cell
-    * elementwise mean). All distributed: assignment is a broadcast cross
-    * join against the tiny centroid set; the mean is a posexplode +
-    * per-(cell,dim) average — no driver-side collect.
+    * corpus vectors with smallest md5-derived 32-bit id hash (a
+    * pseudo-random but reproducible sample any engine can recompute),
+    * refined by one Lloyd step (assign → per-cell elementwise mean). All
+    * distributed: assignment is a broadcast cross join against the tiny
+    * centroid set; the mean is a posexplode + per-(cell,dim) reduction — no
+    * driver-side collect.
+    *
+    * EVERY arithmetic step is order-deterministic (md5 seeds; cell means
+    * fold per-(cell,pos) values in id order, left-to-right from 0.0), so the
+    * whole index — and thus the result — is bit-reproducible by the SQL
+    * oracle. The sorted fold gives up map-side partial aggregation on the
+    * centroid shuffle (it carries corpus×dim rows instead of cells×dim); at
+    * extreme scale swap `deterministicMeans=false` for plain `avg`, whose
+    * partial aggregation is cheaper but order-nondeterministic in the last
+    * float bit.
     *
     * Cell assignment maximizes cosine (normalized dot). Returned `cos` is
     * the same rounded cosine as [[bruteForceTopK]], so results are directly
@@ -97,18 +107,19 @@ object Similarity {
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, qidCol: String, qvecCol: String,
-      k: Int, nlist: Int, nprobe: Int): DataFrame = {
+      k: Int, nlist: Int, nprobe: Int, deterministicMeans: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(nprobe >= 1 && nprobe <= nlist)
 
     // Corpus norms computed ONCE and reused by assignment and scoring.
     val corpusN = corpus.withColumn("cn", norm(col(vecCol)))
 
-    // Seed cell ids are the xxhash64 values themselves — deterministic,
-    // already distinct (they survived a smallest-nlist TakeOrdered), and no
-    // single-partition Window.orderBy to densify them.
+    // Seed cell ids are the 32-bit md5-based hash values themselves —
+    // deterministic, reproducible in any engine, already distinct (they
+    // survived a smallest-nlist TakeOrdered), and no single-partition
+    // Window.orderBy to densify them.
     val seeds = corpusN
-      .withColumn("__h", xxhash64(col(idCol)))
+      .withColumn("__h", Dedup.shingleBase(col(idCol).cast("string")))
       .orderBy(col("__h")).limit(nlist)
       .select(col("__h").as("cid"), col(vecCol).as("cvec"))
 
@@ -121,15 +132,23 @@ object Similarity {
         .groupBy(col(id))
         .agg(max(struct(col("__sim"), col("cid"))).getField("cid").as("cid"))
 
-    // One Lloyd refinement step: per-cell elementwise mean. The refined
-    // centroid frame is tiny (nlist×dim) but closes over the full seed
-    // assignment pass — eagerly checkpointed so the two consumers below
-    // (corpus re-assignment + query probes) don't each recompute it.
+    // One Lloyd refinement step: per-cell elementwise mean, summed in id
+    // order (left-to-right from 0.0) so the value is independent of
+    // partitioning. The refined centroid frame is tiny (nlist×dim) but
+    // closes over the full seed assignment pass — eagerly checkpointed so
+    // the two consumers below (corpus re-assignment + query probes) don't
+    // each recompute it.
     val assigned0 = corpusN.join(assign(corpusN, idCol, vecCol, seeds), idCol)
+    val meanAgg =
+      if (deterministicMeans)
+        (aggregate(
+          array_sort(collect_list(struct(col(idCol).as("i"), col("col").cast("double").as("v")))),
+          lit(0.0), (acc, x) => acc + x.getField("v")) / count(lit(1))).as("m")
+      else avg(col("col").cast("double")).as("m")
     val centroids = assigned0
-      .select(col("cid"), posexplode(col(vecCol)))
+      .select(col("cid"), col(idCol), posexplode(col(vecCol)))
       .groupBy(col("cid"), col("pos"))
-      .agg(avg(col("col").cast("double")).as("m"))
+      .agg(meanAgg)
       .groupBy(col("cid"))
       .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
       .select(col("cid"), expr("transform(pm, x -> x.m)").as("cvec"))
@@ -159,19 +178,30 @@ object Similarity {
   }
 
   /** LSH-bucketed approximate top-k: queries and corpus are bucketed by
-    * [[hyperplaneBucket]]; each query only scores its own bucket. The
-    * bucket join shuffles on the bucket id — sub-linear candidate sets at
-    * the cost of recall (multi-probe = union over plane subsets is the
-    * upgrade path). */
+    * [[hyperplaneBucket]]; each query only scores its own bucket — or, with
+    * `multiProbe`, its own bucket PLUS every single-bit-flip neighbor
+    * bucket (the planes whose sign was closest to flipping are where the
+    * missed neighbors live, so probing Hamming-1 buckets recovers most of
+    * the recall lost to bucketing at (nPlanes+1)× the candidate volume —
+    * still |corpus|·(nPlanes+1)/2^nPlanes per query, sub-linear).
+    *
+    * The bucket join shuffles on the bucket id. A corpus vector lives in
+    * exactly one bucket and the probe buckets are distinct values, so
+    * multi-probe candidates need no dedup. */
   def lshTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, qidCol: String, qvecCol: String,
-      k: Int, nPlanes: Int, dim: Int): DataFrame = {
+      k: Int, nPlanes: Int, dim: Int, multiProbe: Boolean = false): DataFrame = {
     val cb = corpus.withColumn("bucket", hyperplaneBucket(col(vecCol), nPlanes, dim))
       .withColumn("cn", norm(col(vecCol)))
-    val qb = queries.withColumn("qbucket", hyperplaneBucket(col(qvecCol), nPlanes, dim))
+    val qb0 = queries.withColumn("qbucket", hyperplaneBucket(col(qvecCol), nPlanes, dim))
       .withColumn("qn", norm(col(qvecCol)))
-    val scored = cb.join(qb, col("bucket") === col("qbucket"))
+    val qb =
+      if (!multiProbe) qb0.withColumn("pbucket", col("qbucket"))
+      else qb0.withColumn("pbucket", explode(array(
+        col("qbucket") +:
+          (0 until nPlanes).map(j => col("qbucket").bitwiseXOR(lit(1 << j))): _*)))
+    val scored = cb.join(qb, col("bucket") === col("pbucket"))
       .select(
         col(qidCol), col(idCol),
         round(dot(col(qvecCol), col(vecCol)) / (col("qn") * col("cn")), 9).as("cos"))

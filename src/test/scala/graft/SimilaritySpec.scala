@@ -81,4 +81,37 @@ class SimilaritySpec extends AnyFunSuite {
       assert(sims.sameElements(sims.sortBy(-(_: Double))), "ranked by cos desc")
     }
   }
+
+  test("multi-probe LSH: recall >= 0.9 vs brute force, bounded candidate fan-out") {
+    // Noisy clusters: genuine neighbors exist (same cluster, high cosine)
+    // but the noise pushes some across a hyperplane — exactly the neighbors
+    // single-bucket probing loses and Hamming-1 probing recovers.
+    val rnd = new scala.util.Random(23)
+    val centers = Seq(
+      Array.fill(16)(5.0f), Array.fill(16)(-5.0f),
+      Array.tabulate(16)(i => if (i < 8) 5.0f else -5.0f),
+      Array.tabulate(16)(i => if (i < 8) -5.0f else 5.0f))
+    val corpus = (0L until 200L)
+      .map(i => (i, centers((i % 4).toInt).map(v => v + rnd.nextFloat() * 6f - 3f)))
+      .toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"))
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))).toSet
+    val brute = pairs(Similarity.bruteForceTopK(corpus, queries,
+      "vec_id", "embedding", "qid", "qe", k = 5))
+    val single = pairs(Similarity.lshTopK(corpus, queries,
+      "vec_id", "embedding", "qid", "qe", k = 5, nPlanes = 4, dim = 16))
+    val multi = pairs(Similarity.lshTopK(corpus, queries,
+      "vec_id", "embedding", "qid", "qe", k = 5, nPlanes = 4, dim = 16,
+      multiProbe = true))
+    val singleRecall = brute.intersect(single).size.toDouble / brute.size
+    val multiRecall = brute.intersect(multi).size.toDouble / brute.size
+    assert(multiRecall >= 0.9, s"multi-probe recall $multiRecall < 0.9")
+    assert(multiRecall >= singleRecall,
+      s"multi-probe $multiRecall regressed below single-probe $singleRecall")
+    // Fan-out stays bounded: nPlanes+1 probes of 2^4 buckets ≈ 5/16 of the
+    // corpus per query on uniform data — nowhere near exhaustive scan.
+    assert(multi.size <= queries.count() * 5)
+  }
 }
