@@ -655,6 +655,24 @@ object CoreQueries {
               FROM (SELECT * FROM kept UNION ALL SELECT * FROM ovf)
               ORDER BY l_partkey NULLS FIRST""")),
 
+    // OverflowMode::BREAK (arrow_clickhouse_types.h:24-34): stop admitting
+    // keys past the cap — retained keys keep full aggregates, the rest are
+    // dropped (no overflow row). THROW is unit-tested (it fails by design).
+    ("agg_overflow_break", (s, d) => {
+      val grouped = T(s, d, "lineitem").groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("cnt"), sum(dec(col("l_quantity"))).as("sq"))
+      graft.ops.Aggregates.withGroupLimit(grouped, "l_partkey", 50,
+        graft.ops.Aggregates.OverflowMode.Break)
+        .select(col("l_partkey"), col("cnt"), col("sq").cast(DoubleType).as("sum_qty"))
+        .orderBy(col("l_partkey").asc_nulls_first)
+    },
+      Some("""SELECT l_partkey, cnt, CAST(sq AS DOUBLE) AS sum_qty
+              FROM (SELECT l_partkey, COUNT(*) AS cnt,
+                           SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sq
+                    FROM lineitem GROUP BY l_partkey
+                    ORDER BY l_partkey LIMIT 50)
+              ORDER BY l_partkey NULLS FIRST""")),
+
     // Structured-Streaming transforms exercised in batch mode (identical
     // semantics; streamed variants are unit-tested with MemoryStream).
     ("stream_windowed_stats", (s, d) =>

@@ -154,7 +154,10 @@ object Dedup {
     * of the cost of string sets — hashing the shingles is also what
     * production-scale dedup pipelines do.
     *
-    * The frame is persisted (MEMORY_AND_DISK, lazy): `collect_set` is
+    * The frame is persisted (DISK_ONLY, lazy — local disk is fast, and
+    * keeping a corpus-sized frame OUT of storage memory leaves execution
+    * memory to the joins; measured more stable than MEMORY_AND_DISK under
+    * a memory-pressured multi-query session): `collect_set` is
     * order-nondeterministic, so without a materialization barrier Catalyst
     * re-executes this subplan once per consumer — candidate generation plus
     * BOTH verify sides, and every further composition (components,
@@ -174,7 +177,7 @@ object Dedup {
     sh.groupBy(col(idCol))
       .agg(aggs.head, aggs.tail: _*)
       .withColumn("sz", size(col("shset")).cast("long"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
   }
 
   /** LSH candidates + exact Jaccard verification over a pre-built (and
