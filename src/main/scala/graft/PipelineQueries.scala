@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
 
 /** Training-data pipeline surface: dedup (exact / MinHash-LSH / SimHash /
   * n-gram Jaccard / embedding), similarity search, text analysis, and
@@ -319,6 +319,55 @@ object PipelineQueries {
         (0 until 8).map(i => element_at(col("features"), i + 1).as(s"f_$i")): _*)
         .orderBy("id")
     }, Some(multimodalOracle("id"))),
+
+    // ── dataset curation: deterministic sampling / splits / packing ──────
+    // Content-addressed Bernoulli sampling: keep iff md5-hash(salt++key)
+    // < rate·2³² — reproducible across engines/runs/partitionings,
+    // scan-local (no shuffle). The oracle replays the identical hash.
+    ("sample_hash", (s, d) =>
+      Sampling.hashSample(T(s, d, "documents"), col("doc_id"), rate = 0.1, salt = "s1")
+        .select(col("doc_id")).orderBy("doc_id"),
+      Some(s"""SELECT doc_id FROM documents
+               WHERE ${duckBase("concat('s1', CAST(doc_id AS VARCHAR))")} < ${(0.1 * 4294967296.0).toLong}
+               ORDER BY doc_id""")),
+
+    // Per-stratum rates in one scan-local CASE (downsample dominant strata),
+    // plus the deterministic train/holdout split column.
+    ("sample_stratified", (s, d) =>
+      Sampling.stratifiedHashSample(T(s, d, "documents"), col("doc_id"), col("lang"),
+        rates = Map("en" -> 0.3, "zh" -> 1.0), defaultRate = 0.6, salt = "s2")
+        .select(col("doc_id"), col("lang"),
+          Sampling.splitColumn(col("doc_id"), holdoutRate = 0.2, salt = "s3").as("split"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, lang,
+                      CASE WHEN ${duckBase("concat('s3', CAST(doc_id AS VARCHAR))")} < ${(0.2 * 4294967296.0).toLong}
+                           THEN 'holdout' ELSE 'train' END AS split
+               FROM documents
+               WHERE ${duckBase("concat('s2', CAST(doc_id AS VARCHAR))")} <
+                     CASE WHEN lang = 'zh' THEN ${4294967296L}
+                          WHEN lang = 'en' THEN ${(0.3 * 4294967296.0).toLong}
+                          ELSE ${(0.6 * 4294967296.0).toLong} END
+               ORDER BY doc_id""")),
+
+    // Sequence packing: token-budget bins in doc_id order via the two-phase
+    // distributed prefix sum (no corpus-wide single-partition window); the
+    // oracle replays it with a plain global SUM OVER — bit-exact integers.
+    ("pack_sequences", (s, d) => {
+      val docs = T(s, d, "documents").select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok"))
+      Packing.packBins(docs, "doc_id", "n_tok", budget = 2048)
+        .select(col("doc_id"), col("n_tok"), col("cum_tokens"), col("bin"))
+        .orderBy("doc_id")
+    },
+      Some(raw"""WITH t AS (
+                   SELECT doc_id,
+                          CAST(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tok
+                   FROM documents)
+                 SELECT doc_id, n_tok,
+                        SUM(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens,
+                        (SUM(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok) // 2048 AS bin
+                 FROM t ORDER BY doc_id""")),
 
     // ── near-dup clusters: connected components over jaccard pairs ───────
     ("dedup_components", (s, d) => {

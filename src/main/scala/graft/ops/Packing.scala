@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for LLM pretraining (beyond-reference surface): assign
+  * documents, in a stable key order, to fixed token-budget bins — the
+  * "pack documents into context-length sequences" step every pretraining
+  * data pipeline runs over its full corpus.
+  *
+  * The global running token count is a PREFIX SUM — the naive Spark
+  * formulation (`sum over Window.orderBy(key)` with no partitioning) drags
+  * the whole corpus through ONE partition. This implementation is the
+  * scalable two-phase form:
+  *
+  *  1. range-partition by the key (order-preserving across partition
+  *     indices);
+  *  2. per-partition token totals → a cumulative offset per partition
+  *     (a window over `numPartitions` ROWS — trivially small);
+  *  3. broadcast the offsets back; each partition computes its LOCAL
+  *     running sum in parallel and adds its offset.
+  *
+  * The result is the exact global prefix sum with all heavy work
+  * partition-parallel. Output is independent of the partition count (the
+  * offsets telescope), so the SQL oracle can replay it with a plain
+  * `SUM() OVER (ORDER BY key)` — integer arithmetic, bit-exact.
+  */
+object Packing {
+
+  /** @param df       input frame
+    * @param idCol    unique ordering key (documents are packed in this order)
+    * @param tokCol   per-row token count (long)
+    * @param budget   bin capacity in tokens
+    * @param partitions range-partition count; 0 = spark.sql.shuffle.partitions
+    * @return input columns + `cum_tokens` (inclusive running total) +
+    *         `bin` (0-based; a row starts a new bin when its tokens would
+    *         cross the budget boundary: bin = (cum_tokens − tok) / budget)
+    */
+  def packBins(
+      df: DataFrame, idCol: String, tokCol: String, budget: Long,
+      partitions: Int = 0): DataFrame = {
+    require(budget > 0, s"budget=$budget must be positive")
+    val n =
+      if (partitions > 0) partitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = df.repartitionByRange(n, col(idCol))
+      .withColumn("__pid", spark_partition_id())
+    // Phase 1: per-partition totals (n rows — tiny).
+    val sums = ranged.groupBy(col("__pid")).agg(sum(col(tokCol)).as("__psum"))
+    // Phase 2: exclusive prefix over the partition totals. Single-partition
+    // window over n rows — the ONLY serial step, and it is O(partitions).
+    val offW = Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sums
+      .withColumn("__off", coalesce(sum(col("__psum")).over(offW), lit(0L)))
+      .select(col("__pid"), col("__off"))
+    // Phase 3: partition-local running sums + broadcast offsets.
+    val localW = Window.partitionBy(col("__pid")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged.join(broadcast(offsets), "__pid")
+      .withColumn("cum_tokens", sum(col(tokCol)).over(localW) + col("__off"))
+      .withColumn("bin", floor((col("cum_tokens") - col(tokCol)) / lit(budget)).cast("long"))
+      .drop("__pid", "__off")
+  }
+}

@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / splitting for dataset curation (beyond-reference
+  * surface — a training-data pipeline samples, holds out, and down-weights
+  * corpora constantly, and at 100 TB the sample decision must be a pure
+  * function of the ROW, not of an RNG stream).
+  *
+  * Construction: a row is kept iff the 32-bit md5-based hash of
+  * (salt ++ key) falls below rate·2³², i.e. `df.sample`'s Bernoulli
+  * semantics but content-addressed — reproducible across engines, runs, and
+  * partitionings; stable under re-partitioning (unlike `rand()`); and
+  * scan-local (a pushdown-friendly filter, no shuffle, no state). Changing
+  * the salt draws an independent sample — the standard salted-hash-sampling
+  * design (e.g. for train/holdout splits that must never leak).
+  */
+object Sampling {
+
+  private val Pow32 = 4294967296.0 // 2^32
+
+  /** The per-row hash in [0, 2^32): md5-derived, salt-prefixed. */
+  def sampleHash(key: Column, salt: String): Column =
+    Dedup.shingleBase(concat(lit(salt), key.cast("string")))
+
+  /** Keep rows whose hash falls below `rate` of the 32-bit space. */
+  def hashSample(df: DataFrame, key: Column, rate: Double, salt: String = ""): DataFrame = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate=$rate outside [0,1]")
+    df.filter(sampleHash(key, salt) < lit((rate * Pow32).toLong))
+  }
+
+  /** Per-stratum rates (e.g. downsample a dominant source, keep the rest):
+    * rows in stratum s pass at `rates(s)`, others at `defaultRate`. One
+    * scan-local CASE over the same hash — no shuffle, no per-stratum scans. */
+  def stratifiedHashSample(
+      df: DataFrame, key: Column, stratum: Column,
+      rates: Map[String, Double], defaultRate: Double, salt: String = ""): DataFrame = {
+    val threshold = rates.foldLeft(lit((defaultRate * Pow32).toLong)) {
+      case (acc, (s, r)) => when(stratum === s, lit((r * Pow32).toLong)).otherwise(acc)
+    }
+    df.filter(sampleHash(key, salt) < threshold)
+  }
+
+  /** Deterministic train/holdout assignment: a labeled split column instead
+    * of a filter, same content-addressed hash (holdout membership can never
+    * drift between runs or engines). */
+  def splitColumn(key: Column, holdoutRate: Double, salt: String = ""): Column =
+    when(sampleHash(key, salt) < lit((holdoutRate * Pow32).toLong), lit("holdout"))
+      .otherwise(lit("train"))
+}

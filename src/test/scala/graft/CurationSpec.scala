@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Packing, Sampling}
+
+/** Dataset-curation operators: deterministic hash sampling / splits and
+  * sequence packing (two-phase distributed prefix sum). */
+class CurationSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val ids = (0L until 10000L).toDF("id")
+
+  test("hash sample hits the rate within binomial tolerance and is reproducible") {
+    val n1 = Sampling.hashSample(ids, $"id", 0.1, "a").count()
+    val n2 = Sampling.hashSample(ids.repartition(13), $"id", 0.1, "a").count()
+    assert(n1 === n2, "sample must be independent of partitioning")
+    assert(math.abs(n1 - 1000L) < 120, s"rate off: $n1/10000 at 0.1")  // ±4σ
+    // different salt draws an independent sample, not a subset
+    val a = Sampling.hashSample(ids, $"id", 0.1, "a").collect().map(_.getLong(0)).toSet
+    val b = Sampling.hashSample(ids, $"id", 0.1, "b").collect().map(_.getLong(0)).toSet
+    assert(a !== b)
+    val overlap = a.intersect(b).size.toDouble
+    assert(overlap < 250, s"salted samples should be near-independent, overlap=$overlap")
+  }
+
+  test("nested rates: a 0.05 sample is a subset of the 0.1 sample (same salt)") {
+    val small = Sampling.hashSample(ids, $"id", 0.05, "a").collect().map(_.getLong(0)).toSet
+    val big = Sampling.hashSample(ids, $"id", 0.1, "a").collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(big))
+  }
+
+  test("stratified rates apply per stratum; split column is exhaustive and stable") {
+    val df = ids.withColumn("g", when($"id" % 2 === 0, "even").otherwise("odd"))
+    val out = Sampling.stratifiedHashSample(df, $"id", $"g",
+      Map("even" -> 0.5), defaultRate = 0.05, salt = "x")
+    val byG = out.groupBy("g").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(byG("even") - 2500L) < 200, s"even stratum: ${byG("even")}")
+    assert(math.abs(byG.getOrElse("odd", 0L) - 250L) < 80, s"odd stratum: ${byG.getOrElse("odd", 0L)}")
+    val splits = ids.select(Sampling.splitColumn($"id", 0.2, "h").as("s"))
+      .groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(splits.keySet === Set("train", "holdout"))
+    assert(splits.values.sum === 10000L)
+    assert(math.abs(splits("holdout") - 2000L) < 170)
+  }
+
+  test("packBins: exact global prefix sum, bins respect the budget boundary") {
+    val rnd = new scala.util.Random(5)
+    val docs = (0L until 5000L).map(i => (i, 1L + rnd.nextInt(500))).toDF("id", "tok")
+    val packed = Packing.packBins(docs, "id", "tok", budget = 4096, partitions = 7)
+      .orderBy("id").collect()
+    // exact running sum in id order
+    var cum = 0L
+    val toks = docs.orderBy("id").collect().map(_.getLong(1))
+    packed.zip(toks).foreach { case (r, t) =>
+      cum += t
+      assert(r.getAs[Long]("cum_tokens") === cum, s"row ${r.getLong(0)}")
+      assert(r.getAs[Long]("bin") === (cum - t) / 4096)
+    }
+    // bins are contiguous 0..max and every bin except possibly the last is
+    // "full enough": its LAST row crosses into the next budget window.
+    val bins = packed.map(_.getAs[Long]("bin"))
+    assert(bins.toSet === (0L to bins.max).toSet)
+  }
+
+  test("packBins result is independent of the partition count") {
+    val docs = (0L until 2000L).map(i => (i, 1L + (i % 97))).toDF("id", "tok")
+    def run(n: Int) = Packing.packBins(docs, "id", "tok", budget = 1000, partitions = n)
+      .select("id", "cum_tokens", "bin").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(run(1) === run(5))
+    assert(run(5) === run(32))
+  }
+}
