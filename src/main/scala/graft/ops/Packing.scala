@@ -44,8 +44,15 @@ object Packing {
     val n =
       if (partitions > 0) partitions
       else df.sparkSession.sessionState.conf.numShufflePartitions
+    // Persisted: `ranged` feeds BOTH the offsets aggregation and the final
+    // join — without a materialization barrier the whole upstream (often a
+    // full-text tokenization scan) runs twice. The frame is the slim
+    // (input cols + pid) projection, ~tens of bytes per row, so the cache
+    // is cheap; the downstream window's hash exchange then only ever moves
+    // this slim frame, never the source scan.
     val ranged = df.repartitionByRange(n, col(idCol))
       .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Phase 1: per-partition totals (n rows — tiny).
     val sums = ranged.groupBy(col("__pid")).agg(sum(col(tokCol)).as("__psum"))
     // Phase 2: exclusive prefix over the partition totals. Single-partition
