@@ -830,5 +830,21 @@ object CoreQueries {
                        row_number() OVER (PARTITION BY user_id, event_type
                                           ORDER BY ts DESC, value DESC) AS rn
                 FROM events) WHERE rn = 1
-              ORDER BY user_id, event_type""")))
+              ORDER BY user_id, event_type""")),
+
+    // Streaming exact dedup by event id (dropDuplicatesWithinWatermark on a
+    // stream — bounded state; plain dropDuplicates in batch). The query
+    // simulates at-least-once redelivery by re-appending every 7th event;
+    // dedup restores the original set (event_id is unique in the source).
+    ("stream_dedup", (s, d) => {
+      val ev = T(s, d, "events")
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      val redelivered = ev.unionAll(ev.filter(col("event_id") % 7 === 0))
+      graft.streaming.EventStreams.dedupEvents(redelivered, Seq("event_id"), "10 minutes")
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("user_id"), col("event_type"), col("value"))
+        .orderBy("event_id")
+    },
+      Some("""SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
+              FROM events ORDER BY event_id""")))
 }

@@ -68,4 +68,18 @@ object EventStreams {
           best
       }
   }
+
+  /** Streaming exact dedup by event id: at-least-once sources redeliver, so
+    * every ingestion pipeline dedups on an id column before anything else.
+    * On a stream this uses `dropDuplicatesWithinWatermark` — state holds
+    * only ids younger than the watermark, so it is BOUNDED (the unbounded
+    * `dropDuplicates` state would grow forever at 100 TB/day); duplicates
+    * arriving within the delay are suppressed, and a duplicate older than
+    * the watermark would have been dropped as late data anyway. On a batch
+    * frame it degrades to plain `dropDuplicates` (same result set — batch
+    * has no redelivery horizon). */
+  def dedupEvents(events: DataFrame, idCols: Seq[String], watermarkDelay: String): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark("ts", watermarkDelay).dropDuplicatesWithinWatermark(idCols)
+    else events.dropDuplicates(idCols)
 }

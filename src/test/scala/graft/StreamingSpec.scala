@@ -74,6 +74,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(out === Set((1L, 3L, 6.0), (2L, 1L, 5.0)))
   }
 
+  test("stream dedup: redelivered ids within the watermark are suppressed") {
+    implicit val sql = spark.sqlContext
+    final case class Ev(event_id: Long, ts: Timestamp, value: Double)
+    val in = MemoryStream[(Long, Timestamp, Double)]
+    val df = in.toDF().toDF("event_id", "ts", "value")
+    val q = EventStreams.dedupEvents(df, Seq("event_id"), "10 minutes")
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData((1L, ts(1), 1.0), (2L, ts(2), 2.0))
+      q.processAllAvailable()
+      // same ids redelivered in a later batch, inside the watermark delay
+      in.addData((1L, ts(1), 1.0), (3L, ts(3), 3.0))
+      q.processAllAvailable()
+      val ids = spark.table("dedup").collect().map(_.getAs[Long]("event_id")).sorted
+      assert(ids.toSeq === Seq(1L, 2L, 3L), "duplicate event_id must be emitted once")
+    } finally q.stop()
+  }
+
+  test("batch and streaming dedup agree on the result set") {
+    val ev = Seq((1L, ts(1), 1.0), (2L, ts(2), 2.0), (1L, ts(1), 1.0))
+      .toDF("event_id", "ts", "value")
+    val out = EventStreams.dedupEvents(ev, Seq("event_id"), "10 minutes")
+      .collect().map(_.getLong(0)).sorted
+    assert(out.toSeq === Seq(1L, 2L))
+  }
+
   test("batch and streaming transforms agree (windowedStats on batch frame)") {
     val batch = Seq(
       EventIn(1, "click", ts(1), 1.5),
