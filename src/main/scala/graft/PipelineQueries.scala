@@ -376,6 +376,15 @@ object PipelineQueries {
       Dedup.connectedComponents(pairs, "doc_id").orderBy("doc_id")
     }, Some(componentsOracle)),
 
+    // Same clustering contract via alternating large-star/small-star
+    // (O(log² n) rounds on ANY topology — the adversarial-graph scale
+    // path); checked against the same recursive-CTE oracle.
+    ("dedup_components_star", (s, d) => {
+      val pairs = Dedup.jaccardPairsLsh(T(s, d, "documents"), "doc_id", "text",
+        width = 6, threshold = 0.6, k = minhashK, bands = minhashBands)
+      Dedup.connectedComponentsAlternating(pairs, "doc_id").orderBy("doc_id")
+    }, Some(componentsOracle)),
+
     // ── flagship corpus-cleaning pipeline: quality gate → language tag →
     //    greedy near-dup removal (drop the larger id of each similar pair),
     //    all composed into one plan — the end-to-end shape of a

@@ -355,6 +355,75 @@ object Dedup {
     labels.select(col("u").as(idCol), col("label").as("component"))
   }
 
+  /** Connected components via alternating large-star / small-star rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * 2014) — the adversarial-graph scale path next to
+    * [[connectedComponents]]: each round is two grouped aggregations +
+    * joins, state is only the (shrinking) edge list, and convergence is
+    * O(log² n) rounds on ANY graph shape (min-label propagation's pointer
+    * doubling is O(log d) on shallow near-dup graphs but degrades on long
+    * chains / high-degree adversarial topologies).
+    *
+    *  - large-star: every node connects its LARGER neighbors to the
+    *    minimum of its neighborhood (incl. itself);
+    *  - small-star: edges directed large→small; every node connects its
+    *    smaller neighbors and itself to the neighborhood minimum.
+    *
+    * Both preserve connectivity and strictly shrink star height; at
+    * fixpoint the edge set IS the (node → component-min) star. Same output
+    * contract as [[connectedComponents]]: (idCol, component = min id). */
+  def connectedComponentsAlternating(
+      pairs: DataFrame, idCol: String = "doc_id", maxIter: Int = 25,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val chk: DataFrame => DataFrame = checkpointDir match {
+      case Some(dir) =>
+        val sc = pairs.sparkSession.sparkContext
+        if (!sc.getCheckpointDir.contains(dir)) sc.setCheckpointDir(dir)
+        df => df.checkpoint(true)
+      case None => df => df.localCheckpoint(true)
+    }
+    def largeStar(e: DataFrame): DataFrame = {
+      val both = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = both.groupBy(col("u"))
+        .agg(min(least(col("v"), col("u"))).as("m"))
+      both.join(mins, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")).distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val directed = e.filter(col("u") =!= col("v"))
+        .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      val mins = directed.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val joined = directed.join(mins, "u")
+      joined.select(col("v").as("n"), col("m"))
+        .unionAll(mins.select(col("u").as("n"), col("m")))
+        .filter(col("n") =!= col("m"))
+        .select(col("n").as("u"), col("m").as("v")).distinct()
+    }
+    val nodes = chk(pairs.select(col("id_a").as("n"))
+      .unionAll(pairs.select(col("id_b").as("n"))).distinct())
+    var edges = chk(pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+      .filter(col("u") =!= col("v")).distinct())
+    var iter = 0
+    var converged = edges.isEmpty
+    while (!converged && iter < maxIter) {
+      val next = chk(smallStar(largeStar(edges)))
+      iter += 1
+      // Fixpoint when the edge set is stable (both sides checkpointed, so
+      // the probe is two cheap jobs on the shrinking edge list).
+      converged = next.count() == edges.count() &&
+        next.except(edges).limit(1).isEmpty
+      edges = next
+    }
+    if (!converged) {
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"connectedComponentsAlternating: maxIter=$maxIter exhausted without convergence")
+    }
+    // At fixpoint edges = (node, component-min) stars; singletons and
+    // component roots label themselves.
+    nodes.join(edges, col("n") === col("u"), "left")
+      .select(col("n").as(idCol), coalesce(col("v"), col("n")).as("component"))
+  }
+
   /** Embedding near-duplicate pairs by cosine ≥ threshold, via banded
     * multi-table sign-LSH (Charikar 2002 + the AND-OR amplification of MMDS
     * ch.3): each of `nTables` tables buckets a vector by the signs of

@@ -104,6 +104,27 @@ class DedupSpec extends AnyFunSuite {
     assert(anyFile(new java.io.File(dir)), s"no checkpoint files under $dir")
   }
 
+  test("alternating large-star/small-star agrees with min-label propagation") {
+    val rnd = new scala.util.Random(31)
+    // random graph: 120 nodes, 150 random edges + isolated-pair + self-loop
+    val pairs = ((0 until 150).map { _ =>
+      (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong)
+    } :+ (500L, 501L) :+ (600L, 600L)).toDF("id_a", "id_b")
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a = toMap(Dedup.connectedComponents(pairs, "doc_id", maxIter = 40))
+    val b = toMap(Dedup.connectedComponentsAlternating(pairs, "doc_id"))
+    assert(a === b)
+  }
+
+  test("alternating CC collapses a long chain (adversarial for label propagation)") {
+    val chain = (0L until 300L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponentsAlternating(chain, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.size === 301)
+    assert(comp.values.toSet === Set(0L), "all chain nodes must reach component 0")
+  }
+
   test("embedding near-dup pairs by cosine threshold (exact mode)") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)),
