@@ -320,6 +320,52 @@ object PipelineQueries {
         .orderBy("id")
     }, Some(multimodalOracle("id"))),
 
+    // ── corpus statistics: top-k vocabulary with doc frequency ───────────
+    // One explode + map-side partial aggregation + TakeOrdered(k) — the
+    // vocabulary shuffle carries distinct tokens per partition, never
+    // per-occurrence rows, and no global sort.
+    ("vocab_topk", (s, d) =>
+      TextAnalysis.vocabulary(T(s, d, "documents"), "doc_id", "text", k = 100)
+        .orderBy(col("cnt").desc, col("token").asc),
+      Some(raw"""SELECT token, COUNT(*) AS cnt, COUNT(DISTINCT doc_id) AS doc_freq
+                 FROM (SELECT doc_id,
+                              unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS token
+                       FROM documents)
+                 GROUP BY token
+                 ORDER BY cnt DESC, token ASC LIMIT 100""")),
+
+    // ── benchmark decontamination: n-gram collision flagging ─────────────
+    // Benchmark = docs 0..9 (stand-in test set, broadcast side); corpus =
+    // the rest, flagged when ≥20% of its 8-gram set collides.
+    ("contamination", (s, d) => {
+      val docs = T(s, d, "documents")
+      Dedup.ngramContamination(
+        corpus = docs.filter(col("doc_id") >= 10),
+        benchmark = docs.filter(col("doc_id") < 10),
+        idCol = "doc_id", textCol = "text", width = 8, threshold = 0.2)
+        .orderBy("doc_id")
+    },
+      Some("""WITH bs AS (
+                SELECT DISTINCT substr(text, CAST(i AS INT), 8) AS shingle
+                FROM documents,
+                LATERAL (SELECT unnest(generate_series(1, GREATEST(length(text) - 7, 1)))) t(i)
+                WHERE doc_id < 10),
+              cs AS (
+                SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 8) AS shingle
+                FROM documents,
+                LATERAL (SELECT unnest(generate_series(1, GREATEST(length(text) - 7, 1)))) t(i)
+                WHERE doc_id >= 10),
+              sizes AS (SELECT doc_id, COUNT(*) AS total_ngrams FROM cs GROUP BY doc_id),
+              hits AS (SELECT cs.doc_id, COUNT(*) AS overlap_ngrams
+                       FROM cs JOIN bs USING (shingle) GROUP BY cs.doc_id)
+              SELECT s.doc_id,
+                     CAST(COALESCE(h.overlap_ngrams, 0) AS BIGINT) AS overlap_ngrams,
+                     s.total_ngrams,
+                     CAST(COALESCE(h.overlap_ngrams, 0) AS DOUBLE) / CAST(s.total_ngrams AS DOUBLE) AS contamination
+              FROM sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id
+              WHERE CAST(COALESCE(h.overlap_ngrams, 0) AS DOUBLE) / CAST(s.total_ngrams AS DOUBLE) >= 0.2
+              ORDER BY s.doc_id""")),
+
     // ── dataset curation: deterministic sampling / splits / packing ──────
     // Content-addressed Bernoulli sampling: keep iff md5-hash(salt++key)
     // < rate·2³² — reproducible across engines/runs/partitionings,

@@ -355,6 +355,40 @@ object Dedup {
     labels.select(col("u").as(idCol), col("label").as("component"))
   }
 
+  /** Benchmark decontamination: flag corpus documents whose character
+    * n-gram overlap with a BENCHMARK document set crosses `threshold` —
+    * the "remove test-set contamination before pretraining" step (n-gram
+    * collision flagging as popularized by the GPT-3/PaLM decontamination
+    * appendices).
+    *
+    * Scale shape: the benchmark side is tiny by construction (test sets),
+    * so its distinct shingle set is BROADCAST — the corpus streams
+    * scan-local through explode → broadcast-semi-join → per-doc count, with
+    * map-side partial aggregation and no corpus shuffle beyond the final
+    * per-doc count. Returns (idCol, overlap_ngrams, total_ngrams,
+    * contamination) for flagged docs.
+    */
+  def ngramContamination(
+      corpus: DataFrame, benchmark: DataFrame, idCol: String, textCol: String,
+      width: Int, threshold: Double): DataFrame = {
+    val corpusSh = shingleRows(corpus, idCol, textCol, width)
+    val benchSh = benchmark.select(col(textCol))
+      .select(explode(transform(
+        sequence(lit(1), greatest(length(col(textCol)) - (width - 1), lit(1))),
+        i => col(textCol).substr(i, lit(width)))).as("shingle"))
+      .distinct()
+    val sizes = corpusSh.groupBy(col(idCol)).agg(count(lit(1)).as("total_ngrams"))
+    val hits = corpusSh.join(broadcast(benchSh), "shingle")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("overlap_ngrams"))
+    sizes.join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("overlap_ngrams"), lit(0L)).as("overlap_ngrams"),
+        col("total_ngrams"),
+        (coalesce(col("overlap_ngrams"), lit(0L)).cast("double") /
+          col("total_ngrams").cast("double")).as("contamination"))
+      .filter(col("contamination") >= threshold)
+  }
+
   /** Connected components via alternating large-star / small-star rounds
     * (Kiveris et al., "Connected Components in MapReduce and Beyond",
     * 2014) — the adversarial-graph scale path next to

@@ -103,4 +103,19 @@ object TextAnalysis {
     val codes = transform(split(norm, ""), ch => ascii(ch).cast("long"))
     aggregate(codes, lit(0L), (acc, c) => pmod(acc * 31 + c, lit(2147483647L)))
   }
+
+  /** Corpus vocabulary: the `k` most frequent lowercased whitespace tokens
+    * with counts and document frequency. One explode + one groupBy with
+    * map-side partial aggregation (the shuffle carries one row per distinct
+    * token per partition, not per occurrence), then TakeOrdered(k) — never
+    * a global sort of the vocabulary. Deterministic tiebreak: count desc,
+    * token asc. */
+  def vocabulary(
+      df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      k: Int): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol), explode(tokens(lower(col(textCol)))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"), count_distinct(col(idCol)).as("doc_freq"))
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(k)
 }

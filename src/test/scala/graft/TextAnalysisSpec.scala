@@ -68,4 +68,29 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(hs("a") === hs("b"))
     assert(hs("a") !== hs("c"))
   }
+
+  test("vocabulary: counts, doc frequency, deterministic top-k order") {
+    val docs = Seq(
+      (1L, "the cat The dog"),
+      (2L, "the dog runs"),
+      (3L, "cat")).toDF("doc_id", "text")
+    val v = TextAnalysis.vocabulary(docs, "doc_id", "text", k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // "the": 3 occurrences (case-folded) in 2 docs; ties broken by token asc
+    assert(v.toSeq === Seq(("the", 3L, 2L), ("cat", 2L, 2L), ("dog", 2L, 2L)))
+  }
+
+  test("ngram contamination: benchmark overlap flags only contaminated docs") {
+    val bench = Seq((100L, "abcdefghijklmnop")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "abcdefghijklmnop"),        // identical → contamination 1.0
+      (2L, "zzzzzzzzzzzzzzzz"),        // disjoint → 0.0
+      (3L, "xxabcdefghijklmn")).toDF("doc_id", "text") // partial overlap
+    val out = graft.ops.Dedup.ngramContamination(
+      corpus, bench, "doc_id", "text", width = 8, threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("contamination")).toMap
+    assert(out.keySet === Set(1L, 3L))
+    assert(out(1L) === 1.0)
+    assert(out(3L) > 0.5 && out(3L) < 1.0)
+  }
 }
