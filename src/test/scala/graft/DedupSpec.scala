@@ -104,6 +104,20 @@ class DedupSpec extends AnyFunSuite {
     assert(anyFile(new java.io.File(dir)), s"no checkpoint files under $dir")
   }
 
+  test("one jaccardDocs frame serves multiple thresholds (shared-stage composition)") {
+    val docs6 = Dedup.jaccardDocs(docs, "doc_id", "text", width = 4, k = 8)
+    val loose = Dedup.jaccardPairsFromDocs(docs6, "doc_id", threshold = 0.2, k = 8, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val tight = Dedup.jaccardPairsFromDocs(docs6, "doc_id", threshold = 0.99, k = 8, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tight.subsetOf(loose), "tighter threshold must be a subset")
+    assert(tight.contains((1L, 2L)), "exact dup survives any threshold")
+    val direct = Dedup.jaccardPairsLsh(docs, "doc_id", "text",
+      width = 4, threshold = 0.2, k = 8, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(direct === loose, "composed path must equal the one-shot path")
+  }
+
   test("alternating large-star/small-star agrees with min-label propagation") {
     val rnd = new scala.util.Random(31)
     // random graph: 120 nodes, 150 random edges + isolated-pair + self-loop
