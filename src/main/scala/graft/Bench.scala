@@ -13,7 +13,8 @@ object Bench {
     "sessionize", "dedup_exact", "dedup_minhash_sig", "dedup_minhash_pairs",
     "dedup_jaccard_pairs", "dedup_components", "dedup_simhash", "text_stats",
     "pipeline_clean", "ann_brute_topk", "ann_lsh_topk", "ann_lsh_multiprobe",
-    "ann_ivf_topk", "embed_neardup", "sample_stratified", "pack_sequences")
+    "ann_ivf_topk", "embed_neardup", "sample_stratified", "pack_sequences",
+    "pipeline_curate")
 
   def main(args: Array[String]): Unit = {
     // Iteration aid: SPARK_GRAFT_ONLY=q1,q2 restricts the run to a subset.

@@ -9,7 +9,9 @@ object Explain {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("scan_project", "filter_pushdown", "q1_agg", "join_broadcast",
-        "join_multi", "topk", "replace_dedup", "dedup_minhash_sig", "embed_neardup")
+        "join_multi", "topk", "replace_dedup", "dedup_minhash_sig", "embed_neardup",
+        "dedup_jaccard_pairs", "pack_sequences", "sample_hash", "contamination",
+        "vocab_topk", "ann_ivf_topk")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.adaptive.enabled", "true")

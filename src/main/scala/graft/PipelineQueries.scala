@@ -18,10 +18,12 @@ object PipelineQueries {
 
   private def T(s: SparkSession, dir: String, n: String): DataFrame = Engine.table(s, dir, n)
 
-  /** DuckDB CTE producing (doc_id, shingle) — mirrors Dedup.shingleRows. */
-  private def shingleCte(w: Int): String =
+  /** DuckDB CTE producing (doc_id, shingle) — mirrors Dedup.shingleRows.
+    * `src` parameterizes the source relation so composed pipelines can run
+    * the same construction over a filtered CTE. */
+  private def shingleCte(w: Int, src: String = "documents"): String =
     s"""sh AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), $w) AS shingle
-       |  FROM documents,
+       |  FROM $src,
        |  LATERAL (SELECT unnest(generate_series(1, GREATEST(length(text) - ${w - 1}, 1)))) t(i))""".stripMargin
 
   // LSH parameters: k=64 MinHash values in 16 bands of r=4 — the S-curve
@@ -63,8 +65,8 @@ object PipelineQueries {
     * bands → candidate pairs. `bases` is distinct at the HASH level — the
     * same hashed shingle sets the engine verifies on (Dedup.jaccardDocs);
     * MINs are unaffected by the distinct. */
-  private def candCtes(w: Int): String =
-    s"""${shingleCte(w)},
+  private def candCtes(w: Int, src: String = "documents"): String =
+    s"""${shingleCte(w, src)},
        bases AS (SELECT DISTINCT doc_id, ${duckBase("shingle")} AS mhb FROM sh),
        sig AS (SELECT doc_id, $sigSelect FROM bases GROUP BY doc_id),
        bands AS (
@@ -447,11 +449,34 @@ object PipelineQueries {
       scored.filter(col("quality") >= 0.5)
         .join(dupIds, Seq("doc_id"), "left_anti")
         .orderBy("doc_id")
-    }, Some(pipelineCleanOracle)))
+    }, Some(pipelineCleanOracle)),
+
+    // ── the FULL curation flagship: deterministic subsample → quality +
+    //    language gate → near-dup removal (over the sample) → token-budget
+    //    sequence packing, one composed plan — every stage an operator
+    //    verified above, the composition oracle-checked end to end. ──────
+    ("pipeline_curate", (s, d) => {
+      val sampled = Sampling.hashSample(
+        T(s, d, "documents"), col("doc_id"), rate = 0.8, salt = "cur")
+      val scored = sampled.select(
+        col("doc_id"),
+        TextAnalysis.langId(col("text")).as("lang_pred"),
+        TextAnalysis.qualityScore(col("text")).as("quality"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok"))
+      val dupIds = Dedup.jaccardPairsLsh(sampled, "doc_id", "text",
+        width = 6, threshold = 0.6, k = minhashK, bands = minhashBands)
+        .select(col("id_b").as("doc_id")).distinct()
+      val kept = scored.filter(col("quality") >= 0.5)
+        .join(dupIds, Seq("doc_id"), "left_anti")
+      Packing.packBins(kept, "doc_id", "n_tok", budget = 2048)
+        .select(col("doc_id"), col("lang_pred"), col("quality"),
+          col("n_tok"), col("cum_tokens"), col("bin"))
+        .orderBy("doc_id")
+    }, Some(pipelineCurateOracle)))
 
   /** Shared CTE chain producing jaccard pairs at a threshold. */
-  private def jaccardPairsCtes(threshold: Double): String =
-    s"""${candCtes(6)},
+  private def jaccardPairsCtes(threshold: Double, src: String = "documents"): String =
+    s"""${candCtes(6, src)},
        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM bases GROUP BY doc_id),
        common AS (
          SELECT cd.id_a, cd.id_b, COUNT(*) AS nc
@@ -521,6 +546,60 @@ object PipelineQueries {
        SELECT doc_id, lang_pred, quality FROM q
        WHERE quality >= 0.5 AND doc_id NOT IN (SELECT doc_id FROM dup)
        ORDER BY doc_id"""
+  }
+
+  /** End-to-end oracle for pipeline_curate: deterministic sample CTE →
+    * the jaccard-pair CTEs over the SAMPLE → the lang/quality expressions →
+    * the packing prefix-sum window — each block the verified construction
+    * from the corresponding standalone query. */
+  private lazy val pipelineCurateOracle: String = {
+    val marks = TextAnalysis.langMarkers.toSeq.sortBy(_._1)
+    def ratio(markers: Seq[String]): String = {
+      val lst = markers.map(m => s"'$m'").mkString("[", ",", "]")
+      s"""CAST(len(list_filter(toks, x -> list_contains($lst, lower(x)))) AS DOUBLE)
+         | / CAST(GREATEST(len(toks), 1) AS DOUBLE)""".stripMargin
+    }
+    val scoreCols = marks.map { case (lang, m) => s"(${ratio(m)}) AS s_$lang" }.mkString(", ")
+    val sampleCond =
+      s"${duckBase("concat('cur', CAST(doc_id AS VARCHAR))")} < ${(0.8 * 4294967296.0).toLong}"
+    raw"""WITH samp AS (SELECT * FROM documents WHERE $sampleCond),
+       ${jaccardPairsCtes(0.6, "samp")},
+       dup AS (SELECT DISTINCT id_b AS doc_id FROM jp),
+       tok AS (
+         SELECT doc_id, text,
+                list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+         FROM samp),
+       scored AS (SELECT doc_id, text, toks, $scoreCols FROM tok),
+       q AS (
+         SELECT doc_id,
+           CASE WHEN len(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) * 3 > len(text) THEN 'zh'
+                WHEN GREATEST(s_de, s_en, s_es, s_fr) > 0 THEN
+                  CASE WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+                       WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+                       WHEN s_en >= s_de THEN 'en'
+                       ELSE 'de' END
+                ELSE 'und' END AS lang_pred,
+           round(
+             (CASE WHEN len(text) BETWEEN 20 AND 5000 THEN 0.25 ELSE 0.0 END) +
+             (CASE WHEN (CASE WHEN len(toks) > 0
+                         THEN CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+                         ELSE 0.0 END) BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0.0 END) +
+             (CASE WHEN (CASE WHEN len(text) > 0
+                         THEN CAST(len(text) - len(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS DOUBLE) / CAST(len(text) AS DOUBLE)
+                         ELSE 0.0 END) <= 0.2 THEN 0.25 ELSE 0.0 END) +
+             (CASE WHEN (CASE WHEN len(toks) > 0
+                         THEN CAST(len(list_filter(toks, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','this','for','on','with','as','at','by','be','are'], lower(x)))) AS DOUBLE)
+                              / CAST(len(toks) AS DOUBLE)
+                         ELSE 0.0 END) BETWEEN 0.01 AND 0.6 THEN 0.25 ELSE 0.0 END), 2) AS quality,
+           CAST(len(toks) AS BIGINT) AS n_tok
+         FROM scored),
+       kept AS (
+         SELECT doc_id, lang_pred, quality, n_tok FROM q
+         WHERE quality >= 0.5 AND doc_id NOT IN (SELECT doc_id FROM dup))
+       SELECT doc_id, lang_pred, quality, n_tok,
+              SUM(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens,
+              (SUM(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok) // 2048 AS bin
+       FROM kept ORDER BY doc_id"""
   }
 
   /** DuckDB replica of Multimodal.fakeDecodeFeatures over utf8-text

@@ -44,7 +44,7 @@ object Aggregates {
     val overflowNonEmpty = overflow.join(
       broadcast(overflowSrc.limit(1).select(lit(1).as("__n"))), Seq("__n"), "left_semi")
       .drop("__n")
-    kept.unionByName(overflowNonEmpty.select(kept.columns.map(col): _*))
+    kept.unionByName(overflowNonEmpty.select(kept.columns.toIndexedSeq.map(col): _*))
   }
 
   /** GROUP BY overflow modes — the reference's `OverflowMode` enum

@@ -108,17 +108,38 @@ object Dedup {
 
   /** LSH band-bucket candidate pairs from a signature frame. The band key is
     * the plain '|'-joined r-tuple (exact equality — no hash, no collisions;
-    * string concat is reproduced verbatim by the SQL oracle). */
+    * string concat is reproduced verbatim by the SQL oracle).
+    *
+    * `maxBucketSize` (default unlimited — no behavior change) is the skew
+    * guard for adversarial corpora: a bucket of m docs contributes m²/2
+    * pairs, so one boilerplate-heavy bucket can dominate the whole job.
+    * Production dedup pipelines cap or drop super-frequent buckets and
+    * accept the bounded recall loss on exactly the documents that are
+    * near-duplicates of thousands of others (which downstream clustering
+    * would collapse anyway). Docs in a capped bucket usually still meet
+    * through their other bands. */
   def minhashCandidatePairsFromSig(
-      sig: DataFrame, idCol: String, k: Int, bands: Int): DataFrame = {
+      sig: DataFrame, idCol: String, k: Int, bands: Int,
+      maxBucketSize: Long = Long.MaxValue): DataFrame = {
     require(k % bands == 0, s"k=$k must divide into bands=$bands")
     val r = k / bands
     val bandCols = (0 until bands).map { bnd =>
       val parts = (0 until r).map(i => col(s"mh_${bnd * r + i}"))
       struct(lit(bnd).as("band"), concat_ws("|", parts: _*).as("bh"))
     }
-    val buckets = sig.select(col(idCol), explode(array(bandCols: _*)).as("bk"))
+    val bucketsAll = sig.select(col(idCol), explode(array(bandCols: _*)).as("bk"))
       .select(col(idCol), col("bk.band").as("band"), col("bk.bh").as("bh"))
+    val buckets =
+      if (maxBucketSize == Long.MaxValue) bucketsAll
+      else {
+        // One extra aggregation on the (band, bh) key — map-side combined,
+        // so the shuffle carries one row per distinct bucket per partition.
+        val keep = bucketsAll.groupBy(col("band"), col("bh"))
+          .agg(count(lit(1)).as("__bsz"))
+          .filter(col("__bsz") <= maxBucketSize)
+          .select(col("band"), col("bh"))
+        bucketsAll.join(keep, Seq("band", "bh"))
+      }
     val a = buckets.as("a")
     val b = buckets.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&

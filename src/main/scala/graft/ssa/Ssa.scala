@@ -170,7 +170,7 @@ object ProgramStep {
         s"duplicate column in assign: ${a.name}")
       acc += a.name -> eval(a, resolve)
     }
-    df.select(df.columns.map(col) ++ acc.map { case (n, c) => c.as(n) }: _*)
+    df.select(df.columns.toIndexedSeq.map(col) ++ acc.map { case (n, c) => c.as(n) }: _*)
   }
 
   private[ssa] def aggColumn(a: AggregateAssign): Column = {

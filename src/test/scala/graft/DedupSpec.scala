@@ -104,6 +104,24 @@ class DedupSpec extends AnyFunSuite {
     assert(anyFile(new java.io.File(dir)), s"no checkpoint files under $dir")
   }
 
+  test("hot-bucket cap drops super-frequent buckets, keeps normal pairs") {
+    // 30 identical docs share every band bucket (bucket size 30); one
+    // distinct near-dup pair sits in its own buckets of size 2.
+    val many = (0L until 30L).map(i => (i, "common text shared by everyone"))
+    val pair = Seq((100L, "a unique document body"), (101L, "a unique document bodX"))
+    val df = (many ++ pair).toDF("doc_id", "text")
+    val sig = Dedup.minhashSignature(df, "doc_id", "text", width = 4, k = 8)
+    val unc = Dedup.minhashCandidatePairsFromSig(sig, "doc_id", k = 8, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Dedup.minhashCandidatePairsFromSig(sig, "doc_id", k = 8, bands = 4,
+      maxBucketSize = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(unc.contains((0L, 1L)) && unc.contains((100L, 101L)))
+    assert(!capped.exists { case (x, y) => x < 30L && y < 30L },
+      "capped run must drop the hot 30-doc bucket's pairs")
+    assert(capped.contains((100L, 101L)), "normal buckets must survive the cap")
+  }
+
   test("one jaccardDocs frame serves multiple thresholds (shared-stage composition)") {
     val docs6 = Dedup.jaccardDocs(docs, "doc_id", "text", width = 4, k = 8)
     val loose = Dedup.jaccardPairsFromDocs(docs6, "doc_id", threshold = 0.2, k = 8, bands = 4)
