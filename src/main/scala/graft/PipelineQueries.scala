@@ -322,6 +322,35 @@ object PipelineQueries {
         .orderBy("id")
     }, Some(multimodalOracle("id"))),
 
+    // ── as-of (point-in-time) join: for each 'view' event, the most
+    //    recent same-user 'click' value at or before it. Spark has no
+    //    native ASOF JOIN; graft.ops.AsOfJoin composes it as union + one
+    //    keyed window (single shuffle, gap-independent). DuckDB's native
+    //    ASOF JOIN is the oracle. ─────────────────────────────────────────
+    ("asof_join", (s, d) => {
+      val ev = T(s, d, "events")
+      val probes = ev.filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val quotes = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts")).agg(max(col("value")).as("qv"))
+      graft.ops.AsOfJoin.asOf(probes, quotes, "user_id", "ts", "qv")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          unix_micros(col("asof_ts")).as("asof_ts_us"),
+          col("asof_val"))
+        .orderBy("event_id")
+    },
+      Some("""WITH probes AS (
+                SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+              quotes AS (
+                SELECT user_id, ts, MAX(value) AS qv FROM events
+                WHERE event_type = 'click' GROUP BY user_id, ts)
+              SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+                     epoch_us(q.ts) AS asof_ts_us, q.qv AS asof_val
+              FROM probes p ASOF LEFT JOIN quotes q
+                ON p.user_id = q.user_id AND p.ts >= q.ts
+              ORDER BY p.event_id""")),
+
     // ── corpus statistics: top-k vocabulary with doc frequency ───────────
     // One explode + map-side partial aggregation + TakeOrdered(k) — the
     // vocabulary shuffle carries distinct tokens per partition, never
