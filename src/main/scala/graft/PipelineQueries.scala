@@ -351,6 +351,34 @@ object PipelineQueries {
                 ON p.user_id = q.user_id AND p.ts >= q.ts
               ORDER BY p.event_id""")),
 
+    // ── bucketed range join: click events falling inside the hour after
+    //    any same-user purchase. A raw BETWEEN predicate plans as a
+    //    nested-loop join; bucketing turns it into a shuffle hash join on
+    //    (user, hour-bucket) + exact re-check. ────────────────────────────
+    ("range_join", (s, d) => {
+      val ev = T(s, d, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("pt"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("w_start"),
+          (unix_micros(col("ts")) + 3600000000L).as("w_end"))
+      graft.ops.RangeJoin.pointInInterval(clicks, purchases, "user_id",
+        "pt", "w_start", "w_end", bucketWidth = 3600000000L)
+        .select(col("event_id"), col("user_id"), col("pt"), col("w_start"))
+        .orderBy("event_id", "w_start")
+    },
+      Some("""WITH clicks AS (
+                SELECT event_id, user_id, epoch_us(ts) AS pt FROM events
+                WHERE event_type = 'click'),
+              purchases AS (
+                SELECT user_id, epoch_us(ts) AS w_start,
+                       epoch_us(ts) + 3600000000 AS w_end
+                FROM events WHERE event_type = 'purchase')
+              SELECT c.event_id, c.user_id, c.pt, p.w_start
+              FROM clicks c JOIN purchases p
+                ON c.user_id = p.user_id AND c.pt BETWEEN p.w_start AND p.w_end
+              ORDER BY c.event_id, p.w_start""")),
+
     // ── corpus statistics: top-k vocabulary with doc frequency ───────────
     // One explode + map-side partial aggregation + TakeOrdered(k) — the
     // vocabulary shuffle carries distinct tokens per partition, never

@@ -37,6 +37,26 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out(5L) === ((None, None)))
   }
 
+  test("bucketed range join equals the brute-force BETWEEN join, any bucket width") {
+    val rnd = new scala.util.Random(29)
+    val points = (0L until 400L).map(i => (i, rnd.nextInt(4).toLong, rnd.nextInt(10000).toLong))
+      .toDF("pid", "k", "pt")
+    val intervals = (0 until 60).map { i =>
+      val s = rnd.nextInt(10000).toLong
+      (rnd.nextInt(4).toLong, s, s + rnd.nextInt(800).toLong)
+    }.toDF("k", "lo", "hi")
+    def brute = points.join(intervals, Seq("k"))
+      .filter($"pt" >= $"lo" && $"pt" <= $"hi")
+      .select("pid", "k", "pt", "lo", "hi")
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4))).toSet
+    for (w <- Seq(100L, 500L, 4096L)) {
+      val out = graft.ops.RangeJoin.pointInInterval(
+        points, intervals, "k", "pt", "lo", "hi", bucketWidth = w)
+        .collect().map(r => (r.getAs[Long]("pid"), r.getAs[Long]("lo"), r.getAs[Long]("hi"))).toSet
+      assert(out === brute, s"bucketWidth=$w")
+    }
+  }
+
   test("agrees with a brute-force per-probe scan on random data") {
     val rnd = new scala.util.Random(17)
     val probes = (0L until 300L).map(i => (i, rnd.nextInt(5).toLong, ts(rnd.nextInt(50))))
