@@ -271,6 +271,39 @@ object PipelineQueries {
                                ELSE 0.0 END) BETWEEN 0.01 AND 0.6 THEN 0.25 ELSE 0.0 END), 2) AS quality
                FROM documents ORDER BY doc_id""")),
 
+    // Repetition quality signals (Gopher-rule family): duplicate-line
+    // fraction + most-frequent-bigram share per doc.
+    ("rep_stats", (s, d) =>
+      TextAnalysis.repetitionStats(T(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some(raw"""WITH lines AS (
+                   SELECT doc_id,
+                          list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+                                      x -> len(x) > 0) AS ls
+                   FROM documents),
+                 lstats AS (
+                   SELECT doc_id,
+                          CASE WHEN len(ls) > 0
+                               THEN 1.0 - CAST(len(list_distinct(ls)) AS DOUBLE) / CAST(len(ls) AS DOUBLE)
+                               ELSE 0.0 END AS dup_line_frac
+                   FROM lines),
+                 tk AS (
+                   SELECT doc_id,
+                          list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS tk
+                   FROM documents),
+                 bg AS (
+                   SELECT doc_id, concat_ws(' ', tk[CAST(i AS INT)], tk[CAST(i + 1 AS INT)]) AS bg
+                   FROM tk, LATERAL (SELECT unnest(generate_series(1, len(tk) - 1))) t(i)
+                   WHERE len(tk) >= 2),
+                 cnt AS (SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY doc_id, bg),
+                 share AS (
+                   SELECT doc_id, CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_bigram_share
+                   FROM cnt GROUP BY doc_id)
+                 SELECT l.doc_id, l.dup_line_frac,
+                        COALESCE(s.top_bigram_share, 0.0) AS top_bigram_share
+                 FROM lstats l LEFT JOIN share s ON l.doc_id = s.doc_id
+                 ORDER BY l.doc_id""")),
+
     ("lang_id", (s, d) =>
       T(s, d, "documents").select(
         col("doc_id"),

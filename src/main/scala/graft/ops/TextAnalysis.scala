@@ -118,4 +118,39 @@ object TextAnalysis {
       .agg(count(lit(1)).as("cnt"), count_distinct(col(idCol)).as("doc_freq"))
       .orderBy(col("cnt").desc, col("token").asc)
       .limit(k)
+
+  /** Repetition quality signals (the Gopher-rule family — Rae et al. 2021
+    * §A1.1 filters on exactly these): per document,
+    *  - `dup_line_frac`: 1 − distinct/total over non-empty trimmed lines —
+    *    boilerplate and scraped nav bars repeat lines;
+    *  - `top_bigram_share`: occurrences of the most frequent word bigram
+    *    over all bigrams — degenerate generative loops repeat phrases.
+    *
+    * Line stats are pure array expressions (scan-local). The bigram mode
+    * is explode + two-level aggregation — O(bigrams) shuffle rows with
+    * map-side combine, never the O(len²) per-row array self-scan that an
+    * expression-only formulation would need. Docs with <2 tokens score 0. */
+  def repetitionStats(
+      df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String
+  ): org.apache.spark.sql.DataFrame = {
+    val lines = filter(transform(split(col(textCol), "\n"), l => trim(l)),
+      l => length(l) > 0)
+    val lineStats = df.select(
+      col(idCol),
+      when(size(lines) > 0,
+        lit(1.0) - size(array_distinct(lines)).cast("double") / size(lines).cast("double"))
+        .otherwise(lit(0.0)).as("dup_line_frac"))
+    val tk = df.select(col(idCol), tokens(col(textCol)).as("tk"))
+    val bigrams = tk.filter(size(col("tk")) >= 2)
+      .select(col(idCol), explode(transform(
+        sequence(lit(1), size(col("tk")) - 1),
+        i => concat_ws(" ", element_at(col("tk"), i), element_at(col("tk"), i + 1))))
+        .as("bg"))
+    val share = bigrams.groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg((max(col("c")).cast("double") / sum(col("c")).cast("double")).as("top_bigram_share"))
+    lineStats.join(share, Seq(idCol), "left")
+      .select(col(idCol), col("dup_line_frac"),
+        coalesce(col("top_bigram_share"), lit(0.0)).as("top_bigram_share"))
+  }
 }

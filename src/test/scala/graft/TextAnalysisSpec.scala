@@ -80,6 +80,20 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(v.toSeq === Seq(("the", 3L, 2L), ("cat", 2L, 2L), ("dog", 2L, 2L)))
   }
 
+  test("repetition stats: duplicate lines and dominant bigrams are scored") {
+    val docs = Seq(
+      (1L, "aa bb\naa bb\ncc dd"),        // 3 lines, 2 distinct → dup 1/3
+      (2L, "go go go go"),                // bigrams: "go go" ×3 → share 1.0
+      (3L, "all words here differ now"),  // 4 distinct bigrams → share 1/4
+      (4L, "one")).toDF("doc_id", "text") // <2 tokens → share 0
+    val out = TextAnalysis.repetitionStats(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(math.abs(out(1L)._1 - 1.0 / 3) < 1e-12)
+    assert(out(2L) === ((0.0, 1.0)))
+    assert(out(3L)._2 === 0.25)
+    assert(out(4L) === ((0.0, 0.0)))
+  }
+
   test("ngram contamination: benchmark overlap flags only contaminated docs") {
     val bench = Seq((100L, "abcdefghijklmnop")).toDF("doc_id", "text")
     val corpus = Seq(
