@@ -487,6 +487,29 @@ object PipelineQueries {
                           ELSE ${(0.6 * 4294967296.0).toLong} END
                ORDER BY doc_id""")),
 
+    // Weighted data mixture with epochs: integer part = full copies,
+    // fractional part = epoch-salted hash sample — one scan, no shuffle.
+    ("sample_mixture", (s, d) =>
+      Sampling.weightedEpochMix(T(s, d, "documents"), col("doc_id"), col("lang"),
+        weights = Map("en" -> 1.5, "zh" -> 3.0), defaultWeight = 0.5, salt = "mx")
+        .select(col("doc_id"), col("lang"), col("epoch"))
+        .orderBy("doc_id", "epoch"),
+      Some(s"""WITH w AS (
+                 SELECT doc_id, lang,
+                        CASE WHEN lang = 'en' THEN 1.5
+                             WHEN lang = 'zh' THEN 3.0
+                             ELSE 0.5 END AS w
+                 FROM documents),
+               e AS (
+                 SELECT doc_id, lang, w, CAST(i AS INT) AS epoch
+                 FROM w, LATERAL (SELECT unnest(generate_series(0, CAST(ceil(w) AS INT) - 1))) t(i)
+                 WHERE w > 0)
+               SELECT doc_id, lang, epoch FROM e
+               WHERE epoch < floor(w)
+                  OR ${duckBase("concat('mx', CAST(epoch AS VARCHAR), ':', CAST(doc_id AS VARCHAR))")}
+                     < CAST(trunc((w - floor(w)) * 4294967296.0) AS BIGINT)
+               ORDER BY doc_id, epoch""")),
+
     // Sequence packing: token-budget bins in doc_id order via the two-phase
     // distributed prefix sum (no corpus-wide single-partition window); the
     // oracle replays it with a plain global SUM OVER — bit-exact integers.

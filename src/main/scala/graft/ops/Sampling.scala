@@ -48,4 +48,33 @@ object Sampling {
   def splitColumn(key: Column, holdoutRate: Double, salt: String = ""): Column =
     when(sampleHash(key, salt) < lit((holdoutRate * Pow32).toLong), lit("holdout"))
       .otherwise(lit("train"))
+
+  /** Weighted data mixture with epochs: stratum s appears `weights(s)`
+    * times in expectation — full copies for the integer part (tagged with
+    * an `epoch` column) plus a deterministic hash-sample of the fractional
+    * remainder (epoch-salted, so each epoch's partial sample is
+    * independent). Weight 2.3 = every row twice plus a 30% third pass —
+    * exactly how pretraining mixtures oversample high-quality corpora.
+    *
+    * ONE scan: the epoch fan-out is an explode over ceil(w) ints, and the
+    * filter is the same scan-local hash predicate as [[hashSample]] — no
+    * shuffle, no per-source re-scans. Weight 0 drops the stratum. */
+  def weightedEpochMix(
+      df: DataFrame, key: Column, stratum: Column,
+      weights: Map[String, Double], defaultWeight: Double,
+      salt: String = ""): DataFrame = {
+    require((weights.values ++ Seq(defaultWeight)).forall(_ >= 0.0), "weights must be >= 0")
+    val w = weights.foldLeft(lit(defaultWeight)) {
+      case (acc, (s, r)) => when(stratum === s, lit(r)).otherwise(acc)
+    }
+    val epochHash = Dedup.shingleBase(
+      concat(lit(salt), col("epoch").cast("string"), lit(":"), key.cast("string")))
+    df.withColumn("__w", w)
+      .filter(col("__w") > 0)
+      .withColumn("epoch",
+        explode(sequence(lit(0), ceil(col("__w")).cast("int") - 1)))
+      .filter(col("epoch") < floor(col("__w")) ||
+        epochHash < ((col("__w") - floor(col("__w"))) * Pow32).cast("long"))
+      .drop("__w")
+  }
 }

@@ -46,6 +46,22 @@ class CurationSpec extends AnyFunSuite {
     assert(math.abs(splits("holdout") - 2000L) < 170)
   }
 
+  test("weighted epoch mix: integer copies exact, fractional part near rate, weight 0 drops") {
+    val df = ids.withColumn("g",
+      when($"id" % 3 === 0, "a").otherwise(when($"id" % 3 === 1, "b").otherwise("c")))
+    val out = graft.ops.Sampling.weightedEpochMix(df, $"id", $"g",
+      Map("a" -> 2.0, "b" -> 0.4, "c" -> 0.0), defaultWeight = 1.0, salt = "t")
+    val byG = out.groupBy("g").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val na = 3334L; val nb = 3333L
+    assert(byG("a") === 2 * na, "integer weight 2.0 = exactly two copies")
+    assert(math.abs(byG("b") - 0.4 * nb) < 120, s"fractional stratum: ${byG("b")}")
+    assert(!byG.contains("c"), "weight 0 drops the stratum")
+    // epochs of an integer-weight stratum are exact duplicates apart from the tag
+    val epochs = out.filter($"g" === "a").groupBy("epoch").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(epochs === Map(0 -> na, 1 -> na))
+  }
+
   test("packBins: exact global prefix sum, bins respect the budget boundary") {
     val rnd = new scala.util.Random(5)
     val docs = (0L until 5000L).map(i => (i, 1L + rnd.nextInt(500))).toDF("id", "tok")
