@@ -30,4 +30,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 16g default: the dedup/ANN benches cache corpus-scale frames and an 8g
   // heap showed multi-second GC jitter on the composed-pipeline queries.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // Whole-stage codegen emits hundreds of classes across a multi-query
+  // run; the JVM's default 240m code cache flushes mid-run and later
+  // queries fall back to the interpreter (measured: same query 2.9 s early
+  // in a session, 15 s late).
+  "-XX:ReservedCodeCacheSize=1g",
 )

@@ -13,8 +13,9 @@ object Bench {
     "sessionize", "dedup_exact", "dedup_minhash_sig", "dedup_minhash_pairs",
     "dedup_jaccard_pairs", "dedup_components", "dedup_simhash", "text_stats",
     "pipeline_clean", "ann_brute_topk", "ann_lsh_topk", "ann_lsh_multiprobe",
-    "ann_ivf_topk", "embed_neardup", "sample_stratified", "pack_sequences",
-    "pipeline_curate")
+    "ann_ivf_topk", "embed_neardup", "sample_stratified", "sample_mixture",
+    "pack_sequences", "vocab_topk", "contamination", "rep_stats",
+    "asof_join", "range_join", "dedup_components_star", "pipeline_curate")
 
   def main(args: Array[String]): Unit = {
     // Iteration aid: SPARK_GRAFT_ONLY=q1,q2 restricts the run to a subset.
@@ -35,11 +36,31 @@ object Bench {
     // Warm the JVM/codegen paths once so timings measure the engine, not
     // first-query class loading.
     SparkEntry.queries("q1_agg")(spark, sfDir).count()
-    val results = selected.filter(SparkEntry.queries.contains).map { name =>
+    // Cold per-query measurement: operators persist intermediates (shingle
+    // docs, packing frames) that are meant to be shared WITHIN a composed
+    // job, not across unrelated ones — left in place they accumulate over a
+    // 35-query session and skew later timings (storage bookkeeping + GC).
+    // Clearing keeps every line independently reproducible; intra-query
+    // reuse still shows in the composed pipelines' own numbers. BLOCKING
+    // removal: async deletion of multi-GB cache blocks would overlap (and
+    // contend with) the next query's timed window.
+    def clearState(): Unit = {
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    }
+    def timeOnce(name: String): Double = {
       val t0 = System.nanoTime()
       try { SparkEntry.queries(name)(spark, sfDir).count() }
       catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      clearState()
+      dt
+    }
+    // Best of 2: this box is a shared VM with bursty CPU steal (measured
+    // same-binary swings of 3-4× on heavy queries); the min of two cold
+    // runs is robust to a noise burst landing on one of them.
+    val results = selected.filter(SparkEntry.queries.contains).map { name =>
+      name -> math.min(timeOnce(name), timeOnce(name))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum

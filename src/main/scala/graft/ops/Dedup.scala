@@ -458,16 +458,27 @@ object Dedup {
       .unionAll(pairs.select(col("id_b").as("n"))).distinct())
     var edges = chk(pairs.select(col("id_a").as("u"), col("id_b").as("v"))
       .filter(col("u") =!= col("v")).distinct())
+    // Fixpoint probe in ONE job per round: (count, order-independent sum of
+    // per-edge hashes). Equal stats on distinct edge SETS would need a
+    // colliding hash sum — vanishingly unlikely, and the worst case is one
+    // spare round, not a wrong answer (the star transforms are idempotent
+    // at the fixpoint). This halves the driver-paced actions per round vs
+    // a count + except probe — the loop on a shrunken edge list is
+    // scheduling-bound, not data-bound.
+    def stats(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)), sum(xxhash64(col("u"), col("v")))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var cur = stats(edges)
     var iter = 0
-    var converged = edges.isEmpty
+    var converged = cur._1 == 0L
     while (!converged && iter < maxIter) {
       val next = chk(smallStar(largeStar(edges)))
+      val nstats = stats(next)
       iter += 1
-      // Fixpoint when the edge set is stable (both sides checkpointed, so
-      // the probe is two cheap jobs on the shrinking edge list).
-      converged = next.count() == edges.count() &&
-        next.except(edges).limit(1).isEmpty
+      converged = nstats == cur
       edges = next
+      cur = nstats
     }
     if (!converged) {
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
