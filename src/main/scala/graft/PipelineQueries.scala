@@ -384,6 +384,26 @@ object PipelineQueries {
                 ON p.user_id = q.user_id AND p.ts >= q.ts
               ORDER BY p.event_id""")),
 
+    // ── per-group deterministic k-sample via the mergeable bottom-k-by-
+    //    hash UDAF: partial/final hash aggregation, no per-group sort
+    //    shuffle (the window formulation sorts every group's full
+    //    contents). Oracle replays the same md5-hash ranking. ────────────
+    ("agg_bottom_k", (s, d) => {
+      graft.ops.Aggregates.registerHouseFunctions(s)
+      T(s, d, "documents")
+        .groupBy(col("lang")).agg(expr("graft_bottom_k(doc_id)").as("smp"))
+        .select(col("lang"), posexplode(col("smp")))
+        .toDF("lang", "pos", "doc_id")
+        .orderBy("lang", "pos")
+    },
+      Some(s"""SELECT lang, CAST(rn - 1 AS INT) AS pos, doc_id FROM (
+                 SELECT lang, doc_id,
+                        row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn
+                 FROM (SELECT lang, doc_id,
+                              ${duckBase("concat('bk', CAST(doc_id AS VARCHAR))")} AS h
+                       FROM documents))
+               WHERE rn <= 3 ORDER BY lang, pos""")),
+
     // ── bucketed range join: click events falling inside the hour after
     //    any same-user purchase. A raw BETWEEN predicate plans as a
     //    nested-loop join; bucketing turns it into a shuffle hash join on

@@ -109,6 +109,37 @@ object Aggregates {
     def outputEncoder: Encoder[T] = elem
   }
 
+  /** Deterministic per-group k-sample as a MERGEABLE aggregate: keep the k
+    * elements with the smallest md5-derived hash ("bottom-k sketch"). Fully
+    * order-independent — reduce/merge keep a sorted bounded buffer — so it
+    * runs as partial/final hash aggregation with NO per-group sort shuffle;
+    * the window-function formulation (`row_number over (order by hash)`)
+    * sorts every group's full contents instead, which is exactly what you
+    * cannot afford per key at corpus scale. The hash is the same md5-based
+    * 32-bit construction used everywhere else, so a SQL oracle reproduces
+    * the selection bit-for-bit. Returns the sampled values sorted by
+    * (hash, value) for a deterministic output order. */
+  class BottomKByHashAgg(k: Int, salt: String)
+      extends Aggregator[java.lang.Long, Seq[(Long, Long)], Seq[Long]] {
+    require(k > 0)
+    private def hashOf(v: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val h = md.digest((salt + v.toString).getBytes("UTF-8"))
+      ((h(0) & 0xFFL) << 24) | ((h(1) & 0xFFL) << 16) | ((h(2) & 0xFFL) << 8) | (h(3) & 0xFFL)
+    }
+    def zero: Seq[(Long, Long)] = Vector.empty
+    def reduce(b: Seq[(Long, Long)], a: java.lang.Long): Seq[(Long, Long)] =
+      if (a == null) b
+      else ((hashOf(a.longValue()), a.longValue()) +: b).sorted.distinct.take(k)
+    def merge(a: Seq[(Long, Long)], b: Seq[(Long, Long)]): Seq[(Long, Long)] =
+      (a ++ b).sorted.distinct.take(k)
+    def finish(r: Seq[(Long, Long)]): Seq[Long] = r.map(_._2)
+    def bufferEncoder: Encoder[Seq[(Long, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Long)]]()
+    def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
   /** Register the house aggregates on a session — the analog of the
     * reference registering "ch.any" etc. in the arrow FunctionRegistry.
     * One instantiation per element type, like the reference template. */
@@ -116,5 +147,6 @@ object Aggregates {
     spark.udf.register("graft_any_long", udaf(new AnyAgg[java.lang.Long](Encoders.LONG)))
     spark.udf.register("graft_any_double", udaf(new AnyAgg[java.lang.Double](Encoders.DOUBLE)))
     spark.udf.register("graft_any_string", udaf(new AnyAgg[String](Encoders.STRING)))
+    spark.udf.register("graft_bottom_k", udaf(new BottomKByHashAgg(3, "bk")))
   }
 }

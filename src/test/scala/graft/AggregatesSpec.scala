@@ -85,6 +85,21 @@ class AggregatesSpec extends AnyFunSuite {
     assert(rows(2).isNullAt(1) && rows(2).isNullAt(2))
   }
 
+  test("bottom-k-by-hash UDAF: deterministic, partition-invariant, bounded") {
+    Aggregates.registerHouseFunctions(spark)
+    val df = (0L until 500L).map(i => (i % 5, i)).toDF("g", "v")
+    def run(parts: Int) = df.repartition(parts).createOrReplaceTempView("bk") match {
+      case _ => spark.sql("SELECT g, graft_bottom_k(v) AS s FROM bk GROUP BY g")
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    }
+    val a = run(2); val b = run(17)
+    assert(a === b, "sample must not depend on partitioning")
+    assert(a.values.forall(_.size === 3))
+    assert(a.values.forall(s => s.toSet.size === 3))
+    // sample members belong to their group (v % 5 == g)
+    a.foreach { case (g, s) => s.foreach(v => assert(v % 5 === g)) }
+  }
+
   test("OverflowMode.BREAK keeps the smallest keys fully aggregated, drops the rest") {
     val out = Aggregates.withGroupLimit(grouped, "k", 3, Aggregates.OverflowMode.Break)
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet

@@ -81,6 +81,18 @@ class CurationSpec extends AnyFunSuite {
     assert(bins.toSet === (0L to bins.max).toSet)
   }
 
+  test("edge rates and budgets: rate 0/1 exact, budget beyond total = one bin") {
+    assert(Sampling.hashSample(ids, $"id", 0.0, "z").count() === 0L)
+    assert(Sampling.hashSample(ids, $"id", 1.0, "z").count() === 10000L)
+    val docs = (0L until 50L).map(i => (i, 10L)).toDF("id", "tok")
+    val packed = Packing.packBins(docs, "id", "tok", budget = 100000L)
+      .select("bin").distinct().collect().map(_.getLong(0))
+    assert(packed.toSeq === Seq(0L), "budget beyond total tokens = single bin")
+    val one = Packing.packBins(docs, "id", "tok", budget = 10L)
+      .orderBy("id").collect()
+    assert(one.map(_.getAs[Long]("bin")).toSeq === (0L until 50L), "budget = row size → one row per bin")
+  }
+
   test("packBins result is independent of the partition count") {
     val docs = (0L until 2000L).map(i => (i, 1L + (i % 97))).toDF("id", "tok")
     def run(n: Int) = Packing.packBins(docs, "id", "tok", budget = 1000, partitions = n)
