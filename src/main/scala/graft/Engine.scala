@@ -22,6 +22,10 @@ object Engine {
   def session(appName: String = "graft", master: String = "local[*]"): SparkSession = {
     val b = SparkSession.builder()
       .appName(appName)
+      // House SQL functions (vec_dot, sorted_intersect_size, the bit-exact
+      // hash family). NOTE: extensions apply only when this builder CREATES
+      // the session — getOrCreate on an existing session keeps its registry.
+      .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
@@ -32,6 +36,8 @@ object Engine {
     val withMaster = if (master.nonEmpty) b.master(master) else b
     val spark = withMaster.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Aggregator UDAFs register per-session (idempotent re-registration).
+    graft.ops.Aggregates.registerHouseFunctions(spark)
     spark
   }
 

@@ -827,8 +827,9 @@ object PipelineQueries {
       s"sqrt(list_reduce(list_transform($v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, x) -> acc + x))"
     s"""WITH c AS (SELECT vec_id, embedding, ${norm2("embedding")} AS cn FROM embeddings),
         seeds AS (
-          SELECT ${duckBase("CAST(vec_id AS VARCHAR)")} AS cid, embedding AS cvec
-          FROM embeddings ORDER BY 1 LIMIT 16),
+          SELECT vec_id AS cid, embedding AS cvec
+          FROM embeddings
+          ORDER BY ${duckBase("CAST(vec_id AS VARCHAR)")}, vec_id LIMIT 16),
         s0 AS (
           SELECT c.vec_id, s.cid,
                  row_number() OVER (PARTITION BY c.vec_id

@@ -109,12 +109,21 @@ case class SortedArrayIntersectSize(left: Expression, right: Expression)
         s"sorted_intersect_size needs two array<string> or two array<long> args, got $other")
   }
 
+  // NULL ELEMENTS are a loud error, not a silent miscount: getLong on a
+  // null slot would read 0 and count spurious matches. (Schemas may be
+  // conservatively nullable — only actual null values are rejected;
+  // collect_set / array_sort outputs, the intended inputs, never have any.)
+  private def nullElement(): Nothing =
+    throw new IllegalArgumentException(
+      "sorted_intersect_size: null array elements are not supported")
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val la = a.asInstanceOf[ArrayData]
     val lb = b.asInstanceOf[ArrayData]
     val (na, nb) = (la.numElements(), lb.numElements())
     var i = 0; var j = 0; var c = 0L
     while (i < na && j < nb) {
+      if (la.isNullAt(i) || lb.isNullAt(j)) nullElement()
       val cmp =
         if (isLongElems) java.lang.Long.compare(la.getLong(i), lb.getLong(j))
         else la.getUTF8String(i).compareTo(lb.getUTF8String(j))
@@ -137,6 +146,10 @@ case class SortedArrayIntersectSize(left: Expression, right: Expression)
          |int $na = $a.numElements(); int $nb = $b.numElements();
          |int $i = 0; int $j = 0; long $c = 0L;
          |while ($i < $na && $j < $nb) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($j)) {
+         |    throw new IllegalArgumentException(
+         |      "sorted_intersect_size: null array elements are not supported");
+         |  }
          |  int $cmp = $cmpExpr;
          |  if ($cmp == 0) { $c++; $i++; $j++; }
          |  else if ($cmp < 0) { $i++; } else { $j++; }

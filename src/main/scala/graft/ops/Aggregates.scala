@@ -122,15 +122,23 @@ object Aggregates {
   class BottomKByHashAgg(k: Int, salt: String)
       extends Aggregator[java.lang.Long, Seq[(Long, Long)], Seq[Long]] {
     require(k > 0)
+    // One digest instance per task (the aggregator is serialized to
+    // executors; transient lazy re-creates it there) — not one per row.
+    @transient private lazy val md = java.security.MessageDigest.getInstance("MD5")
     private def hashOf(v: Long): Long = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val h = md.digest((salt + v.toString).getBytes("UTF-8"))
+      md.update((salt + v.toString).getBytes("UTF-8"))
+      val h = md.digest()
       ((h(0) & 0xFFL) << 24) | ((h(1) & 0xFFL) << 16) | ((h(2) & 0xFFL) << 8) | (h(3) & 0xFFL)
     }
     def zero: Seq[(Long, Long)] = Vector.empty
-    def reduce(b: Seq[(Long, Long)], a: java.lang.Long): Seq[(Long, Long)] =
-      if (a == null) b
-      else ((hashOf(a.longValue()), a.longValue()) +: b).sorted.distinct.take(k)
+    def reduce(b: Seq[(Long, Long)], a: java.lang.Long): Seq[(Long, Long)] = {
+      if (a == null) return b
+      val e = (hashOf(a.longValue()), a.longValue())
+      // Hot path: a full buffer rejects non-improving rows without any
+      // allocation or re-sort (the common case once the sketch warms up).
+      if (b.size >= k && implicitly[Ordering[(Long, Long)]].gteq(e, b.last)) b
+      else ((e +: b).sorted.distinct).take(k)
+    }
     def merge(a: Seq[(Long, Long)], b: Seq[(Long, Long)]): Seq[(Long, Long)] =
       (a ++ b).sorted.distinct.take(k)
     def finish(r: Seq[(Long, Long)]): Seq[Long] = r.map(_._2)

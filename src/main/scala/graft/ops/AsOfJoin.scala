@@ -27,21 +27,28 @@ object AsOfJoin {
       probes: DataFrame, quotes: DataFrame,
       keyCol: String, tsCol: String, valCol: String): DataFrame = {
     val probeCols = probes.columns.toIndexedSeq
+    // The quote rides as ONE struct (null on probe rows): a single
+    // last(ignoreNulls) then yields a (ts, val) pair from the SAME quote
+    // row even when the quote's value is NULL — two independent last()
+    // calls would pair the latest ts with an EARLIER row's value.
+    val qStructType = org.apache.spark.sql.functions.struct(
+      lit(null).cast(quotes.schema(tsCol).dataType).as("qts"),
+      lit(null).cast(quotes.schema(valCol).dataType).as("qval"))
     val tagged = probes
       .withColumn("__tag", lit(1))
-      .withColumn("__qts", lit(null).cast(quotes.schema(tsCol).dataType))
-      .withColumn("__qval", lit(null).cast(quotes.schema(valCol).dataType))
+      .withColumn("__q", when(lit(false), qStructType))   // typed NULL struct
       .unionByName(
         quotes.select(
           col(keyCol), col(tsCol),
-          lit(0).as("__tag"), col(tsCol).as("__qts"), col(valCol).as("__qval")),
+          lit(0).as("__tag"),
+          struct(col(tsCol).as("qts"), col(valCol).as("qval")).as("__q")),
         allowMissingColumns = true)
     val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol).asc, col("__tag").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     tagged
-      .withColumn("asof_ts", last(col("__qts"), ignoreNulls = true).over(w))
-      .withColumn("asof_val", last(col("__qval"), ignoreNulls = true).over(w))
+      .withColumn("__m", last(col("__q"), ignoreNulls = true).over(w))
       .filter(col("__tag") === 1)
-      .select(probeCols.map(col) :+ col("asof_ts") :+ col("asof_val"): _*)
+      .select(probeCols.map(col) :+
+        col("__m.qts").as("asof_ts") :+ col("__m.qval").as("asof_val"): _*)
   }
 }

@@ -187,7 +187,13 @@ object Dedup {
     * and at cluster scale spills to local disk instead of recomputing a
     * 100 TB explode). Callers composing several dedup stages can also call
     * this directly and pass the frame to [[jaccardPairsFromDocs]] to share
-    * it across stages. */
+    * it across stages.
+    *
+    * LIFECYCLE: the returned frame IS the cache handle — long-lived
+    * sessions should `unpersist()` it (or `spark.catalog.clearCache()`)
+    * when a pipeline finishes; the one-shot [[jaccardPairsLsh]] wrapper
+    * hides the handle, so sessions issuing MANY independent dedup jobs
+    * should prefer the explicit two-call form. */
   def jaccardDocs(
       df: DataFrame, idCol: String, textCol: String, width: Int, k: Int): DataFrame = {
     val coeffs = minhashCoeffs(k)
@@ -393,11 +399,11 @@ object Dedup {
       corpus: DataFrame, benchmark: DataFrame, idCol: String, textCol: String,
       width: Int, threshold: Double): DataFrame = {
     val corpusSh = shingleRows(corpus, idCol, textCol, width)
-    val benchSh = benchmark.select(col(textCol))
-      .select(explode(transform(
-        sequence(lit(1), greatest(length(col(textCol)) - (width - 1), lit(1))),
-        i => col(textCol).substr(i, lit(width)))).as("shingle"))
-      .distinct()
+    // Same shingling helper as the corpus side (a dummy id keeps the
+    // helper's signature) — one definition of shingle semantics.
+    val benchSh = shingleRowsRaw(
+        benchmark.select(lit(0L).as("__bid"), col(textCol)), "__bid", textCol, width)
+      .select(col("shingle")).distinct()
     val sizes = corpusSh.groupBy(col(idCol)).agg(count(lit(1)).as("total_ngrams"))
     val hits = corpusSh.join(broadcast(benchSh), "shingle")
       .groupBy(col(idCol)).agg(count(lit(1)).as("overlap_ngrams"))

@@ -34,8 +34,13 @@ object Packing {
     * @param budget   bin capacity in tokens
     * @param partitions range-partition count; 0 = spark.sql.shuffle.partitions
     * @return input columns + `cum_tokens` (inclusive running total) +
-    *         `bin` (0-based; a row starts a new bin when its tokens would
-    *         cross the budget boundary: bin = (cum_tokens − tok) / budget)
+    *         `bin` (0-based): the bin is the budget-window of the row's
+    *         STARTING offset, bin = (cum_tokens − tok) / budget. Bins
+    *         partition the concatenated token stream, so a document
+    *         straddling a boundary belongs to the bin it starts in and
+    *         spills into the next — the concat-then-chunk discipline
+    *         pretraining uses (documents are split across sequences), NOT
+    *         a strict ≤ budget-per-bin guarantee.
     */
   def packBins(
       df: DataFrame, idCol: String, tokCol: String, budget: Long,

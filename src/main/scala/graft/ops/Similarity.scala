@@ -114,14 +114,16 @@ object Similarity {
     // Corpus norms computed ONCE and reused by assignment and scoring.
     val corpusN = corpus.withColumn("cn", norm(col(vecCol)))
 
-    // Seed cell ids are the 32-bit md5-based hash values themselves —
-    // deterministic, reproducible in any engine, already distinct (they
-    // survived a smallest-nlist TakeOrdered), and no single-partition
-    // Window.orderBy to densify them.
+    // Seeds: the nlist corpus vectors with smallest (md5-hash, id) — the id
+    // tie-break keeps the selection deterministic even when two ids share a
+    // 32-bit hash (expected ~nlist·N/2³² ties at corpus scale), and the
+    // cell id is the seed's CORPUS id: unique by construction (hash values
+    // as cids could collide and silently merge two cells). No
+    // single-partition Window.orderBy — TakeOrdered only.
     val seeds = corpusN
       .withColumn("__h", Dedup.shingleBase(col(idCol).cast("string")))
-      .orderBy(col("__h")).limit(nlist)
-      .select(col("__h").as("cid"), col(vecCol).as("cvec"))
+      .orderBy(col("__h"), col(idCol)).limit(nlist)
+      .select(col(idCol).as("cid"), col(vecCol).as("cvec"))
 
     // Cell assignment maximizes cosine; ties break to the larger cid via the
     // struct max (deterministic, overflow-safe). `cn` is reused — the only

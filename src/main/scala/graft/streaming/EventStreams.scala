@@ -78,8 +78,10 @@ object EventStreams {
     * the watermark would have been dropped as late data anyway. On a batch
     * frame it degrades to plain `dropDuplicates` (same result set — batch
     * has no redelivery horizon). */
-  def dedupEvents(events: DataFrame, idCols: Seq[String], watermarkDelay: String): DataFrame =
+  def dedupEvents(
+      events: DataFrame, idCols: Seq[String], watermarkDelay: String,
+      tsCol: String = "ts"): DataFrame =
     if (events.isStreaming)
-      events.withWatermark("ts", watermarkDelay).dropDuplicatesWithinWatermark(idCols)
+      events.withWatermark(tsCol, watermarkDelay).dropDuplicatesWithinWatermark(idCols)
     else events.dropDuplicates(idCols)
 }

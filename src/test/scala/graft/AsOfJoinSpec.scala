@@ -37,6 +37,17 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out(5L) === ((None, None)))
   }
 
+  test("a matched quote with NULL value yields (its ts, NULL), never a mixed pair") {
+    val probes = Seq((1L, 1L, ts(20))).toDF("probe_id", "k", "ts")
+    val quotes = Seq(
+      (1L, ts(5), Option(100.0)),
+      (1L, ts(15), Option.empty[Double]))  // latest quote has NULL value
+      .toDF("k", "ts", "v")
+    val r = AsOfJoin.asOf(probes, quotes, "k", "ts", "v").head()
+    assert(r.getAs[Timestamp]("asof_ts") === ts(15), "must match the latest quote row")
+    assert(r.isNullAt(r.fieldIndex("asof_val")), "its NULL value must not borrow an older one")
+  }
+
   test("bucketed range join equals the brute-force BETWEEN join, any bucket width") {
     val rnd = new scala.util.Random(29)
     val points = (0L until 400L).map(i => (i, rnd.nextInt(4).toLong, rnd.nextInt(10000).toLong))
