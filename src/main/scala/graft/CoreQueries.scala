@@ -610,7 +610,10 @@ object CoreQueries {
         graft.functions.Hashes.xxHash32Exact(col("text")).as("h_xx32"),
         graft.functions.Hashes.xxHash64Exact(col("text")).as("h_xx64raw"),
         graft.functions.Hashes.xxh3(col("text")).as("h_xxh3"),
-        graft.functions.Hashes.wyHash64(col("text")).as("h_wy64"))
+        graft.functions.Hashes.wyHash64(col("text")).as("h_wy64"),
+        // multi-column: per-column hashes folded with the reference's
+        // combineHashes (Hash128to64), vector-tested in RefHashSpec
+        graft.functions.Hashes.cityHash64(col("text"), col("lang")).as("h_city2"))
         .orderBy("doc_id"),
       None),
 

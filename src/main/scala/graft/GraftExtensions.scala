@@ -29,22 +29,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("city_hash64"),
       new ExpressionInfo(classOf[CityHash64Expr].getName, "city_hash64"),
-      (args: Seq[Expression]) => CityHash64Expr(args.head)))
+      (args: Seq[Expression]) => CityHash64Expr(args)))
     ext.injectFunction((
       FunctionIdentifier("xx_hash32"),
       new ExpressionInfo(classOf[XxHash32Expr].getName, "xx_hash32"),
-      (args: Seq[Expression]) => XxHash32Expr(args.head)))
+      (args: Seq[Expression]) => XxHash32Expr(args)))
     ext.injectFunction((
       FunctionIdentifier("xx_hash64_raw"),
       new ExpressionInfo(classOf[XxHash64RawExpr].getName, "xx_hash64_raw"),
-      (args: Seq[Expression]) => XxHash64RawExpr(args.head)))
+      (args: Seq[Expression]) => XxHash64RawExpr(args)))
     ext.injectFunction((
       FunctionIdentifier("xxh3_64"),
       new ExpressionInfo(classOf[Xxh3Expr].getName, "xxh3_64"),
-      (args: Seq[Expression]) => Xxh3Expr(args.head)))
+      (args: Seq[Expression]) => Xxh3Expr(args)))
     ext.injectFunction((
       FunctionIdentifier("wy_hash64"),
       new ExpressionInfo(classOf[WyHash64Expr].getName, "wy_hash64"),
-      (args: Seq[Expression]) => WyHash64Expr(args.head)))
+      (args: Seq[Expression]) => WyHash64Expr(args)))
   }
 }

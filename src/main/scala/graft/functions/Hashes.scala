@@ -20,21 +20,21 @@ import org.apache.spark.sql.functions._
 object Hashes {
   // ── bit-exact reference family (RefHash kernels, codegen exprs) ────────
   /** CityHash v1.0.2, 64-bit — the reference's cityHash64. */
-  def cityHash64(c: Column): Column = HashExpressions.cityHash64(c)
+  def cityHash64(cs: Column*): Column = HashExpressions.cityHash64(cs: _*)
 
   /** XXH32(bytes, seed=0), zero-extended to long (UInt32 widening). */
-  def xxHash32Exact(c: Column): Column = HashExpressions.xxHash32(c)
+  def xxHash32Exact(cs: Column*): Column = HashExpressions.xxHash32(cs: _*)
 
   /** XXH64(bytes, seed=0) over the raw bytes — the reference's xxHash64
     * (Spark's `xxhash64` hashes Spark's value encoding with seed 42 and is
     * NOT byte-compatible). */
-  def xxHash64Exact(c: Column): Column = HashExpressions.xxHash64Raw(c)
+  def xxHash64Exact(cs: Column*): Column = HashExpressions.xxHash64Raw(cs: _*)
 
   /** XXH3_64bits, default secret — the reference's xxh3. */
-  def xxh3(c: Column): Column = HashExpressions.xxh3(c)
+  def xxh3(cs: Column*): Column = HashExpressions.xxh3(cs: _*)
 
   /** wyhash final 3, seed 0, default secret — the reference's wyHash64. */
-  def wyHash64(c: Column): Column = HashExpressions.wyHash64(c)
+  def wyHash64(cs: Column*): Column = HashExpressions.wyHash64(cs: _*)
 
   // ── Spark-native role equivalents ──────────────────────────────────────
   /** 64-bit xxHash (Spark's XXH64 over value encoding, seed 42). */

@@ -407,6 +407,39 @@ object RefHash {
     }
   }
 
+  // ── multi-argument combines (FunctionsHashing.h combineHashes) ─────────
+  // The reference hashes each column separately and folds:
+  // h = apply(col0); h = combineHashes(h, apply(colN)) ...
+
+  /** city / xxHash64 / xxh3 combine: Hash128to64(uint128(h1, h2)). */
+  def combine64(h1: Long, h2: Long): Long = hash128to64(h1, h2)
+
+  /** Thomas Wang 64→32 int hash with the reference's salt
+    * (Common/HashTable/Hash.h:372-384, IntHash32Impl). */
+  def intHash32(key0: Long): Int = {
+    var key = key0 ^ 0x75D9543DE018BF45L
+    key = (~key) + (key << 18)
+    key = key ^ ((key >>> 31) | (key << 33))
+    key = key * 21
+    key = key ^ ((key >>> 11) | (key << 53))
+    key = key + (key << 6)
+    key = key ^ ((key >>> 22) | (key << 42))
+    key.toInt
+  }
+
+  /** xxHash32 combine: intHash32(h1) ^ h2 (UInt32 domain, zero-extended). */
+  def combineXxh32(h1: Long, h2: Long): Long =
+    ((intHash32(h1) & 0xFFFFFFFFL) ^ h2) & 0xFFFFFFFFL
+
+  /** wyHash64 combine: wyhash over the 16 little-endian bytes of {h1, h2}
+    * (combineHashesFunc — transformEndianness is a no-op on LE). */
+  def combineWy(h1: Long, h2: Long): Long = {
+    val b = new Array[Byte](16)
+    var i = 0
+    while (i < 8) { b(i) = (h1 >>> (8 * i)).toByte; b(8 + i) = (h2 >>> (8 * i)).toByte; i += 1 }
+    wyHash64(b, 0L)
+  }
+
   // ── wyhash final 3 (seed 0, default _wyp secret) ───────────────────────
   private final val Wyp0 = 0xa0761d6478bd642fL
   private final val Wyp1 = 0xe7037ed1a0b428dbL

@@ -116,6 +116,51 @@ class RefHashSpec extends AnyFunSuite {
         java.lang.Long.parseUnsignedLong(exp, 16), s"str=$s")
   }
 
+  test("multi-argument combines match the reference's combineHashes") {
+    // Vectors generated from the reference formulas (Hash128to64 via the
+    // vendored CityHash v1.0.2; intHash32 per Common/HashTable/Hash.h with
+    // the FunctionsHashing.h salt) over hashes of "test"/"abc"/"hello world".
+    def b(s: String) = s.getBytes("UTF-8")
+    val c1 = RefHash.cityHash64(b("test")); val c2 = RefHash.cityHash64(b("abc"))
+    val c3 = RefHash.cityHash64(b("hello world"))
+    assert(RefHash.combine64(c1, c2) === u("4139438780241656725"))
+    assert(RefHash.combine64(RefHash.combine64(c1, c2), c3) === u("12132115318316117957"))
+    assert(RefHash.combine64(RefHash.xxh64(b("test"), 0), RefHash.xxh64(b("abc"), 0)) ===
+      u("566260159747981348"))
+    assert(RefHash.combine64(RefHash.xxh3_64(b("test")), RefHash.xxh3_64(b("abc"))) ===
+      u("4032979463894093984"))
+    assert((RefHash.intHash32(0L) & 0xFFFFFFFFL) === 4249604106L)
+    assert((RefHash.intHash32(12345L) & 0xFFFFFFFFL) === 3551676541L)
+    assert(RefHash.combineXxh32(
+      RefHash.xxh32(b("test"), 0) & 0xFFFFFFFFL,
+      RefHash.xxh32(b("abc"), 0) & 0xFFFFFFFFL) === 1256583994L)
+    // wyhash combine == wyhash of the 16 LE bytes of (h1, h2); cross-check
+    // against an explicitly packed buffer through the vector-verified kernel.
+    val (h1, h2) = (0x0123456789ABCDEFL, 0xFEDCBA9876543210L)
+    val packed = java.nio.ByteBuffer.allocate(16)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putLong(h1).putLong(h2).array()
+    assert(RefHash.combineWy(h1, h2) === RefHash.wyHash64(packed, 0L))
+  }
+
+  test("multi-argument column expressions fold columns like the reference") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import graft.functions.Hashes
+    val r = Seq(("test", "abc")).toDF("a", "b")
+      .select(
+        Hashes.cityHash64($"a", $"b").as("c2"),
+        Hashes.xxHash32Exact($"a", $"b").as("x32"),
+        Hashes.xxHash64Exact($"a", $"b").as("x64"),
+        Hashes.xxh3($"a", $"b").as("x3"),
+        Hashes.wyHash64($"a", $"b").as("wy")).head()
+    assert(r.getLong(0) === u("4139438780241656725"))
+    assert(r.getLong(1) === 1256583994L)
+    assert(r.getLong(2) === u("566260159747981348"))
+    assert(r.getLong(3) === u("4032979463894093984"))
+    def wb(s: String) = RefHash.wyHash64(s.getBytes("UTF-8"), 0L)
+    assert(r.getLong(4) === RefHash.combineWy(wb("test"), wb("abc")))
+  }
+
   test("codegen expressions: column path equals kernels, handles binary and null") {
     val spark = TestSpark.spark
     import spark.implicits._
