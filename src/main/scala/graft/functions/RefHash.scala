@@ -427,6 +427,19 @@ object RefHash {
     key.toInt
   }
 
+  /** Reference IntHash64Impl: murmur-finalizer int hash of x ^ const
+    * (FunctionsHashing.h:29-31, Common/HashTable/Hash.h:31-40) — the
+    * integer-key hashing role. */
+  def intHash64(x0: Long): Long = {
+    var x = x0 ^ 0x4CF2D2BAAE6DA887L
+    x ^= x >>> 33
+    x *= 0xff51afd7ed558ccdL
+    x ^= x >>> 33
+    x *= 0xc4ceb9fe1a85ec53L
+    x ^= x >>> 33
+    x
+  }
+
   /** xxHash32 combine: intHash32(h1) ^ h2 (UInt32 domain, zero-extended). */
   def combineXxh32(h1: Long, h2: Long): Long =
     ((intHash32(h1) & 0xFFFFFFFFL) ^ h2) & 0xFFFFFFFFL

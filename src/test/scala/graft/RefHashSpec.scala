@@ -131,6 +131,10 @@ class RefHashSpec extends AnyFunSuite {
       u("4032979463894093984"))
     assert((RefHash.intHash32(0L) & 0xFFFFFFFFL) === 4249604106L)
     assert((RefHash.intHash32(12345L) & 0xFFFFFFFFL) === 3551676541L)
+    assert(RefHash.intHash64(0L) === u("4761183170873013810"))
+    assert(RefHash.intHash64(1L) === u("10577349846663553072"))
+    assert(RefHash.intHash64(12345L) === u("16722121143744093920"))
+    assert(RefHash.intHash64(u("16045690984503098046")) === u("13842648653615943194"))
     assert(RefHash.combineXxh32(
       RefHash.xxh32(b("test"), 0) & 0xFFFFFFFFL,
       RefHash.xxh32(b("abc"), 0) & 0xFFFFFFFFL) === 1256583994L)
