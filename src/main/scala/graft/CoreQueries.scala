@@ -452,12 +452,18 @@ object CoreQueries {
               GROUP BY o_orderkey, CAST(o_orderdate AS DATE)
               ORDER BY revenue DESC NULLS FIRST, o_orderkey LIMIT 10""")),
 
+    // Anti-join against the PENDING orders subset: at sf0.01 every
+    // customer has SOME order, so an unfiltered anti-join verified nothing
+    // (spark=oracle=0 rows trivially) — restricting the right side keeps
+    // the result non-empty and the null-propagation semantics exercised.
     ("join_anti", (s, d) =>
       T(s, d, "customer")
-        .join(T(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(T(s, d, "orders").filter(col("o_orderstatus") === "P"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name").orderBy("c_custkey"),
       Some("""SELECT c_custkey, c_name FROM customer
-              WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+              WHERE NOT EXISTS (SELECT 1 FROM orders
+                                WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
               ORDER BY c_custkey""")),
 
     ("join_semi", (s, d) =>

@@ -193,8 +193,8 @@ object PipelineQueries {
                ORDER BY qid, rk""")),
 
     // IVF ANN. The whole index build is order-deterministic (md5-based
-    // seeds, id-ordered centroid-mean folds), so the oracle replays it
-    // bit-for-bit: full hash check (recall vs brute force is also
+    // seeds, exact fixed-point centroid-mean sums), so the oracle replays
+    // it bit-for-bit: full hash check (recall vs brute force is also
     // unit-tested).
     ("ann_ivf_topk", (s, d) => {
       val e = T(s, d, "embeddings")
@@ -546,24 +546,36 @@ object PipelineQueries {
                           CAST(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tok
                    FROM documents)
                  SELECT doc_id, n_tok,
-                        SUM(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens,
-                        (SUM(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok) // 2048 AS bin
+                        CAST(SUM(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
+                        CAST((SUM(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok) // 2048 AS BIGINT) AS bin
                  FROM t ORDER BY doc_id""")),
 
-    // ── near-dup clusters: connected components over jaccard pairs ───────
+    // ── near-dup clusters: connected components over jaccard pairs.
+    //    Default path = alternating large-star/small-star (O(log² n)
+    //    rounds on ANY topology, shrinking edge list — 3× faster than
+    //    label propagation at sf0.1 for the identical contract). ─────────
     ("dedup_components", (s, d) => {
       val pairs = Dedup.jaccardPairsLsh(T(s, d, "documents"), "doc_id", "text",
         width = 6, threshold = 0.6, k = minhashK, bands = minhashBands)
       Dedup.connectedComponents(pairs, "doc_id").orderBy("doc_id")
     }, Some(componentsOracle)),
 
-    // Same clustering contract via alternating large-star/small-star
-    // (O(log² n) rounds on ANY topology — the adversarial-graph scale
-    // path); checked against the same recursive-CTE oracle.
+    // Same contract via the explicit alternating-star entry point (the
+    // default above routes here; kept as a distinct bench line so the
+    // routing itself is regression-visible).
     ("dedup_components_star", (s, d) => {
       val pairs = Dedup.jaccardPairsLsh(T(s, d, "documents"), "doc_id", "text",
         width = 6, threshold = 0.6, k = minhashK, bands = minhashBands)
       Dedup.connectedComponentsAlternating(pairs, "doc_id").orderBy("doc_id")
+    }, Some(componentsOracle)),
+
+    // The opt-in min-label pointer-doubling alternative, oracle-checked
+    // against the same recursive-CTE so the non-default path stays
+    // correctness-covered (it is intentionally NOT a bench headline).
+    ("dedup_components_labelprop", (s, d) => {
+      val pairs = Dedup.jaccardPairsLsh(T(s, d, "documents"), "doc_id", "text",
+        width = 6, threshold = 0.6, k = minhashK, bands = minhashBands)
+      Dedup.connectedComponentsLabelProp(pairs, "doc_id").orderBy("doc_id")
     }, Some(componentsOracle)),
 
     // ── flagship corpus-cleaning pipeline: quality gate → language tag →
@@ -730,8 +742,8 @@ object PipelineQueries {
          SELECT doc_id, lang_pred, quality, n_tok FROM q
          WHERE quality >= 0.5 AND doc_id NOT IN (SELECT doc_id FROM dup))
        SELECT doc_id, lang_pred, quality, n_tok,
-              SUM(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens,
-              (SUM(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok) // 2048 AS bin
+              CAST(SUM(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
+              CAST((SUM(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok) // 2048 AS BIGINT) AS bin
        FROM kept ORDER BY doc_id"""
   }
 
@@ -816,8 +828,10 @@ object PipelineQueries {
 
   /** DuckDB replica of Similarity.ivfTopK (k=5, nlist=16, nprobe=4, queries
     * = vec_id < 10): same md5-derived seed ids, same assign→mean→assign
-    * Lloyd step with id-ordered 0.0-seeded mean folds, same probe and
-    * scoring windows — every float op in the same order ⇒ identical bits.
+    * Lloyd step with exact fixed-point mean sums (round(v·2⁴⁰) summed as
+    * HUGEINT — order-independent integer addition, mirroring Spark's
+    * DECIMAL sum), same probe and scoring windows — every float op in the
+    * same order ⇒ identical bits.
     * Tie rules mirrored exactly: cell assignment breaks ties to the LARGER
     * cid (Spark's max(struct(sim, cid))), probe selection to the SMALLER. */
   private lazy val ivfOracle: String = {
@@ -844,8 +858,8 @@ object PipelineQueries {
           LATERAL (SELECT unnest(generate_series(1, len(c.embedding)))) t(i)),
         cm AS (
           SELECT cid, pos,
-                 list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(v ORDER BY vec_id)),
-                             (acc, x) -> acc + x) / COUNT(*) AS m
+                 CAST(SUM(CAST(round(v * 1099511627776.0) AS HUGEINT)) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) / 1099511627776.0 AS m
           FROM el GROUP BY cid, pos),
         centroids AS (
           SELECT cid, list(m ORDER BY pos) AS cvec FROM cm GROUP BY cid),

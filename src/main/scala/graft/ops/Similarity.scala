@@ -93,13 +93,14 @@ object Similarity {
     * driver-side collect.
     *
     * EVERY arithmetic step is order-deterministic (md5 seeds; cell means
-    * fold per-(cell,pos) values in id order, left-to-right from 0.0), so the
-    * whole index — and thus the result — is bit-reproducible by the SQL
-    * oracle. The sorted fold gives up map-side partial aggregation on the
-    * centroid shuffle (it carries corpus×dim rows instead of cells×dim); at
-    * extreme scale swap `deterministicMeans=false` for plain `avg`, whose
-    * partial aggregation is cheaper but order-nondeterministic in the last
-    * float bit.
+    * are exact fixed-point DECIMAL sums of round(v·2⁴⁰) — integer addition
+    * commutes, so the value is independent of partitioning AND keeps
+    * map-side partial aggregation: the centroid shuffle carries cells×dim
+    * partials, not corpus×dim rows, and a hot cell costs one accumulator).
+    * The whole index — and thus the result — is bit-reproducible by the
+    * SQL oracle. `deterministicMeans=false` swaps in plain `avg`
+    * (marginally cheaper, order-nondeterministic in the last float bit);
+    * the default is the scale-safe deterministic path.
     *
     * Cell assignment maximizes cosine (normalized dot). Returned `cos` is
     * the same rounded cosine as [[bruteForceTopK]], so results are directly
@@ -134,18 +135,25 @@ object Similarity {
         .groupBy(col(id))
         .agg(max(struct(col("__sim"), col("cid"))).getField("cid").as("cid"))
 
-    // One Lloyd refinement step: per-cell elementwise mean, summed in id
-    // order (left-to-right from 0.0) so the value is independent of
-    // partitioning. The refined centroid frame is tiny (nlist×dim) but
-    // closes over the full seed assignment pass — eagerly checkpointed so
-    // the two consumers below (corpus re-assignment + query probes) don't
-    // each recompute it.
+    // One Lloyd refinement step: per-cell elementwise mean. Deterministic
+    // WITHOUT an order-dependent fold: each component is quantized to
+    // fixed-point (round(v·2⁴⁰) — the ·2⁴⁰ product is exact, it only
+    // shifts the exponent), summed exactly as DECIMAL (integer sum ⇒
+    // order-independent, mergeable ⇒ map-side partial aggregation works,
+    // decimal(20,0) input sum widens to decimal(30,0) ⇒ no overflow until
+    // ~1e18 members/cell), then divided back in double. Any engine
+    // reproduces it bit-for-bit, and — unlike the previous
+    // collect_list-per-(cell,dim) fold — a hot Voronoi cell costs one
+    // accumulator, not one buffered array of every member value. The
+    // refined centroid frame is tiny (nlist×dim) but closes over the full
+    // seed assignment pass — eagerly checkpointed so the two consumers
+    // below (corpus re-assignment + query probes) don't each recompute it.
     val assigned0 = corpusN.join(assign(corpusN, idCol, vecCol, seeds), idCol)
+    val fix = 1099511627776.0 // 2^40
     val meanAgg =
       if (deterministicMeans)
-        (aggregate(
-          array_sort(collect_list(struct(col(idCol).as("i"), col("col").cast("double").as("v")))),
-          lit(0.0), (acc, x) => acc + x.getField("v")) / count(lit(1))).as("m")
+        (sum(round(col("col").cast("double") * fix).cast("decimal(20,0)"))
+          .cast("double") / count(lit(1)).cast("double") / fix).as("m")
       else avg(col("col").cast("double")).as("m")
     val centroids = assigned0
       .select(col("cid"), col(idCol), posexplode(col(vecCol)))

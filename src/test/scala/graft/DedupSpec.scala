@@ -85,7 +85,7 @@ class DedupSpec extends AnyFunSuite {
   test("connected components: min-label propagation across chains") {
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (10L, 11L))
       .toDF("id_a", "id_b")
-    val comp = Dedup.connectedComponents(pairs, "doc_id")
+    val comp = Dedup.connectedComponentsLabelProp(pairs, "doc_id")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(comp === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
       6L -> 1L, 10L -> 10L, 11L -> 10L))
@@ -144,9 +144,11 @@ class DedupSpec extends AnyFunSuite {
     } :+ (500L, 501L) :+ (600L, 600L)).toDF("id_a", "id_b")
     def toMap(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val a = toMap(Dedup.connectedComponents(pairs, "doc_id", maxIter = 40))
+    val a = toMap(Dedup.connectedComponentsLabelProp(pairs, "doc_id", maxIter = 40))
     val b = toMap(Dedup.connectedComponentsAlternating(pairs, "doc_id"))
     assert(a === b)
+    // The default entry point routes to the alternating-star path.
+    assert(toMap(Dedup.connectedComponents(pairs, "doc_id")) === b)
   }
 
   test("alternating CC collapses a long chain (adversarial for label propagation)") {

@@ -48,6 +48,16 @@ def main(out_dir: str, sf_dir: str) -> int:
             print(f"✗ {name}: shape {got.shape} vs {want.shape}")
             n_fail += 1
             continue
+        # The driver hashes values, so int64 vs float64 is a FAIL there even
+        # when Python's == says equal (32 == 32.0). Mirror that strictness.
+        dt_bad = [(c, str(got[c].dtype), str(want[c].dtype)) for c in got.columns
+                  if got[c].dtype.kind != want[c].dtype.kind
+                  and {got[c].dtype.kind, want[c].dtype.kind} != {"O"}]
+        if dt_bad:
+            c, a, b = dt_bad[0]
+            print(f"✗ {name}: dtype mismatch col {c}: spark={a} oracle={b}")
+            n_fail += 1
+            continue
         bad = None
         for i in range(got.shape[0]):
             for c in got.columns:
