@@ -679,7 +679,7 @@ object CoreQueries {
               FROM (SELECT l_partkey, COUNT(*) AS cnt,
                            SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sq
                     FROM lineitem GROUP BY l_partkey
-                    ORDER BY l_partkey LIMIT 50)
+                    ORDER BY l_partkey NULLS FIRST LIMIT 50)
               ORDER BY l_partkey NULLS FIRST""")),
 
     // Structured-Streaming transforms exercised in batch mode (identical

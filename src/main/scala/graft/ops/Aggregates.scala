@@ -60,7 +60,10 @@ object Aggregates {
     /** Exceeding the cap is an error: the query fails at execution time. */
     case object Throw extends OverflowMode
     /** Stop admitting new keys past the cap; retained keys keep their full
-      * aggregates, excess keys are dropped (no overflow row). */
+      * aggregates, excess keys are dropped (no overflow row). Key order for
+      * retention is `asc_nulls_first` — a NULL group key sorts SMALLEST and
+      * is therefore always retained (contract, and what any oracle must
+      * mirror with an explicit NULLS FIRST). */
     case object Break extends OverflowMode
   }
 
@@ -118,7 +121,13 @@ object Aggregates {
     * cannot afford per key at corpus scale. The hash is the same md5-based
     * 32-bit construction used everywhere else, so a SQL oracle reproduces
     * the selection bit-for-bit. Returns the sampled values sorted by
-    * (hash, value) for a deterministic output order. */
+    * (hash, value) for a deterministic output order.
+    *
+    * SET semantics: duplicate input VALUES collapse into one slot (the
+    * buffer is `.sorted.distinct`), so for non-unique columns this is a
+    * distinct-value (KMV-style) sample of up to k DISTINCT values, not a
+    * multiset sample — the property that makes merge idempotent and the
+    * sketch order-independent. */
   class BottomKByHashAgg(k: Int, salt: String)
       extends Aggregator[java.lang.Long, Seq[(Long, Long)], Seq[Long]] {
     require(k > 0)

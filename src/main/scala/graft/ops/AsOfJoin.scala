@@ -15,9 +15,15 @@ import org.apache.spark.sql.functions._
   * distribution — the plan you want at any scale.
   *
   * The quote side must be unique per (key, ts) for deterministic output
-  * (pre-aggregate duplicates upstream, as time-series stores do).
+  * (pre-aggregate duplicates upstream, as time-series stores do). Quote
+  * rows with a NULL timestamp are DROPPED: "as of when?" is unanswerable,
+  * and under the window's nulls-first sort such a row would otherwise
+  * become a phantom fallback match for every probe of its key — with
+  * asof_ts NULL but asof_val set, indistinguishable from a real match.
   *
-  * @param probes probe side; all its columns are preserved
+  * @param probes probe side; all its columns are preserved (must not
+  *               already contain the internal/output column names —
+  *               rejected loudly, not silently shadowed)
   * @param quotes quote side: (keyCol, tsCol, valCol)
   * @return probes + `asof_ts` / `asof_val` of the matched quote (null when
   *         no quote precedes the probe — left-join semantics)
@@ -27,6 +33,10 @@ object AsOfJoin {
       probes: DataFrame, quotes: DataFrame,
       keyCol: String, tsCol: String, valCol: String): DataFrame = {
     val probeCols = probes.columns.toIndexedSeq
+    val reserved = Seq("__tag", "__q", "__m", "asof_ts", "asof_val")
+    val clash = probeCols.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"asOf: probe columns ${clash.mkString(", ")} collide with internal/output names ($reserved)")
     // The quote rides as ONE struct (null on probe rows): a single
     // last(ignoreNulls) then yields a (ts, val) pair from the SAME quote
     // row even when the quote's value is NULL — two independent last()
@@ -38,7 +48,7 @@ object AsOfJoin {
       .withColumn("__tag", lit(1))
       .withColumn("__q", when(lit(false), qStructType))   // typed NULL struct
       .unionByName(
-        quotes.select(
+        quotes.filter(col(tsCol).isNotNull).select(
           col(keyCol), col(tsCol),
           lit(0).as("__tag"),
           struct(col(tsCol).as("qts"), col(valCol).as("qval")).as("__q")),

@@ -154,10 +154,19 @@ object Dedup {
     * shingles/doc) for verification, never the all-pairs shingle self-join
     * (which blows up quadratically on hot shingles from a small vocab —
     * measured 263 s vs <10 s at sf0.1). */
+  /** One-shot wrapper over [[jaccardDocs]] + [[jaccardPairsFromDocs]].
+    * LIFECYCLE: the docs frame it builds is persisted (DISK_ONLY) and the
+    * handle is hidden — CacheManager dedupes identical plans so repeated
+    * calls over the same input share ONE evictable entry, but sessions
+    * issuing MANY independent dedup jobs should either use the explicit
+    * two-call form (and unpersist the handle) or pass
+    * `persistDocs = false` to trade repeated shingling for zero cache
+    * footprint. */
   def jaccardPairsLsh(
       df: DataFrame, idCol: String, textCol: String,
-      width: Int, threshold: Double, k: Int, bands: Int): DataFrame =
-    jaccardPairsFromDocs(jaccardDocs(df, idCol, textCol, width, k),
+      width: Int, threshold: Double, k: Int, bands: Int,
+      persistDocs: Boolean = true): DataFrame =
+    jaccardPairsFromDocs(jaccardDocs(df, idCol, textCol, width, k, persistDocs),
       idCol, threshold, k, bands)
 
   /** The per-doc frame both LSH stages share: the sorted set of 32-bit
@@ -195,16 +204,18 @@ object Dedup {
     * hides the handle, so sessions issuing MANY independent dedup jobs
     * should prefer the explicit two-call form. */
   def jaccardDocs(
-      df: DataFrame, idCol: String, textCol: String, width: Int, k: Int): DataFrame = {
+      df: DataFrame, idCol: String, textCol: String, width: Int, k: Int,
+      persist: Boolean = true): DataFrame = {
     val coeffs = minhashCoeffs(k)
     val sh = shingleRowsRaw(df, idCol, textCol, width)
       .select(col(idCol), shingleBase(col("shingle")).as("__mhb"))
     val aggs = array_sort(collect_set(col("__mhb"))).as("shset") +:
       coeffs.zipWithIndex.map { case (c, i) => min(derivedHash(col("__mhb"), c)).as(s"mh_$i") }
-    sh.groupBy(col(idCol))
+    val docs = sh.groupBy(col(idCol))
       .agg(aggs.head, aggs.tail: _*)
       .withColumn("sz", size(col("shset")).cast("long"))
-      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    if (persist) docs.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    else docs
   }
 
   /** LSH candidates + exact Jaccard verification over a pre-built (and

@@ -33,6 +33,9 @@ object Packing {
     * @param tokCol   per-row token count (long)
     * @param budget   bin capacity in tokens
     * @param partitions range-partition count; 0 = spark.sql.shuffle.partitions
+    * @param cacheRanged materialization barrier for the ranged frame (see
+    *         below); pass false to trade a second upstream scan for zero
+    *         cache footprint
     * @return input columns + `cum_tokens` (inclusive running total) +
     *         `bin` (0-based): the bin is the budget-window of the row's
     *         STARTING offset, bin = (cum_tokens − tok) / budget. Bins
@@ -41,10 +44,16 @@ object Packing {
     *         spills into the next — the concat-then-chunk discipline
     *         pretraining uses (documents are split across sequences), NOT
     *         a strict ≤ budget-per-bin guarantee.
-    */
+    *
+    * LIFECYCLE (same contract as Dedup.jaccardDocs): the persisted ranged
+    * frame lives until `unpersist()`/`clearCache()` — Spark's CacheManager
+    * dedupes identical plans, so repeated calls with the same inputs share
+    * ONE entry (bounded, block-evictable), but long-lived sessions running
+    * MANY distinct packings should release between jobs or pass
+    * `cacheRanged = false`. */
   def packBins(
       df: DataFrame, idCol: String, tokCol: String, budget: Long,
-      partitions: Int = 0): DataFrame = {
+      partitions: Int = 0, cacheRanged: Boolean = true): DataFrame = {
     require(budget > 0, s"budget=$budget must be positive")
     val n =
       if (partitions > 0) partitions
@@ -55,9 +64,12 @@ object Packing {
     // (input cols + pid) projection, ~tens of bytes per row, so the cache
     // is cheap; the downstream window's hash exchange then only ever moves
     // this slim frame, never the source scan.
-    val ranged = df.repartitionByRange(n, col(idCol))
+    val ranged0 = df.repartitionByRange(n, col(idCol))
       .withColumn("__pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ranged =
+      if (cacheRanged)
+        ranged0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else ranged0
     // Phase 1: per-partition totals (n rows — tiny).
     val sums = ranged.groupBy(col("__pid")).agg(sum(col(tokCol)).as("__psum"))
     // Phase 2: exclusive prefix over the partition totals. Single-partition

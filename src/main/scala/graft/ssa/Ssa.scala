@@ -62,9 +62,10 @@ object EOperation {
   case object Divide extends EOperation
   case object Abs extends EOperation
   case object Negate extends EOperation
-  // Checked arithmetic (reference add_checked → error on overflow; Spark
-  // try_* → NULL on overflow: documented semantic delta, same non-wrapping
-  // intent).
+  // Checked arithmetic (reference add_checked → error on overflow). Two
+  // interpreter modes: default maps to Spark try_* (NULL on overflow —
+  // the distributed-friendly choice); `checkedErrors = true` restores
+  // reference parity by raising on the NULL-from-non-NULL-inputs case.
   case object AddNotNull extends EOperation
   case object SubtractNotNull extends EOperation
   case object MultiplyNotNull extends EOperation
@@ -131,8 +132,12 @@ final case class ProgramStep(
     groupByKeys: Seq[String] = Nil,
     projection: Seq[String] = Nil) {
 
-  def apply(df: DataFrame): DataFrame = {
-    val afterAssign = ProgramStep.applyAssignes(df, assignes)
+  /** @param checkedErrors reference-parity mode for the *NotNull family:
+    *   raise (like the arrow checked kernels, SsaProgram.cpp:244-253) when
+    *   a checked op would produce NULL from non-NULL inputs — i.e. on
+    *   overflow or division by zero — instead of the default try_* NULL. */
+  def apply(df: DataFrame, checkedErrors: Boolean = false): DataFrame = {
+    val afterAssign = ProgramStep.applyAssignes(df, assignes, checkedErrors)
     val afterFilter =
       if (filters.isEmpty) afterAssign
       else afterAssign.filter(filters.map(col).reduce(_ && _))
@@ -160,7 +165,9 @@ object ProgramStep {
     * reference earlier ones in the same step (the reference appends each
     * result column to the batch namespace, SsaProgram.cpp:481-509).
     * Duplicate names are rejected like the reference does. */
-  private[ssa] def applyAssignes(df: DataFrame, assigns: Seq[Assign]): DataFrame = {
+  private[ssa] def applyAssignes(
+      df: DataFrame, assigns: Seq[Assign],
+      checkedErrors: Boolean = false): DataFrame = {
     if (assigns.isEmpty) return df
     val existing = df.columns.toSet
     val acc = scala.collection.mutable.LinkedHashMap.empty[String, Column]
@@ -168,7 +175,7 @@ object ProgramStep {
     assigns.foreach { a =>
       require(!existing.contains(a.name) && !acc.contains(a.name),
         s"duplicate column in assign: ${a.name}")
-      acc += a.name -> eval(a, resolve)
+      acc += a.name -> eval(a, resolve, checkedErrors)
     }
     df.select(df.columns.toIndexedSeq.map(col) ++ acc.map { case (n, c) => c.as(n) }: _*)
   }
@@ -187,7 +194,9 @@ object ProgramStep {
   }
 
   /** EOperation → Catalyst expression (the table in SURVEY §2.2). */
-  private[ssa] def eval(a: Assign, resolve: String => Column): Column = {
+  private[ssa] def eval(
+      a: Assign, resolve: String => Column,
+      checkedErrors: Boolean = false): Column = {
     import EOperation._
     def arg0 = resolve(a.args(0))
     def arg1 = resolve(a.args(1))
@@ -195,10 +204,29 @@ object ProgramStep {
       case Some(s: String) => s
       case other => throw new IllegalArgumentException(s"${a.op} needs a string pattern, got $other")
     }
-    // Case-insensitive match family lowers both sides (reference passes
-    // MatchSubstringOptions{ignore_case} to the arrow kernel).
-    def ci(c: Column): Column = if (a.ignoreCase) lower(c) else c
-    def ciPat: String = if (a.ignoreCase) pattern.toLowerCase else pattern
+    // Case-insensitive match family uses Java-regex Unicode case folding
+    // ((?iu) — character-level simple folding, the same family RE2 applies
+    // for the reference's MatchSubstringOptions{ignore_case},
+    // ut_ssa_step.cpp:159-185). Deliberately NOT lower()-based: lowercasing
+    // is locale/normalization-sensitive (İ U+0130 lowers to "i̇" — two
+    // codepoints — so lower-vs-lower misses İ≈i, which folding catches).
+    def ciRegex(body: String): String = "(?ius)" + body
+    def quoted: String = java.util.regex.Pattern.quote(pattern)
+    // LIKE pattern → anchored Java regex (%→.*, _→., rest quoted
+    // per-char); (?s) so _ and % cross newlines like LIKE does.
+    def likeAsRegex: String = pattern.map {
+      case '%' => ".*"
+      case '_' => "."
+      case c   => java.util.regex.Pattern.quote(c.toString)
+    }.mkString
+    // Checked-kernel parity: try_* yields NULL both for NULL inputs (keep)
+    // and for overflow/zero-division from non-NULL inputs (reference
+    // raises) — the guard separates the two cases.
+    def checked(t: Column): Column =
+      if (!checkedErrors) t
+      else when(t.isNull && arg0.isNotNull && arg1.isNotNull,
+        raise_error(lit(s"${a.op}: overflow or invalid argument " +
+          "(checked-kernel parity mode)"))).otherwise(t)
 
     a.op match {
       case Constant       => lit(a.const.get)
@@ -234,15 +262,25 @@ object ProgramStep {
       case Divide         => arg0 / arg1
       case Abs            => abs(arg0)
       case Negate         => negate(arg0)
-      case AddNotNull      => try_add(arg0, arg1)
-      case SubtractNotNull => try_subtract(arg0, arg1)
-      case MultiplyNotNull => try_multiply(arg0, arg1)
-      case DivideNotNull   => try_divide(arg0, arg1)
+      case AddNotNull      => checked(try_add(arg0, arg1))
+      case SubtractNotNull => checked(try_subtract(arg0, arg1))
+      case MultiplyNotNull => checked(try_multiply(arg0, arg1))
+      case DivideNotNull   => checked(try_divide(arg0, arg1))
       case BinaryLength   => octet_length(arg0)
-      case MatchSubstring => ci(arg0).contains(lit(ciPat))
-      case MatchLike      => ci(arg0).like(ciPat)
-      case StartsWith     => ci(arg0).startsWith(lit(ciPat))
-      case EndsWith       => ci(arg0).endsWith(lit(ciPat))
+      case MatchSubstring =>
+        if (a.ignoreCase) arg0.rlike(ciRegex(quoted))
+        else arg0.contains(lit(pattern))
+      case MatchLike      =>
+        // \A/\z anchors, not ^/$ — $ would also match before a trailing
+        // newline, which LIKE does not.
+        if (a.ignoreCase) arg0.rlike(ciRegex("\\A" + likeAsRegex + "\\z"))
+        else arg0.like(pattern)
+      case StartsWith     =>
+        if (a.ignoreCase) arg0.rlike(ciRegex("\\A" + quoted))
+        else arg0.startsWith(lit(pattern))
+      case EndsWith       =>
+        if (a.ignoreCase) arg0.rlike(ciRegex(quoted + "\\z"))
+        else arg0.endsWith(lit(pattern))
       case Floor          => floor(arg0)
       case Ceil           => ceil(arg0)
       // Numeric truncation toward zero (arrow "trunc"): floor for
@@ -260,5 +298,6 @@ object ProgramStep {
 /** A whole program = ordered steps (reference Program::applyTo,
   * SsaProgram.h:265-289). */
 final case class Program(steps: Seq[ProgramStep]) {
-  def applyTo(df: DataFrame): DataFrame = steps.foldLeft(df)((d, s) => s.apply(d))
+  def applyTo(df: DataFrame, checkedErrors: Boolean = false): DataFrame =
+    steps.foldLeft(df)((d, s) => s.apply(d, checkedErrors))
 }

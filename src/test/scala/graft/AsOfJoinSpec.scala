@@ -48,6 +48,30 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(r.isNullAt(r.fieldIndex("asof_val")), "its NULL value must not borrow an older one")
   }
 
+  test("NULL-timestamp quotes are dropped, not phantom fallback matches") {
+    val probes = Seq((1L, 1L, ts(10)), (2L, 1L, ts(3))).toDF("probe_id", "k", "ts")
+    val quotes = Seq(
+      (1L, Option(ts(5)), Option(100.0)),
+      (1L, Option.empty[Timestamp], Option(999.0)))  // "as of when?" — dropped
+      .toDF("k", "ts", "v")
+    val out = AsOfJoin.asOf(probes, quotes, "k", "ts", "v")
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.getAs[Timestamp]("asof_ts")), Option(r.getAs[java.lang.Double]("asof_val"))))
+      .toMap
+    assert(out(1L) === ((Some(ts(5)), Some(100.0))))
+    // Without the filter this probe would get (asof_ts=NULL, asof_val=999).
+    assert(out(2L) === ((None, None)))
+  }
+
+  test("probe columns colliding with internal/output names are rejected") {
+    val probes = Seq((1L, ts(10), 0)).toDF("k", "ts", "asof_val")
+    val quotes = Seq((1L, ts(5), 1.0)).toDF("k", "ts", "v")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.asOf(probes, quotes, "k", "ts", "v")
+    }
+    assert(e.getMessage.contains("asof_val"))
+  }
+
   test("bucketed range join equals the brute-force BETWEEN join, any bucket width") {
     val rnd = new scala.util.Random(29)
     val points = (0L until 400L).map(i => (i, rnd.nextInt(4).toLong, rnd.nextInt(10000).toLong))

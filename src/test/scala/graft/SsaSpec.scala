@@ -125,6 +125,52 @@ class SsaSpec extends AnyFunSuite {
     assert(got === Set(2.0, 4.0, -2.0))  // half-even
   }
 
+  test("ignore-case match uses Unicode case folding, not lowercasing (ß/İ)") {
+    // İ (U+0130) String-lowercases to "i̇" (two codepoints), so a
+    // lower-vs-lower comparison misses İ≈i; character-level case folding
+    // ((?iu), same family as the reference's RE2 kernels) catches it.
+    // ẞ (U+1E9E) folds to ß the same way.
+    val strs = Seq("istanbul", "GROSSE STRAẞE").toDF("s")
+    val out = run1(strs, ProgramStep(
+      assignes = Seq(
+        Assign("dotted", MatchSubstring, Seq("s"), const = Some("İstanbul"), ignoreCase = true),
+        Assign("sharp", MatchSubstring, Seq("s"), const = Some("straße"), ignoreCase = true),
+        Assign("lk", MatchLike, Seq("s"), const = Some("%straße"), ignoreCase = true),
+        Assign("ew", EndsWith, Seq("s"), const = Some("straße"), ignoreCase = true)),
+      projection = Seq("s", "dotted", "sharp", "lk", "ew")))
+      .collect().map(r => r.getString(0) -> ((r.getBoolean(1), r.getBoolean(2),
+        r.getBoolean(3), r.getBoolean(4)))).toMap
+    assert(out("istanbul") === ((true, false, false, false)))
+    assert(out("GROSSE STRAẞE") === ((false, true, true, true)))
+  }
+
+  test("checked arithmetic: default NULLs, parity mode raises (add_checked)") {
+    val edge = Seq((Long.MaxValue, 1L, 0L), (5L, 2L, 1L)).toDF("x", "y", "z")
+    val step = ProgramStep(
+      assignes = Seq(
+        Assign("s", AddNotNull, Seq("x", "y")),
+        Assign("d", DivideNotNull, Seq("x", "z"))),
+      projection = Seq("s", "d"))
+    // Default: NULL on overflow and on zero division, NULL inputs stay NULL.
+    val relaxed = step.apply(edge).collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toSet
+    assert(relaxed === Set((None, None), (Some(7L), Some(5.0))))
+    // Parity mode: the same program RAISES like the reference checked
+    // kernels (SsaProgram.cpp:244-253)...
+    val e = intercept[Exception] {
+      step.apply(edge, checkedErrors = true).collect()
+    }
+    assert(e.getMessage.contains("checked-kernel parity"))
+    // ...but NULL INPUTS still propagate as NULL (not an error) — only
+    // the overflow/zero-division case is promoted.
+    val nulls = Seq((Option.empty[Long], Some(1L))).toDF("x", "y")
+    val ok = ProgramStep(
+      assignes = Seq(Assign("s", AddNotNull, Seq("x", "y"))),
+      projection = Seq("s")).apply(nulls, checkedErrors = true).head()
+    assert(ok.isNullAt(0))
+  }
+
   test("duplicate assign name rejected (reference applyAssignes contract)") {
     intercept[IllegalArgumentException] {
       run1(xyz, ProgramStep(assignes = Seq(
