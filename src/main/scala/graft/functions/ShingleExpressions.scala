@@ -1,0 +1,166 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftSqlShim
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The derived MinHash family shared by the DataFrame-level construction
+  * ([[graft.ops.Dedup]]), the doc-local kernel below, and the SQL oracles:
+  * h_i(x) = (a_i·x + b_i) mod P over a 32-bit base hash, P the smallest
+  * prime > 2^32. a_i < 2^20 keeps a_i·x < 2^52 — exact in a long (and in
+  * DuckDB's BIGINT), no wrapping, so oracles reproduce values bit-for-bit
+  * from the same constants. */
+object MinhashFamily {
+  val P: Long = 4294967311L
+
+  def coeffs(k: Int): Seq[(Long, Long)] =
+    (0 until k).map { i =>
+      val r = new scala.util.Random(0x5EED0000L + i)
+      (1L + r.nextInt((1 << 20) - 1).toLong, math.floorMod(r.nextLong(), P))
+    }
+}
+
+/** Doc-local shingle-set + MinHash kernel: for one text value, computes in a
+  * single pass what the explode → groupBy construction computes with a
+  * corpus-wide shuffle —
+  *
+  *   - `shset`: the SORTED DISTINCT array of 32-bit base hashes of the
+  *     text's character `width`-grams (base hash = first 8 md5 hex chars as
+  *     an unsigned int, identical to
+  *     `conv(substring(md5(shingle),1,8),16,10)`),
+  *   - `sz`: its size,
+  *   - `mh`: the k MinHash values min_x (a_i·x + b_i) mod P over the set.
+  *
+  * Bit-identical to the exploded construction (same shingling bounds: texts
+  * shorter than `width` contribute the whole text as their single shingle;
+  * same md5 base; same derived family), so the DuckDB recursive-CTE oracles
+  * verify it unchanged. NULL text mirrors the exploded pipeline's output
+  * for a null row (`collect_set` drops the null shingle, `min` over nothing
+  * is NULL): shset = [], sz = 0, every mh slot NULL.
+  *
+  * WHY an expression and not the explode: the exploded frame is
+  * O(corpus-characters) rows through a hash aggregate (collect_set + k
+  * min-aggs) — at 100 TB that is the dominant shuffle of the whole dedup
+  * pipeline. This kernel makes signature computation scan-local (map-only,
+  * embarrassingly parallel, nothing shuffled but the per-doc result), which
+  * is exactly how production-scale MinHash dedup is shaped. Per-doc work is
+  * O(len) md5s + O(k·distinct) long arithmetic — microseconds per document;
+  * `CodegenFallback` at document granularity costs one virtual call per
+  * ROW, irrelevant next to the hashing itself.
+  *
+  * Reference analog: the reference has no dedup surface (SURVEY §2 maps its
+  * only dedup to replace-key merge, YdbModes/MergeData.h); this kernel is
+  * part of the beyond-reference LLM-curation surface, shaped like the
+  * reference's own per-batch compiled kernels (e.g. Aggregator.cpp's
+  * per-block aggregation) rather than its stream graph.
+  */
+case class ShingleMinhash(child: Expression, width: Int, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(width > 0, s"width=$width must be positive")
+  require(k > 0, s"k=$k must be positive")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("shset", ArrayType(LongType, containsNull = false), nullable = false),
+    StructField("sz", LongType, nullable = false),
+    StructField("mh", ArrayType(LongType, containsNull = true), nullable = false)))
+
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"shingle_minhash needs a string argument, got $other")
+    }
+
+  // (a_i, b_i) unzipped to primitive arrays for the hot loop.
+  @transient private lazy val (coefA, coefB) = {
+    val cs = MinhashFamily.coeffs(k)
+    (cs.map(_._1).toArray, cs.map(_._2).toArray)
+  }
+
+  @transient private lazy val nullResult: InternalRow = {
+    val mh = new Array[Any](k) // all null slots
+    InternalRow(new GenericArrayData(Array.empty[Long]), 0L, new GenericArrayData(mh))
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val t = child.eval(input)
+    if (t == null) return nullResult
+    val s = t.asInstanceOf[UTF8String].toString
+    // Code-point offsets (UTF-16 indices) so shingling counts characters
+    // exactly like Substring/substringSQL — not UTF-16 units.
+    val sLen = s.length
+    var nCp = 0
+    var off = 0
+    val offsets = new Array[Int](sLen + 1)
+    while (off < sLen) {
+      offsets(nCp) = off
+      off += Character.charCount(s.codePointAt(off))
+      nCp += 1
+    }
+    offsets(nCp) = sLen
+
+    val n = math.max(nCp - width + 1, 1)
+    val bases = new Array[Long](n)
+    val md = MessageDigest.getInstance("MD5")
+    var i = 0
+    while (i < n) {
+      val start = offsets(math.min(i, nCp))
+      val end = offsets(math.min(i + width, nCp))
+      val bytes = s.substring(start, end).getBytes(StandardCharsets.UTF_8)
+      val d = md.digest(bytes) // resets the digest for the next round
+      bases(i) =
+        ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      i += 1
+    }
+
+    // Sorted distinct set (what array_sort(collect_set(..)) produced).
+    java.util.Arrays.sort(bases)
+    var m = 0
+    i = 0
+    while (i < n) {
+      if (m == 0 || bases(i) != bases(m - 1)) { bases(m) = bases(i); m += 1 }
+      i += 1
+    }
+    val shset = java.util.Arrays.copyOf(bases, m)
+
+    // MinHash over the distinct set (min over a multiset equals min over
+    // the set, so distinct-first also matches the exploded construction).
+    val mh = new Array[Long](k)
+    java.util.Arrays.fill(mh, Long.MaxValue)
+    var j = 0
+    while (j < m) {
+      val x = shset(j)
+      var f = 0
+      while (f < k) {
+        val v = (coefA(f) * x + coefB(f)) % MinhashFamily.P
+        if (v < mh(f)) mh(f) = v
+        f += 1
+      }
+      j += 1
+    }
+    InternalRow(new GenericArrayData(shset), m.toLong, new GenericArrayData(mh))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleMinhash =
+    copy(child = newChild)
+}
+
+object ShingleExpressions {
+  /** Column wrapper for [[ShingleMinhash]]: struct(shset, sz, mh). */
+  def shingleMinhash(text: Column, width: Int, k: Int): Column =
+    GraftSqlShim.column(ShingleMinhash(GraftSqlShim.expression(text), width, k))
+}

@@ -49,17 +49,16 @@ object Dedup {
         ).as("shingle"))
 
   /** Smallest prime > 2^32 — modulus of the derived MinHash family. */
-  val MinhashP: Long = 4294967311L
+  val MinhashP: Long = graft.functions.MinhashFamily.P
 
   /** Deterministic (a, b) coefficients for the k derived hash functions
     * h_i(x) = (a_i·x + b_i) mod P over the 32-bit base hash. a_i < 2^20 keeps
     * a_i·x < 2^52 — exact in a long (and in DuckDB's BIGINT), no wrapping, so
-    * the SQL oracle reproduces values bit-for-bit from the same constants. */
+    * the SQL oracle reproduces values bit-for-bit from the same constants.
+    * (Defined in [[graft.functions.MinhashFamily]], shared with the
+    * doc-local [[graft.functions.ShingleMinhash]] kernel.) */
   def minhashCoeffs(k: Int): Seq[(Long, Long)] =
-    (0 until k).map { i =>
-      val r = new scala.util.Random(0x5EED0000L + i)
-      (1L + r.nextInt((1 << 20) - 1).toLong, math.floorMod(r.nextLong(), MinhashP))
-    }
+    graft.functions.MinhashFamily.coeffs(k)
 
   /** 32-bit base hash of a shingle: first 8 hex chars of its md5. ONE md5
     * per shingle; the k MinHash functions are then cheap affine transforms —
@@ -75,13 +74,19 @@ object Dedup {
     * over the document's shingle set. Output: one row per doc, long columns
     * mh_0 … mh_{k-1}.
     *
-    * One explode + one groupBy(doc); partial (map-side) min aggregation
-    * means the shuffle carries O(docs·k) rows, not O(shingles). */
+    * Computed SCAN-LOCAL by the doc-level [[graft.functions.ShingleMinhash]]
+    * kernel — map-only, no shuffle at all (the former explode + groupBy
+    * construction shuffled O(docs·k) partial-min rows and pushed
+    * O(corpus-characters) rows through a hash aggregate; same values,
+    * [[minhashSignatureFromShingles]] keeps that path for callers holding
+    * pre-computed shingle rows). */
   def minhashSignature(
-      df: DataFrame, idCol: String, textCol: String, width: Int, k: Int): DataFrame =
-    // Raw (non-distinct) shingles: min over a multiset equals min over the
-    // set, so the distinct's extra shuffle would be pure waste here.
-    minhashSignatureFromShingles(shingleRowsRaw(df, idCol, textCol, width), idCol, k)
+      df: DataFrame, idCol: String, textCol: String, width: Int, k: Int): DataFrame = {
+    val sm = graft.functions.ShingleExpressions.shingleMinhash(col(textCol), width, k)
+    df.select(col(idCol), sm.as("__sm"))
+      .select(col(idCol) +:
+        (0 until k).map(i => col("__sm.mh").getItem(i).as(s"mh_$i")): _*)
+  }
 
   /** Signature from pre-computed (id, shingle) rows — lets pipelines share
     * one shingle set between signature and verification stages. */
@@ -171,10 +176,12 @@ object Dedup {
 
   /** The per-doc frame both LSH stages share: the sorted set of 32-bit
     * shingle hashes (for exact-on-hashes verification), its size, and the k
-    * MinHash values — built by ONE explode + ONE aggregation. The base hash
-    * is projected once per shingle row; the k mins are plain long arithmetic
-    * with map-side partial aggregation, so the shuffle carries O(docs·k)
-    * longs.
+    * MinHash values — computed SCAN-LOCAL in one pass per document by the
+    * [[graft.functions.ShingleMinhash]] kernel. Map-only: no explode, no
+    * shuffle, fully deterministic. (The former construction exploded
+    * O(corpus-characters) shingle rows through collect_set + k min-aggs —
+    * at 100 TB that explode-shuffle dominates the whole dedup pipeline;
+    * scan-local signatures are how production MinHash dedup is shaped.)
     *
     * Verification operates on the HASHED shingle sets, not the strings:
     * identical Jaccard up to 32-bit collisions (P[in-doc collision] ≈
@@ -184,19 +191,14 @@ object Dedup {
     * of the cost of string sets — hashing the shingles is also what
     * production-scale dedup pipelines do.
     *
-    * The frame is persisted (DISK_ONLY, lazy — local disk is fast, and
-    * keeping a corpus-sized frame OUT of storage memory leaves execution
-    * memory to the joins; measured more stable than MEMORY_AND_DISK under
-    * a memory-pressured multi-query session): `collect_set` is
-    * order-nondeterministic, so without a materialization barrier Catalyst
-    * re-executes this subplan once per consumer — candidate generation plus
-    * BOTH verify sides, and every further composition (components,
-    * pipeline_clean) multiplies it again. One cached copy caps that at 1×;
-    * the cache is block-evictable (it costs no extra driver-synchronous job,
-    * and at cluster scale spills to local disk instead of recomputing a
-    * 100 TB explode). Callers composing several dedup stages can also call
-    * this directly and pass the frame to [[jaccardPairsFromDocs]] to share
-    * it across stages.
+    * The frame is persisted by default (DISK_ONLY, lazy — local disk is
+    * fast, and keeping a corpus-sized frame OUT of storage memory leaves
+    * execution memory to the joins). Since the kernel is deterministic this
+    * is purely an economy: without it each consumer (candidate generation
+    * plus BOTH verify sides, and every further composition) re-hashes the
+    * corpus; one cached copy caps that at 1×, block-evictable. Callers
+    * composing several dedup stages can call this directly and pass the
+    * frame to [[jaccardPairsFromDocs]] to share it across stages.
     *
     * LIFECYCLE: the returned frame IS the cache handle — long-lived
     * sessions should `unpersist()` it (or `spark.catalog.clearCache()`)
@@ -206,14 +208,12 @@ object Dedup {
   def jaccardDocs(
       df: DataFrame, idCol: String, textCol: String, width: Int, k: Int,
       persist: Boolean = true): DataFrame = {
-    val coeffs = minhashCoeffs(k)
-    val sh = shingleRowsRaw(df, idCol, textCol, width)
-      .select(col(idCol), shingleBase(col("shingle")).as("__mhb"))
-    val aggs = array_sort(collect_set(col("__mhb"))).as("shset") +:
-      coeffs.zipWithIndex.map { case (c, i) => min(derivedHash(col("__mhb"), c)).as(s"mh_$i") }
-    val docs = sh.groupBy(col(idCol))
-      .agg(aggs.head, aggs.tail: _*)
-      .withColumn("sz", size(col("shset")).cast("long"))
+    val sm = graft.functions.ShingleExpressions.shingleMinhash(col(textCol), width, k)
+    val docs = df.select(col(idCol), sm.as("__sm"))
+      .select(col(idCol) +:
+        (col("__sm.shset").as("shset") +:
+          (0 until k).map(i => col("__sm.mh").getItem(i).as(s"mh_$i")) :+
+          col("__sm.sz").as("sz")): _*)
     if (persist) docs.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     else docs
   }
@@ -477,6 +477,15 @@ object Dedup {
         df => df.checkpoint(true)
       case None => df => df.localCheckpoint(true)
     }
+    // In-loop variant: LAZY checkpoint, so the round's stats probe is the
+    // action that materializes it — ONE driver-paced job per round instead
+    // of eager-checkpoint + probe. (localCheckpoint persists its blocks, so
+    // nothing is computed twice; the reliable path keeps its own write job,
+    // the price of surviving executor loss.)
+    val chkLazy: DataFrame => DataFrame = checkpointDir match {
+      case Some(_) => df => df.checkpoint(false)
+      case None    => df => df.localCheckpoint(false)
+    }
     def largeStar(e: DataFrame): DataFrame = {
       val both = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
       val mins = both.groupBy(col("u"))
@@ -494,26 +503,33 @@ object Dedup {
         .filter(col("n") =!= col("m"))
         .select(col("n").as("u"), col("m").as("v")).distinct()
     }
-    val nodes = chk(pairs.select(col("id_a").as("n"))
-      .unionAll(pairs.select(col("id_b").as("n"))).distinct())
-    var edges = chk(pairs.select(col("id_a").as("u"), col("id_b").as("v"))
-      .filter(col("u") =!= col("v")).distinct())
-    // Fixpoint probe in ONE job per round: (count, order-independent sum of
-    // per-edge hashes). Equal stats on distinct edge SETS would need a
-    // colliding hash sum — vanishingly unlikely, and the worst case is one
-    // spare round, not a wrong answer (the star transforms are idempotent
-    // at the fixpoint). This halves the driver-paced actions per round vs
-    // a count + except probe — the loop on a shrunken edge list is
-    // scheduling-bound, not data-bound.
+    // ONE materialization of the (possibly expensive) upstream pair
+    // pipeline; nodes and the working edge list both derive from the
+    // checkpointed base — the former separate nodes/edges checkpoints each
+    // re-executed the full candidate-generation plan.
+    val base = chk(pairs.select(col("id_a").as("u"), col("id_b").as("v")).distinct())
+    val nodes = base.select(col("u").as("n"))
+      .unionAll(base.select(col("v").as("n"))).distinct()
+    var edges = base.filter(col("u") =!= col("v"))
+    // Fixpoint probe in ONE job per round: (count, order-independent XOR of
+    // per-edge hashes). XOR instead of sum: it cannot overflow, so the probe
+    // is safe under spark.sql.ansi.enabled=true (a long SUM of full-range
+    // xxhash64 values throws ARITHMETIC_OVERFLOW there). Edges are distinct,
+    // so no self-cancellation within a set; equal (count, xor) on distinct
+    // edge SETS would need a colliding symmetric difference — vanishingly
+    // unlikely, and the worst case is one spare round, not a wrong answer
+    // (the star transforms are idempotent at the fixpoint). This halves the
+    // driver-paced actions per round vs a count + except probe — the loop on
+    // a shrunken edge list is scheduling-bound, not data-bound.
     def stats(e: DataFrame): (Long, Long) = {
-      val r = e.agg(count(lit(1)), sum(xxhash64(col("u"), col("v")))).head()
+      val r = e.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v")))).head()
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
     var cur = stats(edges)
     var iter = 0
     var converged = cur._1 == 0L
     while (!converged && iter < maxIter) {
-      val next = chk(smallStar(largeStar(edges)))
+      val next = chkLazy(smallStar(largeStar(edges)))
       val nstats = stats(next)
       iter += 1
       converged = nstats == cur

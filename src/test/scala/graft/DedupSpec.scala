@@ -122,6 +122,58 @@ class DedupSpec extends AnyFunSuite {
     assert(capped.contains((100L, 101L)), "normal buckets must survive the cap")
   }
 
+  test("ShingleMinhash kernel is bit-identical to the exploded construction") {
+    // The doc-local kernel must reproduce the explode → collect_set/min
+    // construction EXACTLY (the DuckDB oracles replicate that construction):
+    // same base hashes, same sorted distinct set, same minhash values —
+    // including short texts (whole text = single shingle), empty text (one
+    // "" shingle), non-ASCII (character shingling, not bytes), and NULL
+    // text (empty set, NULL minhashes).
+    val tricky = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "abc"),                       // shorter than width
+      (3L, ""),                          // empty: md5("") shingle
+      (4L, "naïve café über straße — ß"), // non-ASCII chars
+      (5L, null.asInstanceOf[String]),
+      (6L, "aaaaaaaaaa")                 // one distinct shingle, many positions
+    ).toDF("doc_id", "text")
+    val k = 8; val w = 4
+    val kernel = Dedup.jaccardDocs(tricky, "doc_id", "text", w, k, persist = false)
+
+    // Legacy exploded construction, inlined (what jaccardDocs used to do).
+    val coeffs = Dedup.minhashCoeffs(k)
+    val sh = Dedup.shingleRowsRaw(tricky, "doc_id", "text", w)
+      .select(col("doc_id"), Dedup.shingleBase(col("shingle")).as("__mhb"))
+    val aggs = array_sort(collect_set(col("__mhb"))).as("shset") +:
+      coeffs.zipWithIndex.map { case (c, i) =>
+        min(Dedup.derivedHash(col("__mhb"), c)).as(s"mh_$i") }
+    val legacy = sh.groupBy(col("doc_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("sz", size(col("shset")).cast("long"))
+
+    assert(kernel.columns.toSeq === legacy.columns.toSeq)
+    val kRows = kernel.orderBy("doc_id").collect()
+    val lRows = legacy.orderBy("doc_id").collect()
+    assert(kRows.length === lRows.length)
+    kRows.zip(lRows).foreach { case (a, b) =>
+      assert(a.getAs[scala.collection.Seq[Long]]("shset").toSeq ===
+          b.getAs[scala.collection.Seq[Long]]("shset").toSeq,
+        s"shset mismatch for doc ${a.getLong(0)}")
+      (0 until k).foreach { i =>
+        assert(a.getAs[Any](s"mh_$i") === b.getAs[Any](s"mh_$i"),
+          s"mh_$i mismatch for doc ${a.getLong(0)}")
+      }
+      assert(a.getAs[Long]("sz") === b.getAs[Long]("sz"))
+    }
+  }
+
+  test("jaccardDocs plan is map-only: no exchange before the docs frame") {
+    val docsF = Dedup.jaccardDocs(docs, "doc_id", "text", 4, 8, persist = false)
+    val plan = docsF.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"doc-local signature must not shuffle:\n$plan")
+  }
+
   test("one jaccardDocs frame serves multiple thresholds (shared-stage composition)") {
     val docs6 = Dedup.jaccardDocs(docs, "doc_id", "text", width = 4, k = 8)
     val loose = Dedup.jaccardPairsFromDocs(docs6, "doc_id", threshold = 0.2, k = 8, bands = 4)
