@@ -457,19 +457,24 @@ object PipelineQueries {
         idCol = "doc_id", textCol = "text", width = 8, threshold = 0.2)
         .orderBy("doc_id")
     },
-      Some("""WITH bs AS (
-                SELECT DISTINCT substr(text, CAST(i AS INT), 8) AS shingle
-                FROM documents,
-                LATERAL (SELECT unnest(generate_series(1, GREATEST(length(text) - 7, 1)))) t(i)
-                WHERE doc_id < 10),
+      // Oracle mirrors the engine's hashed-set construction (distinct
+      // 32-bit md5 shingle hashes on BOTH sides — the same sets the
+      // jaccard pipeline verifies on).
+      Some(s"""WITH bs AS (
+                SELECT DISTINCT ${duckBase("shingle")} AS h FROM (
+                  SELECT substr(text, CAST(i AS INT), 8) AS shingle
+                  FROM documents,
+                  LATERAL (SELECT unnest(generate_series(1, GREATEST(length(text) - 7, 1)))) t(i)
+                  WHERE doc_id < 10)),
               cs AS (
-                SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 8) AS shingle
-                FROM documents,
-                LATERAL (SELECT unnest(generate_series(1, GREATEST(length(text) - 7, 1)))) t(i)
-                WHERE doc_id >= 10),
+                SELECT DISTINCT doc_id, ${duckBase("shingle")} AS h FROM (
+                  SELECT doc_id, substr(text, CAST(i AS INT), 8) AS shingle
+                  FROM documents,
+                  LATERAL (SELECT unnest(generate_series(1, GREATEST(length(text) - 7, 1)))) t(i)
+                  WHERE doc_id >= 10)),
               sizes AS (SELECT doc_id, COUNT(*) AS total_ngrams FROM cs GROUP BY doc_id),
               hits AS (SELECT cs.doc_id, COUNT(*) AS overlap_ngrams
-                       FROM cs JOIN bs USING (shingle) GROUP BY cs.doc_id)
+                       FROM cs JOIN bs USING (h) GROUP BY cs.doc_id)
               SELECT s.doc_id,
                      CAST(COALESCE(h.overlap_ngrams, 0) AS BIGINT) AS overlap_ngrams,
                      s.total_ngrams,

@@ -159,8 +159,101 @@ case class ShingleMinhash(child: Expression, width: Int, k: Int)
     copy(child = newChild)
 }
 
+/** Doc-local SimHash kernel: the 64-bit near-dup fingerprint (Charikar
+  * 2002; Manku et al. WWW 2007) of a text, as 16 lowercase hex chars —
+  * bit-identical to the exploded construction it replaces (one md5 per
+  * whitespace token, fingerprint bit b = majority of token-hash bit b over
+  * the token MULTISET), so the from-first-principles DuckDB oracle verifies
+  * it unchanged.
+  *
+  * NULL text, empty text, or all-whitespace text (no tokens) returns NULL —
+  * mirroring the exploded pipeline, where such docs simply had no token
+  * rows and dropped out of the groupBy (callers filter the NULLs to get the
+  * same frame).
+  *
+  * WHY: the exploded form pushed O(corpus tokens × 16) rows through two
+  * aggregations; this kernel is scan-local — at 100 TB the fingerprint
+  * stage becomes map-only with nothing shuffled but (id, 16-char string).
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"simhash64 needs a string argument, got $other")
+    }
+
+  // Same token split as split(text, "\\s+") + length>0 filter: Java regex,
+  // keep-then-drop empty tokens (leading separator yields one empty token).
+  @transient private lazy val ws = java.util.regex.Pattern.compile("\\s+")
+  private val hex = "0123456789abcdef"
+
+  override def eval(input: InternalRow): Any = {
+    val t = child.eval(input)
+    if (t == null) return null
+    val s = t.asInstanceOf[UTF8String].toString
+    // counts(j*4 + bit) = tokens whose hash hex-digit j has `bit` set;
+    // digit j lives in md5 byte j/2 (high nibble first) — only the first
+    // 16 hex chars (8 bytes) of the md5 participate, as in the exploded
+    // construction's substr(h, 1, 16).
+    val counts = new Array[Int](64)
+    var n = 0
+    val md = MessageDigest.getInstance("MD5")
+    val toks = ws.split(s, -1)
+    var ti = 0
+    while (ti < toks.length) {
+      val tok = toks(ti)
+      if (tok.nonEmpty) {
+        n += 1
+        val d = md.digest(tok.getBytes(StandardCharsets.UTF_8))
+        var j = 0
+        while (j < 16) {
+          val dig = if ((j & 1) == 0) (d(j >> 1) >> 4) & 0xf else d(j >> 1) & 0xf
+          val base = j * 4
+          if ((dig & 8) != 0) counts(base) += 1
+          if ((dig & 4) != 0) counts(base + 1) += 1
+          if ((dig & 2) != 0) counts(base + 2) += 1
+          if ((dig & 1) != 0) counts(base + 3) += 1
+          j += 1
+        }
+      }
+      ti += 1
+    }
+    if (n == 0) return null
+    val out = new Array[Char](16)
+    var j = 0
+    while (j < 16) {
+      val base = j * 4
+      var nib = 0
+      if (2 * counts(base) > n) nib |= 8
+      if (2 * counts(base + 1) > n) nib |= 4
+      if (2 * counts(base + 2) > n) nib |= 2
+      if (2 * counts(base + 3) > n) nib |= 1
+      out(j) = hex.charAt(nib)
+      j += 1
+    }
+    UTF8String.fromString(new String(out))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
 object ShingleExpressions {
   /** Column wrapper for [[ShingleMinhash]]: struct(shset, sz, mh). */
   def shingleMinhash(text: Column, width: Int, k: Int): Column =
     GraftSqlShim.column(ShingleMinhash(GraftSqlShim.expression(text), width, k))
+
+  /** Column wrapper for [[SimHash64]]: 16-hex-char fingerprint, NULL when
+    * the text has no tokens. */
+  def simhash64(text: Column): Column =
+    GraftSqlShim.column(SimHash64(GraftSqlShim.expression(text)))
 }

@@ -280,41 +280,17 @@ object Dedup {
   /** SimHash fingerprint: 64-bit signature from token hashes. Each token
     * hashes to 64 bits (the first 16 hex chars of its md5); fingerprint bit
     * k is the sign of Σ_tokens (2·bit_k − 1). Near-dups differ in few bits
-    * (compare via hamming distance on the returned long).
+    * (compare via hamming distance on the returned hex string).
     *
-    * Pure column expressions: token explode → per-token 64-int bit array →
-    * elementwise sum per doc → sign → pack to one long. One shuffle. */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // One md5 per token; then one row per (doc, hex position 0..15, digit).
-    // The ±1 bit-weight sum reduces to counting set bits: fingerprint bit =
-    // 1 iff 2·count(bit set) > count(tokens). 16× explode (not 64×), and
-    // map-side partial aggregation collapses to ≤16 rows per doc per
-    // partition before the shuffle.
-    val tokens = df
-      .select(col(idCol), explode(split(col(textCol), "\\s+")).as("tok"))
-      .filter(length(col("tok")) > 0)
-      .select(col(idCol), md5(col("tok")).as("h"))
-    val digits = tokens
-      .select(col(idCol), posexplode(transform(sequence(lit(0), lit(15)),
-        j => conv(col("h").substr(j + 1, lit(1)), 16, 10).cast("int"))))
-      .toDF(idCol, "pos", "dig")
-    val sums = digits.groupBy(col(idCol), col("pos")).agg(
-      count(lit(1)).as("n"),
-      sum(floor(col("dig") / 8) % 2).as("c3"),
-      sum(floor(col("dig") / 4) % 2).as("c2"),
-      sum(floor(col("dig") / 2) % 2).as("c1"),
-      sum(col("dig") % 2).as("c0"))
-    def bit(c: String): Column = when(col(c) * 2 > col("n"), 1).otherwise(0)
-    val nibbles = sums.select(col(idCol), col("pos"),
-      (bit("c3") * 8 + bit("c2") * 4 + bit("c1") * 2 + bit("c0")).as("nib"))
-    // Reassemble the 16 ordered nibbles into a 16-hex-char fingerprint
-    // (hamming distance = popcount over unhexed bytes).
-    nibbles.groupBy(col(idCol))
-      .agg(array_sort(collect_list(struct(col("pos"), col("nib")))).as("ps"))
-      .select(col(idCol), lower(concat((0 until 16).map(j =>
-        conv(col("ps").getItem(j).getField("nib").cast("string"), 10, 16)): _*))
-        .as("simhash"))
-  }
+    * Computed SCAN-LOCAL by the doc-level [[graft.functions.SimHash64]]
+    * kernel — map-only, no shuffle (the former construction exploded
+    * O(corpus-tokens × 16) rows through two aggregations). Docs with no
+    * tokens (empty / all-whitespace / NULL text) are absent from the
+    * output, exactly as they dropped out of the exploded groupBy. */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+        graft.functions.ShingleExpressions.simhash64(col(textCol)).as("simhash"))
+      .filter(col("simhash").isNotNull)
 
   /** Connected components over a similarity-pair graph — the clustering
     * step that turns pairwise near-dup hits into dedup groups (keep one
@@ -432,21 +408,40 @@ object Dedup {
   def ngramContamination(
       corpus: DataFrame, benchmark: DataFrame, idCol: String, textCol: String,
       width: Int, threshold: Double): DataFrame = {
-    val corpusSh = shingleRows(corpus, idCol, textCol, width)
-    // Same shingling helper as the corpus side (a dummy id keeps the
-    // helper's signature) — one definition of shingle semantics.
-    val benchSh = shingleRowsRaw(
-        benchmark.select(lit(0L).as("__bid"), col(textCol)), "__bid", textCol, width)
-      .select(col("shingle")).distinct()
-    val sizes = corpusSh.groupBy(col(idCol)).agg(count(lit(1)).as("total_ngrams"))
-    val hits = corpusSh.join(broadcast(benchSh), "shingle")
-      .groupBy(col(idCol)).agg(count(lit(1)).as("overlap_ngrams"))
-    sizes.join(hits, Seq(idCol), "left")
+    // Both sides on the HASHED shingle sets from the doc-local
+    // ShingleMinhash kernel (k = 1: only the set is consumed) — the same
+    // 32-bit md5 sets the jaccard pipeline verifies on, and the oracle
+    // replicates the same construction. Corpus side is fully SCAN-LOCAL
+    // (no explode, no shuffle); the benchmark side (tiny by construction —
+    // test sets) collapses to ONE row holding its sorted distinct hash
+    // set, broadcast to every corpus partition; overlap is the codegen
+    // sorted-merge intersect per doc. Nothing corpus-sized is ever
+    // shuffled — the right shape at 100 TB.
+    //
+    // Counting is at the hash level (distinct-hash set sizes), identical
+    // to distinct-string counts up to 32-bit collisions. Docs with NO
+    // shingle set (NULL text) are dropped — an unanswerable ratio (the
+    // former explode kept a NULL-shingle row and scored such docs 0).
+    val sm = graft.functions.ShingleExpressions
+      .shingleMinhash(col(textCol), width, 1)
+    // Two-step select: the kernel struct is bound once and fields are
+    // extracted across a projection boundary (CollapseProject keeps a
+    // non-cheap producer referenced twice un-inlined — one eval per row).
+    val corpusSets = corpus
+      .select(col(idCol), sm.as("__sm"))
+      .select(col(idCol), col("__sm.shset").as("__cs"),
+        col("__sm.sz").as("total_ngrams"))
+      .filter(col("total_ngrams") > 0)
+    val benchSet = benchmark
+      .select(explode(sm.getField("shset")).as("__h"))
+      .agg(array_sort(collect_set(col("__h"))).as("__bs"))
+    corpusSets.crossJoin(broadcast(benchSet))
       .select(col(idCol),
-        coalesce(col("overlap_ngrams"), lit(0L)).as("overlap_ngrams"),
-        col("total_ngrams"),
-        (coalesce(col("overlap_ngrams"), lit(0L)).cast("double") /
-          col("total_ngrams").cast("double")).as("contamination"))
+        graft.functions.VectorExpressions
+          .sortedIntersectSize(col("__cs"), col("__bs")).as("overlap_ngrams"),
+        col("total_ngrams"))
+      .withColumn("contamination",
+        col("overlap_ngrams").cast("double") / col("total_ngrams").cast("double"))
       .filter(col("contamination") >= threshold)
   }
 

@@ -82,6 +82,48 @@ class DedupSpec extends AnyFunSuite {
       s"near-dup ${hamming(fp(1L), fp(3L))} !< unrelated ${hamming(fp(1L), fp(4L))}")
   }
 
+  test("SimHash64 kernel is bit-identical to the exploded construction") {
+    val tricky = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "  leading and   multiple   spaces\tand\ttabs "),
+      (3L, "единственный unicode täxt"),
+      (4L, "x"),
+      (5L, ""),                          // no tokens → absent
+      (6L, "   \t  "),                   // whitespace only → absent
+      (7L, null.asInstanceOf[String])    // null → absent
+    ).toDF("doc_id", "text")
+    val kernel = Dedup.simhash(tricky, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+
+    // Legacy exploded construction, inlined (what simhash used to do).
+    val tokens = tricky
+      .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .select(col("doc_id"), md5(col("tok")).as("h"))
+    val digits = tokens
+      .select(col("doc_id"), posexplode(transform(sequence(lit(0), lit(15)),
+        j => conv(col("h").substr(j + 1, lit(1)), 16, 10).cast("int"))))
+      .toDF("doc_id", "pos", "dig")
+    val sums = digits.groupBy(col("doc_id"), col("pos")).agg(
+      count(lit(1)).as("n"),
+      sum(floor(col("dig") / 8) % 2).as("c3"),
+      sum(floor(col("dig") / 4) % 2).as("c2"),
+      sum(floor(col("dig") / 2) % 2).as("c1"),
+      sum(col("dig") % 2).as("c0"))
+    def bit(c: String) = when(col(c) * 2 > col("n"), 1).otherwise(0)
+    val nibbles = sums.select(col("doc_id"), col("pos"),
+      (bit("c3") * 8 + bit("c2") * 4 + bit("c1") * 2 + bit("c0")).as("nib"))
+    val legacy = nibbles.groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("nib")))).as("ps"))
+      .select(col("doc_id"), lower(concat((0 until 16).map(j =>
+        conv(col("ps").getItem(j).getField("nib").cast("string"), 10, 16)): _*))
+        .as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+
+    assert(kernel === legacy)
+    assert(!kernel.contains(5L) && !kernel.contains(6L) && !kernel.contains(7L))
+  }
+
   test("connected components: min-label propagation across chains") {
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (10L, 11L))
       .toDF("id_a", "id_b")

@@ -18,7 +18,8 @@ class PlanGuardSpec extends AnyFunSuite {
   private val allowedNlj: Set[String] = Set(
     "ann_brute_topk",   // corpus × broadcast(query set) — the brute-force contract
     "ann_ivf_topk",     // corpus × broadcast(nlist centroids), queries × broadcast(centroids)
-    "agg_overflow")     // overflow-row emptiness probe: × broadcast(1-row count)
+    "agg_overflow",     // overflow-row emptiness probe: × broadcast(1-row count)
+    "contamination")    // corpus × broadcast(1-row benchmark hash set)
 
   test("no query plans a cartesian product or unlisted nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
