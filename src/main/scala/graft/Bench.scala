@@ -15,7 +15,8 @@ object Bench {
     "pipeline_clean", "ann_brute_topk", "ann_lsh_topk", "ann_lsh_multiprobe",
     "ann_ivf_topk", "embed_neardup", "sample_stratified", "sample_mixture",
     "pack_sequences", "vocab_topk", "contamination", "rep_stats",
-    "asof_join", "range_join", "dedup_components_star", "pipeline_curate")
+    "asof_join", "range_join", "dedup_components_star", "pipeline_curate",
+    "pipeline_warm")
 
   def main(args: Array[String]): Unit = {
     // Iteration aid: SPARK_GRAFT_ONLY=q1,q2 restricts the run to a subset.

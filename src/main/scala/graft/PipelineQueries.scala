@@ -622,7 +622,43 @@ object PipelineQueries {
         .select(col("doc_id"), col("lang_pred"), col("quality"),
           col("n_tok"), col("cum_tokens"), col("bin"))
         .orderBy("doc_id")
-    }, Some(pipelineCurateOracle)))
+    }, Some(pipelineCurateOracle)),
+
+    // ── warm shared-stage composition: ONE persisted jaccardDocs frame
+    //    serves BOTH a loose and a tight near-dup pass — the cache-handle
+    //    design the two-call Dedup API exists for (signature+sets computed
+    //    once, reused by candidates and both verify sides of both tiers).
+    //    Benched as its own headline: its delta vs 2× dedup_jaccard_pairs
+    //    quantifies the reuse. ──────────────────────────────────────────
+    ("pipeline_warm", (s, d) => {
+      val docs = Dedup.jaccardDocs(T(s, d, "documents"), "doc_id", "text",
+        width = 6, k = minhashK)
+      val loose = Dedup.jaccardPairsFromDocs(docs, "doc_id",
+          threshold = 0.5, k = minhashK, bands = minhashBands)
+        .select(lit("loose").as("tier"), col("id_a"), col("id_b"))
+      val tight = Dedup.jaccardPairsFromDocs(docs, "doc_id",
+          threshold = 0.8, k = minhashK, bands = minhashBands)
+        .select(lit("tight").as("tier"), col("id_a"), col("id_b"))
+      loose.unionAll(tight).orderBy("tier", "id_a", "id_b")
+    },
+      Some(s"""WITH ${candCtes(6)},
+               sizes AS (SELECT doc_id, COUNT(*) AS sz FROM bases GROUP BY doc_id),
+               common AS (
+                 SELECT cd.id_a, cd.id_b, COUNT(*) AS nc
+                 FROM cand cd
+                 JOIN bases a ON a.doc_id = cd.id_a
+                 JOIN bases b ON b.doc_id = cd.id_b AND b.mhb = a.mhb
+                 GROUP BY cd.id_a, cd.id_b),
+               jv AS (
+                 SELECT cm.id_a, cm.id_b,
+                        CAST(nc AS DOUBLE) / CAST(sa.sz + sb.sz - nc AS DOUBLE) AS j
+                 FROM common cm
+                 JOIN sizes sa ON sa.doc_id = cm.id_a
+                 JOIN sizes sb ON sb.doc_id = cm.id_b)
+               SELECT 'loose' AS tier, id_a, id_b FROM jv WHERE j >= 0.5
+               UNION ALL
+               SELECT 'tight', id_a, id_b FROM jv WHERE j >= 0.8
+               ORDER BY tier, id_a, id_b""")))
 
   /** Shared CTE chain producing jaccard pairs at a threshold. */
   private def jaccardPairsCtes(threshold: Double, src: String = "documents"): String =
