@@ -446,6 +446,60 @@ object PipelineQueries {
                  GROUP BY token
                  ORDER BY cnt DESC, token ASC LIMIT 100""")),
 
+    // ── BM25 relevance scoring against a literal query-term set ──────────
+    // Scan-local tf/dl (no corpus explode, no shuffle of document data);
+    // ONE 1-row global stats aggregation broadcast back to the scan. The
+    // oracle reproduces the identical double fold (fixed term order,
+    // verified-safe literal constants, round 6).
+    ("text_bm25", (s, d) =>
+      TextAnalysis.bm25(T(s, d, "documents"), "doc_id", "text",
+        queryTerms = Seq("hash", "join", "merge", "vector")),
+      Some(raw"""WITH base AS (
+                   SELECT doc_id,
+                          len(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS dl,
+                          len(list_filter(string_split_regex(lower(text), '\s+'), x -> x = 'hash')) AS tf_hash,
+                          len(list_filter(string_split_regex(lower(text), '\s+'), x -> x = 'join')) AS tf_join,
+                          len(list_filter(string_split_regex(lower(text), '\s+'), x -> x = 'merge')) AS tf_merge,
+                          len(list_filter(string_split_regex(lower(text), '\s+'), x -> x = 'vector')) AS tf_vector
+                   FROM documents),
+                 stats AS (
+                   SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                          CAST(SUM(dl) AS BIGINT) AS sum_dl,
+                          CAST(SUM(CASE WHEN tf_hash > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_hash,
+                          CAST(SUM(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_join,
+                          CAST(SUM(CASE WHEN tf_merge > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_merge,
+                          CAST(SUM(CASE WHEN tf_vector > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_vector
+                   FROM base)
+                 SELECT doc_id, dl,
+                        ((CASE WHEN tf_hash > 0 THEN 1 ELSE 0 END)
+                         + (CASE WHEN tf_join > 0 THEN 1 ELSE 0 END)
+                         + (CASE WHEN tf_merge > 0 THEN 1 ELSE 0 END)
+                         + (CASE WHEN tf_vector > 0 THEN 1 ELSE 0 END)) AS n_match,
+                        ROUND(
+                          (CASE WHEN tf_hash > 0 THEN
+                             ln((CAST(n AS DOUBLE) - df_hash + 0.5) / (df_hash + 0.5) + 1.0)
+                               * CAST(tf_hash AS DOUBLE) * CAST(2.2 AS DOUBLE)
+                               / (CAST(tf_hash AS DOUBLE) + CAST(1.2 AS DOUBLE) * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n AS DOUBLE))))
+                           ELSE 0.0 END)
+                          + (CASE WHEN tf_join > 0 THEN
+                               ln((CAST(n AS DOUBLE) - df_join + 0.5) / (df_join + 0.5) + 1.0)
+                                 * CAST(tf_join AS DOUBLE) * CAST(2.2 AS DOUBLE)
+                                 / (CAST(tf_join AS DOUBLE) + CAST(1.2 AS DOUBLE) * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n AS DOUBLE))))
+                             ELSE 0.0 END)
+                          + (CASE WHEN tf_merge > 0 THEN
+                               ln((CAST(n AS DOUBLE) - df_merge + 0.5) / (df_merge + 0.5) + 1.0)
+                                 * CAST(tf_merge AS DOUBLE) * CAST(2.2 AS DOUBLE)
+                                 / (CAST(tf_merge AS DOUBLE) + CAST(1.2 AS DOUBLE) * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n AS DOUBLE))))
+                             ELSE 0.0 END)
+                          + (CASE WHEN tf_vector > 0 THEN
+                               ln((CAST(n AS DOUBLE) - df_vector + 0.5) / (df_vector + 0.5) + 1.0)
+                                 * CAST(tf_vector AS DOUBLE) * CAST(2.2 AS DOUBLE)
+                                 / (CAST(tf_vector AS DOUBLE) + CAST(1.2 AS DOUBLE) * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n AS DOUBLE))))
+                             ELSE 0.0 END), 6) AS bm25
+                 FROM base, stats
+                 WHERE tf_hash > 0 OR tf_join > 0 OR tf_merge > 0 OR tf_vector > 0
+                 ORDER BY bm25 DESC, doc_id""")),
+
     // ── benchmark decontamination: n-gram collision flagging ─────────────
     // Benchmark = docs 0..9 (stand-in test set, broadcast side); corpus =
     // the rest, flagged when ≥20% of its 8-gram set collides.

@@ -119,6 +119,55 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("token").asc)
       .limit(k)
 
+  /** Okapi BM25 relevance of every document against a literal query-term
+    * set (Robertson/Spärck Jones probabilistic IDF, the Lucene "+1" variant
+    * so scores stay non-negative), plus the matched-term count.
+    *
+    * The shape is the 100 TB one: per-term frequencies and document length
+    * are SCAN-LOCAL array expressions over the lowercased whitespace tokens
+    * — a handful of literal query terms means NO corpus explode and no
+    * shuffle of document data at all. The only aggregation is ONE global
+    * stats row (N, Σdl, per-term document frequency) broadcast back to the
+    * scan. Doubles combine in a fixed literal-term order and the score is
+    * rounded, so the DuckDB oracle reproduces results exactly.
+    */
+  def bm25(
+      df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75
+  ): org.apache.spark.sql.DataFrame = {
+    require(queryTerms.nonEmpty && queryTerms == queryTerms.distinct,
+      "queryTerms must be a non-empty set")
+    val toks = tokens(lower(col(textCol)))
+    val tfCols = queryTerms.map(q =>
+      size(filter(toks, t => t === q)).cast("long").as(s"tf_$q"))
+    val base = df.select(col(idCol) +: size(toks).cast("long").as("dl") +: tfCols: _*)
+    val stats = base.agg(
+      count(lit(1)).as("n"),
+      sum(col("dl")).as("sum_dl") +:
+        queryTerms.map(q =>
+          sum(when(col(s"tf_$q") > 0, 1L).otherwise(0L)).as(s"df_$q")): _*)
+    // 1-row global stats × corpus: intentional broadcast NLJ (PlanGuardSpec
+    // allowlists text_bm25), the same pattern as the overflow-row probe.
+    val withStats = base.crossJoin(broadcast(stats))
+    val avgdl = col("sum_dl").cast("double") / col("n").cast("double")
+    val contribs = queryTerms.map { q =>
+      val tf = col(s"tf_$q").cast("double")
+      val idf = log((col("n").cast("double") - col(s"df_$q") + 0.5) /
+        (col(s"df_$q") + 0.5) + 1.0)
+      when(col(s"tf_$q") > 0,
+        idf * tf * lit(k1 + 1.0) /
+          (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / avgdl)))
+        .otherwise(lit(0.0))
+    }
+    val nMatch = queryTerms.map(q => when(col(s"tf_$q") > 0, 1).otherwise(0))
+      .reduce(_ + _)
+    withStats
+      .filter(queryTerms.map(q => col(s"tf_$q") > 0).reduce(_ || _))
+      .select(col(idCol), col("dl"), nMatch.cast("int").as("n_match"),
+        round(contribs.reduce(_ + _), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col(idCol))
+  }
+
   /** Repetition quality signals (the Gopher-rule family — Rae et al. 2021
     * §A1.1 filters on exactly these): per document,
     *  - `dup_line_frac`: 1 − distinct/total over non-empty trimmed lines —

@@ -19,7 +19,8 @@ class PlanGuardSpec extends AnyFunSuite {
     "ann_brute_topk",   // corpus × broadcast(query set) — the brute-force contract
     "ann_ivf_topk",     // corpus × broadcast(nlist centroids), queries × broadcast(centroids)
     "agg_overflow",     // overflow-row emptiness probe: × broadcast(1-row count)
-    "contamination")    // corpus × broadcast(1-row benchmark hash set)
+    "contamination",    // corpus × broadcast(1-row benchmark hash set)
+    "text_bm25")        // corpus × broadcast(1-row BM25 corpus stats)
 
   test("no query plans a cartesian product or unlisted nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

@@ -80,6 +80,27 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(v.toSeq === Seq(("the", 3L, 2L), ("cat", 2L, 2L), ("dog", 2L, 2L)))
   }
 
+  test("bm25: idf ordering, tf saturation, unmatched docs dropped") {
+    val docs = Seq(
+      (1L, "rare common common filler filler filler"),
+      (2L, "common filler"),
+      (3L, "common common common common filler filler"),
+      (4L, "filler only text here")).toDF("doc_id", "text")
+    val r = TextAnalysis.bm25(docs, "doc_id", "text", Seq("rare", "common"))
+      .collect().map(x => x.getLong(0) -> x).toMap
+    // doc 4 matches nothing → absent
+    assert(r.keySet === Set(1L, 2L, 3L))
+    // rare appears in 1 doc, common in 3 → doc 1's rare term outscores any
+    // common-only doc despite equal-ish lengths
+    val s1 = r(1L).getDouble(3); val s2 = r(2L).getDouble(3); val s3 = r(3L).getDouble(3)
+    assert(s1 > s2 && s1 > s3)
+    // tf saturation: doc 3 has 4× the tf of doc 2 but nowhere near 4× score
+    assert(s3 > s2 && s3 < 4 * s2)
+    assert(r(1L).getInt(2) === 2 && r(2L).getInt(2) === 1) // n_match
+    // dl column is the whitespace token count
+    assert(r(1L).getLong(1) === 6L)
+  }
+
   test("repetition stats: duplicate lines and dominant bigrams are scored") {
     val docs = Seq(
       (1L, "aa bb\naa bb\ncc dd"),        // 3 lines, 2 distinct → dup 1/3
