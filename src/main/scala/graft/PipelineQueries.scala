@@ -500,6 +500,40 @@ object PipelineQueries {
                  WHERE tf_hash > 0 OR tf_join > 0 OR tf_merge > 0 OR tf_vector > 0
                  ORDER BY bm25 DESC, doc_id""")),
 
+    // ── winsorization: per-group nearest-rank percentile clipping ────────
+    // One window sort per group for the cutoffs, broadcast back onto the
+    // raw scan; integer rank arithmetic keeps cutoffs engine-exact.
+    ("winsorize", (s, d) =>
+      graft.ops.Outliers.winsorize(
+        T(s, d, "lineitem").select("l_orderkey", "l_linenumber",
+          "l_returnflag", "l_extendedprice"),
+        groupCols = Seq("l_returnflag"), valueCol = "l_extendedprice",
+        tieCols = Seq("l_orderkey", "l_linenumber"), pLo = 0.01, pHi = 0.99)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_extendedprice"), col("lo_cut"), col("hi_cut"),
+          col("clipped"), col("is_lo"), col("is_hi"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""WITH ranked AS (
+                SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
+                       row_number() OVER (PARTITION BY l_returnflag
+                         ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+                       COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+                FROM lineitem),
+              cuts AS (
+                SELECT l_returnflag,
+                       MIN(CASE WHEN rn = GREATEST(CAST(CEIL(CAST(0.01 AS DOUBLE) * n) AS BIGINT), 1) THEN l_extendedprice END) AS lo_cut,
+                       MIN(CASE WHEN rn = CAST(CEIL(CAST(0.99 AS DOUBLE) * n) AS BIGINT) THEN l_extendedprice END) AS hi_cut
+                FROM ranked GROUP BY l_returnflag)
+              SELECT r.l_orderkey, r.l_linenumber, r.l_returnflag,
+                     r.l_extendedprice, c.lo_cut, c.hi_cut,
+                     LEAST(GREATEST(r.l_extendedprice, c.lo_cut), c.hi_cut) AS clipped,
+                     r.l_extendedprice < c.lo_cut AS is_lo,
+                     r.l_extendedprice > c.hi_cut AS is_hi
+              FROM (SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice
+                    FROM lineitem) r
+              JOIN cuts c USING (l_returnflag)
+              ORDER BY l_orderkey, l_linenumber""")),
+
     // ── benchmark decontamination: n-gram collision flagging ─────────────
     // Benchmark = docs 0..9 (stand-in test set, broadcast side); corpus =
     // the rest, flagged when ≥20% of its 8-gram set collides.

@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Outlier handling for numeric quality signals: per-group winsorization
+  * (clip at exact percentile cutoffs) — the standard guard before feeding
+  * heavy-tailed features (lengths, scores, prices) into mixtures or
+  * training-weight formulas. Beyond-reference surface.
+  *
+  * The percentile is the NEAREST-RANK definition (value at rank
+  * ⌈p·n⌉, ties broken by explicit tiebreak columns), not an interpolated
+  * quantile: rank arithmetic is integer-exact, so any engine reproduces the
+  * cutoffs bit-for-bit — interpolation formulas differ across engines and
+  * would break oracle comparison for no statistical gain at corpus scale.
+  *
+  * Shape: ONE window sort per group computes ranks, a small per-group
+  * aggregate extracts the two cutoff values, and the cutoff frame (one row
+  * per group, assumed ≪ rows) broadcasts back onto the raw scan — the probe
+  * side never carries window state. At 100 TB with unbounded groups, swap
+  * the exact rank window for `approx_percentile` cutoffs (same downstream
+  * contract) — the exact variant is for bounded groups where the sort fits
+  * a partition spill budget.
+  */
+object Outliers {
+
+  /** Clip `valueCol` to the [pLo, pHi] nearest-rank percentile band per
+    * group; emits `lo_cut`/`hi_cut`, the `clipped` value, and outlier
+    * flags. `tieCols` must make (value, ties) unique within a group for a
+    * deterministic result. */
+  def winsorize(
+      df: DataFrame, groupCols: Seq[String], valueCol: String,
+      tieCols: Seq[String], pLo: Double, pHi: Double): DataFrame = {
+    require(pLo >= 0 && pLo < pHi && pHi <= 1, "need 0 <= pLo < pHi <= 1")
+    val gs = groupCols.map(col)
+    val rankW = Window.partitionBy(gs: _*)
+      .orderBy(col(valueCol) +: tieCols.map(col): _*)
+    val ranked = df
+      .withColumn("__rn", row_number().over(rankW))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(gs: _*)))
+    val loRank = greatest(ceil(lit(pLo) * col("__n")), lit(1L))
+    val hiRank = ceil(lit(pHi) * col("__n"))
+    val cuts = ranked.groupBy(gs: _*).agg(
+      min(when(col("__rn") === loRank, col(valueCol))).as("lo_cut"),
+      min(when(col("__rn") === hiRank, col(valueCol))).as("hi_cut"))
+    df.join(broadcast(cuts), groupCols)
+      .withColumn("clipped",
+        least(greatest(col(valueCol), col("lo_cut")), col("hi_cut")))
+      .withColumn("is_lo", col(valueCol) < col("lo_cut"))
+      .withColumn("is_hi", col(valueCol) > col("hi_cut"))
+  }
+}

@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Outliers
+
+/** Winsorization semantics: nearest-rank cutoffs, clipping, flags. */
+class OutliersSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("nearest-rank cutoffs clip and flag per group") {
+    val df = (1 to 10).map(i => ("a", i.toLong, i.toDouble))
+      .toDF("g", "id", "v")
+    val r = Outliers.winsorize(df, Seq("g"), "v", Seq("id"), 0.2, 0.8)
+      .collect().map(x => x.getAs[Long]("id") ->
+        (x.getAs[Double]("clipped"), x.getAs[Boolean]("is_lo"), x.getAs[Boolean]("is_hi")))
+      .toMap
+    // ranks: lo = ceil(0.2*10)=2 → cut 2.0; hi = ceil(0.8*10)=8 → cut 8.0
+    assert(r(1L) === ((2.0, true, false)))
+    assert(r(2L) === ((2.0, false, false)))
+    assert(r(8L) === ((8.0, false, false)))
+    assert(r(9L) === ((8.0, false, true)))
+    assert(r(10L) === ((8.0, false, true)))
+  }
+
+  test("groups are independent and pLo=0 keeps rank 1 as the low cut") {
+    val df = Seq(
+      ("a", 1L, 100.0), ("a", 2L, 200.0), ("a", 3L, 300.0),
+      ("b", 4L, 1.0), ("b", 5L, 2.0), ("b", 6L, 3.0)).toDF("g", "id", "v")
+    val r = Outliers.winsorize(df, Seq("g"), "v", Seq("id"), 0.0, 1.0)
+      .collect()
+    // ceil(0*n)=0 clamps to rank 1; hi = rank n — nothing clips at [0,1]
+    assert(r.forall(x => x.getAs[Double]("clipped") === x.getAs[Double]("v")))
+    val cutsByG = r.map(x => x.getAs[String]("g") ->
+      (x.getAs[Double]("lo_cut"), x.getAs[Double]("hi_cut"))).toMap
+    assert(cutsByG("a") === ((100.0, 300.0)) && cutsByG("b") === ((1.0, 3.0)))
+  }
+
+  test("duplicate values resolve deterministically via tiebreak columns") {
+    val df = Seq(("a", 1L, 5.0), ("a", 2L, 5.0), ("a", 3L, 5.0), ("a", 4L, 9.0))
+      .toDF("g", "id", "v")
+    // lo rank ceil(0.25*4)=1 → 5.0; hi rank ceil(0.75*4)=3 → 5.0 (3rd dup)
+    val r = Outliers.winsorize(df, Seq("g"), "v", Seq("id"), 0.25, 0.75)
+      .collect()
+    assert(r.forall(x => x.getAs[Double]("lo_cut") === 5.0))
+    assert(r.forall(x => x.getAs[Double]("hi_cut") === 5.0))
+    assert(r.filter(_.getAs[Long]("id") == 4L).head.getAs[Boolean]("is_hi"))
+  }
+}
