@@ -485,6 +485,23 @@ object CoreQueries {
               FROM nation LEFT JOIN supplier ON n_nationkey = s_nationkey
               ORDER BY n_nationkey, s_suppkey NULLS FIRST""")),
 
+    // ── salted skew join: (key, salt) shuffle ≡ plain equi-join ──────────
+    // Hot-key regime where a single join key exceeds any partition budget:
+    // probe rows get one content-based salt, build rows replicate per salt.
+    ("join_salted", (s, d) => {
+      val li = T(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+      val ord = T(s, d, "orders").select("o_orderkey", "o_custkey", "o_orderstatus")
+        .withColumnRenamed("o_orderkey", "l_orderkey")
+      graft.ops.SkewJoin.saltedJoin(li, ord, Seq("l_orderkey"), saltBuckets = 8)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("o_custkey"), col("o_orderstatus"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, o_custkey, o_orderstatus
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              ORDER BY l_orderkey, l_linenumber""")),
+
     // ── window functions (absent in reference — SURVEY §2.7) ─────────────
     ("window_rank", (s, d) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -855,5 +872,30 @@ object CoreQueries {
         .orderBy("event_id")
     },
       Some("""SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
-              FROM events ORDER BY event_id""")))
+              FROM events ORDER BY event_id""")),
+
+    // Stream-stream interval join (EventStreams.intervalJoin): each click
+    // paired with same-user purchases in the preceding hour. On a stream
+    // both sides are watermarked and join state is evicted past
+    // watermark+gap; here the batch twin is oracle-checked.
+    ("stream_interval_join", (s, d) => {
+      val ev = T(s, d, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("c_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+      graft.streaming.EventStreams.intervalJoin(
+        clicks, purchases, Seq("user_id"), "c_ts", "p_ts", "1 hour", "30 minutes")
+        .select(col("click_id"), col("l.user_id").as("user_id"),
+          unix_micros(col("c_ts")).as("c_us"),
+          col("p_id"), unix_micros(col("p_ts")).as("p_us"))
+        .orderBy("click_id", "p_us")
+    },
+      Some("""SELECT c.event_id AS click_id, c.user_id AS user_id,
+                     epoch_us(c.ts) AS c_us, p.event_id AS p_id, epoch_us(p.ts) AS p_us
+              FROM (SELECT * FROM events WHERE event_type = 'click') c
+              JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+                ON c.user_id = p.user_id
+               AND p.ts BETWEEN c.ts - INTERVAL 1 HOUR AND c.ts
+              ORDER BY click_id, p_us""")))
 }
