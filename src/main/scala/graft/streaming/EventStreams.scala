@@ -69,6 +69,37 @@ object EventStreams {
       }
   }
 
+  /** Stream-stream interval join: pair each left event with the same-key
+    * right events whose timestamp falls in [left_ts − maxGap, left_ts].
+    *
+    * On streams BOTH sides carry watermarks and the time-bound join
+    * condition is what lets Spark evict join state older than
+    * watermark + gap — bounded state, the only sound way to inner-join two
+    * unbounded streams (an unbounded-state stream join buffers both sides
+    * forever). On batch frames the identical plan is an equi-join on the
+    * key with a range filter; see [[graft.ops.RangeJoin]] for the bucketed
+    * batch variant that avoids even the range-filter fanout.
+    *
+    * Output columns are the left frame's then the right frame's; key
+    * columns appear on both sides (select via the `l`/`r` aliases). */
+  def intervalJoin(
+      left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTsCol: String, rightTsCol: String,
+      maxGap: String, watermarkDelay: String): DataFrame = {
+    require(leftTsCol != rightTsCol,
+      "left/right timestamp columns must have distinct names")
+    val l0 = if (left.isStreaming) left.withWatermark(leftTsCol, watermarkDelay) else left
+    val r0 = if (right.isStreaming) right.withWatermark(rightTsCol, watermarkDelay) else right
+    // Alias-qualified conditions: both sides may derive from the SAME scan
+    // (a self-join on event type), where df("col") references are ambiguous.
+    val l = l0.alias("l")
+    val r = r0.alias("r")
+    val keyCond = keys.map(k => col(s"l.$k") === col(s"r.$k")).reduce(_ && _)
+    val timeCond = col(s"r.$rightTsCol")
+      .between(col(s"l.$leftTsCol") - expr(s"INTERVAL $maxGap"), col(s"l.$leftTsCol"))
+    l.join(r, keyCond && timeCond, "inner")
+  }
+
   /** Streaming exact dedup by event id: at-least-once sources redeliver, so
     * every ingestion pipeline dedups on an id column before anything else.
     * On a stream this uses `dropDuplicatesWithinWatermark` — state holds

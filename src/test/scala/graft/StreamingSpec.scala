@@ -3,6 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -99,6 +100,46 @@ class StreamingSpec extends AnyFunSuite {
     val out = EventStreams.dedupEvents(ev, Seq("event_id"), "10 minutes")
       .collect().map(_.getLong(0)).sorted
     assert(out.toSeq === Seq(1L, 2L))
+  }
+
+  test("stream-stream interval join pairs clicks with preceding purchases") {
+    implicit val sql = spark.sqlContext
+    val lIn = MemoryStream[(Long, Long, Timestamp)]
+    val rIn = MemoryStream[(Long, Long, Timestamp)]
+    val clicks = lIn.toDF().toDF("click_id", "user_id", "c_ts")
+    val purchases = rIn.toDF().toDF("p_id", "user_id", "p_ts")
+    val q = EventStreams.intervalJoin(
+      clicks, purchases, Seq("user_id"), "c_ts", "p_ts", "60 minutes", "30 minutes")
+      .select(col("click_id"), col("p_id"))
+      .writeStream.format("memory").queryName("ssj")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      rIn.addData((100L, 1L, ts(0)))   // purchase 10:00
+      lIn.addData((200L, 1L, ts(30)))  // click 10:30 → pairs with 100
+      lIn.addData((201L, 2L, ts(30)))  // other user → no pair
+      q.processAllAvailable()
+      rIn.addData((101L, 1L, ts(40)))  // purchase 10:40 (after click 200)
+      lIn.addData((202L, 1L, ts(50)))  // click 10:50 → pairs with 100 AND 101
+      q.processAllAvailable()
+      val pairs = spark.table("ssj").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs === Set((200L, 100L), (202L, 100L), (202L, 101L)))
+    } finally q.stop()
+  }
+
+  test("interval join boundaries are inclusive (batch frame)") {
+    def hm(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val clicks = Seq((1L, 7L, hm(11, 0))).toDF("click_id", "user_id", "c_ts")
+    val purchases = Seq(
+      (10L, 7L, hm(10, 0)),   // exactly c_ts - 1h → inclusive, pairs
+      (11L, 7L, hm(11, 0)),   // exactly c_ts → inclusive, pairs
+      (12L, 7L, hm(9, 59)),   // one minute too old → excluded
+      (13L, 7L, hm(11, 1)))   // after the click → excluded
+      .toDF("p_id", "user_id", "p_ts")
+    val out = EventStreams.intervalJoin(
+      clicks, purchases, Seq("user_id"), "c_ts", "p_ts", "1 hour", "30 minutes")
+      .select(col("p_id")).collect().map(_.getLong(0)).toSet
+    assert(out === Set(10L, 11L))
   }
 
   test("batch and streaming transforms agree (windowedStats on batch frame)") {
