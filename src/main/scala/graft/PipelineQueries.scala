@@ -623,6 +623,59 @@ object PipelineQueries {
                      < CAST(trunc((w - floor(w)) * 4294967296.0) AS BIGINT)
                ORDER BY doc_id, epoch""")),
 
+    // Per-row weighted Bernoulli keep: acceptance probability is a column
+    // (here a length-proportional score), still one scan-local predicate.
+    ("sample_weighted", (s, d) => {
+      val docs = T(s, d, "documents").select(col("doc_id"), col("lang"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok"))
+      Sampling.weightedSample(docs, col("doc_id"),
+        least(col("n_tok").cast("double") / lit(100.0), lit(1.0)), salt = "w:")
+        .orderBy("doc_id")
+    },
+      Some(raw"""WITH d AS (
+                   SELECT doc_id, lang,
+                          CAST(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tok
+                   FROM documents)
+                 SELECT doc_id, lang, n_tok FROM d
+                 WHERE ${duckBase("concat('w:', CAST(doc_id AS VARCHAR))")}
+                       < CAST(trunc(least(greatest(least(CAST(n_tok AS DOUBLE) / 100.0, 1.0), 0.0), 1.0) * 4294967296.0) AS BIGINT)
+                 ORDER BY doc_id""")),
+
+    // Deterministic epoch shuffle: reproducible global permutation per
+    // epoch (epoch-salted content hash), executed as the scalable
+    // range-partitioned sort; pos_hash is exposed for downstream reuse.
+    ("shuffle_epoch", (s, d) =>
+      Sampling.epochShuffle(
+        T(s, d, "documents").select("doc_id", "lang"), col("doc_id"), epoch = 1),
+      Some(s"""SELECT doc_id, lang,
+                      ${duckBase("concat('1:', CAST(doc_id AS VARCHAR))")} AS pos_hash
+               FROM documents
+               ORDER BY pos_hash, doc_id""")),
+
+    // One-pass numeric column profiling: single Expand-based aggregation
+    // for all per-column stats, unpivoted to a tidy row per column.
+    ("profile", (s, d) =>
+      graft.ops.Profiling.numericProfile(T(s, d, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount")),
+      Some("""SELECT col_name, n_rows, n_nonnull, n_distinct, min_v, max_v FROM (
+                SELECT 'l_discount' AS col_name, COUNT(*) AS n_rows,
+                       COUNT(l_discount) AS n_nonnull,
+                       COUNT(DISTINCT l_discount) AS n_distinct,
+                       CAST(MIN(l_discount) AS DOUBLE) AS min_v,
+                       CAST(MAX(l_discount) AS DOUBLE) AS max_v
+                FROM lineitem
+                UNION ALL
+                SELECT 'l_extendedprice', COUNT(*), COUNT(l_extendedprice),
+                       COUNT(DISTINCT l_extendedprice),
+                       CAST(MIN(l_extendedprice) AS DOUBLE),
+                       CAST(MAX(l_extendedprice) AS DOUBLE) FROM lineitem
+                UNION ALL
+                SELECT 'l_quantity', COUNT(*), COUNT(l_quantity),
+                       COUNT(DISTINCT l_quantity),
+                       CAST(MIN(l_quantity) AS DOUBLE),
+                       CAST(MAX(l_quantity) AS DOUBLE) FROM lineitem)
+              ORDER BY col_name""")),
+
     // Sequence packing: token-budget bins in doc_id order via the two-phase
     // distributed prefix sum (no corpus-wide single-partition window); the
     // oracle replays it with a plain global SUM OVER — bit-exact integers.

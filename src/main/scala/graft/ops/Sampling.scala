@@ -49,6 +49,31 @@ object Sampling {
     when(sampleHash(key, salt) < lit((holdoutRate * Pow32).toLong), lit("holdout"))
       .otherwise(lit("train"))
 
+  /** Per-row weighted Bernoulli keep: a row is kept iff its content hash
+    * falls below weight·2³², where `weight` is ANY column valued in [0,1]
+    * (clamped) — acceptance sampling driven by a per-row quality or score
+    * signal rather than a fixed rate. Still one scan-local predicate:
+    * reproducible, repartition-stable, pushdown-friendly, no shuffle. */
+  def weightedSample(
+      df: DataFrame, key: Column, weight: Column, salt: String = ""): DataFrame =
+    df.filter(sampleHash(key, salt) <
+      (least(greatest(weight.cast("double"), lit(0.0)), lit(1.0)) * Pow32).cast("long"))
+
+  /** Deterministic epoch shuffle: a reproducible global permutation of the
+    * corpus — every epoch a different, independent order (epoch-salted
+    * content hash), every run/engine/partitioning the SAME order for a
+    * given epoch, which is what makes a training run resumable and
+    * debuggable. Ties (hash collisions) are broken by the key, so the
+    * permutation is total. `orderBy` executes as range-sample →
+    * range-partition → partition-local sort — the scalable global sort; no
+    * RNG state is ever materialized. The shuffle hash is exposed as
+    * `pos_hash` so downstream stages (packing, sharded writes) can reuse
+    * the order without re-sorting. */
+  def epochShuffle(
+      df: DataFrame, key: Column, epoch: Int, salt: String = ""): DataFrame =
+    df.withColumn("pos_hash", sampleHash(key, s"$salt${epoch}:"))
+      .orderBy(col("pos_hash"), key)
+
   /** Weighted data mixture with epochs: stratum s appears `weights(s)`
     * times in expectation — full copies for the integer part (tagged with
     * an `epoch` column) plus a deterministic hash-sample of the fractional

@@ -46,6 +46,29 @@ class CurationSpec extends AnyFunSuite {
     assert(math.abs(splits("holdout") - 2000L) < 170)
   }
 
+  test("weighted sample: acceptance tracks the weight column; clamped outside [0,1]") {
+    // weight 0.5 for even ids, 0 for odd → only evens survive, about half
+    val df = ids.withColumn("w", when($"id" % 2 === 0, 0.5).otherwise(0.0))
+    val kept = Sampling.weightedSample(df, $"id", $"w", "t")
+      .collect().map(_.getLong(0))
+    assert(kept.forall(_ % 2 == 0))
+    assert(math.abs(kept.length - 2500) < 200, s"got ${kept.length}/5000 at w=0.5")
+    // weights beyond the unit interval clamp: w=7 keeps all, w=-3 keeps none
+    val wild = ids.withColumn("w", when($"id" % 2 === 0, 7.0).otherwise(-3.0))
+    val kept2 = Sampling.weightedSample(wild, $"id", $"w", "t").collect().map(_.getLong(0))
+    assert(kept2.length === 5000 && kept2.forall(_ % 2 == 0))
+  }
+
+  test("epoch shuffle: total deterministic order, epochs independent") {
+    val e1a = Sampling.epochShuffle(ids, $"id", 1).collect().map(_.getLong(0)).toSeq
+    val e1b = Sampling.epochShuffle(ids.repartition(7), $"id", 1).collect().map(_.getLong(0)).toSeq
+    assert(e1a === e1b, "same epoch must give the identical permutation")
+    val e2 = Sampling.epochShuffle(ids, $"id", 2).collect().map(_.getLong(0)).toSeq
+    assert(e1a !== e2, "different epochs must permute differently")
+    assert(e1a.sorted === (0L until 10000L), "a permutation, nothing lost")
+    assert(e1a !== (0L until 10000L).toSeq, "hash order is not key order")
+  }
+
   test("weighted epoch mix: integer copies exact, fractional part near rate, weight 0 drops") {
     val df = ids.withColumn("g",
       when($"id" % 3 === 0, "a").otherwise(when($"id" % 3 === 1, "b").otherwise("c")))
