@@ -16,7 +16,8 @@ object Bench {
     "ann_ivf_topk", "embed_neardup", "sample_stratified", "sample_mixture",
     "pack_sequences", "vocab_topk", "contamination", "rep_stats",
     "asof_join", "range_join", "dedup_components_star", "pipeline_curate",
-    "pipeline_warm")
+    "pipeline_warm", "text_bm25", "winsorize", "join_salted",
+    "stream_interval_join", "shuffle_epoch", "sample_weighted", "profile")
 
   def main(args: Array[String]): Unit = {
     // Iteration aid: SPARK_GRAFT_ONLY=q1,q2 restricts the run to a subset.
