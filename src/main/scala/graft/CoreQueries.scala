@@ -549,6 +549,40 @@ object CoreQueries {
                 MAX(CAST(props->>'$.k' AS BIGINT)) AS max_k
               FROM events GROUP BY event_type ORDER BY event_type""")),
 
+    // JSONL sink → schema-enforced source roundtrip (TextSources): the
+    // ingestion path — µs-explicit timestamp format, PERMISSIVE corrupt-
+    // record capture, no inferSchema. Exactness gate: every value survives
+    // the text roundtrip bit-for-bit vs the parquet original.
+    ("json_roundtrip", (s, d) => {
+      val ev = T(s, d, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      val path = System.getProperty("java.io.tmpdir") + "/graft_rt_json"
+      graft.sources.TextSources.writeJsonl(ev, path)
+      graft.sources.TextSources.readJsonl(s, path, ev.schema)
+        .drop("_corrupt_record")
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"), col("user_id"),
+          col("event_type"), col("value"), col("props"))
+        .orderBy("event_id")
+    },
+      Some("""SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props
+              FROM events ORDER BY event_id""")),
+
+    // CSV roundtrip with RFC-4180 quote doubling — the embedded JSON props
+    // column (commas, quotes) must survive the quoting intact.
+    ("csv_roundtrip", (s, d) => {
+      val ev = T(s, d, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      val path = System.getProperty("java.io.tmpdir") + "/graft_rt_csv"
+      graft.sources.TextSources.writeCsv(ev, path)
+      graft.sources.TextSources.readCsv(s, path, ev.schema)
+        .drop("_corrupt_record")
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"), col("user_id"),
+          col("event_type"), col("value"), col("props"))
+        .orderBy("event_id")
+    },
+      Some("""SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props
+              FROM events ORDER BY event_id""")),
+
     ("events_time_buckets", (s, d) =>
       T(s, d, "events")
         .groupBy(
