@@ -63,4 +63,22 @@ object Engine {
     * NullBlockInputStream (DataStreams/NullBlockInputStream.h). */
   def nullSource(spark: SparkSession, schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+  /** Widen a frame to the session's parallelism before a COMPUTE-BOUND
+    * scan-local stage (per-doc hashing kernels: ShingleMinhash, SimHash64).
+    *
+    * Spark sizes scan splits by BYTES (`files.maxPartitionBytes` /
+    * `openCostInBytes`), which is right for I/O-bound plans but wrong for a
+    * kernel doing thousands of md5s per row: a small compressed file lands
+    * in ONE split and the whole corpus hashes on one core (measured: the
+    * sf0.1 documents table is a single 0.6 MB split — every downstream
+    * dedup consumer serialized on 1 of 32 cores). At 100 TB input splits
+    * vastly outnumber cores, `getNumPartitions >= target` holds, and this
+    * is a no-op — the branch only triggers exactly where the bytes
+    * heuristic under-parallelizes, and the round-robin shuffle it pays is
+    * by construction tiny (the data fit in fewer splits than cores). */
+  def rebalanceForCompute(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
 }

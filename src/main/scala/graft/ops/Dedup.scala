@@ -83,7 +83,7 @@ object Dedup {
   def minhashSignature(
       df: DataFrame, idCol: String, textCol: String, width: Int, k: Int): DataFrame = {
     val sm = graft.functions.ShingleExpressions.shingleMinhash(col(textCol), width, k)
-    df.select(col(idCol), sm.as("__sm"))
+    graft.Engine.rebalanceForCompute(df).select(col(idCol), sm.as("__sm"))
       .select(col(idCol) +:
         (0 until k).map(i => col("__sm.mh").getItem(i).as(s"mh_$i")): _*)
   }
@@ -209,7 +209,9 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String, width: Int, k: Int,
       persist: Boolean = true): DataFrame = {
     val sm = graft.functions.ShingleExpressions.shingleMinhash(col(textCol), width, k)
-    val docs = df.select(col(idCol), sm.as("__sm"))
+    // Kernel work (one md5 per shingle) dwarfs scan I/O — widen first when
+    // the bytes-based split count under-parallelizes (no-op at scale).
+    val docs = graft.Engine.rebalanceForCompute(df).select(col(idCol), sm.as("__sm"))
       .select(col(idCol) +:
         (col("__sm.shset").as("shset") +:
           (0 until k).map(i => col("__sm.mh").getItem(i).as(s"mh_$i")) :+
@@ -288,7 +290,8 @@ object Dedup {
     * tokens (empty / all-whitespace / NULL text) are absent from the
     * output, exactly as they dropped out of the exploded groupBy. */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol),
+    graft.Engine.rebalanceForCompute(df)
+      .select(col(idCol),
         graft.functions.ShingleExpressions.simhash64(col(textCol)).as("simhash"))
       .filter(col("simhash").isNotNull)
 
@@ -427,7 +430,7 @@ object Dedup {
     // Two-step select: the kernel struct is bound once and fields are
     // extracted across a projection boundary (CollapseProject keeps a
     // non-cheap producer referenced twice un-inlined — one eval per row).
-    val corpusSets = corpus
+    val corpusSets = graft.Engine.rebalanceForCompute(corpus)
       .select(col(idCol), sm.as("__sm"))
       .select(col(idCol), col("__sm.shset").as("__cs"),
         col("__sm.sz").as("total_ngrams"))
