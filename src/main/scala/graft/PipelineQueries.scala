@@ -163,6 +163,26 @@ object PipelineQueries {
                       string_agg(substr('0123456789abcdef', CAST(nib + 1 AS INT), 1), '' ORDER BY pos) AS simhash
                FROM nibs GROUP BY doc_id ORDER BY doc_id""")),
 
+    // Per-doc duplicated n-gram share (Lee et al. 2022 at shingle
+    // granularity): how many of a doc's distinct 8-gram hashes appear in
+    // ≥2 documents. Scan-local shingle sets → one df-aggregation on the
+    // hash → flag-back join; the oracle replays the same hashed sets.
+    ("dup_ngram_stats", (s, d) =>
+      Dedup.dupNgramStats(T(s, d, "documents"), "doc_id", "text", width = minhashW)
+        .orderBy("doc_id"),
+      Some(s"""WITH ${shingleCte(minhashW)},
+               bases AS (SELECT DISTINCT doc_id, ${duckBase("shingle")} AS h FROM sh),
+               szs AS (SELECT doc_id, COUNT(*) AS n_shingles FROM bases GROUP BY doc_id),
+               dfc AS (SELECT h FROM bases GROUP BY h HAVING COUNT(*) >= 2),
+               dup AS (SELECT b.doc_id, COUNT(*) AS n_dup FROM bases b JOIN dfc USING (h)
+                       GROUP BY b.doc_id)
+               SELECT s.doc_id, s.n_shingles,
+                      CAST(COALESCE(d.n_dup, 0) AS BIGINT) AS n_dup_shingles,
+                      CAST(COALESCE(d.n_dup, 0) AS DOUBLE) / CAST(s.n_shingles AS DOUBLE) AS dup_ratio
+               FROM szs s LEFT JOIN dup d ON s.doc_id = d.doc_id
+               WHERE s.n_shingles > 0
+               ORDER BY s.doc_id""")),
+
     // ── embedding near-dup + similarity search ───────────────────────────
     // Banded multi-table sign-LSH bucketing (the scale path — bucket join,
     // no O(n²) self-join) + exact cosine verification; the oracle replicates
@@ -230,6 +250,16 @@ object PipelineQueries {
         idCol = "vec_id", vecCol = "embedding", qidCol = "qid", qvecCol = "qe",
         k = 5, nPlanes = 4, dim = 64, multiProbe = true).orderBy("qid", "rk")
     }, Some(lshOracle(multiProbe = true))),
+
+    // Full Lloyd k-means (generalizes the IVF index build to arbitrary
+    // iterations): md5-seeded deterministic init, broadcast-centroid
+    // euclidean assignment, exact fixed-point means — the whole iteration
+    // is bit-reproducible, so the oracle unrolls it and hash-checks the
+    // final clustering.
+    ("embed_kmeans", (s, d) =>
+      Similarity.kmeans(T(s, d, "embeddings").select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", k = 8, iters = 2).orderBy("vec_id"),
+      Some(kmeansOracle(k = 8, iters = 2))),
 
     // ── text analysis ────────────────────────────────────────────────────
     ("text_stats", (s, d) =>
@@ -319,6 +349,46 @@ object PipelineQueries {
       Some("""SELECT doc_id,
                 md5(trim(regexp_replace(lower(text), '[ \t\n\r]+', ' ', 'g'))) AS fp
               FROM documents ORDER BY doc_id""")),
+
+    // PII redaction (emails → <EMAIL>, IPv4 → <IP>, phones → <PHONE>) with
+    // per-category counts. The synthetic corpus contains no organic PII, so
+    // the query plants a deterministic doc_id-derived contact line on every
+    // row (both engines apply the same concat) — each row then exercises
+    // all three patterns; matches are non-trivial by construction. Patterns
+    // live in the Java∩RE2 regex subset, so Spark and DuckDB agree exactly.
+    ("pii_redact", (s, d) => {
+      val planted = concat(col("text"),
+        lit(" Contact user"), col("doc_id").cast("string"),
+        lit("@example.com or 10.0."), (col("doc_id") % 256).cast("string"),
+        lit(".7 or 555-"),
+        lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-1234."))
+      val counts = TextAnalysis.piiCounts(planted).map { case (n, c) => c.as(n) }
+      T(s, d, "documents")
+        .select(col("doc_id") +: counts :+
+          md5(TextAnalysis.redactPii(planted)).as("redacted_md5"): _*)
+        .orderBy("doc_id")
+    },
+      Some(raw"""WITH p AS (
+                   SELECT doc_id,
+                          concat(text, ' Contact user', CAST(doc_id AS VARCHAR),
+                                 '@example.com or 10.0.', CAST(doc_id % 256 AS VARCHAR),
+                                 '.7 or 555-', lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0'),
+                                 '-1234.') AS t
+                   FROM documents),
+                 r AS (
+                   SELECT doc_id, t,
+                          regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+                   FROM p),
+                 r2 AS (
+                   SELECT doc_id, t, t1,
+                          regexp_replace(t1, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS t2
+                   FROM r)
+                 SELECT doc_id,
+                        CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+                        CAST(len(regexp_extract_all(t1, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS INT) AS n_ips,
+                        CAST(len(regexp_extract_all(t2, '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b')) AS INT) AS n_phones,
+                        md5(regexp_replace(t2, '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b', '<PHONE>', 'g')) AS redacted_md5
+                 FROM r2 ORDER BY doc_id""")),
 
     // ── multimodal plumbing (payload = utf8 bytes of text; stub decode) ──
     ("multimodal_stats", (s, d) =>
@@ -651,6 +721,21 @@ object PipelineQueries {
                       ${duckBase("concat('1:', CAST(doc_id AS VARCHAR))")} AS pos_hash
                FROM documents
                ORDER BY pos_hash, doc_id""")),
+
+    // Deterministic per-group cap (domain capping): ≤ 40 docs per `source`,
+    // selected by content-addressed hash order — run-stable, engine-stable.
+    ("cap_per_source", (s, d) =>
+      Sampling.capPerGroup(
+        T(s, d, "documents").select("doc_id", "source"),
+        col("source"), col("doc_id"), n = 40, salt = "cap")
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, source FROM (
+                 SELECT doc_id, source,
+                        row_number() OVER (PARTITION BY source
+                          ORDER BY ${duckBase("concat('cap', CAST(doc_id AS VARCHAR))")} ASC,
+                                   doc_id ASC) AS rn
+                 FROM documents) WHERE rn <= 40
+               ORDER BY doc_id""")),
 
     // One-pass numeric column profiling: single Expand-based aggregation
     // for all per-column stats, unpivoted to a tidy row per column.
@@ -1071,6 +1156,51 @@ object PipelineQueries {
                  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
           FROM scored) WHERE rk <= 5
         ORDER BY qid, rk"""
+  }
+
+  /** DuckDB replica of [[graft.ops.Similarity.kmeans]]: the seed CTE plus
+    * `iters` unrolled (assign → fixed-point mean) rounds, ending in a final
+    * assignment. Same fold order, same tie-breaks, same 2⁴⁰ fixed-point
+    * sums as the engine — the clustering hash-matches bit-for-bit. */
+  private def kmeansOracle(k: Int, iters: Int): String = {
+    def dot(a: String, b: String): String =
+      s"list_reduce(list_transform(list_zip($a, $b), z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (acc, x) -> acc + x)"
+    def d2(vec: String, n2: String, cvec: String): String =
+      s"$n2 - 2.0 * ${dot(vec, cvec)} + ${dot(cvec, cvec)}"
+    val rounds = (0 until iters).map { i =>
+      s"""s$i AS (
+            SELECT c.vec_id, ct.cid,
+                   row_number() OVER (PARTITION BY c.vec_id
+                     ORDER BY ${d2("c.embedding", "c.n2", "ct.cvec")} ASC, ct.cid ASC) AS rn
+            FROM c CROSS JOIN ct$i ct),
+          a$i AS (SELECT vec_id, cid FROM s$i WHERE rn = 1),
+          el$i AS (
+            SELECT a$i.cid, c.vec_id, i AS pos,
+                   CAST(c.embedding[CAST(i AS INT)] AS DOUBLE) AS v
+            FROM a$i JOIN c ON a$i.vec_id = c.vec_id,
+            LATERAL (SELECT unnest(generate_series(1, len(c.embedding)))) t(i)),
+          cm$i AS (
+            SELECT cid, pos,
+                   CAST(SUM(CAST(round(v * 1099511627776.0) AS HUGEINT)) AS DOUBLE)
+                     / CAST(COUNT(*) AS DOUBLE) / 1099511627776.0 AS m
+            FROM el$i GROUP BY cid, pos),
+          ct${i + 1} AS (
+            SELECT cid, list(m ORDER BY pos) AS cvec FROM cm$i GROUP BY cid)"""
+    }.mkString(",\n        ")
+    val roundsSql = if (iters == 0) "" else s",\n        $rounds"
+    s"""WITH c AS (SELECT vec_id, embedding, ${dot("embedding", "embedding")} AS n2 FROM embeddings),
+        ct0 AS (
+          SELECT vec_id AS cid, embedding AS cvec
+          FROM embeddings
+          ORDER BY ${duckBase("CAST(vec_id AS VARCHAR)")}, vec_id LIMIT $k)$roundsSql,
+        fin AS (
+          SELECT c.vec_id, ct.cid,
+                 ${d2("c.embedding", "c.n2", "ct.cvec")} AS dist2,
+                 row_number() OVER (PARTITION BY c.vec_id
+                   ORDER BY ${d2("c.embedding", "c.n2", "ct.cvec")} ASC, ct.cid ASC) AS rn
+          FROM c CROSS JOIN ct$iters ct)
+        SELECT vec_id, cid AS cluster, round(dist2, 9) AS dist2
+        FROM fin WHERE rn = 1 ORDER BY vec_id"""
   }
 
   /** DuckDB replica of TextAnalysis.langId: marker-ratio argmax with

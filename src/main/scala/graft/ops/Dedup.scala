@@ -295,6 +295,45 @@ object Dedup {
         graft.functions.ShingleExpressions.simhash64(col(textCol)).as("simhash"))
       .filter(col("simhash").isNotNull)
 
+  /** Per-document duplicated n-gram statistics — the "how much of this doc
+    * is boilerplate shared with other docs" signal (the n-gram flavor of
+    * Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better", 2022: exact duplicated spans, approximated here at shingle
+    * granularity). For each doc: its distinct shingle-hash count, how many
+    * of those hashes occur in ≥2 documents, and the ratio — curation
+    * pipelines drop or down-weight high-ratio docs.
+    *
+    * Scale shape: shingle sets come SCAN-LOCAL from the
+    * [[graft.functions.ShingleMinhash]] kernel (no corpus-wide string
+    * explode); the document-frequency aggregation shuffles fixed-width
+    * (hash, count) rows with map-side combine, and the flag-back join is a
+    * plain shuffle hash join on the 8-byte hash — O(corpus shingles)
+    * total, never pairwise. Docs with no shingle set (NULL text) are
+    * dropped (no answerable ratio), mirroring [[ngramContamination]];
+    * empty text carries its single whole-text shingle per the shingling
+    * rule, so two empty docs count as sharing it. */
+  def dupNgramStats(
+      df: DataFrame, idCol: String, textCol: String, width: Int): DataFrame = {
+    val sm = graft.functions.ShingleExpressions.shingleMinhash(col(textCol), width, 1)
+    val sets = graft.Engine.rebalanceForCompute(df)
+      .select(col(idCol), sm.as("__sm"))
+      .select(col(idCol), col("__sm.shset").as("__hs"), col("__sm.sz").as("n_shingles"))
+      .filter(col("n_shingles") > 0)
+    val ex = sets.select(col(idCol), explode(col("__hs")).as("__h"))
+    // Shingles are distinct per doc, so COUNT(*) per hash IS document
+    // frequency; hashes kept only when shared (df ≥ 2).
+    val shared = ex.groupBy(col("__h"))
+      .agg(count(lit(1)).as("__df")).filter(col("__df") >= 2)
+      .select(col("__h"))
+    val dup = ex.join(shared, "__h")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("__ndup"))
+    sets.join(dup, Seq(idCol), "left")
+      .select(col(idCol), col("n_shingles"),
+        coalesce(col("__ndup"), lit(0L)).as("n_dup_shingles"))
+      .withColumn("dup_ratio",
+        col("n_dup_shingles").cast("double") / col("n_shingles").cast("double"))
+  }
+
   /** Connected components over a similarity-pair graph — the clustering
     * step that turns pairwise near-dup hits into dedup groups (keep one
     * representative per component). DEFAULT = the alternating

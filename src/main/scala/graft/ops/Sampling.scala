@@ -59,6 +59,31 @@ object Sampling {
     df.filter(sampleHash(key, salt) <
       (least(greatest(weight.cast("double"), lit(0.0)), lit(1.0)) * Pow32).cast("long"))
 
+  /** Deterministic per-group cap: keep at most `n` rows per value of
+    * `groupCol`, selected by the content-addressed (hash, key) order — the
+    * "cap documents per domain/source" step that stops one crawl host from
+    * dominating a corpus. The selection is a pure function of row content
+    * (salt-swappable, repartition-stable), NOT head-of-scan order, so the
+    * kept set is identical across runs and engines.
+    *
+    * Plan shape: one hash-shuffle on the group key + per-group sort
+    * (window row_number). Groups are capped at n, but a HOT group (one
+    * domain = half the corpus) still sorts all its rows in one partition
+    * before cutting — for adversarially skewed group keys pre-filter with
+    * a coarse [[hashSample]] (any rate ≥ n/minGroupSize keeps the cap
+    * exact) to bound the per-group sort, the same two-stage discipline as
+    * [[graft.ops.Sorts.replaceDedupSalted]]. */
+  def capPerGroup(
+      df: DataFrame, groupCol: Column, key: Column, n: Int,
+      salt: String = ""): DataFrame = {
+    require(n > 0, s"n=$n must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(sampleHash(key, salt).asc, key.asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__rn")
+  }
+
   /** Deterministic epoch shuffle: a reproducible global permutation of the
     * corpus — every epoch a different, independent order (epoch-salted
     * content hash), every run/engine/partitioning the SAME order for a

@@ -187,6 +187,75 @@ object Similarity {
       .select(col(qidCol), col(idCol), col("cos"), col("rk"))
   }
 
+  /** Distributed Lloyd k-means over an embedding column — the clustering
+    * primitive behind corpus bucketing / diversity sampling / IVF index
+    * builds (this generalizes [[ivfTopK]]'s single refinement step to
+    * `iters` full Lloyd iterations).
+    *
+    * Fully deterministic, no RNG state, no driver-side numerics:
+    *  - seeds = the k corpus vectors with smallest (md5-derived id hash,
+    *    id) — a reproducible pseudo-random sample (TakeOrdered, no global
+    *    sort);
+    *  - assignment = min squared EUCLIDEAN distance, computed as
+    *    |x|² − 2·x·c + |c|² from cached norms (one dot per (row,
+    *    centroid) against a BROADCAST centroid frame — never a shuffle of
+    *    the corpus); ties break to the smaller centroid id via an
+    *    order-deterministic struct min;
+    *  - update = per-(cluster, dim) mean as exact fixed-point DECIMAL sums
+    *    (round(v·2⁴⁰) — order-independent integer addition, mergeable, so
+    *    map-side partial aggregation holds and a hot cluster costs one
+    *    accumulator, not a buffered value list).
+    *
+    * Each iteration's centroid frame is k×dim — localCheckpoint'd so the
+    * lineage stays flat across iterations (per-round materialization cost
+    * is one tiny job; the corpus is scanned once per iteration, which IS
+    * Lloyd's data-access lower bound).
+    *
+    * @return (idCol, cluster, dist2) — final assignment and its squared
+    *         distance (round(·, 9) for cross-engine comparability). */
+  def kmeans(
+      df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): DataFrame = {
+    require(k > 0 && iters >= 0)
+    val fix = 1099511627776.0 // 2^40
+    // |x|² once per row; reused by every assignment pass.
+    val corpusN = df.select(col(idCol), col(vecCol),
+      dot(col(vecCol), col(vecCol)).as("__n2"))
+    val seeds = corpusN
+      .withColumn("__h", Dedup.shingleBase(col(idCol).cast("string")))
+      .orderBy(col("__h"), col(idCol)).limit(k)
+      .select(col(idCol).as("cid"), col(vecCol).as("cvec"))
+      .localCheckpoint(true)
+    // Assignment against a broadcast centroid frame: d² fold is
+    // left-to-right double arithmetic — bit-reproducible by the oracle.
+    def assign(cents: DataFrame): DataFrame =
+      corpusN.crossJoin(broadcast(cents))
+        .withColumn("__d2",
+          col("__n2") - lit(2.0) * dot(col(vecCol), col("cvec"))
+            + dot(col("cvec"), col("cvec")))
+        .groupBy(col(idCol))
+        .agg(min(struct(col("__d2"), col("cid"))).as("__best"))
+        .select(col(idCol), col("__best.cid").as("cluster"),
+          col("__best.__d2").as("dist2"))
+    var centroids = seeds
+    var it = 0
+    while (it < iters) {
+      val assigned = assign(centroids)
+      centroids = corpusN.join(assigned, idCol)
+        .select(col("cluster").as("cid"), posexplode(col(vecCol)))
+        .groupBy(col("cid"), col("pos"))
+        .agg((sum(round(col("col").cast("double") * fix).cast("decimal(20,0)"))
+          .cast("double") / count(lit(1)).cast("double") / fix).as("m"))
+        .groupBy(col("cid"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cid"), expr("transform(pm, x -> x.m)").as("cvec"))
+        .localCheckpoint(true)
+      it += 1
+    }
+    assign(centroids)
+      .select(col(idCol), col("cluster"), round(col("dist2"), 9).as("dist2"))
+  }
+
   /** LSH-bucketed approximate top-k: queries and corpus are bucketed by
     * [[hyperplaneBucket]]; each query only scores its own bucket — or, with
     * `multiProbe`, its own bucket PLUS every single-bit-flip neighbor

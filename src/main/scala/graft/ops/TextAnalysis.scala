@@ -168,6 +168,38 @@ object TextAnalysis {
       .orderBy(col("bm25").desc, col(idCol))
   }
 
+  /** PII redaction patterns — deliberately written in the common subset of
+    * Java regex and RE2 (character classes, bounded repetition, \b; no
+    * lookaround), so Spark's codegen regexp and any RE2-based oracle
+    * (DuckDB) agree byte-for-byte on every match. The pattern set is the
+    * standard curation trio (emails, IPv4, NANP-style phone numbers); real
+    * pipelines extend the list — each entry stays one scan-local
+    * regexp_replace, so the cost model never changes. */
+  val emailRe: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Re: String = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val phoneRe: String = "\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b"
+
+  /** Redact emails → `<EMAIL>`, IPv4 → `<IP>`, phones → `<PHONE>`.
+    * Order matters and is part of the contract: emails first (their local
+    * part may contain digit runs), then IPs (4 dot-groups), then phones
+    * (3-3-4 with -/. separators) — each later pattern sees the previous
+    * replacements' output. Pure scan-local expression chain, no shuffle. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailRe, "<EMAIL>"),
+        ipv4Re, "<IP>"),
+      phoneRe, "<PHONE>")
+
+  /** Per-category PII match counts (same patterns/order as [[redactPii]],
+    * counted on the ORIGINAL text) — audit signal for redaction runs. */
+  def piiCounts(text: Column): Seq[(String, Column)] = Seq(
+    "n_emails" -> regexp_count(text, lit(emailRe)),
+    "n_ips"    -> regexp_count(regexp_replace(text, emailRe, "<EMAIL>"), lit(ipv4Re)),
+    "n_phones" -> regexp_count(
+      regexp_replace(regexp_replace(text, emailRe, "<EMAIL>"), ipv4Re, "<IP>"),
+      lit(phoneRe)))
+
   /** Repetition quality signals (the Gopher-rule family — Rae et al. 2021
     * §A1.1 filters on exactly these): per document,
     *  - `dup_line_frac`: 1 − distinct/total over non-empty trimmed lines —

@@ -26,6 +26,23 @@ class CurationSpec extends AnyFunSuite {
     assert(overlap < 250, s"salted samples should be near-independent, overlap=$overlap")
   }
 
+  test("capPerGroup: caps only oversized groups, deterministic across partitioning") {
+    val df = ids.withColumn("g", when($"id" < 9940L, "big").otherwise("small"))
+    val out = Sampling.capPerGroup(df, $"g", $"id", n = 100, salt = "c")
+    val byG = out.groupBy("g").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byG === Map("big" -> 100L, "small" -> 60L))
+    val kept1 = out.collect().map(_.getLong(0)).toSet
+    val kept2 = Sampling.capPerGroup(df.repartition(17), $"g", $"id", n = 100, salt = "c")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept1 === kept2, "kept set must be content-addressed, not scan-order")
+    // the cap selects by hash order — consistent with hashSample's ordering:
+    // the 100 kept ids of the big group are the 100 smallest by (hash, id)
+    val hashes = Sampling.hashSample(df.filter($"g" === "big"), $"id", 1.0, "c")
+      .select($"id", Sampling.sampleHash($"id", "c").as("h"))
+      .collect().map(r => (r.getLong(1), r.getLong(0))).sorted.take(100).map(_._2).toSet
+    assert(kept1.intersect(hashes) === hashes)
+  }
+
   test("nested rates: a 0.05 sample is a subset of the 0.1 sample (same salt)") {
     val small = Sampling.hashSample(ids, $"id", 0.05, "a").collect().map(_.getLong(0)).toSet
     val big = Sampling.hashSample(ids, $"id", 0.1, "a").collect().map(_.getLong(0)).toSet

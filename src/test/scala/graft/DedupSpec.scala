@@ -164,6 +164,24 @@ class DedupSpec extends AnyFunSuite {
     assert(capped.contains((100L, 101L)), "normal buckets must survive the cap")
   }
 
+  test("dupNgramStats counts exactly the shingle hashes shared across docs") {
+    val df = Seq(
+      (1L, "abcdef"),   // w=3 shingles: abc bcd cde def
+      (2L, "abcxyz"),   // shares only "abc" with doc 1
+      (3L, "zzzzz"),    // all shingles identical → 1 distinct, shared with nobody
+      (4L, ""),         // empty text = one empty shingle (whole-text rule)
+      (5L, "")).toDF("doc_id", "text")
+    val out = Dedup.dupNgramStats(df, "doc_id", "text", width = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_shingles"), r.getAs[Long]("n_dup_shingles"),
+          r.getAs[Double]("dup_ratio")))).toMap
+    assert(out(1L) === ((4L, 1L, 0.25)))
+    assert(out(2L) === ((4L, 1L, 0.25)))
+    assert(out(3L) === ((1L, 0L, 0.0)))
+    // the two empty docs share their single empty shingle
+    assert(out(4L) === ((1L, 1L, 1.0)) && out(5L) === ((1L, 1L, 1.0)))
+  }
+
   test("ShingleMinhash kernel is bit-identical to the exploded construction") {
     // The doc-local kernel must reproduce the explode → collect_set/min
     // construction EXACTLY (the DuckDB oracles replicate that construction):

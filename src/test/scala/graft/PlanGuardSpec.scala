@@ -20,7 +20,8 @@ class PlanGuardSpec extends AnyFunSuite {
     "ann_ivf_topk",     // corpus × broadcast(nlist centroids), queries × broadcast(centroids)
     "agg_overflow",     // overflow-row emptiness probe: × broadcast(1-row count)
     "contamination",    // corpus × broadcast(1-row benchmark hash set)
-    "text_bm25")        // corpus × broadcast(1-row BM25 corpus stats)
+    "text_bm25",        // corpus × broadcast(1-row BM25 corpus stats)
+    "embed_kmeans")     // corpus × broadcast(k centroids) per Lloyd pass
 
   test("no query plans a cartesian product or unlisted nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

@@ -82,6 +82,78 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("kmeans matches an exact driver-side Lloyd reference, bit-for-bit") {
+    val rnd = new scala.util.Random(31)
+    val data = (0L until 60L).map(i => (i, Array.fill(8)(rnd.nextFloat() * 2 - 1))).toMap
+    val df = data.toSeq.toDF("vec_id", "embedding")
+    val k = 3
+    val iters = 2
+    val fix = 1099511627776.0 // 2^40
+
+    // Reference: the same deterministic construction in plain Scala —
+    // md5-seeded init, left-to-right double dots, fixed-point means.
+    def baseHash(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val d = md.digest(s.getBytes("UTF-8"))
+      ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    }
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val vecs = data.map { case (id, v) => id -> v.map(_.toDouble) }
+    val n2 = vecs.map { case (id, v) => id -> dot(v, v) }
+    def assign(cents: Seq[(Long, Array[Double])]): Map[Long, (Long, Double)] =
+      vecs.map { case (id, v) =>
+        val best = cents.map { case (cid, c) =>
+          (n2(id) - 2.0 * dot(v, c) + dot(c, c), cid)
+        }.min  // (d2, cid) tuple order = min d2, tie → min cid
+        id -> (best._2, best._1)
+      }
+    var cents: Seq[(Long, Array[Double])] =
+      data.keys.toSeq.sortBy(id => (baseHash(id.toString), id)).take(k)
+        .map(id => id -> vecs(id))
+    for (_ <- 0 until iters) {
+      val a = assign(cents)
+      cents = a.groupBy(_._2._1).toSeq.map { case (cid, members) =>
+        val ids = members.keys.toSeq
+        val dim = 8
+        val m = Array.tabulate(dim) { p =>
+          val s = ids.map(id => BigDecimal(vecs(id)(p) * fix)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toBigInt).sum
+          BigDecimal(s).toDouble / ids.size.toDouble / fix
+        }
+        cid -> m
+      }.sortBy(_._1)
+    }
+    val expect = assign(cents).map { case (id, (cid, d2)) =>
+      (id, cid, BigDecimal(d2).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSeq.sortBy(_._1)
+
+    val got = Similarity.kmeans(df, "vec_id", "embedding", k, iters)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cluster"), r.getAs[Double]("dist2")))
+      .toSeq
+    assert(got === expect)
+  }
+
+  test("kmeans is repartition-invariant and Lloyd objective is non-increasing") {
+    val rnd = new scala.util.Random(47)
+    val df = (0L until 80L).map(i => (i, Array.fill(8)(rnd.nextFloat())))
+      .toDF("vec_id", "embedding")
+    def run(d: org.apache.spark.sql.DataFrame, iters: Int) =
+      Similarity.kmeans(d, "vec_id", "embedding", k = 4, iters = iters)
+    val a = run(df, 2).collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val b = run(df.repartition(7), 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(a === b)
+    def objective(iters: Int): Double =
+      run(df, iters).agg(sum($"dist2")).head().getDouble(0)
+    val objs = Seq(objective(0), objective(1), objective(3))
+    assert(objs(1) <= objs(0) + 1e-9 && objs(2) <= objs(1) + 1e-9,
+      s"Lloyd objective increased: $objs")
+  }
+
   test("multi-probe LSH: recall >= 0.9 vs brute force, bounded candidate fan-out") {
     // Noisy clusters: genuine neighbors exist (same cluster, high cosine)
     // but the noise pushes some across a hyperplane — exactly the neighbors

@@ -28,6 +28,21 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(one("", TextAnalysis.meanTokenLen(col("t"))) === 0.0)
   }
 
+  test("PII redaction: categories, order contract, counts") {
+    val t = "Mail a.b+1@x-corp.co.uk now, host 10.0.255.7 up, call 555-123-4567 or 800.555.1212."
+    assert(one(t, TextAnalysis.redactPii(col("t"))) ===
+      "Mail <EMAIL> now, host <IP> up, call <PHONE> or <PHONE>.")
+    val counts = TextAnalysis.piiCounts(col("t")).map { case (n, c) => c.as(n) }
+    val r = Seq(t).toDF("t").select(counts: _*).head()
+    assert((r.getInt(0), r.getInt(1), r.getInt(2)) === ((1, 1, 2)))
+    // order contract: an email's digit runs are consumed by the email pass,
+    // never re-counted as phone/IP; a 4-octet dotted quad is IP, not phone
+    assert(one("x 555-123-4567@mail.com y", TextAnalysis.redactPii(col("t"))) ===
+      "x <EMAIL> y")
+    assert(one("1.2.3.4", TextAnalysis.redactPii(col("t"))) === "<IP>")
+    assert(one("no pii here", TextAnalysis.redactPii(col("t"))) === "no pii here")
+  }
+
   test("quality score components sum in [0,1]") {
     val good = "the quick brown fox jumps over a lazy dog and keeps running fast"
     assert(one(good, TextAnalysis.qualityScore(col("t"))) === 1.0)
