@@ -18,7 +18,8 @@ object Bench {
     "asof_join", "range_join", "dedup_components_star", "pipeline_curate",
     "pipeline_warm", "text_bm25", "winsorize", "join_salted",
     "stream_interval_join", "shuffle_epoch", "sample_weighted", "profile",
-    "embed_kmeans", "dup_ngram_stats", "cap_per_source", "pii_redact")
+    "embed_kmeans", "dup_ngram_stats", "cap_per_source", "pii_redact",
+    "chunk_docs", "dedup_incremental", "stream_enrich")
 
   def main(args: Array[String]): Unit = {
     // Iteration aid: SPARK_GRAFT_ONLY=q1,q2 restricts the run to a subset.

@@ -931,5 +931,23 @@ object CoreQueries {
               JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
                 ON c.user_id = p.user_id
                AND p.ts BETWEEN c.ts - INTERVAL 1 HOUR AND c.ts
-              ORDER BY click_id, p_us""")))
+              ORDER BY click_id, p_us""")),
+
+    // Stream-static dimension enrichment (EventStreams.enrich): events ×
+    // broadcast(dim subset), LEFT so unmatched users pass through with
+    // NULLs — stateless on a stream, shuffle-free on the event side. The
+    // dim is filtered to make the NULL path non-trivial.
+    ("stream_enrich", (s, d) => {
+      val ev = T(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      val dim = T(s, d, "customer").filter(col("c_custkey") < 100)
+        .select(col("c_custkey").as("user_id"), col("c_name"), col("c_nationkey"))
+      graft.streaming.EventStreams.enrich(ev, dim, Seq("user_id"))
+        .orderBy("event_id")
+    },
+      Some("""SELECT e.user_id, e.event_id, e.event_type, e.value, c.c_name, c.c_nationkey
+              FROM events e
+              LEFT JOIN (SELECT * FROM customer WHERE c_custkey < 100) c
+                ON e.user_id = c.c_custkey
+              ORDER BY e.event_id""")))
 }

@@ -183,6 +183,30 @@ object PipelineQueries {
                WHERE s.n_shingles > 0
                ORDER BY s.doc_id""")),
 
+    // Incremental (continuous-ingest) dedup: LSH candidates for a new doc
+    // batch against itself and the existing corpus — never old×old. The
+    // per-batch cost is what makes dedup sustainable on a growing corpus.
+    ("dedup_incremental", (s, d) => {
+      val docs = T(s, d, "documents")
+      Dedup.incrementalCandidatePairs(
+        docs.filter(col("doc_id") < 400), docs.filter(col("doc_id") >= 400),
+        "doc_id", "text", minhashW, minhashK, minhashBands)
+        .orderBy("id_a", "id_b")
+    },
+      Some(s"""WITH ${shingleCte(minhashW)},
+               bases AS (SELECT DISTINCT doc_id, ${duckBase("shingle")} AS mhb FROM sh),
+               sig AS (SELECT doc_id, $sigSelect FROM bases GROUP BY doc_id),
+               bands AS (
+                 $bandArms),
+               cand AS (
+                 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                        CASE WHEN a.doc_id >= 400 AND b.doc_id >= 400 THEN 'new_new'
+                             ELSE 'new_old' END AS pair_type
+                 FROM bands a JOIN bands b
+                   ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+                  AND (a.doc_id >= 400 OR b.doc_id >= 400))
+               SELECT id_a, id_b, pair_type FROM cand ORDER BY id_a, id_b""")),
+
     // ── embedding near-dup + similarity search ───────────────────────────
     // Banded multi-table sign-LSH bucketing (the scale path — bucket join,
     // no O(n²) self-join) + exact cosine verification; the oracle replicates
@@ -349,6 +373,25 @@ object PipelineQueries {
       Some("""SELECT doc_id,
                 md5(trim(regexp_replace(lower(text), '[ \t\n\r]+', ' ', 'g'))) AS fp
               FROM documents ORDER BY doc_id""")),
+
+    // Context-window chunking: fixed-size character chunks with overlap,
+    // scan-local sequence + explode (chunk_id is a pure function of text
+    // length — reproducible anywhere; boundary rules in the op's contract).
+    ("chunk_docs", (s, d) =>
+      TextAnalysis.chunkDocs(T(s, d, "documents"), "doc_id", "text",
+        chunkChars = 200, overlap = 40)
+        .withColumn("chunk_md5", md5(col("chunk_text"))).drop("chunk_text")
+        .orderBy("doc_id", "chunk_id"),
+      Some("""WITH st AS (
+                SELECT doc_id, text, CAST(i AS BIGINT) AS s
+                FROM documents,
+                LATERAL (SELECT unnest(generate_series(1, GREATEST(length(text), 1), 160))) t(i))
+              SELECT doc_id,
+                     CAST((s - 1) // 160 AS BIGINT) AS chunk_id,
+                     md5(substr(text, CAST(s AS INT), 200)) AS chunk_md5
+              FROM st
+              WHERE s = 1 OR s <= length(text) - 40
+              ORDER BY doc_id, chunk_id""")),
 
     // PII redaction (emails → <EMAIL>, IPv4 → <IP>, phones → <PHONE>) with
     // per-category counts. The synthetic corpus contains no organic PII, so

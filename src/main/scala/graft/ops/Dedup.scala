@@ -123,16 +123,21 @@ object Dedup {
     * near-duplicates of thousands of others (which downstream clustering
     * would collapse anyway). Docs in a capped bucket usually still meet
     * through their other bands. */
-  def minhashCandidatePairsFromSig(
-      sig: DataFrame, idCol: String, k: Int, bands: Int,
-      maxBucketSize: Long = Long.MaxValue): DataFrame = {
+  /** The `bands` LSH band arms over mh_0…mh_{k-1}: struct(band, bh) with
+    * bh = the '|'-joined r-tuple (exact equality, no hash collisions). */
+  private def bandArms(k: Int, bands: Int): Seq[Column] = {
     require(k % bands == 0, s"k=$k must divide into bands=$bands")
     val r = k / bands
-    val bandCols = (0 until bands).map { bnd =>
+    (0 until bands).map { bnd =>
       val parts = (0 until r).map(i => col(s"mh_${bnd * r + i}"))
       struct(lit(bnd).as("band"), concat_ws("|", parts: _*).as("bh"))
     }
-    val bucketsAll = sig.select(col(idCol), explode(array(bandCols: _*)).as("bk"))
+  }
+
+  def minhashCandidatePairsFromSig(
+      sig: DataFrame, idCol: String, k: Int, bands: Int,
+      maxBucketSize: Long = Long.MaxValue): DataFrame = {
+    val bucketsAll = sig.select(col(idCol), explode(array(bandArms(k, bands): _*)).as("bk"))
       .select(col(idCol), col("bk.band").as("band"), col("bk.bh").as("bh"))
     val buckets =
       if (maxBucketSize == Long.MaxValue) bucketsAll
@@ -150,6 +155,39 @@ object Dedup {
     a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
         col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+  }
+
+  /** Incremental dedup candidates: LSH pairs for a NEW document batch
+    * against itself and an EXISTING corpus — never old×old (that work was
+    * done when the old batch arrived). This is the production shape of
+    * continuous-ingest dedup: per-batch cost is O(new·bands) bucket rows
+    * joined against the (pre-computable, storable) corpus signature side,
+    * not a full-corpus re-pairing.
+    *
+    * Returns (id_a, id_b, pair_type) with id_a < id_b and pair_type ∈
+    * {new_new, new_old}. Signatures are computed scan-local per side
+    * (callers holding a persisted corpus signature frame can pass it
+    * through [[minhashSignature]]'s output contract — only `idCol` and
+    * mh_0…mh_{k-1} are consumed). */
+  def incrementalCandidatePairs(
+      oldDocs: DataFrame, newDocs: DataFrame, idCol: String, textCol: String,
+      width: Int, k: Int, bands: Int): DataFrame = {
+    val sig = minhashSignature(oldDocs, idCol, textCol, width, k)
+      .withColumn("__new", lit(false))
+      .unionByName(minhashSignature(newDocs, idCol, textCol, width, k)
+        .withColumn("__new", lit(true)))
+    val buckets = sig
+      .select(col(idCol), col("__new"), explode(array(bandArms(k, bands): _*)).as("bk"))
+      .select(col(idCol), col("__new"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+    val a = buckets.as("a")
+    val b = buckets.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+        col(s"a.$idCol") < col(s"b.$idCol") &&
+        (col("a.__new") || col("b.__new")))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        when(col("a.__new") && col("b.__new"), lit("new_new"))
+          .otherwise(lit("new_old")).as("pair_type"))
       .distinct()
   }
 

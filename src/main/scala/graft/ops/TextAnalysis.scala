@@ -168,6 +168,36 @@ object TextAnalysis {
       .orderBy(col("bm25").desc, col(idCol))
   }
 
+  /** Split documents into fixed-size character chunks with overlap — the
+    * "context-window chunking" step of retrieval/pretraining pipelines
+    * (stride = chunkChars − overlap; each chunk starts where the previous
+    * one ended minus the overlap). Pure scan-local sequence + explode: the
+    * fan-out is data-parallel, nothing shuffles, and chunk identity
+    * (`chunk_id` = stride index) is a pure function of the text length —
+    * reproducible anywhere.
+    *
+    * Boundary rules (part of the contract, mirrored by the SQL oracle):
+    * the final chunk may be shorter than `chunkChars`; a start position
+    * whose chunk would be fully contained in the previous chunk is
+    * dropped (`start ≤ len − overlap` unless it is the first chunk), so
+    * every character is covered exactly once beyond the declared overlap;
+    * empty text yields one empty chunk (whole-text rule, as in
+    * shingling). */
+  def chunkDocs(
+      df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      chunkChars: Int, overlap: Int): org.apache.spark.sql.DataFrame = {
+    require(chunkChars > 0 && overlap >= 0 && overlap < chunkChars,
+      s"need 0 <= overlap=$overlap < chunkChars=$chunkChars")
+    val stride = chunkChars - overlap
+    val len = length(col(textCol))
+    df.select(col(idCol), col(textCol),
+        explode(sequence(lit(1), greatest(len, lit(1)), lit(stride))).as("__start"))
+      .filter(col("__start") === 1 || col("__start") <= len - overlap)
+      .select(col(idCol),
+        (floor((col("__start") - 1) / stride)).cast("long").as("chunk_id"),
+        col(textCol).substr(col("__start"), lit(chunkChars)).as("chunk_text"))
+  }
+
   /** PII redaction patterns — deliberately written in the common subset of
     * Java regex and RE2 (character classes, bounded repetition, \b; no
     * lookaround), so Spark's codegen regexp and any RE2-based oracle

@@ -115,4 +115,15 @@ object EventStreams {
     if (events.isStreaming)
       events.withWatermark(tsCol, watermarkDelay).dropDuplicatesWithinWatermark(idCols)
     else events.dropDuplicates(idCols)
+
+  /** Stream-static dimension enrichment: join a (possibly streaming) event
+    * frame against a SMALL static dimension table, broadcast — the
+    * "attach user/country/experiment metadata at ingest" step. A
+    * stream-static equi-join is stateless in Structured Streaming (each
+    * micro-batch joins against the static side; nothing accumulates), and
+    * the broadcast hint keeps it shuffle-free on the stream side — the
+    * only shape that holds at firehose rates. Left join: events with no
+    * dimension row pass through with NULLs (never silently dropped). */
+  def enrich(events: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(dim), keys, "left")
 }

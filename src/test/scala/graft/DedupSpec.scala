@@ -164,6 +164,23 @@ class DedupSpec extends AnyFunSuite {
     assert(capped.contains((100L, 101L)), "normal buckets must survive the cap")
   }
 
+  test("incremental candidates: new×new and new×old pairs, never old×old") {
+    val old = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),   // old dup of 1 — must NOT pair
+      (3L, "completely different content about spark engines")).toDF("doc_id", "text")
+    val fresh = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),  // dup of old 1 and 2
+      (11L, "the quick brown fox jumps over the lazy dog"),  // dup of 10 (new×new)
+      (12L, "unrelated fresh text with no duplicates at all")).toDF("doc_id", "text")
+    val out = Dedup.incrementalCandidatePairs(old, fresh, "doc_id", "text",
+      width = 4, k = 8, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(out.contains((1L, 10L, "new_old")) && out.contains((2L, 10L, "new_old")))
+    assert(out.contains((10L, 11L, "new_new")))
+    assert(!out.exists { case (a, b, _) => a < 10L && b < 10L }, s"old×old pair leaked: $out")
+  }
+
   test("dupNgramStats counts exactly the shingle hashes shared across docs") {
     val df = Seq(
       (1L, "abcdef"),   // w=3 shingles: abc bcd cde def

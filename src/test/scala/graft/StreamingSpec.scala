@@ -102,6 +102,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.toSeq === Seq(1L, 2L))
   }
 
+  test("stream-static enrichment: broadcast dim attaches on a stream, left-join NULLs pass") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(Long, Long)]
+    val events = in.toDF().toDF("event_id", "user_id")
+    val dim = Seq((1L, "alice"), (2L, "bob")).toDF("user_id", "name")
+    val q = EventStreams.enrich(events, dim, Seq("user_id"))
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData((100L, 1L), (101L, 2L), (102L, 9L))  // user 9 has no dim row
+      q.processAllAvailable()
+      val rows = spark.table("enriched").collect()
+        .map(r => (r.getAs[Long]("event_id"), Option(r.getAs[String]("name")))).toSet
+      assert(rows === Set(
+        (100L, Some("alice")), (101L, Some("bob")), (102L, None)))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join pairs clicks with preceding purchases") {
     implicit val sql = spark.sqlContext
     val lIn = MemoryStream[(Long, Long, Timestamp)]

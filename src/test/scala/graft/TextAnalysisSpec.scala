@@ -28,6 +28,26 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(one("", TextAnalysis.meanTokenLen(col("t"))) === 0.0)
   }
 
+  test("chunkDocs: coverage, overlap, tail rules, empty text") {
+    val df = Seq(
+      (1L, "abcdefghij"),  // len 10: chunk=5 overlap=2 stride=3 → starts 1,4,7 (10 dropped: ⊂ prev)
+      (2L, "abc"),         // single short chunk
+      (3L, "")             // whole-text rule: one empty chunk
+    ).toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.chunkDocs(df, "doc_id", "text", chunkChars = 5, overlap = 2)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("chunk_id"), r.getString(2)))
+      .sortBy(t => (t._1, t._2))
+    assert(out.toSeq === Seq(
+      (1L, 0L, "abcde"), (1L, 1L, "defgh"), (1L, 2L, "ghij"),
+      (2L, 0L, "abc"),
+      (3L, 0L, "")))
+    // reconstruction: dropping each chunk's leading overlap re-concatenates
+    // to the original text
+    val rebuilt = out.filter(_._1 == 1L).sortBy(_._2)
+      .zipWithIndex.map { case ((_, _, c), i) => if (i == 0) c else c.drop(2) }.mkString
+    assert(rebuilt === "abcdefghij")
+  }
+
   test("PII redaction: categories, order contract, counts") {
     val t = "Mail a.b+1@x-corp.co.uk now, host 10.0.255.7 up, call 555-123-4567 or 800.555.1212."
     assert(one(t, TextAnalysis.redactPii(col("t"))) ===
