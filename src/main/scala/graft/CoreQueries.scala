@@ -297,6 +297,16 @@ object CoreQueries {
               FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
               ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")),
 
+    ("agg_cube", (s, d) =>
+      T(s, d, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
+      Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+              FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+              ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")),
+
     ("agg_pivot", (s, d) =>
       T(s, d, "lineitem")
         .groupBy(col("l_returnflag"))
@@ -485,6 +495,29 @@ object CoreQueries {
               FROM nation LEFT JOIN supplier ON n_nationkey = s_nationkey
               ORDER BY n_nationkey, s_suppkey NULLS FIRST""")),
 
+    // Full-outer on two OVERLAPPING nation subsets (suppliers of nations
+    // <15, rich customers of nations ≥10): both unmatched directions are
+    // non-empty by construction — supplier-only rows 0-9 and customer-only
+    // rows 15-24 survive with NULLs, so the outer semantics actually
+    // verify (an unfiltered pairing matches on all 25 nations trivially).
+    ("join_full", (s, d) =>
+      T(s, d, "supplier").filter(col("s_nationkey") < 15)
+        .groupBy(col("s_nationkey")).agg(count(lit(1)).as("n_supp"))
+        .join(
+          T(s, d, "customer").filter(col("c_acctbal") > 9000 && col("c_nationkey") >= 10)
+            .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_rich")),
+          col("s_nationkey") === col("c_nationkey"), "full_outer")
+        .select(col("s_nationkey"), col("n_supp"), col("c_nationkey"), col("n_rich"))
+        .orderBy(col("s_nationkey").asc_nulls_first, col("c_nationkey").asc_nulls_first),
+      Some("""SELECT s_nationkey, n_supp, c_nationkey, n_rich
+              FROM (SELECT s_nationkey, COUNT(*) AS n_supp FROM supplier
+                    WHERE s_nationkey < 15 GROUP BY s_nationkey) s
+              FULL OUTER JOIN (SELECT c_nationkey, COUNT(*) AS n_rich FROM customer
+                               WHERE c_acctbal > 9000 AND c_nationkey >= 10
+                               GROUP BY c_nationkey) c
+                ON s_nationkey = c_nationkey
+              ORDER BY s_nationkey NULLS FIRST, c_nationkey NULLS FIRST""")),
+
     // ── salted skew join: (key, salt) shuffle ≡ plain equi-join ──────────
     // Hot-key regime where a single join key exceeds any partition budget:
     // probe rows get one content-based salt, build rows replicate per salt.
@@ -576,6 +609,21 @@ object CoreQueries {
       graft.sources.TextSources.writeCsv(ev, path)
       graft.sources.TextSources.readCsv(s, path, ev.schema)
         .drop("_corrupt_record")
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"), col("user_id"),
+          col("event_type"), col("value"), col("props"))
+        .orderBy("event_id")
+    },
+      Some("""SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props
+              FROM events ORDER BY event_id""")),
+
+    // ORC interchange: exact write→read roundtrip through the other
+    // mainstream columnar format (µs timestamps survive natively).
+    ("orc_roundtrip", (s, d) => {
+      val ev = T(s, d, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      val path = System.getProperty("java.io.tmpdir") + "/graft_rt_orc"
+      graft.sources.Sinks.writeOrc(ev, path)
+      graft.sources.Sinks.readOrc(s, path, ev.schema)
         .select(col("event_id"), unix_micros(col("ts")).as("ts_us"), col("user_id"),
           col("event_type"), col("value"), col("props"))
         .orderBy("event_id")

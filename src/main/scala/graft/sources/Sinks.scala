@@ -49,4 +49,16 @@ object Sinks {
       .write.mode(SaveMode.Overwrite).parquet(path)
 
   def readTable(spark: SparkSession, table: String): DataFrame = spark.table(table)
+
+  /** ORC interchange (the other mainstream columnar format — lossless for
+    * every type this engine uses, incl. µs timestamps; same pushdown/
+    * pruning machinery as parquet in Spark's reader). Kept schema-explicit
+    * on read like the text sources: at 100 TB a schema is a contract, not
+    * an inference. */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
+  def readOrc(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
 }
