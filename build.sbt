@@ -12,6 +12,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output passes through UNDECORATED: sbt's default logger
+// prefixes every stdout line with "[info] ", which breaks any consumer
+// that json-parses the Bench/Verify result lines from the process output.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

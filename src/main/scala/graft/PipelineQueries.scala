@@ -852,6 +852,35 @@ object PipelineQueries {
       Dedup.connectedComponentsLabelProp(pairs, "doc_id").orderBy("doc_id")
     }, Some(componentsOracle)),
 
+    // Cluster-representative selection: components over jaccard pairs,
+    // singletons self-labeled, then keep the LONGEST doc per cluster (tie →
+    // smallest id) — the step that turns labels into a kept-set.
+    ("dedup_representatives", (s, d) => {
+      val docs = T(s, d, "documents")
+      val pairs = Dedup.jaccardPairsLsh(docs, "doc_id", "text",
+        width = 6, threshold = 0.6, k = minhashK, bands = minhashBands)
+      val labels = Dedup.connectedComponents(pairs, "doc_id")
+      val full = docs.select(col("doc_id"), col("n_chars"))
+        .join(labels, Seq("doc_id"), "left")
+        .withColumn("component", coalesce(col("component"), col("doc_id")))
+      Dedup.componentRepresentatives(full, "doc_id", "component", "n_chars")
+        .orderBy("component")
+    },
+      Some(s"""WITH RECURSIVE ${jaccardPairsCtes(0.6)},
+               edges AS (SELECT id_a AS u, id_b AS v FROM jp
+                         UNION SELECT id_b, id_a FROM jp),
+               reach(u, v) AS (
+                 SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+                 UNION
+                 SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+               comp AS (SELECT u AS doc_id, MIN(v) AS component FROM reach GROUP BY u),
+               f AS (SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component, d.n_chars
+                     FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+               b AS (SELECT component, MAX(n_chars) AS mx FROM f GROUP BY component)
+               SELECT f.component, MIN(f.doc_id) AS rep_doc_id, b.mx AS n_chars
+               FROM f JOIN b ON f.component = b.component AND f.n_chars = b.mx
+               GROUP BY f.component, b.mx ORDER BY f.component""")),
+
     // ── flagship corpus-cleaning pipeline: quality gate → language tag →
     //    greedy near-dup removal (drop the larger id of each similar pair),
     //    all composed into one plan — the end-to-end shape of a

@@ -621,6 +621,28 @@ object Dedup {
       .select(col("n").as(idCol), coalesce(col("v"), col("n")).as("component"))
   }
 
+  /** One representative per near-dup cluster: given a frame carrying
+    * (id, component, score), keep per component the row with the MAXIMUM
+    * score, ties broken to the smallest id — "keep the best/longest doc of
+    * each duplicate cluster", the selection step that turns component
+    * labels into a kept-set.
+    *
+    * Plan shape: two grouped aggregations (map-side combinable) + one
+    * shuffle join on the component key — no per-group sort, no window over
+    * corpus rows. Rows with NULL score never represent their cluster (an
+    * all-NULL cluster is dropped, like SQL MAX semantics). Callers label
+    * singletons component = own id before calling (components output only
+    * covers paired nodes). */
+  def componentRepresentatives(
+      df: DataFrame, idCol: String, componentCol: String, scoreCol: String): DataFrame = {
+    val best = df.groupBy(col(componentCol)).agg(max(col(scoreCol)).as("__best"))
+    df.join(best, componentCol)
+      .filter(col(scoreCol) === col("__best"))
+      .groupBy(col(componentCol), col("__best"))
+      .agg(min(col(idCol)).as(s"rep_$idCol"))
+      .select(col(componentCol), col(s"rep_$idCol"), col("__best").as(scoreCol))
+  }
+
   /** Embedding near-duplicate pairs by cosine ≥ threshold, via banded
     * multi-table sign-LSH (Charikar 2002 + the AND-OR amplification of MMDS
     * ch.3): each of `nTables` tables buckets a vector by the signs of

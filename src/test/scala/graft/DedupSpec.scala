@@ -164,6 +164,18 @@ class DedupSpec extends AnyFunSuite {
     assert(capped.contains((100L, 101L)), "normal buckets must survive the cap")
   }
 
+  test("componentRepresentatives: max score wins, ties to min id, NULL never represents") {
+    val df = Seq(
+      (1L, 100L, Some(5L)), (2L, 100L, Some(9L)), (3L, 100L, Some(9L)), // tie 2 vs 3 → 2
+      (4L, 200L, Some(7L)),                                             // singleton cluster
+      (5L, 300L, None), (6L, 300L, Some(1L)),                           // null loses
+      (7L, 400L, None)                                                  // all-null → dropped
+    ).toDF("doc_id", "component", "score")
+    val out = Dedup.componentRepresentatives(df, "doc_id", "component", "score")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out === Set((100L, 2L, 9L), (200L, 4L, 7L), (300L, 6L, 1L)))
+  }
+
   test("incremental candidates: new×new and new×old pairs, never old×old") {
     val old = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
