@@ -684,6 +684,20 @@ object CoreQueries {
     // sketch algorithms differ per engine, so rows-only; bounds are
     // unit-tested. At 100 TB these replace their exact twins wherever the
     // answer feeds a heuristic rather than a ledger.
+    // Sketch-merge pattern: per-(returnflag, linestatus) HLL sketches of
+    // l_partkey built ONCE (as if stored per shard), then merged up to
+    // per-returnflag estimates with exact twins alongside. Sketch bytes are
+    // engine-specific → rows-only check; the ≤2% error bound vs exact is
+    // unit-asserted (AggregatesSpec).
+    ("agg_hll_merge", (s, d) => {
+      val shards = graft.ops.Aggregates.hllSketches(
+        T(s, d, "lineitem"), Seq("l_returnflag", "l_linestatus"), "l_partkey")
+      val merged = graft.ops.Aggregates.hllMergeEstimate(shards, Seq("l_returnflag"))
+      val exact = T(s, d, "lineitem").groupBy(col("l_returnflag"))
+        .agg(count_distinct(col("l_partkey")).as("nd_exact"))
+      merged.join(exact, "l_returnflag").orderBy("l_returnflag")
+    }, None),
+
     ("agg_approx", (s, d) =>
       T(s, d, "lineitem").groupBy(col("l_returnflag"))
         .agg(

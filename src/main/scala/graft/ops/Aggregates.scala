@@ -157,6 +157,31 @@ object Aggregates {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
   }
 
+  /** Mergeable distinct-count sketches (Apache DataSketches HLL via
+    * Spark's `hll_sketch_agg`) — the incremental-analytics pattern at
+    * 100 TB: build per-shard/per-day sketch COLUMNS once, store them as
+    * binary, and answer any later union (per week, per language, overall)
+    * by merging sketches — never rescanning the raw data. The reference's
+    * aggregate states are process-local pointers (SURVEY §1.2:
+    * serialization stubbed); Spark sketches are the distributed answer to
+    * the same partial-state idea.
+    *
+    * @param lgK log2 of the sketch's K parameter: error ≈ 1.04/√2^lgK
+    *            (lgK 12 ⇒ ~1.6% relative standard error, 4 KB sketches) */
+  def hllSketches(
+      df: DataFrame, keys: Seq[String], valueCol: String, lgK: Int = 12): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(hll_sketch_agg(col(valueCol), lit(lgK)).as("hll"))
+
+  /** Merge stored sketches up to a coarser key set and estimate. Pure
+    * sketch algebra — input rows are (keys, hll binary), cost is
+    * O(sketches), independent of the original data volume. */
+  def hllMergeEstimate(
+      sketches: DataFrame, keys: Seq[String], sketchCol: String = "hll"): DataFrame =
+    sketches.groupBy(keys.map(col): _*)
+      .agg(hll_sketch_estimate(hll_union_agg(col(sketchCol), lit(false)))
+        .as("nd_estimate"))
+
   /** Register the house aggregates on a session — the analog of the
     * reference registering "ch.any" etc. in the arrow FunctionRegistry.
     * One instantiation per element type, like the reference template. */

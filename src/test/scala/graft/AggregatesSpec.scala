@@ -53,6 +53,34 @@ class AggregatesSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(1) - 2500.0) < 150.0)  // mid quantile
   }
 
+  test("HLL sketch-merge: merged estimate within error of exact, equals direct sketch") {
+    import graft.ops.Aggregates
+    // 3 "shards" per group g (the shard key simulates per-day builds);
+    // values overlap across shards so the union actually deduplicates.
+    val df = (0 until 30000).map(i => (i % 3, i % 500 + (i % 3) * 250, i % 5))
+      .toDF("g", "v", "shard")
+    val shards = Aggregates.hllSketches(df, Seq("g", "shard"), "v")
+    assert(shards.count() === 15)
+    val merged = Aggregates.hllMergeEstimate(shards, Seq("g"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val exact = df.groupBy($"g").agg(count_distinct($"v").as("nd"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    exact.foreach { case (g, nd) =>
+      assert(math.abs(merged(g) - nd).toDouble / nd < 0.05,
+        s"g=$g merged=${merged(g)} exact=$nd")
+    }
+    // sketch algebra: union of shard sketches estimates the same set as one
+    // sketch over the union (not bit-identical — the union operator keeps
+    // its own register representation — but both sit inside sketch error)
+    val direct = Aggregates.hllMergeEstimate(
+      Aggregates.hllSketches(df, Seq("g"), "v"), Seq("g"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    exact.foreach { case (g, nd) =>
+      assert(math.abs(merged(g) - direct(g)).toDouble / nd < 0.04,
+        s"g=$g merged=${merged(g)} direct=${direct(g)}")
+    }
+  }
+
   test("sortWithinPartitions orders every partition without a shuffle") {
     val df = (0 until 1000).map(i => (i * 37 % 1000)).toDF("x").repartition(4)
     val parts = graft.ops.Sorts.sortWithinPartitions(df,
