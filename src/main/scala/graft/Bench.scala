@@ -20,7 +20,8 @@ object Bench {
     "stream_interval_join", "shuffle_epoch", "sample_weighted", "profile",
     "embed_kmeans", "dup_ngram_stats", "cap_per_source", "pii_redact",
     "chunk_docs", "dedup_incremental", "stream_enrich",
-    "dedup_representatives", "join_full", "agg_cube", "orc_roundtrip")
+    "dedup_representatives", "join_full", "agg_cube", "orc_roundtrip",
+    "dedup_containment", "agg_hll_merge")
 
   def main(args: Array[String]): Unit = {
     // Iteration aid: SPARK_GRAFT_ONLY=q1,q2 restricts the run to a subset.

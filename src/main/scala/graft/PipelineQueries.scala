@@ -163,6 +163,27 @@ object PipelineQueries {
                       string_agg(substr('0123456789abcdef', CAST(nib + 1 AS INT), 1), '' ORDER BY pos) AS simhash
                FROM nibs GROUP BY doc_id ORDER BY doc_id""")),
 
+    // Asymmetric containment (excerpt/quote detection): either direction of
+    // |A∩B|/|A| over the shared docs frame — catches small-in-big overlap
+    // that symmetric Jaccard scores near zero.
+    ("dedup_containment", (s, d) =>
+      Dedup.containmentPairsFromDocs(
+        Dedup.jaccardDocs(T(s, d, "documents"), "doc_id", "text",
+          width = 6, k = minhashK, persist = false),
+        "doc_id", threshold = 0.6, k = minhashK, bands = minhashBands)
+        .orderBy("id_a", "id_b"),
+      Some(s"""WITH ${jaccardPairsCtes(0.0)}
+               SELECT cm.id_a, cm.id_b,
+                      CAST(nc AS DOUBLE) / CAST(sa.sz AS DOUBLE) AS cont_a_in_b,
+                      CAST(nc AS DOUBLE) / CAST(sb.sz AS DOUBLE) AS cont_b_in_a,
+                      CAST(nc AS DOUBLE) / CAST(sa.sz + sb.sz - nc AS DOUBLE) AS jaccard
+               FROM common cm
+               JOIN sizes sa ON sa.doc_id = cm.id_a
+               JOIN sizes sb ON sb.doc_id = cm.id_b
+               WHERE GREATEST(CAST(nc AS DOUBLE) / CAST(sa.sz AS DOUBLE),
+                              CAST(nc AS DOUBLE) / CAST(sb.sz AS DOUBLE)) >= 0.6
+               ORDER BY id_a, id_b""")),
+
     // Per-doc duplicated n-gram share (Lee et al. 2022 at shingle
     // granularity): how many of a doc's distinct 8-gram hashes appear in
     // ≥2 documents. Scan-local shingle sets → one df-aggregation on the

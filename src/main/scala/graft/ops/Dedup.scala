@@ -285,6 +285,39 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Asymmetric containment pairs over a [[jaccardDocs]] frame:
+    * C(A⊆B) = |A∩B| / |A| — the "this doc is a quote/excerpt of that doc"
+    * signal that symmetric Jaccard misses (a 100-shingle doc fully inside
+    * a 10 000-shingle doc has Jaccard ≈ 0.01 but containment 1.0). Emits
+    * both directions plus the Jaccard for every candidate pair where
+    * either direction crosses `threshold`.
+    *
+    * RECALL CAVEAT (part of the contract): candidates still come from
+    * symmetric MinHash-LSH bands, whose collision probability tracks
+    * JACCARD — a tiny excerpt of a huge doc may never band-collide. That
+    * is the standard trade-off at scale; pipelines needing full containment
+    * recall bucket by the smaller doc's shingles (more candidates) or cap
+    * size ratios upstream. */
+  def containmentPairsFromDocs(
+      docs: DataFrame, idCol: String, threshold: Double, k: Int, bands: Int): DataFrame = {
+    val sig = docs.select(col(idCol) +: (0 until k).map(i => col(s"mh_$i")): _*)
+    val cand = minhashCandidatePairsFromSig(sig, idCol, k, bands)
+    val setsA = docs.select(col(idCol).as("id_a"),
+      col("shset").as("set_a"), col("sz").as("sz_a"))
+    val setsB = docs.select(col(idCol).as("id_b"),
+      col("shset").as("set_b"), col("sz").as("sz_b"))
+    cand.join(setsA, "id_a").join(setsB, "id_b")
+      .withColumn("common",
+        graft.functions.VectorExpressions.sortedIntersectSize(col("set_a"), col("set_b")))
+      .withColumn("cont_a_in_b", col("common").cast("double") / col("sz_a").cast("double"))
+      .withColumn("cont_b_in_a", col("common").cast("double") / col("sz_b").cast("double"))
+      .withColumn("jaccard", col("common").cast("double") /
+        (col("sz_a") + col("sz_b") - col("common")).cast("double"))
+      .filter(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= threshold)
+      .select(col("id_a"), col("id_b"),
+        col("cont_a_in_b"), col("cont_b_in_a"), col("jaccard"))
+  }
+
   /** Exact all-pairs n-gram Jaccard: |A∩B| / |A∪B| ≥ threshold.
     * Shuffle on shingle for intersection counts; docs sharing no shingle
     * never meet (no cross join). Prefer [[jaccardPairsLsh]] at scale; cap

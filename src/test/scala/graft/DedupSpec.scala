@@ -164,6 +164,25 @@ class DedupSpec extends AnyFunSuite {
     assert(capped.contains((100L, 101L)), "normal buckets must survive the cap")
   }
 
+  test("containment catches an excerpt that symmetric Jaccard misses") {
+    val small = "the quick brown fox jumps over the lazy dog"
+    val big = small + " and then continues with much more unique content afterwards"
+    val df = Seq((1L, small), (2L, big),
+      (3L, "completely unrelated text about engines")).toDF("doc_id", "text")
+    // bands = k (r = 1): band collision P ≈ 1-(1-j)^k — catches even the
+    // low-jaccard excerpt pair deterministically at this k
+    val docs = Dedup.jaccardDocs(df, "doc_id", "text", width = 4, k = 8, persist = false)
+    val out = Dedup.containmentPairsFromDocs(docs, "doc_id",
+      threshold = 0.9, k = 8, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Double]("cont_a_in_b"), r.getAs[Double]("jaccard")))
+    assert(out.length === 1)
+    val (a, b, cont, jac) = out.head
+    assert((a, b) === ((1L, 2L)))
+    assert(cont === 1.0, "prefix excerpt: every small-doc shingle is in the big doc")
+    assert(jac < 0.9, s"jaccard $jac must be below the containment threshold (asymmetry)")
+  }
+
   test("componentRepresentatives: max score wins, ties to min id, NULL never represents") {
     val df = Seq(
       (1L, 100L, Some(5L)), (2L, 100L, Some(9L)), (3L, 100L, Some(9L)), // tie 2 vs 3 → 2

@@ -101,4 +101,18 @@ class PropertySpec extends AnyFunSuite {
       "SELECT sorted_intersect_size(array('a','b','c'), array('b','c','d'))")
       .head().getLong(0) === 2L)
   }
+
+  test("rebalanceForCompute widens narrow scans and no-ops at scale width") {
+    val target = spark.sparkContext.defaultParallelism
+    val narrow = (0 until 100).toDF("x").coalesce(1)
+    assert(Engine.rebalanceForCompute(narrow).rdd.getNumPartitions === target,
+      "a 1-split input must widen to the session's parallelism")
+    // at-scale shape: input already wider than the session — must pass
+    // through untouched (no repartition exchange inserted)
+    val wide = (0 until 100).toDF("x").repartition(target + 5)
+    val out = Engine.rebalanceForCompute(wide)
+    assert(out.rdd.getNumPartitions === target + 5)
+    assert(out.queryExecution.executedPlan.toString ===
+      wide.queryExecution.executedPlan.toString, "no-op must not change the plan")
+  }
 }
