@@ -70,13 +70,16 @@ object Engine {
     * Spark sizes scan splits by BYTES (`files.maxPartitionBytes` /
     * `openCostInBytes`), which is right for I/O-bound plans but wrong for a
     * kernel doing thousands of md5s per row: a small compressed file lands
-    * in ONE split and the whole corpus hashes on one core (measured: the
-    * sf0.1 documents table is a single 0.6 MB split — every downstream
-    * dedup consumer serialized on 1 of 32 cores). At 100 TB input splits
-    * vastly outnumber cores, `getNumPartitions >= target` holds, and this
-    * is a no-op — the branch only triggers exactly where the bytes
-    * heuristic under-parallelizes, and the round-robin shuffle it pays is
-    * by construction tiny (the data fit in fewer splits than cores). */
+    * in ONE split, the kernel runs on one core, and — the part that
+    * compounds — any PERSISTED frame built from it is cached 1-wide, so
+    * every downstream consumer (the jaccard verify joins, components) also
+    * starts single-partition (measured at sf0.1: the documents table is a
+    * single 0.6 MB split; widening cuts the jaccard/clean pipelines ~25%,
+    * and the margin grows with document size since kernel cost is linear
+    * in characters while the widening shuffle is a one-time copy). At
+    * 100 TB input splits vastly outnumber cores, `getNumPartitions >=
+    * target` holds, and this is a no-op — the branch only triggers exactly
+    * where the bytes heuristic under-parallelizes. */
   def rebalanceForCompute(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df

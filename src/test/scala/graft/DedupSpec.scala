@@ -212,6 +212,25 @@ class DedupSpec extends AnyFunSuite {
     assert(!out.exists { case (a, b, _) => a < 10L && b < 10L }, s"old×old pair leaked: $out")
   }
 
+  test("incremental pairs + prior-batch pairs = full-corpus pairs (no loss, no dupes)") {
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "a completely different document about engines",
+      "the quick brown fox jumps over the lazy cat",
+      "yet another unrelated piece of text entirely")
+    val old = (0L until 6L).map(i => (i, texts((i % 4).toInt))).toDF("doc_id", "text")
+    val fresh = (10L until 14L).map(i => (i, texts((i % 4).toInt))).toDF("doc_id", "text")
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val oldPairs = pairSet(Dedup.minhashCandidatePairs(old, "doc_id", "text", 4, 8, 4))
+    val incr = pairSet(Dedup.incrementalCandidatePairs(old, fresh, "doc_id", "text", 4, 8, 4)
+      .select("id_a", "id_b"))
+    val full = pairSet(Dedup.minhashCandidatePairs(
+      old.unionByName(fresh), "doc_id", "text", 4, 8, 4))
+    assert(oldPairs.intersect(incr).isEmpty, "incremental must not re-emit old pairs")
+    assert(oldPairs ++ incr === full, "old-batch + incremental must cover the full pairing")
+  }
+
   test("dupNgramStats counts exactly the shingle hashes shared across docs") {
     val df = Seq(
       (1L, "abcdef"),   // w=3 shingles: abc bcd cde def
