@@ -1,0 +1,83 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.Dedup
+
+/** Empirical scaling probe (dev-only): times the signature → candidate →
+  * verify → components pipeline on synthetic ×1 / ×4 / ×16 replications of
+  * the sf0.1 documents table, so "would this hold at scale" is answered by
+  * measurement instead of assertion.
+  *
+  * Corpus construction: copy c offsets doc ids and inserts the copy tag
+  * after every 4th alphanumeric run in the text — copies are mutually
+  * DISSIMILAR (shingle sets diverge everywhere), so the near-dup rate per
+  * document stays constant as the corpus grows. That is the realistic
+  * regime: a 16× corpus has 16× the dup clusters, not 16×-bigger clusters
+  * (the hot-cluster regime is what `maxBucketSize` caps, tested
+  * separately in DedupSpec).
+  *
+  * Expected shape (and what the committed run log shows): near-linear
+  * wall-clock in corpus size for every stage — signatures are scan-local,
+  * candidates shuffle O(docs·bands) bucket rows, verification joins
+  * O(pairs) fixed-width rows, components rounds are O(log clusters) —
+  * nothing quadratic anywhere.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    println(s"[scale] base corpus: ${base.count()} docs")
+
+    def corpus(mult: Int): DataFrame =
+      (0 until mult).map { c =>
+        base.select(
+          (col("doc_id") + lit(c.toLong * 1000000L)).as("doc_id"),
+          regexp_replace(col("text"), "(\\p{Alnum}{4})", "$1" + c.toString).as("text"))
+      }.reduce(_ unionAll _)
+
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = f
+      println(f"[scale] $name%-26s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($rows rows)")
+    }
+    def clear(): Unit = {
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    }
+
+    for (m <- Seq(1, 4, 16)) {
+      val path = s"/tmp/graft_scale/docs_x$m"
+      corpus(m).write.mode("overwrite").parquet(path)
+      val docs = spark.read.parquet(path)
+      println(s"[scale] ===== x$m: ${docs.count()} docs, " +
+        s"${docs.rdd.getNumPartitions} input partitions =====")
+      clear()
+      time(s"x$m signatures") {
+        Dedup.minhashSignature(docs, "doc_id", "text", 8, 64)
+          .agg(count(lit(1))).head().getLong(0)
+      }
+      clear()
+      time(s"x$m jaccard pairs e2e") {
+        Dedup.jaccardPairsLsh(docs, "doc_id", "text", 6, 0.6, 64, 16).count()
+      }
+      clear()
+      time(s"x$m components e2e") {
+        val pairs = Dedup.jaccardPairsLsh(docs, "doc_id", "text", 6, 0.6, 64, 16)
+        Dedup.connectedComponents(pairs, "doc_id").count()
+      }
+      clear()
+    }
+    spark.stop()
+  }
+}
