@@ -208,9 +208,10 @@ object Dedup {
   def jaccardPairsLsh(
       df: DataFrame, idCol: String, textCol: String,
       width: Int, threshold: Double, k: Int, bands: Int,
-      persistDocs: Boolean = true): DataFrame =
+      persistDocs: Boolean = true,
+      maxBucketSize: Long = Long.MaxValue): DataFrame =
     jaccardPairsFromDocs(jaccardDocs(df, idCol, textCol, width, k, persistDocs),
-      idCol, threshold, k, bands)
+      idCol, threshold, k, bands, maxBucketSize)
 
   /** The per-doc frame both LSH stages share: the sorted set of 32-bit
     * shingle hashes (for exact-on-hashes verification), its size, and the k
@@ -259,11 +260,15 @@ object Dedup {
   }
 
   /** LSH candidates + exact Jaccard verification over a pre-built (and
-    * ideally persisted) [[jaccardDocs]] frame. */
+    * ideally persisted) [[jaccardDocs]] frame. `maxBucketSize` is the
+    * hot-bucket skew guard threaded to
+    * [[minhashCandidatePairsFromSig]] — default off (no behavior
+    * change). */
   def jaccardPairsFromDocs(
-      docs: DataFrame, idCol: String, threshold: Double, k: Int, bands: Int): DataFrame = {
+      docs: DataFrame, idCol: String, threshold: Double, k: Int, bands: Int,
+      maxBucketSize: Long = Long.MaxValue): DataFrame = {
     val sig = docs.select(col(idCol) +: (0 until k).map(i => col(s"mh_$i")): _*)
-    val cand = minhashCandidatePairsFromSig(sig, idCol, k, bands)
+    val cand = minhashCandidatePairsFromSig(sig, idCol, k, bands, maxBucketSize)
     // Verification via the codegen linear-merge intersection kernel over the
     // sorted sets. Alternatives measured at sf0.1: re-joining candidates
     // against exploded shingle rows shuffles |candidates|·shingles/doc rows;
