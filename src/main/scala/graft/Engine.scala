@@ -81,6 +81,26 @@ object Engine {
     * target` holds, and this is a no-op — the branch only triggers exactly
     * where the bytes heuristic under-parallelizes. */
   def rebalanceForCompute(df: DataFrame): DataFrame = {
+    // Probe ONLY provably shuffle-free batch plans (project/filter chains
+    // over a relation): under AQE, `df.rdd` on a plan with exchanges
+    // materializes the upstream stages as real jobs (run once for the
+    // probe, re-run by the action) — and a post-shuffle frame is already
+    // session-wide anyway. The check is on the LOGICAL plan: with AQE the
+    // physical `sparkPlan` doesn't carry exchanges yet (EnsureRequirements
+    // runs inside the adaptive executor), so a physical-Exchange scan
+    // would miss them.
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      Filter => LFilter, LocalRelation, LogicalPlan, Project => LProject,
+      Range => LRange, Repartition, SubqueryAlias, Union}
+    def narrowChain(p: LogicalPlan): Boolean = p match {
+      case _: LProject | _: LFilter | _: SubqueryAlias | _: Union =>
+        p.children.forall(narrowChain)
+      case r: Repartition => !r.shuffle && r.children.forall(narrowChain) // coalesce
+      case _: LocalRelation | _: LRange => true
+      case r => r.children.isEmpty &&
+        r.getClass.getSimpleName == "LogicalRelation" // parquet/orc/csv scan
+    }
+    if (df.isStreaming || !narrowChain(df.queryExecution.optimizedPlan)) return df
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }

@@ -168,8 +168,10 @@ object PipelineQueries {
     // that symmetric Jaccard scores near zero.
     ("dedup_containment", (s, d) =>
       Dedup.containmentPairsFromDocs(
+        // persisted: the docs frame feeds sig + both verify sides — the
+        // 1×-kernel shape every other jaccard-family query uses
         Dedup.jaccardDocs(T(s, d, "documents"), "doc_id", "text",
-          width = 6, k = minhashK, persist = false),
+          width = 6, k = minhashK),
         "doc_id", threshold = 0.6, k = minhashK, bands = minhashBands)
         .orderBy("id_a", "id_b"),
       Some(s"""WITH ${jaccardPairsCtes(0.0)}

@@ -111,18 +111,6 @@ object Dedup {
     minhashCandidatePairsFromSig(
       minhashSignature(df, idCol, textCol, width, k), idCol, k, bands)
 
-  /** LSH band-bucket candidate pairs from a signature frame. The band key is
-    * the plain '|'-joined r-tuple (exact equality — no hash, no collisions;
-    * string concat is reproduced verbatim by the SQL oracle).
-    *
-    * `maxBucketSize` (default unlimited — no behavior change) is the skew
-    * guard for adversarial corpora: a bucket of m docs contributes m²/2
-    * pairs, so one boilerplate-heavy bucket can dominate the whole job.
-    * Production dedup pipelines cap or drop super-frequent buckets and
-    * accept the bounded recall loss on exactly the documents that are
-    * near-duplicates of thousands of others (which downstream clustering
-    * would collapse anyway). Docs in a capped bucket usually still meet
-    * through their other bands. */
   /** The `bands` LSH band arms over mh_0…mh_{k-1}: struct(band, bh) with
     * bh = the '|'-joined r-tuple (exact equality, no hash collisions). */
   private def bandArms(k: Int, bands: Int): Seq[Column] = {
@@ -134,10 +122,28 @@ object Dedup {
     }
   }
 
+  /** LSH band-bucket candidate pairs from a signature frame. The band key is
+    * the plain '|'-joined r-tuple (exact equality — no hash, no collisions;
+    * string concat is reproduced verbatim by the SQL oracle).
+    *
+    * Rows with a NULL signature (NULL text: every mh slot NULL) are
+    * EXCLUDED before banding — `concat_ws` skips NULLs, so they would all
+    * share the "" band hash and pair all-against-all.
+    *
+    * `maxBucketSize` (default unlimited — no behavior change) is the skew
+    * guard for adversarial corpora: a bucket of m docs contributes m²/2
+    * pairs, so one boilerplate-heavy bucket can dominate the whole job.
+    * Production dedup pipelines cap or drop super-frequent buckets and
+    * accept the bounded recall loss on exactly the documents that are
+    * near-duplicates of thousands of others (which downstream clustering
+    * would collapse anyway). Docs in a capped bucket usually still meet
+    * through their other bands. */
   def minhashCandidatePairsFromSig(
       sig: DataFrame, idCol: String, k: Int, bands: Int,
       maxBucketSize: Long = Long.MaxValue): DataFrame = {
-    val bucketsAll = sig.select(col(idCol), explode(array(bandArms(k, bands): _*)).as("bk"))
+    // mh slots are all-null or none-null per row, so mh_0 decides.
+    val bucketsAll = sig.filter(col("mh_0").isNotNull)
+      .select(col(idCol), explode(array(bandArms(k, bands): _*)).as("bk"))
       .select(col(idCol), col("bk.band").as("band"), col("bk.bh").as("bh"))
     val buckets =
       if (maxBucketSize == Long.MaxValue) bucketsAll
@@ -166,18 +172,31 @@ object Dedup {
     * not a full-corpus re-pairing.
     *
     * Returns (id_a, id_b, pair_type) with id_a < id_b and pair_type ∈
-    * {new_new, new_old}. Signatures are computed scan-local per side
-    * (callers holding a persisted corpus signature frame can pass it
-    * through [[minhashSignature]]'s output contract — only `idCol` and
-    * mh_0…mh_{k-1} are consumed). */
+    * {new_new, new_old}. This text-level entry point hashes BOTH sides —
+    * convenient for one-shots, but a continuous-ingest pipeline should
+    * compute each batch's signatures ONCE ([[minhashSignature]]), store
+    * them next to the corpus, and call
+    * [[incrementalCandidatePairsFromSigs]] with the stored old-side
+    * frame — that is what makes batch N cost O(new), not O(corpus). */
   def incrementalCandidatePairs(
       oldDocs: DataFrame, newDocs: DataFrame, idCol: String, textCol: String,
-      width: Int, k: Int, bands: Int): DataFrame = {
-    val sig = minhashSignature(oldDocs, idCol, textCol, width, k)
-      .withColumn("__new", lit(false))
-      .unionByName(minhashSignature(newDocs, idCol, textCol, width, k)
-        .withColumn("__new", lit(true)))
-    val buckets = sig
+      width: Int, k: Int, bands: Int): DataFrame =
+    incrementalCandidatePairsFromSigs(
+      minhashSignature(oldDocs, idCol, textCol, width, k),
+      minhashSignature(newDocs, idCol, textCol, width, k),
+      idCol, k, bands)
+
+  /** Signature-level incremental candidates: both sides already carry
+    * mh_0…mh_{k-1} per [[minhashSignature]]'s contract (the old side
+    * typically loaded from a stored signature table — no re-hashing).
+    * NULL-signature rows are excluded before banding, as in
+    * [[minhashCandidatePairsFromSig]]. */
+  def incrementalCandidatePairsFromSigs(
+      oldSig: DataFrame, newSig: DataFrame, idCol: String,
+      k: Int, bands: Int): DataFrame = {
+    val sig = oldSig.withColumn("__new", lit(false))
+      .unionByName(newSig.withColumn("__new", lit(true)))
+    val buckets = sig.filter(col("mh_0").isNotNull)
       .select(col(idCol), col("__new"), explode(array(bandArms(k, bands): _*)).as("bk"))
       .select(col(idCol), col("__new"), col("bk.band").as("band"), col("bk.bh").as("bh"))
     val a = buckets.as("a")
@@ -389,12 +408,21 @@ object Dedup {
     * empty text carries its single whole-text shingle per the shingling
     * rule, so two empty docs count as sharing it. */
   def dupNgramStats(
-      df: DataFrame, idCol: String, textCol: String, width: Int): DataFrame = {
+      df: DataFrame, idCol: String, textCol: String, width: Int,
+      persistSets: Boolean = true): DataFrame = {
     val sm = graft.functions.ShingleExpressions.shingleMinhash(col(textCol), width, 1)
-    val sets = graft.Engine.rebalanceForCompute(df)
+    val sets0 = graft.Engine.rebalanceForCompute(df)
       .select(col(idCol), sm.as("__sm"))
       .select(col(idCol), col("__sm.shset").as("__hs"), col("__sm.sz").as("n_shingles"))
       .filter(col("n_shingles") > 0)
+    // The sets frame feeds THREE consumers (df-count, flag-back join,
+    // final join) — persisted so the hashing kernel runs once, not 3×.
+    // LIFECYCLE as in [[jaccardDocs]]: CacheManager dedupes identical
+    // plans; long-lived sessions unpersist via clearCache(), or pass
+    // persistSets = false to trade re-hashing for zero cache footprint.
+    val sets =
+      if (persistSets) sets0.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      else sets0
     val ex = sets.select(col(idCol), explode(col("__hs")).as("__h"))
     // Shingles are distinct per doc, so COUNT(*) per hash IS document
     // frequency; hashes kept only when shared (df ≥ 2).

@@ -28,7 +28,13 @@ object Outliers {
   /** Clip `valueCol` to the [pLo, pHi] nearest-rank percentile band per
     * group; emits `lo_cut`/`hi_cut`, the `clipped` value, and outlier
     * flags. `tieCols` must make (value, ties) unique within a group for a
-    * deterministic result. */
+    * deterministic result.
+    *
+    * NULL contract: percentiles are computed over the NON-NULL values of
+    * each group (a NULL would otherwise occupy a low rank under Spark's
+    * nulls-first sort and silently disable the lower clip); NULL-value
+    * rows pass through with `clipped` NULL and both flags false. A group
+    * with no non-null values keeps NULL cutoffs. */
   def winsorize(
       df: DataFrame, groupCols: Seq[String], valueCol: String,
       tieCols: Seq[String], pLo: Double, pHi: Double): DataFrame = {
@@ -36,7 +42,7 @@ object Outliers {
     val gs = groupCols.map(col)
     val rankW = Window.partitionBy(gs: _*)
       .orderBy(col(valueCol) +: tieCols.map(col): _*)
-    val ranked = df
+    val ranked = df.filter(col(valueCol).isNotNull)
       .withColumn("__rn", row_number().over(rankW))
       .withColumn("__n", count(lit(1)).over(Window.partitionBy(gs: _*)))
     val loRank = greatest(ceil(lit(pLo) * col("__n")), lit(1L))
@@ -44,10 +50,11 @@ object Outliers {
     val cuts = ranked.groupBy(gs: _*).agg(
       min(when(col("__rn") === loRank, col(valueCol))).as("lo_cut"),
       min(when(col("__rn") === hiRank, col(valueCol))).as("hi_cut"))
-    df.join(broadcast(cuts), groupCols)
+    df.join(broadcast(cuts), groupCols, "left")
       .withColumn("clipped",
-        least(greatest(col(valueCol), col("lo_cut")), col("hi_cut")))
-      .withColumn("is_lo", col(valueCol) < col("lo_cut"))
-      .withColumn("is_hi", col(valueCol) > col("hi_cut"))
+        when(col(valueCol).isNull, lit(null))
+          .otherwise(least(greatest(col(valueCol), col("lo_cut")), col("hi_cut"))))
+      .withColumn("is_lo", coalesce(col(valueCol) < col("lo_cut"), lit(false)))
+      .withColumn("is_hi", coalesce(col(valueCol) > col("hi_cut"), lit(false)))
   }
 }

@@ -19,16 +19,25 @@ import org.apache.spark.sql.functions._
 object Profiling {
 
   /** Profile numeric columns: (col_name, n_rows, n_nonnull, n_distinct,
-    * min_v, max_v), one row per column, ordered by name. */
+    * min_v, max_v), one row per column, ordered by name.
+    *
+    * Column names are DATA here, never code: inputs resolve through
+    * backtick-escaped refs (a name with dots/spaces/quotes profiles fine)
+    * and internal aliases are positional, so nothing user-supplied is
+    * spliced into a parsed expression except the quoted name literal. */
   def numericProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty && cols == cols.distinct, "need distinct columns")
-    val aggs = cols.flatMap(c => Seq(
-      count(col(c)).as(s"nn_$c"),
-      count_distinct(col(c)).as(s"nd_$c"),
-      min(col(c)).cast("double").as(s"mn_$c"),
-      max(col(c)).cast("double").as(s"mx_$c")))
+    def qc(c: String) = col("`" + c.replace("`", "``") + "`")
+    val aggs = cols.zipWithIndex.flatMap { case (c, i) => Seq(
+      count(qc(c)).as(s"nn_$i"),
+      count_distinct(qc(c)).as(s"nd_$i"),
+      min(qc(c)).cast("double").as(s"mn_$i"),
+      max(qc(c)).cast("double").as(s"mx_$i")) }
     val one = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
-    val stackArgs = cols.map(c => s"'$c', nn_$c, nd_$c, mn_$c, mx_$c").mkString(", ")
+    val stackArgs = cols.zipWithIndex.map { case (c, i) =>
+      val nameLit = c.replace("\\", "\\\\").replace("'", "\\'")
+      s"'$nameLit', nn_$i, nd_$i, mn_$i, mx_$i"
+    }.mkString(", ")
     one.selectExpr("n_rows",
       s"stack(${cols.size}, $stackArgs) AS (col_name, n_nonnull, n_distinct, min_v, max_v)")
       .select(col("col_name"), col("n_rows"), col("n_nonnull"),

@@ -207,9 +207,12 @@ object Similarity {
     *    accumulator, not a buffered value list).
     *
     * Each iteration's centroid frame is k×dim — localCheckpoint'd so the
-    * lineage stays flat across iterations (per-round materialization cost
-    * is one tiny job; the corpus is scanned once per iteration, which IS
-    * Lloyd's data-access lower bound).
+    * lineage stays flat across iterations. The (id, vec, |x|²) corpus
+    * projection is PERSISTED (MEMORY_AND_DISK): each Lloyd iteration reads
+    * it twice (assignment + the mean-update join) and the final assignment
+    * once — caching caps source-scan work at 1× regardless of `iters`.
+    * LIFECYCLE as elsewhere: CacheManager dedupes identical plans; release
+    * with unpersist()/clearCache() in long-lived sessions.
     *
     * @return (idCol, cluster, dist2) — final assignment and its squared
     *         distance (round(·, 9) for cross-engine comparability). */
@@ -221,6 +224,7 @@ object Similarity {
     // |x|² once per row; reused by every assignment pass.
     val corpusN = df.select(col(idCol), col(vecCol),
       dot(col(vecCol), col(vecCol)).as("__n2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val seeds = corpusN
       .withColumn("__h", Dedup.shingleBase(col(idCol).cast("string")))
       .orderBy(col("__h"), col(idCol)).limit(k)

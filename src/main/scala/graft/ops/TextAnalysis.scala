@@ -135,34 +135,40 @@ object TextAnalysis {
       df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
       queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75
   ): org.apache.spark.sql.DataFrame = {
-    require(queryTerms.nonEmpty && queryTerms == queryTerms.distinct,
-      "queryTerms must be a non-empty set")
+    // Terms are lowercased on entry (tokens are matched lowercased, so an
+    // uppercase query term would otherwise silently match nothing), and
+    // internal columns are POSITIONAL (tf_0…) — a term is data, never
+    // spliced into a column name it could break (dots, quotes).
+    val terms = queryTerms.map(_.toLowerCase)
+    require(terms.nonEmpty && terms == terms.distinct,
+      "queryTerms must be a non-empty case-insensitive set")
+    val idx = terms.indices
     val toks = tokens(lower(col(textCol)))
-    val tfCols = queryTerms.map(q =>
-      size(filter(toks, t => t === q)).cast("long").as(s"tf_$q"))
+    val tfCols = terms.zipWithIndex.map { case (q, i) =>
+      size(filter(toks, t => t === q)).cast("long").as(s"tf_$i") }
     val base = df.select(col(idCol) +: size(toks).cast("long").as("dl") +: tfCols: _*)
     val stats = base.agg(
       count(lit(1)).as("n"),
       sum(col("dl")).as("sum_dl") +:
-        queryTerms.map(q =>
-          sum(when(col(s"tf_$q") > 0, 1L).otherwise(0L)).as(s"df_$q")): _*)
+        idx.map(i =>
+          sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i")): _*)
     // 1-row global stats × corpus: intentional broadcast NLJ (PlanGuardSpec
     // allowlists text_bm25), the same pattern as the overflow-row probe.
     val withStats = base.crossJoin(broadcast(stats))
     val avgdl = col("sum_dl").cast("double") / col("n").cast("double")
-    val contribs = queryTerms.map { q =>
-      val tf = col(s"tf_$q").cast("double")
-      val idf = log((col("n").cast("double") - col(s"df_$q") + 0.5) /
-        (col(s"df_$q") + 0.5) + 1.0)
-      when(col(s"tf_$q") > 0,
+    val contribs = idx.map { i =>
+      val tf = col(s"tf_$i").cast("double")
+      val idf = log((col("n").cast("double") - col(s"df_$i") + 0.5) /
+        (col(s"df_$i") + 0.5) + 1.0)
+      when(col(s"tf_$i") > 0,
         idf * tf * lit(k1 + 1.0) /
           (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / avgdl)))
         .otherwise(lit(0.0))
     }
-    val nMatch = queryTerms.map(q => when(col(s"tf_$q") > 0, 1).otherwise(0))
+    val nMatch = idx.map(i => when(col(s"tf_$i") > 0, 1).otherwise(0))
       .reduce(_ + _)
     withStats
-      .filter(queryTerms.map(q => col(s"tf_$q") > 0).reduce(_ || _))
+      .filter(idx.map(i => col(s"tf_$i") > 0).reduce(_ || _))
       .select(col(idCol), col("dl"), nMatch.cast("int").as("n_match"),
         round(contribs.reduce(_ + _), 6).as("bm25"))
       .orderBy(col("bm25").desc, col(idCol))

@@ -195,6 +195,23 @@ class DedupSpec extends AnyFunSuite {
     assert(out === Set((100L, 2L, 9L), (200L, 4L, 7L), (300L, 6L, 1L)))
   }
 
+  test("NULL-text docs never band-collide (no empty-band-hash all-pairs)") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, null.asInstanceOf[String]),
+      (4L, null.asInstanceOf[String]),
+      (5L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val pairs = Dedup.minhashCandidatePairs(df, "doc_id", "text", 4, 8, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)),
+      s"NULL-text docs must produce no candidates, got $pairs")
+    val incr = Dedup.incrementalCandidatePairs(
+      df.filter(col("doc_id") <= 3), df.filter(col("doc_id") > 3),
+      "doc_id", "text", 4, 8, 4).collect()
+    assert(incr.isEmpty, "null-text new docs must not pair with null-text old docs")
+  }
+
   test("incremental candidates: new×new and new×old pairs, never old×old") {
     val old = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),

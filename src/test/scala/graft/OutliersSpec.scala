@@ -24,6 +24,28 @@ class OutliersSpec extends AnyFunSuite {
     assert(r(10L) === ((8.0, false, true)))
   }
 
+  test("NULL values are excluded from cutoffs and pass through unflagged") {
+    val df = Seq(
+      ("a", 0L, None), ("a", 1L, Some(10.0)), ("a", 2L, Some(20.0)),
+      ("a", 3L, Some(30.0)), ("a", 4L, Some(40.0)), ("a", 5L, Some(50.0)),
+      ("n", 6L, None)).toDF("g", "id", "v")
+    val r = Outliers.winsorize(df, Seq("g"), "v", Seq("id"), 0.2, 0.8)
+      .collect().map { x =>
+        val clipped =
+          if (x.isNullAt(x.fieldIndex("clipped"))) None
+          else Some(x.getAs[Double]("clipped"))
+        x.getAs[Long]("id") ->
+          ((clipped, x.getAs[Boolean]("is_lo"), x.getAs[Boolean]("is_hi")))
+      }.toMap
+    // cutoffs over the 5 NON-null values: lo = rank 1 → 10, hi = rank 4 → 40
+    assert(r(1L) === ((Some(10.0), false, false)))
+    assert(r(5L) === ((Some(40.0), false, true)))
+    // NULL row: passes through, never clipped, never flagged
+    assert(r(0L) === ((None, false, false)))
+    // all-NULL group survives with NULL cutoffs
+    assert(r(6L) === ((None, false, false)))
+  }
+
   test("groups are independent and pLo=0 keeps rank 1 as the low cut") {
     val df = Seq(
       ("a", 1L, 100.0), ("a", 2L, 200.0), ("a", 3L, 300.0),

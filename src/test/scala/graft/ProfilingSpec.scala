@@ -23,6 +23,16 @@ class ProfilingSpec extends AnyFunSuite {
     assert(names.toSeq === Seq("a", "b"))
   }
 
+  test("column names are data: dots and quotes profile fine") {
+    val df = Seq((1.0, Some(2.0)), (3.0, Some(4.0)), (3.0, None))
+      .toDF("price.usd", "it's odd")
+    val out = graft.ops.Profiling.numericProfile(df, Seq("price.usd", "it's odd"))
+      .collect().map(r => r.getString(0) -> (r.getAs[Long]("n_nonnull"), r.getAs[Long]("n_distinct")))
+      .toMap
+    assert(out("price.usd") === ((3L, 2L)))
+    assert(out("it's odd") === ((2L, 2L)))
+  }
+
   test("one aggregation job: the plan has a single pair of exchanges") {
     val df = (1 to 100).map(i => (i.toDouble, (i % 7).toLong)).toDF("x", "y")
     val plan = Profiling.numericProfile(df, Seq("x", "y"))

@@ -114,5 +114,12 @@ class PropertySpec extends AnyFunSuite {
     assert(out.rdd.getNumPartitions === target + 5)
     assert(out.queryExecution.executedPlan.toString ===
       wide.queryExecution.executedPlan.toString, "no-op must not change the plan")
+    // a frame with an upstream exchange is returned untouched WITHOUT
+    // probing .rdd (under AQE the probe would execute the shuffle stages
+    // at construction time, then the action would re-run them)
+    val shuffled = (0 until 100).map(i => (i % 5, i)).toDF("k", "v")
+      .groupBy("k").count()
+    assert(Engine.rebalanceForCompute(shuffled) eq shuffled,
+      "exchange-bearing plans must pass through identically")
   }
 }

@@ -28,6 +28,15 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(one("", TextAnalysis.meanTokenLen(col("t"))) === 0.0)
   }
 
+  test("bm25 terms are data: uppercase matches, dots don't break resolution") {
+    val docs = Seq((1L, "merge.join is a merge strategy"), (2L, "nothing relevant"))
+      .toDF("doc_id", "text")
+    val upper = graft.ops.TextAnalysis.bm25(docs, "doc_id", "text", Seq("Merge.Join"))
+      .collect()
+    assert(upper.map(_.getLong(0)).toSeq === Seq(1L), "uppercase/dotted term must match")
+    assert(upper.head.getAs[Int]("n_match") === 1)
+  }
+
   test("chunkDocs: coverage, overlap, tail rules, empty text") {
     val df = Seq(
       (1L, "abcdefghij"),  // len 10: chunk=5 overlap=2 stride=3 → starts 1,4,7 (10 dropped: ⊂ prev)
