@@ -4,8 +4,10 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CityHash64Expr, SortedArrayIntersectSize, VectorDot,
-  WyHash64Expr, XxHash32Expr, XxHash64RawExpr, Xxh3Expr}
+import graft.functions.{CityHash64Expr, ShingleMinhash, SimHash64,
+  SortedArrayIntersectSize, VectorDot, WyHash64Expr, XxHash32Expr,
+  XxHash64RawExpr, Xxh3Expr}
+import org.apache.spark.sql.catalyst.expressions.Literal
 
 /** SparkSessionExtensions hook: registers the engine's native expressions as
   * SQL functions — the analog of the reference registering "ch.*" kernels in
@@ -46,5 +48,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("wy_hash64"),
       new ExpressionInfo(classOf[WyHash64Expr].getName, "wy_hash64"),
       (args: Seq[Expression]) => WyHash64Expr(args)))
+    // Doc-local dedup kernels: shingle_minhash(text, width, k) →
+    // struct(shset, sz, mh); simhash64(text) → 16-hex fingerprint.
+    // Width/k must be integer literals (they shape the kernel).
+    ext.injectFunction((
+      FunctionIdentifier("shingle_minhash"),
+      new ExpressionInfo(classOf[ShingleMinhash].getName, "shingle_minhash"),
+      (args: Seq[Expression]) => {
+        def intLit(e: Expression, name: String): Int = e match {
+          case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"shingle_minhash: $name must be an integer literal, got $other")
+        }
+        require(args.length == 3, "shingle_minhash(text, width, k)")
+        ShingleMinhash(args(0), intLit(args(1), "width"), intLit(args(2), "k"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (args: Seq[Expression]) => SimHash64(args.head)))
   }
 }

@@ -100,6 +100,23 @@ class PropertySpec extends AnyFunSuite {
     assert(spark.sql(
       "SELECT sorted_intersect_size(array('a','b','c'), array('b','c','d'))")
       .head().getLong(0) === 2L)
+    // the doc-local dedup kernels, registered the same way
+    spark.sessionState.functionRegistry.registerFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("simhash64"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.SimHash64].getName, "simhash64"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.SimHash64(args.head))
+    val fp = spark.sql("SELECT simhash64('hello world hello')").head().getString(0)
+    assert(fp.length === 16 && fp.matches("[0-9a-f]+"))
+    spark.sessionState.functionRegistry.registerFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("shingle_minhash"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.ShingleMinhash].getName, "shingle_minhash"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.ShingleMinhash(args(0), 4, 8))
+    val sm = spark.sql("SELECT shingle_minhash('hello world', 4, 8).sz").head().getLong(0)
+    assert(sm === 8L) // "hello world" has 8 distinct 4-grams
   }
 
   test("rebalanceForCompute widens narrow scans and no-ops at scale width") {
