@@ -840,6 +840,32 @@ object CoreQueries {
               WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
                 AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""")),
 
+    // TPC-H Q18 shape (large-volume customers): the heaviest relational
+    // composition in the suite — full lineitem aggregation, HAVING on the
+    // aggregate, then joins back through orders to customer and a top-k.
+    // The having-side is small after the filter, so Catalyst broadcasts
+    // it into both joins; top-k is TakeOrdered, never a global sort.
+    ("q18_big_orders", (s, d) => {
+      val big = T(s, d, "lineitem").groupBy(col("l_orderkey"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"))
+        .filter(col("sum_qty") > 250)
+      T(s, d, "orders")
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(T(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(100)
+    },
+      Some("""SELECT c_custkey, c_name, o_orderkey, o_totalprice, sum_qty
+              FROM (SELECT l_orderkey,
+                           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+                    FROM lineitem GROUP BY l_orderkey
+                    HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) > 250) b
+              JOIN orders ON o_orderkey = b.l_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""")),
+
     // Exact statistical moments via decimal sums (reference has no
     // var/stddev — commented out in IAggregateFunction.h:454-473; this is
     // the deterministic beyond-reference version) + exact median.
