@@ -866,6 +866,24 @@ object CoreQueries {
               JOIN customer ON o_custkey = c_custkey
               ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""")),
 
+    // Z-order (Morton) clustering values: both dimensions min/max-scaled
+    // to 8 bits and bit-interleaved — the layout key writeZOrdered sorts
+    // by so parquet min/max stats skip on BOTH columns. Pure integer
+    // arithmetic over a 1-row broadcast stats frame (PlanGuard allowlists
+    // the scalar cross join); the oracle replays it bit-for-bit.
+    ("zorder_values", (s, d) => {
+      val li = T(s, d, "lineitem")
+      val stats = li.agg(
+        min(col("l_partkey")).as("la"), max(col("l_partkey")).as("ha"),
+        min(col("l_suppkey")).as("lb"), max(col("l_suppkey")).as("hb"))
+      li.crossJoin(broadcast(stats))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          graft.sources.Sinks.scaleToBits(col("l_partkey"), col("la"), col("ha"), 8).as("za"),
+          graft.sources.Sinks.scaleToBits(col("l_suppkey"), col("lb"), col("hb"), 8).as("zb"))
+        .withColumn("zval", graft.sources.Sinks.zValue2(col("za"), col("zb"), 8))
+        .orderBy("l_orderkey", "l_linenumber")
+    }, Some(zorderOracle)),
+
     // Exact statistical moments via decimal sums (reference has no
     // var/stddev — commented out in IAggregateFunction.h:454-473; this is
     // the deterministic beyond-reference version) + exact median.
@@ -1038,4 +1056,23 @@ object CoreQueries {
               LEFT JOIN (SELECT * FROM customer WHERE c_custkey < 100) c
                 ON e.user_id = c.c_custkey
               ORDER BY e.event_id""")))
+
+  /** DuckDB replica of the z-order construction: same min/max scaling,
+    * same 8-bit interleave, built from the same generator. */
+  private lazy val zorderOracle: String = {
+    def scale(v: String, lo: String, hi: String): String =
+      s"LEAST(CAST(floor(CAST($v - $lo AS DOUBLE) / CAST($hi - $lo + 1 AS DOUBLE) * 256) AS INT), 255)"
+    val interleave = (0 until 8).map { i =>
+      s"((za >> $i) & 1) * ${1L << (2 * i + 1)} + ((zb >> $i) & 1) * ${1L << (2 * i)}"
+    }.mkString(" + ")
+    s"""WITH s AS (SELECT MIN(l_partkey) AS la, MAX(l_partkey) AS ha,
+                          MIN(l_suppkey) AS lb, MAX(l_suppkey) AS hb FROM lineitem),
+        b AS (SELECT l_orderkey, l_linenumber,
+                     ${scale("l_partkey", "la", "ha")} AS za,
+                     ${scale("l_suppkey", "lb", "hb")} AS zb
+              FROM lineitem, s)
+        SELECT l_orderkey, l_linenumber, za, zb,
+               CAST($interleave AS BIGINT) AS zval
+        FROM b ORDER BY l_orderkey, l_linenumber"""
+  }
 }

@@ -50,6 +50,59 @@ object Sinks {
 
   def readTable(spark: SparkSession, table: String): DataFrame = spark.table(table)
 
+  /** Z-order (Morton) value of two integer dimensions, each min/max-scaled
+    * to `bits` bits and bit-interleaved — rows close in z-value are close
+    * in BOTH dimensions, so a z-sorted layout gives parquet min/max
+    * row-group skipping on either column (a single-column sort clusters
+    * only its own column; the other's per-file range stays global). The
+    * construction is pure integer arithmetic over broadcast global
+    * min/max — deterministic, engine-reproducible, oracle-checkable.
+    *
+    * @param a,b    integer bucket inputs (already scaled to [0, 2^bits));
+    *               use [[zValueScaled]] for raw columns
+    * @param bits   bits per dimension (z-value uses 2·bits total) */
+  def zValue2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
+      bits: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    require(bits >= 1 && bits <= 31, "bits in 1..31")
+    (0 until bits).map { i =>
+      (shiftright(a, i).bitwiseAND(lit(1)).cast("long") * lit(1L << (2 * i + 1))) +
+        (shiftright(b, i).bitwiseAND(lit(1)).cast("long") * lit(1L << (2 * i)))
+    }.reduce(_ + _)
+  }
+
+  /** Min/max-scale a raw numeric column into [0, 2^bits) given broadcast
+    * global bounds (`lo`/`hi` columns from a 1-row stats frame). */
+  def scaleToBits(v: org.apache.spark.sql.Column, lo: org.apache.spark.sql.Column,
+      hi: org.apache.spark.sql.Column, bits: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val span = (hi - lo + 1).cast("double")
+    least(floor((v - lo).cast("double") / span * (1L << bits)).cast("int"),
+      lit((1 << bits) - 1))
+  }
+
+  /** Z-ordered clustered write: range-partition + sort by the z-value of
+    * two dimensions, so parquet min/max stats are selective on BOTH
+    * columns. The only pre-pass is one global min/max aggregation (1 row,
+    * broadcast); the sort is the standard range-partitioned global sort. */
+  def writeZOrdered(
+      df: DataFrame, path: String, colA: String, colB: String,
+      bits: Int, partitions: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    val stats = df.agg(
+      min(col(colA)).as("la"), max(col(colA)).as("ha"),
+      min(col(colB)).as("lb"), max(col(colB)).as("hb"))
+    val z = df.crossJoin(broadcast(stats))
+      .withColumn("__z", zValue2(
+        scaleToBits(col(colA), col("la"), col("ha"), bits),
+        scaleToBits(col(colB), col("lb"), col("hb"), bits), bits))
+      .drop("la", "ha", "lb", "hb")
+    z.repartitionByRange(partitions, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   /** ORC interchange (the other mainstream columnar format — lossless for
     * every type this engine uses, incl. µs timestamps; same pushdown/
     * pruning machinery as parquet in Spark's reader). Kept schema-explicit

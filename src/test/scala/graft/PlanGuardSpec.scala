@@ -21,7 +21,8 @@ class PlanGuardSpec extends AnyFunSuite {
     "agg_overflow",     // overflow-row emptiness probe: × broadcast(1-row count)
     "contamination",    // corpus × broadcast(1-row benchmark hash set)
     "text_bm25",        // corpus × broadcast(1-row BM25 corpus stats)
-    "embed_kmeans")     // corpus × broadcast(k centroids) per Lloyd pass
+    "embed_kmeans",     // corpus × broadcast(k centroids) per Lloyd pass
+    "zorder_values")    // scan × broadcast(1-row min/max stats)
 
   test("no query plans a cartesian product or unlisted nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

@@ -27,6 +27,31 @@ class SinksSpec extends AnyFunSuite {
       s"expected partition filters in:\n$plan")
   }
 
+  test("z-ordered layout bounds per-file ranges on BOTH dimensions") {
+    // 64×64 uniform grid; 16 z-range files should each cover ~a 16×16
+    // block (256 consecutive z codes = one square of the Morton curve),
+    // so BOTH per-file ranges stay ~16 of a global 63. A single-column
+    // sort leaves the other column's per-file range at ~global.
+    val grid = (for (a <- 0 until 64; b <- 0 until 64) yield (a, b)).toDF("a", "b")
+    val zPath = tmp()
+    Sinks.writeZOrdered(grid, zPath, "a", "b", bits = 6, partitions = 16)
+    def avgRanges(path: String): (Double, Double) = {
+      val r = spark.read.parquet(path)
+        .groupBy(input_file_name())
+        .agg((max($"a") - min($"a")).as("ra"), (max($"b") - min($"b")).as("rb"))
+        .agg(avg($"ra"), avg($"rb")).head()
+      (r.getDouble(0), r.getDouble(1))
+    }
+    val (za, zb) = avgRanges(zPath)
+    assert(za < 24 && zb < 24, s"z-order per-file ranges must bound both dims: ($za, $zb)")
+    // control: plain range-sort by `a` clusters only `a`
+    val aPath = tmp()
+    grid.repartitionByRange(16, $"a").sortWithinPartitions($"a")
+      .write.mode("overwrite").parquet(aPath)
+    val (_, cb) = avgRanges(aPath)
+    assert(cb > 48, s"single-dim control should leave b unclustered, got $cb")
+  }
+
   test("bucketed tables join without a shuffle") {
     spark.sql("DROP TABLE IF EXISTS bkt_a")
     spark.sql("DROP TABLE IF EXISTS bkt_b")
