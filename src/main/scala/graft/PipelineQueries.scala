@@ -215,20 +215,26 @@ object PipelineQueries {
         docs.filter(col("doc_id") < 400), docs.filter(col("doc_id") >= 400),
         "doc_id", "text", minhashW, minhashK, minhashBands)
         .orderBy("id_a", "id_b")
-    },
-      Some(s"""WITH ${shingleCte(minhashW)},
-               bases AS (SELECT DISTINCT doc_id, ${duckBase("shingle")} AS mhb FROM sh),
-               sig AS (SELECT doc_id, $sigSelect FROM bases GROUP BY doc_id),
-               bands AS (
-                 $bandArms),
-               cand AS (
-                 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-                        CASE WHEN a.doc_id >= 400 AND b.doc_id >= 400 THEN 'new_new'
-                             ELSE 'new_old' END AS pair_type
-                 FROM bands a JOIN bands b
-                   ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
-                  AND (a.doc_id >= 400 OR b.doc_id >= 400))
-               SELECT id_a, id_b, pair_type FROM cand ORDER BY id_a, id_b""")),
+    }, Some(incrementalOracle)),
+
+    // The stored-signature path a real ingest pipeline runs: the corpus
+    // side's signatures are written to (and read back from) a parquet
+    // signature store — batch cost is O(new batch), the corpus text is
+    // never re-hashed, and the storage round-trip proves the signature
+    // schema is a durable contract. Same oracle as dedup_incremental.
+    ("dedup_incremental_stored", (s, d) => {
+      val docs = T(s, d, "documents")
+      val store = System.getProperty("java.io.tmpdir") + "/graft_sig_store"
+      Dedup.minhashSignature(docs.filter(col("doc_id") < 400),
+          "doc_id", "text", minhashW, minhashK)
+        .write.mode("overwrite").parquet(store)
+      Dedup.incrementalCandidatePairsFromSigs(
+        s.read.parquet(store),
+        Dedup.minhashSignature(docs.filter(col("doc_id") >= 400),
+          "doc_id", "text", minhashW, minhashK),
+        "doc_id", minhashK, minhashBands)
+        .orderBy("id_a", "id_b")
+    }, Some(incrementalOracle)),
 
     // ── embedding near-dup + similarity search ───────────────────────────
     // Banded multi-table sign-LSH bucketing (the scale path — bucket join,
@@ -1252,6 +1258,24 @@ object PipelineQueries {
           FROM scored) WHERE rk <= 5
         ORDER BY qid, rk"""
   }
+
+  /** Oracle shared by both incremental-dedup queries (text-level and
+    * stored-signature — identical result contract: candidates where at
+    * least one side is the new batch, doc_id ≥ 400). */
+  private lazy val incrementalOracle: String =
+    s"""WITH ${shingleCte(minhashW)},
+        bases AS (SELECT DISTINCT doc_id, ${duckBase("shingle")} AS mhb FROM sh),
+        sig AS (SELECT doc_id, $sigSelect FROM bases GROUP BY doc_id),
+        bands AS (
+          $bandArms),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CASE WHEN a.doc_id >= 400 AND b.doc_id >= 400 THEN 'new_new'
+                      ELSE 'new_old' END AS pair_type
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+           AND (a.doc_id >= 400 OR b.doc_id >= 400))
+        SELECT id_a, id_b, pair_type FROM cand ORDER BY id_a, id_b"""
 
   /** DuckDB replica of [[graft.ops.Similarity.kmeans]]: the seed CTE plus
     * `iters` unrolled (assign → fixed-point mean) rounds, ending in a final
