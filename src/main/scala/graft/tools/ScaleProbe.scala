@@ -78,6 +78,32 @@ object ScaleProbe {
       }
       clear()
     }
+
+    // ── skew-join regime: ONE key owns half the probe side ───────────────
+    // Broadcast disabled (the salted join targets exactly the regime where
+    // the build side is too big to broadcast); AQE skew splitting toggled
+    // to show what the runtime saves on its own vs what salting saves when
+    // AQE can't (or isn't there).
+    println("[scale] ===== skew join: hot key = 50% of 20M probe rows =====")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val probe = spark.range(20000000L).select(
+      when(col("id") % 2 === 0, lit(0L))
+        .otherwise(pmod(xxhash64(col("id")), lit(10000L))).as("k"),
+      col("id").as("v"))
+    val build = spark.range(10000L).select(col("id").as("k"), (col("id") * 7).as("attr"))
+    def joinCount(salted: Int): Long = {
+      val j =
+        if (salted <= 1) probe.join(build, "k")
+        else graft.ops.SkewJoin.saltedJoin(probe, build, Seq("k"), salted)
+      j.count()
+    }
+    for (aqeSkew <- Seq(true, false)) {
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", aqeSkew.toString)
+      time(s"plain SMJ (aqeSkew=$aqeSkew)") { joinCount(1) }
+      time(s"salted x16 (aqeSkew=$aqeSkew)") { joinCount(16) }
+    }
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     spark.stop()
   }
 }
