@@ -794,6 +794,20 @@ object PipelineQueries {
                FROM documents
                ORDER BY pos_hash, doc_id""")),
 
+    // Group-stable train/holdout split: the split key is the SOURCE, not
+    // the doc — every document of a source lands in the same split, the
+    // leakage-safe discipline when near-dups cluster within sources (a
+    // doc-level split would put one copy in train and its twin in test).
+    // Same content-addressed hash as sample_stratified, keyed coarser.
+    ("split_by_source", (s, d) =>
+      T(s, d, "documents").select(col("doc_id"), col("source"),
+        Sampling.splitColumn(col("source"), holdoutRate = 0.25, salt = "gs").as("split"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, source,
+                      CASE WHEN ${duckBase("concat('gs', source)")} < ${(0.25 * 4294967296.0).toLong}
+                           THEN 'holdout' ELSE 'train' END AS split
+               FROM documents ORDER BY doc_id""")),
+
     // Deterministic per-group cap (domain capping): ≤ 40 docs per `source`,
     // selected by content-addressed hash order — run-stable, engine-stable.
     ("cap_per_source", (s, d) =>
