@@ -21,7 +21,8 @@ object Bench {
     "embed_kmeans", "dup_ngram_stats", "cap_per_source", "pii_redact",
     "chunk_docs", "dedup_incremental", "stream_enrich",
     "dedup_representatives", "join_full", "agg_cube", "orc_roundtrip",
-    "dedup_containment", "agg_hll_merge", "q18_big_orders", "zorder_values")
+    "dedup_containment", "agg_hll_merge", "q18_big_orders", "zorder_values",
+    "dedup_incremental_stored", "split_by_source")
 
   def main(args: Array[String]): Unit = {
     // Iteration aid: SPARK_GRAFT_ONLY=q1,q2 restricts the run to a subset.

@@ -18,41 +18,48 @@ import org.apache.spark.sql.catalyst.expressions.Literal
   * `SELECT vec_dot(a, b)`, `SELECT sorted_intersect_size(x, y)` work in SQL.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier("vec_dot"),
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+/** The registered (identifier, info, builder) triples — exposed so tests
+  * exercise the PRODUCTION builders (incl. their arity/literal checks)
+  * through a plain functionRegistry, not a parallel re-implementation. */
+object GraftExtensions {
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VectorDot].getName, "vec_dot"),
-      (args: Seq[Expression]) => VectorDot(args(0), args(1))))
-    ext.injectFunction((
-      FunctionIdentifier("sorted_intersect_size"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "vec_dot(a, b)")
+        VectorDot(args(0), args(1))
+      }),
+    (FunctionIdentifier("sorted_intersect_size"),
       new ExpressionInfo(classOf[SortedArrayIntersectSize].getName, "sorted_intersect_size"),
-      (args: Seq[Expression]) => SortedArrayIntersectSize(args(0), args(1))))
-    // Bit-exact reference hash family (FunctionsHashing.h:42-116).
-    ext.injectFunction((
-      FunctionIdentifier("city_hash64"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "sorted_intersect_size(a, b)")
+        SortedArrayIntersectSize(args(0), args(1))
+      }),
+    // Bit-exact reference hash family (FunctionsHashing.h:42-116) —
+    // n-ary by design (reference combineHashes).
+    (FunctionIdentifier("city_hash64"),
       new ExpressionInfo(classOf[CityHash64Expr].getName, "city_hash64"),
-      (args: Seq[Expression]) => CityHash64Expr(args)))
-    ext.injectFunction((
-      FunctionIdentifier("xx_hash32"),
+      (args: Seq[Expression]) => CityHash64Expr(args)),
+    (FunctionIdentifier("xx_hash32"),
       new ExpressionInfo(classOf[XxHash32Expr].getName, "xx_hash32"),
-      (args: Seq[Expression]) => XxHash32Expr(args)))
-    ext.injectFunction((
-      FunctionIdentifier("xx_hash64_raw"),
+      (args: Seq[Expression]) => XxHash32Expr(args)),
+    (FunctionIdentifier("xx_hash64_raw"),
       new ExpressionInfo(classOf[XxHash64RawExpr].getName, "xx_hash64_raw"),
-      (args: Seq[Expression]) => XxHash64RawExpr(args)))
-    ext.injectFunction((
-      FunctionIdentifier("xxh3_64"),
+      (args: Seq[Expression]) => XxHash64RawExpr(args)),
+    (FunctionIdentifier("xxh3_64"),
       new ExpressionInfo(classOf[Xxh3Expr].getName, "xxh3_64"),
-      (args: Seq[Expression]) => Xxh3Expr(args)))
-    ext.injectFunction((
-      FunctionIdentifier("wy_hash64"),
+      (args: Seq[Expression]) => Xxh3Expr(args)),
+    (FunctionIdentifier("wy_hash64"),
       new ExpressionInfo(classOf[WyHash64Expr].getName, "wy_hash64"),
-      (args: Seq[Expression]) => WyHash64Expr(args)))
+      (args: Seq[Expression]) => WyHash64Expr(args)),
     // Doc-local dedup kernels: shingle_minhash(text, width, k) →
     // struct(shset, sz, mh); simhash64(text) → 16-hex fingerprint.
     // Width/k must be integer literals (they shape the kernel).
-    ext.injectFunction((
-      FunctionIdentifier("shingle_minhash"),
+    (FunctionIdentifier("shingle_minhash"),
       new ExpressionInfo(classOf[ShingleMinhash].getName, "shingle_minhash"),
       (args: Seq[Expression]) => {
         def intLit(e: Expression, name: String): Int = e match {
@@ -62,10 +69,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         require(args.length == 3, "shingle_minhash(text, width, k)")
         ShingleMinhash(args(0), intLit(args(1), "width"), intLit(args(2), "k"))
-      }))
-    ext.injectFunction((
-      FunctionIdentifier("simhash64"),
+      }),
+    (FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
-      (args: Seq[Expression]) => SimHash64(args.head)))
-  }
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "simhash64(text)")
+        SimHash64(args.head)
+      }))
 }

@@ -224,7 +224,11 @@ object PipelineQueries {
     // schema is a durable contract. Same oracle as dedup_incremental.
     ("dedup_incremental_stored", (s, d) => {
       val docs = T(s, d, "documents")
-      val store = System.getProperty("java.io.tmpdir") + "/graft_sig_store"
+      // Per-invocation store path: a fixed shared name would race two
+      // concurrent sessions (one's Overwrite deleting part-files the
+      // other's read already listed).
+      val store = System.getProperty("java.io.tmpdir") +
+        "/graft_sig_store_" + java.util.UUID.randomUUID()
       Dedup.minhashSignature(docs.filter(col("doc_id") < 400),
           "doc_id", "text", minhashW, minhashK)
         .write.mode("overwrite").parquet(store)

@@ -77,8 +77,13 @@ object Sinks {
       hi: org.apache.spark.sql.Column, bits: Int): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
     val span = (hi - lo + 1).cast("double")
-    least(floor((v - lo).cast("double") / span * (1L << bits)).cast("int"),
-      lit((1 << bits) - 1))
+    // Clamped on BOTH sides: with stored/stale bounds a value outside
+    // [lo, hi] must saturate — a negative bucket would sign-extend through
+    // the Morton shift and land the row in the wrong quadrant silently.
+    greatest(
+      least(floor((v - lo).cast("double") / span * (1L << bits)).cast("int"),
+        lit((1 << bits) - 1)),
+      lit(0))
   }
 
   /** Z-ordered clustered write: range-partition + sort by the z-value of
@@ -89,6 +94,11 @@ object Sinks {
       df: DataFrame, path: String, colA: String, colB: String,
       bits: Int, partitions: Int): Unit = {
     import org.apache.spark.sql.functions._
+    val reserved = Seq("la", "ha", "lb", "hb", "__z")
+    val clash = df.columns.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"writeZOrdered: input columns ${clash.mkString(", ")} collide with " +
+        s"internal names ($reserved)")
     val stats = df.agg(
       min(col(colA)).as("la"), max(col(colA)).as("ha"),
       min(col(colB)).as("lb"), max(col(colB)).as("hb"))

@@ -97,6 +97,11 @@ object ScaleProbe {
         else graft.ops.SkewJoin.saltedJoin(probe, build, Seq("k"), salted)
       j.count()
     }
+    // Warm the join codegen/JIT paths once so the first measured config
+    // doesn't absorb one-time compilation cost (same discipline as Bench's
+    // q1_agg warm-up; without it the first row of the comparison reads
+    // ~1.6× slower than the same plan re-run).
+    joinCount(1); joinCount(16)
     for (aqeSkew <- Seq(true, false)) {
       spark.conf.set("spark.sql.adaptive.skewJoin.enabled", aqeSkew.toString)
       time(s"plain SMJ (aqeSkew=$aqeSkew)") { joinCount(1) }

@@ -80,43 +80,28 @@ class PropertySpec extends AnyFunSuite {
     assert(out.toSeq === Seq((1L, "a"), (2L, "b"), (3L, "c")))
   }
 
-  test("extension-injected SQL functions: vec_dot, sorted_intersect_size") {
-    val ext = new org.apache.spark.sql.SparkSessionExtensions
-    new GraftExtensions().apply(ext)   // builders wired without error
-    spark.sessionState.functionRegistry.registerFunction(
-      org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot"),
-      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-        classOf[graft.functions.VectorDot].getName, "vec_dot"),
-      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        graft.functions.VectorDot(args(0), args(1)))
-    spark.sessionState.functionRegistry.registerFunction(
-      org.apache.spark.sql.catalyst.FunctionIdentifier("sorted_intersect_size"),
-      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-        classOf[graft.functions.SortedArrayIntersectSize].getName, "sorted_intersect_size"),
-      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        graft.functions.SortedArrayIntersectSize(args(0), args(1)))
+  test("extension-injected SQL functions run through the PRODUCTION builders") {
+    // Register the exact builder triples GraftExtensions injects — the
+    // test session was created without extensions, so wire them onto its
+    // registry directly; no parallel re-implementation.
+    GraftExtensions.functions.foreach { case (ident, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    }
     assert(spark.sql("SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D))")
       .head().getDouble(0) === 11.0)
     assert(spark.sql(
       "SELECT sorted_intersect_size(array('a','b','c'), array('b','c','d'))")
       .head().getLong(0) === 2L)
-    // the doc-local dedup kernels, registered the same way
-    spark.sessionState.functionRegistry.registerFunction(
-      org.apache.spark.sql.catalyst.FunctionIdentifier("simhash64"),
-      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-        classOf[graft.functions.SimHash64].getName, "simhash64"),
-      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        graft.functions.SimHash64(args.head))
     val fp = spark.sql("SELECT simhash64('hello world hello')").head().getString(0)
     assert(fp.length === 16 && fp.matches("[0-9a-f]+"))
-    spark.sessionState.functionRegistry.registerFunction(
-      org.apache.spark.sql.catalyst.FunctionIdentifier("shingle_minhash"),
-      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-        classOf[graft.functions.ShingleMinhash].getName, "shingle_minhash"),
-      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        graft.functions.ShingleMinhash(args(0), 4, 8))
     val sm = spark.sql("SELECT shingle_minhash('hello world', 4, 8).sz").head().getLong(0)
     assert(sm === 8L) // "hello world" has 8 distinct 4-grams
+    // production builder enforces literal width/k and arity
+    val e1 = intercept[Exception](
+      spark.sql("SELECT shingle_minhash('x', length('ab'), 8)").collect())
+    assert(e1.getMessage.contains("integer literal"))
+    val e2 = intercept[Exception](spark.sql("SELECT simhash64()").collect())
+    assert(e2.getMessage.contains("simhash64(text)"))
   }
 
   test("rebalanceForCompute widens narrow scans and no-ops at scale width") {
