@@ -113,6 +113,40 @@ object Sinks {
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
 
+  /** Sharded training-data write: a deterministic global order (the
+    * caller's sort columns — typically [[graft.ops.Sampling.epochShuffle]]'s
+    * `pos_hash`) range-partitioned into `shards` roughly equal files, each
+    * capped at `maxRecordsPerFile` so no shard exceeds a loader's memory
+    * budget. The CONTENT and its global order are deterministic (what makes
+    * a training run resumable mid-epoch); the shard BOUNDARIES come from
+    * Spark's range sampling and may shift a few rows between runs — cut
+    * points, not data, so re-writes are manifest-equal in total content. */
+  def writeSharded(
+      df: DataFrame, path: String, orderCols: Seq[String],
+      shards: Int, maxRecordsPerFile: Long = 0L): Unit = {
+    import org.apache.spark.sql.functions.col
+    val w = df.repartitionByRange(shards, orderCols.map(col): _*)
+      .sortWithinPartitions(orderCols.map(col): _*)
+      .write.mode(SaveMode.Overwrite)
+    (if (maxRecordsPerFile > 0)
+       w.option("maxRecordsPerFile", maxRecordsPerFile)
+     else w).parquet(path)
+  }
+
+  /** Read-back manifest of a written dataset: one row per physical file
+    * with row count and an order-independent content checksum (XOR of
+    * per-row xxhash64 over all columns) — the audit artifact an ingest
+    * pipeline stores next to the data so a later re-read can prove
+    * integrity without trusting file sizes. One scan, map-side combined. */
+  def manifest(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val df = spark.read.parquet(path)
+    df.groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("rows"),
+        bit_xor(xxhash64(df.columns.map(col): _*)).as("content_xor"))
+      .orderBy("file")
+  }
+
   /** ORC interchange (the other mainstream columnar format — lossless for
     * every type this engine uses, incl. µs timestamps; same pushdown/
     * pruning machinery as parquet in Spark's reader). Kept schema-explicit

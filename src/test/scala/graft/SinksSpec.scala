@@ -27,6 +27,32 @@ class SinksSpec extends AnyFunSuite {
       s"expected partition filters in:\n$plan")
   }
 
+  test("sharded write: bounded file sizes, deterministic order, manifest integrity") {
+    val path = tmp()
+    val df = (0 until 10000).map(i => (i.toLong, s"doc$i")).toDF("id", "text")
+    Sinks.writeSharded(df, path, Seq("id"), shards = 8, maxRecordsPerFile = 1000)
+    val man = Sinks.manifest(spark, path)
+    val rows = man.collect()
+    assert(rows.map(_.getAs[Long]("rows")).sum === 10000L)
+    assert(rows.forall(_.getAs[Long]("rows") <= 1000L), "maxRecordsPerFile must cap files")
+    assert(rows.length >= 10, s"expected >=10 capped files, got ${rows.length}")
+    // content determinism: a second write carries the SAME total content
+    // (shard cut points come from range sampling and may shift a few rows,
+    // so per-file manifests aren't compared — the whole-dataset fold is)
+    val path2 = tmp()
+    Sinks.writeSharded(df, path2, Seq("id"), shards = 8, maxRecordsPerFile = 1000)
+    def totalSig(p: String): (Long, Long) = {
+      val m = Sinks.manifest(spark, p).collect()
+      (m.map(_.getAs[Long]("rows")).sum,
+        m.map(_.getAs[Long]("content_xor")).reduce(_ ^ _))
+    }
+    assert(totalSig(path) === totalSig(path2))
+    // integrity: the whole-dataset XOR equals the fold of per-file XORs
+    val whole = spark.read.parquet(path)
+    val total = whole.agg(bit_xor(xxhash64(whole.columns.map(col): _*))).head().getLong(0)
+    assert(rows.map(_.getAs[Long]("content_xor")).reduce(_ ^ _) === total)
+  }
+
   test("z-ordered layout bounds per-file ranges on BOTH dimensions") {
     // 64×64 uniform grid; 16 z-range files should each cover ~a 16×16
     // block (256 consecutive z codes = one square of the Morton curve),

@@ -57,6 +57,26 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(rebuilt === "abcdefghij")
   }
 
+  test("chunkDocs reconstruction property: random texts, several geometries") {
+    val rnd = new scala.util.Random(99)
+    val alphabet = "abcdefghij é ß 中 XYZ0123"
+    val docs = (0L until 40L).map { i =>
+      val len = rnd.nextInt(300)
+      (i, (0 until len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    }
+    val df = docs.toDF("doc_id", "text")
+    for ((chunk, overlap) <- Seq((50, 10), (64, 0), (7, 3))) {
+      val byDoc = graft.ops.TextAnalysis.chunkDocs(df, "doc_id", "text", chunk, overlap)
+        .collect().map(r => (r.getLong(0), r.getAs[Long]("chunk_id"), r.getString(2)))
+        .groupBy(_._1)
+      docs.foreach { case (id, text) =>
+        val chunks = byDoc(id).sortBy(_._2).map(_._3)
+        val rebuilt = chunks.head + chunks.tail.map(_.drop(overlap)).mkString
+        assert(rebuilt === text, s"doc $id chunk=$chunk overlap=$overlap")
+      }
+    }
+  }
+
   test("PII redaction: categories, order contract, counts") {
     val t = "Mail a.b+1@x-corp.co.uk now, host 10.0.255.7 up, call 555-123-4567 or 800.555.1212."
     assert(one(t, TextAnalysis.redactPii(col("t"))) ===
