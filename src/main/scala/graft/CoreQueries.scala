@@ -589,7 +589,11 @@ object CoreQueries {
     ("json_roundtrip", (s, d) => {
       val ev = T(s, d, "events")
         .select("event_id", "ts", "user_id", "event_type", "value", "props")
-      val path = System.getProperty("java.io.tmpdir") + "/graft_rt_json"
+      // Per-invocation path: a fixed shared name races concurrent
+      // sessions (one Overwrite deleting part-files another already
+      // listed) — same discipline as the stored-signature query.
+      val path = System.getProperty("java.io.tmpdir") +
+        "/graft_rt_json_" + java.util.UUID.randomUUID()
       graft.sources.TextSources.writeJsonl(ev, path)
       graft.sources.TextSources.readJsonl(s, path, ev.schema)
         .drop("_corrupt_record")
@@ -605,7 +609,11 @@ object CoreQueries {
     ("csv_roundtrip", (s, d) => {
       val ev = T(s, d, "events")
         .select("event_id", "ts", "user_id", "event_type", "value", "props")
-      val path = System.getProperty("java.io.tmpdir") + "/graft_rt_csv"
+      // Per-invocation path: a fixed shared name races concurrent
+      // sessions (one Overwrite deleting part-files another already
+      // listed) — same discipline as the stored-signature query.
+      val path = System.getProperty("java.io.tmpdir") +
+        "/graft_rt_csv_" + java.util.UUID.randomUUID()
       graft.sources.TextSources.writeCsv(ev, path)
       graft.sources.TextSources.readCsv(s, path, ev.schema)
         .drop("_corrupt_record")
@@ -621,7 +629,11 @@ object CoreQueries {
     ("orc_roundtrip", (s, d) => {
       val ev = T(s, d, "events")
         .select("event_id", "ts", "user_id", "event_type", "value", "props")
-      val path = System.getProperty("java.io.tmpdir") + "/graft_rt_orc"
+      // Per-invocation path: a fixed shared name races concurrent
+      // sessions (one Overwrite deleting part-files another already
+      // listed) — same discipline as the stored-signature query.
+      val path = System.getProperty("java.io.tmpdir") +
+        "/graft_rt_orc_" + java.util.UUID.randomUUID()
       graft.sources.Sinks.writeOrc(ev, path)
       graft.sources.Sinks.readOrc(s, path, ev.schema)
         .select(col("event_id"), unix_micros(col("ts")).as("ts_us"), col("user_id"),

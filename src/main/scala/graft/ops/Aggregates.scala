@@ -33,8 +33,13 @@ object Aggregates {
       grouped: DataFrame, keyCol: String, maxGroups: Int,
       mergeAggs: Seq[Column]): DataFrame = {
     val kept = grouped.orderBy(col(keyCol).asc_nulls_first).limit(maxGroups)
+    // NULL-SAFE anti-join: a NULL group key is a legitimate group (and
+    // sorts first, so it is always retained); plain equality would never
+    // match it, leaving it in the overflow source too — double-counted in
+    // the overflow row and emitting a spurious overflow when none occurred.
     val overflowSrc = grouped.join(
-      broadcast(kept.select(col(keyCol))), Seq(keyCol), "left_anti")
+      broadcast(kept.select(col(keyCol).as("__kept_k"))),
+      col(keyCol) <=> col("__kept_k"), "left_anti")
     val overflow = overflowSrc
       .agg(mergeAggs.head, mergeAggs.tail: _*)
       .withColumn(keyCol, lit(null).cast(grouped.schema(keyCol).dataType))

@@ -351,7 +351,6 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       width: Int, threshold: Double, maxShingleDf: Long = Long.MaxValue): DataFrame = {
     val sh = shingleRows(df, idCol, textCol, width)
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val filtered =
       if (maxShingleDf == Long.MaxValue) sh
       else {
@@ -359,6 +358,12 @@ object Dedup {
           .filter(col("df_cnt") <= maxShingleDf).select("shingle")
         sh.join(keep, "shingle")
       }
+    // Sizes over the SAME (capped) shingle universe as the intersections:
+    // computing them from the uncapped set would put shingles in the
+    // denominator that the numerator can never count, systematically
+    // underestimating similarity whenever the cap drops a hot shingle
+    // (two identical docs sharing a capped shingle would score below 1.0).
+    val sizes = filtered.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val a = filtered.as("a")
     val b = filtered.as("b")
     val common = a.join(b, col("a.shingle") === col("b.shingle") &&

@@ -50,7 +50,18 @@ object Outliers {
     val cuts = ranked.groupBy(gs: _*).agg(
       min(when(col("__rn") === loRank, col(valueCol))).as("lo_cut"),
       min(when(col("__rn") === hiRank, col(valueCol))).as("hi_cut"))
-    df.join(broadcast(cuts), groupCols, "left")
+    // NULL-SAFE join back: a NULL group key forms a group in `cuts` but a
+    // plain-equality join would never match it — its outliers would pass
+    // through unclipped and unflagged. Cut keys are renamed so the output
+    // keeps the original group columns.
+    val cutsR = groupCols.zipWithIndex.foldLeft(cuts) { case (d, (c, i)) =>
+      d.withColumnRenamed(c, s"__g$i")
+    }
+    val joinCond = groupCols.zipWithIndex
+      .map { case (c, i) => col(c) <=> col(s"__g$i") }
+      .reduce(_ && _)
+    df.join(broadcast(cutsR), joinCond, "left")
+      .drop(groupCols.indices.map(i => s"__g$i"): _*)
       .withColumn("clipped",
         when(col(valueCol).isNull, lit(null))
           .otherwise(least(greatest(col(valueCol), col("lo_cut")), col("hi_cut"))))

@@ -11,9 +11,14 @@ import org.apache.spark.sql.functions._
   * [[Sorts.replaceDedupSalted]].
   *
   * Mechanics: each build-side (right) row is replicated once per salt
-  * bucket; each probe-side (left) row gets ONE deterministic, content-based
-  * salt (hash of the full row, mod buckets) so a hot key's rows spread
-  * across `saltBuckets` reducers. The join key becomes (keys..., salt).
+  * bucket; each probe-side (left) row gets ONE salt — hash of the full row
+  * MIXED with a per-row id, mod buckets — so a hot key's rows spread
+  * across `saltBuckets` reducers even when the probe rows are IDENTICAL
+  * (a probe frame projected to just the join keys would otherwise hash
+  * every hot-key row to the same bucket, defeating the spread in exactly
+  * the regime this operator exists for; the per-row id keeps the routing
+  * uniform and affects only placement, never the join result). The join
+  * key becomes (keys..., salt).
   * Equivalence to the plain join holds for inner / left_outer / left_semi /
   * left_anti — every left row exists with exactly one salt, and the right
   * side provides all salts for every key — and is property-tested on a
@@ -30,6 +35,12 @@ object SkewJoin {
   private val supported = Set("inner", "left", "left_outer", "leftouter",
     "left_semi", "leftsemi", "left_anti", "leftanti")
 
+  /** Probe-side salt: full-row hash mixed with a per-row id so identical
+    * rows still spread (routing-only; never observable in the result). */
+  private[graft] def probeSalt(left: DataFrame, saltBuckets: Int) =
+    pmod(hash(left.columns.map(col) :+ monotonically_increasing_id(): _*),
+      lit(saltBuckets))
+
   def saltedJoin(
       left: DataFrame, right: DataFrame, keys: Seq[String],
       saltBuckets: Int, joinType: String = "inner"): DataFrame = {
@@ -39,8 +50,7 @@ object SkewJoin {
         "duplicate right rows in the output (only inner/left variants are sound)")
     require(!left.columns.contains("__salt") && !right.columns.contains("__salt"),
       "__salt column name collision")
-    val l = left.withColumn("__salt",
-      pmod(hash(left.columns.map(col): _*), lit(saltBuckets)))
+    val l = left.withColumn("__salt", probeSalt(left, saltBuckets))
     val r = right.withColumn("__salt",
       explode(sequence(lit(0), lit(saltBuckets - 1))))
     l.join(r, keys :+ "__salt", joinType).drop("__salt")

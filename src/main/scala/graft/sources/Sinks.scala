@@ -134,16 +134,21 @@ object Sinks {
   }
 
   /** Read-back manifest of a written dataset: one row per physical file
-    * with row count and an order-independent content checksum (XOR of
-    * per-row xxhash64 over all columns) — the audit artifact an ingest
-    * pipeline stores next to the data so a later re-read can prove
-    * integrity without trusting file sizes. One scan, map-side combined. */
+    * with row count and an order-independent content checksum (exact
+    * DECIMAL SUM of per-row xxhash64 over all columns — commutative, so
+    * partition order is irrelevant, and MULTIPLICITY-SENSITIVE, unlike a
+    * XOR fold, where a duplicated row pair self-cancels and corruption
+    * swapping {x,x} for {w,w} passes undetected; decimal addition cannot
+    * overflow or wrap under ANSI) — the audit artifact an ingest pipeline
+    * stores next to the data so a later re-read can prove integrity
+    * without trusting file sizes. One scan, map-side combined. */
   def manifest(spark: SparkSession, path: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val df = spark.read.parquet(path)
     df.groupBy(input_file_name().as("file"))
       .agg(count(lit(1)).as("rows"),
-        bit_xor(xxhash64(df.columns.map(col): _*)).as("content_xor"))
+        sum(xxhash64(df.columns.map(col): _*).cast("decimal(20,0)"))
+          .as("content_sum"))
       .orderBy("file")
   }
 

@@ -53,6 +53,24 @@ class AggregatesSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(1) - 2500.0) < 150.0)  // mid quantile
   }
 
+  test("overflow row: NULL group key is retained once, never double-counted") {
+    import graft.ops.Aggregates
+    val grouped = Seq(
+      (Option(1L), 10L), (Option(2L), 20L), (Option.empty[Long], 30L)
+    ).toDF("k", "s")
+    // under the cap: output must equal input — no spurious overflow row
+    val under = Aggregates.withOverflowRow(grouped, "k", 5, Seq(sum($"s").as("s")))
+    assert(under.count() === 3)
+    assert(under.agg(sum($"s")).head().getLong(0) === 60L, "no double count")
+    // over the cap: NULL sorts first and is retained; overflow row holds
+    // ONLY the dropped key's aggregates
+    val over = Aggregates.withOverflowRow(grouped, "k", 2, Seq(sum($"s").as("s")))
+      .collect().map(r => (Option(r.getAs[java.lang.Long]("k")).map(_.toLong),
+        r.getAs[Long]("s"))).toSet
+    // kept: NULL (30) and 1 (10); overflow: key 2 folded (20) under NULL key
+    assert(over === Set((None, 30L), (Some(1L), 10L), (None, 20L)))
+  }
+
   test("HLL sketch-merge: merged estimate within error of exact, equals direct sketch") {
     import graft.ops.Aggregates
     // 3 "shards" per group g (the shard key simulates per-day builds);

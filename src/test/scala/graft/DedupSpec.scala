@@ -195,6 +195,24 @@ class DedupSpec extends AnyFunSuite {
     assert(out === Set((100L, 2L, 9L), (200L, 4L, 7L), (300L, 6L, 1L)))
   }
 
+  test("capped exact Jaccard: sizes use the capped universe (identical docs score 1.0)") {
+    // 3 identical docs share every shingle (df = 3 > cap 2): with the cap
+    // those shingles leave BOTH numerator and denominator, so the pair
+    // similarity is computed over the remaining universe — for fully
+    // identical docs the capped set is empty and no pair is emitted, while
+    // docs sharing a sub-cap shingle set still score exactly 1.0.
+    val df = Seq(
+      (1L, "abcd wxyz"), (2L, "abcd wxyz"),      // identical pair, df=2 shingles
+      (3L, "hot hot"), (4L, "hot hot"), (5L, "hot hot")  // df=3 → fully capped away
+    ).toDF("doc_id", "text")
+    val out = Dedup.ngramJaccardPairs(df, "doc_id", "text", width = 4,
+      threshold = 0.99, maxShingleDf = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Double]("jaccard"))).toMap
+    assert(out.keySet === Set((1L, 2L)))
+    assert(out((1L, 2L)) === 1.0,
+      "identical docs must score 1.0 — denominator must use the capped universe")
+  }
+
   test("NULL-text docs never band-collide (no empty-band-hash all-pairs)") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),

@@ -46,6 +46,19 @@ class OutliersSpec extends AnyFunSuite {
     assert(r(6L) === ((None, false, false)))
   }
 
+  test("a NULL group key is a group: its outliers are clipped like any other") {
+    val df = (1 to 10).map(i => (if (i <= 5) Some("a") else None, i.toLong,
+      (i % 5 + 1) * 10.0)).toDF("g", "id", "v")
+    val r = Outliers.winsorize(df, Seq("g"), "v", Seq("id"), 0.2, 0.8)
+      .collect().map(x => x.getAs[Long]("id") ->
+        ((x.getAs[Double]("clipped"), x.getAs[Boolean]("is_lo") || x.getAs[Boolean]("is_hi"))))
+      .toMap
+    // NULL group = ids 6..10 with v = (20,30,40,50,10): cutoffs over ITS
+    // 5 values (lo rank 1 → 10, hi rank 4 → 40); 50 must clip to 40
+    assert(r(9L) === ((40.0, true)), s"NULL-group outlier must clip: $r")
+    assert(r(10L) === ((10.0, false)), "at-the-cut value is kept, not flagged")
+  }
+
   test("groups are independent and pLo=0 keeps rank 1 as the low cut") {
     val df = Seq(
       ("a", 1L, 100.0), ("a", 2L, 200.0), ("a", 3L, 300.0),

@@ -41,16 +41,19 @@ class SinksSpec extends AnyFunSuite {
     // so per-file manifests aren't compared — the whole-dataset fold is)
     val path2 = tmp()
     Sinks.writeSharded(df, path2, Seq("id"), shards = 8, maxRecordsPerFile = 1000)
-    def totalSig(p: String): (Long, Long) = {
+    def totalSig(p: String): (Long, BigDecimal) = {
       val m = Sinks.manifest(spark, p).collect()
       (m.map(_.getAs[Long]("rows")).sum,
-        m.map(_.getAs[Long]("content_xor")).reduce(_ ^ _))
+        m.map(r => BigDecimal(r.getAs[java.math.BigDecimal]("content_sum"))).sum)
     }
     assert(totalSig(path) === totalSig(path2))
-    // integrity: the whole-dataset XOR equals the fold of per-file XORs
+    // integrity: the whole-dataset sum equals the fold of per-file sums
+    // (sum, not XOR — a duplicated row pair must NOT self-cancel)
     val whole = spark.read.parquet(path)
-    val total = whole.agg(bit_xor(xxhash64(whole.columns.map(col): _*))).head().getLong(0)
-    assert(rows.map(_.getAs[Long]("content_xor")).reduce(_ ^ _) === total)
+    val total = BigDecimal(whole
+      .agg(sum(xxhash64(whole.columns.map(col): _*).cast("decimal(20,0)")))
+      .head().getAs[java.math.BigDecimal](0))
+    assert(rows.map(r => BigDecimal(r.getAs[java.math.BigDecimal]("content_sum"))).sum === total)
   }
 
   test("z-ordered layout bounds per-file ranges on BOTH dimensions") {

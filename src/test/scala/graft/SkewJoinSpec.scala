@@ -51,6 +51,17 @@ class SkewJoinSpec extends AnyFunSuite {
     assert(buckets > 8, s"content-based salt must spread the hot key (got $buckets/16 buckets)")
   }
 
+  test("identical probe rows still spread across salt buckets") {
+    // A probe frame projected to JUST the join key — every hot-key row
+    // identical. A pure content hash would place them all in one bucket,
+    // defeating the spread in exactly the regime the operator exists for;
+    // the per-row id mix must keep routing uniform.
+    val probes = Seq.fill(512)(0L).toDF("k")
+    val buckets = probes.select(SkewJoin.probeSalt(probes, 8).as("s"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    assert(buckets.size >= 6, s"512 identical rows landed in only $buckets")
+  }
+
   test("replicating join types are rejected; salt collision is rejected") {
     intercept[IllegalArgumentException] {
       SkewJoin.saltedJoin(skewed, dim, Seq("k"), 4, "right_outer")
