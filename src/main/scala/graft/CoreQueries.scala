@@ -589,11 +589,10 @@ object CoreQueries {
     ("json_roundtrip", (s, d) => {
       val ev = T(s, d, "events")
         .select("event_id", "ts", "user_id", "event_type", "value", "props")
-      // Per-invocation path: a fixed shared name races concurrent
-      // sessions (one Overwrite deleting part-files another already
-      // listed) — same discipline as the stored-signature query.
-      val path = System.getProperty("java.io.tmpdir") +
-        "/graft_rt_json_" + java.util.UUID.randomUUID()
+      // Scratch contract: SPARK_GRAFT_SCRATCH / spark.graft.scratch picks a
+      // cluster-shared base; fresh UUID dir per invocation (a fixed shared
+      // name races concurrent sessions), cleaned up at JVM exit.
+      val path = graft.sources.Scratch.dir(s, "graft_rt_json")
       graft.sources.TextSources.writeJsonl(ev, path)
       graft.sources.TextSources.readJsonl(s, path, ev.schema)
         .drop("_corrupt_record")
@@ -609,11 +608,8 @@ object CoreQueries {
     ("csv_roundtrip", (s, d) => {
       val ev = T(s, d, "events")
         .select("event_id", "ts", "user_id", "event_type", "value", "props")
-      // Per-invocation path: a fixed shared name races concurrent
-      // sessions (one Overwrite deleting part-files another already
-      // listed) — same discipline as the stored-signature query.
-      val path = System.getProperty("java.io.tmpdir") +
-        "/graft_rt_csv_" + java.util.UUID.randomUUID()
+      // Scratch contract: see json_roundtrip.
+      val path = graft.sources.Scratch.dir(s, "graft_rt_csv")
       graft.sources.TextSources.writeCsv(ev, path)
       graft.sources.TextSources.readCsv(s, path, ev.schema)
         .drop("_corrupt_record")
@@ -629,13 +625,29 @@ object CoreQueries {
     ("orc_roundtrip", (s, d) => {
       val ev = T(s, d, "events")
         .select("event_id", "ts", "user_id", "event_type", "value", "props")
-      // Per-invocation path: a fixed shared name races concurrent
-      // sessions (one Overwrite deleting part-files another already
-      // listed) — same discipline as the stored-signature query.
-      val path = System.getProperty("java.io.tmpdir") +
-        "/graft_rt_orc_" + java.util.UUID.randomUUID()
+      // Scratch contract: see json_roundtrip.
+      val path = graft.sources.Scratch.dir(s, "graft_rt_orc")
       graft.sources.Sinks.writeOrc(ev, path)
       graft.sources.Sinks.readOrc(s, path, ev.schema)
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"), col("user_id"),
+          col("event_type"), col("value"), col("props"))
+        .orderBy("event_id")
+    },
+      Some("""SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props
+              FROM events ORDER BY event_id""")),
+
+    // Arrow IPC interchange: the reference's NATIVE format — its Block is
+    // an arrow::RecordBatch (arrow_clickhouse_types.h:40-61). Exact
+    // write→read roundtrip through standard IPC stream files any Arrow
+    // implementation can consume (µs timestamps exact, schema derived from
+    // the stream, nulls preserved).
+    ("arrow_roundtrip", (s, d) => {
+      val ev = T(s, d, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      // Scratch contract: see json_roundtrip.
+      val path = graft.sources.Scratch.dir(s, "graft_rt_arrow")
+      graft.sources.ArrowInterchange.writeStream(ev, path)
+      graft.sources.ArrowInterchange.readStream(s, path)
         .select(col("event_id"), unix_micros(col("ts")).as("ts_us"), col("user_id"),
           col("event_type"), col("value"), col("props"))
         .orderBy("event_id")

@@ -224,11 +224,10 @@ object PipelineQueries {
     // schema is a durable contract. Same oracle as dedup_incremental.
     ("dedup_incremental_stored", (s, d) => {
       val docs = T(s, d, "documents")
-      // Per-invocation store path: a fixed shared name would race two
-      // concurrent sessions (one's Overwrite deleting part-files the
-      // other's read already listed).
-      val store = System.getProperty("java.io.tmpdir") +
-        "/graft_sig_store_" + java.util.UUID.randomUUID()
+      // Scratch contract: SPARK_GRAFT_SCRATCH / spark.graft.scratch picks a
+      // cluster-shared base; fresh UUID dir per invocation (a fixed shared
+      // name races concurrent sessions), cleaned up at JVM exit.
+      val store = graft.sources.Scratch.dir(s, "graft_sig_store")
       Dedup.minhashSignature(docs.filter(col("doc_id") < 400),
           "doc_id", "text", minhashW, minhashK)
         .write.mode("overwrite").parquet(store)

@@ -1,0 +1,306 @@
+package graft.sources
+
+import java.io.{InputStream, ObjectInputStream, ObjectOutputStream}
+import java.nio.channels.Channels
+import java.nio.charset.StandardCharsets.UTF_8
+import java.sql.Timestamp
+import java.time.Instant
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.arrow.memory.RootAllocator
+import org.apache.arrow.vector._
+import org.apache.arrow.vector.ipc.{ArrowStreamReader, ArrowStreamWriter}
+import org.apache.arrow.vector.types.{DateUnit, FloatingPointPrecision, TimeUnit => ArrowTimeUnit}
+import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema => ArrowSchema}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Arrow IPC stream interchange — the reference's NATIVE data format: its
+  * `Block` IS an `arrow::RecordBatch` (arrow_clickhouse_types.h:40-61) and
+  * its streams read/write Arrow memory end to end. Spark ships the Arrow
+  * Java libraries (it uses them for pandas interchange) but exposes no IPC
+  * file source, so a user bringing Arrow stream files from the reference
+  * had no entry point — this closes that gap with public Arrow APIs only.
+  *
+  * Layout contract: one IPC *stream* file per partition
+  * (`part-NNNNN.arrows`, schema header + record batches + EOS — readable
+  * by any Arrow implementation) plus a zero-row `_schema.arrows` sentinel
+  * written by the driver so readers can derive the schema without poking
+  * data files (partitions can be empty). Files written elsewhere are also
+  * readable: absent a sentinel, the schema comes from the first data file.
+  *
+  * Scale shape: the writer runs as a `foreachPartition` action (no `.rdd`
+  * plan materialization, no driver collect) through the Hadoop FileSystem
+  * API, so the same code targets `file:`, `hdfs:` or `s3a:`; memory per
+  * task is bounded by `maxRecordsPerBatch`. The reader parallelizes per
+  * file via `binaryFiles` and streams batch-by-batch — a file is never
+  * loaded whole.
+  *
+  * Type surface (both directions): boolean, int, bigint, float, double,
+  * string, binary, timestamp (µs — Spark's native precision, written with
+  * UTC zone; zoneless µs timestamps read as UTC instants) and date. An
+  * unsupported column type fails loudly at write/read time, never silently.
+  */
+object ArrowInterchange {
+
+  // ── schema mapping ─────────────────────────────────────────────────────
+
+  def toArrowSchema(schema: StructType): ArrowSchema =
+    new ArrowSchema(schema.fields.map(toArrowField).toSeq.asJava)
+
+  private def toArrowField(f: StructField): Field = {
+    val t: ArrowType = f.dataType match {
+      case BooleanType   => ArrowType.Bool.INSTANCE
+      case IntegerType   => new ArrowType.Int(32, true)
+      case LongType      => new ArrowType.Int(64, true)
+      case FloatType     => new ArrowType.FloatingPoint(FloatingPointPrecision.SINGLE)
+      case DoubleType    => new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)
+      case StringType    => ArrowType.Utf8.INSTANCE
+      case BinaryType    => ArrowType.Binary.INSTANCE
+      case TimestampType => new ArrowType.Timestamp(ArrowTimeUnit.MICROSECOND, "UTC")
+      case DateType      => new ArrowType.Date(DateUnit.DAY)
+      case dt => throw new IllegalArgumentException(
+        s"Arrow interchange: unsupported type $dt for column '${f.name}' " +
+          "(supported: boolean, int, bigint, float, double, string, binary, " +
+          "timestamp[us], date)")
+    }
+    new Field(f.name, new FieldType(f.nullable, t, null),
+      java.util.Collections.emptyList[Field]())
+  }
+
+  def fromArrowSchema(schema: ArrowSchema): StructType =
+    StructType(schema.getFields.asScala.map(fromArrowField).toSeq)
+
+  private def fromArrowField(f: Field): StructField = {
+    val dt = f.getType match {
+      case t: ArrowType.Int if t.getBitWidth == 32 && t.getIsSigned => IntegerType
+      case t: ArrowType.Int if t.getBitWidth == 64 && t.getIsSigned => LongType
+      case t: ArrowType.FloatingPoint if t.getPrecision == FloatingPointPrecision.SINGLE => FloatType
+      case t: ArrowType.FloatingPoint if t.getPrecision == FloatingPointPrecision.DOUBLE => DoubleType
+      case _: ArrowType.Bool   => BooleanType
+      case _: ArrowType.Utf8   => StringType
+      case _: ArrowType.Binary => BinaryType
+      case t: ArrowType.Timestamp if t.getUnit == ArrowTimeUnit.MICROSECOND => TimestampType
+      case t: ArrowType.Date if t.getUnit == DateUnit.DAY => DateType
+      case t => throw new IllegalArgumentException(
+        s"Arrow interchange: unsupported Arrow type $t for field '${f.getName}'")
+    }
+    StructField(f.getName, dt, f.isNullable)
+  }
+
+  // ── write ──────────────────────────────────────────────────────────────
+
+  /** Write `df` as a directory of Arrow IPC stream files (overwrite
+    * semantics, one file per non-empty partition + schema sentinel). */
+  def writeStream(df: DataFrame, dir: String, maxRecordsPerBatch: Int = 4096): Unit = {
+    require(maxRecordsPerBatch >= 1, "maxRecordsPerBatch must be >= 1")
+    val schema = df.schema
+    toArrowSchema(schema) // validate the type surface eagerly, on the driver
+    val sc = df.sparkSession.sparkContext
+    val conf = new SerializableHadoopConf(sc.hadoopConfiguration)
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(sc.hadoopConfiguration)
+    fs.delete(dirPath, true)
+    fs.mkdirs(dirPath)
+    writeOneFile(fs.create(new Path(dirPath, "_schema.arrows"), true),
+      schema, Iterator.empty, maxRecordsPerBatch)
+    df.foreachPartition { (rows: Iterator[Row]) =>
+      if (rows.hasNext) {
+        // Deterministic name per partition: a retried/speculative task
+        // overwrites its own file rather than adding a duplicate.
+        val p = new Path(dir, f"part-${TaskContext.getPartitionId()}%05d.arrows")
+        writeOneFile(p.getFileSystem(conf.value).create(p, true),
+          schema, rows, maxRecordsPerBatch)
+      }
+    }
+  }
+
+  private def writeOneFile(out: java.io.OutputStream, schema: StructType,
+      rows: Iterator[Row], maxRecordsPerBatch: Int): Unit = {
+    val alloc = new RootAllocator()
+    val root = VectorSchemaRoot.create(toArrowSchema(schema), alloc)
+    val writer = new ArrowStreamWriter(root, null, Channels.newChannel(out))
+    try {
+      writer.start()
+      val types = schema.fields.map(_.dataType)
+      while (rows.hasNext) {
+        root.allocateNew()
+        var n = 0
+        while (rows.hasNext && n < maxRecordsPerBatch) {
+          val row = rows.next()
+          var i = 0
+          while (i < types.length) {
+            setValue(root.getVector(i), types(i), n, row, i)
+            i += 1
+          }
+          n += 1
+        }
+        root.setRowCount(n)
+        writer.writeBatch()
+      }
+      writer.end()
+    } finally {
+      writer.close() // also closes the channel/stream
+      root.close()
+      alloc.close()
+    }
+  }
+
+  private def setValue(v: FieldVector, dt: DataType, idx: Int, row: Row, col: Int): Unit =
+    (v, dt) match {
+      case (x: BitVector, BooleanType) =>
+        if (row.isNullAt(col)) x.setNull(idx)
+        else x.setSafe(idx, if (row.getBoolean(col)) 1 else 0)
+      case (x: IntVector, IntegerType) =>
+        if (row.isNullAt(col)) x.setNull(idx) else x.setSafe(idx, row.getInt(col))
+      case (x: BigIntVector, LongType) =>
+        if (row.isNullAt(col)) x.setNull(idx) else x.setSafe(idx, row.getLong(col))
+      case (x: Float4Vector, FloatType) =>
+        if (row.isNullAt(col)) x.setNull(idx) else x.setSafe(idx, row.getFloat(col))
+      case (x: Float8Vector, DoubleType) =>
+        if (row.isNullAt(col)) x.setNull(idx) else x.setSafe(idx, row.getDouble(col))
+      case (x: VarCharVector, StringType) =>
+        if (row.isNullAt(col)) x.setNull(idx)
+        else x.setSafe(idx, row.getString(col).getBytes(UTF_8))
+      case (x: VarBinaryVector, BinaryType) =>
+        if (row.isNullAt(col)) x.setNull(idx)
+        else x.setSafe(idx, row.getAs[Array[Byte]](col))
+      case (x: TimeStampVector, TimestampType) => // µs, TZ and zoneless alike
+        if (row.isNullAt(col)) x.setNull(idx)
+        else x.setSafe(idx, micros(row.getAs[Timestamp](col)))
+      case (x: DateDayVector, DateType) =>
+        if (row.isNullAt(col)) x.setNull(idx)
+        else x.setSafe(idx, row.getAs[java.sql.Date](col).toLocalDate.toEpochDay.toInt)
+      case (other, t) => throw new IllegalArgumentException(
+        s"Arrow interchange: vector ${other.getClass.getSimpleName} / type $t mismatch")
+    }
+
+  // ── read ───────────────────────────────────────────────────────────────
+
+  /** Read a directory of Arrow IPC stream files written by [[writeStream]]
+    * (or any Arrow writer using the supported type surface). Schema comes
+    * from the `_schema.arrows` sentinel when present, else the first data
+    * file; data files must share it. */
+  def readStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = readSchema(spark, dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val glob = new Path(dir, "part-*.arrows")
+    val hasData = glob.getFileSystem(conf).globStatus(glob) match {
+      case null => false
+      case st   => st.nonEmpty
+    }
+    if (!hasData) // all partitions were empty — sentinel carries the schema
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    val rdd = spark.sparkContext.binaryFiles(glob.toString)
+      .flatMap { case (_, pds) => rowsFromStream(pds.open(), schema) }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Driver-side schema derivation from the sentinel or first data file. */
+  def readSchema(spark: SparkSession, dir: String): StructType = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val sentinel = new Path(dir, "_schema.arrows")
+    val fs = sentinel.getFileSystem(conf)
+    val src =
+      if (fs.exists(sentinel)) sentinel
+      else {
+        val glob = new Path(dir, "part-*.arrows")
+        val st = Option(glob.getFileSystem(conf).globStatus(glob)).getOrElse(Array.empty)
+        require(st.nonEmpty, s"Arrow interchange: no .arrows files under $dir")
+        st.map(_.getPath).minBy(_.getName.toString)
+      }
+    val in = src.getFileSystem(conf).open(src)
+    val alloc = new RootAllocator()
+    val reader = new ArrowStreamReader(in, alloc)
+    try fromArrowSchema(reader.getVectorSchemaRoot.getSchema)
+    finally { reader.close(); alloc.close() }
+  }
+
+  /** Lazy batch-at-a-time row iterator over one IPC stream; closes its
+    * allocator at exhaustion AND at task completion (early-terminating
+    * consumers like `limit` never exhaust the iterator). */
+  private def rowsFromStream(in: InputStream, schema: StructType): Iterator[Row] = {
+    val alloc = new RootAllocator()
+    val reader = new ArrowStreamReader(in, alloc)
+    val root = reader.getVectorSchemaRoot
+    var closed = false
+    def closeAll(): Unit = if (!closed) {
+      closed = true
+      try { reader.close(); alloc.close() } catch { case _: Throwable => () }
+    }
+    Option(TaskContext.get()).foreach(
+      _.addTaskCompletionListener[Unit](_ => closeAll()))
+    val types = schema.fields.map(_.dataType)
+    new Iterator[Row] {
+      private var i = 0
+      private var n = 0
+      private var done = false
+      private def advance(): Unit =
+        while (!done && i >= n) {
+          if (reader.loadNextBatch()) { n = root.getRowCount; i = 0 }
+          else { done = true; closeAll() }
+        }
+      override def hasNext: Boolean = { advance(); !done }
+      override def next(): Row = {
+        advance()
+        if (done) throw new NoSuchElementException("exhausted Arrow stream")
+        val vals = new Array[Any](types.length)
+        var c = 0
+        while (c < types.length) {
+          vals(c) = getValue(root.getVector(c), types(c), i)
+          c += 1
+        }
+        i += 1
+        Row.fromSeq(vals.toIndexedSeq)
+      }
+    }
+  }
+
+  private def getValue(v: FieldVector, dt: DataType, idx: Int): Any =
+    if (v.isNull(idx)) null
+    else (v, dt) match {
+      case (x: BitVector, BooleanType)      => x.get(idx) == 1
+      case (x: IntVector, IntegerType)      => x.get(idx)
+      case (x: BigIntVector, LongType)      => x.get(idx)
+      case (x: Float4Vector, FloatType)     => x.get(idx)
+      case (x: Float8Vector, DoubleType)    => x.get(idx)
+      case (x: VarCharVector, StringType)   => new String(x.get(idx), UTF_8)
+      case (x: VarBinaryVector, BinaryType) => x.get(idx)
+      case (x: TimeStampVector, TimestampType) => tsFromMicros(x.get(idx))
+      case (x: DateDayVector, DateType) =>
+        java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(x.get(idx).toLong))
+      case (other, t) => throw new IllegalArgumentException(
+        s"Arrow interchange: vector ${other.getClass.getSimpleName} / type $t mismatch")
+    }
+
+  // ── µs-exact timestamp conversion (never through a double or ms) ───────
+
+  private def micros(ts: Timestamp): Long = {
+    val i = ts.toInstant
+    Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L), (i.getNano / 1000).toLong)
+  }
+
+  private def tsFromMicros(us: Long): Timestamp =
+    Timestamp.from(Instant.ofEpochSecond(
+      Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L))
+}
+
+/** Minimal serializable Hadoop `Configuration` carrier so executor-side
+  * file IO sees the driver's filesystem config (fs.defaultFS, s3a creds,
+  * …) — `Configuration` itself is Writable but not Serializable. */
+private[sources] class SerializableHadoopConf(@transient var value: Configuration)
+    extends Serializable {
+  private def writeObject(out: ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new Configuration(false)
+    value.readFields(in)
+  }
+}
