@@ -520,13 +520,15 @@ object CoreQueries {
 
     // ── salted skew join: (key, salt) shuffle ≡ plain equi-join ──────────
     // Hot-key regime where a single join key exceeds any partition budget:
-    // probe rows get one content-based salt, build rows replicate per salt.
+    // probe rows get one deterministic salt (hashed from the PK so even
+    // identical payloads spread), build rows replicate per salt.
     ("join_salted", (s, d) => {
       val li = T(s, d, "lineitem")
         .select("l_orderkey", "l_linenumber", "l_quantity")
       val ord = T(s, d, "orders").select("o_orderkey", "o_custkey", "o_orderstatus")
         .withColumnRenamed("o_orderkey", "l_orderkey")
-      graft.ops.SkewJoin.saltedJoin(li, ord, Seq("l_orderkey"), saltBuckets = 8)
+      graft.ops.SkewJoin.saltedJoin(li, ord, Seq("l_orderkey"), saltBuckets = 8,
+        probeIdCols = Seq("l_orderkey", "l_linenumber"))
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
           col("o_custkey"), col("o_orderstatus"))
         .orderBy("l_orderkey", "l_linenumber")

@@ -80,15 +80,26 @@ object Engine {
     * 100 TB input splits vastly outnumber cores, `getNumPartitions >=
     * target` holds, and this is a no-op — the branch only triggers exactly
     * where the bytes heuristic under-parallelizes. */
-  def rebalanceForCompute(df: DataFrame): DataFrame = {
-    // Probe ONLY provably shuffle-free batch plans (project/filter chains
-    // over a relation): under AQE, `df.rdd` on a plan with exchanges
-    // materializes the upstream stages as real jobs (run once for the
-    // probe, re-run by the action) — and a post-shuffle frame is already
-    // session-wide anyway. The check is on the LOGICAL plan: with AQE the
-    // physical `sparkPlan` doesn't carry exchanges yet (EnsureRequirements
-    // runs inside the adaptive executor), so a physical-Exchange scan
-    // would miss them.
+  /** Accepted leaf-relation class names for [[narrowPlan]]. DSv1 scans are
+    * `LogicalRelation`; DSv2 scans (delta/iceberg/future sources) surface
+    * as `DataSourceV2ScanRelation`; Hive catalog tables as
+    * `HiveTableRelation`. Name-matched (the classes are private[sql]) —
+    * the whitelist is ENUMERATED by EngineSpec so a Spark upgrade or a new
+    * node type fails a test loudly instead of silently disabling the
+    * rebalance. */
+  private[graft] val narrowLeafNames =
+    Set("LogicalRelation", "DataSourceV2ScanRelation", "HiveTableRelation")
+
+  /** True iff the optimized logical plan is a provably shuffle-free chain
+    * (project/filter/coalesce/union over relations) — the only plans where
+    * probing `df.rdd` is safe AND a pre-compute widening is meaningful.
+    * Under AQE, `df.rdd` on a plan with exchanges materializes the
+    * upstream stages as real jobs (run once for the probe, re-run by the
+    * action) — and a post-shuffle frame is already session-wide anyway.
+    * The check is on the LOGICAL plan: with AQE the physical `sparkPlan`
+    * doesn't carry exchanges yet (EnsureRequirements runs inside the
+    * adaptive executor), so a physical-Exchange scan would miss them. */
+  private[graft] def narrowPlan(df: DataFrame): Boolean = {
     import org.apache.spark.sql.catalyst.plans.logical.{
       Filter => LFilter, LocalRelation, LogicalPlan, Project => LProject,
       Range => LRange, Repartition, SubqueryAlias, Union}
@@ -98,9 +109,13 @@ object Engine {
       case r: Repartition => !r.shuffle && r.children.forall(narrowChain) // coalesce
       case _: LocalRelation | _: LRange => true
       case r => r.children.isEmpty &&
-        r.getClass.getSimpleName == "LogicalRelation" // parquet/orc/csv scan
+        narrowLeafNames.contains(r.getClass.getSimpleName)
     }
-    if (df.isStreaming || !narrowChain(df.queryExecution.optimizedPlan)) return df
+    !df.isStreaming && narrowChain(df.queryExecution.optimizedPlan)
+  }
+
+  def rebalanceForCompute(df: DataFrame): DataFrame = {
+    if (!narrowPlan(df)) return df
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }

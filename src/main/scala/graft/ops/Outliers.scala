@@ -18,10 +18,11 @@ import org.apache.spark.sql.functions._
   * Shape: ONE window sort per group computes ranks, a small per-group
   * aggregate extracts the two cutoff values, and the cutoff frame (one row
   * per group, assumed ≪ rows) broadcasts back onto the raw scan — the probe
-  * side never carries window state. At 100 TB with unbounded groups, swap
-  * the exact rank window for `approx_percentile` cutoffs (same downstream
-  * contract) — the exact variant is for bounded groups where the sort fits
-  * a partition spill budget.
+  * side never carries window state. The exact variant is for bounded groups
+  * where the sort fits a partition spill budget; at 100 TB with unbounded
+  * groups use [[Outliers.approxWinsorize]] — `approx_percentile` cutoffs
+  * (mergeable sketch, no per-group sort at all) with the same downstream
+  * contract.
   */
 object Outliers {
 
@@ -50,10 +51,39 @@ object Outliers {
     val cuts = ranked.groupBy(gs: _*).agg(
       min(when(col("__rn") === loRank, col(valueCol))).as("lo_cut"),
       min(when(col("__rn") === hiRank, col(valueCol))).as("hi_cut"))
-    // NULL-SAFE join back: a NULL group key forms a group in `cuts` but a
-    // plain-equality join would never match it — its outliers would pass
-    // through unclipped and unflagged. Cut keys are renamed so the output
-    // keeps the original group columns.
+    clipBack(df, groupCols, valueCol, cuts)
+  }
+
+  /** [[winsorize]] with `approx_percentile` cutoffs — the unbounded-group
+    * scale path: cutoffs come from a mergeable quantile sketch (map-side
+    * partials, one small shuffle of sketches, NO per-group sort of the
+    * data), so a group of any size costs one sketch instead of a
+    * partition-sized sort. Same output contract (lo_cut/hi_cut/clipped/
+    * is_lo/is_hi, identical NULL semantics — the sketch ignores nulls).
+    *
+    * `accuracy` bounds the cutoff's RANK error at n/accuracy rows (Spark's
+    * Greenwald-Khanna contract): with the default 10⁴, a cutoff on a 10⁶-
+    * row group sits within ±100 ranks of the exact nearest-rank value —
+    * asserted against the exact form in OutliersSpec. Unlike the exact
+    * variant it needs no tie-break columns (sketches don't order ties). */
+  def approxWinsorize(
+      df: DataFrame, groupCols: Seq[String], valueCol: String,
+      pLo: Double, pHi: Double, accuracy: Int = 10000): DataFrame = {
+    require(pLo >= 0 && pLo < pHi && pHi <= 1, "need 0 <= pLo < pHi <= 1")
+    require(accuracy >= 1, s"accuracy=$accuracy must be positive")
+    val cuts = df.groupBy(groupCols.map(col): _*).agg(
+      percentile_approx(col(valueCol), lit(pLo), lit(accuracy)).as("lo_cut"),
+      percentile_approx(col(valueCol), lit(pHi), lit(accuracy)).as("hi_cut"))
+    clipBack(df, groupCols, valueCol, cuts)
+  }
+
+  /** Broadcast the (one row per group) cutoff frame back onto the raw scan
+    * and clip. NULL-SAFE join: a NULL group key forms a group in `cuts`
+    * but a plain-equality join would never match it — its outliers would
+    * pass through unclipped and unflagged. Cut keys are renamed so the
+    * output keeps the original group columns. */
+  private def clipBack(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, cuts: DataFrame): DataFrame = {
     val cutsR = groupCols.zipWithIndex.foldLeft(cuts) { case (d, (c, i)) =>
       d.withColumnRenamed(c, s"__g$i")
     }

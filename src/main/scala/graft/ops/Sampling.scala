@@ -69,9 +69,8 @@ object Sampling {
     * Plan shape: one hash-shuffle on the group key + per-group sort
     * (window row_number). Groups are capped at n, but a HOT group (one
     * domain = half the corpus) still sorts all its rows in one partition
-    * before cutting — for adversarially skewed group keys pre-filter with
-    * a coarse [[hashSample]] (any rate ≥ n/minGroupSize keeps the cap
-    * exact) to bound the per-group sort, the same two-stage discipline as
+    * before cutting — for adversarially skewed group keys use
+    * [[capPerGroupSalted]], the same two-stage discipline as
     * [[graft.ops.Sorts.replaceDedupSalted]]. */
   def capPerGroup(
       df: DataFrame, groupCol: Column, key: Column, n: Int,
@@ -82,6 +81,34 @@ object Sampling {
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= n)
       .drop("__rn")
+  }
+
+  /** Two-stage [[capPerGroup]] for adversarially HOT groups (one domain =
+    * half the corpus). Stage 1 partitions each group's rows into
+    * `saltBuckets` deterministic hash buckets and caps each (group, bucket)
+    * to n under the SAME content-addressed order — sound because the
+    * group's true top-n under that order is spread across buckets, each
+    * contributing at most n of it, so the survivors (≤ n·saltBuckets per
+    * group) are a superset of the answer. Stage 2 re-caps the shrunken
+    * frame exactly. The hot group's big sort becomes `saltBuckets`
+    * independent partition-sized sorts; the final exact sort sees at most
+    * n·saltBuckets rows per group. Result is IDENTICAL to [[capPerGroup]]
+    * (property-tested on a pathologically hot group). Salt-bucket hash is
+    * derived from the order hash's salt with a distinct prefix, so bucket
+    * routing and keep-order stay independent functions of content. */
+  def capPerGroupSalted(
+      df: DataFrame, groupCol: Column, key: Column, n: Int,
+      saltBuckets: Int, salt: String = ""): DataFrame = {
+    require(n > 0, s"n=$n must be positive")
+    require(saltBuckets >= 1, s"saltBuckets=$saltBuckets must be >= 1")
+    val bucket = pmod(sampleHash(key, salt + "bucket:"), lit(saltBuckets))
+    val w1 = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol, bucket)
+      .orderBy(sampleHash(key, salt).asc, key.asc)
+    val pruned = df.withColumn("__rn1", row_number().over(w1))
+      .filter(col("__rn1") <= n)
+      .drop("__rn1")
+    capPerGroup(pruned, groupCol, key, n, salt)
   }
 
   /** Deterministic epoch shuffle: a reproducible global permutation of the

@@ -208,23 +208,35 @@ object Similarity {
     *
     * Each iteration's centroid frame is k×dim — localCheckpoint'd so the
     * lineage stays flat across iterations. The (id, vec, |x|²) corpus
-    * projection is PERSISTED (MEMORY_AND_DISK): each Lloyd iteration reads
-    * it twice (assignment + the mean-update join) and the final assignment
-    * once — caching caps source-scan work at 1× regardless of `iters`.
-    * LIFECYCLE as elsewhere: CacheManager dedupes identical plans; release
-    * with unpersist()/clearCache() in long-lived sessions.
+    * projection is PERSISTED (MEMORY_AND_DISK) by default: each Lloyd
+    * iteration reads it twice (assignment + the mean-update join) and the
+    * final assignment once — caching caps source-scan work at 1× regardless
+    * of `iters`. LIFECYCLE as elsewhere: CacheManager dedupes identical
+    * plans; release with unpersist()/clearCache() in long-lived sessions,
+    * or pass `persistCorpus = false` (symmetric with jaccardDocs) to trade
+    * repeated source scans for zero cache residency.
+    *
+    * EMPTY-CLUSTER contract: the update step recomputes centroids from
+    * ASSIGNED rows only, so a centroid that captures zero points drops out
+    * of the next iteration — the result can have FEWER than k clusters
+    * (deterministically so; the oracle replicates the shrink). Carrying
+    * unassigned centroids forward would preserve k but keep dead centers;
+    * callers needing exactly k should re-seed with larger k.
     *
     * @return (idCol, cluster, dist2) — final assignment and its squared
     *         distance (round(·, 9) for cross-engine comparability). */
   def kmeans(
       df: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int): DataFrame = {
+      k: Int, iters: Int, persistCorpus: Boolean = true): DataFrame = {
     require(k > 0 && iters >= 0)
     val fix = 1099511627776.0 // 2^40
     // |x|² once per row; reused by every assignment pass.
-    val corpusN = df.select(col(idCol), col(vecCol),
+    val corpusN0 = df.select(col(idCol), col(vecCol),
       dot(col(vecCol), col(vecCol)).as("__n2"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val corpusN =
+      if (persistCorpus)
+        corpusN0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else corpusN0
     val seeds = corpusN
       .withColumn("__h", Dedup.shingleBase(col(idCol).cast("string")))
       .orderBy(col("__h"), col(idCol)).limit(k)

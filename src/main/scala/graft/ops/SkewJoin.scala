@@ -11,14 +11,24 @@ import org.apache.spark.sql.functions._
   * [[Sorts.replaceDedupSalted]].
   *
   * Mechanics: each build-side (right) row is replicated once per salt
-  * bucket; each probe-side (left) row gets ONE salt — hash of the full row
-  * MIXED with a per-row id, mod buckets — so a hot key's rows spread
-  * across `saltBuckets` reducers even when the probe rows are IDENTICAL
-  * (a probe frame projected to just the join keys would otherwise hash
-  * every hot-key row to the same bucket, defeating the spread in exactly
-  * the regime this operator exists for; the per-row id keeps the routing
-  * uniform and affects only placement, never the join result). The join
-  * key becomes (keys..., salt).
+  * bucket; each probe-side (left) row gets ONE salt, and the join key
+  * becomes (keys..., salt). The salt is DETERMINISTIC — a pure hash of row
+  * content (and, when given, `probeIdCols`) — because it participates in
+  * the shuffle key: a non-deterministic disambiguator (e.g. a per-row
+  * synthetic id) would re-route recomputed rows to different buckets on a
+  * fetch-failure-driven stage retry, silently losing or duplicating join
+  * rows — the SPARK-23207 class of bug, invisible to single-run local
+  * tests.
+  *
+  * `probeIdCols`: pass the probe side's unique-key columns (a primary key,
+  * a doc_id) and the salt hashes ONLY those — identical payloads with
+  * distinct ids spread uniformly. With no id columns the salt falls back to
+  * hashing the full row content, which spreads a hot KEY as long as the
+  * rows carry any distinguishing column, but rows that are COMPLETELY
+  * identical hash to the same bucket and clump (documented limitation: if
+  * your probe side is all-duplicate rows, aggregate them first or supply an
+  * id).
+  *
   * Equivalence to the plain join holds for inner / left_outer / left_semi /
   * left_anti — every left row exists with exactly one salt, and the right
   * side provides all salts for every key — and is property-tested on a
@@ -35,22 +45,28 @@ object SkewJoin {
   private val supported = Set("inner", "left", "left_outer", "leftouter",
     "left_semi", "leftsemi", "left_anti", "leftanti")
 
-  /** Probe-side salt: full-row hash mixed with a per-row id so identical
-    * rows still spread (routing-only; never observable in the result). */
-  private[graft] def probeSalt(left: DataFrame, saltBuckets: Int) =
-    pmod(hash(left.columns.map(col) :+ monotonically_increasing_id(): _*),
-      lit(saltBuckets))
+  /** Probe-side salt: deterministic hash of `idCols` when given (unique ids
+    * spread identical payloads), else of the full row (routing-only; never
+    * observable in the result; stable under task recomputation). */
+  private[graft] def probeSalt(left: DataFrame, saltBuckets: Int,
+      idCols: Seq[String] = Nil) = {
+    val basis = if (idCols.nonEmpty) idCols.map(col) else left.columns.toSeq.map(col)
+    pmod(hash(basis: _*), lit(saltBuckets))
+  }
 
   def saltedJoin(
       left: DataFrame, right: DataFrame, keys: Seq[String],
-      saltBuckets: Int, joinType: String = "inner"): DataFrame = {
+      saltBuckets: Int, joinType: String = "inner",
+      probeIdCols: Seq[String] = Nil): DataFrame = {
     require(saltBuckets >= 1, "saltBuckets must be >= 1")
     require(supported.contains(joinType.toLowerCase),
       s"salting replicates the right side: join type '$joinType' would " +
         "duplicate right rows in the output (only inner/left variants are sound)")
     require(!left.columns.contains("__salt") && !right.columns.contains("__salt"),
       "__salt column name collision")
-    val l = left.withColumn("__salt", probeSalt(left, saltBuckets))
+    require(probeIdCols.forall(left.columns.contains),
+      s"probeIdCols ${probeIdCols.filterNot(left.columns.contains)} not in left frame")
+    val l = left.withColumn("__salt", probeSalt(left, saltBuckets, probeIdCols))
     val r = right.withColumn("__salt",
       explode(sequence(lit(0), lit(saltBuckets - 1))))
     l.join(r, keys :+ "__salt", joinType).drop("__salt")

@@ -94,7 +94,8 @@ object ScaleProbe {
     def joinCount(salted: Int): Long = {
       val j =
         if (salted <= 1) probe.join(build, "k")
-        else graft.ops.SkewJoin.saltedJoin(probe, build, Seq("k"), salted)
+        else graft.ops.SkewJoin.saltedJoin(probe, build, Seq("k"), salted,
+          probeIdCols = Seq("v"))
       j.count()
     }
     // Warm the join codegen/JIT paths once so the first measured config

@@ -43,6 +43,32 @@ class CurationSpec extends AnyFunSuite {
     assert(kept1.intersect(hashes) === hashes)
   }
 
+  test("capPerGroupSalted ≡ capPerGroup on a pathologically hot group") {
+    // 99.4% of rows in ONE group — the regime where the single-window form
+    // sorts half the corpus in one partition. The two-stage form must
+    // return the IDENTICAL kept set (not just the same counts), across
+    // bucket counts and repartitionings.
+    val df = ids.withColumn("g", when($"id" < 9940L, "hot").otherwise("tail"))
+    val exact = Sampling.capPerGroup(df, $"g", $"id", n = 100, salt = "c")
+      .collect().map(_.getLong(0)).toSet
+    for (buckets <- Seq(1, 7, 64)) {
+      val salted = Sampling.capPerGroupSalted(df.repartition(11), $"g", $"id",
+        n = 100, saltBuckets = buckets, salt = "c")
+        .collect().map(_.getLong(0)).toSet
+      assert(salted === exact, s"saltBuckets=$buckets diverged")
+    }
+    // stage-1 really prunes: survivors per group ≤ n·buckets (hot group
+    // shrinks from 9940 rows to ≤ 700 before the exact pass)
+    val bucket = pmod(Sampling.sampleHash($"id", "c" + "bucket:"), lit(7))
+    val w1 = org.apache.spark.sql.expressions.Window
+      .partitionBy($"g", bucket)
+      .orderBy(Sampling.sampleHash($"id", "c").asc, $"id".asc)
+    val stage1 = df.withColumn("__rn1", row_number().over(w1))
+      .filter($"__rn1" <= 100).groupBy("g").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stage1("hot") <= 700L, s"stage 1 must bound the hot group: $stage1")
+  }
+
   test("nested rates: a 0.05 sample is a subset of the 0.1 sample (same salt)") {
     val small = Sampling.hashSample(ids, $"id", 0.05, "a").collect().map(_.getLong(0)).toSet
     val big = Sampling.hashSample(ids, $"id", 0.1, "a").collect().map(_.getLong(0)).toSet

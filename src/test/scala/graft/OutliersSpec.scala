@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.ops.Outliers
@@ -70,6 +71,40 @@ class OutliersSpec extends AnyFunSuite {
     val cutsByG = r.map(x => x.getAs[String]("g") ->
       (x.getAs[Double]("lo_cut"), x.getAs[Double]("hi_cut"))).toMap
     assert(cutsByG("a") === ((100.0, 300.0)) && cutsByG("b") === ((1.0, 3.0)))
+  }
+
+  test("approxWinsorize: cutoffs within the sketch's rank-error bound of exact") {
+    // 2000 distinct values (so value == rank): exact nearest-rank cutoffs
+    // at p=(0.05, 0.95) are 100 and 1900; the GK sketch guarantees rank
+    // error ≤ n/accuracy. Output contract must mirror the exact form.
+    val n = 2000
+    val df = (1 to n).map(i => ("a", i.toLong, i.toDouble)).toDF("g", "id", "v")
+    for (accuracy <- Seq(100, 10000)) {
+      val bound = n.toDouble / accuracy + 1 // +1: nearest-rank vs sketch convention
+      val r = Outliers.approxWinsorize(df, Seq("g"), "v", 0.05, 0.95, accuracy)
+      val row = r.head()
+      val (lo, hi) = (row.getAs[Double]("lo_cut"), row.getAs[Double]("hi_cut"))
+      assert(math.abs(lo - 100.0) <= bound, s"lo_cut=$lo at accuracy=$accuracy")
+      assert(math.abs(hi - 1900.0) <= bound, s"hi_cut=$hi at accuracy=$accuracy")
+      // clip/flag semantics are consistent with whatever cutoffs it chose
+      val flagged = r.filter(col("is_hi")).agg(min("v")).head().getDouble(0)
+      assert(flagged > hi)
+      assert(r.filter(col("v") > col("hi_cut"))
+        .filter(col("clipped") =!= col("hi_cut")).count() === 0)
+    }
+  }
+
+  test("approxWinsorize keeps the exact form's NULL contract") {
+    val df = Seq(
+      ("a", 0L, None), ("a", 1L, Some(10.0)), ("a", 2L, Some(20.0)),
+      ("a", 3L, Some(30.0)), ("n", 4L, None)).toDF("g", "id", "v")
+    val r = Outliers.approxWinsorize(df, Seq("g"), "v", 0.2, 0.8)
+      .collect().map(x => x.getAs[Long]("id") ->
+        ((x.isNullAt(x.fieldIndex("clipped")), x.getAs[Boolean]("is_lo"),
+          x.getAs[Boolean]("is_hi")))).toMap
+    assert(r(0L) === ((true, false, false)), "NULL value passes through unflagged")
+    assert(r(4L) === ((true, false, false)), "all-NULL group keeps NULL cutoffs")
+    assert(!r(2L)._1, "non-null values are clipped normally")
   }
 
   test("duplicate values resolve deterministically via tiebreak columns") {

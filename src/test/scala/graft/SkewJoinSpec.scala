@@ -51,15 +51,34 @@ class SkewJoinSpec extends AnyFunSuite {
     assert(buckets > 8, s"content-based salt must spread the hot key (got $buckets/16 buckets)")
   }
 
-  test("identical probe rows still spread across salt buckets") {
-    // A probe frame projected to JUST the join key — every hot-key row
-    // identical. A pure content hash would place them all in one bucket,
-    // defeating the spread in exactly the regime the operator exists for;
-    // the per-row id mix must keep routing uniform.
-    val probes = Seq.fill(512)(0L).toDF("k")
+  test("probeIdCols spread identical payloads; salt is deterministic") {
+    // 512 rows whose PAYLOAD is identical but whose id is unique — the
+    // production shape where a unique key exists. Salting on the id must
+    // spread them; salting must also be a pure function of row content so
+    // a recomputed task routes rows identically (the SPARK-23207 retry
+    // class — a nondeterministic per-row disambiguator would re-bucket on
+    // stage retry, losing/duplicating join rows).
+    val probes = (1 to 512).map(i => (0L, i.toLong)).toDF("k", "id")
+    val withIds = probes.select(SkewJoin.probeSalt(probes, 8, Seq("id")).as("s"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    assert(withIds.size >= 6, s"512 unique-id rows landed in only $withIds")
+    // determinism: two separate evaluations produce identical assignments
+    val a = probes.select(col("id"), SkewJoin.probeSalt(probes, 8, Seq("id")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val b = probes.select(col("id"), SkewJoin.probeSalt(probes, 8, Seq("id")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a === b)
+  }
+
+  test("without ids, fully identical rows clump (documented fallback limit)") {
+    // The content-hash fallback is deterministic, so rows with NO
+    // distinguishing column all hash to one bucket — the scaladoc'd
+    // limitation that callers with all-duplicate probe rows must supply
+    // probeIdCols (or pre-aggregate).
+    val probes = Seq.fill(64)(0L).toDF("k")
     val buckets = probes.select(SkewJoin.probeSalt(probes, 8).as("s"))
       .distinct().collect().map(_.getInt(0)).toSet
-    assert(buckets.size >= 6, s"512 identical rows landed in only $buckets")
+    assert(buckets.size === 1)
   }
 
   test("replicating join types are rejected; salt collision is rejected") {
