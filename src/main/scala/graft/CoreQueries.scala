@@ -892,6 +892,63 @@ object CoreQueries {
               JOIN customer ON o_custkey = c_custkey
               ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""")),
 
+    // TPC-H Q19 shape (disjunctive multi-predicate join): an OR-of-ANDs
+    // residual over a join — the plan-quality point is CNF extraction:
+    // Catalyst factors the branch-common constraints (p_brand IN (...),
+    // l_quantity's union range) OUT of the disjunction and pushes them to
+    // the scans as PushedFilters, so the join sees pre-filtered inputs and
+    // only the residual OR runs post-join. Decimal-exact revenue as q6.
+    ("q19_disjunctive", (s, d) =>
+      T(s, d, "lineitem")
+        .join(T(s, d, "part"), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 15)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) &&
+            col("l_quantity").between(10, 25)) ||
+          (col("p_brand") === "Brand#34" && col("p_size").between(1, 35) &&
+            col("l_quantity").between(20, 35)))
+        .agg(
+          sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .cast(DoubleType).as("revenue"),
+          count(lit(1)).as("cnt")),
+      Some("""SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+                     COUNT(*) AS cnt
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 15)
+                 OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 25)
+                 OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 35)""")),
+
+    // Correlated scalar subqueries ("customers above their nation's average
+    // balance") — exercises Catalyst's DECORRELATION: both subqueries
+    // rewrite to ONE aggregate over customer grouped by nationkey joined
+    // back to the outer scan, not a per-row re-scan (the plan a naive
+    // engine would run). Stated as avg×n > sum in exact DECIMAL arithmetic
+    // so no float average crosses the engine boundary; output columns are
+    // raw, so the hash compare is exact.
+    ("correlated_subquery", (s, d) => {
+      T(s, d, "customer").createOrReplaceTempView("graft_corr_customer")
+      s.sql("""
+        SELECT c_custkey, c_nationkey, c_acctbal
+        FROM graft_corr_customer c1
+        WHERE CAST(c_acctbal AS DECIMAL(12,2)) *
+              (SELECT COUNT(*) FROM graft_corr_customer c2
+               WHERE c2.c_nationkey = c1.c_nationkey)
+            > (SELECT SUM(CAST(c_acctbal AS DECIMAL(12,2)))
+               FROM graft_corr_customer c3
+               WHERE c3.c_nationkey = c1.c_nationkey)
+        ORDER BY c_custkey""")
+    },
+      Some("""SELECT c_custkey, c_nationkey, c_acctbal
+              FROM customer c1
+              WHERE CAST(c_acctbal AS DECIMAL(12,2)) *
+                    (SELECT COUNT(*) FROM customer c2
+                     WHERE c2.c_nationkey = c1.c_nationkey)
+                  > (SELECT SUM(CAST(c_acctbal AS DECIMAL(12,2)))
+                     FROM customer c3
+                     WHERE c3.c_nationkey = c1.c_nationkey)
+              ORDER BY c_custkey""")),
+
     // Z-order (Morton) clustering values: both dimensions min/max-scaled
     // to 8 bits and bit-interleaved — the layout key writeZOrdered sorts
     // by so parquet min/max stats skip on BOTH columns. Pure integer

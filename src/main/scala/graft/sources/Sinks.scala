@@ -120,7 +120,8 @@ object Sinks {
     * budget. The CONTENT and its global order are deterministic (what makes
     * a training run resumable mid-epoch); the shard BOUNDARIES come from
     * Spark's range sampling and may shift a few rows between runs — cut
-    * points, not data, so re-writes are manifest-equal in total content. */
+    * points, not data, so re-writes are manifest-equal in total content.
+    * For byte-stable per-shard manifests use [[writeShardedByHash]]. */
   def writeSharded(
       df: DataFrame, path: String, orderCols: Seq[String],
       shards: Int, maxRecordsPerFile: Long = 0L): Unit = {
@@ -128,6 +129,44 @@ object Sinks {
     val w = df.repartitionByRange(shards, orderCols.map(col): _*)
       .sortWithinPartitions(orderCols.map(col): _*)
       .write.mode(SaveMode.Overwrite)
+    (if (maxRecordsPerFile > 0)
+       w.option("maxRecordsPerFile", maxRecordsPerFile)
+     else w).parquet(path)
+  }
+
+  /** Deterministic-boundary sharded write: shard membership is a PURE
+    * function of `hashCol` — a uniform 32-bit content hash such as
+    * [[graft.ops.Sampling.epochShuffle]]'s `pos_hash` — with shard i
+    * owning the fixed hash range [i·2³²/shards, (i+1)·2³²/shards). Unlike
+    * [[writeSharded]], whose cut points come from Spark's range sampling
+    * and shift a few rows between runs, two writes of the same frame
+    * place every row in the SAME shard — per-shard manifests are
+    * byte-stable, which is what lets an audit pipeline diff re-writes and
+    * a training run resume against a re-materialized epoch.
+    *
+    * Layout: a `shard=N/` directory per shard (the `shard` column is
+    * Hive-partition metadata, not file payload). All rows of a shard
+    * hash-route to one task, so each shard is one deterministically-sorted
+    * file — multiple files only if `maxRecordsPerFile` splits it, with the
+    * per-DIRECTORY content still deterministic. No sampling pass, no range
+    * exchange: one hash shuffle + partition-local sort, same cost shape at
+    * any scale. */
+  def writeShardedByHash(
+      df: DataFrame, path: String, hashCol: String, tieCols: Seq[String],
+      shards: Int, maxRecordsPerFile: Long = 0L): Unit = {
+    import org.apache.spark.sql.functions._
+    require(shards >= 1, s"shards=$shards must be >= 1")
+    require(df.columns.contains(hashCol), s"hash column '$hashCol' not in frame")
+    require(!df.columns.contains("shard"), "'shard' column name collision")
+    val pow32 = 4294967296.0 // 2^32 — sampleHash/pos_hash range
+    val shard = greatest(least(
+      floor(col(hashCol).cast("double") / pow32 * shards).cast("int"),
+      lit(shards - 1)), lit(0))
+    val w = df.withColumn("shard", shard)
+      .repartition(shards, col("shard"))
+      .sortWithinPartitions(
+        (col("shard") +: col(hashCol) +: tieCols.map(col)): _*)
+      .write.mode(SaveMode.Overwrite).partitionBy("shard")
     (if (maxRecordsPerFile > 0)
        w.option("maxRecordsPerFile", maxRecordsPerFile)
      else w).parquet(path)

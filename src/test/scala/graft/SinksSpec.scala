@@ -56,6 +56,38 @@ class SinksSpec extends AnyFunSuite {
     assert(rows.map(r => BigDecimal(r.getAs[java.math.BigDecimal]("content_sum"))).sum === total)
   }
 
+  test("hash-sharded write: per-shard content is byte-stable across re-writes") {
+    import graft.ops.Sampling
+    val df = Sampling.epochShuffle(
+      (0 until 10000).map(i => (i.toLong, s"doc$i")).toDF("id", "text"),
+      $"id", epoch = 1)
+    // per-shard signature, independent of physical file names (which carry
+    // task UUIDs): shard dir → (rows, content_sum)
+    def shardSig(p: String): Map[String, (Long, BigDecimal)] =
+      Sinks.manifest(spark, p).collect().map { r =>
+        val shard = "shard=\\d+".r.findFirstIn(r.getAs[String]("file")).get
+        shard -> ((r.getAs[Long]("rows"),
+          BigDecimal(r.getAs[java.math.BigDecimal]("content_sum"))))
+      }.toMap
+    val (p1, p2, p3) = (tmp(), tmp(), tmp())
+    Sinks.writeShardedByHash(df, p1, "pos_hash", Seq("id"), shards = 8)
+    Sinks.writeShardedByHash(df, p2, "pos_hash", Seq("id"), shards = 8)
+    // also stable under a different INPUT partitioning — boundaries are a
+    // function of content, not of scan layout or range sampling
+    Sinks.writeShardedByHash(df.repartition(17), p3, "pos_hash", Seq("id"), shards = 8)
+    val s1 = shardSig(p1)
+    assert(s1.size === 8, s"every shard nonempty at 10k rows: ${s1.keys}")
+    assert(s1 === shardSig(p2), "re-write must produce identical per-shard manifests")
+    assert(s1 === shardSig(p3), "input partitioning must not move shard boundaries")
+    assert(s1.values.map(_._1).sum === 10000L)
+    // balance: fixed hash ranges on a uniform hash → no shard over 2× mean
+    assert(s1.values.map(_._1).max <= 2500L, s"shard balance: ${s1.values.map(_._1)}")
+    // rows within a shard file are sorted by the hash order (resumability)
+    val one = spark.read.parquet(p1 + "/shard=0")
+    val hashes = one.select("pos_hash").collect().map(_.getLong(0))
+    assert(hashes.sameElements(hashes.sorted), "shard file must be hash-sorted")
+  }
+
   test("z-ordered layout bounds per-file ranges on BOTH dimensions") {
     // 64×64 uniform grid; 16 z-range files should each cover ~a 16×16
     // block (256 consecutive z codes = one square of the Morton curve),
