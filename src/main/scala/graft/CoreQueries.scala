@@ -949,6 +949,45 @@ object CoreQueries {
                      WHERE c3.c_nationkey = c1.c_nationkey)
               ORDER BY c_custkey""")),
 
+    // TPC-H Q4 shape (EXISTS subquery): Catalyst's RewritePredicateSubquery
+    // must turn the correlated EXISTS into a LEFT SEMI join (each order
+    // tested once, lineitem never duplicated into the aggregate) — the
+    // declarative twin of the explicit join_semi query.
+    ("q4_exists", (s, d) => {
+      T(s, d, "orders").createOrReplaceTempView("graft_q4_orders")
+      T(s, d, "lineitem").createOrReplaceTempView("graft_q4_lineitem")
+      s.sql("""
+        SELECT o_orderpriority, COUNT(*) AS n
+        FROM graft_q4_orders
+        WHERE EXISTS (SELECT 1 FROM graft_q4_lineitem
+                      WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+    },
+      Some("""SELECT o_orderpriority, COUNT(*) AS n
+              FROM orders
+              WHERE EXISTS (SELECT 1 FROM lineitem
+                            WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+              GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // TPC-H Q13 shape (customer order-count distribution): LEFT OUTER +
+    // COUNT(col) so zero-order customers survive into the c_count=0 bucket
+    // (an inner join or COUNT(*) would silently lose exactly the rows the
+    // query exists to report), then a second aggregate over the first.
+    ("q13_custdist", (s, d) => {
+      val perCust = T(s, d, "customer").select("c_custkey")
+        .join(T(s, d, "orders").select("o_custkey", "o_orderkey"),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+      perCust.groupBy(col("c_count")).agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+      Some("""SELECT c_count, COUNT(*) AS custdist FROM (
+                SELECT c_custkey, COUNT(o_orderkey) AS c_count
+                FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+                GROUP BY c_custkey) t
+              GROUP BY c_count ORDER BY custdist DESC, c_count DESC""")),
+
     // Z-order (Morton) clustering values: both dimensions min/max-scaled
     // to 8 bits and bit-interleaved — the layout key writeZOrdered sorts
     // by so parquet min/max stats skip on BOTH columns. Pure integer

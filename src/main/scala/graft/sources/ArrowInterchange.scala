@@ -8,9 +8,12 @@ import java.time.Instant
 
 import scala.jdk.CollectionConverters._
 
+import org.apache.arrow.compression.CommonsCompressionFactory
 import org.apache.arrow.memory.RootAllocator
 import org.apache.arrow.vector._
+import org.apache.arrow.vector.compression.CompressionUtil
 import org.apache.arrow.vector.ipc.{ArrowStreamReader, ArrowStreamWriter}
+import org.apache.arrow.vector.ipc.message.IpcOption
 import org.apache.arrow.vector.types.{DateUnit, FloatingPointPrecision, TimeUnit => ArrowTimeUnit}
 import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema => ArrowSchema}
 import org.apache.hadoop.conf.Configuration
@@ -95,9 +98,16 @@ object ArrowInterchange {
   // ── write ──────────────────────────────────────────────────────────────
 
   /** Write `df` as a directory of Arrow IPC stream files (overwrite
-    * semantics, one file per non-empty partition + schema sentinel). */
-  def writeStream(df: DataFrame, dir: String, maxRecordsPerBatch: Int = 4096): Unit = {
+    * semantics, one file per non-empty partition + schema sentinel).
+    * `codec`: optional IPC buffer compression, `"lz4"` or `"zstd"` — the
+    * standard Arrow body-buffer compression any modern Arrow reader
+    * decodes transparently (readers here always accept both plus
+    * uncompressed). At 100 TB the tradeoff is the usual one: lz4 for
+    * hot interchange, zstd for colder/denser storage. */
+  def writeStream(df: DataFrame, dir: String, maxRecordsPerBatch: Int = 4096,
+      codec: Option[String] = None): Unit = {
     require(maxRecordsPerBatch >= 1, "maxRecordsPerBatch must be >= 1")
+    codecType(codec) // validate the codec name eagerly, on the driver
     val schema = df.schema
     toArrowSchema(schema) // validate the type surface eagerly, on the driver
     val sc = df.sparkSession.sparkContext
@@ -107,23 +117,36 @@ object ArrowInterchange {
     fs.delete(dirPath, true)
     fs.mkdirs(dirPath)
     writeOneFile(fs.create(new Path(dirPath, "_schema.arrows"), true),
-      schema, Iterator.empty, maxRecordsPerBatch)
+      schema, Iterator.empty, maxRecordsPerBatch, codec)
     df.foreachPartition { (rows: Iterator[Row]) =>
       if (rows.hasNext) {
         // Deterministic name per partition: a retried/speculative task
         // overwrites its own file rather than adding a duplicate.
         val p = new Path(dir, f"part-${TaskContext.getPartitionId()}%05d.arrows")
         writeOneFile(p.getFileSystem(conf.value).create(p, true),
-          schema, rows, maxRecordsPerBatch)
+          schema, rows, maxRecordsPerBatch, codec)
       }
     }
   }
 
+  private def codecType(codec: Option[String]): Option[CompressionUtil.CodecType] =
+    codec.map {
+      case "lz4"  => CompressionUtil.CodecType.LZ4_FRAME
+      case "zstd" => CompressionUtil.CodecType.ZSTD
+      case other => throw new IllegalArgumentException(
+        s"Arrow interchange: unknown codec '$other' (supported: lz4, zstd)")
+    }
+
   private def writeOneFile(out: java.io.OutputStream, schema: StructType,
-      rows: Iterator[Row], maxRecordsPerBatch: Int): Unit = {
+      rows: Iterator[Row], maxRecordsPerBatch: Int,
+      codec: Option[String]): Unit = {
     val alloc = new RootAllocator()
     val root = VectorSchemaRoot.create(toArrowSchema(schema), alloc)
-    val writer = new ArrowStreamWriter(root, null, Channels.newChannel(out))
+    val writer = codecType(codec) match {
+      case Some(ct) => new ArrowStreamWriter(root, null, Channels.newChannel(out),
+        IpcOption.DEFAULT, CommonsCompressionFactory.INSTANCE, ct)
+      case None => new ArrowStreamWriter(root, null, Channels.newChannel(out))
+    }
     try {
       writer.start()
       val types = schema.fields.map(_.dataType)
@@ -215,7 +238,7 @@ object ArrowInterchange {
       }
     val in = src.getFileSystem(conf).open(src)
     val alloc = new RootAllocator()
-    val reader = new ArrowStreamReader(in, alloc)
+    val reader = new ArrowStreamReader(in, alloc, CommonsCompressionFactory.INSTANCE)
     try fromArrowSchema(reader.getVectorSchemaRoot.getSchema)
     finally { reader.close(); alloc.close() }
   }
@@ -225,7 +248,9 @@ object ArrowInterchange {
     * consumers like `limit` never exhaust the iterator). */
   private def rowsFromStream(in: InputStream, schema: StructType): Iterator[Row] = {
     val alloc = new RootAllocator()
-    val reader = new ArrowStreamReader(in, alloc)
+    // the compression factory also handles uncompressed streams, so every
+    // read path accepts plain, lz4 and zstd files alike
+    val reader = new ArrowStreamReader(in, alloc, CommonsCompressionFactory.INSTANCE)
     val root = reader.getVectorSchemaRoot
     var closed = false
     def closeAll(): Unit = if (!closed) {

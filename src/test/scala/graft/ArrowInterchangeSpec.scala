@@ -105,6 +105,31 @@ class ArrowInterchangeSpec extends AnyFunSuite {
       (0L until 5L).map(i => (i, i * 2)))
   }
 
+  test("lz4 and zstd compressed streams roundtrip exactly and actually shrink") {
+    // highly repetitive payload so compression has something to do
+    val df = spark.range(2000).select(col("id"),
+      concat(lit("the quick brown fox jumps over the lazy dog "), col("id")).as("s"))
+    def dirSize(d: String): Long = {
+      val p = new org.apache.hadoop.fs.Path(d)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).map(_.getLen).sum
+    }
+    val plain = tmp("graft_arrow_plain")
+    ArrowInterchange.writeStream(df.coalesce(1), plain)
+    val expected = df.as[(Long, String)].collect().sortBy(_._1).toSeq
+    for (codec <- Seq("lz4", "zstd")) {
+      val dir = tmp(s"graft_arrow_$codec")
+      ArrowInterchange.writeStream(df.coalesce(1), dir, codec = Some(codec))
+      val back = ArrowInterchange.readStream(spark, dir)
+        .as[(Long, String)].collect().sortBy(_._1).toSeq
+      assert(back === expected, s"codec=$codec")
+      assert(dirSize(dir) < dirSize(plain), s"$codec produced no size win")
+    }
+    intercept[IllegalArgumentException] {
+      ArrowInterchange.writeStream(df, tmp("graft_arrow_badcodec"), codec = Some("snappy"))
+    }
+  }
+
   test("unsupported column type fails loudly at write time") {
     val df = spark.range(3).select(array(col("id")).as("arr"))
     val e = intercept[IllegalArgumentException] {
