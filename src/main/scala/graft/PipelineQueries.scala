@@ -500,6 +500,37 @@ object PipelineQueries {
         .orderBy("id")
     }, Some(multimodalOracle("id"))),
 
+    // REAL header decode (not the stub): payloads are synthesized as valid
+    // PNG (even ids) / WAV (odd ids) containers whose header fields encode
+    // known functions of doc_id, then probeMediaHeader recovers kind/
+    // width/height/sample_rate/channels by ACTUAL byte parsing (magic
+    // sniff, BE/LE fixed-offset field extraction). The oracle recomputes
+    // the expected fields from doc_id alone — a build→parse inversion
+    // check: any off-by-one in an offset or endianness flip hash-fails.
+    ("multimodal_decode", (s, d) => {
+      val docs = T(s, d, "documents").select(col("doc_id"), col("text"))
+      val payload = when(col("doc_id") % 2 === 0,
+          Multimodal.pngHeaderPayload(
+            col("doc_id") % 640 + 1, col("doc_id") % 480 + 1))
+        .otherwise(Multimodal.wavHeaderPayload(
+          lit(8000) + (col("doc_id") % 6) * 4000, col("doc_id") % 3 + 1))
+      docs
+        // body bytes appended so the probe sees a payload, not a bare header
+        .withColumn("payload", concat(payload, unhex(md5(col("text")))))
+        .withColumn("m", Multimodal.probeMediaHeader(col("payload")))
+        .select(col("doc_id"), col("m.kind").as("kind"),
+          col("m.width").as("width"), col("m.height").as("height"),
+          col("m.sample_rate").as("sample_rate"), col("m.channels").as("channels"))
+        .orderBy("doc_id")
+    },
+      Some("""SELECT doc_id,
+                CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'wav' END AS kind,
+                CASE WHEN doc_id % 2 = 0 THEN doc_id % 640 + 1 END AS width,
+                CASE WHEN doc_id % 2 = 0 THEN doc_id % 480 + 1 END AS height,
+                CASE WHEN doc_id % 2 = 1 THEN 8000 + (doc_id % 6) * 4000 END AS sample_rate,
+                CASE WHEN doc_id % 2 = 1 THEN doc_id % 3 + 1 END AS channels
+              FROM documents ORDER BY doc_id""")),
+
     // ── as-of (point-in-time) join: for each 'view' event, the most
     //    recent same-user 'click' value at or before it. Spark has no
     //    native ASOF JOIN; graft.ops.AsOfJoin composes it as union + one

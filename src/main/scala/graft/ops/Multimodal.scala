@@ -48,6 +48,81 @@ object Multimodal {
         greatest(floor(octet_length(payload) / lit(frameBytes * stride)).cast("int") - 1, lit(0))),
       i => payload.substr((i * (frameBytes * stride) + 1).cast("int"), lit(frameBytes)))
 
+  // ── REAL container-header decode (no codec needed — byte arithmetic) ──
+  //
+  // Pixel/sample decode needs native codecs (absent in this container) and
+  // stays behind the stub above, but the metadata-level decode a pipeline
+  // runs BEFORE routing payloads to decoders — magic-byte format sniffing
+  // and fixed-offset header field extraction — is pure byte arithmetic and
+  // is implemented for real here: PNG signature + IHDR width/height
+  // (big-endian, offsets 17/21, PNG spec §5.2/§11.2.2) and WAV RIFF/WAVE +
+  // fmt channels/sample-rate (little-endian, offsets 23/25, RIFF spec).
+  // Everything is scan-local codegen'd column arithmetic over the binary
+  // column — at 100 TB this classifies and routes payloads without a
+  // single byte leaving the scan.
+
+  /** 4-byte big-endian unsigned int at 1-based `off` in a binary column. */
+  private def beInt(p: Column, off: Int): Column =
+    conv(hex(substring(p, off, 4)), 16, 10).cast("long")
+
+  /** `len`-byte little-endian unsigned int at 1-based `off`. */
+  private def leInt(p: Column, off: Int, len: Int): Column =
+    conv(concat((0 until len).reverse.map(i => hex(substring(p, off + i, 1))): _*),
+      16, 10).cast("long")
+
+  private val PngMagic = "89504E470D0A1A0A" // \x89PNG\r\n\x1a\n
+
+  private def isPng(p: Column): Column =
+    octet_length(p) >= 33 && hex(substring(p, 1, 8)) === PngMagic
+  private def isWav(p: Column): Column =
+    octet_length(p) >= 36 && hex(substring(p, 1, 4)) === "52494646" && // "RIFF"
+      hex(substring(p, 9, 4)) === "57415645"                           // "WAVE"
+
+  /** REAL header probe: (kind, width, height, sample_rate, channels) from
+    * the payload bytes; unknown/truncated payloads yield kind NULL (never
+    * a crash, never a guess). */
+  def probeMediaHeader(p: Column): Column = {
+    val nul = lit(null).cast("long")
+    when(isPng(p), struct(lit("png").as("kind"),
+      beInt(p, 17).as("width"), beInt(p, 21).as("height"),
+      nul.as("sample_rate"), nul.as("channels")))
+    .when(isWav(p), struct(lit("wav").as("kind"),
+      nul.as("width"), nul.as("height"),
+      leInt(p, 25, 4).as("sample_rate"), leInt(p, 23, 2).as("channels")))
+    .otherwise(struct(lit(null).cast("string").as("kind"),
+      nul.as("width"), nul.as("height"),
+      nul.as("sample_rate"), nul.as("channels")))
+  }
+
+  /** Hex of an int column as exactly `bytes` big-endian bytes. */
+  private def beHex(v: Column, bytes: Int): Column =
+    lpad(hex(v.cast("long")), 2 * bytes, "0")
+
+  /** Same value little-endian: byte-swapped hex pairs. */
+  private def leHex(v: Column, bytes: Int): Column = {
+    val be = beHex(v, bytes)
+    concat((0 until bytes).reverse.map(i => substring(be, 2 * i + 1, 2)): _*)
+  }
+
+  /** A minimal VALID PNG signature + IHDR carrying (width, height) —
+    * synthesis twin of [[probeMediaHeader]] for tests/fixtures (CRC not
+    * computed; header-probe-valid, not render-valid). */
+  def pngHeaderPayload(width: Column, height: Column): Column =
+    unhex(concat(lit(PngMagic), lit("0000000D49484452"),
+      beHex(width, 4), beHex(height, 4),
+      lit("0806000000"))) // bit depth 8, RGBA, deflate/filter/interlace 0
+
+  /** A minimal valid RIFF/WAVE header + fmt chunk carrying
+    * (sampleRate, channels), 16-bit PCM. */
+  def wavHeaderPayload(sampleRate: Column, channels: Column): Column = {
+    val byteRate = sampleRate * channels * lit(2L)
+    unhex(concat(
+      lit("52494646"), lit("24000000"), lit("57415645"), // RIFF <size> WAVE
+      lit("666D7420"), lit("10000000"), lit("0100"),     // "fmt " 16 PCM
+      leHex(channels, 2), leHex(sampleRate, 4), leHex(byteRate, 4),
+      leHex(channels * lit(2L), 2), lit("1000")))        // block align, 16 bit
+  }
+
   /** Payload stats every pipeline wants without decoding: size + hash. */
   def payloadStats(df: DataFrame, idCol: String, payloadCol: String): DataFrame =
     df.select(

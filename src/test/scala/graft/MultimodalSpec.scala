@@ -58,6 +58,46 @@ class MultimodalSpec extends AnyFunSuite {
     assert(colFeats === partFeats)
   }
 
+  test("header probe parses hand-crafted spec bytes (ground truth, not the builder)") {
+    // Byte literals transcribed from the PNG and RIFF specs BY HAND — not
+    // produced by pngHeaderPayload/wavHeaderPayload, so a symmetric
+    // offset/endianness bug in builder+parser cannot self-cancel here.
+    def hx(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // 1×1 RGBA PNG: signature, IHDR len 13, "IHDR", w=1 BE, h=1 BE, rest
+    val png = hx("89504E470D0A1A0A" + "0000000D" + "49484452" +
+      "00000001" + "00000001" + "0806000000" + "1F15C489")
+    // canonical 44.1 kHz stereo 16-bit PCM WAV header: rate LE = 44AC0000
+    val wav = hx("52494646" + "24000000" + "57415645" + "666D7420" +
+      "10000000" + "0100" + "0200" + "44AC0000" + "10B10200" + "0400" + "1000")
+    val junk = "not a media file at all".getBytes("UTF-8")
+    val df = Seq((1L, png), (2L, wav), (3L, junk), (4L, png.take(10)))
+      .toDF("id", "payload")
+      .select(col("id"), Multimodal.probeMediaHeader(col("payload")).as("m"))
+      .select(col("id"), col("m.kind"), col("m.width"), col("m.height"),
+        col("m.sample_rate"), col("m.channels"))
+    val rows = df.collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(rows(1L) === Seq("png", 1L, 1L, null, null))
+    assert(rows(2L) === Seq("wav", null, null, 44100L, 2L))
+    assert(rows(3L) === Seq(null, null, null, null, null), "junk must be NULL-kind")
+    assert(rows(4L) === Seq(null, null, null, null, null), "truncated header must not parse")
+  }
+
+  test("header builders invert through the probe (build→parse roundtrip)") {
+    val built = spark.range(1, 50).select(col("id"),
+      when(col("id") % 2 === 0,
+        Multimodal.pngHeaderPayload(col("id") * 3, col("id") + 7))
+      .otherwise(Multimodal.wavHeaderPayload(lit(8000) + col("id"), lit(1)))
+        .as("payload"))
+    val parsed = built.select(col("id"), Multimodal.probeMediaHeader(col("payload")).as("m"))
+    val bad = parsed.filter(
+      (col("id") % 2 === 0 && !(col("m.kind") === "png" &&
+        col("m.width") === col("id") * 3 && col("m.height") === col("id") + 7)) ||
+      (col("id") % 2 === 1 && !(col("m.kind") === "wav" &&
+        col("m.sample_rate") === lit(8000) + col("id") && col("m.channels") === 1)))
+    assert(bad.count() === 0)
+  }
+
   test("resize and frame sampling respect byte budgets") {
     // resize caps bytes
     assert(media.select(octet_length(Multimodal.resizePayload(col("payload"), 10)))
