@@ -657,6 +657,30 @@ object CoreQueries {
       Some("""SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props
               FROM events ORDER BY event_id""")),
 
+    // Arrow interchange of the EMBEDDINGS table (vec_id, array<float>,
+    // label) — Arrow List vectors carrying the training-pipeline payload,
+    // written lz4-compressed. Output scalarizes the vector (dim + an exact
+    // fixed-point element checksum: float→double is exact, ×2²⁰ is a
+    // power-of-two scale, so the BIGINT sum is bit-reproducible in DuckDB)
+    // because the driver's comparator hashes scalar columns.
+    ("arrow_embeddings", (s, d) => {
+      val em = T(s, d, "embeddings").select("vec_id", "embedding", "label")
+      // Scratch contract: see json_roundtrip.
+      val path = graft.sources.Scratch.dir(s, "graft_rt_arrowemb")
+      graft.sources.ArrowInterchange.writeStream(em, path, codec = Some("lz4"))
+      graft.sources.ArrowInterchange.readStream(s, path)
+        .select(col("vec_id"), col("label"),
+          size(col("embedding")).as("dim"),
+          expr("aggregate(transform(embedding, " +
+            "x -> cast(round(cast(x as double) * 1048576) as bigint)), " +
+            "0L, (a, x) -> a + x)").as("esum"))
+        .orderBy("vec_id")
+    },
+      Some("""SELECT vec_id, label, CAST(len(embedding) AS INT) AS dim,
+                CAST(list_sum(list_transform(embedding,
+                  x -> CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT))) AS BIGINT) AS esum
+              FROM embeddings ORDER BY vec_id""")),
+
     ("events_time_buckets", (s, d) =>
       T(s, d, "events")
         .groupBy(

@@ -11,6 +11,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.arrow.compression.CommonsCompressionFactory
 import org.apache.arrow.memory.RootAllocator
 import org.apache.arrow.vector._
+import org.apache.arrow.vector.complex.ListVector
 import org.apache.arrow.vector.compression.CompressionUtil
 import org.apache.arrow.vector.ipc.{ArrowStreamReader, ArrowStreamWriter}
 import org.apache.arrow.vector.ipc.message.IpcOption
@@ -45,7 +46,8 @@ import org.apache.spark.sql.types._
   *
   * Type surface (both directions): boolean, int, bigint, float, double,
   * string, binary, timestamp (µs — Spark's native precision, written with
-  * UTC zone; zoneless µs timestamps read as UTC instants) and date. An
+  * UTC zone; zoneless µs timestamps read as UTC instants), date, and
+  * arrays of those scalars (the embeddings shape — Arrow List vectors). An
   * unsupported column type fails loudly at write/read time, never silently.
   */
 object ArrowInterchange {
@@ -66,10 +68,16 @@ object ArrowInterchange {
       case BinaryType    => ArrowType.Binary.INSTANCE
       case TimestampType => new ArrowType.Timestamp(ArrowTimeUnit.MICROSECOND, "UTC")
       case DateType      => new ArrowType.Date(DateUnit.DAY)
+      case ArrayType(et, containsNull) =>
+        // one level of list nesting (the embeddings shape); the element
+        // field recurses through the scalar mapping above
+        return new Field(f.name, new FieldType(f.nullable, ArrowType.List.INSTANCE, null),
+          java.util.Collections.singletonList(
+            toArrowField(StructField("item", et, containsNull))))
       case dt => throw new IllegalArgumentException(
         s"Arrow interchange: unsupported type $dt for column '${f.name}' " +
           "(supported: boolean, int, bigint, float, double, string, binary, " +
-          "timestamp[us], date)")
+          "timestamp[us], date, array<scalar>)")
     }
     new Field(f.name, new FieldType(f.nullable, t, null),
       java.util.Collections.emptyList[Field]())
@@ -89,6 +97,9 @@ object ArrowInterchange {
       case _: ArrowType.Binary => BinaryType
       case t: ArrowType.Timestamp if t.getUnit == ArrowTimeUnit.MICROSECOND => TimestampType
       case t: ArrowType.Date if t.getUnit == DateUnit.DAY => DateType
+      case _: ArrowType.List =>
+        val elem = fromArrowField(f.getChildren.get(0))
+        ArrayType(elem.dataType, elem.nullable)
       case t => throw new IllegalArgumentException(
         s"Arrow interchange: unsupported Arrow type $t for field '${f.getName}'")
     }
@@ -174,30 +185,46 @@ object ArrowInterchange {
   }
 
   private def setValue(v: FieldVector, dt: DataType, idx: Int, row: Row, col: Int): Unit =
+    setRaw(v, dt, idx, if (row.isNullAt(col)) null else row.get(col))
+
+  /** Write one (possibly null) value; recursive through list elements. */
+  private def setRaw(v: FieldVector, dt: DataType, idx: Int, value: Any): Unit =
     (v, dt) match {
       case (x: BitVector, BooleanType) =>
-        if (row.isNullAt(col)) x.setNull(idx)
-        else x.setSafe(idx, if (row.getBoolean(col)) 1 else 0)
+        if (value == null) x.setNull(idx)
+        else x.setSafe(idx, if (value.asInstanceOf[Boolean]) 1 else 0)
       case (x: IntVector, IntegerType) =>
-        if (row.isNullAt(col)) x.setNull(idx) else x.setSafe(idx, row.getInt(col))
+        if (value == null) x.setNull(idx) else x.setSafe(idx, value.asInstanceOf[Int])
       case (x: BigIntVector, LongType) =>
-        if (row.isNullAt(col)) x.setNull(idx) else x.setSafe(idx, row.getLong(col))
+        if (value == null) x.setNull(idx) else x.setSafe(idx, value.asInstanceOf[Long])
       case (x: Float4Vector, FloatType) =>
-        if (row.isNullAt(col)) x.setNull(idx) else x.setSafe(idx, row.getFloat(col))
+        if (value == null) x.setNull(idx) else x.setSafe(idx, value.asInstanceOf[Float])
       case (x: Float8Vector, DoubleType) =>
-        if (row.isNullAt(col)) x.setNull(idx) else x.setSafe(idx, row.getDouble(col))
+        if (value == null) x.setNull(idx) else x.setSafe(idx, value.asInstanceOf[Double])
       case (x: VarCharVector, StringType) =>
-        if (row.isNullAt(col)) x.setNull(idx)
-        else x.setSafe(idx, row.getString(col).getBytes(UTF_8))
+        if (value == null) x.setNull(idx)
+        else x.setSafe(idx, value.asInstanceOf[String].getBytes(UTF_8))
       case (x: VarBinaryVector, BinaryType) =>
-        if (row.isNullAt(col)) x.setNull(idx)
-        else x.setSafe(idx, row.getAs[Array[Byte]](col))
+        if (value == null) x.setNull(idx)
+        else x.setSafe(idx, value.asInstanceOf[Array[Byte]])
       case (x: TimeStampVector, TimestampType) => // µs, TZ and zoneless alike
-        if (row.isNullAt(col)) x.setNull(idx)
-        else x.setSafe(idx, micros(row.getAs[Timestamp](col)))
+        if (value == null) x.setNull(idx)
+        else x.setSafe(idx, micros(value.asInstanceOf[Timestamp]))
       case (x: DateDayVector, DateType) =>
-        if (row.isNullAt(col)) x.setNull(idx)
-        else x.setSafe(idx, row.getAs[java.sql.Date](col).toLocalDate.toEpochDay.toInt)
+        if (value == null) x.setNull(idx)
+        else x.setSafe(idx,
+          value.asInstanceOf[java.sql.Date].toLocalDate.toEpochDay.toInt)
+      case (x: ListVector, ArrayType(et, _)) =>
+        if (value == null) x.setNull(idx) // fills offset holes, keeps lastSet
+        else {
+          val elems = value.asInstanceOf[scala.collection.Seq[Any]]
+          val offset = x.startNewValue(idx)
+          var i = 0
+          while (i < elems.length) {
+            setRaw(x.getDataVector, et, offset + i, elems(i)); i += 1
+          }
+          x.endValue(idx, elems.length)
+        }
       case (other, t) => throw new IllegalArgumentException(
         s"Arrow interchange: vector ${other.getClass.getSimpleName} / type $t mismatch")
     }
@@ -298,6 +325,9 @@ object ArrowInterchange {
       case (x: TimeStampVector, TimestampType) => tsFromMicros(x.get(idx))
       case (x: DateDayVector, DateType) =>
         java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(x.get(idx).toLong))
+      case (x: ListVector, ArrayType(et, _)) =>
+        val (start, end) = (x.getElementStartIndex(idx), x.getElementEndIndex(idx))
+        (start until end).map(i => getValue(x.getDataVector, et, i))
       case (other, t) => throw new IllegalArgumentException(
         s"Arrow interchange: vector ${other.getClass.getSimpleName} / type $t mismatch")
     }

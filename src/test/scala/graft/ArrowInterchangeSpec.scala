@@ -105,6 +105,32 @@ class ArrowInterchangeSpec extends AnyFunSuite {
       (0L until 5L).map(i => (i, i * 2)))
   }
 
+  test("array<scalar> columns roundtrip, including null / empty lists and null elements") {
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("vec", ArrayType(FloatType, containsNull = true)),
+      StructField("tags", ArrayType(StringType, containsNull = false))))
+    val rows = Seq(
+      Row(1L, Seq(1.5f, -2.25f, 0f), Seq("a", "b")),
+      Row(2L, null, Seq.empty[String]),              // null list + empty list
+      Row(3L, Seq(null, 7.75f), Seq("céç")),         // null ELEMENT survives
+      Row(4L, Seq.empty[Float], Seq("x")))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+    val dir = tmp("graft_arrow_list")
+    ArrowInterchange.writeStream(df, dir)
+    val back = ArrowInterchange.readStream(spark, dir)
+    assert(back.schema === schema)
+    val got = back.orderBy("id").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getSeq[Any](1),
+        r.getSeq[String](2))).toSeq
+    assert(got === Seq(
+      (1L, Seq(1.5f, -2.25f, 0f), Seq("a", "b")),
+      (2L, null, Seq.empty[String]),
+      (3L, Seq(null, 7.75f), Seq("céç")),
+      (4L, Seq.empty[Float], Seq("x"))))
+  }
+
   test("lz4 and zstd compressed streams roundtrip exactly and actually shrink") {
     // highly repetitive payload so compression has something to do
     val df = spark.range(2000).select(col("id"),
@@ -131,11 +157,11 @@ class ArrowInterchangeSpec extends AnyFunSuite {
   }
 
   test("unsupported column type fails loudly at write time") {
-    val df = spark.range(3).select(array(col("id")).as("arr"))
+    val df = spark.range(3).select(map(col("id"), col("id")).as("m"))
     val e = intercept[IllegalArgumentException] {
       ArrowInterchange.writeStream(df, tmp("graft_arrow_bad"))
     }
     assert(e.getMessage.contains("unsupported type"))
-    assert(e.getMessage.contains("arr"))
+    assert(e.getMessage.contains("'m'"))
   }
 }
