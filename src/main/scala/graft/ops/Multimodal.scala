@@ -104,13 +104,16 @@ object Multimodal {
     concat((0 until bytes).reverse.map(i => substring(be, 2 * i + 1, 2)): _*)
   }
 
-  /** A minimal VALID PNG signature + IHDR carrying (width, height) —
-    * synthesis twin of [[probeMediaHeader]] for tests/fixtures (CRC not
-    * computed; header-probe-valid, not render-valid). */
+  /** A minimal VALID PNG signature + full 33-byte IHDR chunk carrying
+    * (width, height) — synthesis twin of [[probeMediaHeader]] for
+    * tests/fixtures (CRC bytes are a zero placeholder, so the payload is
+    * header-probe-valid — it satisfies [[isPng]]'s 33-byte minimum on its
+    * own — but not render-valid). */
   def pngHeaderPayload(width: Column, height: Column): Column =
     unhex(concat(lit(PngMagic), lit("0000000D49484452"),
       beHex(width, 4), beHex(height, 4),
-      lit("0806000000"))) // bit depth 8, RGBA, deflate/filter/interlace 0
+      lit("0806000000"), // bit depth 8, RGBA, deflate/filter/interlace 0
+      lit("00000000")))  // CRC placeholder (probe never reads it)
 
   /** A minimal valid RIFF/WAVE header + fmt chunk carrying
     * (sampleRate, channels), 16-bit PCM. */

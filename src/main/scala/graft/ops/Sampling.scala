@@ -76,6 +76,7 @@ object Sampling {
       df: DataFrame, groupCol: Column, key: Column, n: Int,
       salt: String = ""): DataFrame = {
     require(n > 0, s"n=$n must be positive")
+    require(!df.columns.contains("__rn"), "__rn column name collision")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(groupCol).orderBy(sampleHash(key, salt).asc, key.asc)
     df.withColumn("__rn", row_number().over(w))
@@ -101,6 +102,7 @@ object Sampling {
       saltBuckets: Int, salt: String = ""): DataFrame = {
     require(n > 0, s"n=$n must be positive")
     require(saltBuckets >= 1, s"saltBuckets=$saltBuckets must be >= 1")
+    require(!df.columns.contains("__rn1"), "__rn1 column name collision")
     val bucket = pmod(sampleHash(key, salt + "bucket:"), lit(saltBuckets))
     val w1 = org.apache.spark.sql.expressions.Window
       .partitionBy(groupCol, bucket)

@@ -131,13 +131,31 @@ object ArrowInterchange {
       schema, Iterator.empty, maxRecordsPerBatch, codec)
     df.foreachPartition { (rows: Iterator[Row]) =>
       if (rows.hasNext) {
-        // Deterministic name per partition: a retried/speculative task
-        // overwrites its own file rather than adding a duplicate.
-        val p = new Path(dir, f"part-${TaskContext.getPartitionId()}%05d.arrows")
-        writeOneFile(p.getFileSystem(conf.value).create(p, true),
-          schema, rows, maxRecordsPerBatch, codec)
+        // Commit protocol: write to an ATTEMPT-SCOPED temp name, then
+        // rename to the final deterministic per-partition name. Two
+        // speculative attempts of one partition never write the same path
+        // concurrently (interleaved-create corruption / HDFS lease clash);
+        // whichever rename lands first wins and the loser discards its
+        // temp file. Rename is atomic on HDFS-like stores; on object
+        // stores it is copy+delete but still attempt-isolated.
+        val tc = TaskContext.get()
+        val finalP = new Path(dir, f"part-${tc.partitionId()}%05d.arrows")
+        val tmpP = new Path(dir,
+          f".part-${tc.partitionId()}%05d.arrows.attempt-${tc.taskAttemptId()}.tmp")
+        val pfs = finalP.getFileSystem(conf.value)
+        writeOneFile(pfs.create(tmpP, true), schema, rows, maxRecordsPerBatch, codec)
+        if (!pfs.rename(tmpP, finalP)) {
+          val lost = pfs.exists(finalP) // a sibling attempt already committed
+          pfs.delete(tmpP, false)
+          if (!lost) throw new java.io.IOException(
+            s"Arrow interchange: rename $tmpP -> $finalP failed")
+        }
       }
     }
+    // Job-level completeness marker: without it a mid-job failure leaves a
+    // partial directory with a valid schema sentinel that a later read
+    // would silently treat as the complete dataset.
+    fs.create(new Path(dirPath, "_SUCCESS"), true).close()
   }
 
   private def codecType(codec: Option[String]): Option[CompressionUtil.CodecType] =
@@ -238,6 +256,16 @@ object ArrowInterchange {
   def readStream(spark: SparkSession, dir: String): DataFrame = {
     val schema = readSchema(spark, dir)
     val conf = spark.sparkContext.hadoopConfiguration
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(conf)
+    // A directory carrying OUR schema sentinel must also carry the job
+    // completeness marker — reading a partially-written directory as if it
+    // were the full dataset is the silent failure mode. Foreign-written
+    // directories (no sentinel) are read as-is.
+    require(!fs.exists(new Path(dirPath, "_schema.arrows")) ||
+      fs.exists(new Path(dirPath, "_SUCCESS")),
+      s"Arrow interchange: $dir has a schema sentinel but no _SUCCESS marker " +
+        "— the writing job did not complete; refusing to read partial data")
     val glob = new Path(dir, "part-*.arrows")
     val hasData = glob.getFileSystem(conf).globStatus(glob) match {
       case null => false

@@ -40,21 +40,31 @@ object Scratch {
 
   /** A fresh scratch directory path under the configured base; registered
     * for best-effort deletion at JVM exit. The directory itself is created
-    * by whatever writer first targets it (Spark writers mkdirs). */
+    * by whatever writer first targets it (Spark writers mkdirs).
+    *
+    * The cleanup hook registers with Hadoop's ShutdownHookManager at a
+    * priority ABOVE FileSystem's own close hook — a plain
+    * Runtime.addShutdownHook would run unordered against Hadoop's
+    * ClientFinalizer, so the delete could hit an already-closed FileSystem
+    * and silently leak exactly the debris this exists to clean. */
   def dir(spark: SparkSession, prefix: String): String = {
     val path = s"${base(spark)}/${prefix}_${UUID.randomUUID()}"
     issued.add((path, spark.sparkContext.hadoopConfiguration))
     if (hookInstalled.compareAndSet(false, true)) {
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        var e = issued.poll()
-        while (e != null) {
-          try {
-            val p = new Path(e._1)
-            p.getFileSystem(e._2).delete(p, true)
-          } catch { case _: Throwable => () } // best-effort: exit must not fail
-          e = issued.poll()
-        }
-      }, "graft-scratch-cleanup"))
+      org.apache.hadoop.util.ShutdownHookManager.get().addShutdownHook(
+        new Runnable {
+          override def run(): Unit = {
+            var e = issued.poll()
+            while (e != null) {
+              try {
+                val p = new Path(e._1)
+                p.getFileSystem(e._2).delete(p, true)
+              } catch { case _: Throwable => () } // best-effort: exit must not fail
+              e = issued.poll()
+            }
+          }
+        },
+        org.apache.hadoop.fs.FileSystem.SHUTDOWN_HOOK_PRIORITY + 20)
     }
     path
   }

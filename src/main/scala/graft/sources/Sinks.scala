@@ -158,9 +158,17 @@ object Sinks {
     require(shards >= 1, s"shards=$shards must be >= 1")
     require(df.columns.contains(hashCol), s"hash column '$hashCol' not in frame")
     require(!df.columns.contains("shard"), "'shard' column name collision")
-    val pow32 = 4294967296.0 // 2^32 — sampleHash/pos_hash range
+    // pmod into the 32-bit hash space FIRST: for the documented inputs
+    // (sampleHash/pos_hash, already in [0, 2^32)) it is the identity, and
+    // for a caller who passes a signed 64-bit hash (xxhash64) it spreads
+    // values uniformly instead of clamping the whole corpus into the two
+    // edge shards — the silent-skew failure a clamp would hide. The
+    // least/greatest clamp that remains only guards float rounding at the
+    // top edge.
+    val pow32 = 4294967296L // 2^32 — sampleHash/pos_hash range
+    val h32 = pmod(col(hashCol).cast("long"), lit(pow32))
     val shard = greatest(least(
-      floor(col(hashCol).cast("double") / pow32 * shards).cast("int"),
+      floor(h32.cast("double") / pow32.toDouble * shards).cast("int"),
       lit(shards - 1)), lit(0))
     val w = df.withColumn("shard", shard)
       .repartition(shards, col("shard"))

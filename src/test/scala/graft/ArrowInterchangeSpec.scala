@@ -156,6 +156,20 @@ class ArrowInterchangeSpec extends AnyFunSuite {
     }
   }
 
+  test("a partial write (sentinel without _SUCCESS) is refused, not silently read") {
+    val df = spark.range(5).toDF("id")
+    val dir = tmp("graft_arrow_partial")
+    ArrowInterchange.writeStream(df, dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate a job that died mid-write: schema sentinel present, no marker
+    fs.delete(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"), false)
+    val e = intercept[IllegalArgumentException] {
+      ArrowInterchange.readStream(spark, dir)
+    }
+    assert(e.getMessage.contains("_SUCCESS"))
+  }
+
   test("unsupported column type fails loudly at write time") {
     val df = spark.range(3).select(map(col("id"), col("id")).as("m"))
     val e = intercept[IllegalArgumentException] {

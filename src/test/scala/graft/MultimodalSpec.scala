@@ -84,18 +84,27 @@ class MultimodalSpec extends AnyFunSuite {
   }
 
   test("header builders invert through the probe (build→parse roundtrip)") {
+    // Asserted driver-side with POSITIVE per-row expectations: a filter on
+    // a negated predicate silently drops NULL-kind rows under three-valued
+    // logic (true && !(NULL) = NULL), which is exactly how a broken builder
+    // would evade a `bad.count() === 0` style assertion.
     val built = spark.range(1, 50).select(col("id"),
       when(col("id") % 2 === 0,
         Multimodal.pngHeaderPayload(col("id") * 3, col("id") + 7))
       .otherwise(Multimodal.wavHeaderPayload(lit(8000) + col("id"), lit(1)))
         .as("payload"))
-    val parsed = built.select(col("id"), Multimodal.probeMediaHeader(col("payload")).as("m"))
-    val bad = parsed.filter(
-      (col("id") % 2 === 0 && !(col("m.kind") === "png" &&
-        col("m.width") === col("id") * 3 && col("m.height") === col("id") + 7)) ||
-      (col("id") % 2 === 1 && !(col("m.kind") === "wav" &&
-        col("m.sample_rate") === lit(8000) + col("id") && col("m.channels") === 1)))
-    assert(bad.count() === 0)
+    val parsed = built
+      .select(col("id"), Multimodal.probeMediaHeader(col("payload")).as("m"))
+      .select(col("id"), col("m.kind"), col("m.width"), col("m.height"),
+        col("m.sample_rate"), col("m.channels"))
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(parsed.size === 49)
+    parsed.foreach { case (id, got) =>
+      val want =
+        if (id % 2 == 0) Seq("png", id * 3, id + 7, null, null)
+        else Seq("wav", null, null, 8000L + id, 1L)
+      assert(got === want, s"id=$id")
+    }
   }
 
   test("resize and frame sampling respect byte budgets") {
