@@ -916,6 +916,42 @@ object CoreQueries {
               JOIN customer ON o_custkey = c_custkey
               ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""")),
 
+    // Theta sketch set algebra over two "crawls" of the documents table —
+    // the mergeable-sketch family with INTERSECTION/DIFFERENCE (HLL only
+    // unions): how many sources appear in both crawls / only in one,
+    // answered from per-crawl sketch columns, never a distinct join. The
+    // TypedImperativeAggregate sketches are EXACT below 2^14 nominal
+    // entries (20 sources here), which is what lets DuckDB's exact set SQL
+    // hash-check the estimates; the error bound above that is
+    // unit-asserted in ThetaSpec. (The synthetic sources split cleanly by
+    // doc parity, so n_both is exactly 0 — a buggy intersection yielding
+    // anything nonzero hash-fails; nonzero intersections are covered in
+    // ThetaSpec.)
+    ("agg_theta_setops", (s, d) => {
+      import graft.functions.ThetaSketches._
+      val sk = T(s, d, "documents")
+        .select((col("doc_id") % 2).as("crawl"), col("source"))
+        .groupBy("crawl").agg(thetaSketch(col("source")).as("s"))
+      sk.agg(
+        max(when(col("crawl") === 0, col("s"))).as("s0"),
+        max(when(col("crawl") === 1, col("s"))).as("s1"),
+        thetaUnion(col("s")).as("su"),
+        thetaIntersect(col("s")).as("si"))
+        .select(
+          thetaEstimate(col("su")).as("n_union"),
+          thetaEstimate(col("si")).as("n_both"),
+          thetaEstimate(thetaDifference(col("s0"), col("s1"))).as("n_only_even"))
+    },
+      Some("""SELECT CAST((SELECT COUNT(DISTINCT source) FROM documents) AS DOUBLE) AS n_union,
+                     CAST((SELECT COUNT(*) FROM (
+                        SELECT source FROM documents WHERE doc_id % 2 = 0
+                        INTERSECT
+                        SELECT source FROM documents WHERE doc_id % 2 = 1) t) AS DOUBLE) AS n_both,
+                     CAST((SELECT COUNT(*) FROM (
+                        SELECT source FROM documents WHERE doc_id % 2 = 0
+                        EXCEPT
+                        SELECT source FROM documents WHERE doc_id % 2 = 1) t2) AS DOUBLE) AS n_only_even""")),
+
     // TPC-H Q19 shape (disjunctive multi-predicate join): an OR-of-ANDs
     // residual over a join — the plan-quality point is CNF extraction:
     // Catalyst factors the branch-common constraints (p_brand IN (...),

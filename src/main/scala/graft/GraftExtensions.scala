@@ -5,8 +5,9 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.functions.{CityHash64Expr, ShingleMinhash, SimHash64,
-  SortedArrayIntersectSize, VectorDot, WyHash64Expr, XxHash32Expr,
-  XxHash64RawExpr, Xxh3Expr}
+  SortedArrayIntersectSize, ThetaDifference, ThetaEstimate, ThetaIntersectAgg,
+  ThetaSketchAgg, ThetaSketches, ThetaUnionAgg, VectorDot, WyHash64Expr,
+  XxHash32Expr, XxHash64RawExpr, Xxh3Expr}
 import org.apache.spark.sql.catalyst.expressions.Literal
 
 /** SparkSessionExtensions hook: registers the engine's native expressions as
@@ -75,5 +76,43 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "simhash64(text)")
         SimHash64(args.head)
+      }),
+    // Theta sketch set algebra (build / union / intersect aggregates +
+    // estimate / difference scalars) — the mergeable-sketch family with
+    // INTERSECTION, which HLL lacks. lgK must be an integer literal.
+    (FunctionIdentifier("theta_sketch_agg"),
+      new ExpressionInfo(classOf[ThetaSketchAgg].getName, "theta_sketch_agg"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1 || args.length == 2, "theta_sketch_agg(value[, lgK])")
+        val lgK = if (args.length == 2) args(1) match {
+          case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"theta_sketch_agg: lgK must be an integer literal, got $other")
+        } else ThetaSketches.DefaultLgK
+        ThetaSketchAgg(args.head, lgK).toAggregateExpression()
+      }),
+    (FunctionIdentifier("theta_union_agg"),
+      new ExpressionInfo(classOf[ThetaUnionAgg].getName, "theta_union_agg"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "theta_union_agg(sketch)")
+        ThetaUnionAgg(args.head).toAggregateExpression()
+      }),
+    (FunctionIdentifier("theta_intersect_agg"),
+      new ExpressionInfo(classOf[ThetaIntersectAgg].getName, "theta_intersect_agg"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "theta_intersect_agg(sketch)")
+        ThetaIntersectAgg(args.head).toAggregateExpression()
+      }),
+    (FunctionIdentifier("theta_estimate"),
+      new ExpressionInfo(classOf[ThetaEstimate].getName, "theta_estimate"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "theta_estimate(sketch)")
+        ThetaEstimate(args.head)
+      }),
+    (FunctionIdentifier("theta_difference"),
+      new ExpressionInfo(classOf[ThetaDifference].getName, "theta_difference"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "theta_difference(a, b)")
+        ThetaDifference(args(0), args(1))
       }))
 }
