@@ -952,6 +952,38 @@ object CoreQueries {
                         EXCEPT
                         SELECT source FROM documents WHERE doc_id % 2 = 1) t2) AS DOUBLE) AS n_only_even""")),
 
+    // KLL quantile sketch columns: per-(lang, shard) n_chars sketches
+    // merged up to per-lang p50/p95 — the build-once/merge-later quantile
+    // algebra (approx_percentile answers once; a sketch COLUMN is storable
+    // state any later union can re-query). k=65535 keeps every sketch
+    // below its retention bound at verify/bench scales, so quantiles are
+    // EXACT inclusive-rank order statistics — hash-checkable against
+    // DuckDB's explicit nearest-rank SQL; the estimation-mode error bound
+    // is unit-asserted in QuantileSketchSpec.
+    ("agg_kll_quantiles", (s, d) => {
+      import graft.functions.QuantileSketches._
+      T(s, d, "documents")
+        .groupBy(col("lang"), (col("doc_id") % 4).as("shard"))
+        .agg(kllSketch(col("n_chars").cast("double"), k = 65535).as("s"))
+        .groupBy(col("lang"))
+        .agg(kllMerge(col("s"), k = 65535).as("m"))
+        .select(col("lang"),
+          kllQuantile(col("m"), lit(0.5)).as("p50"),
+          kllQuantile(col("m"), lit(0.95)).as("p95"))
+        .orderBy("lang")
+    },
+      Some("""WITH ranked AS (
+                SELECT lang, n_chars,
+                       ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+                       COUNT(*) OVER (PARTITION BY lang) AS n
+                FROM documents)
+              SELECT lang,
+                CAST(MIN(CASE WHEN rn = GREATEST(CAST(CEIL(0.5 * n) AS BIGINT), 1)
+                              THEN n_chars END) AS DOUBLE) AS p50,
+                CAST(MIN(CASE WHEN rn = GREATEST(CAST(CEIL(0.95 * n) AS BIGINT), 1)
+                              THEN n_chars END) AS DOUBLE) AS p95
+              FROM ranked GROUP BY lang ORDER BY lang""")),
+
     // TPC-H Q19 shape (disjunctive multi-predicate join): an OR-of-ANDs
     // residual over a join — the plan-quality point is CNF extraction:
     // Catalyst factors the branch-common constraints (p_brand IN (...),

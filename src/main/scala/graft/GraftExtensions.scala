@@ -4,10 +4,11 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CityHash64Expr, ShingleMinhash, SimHash64,
-  SortedArrayIntersectSize, ThetaDifference, ThetaEstimate, ThetaIntersectAgg,
-  ThetaSketchAgg, ThetaSketches, ThetaUnionAgg, VectorDot, WyHash64Expr,
-  XxHash32Expr, XxHash64RawExpr, Xxh3Expr}
+import graft.functions.{CityHash64Expr, KllMergeAgg, KllQuantile, KllSketchAgg,
+  QuantileSketches, ShingleMinhash, SimHash64, SortedArrayIntersectSize,
+  ThetaDifference, ThetaEstimate, ThetaIntersectAgg, ThetaSketchAgg,
+  ThetaSketches, ThetaUnionAgg, VectorDot, WyHash64Expr, XxHash32Expr,
+  XxHash64RawExpr, Xxh3Expr}
 import org.apache.spark.sql.catalyst.expressions.Literal
 
 /** SparkSessionExtensions hook: registers the engine's native expressions as
@@ -114,5 +115,36 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "theta_difference(a, b)")
         ThetaDifference(args(0), args(1))
+      }),
+    // KLL quantile sketch columns (build / merge aggregates + quantile
+    // scalar) — storable, mergeable quantile state; k must be a literal.
+    (FunctionIdentifier("kll_sketch_agg"),
+      new ExpressionInfo(classOf[KllSketchAgg].getName, "kll_sketch_agg"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1 || args.length == 2, "kll_sketch_agg(value[, k])")
+        KllSketchAgg(args.head, intLitArg(args, 1, "k", QuantileSketches.DefaultK))
+          .toAggregateExpression()
+      }),
+    (FunctionIdentifier("kll_merge_agg"),
+      new ExpressionInfo(classOf[KllMergeAgg].getName, "kll_merge_agg"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1 || args.length == 2, "kll_merge_agg(sketch[, k])")
+        KllMergeAgg(args.head, intLitArg(args, 1, "k", QuantileSketches.DefaultK))
+          .toAggregateExpression()
+      }),
+    (FunctionIdentifier("kll_quantile"),
+      new ExpressionInfo(classOf[KllQuantile].getName, "kll_quantile"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "kll_quantile(sketch, q)")
+        KllQuantile(args(0), args(1))
       }))
+
+  private def intLitArg(args: Seq[Expression], idx: Int, name: String,
+      default: Int): Int =
+    if (args.length <= idx) default
+    else args(idx) match {
+      case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+      case other => throw new IllegalArgumentException(
+        s"$name must be an integer literal, got $other")
+    }
 }
