@@ -952,6 +952,25 @@ object CoreQueries {
                         EXCEPT
                         SELECT source FROM documents WHERE doc_id % 2 = 1) t2) AS DOUBLE) AS n_only_even""")),
 
+    // Frequent-items sketch columns: per-shard source-frequency sketches
+    // merged to global heavy hitters — the build-once/merge-later twin of
+    // the exact vocabulary aggregation. Below the sketch's map capacity
+    // (20 sources vs 768) no purge happens and every count is EXACT,
+    // which lets the plain GROUP BY oracle hash-check it; the
+    // above-capacity bounds contract is unit-asserted in FreqSketchSpec.
+    ("agg_freq_topk", (s, d) => {
+      import graft.functions.FreqSketches._
+      T(s, d, "documents")
+        .groupBy((col("doc_id") % 4).as("shard"))
+        .agg(freqSketch(col("source")).as("s"))
+        .agg(freqMerge(col("s")).as("m"))
+        .select(explode(freqItems(col("m"))).as("f"))
+        .select(col("f.item").as("source"), col("f.estimate").as("cnt"))
+        .orderBy(col("cnt").desc, col("source"))
+    },
+      Some("""SELECT source, COUNT(*) AS cnt FROM documents
+              GROUP BY source ORDER BY cnt DESC, source""")),
+
     // KLL quantile sketch columns: per-(lang, shard) n_chars sketches
     // merged up to per-lang p50/p95 — the build-once/merge-later quantile
     // algebra (approx_percentile answers once; a sketch COLUMN is storable

@@ -4,7 +4,8 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CityHash64Expr, KllMergeAgg, KllQuantile, KllSketchAgg,
+import graft.functions.{CityHash64Expr, FreqItems, FreqMergeAgg, FreqSketchAgg,
+  FreqSketches, KllMergeAgg, KllQuantile, KllSketchAgg,
   QuantileSketches, ShingleMinhash, SimHash64, SortedArrayIntersectSize,
   ThetaDifference, ThetaEstimate, ThetaIntersectAgg, ThetaSketchAgg,
   ThetaSketches, ThetaUnionAgg, VectorDot, WyHash64Expr, XxHash32Expr,
@@ -137,6 +138,27 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "kll_quantile(sketch, q)")
         KllQuantile(args(0), args(1))
+      }),
+    // Frequent-items sketch columns (heavy hitters; string items).
+    (FunctionIdentifier("freq_sketch_agg"),
+      new ExpressionInfo(classOf[FreqSketchAgg].getName, "freq_sketch_agg"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1 || args.length == 2, "freq_sketch_agg(item[, maxMapSize])")
+        FreqSketchAgg(args.head, intLitArg(args, 1, "maxMapSize", FreqSketches.DefaultMaxMapSize))
+          .toAggregateExpression()
+      }),
+    (FunctionIdentifier("freq_merge_agg"),
+      new ExpressionInfo(classOf[FreqMergeAgg].getName, "freq_merge_agg"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1 || args.length == 2, "freq_merge_agg(sketch[, maxMapSize])")
+        FreqMergeAgg(args.head, intLitArg(args, 1, "maxMapSize", FreqSketches.DefaultMaxMapSize))
+          .toAggregateExpression()
+      }),
+    (FunctionIdentifier("freq_items"),
+      new ExpressionInfo(classOf[FreqItems].getName, "freq_items"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "freq_items(sketch)")
+        FreqItems(args.head)
       }))
 
   private def intLitArg(args: Seq[Expression], idx: Int, name: String,
