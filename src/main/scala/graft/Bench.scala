@@ -74,7 +74,21 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val maxQ = results.maxBy(_._2)
+    val perQuery =
+      s"""{"metric":"per_query","unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // The harness that captures this output keeps only a bounded stdout TAIL
+    // and parses the last JSON line from it, so the per-query map (which
+    // grows with the query count) goes to an earlier line and a durable
+    // file, while the LAST line stays compact (< 500 chars) forever.
+    println(perQuery)
+    try {
+      val out = java.nio.file.Paths.get("tools", "bench_queries_latest.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out, perQuery.getBytes("UTF-8"))
+    } catch { case e: Throwable => System.err.println(s"[bench] per-query file: $e") }
+    println(
+      s"""{"metric":"total","value":${math.rint(total * 1e3) / 1e3},"unit":"sec","n_queries":${results.size},"max_query":"${maxQ._1}","max_sec":${math.rint(maxQ._2 * 1e3) / 1e3},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -109,8 +109,10 @@ case class FreqSketchAgg(
 case class FreqMergeAgg(
     child: Expression, maxMapSize: Int = FreqSketches.DefaultMaxMapSize,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[ItemsSketch[String]] {
+  extends TypedImperativeAggregate[ItemsSketch[String]]
+  with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
 
+  override def inputTypes: Seq[org.apache.spark.sql.GraftSqlShim.AbstractType] = Seq(BinaryType)
   override def children: Seq[Expression] = child :: Nil
   override def nullable: Boolean = false
   override def dataType: DataType = BinaryType
@@ -149,8 +151,10 @@ case class FreqMergeAgg(
 /** `freq_items(sketch)` → array<struct<item, estimate, lower, upper>>
   * sorted by estimate descending (NO_FALSE_NEGATIVES). */
 case class FreqItems(child: Expression)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression with CodegenFallback
+  with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
 
+  override def inputTypes: Seq[org.apache.spark.sql.GraftSqlShim.AbstractType] = Seq(BinaryType)
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("item", StringType, nullable = false),
     StructField("estimate", LongType, nullable = false),

@@ -109,8 +109,10 @@ case class KllSketchAgg(
 case class KllMergeAgg(
     child: Expression, k: Int = QuantileSketches.DefaultK,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[KllDoublesSketch] {
+  extends TypedImperativeAggregate[KllDoublesSketch]
+  with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
 
+  override def inputTypes: Seq[org.apache.spark.sql.GraftSqlShim.AbstractType] = Seq(BinaryType)
   override def children: Seq[Expression] = child :: Nil
   override def nullable: Boolean = false
   override def dataType: DataType = BinaryType
@@ -147,11 +149,27 @@ case class KllMergeAgg(
   * nothing is not a number, not an exception). Cold-path scalar. */
 case class KllQuantile(left: Expression, right: Expression)
   extends BinaryExpression with CodegenFallback {
+  // Strict BinaryType on the sketch (a string column must fail at ANALYSIS,
+  // not as a cryptic DataSketches error mid-job) while the rank accepts any
+  // numeric — the documented SQL surface writes a bare 0.5, which Spark
+  // parses as DECIMAL(1,1).
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, _: NumericType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure(
+          s"kll_quantile expects (binary sketch, numeric rank), got ($l, $r)")
+    }
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "kll_quantile"
   override protected def nullSafeEval(sketchBytes: Any, q: Any): Any = {
-    val rank = q.asInstanceOf[Double]
+    val rank = q match {
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble
+      case n: java.lang.Number => n.doubleValue()
+    }
     require(rank >= 0.0 && rank <= 1.0, s"quantile rank $rank outside [0, 1]")
     val sk = QuantileSketches.heapify(sketchBytes.asInstanceOf[Array[Byte]])
     if (sk.isEmpty) null

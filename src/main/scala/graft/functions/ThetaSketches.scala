@@ -127,8 +127,10 @@ case class ThetaSketchAgg(
 case class ThetaUnionAgg(
     child: Expression, lgK: Int = ThetaSketches.DefaultLgK,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[Union] {
+  extends TypedImperativeAggregate[Union]
+  with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
 
+  override def inputTypes: Seq[org.apache.spark.sql.GraftSqlShim.AbstractType] = Seq(BinaryType)
   override def children: Seq[Expression] = child :: Nil
   override def nullable: Boolean = false
   override def dataType: DataType = BinaryType
@@ -168,8 +170,10 @@ case class ThetaUnionAgg(
 case class ThetaIntersectAgg(
     child: Expression,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[Intersection] {
+  extends TypedImperativeAggregate[Intersection]
+  with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
 
+  override def inputTypes: Seq[org.apache.spark.sql.GraftSqlShim.AbstractType] = Seq(BinaryType)
   override def children: Seq[Expression] = child :: Nil
   override def nullable: Boolean = true
   override def dataType: DataType = BinaryType
@@ -213,7 +217,9 @@ case class ThetaIntersectAgg(
 /** `theta_estimate(sketch)` → distinct-count estimate (exact below the
   * sketch's nominal entries). Cold-path scalar: CodegenFallback. */
 case class ThetaEstimate(child: Expression)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression with CodegenFallback
+  with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.GraftSqlShim.AbstractType] = Seq(BinaryType)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "theta_estimate"
   override protected def nullSafeEval(input: Any): Any =
@@ -224,7 +230,9 @@ case class ThetaEstimate(child: Expression)
 
 /** `theta_difference(a, b)` → sketch of A-and-not-B. */
 case class ThetaDifference(left: Expression, right: Expression)
-  extends BinaryExpression with CodegenFallback {
+  extends BinaryExpression with CodegenFallback
+  with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.GraftSqlShim.AbstractType] = Seq(BinaryType, BinaryType)
   override def dataType: DataType = BinaryType
   override def prettyName: String = "theta_difference"
   override protected def nullSafeEval(a: Any, b: Any): Any = {

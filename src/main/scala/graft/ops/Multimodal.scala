@@ -76,11 +76,18 @@ object Multimodal {
     octet_length(p) >= 33 && hex(substring(p, 1, 8)) === PngMagic
   private def isWav(p: Column): Column =
     octet_length(p) >= 36 && hex(substring(p, 1, 4)) === "52494646" && // "RIFF"
-      hex(substring(p, 9, 4)) === "57415645"                           // "WAVE"
+      hex(substring(p, 9, 4)) === "57415645" &&                        // "WAVE"
+      hex(substring(p, 13, 4)) === "666D7420"                          // "fmt "
 
   /** REAL header probe: (kind, width, height, sample_rate, channels) from
     * the payload bytes; unknown/truncated payloads yield kind NULL (never
-    * a crash, never a guess). */
+    * a crash, never a guess).
+    *
+    * WAV fields assume the CANONICAL layout — the `fmt ` chunk immediately
+    * after `WAVE` (the layout [[wavHeaderPayload]] writes). Real-world
+    * RIFF files with a leading LIST/JUNK chunk fail the `fmt ` check in
+    * [[isWav]] and fall through to the NULL kind rather than returning
+    * garbage bytes as sample_rate/channels. */
   def probeMediaHeader(p: Column): Column = {
     val nul = lit(null).cast("long")
     when(isPng(p), struct(lit("png").as("kind"),
@@ -94,9 +101,19 @@ object Multimodal {
       nul.as("sample_rate"), nul.as("channels")))
   }
 
-  /** Hex of an int column as exactly `bytes` big-endian bytes. */
-  private def beHex(v: Column, bytes: Int): Column =
-    lpad(hex(v.cast("long")), 2 * bytes, "0")
+  /** Hex of an int column as exactly `bytes` big-endian bytes. Raises on a
+    * value outside [0, 2^(8·bytes)) — `lpad` would otherwise TRUNCATE the
+    * hex (keeping the high-order digits, silently corrupting the field),
+    * against the repo's fail-loudly convention. */
+  private def beHex(v: Column, bytes: Int): Column = {
+    require(bytes <= 4, s"beHex supports at most 4 bytes, got $bytes")
+    val lim = 1L << (8 * bytes)
+    val lv = v.cast("long")
+    val checked = when(lv.isNull || (lv >= 0 && lv < lim), lv).otherwise(
+      raise_error(concat(lit(s"value out of range for a $bytes-byte field: "),
+        lv.cast("string"))).cast("long"))
+    lpad(hex(checked), 2 * bytes, "0")
+  }
 
   /** Same value little-endian: byte-swapped hex pairs. */
   private def leHex(v: Column, bytes: Int): Column = {

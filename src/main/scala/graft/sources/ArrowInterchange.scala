@@ -46,9 +46,24 @@ import org.apache.spark.sql.types._
   *
   * Type surface (both directions): boolean, int, bigint, float, double,
   * string, binary, timestamp (µs — Spark's native precision, written with
-  * UTC zone; zoneless µs timestamps read as UTC instants), date, and
-  * arrays of those scalars (the embeddings shape — Arrow List vectors). An
-  * unsupported column type fails loudly at write/read time, never silently.
+  * UTC zone; zoneless µs timestamps read as UTC instants), date, decimal
+  * (p ≤ 38 ↔ Arrow Decimal128 — the reference's Decimal128 in
+  * arrow_clickhouse_types.h:74-139), fixed-size binary (Arrow
+  * FixedSizeBinary(n) ↔ Spark binary carrying `arrow.fixed_size` field
+  * metadata, round-trip stable), and arrays of those scalars (the
+  * embeddings shape — Arrow List vectors). An unsupported column type
+  * fails loudly at write/read time, never silently.
+  *
+  * Column pruning: `readStream(spark, dir, columns)` decodes ONLY the
+  * requested vectors — the analog of the reference's `column_indices`
+  * pushdown (DataStreams/ParquetBlockInputStream.cpp:33-38) — so a
+  * 3-column projection over a wide embedding table never boxes the other
+  * columns' values, and files may even carry unsupported-typed columns as
+  * long as the projection avoids them. Columns resolve by NAME against
+  * each file's own header (never by position), and every file's schema is
+  * validated against the expected one with the offending path in the
+  * error — a foreign directory of heterogeneous files can not silently
+  * read wrong columns under wrong names.
   */
 object ArrowInterchange {
 
@@ -56,6 +71,12 @@ object ArrowInterchange {
 
   def toArrowSchema(schema: StructType): ArrowSchema =
     new ArrowSchema(schema.fields.map(toArrowField).toSeq.asJava)
+
+  /** Spark binary columns carrying this field-metadata key (a positive int
+    * byte width) map to Arrow FixedSizeBinary(n) instead of variable-width
+    * Binary — and FixedSizeBinary columns read back with the key set, so
+    * the mapping round-trips. */
+  val FixedSizeKey = "arrow.fixed_size"
 
   private def toArrowField(f: StructField): Field = {
     val t: ArrowType = f.dataType match {
@@ -65,9 +86,17 @@ object ArrowInterchange {
       case FloatType     => new ArrowType.FloatingPoint(FloatingPointPrecision.SINGLE)
       case DoubleType    => new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)
       case StringType    => ArrowType.Utf8.INSTANCE
+      case BinaryType if f.metadata.contains(FixedSizeKey) =>
+        val w = f.metadata.getLong(FixedSizeKey)
+        require(w >= 1 && w <= Int.MaxValue,
+          s"Arrow interchange: bad $FixedSizeKey=$w on column '${f.name}'")
+        new ArrowType.FixedSizeBinary(w.toInt)
       case BinaryType    => ArrowType.Binary.INSTANCE
       case TimestampType => new ArrowType.Timestamp(ArrowTimeUnit.MICROSECOND, "UTC")
       case DateType      => new ArrowType.Date(DateUnit.DAY)
+      case d: DecimalType if d.precision <= 38 =>
+        // the reference's Decimal128 (arrow_clickhouse_types.h:74-139)
+        new ArrowType.Decimal(d.precision, d.scale, 128)
       case ArrayType(et, containsNull) =>
         // one level of list nesting (the embeddings shape); the element
         // field recurses through the scalar mapping above
@@ -87,6 +116,12 @@ object ArrowInterchange {
     StructType(schema.getFields.asScala.map(fromArrowField).toSeq)
 
   private def fromArrowField(f: Field): StructField = {
+    f.getType match {
+      case t: ArrowType.FixedSizeBinary =>
+        return StructField(f.getName, BinaryType, f.isNullable,
+          new MetadataBuilder().putLong(FixedSizeKey, t.getByteWidth.toLong).build())
+      case _ => ()
+    }
     val dt = f.getType match {
       case t: ArrowType.Int if t.getBitWidth == 32 && t.getIsSigned => IntegerType
       case t: ArrowType.Int if t.getBitWidth == 64 && t.getIsSigned => LongType
@@ -97,6 +132,8 @@ object ArrowInterchange {
       case _: ArrowType.Binary => BinaryType
       case t: ArrowType.Timestamp if t.getUnit == ArrowTimeUnit.MICROSECOND => TimestampType
       case t: ArrowType.Date if t.getUnit == DateUnit.DAY => DateType
+      case t: ArrowType.Decimal if t.getBitWidth == 128 =>
+        DecimalType(t.getPrecision, t.getScale)
       case _: ArrowType.List =>
         val elem = fromArrowField(f.getChildren.get(0))
         ArrayType(elem.dataType, elem.nullable)
@@ -225,6 +262,19 @@ object ArrowInterchange {
       case (x: VarBinaryVector, BinaryType) =>
         if (value == null) x.setNull(idx)
         else x.setSafe(idx, value.asInstanceOf[Array[Byte]])
+      case (x: FixedSizeBinaryVector, BinaryType) =>
+        if (value == null) x.setNull(idx)
+        else {
+          val bytes = value.asInstanceOf[Array[Byte]]
+          require(bytes.length == x.getByteWidth, "Arrow interchange: " +
+            s"fixed-size binary column expects ${x.getByteWidth} bytes, got ${bytes.length}")
+          x.setSafe(idx, bytes)
+        }
+      case (x: DecimalVector, d: DecimalType) =>
+        if (value == null) x.setNull(idx)
+        // setScale never loses digits here: the row's decimal already has
+        // scale <= d.scale by Spark's own type contract
+        else x.setSafe(idx, value.asInstanceOf[java.math.BigDecimal].setScale(d.scale))
       case (x: TimeStampVector, TimestampType) => // µs, TZ and zoneless alike
         if (value == null) x.setNull(idx)
         else x.setSafe(idx, micros(value.asInstanceOf[Timestamp]))
@@ -252,9 +302,33 @@ object ArrowInterchange {
   /** Read a directory of Arrow IPC stream files written by [[writeStream]]
     * (or any Arrow writer using the supported type surface). Schema comes
     * from the `_schema.arrows` sentinel when present, else the first data
-    * file; data files must share it. */
-  def readStream(spark: SparkSession, dir: String): DataFrame = {
-    val schema = readSchema(spark, dir)
+    * file; every data file's header is validated against it (name + type,
+    * resolved by NAME, with the offending file path in the error). */
+  def readStream(spark: SparkSession, dir: String): DataFrame =
+    readStream(spark, dir, None)
+
+  /** Column-pruned read — the `column_indices` pushdown of the reference's
+    * scan (DataStreams/ParquetBlockInputStream.cpp:33-38): only the
+    * requested columns are decoded into rows; unselected vectors (however
+    * wide — embedding lists, media payloads) are never boxed, and columns
+    * OUTSIDE the projection may even carry Arrow types this interchange
+    * doesn't support. Output columns follow the requested order. */
+  def readStream(spark: SparkSession, dir: String, columns: Seq[String]): DataFrame =
+    readStream(spark, dir, Some(columns))
+
+  private def readStream(spark: SparkSession, dir: String,
+      columns: Option[Seq[String]]): DataFrame = {
+    val fileSchema = readArrowSchema(spark, dir)
+    val schema = columns match {
+      case None => fromArrowSchema(fileSchema)
+      case Some(names) =>
+        val byName = fileSchema.getFields.asScala.map(f => f.getName -> f).toMap
+        StructType(names.map { n =>
+          fromArrowField(byName.getOrElse(n, throw new IllegalArgumentException(
+            s"Arrow interchange: requested column '$n' not in $dir schema " +
+              s"(${fileSchema.getFields.asScala.map(_.getName).mkString(", ")})")))
+        })
+    }
     val conf = spark.sparkContext.hadoopConfiguration
     val dirPath = new Path(dir)
     val fs = dirPath.getFileSystem(conf)
@@ -273,13 +347,20 @@ object ArrowInterchange {
     }
     if (!hasData) // all partitions were empty — sentinel carries the schema
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    // Pruned reads tolerate extra (even unsupported-typed) columns in the
+    // file; full reads require the exact schema — a stray column would
+    // otherwise be silently dropped.
+    val exact = columns.isEmpty
     val rdd = spark.sparkContext.binaryFiles(glob.toString)
-      .flatMap { case (_, pds) => rowsFromStream(pds.open(), schema) }
+      .flatMap { case (path, pds) => rowsFromStream(pds.open(), path, schema, exact) }
     spark.createDataFrame(rdd, schema)
   }
 
   /** Driver-side schema derivation from the sentinel or first data file. */
-  def readSchema(spark: SparkSession, dir: String): StructType = {
+  def readSchema(spark: SparkSession, dir: String): StructType =
+    fromArrowSchema(readArrowSchema(spark, dir))
+
+  private def readArrowSchema(spark: SparkSession, dir: String): ArrowSchema = {
     val conf = spark.sparkContext.hadoopConfiguration
     val sentinel = new Path(dir, "_schema.arrows")
     val fs = sentinel.getFileSystem(conf)
@@ -294,14 +375,19 @@ object ArrowInterchange {
     val in = src.getFileSystem(conf).open(src)
     val alloc = new RootAllocator()
     val reader = new ArrowStreamReader(in, alloc, CommonsCompressionFactory.INSTANCE)
-    try fromArrowSchema(reader.getVectorSchemaRoot.getSchema)
+    try reader.getVectorSchemaRoot.getSchema
     finally { reader.close(); alloc.close() }
   }
 
   /** Lazy batch-at-a-time row iterator over one IPC stream; closes its
     * allocator at exhaustion AND at task completion (early-terminating
-    * consumers like `limit` never exhaust the iterator). */
-  private def rowsFromStream(in: InputStream, schema: StructType): Iterator[Row] = {
+    * consumers like `limit` never exhaust the iterator). The file's header
+    * is validated against `expected` before any row is produced — columns
+    * resolve by NAME (a reordered file reads correctly; a same-typed
+    * different-named file fails with this file's path, never silently
+    * mislabels values), and `exact` additionally rejects extra columns. */
+  private def rowsFromStream(in: InputStream, path: String,
+      expected: StructType, exact: Boolean): Iterator[Row] = {
     val alloc = new RootAllocator()
     // the compression factory also handles uncompressed streams, so every
     // read path accepts plain, lz4 and zstd files alike
@@ -314,7 +400,33 @@ object ArrowInterchange {
     }
     Option(TaskContext.get()).foreach(
       _.addTaskCompletionListener[Unit](_ => closeAll()))
-    val types = schema.fields.map(_.dataType)
+    val fileFields = root.getSchema.getFields.asScala
+    if (exact && fileFields.size != expected.size) {
+      closeAll()
+      throw new IllegalArgumentException(
+        s"Arrow interchange: $path has ${fileFields.size} columns " +
+          s"(${fileFields.map(_.getName).mkString(", ")}) but the dataset " +
+          s"schema has ${expected.size} — 'data files must share it'")
+    }
+    val indexByName = fileFields.zipWithIndex.map { case (f, i) => f.getName -> i }.toMap
+    // decode plan: for each expected column, its vector index in THIS file
+    val cols: Array[Int] = expected.fields.map { ef =>
+      val i = indexByName.getOrElse(ef.name, {
+        closeAll()
+        throw new IllegalArgumentException(
+          s"Arrow interchange: $path has no column '${ef.name}' " +
+            s"(found: ${fileFields.map(_.getName).mkString(", ")})")
+      })
+      val actual = fromArrowField(fileFields(i))
+      if (actual.dataType != ef.dataType) {
+        closeAll()
+        throw new IllegalArgumentException(
+          s"Arrow interchange: $path column '${ef.name}' has type " +
+            s"${actual.dataType} but the dataset schema says ${ef.dataType}")
+      }
+      i
+    }
+    val types = expected.fields.map(_.dataType)
     new Iterator[Row] {
       private var i = 0
       private var n = 0
@@ -331,7 +443,7 @@ object ArrowInterchange {
         val vals = new Array[Any](types.length)
         var c = 0
         while (c < types.length) {
-          vals(c) = getValue(root.getVector(c), types(c), i)
+          vals(c) = getValue(root.getVector(cols(c)), types(c), i)
           c += 1
         }
         i += 1
@@ -350,6 +462,8 @@ object ArrowInterchange {
       case (x: Float8Vector, DoubleType)    => x.get(idx)
       case (x: VarCharVector, StringType)   => new String(x.get(idx), UTF_8)
       case (x: VarBinaryVector, BinaryType) => x.get(idx)
+      case (x: FixedSizeBinaryVector, BinaryType) => x.get(idx)
+      case (x: DecimalVector, _: DecimalType) => x.getObject(idx)
       case (x: TimeStampVector, TimestampType) => tsFromMicros(x.get(idx))
       case (x: DateDayVector, DateType) =>
         java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(x.get(idx).toLong))

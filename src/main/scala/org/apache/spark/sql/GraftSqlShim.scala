@@ -8,4 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftSqlShim {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+  /** `types.AbstractDataType` is `private[sql]`; this public alias lets
+    * graft expressions declare `inputTypes` for analyzer coercion. */
+  type AbstractType = org.apache.spark.sql.types.AbstractDataType
 }

@@ -178,4 +178,137 @@ class ArrowInterchangeSpec extends AnyFunSuite {
     assert(e.getMessage.contains("unsupported type"))
     assert(e.getMessage.contains("'m'"))
   }
+
+  test("column-pruned read decodes only the requested columns, in requested order") {
+    val df = spark.range(6).select(col("id"),
+      concat(lit("s"), col("id")).as("s"),
+      array(col("id").cast("float"), lit(0f)).as("vec"))
+    val dir = tmp("graft_arrow_prune")
+    ArrowInterchange.writeStream(df.repartition(2), dir)
+    val back = ArrowInterchange.readStream(spark, dir, Seq("vec", "id"))
+    assert(back.schema.fieldNames.toSeq === Seq("vec", "id"))
+    val got = back.orderBy("id").as[(Seq[Float], Long)].collect().toSeq
+    assert(got === (0L until 6L).map(i => (Seq(i.toFloat, 0f), i)))
+    val e = intercept[IllegalArgumentException] {
+      ArrowInterchange.readStream(spark, dir, Seq("nope"))
+    }
+    assert(e.getMessage.contains("'nope'"))
+  }
+
+  test("pruned read skips an unsupported-typed column a full read trips on") {
+    // foreign-written file with a uint8 column — outside the interchange's
+    // type surface. The projection that avoids it must still read.
+    import org.apache.arrow.memory.RootAllocator
+    import org.apache.arrow.vector.{UInt1Vector, BigIntVector, VectorSchemaRoot}
+    import org.apache.arrow.vector.ipc.ArrowStreamWriter
+    import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema}
+    import scala.jdk.CollectionConverters._
+    val dir = tmp("graft_arrow_foreign_u8")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
+    val schema = new Schema(Seq(
+      new Field("id", FieldType.nullable(new ArrowType.Int(64, true)), null),
+      new Field("weird", FieldType.nullable(new ArrowType.Int(8, false)), null)).asJava)
+    val alloc = new RootAllocator()
+    val root = VectorSchemaRoot.create(schema, alloc)
+    val out = fs.create(new org.apache.hadoop.fs.Path(dir, "part-00000.arrows"), true)
+    val w = new ArrowStreamWriter(root, null, java.nio.channels.Channels.newChannel(out))
+    w.start()
+    root.allocateNew()
+    val idv = root.getVector(0).asInstanceOf[BigIntVector]
+    val uv = root.getVector(1).asInstanceOf[UInt1Vector]
+    (0 until 4).foreach { i => idv.setSafe(i, i.toLong * 10); uv.setSafe(i, i) }
+    root.setRowCount(4)
+    w.writeBatch(); w.end(); w.close(); root.close(); alloc.close()
+    val full = intercept[IllegalArgumentException] {
+      ArrowInterchange.readStream(spark, dir).count()
+    }
+    assert(full.getMessage.contains("unsupported Arrow type"))
+    val pruned = ArrowInterchange.readStream(spark, dir, Seq("id"))
+    assert(pruned.as[Long].collect().sorted.toSeq === Seq(0L, 10L, 20L, 30L))
+  }
+
+  test("a heterogeneous data file fails with its path, never mislabels columns") {
+    val dirA = tmp("graft_arrow_het_a")
+    val dirB = tmp("graft_arrow_het_b")
+    ArrowInterchange.writeStream(
+      spark.range(3).select(col("id"), concat(lit("a"), col("id")).as("a")).coalesce(1), dirA)
+    ArrowInterchange.writeStream(
+      spark.range(3).select(col("id"), concat(lit("b"), col("id")).as("b")).coalesce(1), dirB)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(dirA).getFileSystem(conf)
+    // drop B's data file (same types, different column name) next to A's
+    org.apache.hadoop.fs.FileUtil.copy(
+      fs, new org.apache.hadoop.fs.Path(dirB, "part-00000.arrows"),
+      fs, new org.apache.hadoop.fs.Path(dirA, "part-00001.arrows"), false, conf)
+    val e = intercept[org.apache.spark.SparkException] {
+      ArrowInterchange.readStream(spark, dirA).count()
+    }
+    val msg = e.getCause.getMessage
+    assert(msg.contains("part-00001.arrows") && msg.contains("'a'"))
+  }
+
+  test("columns resolve by name: a reordered data file reads correctly") {
+    val dirA = tmp("graft_arrow_reord_a")
+    val dirB = tmp("graft_arrow_reord_b")
+    val df = spark.range(3).select(col("id"), concat(lit("v"), col("id")).as("v"))
+    ArrowInterchange.writeStream(df.coalesce(1), dirA)
+    ArrowInterchange.writeStream(df.select("v", "id").coalesce(1), dirB)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(dirA).getFileSystem(conf)
+    fs.delete(new org.apache.hadoop.fs.Path(dirA, "part-00000.arrows"), false)
+    org.apache.hadoop.fs.FileUtil.copy(
+      fs, new org.apache.hadoop.fs.Path(dirB, "part-00000.arrows"),
+      fs, new org.apache.hadoop.fs.Path(dirA, "part-00000.arrows"), false, conf)
+    // sentinel says (id, v); the data file is (v, id) — values must land
+    // under the right names, not the file's positions
+    val back = ArrowInterchange.readStream(spark, dirA)
+    assert(back.schema.fieldNames.toSeq === Seq("id", "v"))
+    assert(back.as[(Long, String)].collect().sortBy(_._1).toSeq ===
+      (0L until 3L).map(i => (i, s"v$i")))
+  }
+
+  test("decimal(12,2) roundtrips exactly through Arrow Decimal128") {
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("price", DecimalType(12, 2))))
+    val rows = Seq(
+      Row(1L, new java.math.BigDecimal("1234567890.12")),
+      Row(2L, new java.math.BigDecimal("-0.01")),
+      Row(3L, null),
+      Row(4L, new java.math.BigDecimal("7.00")))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+    val dir = tmp("graft_arrow_dec")
+    ArrowInterchange.writeStream(df, dir)
+    val back = ArrowInterchange.readStream(spark, dir)
+    assert(back.schema("price").dataType === DecimalType(12, 2))
+    val got = back.orderBy("id").collect()
+      .map(r => (r.getLong(0), Option(r.getDecimal(1)).map(_.toPlainString).orNull)).toSeq
+    assert(got === Seq((1L, "1234567890.12"), (2L, "-0.01"), (3L, null), (4L, "7.00")))
+  }
+
+  test("fixed-size binary roundtrips via field metadata, wrong width fails") {
+    val meta = new MetadataBuilder()
+      .putLong(ArrowInterchange.FixedSizeKey, 4L).build()
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("h", BinaryType, nullable = true, meta)))
+    val rows = Seq(Row(1L, Array[Byte](1, 2, 3, 4)), Row(2L, null),
+      Row(3L, Array[Byte](-1, 0, 0, 9)))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    val dir = tmp("graft_arrow_fsb")
+    ArrowInterchange.writeStream(df, dir)
+    val back = ArrowInterchange.readStream(spark, dir)
+    assert(back.schema("h").metadata.getLong(ArrowInterchange.FixedSizeKey) === 4L)
+    val got = back.orderBy("id").collect()
+      .map(r => (r.getLong(0), Option(r.getAs[Array[Byte]](1)).map(_.toSeq).orNull)).toSeq
+    assert(got === Seq((1L, Seq[Byte](1, 2, 3, 4)), (2L, null), (3L, Seq[Byte](-1, 0, 0, 9))))
+    val bad = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L, Array[Byte](1, 2))), 1), schema)
+    val e = intercept[org.apache.spark.SparkException] {
+      ArrowInterchange.writeStream(bad, tmp("graft_arrow_fsb_bad"))
+    }
+    assert(e.getCause.getMessage.contains("expects 4 bytes"))
+  }
 }

@@ -83,6 +83,33 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows(4L) === Seq(null, null, null, null, null), "truncated header must not parse")
   }
 
+  test("non-canonical RIFF/WAVE (leading JUNK chunk) is NULL-kind, not garbage") {
+    def hx(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // RIFF … WAVE then a JUNK chunk BEFORE fmt — common in real encoders;
+    // fixed-offset field reads would return junk bytes as sample_rate
+    val wavJunk = hx("52494646" + "30000000" + "57415645" +
+      "4A554E4B" + "04000000" + "DEADBEEF" + // "JUNK" len=4 payload
+      "666D7420" + "10000000" + "0100" + "0200" + "44AC0000" +
+      "10B10200" + "0400" + "1000")
+    val kind = Seq((1L, wavJunk)).toDF("id", "payload")
+      .select(Multimodal.probeMediaHeader(col("payload")).as("m"))
+      .select(col("m.kind"), col("m.sample_rate")).head()
+    assert(kind.isNullAt(0) && kind.isNullAt(1),
+      "non-canonical layout must fall through to NULL, never a guessed rate")
+  }
+
+  test("header builders fail loudly on out-of-range field values (no hex truncation)") {
+    // channels is a 2-byte field: 65536 does not fit; lpad would silently
+    // keep the wrong digits without the range guard
+    val e = intercept[Exception] {
+      spark.range(1).select(
+        Multimodal.wavHeaderPayload(lit(8000), lit(65536))).collect()
+    }
+    assert(e.getMessage.contains("out of range") ||
+      Option(e.getCause).exists(_.getMessage.contains("out of range")))
+  }
+
   test("header builders invert through the probe (build→parse roundtrip)") {
     // Asserted driver-side with POSITIVE per-row expectations: a filter on
     // a negated predicate silently drops NULL-kind rows under three-valued

@@ -73,5 +73,22 @@ class QuantileSketchSpec extends AnyFunSuite {
       FROM (SELECT g, kll_sketch_agg(v, 400) AS s FROM kll_in GROUP BY g)""")
       .head().getDouble(0)
     assert(out === 50.0)
+    // a BARE decimal literal (parsed DECIMAL(1,1)) must coerce to double,
+    // not ClassCastException — the documented SQL surface writes 0.5
+    val bare = spark.sql("""
+      SELECT kll_quantile(kll_sketch_agg(v), 0.5) AS p50 FROM kll_in""")
+      .head().getDouble(0)
+    assert(bare === 50.0)
+  }
+
+  test("merge/scalar over a wrong-typed column fails at analysis, not mid-job") {
+    val df = spark.range(3).select(col("id").cast("string").as("s"))
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.agg(kllMerge(col("s"))).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("binary"))
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(kllQuantile(col("s"), lit(0.5))).collect()
+    }
   }
 }
