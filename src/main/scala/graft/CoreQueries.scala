@@ -681,6 +681,29 @@ object CoreQueries {
                   x -> CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT))) AS BIGINT) AS esum
               FROM embeddings ORDER BY vec_id""")),
 
+    // Arrow interchange of a DECIMAL column (reference Decimal128,
+    // arrow_clickhouse_types.h:74-139): o_totalprice rides through the IPC
+    // file as Decimal128(12,2) and back, and the read is COLUMN-PRUNED —
+    // the o_comment payload written next to it is never decoded. Output in
+    // exact integer cents (decimal ×100 → bigint loses nothing) per the
+    // repo's no-decimal-output comparator convention.
+    ("arrow_decimal", (s, d) => {
+      val ord = T(s, d, "orders").select(
+        col("o_orderkey"),
+        col("o_totalprice").cast(DecimalType(12, 2)).as("price"),
+        col("o_orderstatus"))
+      // Scratch contract: see json_roundtrip.
+      val path = graft.sources.Scratch.dir(s, "graft_rt_arrowdec")
+      graft.sources.ArrowInterchange.writeStream(ord, path)
+      graft.sources.ArrowInterchange.readStream(s, path, Seq("price", "o_orderkey"))
+        .select(col("o_orderkey"),
+          (col("price") * 100).cast(LongType).as("price_cents"))
+        .orderBy("o_orderkey")
+    },
+      Some("""SELECT o_orderkey,
+                CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS price_cents
+              FROM orders ORDER BY o_orderkey""")),
+
     ("events_time_buckets", (s, d) =>
       T(s, d, "events")
         .groupBy(
@@ -1037,16 +1060,19 @@ object CoreQueries {
     // engine would run). Stated as avg×n > sum in exact DECIMAL arithmetic
     // so no float average crosses the engine boundary; output columns are
     // raw, so the hash compare is exact.
+    // Inline path relations (parquet.`…`), NOT temp views: a declared
+    // query must not mutate session catalog state as a side effect (a
+    // second session on the same SparkSession would silently rebind a
+    // shared view name).
     ("correlated_subquery", (s, d) => {
-      T(s, d, "customer").createOrReplaceTempView("graft_corr_customer")
-      s.sql("""
+      s.sql(s"""
         SELECT c_custkey, c_nationkey, c_acctbal
-        FROM graft_corr_customer c1
+        FROM parquet.`$d/customer.parquet` c1
         WHERE CAST(c_acctbal AS DECIMAL(12,2)) *
-              (SELECT COUNT(*) FROM graft_corr_customer c2
+              (SELECT COUNT(*) FROM parquet.`$d/customer.parquet` c2
                WHERE c2.c_nationkey = c1.c_nationkey)
             > (SELECT SUM(CAST(c_acctbal AS DECIMAL(12,2)))
-               FROM graft_corr_customer c3
+               FROM parquet.`$d/customer.parquet` c3
                WHERE c3.c_nationkey = c1.c_nationkey)
         ORDER BY c_custkey""")
     },
@@ -1065,12 +1091,11 @@ object CoreQueries {
     // tested once, lineitem never duplicated into the aggregate) — the
     // declarative twin of the explicit join_semi query.
     ("q4_exists", (s, d) => {
-      T(s, d, "orders").createOrReplaceTempView("graft_q4_orders")
-      T(s, d, "lineitem").createOrReplaceTempView("graft_q4_lineitem")
-      s.sql("""
+      // Inline path relations — see correlated_subquery for the rationale.
+      s.sql(s"""
         SELECT o_orderpriority, COUNT(*) AS n
-        FROM graft_q4_orders
-        WHERE EXISTS (SELECT 1 FROM graft_q4_lineitem
+        FROM parquet.`$d/orders.parquet`
+        WHERE EXISTS (SELECT 1 FROM parquet.`$d/lineitem.parquet`
                       WHERE l_orderkey = o_orderkey AND l_quantity > 45)
         GROUP BY o_orderpriority ORDER BY o_orderpriority""")
     },
@@ -1116,6 +1141,41 @@ object CoreQueries {
         .withColumn("zval", graft.sources.Sinks.zValue2(col("za"), col("zb"), 8))
         .orderBy("l_orderkey", "l_linenumber")
     }, Some(zorderOracle)),
+
+    // Sketch-bearing write manifest, EXECUTED end to end: documents are
+    // hash-sharded to disk with per-shard KLL(n_chars) + theta(doc_id)
+    // sketches in the manifest, then the corpus quantile/distinct question
+    // is answered from the MANIFEST ALONE (merge O(shards) sketch rows —
+    // the data files are never rescanned). Sketches stay in their exact
+    // regime at these scales (≤ 8192 values / ≤ 2^14 distinct), so the
+    // oracle is the exact twin over raw data; cume_dist >= q is precisely
+    // KLL's INCLUSIVE-rank quantile definition.
+    ("sketch_manifest", (s, d) => {
+      val docs = T(s, d, "documents").select(
+        col("doc_id"), col("n_chars"),
+        pmod(xxhash64(col("doc_id")), lit(4294967296L)).as("__h"))
+      // Scratch contract: see json_roundtrip.
+      val path = graft.sources.Scratch.dir(s, "graft_sketch_manifest")
+      graft.sources.Sinks.writeShardedWithManifest(docs, path, "__h",
+        tieCols = Seq("doc_id"), shards = 8,
+        kllCols = Seq("n_chars"), thetaCols = Seq("doc_id"))
+      val man = graft.sources.Sinks.readShardManifest(s, path)
+      import graft.functions.{QuantileSketches => QS, ThetaSketches => TS}
+      man.agg(
+        sum(col("rows")).cast(LongType).as("n_docs"),
+        round(TS.thetaEstimate(TS.thetaUnion(col("theta_doc_id"))))
+          .cast(LongType).as("distinct_docs"),
+        QS.kllQuantile(QS.kllMerge(col("kll_n_chars"), 8192), lit(0.5)).as("p50_chars"),
+        QS.kllQuantile(QS.kllMerge(col("kll_n_chars"), 8192), lit(0.9)).as("p90_chars"))
+    },
+      Some("""SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+                (SELECT COUNT(DISTINCT doc_id) FROM documents) AS distinct_docs,
+                (SELECT CAST(MIN(n_chars) AS DOUBLE) FROM
+                  (SELECT n_chars, cume_dist() OVER (ORDER BY n_chars) AS cd FROM documents)
+                 WHERE cd >= 0.5) AS p50_chars,
+                (SELECT CAST(MIN(n_chars) AS DOUBLE) FROM
+                  (SELECT n_chars, cume_dist() OVER (ORDER BY n_chars) AS cd FROM documents)
+                 WHERE cd >= 0.9) AS p90_chars""")),
 
     // Exact statistical moments via decimal sums (reference has no
     // var/stddev — commented out in IAggregateFunction.h:454-473; this is

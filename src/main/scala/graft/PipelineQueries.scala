@@ -501,34 +501,47 @@ object PipelineQueries {
     }, Some(multimodalOracle("id"))),
 
     // REAL header decode (not the stub): payloads are synthesized as valid
-    // PNG (even ids) / WAV (odd ids) containers whose header fields encode
-    // known functions of doc_id, then probeMediaHeader recovers kind/
-    // width/height/sample_rate/channels by ACTUAL byte parsing (magic
-    // sniff, BE/LE fixed-offset field extraction). The oracle recomputes
-    // the expected fields from doc_id alone — a build→parse inversion
-    // check: any off-by-one in an offset or endianness flip hash-fails.
+    // PNG / WAV / JPEG / MP4 containers (doc_id % 4 picks the format)
+    // whose header fields encode known functions of doc_id, then
+    // probeMediaHeader recovers kind/width/height/sample_rate/channels/
+    // duration_ms by ACTUAL byte parsing — fixed-offset BE/LE fields for
+    // PNG/WAV, an SOF segment walk for JPEG and the moov/mvhd box walk
+    // for MP4 (MediaKernels codegen kernels). The oracle recomputes the
+    // expected fields from doc_id alone — a build→parse inversion check:
+    // any off-by-one in an offset, endianness flip, or a walk that stops
+    // one segment short hash-fails.
     ("multimodal_decode", (s, d) => {
       val docs = T(s, d, "documents").select(col("doc_id"), col("text"))
-      val payload = when(col("doc_id") % 2 === 0,
+      val payload = when(col("doc_id") % 4 === 0,
           Multimodal.pngHeaderPayload(
             col("doc_id") % 640 + 1, col("doc_id") % 480 + 1))
-        .otherwise(Multimodal.wavHeaderPayload(
-          lit(8000) + (col("doc_id") % 6) * 4000, col("doc_id") % 3 + 1))
+        .when(col("doc_id") % 4 === 1,
+          Multimodal.wavHeaderPayload(
+            lit(8000) + (col("doc_id") % 6) * 4000, col("doc_id") % 3 + 1))
+        .when(col("doc_id") % 4 === 2,
+          Multimodal.jpegHeaderPayload(
+            col("doc_id") % 1920 + 1, col("doc_id") % 1080 + 1))
+        .otherwise(Multimodal.mp4HeaderPayload(col("doc_id") % 100000 + 40))
       docs
         // body bytes appended so the probe sees a payload, not a bare header
         .withColumn("payload", concat(payload, unhex(md5(col("text")))))
         .withColumn("m", Multimodal.probeMediaHeader(col("payload")))
         .select(col("doc_id"), col("m.kind").as("kind"),
           col("m.width").as("width"), col("m.height").as("height"),
-          col("m.sample_rate").as("sample_rate"), col("m.channels").as("channels"))
+          col("m.sample_rate").as("sample_rate"), col("m.channels").as("channels"),
+          col("m.duration_ms").as("duration_ms"))
         .orderBy("doc_id")
     },
       Some("""SELECT doc_id,
-                CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'wav' END AS kind,
-                CASE WHEN doc_id % 2 = 0 THEN doc_id % 640 + 1 END AS width,
-                CASE WHEN doc_id % 2 = 0 THEN doc_id % 480 + 1 END AS height,
-                CASE WHEN doc_id % 2 = 1 THEN 8000 + (doc_id % 6) * 4000 END AS sample_rate,
-                CASE WHEN doc_id % 2 = 1 THEN doc_id % 3 + 1 END AS channels
+                CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'wav'
+                                WHEN 2 THEN 'jpeg' ELSE 'mp4' END AS kind,
+                CASE doc_id % 4 WHEN 0 THEN doc_id % 640 + 1
+                                WHEN 2 THEN doc_id % 1920 + 1 END AS width,
+                CASE doc_id % 4 WHEN 0 THEN doc_id % 480 + 1
+                                WHEN 2 THEN doc_id % 1080 + 1 END AS height,
+                CASE WHEN doc_id % 4 = 1 THEN 8000 + (doc_id % 6) * 4000 END AS sample_rate,
+                CASE WHEN doc_id % 4 = 1 THEN doc_id % 3 + 1 END AS channels,
+                CASE WHEN doc_id % 4 = 3 THEN doc_id % 100000 + 40 END AS duration_ms
               FROM documents ORDER BY doc_id""")),
 
     // ── as-of (point-in-time) join: for each 'view' event, the most

@@ -78,10 +78,18 @@ object Multimodal {
     octet_length(p) >= 36 && hex(substring(p, 1, 4)) === "52494646" && // "RIFF"
       hex(substring(p, 9, 4)) === "57415645" &&                        // "WAVE"
       hex(substring(p, 13, 4)) === "666D7420"                          // "fmt "
+  private def isJpeg(p: Column): Column =
+    octet_length(p) >= 4 && hex(substring(p, 1, 2)) === "FFD8"         // SOI
+  private def isMp4(p: Column): Column =
+    octet_length(p) >= 16 && hex(substring(p, 5, 4)) === "66747970"    // "ftyp"
 
-  /** REAL header probe: (kind, width, height, sample_rate, channels) from
-    * the payload bytes; unknown/truncated payloads yield kind NULL (never
-    * a crash, never a guess).
+  /** REAL header probe: (kind, width, height, sample_rate, channels,
+    * duration_ms) from the payload bytes; unknown/truncated payloads yield
+    * kind NULL (never a crash, never a guess). PNG/WAV fields come from
+    * fixed-offset arithmetic; JPEG dimensions from an SOF segment walk and
+    * MP4 duration from the moov/mvhd box walk (the
+    * [[graft.functions.MediaKernels]] codegen kernels — a walk whose
+    * failure modes all collapse to the same NULL contract).
     *
     * WAV fields assume the CANONICAL layout — the `fmt ` chunk immediately
     * after `WAVE` (the layout [[wavHeaderPayload]] writes). Real-world
@@ -90,15 +98,25 @@ object Multimodal {
     * garbage bytes as sample_rate/channels. */
   def probeMediaHeader(p: Column): Column = {
     val nul = lit(null).cast("long")
+    val jd = graft.functions.MediaKernels.jpegDimsPacked(p)
+    val mp4ms = graft.functions.MediaKernels.mp4Duration(p)
     when(isPng(p), struct(lit("png").as("kind"),
       beInt(p, 17).as("width"), beInt(p, 21).as("height"),
-      nul.as("sample_rate"), nul.as("channels")))
+      nul.as("sample_rate"), nul.as("channels"), nul.as("duration_ms")))
     .when(isWav(p), struct(lit("wav").as("kind"),
       nul.as("width"), nul.as("height"),
-      leInt(p, 25, 4).as("sample_rate"), leInt(p, 23, 2).as("channels")))
+      leInt(p, 25, 4).as("sample_rate"), leInt(p, 23, 2).as("channels"),
+      nul.as("duration_ms")))
+    .when(isJpeg(p) && jd >= 0, struct(lit("jpeg").as("kind"),
+      shiftright(jd, 32).as("width"),
+      jd.bitwiseAND(lit(0xFFFFFFFFL)).as("height"),
+      nul.as("sample_rate"), nul.as("channels"), nul.as("duration_ms")))
+    .when(isMp4(p) && mp4ms >= 0, struct(lit("mp4").as("kind"),
+      nul.as("width"), nul.as("height"),
+      nul.as("sample_rate"), nul.as("channels"), mp4ms.as("duration_ms")))
     .otherwise(struct(lit(null).cast("string").as("kind"),
       nul.as("width"), nul.as("height"),
-      nul.as("sample_rate"), nul.as("channels")))
+      nul.as("sample_rate"), nul.as("channels"), nul.as("duration_ms")))
   }
 
   /** Hex of an int column as exactly `bytes` big-endian bytes. Raises on a
@@ -131,6 +149,39 @@ object Multimodal {
       beHex(width, 4), beHex(height, 4),
       lit("0806000000"), // bit depth 8, RGBA, deflate/filter/interlace 0
       lit("00000000")))  // CRC placeholder (probe never reads it)
+
+  /** A minimal VALID JPEG prefix: SOI + standard 16-byte JFIF APP0 + an
+    * SOF0 frame header carrying (width, height) for 3 components — enough
+    * segment structure that [[probeMediaHeader]]'s real SOF walk must skip
+    * APP0 and parse big-endian dims at the SOF offsets (not render-valid:
+    * no DQT/DHT/SOS follow). */
+  def jpegHeaderPayload(width: Column, height: Column): Column =
+    unhex(concat(
+      lit("FFD8"),                                       // SOI
+      lit("FFE00010" + "4A46494600" + "0101" + "00" +    // APP0 len 16, "JFIF\0"
+          "00010001" + "0000"),                          // 1:1 density, no thumb
+      lit("FFC00011" + "08"),                            // SOF0 len 17, 8-bit
+      beHex(height, 2), beHex(width, 2),
+      lit("03" + "012200" + "021101" + "031101")))       // 3 comps, 4:2:0
+
+  /** A minimal VALID MP4 prefix: `ftyp` (isom) + `moov`/`mvhd` version 0
+    * with timescale 1000, so the stored duration field IS milliseconds.
+    * [[probeMediaHeader]] must walk the box tree to read it back. */
+  def mp4HeaderPayload(durationMs: Column): Column =
+    unhex(concat(
+      lit("00000014" + "66747970" + "69736F6D" + "00000000" + "69736F6D"),
+      lit("00000074" + "6D6F6F76"),                      // moov, size 8+108
+      lit("0000006C" + "6D766864" + "00" + "000000" +    // mvhd v0
+          "00000000" + "00000000" + "000003E8"),         // ctime/mtime/ts=1000
+      beHex(durationMs, 4),
+      lit("00010000" + "0100" + "0000" +                 // rate 1.0, volume, rsvd
+          "0000000000000000" +                           // reserved ×2
+          "00010000" + "00000000" + "00000000" +         // unity matrix
+          "00000000" + "00010000" + "00000000" +
+          "00000000" + "00000000" + "40000000" +
+          "000000000000000000000000" +                   // pre_defined ×6
+          "000000000000000000000000" +
+          "00000002")))                                  // next_track_ID
 
   /** A minimal valid RIFF/WAVE header + fmt chunk carrying
     * (sampleRate, channels), 16-bit PCM. */

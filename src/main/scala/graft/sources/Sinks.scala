@@ -199,6 +199,50 @@ object Sinks {
       .orderBy("file")
   }
 
+  /** Sharded write + per-shard SKETCH manifest — the executed form of the
+    * build-once/merge-later story the sketch columns exist for: next to
+    * each shard the manifest stores, besides row count and content
+    * checksum, a KLL quantile sketch per `kllCols` column and a theta
+    * distinct sketch per `thetaCols` column. A later corpus question
+    * ("p90 doc length across THESE 400 shards", "distinct doc_ids across
+    * two crawls") is answered by merging manifest rows — cost
+    * O(shards), never a rescan of the data files. At 100 TB that is the
+    * difference between reading kilobytes of manifest and re-reading the
+    * corpus.
+    *
+    * The manifest pass is a read-back of the WRITTEN files (one extra
+    * scan, map-side combined): like [[manifest]], it attests what landed
+    * on disk, not what the writer intended to land. Manifest lives at
+    * `path/_manifest` — an underscore directory, invisible to a plain
+    * parquet read of `path`.
+    *
+    * Exactness contract (what makes the declared query oracle-checkable):
+    * below `kllK` total values / 2^`thetaLgK` distinct values the merged
+    * sketches are EXACT; beyond, the documented error bounds apply. */
+  def writeShardedWithManifest(
+      df: DataFrame, path: String, hashCol: String, tieCols: Seq[String],
+      shards: Int, kllCols: Seq[String], thetaCols: Seq[String],
+      kllK: Int = 8192, thetaLgK: Int = 14): Unit = {
+    writeShardedByHash(df, path, hashCol, tieCols, shards)
+    import org.apache.spark.sql.functions._
+    val back = df.sparkSession.read.parquet(path) // carries the shard column
+    val dataCols = back.columns.filterNot(_ == "shard")
+    val aggs =
+      count(lit(1)).as("rows") +:
+      sum(xxhash64(dataCols.map(col): _*).cast("decimal(20,0)")).as("content_sum") +:
+      (kllCols.map(c => graft.functions.QuantileSketches
+         .kllSketch(col(c).cast("double"), kllK).as(s"kll_$c")) ++
+       thetaCols.map(c => graft.functions.ThetaSketches
+         .thetaSketch(col(c), thetaLgK).as(s"theta_$c")))
+    back.groupBy(col("shard"))
+      .agg(aggs.head, aggs.tail: _*)
+      .write.mode(SaveMode.Overwrite).parquet(path + "/_manifest")
+  }
+
+  /** The stored per-shard manifest of [[writeShardedWithManifest]]. */
+  def readShardManifest(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path + "/_manifest")
+
   /** ORC interchange (the other mainstream columnar format — lossless for
     * every type this engine uses, incl. µs timestamps; same pushdown/
     * pruning machinery as parquet in Spark's reader). Kept schema-explicit

@@ -71,16 +71,38 @@ class MultimodalSpec extends AnyFunSuite {
     val wav = hx("52494646" + "24000000" + "57415645" + "666D7420" +
       "10000000" + "0100" + "0200" + "44AC0000" + "10B10200" + "0400" + "1000")
     val junk = "not a media file at all".getBytes("UTF-8")
-    val df = Seq((1L, png), (2L, wav), (3L, junk), (4L, png.take(10)))
+    // 2×3 JPEG: SOI, APP0 (JFIF), a COM segment the SOF walk must SKIP,
+    // then SOF0 with height=3 width=2 — transcribed from ITU T.81 §B
+    val jpeg = hx("FFD8" + "FFE00010" + "4A46494600" + "0101" + "00" +
+      "00010001" + "0000" + "FFFE0004" + "ABCD" + // COM, 2 payload bytes
+      "FFC00011" + "08" + "0003" + "0002" + "03" + "012200" + "021101" + "031101")
+    // minimal MP4: ftyp(isom), moov > mvhd v0 timescale=600 duration=1200
+    // (→ 2000 ms), zero matrix/reserved tail — ISO 14496-12 §8.2.2 layout
+    val mp4 = hx("00000014" + "66747970" + "69736F6D" + "00000000" + "69736F6D" +
+      "00000074" + "6D6F6F76" +
+      "0000006C" + "6D766864" + "00000000" + "00000000" + "00000000" +
+      "00000258" + "000004B0" + // timescale 600, duration 1200
+      "00010000" + "0100" + "0000" + "0000000000000000" +
+      "000100000000000000000000" + "000000000001000000000000" +
+      "000000000000000040000000" +
+      "000000000000000000000000" + "000000000000000000000000" + "00000002")
+    val df = Seq((1L, png), (2L, wav), (3L, junk), (4L, png.take(10)),
+        (5L, jpeg), (6L, mp4), (7L, jpeg.take(6)), (8L, mp4.take(30)))
       .toDF("id", "payload")
       .select(col("id"), Multimodal.probeMediaHeader(col("payload")).as("m"))
       .select(col("id"), col("m.kind"), col("m.width"), col("m.height"),
-        col("m.sample_rate"), col("m.channels"))
+        col("m.sample_rate"), col("m.channels"), col("m.duration_ms"))
     val rows = df.collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
-    assert(rows(1L) === Seq("png", 1L, 1L, null, null))
-    assert(rows(2L) === Seq("wav", null, null, 44100L, 2L))
-    assert(rows(3L) === Seq(null, null, null, null, null), "junk must be NULL-kind")
-    assert(rows(4L) === Seq(null, null, null, null, null), "truncated header must not parse")
+    assert(rows(1L) === Seq("png", 1L, 1L, null, null, null))
+    assert(rows(2L) === Seq("wav", null, null, 44100L, 2L, null))
+    assert(rows(3L) === Seq(null, null, null, null, null, null), "junk must be NULL-kind")
+    assert(rows(4L) === Seq(null, null, null, null, null, null), "truncated header must not parse")
+    assert(rows(5L) === Seq("jpeg", 2L, 3L, null, null, null),
+      "SOF walk must skip APP0+COM and read BE dims")
+    assert(rows(6L) === Seq("mp4", null, null, null, null, 2000L),
+      "mvhd duration 1200 @ timescale 600 is 2000 ms")
+    assert(rows(7L) === Seq(null, null, null, null, null, null), "truncated JPEG must not parse")
+    assert(rows(8L) === Seq(null, null, null, null, null, null), "truncated MP4 must not parse")
   }
 
   test("non-canonical RIFF/WAVE (leading JUNK chunk) is NULL-kind, not garbage") {
@@ -116,20 +138,27 @@ class MultimodalSpec extends AnyFunSuite {
     // logic (true && !(NULL) = NULL), which is exactly how a broken builder
     // would evade a `bad.count() === 0` style assertion.
     val built = spark.range(1, 50).select(col("id"),
-      when(col("id") % 2 === 0,
+      when(col("id") % 4 === 0,
         Multimodal.pngHeaderPayload(col("id") * 3, col("id") + 7))
-      .otherwise(Multimodal.wavHeaderPayload(lit(8000) + col("id"), lit(1)))
+      .when(col("id") % 4 === 1,
+        Multimodal.wavHeaderPayload(lit(8000) + col("id"), lit(1)))
+      .when(col("id") % 4 === 2,
+        Multimodal.jpegHeaderPayload(col("id") + 100, col("id") * 2))
+      .otherwise(Multimodal.mp4HeaderPayload(col("id") * 37))
         .as("payload"))
     val parsed = built
       .select(col("id"), Multimodal.probeMediaHeader(col("payload")).as("m"))
       .select(col("id"), col("m.kind"), col("m.width"), col("m.height"),
-        col("m.sample_rate"), col("m.channels"))
+        col("m.sample_rate"), col("m.channels"), col("m.duration_ms"))
       .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
     assert(parsed.size === 49)
     parsed.foreach { case (id, got) =>
-      val want =
-        if (id % 2 == 0) Seq("png", id * 3, id + 7, null, null)
-        else Seq("wav", null, null, 8000L + id, 1L)
+      val want = (id % 4) match {
+        case 0 => Seq("png", id * 3, id + 7, null, null, null)
+        case 1 => Seq("wav", null, null, 8000L + id, 1L, null)
+        case 2 => Seq("jpeg", id + 100, id * 2, null, null, null)
+        case _ => Seq("mp4", null, null, null, null, id * 37)
+      }
       assert(got === want, s"id=$id")
     }
   }

@@ -140,6 +140,37 @@ class SinksSpec extends AnyFunSuite {
       (0 until 1000).map(i => i * 7919 % 1000).count(k => k >= 10 && k <= 20))
   }
 
+  test("sketch manifest: corpus quantile/distinct answered from the manifest alone") {
+    import graft.functions.{QuantileSketches => QS, ThetaSketches => TS}
+    val path = tmp()
+    val df = (1 to 900).map(i => (i.toLong, (i * 31) % 500 + 10))
+      .toDF("doc_id", "n_chars")
+      .withColumn("__h", org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.xxhash64($"doc_id"), lit(4294967296L)))
+    Sinks.writeShardedWithManifest(df, path, "__h", Seq("doc_id"), shards = 4,
+      kllCols = Seq("n_chars"), thetaCols = Seq("doc_id"))
+    val man = Sinks.readShardManifest(spark, path)
+    assert(man.count() === 4)
+    assert(man.columns.toSet ===
+      Set("shard", "rows", "content_sum", "kll_n_chars", "theta_doc_id"))
+    // merged manifest answers == exact answers over raw data (exact regime)
+    val got = man.agg(
+      sum($"rows").as("n"),
+      org.apache.spark.sql.functions.round(
+        TS.thetaEstimate(TS.thetaUnion($"theta_doc_id"))).cast("long").as("nd"),
+      QS.kllQuantile(QS.kllMerge($"kll_n_chars", 8192), lit(0.9)).as("p90")).head()
+    assert(got.getLong(0) === 900L)
+    assert(got.getLong(1) === 900L)
+    val exactP90 = {
+      val vals = (1 to 900).map(i => (i * 31) % 500 + 10).sorted
+      vals.find(v => vals.count(_ <= v).toDouble / vals.size >= 0.9).get.toDouble
+    }
+    assert(got.getDouble(2) === exactP90)
+    // manifest is invisible to a plain read of the data path
+    assert(spark.read.parquet(path).columns.toSet ===
+      Set("doc_id", "n_chars", "__h", "shard"))
+  }
+
   test("N:1 and N:N parquet sinks round-trip") {
     val p1 = tmp(); val p2 = tmp()
     val df = (0 until 64).toDF("x").repartition(8)
