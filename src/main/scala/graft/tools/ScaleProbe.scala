@@ -79,6 +79,52 @@ object ScaleProbe {
       clear()
     }
 
+    // ── sketch quartet: build-once/merge-later beyond sf0.1 ─────────────
+    // Per-group sketches (theta distinct, KLL quantile, freq heavy-hitter)
+    // built in ONE scan with map-side-combined bounded state, stored as a
+    // parquet "manifest", then merged up to corpus-level answers at cost
+    // O(groups) — the claim under test is that build wall-clock scales
+    // with the corpus while merge wall-clock does NOT, and that beyond
+    // the exact regime (x4/x16 exceed 2^14 distinct) the estimate error
+    // stays inside the documented ~1% RSE.
+    locally {
+      println("[scale] ===== sketch quartet: build (map-side bounded) + merge-up =====")
+      import graft.functions.{QuantileSketches => QS, ThetaSketches => TS,
+        FreqSketches => FS}
+      for (m <- Seq(1, 4, 16)) {
+        val docs = spark.read.parquet(s"/tmp/graft_scale/docs_x$m")
+          .select(col("doc_id"),
+            length(col("text")).cast("double").as("n_chars"),
+            substring(col("text"), 1, 3).as("tok"),
+            pmod(col("doc_id"), lit(256L)).as("g"))
+        val sketchPath = s"/tmp/graft_scale/sketches_x$m"
+        clear()
+        time(s"x$m sketch build 256 grp") {
+          docs.groupBy("g").agg(
+            TS.thetaSketch(col("doc_id")).as("theta_doc"),
+            QS.kllSketch(col("n_chars")).as("kll_len"),
+            FS.freqSketch(col("tok")).as("freq_tok"))
+            .write.mode("overwrite").parquet(sketchPath)
+          spark.read.parquet(sketchPath).count()
+        }
+        time(s"x$m sketch merge-up") {
+          val man = spark.read.parquet(sketchPath)
+          val r = man.agg(
+            TS.thetaEstimate(TS.thetaUnion(col("theta_doc"))).as("nd"),
+            QS.kllQuantile(QS.kllMerge(col("kll_len")), lit(0.9)).as("p90"),
+            FS.freqItems(FS.freqMerge(col("freq_tok"))).as("items")).head()
+          val exact = m * 5000L
+          val err = math.abs(r.getDouble(0) - exact) / exact
+          val top = r.getSeq[org.apache.spark.sql.Row](2).headOption
+            .map(t => s"'${t.getString(0)}'x${t.getLong(1)}").getOrElse("-")
+          println(f"[scale]   distinct est ${r.getDouble(0)}%.0f vs $exact exact " +
+            f"(rel err ${err * 100}%.2f%%), p90 len ${r.getDouble(1)}%.0f, top tok $top")
+          man.count()
+        }
+        clear()
+      }
+    }
+
     // ── skew-join regime: ONE key owns half the probe side ───────────────
     // Broadcast disabled (the salted join targets exactly the regime where
     // the build side is too big to broadcast); AQE skew splitting toggled
