@@ -704,6 +704,22 @@ object CoreQueries {
                 CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS price_cents
               FROM orders ORDER BY o_orderkey""")),
 
+    // DSv2 face of the Arrow source: format("arrow-ipc") with pruning
+    // driven by the PLAN — the downstream select reaches the scan as
+    // SupportsPushDownRequiredColumns, so only 3 of the 6 written columns
+    // are ever decoded (ArrowDsv2Spec asserts the scan's readSchema).
+    ("arrow_dsv2", (s, d) => {
+      val ev = T(s, d, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      // Scratch contract: see json_roundtrip.
+      val path = graft.sources.Scratch.dir(s, "graft_rt_arrowds")
+      graft.sources.ArrowInterchange.writeStream(ev, path)
+      s.read.format("arrow-ipc").load(path)
+        .select(col("event_id"), col("user_id"), col("value"))
+        .orderBy("event_id")
+    },
+      Some("""SELECT event_id, user_id, value FROM events ORDER BY event_id""")),
+
     ("events_time_buckets", (s, d) =>
       T(s, d, "events")
         .groupBy(

@@ -400,32 +400,9 @@ object ArrowInterchange {
     }
     Option(TaskContext.get()).foreach(
       _.addTaskCompletionListener[Unit](_ => closeAll()))
-    val fileFields = root.getSchema.getFields.asScala
-    if (exact && fileFields.size != expected.size) {
-      closeAll()
-      throw new IllegalArgumentException(
-        s"Arrow interchange: $path has ${fileFields.size} columns " +
-          s"(${fileFields.map(_.getName).mkString(", ")}) but the dataset " +
-          s"schema has ${expected.size} — 'data files must share it'")
-    }
-    val indexByName = fileFields.zipWithIndex.map { case (f, i) => f.getName -> i }.toMap
-    // decode plan: for each expected column, its vector index in THIS file
-    val cols: Array[Int] = expected.fields.map { ef =>
-      val i = indexByName.getOrElse(ef.name, {
-        closeAll()
-        throw new IllegalArgumentException(
-          s"Arrow interchange: $path has no column '${ef.name}' " +
-            s"(found: ${fileFields.map(_.getName).mkString(", ")})")
-      })
-      val actual = fromArrowField(fileFields(i))
-      if (actual.dataType != ef.dataType) {
-        closeAll()
-        throw new IllegalArgumentException(
-          s"Arrow interchange: $path column '${ef.name}' has type " +
-            s"${actual.dataType} but the dataset schema says ${ef.dataType}")
-      }
-      i
-    }
+    val cols: Array[Int] =
+      try resolveColumns(root.getSchema, expected, path, exact)
+      catch { case e: Throwable => closeAll(); throw e }
     val types = expected.fields.map(_.dataType)
     new Iterator[Row] {
       private var i = 0
@@ -451,6 +428,62 @@ object ArrowInterchange {
       }
     }
   }
+
+  /** Validate one file's header against the expected schema and return,
+    * for each expected column, its vector index in THIS file — by NAME
+    * (a reordered file resolves correctly; a missing/mistyped column
+    * fails with the file's path), `exact` additionally rejecting extra
+    * columns. Shared by the function-style reader and the DSv2 scan. */
+  private[sources] def resolveColumns(fileSchema: ArrowSchema,
+      expected: StructType, path: String, exact: Boolean): Array[Int] = {
+    val fileFields = fileSchema.getFields.asScala
+    if (exact && fileFields.size != expected.size)
+      throw new IllegalArgumentException(
+        s"Arrow interchange: $path has ${fileFields.size} columns " +
+          s"(${fileFields.map(_.getName).mkString(", ")}) but the dataset " +
+          s"schema has ${expected.size} — 'data files must share it'")
+    val indexByName = fileFields.zipWithIndex.map { case (f, i) => f.getName -> i }.toMap
+    expected.fields.map { ef =>
+      val i = indexByName.getOrElse(ef.name,
+        throw new IllegalArgumentException(
+          s"Arrow interchange: $path has no column '${ef.name}' " +
+            s"(found: ${fileFields.map(_.getName).mkString(", ")})"))
+      val actual = fromArrowField(fileFields(i))
+      if (actual.dataType != ef.dataType)
+        throw new IllegalArgumentException(
+          s"Arrow interchange: $path column '${ef.name}' has type " +
+            s"${actual.dataType} but the dataset schema says ${ef.dataType}")
+      i
+    }
+  }
+
+  /** One value in Catalyst INTERNAL form (UTF8String, micros long, days
+    * int, Decimal, GenericArrayData) — the DSv2 scan's decode path, which
+    * skips the external boxing ([[getValue]]'s Timestamp/Date/Seq) that
+    * `createDataFrame` would just convert straight back. */
+  private[sources] def getInternalValue(v: FieldVector, dt: DataType, idx: Int): Any =
+    if (v.isNull(idx)) null
+    else (v, dt) match {
+      case (x: BitVector, BooleanType)      => x.get(idx) == 1
+      case (x: IntVector, IntegerType)      => x.get(idx)
+      case (x: BigIntVector, LongType)      => x.get(idx)
+      case (x: Float4Vector, FloatType)     => x.get(idx)
+      case (x: Float8Vector, DoubleType)    => x.get(idx)
+      case (x: VarCharVector, StringType)   =>
+        org.apache.spark.unsafe.types.UTF8String.fromBytes(x.get(idx))
+      case (x: VarBinaryVector, BinaryType) => x.get(idx)
+      case (x: FixedSizeBinaryVector, BinaryType) => x.get(idx)
+      case (x: DecimalVector, d: DecimalType) =>
+        org.apache.spark.sql.types.Decimal(x.getObject(idx), d.precision, d.scale)
+      case (x: TimeStampVector, TimestampType) => x.get(idx) // already µs
+      case (x: DateDayVector, DateType)     => x.get(idx)    // already days
+      case (x: ListVector, ArrayType(et, _)) =>
+        val (start, end) = (x.getElementStartIndex(idx), x.getElementEndIndex(idx))
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          (start until end).map(i => getInternalValue(x.getDataVector, et, i)).toArray)
+      case (other, t) => throw new IllegalArgumentException(
+        s"Arrow interchange: vector ${other.getClass.getSimpleName} / type $t mismatch")
+    }
 
   private def getValue(v: FieldVector, dt: DataType, idx: Int): Any =
     if (v.isNull(idx)) null

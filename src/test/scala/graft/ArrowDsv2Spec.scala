@@ -1,0 +1,100 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.ArrowInterchange
+
+/** DSv2 face of the Arrow interchange: `format("arrow-ipc")` reads the
+  * same directories as the function-style reader, with column pruning
+  * driven by the PLAN (SupportsPushDownRequiredColumns), not by a
+  * cooperative API argument. */
+class ArrowDsv2Spec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString + "/out"
+
+  test("full DSv2 read matches the function-style reader across the type surface") {
+    val df = spark.range(20).select(col("id"),
+      concat(lit("s"), col("id")).as("s"),
+      (col("id") % 3 === 0).as("b"),
+      col("id").cast(DecimalType(12, 2)).as("price"),
+      array(col("id").cast("float"), lit(0.5f)).as("vec"))
+    val dir = tmp("graft_dsv2_full")
+    ArrowInterchange.writeStream(df.repartition(3), dir, codec = Some("zstd"))
+    val viaFn = ArrowInterchange.readStream(spark, dir)
+    val viaDs = spark.read.format("arrow-ipc").load(dir)
+    assert(viaDs.schema === viaFn.schema)
+    assert(viaDs.orderBy("id").collect().map(_.toString).toSeq ===
+      viaFn.orderBy("id").collect().map(_.toString).toSeq)
+  }
+
+  test("a downstream select prunes the scan (plan-driven, no API argument)") {
+    val df = spark.range(10).select(col("id"),
+      concat(lit("payload"), col("id")).as("wide"))
+    val dir = tmp("graft_dsv2_prune")
+    ArrowInterchange.writeStream(df, dir)
+    val pruned = spark.read.format("arrow-ipc").load(dir).select("id")
+    // the scan itself must carry only the projected column
+    val scans = pruned.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => s
+    }
+    assert(scans.nonEmpty, "expected a BatchScanExec in the plan")
+    assert(scans.head.scan.readSchema().fieldNames.toSeq === Seq("id"))
+    assert(pruned.as[Long].collect().sorted.toSeq === (0L until 10L))
+  }
+
+  test("pruning lets a projection skip a column the full schema can't even map") {
+    // foreign file with an unsupported uint8 column (same fixture shape as
+    // ArrowInterchangeSpec): with an explicit schema for the supported
+    // subset, the DSv2 path reads it — decoding 'weird' would throw, so a
+    // green read PROVES the pruned column is never touched.
+    import org.apache.arrow.memory.RootAllocator
+    import org.apache.arrow.vector.{BigIntVector, UInt1Vector, VectorSchemaRoot}
+    import org.apache.arrow.vector.ipc.ArrowStreamWriter
+    import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema}
+    import scala.jdk.CollectionConverters._
+    val dir = tmp("graft_dsv2_foreign")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
+    val schema = new Schema(Seq(
+      new Field("id", FieldType.nullable(new ArrowType.Int(64, true)), null),
+      new Field("weird", FieldType.nullable(new ArrowType.Int(8, false)), null)).asJava)
+    val alloc = new RootAllocator()
+    val root = VectorSchemaRoot.create(schema, alloc)
+    val out = fs.create(new org.apache.hadoop.fs.Path(dir, "part-00000.arrows"), true)
+    val w = new ArrowStreamWriter(root, null, java.nio.channels.Channels.newChannel(out))
+    w.start(); root.allocateNew()
+    val idv = root.getVector(0).asInstanceOf[BigIntVector]
+    val uv = root.getVector(1).asInstanceOf[UInt1Vector]
+    (0 until 3).foreach { i => idv.setSafe(i, i.toLong + 5); uv.setSafe(i, i) }
+    root.setRowCount(3)
+    w.writeBatch(); w.end(); w.close(); root.close(); alloc.close()
+    val got = spark.read.format("arrow-ipc")
+      .schema(StructType(Seq(StructField("id", LongType))))
+      .load(dir)
+      .as[Long].collect().sorted.toSeq
+    assert(got === Seq(5L, 6L, 7L))
+  }
+
+  test("count(*) works through an empty projection; partial writes refused") {
+    val df = spark.range(17).select(col("id"), lit("x").as("s"))
+    val dir = tmp("graft_dsv2_count")
+    ArrowInterchange.writeStream(df.repartition(2), dir)
+    assert(spark.read.format("arrow-ipc").load(dir).count() === 17L)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"), false)
+    val e = intercept[Exception] {
+      spark.read.format("arrow-ipc").load(dir).count()
+    }
+    assert(e.getMessage.contains("_SUCCESS") ||
+      Option(e.getCause).exists(_.getMessage.contains("_SUCCESS")))
+  }
+}
