@@ -195,7 +195,7 @@ object ArrowInterchange {
     fs.create(new Path(dirPath, "_SUCCESS"), true).close()
   }
 
-  private def codecType(codec: Option[String]): Option[CompressionUtil.CodecType] =
+  private[sources] def codecType(codec: Option[String]): Option[CompressionUtil.CodecType] =
     codec.map {
       case "lz4"  => CompressionUtil.CodecType.LZ4_FRAME
       case "zstd" => CompressionUtil.CodecType.ZSTD
@@ -203,16 +203,26 @@ object ArrowInterchange {
         s"Arrow interchange: unknown codec '$other' (supported: lz4, zstd)")
     }
 
+  /** IPC stream writer over `root`, optionally body-compressed. */
+  private[sources] def newStreamWriter(root: VectorSchemaRoot,
+      out: java.io.OutputStream, codec: Option[String]): ArrowStreamWriter =
+    codecType(codec) match {
+      case Some(ct) => new ArrowStreamWriter(root, null, Channels.newChannel(out),
+        IpcOption.DEFAULT, CommonsCompressionFactory.INSTANCE, ct)
+      case None => new ArrowStreamWriter(root, null, Channels.newChannel(out))
+    }
+
+  /** Zero-row schema-sentinel stream file. */
+  private[sources] def writeSentinel(out: java.io.OutputStream,
+      schema: StructType): Unit =
+    writeOneFile(out, schema, Iterator.empty, 1, None)
+
   private def writeOneFile(out: java.io.OutputStream, schema: StructType,
       rows: Iterator[Row], maxRecordsPerBatch: Int,
       codec: Option[String]): Unit = {
     val alloc = new RootAllocator()
     val root = VectorSchemaRoot.create(toArrowSchema(schema), alloc)
-    val writer = codecType(codec) match {
-      case Some(ct) => new ArrowStreamWriter(root, null, Channels.newChannel(out),
-        IpcOption.DEFAULT, CommonsCompressionFactory.INSTANCE, ct)
-      case None => new ArrowStreamWriter(root, null, Channels.newChannel(out))
-    }
+    val writer = newStreamWriter(root, out, codec)
     try {
       writer.start()
       val types = schema.fields.map(_.dataType)
@@ -241,6 +251,54 @@ object ArrowInterchange {
 
   private def setValue(v: FieldVector, dt: DataType, idx: Int, row: Row, col: Int): Unit =
     setRaw(v, dt, idx, if (row.isNullAt(col)) null else row.get(col))
+
+  /** Write one value straight from Catalyst INTERNAL form (UTF8String
+    * bytes, micros long, days int, Decimal, ArrayData) — the DSv2 write
+    * path, skipping the external boxing the [[setRaw]] path pays.
+    * `SpecializedGetters` covers both InternalRow and ArrayData, so list
+    * elements recurse through the same dispatch. */
+  private[sources] def setInternalValue(v: FieldVector, dt: DataType, idx: Int,
+      row: org.apache.spark.sql.catalyst.expressions.SpecializedGetters,
+      col: Int): Unit =
+    if (row.isNullAt(col)) {
+      v match {
+        case x: ListVector => x.setNull(idx) // fills offset holes, keeps lastSet
+        case x: BaseFixedWidthVector => x.setNull(idx)
+        case x: BaseVariableWidthVector => x.setNull(idx)
+        case other => throw new IllegalArgumentException(
+          s"Arrow interchange: cannot null vector ${other.getClass.getSimpleName}")
+      }
+    } else (v, dt) match {
+      case (x: BitVector, BooleanType) =>
+        x.setSafe(idx, if (row.getBoolean(col)) 1 else 0)
+      case (x: IntVector, IntegerType)   => x.setSafe(idx, row.getInt(col))
+      case (x: BigIntVector, LongType)   => x.setSafe(idx, row.getLong(col))
+      case (x: Float4Vector, FloatType)  => x.setSafe(idx, row.getFloat(col))
+      case (x: Float8Vector, DoubleType) => x.setSafe(idx, row.getDouble(col))
+      case (x: VarCharVector, StringType) =>
+        x.setSafe(idx, row.getUTF8String(col).getBytes)
+      case (x: VarBinaryVector, BinaryType) => x.setSafe(idx, row.getBinary(col))
+      case (x: FixedSizeBinaryVector, BinaryType) =>
+        val bytes = row.getBinary(col)
+        require(bytes.length == x.getByteWidth, "Arrow interchange: " +
+          s"fixed-size binary column expects ${x.getByteWidth} bytes, got ${bytes.length}")
+        x.setSafe(idx, bytes)
+      case (x: DecimalVector, d: DecimalType) =>
+        x.setSafe(idx,
+          row.getDecimal(col, d.precision, d.scale).toJavaBigDecimal.setScale(d.scale))
+      case (x: TimeStampVector, TimestampType) => x.setSafe(idx, row.getLong(col))
+      case (x: DateDayVector, DateType)        => x.setSafe(idx, row.getInt(col))
+      case (x: ListVector, ArrayType(et, _)) =>
+        val arr = row.getArray(col)
+        val offset = x.startNewValue(idx)
+        var i = 0
+        while (i < arr.numElements()) {
+          setInternalValue(x.getDataVector, et, offset + i, arr, i); i += 1
+        }
+        x.endValue(idx, arr.numElements())
+      case (other, t) => throw new IllegalArgumentException(
+        s"Arrow interchange: vector ${other.getClass.getSimpleName} / type $t mismatch")
+    }
 
   /** Write one (possibly null) value; recursive through list elements. */
   private def setRaw(v: FieldVector, dt: DataType, idx: Int, value: Any): Unit =

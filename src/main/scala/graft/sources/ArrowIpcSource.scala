@@ -63,13 +63,20 @@ class ArrowIpcSource extends TableProvider with DataSourceRegister {
 }
 
 private[sources] class ArrowIpcTable(tableSchema: StructType, dir: String)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"arrow-ipc `$dir`"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ArrowIpcScanBuilder(tableSchema, dir)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new ArrowIpcWriteBuilder(info.schema(), dir,
+      Option(info.options.get("codec")), info.queryId())
 }
 
 private[sources] class ArrowIpcScanBuilder(full: StructType, dir: String)
@@ -119,6 +126,226 @@ private[sources] class ArrowIpcReaderFactory(
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new ArrowIpcPartitionReader(
       partition.asInstanceOf[ArrowFilePartition].file, required, conf)
+
+  // COLUMNAR path: Arrow IPC is already columnar, so the fastest read is
+  // no decode at all — wrap the loaded Arrow vectors as a Spark
+  // ColumnarBatch (`ArrowColumnVector`) and let the columnar scan consume
+  // them in place. Spark ships no FixedSizeBinary accessor, so a
+  // projection touching an `arrow.fixed_size` column falls back to the
+  // row decoder; everything else in the type surface wraps zero-copy.
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    required.fields.forall(f => !f.metadata.contains(ArrowInterchange.FixedSizeKey))
+  override def createColumnarReader(
+      partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    new ArrowIpcColumnarReader(
+      partition.asInstanceOf[ArrowFilePartition].file, required, conf)
+}
+
+/** Columnar twin of [[ArrowIpcPartitionReader]]: each loaded IPC batch is
+  * handed to Spark as a ColumnarBatch of [[org.apache.spark.sql.vectorized
+  * .ArrowColumnVector]] wrappers over the live Arrow vectors — zero
+  * per-value decode, pruning by wrapping only the resolved columns. The
+  * root's vectors are reused across batches (the standard vectorized-
+  * reader contract: a batch is consumed before the next `next()`). */
+private[sources] class ArrowIpcColumnarReader(
+    file: String, required: StructType, conf: SerializableHadoopConf)
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+  import org.apache.spark.sql.vectorized.{ArrowColumnVector, ColumnarBatch, ColumnVector}
+
+  private val alloc = new RootAllocator()
+  private val reader = {
+    val p = new Path(file)
+    new ArrowStreamReader(p.getFileSystem(conf.value).open(p), alloc,
+      CommonsCompressionFactory.INSTANCE)
+  }
+  private val root = reader.getVectorSchemaRoot
+  private val cols: Array[Int] =
+    try ArrowInterchange.resolveColumns(root.getSchema, required, file, exact = false)
+    catch { case e: Throwable => close(); throw e }
+
+  private var current: ColumnarBatch = _
+
+  override def next(): Boolean = {
+    if (!reader.loadNextBatch()) return false
+    val vecs: Array[ColumnVector] =
+      cols.map(i => new ArrowColumnVector(root.getVector(i)): ColumnVector)
+    current = new ColumnarBatch(vecs, root.getRowCount)
+    true
+  }
+
+  override def get(): ColumnarBatch = current
+
+  override def close(): Unit =
+    try { reader.close(); alloc.close() } catch { case _: Throwable => () }
+}
+
+// ── write path ───────────────────────────────────────────────────────────
+
+private[sources] class ArrowIpcWriteBuilder(
+    schema: StructType, dir: String, codec: Option[String], queryId: String)
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+    doTruncate = true; this
+  }
+  override def build(): org.apache.spark.sql.connector.write.Write =
+    new ArrowIpcWrite(schema, dir, codec, queryId, doTruncate)
+}
+
+/** DSv2 batch write: Spark's commit coordinator guarantees exactly one
+  * committed attempt per task, each writing an attempt-scoped temp file
+  * renamed to its final name at task commit; the job-level `_SUCCESS`
+  * lands only in [[commit]], after every task message arrived — the same
+  * completeness contract as [[ArrowInterchange.writeStream]], now with
+  * the coordination Spark already provides instead of hand-rolled rename
+  * races. Append mode names files by (partition, queryId) so two jobs
+  * never collide; overwrite (mode("overwrite") → TRUNCATE) clears the
+  * directory and rewrites the schema sentinel. */
+private[sources] class ArrowIpcWrite(
+    schema: StructType, dir: String, codec: Option[String], queryId: String,
+    truncate: Boolean)
+    extends org.apache.spark.sql.connector.write.Write
+    with org.apache.spark.sql.connector.write.BatchWrite {
+  import org.apache.spark.sql.connector.write._
+
+  override def toBatch: BatchWrite = this
+  override def description(): String = s"arrow-ipc $dir"
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    // driver-side, before any task launches: validate the surface loudly
+    // and prepare the directory + schema sentinel
+    ArrowInterchange.codecType(codec)
+    ArrowInterchange.toArrowSchema(schema)
+    val spark = SparkSession.active
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(conf)
+    if (truncate) fs.delete(dirPath, true)
+    else if (fs.exists(new Path(dirPath, "_schema.arrows"))) {
+      val existing = ArrowInterchange.readSchema(spark, dir)
+      require(existing == schema,
+        s"arrow-ipc: appending schema $schema to $dir which carries " +
+          s"schema $existing — append requires an identical schema")
+    }
+    fs.mkdirs(dirPath)
+    val sentinel = new Path(dirPath, "_schema.arrows")
+    if (!fs.exists(sentinel))
+      ArrowInterchange.writeSentinel(fs.create(sentinel, true), schema)
+    // a write in flight invalidates the completeness marker until commit
+    fs.delete(new Path(dirPath, "_SUCCESS"), false)
+    new ArrowIpcWriterFactory(schema, dir, codec, queryId,
+      new SerializableHadoopConf(conf))
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
+    fs.create(new Path(dirPath, "_SUCCESS"), true).close()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    messages.foreach {
+      case ArrowIpcCommitMessage(path) =>
+        val p = new Path(path)
+        p.getFileSystem(conf).delete(p, false)
+      case _ => ()
+    }
+  }
+}
+
+private[sources] case class ArrowIpcCommitMessage(file: String)
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+private[sources] class ArrowIpcWriterFactory(
+    schema: StructType, dir: String, codec: Option[String], queryId: String,
+    conf: SerializableHadoopConf)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new ArrowIpcDataWriter(schema, dir, codec, queryId, partitionId, taskId, conf)
+}
+
+/** Push-based per-task writer: rows land straight in the Arrow vectors
+  * (internal form, no external boxing) and flush as IPC batches every
+  * `BatchRows` rows — memory per task stays bounded by one batch. Empty
+  * partitions produce no file (the sentinel carries the schema). */
+private[sources] class ArrowIpcDataWriter(
+    schema: StructType, dir: String, codec: Option[String], queryId: String,
+    partitionId: Int, taskId: Long, conf: SerializableHadoopConf)
+    extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+  import org.apache.arrow.vector.VectorSchemaRoot
+  import org.apache.arrow.vector.ipc.ArrowStreamWriter
+
+  private val BatchRows = 4096
+  private val tmpPath = new Path(dir,
+    f".part-$partitionId%05d-$queryId.arrows.task-$taskId.tmp")
+  private val finalPath = new Path(dir, f"part-$partitionId%05d-$queryId.arrows")
+
+  private var alloc: RootAllocator = _
+  private var root: VectorSchemaRoot = _
+  private var writer: ArrowStreamWriter = _
+  private var n = 0
+  private var opened = false
+
+  private def open(): Unit = {
+    alloc = new RootAllocator()
+    root = VectorSchemaRoot.create(ArrowInterchange.toArrowSchema(schema), alloc)
+    val out = tmpPath.getFileSystem(conf.value).create(tmpPath, true)
+    writer = ArrowInterchange.newStreamWriter(root, out, codec)
+    writer.start()
+    root.allocateNew()
+    opened = true
+  }
+
+  private val types = schema.fields.map(_.dataType)
+
+  override def write(row: InternalRow): Unit = {
+    if (!opened) open()
+    var c = 0
+    while (c < types.length) {
+      ArrowInterchange.setInternalValue(root.getVector(c), types(c), n, row, c)
+      c += 1
+    }
+    n += 1
+    if (n >= BatchRows) flush()
+  }
+
+  private def flush(): Unit = {
+    root.setRowCount(n)
+    writer.writeBatch()
+    root.allocateNew()
+    n = 0
+  }
+
+  override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    if (!opened) return ArrowIpcCommitMessage("") // empty partition: no file
+    if (n > 0) flush()
+    writer.end()
+    closeAll()
+    val fs = finalPath.getFileSystem(conf.value)
+    if (!fs.rename(tmpPath, finalPath)) {
+      fs.delete(tmpPath, false)
+      throw new java.io.IOException(
+        s"arrow-ipc: rename $tmpPath -> $finalPath failed")
+    }
+    ArrowIpcCommitMessage(finalPath.toString)
+  }
+
+  override def abort(): Unit = {
+    closeAll()
+    if (opened) tmpPath.getFileSystem(conf.value).delete(tmpPath, false)
+  }
+
+  private def closeAll(): Unit =
+    try {
+      if (writer != null) writer.close()
+      if (root != null) root.close()
+      if (alloc != null) alloc.close()
+    } catch { case _: Throwable => () }
+
+  override def close(): Unit = ()
 }
 
 /** Streams one IPC file batch-by-batch, decoding only the required

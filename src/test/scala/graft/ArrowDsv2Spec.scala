@@ -83,6 +83,100 @@ class ArrowDsv2Spec extends AnyFunSuite {
     assert(got === Seq(5L, 6L, 7L))
   }
 
+  test("scan is COLUMNAR for the supported surface, row-fallback for fixed-size binary") {
+    val df = spark.range(8).select(col("id"),
+      array(col("id").cast("float")).as("vec"),
+      col("id").cast(DecimalType(10, 2)).as("d"))
+    val dir = tmp("graft_dsv2_columnar")
+    ArrowInterchange.writeStream(df, dir)
+    val read = spark.read.format("arrow-ipc").load(dir)
+    val scan = read.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => s
+    }.head
+    assert(scan.supportsColumnar, "Arrow vectors must wrap as a ColumnarBatch")
+    assert(read.orderBy("id").collect().map(_.toString).toSeq ===
+      df.orderBy("id").collect().map(_.toString).toSeq)
+
+    // fixed-size binary: Spark has no ArrowColumnVector accessor → row path
+    val meta = new MetadataBuilder()
+      .putLong(ArrowInterchange.FixedSizeKey, 2L).build()
+    val fsbSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("h", BinaryType, nullable = true, meta)))
+    val fsb = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(1L, Array[Byte](7, 8))), 1), fsbSchema)
+    val fsbDir = tmp("graft_dsv2_fsb")
+    ArrowInterchange.writeStream(fsb, fsbDir)
+    val fsbRead = spark.read.format("arrow-ipc").load(fsbDir)
+    val fsbScan = fsbRead.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => s
+    }.head
+    assert(!fsbScan.supportsColumnar, "fixed-size binary must fall back to rows")
+    val got = fsbRead.head()
+    assert(got.getLong(0) === 1L && got.getAs[Array[Byte]](1).toSeq === Seq[Byte](7, 8))
+  }
+
+  test("DSv2 write roundtrips the type surface; function-style reader interops") {
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("s", StringType),
+      StructField("ts", TimestampType),
+      StructField("price", DecimalType(12, 2)),
+      StructField("vec", ArrayType(FloatType, containsNull = true))))
+    val rows = Seq(
+      org.apache.spark.sql.Row(1L, "héllo", java.sql.Timestamp.valueOf("2024-01-02 03:04:05.000007"),
+        new java.math.BigDecimal("12.34"), Seq(1.5f, null, -2f)),
+      org.apache.spark.sql.Row(2L, null, null, null, null))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+    val dir = tmp("graft_dsv2_write")
+    df.write.format("arrow-ipc").mode("overwrite").save(dir)
+    // interop: the function-style reader consumes DSv2-written directories
+    val viaFn = ArrowInterchange.readStream(spark, dir)
+    val viaDs = spark.read.format("arrow-ipc").load(dir)
+    assert(viaFn.schema === schema && viaDs.schema === schema)
+    for (back <- Seq(viaFn, viaDs)) {
+      val got = back.orderBy("id").collect()
+      assert(got.map(_.toString).toSeq === df.orderBy("id").collect().map(_.toString).toSeq)
+      // µs precision survives the internal-row write path
+      assert(back.where(col("id") === 1)
+        .select(unix_micros(col("ts"))).head().getLong(0) % 1000 === 7)
+    }
+  }
+
+  test("DSv2 append accumulates; mismatched append schema is refused") {
+    val dir = tmp("graft_dsv2_append")
+    spark.range(5).select(col("id"), lit("a").as("tag"))
+      .write.format("arrow-ipc").mode("append").save(dir)
+    spark.range(5, 8).select(col("id"), lit("b").as("tag"))
+      .write.format("arrow-ipc").mode("append").save(dir)
+    val back = spark.read.format("arrow-ipc").load(dir)
+    assert(back.count() === 8)
+    assert(back.agg(countDistinct(col("tag"))).head().getLong(0) === 2)
+    val e = intercept[Exception] {
+      spark.range(3).select(col("id"), col("id").as("other"))
+        .write.format("arrow-ipc").mode("append").save(dir)
+    }
+    assert(e.getMessage.contains("identical schema") ||
+      Option(e.getCause).exists(_.getMessage.contains("identical schema")))
+  }
+
+  test("DSv2 write honors the codec option") {
+    val df = spark.range(2000).select(col("id"),
+      concat(lit("the quick brown fox jumps over the lazy dog "), col("id")).as("s"))
+    def dirSize(d: String): Long = {
+      val p = new org.apache.hadoop.fs.Path(d)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).map(_.getLen).sum
+    }
+    val plain = tmp("graft_dsv2_plain"); val zstd = tmp("graft_dsv2_zstd")
+    df.coalesce(1).write.format("arrow-ipc").mode("overwrite").save(plain)
+    df.coalesce(1).write.format("arrow-ipc").mode("overwrite")
+      .option("codec", "zstd").save(zstd)
+    assert(dirSize(zstd) < dirSize(plain))
+    assert(spark.read.format("arrow-ipc").load(zstd).count() === 2000)
+  }
+
   test("count(*) works through an empty projection; partial writes refused") {
     val df = spark.range(17).select(col("id"), lit("x").as("s"))
     val dir = tmp("graft_dsv2_count")
