@@ -80,21 +80,49 @@ private[sources] class ArrowIpcTable(tableSchema: StructType, dir: String)
 }
 
 private[sources] class ArrowIpcScanBuilder(full: StructType, dir: String)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
   private var required: StructType = full
+  private var limit: Int = -1
   override def pruneColumns(requiredSchema: StructType): Unit =
     // Catalyst hands back a subset of `full` in table-schema order; empty
     // (count(*)-style) is legal — the reader then just counts rows.
     required = requiredSchema
-  override def build(): Scan = new ArrowIpcScan(required, dir)
+  override def pushLimit(n: Int): Boolean = {
+    // PARTIAL push (return false → Spark keeps its own Limit): each file
+    // reader stops loading IPC batches once it has produced n rows, so a
+    // `limit 10` over a TB directory reads ~one batch per file instead of
+    // every batch of every file.
+    limit = n
+    false
+  }
+  override def build(): Scan = new ArrowIpcScan(required, dir, limit)
 }
 
-private[sources] class ArrowIpcScan(required: StructType, dir: String)
-    extends Scan with Batch {
+private[sources] class ArrowIpcScan(required: StructType, dir: String, limit: Int)
+    extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"arrow-ipc $dir [${required.fieldNames.mkString(", ")}]"
+    s"arrow-ipc $dir [${required.fieldNames.mkString(", ")}]" +
+      (if (limit >= 0) s" limit=$limit" else "")
+
+  /** Directory byte size (and nothing invented beyond it) so the
+    * optimizer's broadcast-threshold and AQE decisions see this source
+    * like any file source instead of assuming the unknown-stats default
+    * (which forecloses broadcast joins over small Arrow dims). */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+    val spark = SparkSession.active
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = Option(fs.globStatus(new Path(dir, "part-*.arrows")))
+      .getOrElse(Array.empty).map(_.getLen).sum
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+    }
+  }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
@@ -115,17 +143,17 @@ private[sources] class ArrowIpcScan(required: StructType, dir: String)
   override def createReaderFactory(): PartitionReaderFactory =
     new ArrowIpcReaderFactory(required,
       new SerializableHadoopConf(
-        SparkSession.active.sparkContext.hadoopConfiguration))
+        SparkSession.active.sparkContext.hadoopConfiguration), limit)
 }
 
 private[sources] case class ArrowFilePartition(file: String) extends InputPartition
 
 private[sources] class ArrowIpcReaderFactory(
-    required: StructType, conf: SerializableHadoopConf)
+    required: StructType, conf: SerializableHadoopConf, limit: Int = -1)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new ArrowIpcPartitionReader(
-      partition.asInstanceOf[ArrowFilePartition].file, required, conf)
+      partition.asInstanceOf[ArrowFilePartition].file, required, conf, limit)
 
   // COLUMNAR path: Arrow IPC is already columnar, so the fastest read is
   // no decode at all — wrap the loaded Arrow vectors as a Spark
@@ -138,7 +166,7 @@ private[sources] class ArrowIpcReaderFactory(
   override def createColumnarReader(
       partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
     new ArrowIpcColumnarReader(
-      partition.asInstanceOf[ArrowFilePartition].file, required, conf)
+      partition.asInstanceOf[ArrowFilePartition].file, required, conf, limit)
 }
 
 /** Columnar twin of [[ArrowIpcPartitionReader]]: each loaded IPC batch is
@@ -148,7 +176,8 @@ private[sources] class ArrowIpcReaderFactory(
   * root's vectors are reused across batches (the standard vectorized-
   * reader contract: a batch is consumed before the next `next()`). */
 private[sources] class ArrowIpcColumnarReader(
-    file: String, required: StructType, conf: SerializableHadoopConf)
+    file: String, required: StructType, conf: SerializableHadoopConf,
+    limit: Int = -1)
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
   import org.apache.spark.sql.vectorized.{ArrowColumnVector, ColumnarBatch, ColumnVector}
 
@@ -164,12 +193,18 @@ private[sources] class ArrowIpcColumnarReader(
     catch { case e: Throwable => close(); throw e }
 
   private var current: ColumnarBatch = _
+  private var produced = 0L
 
   override def next(): Boolean = {
+    // pushed limit: a batch may overshoot (Spark's own Limit trims), but
+    // no FURTHER batch is loaded once n rows are out — a limit 10 over a
+    // TB directory reads ~one batch per file
+    if (limit >= 0 && produced >= limit) return false
     if (!reader.loadNextBatch()) return false
     val vecs: Array[ColumnVector] =
       cols.map(i => new ArrowColumnVector(root.getVector(i)): ColumnVector)
     current = new ColumnarBatch(vecs, root.getRowCount)
+    produced += root.getRowCount
     true
   }
 
@@ -353,7 +388,8 @@ private[sources] class ArrowIpcDataWriter(
   * tolerate extra (even unsupported-typed) columns in the file — the
   * validation covers exactly the projected set. */
 private[sources] class ArrowIpcPartitionReader(
-    file: String, required: StructType, conf: SerializableHadoopConf)
+    file: String, required: StructType, conf: SerializableHadoopConf,
+    limit: Int = -1)
     extends PartitionReader[InternalRow] {
 
   private val alloc = new RootAllocator()
@@ -371,9 +407,11 @@ private[sources] class ArrowIpcPartitionReader(
   private var i = 0
   private var n = 0
   private var done = false
+  private var produced = 0L
   private var current: InternalRow = _
 
   override def next(): Boolean = {
+    if (limit >= 0 && produced >= limit) return false
     while (!done && i >= n) {
       if (reader.loadNextBatch()) { n = root.getRowCount; i = 0 }
       else done = true
@@ -387,6 +425,7 @@ private[sources] class ArrowIpcPartitionReader(
     }
     current = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
     i += 1
+    produced += 1
     true
   }
 

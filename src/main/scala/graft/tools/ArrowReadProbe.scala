@@ -1,0 +1,60 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev-only probe: quantifies the Arrow read paths on the embeddings
+  * shape (wide float lists — the payload DSv2 columnar reads exist for).
+  * Three readers over the same ×16-replicated directory: the function-
+  * style row reader, the DSv2 row path (internal rows, no external
+  * boxing), and the DSv2 columnar path (Arrow vectors wrapped as
+  * ColumnarBatch, zero decode). Also the pruning effect: sum one scalar
+  * out of a wide file. */
+object ArrowReadProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val wide = (0 until 16).map(i =>
+      base.select((col("vec_id") + lit(i * 1000000L)).as("vec_id"),
+        col("embedding"), col("label"))).reduce(_ unionAll _)
+    val dir = "/tmp/graft_scale/arrow_read_probe"
+    graft.sources.ArrowInterchange.writeStream(wide.repartition(16), dir)
+    val rows = spark.read.format("arrow-ipc").load(dir).count()
+    println(s"[probe] corpus: $rows rows x ${base.select(size(col("embedding"))).head.getInt(0)}-dim")
+
+    def time(name: String)(f: => Any): Unit = {
+      // best of 2 (shared VM)
+      def once: Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[probe] $name%-34s ${math.min(once, once)}%6.2f s")
+    }
+
+    // full-width aggregation: every embedding element consumed
+    val full = (df: org.apache.spark.sql.DataFrame) =>
+      df.select(expr("aggregate(embedding, 0D, (a, x) -> a + x)").as("s"))
+        .agg(sum("s")).head
+    time("function-style rows, full width") {
+      full(graft.sources.ArrowInterchange.readStream(spark, dir))
+    }
+    time("DSv2 columnar, full width") {
+      full(spark.read.format("arrow-ipc").load(dir))
+    }
+    time("DSv2 columnar, pruned to 1 col") {
+      spark.read.format("arrow-ipc").load(dir).agg(sum("vec_id")).head
+    }
+    time("function-style, pruned to 1 col") {
+      graft.sources.ArrowInterchange.readStream(spark, dir, Seq("vec_id"))
+        .agg(sum("vec_id")).head
+    }
+    spark.stop()
+  }
+}

@@ -117,6 +117,25 @@ class ArrowDsv2Spec extends AnyFunSuite {
     assert(got.getLong(0) === 1L && got.getAs[Array[Byte]](1).toSeq === Seq[Byte](7, 8))
   }
 
+  test("limit pushes into the scan; statistics report directory bytes") {
+    val df = spark.range(100000).select(col("id"), concat(lit("v"), col("id")).as("v"))
+    val dir = tmp("graft_dsv2_limit")
+    ArrowInterchange.writeStream(df.repartition(4), dir, maxRecordsPerBatch = 512)
+    val limited = spark.read.format("arrow-ipc").load(dir).limit(10)
+    assert(limited.collect().length === 10)
+    // the pushed limit reaches the scan (visible in its description)
+    val scan = limited.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => s
+    }.head
+    assert(scan.scan.description().contains("limit=10"))
+    // stats: the relation sizes like a file source (directory bytes), so
+    // the broadcast threshold can see it
+    val rel = spark.read.format("arrow-ipc").load(dir)
+      .queryExecution.optimizedPlan
+    val bytes = rel.stats.sizeInBytes
+    assert(bytes > 0 && bytes < BigInt(Long.MaxValue), s"got $bytes")
+  }
+
   test("DSv2 write roundtrips the type surface; function-style reader interops") {
     val schema = StructType(Seq(
       StructField("id", LongType, nullable = false),
