@@ -720,6 +720,35 @@ object CoreQueries {
     },
       Some("""SELECT event_id, user_id, value FROM events ORDER BY event_id""")),
 
+    // DSv2 Arrow write commits per-file min/max/null-count stats
+    // (`_stats.json`); the read back pushes the date filter into the scan
+    // (SupportsPushDownFilters) and skips files whose interval can't match
+    // — the Arrow analog of the reference's row-group pruning
+    // (DataStreams/ParquetBlockInputStream.cpp:33-38). Range-partitioned
+    // by date so file intervals ARE disjoint (ArrowDsv2Spec asserts the
+    // skip count; here the oracle checks the answer survives pruning).
+    ("arrow_stats_prune", (s, d) => {
+      val ord = T(s, d, "orders").select(
+        col("o_orderkey"),
+        col("o_orderdate").cast(DateType).as("o_orderdate"),
+        col("o_totalprice").cast(DecimalType(12, 2)).as("price"))
+      // Scratch contract: see json_roundtrip.
+      val path = graft.sources.Scratch.dir(s, "graft_rt_arrowstats")
+      ord.repartitionByRange(4, col("o_orderdate"))
+        .write.format("arrow-ipc").mode("overwrite").save(path)
+      s.read.format("arrow-ipc").load(path)
+        .filter(col("o_orderdate") >= lit("1997-06-01").cast(DateType))
+        .groupBy(year(col("o_orderdate")).as("yr"))
+        .agg(count(lit(1)).as("n"),
+          sum((col("price") * 100).cast(LongType)).as("cents"))
+        .orderBy("yr")
+    },
+      Some("""SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+                     COUNT(*) AS n,
+                     CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+              FROM orders WHERE o_orderdate >= DATE '1997-06-01'
+              GROUP BY 1 ORDER BY yr""")),
+
     ("events_time_buckets", (s, d) =>
       T(s, d, "events")
         .groupBy(

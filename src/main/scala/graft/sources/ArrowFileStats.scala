@@ -1,0 +1,327 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Per-file column statistics for Arrow IPC directories — the Arrow analog
+  * of parquet row-group stats, and the substrate for the reference's scan
+  * pruning (the reference prunes parquet row groups through KeyCondition
+  * over `ParquetBlockInputStream`, DataStreams/ParquetBlockInputStream
+  * .cpp:33-38; raw IPC files carry no embedded stats, so this source
+  * persists its own at commit time).
+  *
+  * Write side: each DSv2 task writer folds its rows through an
+  * [[ArrowStatsCollector]]; the per-file result rides the task's
+  * `WriterCommitMessage` to the driver, which persists all of them as one
+  * `_stats.json` next to `_SUCCESS` (appends merge with the existing
+  * file). Read side: [[ArrowFileStats.canMatch]] evaluates pushed v1
+  * `Filter`s against a file's interval — a file is SKIPPED only when the
+  * stats PROVE no row can match, so pruning is advisory and Spark's own
+  * post-scan Filter keeps exact semantics (the same contract as parquet
+  * row-group skipping).
+  *
+  * Soundness notes, encoded as "invalid ⇒ never prune":
+  *  - doubles: a NaN anywhere invalidates that column's interval (NaN
+  *    breaks ordering);
+  *  - strings: compared as Java Strings on the read side but collected in
+  *    UTF-8 byte order on the write side — the two orders agree only on
+  *    the BMP, so any supplementary character (or a value > 256 chars,
+  *    where we refuse to store payload-sized stats) invalidates the
+  *    column;
+  *  - a column absent from the stats (unsupported type, or a file written
+  *    by the pre-stats function-style writer) never prunes;
+  *  - a file absent from `_stats.json` is always kept.
+  */
+private[graft] case class ColStats(
+    kind: String,               // "long" | "double" | "string"
+    min: Option[String],        // canonical string form; None = interval invalid
+    max: Option[String],
+    nulls: Long)
+
+private[graft] case class FileStats(rows: Long, cols: Map[String, ColStats])
+
+private[graft] object ArrowFileStats {
+  val FileName = "_stats.json"
+
+  // ── kind mapping ───────────────────────────────────────────────────────
+
+  /** Stats kind for a Spark type: 1=long-backed, 2=double, 3=string,
+    * 0=no stats (decimal/binary/nested — never pruned). Date/timestamp
+    * ride their internal long forms (days / µs), so filter evaluation
+    * stays integer arithmetic. */
+  def kindOf(dt: DataType): Int = dt match {
+    case ByteType | ShortType | IntegerType | LongType | BooleanType |
+         DateType | TimestampType | TimestampNTZType => 1
+    case FloatType | DoubleType => 2
+    case StringType => 3
+    case _ => 0
+  }
+
+  /** Normalize a v1 Filter's external value to the column's stats kind.
+    * None = can't interpret → never prune on it. */
+  private def norm(kind: String, v: Any): Option[Any] = (kind, v) match {
+    case (_, null) => None
+    case ("long", x: Byte) => Some(x.toLong)
+    case ("long", x: Short) => Some(x.toLong)
+    case ("long", x: Int) => Some(x.toLong)
+    case ("long", x: Long) => Some(x)
+    case ("long", x: Boolean) => Some(if (x) 1L else 0L)
+    case ("long", x: java.sql.Date) => Some(x.toLocalDate.toEpochDay)
+    case ("long", x: java.time.LocalDate) => Some(x.toEpochDay)
+    case ("long", x: java.sql.Timestamp) =>
+      Some(Math.addExact(Math.multiplyExact(x.getTime / 1000L, 1000000L),
+        (x.getNanos / 1000).toLong))
+    case ("long", x: java.time.Instant) =>
+      Some(Math.addExact(Math.multiplyExact(x.getEpochSecond, 1000000L),
+        (x.getNano / 1000).toLong))
+    case ("double", x: java.lang.Number) =>
+      val d = x.doubleValue()
+      if (d.isNaN) None else Some(d)
+    case ("string", x: String) => Some(x)
+    case _ => None
+  }
+
+  private def cmp(kind: String, a: String, b: Any): Int = kind match {
+    case "long" => java.lang.Long.compare(a.toLong, b.asInstanceOf[Long])
+    case "double" => java.lang.Double.compare(a.toDouble, b.asInstanceOf[Double])
+    case "string" => a.compareTo(b.asInstanceOf[String])
+  }
+
+  // ── pruning ────────────────────────────────────────────────────────────
+
+  /** Could ANY row of a file with these stats satisfy `f`? True on any
+    * doubt (unknown column, invalid interval, unsupported filter shape). */
+  def canMatch(f: Filter, stats: FileStats): Boolean = f match {
+    case And(l, r) => canMatch(l, stats) && canMatch(r, stats)
+    case Or(l, r) => canMatch(l, stats) || canMatch(r, stats)
+    case IsNull(a) => stats.cols.get(a).forall(_.nulls > 0)
+    case IsNotNull(a) =>
+      stats.cols.get(a).forall(c => c.nulls < stats.rows || stats.rows == 0)
+    case EqualTo(a, v) => interval(a, stats) { (c, mn, mx) =>
+      norm(c.kind, v).forall(x => cmp(c.kind, mn, x) <= 0 && cmp(c.kind, mx, x) >= 0)
+    }
+    case EqualNullSafe(a, null) => canMatch(IsNull(a), stats)
+    case EqualNullSafe(a, v) => canMatch(EqualTo(a, v), stats)
+    case GreaterThan(a, v) => interval(a, stats) { (c, _, mx) =>
+      norm(c.kind, v).forall(x => cmp(c.kind, mx, x) > 0)
+    }
+    case GreaterThanOrEqual(a, v) => interval(a, stats) { (c, _, mx) =>
+      norm(c.kind, v).forall(x => cmp(c.kind, mx, x) >= 0)
+    }
+    case LessThan(a, v) => interval(a, stats) { (c, mn, _) =>
+      norm(c.kind, v).forall(x => cmp(c.kind, mn, x) < 0)
+    }
+    case LessThanOrEqual(a, v) => interval(a, stats) { (c, mn, _) =>
+      norm(c.kind, v).forall(x => cmp(c.kind, mn, x) <= 0)
+    }
+    case In(a, vs) => interval(a, stats) { (c, mn, mx) =>
+      vs.exists(v => norm(c.kind, v).forall(x =>
+        cmp(c.kind, mn, x) <= 0 && cmp(c.kind, mx, x) >= 0))
+    }
+    case StringStartsWith(a, p) => interval(a, stats) { (c, mn, mx) =>
+      c.kind != "string" ||
+        (mx.compareTo(p) >= 0 && mn.take(p.length).compareTo(p) <= 0)
+    }
+    case _ => true
+  }
+
+  private def interval(a: String, stats: FileStats)
+      (ok: (ColStats, String, String) => Boolean): Boolean =
+    stats.cols.get(a) match {
+      case Some(c) if c.min.isDefined && c.max.isDefined =>
+        // an all-null column has no interval rows to match non-null
+        // predicates — but min/max are only stored when a value existed
+        ok(c, c.min.get, c.max.get)
+      case Some(c) if c.nulls >= stats.rows && stats.rows > 0 => false
+      case _ => true
+    }
+
+  /** Filters worth carrying to the scan (everything [[canMatch]] can act
+    * on — others would be dead weight in the explain output). */
+  def prunable(f: Filter): Boolean = f match {
+    case And(l, r) => prunable(l) || prunable(r)
+    case Or(l, r) => prunable(l) && prunable(r)
+    case _: IsNull | _: IsNotNull | _: EqualTo | _: EqualNullSafe |
+         _: GreaterThan | _: GreaterThanOrEqual | _: LessThan |
+         _: LessThanOrEqual | _: In | _: StringStartsWith => true
+    case _ => false
+  }
+
+  // ── persistence (`_stats.json`) ────────────────────────────────────────
+
+  private def esc(s: String): String = {
+    val b = new StringBuilder(s.length + 8)
+    s.foreach {
+      case '"' => b.append("\\\"")
+      case '\\' => b.append("\\\\")
+      case c if c < ' ' => b.append(f"\\u${c.toInt}%04x")
+      case c => b.append(c)
+    }
+    b.toString
+  }
+
+  /** Serialize file→stats as JSON. min/max ride as STRINGS regardless of
+    * kind — JSON numbers would lose longs past 2^53 and double
+    * round-trips; the `kind` field tells the reader how to compare. */
+  def toJson(files: Map[String, FileStats]): String = {
+    val sb = new StringBuilder("{\"files\":{")
+    var firstF = true
+    files.toSeq.sortBy(_._1).foreach { case (name, fsT) =>
+      if (!firstF) sb.append(','); firstF = false
+      sb.append('"').append(esc(name)).append("\":{\"rows\":")
+        .append(fsT.rows).append(",\"cols\":{")
+      var firstC = true
+      fsT.cols.toSeq.sortBy(_._1).foreach { case (col, c) =>
+        if (!firstC) sb.append(','); firstC = false
+        sb.append('"').append(esc(col)).append("\":{\"kind\":\"").append(c.kind)
+          .append("\",\"nulls\":").append(c.nulls)
+        c.min.foreach(m => sb.append(",\"min\":\"").append(esc(m)).append('"'))
+        c.max.foreach(m => sb.append(",\"max\":\"").append(esc(m)).append('"'))
+        sb.append('}')
+      }
+      sb.append("}}")
+    }
+    sb.append("}}").toString
+  }
+
+  def parse(json: String): Map[String, FileStats] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val root = JsonMethods.parse(json)
+    (root \ "files") match {
+      case JObject(files) => files.map { case (name, jf) =>
+        val rows = (jf \ "rows") match {
+          case JInt(n) => n.toLong
+          case JLong(n) => n
+          case _ => 0L
+        }
+        val cols = (jf \ "cols") match {
+          case JObject(cs) => cs.map { case (col, jc) =>
+            def str(k: String): Option[String] = (jc \ k) match {
+              case JString(s) => Some(s)
+              case _ => None
+            }
+            val nulls = (jc \ "nulls") match {
+              case JInt(n) => n.toLong
+              case JLong(n) => n
+              case _ => 0L
+            }
+            col -> ColStats(str("kind").getOrElse("long"), str("min"),
+              str("max"), nulls)
+          }.toMap
+          case _ => Map.empty[String, ColStats]
+        }
+        name -> FileStats(rows, cols)
+      }.toMap
+      case _ => Map.empty
+    }
+  }
+
+  def read(fs: FileSystem, dir: Path): Map[String, FileStats] = {
+    val p = new Path(dir, FileName)
+    if (!fs.exists(p)) Map.empty
+    else {
+      val in = fs.open(p)
+      try {
+        val bytes = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+        parse(new String(bytes.toByteArray, java.nio.charset.StandardCharsets.UTF_8))
+      } finally in.close()
+    }
+  }
+
+  def write(fs: FileSystem, dir: Path, files: Map[String, FileStats]): Unit = {
+    val out = fs.create(new Path(dir, FileName), true)
+    try out.write(toJson(files).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+}
+
+/** Streaming min/max/null-count collector a task writer folds its rows
+  * through; O(columns) per row, no allocation on the fast path (string
+  * candidates are cloned only on a new extreme — `InternalRow` buffers are
+  * reused by Spark, so holding an un-cloned `UTF8String` would read
+  * whatever the NEXT row leaves there). */
+private[graft] class ArrowStatsCollector(schema: StructType) {
+  private val n = schema.length
+  private val kinds = schema.fields.map(f => ArrowFileStats.kindOf(f.dataType))
+  private val dts = schema.fields.map(_.dataType)
+  private val valid = Array.fill(n)(true)
+  private val nulls = new Array[Long](n)
+  private val seen = new Array[Boolean](n)
+  private val lmin = new Array[Long](n); private val lmax = new Array[Long](n)
+  private val dmin = new Array[Double](n); private val dmax = new Array[Double](n)
+  private val smin = new Array[UTF8String](n); private val smax = new Array[UTF8String](n)
+  private var rows = 0L
+
+  def update(row: InternalRow): Unit = {
+    rows += 1
+    var c = 0
+    while (c < n) {
+      if (kinds(c) != 0) {
+        if (row.isNullAt(c)) nulls(c) += 1
+        else if (valid(c)) kinds(c) match {
+          case 1 =>
+            val v: Long = dts(c) match {
+              case ByteType => row.getByte(c).toLong
+              case ShortType => row.getShort(c).toLong
+              case IntegerType | DateType => row.getInt(c).toLong
+              case BooleanType => if (row.getBoolean(c)) 1L else 0L
+              case _ => row.getLong(c)
+            }
+            if (!seen(c)) { lmin(c) = v; lmax(c) = v; seen(c) = true }
+            else { if (v < lmin(c)) lmin(c) = v; if (v > lmax(c)) lmax(c) = v }
+          case 2 =>
+            val v: Double = dts(c) match {
+              case FloatType => row.getFloat(c).toDouble
+              case _ => row.getDouble(c)
+            }
+            if (v.isNaN) valid(c) = false
+            else if (!seen(c)) { dmin(c) = v; dmax(c) = v; seen(c) = true }
+            else { if (v < dmin(c)) dmin(c) = v; if (v > dmax(c)) dmax(c) = v }
+          case 3 =>
+            val v = row.getUTF8String(c)
+            if (v.numBytes > 256) valid(c) = false
+            else if (!seen(c)) {
+              smin(c) = v.clone(); smax(c) = v.clone(); seen(c) = true
+            } else {
+              if (v.compareTo(smin(c)) < 0) smin(c) = v.clone()
+              if (v.compareTo(smax(c)) > 0) smax(c) = v.clone()
+            }
+          case _ => ()
+        }
+      }
+      c += 1
+    }
+  }
+
+  def result(): FileStats = {
+    val cols = (0 until n).flatMap { c =>
+      if (kinds(c) == 0) None
+      else {
+        val kind = kinds(c) match { case 1 => "long"; case 2 => "double"; case _ => "string" }
+        val mm: Option[(String, String)] =
+          if (!valid(c) || !seen(c)) None
+          else kinds(c) match {
+            case 1 => Some((lmin(c).toString, lmax(c).toString))
+            case 2 => Some((dmin(c).toString, dmax(c).toString))
+            case _ =>
+              val (a, b) = (smin(c).toString, smax(c).toString)
+              // UTF-8 byte order == String order only on the BMP; refuse
+              // stats when a supplementary character makes them diverge
+              if (a.codePoints.anyMatch(_ > 0xFFFF) ||
+                  b.codePoints.anyMatch(_ > 0xFFFF)) None
+              else Some((a, b))
+          }
+        Some(schema.fields(c).name ->
+          ColStats(kind, mm.map(_._1), mm.map(_._2), nulls(c)))
+      }
+    }.toMap
+    FileStats(rows, cols)
+  }
+}

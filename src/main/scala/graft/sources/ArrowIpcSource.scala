@@ -81,9 +81,11 @@ private[sources] class ArrowIpcTable(tableSchema: StructType, dir: String)
 
 private[sources] class ArrowIpcScanBuilder(full: StructType, dir: String)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
   private var required: StructType = full
   private var limit: Int = -1
+  private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
     // Catalyst hands back a subset of `full` in table-schema order; empty
     // (count(*)-style) is legal — the reader then just counts rows.
@@ -96,35 +98,41 @@ private[sources] class ArrowIpcScanBuilder(full: StructType, dir: String)
     limit = n
     false
   }
-  override def build(): Scan = new ArrowIpcScan(required, dir, limit)
+  override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = {
+    // ADVISORY push: stats-based file skipping can prove "no row in this
+    // file matches", never evaluate the predicate exactly — so every
+    // filter is returned as residual and Spark keeps its post-scan
+    // Filter, the same contract as parquet row-group pruning.
+    pushed = filters.filter(ArrowFileStats.prunable)
+    filters
+  }
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
+  override def build(): Scan = new ArrowIpcScan(required, dir, limit, pushed)
 }
 
-private[sources] class ArrowIpcScan(required: StructType, dir: String, limit: Int)
+private[sources] class ArrowIpcScan(required: StructType, dir: String,
+    limit: Int, filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"arrow-ipc $dir [${required.fieldNames.mkString(", ")}]" +
-      (if (limit >= 0) s" limit=$limit" else "")
+      (if (limit >= 0) s" limit=$limit" else "") +
+      (if (filters.nonEmpty)
+        s" pushed=[${filters.mkString(", ")}] files=${kept.length}/$totalFiles"
+      else "")
 
-  /** Directory byte size (and nothing invented beyond it) so the
-    * optimizer's broadcast-threshold and AQE decisions see this source
-    * like any file source instead of assuming the unknown-stats default
-    * (which forecloses broadcast joins over small Arrow dims). */
-  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
-    val spark = SparkSession.active
-    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val bytes = Option(fs.globStatus(new Path(dir, "part-*.arrows")))
-      .getOrElse(Array.empty).map(_.getLen).sum
-    new org.apache.spark.sql.connector.read.Statistics {
-      override def sizeInBytes(): java.util.OptionalLong =
-        java.util.OptionalLong.of(bytes)
-      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
-    }
-  }
-
-  override def planInputPartitions(): Array[InputPartition] = {
+  /** One listing + stats-prune pass shared by partition planning, the
+    * statistics estimate, and the explain description: files whose
+    * `_stats.json` interval PROVES no row matches the pushed filters are
+    * dropped here, before any task launches — the Arrow analog of the
+    * reference's row-group pruning (ParquetBlockInputStream.cpp:33-38),
+    * with parquet-style advisory semantics (a kept file is still filtered
+    * exactly by Spark post-scan). Missing stats (foreign or function-
+    * style-written directories) keep every file. */
+  private lazy val (kept, totalFiles) = {
     val spark = SparkSession.active
     val conf = spark.sparkContext.hadoopConfiguration
     val dirPath = new Path(dir)
@@ -136,9 +144,33 @@ private[sources] class ArrowIpcScan(required: StructType, dir: String, limit: In
       s"Arrow interchange: $dir has a schema sentinel but no _SUCCESS marker " +
         "— the writing job did not complete; refusing to read partial data")
     val glob = new Path(dir, "part-*.arrows")
-    Option(fs.globStatus(glob)).getOrElse(Array.empty)
-      .map(st => ArrowFilePartition(st.getPath.toString): InputPartition)
+    val all = Option(fs.globStatus(glob)).getOrElse(Array.empty)
+    val stats =
+      if (filters.isEmpty) Map.empty[String, FileStats]
+      else ArrowFileStats.read(fs, dirPath)
+    val keep = all.filter { st =>
+      stats.get(st.getPath.getName)
+        .forall(s => filters.forall(f => ArrowFileStats.canMatch(f, s)))
+    }
+    (keep, all.length)
   }
+
+  /** Byte size of the files actually scanned (post-prune, and nothing
+    * invented beyond it) so the optimizer's broadcast-threshold and AQE
+    * decisions see this source like any file source instead of assuming
+    * the unknown-stats default (which forecloses broadcast joins over
+    * small Arrow dims). */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+    val bytes = kept.map(_.getLen).sum
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+    }
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    kept.map(st => ArrowFilePartition(st.getPath.toString): InputPartition)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new ArrowIpcReaderFactory(required,
@@ -276,13 +308,24 @@ private[sources] class ArrowIpcWrite(
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dirPath = new Path(dir)
     val fs = dirPath.getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
+    // persist per-file column stats (the scan's file-pruning substrate)
+    // BEFORE the completeness marker: a reader that sees _SUCCESS must
+    // also see the stats of every committed file. Appends merge with the
+    // existing manifest; entries for files a truncate removed are gone
+    // with the directory.
+    val fresh = messages.collect {
+      case ArrowIpcCommitMessage(path, Some(st)) if path.nonEmpty =>
+        new Path(path).getName -> st
+    }.toMap
+    if (fresh.nonEmpty)
+      ArrowFileStats.write(fs, dirPath, ArrowFileStats.read(fs, dirPath) ++ fresh)
     fs.create(new Path(dirPath, "_SUCCESS"), true).close()
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val conf = SparkSession.active.sparkContext.hadoopConfiguration
     messages.foreach {
-      case ArrowIpcCommitMessage(path) =>
+      case ArrowIpcCommitMessage(path, _) if path.nonEmpty =>
         val p = new Path(path)
         p.getFileSystem(conf).delete(p, false)
       case _ => ()
@@ -290,7 +333,8 @@ private[sources] class ArrowIpcWrite(
   }
 }
 
-private[sources] case class ArrowIpcCommitMessage(file: String)
+private[sources] case class ArrowIpcCommitMessage(
+    file: String, stats: Option[FileStats] = None)
     extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
 private[sources] class ArrowIpcWriterFactory(
@@ -335,6 +379,9 @@ private[sources] class ArrowIpcDataWriter(
   }
 
   private val types = schema.fields.map(_.dataType)
+  // per-file min/max/null-count fold; rides the commit message to the
+  // driver's _stats.json so the scan can skip this file on a pushed filter
+  private val stats = new ArrowStatsCollector(schema)
 
   override def write(row: InternalRow): Unit = {
     if (!opened) open()
@@ -343,6 +390,7 @@ private[sources] class ArrowIpcDataWriter(
       ArrowInterchange.setInternalValue(root.getVector(c), types(c), n, row, c)
       c += 1
     }
+    stats.update(row)
     n += 1
     if (n >= BatchRows) flush()
   }
@@ -365,7 +413,7 @@ private[sources] class ArrowIpcDataWriter(
       throw new java.io.IOException(
         s"arrow-ipc: rename $tmpPath -> $finalPath failed")
     }
-    ArrowIpcCommitMessage(finalPath.toString)
+    ArrowIpcCommitMessage(finalPath.toString, Some(stats.result()))
   }
 
   override def abort(): Unit = {

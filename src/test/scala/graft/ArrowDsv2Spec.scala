@@ -117,6 +117,111 @@ class ArrowDsv2Spec extends AnyFunSuite {
     assert(got.getLong(0) === 1L && got.getAs[Array[Byte]](1).toSeq === Seq[Byte](7, 8))
   }
 
+  private def scanDesc(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => s
+    }.head.scan.description()
+
+  test("stats-pruning: a range filter skips files whose interval can't match") {
+    // fixed-width string payload so string intervals are disjoint too
+    val df = spark.range(40000).select(col("id"),
+      concat(lit("v"), lpad(col("id").cast("string"), 5, "0")).as("v"))
+    val dir = tmp("graft_dsv2_stats")
+    df.repartitionByRange(4, col("id")).write.format("arrow-ipc").mode("overwrite").save(dir)
+    // _stats.json landed with per-file intervals
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(dir, "_stats.json")))
+    // range-partitioned by id → 4 disjoint intervals; id < 5000 hits one
+    val q = spark.read.format("arrow-ipc").load(dir).filter(col("id") < 5000)
+    assert(q.count() === 5000)
+    val desc = scanDesc(q)
+    assert(desc.contains("files=1/4"), desc)
+    // equality on the string column prunes too (same file ordering as id)
+    val qs = spark.read.format("arrow-ipc").load(dir)
+      .filter(col("v") === "v39999")
+    assert(qs.count() === 1)
+    assert(scanDesc(qs).contains("files=1/4"), scanDesc(qs))
+    // prefix match prunes to the one file whose interval covers "v0..."
+    val qp = spark.read.format("arrow-ipc").load(dir)
+      .filter(col("v").startsWith("v00"))
+    assert(qp.count() === 1000)
+    assert(scanDesc(qp).contains("files=1/4"), scanDesc(qp))
+    // a filter no file satisfies reads zero files (and zero rows)
+    val q0 = spark.read.format("arrow-ipc").load(dir).filter(col("id") < 0)
+    assert(q0.count() === 0)
+    assert(scanDesc(q0).contains("files=0/4"), scanDesc(q0))
+  }
+
+  test("stats-pruning: IsNull/IsNotNull prune on null counts; append merges stats") {
+    val dir = tmp("graft_dsv2_statsnull")
+    // file 1: no nulls anywhere
+    // when() keeps the column NULLABLE (matching the appended file's
+    // schema) while never actually producing a null in this file
+    spark.range(100).select(col("id"), when(col("id") >= 0, "x").as("s"))
+      .coalesce(1).write.format("arrow-ipc").mode("overwrite").save(dir)
+    // file 2 (append): s entirely null
+    spark.range(100, 200).select(col("id"), lit(null).cast("string").as("s"))
+      .coalesce(1).write.format("arrow-ipc").mode("append").save(dir)
+    val base = spark.read.format("arrow-ipc").load(dir)
+    assert(base.count() === 200)
+    val qNull = base.filter(col("s").isNull)
+    assert(qNull.count() === 100)
+    assert(scanDesc(qNull).contains("files=1/2"), scanDesc(qNull))
+    // IsNotNull proves the all-null file irrelevant
+    val qVal = base.filter(col("s") === "x")
+    assert(qVal.count() === 100)
+    assert(scanDesc(qVal).contains("files=1/2"), scanDesc(qVal))
+  }
+
+  test("stats-pruning: directories without stats (function-style writer) keep every file") {
+    val dir = tmp("graft_dsv2_nostats")
+    val df = spark.range(1000).select(col("id"))
+    ArrowInterchange.writeStream(df.repartitionByRange(2, col("id")), dir)
+    val q = spark.read.format("arrow-ipc").load(dir).filter(col("id") < 10)
+    assert(q.count() === 10)
+    assert(scanDesc(q).contains("files=2/2"), scanDesc(q))
+  }
+
+  test("stats soundness: NaN and supplementary-plane strings invalidate intervals") {
+    import graft.sources.{ArrowFileStats, ArrowStatsCollector}
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    val schema = StructType(Seq(
+      StructField("d", DoubleType), StructField("s", StringType)))
+    val coll = new ArrowStatsCollector(schema)
+    coll.update(InternalRow(1.0, UTF8String.fromString("a")))
+    coll.update(InternalRow(Double.NaN, UTF8String.fromString("😀"))) // 😀
+    val st = coll.result()
+    assert(st.cols("d").min.isEmpty, "NaN must invalidate the double interval")
+    assert(st.cols("s").min.isEmpty, "non-BMP must invalidate the string interval")
+    // invalid intervals never prune
+    import org.apache.spark.sql.sources._
+    assert(ArrowFileStats.canMatch(EqualTo("d", 99.0), st))
+    assert(ArrowFileStats.canMatch(EqualTo("s", "zzz"), st))
+    // JSON roundtrip preserves everything
+    val m = Map("f.arrows" -> st)
+    assert(ArrowFileStats.parse(ArrowFileStats.toJson(m)) === m)
+    // interval logic on a healthy file
+    val ok = graft.sources.FileStats(10,
+      Map("x" -> graft.sources.ColStats("long", Some("5"), Some("9"), 0),
+          "s" -> graft.sources.ColStats("string", Some("apple"), Some("pear"), 2)))
+    assert(!ArrowFileStats.canMatch(EqualTo("x", 4L), ok))
+    assert(ArrowFileStats.canMatch(EqualTo("x", 7L), ok))
+    assert(!ArrowFileStats.canMatch(GreaterThan("x", 9L), ok))
+    assert(ArrowFileStats.canMatch(GreaterThanOrEqual("x", 9L), ok))
+    assert(!ArrowFileStats.canMatch(In("x", Array(1L, 2L, 3L)), ok))
+    assert(ArrowFileStats.canMatch(In("x", Array(1L, 6L)), ok))
+    assert(!ArrowFileStats.canMatch(StringStartsWith("s", "z"), ok))
+    assert(ArrowFileStats.canMatch(StringStartsWith("s", "b"), ok))
+    assert(!ArrowFileStats.canMatch(IsNull("x"), ok))
+    assert(ArrowFileStats.canMatch(IsNull("s"), ok))
+    assert(!ArrowFileStats.canMatch(
+      And(EqualTo("x", 4L), EqualTo("s", "b")), ok))
+    assert(ArrowFileStats.canMatch(
+      Or(EqualTo("x", 4L), EqualTo("s", "b")), ok))
+  }
+
   test("limit pushes into the scan; statistics report directory bytes") {
     val df = spark.range(100000).select(col("id"), concat(lit("v"), col("id")).as("v"))
     val dir = tmp("graft_dsv2_limit")
