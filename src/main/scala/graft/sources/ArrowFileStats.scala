@@ -54,7 +54,8 @@ private[graft] object ArrowFileStats {
     * stays integer arithmetic. */
   def kindOf(dt: DataType): Int = dt match {
     case ByteType | ShortType | IntegerType | LongType | BooleanType |
-         DateType | TimestampType | TimestampNTZType => 1
+         DateType | TimestampType | TimestampNTZType |
+         _: DayTimeIntervalType => 1
     case FloatType | DoubleType => 2
     case StringType => 3
     case _ => 0
@@ -76,6 +77,9 @@ private[graft] object ArrowFileStats {
         (x.getNanos / 1000).toLong))
     case ("long", x: java.time.Instant) =>
       Some(Math.addExact(Math.multiplyExact(x.getEpochSecond, 1000000L),
+        (x.getNano / 1000).toLong))
+    case ("long", x: java.time.Duration) =>
+      Some(Math.addExact(Math.multiplyExact(x.getSeconds, 1000000L),
         (x.getNano / 1000).toLong))
     case ("double", x: java.lang.Number) =>
       val d = x.doubleValue()

@@ -94,6 +94,10 @@ object ArrowInterchange {
       case BinaryType    => ArrowType.Binary.INSTANCE
       case TimestampType => new ArrowType.Timestamp(ArrowTimeUnit.MICROSECOND, "UTC")
       case DateType      => new ArrowType.Date(DateUnit.DAY)
+      case _: DayTimeIntervalType =>
+        // the reference's Duration (arrow_clickhouse_types.h:74-139):
+        // Spark's day-time interval is a µs count, exactly Duration[µs]
+        new ArrowType.Duration(ArrowTimeUnit.MICROSECOND)
       case d: DecimalType if d.precision <= 38 =>
         // the reference's Decimal128 (arrow_clickhouse_types.h:74-139)
         new ArrowType.Decimal(d.precision, d.scale, 128)
@@ -106,7 +110,7 @@ object ArrowInterchange {
       case dt => throw new IllegalArgumentException(
         s"Arrow interchange: unsupported type $dt for column '${f.name}' " +
           "(supported: boolean, int, bigint, float, double, string, binary, " +
-          "timestamp[us], date, array<scalar>)")
+          "timestamp[us], date, interval day-second, decimal(<=38), array<scalar>)")
     }
     new Field(f.name, new FieldType(f.nullable, t, null),
       java.util.Collections.emptyList[Field]())
@@ -132,6 +136,8 @@ object ArrowInterchange {
       case _: ArrowType.Binary => BinaryType
       case t: ArrowType.Timestamp if t.getUnit == ArrowTimeUnit.MICROSECOND => TimestampType
       case t: ArrowType.Date if t.getUnit == DateUnit.DAY => DateType
+      case t: ArrowType.Duration if t.getUnit == ArrowTimeUnit.MICROSECOND =>
+        DayTimeIntervalType()
       case t: ArrowType.Decimal if t.getBitWidth == 128 =>
         DecimalType(t.getPrecision, t.getScale)
       case _: ArrowType.List =>
@@ -288,6 +294,8 @@ object ArrowInterchange {
           row.getDecimal(col, d.precision, d.scale).toJavaBigDecimal.setScale(d.scale))
       case (x: TimeStampVector, TimestampType) => x.setSafe(idx, row.getLong(col))
       case (x: DateDayVector, DateType)        => x.setSafe(idx, row.getInt(col))
+      case (x: DurationVector, _: DayTimeIntervalType) =>
+        x.setSafe(idx, row.getLong(col)) // both sides store µs
       case (x: ListVector, ArrayType(et, _)) =>
         val arr = row.getArray(col)
         val offset = x.startNewValue(idx)
@@ -340,6 +348,13 @@ object ArrowInterchange {
         if (value == null) x.setNull(idx)
         else x.setSafe(idx,
           value.asInstanceOf[java.sql.Date].toLocalDate.toEpochDay.toInt)
+      case (x: DurationVector, _: DayTimeIntervalType) =>
+        if (value == null) x.setNull(idx)
+        else {
+          val d = value.asInstanceOf[java.time.Duration]
+          x.setSafe(idx, Math.addExact(
+            Math.multiplyExact(d.getSeconds, 1000000L), (d.getNano / 1000).toLong))
+        }
       case (x: ListVector, ArrayType(et, _)) =>
         if (value == null) x.setNull(idx) // fills offset holes, keeps lastSet
         else {
@@ -535,6 +550,8 @@ object ArrowInterchange {
         org.apache.spark.sql.types.Decimal(x.getObject(idx), d.precision, d.scale)
       case (x: TimeStampVector, TimestampType) => x.get(idx) // already µs
       case (x: DateDayVector, DateType)     => x.get(idx)    // already days
+      case (x: DurationVector, _: DayTimeIntervalType) =>
+        DurationVector.get(x.getDataBuffer, idx)             // already µs
       case (x: ListVector, ArrayType(et, _)) =>
         val (start, end) = (x.getElementStartIndex(idx), x.getElementEndIndex(idx))
         new org.apache.spark.sql.catalyst.util.GenericArrayData(
@@ -558,6 +575,7 @@ object ArrowInterchange {
       case (x: TimeStampVector, TimestampType) => tsFromMicros(x.get(idx))
       case (x: DateDayVector, DateType) =>
         java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(x.get(idx).toLong))
+      case (x: DurationVector, _: DayTimeIntervalType) => x.getObject(idx)
       case (x: ListVector, ArrayType(et, _)) =>
         val (start, end) = (x.getElementStartIndex(idx), x.getElementEndIndex(idx))
         (start until end).map(i => getValue(x.getDataVector, et, i))

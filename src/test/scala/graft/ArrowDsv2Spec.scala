@@ -222,6 +222,29 @@ class ArrowDsv2Spec extends AnyFunSuite {
       Or(EqualTo("x", 4L), EqualTo("s", "b")), ok))
   }
 
+  test("duration (day-time interval) roundtrips both paths, reads columnar") {
+    // negative and fractional-second durations, exact to the microsecond
+    val df = spark.range(10).select(col("id"),
+      expr("make_dt_interval(0, 0, 0, (id - 5) * 1.502501)").as("dur"))
+    val want = df.orderBy("id").collect().map(_.toString).toSeq
+    val dir = tmp("graft_dsv2_dur")
+    ArrowInterchange.writeStream(df, dir)
+    val viaFn = ArrowInterchange.readStream(spark, dir)
+    assert(viaFn.orderBy("id").collect().map(_.toString).toSeq === want)
+    val viaDs = spark.read.format("arrow-ipc").load(dir)
+    assert(viaDs.orderBy("id").collect().map(_.toString).toSeq === want)
+    // Spark ships a DurationAccessor → the zero-copy columnar path holds
+    val scan = viaDs.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => s
+    }.head
+    assert(scan.supportsColumnar, "durations must stay on the columnar path")
+    // DSv2 write side (internal-row setter) roundtrips too
+    val dir2 = tmp("graft_dsv2_dur_w")
+    df.write.format("arrow-ipc").mode("overwrite").save(dir2)
+    assert(spark.read.format("arrow-ipc").load(dir2)
+      .orderBy("id").collect().map(_.toString).toSeq === want)
+  }
+
   test("limit pushes into the scan; statistics report directory bytes") {
     val df = spark.range(100000).select(col("id"), concat(lit("v"), col("id")).as("v"))
     val dir = tmp("graft_dsv2_limit")
