@@ -1169,6 +1169,123 @@ object CoreQueries {
                 GROUP BY c_custkey) t
               GROUP BY c_count ORDER BY custdist DESC, c_count DESC""")),
 
+    // TPC-H Q2 shape (correlated scalar-MIN equality — "the part that IS
+    // the cheapest of its brand"; the original's min-cost supplier needs
+    // partsupp, absent from this testdata, so the brand/retailprice pair
+    // carries the same plan shape). Catalyst decorrelates the equality
+    // to ONE min-per-brand aggregate joined back — not a per-row rescan.
+    // No arithmetic crosses the engine boundary (bit-identical doubles
+    // compare equal in both engines), so the hash check is exact.
+    ("q2_min_per_group", (s, d) => {
+      s.sql(s"""
+        SELECT p_brand, p_partkey, p_name, p_retailprice
+        FROM parquet.`$d/part.parquet` p1
+        WHERE p_retailprice = (SELECT MIN(p_retailprice)
+                               FROM parquet.`$d/part.parquet` p2
+                               WHERE p2.p_brand = p1.p_brand)
+        ORDER BY p_brand, p_partkey""")
+    },
+      Some("""SELECT p_brand, p_partkey, p_name, p_retailprice
+              FROM part p1
+              WHERE p_retailprice = (SELECT MIN(p_retailprice) FROM part p2
+                                     WHERE p2.p_brand = p1.p_brand)
+              ORDER BY p_brand, p_partkey""")),
+
+    // TPC-H Q10 shape (returned-item revenue): customer × orders ×
+    // filtered lineitem, revenue-ranked top 20. Plan points: the
+    // l_returnflag filter reaches the lineitem SCAN (PushedFilters), the
+    // two joins shuffle on their keys with AQE free to broadcast the
+    // filtered side, and the top-20 is a TakeOrdered over the aggregate,
+    // never a full sort. Decimal-exact revenue; custkey tie-break makes
+    // the LIMIT deterministic.
+    ("q10_returned", (s, d) => {
+      val rev = T(s, d, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .join(T(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(T(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast(DoubleType).as("revenue"))
+      rev.orderBy(col("revenue").desc, col("c_custkey")).limit(20)
+    },
+      Some("""SELECT c_custkey, c_name, c_mktsegment,
+                     CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                            JOIN customer ON o_custkey = c_custkey
+              WHERE l_returnflag = 'R'
+              GROUP BY c_custkey, c_name, c_mktsegment
+              ORDER BY revenue DESC, c_custkey LIMIT 20""")),
+
+    // TPC-H Q21 shape (EXISTS + NOT EXISTS self-joins — "the supplier who
+    // shipped LAST on multi-supplier finished orders"; the original's
+    // receipt/commit dates are absent here, so l_shipdate carries the
+    // same double-correlated structure). Catalyst must rewrite the EXISTS
+    // to a LEFT SEMI and the NOT EXISTS to a LEFT ANTI join over the
+    // SAME lineitem relation — three scans of one table co-partitioned
+    // on l_orderkey, no per-row rescan loop.
+    ("q21_last_shipper", (s, d) => {
+      s.sql(s"""
+        SELECT s_name, COUNT(*) AS numwait
+        FROM parquet.`$d/supplier.parquet`
+        JOIN parquet.`$d/lineitem.parquet` l1 ON s_suppkey = l1.l_suppkey
+        JOIN parquet.`$d/orders.parquet` ON o_orderkey = l1.l_orderkey
+        WHERE o_orderstatus = 'F'
+          AND EXISTS (SELECT 1 FROM parquet.`$d/lineitem.parquet` l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM parquet.`$d/lineitem.parquet` l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate > l1.l_shipdate)
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name LIMIT 10""")
+    },
+      Some("""SELECT s_name, COUNT(*) AS numwait
+              FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+                            JOIN orders ON o_orderkey = l1.l_orderkey
+              WHERE o_orderstatus = 'F'
+                AND EXISTS (SELECT 1 FROM lineitem l2
+                            WHERE l2.l_orderkey = l1.l_orderkey
+                              AND l2.l_suppkey <> l1.l_suppkey)
+                AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                                WHERE l3.l_orderkey = l1.l_orderkey
+                                  AND l3.l_suppkey <> l1.l_suppkey
+                                  AND l3.l_shipdate > l1.l_shipdate)
+              GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 10""")),
+
+    // TPC-H Q22 shape (anti-join + uncorrelated scalar subqueries —
+    // "above-average-balance customers with no open orders"). The NOT
+    // EXISTS becomes a LEFT ANTI join; the average-balance threshold is
+    // TWO scalar subqueries evaluated ONCE and broadcast (stated as
+    // acctbal × n > sum in exact DECIMAL, so no float average crosses
+    // the engine boundary). Output in exact cents per repo convention.
+    ("q22_idle_customers", (s, d) => {
+      s.sql(s"""
+        SELECT c_mktsegment, COUNT(*) AS numcust,
+               CAST(SUM(CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS totacctbal_cents
+        FROM parquet.`$d/customer.parquet` c
+        WHERE CAST(c_acctbal AS DECIMAL(12,2)) *
+              (SELECT COUNT(*) FROM parquet.`$d/customer.parquet`
+               WHERE c_acctbal > 0)
+            > (SELECT SUM(CAST(c_acctbal AS DECIMAL(12,2)))
+               FROM parquet.`$d/customer.parquet` WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM parquet.`$d/orders.parquet` o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderstatus = 'P')
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment""")
+    },
+      Some("""SELECT c_mktsegment, COUNT(*) AS numcust,
+                     CAST(SUM(CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS totacctbal_cents
+              FROM customer c
+              WHERE CAST(c_acctbal AS DECIMAL(12,2)) *
+                    (SELECT COUNT(*) FROM customer WHERE c_acctbal > 0)
+                  > (SELECT SUM(CAST(c_acctbal AS DECIMAL(12,2))) FROM customer WHERE c_acctbal > 0)
+                AND NOT EXISTS (SELECT 1 FROM orders o
+                                WHERE o.o_custkey = c.c_custkey
+                                  AND o.o_orderstatus = 'P')
+              GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
     // Z-order (Morton) clustering values: both dimensions min/max-scaled
     // to 8 bits and bit-interleaved — the layout key writeZOrdered sorts
     // by so parquet min/max stats skip on BOTH columns. Pure integer
