@@ -26,7 +26,7 @@ object Bench {
     "q19_disjunctive", "correlated_subquery", "q4_exists", "q13_custdist",
     "arrow_embeddings", "multimodal_decode", "agg_theta_setops",
     "agg_kll_quantiles", "agg_freq_topk", "arrow_decimal", "sketch_manifest",
-    "arrow_dsv2", "arrow_stats_prune")
+    "arrow_dsv2", "arrow_stats_prune", "q10_returned", "q21_last_shipper")
 
   def main(args: Array[String]): Unit = {
     // Iteration aid: SPARK_GRAFT_ONLY=q1,q2 restricts the run to a subset.

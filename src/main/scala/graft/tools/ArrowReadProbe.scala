@@ -55,6 +55,32 @@ object ArrowReadProbe {
       graft.sources.ArrowInterchange.readStream(spark, dir, Seq("vec_id"))
         .agg(sum("vec_id")).head
     }
+
+    // stats-based file pruning: the same corpus range-partitioned into 32
+    // files by vec_id via the DSv2 writer (which commits _stats.json);
+    // a selective filter should read ~1 file with stats and all 32
+    // without (delete the manifest to simulate a foreign directory).
+    val prunedDir = "/tmp/graft_scale/arrow_stats_probe"
+    spark.read.format("arrow-ipc").load(dir)
+      .repartitionByRange(32, col("vec_id"))
+      .write.format("arrow-ipc").mode("overwrite").save(prunedDir)
+    val hi = spark.read.format("arrow-ipc").load(prunedDir)
+      .agg(max("vec_id")).head.getLong(0)
+    def filteredSum(): Any = spark.read.format("arrow-ipc").load(prunedDir)
+      .filter(col("vec_id") > hi - 1000)
+      .select(expr("aggregate(embedding, 0D, (a, x) -> a + x)").as("s"))
+      .agg(sum("s")).head
+    val keptDesc = spark.read.format("arrow-ipc").load(prunedDir)
+      .filter(col("vec_id") > hi - 1000)
+      .queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => s
+      }.head.scan.description()
+    println(s"[probe] stats prune: ${keptDesc.replaceAll(".*(files=\\S+).*", "$1")} files read")
+    time("DSv2 filtered, stats-pruned") { filteredSum() }
+    val fs = new org.apache.hadoop.fs.Path(prunedDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(prunedDir, "_stats.json"), false)
+    time("DSv2 filtered, no stats (32 files)") { filteredSum() }
     spark.stop()
   }
 }

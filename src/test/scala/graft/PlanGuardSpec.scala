@@ -37,4 +37,32 @@ class PlanGuardSpec extends AnyFunSuite {
     }
     assert(offenders.isEmpty, s"plan smells:\n${offenders.mkString("\n")}")
   }
+
+  test("subquery shapes decorrelate: EXISTS→semi, NOT EXISTS→anti, scalar agg→join") {
+    // Q21 shape: BOTH correlated predicates must leave the plan as join
+    // operators over lineitem — a surviving subquery expression would mean
+    // a per-outer-row rescan, the plan that dies at scale.
+    val q21 = SparkEntry.queries("q21_last_shipper")(spark, sfDir)
+      .queryExecution.optimizedPlan.toString
+    assert(q21.contains("LeftSemi"), s"expected a left-semi join:\n$q21")
+    assert(q21.contains("LeftAnti"), s"expected a left-anti join:\n$q21")
+
+    // Q22 shape: the NOT EXISTS is an anti join; the two scalar
+    // thresholds stay as one-row subqueries evaluated ONCE (not
+    // correlated — no outer reference may survive into them).
+    val q22 = SparkEntry.queries("q22_idle_customers")(spark, sfDir)
+      .queryExecution.optimizedPlan.toString
+    assert(q22.contains("LeftAnti"), s"expected a left-anti join:\n$q22")
+    assert(!q22.contains("outer("), s"correlated reference survived:\n$q22")
+
+    // Q2 shape: the correlated scalar MIN must decorrelate to an
+    // aggregate-then-join (no correlated predicate left in the plan).
+    val q2 = SparkEntry.queries("q2_min_per_group")(spark, sfDir)
+      .queryExecution.optimizedPlan
+    assert(!q2.toString.contains("outer("),
+      s"correlated reference survived decorrelation:\n$q2")
+    val joins = q2.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+    assert(joins.nonEmpty, s"expected the decorrelated min-join:\n$q2")
+  }
 }
