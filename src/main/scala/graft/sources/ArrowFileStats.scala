@@ -62,8 +62,9 @@ private[graft] object ArrowFileStats {
   }
 
   /** Normalize a v1 Filter's external value to the column's stats kind.
-    * None = can't interpret → never prune on it. */
-  private def norm(kind: String, v: Any): Option[Any] = (kind, v) match {
+    * None = can't interpret → never prune on it. (Also reused by the
+    * external-Row stats collector — the value forms coincide.) */
+  private[sources] def norm(kind: String, v: Any): Option[Any] = (kind, v) match {
     case (_, null) => None
     case ("long", x: Byte) => Some(x.toLong)
     case ("long", x: Short) => Some(x.toLong)
@@ -263,6 +264,28 @@ private[graft] class ArrowStatsCollector(schema: StructType) {
   private val smin = new Array[UTF8String](n); private val smax = new Array[UTF8String](n)
   private var rows = 0L
 
+  private def updLong(c: Int, v: Long): Unit =
+    if (!seen(c)) { lmin(c) = v; lmax(c) = v; seen(c) = true }
+    else { if (v < lmin(c)) lmin(c) = v; if (v > lmax(c)) lmax(c) = v }
+
+  private def updDouble(c: Int, v: Double): Unit =
+    if (v.isNaN) valid(c) = false
+    else if (!seen(c)) { dmin(c) = v; dmax(c) = v; seen(c) = true }
+    else { if (v < dmin(c)) dmin(c) = v; if (v > dmax(c)) dmax(c) = v }
+
+  /** `owned` = the UTF8String is freshly allocated (external conversion)
+    * and safe to retain; internal-row strings view a reused buffer and
+    * must be cloned on retention. */
+  private def updString(c: Int, v: UTF8String, owned: Boolean): Unit =
+    if (v.numBytes > 256) valid(c) = false
+    else if (!seen(c)) {
+      smin(c) = if (owned) v else v.clone()
+      smax(c) = if (owned) v else v.clone(); seen(c) = true
+    } else {
+      if (v.compareTo(smin(c)) < 0) smin(c) = if (owned) v else v.clone()
+      if (v.compareTo(smax(c)) > 0) smax(c) = if (owned) v else v.clone()
+    }
+
   def update(row: InternalRow): Unit = {
     rows += 1
     var c = 0
@@ -271,32 +294,51 @@ private[graft] class ArrowStatsCollector(schema: StructType) {
         if (row.isNullAt(c)) nulls(c) += 1
         else if (valid(c)) kinds(c) match {
           case 1 =>
-            val v: Long = dts(c) match {
+            updLong(c, dts(c) match {
               case ByteType => row.getByte(c).toLong
               case ShortType => row.getShort(c).toLong
               case IntegerType | DateType => row.getInt(c).toLong
               case BooleanType => if (row.getBoolean(c)) 1L else 0L
               case _ => row.getLong(c)
-            }
-            if (!seen(c)) { lmin(c) = v; lmax(c) = v; seen(c) = true }
-            else { if (v < lmin(c)) lmin(c) = v; if (v > lmax(c)) lmax(c) = v }
+            })
           case 2 =>
-            val v: Double = dts(c) match {
+            updDouble(c, dts(c) match {
               case FloatType => row.getFloat(c).toDouble
               case _ => row.getDouble(c)
-            }
-            if (v.isNaN) valid(c) = false
-            else if (!seen(c)) { dmin(c) = v; dmax(c) = v; seen(c) = true }
-            else { if (v < dmin(c)) dmin(c) = v; if (v > dmax(c)) dmax(c) = v }
-          case 3 =>
-            val v = row.getUTF8String(c)
-            if (v.numBytes > 256) valid(c) = false
-            else if (!seen(c)) {
-              smin(c) = v.clone(); smax(c) = v.clone(); seen(c) = true
-            } else {
-              if (v.compareTo(smin(c)) < 0) smin(c) = v.clone()
-              if (v.compareTo(smax(c)) > 0) smax(c) = v.clone()
-            }
+            })
+          case 3 => updString(c, row.getUTF8String(c), owned = false)
+          case _ => ()
+        }
+      }
+      c += 1
+    }
+  }
+
+  /** External-`Row` twin of [[update]] (the function-style writer's value
+    * form): java.sql / java.time values normalize through the SAME
+    * converter the filter side uses, so both collectors agree bit-for-bit.
+    * An external form the normalizer can't interpret invalidates the
+    * column — never a silently-wrong interval. */
+  def updateExternal(row: org.apache.spark.sql.Row): Unit = {
+    rows += 1
+    var c = 0
+    while (c < n) {
+      if (kinds(c) != 0) {
+        val v = row.get(c)
+        if (v == null) nulls(c) += 1
+        else if (valid(c)) kinds(c) match {
+          case 1 => ArrowFileStats.norm("long", v) match {
+            case Some(x) => updLong(c, x.asInstanceOf[Long])
+            case None => valid(c) = false
+          }
+          case 2 => v match {
+            case x: java.lang.Number => updDouble(c, x.doubleValue())
+            case _ => valid(c) = false
+          }
+          case 3 => v match {
+            case x: String => updString(c, UTF8String.fromString(x), owned = true)
+            case _ => valid(c) = false
+          }
           case _ => ()
         }
       }

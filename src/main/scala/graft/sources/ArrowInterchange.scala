@@ -172,6 +172,11 @@ object ArrowInterchange {
     fs.mkdirs(dirPath)
     writeOneFile(fs.create(new Path(dirPath, "_schema.arrows"), true),
       schema, Iterator.empty, maxRecordsPerBatch, codec)
+    // Per-file column stats ride an accumulator to the driver's
+    // `_stats.json` (same pruning substrate as the DSv2 write path).
+    // Duplicate task attempts write identical deterministic content, so
+    // last-one-wins dedup by file name is exact, not a race.
+    val statsAcc = sc.collectionAccumulator[(String, FileStats)]("arrowFileStats")
     df.foreachPartition { (rows: Iterator[Row]) =>
       if (rows.hasNext) {
         // Commit protocol: write to an ATTEMPT-SCOPED temp name, then
@@ -186,15 +191,22 @@ object ArrowInterchange {
         val tmpP = new Path(dir,
           f".part-${tc.partitionId()}%05d.arrows.attempt-${tc.taskAttemptId()}.tmp")
         val pfs = finalP.getFileSystem(conf.value)
-        writeOneFile(pfs.create(tmpP, true), schema, rows, maxRecordsPerBatch, codec)
+        val collector = new ArrowStatsCollector(schema)
+        writeOneFile(pfs.create(tmpP, true), schema, rows, maxRecordsPerBatch,
+          codec, Some(collector))
         if (!pfs.rename(tmpP, finalP)) {
           val lost = pfs.exists(finalP) // a sibling attempt already committed
           pfs.delete(tmpP, false)
           if (!lost) throw new java.io.IOException(
             s"Arrow interchange: rename $tmpP -> $finalP failed")
         }
+        statsAcc.add(finalP.getName -> collector.result())
       }
     }
+    // stats manifest BEFORE the completeness marker: a reader that sees
+    // _SUCCESS must also see every committed file's stats
+    val fileStats = statsAcc.value.asScala.toMap
+    if (fileStats.nonEmpty) ArrowFileStats.write(fs, dirPath, fileStats)
     // Job-level completeness marker: without it a mid-job failure leaves a
     // partial directory with a valid schema sentinel that a later read
     // would silently treat as the complete dataset.
@@ -225,7 +237,7 @@ object ArrowInterchange {
 
   private def writeOneFile(out: java.io.OutputStream, schema: StructType,
       rows: Iterator[Row], maxRecordsPerBatch: Int,
-      codec: Option[String]): Unit = {
+      codec: Option[String], stats: Option[ArrowStatsCollector] = None): Unit = {
     val alloc = new RootAllocator()
     val root = VectorSchemaRoot.create(toArrowSchema(schema), alloc)
     val writer = newStreamWriter(root, out, codec)
@@ -242,6 +254,7 @@ object ArrowInterchange {
             setValue(root.getVector(i), types(i), n, row, i)
             i += 1
           }
+          stats.foreach(_.updateExternal(row))
           n += 1
         }
         root.setRowCount(n)

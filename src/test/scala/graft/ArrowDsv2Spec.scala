@@ -174,13 +174,21 @@ class ArrowDsv2Spec extends AnyFunSuite {
     assert(scanDesc(qVal).contains("files=1/2"), scanDesc(qVal))
   }
 
-  test("stats-pruning: directories without stats (function-style writer) keep every file") {
+  test("stats-pruning: function-style writes carry stats; foreign dirs keep every file") {
     val dir = tmp("graft_dsv2_nostats")
     val df = spark.range(1000).select(col("id"))
     ArrowInterchange.writeStream(df.repartitionByRange(2, col("id")), dir)
+    // the accumulator-fed manifest prunes function-style directories too
     val q = spark.read.format("arrow-ipc").load(dir).filter(col("id") < 10)
     assert(q.count() === 10)
-    assert(scanDesc(q).contains("files=2/2"), scanDesc(q))
+    assert(scanDesc(q).contains("files=1/2"), scanDesc(q))
+    // a foreign directory (no _stats.json) must keep every file
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir, "_stats.json"), false)
+    val q2 = spark.read.format("arrow-ipc").load(dir).filter(col("id") < 10)
+    assert(q2.count() === 10)
+    assert(scanDesc(q2).contains("files=2/2"), scanDesc(q2))
   }
 
   test("stats soundness: NaN and supplementary-plane strings invalidate intervals") {
