@@ -1286,6 +1286,100 @@ object CoreQueries {
                                   AND o.o_orderstatus = 'P')
               GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
 
+    // TPC-H Q7 shape (two-way nation-pair volume): a 6-relation join where
+    // the pair constraint is a DISJUNCTION across two dimension copies.
+    // Plan points: nation is joined twice (both broadcast — a 25-row dim),
+    // the OR-of-ANDs runs as a residual after both dim joins, and the
+    // big fact joins shuffle on their keys. Decimal-exact revenue.
+    ("q7_nation_volume", (s, d) => {
+      s.sql(s"""
+        SELECT supp_nation, cust_nation, l_year,
+               CAST(SUM(volume) AS DOUBLE) AS revenue
+        FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                     CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
+                     CAST(l_extendedprice AS DECIMAL(12,2)) *
+                       (1 - CAST(l_discount AS DECIMAL(12,2))) AS volume
+              FROM parquet.`$d/supplier.parquet`
+              JOIN parquet.`$d/lineitem.parquet` ON s_suppkey = l_suppkey
+              JOIN parquet.`$d/orders.parquet` ON o_orderkey = l_orderkey
+              JOIN parquet.`$d/customer.parquet` ON c_custkey = o_custkey
+              JOIN parquet.`$d/nation.parquet` n1 ON s_nationkey = n1.n_nationkey
+              JOIN parquet.`$d/nation.parquet` n2 ON c_nationkey = n2.n_nationkey
+              WHERE (n1.n_name IN ('NATION_1','NATION_2','NATION_3') AND
+                     n2.n_name IN ('NATION_4','NATION_5','NATION_6'))
+                 OR (n1.n_name IN ('NATION_4','NATION_5','NATION_6') AND
+                     n2.n_name IN ('NATION_1','NATION_2','NATION_3'))) t
+        GROUP BY supp_nation, cust_nation, l_year
+        ORDER BY supp_nation, cust_nation, l_year""")
+    },
+      Some("""SELECT supp_nation, cust_nation, l_year,
+                     CAST(SUM(volume) AS DOUBLE) AS revenue
+              FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                           CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
+                           CAST(l_extendedprice AS DECIMAL(12,2)) *
+                             (1 - CAST(l_discount AS DECIMAL(12,2))) AS volume
+                    FROM supplier
+                    JOIN lineitem ON s_suppkey = l_suppkey
+                    JOIN orders ON o_orderkey = l_orderkey
+                    JOIN customer ON c_custkey = o_custkey
+                    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+                    WHERE (n1.n_name IN ('NATION_1','NATION_2','NATION_3') AND
+                           n2.n_name IN ('NATION_4','NATION_5','NATION_6'))
+                       OR (n1.n_name IN ('NATION_4','NATION_5','NATION_6') AND
+                           n2.n_name IN ('NATION_1','NATION_2','NATION_3'))) t
+              GROUP BY supp_nation, cust_nation, l_year
+              ORDER BY supp_nation, cust_nation, l_year""")),
+
+    // TPC-H Q14 shape (promo revenue share): a ratio of CONDITIONAL
+    // aggregates over one join — one pass computes both the CASE-gated
+    // numerator and the total (no second scan); both stay exact DECIMAL
+    // sums until a single final double division.
+    ("q14_promo_share", (s, d) => {
+      s.sql(s"""
+        SELECT CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN volume ELSE 0 END) AS DOUBLE) AS promo_rev,
+               CAST(SUM(volume) AS DOUBLE) AS total_rev,
+               CAST(100.0 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN volume ELSE 0 END) AS DOUBLE)
+                    / CAST(SUM(volume) AS DOUBLE) AS DOUBLE) AS promo_share
+        FROM (SELECT p_type,
+                     CAST(l_extendedprice AS DECIMAL(12,2)) *
+                       (1 - CAST(l_discount AS DECIMAL(12,2))) AS volume
+              FROM parquet.`$d/lineitem.parquet`
+              JOIN parquet.`$d/part.parquet` ON l_partkey = p_partkey
+              WHERE EXTRACT(year FROM l_shipdate) = 1996) t""")
+    },
+      Some("""SELECT CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN volume ELSE 0 END) AS DOUBLE) AS promo_rev,
+                     CAST(SUM(volume) AS DOUBLE) AS total_rev,
+                     CAST(100.0 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN volume ELSE 0 END) AS DOUBLE)
+                          / CAST(SUM(volume) AS DOUBLE) AS DOUBLE) AS promo_share
+              FROM (SELECT p_type,
+                           CAST(l_extendedprice AS DECIMAL(12,2)) *
+                             (1 - CAST(l_discount AS DECIMAL(12,2))) AS volume
+                    FROM lineitem JOIN part ON l_partkey = p_partkey
+                    WHERE EXTRACT(year FROM l_shipdate) = 1996) t""")),
+
+    // TPC-H Q16 shape (NOT IN subquery): supplier diversity per brand,
+    // excluding a supplier set. NOT IN is the NULL-AWARE anti join —
+    // Catalyst must plan the single-key broadcast null-aware anti (a
+    // wrong rewrite to plain anti changes semantics if the build side
+    // ever holds a NULL), then COUNT(DISTINCT) over the surviving rows.
+    ("q16_notin_suppliers", (s, d) => {
+      s.sql(s"""
+        SELECT p_brand, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM parquet.`$d/lineitem.parquet`
+        JOIN parquet.`$d/part.parquet` ON l_partkey = p_partkey
+        WHERE l_suppkey NOT IN (SELECT s_suppkey
+                                FROM parquet.`$d/supplier.parquet`
+                                WHERE s_acctbal < 1000)
+        GROUP BY p_brand
+        ORDER BY supplier_cnt DESC, p_brand""")
+    },
+      Some("""SELECT p_brand, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                      WHERE s_acctbal < 1000)
+              GROUP BY p_brand ORDER BY supplier_cnt DESC, p_brand""")),
+
     // Z-order (Morton) clustering values: both dimensions min/max-scaled
     // to 8 bits and bit-interleaved — the layout key writeZOrdered sorts
     // by so parquet min/max stats skip on BOTH columns. Pure integer
