@@ -1604,7 +1604,36 @@ object CoreQueries {
               FROM events e
               LEFT JOIN (SELECT * FROM customer WHERE c_custkey < 100) c
                 ON e.user_id = c.c_custkey
-              ORDER BY e.event_id""")))
+              ORDER BY e.event_id""")),
+
+    // Arrow directory as a STREAMING source, run for real (micro-batch
+    // execution, checkpointed offsets, parquet file sink — no catalog
+    // side effects): events land in an Arrow dir, the stream ingests
+    // them, and the aggregate over the sink must equal the batch answer.
+    // This is the continuous-ingest front end the incremental-dedup
+    // operators consume; exactly-once and append pickup are covered by
+    // ArrowStreamSpec, this query oracle-checks the transported VALUES.
+    ("stream_arrow_ingest", (s, d) => {
+      val ev = T(s, d, "events")
+        .select("event_id", "user_id", "event_type", "value")
+      // Scratch contract: see json_roundtrip.
+      val path = graft.sources.Scratch.dir(s, "graft_stream_arrow")
+      ev.write.format("arrow-ipc").mode("overwrite").save(path + "/src")
+      val q = s.readStream.format("arrow-ipc").load(path + "/src")
+        .writeStream.format("parquet")
+        .option("path", path + "/out")
+        .option("checkpointLocation", path + "/ckpt")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(path + "/out")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast(DecimalType(14, 4))).cast(DoubleType).as("sum_value"))
+        .orderBy("event_type")
+    },
+      Some("""SELECT event_type, COUNT(*) AS cnt,
+                     CAST(SUM(CAST(value AS DECIMAL(14,4))) AS DOUBLE) AS sum_value
+              FROM events GROUP BY event_type ORDER BY event_type""")))
 
   /** DuckDB replica of the z-order construction: same min/max scaling,
     * same 8-bit interleave, built from the same generator. */

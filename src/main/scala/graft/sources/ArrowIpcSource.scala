@@ -69,6 +69,7 @@ private[sources] class ArrowIpcTable(tableSchema: StructType, dir: String)
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ArrowIpcScanBuilder(tableSchema, dir)
@@ -171,6 +172,10 @@ private[sources] class ArrowIpcScan(required: StructType, dir: String,
 
   override def planInputPartitions(): Array[InputPartition] =
     kept.map(st => ArrowFilePartition(st.getPath.toString): InputPartition)
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new ArrowIpcMicroBatchStream(required, dir, filters)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new ArrowIpcReaderFactory(required,

@@ -1,0 +1,112 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.types.StructType
+
+/** Offset for the Arrow micro-batch source: the SET of data-file names
+  * already emitted, as a sorted JSON array. File names — not a numeric
+  * high-watermark — because append jobs name files by (partition,
+  * queryId), so new files land at arbitrary lexicographic positions and
+  * any count- or name-threshold offset would mis-attribute them. The
+  * same design as Spark's own FileStreamSource seen-files log, carried
+  * in the offset itself; bounded by the interchange-directory scale this
+  * source serves (thousands of files, not millions).
+  */
+private[sources] case class ArrowFilesOffset(files: Seq[String]) extends Offset {
+  override def json(): String =
+    files.sorted.map(n => "\"" + n.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+      .mkString("[", ",", "]")
+}
+
+private[sources] object ArrowFilesOffset {
+  def fromJson(json: String): ArrowFilesOffset = {
+    import org.json4s._
+    org.json4s.jackson.JsonMethods.parse(json) match {
+      case JArray(xs) => ArrowFilesOffset(xs.collect { case JString(s) => s })
+      case other => throw new IllegalArgumentException(
+        s"arrow-ipc stream: bad offset json $other")
+    }
+  }
+}
+
+/** Micro-batch face of the Arrow IPC source: `spark.readStream
+  * .format("arrow-ipc").load(dir)` turns a directory other jobs keep
+  * appending to (the DSv2 append path) into a Structured Streaming
+  * source — the continuous-ingest front end the incremental-dedup
+  * operators (`Dedup.incrementalCandidatePairs`) are built to consume.
+  *
+  * Contract per micro-batch: a batch is the set difference between two
+  * directory listings, so every committed file is emitted exactly once
+  * (checkpointed offsets carry the seen set; a restart replays only the
+  * unprocessed difference). Listings are GATED on the writer's
+  * completeness marker: the DSv2 append path drops `_SUCCESS` while a
+  * write is in flight and recreates it at commit, so a poll mid-append
+  * sees the PREVIOUS committed state rather than a torn directory —
+  * no file is emitted until the job that wrote it committed.
+  *
+  * Stats-based file skipping is wired through (`planInputPartitions`
+  * drops new files whose `_stats.json` interval refutes a pushed filter)
+  * but is INERT on current Spark: the optimizer's V2 pushdown rules run
+  * only on batch `DataSourceV2Relation`s — a micro-batch scan is built at
+  * analysis time with the full schema and no filters, so the stream
+  * reads every committed file and Spark filters post-scan
+  * (ArrowStreamSpec documents this as the observed behavior; if Spark
+  * grows streaming pushdown the skip activates unchanged). */
+private[sources] class ArrowIpcMicroBatchStream(
+    required: StructType, dir: String,
+    filters: Array[org.apache.spark.sql.sources.Filter])
+    extends MicroBatchStream {
+
+  private val spark = SparkSession.active
+  private val conf = new SerializableHadoopConf(
+    spark.sparkContext.hadoopConfiguration)
+
+  private def listCommitted(): Seq[String] = {
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(conf.value)
+    if (!fs.exists(dirPath)) return Nil
+    // mid-append (sentinel present, marker dropped): hold the line at the
+    // previous offset instead of reading a torn directory
+    if (fs.exists(new Path(dirPath, "_schema.arrows")) &&
+        !fs.exists(new Path(dirPath, "_SUCCESS"))) return Nil
+    Option(fs.globStatus(new Path(dir, "part-*.arrows")))
+      .getOrElse(Array.empty).map(_.getPath.getName).toSeq.sorted
+  }
+
+  private var last: Seq[String] = Nil
+
+  override def initialOffset(): Offset = ArrowFilesOffset(Nil)
+
+  override def latestOffset(): Offset = {
+    val now = listCommitted()
+    // monotone: a mid-append empty listing must not retract emitted files
+    if (now.nonEmpty || last.isEmpty) last = (last ++ now).distinct.sorted
+    ArrowFilesOffset(last)
+  }
+
+  override def deserializeOffset(json: String): Offset =
+    ArrowFilesOffset.fromJson(json)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val seen = start.asInstanceOf[ArrowFilesOffset].files.toSet
+    val fresh = end.asInstanceOf[ArrowFilesOffset].files.filterNot(seen)
+    val stats =
+      if (filters.isEmpty || fresh.isEmpty) Map.empty[String, FileStats]
+      else ArrowFileStats.read(
+        new Path(dir).getFileSystem(conf.value), new Path(dir))
+    fresh.filter { name =>
+      stats.get(name)
+        .forall(s => filters.forall(f => ArrowFileStats.canMatch(f, s)))
+    }.map(name =>
+      ArrowFilePartition(new Path(dir, name).toString): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ArrowIpcReaderFactory(required, conf)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}

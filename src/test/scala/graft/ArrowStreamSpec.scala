@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Micro-batch face of the Arrow IPC source: a directory other jobs keep
+  * appending to, consumed as a Structured Streaming source with
+  * exactly-once file semantics (set-difference offsets, checkpointed). */
+class ArrowStreamSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("streamed directory: appends arrive once each; restart replays nothing") {
+    val base = java.nio.file.Files.createTempDirectory("graft_arrowstream").toString
+    val (src, out, ckpt) = (s"$base/src", s"$base/out", s"$base/ckpt")
+
+    def feed(from: Long, until: Long): Unit =
+      spark.range(from, until).select(col("id"),
+        concat(lit("v"), col("id")).as("v"))
+        .coalesce(1).write.format("arrow-ipc").mode("append").save(src)
+
+    def runOnePass(): Unit = {
+      val q = spark.readStream.format("arrow-ipc").load(src)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .start()
+      try { q.processAllAvailable() } finally q.stop()
+    }
+
+    feed(0, 100)
+    runOnePass()
+    assert(spark.read.parquet(out).count() === 100)
+
+    // two more committed append jobs → exactly their union, no re-emits
+    feed(100, 150)
+    feed(150, 180)
+    runOnePass()
+    val ids = spark.read.parquet(out).select("id").as[Long].collect().sorted
+    assert(ids.length === 180, s"got ${ids.length}")
+    assert(ids.toSeq === (0L until 180L), "duplicated or lost rows")
+
+    // restart with NO new files: nothing may be re-emitted
+    runOnePass()
+    assert(spark.read.parquet(out).count() === 180)
+  }
+
+  test("filtered/projected stream is exact; post-scan filtering is the observed contract") {
+    val base = java.nio.file.Files.createTempDirectory("graft_arrowstream2").toString
+    val src = s"$base/src"
+    // two files with disjoint id ranges (coalesce(1) per write)
+    spark.range(0, 1000).select(col("id"), concat(lit("p"), col("id")).as("pay"))
+      .coalesce(1).write.format("arrow-ipc").mode("append").save(src)
+    spark.range(1000, 2000).select(col("id"), concat(lit("p"), col("id")).as("pay"))
+      .coalesce(1).write.format("arrow-ipc").mode("append").save(src)
+
+    val q = spark.readStream.format("arrow-ipc").load(src)
+      .filter(col("id") < 500).select("id")
+      .writeStream.format("memory").queryName("graft_arrow_pruned").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("graft_arrow_pruned").as[Long].collect().sorted
+    assert(got.toSeq === (0L until 500L))
+
+    // Spark's V2 pushdown rules run only on BATCH relations: the
+    // micro-batch scan is built at analysis time with no filters, so both
+    // files are read and the filter applies post-scan. This assertion
+    // DOCUMENTS that contract — if it ever fails with 1000, Spark grew
+    // streaming pushdown and the stats skip in planInputPartitions went
+    // live (update the scaladoc in ArrowIpcStreaming.scala).
+    val inputRows = q.recentProgress.map(_.numInputRows).sum
+    assert(inputRows === 2000, s"expected post-scan filtering (2000), got $inputRows")
+  }
+}
