@@ -26,7 +26,10 @@ object Bench {
     "q19_disjunctive", "correlated_subquery", "q4_exists", "q13_custdist",
     "arrow_embeddings", "multimodal_decode", "agg_theta_setops",
     "agg_kll_quantiles", "agg_freq_topk", "arrow_decimal", "sketch_manifest",
-    "arrow_dsv2", "arrow_stats_prune", "q10_returned", "q21_last_shipper")
+    "arrow_dsv2", "arrow_stats_prune", "q10_returned", "q21_last_shipper",
+    "q3_shipping_topk", "q8_market_share", "q9_product_profit",
+    "q12_priority_counts", "q15_top_supplier", "q17_small_qty",
+    "q20_promo_suppliers")
 
   def main(args: Array[String]): Unit = {
     // Iteration aid: SPARK_GRAFT_ONLY=q1,q2 restricts the run to a subset.

@@ -1380,6 +1380,284 @@ object CoreQueries {
                                       WHERE s_acctbal < 1000)
               GROUP BY p_brand ORDER BY supplier_cnt DESC, p_brand""")),
 
+    // TPC-H Q3 shape (shipping-priority top-k): filters on BOTH sides of a
+    // date boundary (orders before, shipments after), 3-way join, agg by
+    // order, then top-10 by revenue. Plan points: both date filters push
+    // into their scans, the segment filter prunes customer before the
+    // join, and the final ORDER BY + LIMIT must plan as
+    // TakeOrderedAndProject (per-partition top-k, no global sort).
+    ("q3_shipping_topk", (s, d) => {
+      s.sql(s"""
+        SELECT l_orderkey,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                        (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+               o_orderdate, o_orderpriority
+        FROM parquet.`$d/customer.parquet`
+        JOIN parquet.`$d/orders.parquet` ON c_custkey = o_custkey
+        JOIN parquet.`$d/lineitem.parquet` ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+          AND l_shipdate > TIMESTAMP '1998-01-01'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""")
+    },
+      Some("""SELECT l_orderkey,
+                     CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                              (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+                     o_orderdate, o_orderpriority
+              FROM customer JOIN orders ON c_custkey = o_custkey
+                            JOIN lineitem ON l_orderkey = o_orderkey
+              WHERE c_mktsegment = 'BUILDING'
+                AND o_orderdate < TIMESTAMP '1998-01-01'
+                AND l_shipdate > TIMESTAMP '1998-01-01'
+              GROUP BY l_orderkey, o_orderdate, o_orderpriority
+              ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""")),
+
+    // TPC-H Q8 shape (national market share): the deepest join tree in the
+    // suite — 8 relations, nation joined twice (both 25-row broadcasts),
+    // region pruning one side. The share is a ratio of CONDITIONAL
+    // aggregates computed in ONE pass (CASE-gated numerator next to the
+    // total); both stay exact DECIMAL until one final double division.
+    ("q8_market_share", (s, d) => {
+      s.sql(s"""
+        SELECT o_year,
+               CAST(SUM(CASE WHEN nation = 'NATION_1' THEN volume ELSE 0 END) AS DOUBLE) AS nation_rev,
+               CAST(SUM(volume) AS DOUBLE) AS total_rev,
+               CAST(CAST(SUM(CASE WHEN nation = 'NATION_1' THEN volume ELSE 0 END) AS DOUBLE)
+                    / CAST(SUM(volume) AS DOUBLE) AS DOUBLE) AS mkt_share
+        FROM (SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+                     CAST(l_extendedprice AS DECIMAL(12,2)) *
+                       (1 - CAST(l_discount AS DECIMAL(12,2))) AS volume,
+                     n2.n_name AS nation
+              FROM parquet.`$d/part.parquet`
+              JOIN parquet.`$d/lineitem.parquet` ON p_partkey = l_partkey
+              JOIN parquet.`$d/supplier.parquet` ON s_suppkey = l_suppkey
+              JOIN parquet.`$d/orders.parquet` ON l_orderkey = o_orderkey
+              JOIN parquet.`$d/customer.parquet` ON o_custkey = c_custkey
+              JOIN parquet.`$d/nation.parquet` n1 ON c_nationkey = n1.n_nationkey
+              JOIN parquet.`$d/region.parquet` ON n1.n_regionkey = r_regionkey
+              JOIN parquet.`$d/nation.parquet` n2 ON s_nationkey = n2.n_nationkey
+              WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY') t
+        GROUP BY o_year ORDER BY o_year""")
+    },
+      Some("""SELECT o_year,
+                     CAST(SUM(CASE WHEN nation = 'NATION_1' THEN volume ELSE 0 END) AS DOUBLE) AS nation_rev,
+                     CAST(SUM(volume) AS DOUBLE) AS total_rev,
+                     CAST(CAST(SUM(CASE WHEN nation = 'NATION_1' THEN volume ELSE 0 END) AS DOUBLE)
+                          / CAST(SUM(volume) AS DOUBLE) AS DOUBLE) AS mkt_share
+              FROM (SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+                           CAST(l_extendedprice AS DECIMAL(12,2)) *
+                             (1 - CAST(l_discount AS DECIMAL(12,2))) AS volume,
+                           n2.n_name AS nation
+                    FROM part JOIN lineitem ON p_partkey = l_partkey
+                    JOIN supplier ON s_suppkey = l_suppkey
+                    JOIN orders ON l_orderkey = o_orderkey
+                    JOIN customer ON o_custkey = c_custkey
+                    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+                    JOIN region ON n1.n_regionkey = r_regionkey
+                    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+                    WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY') t
+              GROUP BY o_year ORDER BY o_year""")),
+
+    // TPC-H Q9 shape (product-type profit), adapted: the test schema has
+    // no partsupp/ps_supplycost, so profit degrades to revenue — what the
+    // shape KEEPS is the LIKE filter on p_name feeding a 5-relation join
+    // grouped by (nation, year) with the TPC-H ORDER BY ... year DESC.
+    // The substring filter cannot prune at the parquet footer; it must
+    // still run scan-local before the join fans rows out.
+    ("q9_product_profit", (s, d) => {
+      s.sql(s"""
+        SELECT nation, o_year, CAST(SUM(volume) AS DOUBLE) AS profit
+        FROM (SELECT n_name AS nation,
+                     CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+                     CAST(l_extendedprice AS DECIMAL(12,2)) *
+                       (1 - CAST(l_discount AS DECIMAL(12,2))) AS volume
+              FROM parquet.`$d/part.parquet`
+              JOIN parquet.`$d/lineitem.parquet` ON p_partkey = l_partkey
+              JOIN parquet.`$d/supplier.parquet` ON s_suppkey = l_suppkey
+              JOIN parquet.`$d/orders.parquet` ON o_orderkey = l_orderkey
+              JOIN parquet.`$d/nation.parquet` ON s_nationkey = n_nationkey
+              WHERE p_name LIKE '%widget%') t
+        GROUP BY nation, o_year
+        ORDER BY nation, o_year DESC""")
+    },
+      Some("""SELECT nation, o_year, CAST(SUM(volume) AS DOUBLE) AS profit
+              FROM (SELECT n_name AS nation,
+                           CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+                           CAST(l_extendedprice AS DECIMAL(12,2)) *
+                             (1 - CAST(l_discount AS DECIMAL(12,2))) AS volume
+                    FROM part JOIN lineitem ON p_partkey = l_partkey
+                    JOIN supplier ON s_suppkey = l_suppkey
+                    JOIN orders ON o_orderkey = l_orderkey
+                    JOIN nation ON s_nationkey = n_nationkey
+                    WHERE p_name LIKE '%widget%') t
+              GROUP BY nation, o_year
+              ORDER BY nation, o_year DESC""")),
+
+    // TPC-H Q11 shape (important stock), adapted: no partsupp, so the
+    // grouped value is per-nation supplier balance — the shape KEPT is
+    // GROUP BY + HAVING against a FRACTION OF A GLOBAL SCALAR subquery:
+    // the inner aggregate runs once, broadcasts as a literal-like scalar,
+    // and the HAVING filters grouped rows against it. Exact cents.
+    ("q11_important_balance", (s, d) => {
+      s.sql(s"""
+        SELECT n_name,
+               CAST(SUM(CAST(CAST(s_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS value_cents
+        FROM parquet.`$d/supplier.parquet`
+        JOIN parquet.`$d/nation.parquet` ON s_nationkey = n_nationkey
+        GROUP BY n_name
+        HAVING SUM(CAST(CAST(s_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT))
+             > (SELECT SUM(CAST(CAST(s_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT))
+                FROM parquet.`$d/supplier.parquet`) / 20.0
+        ORDER BY value_cents DESC, n_name""")
+    },
+      Some("""SELECT n_name,
+                     CAST(SUM(CAST(CAST(s_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS value_cents
+              FROM supplier JOIN nation ON s_nationkey = n_nationkey
+              GROUP BY n_name
+              HAVING SUM(CAST(CAST(s_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT))
+                   > (SELECT SUM(CAST(CAST(s_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT))
+                      FROM supplier) / 20.0
+              ORDER BY value_cents DESC, n_name""")),
+
+    // TPC-H Q12 shape (priority-class line counts), adapted: no
+    // l_shipmode, so groups come from l_returnflag — the shape KEPT is
+    // the pair of complementary CASE-gated counts per group computed in
+    // one aggregate pass over the orders⋈lineitem join, date-windowed.
+    ("q12_priority_counts", (s, d) => {
+      s.sql(s"""
+        SELECT l_returnflag,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        FROM parquet.`$d/orders.parquet`
+        JOIN parquet.`$d/lineitem.parquet` ON o_orderkey = l_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+        GROUP BY l_returnflag ORDER BY l_returnflag""")
+    },
+      Some("""SELECT l_returnflag,
+                     CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                                   THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                     CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                                   THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+              FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+              WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                AND l_shipdate <  TIMESTAMP '1998-01-01'
+              GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // TPC-H Q15 shape (top supplier): a named aggregate view consumed
+    // TWICE — once joined to supplier, once reduced to a scalar MAX the
+    // outer WHERE compares against. Revenue stays exact DECIMAL through
+    // the equality (a double round-trip could miss the max row); only
+    // the output column casts to double.
+    ("q15_top_supplier", (s, d) => {
+      s.sql(s"""
+        WITH revenue AS (
+          SELECT l_suppkey AS supplier_no,
+                 SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                     (1 - CAST(l_discount AS DECIMAL(12,2)))) AS total_revenue
+          FROM parquet.`$d/lineitem.parquet`
+          WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+            AND l_shipdate <  TIMESTAMP '1997-04-01'
+          GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+        FROM parquet.`$d/supplier.parquet`
+        JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+        ORDER BY s_suppkey""")
+    },
+      Some("""WITH revenue AS (
+                SELECT l_suppkey AS supplier_no,
+                       SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                           (1 - CAST(l_discount AS DECIMAL(12,2)))) AS total_revenue
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                  AND l_shipdate <  TIMESTAMP '1997-04-01'
+                GROUP BY l_suppkey)
+              SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+              FROM supplier JOIN revenue ON s_suppkey = supplier_no
+              WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+              ORDER BY s_suppkey""")),
+
+    // TPC-H Q17 shape (small-quantity orders): a CORRELATED scalar AVG
+    // per part — Catalyst must decorrelate it into a per-partkey
+    // aggregate joined back to the filtered fact (never a per-row
+    // subquery execution). The 0.2·avg threshold is deterministic:
+    // quantities are small integers, so the distributed sum is exact in
+    // double regardless of combine order.
+    ("q17_small_qty", (s, d) => {
+      s.sql(s"""
+        SELECT CAST(COUNT(*) AS BIGINT) AS small_lines,
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly
+        FROM parquet.`$d/lineitem.parquet` l
+        JOIN parquet.`$d/part.parquet` ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#23'
+          AND l_quantity < (SELECT 0.2 * AVG(l_quantity)
+                            FROM parquet.`$d/lineitem.parquet` l2
+                            WHERE l2.l_partkey = l.l_partkey)""")
+    },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS small_lines,
+                     CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly
+              FROM lineitem l JOIN part ON p_partkey = l_partkey
+              WHERE p_brand = 'Brand#23'
+                AND l_quantity < (SELECT 0.2 * AVG(l_quantity)
+                                  FROM lineitem l2
+                                  WHERE l2.l_partkey = l.l_partkey)""")),
+
+    // TPC-H Q20 shape (promotion-part suppliers), adapted: no partsupp/
+    // ps_availqty, so the inner threshold becomes "above-average PROMO
+    // shipper" — the shape KEPT is the IN subquery whose GROUP BY +
+    // HAVING compares against a scalar computed over ANOTHER grouped
+    // subquery (semi join ∘ aggregate ∘ scalar-over-aggregate), with a
+    // broadcast nation filter on the outer side. Scale-invariant by
+    // construction (both HAVING sides scale linearly with the data).
+    ("q20_promo_suppliers", (s, d) => {
+      s.sql(s"""
+        SELECT s_suppkey, s_name
+        FROM parquet.`$d/supplier.parquet`
+        JOIN parquet.`$d/nation.parquet` ON s_nationkey = n_nationkey
+        WHERE n_name IN ('NATION_13','NATION_15','NATION_19','NATION_1','NATION_2')
+          AND s_suppkey IN (
+            SELECT l_suppkey
+            FROM parquet.`$d/lineitem.parquet`
+            JOIN parquet.`$d/part.parquet` ON l_partkey = p_partkey
+            WHERE p_type = 'PROMO'
+              AND l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate <  TIMESTAMP '1998-01-01'
+            GROUP BY l_suppkey
+            HAVING SUM(l_quantity) >
+                   (SELECT 1.0 * AVG(q)
+                    FROM (SELECT SUM(l_quantity) AS q
+                          FROM parquet.`$d/lineitem.parquet`
+                          JOIN parquet.`$d/part.parquet` ON l_partkey = p_partkey
+                          WHERE p_type = 'PROMO'
+                            AND l_shipdate >= TIMESTAMP '1997-01-01'
+                            AND l_shipdate <  TIMESTAMP '1998-01-01'
+                          GROUP BY l_suppkey) per_supp))
+        ORDER BY s_suppkey""")
+    },
+      Some("""SELECT s_suppkey, s_name
+              FROM supplier JOIN nation ON s_nationkey = n_nationkey
+              WHERE n_name IN ('NATION_13','NATION_15','NATION_19','NATION_1','NATION_2')
+                AND s_suppkey IN (
+                  SELECT l_suppkey
+                  FROM lineitem JOIN part ON l_partkey = p_partkey
+                  WHERE p_type = 'PROMO'
+                    AND l_shipdate >= TIMESTAMP '1997-01-01'
+                    AND l_shipdate <  TIMESTAMP '1998-01-01'
+                  GROUP BY l_suppkey
+                  HAVING SUM(l_quantity) >
+                         (SELECT 1.0 * AVG(q)
+                          FROM (SELECT SUM(l_quantity) AS q
+                                FROM lineitem JOIN part ON l_partkey = p_partkey
+                                WHERE p_type = 'PROMO'
+                                  AND l_shipdate >= TIMESTAMP '1997-01-01'
+                                  AND l_shipdate <  TIMESTAMP '1998-01-01'
+                                GROUP BY l_suppkey) per_supp))
+              ORDER BY s_suppkey""")),
+
     // Z-order (Morton) clustering values: both dimensions min/max-scaled
     // to 8 bits and bit-interleaved — the layout key writeZOrdered sorts
     // by so parquet min/max stats skip on BOTH columns. Pure integer

@@ -65,4 +65,36 @@ class PlanGuardSpec extends AnyFunSuite {
       case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
     assert(joins.nonEmpty, s"expected the decorrelated min-join:\n$q2")
   }
+
+  test("Q3 top-k plans TakeOrderedAndProject; Q17/Q20 decorrelate; Q15 scalar stays uncorrelated") {
+    // Q3: ORDER BY revenue LIMIT 10 must run as per-partition top-k —
+    // a global Sort before the limit is the plan that dies at scale.
+    val q3 = SparkEntry.queries("q3_shipping_topk")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(q3.contains("TakeOrderedAndProject"),
+      s"expected per-partition top-k, got a global sort:\n$q3")
+
+    // Q17: the correlated per-part AVG must decorrelate to an aggregate
+    // joined back — a surviving outer reference means a per-row rescan.
+    val q17 = SparkEntry.queries("q17_small_qty")(spark, sfDir)
+      .queryExecution.optimizedPlan
+    assert(!q17.toString.contains("outer("),
+      s"correlated avg survived decorrelation:\n$q17")
+    assert(q17.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }.nonEmpty,
+      s"expected the decorrelated avg-join:\n$q17")
+
+    // Q20: the grouped IN subquery becomes a semi join; its HAVING scalar
+    // is uncorrelated and must not retain an outer reference either.
+    val q20 = SparkEntry.queries("q20_promo_suppliers")(spark, sfDir)
+      .queryExecution.optimizedPlan.toString
+    assert(q20.contains("LeftSemi"), s"expected a left-semi join:\n$q20")
+    assert(!q20.contains("outer("), s"correlated reference survived:\n$q20")
+
+    // Q15: the MAX-over-view comparison is an uncorrelated one-row scalar
+    // evaluated once, not a per-row subquery.
+    val q15 = SparkEntry.queries("q15_top_supplier")(spark, sfDir)
+      .queryExecution.optimizedPlan.toString
+    assert(!q15.contains("outer("), s"correlated reference survived:\n$q15")
+  }
 }
