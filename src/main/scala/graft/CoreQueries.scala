@@ -720,6 +720,38 @@ object CoreQueries {
     },
       Some("""SELECT event_id, user_id, value FROM events ORDER BY event_id""")),
 
+    // Aggregate pushdown over the stats manifest: a global COUNT/MIN/MAX
+    // on an Arrow directory is answered from `_stats.json` ALONE — zero
+    // data files opened (SupportsPushDownAggregates; ArrowDsv2Spec proves
+    // the no-read property by corrupting the files). At 100 TB this turns
+    // "how many rows / what key range is in this interchange drop" from a
+    // full scan into one manifest read. Oracle computes the same from raw.
+    ("arrow_agg_pushdown", (s, d) => {
+      val li = T(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_quantity"),
+        col("l_returnflag"))
+      // Scratch contract: see json_roundtrip.
+      val path = graft.sources.Scratch.dir(s, "graft_rt_arrowagg")
+      li.repartition(4).write.format("arrow-ipc").mode("overwrite").save(path)
+      val r = s.read.format("arrow-ipc").load(path)
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("l_orderkey")).as("min_okey"),
+          max(col("l_orderkey")).as("max_okey"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"),
+          max(col("l_returnflag")).as("max_flag"))
+      // the declared query SELF-CHECKS its plan: regressing to a real scan
+      // would still return right answers, so assert the pushdown here
+      require(r.queryExecution.executedPlan.toString.contains("PushedAggregation"),
+        "arrow_agg_pushdown: aggregation was not pushed into the arrow-ipc scan")
+      r
+    },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                     MIN(l_orderkey) AS min_okey, MAX(l_orderkey) AS max_okey,
+                     MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+                     MAX(l_returnflag) AS max_flag
+              FROM lineitem""")),
+
     // DSv2 Arrow write commits per-file min/max/null-count stats
     // (`_stats.json`); the read back pushes the date filter into the scan
     // (SupportsPushDownFilters) and skips files whose interval can't match

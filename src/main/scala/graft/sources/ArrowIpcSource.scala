@@ -14,7 +14,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.sources.DataSourceRegister
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** DataSource V2 face of [[ArrowInterchange]] — `spark.read
@@ -83,10 +83,121 @@ private[sources] class ArrowIpcTable(tableSchema: StructType, dir: String)
 private[sources] class ArrowIpcScanBuilder(full: StructType, dir: String)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownLimit
-    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   private var required: StructType = full
   private var limit: Int = -1
   private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+  private var agg: Option[(StructType, Array[Any])] = None
+
+  /** Global COUNT(*)/COUNT(col)/MIN/MAX answered from `_stats.json` ALONE —
+    * no data file is opened (the reader factory emits one precomputed row).
+    * The 100 TB shape this serves: "how many rows / what's the key range
+    * of this interchange directory" costs one manifest read instead of a
+    * full scan — the same trick Spark's parquet source plays with footer
+    * stats, carried by this source's own commit-time manifest.
+    *
+    * Refused (→ full scan) unless provably exact: any pushed filter or
+    * limit (stats are whole-file), any grouping, DISTINCT, a file missing
+    * from the manifest (function-style writers predate stats), or a
+    * min/max column whose interval is invalid in any file that has
+    * non-null rows (NaN, supplementary-plane strings, unsupported type).
+    * Partial push (`supportCompletePushDown` stays false): Spark still
+    * runs its final aggregate over the one emitted row, so a wrong-footed
+    * merge cannot change results — only skip the scan. */
+  override def pushAggregation(
+      aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    if (pushed.nonEmpty || limit >= 0 || aggregation.groupByExpressions.nonEmpty)
+      return false
+
+    val spark = SparkSession.active
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dirPath)) return false
+    if (fs.exists(new Path(dirPath, "_schema.arrows")) &&
+        !fs.exists(new Path(dirPath, "_SUCCESS"))) return false
+    val files = Option(fs.globStatus(new Path(dir, "part-*.arrows")))
+      .getOrElse(Array.empty).map(_.getPath.getName)
+    val stats = ArrowFileStats.read(fs, dirPath)
+    if (!files.forall(stats.contains)) return false
+    val perFile = files.map(stats)
+
+    def col(e: org.apache.spark.sql.connector.expressions.Expression): Option[StructField] =
+      e match {
+        case r: NamedReference if r.fieldNames.length == 1 =>
+          full.fields.find(_.name == r.fieldNames.head)
+        case _ => None
+      }
+
+    /** (canonical-string extreme, its ColStats kind) over all files, via
+      * the same comparison the pruner uses; None = no non-null rows
+      * anywhere. Throws to reject when any file's interval is invalid
+      * yet holds non-null rows. */
+    def extreme(name: String, wantMin: Boolean): Option[String] = {
+      val vals = perFile.flatMap { st =>
+        val c = st.cols.getOrElse(name, throw new NoSuchElementException)
+        (c.min, c.max) match {
+          case (Some(mn), Some(mx)) => Some(((if (wantMin) mn else mx), c.kind))
+          case _ if c.nulls >= st.rows => None // all-null file: contributes nothing
+          case _ => throw new NoSuchElementException // invalid interval: refuse
+        }
+      }
+      if (vals.isEmpty) None
+      else {
+        val kind = vals.head._2
+        def lt(a: String, b: String): Boolean = kind match {
+          case "long" => a.toLong < b.toLong
+          case "double" => a.toDouble < b.toDouble
+          case _ => a.compareTo(b) < 0
+        }
+        Some(vals.map(_._1).reduce((a, b) =>
+          if (lt(a, b) == wantMin) a else b))
+      }
+    }
+
+    def internal(dt: org.apache.spark.sql.types.DataType, s: String): Any = dt match {
+      case org.apache.spark.sql.types.ByteType => s.toLong.toByte
+      case org.apache.spark.sql.types.ShortType => s.toLong.toShort
+      case org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.DateType => s.toLong.toInt
+      case org.apache.spark.sql.types.BooleanType => s.toLong != 0L
+      case org.apache.spark.sql.types.FloatType => s.toDouble.toFloat
+      case org.apache.spark.sql.types.DoubleType => s.toDouble
+      case org.apache.spark.sql.types.StringType => s // UTF8String in the reader
+      case _ => s.toLong // Long / Timestamp(NTZ) / DayTimeInterval internal form
+    }
+
+    try {
+      val out = aggregation.aggregateExpressions.map {
+        case _: CountStar =>
+          (StructField("count(*)", org.apache.spark.sql.types.LongType, nullable = false),
+            perFile.map(_.rows).sum: Any)
+        case c: Count if !c.isDistinct =>
+          val f = col(c.column).getOrElse(return false)
+          if (ArrowFileStats.kindOf(f.dataType) == 0) return false
+          val cnt = perFile.map { st =>
+            st.cols.get(f.name).fold(return false)(cs => st.rows - cs.nulls)
+          }.sum
+          (StructField(s"count(${f.name})", org.apache.spark.sql.types.LongType,
+            nullable = false), cnt: Any)
+        case m: Min =>
+          val f = col(m.column).getOrElse(return false)
+          if (ArrowFileStats.kindOf(f.dataType) == 0) return false
+          (StructField(s"min(${f.name})", f.dataType),
+            extreme(f.name, wantMin = true).map(internal(f.dataType, _)).orNull: Any)
+        case m: Max =>
+          val f = col(m.column).getOrElse(return false)
+          if (ArrowFileStats.kindOf(f.dataType) == 0) return false
+          (StructField(s"max(${f.name})", f.dataType),
+            extreme(f.name, wantMin = false).map(internal(f.dataType, _)).orNull: Any)
+        case _ => return false
+      }
+      agg = Some((StructType(out.map(_._1)), out.map(_._2)))
+      true
+    } catch { case _: NoSuchElementException => false }
+  }
   override def pruneColumns(requiredSchema: StructType): Unit =
     // Catalyst hands back a subset of `full` in table-schema order; empty
     // (count(*)-style) is legal — the reader then just counts rows.
@@ -109,21 +220,23 @@ private[sources] class ArrowIpcScanBuilder(full: StructType, dir: String)
     filters
   }
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
-  override def build(): Scan = new ArrowIpcScan(required, dir, limit, pushed)
+  override def build(): Scan = new ArrowIpcScan(required, dir, limit, pushed, agg)
 }
 
 private[sources] class ArrowIpcScan(required: StructType, dir: String,
-    limit: Int, filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+    limit: Int, filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
+    agg: Option[(StructType, Array[Any])] = None)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
-  override def readSchema(): StructType = required
+  override def readSchema(): StructType = agg.fold(required)(_._1)
   override def toBatch: Batch = this
   override def description(): String =
     s"arrow-ipc $dir [${required.fieldNames.mkString(", ")}]" +
       (if (limit >= 0) s" limit=$limit" else "") +
       (if (filters.nonEmpty)
         s" pushed=[${filters.mkString(", ")}] files=${kept.length}/$totalFiles"
-      else "")
+      else "") +
+      agg.fold("")(a => s" PushedAggregation=[${a._1.fieldNames.mkString(", ")}] (manifest-only)")
 
   /** One listing + stats-prune pass shared by partition planning, the
     * statistics estimate, and the explain description: files whose
@@ -171,19 +284,48 @@ private[sources] class ArrowIpcScan(required: StructType, dir: String,
   }
 
   override def planInputPartitions(): Array[InputPartition] =
-    kept.map(st => ArrowFilePartition(st.getPath.toString): InputPartition)
+    if (agg.isDefined) Array(ArrowAggPartition)
+    else kept.map(st => ArrowFilePartition(st.getPath.toString): InputPartition)
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new ArrowIpcMicroBatchStream(required, dir, filters)
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ArrowIpcReaderFactory(required,
+    agg.fold(new ArrowIpcReaderFactory(required,
       new SerializableHadoopConf(
         SparkSession.active.sparkContext.hadoopConfiguration), limit)
+        : PartitionReaderFactory) { case (schema, values) =>
+      new ArrowAggReaderFactory(schema, values.map {
+        case s: String => s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        case v => v
+      })
+    }
 }
 
 private[sources] case class ArrowFilePartition(file: String) extends InputPartition
+
+private[sources] case object ArrowAggPartition extends InputPartition
+
+/** Emits the ONE row a pushed-down aggregation reduced the directory to —
+  * values precomputed on the driver from `_stats.json`; strings travel as
+  * UTF-8 bytes (UTF8String is not serialization-stable across all paths). */
+private[sources] class ArrowAggReaderFactory(schema: StructType, values: Array[Any])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = !emitted && { emitted = true; true }
+      override def get(): InternalRow =
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          values.map {
+            case b: Array[Byte] =>
+              org.apache.spark.unsafe.types.UTF8String.fromBytes(b): Any
+            case v => v
+          })
+      override def close(): Unit = ()
+    }
+}
 
 private[sources] class ArrowIpcReaderFactory(
     required: StructType, conf: SerializableHadoopConf, limit: Int = -1)

@@ -346,4 +346,69 @@ class ArrowDsv2Spec extends AnyFunSuite {
     assert(e.getMessage.contains("_SUCCESS") ||
       Option(e.getCause).exists(_.getMessage.contains("_SUCCESS")))
   }
+
+  test("global count/min/max answer from the manifest ALONE — data files never opened") {
+    val df = spark.range(0, 1000).select(col("id"),
+      concat(lit("v"), col("id")).as("s"),
+      (col("id") * 2).cast("double").as("d"))
+    val dir = tmp("graft_dsv2_aggpush")
+    df.repartition(4).write.format("arrow-ipc").mode("overwrite").save(dir)
+
+    // Overwrite every data file with garbage: any scan that opens one now
+    // throws, so a correct aggregate PROVES the metadata-only path ran.
+    val d = new java.io.File(dir)
+    d.listFiles().filter(_.getName.startsWith("part-")).foreach { f =>
+      val out = new java.io.FileOutputStream(f)
+      out.write(Array.fill(16)(0x7f.toByte)); out.close()
+    }
+
+    val agg = spark.read.format("arrow-ipc").load(dir)
+      .agg(expr("count(*)").as("n"), count(col("s")).as("ns"),
+        min(col("id")).as("mn"), max(col("id")).as("mx"),
+        min(col("d")).as("dmn"), max(col("s")).as("smx"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregation"), s"aggregation not pushed:\n$plan")
+    val r = agg.collect().head
+    assert(r.getLong(0) === 1000L && r.getLong(1) === 1000L)
+    assert(r.getLong(2) === 0L && r.getLong(3) === 999L)
+    assert(r.getDouble(4) === 0.0)
+    assert(r.getString(5) === "v999") // lexicographic max — stats order, not numeric
+
+    // Grouping refuses the push; the resulting real scan must now FAIL on
+    // the corrupted files — the refusal path genuinely reads data.
+    intercept[Throwable] {
+      spark.read.format("arrow-ipc").load(dir).groupBy("s").count().collect()
+    }
+    // A filter also refuses it (stats are whole-file): fails likewise.
+    intercept[Throwable] {
+      spark.read.format("arrow-ipc").load(dir)
+        .filter(col("id") >= 0).agg(count(lit(1))).collect()
+    }
+  }
+
+  test("aggregate pushdown is refused when a file misses stats or an interval is invalid") {
+    // function-style writer BEFORE stats existed → simulate by deleting the
+    // manifest: push must refuse and the (healthy) files scan normally
+    val df = spark.range(50).select(col("id"), lit(Double.NaN).as("nan"))
+    val dir = tmp("graft_dsv2_aggrefuse")
+    df.repartition(2).write.format("arrow-ipc").mode("overwrite").save(dir)
+
+    // NaN invalidates the double interval: min/max on it must refuse the
+    // push (scan still computes the right NaN answer from real data)
+    val viaScan = spark.read.format("arrow-ipc").load(dir).agg(max(col("nan")))
+    assert(!viaScan.queryExecution.executedPlan.toString.contains("PushedAggregation"))
+    assert(viaScan.collect().head.getDouble(0).isNaN)
+    // count(*) alongside is still pushable in isolation, but Spark pushes
+    // all-or-nothing; id min/max alone pushes fine
+    val pushed = spark.read.format("arrow-ipc").load(dir)
+      .agg(min(col("id")), max(col("id")))
+    assert(pushed.queryExecution.executedPlan.toString.contains("PushedAggregation"))
+
+    new java.io.File(dir, "_stats.json").delete()
+    val noStats = spark.read.format("arrow-ipc").load(dir)
+      .agg(expr("count(*)").as("n"), min(col("id")).as("mn"))
+    assert(!noStats.queryExecution.executedPlan.toString.contains("PushedAggregation"))
+    val r = noStats.collect().head
+    assert(r.getLong(0) === 50L && r.getLong(1) === 0L)
+  }
 }
