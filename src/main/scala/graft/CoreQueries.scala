@@ -752,6 +752,35 @@ object CoreQueries {
                      MAX(l_returnflag) AS max_flag
               FROM lineitem""")),
 
+    // Runtime (dynamic) file pruning: the broadcast dim's key set reaches
+    // the Arrow scan AFTER planning (SupportsRuntimeFiltering), and only
+    // files whose stats interval can hold a matching o_custkey are read —
+    // dynamic file-level DPP over the interchange manifest (ArrowDsv2Spec
+    // proves the skip by corrupting the prunable files). Exact DECIMAL sum.
+    ("arrow_runtime_prune", (s, d) => {
+      val ord = T(s, d, "orders").select(
+        col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").cast(DecimalType(12, 2)).as("price"))
+      // Scratch contract: see json_roundtrip.
+      val path = graft.sources.Scratch.dir(s, "graft_rt_arrowdyn")
+      ord.repartitionByRange(4, col("o_custkey"))
+        .write.format("arrow-ipc").mode("overwrite").save(path)
+      val dim = T(s, d, "customer")
+        .filter(col("c_custkey") < 50)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      s.read.format("arrow-ipc").load(path)
+        .join(broadcast(dim), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("price")).cast(DoubleType).as("total"))
+        .orderBy("c_mktsegment")
+    },
+      Some("""SELECT c_mktsegment, COUNT(*) AS cnt,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+              FROM orders JOIN customer ON o_custkey = c_custkey
+              WHERE c_custkey < 50
+              GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
     // DSv2 Arrow write commits per-file min/max/null-count stats
     // (`_stats.json`); the read back pushes the date filter into the scan
     // (SupportsPushDownFilters) and skips files whose interval can't match

@@ -227,7 +227,8 @@ private[sources] class ArrowIpcScan(required: StructType, dir: String,
     limit: Int, filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
     agg: Option[(StructType, Array[Any])] = None)
     extends Scan with Batch
-    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
   override def readSchema(): StructType = agg.fold(required)(_._1)
   override def toBatch: Batch = this
   override def description(): String =
@@ -238,15 +239,16 @@ private[sources] class ArrowIpcScan(required: StructType, dir: String,
       else "") +
       agg.fold("")(a => s" PushedAggregation=[${a._1.fieldNames.mkString(", ")}] (manifest-only)")
 
-  /** One listing + stats-prune pass shared by partition planning, the
-    * statistics estimate, and the explain description: files whose
-    * `_stats.json` interval PROVES no row matches the pushed filters are
-    * dropped here, before any task launches — the Arrow analog of the
-    * reference's row-group pruning (ParquetBlockInputStream.cpp:33-38),
-    * with parquet-style advisory semantics (a kept file is still filtered
-    * exactly by Spark post-scan). Missing stats (foreign or function-
-    * style-written directories) keep every file. */
-  private lazy val (kept, totalFiles) = {
+  /** One listing + completeness gate + manifest read, shared by planning,
+    * statistics, explain, and runtime re-pruning. Stats-based skipping:
+    * files whose `_stats.json` interval PROVES no row matches the pushed
+    * (or runtime) filters are dropped before any task launches — the
+    * Arrow analog of the reference's row-group pruning
+    * (ParquetBlockInputStream.cpp:33-38), with parquet-style advisory
+    * semantics (a kept file is still filtered exactly by Spark post-scan).
+    * Missing stats (foreign or function-style-written directories) keep
+    * every file. */
+  private lazy val (allFiles, manifest) = {
     val spark = SparkSession.active
     val conf = spark.sparkContext.hadoopConfiguration
     val dirPath = new Path(dir)
@@ -257,16 +259,38 @@ private[sources] class ArrowIpcScan(required: StructType, dir: String,
       fs.exists(new Path(dirPath, "_SUCCESS")),
       s"Arrow interchange: $dir has a schema sentinel but no _SUCCESS marker " +
         "— the writing job did not complete; refusing to read partial data")
-    val glob = new Path(dir, "part-*.arrows")
-    val all = Option(fs.globStatus(glob)).getOrElse(Array.empty)
+    val all = Option(fs.globStatus(new Path(dir, "part-*.arrows")))
+      .getOrElse(Array.empty)
     val stats =
-      if (filters.isEmpty) Map.empty[String, FileStats]
+      if (all.isEmpty) Map.empty[String, FileStats]
       else ArrowFileStats.read(fs, dirPath)
-    val keep = all.filter { st =>
-      stats.get(st.getPath.getName)
-        .forall(s => filters.forall(f => ArrowFileStats.canMatch(f, s)))
+    (all, stats)
+  }
+
+  private def totalFiles = allFiles.length
+
+  /** Runtime (join-produced) filters, applied on top of the pushed ones:
+    * Spark's dynamic pruning hands the build side's key set here AFTER
+    * planning; `BatchScanExec` then re-invokes [[planInputPartitions]],
+    * so a broadcast join over a stats-bearing directory reads only the
+    * files whose interval can hold a matching key — dynamic FILE pruning,
+    * the reference has no analog (its scans are single-query). */
+  private var runtime: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    required.fields.filter(f => ArrowFileStats.kindOf(f.dataType) != 0)
+      .map(f => org.apache.spark.sql.connector.expressions.Expressions.column(f.name))
+
+  override def filter(runtimeFilters: Array[org.apache.spark.sql.sources.Filter]): Unit =
+    runtime = runtimeFilters.filter(ArrowFileStats.prunable)
+
+  private def kept: Array[org.apache.hadoop.fs.FileStatus] = {
+    val active = filters ++ runtime
+    if (active.isEmpty) allFiles
+    else allFiles.filter { st =>
+      manifest.get(st.getPath.getName)
+        .forall(s => active.forall(f => ArrowFileStats.canMatch(f, s)))
     }
-    (keep, all.length)
   }
 
   /** Byte size of the files actually scanned (post-prune, and nothing

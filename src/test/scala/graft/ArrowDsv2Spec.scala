@@ -386,6 +386,36 @@ class ArrowDsv2Spec extends AnyFunSuite {
     }
   }
 
+  test("runtime filtering: a broadcast join's key range prunes files dynamically") {
+    val dir = tmp("graft_dsv2_runtime")
+    spark.range(40000).select(col("id"), concat(lit("p"), col("id")).as("pay"))
+      .repartitionByRange(4, col("id"))
+      .write.format("arrow-ipc").mode("overwrite").save(dir)
+
+    // find the one file whose interval covers the dim's keys (0..99) and
+    // corrupt the other three: a scan that opens any of them throws, so a
+    // green join PROVES the runtime filter pruned them before task launch
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stats = graft.sources.ArrowFileStats.read(fs, new org.apache.hadoop.fs.Path(dir))
+    assert(stats.size === 4)
+    val low = stats.minBy(_._2.cols("id").min.get.toLong)._1
+    new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName != low)
+      .foreach { f =>
+        val out = new java.io.FileOutputStream(f)
+        out.write(Array.fill(16)(0x7f.toByte)); out.close()
+      }
+
+    val dim = spark.range(0, 1000).filter(col("id") < 100).select(col("id").as("k"))
+    val joined = spark.read.format("arrow-ipc").load(dir)
+      .join(broadcast(dim), col("id") === col("k"))
+    assert(joined.count() === 100L)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning") || plan.contains("DynamicPruning"),
+      s"expected a dynamic pruning subquery on the arrow scan:\n$plan")
+  }
+
   test("aggregate pushdown is refused when a file misses stats or an interval is invalid") {
     // function-style writer BEFORE stats existed → simulate by deleting the
     // manifest: push must refuse and the (healthy) files scan normally
