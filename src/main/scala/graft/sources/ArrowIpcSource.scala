@@ -72,7 +72,8 @@ private[sources] class ArrowIpcTable(tableSchema: StructType, dir: String)
       TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ArrowIpcScanBuilder(tableSchema, dir)
+    new ArrowIpcScanBuilder(tableSchema, dir,
+      Option(options.get("maxFilesPerTrigger")).map(_.toInt))
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
@@ -80,7 +81,8 @@ private[sources] class ArrowIpcTable(tableSchema: StructType, dir: String)
       Option(info.options.get("codec")), info.queryId())
 }
 
-private[sources] class ArrowIpcScanBuilder(full: StructType, dir: String)
+private[sources] class ArrowIpcScanBuilder(full: StructType, dir: String,
+    maxFilesPerTrigger: Option[Int] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownLimit
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
@@ -220,12 +222,14 @@ private[sources] class ArrowIpcScanBuilder(full: StructType, dir: String)
     filters
   }
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
-  override def build(): Scan = new ArrowIpcScan(required, dir, limit, pushed, agg)
+  override def build(): Scan =
+    new ArrowIpcScan(required, dir, limit, pushed, agg, maxFilesPerTrigger)
 }
 
 private[sources] class ArrowIpcScan(required: StructType, dir: String,
     limit: Int, filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
-    agg: Option[(StructType, Array[Any])] = None)
+    agg: Option[(StructType, Array[Any])] = None,
+    maxFilesPerTrigger: Option[Int] = None)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
@@ -313,7 +317,7 @@ private[sources] class ArrowIpcScan(required: StructType, dir: String,
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new ArrowIpcMicroBatchStream(required, dir, filters)
+    new ArrowIpcMicroBatchStream(required, dir, filters, maxFilesPerTrigger)
 
   override def createReaderFactory(): PartitionReaderFactory =
     agg.fold(new ArrowIpcReaderFactory(required,

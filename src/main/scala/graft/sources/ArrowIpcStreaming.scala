@@ -57,8 +57,11 @@ private[sources] object ArrowFilesOffset {
   * grows streaming pushdown the skip activates unchanged). */
 private[sources] class ArrowIpcMicroBatchStream(
     required: StructType, dir: String,
-    filters: Array[org.apache.spark.sql.sources.Filter])
-    extends MicroBatchStream {
+    filters: Array[org.apache.spark.sql.sources.Filter],
+    maxFilesPerTrigger: Option[Int] = None)
+    extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxFiles}
 
   private val spark = SparkSession.active
   private val conf = new SerializableHadoopConf(
@@ -76,16 +79,34 @@ private[sources] class ArrowIpcMicroBatchStream(
       .getOrElse(Array.empty).map(_.getPath.getName).toSeq.sorted
   }
 
-  private var last: Seq[String] = Nil
-
   override def initialOffset(): Offset = ArrowFilesOffset(Nil)
 
-  override def latestOffset(): Offset = {
-    val now = listCommitted()
-    // monotone: a mid-append empty listing must not retract emitted files
-    if (now.nonEmpty || last.isEmpty) last = (last ++ now).distinct.sorted
-    ArrowFilesOffset(last)
+  /** Admission control: `option("maxFilesPerTrigger", n)` caps how many
+    * NEW files one micro-batch admits, so a backlog (a weekend of appends,
+    * a first run over a full directory) drains as bounded batches instead
+    * of one giant one — same control as Spark's own file source. The end
+    * offset is always `start ∪ admitted`, so a mid-append empty listing
+    * can never retract emitted files. */
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.fold(ReadLimit.allAvailable())(ReadLimit.maxFiles)
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val seen = start.asInstanceOf[ArrowFilesOffset].files
+    val seenSet = seen.toSet
+    val fresh = listCommitted().filterNot(seenSet).sorted
+    val admitted = limit match {
+      case mf: ReadMaxFiles => fresh.take(mf.maxFiles)
+      case _ => fresh
+    }
+    ArrowFilesOffset((seen ++ admitted).sorted)
   }
+
+  override def reportLatestOffset(): Offset = ArrowFilesOffset(listCommitted())
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "arrow-ipc stream implements SupportsAdmissionControl — " +
+        "latestOffset(start, limit) is the entry point")
 
   override def deserializeOffset(json: String): Offset =
     ArrowFilesOffset.fromJson(json)

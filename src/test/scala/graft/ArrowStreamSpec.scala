@@ -69,4 +69,23 @@ class ArrowStreamSpec extends AnyFunSuite {
     val inputRows = q.recentProgress.map(_.numInputRows).sum
     assert(inputRows === 2000, s"expected post-scan filtering (2000), got $inputRows")
   }
+
+  test("maxFilesPerTrigger drains a backlog as bounded micro-batches") {
+    val base = java.nio.file.Files.createTempDirectory("graft_arrowstream3").toString
+    val src = s"$base/src"
+    // four committed files of 25 rows each — a "backlog" before the stream starts
+    (0 until 4).foreach { i =>
+      spark.range(i * 25, (i + 1) * 25).select(col("id"))
+        .coalesce(1).write.format("arrow-ipc").mode("append").save(src)
+    }
+    val q = spark.readStream.format("arrow-ipc")
+      .option("maxFilesPerTrigger", "1").load(src)
+      .writeStream.format("memory").queryName("graft_arrow_paced").start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.table("graft_arrow_paced").count() === 100)
+    // one file per batch: four non-empty batches of exactly 25 rows
+    val sizes = q.recentProgress.map(_.numInputRows).filter(_ > 0).toSeq
+    assert(sizes === Seq(25L, 25L, 25L, 25L),
+      s"expected 4 bounded batches, got $sizes")
+  }
 }
