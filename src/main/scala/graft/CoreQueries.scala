@@ -752,6 +752,34 @@ object CoreQueries {
                      MAX(l_returnflag) AS max_flag
               FROM lineitem""")),
 
+    // Compaction: three small append jobs leave a fragmented directory;
+    // ArrowMaintenance.compact rewrites it into ~target-sized files under
+    // the crash-safe _SUCCESS-latch swap (ArrowMaintenanceSpec proves the
+    // crash path), and the aggregate over the compacted directory must
+    // equal the oracle over the raw table — the maintenance job may move
+    // bytes, never change rows. The small-files answer at 100 TB.
+    ("arrow_compact", (s, d) => {
+      val ev = T(s, d, "events")
+        .select("event_id", "user_id", "event_type", "value")
+      // Scratch contract: see json_roundtrip.
+      val path = graft.sources.Scratch.dir(s, "graft_rt_arrowcompact")
+      // fragmented ingest: three append jobs over disjoint slices
+      (0 until 3).foreach { i =>
+        ev.filter(pmod(col("event_id"), lit(3)) === i)
+          .write.format("arrow-ipc").mode(if (i == 0) "overwrite" else "append")
+          .save(path)
+      }
+      graft.sources.ArrowMaintenance.compact(s, path)
+      s.read.format("arrow-ipc").load(path)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast(DecimalType(14, 4))).cast(DoubleType).as("sum_value"))
+        .orderBy("event_type")
+    },
+      Some("""SELECT event_type, COUNT(*) AS cnt,
+                     CAST(SUM(CAST(value AS DECIMAL(14,4))) AS DOUBLE) AS sum_value
+              FROM events GROUP BY event_type ORDER BY event_type""")),
+
     // Runtime (dynamic) file pruning: the broadcast dim's key set reaches
     // the Arrow scan AFTER planning (SupportsRuntimeFiltering), and only
     // files whose stats interval can hold a matching o_custkey are read —

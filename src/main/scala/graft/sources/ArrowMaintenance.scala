@@ -1,0 +1,178 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Maintenance for arrow-ipc directories: COMPACTION — the small-files
+  * answer for streaming appends. A micro-batch writer (or many small
+  * append jobs) leaves a directory of tiny IPC files; at 100 TB that is
+  * death by file-open latency and per-file task overhead. `compact`
+  * rewrites them into ~`targetBytes` files with a crash-safe swap.
+  *
+  * Protocol (each step idempotent, replayable from the intent record):
+  *
+  *  1. STAGE — read the live directory (DSv2 path), coalesce to
+  *     ceil(bytes/target) partitions, write a complete new dataset into a
+  *     hidden `.compact-<id>` subdirectory (own sentinel, stats manifest,
+  *     `_SUCCESS`). A crash here leaves the live directory untouched;
+  *     stale staging dirs from dead runs are deleted on the next call.
+  *  2. SWAP under the `_SUCCESS` latch:
+  *     a. record the intent (`_compaction.json`: old files, staging dir,
+  *        staging→final name mapping);
+  *     b. DROP the live `_SUCCESS` — every reader's completeness gate now
+  *        refuses the directory and the streaming source holds its offset,
+  *        so no reader can observe the mixed old+new state;
+  *     c. move staged files in under compaction-scoped final names (never
+  *        colliding with live names);
+  *     d. write the merged stats manifest (live manifest minus the old
+  *        files, plus the staged stats under final names);
+  *     e. delete the old files;
+  *     f. restore `_SUCCESS`, delete the intent record and staging dir.
+  *
+  * A crash anywhere inside the swap leaves the marker absent — the
+  * directory loudly refuses reads instead of serving duplicated rows —
+  * and [[recover]] (run automatically at the start of every [[compact]])
+  * replays the intent to completion: moves of already-moved files and
+  * deletes of already-deleted files no-op, and the manifest merge is a
+  * fixed point, so replaying any prefix twice is safe.
+  *
+  * Like any file-level maintenance job, compaction assumes NO CONCURRENT
+  * WRITER on the directory (concurrent readers are safe — they either see
+  * the complete old state or refuse during the swap).
+  */
+object ArrowMaintenance {
+  private val IntentFile = "_compaction.json"
+
+  /** Outcome of a [[compact]] run: how many files went in and came out. */
+  case class CompactionResult(oldFiles: Int, newFiles: Int)
+
+  /** Compact `dir`'s IPC files into ~`targetBytes` files (coalesce — no
+    * shuffle; row order within each original file is preserved). Returns
+    * the file counts, or None when the directory has ≤ 1 file (nothing to
+    * do). `codec`: recompress while compacting (`"zstd"` is the natural
+    * choice for data cold enough to compact); None keeps it uncompressed. */
+  def compact(spark: SparkSession, dir: String,
+      targetBytes: Long = 128L << 20,
+      codec: Option[String] = None): Option[CompactionResult] = {
+    require(targetBytes >= 1, "targetBytes must be >= 1")
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recover(spark, dir) // finish any crashed swap before touching anything
+    // clear staging dirs from runs that died BEFORE recording intent
+    Option(fs.globStatus(new Path(dir, ".compact-*")))
+      .getOrElse(Array.empty).foreach(st => fs.delete(st.getPath, true))
+
+    val olds = Option(fs.globStatus(new Path(dir, "part-*.arrows")))
+      .getOrElse(Array.empty)
+    if (olds.length <= 1) return None
+
+    // STAGE: a complete new dataset in a hidden subdir
+    val id = java.util.UUID.randomUUID.toString.take(8)
+    val staging = s".compact-$id"
+    val n = math.max(1L, (olds.map(_.getLen).sum + targetBytes - 1) / targetBytes)
+    ArrowInterchange.writeStream(
+      spark.read.format("arrow-ipc").load(dir).coalesce(n.toInt),
+      new Path(dirPath, staging).toString, codec = codec)
+
+    val stagingPath = new Path(dirPath, staging)
+    val staged = Option(fs.globStatus(new Path(stagingPath, "part-*.arrows")))
+      .getOrElse(Array.empty).map(_.getPath.getName).sorted
+    // compaction-scoped final names: cannot collide with the live files
+    // this run replaces, nor with a previous compaction's output
+    val moves = staged.map(s => s -> s.replace(".arrows", s"-compact-$id.arrows")).toMap
+
+    // SWAP: intent first, then the latch
+    writeIntent(fs, dirPath,
+      Intent(olds.map(_.getPath.getName).toSeq.sorted, staging, moves))
+    fs.delete(new Path(dirPath, "_SUCCESS"), false)
+    replay(fs, dirPath)
+    Some(CompactionResult(olds.length, staged.length))
+  }
+
+  /** Finish a swap a dead process left behind. True = an intent was found
+    * and replayed (the directory is whole again); false = nothing to do. */
+  def recover(spark: SparkSession, dir: String): Boolean = {
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(dirPath, IntentFile))) false
+    else { replay(fs, dirPath); true }
+  }
+
+  /** The idempotent tail of the swap: every step checks before acting, so
+    * any crash-and-replay sequence converges to the compacted state. */
+  private def replay(fs: FileSystem, dirPath: Path): Unit = {
+    val intent = readIntent(fs, dirPath)
+    val stagingPath = new Path(dirPath, intent.staging)
+    // (c) move staged files in — already-moved ones are gone from staging
+    intent.moves.toSeq.sortBy(_._1).foreach { case (s, fin) =>
+      val src = new Path(stagingPath, s)
+      if (fs.exists(src)) {
+        val dst = new Path(dirPath, fin)
+        fs.delete(dst, false) // a half-replayed move: staged copy wins
+        if (!fs.rename(src, dst))
+          throw new java.io.IOException(s"compaction: rename $src -> $dst failed")
+      }
+    }
+    // (d) merged manifest: fixed point under replay — minus(olds) no-ops
+    // once gone, staged stats are constant
+    val stagedStats = ArrowFileStats.read(fs, stagingPath)
+      .map { case (k, v) => intent.moves.getOrElse(k, k) -> v }
+    val merged = (ArrowFileStats.read(fs, dirPath) -- intent.olds) ++ stagedStats
+    ArrowFileStats.write(fs, dirPath, merged)
+    // (e) drop the old files
+    intent.olds.foreach(o => fs.delete(new Path(dirPath, o), false))
+    // (f) restore the latch, clear the intent + staging
+    fs.create(new Path(dirPath, "_SUCCESS"), true).close()
+    fs.delete(new Path(dirPath, IntentFile), false)
+    fs.delete(stagingPath, true)
+  }
+
+  // ── intent record ────────────────────────────────────────────────────────
+
+  private[graft] case class Intent(
+      olds: Seq[String], staging: String, moves: Map[String, String])
+
+  private def esc(s: String): String =
+    s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString }
+
+  private[graft] def writeIntent(fs: FileSystem, dir: Path, intent: Intent): Unit = {
+    val sb = new StringBuilder("{\"olds\":[")
+    sb.append(intent.olds.map(o => "\"" + esc(o) + "\"").mkString(","))
+    sb.append("],\"staging\":\"").append(esc(intent.staging)).append("\",\"moves\":{")
+    sb.append(intent.moves.toSeq.sorted.map { case (k, v) =>
+      "\"" + esc(k) + "\":\"" + esc(v) + "\"" }.mkString(","))
+    sb.append("}}")
+    val out = fs.create(new Path(dir, IntentFile), true)
+    try out.write(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private[graft] def readIntent(fs: FileSystem, dir: Path): Intent = {
+    import org.json4s._
+    val in = fs.open(new Path(dir, IntentFile))
+    val json = try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var k = in.read(buf)
+      while (k >= 0) { bytes.write(buf, 0, k); k = in.read(buf) }
+      new String(bytes.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
+    org.json4s.jackson.JsonMethods.parse(json) match {
+      case o: JObject =>
+        val olds = (o \ "olds") match {
+          case JArray(xs) => xs.collect { case JString(s) => s }
+          case _ => Nil
+        }
+        val staging = (o \ "staging") match {
+          case JString(s) => s
+          case _ => throw new IllegalStateException(s"bad $IntentFile: no staging")
+        }
+        val moves = (o \ "moves") match {
+          case JObject(ms) => ms.collect { case (k, JString(v)) => k -> v }.toMap
+          case _ => Map.empty[String, String]
+        }
+        Intent(olds, staging, moves)
+      case other => throw new IllegalStateException(s"bad $IntentFile: $other")
+    }
+  }
+}

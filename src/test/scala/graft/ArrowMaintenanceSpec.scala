@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{ArrowFileStats, ArrowInterchange, ArrowMaintenance}
+
+/** Compaction of arrow-ipc directories: small files merge into ~target-
+  * sized ones under a crash-safe swap (the `_SUCCESS` latch + an
+  * idempotent intent replay). */
+class ArrowMaintenanceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString + "/out"
+
+  private def fsOf(dir: String) = new org.apache.hadoop.fs.Path(dir)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def partFiles(dir: String): Seq[String] =
+    Option(fsOf(dir).globStatus(new org.apache.hadoop.fs.Path(dir, "part-*.arrows")))
+      .getOrElse(Array.empty).map(_.getPath.getName).toSeq.sorted
+
+  test("eight small appends compact to one file; data, stats, and pruning survive") {
+    val dir = tmp("graft_compact")
+    (0 until 8).foreach { i =>
+      spark.range(i * 100, (i + 1) * 100)
+        .select(col("id"), concat(lit("v"), col("id")).as("v"))
+        .coalesce(1).write.format("arrow-ipc").mode("append").save(dir)
+    }
+    assert(partFiles(dir).size === 8)
+
+    val res = ArrowMaintenance.compact(spark, dir).get
+    assert(res.oldFiles === 8 && res.newFiles === 1)
+    assert(partFiles(dir).size === 1)
+
+    val back = spark.read.format("arrow-ipc").load(dir)
+    assert(back.count() === 800)
+    assert(back.agg(min("id"), max("id")).head() ===
+      org.apache.spark.sql.Row(0L, 799L))
+
+    // the merged manifest covers exactly the compacted file, and the
+    // stats still prune: an impossible range reads zero files
+    val stats = ArrowFileStats.read(fsOf(dir), new org.apache.hadoop.fs.Path(dir))
+    assert(stats.keySet === partFiles(dir).toSet)
+    val q0 = spark.read.format("arrow-ipc").load(dir).filter(col("id") > 100000)
+    assert(q0.count() === 0)
+
+    // nothing left to do: a second compact is a no-op
+    assert(ArrowMaintenance.compact(spark, dir).isEmpty)
+    // staging/intent artifacts are gone
+    assert(!new java.io.File(dir, "_compaction.json").exists)
+    assert(new java.io.File(dir).listFiles.forall(!_.getName.startsWith(".compact-")))
+  }
+
+  test("a crash mid-swap leaves the directory refusing reads; recover() completes it") {
+    val dir = tmp("graft_compact_crash")
+    (0 until 4).foreach { i =>
+      spark.range(i * 50, (i + 1) * 50).select(col("id"))
+        .coalesce(1).write.format("arrow-ipc").mode("append").save(dir)
+    }
+    val olds = partFiles(dir)
+
+    // reproduce the state right after swap step (b): staged dataset ready,
+    // intent recorded, live marker dropped — then the process "dies"
+    val fs = fsOf(dir)
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val staging = ".compact-testcrash"
+    ArrowInterchange.writeStream(
+      spark.read.format("arrow-ipc").load(dir).coalesce(1),
+      new org.apache.hadoop.fs.Path(dirPath, staging).toString)
+    val staged = Option(fs.globStatus(new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(dirPath, staging), "part-*.arrows")))
+      .get.map(_.getPath.getName)
+    ArrowMaintenance.writeIntent(fs, dirPath, ArrowMaintenance.Intent(
+      olds, staging,
+      staged.map(s => s -> s.replace(".arrows", "-compact-testcrash.arrows")).toMap))
+    fs.delete(new org.apache.hadoop.fs.Path(dirPath, "_SUCCESS"), false)
+
+    // mid-swap: reads refuse loudly instead of serving old+new rows
+    val e = intercept[Exception] {
+      spark.read.format("arrow-ipc").load(dir).count()
+    }
+    assert(e.getMessage.contains("_SUCCESS") ||
+      Option(e.getCause).exists(_.getMessage.contains("_SUCCESS")))
+
+    // recovery replays the intent to completion
+    assert(ArrowMaintenance.recover(spark, dir))
+    assert(partFiles(dir) === Seq("part-00000-compact-testcrash.arrows"))
+    assert(spark.read.format("arrow-ipc").load(dir).count() === 200)
+    // replay is idempotent: a second recover finds nothing pending
+    assert(!ArrowMaintenance.recover(spark, dir))
+  }
+}
