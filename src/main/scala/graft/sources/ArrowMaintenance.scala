@@ -103,6 +103,10 @@ object ArrowMaintenance {
   private def replay(fs: FileSystem, dirPath: Path): Unit = {
     val intent = readIntent(fs, dirPath)
     val stagingPath = new Path(dirPath, intent.staging)
+    // the latch FIRST, even when replaying: a crash between intent-write
+    // and marker-drop leaves the marker up, and moving files under a live
+    // marker would expose readers to the mixed old+new state
+    fs.delete(new Path(dirPath, "_SUCCESS"), false)
     // (c) move staged files in — already-moved ones are gone from staging
     intent.moves.toSeq.sortBy(_._1).foreach { case (s, fin) =>
       val src = new Path(stagingPath, s)
@@ -142,9 +146,17 @@ object ArrowMaintenance {
     sb.append(intent.moves.toSeq.sorted.map { case (k, v) =>
       "\"" + esc(k) + "\":\"" + esc(v) + "\"" }.mkString(","))
     sb.append("}}")
-    val out = fs.create(new Path(dir, IntentFile), true)
+    // temp + rename: a crash mid-write must leave NO intent file (the
+    // stale staging dir is swept by the next compact) rather than a
+    // corrupt one that wedges every later recover()
+    val tmp = new Path(dir, s"$IntentFile.tmp")
+    val out = fs.create(tmp, true)
     try out.write(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    val fin = new Path(dir, IntentFile)
+    fs.delete(fin, false)
+    if (!fs.rename(tmp, fin))
+      throw new java.io.IOException(s"compaction: rename $tmp -> $fin failed")
   }
 
   private[graft] def readIntent(fs: FileSystem, dir: Path): Intent = {

@@ -92,4 +92,33 @@ class ArrowMaintenanceSpec extends AnyFunSuite {
     // replay is idempotent: a second recover finds nothing pending
     assert(!ArrowMaintenance.recover(spark, dir))
   }
+
+  test("a crash BEFORE the marker drop (intent recorded, marker up) also recovers") {
+    val dir = tmp("graft_compact_crash2")
+    (0 until 3).foreach { i =>
+      spark.range(i * 50, (i + 1) * 50).select(col("id"))
+        .coalesce(1).write.format("arrow-ipc").mode("append").save(dir)
+    }
+    val olds = partFiles(dir)
+    val fs = fsOf(dir)
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val staging = ".compact-premark"
+    ArrowInterchange.writeStream(
+      spark.read.format("arrow-ipc").load(dir).coalesce(1),
+      new org.apache.hadoop.fs.Path(dirPath, staging).toString)
+    val staged = Option(fs.globStatus(new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(dirPath, staging), "part-*.arrows")))
+      .get.map(_.getPath.getName)
+    ArrowMaintenance.writeIntent(fs, dirPath, ArrowMaintenance.Intent(
+      olds, staging,
+      staged.map(s => s -> s.replace(".arrows", "-compact-premark.arrows")).toMap))
+    // marker still present — the crash happened before the latch dropped;
+    // recover must take the latch itself before moving anything
+    assert(fs.exists(new org.apache.hadoop.fs.Path(dirPath, "_SUCCESS")))
+
+    assert(ArrowMaintenance.recover(spark, dir))
+    assert(partFiles(dir) === Seq("part-00000-compact-premark.arrows"))
+    assert(spark.read.format("arrow-ipc").load(dir).count() === 150)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(dirPath, "_SUCCESS")))
+  }
 }
