@@ -303,11 +303,19 @@ private[sources] class ArrowIpcScan(required: StructType, dir: String,
     * the unknown-stats default (which forecloses broadcast joins over
     * small Arrow dims). */
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
-    val bytes = kept.map(_.getLen).sum
+    val files = kept
+    val bytes = files.map(_.getLen).sum
+    // exact row count when the manifest covers every kept file — a real
+    // number beats Spark's size-based row guess for AQE/join planning
+    val rows: Option[Long] = {
+      val sts = files.map(st => manifest.get(st.getPath.getName))
+      if (sts.forall(_.isDefined)) Some(sts.map(_.get.rows).sum) else None
+    }
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(bytes)
-      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+      override def numRows(): java.util.OptionalLong =
+        rows.fold(java.util.OptionalLong.empty())(java.util.OptionalLong.of)
     }
   }
 

@@ -270,6 +270,10 @@ class ArrowDsv2Spec extends AnyFunSuite {
       .queryExecution.optimizedPlan
     val bytes = rel.stats.sizeInBytes
     assert(bytes > 0 && bytes < BigInt(Long.MaxValue), s"got $bytes")
+    // exact row count from the manifest (function-style writer commits
+    // stats too) — a real number for AQE/join planning, not a size guess
+    assert(rel.stats.rowCount.contains(BigInt(100000)),
+      s"expected exact manifest row count, got ${rel.stats.rowCount}")
   }
 
   test("DSv2 write roundtrips the type surface; function-style reader interops") {
