@@ -60,7 +60,8 @@ private[sources] class ArrowIpcMicroBatchStream(
     filters: Array[org.apache.spark.sql.sources.Filter],
     maxFilesPerTrigger: Option[Int] = None)
     extends MicroBatchStream
-    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxFiles}
 
   private val spark = SparkSession.active
@@ -90,10 +91,20 @@ private[sources] class ArrowIpcMicroBatchStream(
   override def getDefaultReadLimit: ReadLimit =
     maxFilesPerTrigger.fold(ReadLimit.allAvailable())(ReadLimit.maxFiles)
 
+  /** `Trigger.AvailableNow`: the run must process exactly what exists when
+    * it starts and then terminate — later appends belong to the NEXT run.
+    * The snapshot taken here bounds every batch's admission below. */
+  private var availableNowCap: Option[Set[String]] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(listCommitted().toSet)
+
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val seen = start.asInstanceOf[ArrowFilesOffset].files
     val seenSet = seen.toSet
-    val fresh = listCommitted().filterNot(seenSet).sorted
+    val listed = availableNowCap.fold(listCommitted())(cap =>
+      listCommitted().filter(cap))
+    val fresh = listed.filterNot(seenSet).sorted
     val admitted = limit match {
       case mf: ReadMaxFiles => fresh.take(mf.maxFiles)
       case _ => fresh

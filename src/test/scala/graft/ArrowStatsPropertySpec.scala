@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{ArrowFileStats, ArrowStatsCollector}
+
+/** SOUNDNESS property for the stats pruner — the correctness-critical
+  * invariant every file-skipping path (static pushdown, runtime DPP,
+  * streaming plan, aggregate refusal) leans on:
+  *
+  *   if `canMatch(filter, stats(rows)) == false`
+  *   then NO row in `rows` satisfies `filter`.
+  *
+  * Seeded exhaustive-random check in the repo's PropertySpec style: 2000
+  * generated (row-set, filter) pairs per run, adversarial values included
+  * (nulls, NaN, empty strings, >256-char strings, supplementary-plane
+  * strings, empty row sets, And/Or nesting). Completeness (canMatch true
+  * when a row does match) is NOT asserted — pruning is advisory by
+  * design; only the skip direction can corrupt results. */
+class ArrowStatsPropertySpec extends AnyFunSuite {
+
+  private val schema = StructType(Seq(
+    StructField("l", LongType), StructField("d", DoubleType),
+    StructField("s", StringType)))
+
+  private def genRow(r: scala.util.Random): Row = {
+    def ln: Any = if (r.nextInt(8) == 0) null else (r.nextInt(21) - 10).toLong
+    def dn: Any = r.nextInt(10) match {
+      case 0 => null
+      case 1 => Double.NaN
+      case _ => (r.nextInt(21) - 10) / 2.0
+    }
+    def sn: Any = r.nextInt(12) match {
+      case 0 => null
+      case 1 => ""
+      case 2 => "x" * 300                 // >256: invalidates the interval
+      case 3 => new String(Character.toChars(0x1F600)) + "a" // non-BMP
+      case _ => ("" + ('a' + r.nextInt(4)).toChar) * (1 + r.nextInt(3))
+    }
+    Row(ln, dn, sn)
+  }
+
+  private def genValue(r: scala.util.Random, col: String): Any = col match {
+    case "l" => (r.nextInt(25) - 12).toLong
+    case "d" => if (r.nextInt(12) == 0) Double.NaN else (r.nextInt(25) - 12) / 2.0
+    case _ => ("" + ('a' + r.nextInt(5)).toChar) * (1 + r.nextInt(3))
+  }
+
+  private def genFilter(r: scala.util.Random, depth: Int): Filter = {
+    val col = Seq("l", "d", "s")(r.nextInt(3))
+    r.nextInt(if (depth > 0) 12 else 10) match {
+      case 0 => EqualTo(col, genValue(r, col))
+      case 1 => GreaterThan(col, genValue(r, col))
+      case 2 => GreaterThanOrEqual(col, genValue(r, col))
+      case 3 => LessThan(col, genValue(r, col))
+      case 4 => LessThanOrEqual(col, genValue(r, col))
+      case 5 => In(col, Array.fill(1 + r.nextInt(3))(genValue(r, col)))
+      case 6 => IsNull(col)
+      case 7 => IsNotNull(col)
+      case 8 => StringStartsWith("s", ("" + ('a' + r.nextInt(5)).toChar) * (1 + r.nextInt(2)))
+      case 9 => EqualNullSafe(col, if (r.nextBoolean()) null else genValue(r, col))
+      case 10 => And(genFilter(r, depth - 1), genFilter(r, depth - 1))
+      case _ => Or(genFilter(r, depth - 1), genFilter(r, depth - 1))
+    }
+  }
+
+  /** Row-level truth of a v1 Filter, SQL three-valued logic collapsed to
+    * "does this row SATISFY the predicate" (unknown = no) — the semantics
+    * Spark's post-scan Filter applies. */
+  private def sat(f: Filter, row: Row): Boolean = {
+    val idx = Map("l" -> 0, "d" -> 1, "s" -> 2)
+    def v(c: String): Any = row.get(idx(c))
+    def cmp(c: String, x: Any): Option[Int] = (v(c), x) match {
+      case (null, _) | (_, null) => None
+      case (a: java.lang.Long, b: java.lang.Long) => Some(a.compareTo(b))
+      case (a: java.lang.Double, b: java.lang.Double) =>
+        if (a.isNaN || b.isNaN) Some(java.lang.Double.compare(a, b)) else Some(a.compareTo(b))
+      case (a: String, b: String) => Some(a.compareTo(b))
+      case _ => None
+    }
+    f match {
+      case And(a, b) => sat(a, row) && sat(b, row)
+      case Or(a, b) => sat(a, row) || sat(b, row)
+      case IsNull(c) => v(c) == null
+      case IsNotNull(c) => v(c) != null
+      case EqualTo(c, x) => cmp(c, x).contains(0)
+      case EqualNullSafe(c, null) => v(c) == null
+      case EqualNullSafe(c, x) => cmp(c, x).contains(0)
+      case GreaterThan(c, x) => cmp(c, x).exists(_ > 0)
+      case GreaterThanOrEqual(c, x) => cmp(c, x).exists(_ >= 0)
+      case LessThan(c, x) => cmp(c, x).exists(_ < 0)
+      case LessThanOrEqual(c, x) => cmp(c, x).exists(_ <= 0)
+      case In(c, xs) => xs.exists(x => cmp(c, x).contains(0))
+      case StringStartsWith(c, p) =>
+        v(c) != null && v(c).asInstanceOf[String].startsWith(p)
+      case other => fail(s"generator produced unevaluated filter $other")
+    }
+  }
+
+  test("a pruned file can NEVER contain a matching row (2000 seeded cases)") {
+    val r = new scala.util.Random(0xA77C)
+    var pruned = 0
+    for (_ <- 0 until 2000) {
+      val rows = Seq.fill(r.nextInt(40))(genRow(r))
+      val collector = new ArrowStatsCollector(schema)
+      rows.foreach(collector.updateExternal)
+      val stats = collector.result()
+      val filter = genFilter(r, 2)
+      if (!ArrowFileStats.canMatch(filter, stats)) {
+        pruned += 1
+        val witnesses = rows.filter(sat(filter, _))
+        assert(witnesses.isEmpty,
+          s"UNSOUND SKIP: filter=$filter stats=$stats witnesses=$witnesses")
+      }
+    }
+    // the check must actually exercise the skip branch, not pass vacuously
+    assert(pruned > 200, s"only $pruned/2000 cases pruned — generator too weak")
+  }
+}

@@ -88,4 +88,23 @@ class ArrowStreamSpec extends AnyFunSuite {
     assert(sizes === Seq(25L, 25L, 25L, 25L),
       s"expected 4 bounded batches, got $sizes")
   }
+
+  test("Trigger.AvailableNow processes the start-time snapshot in bounded batches, then stops") {
+    val base = java.nio.file.Files.createTempDirectory("graft_arrowstream4").toString
+    val src = s"$base/src"
+    (0 until 3).foreach { i =>
+      spark.range(i * 10, (i + 1) * 10).select(col("id"))
+        .coalesce(1).write.format("arrow-ipc").mode("append").save(src)
+    }
+    val q = spark.readStream.format("arrow-ipc")
+      .option("maxFilesPerTrigger", "1").load(src)
+      .writeStream.format("memory").queryName("graft_arrow_avnow")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    // AvailableNow terminates on its own once the snapshot is drained
+    assert(q.awaitTermination(60000), "query did not self-terminate")
+    assert(spark.table("graft_arrow_avnow").count() === 30)
+    val sizes = q.recentProgress.map(_.numInputRows).filter(_ > 0).toSeq
+    assert(sizes === Seq(10L, 10L, 10L), s"expected 3 bounded batches, got $sizes")
+  }
 }
