@@ -157,7 +157,9 @@ private[graft] object ArrowFileStats {
 
   // ── persistence (`_stats.json`) ────────────────────────────────────────
 
-  private def esc(s: String): String = {
+  /** Shared JSON string escaper (stats manifest, compaction intent,
+    * streaming offsets) — one correctness envelope, incl. control chars. */
+  private[sources] def esc(s: String): String = {
     val b = new StringBuilder(s.length + 8)
     s.foreach {
       case '"' => b.append("\\\"")
@@ -225,19 +227,22 @@ private[graft] object ArrowFileStats {
     }
   }
 
+  /** Drain a small metadata file to a UTF-8 string (manifest, intent). */
+  private[sources] def readFully(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+      new String(bytes.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
+  }
+
   def read(fs: FileSystem, dir: Path): Map[String, FileStats] = {
     val p = new Path(dir, FileName)
     if (!fs.exists(p)) Map.empty
-    else {
-      val in = fs.open(p)
-      try {
-        val bytes = new java.io.ByteArrayOutputStream()
-        val buf = new Array[Byte](8192)
-        var n = in.read(buf)
-        while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
-        parse(new String(bytes.toByteArray, java.nio.charset.StandardCharsets.UTF_8))
-      } finally in.close()
-    }
+    else parse(readFully(fs, p))
   }
 
   def write(fs: FileSystem, dir: Path, files: Map[String, FileStats]): Unit = {

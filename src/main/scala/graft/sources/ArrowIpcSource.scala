@@ -303,13 +303,19 @@ private[sources] class ArrowIpcScan(required: StructType, dir: String,
     * the unknown-stats default (which forecloses broadcast joins over
     * small Arrow dims). */
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
-    val files = kept
-    val bytes = files.map(_.getLen).sum
-    // exact row count when the manifest covers every kept file — a real
-    // number beats Spark's size-based row guess for AQE/join planning
-    val rows: Option[Long] = {
-      val sts = files.map(st => manifest.get(st.getPath.getName))
-      if (sts.forall(_.isDefined)) Some(sts.map(_.get.rows).sum) else None
+    // a pushed aggregation emits exactly ONE precomputed row — reporting
+    // the directory's bytes/rows here would make the planner refuse to
+    // broadcast the cheapest scan this source has (and would also force
+    // the listing this scan otherwise never needs)
+    val (bytes, rows): (Long, Option[Long]) = agg match {
+      case Some((schema, _)) => (schema.defaultSize.toLong.max(1L), Some(1L))
+      case None =>
+        val files = kept
+        // exact row count when the manifest covers every kept file — a
+        // real number beats Spark's size-based row guess for AQE/joins
+        val sts = files.map(st => manifest.get(st.getPath.getName))
+        (files.map(_.getLen).sum,
+          if (sts.forall(_.isDefined)) Some(sts.map(_.get.rows).sum) else None)
     }
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong =

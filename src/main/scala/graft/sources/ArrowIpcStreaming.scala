@@ -17,7 +17,7 @@ import org.apache.spark.sql.types.StructType
   */
 private[sources] case class ArrowFilesOffset(files: Seq[String]) extends Offset {
   override def json(): String =
-    files.sorted.map(n => "\"" + n.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+    files.sorted.map(n => "\"" + ArrowFileStats.esc(n) + "\"")
       .mkString("[", ",", "]")
 }
 
@@ -46,6 +46,14 @@ private[sources] object ArrowFilesOffset {
   * write is in flight and recreates it at commit, so a poll mid-append
   * sees the PREVIOUS committed state rather than a torn directory —
   * no file is emitted until the job that wrote it committed.
+  *
+  * Compaction-aware: `ArrowMaintenance.compact` records new-file →
+  * replaced-files lineage (`_lineage.json`); a compacted file whose every
+  * ancestor this stream already emitted is ABSORBED into the offset
+  * without re-emitting its rows, so maintenance never duplicates a
+  * drained stream. A compaction that folds seen and unseen rows into one
+  * file (it ran mid-backlog) fails the poll loudly — no file-granular
+  * decision preserves exactly-once there.
   *
   * Stats-based file skipping is wired through (`planInputPartitions`
   * drops new files whose `_stats.json` interval refutes a pushed filter)
@@ -105,11 +113,32 @@ private[sources] class ArrowIpcMicroBatchStream(
     val listed = availableNowCap.fold(listCommitted())(cap =>
       listCommitted().filter(cap))
     val fresh = listed.filterNot(seenSet).sorted
-    val admitted = limit match {
-      case mf: ReadMaxFiles => fresh.take(mf.maxFiles)
-      case _ => fresh
+    // Compaction lineage: a rewritten file whose every replaced ancestor is
+    // already in the offset carries no unseen rows — absorb it into the
+    // offset WITHOUT emitting (and without charging the admission cap).
+    // Absorption is re-derived from the same append-only lineage record in
+    // planInputPartitions, so a checkpoint replay reaches the same split.
+    val lineage =
+      if (fresh.isEmpty) Map.empty[String, Seq[String]]
+      else ArrowMaintenance.readLineage(
+        new Path(dir).getFileSystem(conf.value), new Path(dir))
+    val (absorbed, emitable) =
+      if (lineage.isEmpty) (Nil, fresh)
+      else fresh.partition(ArrowMaintenance.covered(lineage, seenSet, _))
+    emitable.filter(f => ArrowMaintenance.touches(lineage, seenSet, f)) match {
+      case Seq() =>
+      case poisoned => throw new IllegalStateException(
+        s"arrow-ipc stream: compaction folded already-emitted rows together " +
+          s"with unseen rows into ${poisoned.mkString(", ")} while this " +
+          "stream had processed only part of the replaced files; exactly-once " +
+          "cannot be preserved at file granularity. Drain the stream before " +
+          "compacting, or restart it from a fresh checkpoint.")
     }
-    ArrowFilesOffset((seen ++ admitted).sorted)
+    val admitted = limit match {
+      case mf: ReadMaxFiles => emitable.take(mf.maxFiles)
+      case _ => emitable
+    }
+    ArrowFilesOffset((seen ++ absorbed ++ admitted).sorted)
   }
 
   override def reportLatestOffset(): Offset = ArrowFilesOffset(listCommitted())
@@ -124,7 +153,17 @@ private[sources] class ArrowIpcMicroBatchStream(
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val seen = start.asInstanceOf[ArrowFilesOffset].files.toSet
-    val fresh = end.asInstanceOf[ArrowFilesOffset].files.filterNot(seen)
+    val stepped = end.asInstanceOf[ArrowFilesOffset].files.filterNot(seen)
+    // re-derive the absorbed/emit split latestOffset made: absorbed files
+    // sit in the end offset but carry no unseen rows (lineage is
+    // append-only, so replay resolves identically)
+    val lineage =
+      if (stepped.isEmpty) Map.empty[String, Seq[String]]
+      else ArrowMaintenance.readLineage(
+        new Path(dir).getFileSystem(conf.value), new Path(dir))
+    val fresh =
+      if (lineage.isEmpty) stepped
+      else stepped.filterNot(ArrowMaintenance.covered(lineage, seen, _))
     val stats =
       if (filters.isEmpty || fresh.isEmpty) Map.empty[String, FileStats]
       else ArrowFileStats.read(

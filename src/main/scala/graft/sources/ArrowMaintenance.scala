@@ -42,6 +42,7 @@ import org.apache.spark.sql.SparkSession
   */
 object ArrowMaintenance {
   private val IntentFile = "_compaction.json"
+  private[graft] val LineageFile = "_lineage.json"
 
   /** Outcome of a [[compact]] run: how many files went in and came out. */
   case class CompactionResult(oldFiles: Int, newFiles: Int)
@@ -69,7 +70,10 @@ object ArrowMaintenance {
     // STAGE: a complete new dataset in a hidden subdir
     val id = java.util.UUID.randomUUID.toString.take(8)
     val staging = s".compact-$id"
-    val n = math.max(1L, (olds.map(_.getLen).sum + targetBytes - 1) / targetBytes)
+    // clamp: ceil(bytes/target) can exceed Int for tiny targets over huge
+    // dirs — coalesce only ever reduces, so the clamp is harmless
+    val n = math.min(Int.MaxValue.toLong,
+      math.max(1L, (olds.map(_.getLen).sum + targetBytes - 1) / targetBytes))
     ArrowInterchange.writeStream(
       spark.read.format("arrow-ipc").load(dir).coalesce(n.toInt),
       new Path(dirPath, staging).toString, codec = codec)
@@ -123,6 +127,13 @@ object ArrowMaintenance {
       .map { case (k, v) => intent.moves.getOrElse(k, k) -> v }
     val merged = (ArrowFileStats.read(fs, dirPath) -- intent.olds) ++ stagedStats
     ArrowFileStats.write(fs, dirPath, merged)
+    // (d') lineage: record new-file → replaced-files so a streaming
+    // consumer whose offset already covers the olds can absorb the
+    // compacted file WITHOUT re-emitting its rows (idempotent merge —
+    // same entries every replay; append-only across compactions so
+    // chained lineage resolves transitively)
+    writeLineage(fs, dirPath,
+      readLineage(fs, dirPath) ++ intent.moves.values.map(_ -> intent.olds))
     // (e) drop the old files
     intent.olds.foreach(o => fs.delete(new Path(dirPath, o), false))
     // (f) restore the latch, clear the intent + staging
@@ -136,8 +147,7 @@ object ArrowMaintenance {
   private[graft] case class Intent(
       olds: Seq[String], staging: String, moves: Map[String, String])
 
-  private def esc(s: String): String =
-    s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString }
+  private def esc(s: String): String = ArrowFileStats.esc(s)
 
   private[graft] def writeIntent(fs: FileSystem, dir: Path, intent: Intent): Unit = {
     val sb = new StringBuilder("{\"olds\":[")
@@ -161,14 +171,7 @@ object ArrowMaintenance {
 
   private[graft] def readIntent(fs: FileSystem, dir: Path): Intent = {
     import org.json4s._
-    val in = fs.open(new Path(dir, IntentFile))
-    val json = try {
-      val bytes = new java.io.ByteArrayOutputStream()
-      val buf = new Array[Byte](8192)
-      var k = in.read(buf)
-      while (k >= 0) { bytes.write(buf, 0, k); k = in.read(buf) }
-      new String(bytes.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
-    } finally in.close()
+    val json = ArrowFileStats.readFully(fs, new Path(dir, IntentFile))
     org.json4s.jackson.JsonMethods.parse(json) match {
       case o: JObject =>
         val olds = (o \ "olds") match {
@@ -187,4 +190,64 @@ object ArrowMaintenance {
       case other => throw new IllegalStateException(s"bad $IntentFile: $other")
     }
   }
+
+  // ── compaction lineage (`_lineage.json`) ─────────────────────────────────
+  //
+  // compacted-file name → the file names it replaced. coalesce redistributes
+  // rows arbitrarily across the new files, so each new file honestly claims
+  // ALL of the run's old files as parents; a chain of compactions yields a
+  // DAG (acyclic by construction — output names embed a fresh run id) that
+  // [[covered]] resolves recursively. Grows by one generation per
+  // compaction run — bounded by maintenance history, not data volume.
+
+  private[graft] def readLineage(fs: FileSystem, dir: Path): Map[String, Seq[String]] = {
+    val p = new Path(dir, LineageFile)
+    if (!fs.exists(p)) Map.empty
+    else {
+      import org.json4s._
+      org.json4s.jackson.JsonMethods.parse(ArrowFileStats.readFully(fs, p)) match {
+        case JObject(fields) => fields.map { case (k, v) =>
+          k -> (v match {
+            case JArray(xs) => xs.collect { case JString(s) => s }
+            case other => throw new IllegalStateException(s"bad $LineageFile entry: $other")
+          })
+        }.toMap
+        case other => throw new IllegalStateException(s"bad $LineageFile: $other")
+      }
+    }
+  }
+
+  private[graft] def writeLineage(
+      fs: FileSystem, dir: Path, lineage: Map[String, Seq[String]]): Unit = {
+    val body = lineage.toSeq.sortBy(_._1).map { case (k, olds) =>
+      "\"" + esc(k) + "\":" +
+        olds.sorted.map(o => "\"" + esc(o) + "\"").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    // temp + rename: same torn-write rationale as the intent record
+    val tmp = new Path(dir, s"$LineageFile.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val fin = new Path(dir, LineageFile)
+    fs.delete(fin, false)
+    if (!fs.rename(tmp, fin))
+      throw new java.io.IOException(s"compaction: rename $tmp -> $fin failed")
+  }
+
+  /** True when every row of `name` was already emitted under `seen`: the
+    * name itself is in the seen set, or it is a compacted file ALL of whose
+    * parents are (recursively) covered. This is what lets a streaming
+    * consumer absorb a compaction without re-emitting rows. */
+  private[graft] def covered(
+      lineage: Map[String, Seq[String]], seen: Set[String], name: String): Boolean =
+    seen.contains(name) || lineage.get(name).exists(olds =>
+      olds.nonEmpty && olds.forall(covered(lineage, seen, _)))
+
+  /** True when `name` shares ANY row provenance with `seen` — itself seen,
+    * or any ancestor (recursively) seen. `touches && !covered` is the
+    * poisoned middle: a compaction folded seen and unseen rows into one
+    * file, and no file-granular decision can preserve exactly-once. */
+  private[graft] def touches(
+      lineage: Map[String, Seq[String]], seen: Set[String], name: String): Boolean =
+    seen.contains(name) || lineage.get(name).exists(_.exists(touches(lineage, seen, _)))
 }

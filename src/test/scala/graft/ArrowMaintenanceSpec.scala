@@ -93,6 +93,51 @@ class ArrowMaintenanceSpec extends AnyFunSuite {
     assert(!ArrowMaintenance.recover(spark, dir))
   }
 
+  test("lineage survives chained compactions; covered/touches resolve transitively") {
+    val dir = tmp("graft_compact_lineage")
+    (0 until 4).foreach { i =>
+      spark.range(i * 10, (i + 1) * 10).select(col("id"))
+        .coalesce(1).write.format("arrow-ipc").mode("append").save(dir)
+    }
+    val gen0 = partFiles(dir)
+    ArrowMaintenance.compact(spark, dir)
+    val gen1 = partFiles(dir)
+    val fs = fsOf(dir)
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val l1 = ArrowMaintenance.readLineage(fs, dirPath)
+    assert(l1.keySet === gen1.toSet)
+    assert(l1.values.forall(_ === gen0.sorted))
+
+    // chain a second generation: two more appends, compact again
+    (4 until 6).foreach { i =>
+      spark.range(i * 10, (i + 1) * 10).select(col("id"))
+        .coalesce(1).write.format("arrow-ipc").mode("append").save(dir)
+    }
+    val appends = partFiles(dir).filterNot(gen1.toSet)
+    ArrowMaintenance.compact(spark, dir)
+    val gen2 = partFiles(dir)
+    val l2 = ArrowMaintenance.readLineage(fs, dirPath)
+    // append-only: generation-1 entries are still present
+    assert(l1.toSet.subsetOf(l2.toSet))
+    assert(l2(gen2.head).sorted === (gen1 ++ appends).sorted)
+
+    // a consumer that saw all ORIGINAL leaves (gen0 + appends) covers gen2
+    // through the gen1 hop it never observed directly
+    val leafSeen = (gen0 ++ appends).toSet
+    assert(ArrowMaintenance.covered(l2, leafSeen, gen2.head))
+    // a consumer that saw only gen1's name (started between compactions)
+    // also covers gen2 once the appends are seen…
+    assert(ArrowMaintenance.covered(l2, gen1.toSet ++ appends, gen2.head))
+    // …but NOT while an append is missing: that is the poisoned middle
+    val partial = gen1.toSet ++ appends.drop(1)
+    assert(!ArrowMaintenance.covered(l2, partial, gen2.head))
+    assert(ArrowMaintenance.touches(l2, partial, gen2.head))
+    // and a consumer that saw nothing neither covers nor touches
+    assert(!ArrowMaintenance.touches(l2, Set.empty, gen2.head))
+
+    assert(spark.read.format("arrow-ipc").load(dir).count() === 60)
+  }
+
   test("a crash BEFORE the marker drop (intent recorded, marker up) also recovers") {
     val dir = tmp("graft_compact_crash2")
     (0 until 3).foreach { i =>

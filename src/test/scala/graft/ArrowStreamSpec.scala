@@ -3,6 +3,8 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
+import graft.sources.ArrowMaintenance
+
 /** Micro-batch face of the Arrow IPC source: a directory other jobs keep
   * appending to, consumed as a Structured Streaming source with
   * exactly-once file semantics (set-difference offsets, checkpointed). */
@@ -87,6 +89,42 @@ class ArrowStreamSpec extends AnyFunSuite {
     val sizes = q.recentProgress.map(_.numInputRows).filter(_ > 0).toSeq
     assert(sizes === Seq(25L, 25L, 25L, 25L),
       s"expected 4 bounded batches, got $sizes")
+  }
+
+  test("compaction between runs is absorbed: a drained stream re-emits nothing") {
+    val base = java.nio.file.Files.createTempDirectory("graft_arrowstream5").toString
+    val (src, out, ckpt) = (s"$base/src", s"$base/out", s"$base/ckpt")
+    def feed(from: Long, until: Long): Unit =
+      spark.range(from, until).select(col("id"))
+        .coalesce(1).write.format("arrow-ipc").mode("append").save(src)
+    def runOnePass(): Unit = {
+      val q = spark.readStream.format("arrow-ipc").load(src)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    (0 until 4).foreach(i => feed(i * 25, (i + 1) * 25))
+    runOnePass()
+    assert(spark.read.parquet(out).count() === 100)
+
+    // maintenance rewrites the four drained files into one
+    assert(ArrowMaintenance.compact(spark, src).get.newFiles === 1)
+
+    // restart: the compacted file is absorbed — zero rows re-emitted
+    runOnePass()
+    assert(spark.read.parquet(out).count() === 100, "compaction re-emitted rows")
+
+    // later appends still arrive exactly once, and a second compaction
+    // (folding the absorbed file with the drained append) absorbs again
+    feed(100, 130)
+    runOnePass()
+    assert(spark.read.parquet(out).select("id").as[Long].collect().sorted.toSeq
+      === (0L until 130L))
+    assert(ArrowMaintenance.compact(spark, src).get.oldFiles === 2)
+    runOnePass()
+    assert(spark.read.parquet(out).count() === 130)
   }
 
   test("Trigger.AvailableNow processes the start-time snapshot in bounded batches, then stops") {
