@@ -780,6 +780,61 @@ object CoreQueries {
                      CAST(SUM(CAST(value AS DECIMAL(14,4))) AS DOUBLE) AS sum_value
               FROM events GROUP BY event_type ORDER BY event_type""")),
 
+    // STORAGE-PARTITIONED JOIN: both sides written key-grouped
+    // (Sinks.writeKeyGrouped → single-valued files + _layout.json), so the
+    // scans report KeyGroupedPartitioning proved from the stats manifest
+    // and the join + the grouping aggregate run with ZERO shuffle and ZERO
+    // sort (ArrowSpjSpec proves the plan shape; here the query SELF-CHECKS
+    // it, then the oracle checks the answer). The 100 TB point: a repeated
+    // big join's exchange is pre-paid once at write time — the file-level
+    // analog of the reference's co-located processing, with the claim
+    // re-proven per file on every read so foreign appends can never
+    // mis-co-locate. Eagerly executed under scoped confs (broadcast off so
+    // co-location is load-bearing), returned as the collected result.
+    ("arrow_spj_join", (s, d) => {
+      val cust = T(s, d, "customer").select(col("c_custkey"), col("c_nationkey"))
+      val supp = T(s, d, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+      // Scratch contract: see json_roundtrip.
+      val pl = graft.sources.Scratch.dir(s, "graft_rt_spj_l")
+      val pr = graft.sources.Scratch.dir(s, "graft_rt_spj_r")
+      graft.sources.Sinks.writeKeyGrouped(cust, pl, Seq("c_nationkey"), partitions = 8)
+      graft.sources.Sinks.writeKeyGrouped(supp, pr, Seq("s_nationkey"), partitions = 8)
+      val confs = Seq("spark.sql.sources.v2.bucketing.enabled" -> "true",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+      val saved = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+      try {
+        confs.foreach { case (k, v) => s.conf.set(k, v) }
+        val j = s.read.format("arrow-ipc").load(pl)
+          .join(s.read.format("arrow-ipc").load(pr),
+            col("c_nationkey") === col("s_nationkey"))
+          .groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).as("pairs"),
+            sum(col("c_custkey") * col("s_suppkey")).as("cross_sum"))
+          .withColumnRenamed("c_nationkey", "nationkey")
+          .orderBy("nationkey")
+        val rows = j.collect() // eager: confs must hold at planning time
+        val plan = j.queryExecution.executedPlan match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            a.executedPlan
+          case p => p
+        }
+        val shuffles = plan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+        }.size
+        require(shuffles == 0,
+          s"arrow_spj_join: expected a storage-partitioned join, got $shuffles shuffles\n$plan")
+        require(plan.toString.contains("KeyGrouped="),
+          "arrow_spj_join: scans did not report a key grouping")
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), j.schema)
+      } finally saved.foreach { case (k, v) =>
+        v.fold(s.conf.unset(k))(s.conf.set(k, _))
+      }
+    },
+      Some("""SELECT c_nationkey AS nationkey, COUNT(*) AS pairs,
+                     CAST(SUM(CAST(c_custkey AS BIGINT) * s_suppkey) AS BIGINT) AS cross_sum
+              FROM customer JOIN supplier ON c_nationkey = s_nationkey
+              GROUP BY 1 ORDER BY nationkey""")),
+
     // Runtime (dynamic) file pruning: the broadcast dim's key set reaches
     // the Arrow scan AFTER planning (SupportsRuntimeFiltering), and only
     // files whose stats interval can hold a matching o_custkey are read —

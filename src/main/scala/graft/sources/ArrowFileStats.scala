@@ -227,6 +227,37 @@ private[graft] object ArrowFileStats {
     }
   }
 
+  /** Canonical stat string → the value's Catalyst-internal form for
+    * `dataType` (strings stay String here — callers box to UTF8String at
+    * the row boundary). Shared by the manifest-only aggregate pushdown and
+    * the key-grouped partition keys. */
+  private[sources] def internalFromCanonical(dt: DataType, s: String): Any = dt match {
+    case ByteType => s.toLong.toByte
+    case ShortType => s.toLong.toShort
+    case IntegerType | DateType => s.toLong.toInt
+    case BooleanType => s.toLong != 0L
+    case FloatType => s.toDouble.toFloat
+    case DoubleType => s.toDouble
+    case StringType => s // UTF8String in the reader
+    case _ => s.toLong // Long / Timestamp(NTZ) / DayTimeInterval internal form
+  }
+
+  /** Is this file PROVABLY single-valued on `col`? `None` = no proof (no
+    * stats, invalid interval, or genuinely multi-valued). `Some(None)` =
+    * every row is NULL; `Some(Some(v))` = every row equals canonical `v`.
+    * The proof is sound because stats are exact-or-invalid: string
+    * extremes are stored whole (never truncated — >256 bytes or
+    * supplementary planes invalidate instead), numeric extremes are exact,
+    * so `nulls == 0 && min == max` admits exactly one value. */
+  private[sources] def singleValue(st: FileStats, col: String): Option[Option[String]] =
+    st.cols.get(col).flatMap { c =>
+      if (c.nulls >= st.rows && st.rows > 0) Some(None)
+      else (c.min, c.max) match {
+        case (Some(mn), Some(mx)) if c.nulls == 0 && mn == mx => Some(Some(mn))
+        case _ => None
+      }
+    }
+
   /** Drain a small metadata file to a UTF-8 string (manifest, intent). */
   private[sources] def readFully(fs: FileSystem, p: Path): String = {
     val in = fs.open(p)

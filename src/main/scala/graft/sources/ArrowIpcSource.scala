@@ -73,16 +73,22 @@ private[sources] class ArrowIpcTable(tableSchema: StructType, dir: String)
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ArrowIpcScanBuilder(tableSchema, dir,
-      Option(options.get("maxFilesPerTrigger")).map(_.toInt))
+      Option(options.get("maxFilesPerTrigger")).map(_.toInt),
+      Option(options.get("partitionKeys"))
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq))
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new ArrowIpcWriteBuilder(info.schema(), dir,
-      Option(info.options.get("codec")), info.queryId())
+      Option(info.options.get("codec")), info.queryId(),
+      Option(info.options.get("partitionKeys"))
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Nil))
 }
 
 private[sources] class ArrowIpcScanBuilder(full: StructType, dir: String,
-    maxFilesPerTrigger: Option[Int] = None)
+    maxFilesPerTrigger: Option[Int] = None,
+    partitionKeys: Option[Seq[String]] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownLimit
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
@@ -159,17 +165,8 @@ private[sources] class ArrowIpcScanBuilder(full: StructType, dir: String,
       }
     }
 
-    def internal(dt: org.apache.spark.sql.types.DataType, s: String): Any = dt match {
-      case org.apache.spark.sql.types.ByteType => s.toLong.toByte
-      case org.apache.spark.sql.types.ShortType => s.toLong.toShort
-      case org.apache.spark.sql.types.IntegerType |
-           org.apache.spark.sql.types.DateType => s.toLong.toInt
-      case org.apache.spark.sql.types.BooleanType => s.toLong != 0L
-      case org.apache.spark.sql.types.FloatType => s.toDouble.toFloat
-      case org.apache.spark.sql.types.DoubleType => s.toDouble
-      case org.apache.spark.sql.types.StringType => s // UTF8String in the reader
-      case _ => s.toLong // Long / Timestamp(NTZ) / DayTimeInterval internal form
-    }
+    def internal(dt: org.apache.spark.sql.types.DataType, s: String): Any =
+      ArrowFileStats.internalFromCanonical(dt, s)
 
     try {
       val out = aggregation.aggregateExpressions.map {
@@ -223,16 +220,20 @@ private[sources] class ArrowIpcScanBuilder(full: StructType, dir: String,
   }
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
   override def build(): Scan =
-    new ArrowIpcScan(required, dir, limit, pushed, agg, maxFilesPerTrigger)
+    new ArrowIpcScan(required, dir, limit, pushed, agg, maxFilesPerTrigger,
+      partitionKeys)
 }
 
 private[sources] class ArrowIpcScan(required: StructType, dir: String,
     limit: Int, filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
     agg: Option[(StructType, Array[Any])] = None,
-    maxFilesPerTrigger: Option[Int] = None)
+    maxFilesPerTrigger: Option[Int] = None,
+    partitionKeys: Option[Seq[String]] = None)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
-    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsReportOrdering {
   override def readSchema(): StructType = agg.fold(required)(_._1)
   override def toBatch: Batch = this
   override def description(): String =
@@ -241,7 +242,10 @@ private[sources] class ArrowIpcScan(required: StructType, dir: String,
       (if (filters.nonEmpty)
         s" pushed=[${filters.mkString(", ")}] files=${kept.length}/$totalFiles"
       else "") +
-      agg.fold("")(a => s" PushedAggregation=[${a._1.fieldNames.mkString(", ")}] (manifest-only)")
+      agg.fold("")(a => s" PushedAggregation=[${a._1.fieldNames.mkString(", ")}] (manifest-only)") +
+      grouping.fold("") { case (fields, groups) =>
+        s" KeyGrouped=[${fields.map(_.name).mkString(", ")}] groups=${groups.length}"
+      }
 
   /** One listing + completeness gate + manifest read, shared by planning,
     * statistics, explain, and runtime re-pruning. Stats-based skipping:
@@ -288,14 +292,91 @@ private[sources] class ArrowIpcScan(required: StructType, dir: String,
   override def filter(runtimeFilters: Array[org.apache.spark.sql.sources.Filter]): Unit =
     runtime = runtimeFilters.filter(ArrowFileStats.prunable)
 
-  private def kept: Array[org.apache.hadoop.fs.FileStatus] = {
-    val active = filters ++ runtime
+  private def keptWith(active: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.hadoop.fs.FileStatus] =
     if (active.isEmpty) allFiles
     else allFiles.filter { st =>
       manifest.get(st.getPath.getName)
         .forall(s => active.forall(f => ArrowFileStats.canMatch(f, s)))
     }
+
+  private def kept: Array[org.apache.hadoop.fs.FileStatus] = keptWith(filters ++ runtime)
+
+  /** Key grouping for STORAGE-PARTITIONED JOINS. `Some` iff: the v2
+    * bucketing conf is on, keys are declared (read option `partitionKeys`
+    * overrides the directory's `_layout.json`), every key survives the
+    * projection with a stats-bearing type, and EVERY statically-kept file
+    * is PROVABLY single-valued on the keys per [[ArrowFileStats
+    * .singleValue]] (exact-or-invalid stats — no proof, no claim). The
+    * payoff: a join of two directories keyed the same way plans with zero
+    * shuffle (`KeyGroupedPartitioning`) and — because a single-valued
+    * partition is trivially sorted on its keys — zero sort. A foreign
+    * append or stale declaration degrades to a plain shuffled read, never
+    * wrong co-location.
+    *
+    * Built from the STATIC filters only: runtime (DPP) filters may arrive
+    * after Spark has fixed the partition-key set, so they prune files
+    * WITHIN a group (see [[planInputPartitions]]) but never a group. */
+  private lazy val grouping: Option[(Seq[StructField], Array[ArrowKeyedPartition])] = {
+    val enabled = SparkSession.active.conf
+      .get("spark.sql.sources.v2.bucketing.enabled", "false").toBoolean
+    if (!enabled || agg.isDefined) None
+    else {
+      val dirPath = new Path(dir)
+      val fs = dirPath.getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
+      val keys = partitionKeys.getOrElse(ArrowLayout.read(fs, dirPath))
+      val fields = keys.flatMap(k => required.fields.find(_.name == k))
+      if (keys.isEmpty || fields.length != keys.length ||
+          fields.exists(f => ArrowFileStats.kindOf(f.dataType) == 0)) None
+      else {
+        val files = keptWith(filters)
+        val proofs = files.map { st =>
+          val name = st.getPath.getName
+          manifest.get(name).flatMap { fstats =>
+            val vals = keys.map(k => ArrowFileStats.singleValue(fstats, k))
+            if (vals.exists(_.isEmpty)) None
+            else Some(st.getPath.toString -> vals.map(_.get))
+          }
+        }
+        if (files.isEmpty || proofs.exists(_.isEmpty)) None
+        else {
+          val dts = fields.map(_.dataType)
+          val groups = proofs.map(_.get).groupBy(_._2).toArray
+            .sortBy(_._1.map(_.getOrElse("")).mkString(""))
+            .map { case (key, members) =>
+              ArrowKeyedPartition(members.map(_._1).toSeq, key, dts)
+            }
+          Some((fields, groups))
+        }
+      }
+    }
   }
+
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    grouping match {
+      case Some((fields, groups)) =>
+        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+          fields.map(f => org.apache.spark.sql.connector.expressions.Expressions
+            .identity(f.name): org.apache.spark.sql.connector.expressions.Expression)
+            .toArray,
+          groups.length)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+    }
+
+  /** Within a key group every row carries the SAME key tuple, so any row
+    * order satisfies an ordering on the key columns — reported so a
+    * storage-partitioned sort-merge join skips its sorts too. */
+  override def outputOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    grouping match {
+      case Some((fields, _)) =>
+        fields.map(f => org.apache.spark.sql.connector.expressions.Expressions.sort(
+          org.apache.spark.sql.connector.expressions.Expressions.identity(f.name),
+          org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)).toArray
+      case None => Array.empty
+    }
 
   /** Byte size of the files actually scanned (post-prune, and nothing
     * invented beyond it) so the optimizer's broadcast-threshold and AQE
@@ -327,7 +408,22 @@ private[sources] class ArrowIpcScan(required: StructType, dir: String,
 
   override def planInputPartitions(): Array[InputPartition] =
     if (agg.isDefined) Array(ArrowAggPartition)
-    else kept.map(st => ArrowFilePartition(st.getPath.toString): InputPartition)
+    else grouping match {
+      case Some((_, groups)) =>
+        // runtime (DPP) filters prune FILES inside a group, never the
+        // group: Spark requires the partition-key set reported at
+        // planning to survive runtime filtering, so a fully-refuted
+        // group stays as an empty partition (reads nothing)
+        if (runtime.isEmpty) groups.map(g => g: InputPartition)
+        else groups.map { g =>
+          g.copy(files = g.files.filter { path =>
+            manifest.get(new Path(path).getName)
+              .forall(s => runtime.forall(f => ArrowFileStats.canMatch(f, s)))
+          }): InputPartition
+        }
+      case None =>
+        kept.map(st => ArrowFilePartition(st.getPath.toString): InputPartition)
+    }
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
@@ -373,8 +469,13 @@ private[sources] class ArrowIpcReaderFactory(
     required: StructType, conf: SerializableHadoopConf, limit: Int = -1)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new ArrowIpcPartitionReader(
-      partition.asInstanceOf[ArrowFilePartition].file, required, conf, limit)
+    partition match {
+      case ArrowFilePartition(file) =>
+        new ArrowIpcPartitionReader(file, required, conf, limit)
+      case k: ArrowKeyedPartition =>
+        new ChainedPartitionReader[InternalRow](k.files,
+          f => new ArrowIpcPartitionReader(f, required, conf, limit))
+    }
 
   // COLUMNAR path: Arrow IPC is already columnar, so the fastest read is
   // no decode at all — wrap the loaded Arrow vectors as a Spark
@@ -386,8 +487,13 @@ private[sources] class ArrowIpcReaderFactory(
     required.fields.forall(f => !f.metadata.contains(ArrowInterchange.FixedSizeKey))
   override def createColumnarReader(
       partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
-    new ArrowIpcColumnarReader(
-      partition.asInstanceOf[ArrowFilePartition].file, required, conf, limit)
+    partition match {
+      case ArrowFilePartition(file) =>
+        new ArrowIpcColumnarReader(file, required, conf, limit)
+      case k: ArrowKeyedPartition =>
+        new ChainedPartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch](
+          k.files, f => new ArrowIpcColumnarReader(f, required, conf, limit))
+    }
 }
 
 /** Columnar twin of [[ArrowIpcPartitionReader]]: each loaded IPC batch is
@@ -438,7 +544,8 @@ private[sources] class ArrowIpcColumnarReader(
 // ── write path ───────────────────────────────────────────────────────────
 
 private[sources] class ArrowIpcWriteBuilder(
-    schema: StructType, dir: String, codec: Option[String], queryId: String)
+    schema: StructType, dir: String, codec: Option[String], queryId: String,
+    partitionKeys: Seq[String] = Nil)
     extends org.apache.spark.sql.connector.write.WriteBuilder
     with org.apache.spark.sql.connector.write.SupportsTruncate {
   private var doTruncate = false
@@ -446,7 +553,7 @@ private[sources] class ArrowIpcWriteBuilder(
     doTruncate = true; this
   }
   override def build(): org.apache.spark.sql.connector.write.Write =
-    new ArrowIpcWrite(schema, dir, codec, queryId, doTruncate)
+    new ArrowIpcWrite(schema, dir, codec, queryId, doTruncate, partitionKeys)
 }
 
 /** DSv2 batch write: Spark's commit coordinator guarantees exactly one
@@ -460,19 +567,28 @@ private[sources] class ArrowIpcWriteBuilder(
   * directory and rewrites the schema sentinel. */
 private[sources] class ArrowIpcWrite(
     schema: StructType, dir: String, codec: Option[String], queryId: String,
-    truncate: Boolean)
+    truncate: Boolean, partitionKeys: Seq[String] = Nil)
     extends org.apache.spark.sql.connector.write.Write
     with org.apache.spark.sql.connector.write.BatchWrite {
   import org.apache.spark.sql.connector.write._
 
   override def toBatch: BatchWrite = this
-  override def description(): String = s"arrow-ipc $dir"
+  override def description(): String = s"arrow-ipc $dir" +
+    (if (partitionKeys.nonEmpty) s" keyed=[${partitionKeys.mkString(", ")}]" else "")
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     // driver-side, before any task launches: validate the surface loudly
     // and prepare the directory + schema sentinel
     ArrowInterchange.codecType(codec)
     ArrowInterchange.toArrowSchema(schema)
+    partitionKeys.foreach { k =>
+      val f = schema.fields.find(_.name == k).getOrElse(throw new IllegalArgumentException(
+        s"arrow-ipc: partitionKeys column '$k' not in schema " +
+          s"(${schema.fieldNames.mkString(", ")})"))
+      require(ArrowFileStats.kindOf(f.dataType) != 0,
+        s"arrow-ipc: partitionKeys column '$k' has type ${f.dataType} — only " +
+          "stats-bearing types (integral/date/timestamp/float/string) can key a layout")
+    }
     val spark = SparkSession.active
     val conf = spark.sparkContext.hadoopConfiguration
     val dirPath = new Path(dir)
@@ -491,7 +607,7 @@ private[sources] class ArrowIpcWrite(
     // a write in flight invalidates the completeness marker until commit
     fs.delete(new Path(dirPath, "_SUCCESS"), false)
     new ArrowIpcWriterFactory(schema, dir, codec, queryId,
-      new SerializableHadoopConf(conf))
+      new SerializableHadoopConf(conf), partitionKeys)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -502,37 +618,51 @@ private[sources] class ArrowIpcWrite(
     // also see the stats of every committed file. Appends merge with the
     // existing manifest; entries for files a truncate removed are gone
     // with the directory.
-    val fresh = messages.collect {
-      case ArrowIpcCommitMessage(path, Some(st)) if path.nonEmpty =>
-        new Path(path).getName -> st
-    }.toMap
+    val fresh = messages.collect { case ArrowIpcCommitMessage(files) =>
+      files.map { case (path, st) => new Path(path).getName -> st }
+    }.flatten.toMap
     if (fresh.nonEmpty)
       ArrowFileStats.write(fs, dirPath, ArrowFileStats.read(fs, dirPath) ++ fresh)
+    // key-grouped layout declaration: written when this job keyed its
+    // files; an append keyed DIFFERENTLY than the standing declaration
+    // leaves the directory uniformly keyed on neither → drop the claim
+    // (reads degrade to plain shuffled scans, never wrong co-location)
+    if (partitionKeys.nonEmpty) {
+      val existing = ArrowLayout.read(fs, dirPath)
+      if (existing.isEmpty || existing == partitionKeys)
+        ArrowLayout.write(fs, dirPath, partitionKeys)
+      else ArrowLayout.delete(fs, dirPath)
+    }
     fs.create(new Path(dirPath, "_SUCCESS"), true).close()
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val conf = SparkSession.active.sparkContext.hadoopConfiguration
     messages.foreach {
-      case ArrowIpcCommitMessage(path, _) if path.nonEmpty =>
+      case ArrowIpcCommitMessage(files) => files.foreach { case (path, _) =>
         val p = new Path(path)
         p.getFileSystem(conf).delete(p, false)
+      }
       case _ => ()
     }
   }
 }
 
 private[sources] case class ArrowIpcCommitMessage(
-    file: String, stats: Option[FileStats] = None)
+    files: Seq[(String, FileStats)])
     extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
 private[sources] class ArrowIpcWriterFactory(
     schema: StructType, dir: String, codec: Option[String], queryId: String,
-    conf: SerializableHadoopConf)
+    conf: SerializableHadoopConf, partitionKeys: Seq[String] = Nil)
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
-    new ArrowIpcDataWriter(schema, dir, codec, queryId, partitionId, taskId, conf)
+    if (partitionKeys.isEmpty)
+      new ArrowIpcDataWriter(schema, dir, codec, queryId, partitionId, taskId, conf)
+    else
+      new ArrowIpcKeyedDataWriter(schema, dir, codec, queryId, partitionId,
+        taskId, conf, partitionKeys)
 }
 
 /** Push-based per-task writer: rows land straight in the Arrow vectors
@@ -592,7 +722,7 @@ private[sources] class ArrowIpcDataWriter(
   }
 
   override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
-    if (!opened) return ArrowIpcCommitMessage("") // empty partition: no file
+    if (!opened) return ArrowIpcCommitMessage(Nil) // empty partition: no file
     if (n > 0) flush()
     writer.end()
     closeAll()
@@ -602,7 +732,7 @@ private[sources] class ArrowIpcDataWriter(
       throw new java.io.IOException(
         s"arrow-ipc: rename $tmpPath -> $finalPath failed")
     }
-    ArrowIpcCommitMessage(finalPath.toString, Some(stats.result()))
+    ArrowIpcCommitMessage(Seq(finalPath.toString -> stats.result()))
   }
 
   override def abort(): Unit = {
@@ -616,6 +746,139 @@ private[sources] class ArrowIpcDataWriter(
       if (root != null) root.close()
       if (alloc != null) alloc.close()
     } catch { case _: Throwable => () }
+
+  override def close(): Unit = ()
+}
+
+/** Rolling writer for KEY-GROUPED layouts (`option("partitionKeys", …)`):
+  * starts a new file whenever the key tuple changes, so with input
+  * clustered by key (`repartition(keys).sortWithinPartitions(keys)` — see
+  * `Sinks.writeKeyGrouped`) every file is single-valued on the keys and
+  * the scan can prove a `KeyGroupedPartitioning` from the stats manifest.
+  * Unsorted input stays CORRECT (each file covers one run of equal keys;
+  * it just yields more files), memory stays bounded by one open file's
+  * batch regardless of key cardinality. */
+private[sources] class ArrowIpcKeyedDataWriter(
+    schema: StructType, dir: String, codec: Option[String], queryId: String,
+    partitionId: Int, taskId: Long, conf: SerializableHadoopConf,
+    partitionKeys: Seq[String])
+    extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+  import org.apache.arrow.vector.VectorSchemaRoot
+  import org.apache.arrow.vector.ipc.ArrowStreamWriter
+
+  private val BatchRows = 4096
+  private val types = schema.fields.map(_.dataType)
+  private val keyIdx = partitionKeys.map(k => schema.fieldNames.indexOf(k)).toArray
+
+  private var alloc: RootAllocator = _
+  private var root: VectorSchemaRoot = _
+  private var writer: ArrowStreamWriter = _
+  private var stats: ArrowStatsCollector = _
+  private var tmp: Path = _
+  private var n = 0
+  private var seq = 0
+  private var curKey: Array[Any] = _ // boxed internal forms; strings cloned
+  private val finished = scala.collection.mutable.ArrayBuffer
+    .empty[(Path, Path, FileStats)] // (tmp, final, stats)
+
+  private def keyAt(row: InternalRow, i: Int): Any = {
+    val c = keyIdx(i)
+    if (row.isNullAt(c)) null
+    else types(c) match {
+      case org.apache.spark.sql.types.StringType => row.getUTF8String(c)
+      case dt => row.get(c, dt)
+    }
+  }
+
+  private def sameKey(row: InternalRow): Boolean = {
+    var i = 0
+    while (i < keyIdx.length) {
+      if (!java.util.Objects.equals(curKey(i), keyAt(row, i))) return false
+      i += 1
+    }
+    true
+  }
+
+  private def open(): Unit = {
+    alloc = new RootAllocator()
+    root = VectorSchemaRoot.create(ArrowInterchange.toArrowSchema(schema), alloc)
+    tmp = new Path(dir,
+      f".part-$partitionId%05d-g$seq%04d-$queryId.arrows.task-$taskId.tmp")
+    val out = tmp.getFileSystem(conf.value).create(tmp, true)
+    writer = ArrowInterchange.newStreamWriter(root, out, codec)
+    writer.start()
+    root.allocateNew()
+    stats = new ArrowStatsCollector(schema)
+  }
+
+  private def flushBatch(): Unit = {
+    root.setRowCount(n)
+    writer.writeBatch()
+    root.allocateNew()
+    n = 0
+  }
+
+  private def roll(): Unit = {
+    if (writer == null) return
+    if (n > 0) flushBatch()
+    writer.end()
+    closeCurrent()
+    finished += ((tmp,
+      new Path(dir, f"part-$partitionId%05d-g$seq%04d-$queryId.arrows"),
+      stats.result()))
+    seq += 1
+  }
+
+  override def write(row: InternalRow): Unit = {
+    if (curKey == null || !sameKey(row)) {
+      roll()
+      open()
+      // retain the key OFF the row's reused buffers (UTF8String views them)
+      curKey = Array.tabulate(keyIdx.length) { i =>
+        keyAt(row, i) match {
+          case s: org.apache.spark.unsafe.types.UTF8String => s.clone()
+          case v => v
+        }
+      }
+    }
+    var c = 0
+    while (c < types.length) {
+      ArrowInterchange.setInternalValue(root.getVector(c), types(c), n, row, c)
+      c += 1
+    }
+    stats.update(row)
+    n += 1
+    if (n >= BatchRows) flushBatch()
+  }
+
+  override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    roll()
+    val files = finished.map { case (t, fin, st) =>
+      val fs = fin.getFileSystem(conf.value)
+      if (!fs.rename(t, fin)) {
+        fs.delete(t, false)
+        throw new java.io.IOException(s"arrow-ipc: rename $t -> $fin failed")
+      }
+      fin.toString -> st
+    }.toSeq
+    ArrowIpcCommitMessage(files)
+  }
+
+  override def abort(): Unit = {
+    closeCurrent()
+    val fs = new Path(dir).getFileSystem(conf.value)
+    if (tmp != null) fs.delete(tmp, false)
+    finished.foreach { case (t, _, _) => fs.delete(t, false) }
+  }
+
+  private def closeCurrent(): Unit = {
+    try {
+      if (writer != null) writer.close()
+      if (root != null) root.close()
+      if (alloc != null) alloc.close()
+    } catch { case _: Throwable => () }
+    writer = null; root = null; alloc = null
+  }
 
   override def close(): Unit = ()
 }

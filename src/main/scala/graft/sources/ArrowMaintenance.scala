@@ -134,8 +134,10 @@ object ArrowMaintenance {
     // chained lineage resolves transitively)
     writeLineage(fs, dirPath,
       readLineage(fs, dirPath) ++ intent.moves.values.map(_ -> intent.olds))
-    // (e) drop the old files
+    // (e) drop the old files; compaction coalesces across keys, so any
+    // key-grouped layout claim is destroyed with them
     intent.olds.foreach(o => fs.delete(new Path(dirPath, o), false))
+    ArrowLayout.delete(fs, dirPath)
     // (f) restore the latch, clear the intent + staging
     fs.create(new Path(dirPath, "_SUCCESS"), true).close()
     fs.delete(new Path(dirPath, IntentFile), false)

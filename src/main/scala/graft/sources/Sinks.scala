@@ -38,6 +38,27 @@ object Sinks {
     sortCol.fold(w)(c => w.sortBy(c)).saveAsTable(table)
   }
 
+  /** Key-grouped arrow-ipc layout — the FILE-level twin of [[writeBucketed]]
+    * with no catalog required: rows hash-cluster by `keys`, sort within
+    * partitions so the rolling writer cuts one single-valued file per key
+    * run, and the job commit declares the layout (`_layout.json`). Two
+    * directories written this way join with ZERO shuffle and zero sort
+    * (`KeyGroupedPartitioning` via the stats manifest — see
+    * [[ArrowLayout]]); at 100 TB that converts the dominant join cost into
+    * a pre-paid write-side cluster, and unlike catalog bucketing the claim
+    * is re-proven from per-file stats on every read. `partitions` bounds
+    * write parallelism; file count ≈ distinct keys (one per key per
+    * partition that holds it). */
+  def writeKeyGrouped(df: DataFrame, path: String, keys: Seq[String],
+      partitions: Int = 32, codec: Option[String] = None): Unit = {
+    val cols = keys.map(org.apache.spark.sql.functions.col)
+    val w = df.repartition(partitions, cols: _*)
+      .sortWithinPartitions(cols: _*)
+      .write.format("arrow-ipc").mode(SaveMode.Overwrite)
+      .option("partitionKeys", keys.mkString(","))
+    codec.fold(w)(c => w.option("codec", c)).save(path)
+  }
+
   /** Range-partitioned, sorted-within-partition layout: clusters rows by
     * `sortCols` so parquet row-group min/max stats become selective —
     * data skipping for range predicates without a partition column. */

@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SortExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{ArrowLayout, ArrowMaintenance, Sinks}
+
+/** Storage-partitioned joins over the Arrow DSv2 source: two directories
+  * written key-grouped (`Sinks.writeKeyGrouped`) join with ZERO shuffle
+  * and ZERO sort — the scan proves single-valued files from the stats
+  * manifest and reports `KeyGroupedPartitioning` + a trivial key ordering.
+  * Every degradation path (foreign append, compaction, missing stats)
+  * falls back to a plain shuffled read with identical results. */
+class ArrowSpjSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString + "/out"
+
+  private def fsOf(dir: String) = new org.apache.hadoop.fs.Path(dir)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Run `body` with SPJ preconditions pinned (v2 bucketing on, broadcast
+    * joins off so co-location is load-bearing, AQE off for deterministic
+    * plan asserts) and every conf restored after. */
+  private def withSpjConfs[T](body: => T): T = {
+    val keys = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.autoBroadcastJoinThreshold", "spark.sql.adaptive.enabled")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    spark.conf.set(keys(0), "true")
+    spark.conf.set(keys(1), "-1")
+    spark.conf.set(keys(2), "false")
+    try body
+    finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
+  private def shufflesAndSorts(df: DataFrame): (Int, Int) = {
+    df.collect()
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    (plan.collect { case e: ShuffleExchangeExec => e }.size,
+      plan.collect { case s: SortExec => s }.size)
+  }
+
+  private def left = spark.range(0, 2000)
+    .select((col("id") % 23).as("k"), col("id").as("lv"))
+  private def right = spark.range(0, 900)
+    .select((col("id") % 23).as("k"), (col("id") * 10).as("rv"))
+
+  test("keyed-dir join runs with zero shuffle and zero sort; result exact") {
+    val (dl, dr) = (tmp("graft_spj_l"), tmp("graft_spj_r"))
+    Sinks.writeKeyGrouped(left, dl, Seq("k"), partitions = 4)
+    Sinks.writeKeyGrouped(right, dr, Seq("k"), partitions = 4)
+    assert(ArrowLayout.read(fsOf(dl), new org.apache.hadoop.fs.Path(dl)) === Seq("k"))
+
+    withSpjConfs {
+      val j = spark.read.format("arrow-ipc").load(dl)
+        .join(spark.read.format("arrow-ipc").load(dr), "k")
+        .groupBy("k").agg(count(lit(1)).as("n"), sum($"lv" + $"rv").as("s"))
+      val (shuffles, sorts) = shufflesAndSorts(j)
+      // the join itself is exchange-free AND sort-free; the groupBy runs
+      // on the same key grouping, so the whole plan needs no exchange
+      assert(shuffles === 0, s"expected a storage-partitioned join, got $shuffles shuffles:\n${j.queryExecution.executedPlan}")
+      assert(sorts === 0, s"reported key ordering should kill SMJ sorts, got $sorts:\n${j.queryExecution.executedPlan}")
+
+      val want = left.join(right, "k")
+        .groupBy("k").agg(count(lit(1)).as("n"), sum($"lv" + $"rv").as("s"))
+        .orderBy("k").collect().map(_.toString).toSeq
+      assert(j.orderBy("k").collect().map(_.toString).toSeq === want)
+    }
+  }
+
+  test("a plain (unkeyed) append degrades to a shuffled read with identical results") {
+    val (dl, dr) = (tmp("graft_spj_app_l"), tmp("graft_spj_app_r"))
+    Sinks.writeKeyGrouped(left, dl, Seq("k"), partitions = 4)
+    Sinks.writeKeyGrouped(right, dr, Seq("k"), partitions = 4)
+    // a foreign writer appends one multi-key file: the layout claim stays
+    // but per-file verification fails → fall back, never wrong co-location
+    spark.range(5000, 5004).select((col("id") % 23).as("k"), col("id").as("lv"))
+      .coalesce(1).write.format("arrow-ipc").mode("append").save(dl)
+
+    withSpjConfs {
+      val j = spark.read.format("arrow-ipc").load(dl)
+        .join(spark.read.format("arrow-ipc").load(dr), "k")
+        .groupBy("k").agg(count(lit(1)).as("n"))
+      val (shuffles, _) = shufflesAndSorts(j)
+      assert(shuffles > 0, "multi-key file cannot keep the grouping claim")
+
+      val lAll = left.unionAll(spark.range(5000, 5004)
+        .select((col("id") % 23).as("k"), col("id").as("lv")))
+      val want = lAll.join(right, "k").groupBy("k").agg(count(lit(1)).as("n"))
+        .orderBy("k").collect().map(_.toString).toSeq
+      assert(j.orderBy("k").collect().map(_.toString).toSeq === want)
+    }
+  }
+
+  test("compaction destroys grouping by construction and drops the claim") {
+    val dl = tmp("graft_spj_compact")
+    Sinks.writeKeyGrouped(left, dl, Seq("k"), partitions = 4)
+    assert(ArrowMaintenance.compact(spark, dl).isDefined)
+    assert(ArrowLayout.read(fsOf(dl), new org.apache.hadoop.fs.Path(dl)) === Nil)
+    withSpjConfs {
+      // no claim → plain read; rows survive the rewrite exactly
+      assert(spark.read.format("arrow-ipc").load(dl).count() === 2000)
+    }
+  }
+
+  test("read option partitionKeys activates grouping on an undeclared directory") {
+    val dl = tmp("graft_spj_opt")
+    Sinks.writeKeyGrouped(left, dl, Seq("k"), partitions = 4)
+    ArrowLayout.delete(fsOf(dl), new org.apache.hadoop.fs.Path(dl))
+
+    withSpjConfs {
+      val l = spark.read.format("arrow-ipc").option("partitionKeys", "k").load(dl)
+      // grouped scan: partition count = distinct keys, not file count
+      val agg = l.groupBy("k").agg(sum("lv").as("s"))
+      val (shuffles, _) = shufflesAndSorts(agg)
+      assert(shuffles === 0,
+        s"groupBy on the partition key should reuse the grouping:\n${agg.queryExecution.executedPlan}")
+      assert(agg.collect().map(_.toString).sorted.toSeq ===
+        left.groupBy("k").agg(sum("lv").as("s")).collect().map(_.toString).sorted.toSeq)
+    }
+  }
+
+  test("null keys form their own group; joins and grouping stay exact") {
+    val dl = tmp("graft_spj_null")
+    val withNulls = spark.range(0, 100)
+      .select(when(col("id") % 10 === 0, lit(null)).otherwise(col("id") % 7).as("k"),
+        col("id").as("lv"))
+    Sinks.writeKeyGrouped(withNulls, dl, Seq("k"), partitions = 2)
+
+    withSpjConfs {
+      val l = spark.read.format("arrow-ipc").load(dl)
+      val agg = l.groupBy("k").agg(count(lit(1)).as("n"))
+      val (shuffles, _) = shufflesAndSorts(agg)
+      assert(shuffles === 0, s"null group must not break the claim:\n${agg.queryExecution.executedPlan}")
+      assert(agg.orderBy(asc_nulls_first("k")).collect().map(_.toString).toSeq ===
+        withNulls.groupBy("k").agg(count(lit(1)).as("n"))
+          .orderBy(asc_nulls_first("k")).collect().map(_.toString).toSeq)
+    }
+  }
+}
