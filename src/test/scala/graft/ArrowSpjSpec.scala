@@ -79,6 +79,30 @@ class ArrowSpjSpec extends AnyFunSuite {
     }
   }
 
+  test("mismatched key sets co-locate via pushed partition values; result exact") {
+    // left holds keys 0..22, right only 0..10 — Spark fills the missing
+    // groups with empty partitions (pushPartValues) instead of shuffling
+    val (dl, dr) = (tmp("graft_spj_mm_l"), tmp("graft_spj_mm_r"))
+    Sinks.writeKeyGrouped(left, dl, Seq("k"), partitions = 4)
+    Sinks.writeKeyGrouped(
+      spark.range(0, 400).select((col("id") % 11).as("k"), (col("id") * 10).as("rv")),
+      dr, Seq("k"), partitions = 4)
+
+    withSpjConfs {
+      val j = spark.read.format("arrow-ipc").load(dl)
+        .join(spark.read.format("arrow-ipc").load(dr), "k")
+        .groupBy("k").agg(count(lit(1)).as("n"))
+      val (shuffles, _) = shufflesAndSorts(j)
+      assert(shuffles === 0,
+        s"mismatched key sets should still co-locate:\n${j.queryExecution.executedPlan}")
+      val want = left
+        .join(spark.range(0, 400).select((col("id") % 11).as("k"), (col("id") * 10).as("rv")), "k")
+        .groupBy("k").agg(count(lit(1)).as("n"))
+        .orderBy("k").collect().map(_.toString).toSeq
+      assert(j.orderBy("k").collect().map(_.toString).toSeq === want)
+    }
+  }
+
   test("a plain (unkeyed) append degrades to a shuffled read with identical results") {
     val (dl, dr) = (tmp("graft_spj_app_l"), tmp("graft_spj_app_r"))
     Sinks.writeKeyGrouped(left, dl, Seq("k"), partitions = 4)
