@@ -243,8 +243,9 @@ private[sources] class ArrowIpcScan(required: StructType, dir: String,
         s" pushed=[${filters.mkString(", ")}] files=${kept.length}/$totalFiles"
       else "") +
       agg.fold("")(a => s" PushedAggregation=[${a._1.fieldNames.mkString(", ")}] (manifest-only)") +
-      grouping.fold("") { case (fields, groups) =>
-        s" KeyGrouped=[${fields.map(_.name).mkString(", ")}] groups=${groups.length}"
+      grouping.fold("") { case (fields, parts) =>
+        s" KeyGrouped=[${fields.map(_.name).mkString(", ")}]" +
+          s" groups=${parts.map(_.key).distinct.length} files=${parts.length}"
       }
 
   /** One listing + completeness gate + manifest read, shared by planning,
@@ -341,12 +342,18 @@ private[sources] class ArrowIpcScan(required: StructType, dir: String,
         if (files.isEmpty || proofs.exists(_.isEmpty)) None
         else {
           val dts = fields.map(_.dataType)
-          val groups = proofs.map(_.get).groupBy(_._2).toArray
-            .sortBy(_._1.map(_.getOrElse("")).mkString(""))
-            .map { case (key, members) =>
-              ArrowKeyedPartition(members.map(_._1).toSeq, key, dts)
-            }
-          Some((fields, groups))
+          // ONE partition per FILE (duplicate keys allowed): Spark groups
+          // same-key partitions into one task itself, and keeping the
+          // file-level split visible lets
+          // spark.sql.sources.v2.bucketing.partiallyClusteredDistribution
+          // keep a skewed key's files split instead of funneling them
+          // through one task
+          val parts = proofs.map(_.get)
+            .sortBy { case (path, key) =>
+              (key.map(_.getOrElse("")).mkString("\u0001"), path) }
+            .map { case (path, key) =>
+              ArrowKeyedPartition(Seq(path), key, dts) }
+          Some((fields, parts))
         }
       }
     }

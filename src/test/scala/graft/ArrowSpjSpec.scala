@@ -155,6 +155,62 @@ class ArrowSpjSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-file key groups (skew shape) join shuffle-free, partially-clustered too") {
+    val (dl, dr) = (tmp("graft_spj_skew_l"), tmp("graft_spj_skew_r"))
+    // three keyed APPEND jobs: every key ends up with three single-valued
+    // files — the file-per-partition shape partial clustering can split
+    (0 until 3).foreach { i =>
+      spark.range(i * 1000, (i + 1) * 1000)
+        .select((col("id") % 5).as("k"), col("id").as("lv"))
+        .repartition(2, col("k")).sortWithinPartitions("k")
+        .write.format("arrow-ipc").option("partitionKeys", "k")
+        .mode(if (i == 0) "overwrite" else "append").save(dl)
+    }
+    assert(ArrowLayout.read(fsOf(dl), new org.apache.hadoop.fs.Path(dl)) === Seq("k"))
+    Sinks.writeKeyGrouped(
+      spark.range(0, 50).select((col("id") % 5).as("k"), (col("id") * 10).as("rv")),
+      dr, Seq("k"), partitions = 2)
+
+    val want = spark.range(0, 3000)
+      .select((col("id") % 5).as("k"), col("id").as("lv"))
+      .join(spark.range(0, 50).select((col("id") % 5).as("k"), (col("id") * 10).as("rv")), "k")
+      .groupBy("k").agg(count(lit(1)).as("n"), sum($"lv" + $"rv").as("s"))
+      .orderBy("k").collect().map(_.toString).toSeq
+
+    withSpjConfs {
+      def joined = spark.read.format("arrow-ipc").load(dl)
+        .join(spark.read.format("arrow-ipc").load(dr), "k")
+        .groupBy("k").agg(count(lit(1)).as("n"), sum($"lv" + $"rv").as("s"))
+      val (shuffles, _) = shufflesAndSorts(joined)
+      assert(shuffles === 0,
+        s"multi-file groups must still co-locate:\n${joined.queryExecution.executedPlan}")
+      assert(joined.orderBy("k").collect().map(_.toString).toSeq === want)
+
+      // partially-clustered distribution (skew mode): a hot key's files
+      // stay split instead of funneling through one task, at the price of
+      // duplicate keys across output partitions — so the probe is the bare
+      // JOIN (still exchange-free, identical pairs); an aggregate on top
+      // would now legitimately re-shuffle
+      val pc = "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled"
+      val saved = spark.conf.getOption(pc)
+      try {
+        spark.conf.set(pc, "true")
+        val j2 = spark.read.format("arrow-ipc").load(dl)
+          .join(spark.read.format("arrow-ipc").load(dr), "k")
+          .select($"k", $"lv" + $"rv")
+        val (shuffles2, _) = shufflesAndSorts(j2)
+        assert(shuffles2 === 0,
+          s"partially-clustered join must stay exchange-free:\n${j2.queryExecution.executedPlan}")
+        val wantPairs = spark.range(0, 3000)
+          .select((col("id") % 5).as("k"), col("id").as("lv"))
+          .join(spark.range(0, 50).select((col("id") % 5).as("k"), (col("id") * 10).as("rv")), "k")
+          .select($"k", $"lv" + $"rv")
+          .collect().map(_.toString).sorted.toSeq
+        assert(j2.collect().map(_.toString).sorted.toSeq === wantPairs)
+      } finally saved.fold(spark.conf.unset(pc))(spark.conf.set(pc, _))
+    }
+  }
+
   test("null keys form their own group; joins and grouping stay exact") {
     val dl = tmp("graft_spj_null")
     val withNulls = spark.range(0, 100)
