@@ -893,6 +893,33 @@ object CoreQueries {
               FROM orders WHERE o_orderdate >= DATE '1997-06-01'
               GROUP BY 1 ORDER BY yr""")),
 
+    // MANIFEST-ONLY GROUP BY: a key-grouped layout makes every file
+    // provably single-valued on the key (exact-or-invalid stats), so
+    // groupBy(key) + count/min/max pushes down as one precomputed row per
+    // FILE from `_stats.json` — Spark's final aggregate merges same-key
+    // files and not one data file is opened (ArrowDsv2Spec proves no-read
+    // by corrupting the data; here the query self-checks the push and the
+    // oracle checks the answer). The 100 TB point: per-key corpus stats
+    // over an entire keyed directory cost a metadata read, not a scan.
+    ("arrow_group_agg", (s, d) => {
+      val cust = T(s, d, "customer").select(col("c_custkey"), col("c_nationkey"))
+      // Scratch contract: see json_roundtrip.
+      val path = graft.sources.Scratch.dir(s, "graft_rt_arrowgrp")
+      graft.sources.Sinks.writeKeyGrouped(cust, path, Seq("c_nationkey"), partitions = 8)
+      val df = s.read.format("arrow-ipc").load(path)
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("cnt"), min(col("c_custkey")).as("min_cust"),
+          max(col("c_custkey")).as("max_cust"))
+        .withColumnRenamed("c_nationkey", "nationkey")
+        .orderBy("nationkey")
+      require(df.queryExecution.executedPlan.toString.contains("PushedAggregation"),
+        "arrow_group_agg: group-by aggregation was not pushed to the manifest")
+      df
+    },
+      Some("""SELECT c_nationkey AS nationkey, COUNT(*) AS cnt,
+                     MIN(c_custkey) AS min_cust, MAX(c_custkey) AS max_cust
+              FROM customer GROUP BY 1 ORDER BY nationkey""")),
+
     ("events_time_buckets", (s, d) =>
       T(s, d, "events")
         .groupBy(

@@ -96,31 +96,52 @@ private[sources] class ArrowIpcScanBuilder(full: StructType, dir: String,
   private var required: StructType = full
   private var limit: Int = -1
   private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
-  private var agg: Option[(StructType, Array[Any])] = None
+  private var agg: Option[(StructType, Array[Array[Any]])] = None
 
-  /** Global COUNT(*)/COUNT(col)/MIN/MAX answered from `_stats.json` ALONE —
-    * no data file is opened (the reader factory emits one precomputed row).
-    * The 100 TB shape this serves: "how many rows / what's the key range
-    * of this interchange directory" costs one manifest read instead of a
+  /** COUNT(*)/COUNT(col)/MIN/MAX answered from `_stats.json` ALONE — no
+    * data file is opened (the reader factory emits precomputed rows). The
+    * 100 TB shape this serves: "how many rows / what's the key range of
+    * this interchange directory" costs one manifest read instead of a
     * full scan — the same trick Spark's parquet source plays with footer
     * stats, carried by this source's own commit-time manifest.
     *
+    * GROUP BY pushes too, when every grouping column is PROVABLY
+    * single-valued in every file per [[ArrowFileStats.singleValue]]
+    * (exact-or-invalid intervals; all-null files group under NULL) — the
+    * key-grouped layout `Sinks.writeKeyGrouped` produces. The scan then
+    * emits one row per FILE (group values + that file's partial
+    * aggregates) and Spark's final aggregate merges same-key files, so
+    * `keyed.groupBy(k).agg(count, min, max)` over a 100 TB directory is a
+    * manifest read, not a scan.
+    *
     * Refused (→ full scan) unless provably exact: any pushed filter or
-    * limit (stats are whole-file), any grouping, DISTINCT, a file missing
-    * from the manifest (function-style writers predate stats), or a
-    * min/max column whose interval is invalid in any file that has
-    * non-null rows (NaN, supplementary-plane strings, unsupported type).
-    * Partial push (`supportCompletePushDown` stays false): Spark still
-    * runs its final aggregate over the one emitted row, so a wrong-footed
-    * merge cannot change results — only skip the scan. */
+    * limit (stats are whole-file), DISTINCT, a grouping column without a
+    * per-file single-value proof, a file missing from the manifest
+    * (function-style writers predate stats), or a min/max column whose
+    * interval is invalid in any file that has non-null rows (NaN,
+    * supplementary-plane strings, unsupported type). Partial push
+    * (`supportCompletePushDown` stays false): Spark still runs its final
+    * aggregate over the emitted rows, so a wrong-footed merge cannot
+    * change results — only skip the scan.
+    *
+    * `spark.graft.arrow.aggPushdown=false` disables the push entirely (the
+    * parquet-source knob's analog) — the escape hatch when the raw keyed
+    * scan is wanted instead, e.g. to group exchange-free via
+    * `KeyGroupedPartitioning` (a pushed-agg scan cannot report
+    * partitioning: Spark resolves the reported keys against the
+    * pre-pushdown relation but requires them among the rewritten scan
+    * output's exprIds, so the report is always dropped — the pushed path
+    * instead pays one exchange over #files partial rows, metadata volume). */
   override def pushAggregation(
       aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
     import org.apache.spark.sql.connector.expressions.aggregate._
     import org.apache.spark.sql.connector.expressions.NamedReference
-    if (pushed.nonEmpty || limit >= 0 || aggregation.groupByExpressions.nonEmpty)
+    if (pushed.nonEmpty || limit >= 0)
       return false
 
     val spark = SparkSession.active
+    if (!spark.conf.get("spark.graft.arrow.aggPushdown", "true").toBoolean)
+      return false
     val dirPath = new Path(dir)
     val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dirPath)) return false
@@ -168,32 +189,104 @@ private[sources] class ArrowIpcScanBuilder(full: StructType, dir: String,
     def internal(dt: org.apache.spark.sql.types.DataType, s: String): Any =
       ArrowFileStats.internalFromCanonical(dt, s)
 
-    try {
-      val out = aggregation.aggregateExpressions.map {
-        case _: CountStar =>
-          (StructField("count(*)", org.apache.spark.sql.types.LongType, nullable = false),
-            perFile.map(_.rows).sum: Any)
-        case c: Count if !c.isDistinct =>
-          val f = col(c.column).getOrElse(return false)
-          if (ArrowFileStats.kindOf(f.dataType) == 0) return false
-          val cnt = perFile.map { st =>
-            st.cols.get(f.name).fold(return false)(cs => st.rows - cs.nulls)
-          }.sum
-          (StructField(s"count(${f.name})", org.apache.spark.sql.types.LongType,
-            nullable = false), cnt: Any)
-        case m: Min =>
-          val f = col(m.column).getOrElse(return false)
-          if (ArrowFileStats.kindOf(f.dataType) == 0) return false
-          (StructField(s"min(${f.name})", f.dataType),
-            extreme(f.name, wantMin = true).map(internal(f.dataType, _)).orNull: Any)
-        case m: Max =>
-          val f = col(m.column).getOrElse(return false)
-          if (ArrowFileStats.kindOf(f.dataType) == 0) return false
-          (StructField(s"max(${f.name})", f.dataType),
-            extreme(f.name, wantMin = false).map(internal(f.dataType, _)).orNull: Any)
-        case _ => return false
+    /** One file's contribution to a min/max: its exact interval endpoint,
+      * None when the file holds no non-null rows. Throws to reject when
+      * the interval is invalid yet non-null rows exist. */
+    def fileExtreme(st: graft.sources.FileStats, name: String,
+        wantMin: Boolean): Option[String] = {
+      val c = st.cols.getOrElse(name, throw new NoSuchElementException)
+      (c.min, c.max) match {
+        case (Some(mn), Some(mx)) => Some(if (wantMin) mn else mx)
+        case _ if c.nulls >= st.rows => None
+        case _ => throw new NoSuchElementException
       }
-      agg = Some((StructType(out.map(_._1)), out.map(_._2)))
+    }
+
+    try {
+      if (aggregation.groupByExpressions.isEmpty) {
+        val out = aggregation.aggregateExpressions.map {
+          case _: CountStar =>
+            (StructField("count(*)", org.apache.spark.sql.types.LongType, nullable = false),
+              perFile.map(_.rows).sum: Any)
+          case c: Count if !c.isDistinct =>
+            val f = col(c.column).getOrElse(return false)
+            if (ArrowFileStats.kindOf(f.dataType) == 0) return false
+            val cnt = perFile.map { st =>
+              st.cols.get(f.name).fold(return false)(cs => st.rows - cs.nulls)
+            }.sum
+            (StructField(s"count(${f.name})", org.apache.spark.sql.types.LongType,
+              nullable = false), cnt: Any)
+          case m: Min =>
+            val f = col(m.column).getOrElse(return false)
+            if (ArrowFileStats.kindOf(f.dataType) == 0) return false
+            (StructField(s"min(${f.name})", f.dataType),
+              extreme(f.name, wantMin = true).map(internal(f.dataType, _)).orNull: Any)
+          case m: Max =>
+            val f = col(m.column).getOrElse(return false)
+            if (ArrowFileStats.kindOf(f.dataType) == 0) return false
+            (StructField(s"max(${f.name})", f.dataType),
+              extreme(f.name, wantMin = false).map(internal(f.dataType, _)).orNull: Any)
+          case _ => return false
+        }
+        agg = Some((StructType(out.map(_._1)), Array(out.map(_._2))))
+      } else {
+        // GROUP BY push: V2ScanRelationPushDown expects the scan schema as
+        // grouping columns FIRST, aggregate columns after, bound by
+        // position — one emitted row per file, merged by Spark's final
+        // aggregate (count→sum, min→min, max→max over same-key files)
+        val groupFields = aggregation.groupByExpressions.map(col(_).getOrElse(return false))
+        if (groupFields.exists(f => ArrowFileStats.kindOf(f.dataType) == 0)) return false
+        // canonical key strings kept alongside the internal values: they
+        // give a deterministic emission order (files sorted by key) and
+        // the per-file HasPartitionKey grouping downstream
+        val groupCanon: Array[Array[Option[String]]] = perFile.map { st =>
+          groupFields.map { f =>
+            ArrowFileStats.singleValue(st, f.name) match {
+              case Some(v) => v
+              case None => return false // not provably single-valued: full scan
+            }
+          }
+        }
+        val groupVals: Array[Array[Any]] = groupCanon.map(
+          _.zip(groupFields).map { case (v, f) =>
+            v.map(internal(f.dataType, _)).orNull: Any
+          })
+        val aggPerFile: Array[(StructField, graft.sources.FileStats => Any)] =
+          aggregation.aggregateExpressions.map {
+            case _: CountStar =>
+              (StructField("count(*)", org.apache.spark.sql.types.LongType, nullable = false),
+                (st: graft.sources.FileStats) => st.rows: Any)
+            case c: Count if !c.isDistinct =>
+              val f = col(c.column).getOrElse(return false)
+              if (ArrowFileStats.kindOf(f.dataType) == 0) return false
+              if (perFile.exists(st => !st.cols.contains(f.name))) return false
+              (StructField(s"count(${f.name})", org.apache.spark.sql.types.LongType,
+                nullable = false),
+                (st: graft.sources.FileStats) =>
+                  st.rows - st.cols(f.name).nulls: Any)
+            case m: Min =>
+              val f = col(m.column).getOrElse(return false)
+              if (ArrowFileStats.kindOf(f.dataType) == 0) return false
+              (StructField(s"min(${f.name})", f.dataType),
+                (st: graft.sources.FileStats) =>
+                  fileExtreme(st, f.name, wantMin = true)
+                    .map(internal(f.dataType, _)).orNull: Any)
+            case m: Max =>
+              val f = col(m.column).getOrElse(return false)
+              if (ArrowFileStats.kindOf(f.dataType) == 0) return false
+              (StructField(s"max(${f.name})", f.dataType),
+                (st: graft.sources.FileStats) =>
+                  fileExtreme(st, f.name, wantMin = false)
+                    .map(internal(f.dataType, _)).orNull: Any)
+            case _ => return false
+          }
+        val rows = perFile.indices.toArray
+          .sortBy(i => groupCanon(i).map(_.fold(" ")("v" + _)).mkString(""))
+          .map(i => groupVals(i) ++ aggPerFile.map(_._2(perFile(i))))
+        agg = Some((StructType(
+          groupFields.map(f => StructField(f.name, f.dataType)) ++ aggPerFile.map(_._1)),
+          rows))
+      }
       true
     } catch { case _: NoSuchElementException => false }
   }
@@ -226,7 +319,7 @@ private[sources] class ArrowIpcScanBuilder(full: StructType, dir: String,
 
 private[sources] class ArrowIpcScan(required: StructType, dir: String,
     limit: Int, filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
-    agg: Option[(StructType, Array[Any])] = None,
+    agg: Option[(StructType, Array[Array[Any]])] = None,
     maxFilesPerTrigger: Option[Int] = None,
     partitionKeys: Option[Seq[String]] = None)
     extends Scan with Batch
@@ -391,12 +484,14 @@ private[sources] class ArrowIpcScan(required: StructType, dir: String,
     * the unknown-stats default (which forecloses broadcast joins over
     * small Arrow dims). */
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
-    // a pushed aggregation emits exactly ONE precomputed row — reporting
-    // the directory's bytes/rows here would make the planner refuse to
-    // broadcast the cheapest scan this source has (and would also force
-    // the listing this scan otherwise never needs)
+    // a pushed aggregation emits only precomputed rows (one, or one per
+    // file under GROUP BY) — reporting the directory's bytes/rows here
+    // would make the planner refuse to broadcast the cheapest scan this
+    // source has (and would also force the listing this scan otherwise
+    // never needs)
     val (bytes, rows): (Long, Option[Long]) = agg match {
-      case Some((schema, _)) => (schema.defaultSize.toLong.max(1L), Some(1L))
+      case Some((schema, vals)) =>
+        ((schema.defaultSize.toLong * vals.length).max(1L), Some(vals.length.toLong))
       case None =>
         val files = kept
         // exact row count when the manifest covers every kept file — a
@@ -440,11 +535,8 @@ private[sources] class ArrowIpcScan(required: StructType, dir: String,
     agg.fold(new ArrowIpcReaderFactory(required,
       new SerializableHadoopConf(
         SparkSession.active.sparkContext.hadoopConfiguration), limit)
-        : PartitionReaderFactory) { case (schema, values) =>
-      new ArrowAggReaderFactory(schema, values.map {
-        case s: String => s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        case v => v
-      })
+        : PartitionReaderFactory) { case (schema, rows) =>
+      new ArrowAggReaderFactory(schema, rows)
     }
 }
 
@@ -452,20 +544,22 @@ private[sources] case class ArrowFilePartition(file: String) extends InputPartit
 
 private[sources] case object ArrowAggPartition extends InputPartition
 
-/** Emits the ONE row a pushed-down aggregation reduced the directory to —
-  * values precomputed on the driver from `_stats.json`; strings travel as
-  * UTF-8 bytes (UTF8String is not serialization-stable across all paths). */
-private[sources] class ArrowAggReaderFactory(schema: StructType, values: Array[Any])
+/** Emits the rows a pushed-down aggregation reduced the directory to (one
+  * globally, or one per file under GROUP BY) — values precomputed on the
+  * driver from `_stats.json`; strings travel as java.lang.String
+  * (UTF8String is not serialization-stable across all paths), converted at
+  * read time. */
+private[sources] class ArrowAggReaderFactory(schema: StructType, rows: Array[Array[Any]])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
-      private var emitted = false
-      override def next(): Boolean = !emitted && { emitted = true; true }
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < rows.length }
       override def get(): InternalRow =
         new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-          values.map {
-            case b: Array[Byte] =>
-              org.apache.spark.unsafe.types.UTF8String.fromBytes(b): Any
+          rows(i).map {
+            case s: String =>
+              org.apache.spark.unsafe.types.UTF8String.fromString(s): Any
             case v => v
           })
       override def close(): Unit = ()

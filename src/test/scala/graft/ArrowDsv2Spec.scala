@@ -378,8 +378,10 @@ class ArrowDsv2Spec extends AnyFunSuite {
     assert(r.getDouble(4) === 0.0)
     assert(r.getString(5) === "v999") // lexicographic max — stats order, not numeric
 
-    // Grouping refuses the push; the resulting real scan must now FAIL on
-    // the corrupted files — the refusal path genuinely reads data.
+    // Grouping on a column with no per-file single-value proof (s varies
+    // within every file) refuses the push; the resulting real scan must
+    // now FAIL on the corrupted files — the refusal path genuinely reads
+    // data.
     intercept[Throwable] {
       spark.read.format("arrow-ipc").load(dir).groupBy("s").count().collect()
     }
@@ -387,6 +389,40 @@ class ArrowDsv2Spec extends AnyFunSuite {
     intercept[Throwable] {
       spark.read.format("arrow-ipc").load(dir)
         .filter(col("id") >= 0).agg(count(lit(1))).collect()
+    }
+  }
+
+  test("group-by aggregate pushdown: keyed layout answers from the manifest alone") {
+    // key-grouped write → every file provably single-valued on k → a
+    // groupBy(k) count/min/max is per-file manifest arithmetic. Null keys
+    // land in their own file and group under NULL. Same proof style as the
+    // global test: corrupt every data file, so a right answer = no reads.
+    val df = spark.range(0, 1000).select(
+      when(col("id") < 104, null).otherwise(col("id") % 8).as("k"),
+      col("id"), concat(lit("v"), col("id")).as("s"))
+    val dir = tmp("graft_dsv2_gbypush")
+    graft.sources.Sinks.writeKeyGrouped(df, dir, Seq("k"), partitions = 4)
+    new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("part-")).foreach { f =>
+        val out = new java.io.FileOutputStream(f)
+        out.write(Array.fill(16)(0x7f.toByte)); out.close()
+      }
+
+    val agg = spark.read.format("arrow-ipc").load(dir)
+      .groupBy("k").agg(expr("count(*)").as("n"), count(col("s")).as("ns"),
+        min(col("id")).as("mn"), max(col("id")).as("mx"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregation"), s"group-by aggregation not pushed:\n$plan")
+    val rows = agg.collect()
+    assert(rows.length === 9) // 8 key groups + the NULL group
+    val nullRow = rows.find(_.isNullAt(0)).get
+    assert(nullRow.getLong(1) === 104L && nullRow.getLong(2) === 104L)
+    assert(nullRow.getLong(3) === 0L && nullRow.getLong(4) === 103L)
+    rows.filterNot(_.isNullAt(0)).foreach { r =>
+      val k = r.getLong(0)
+      val ids = (104L until 1000L).filter(_ % 8 == k)
+      assert(r.getLong(1) === ids.size.toLong && r.getLong(2) === ids.size.toLong)
+      assert(r.getLong(3) === ids.min && r.getLong(4) === ids.max)
     }
   }
 

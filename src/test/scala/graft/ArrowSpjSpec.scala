@@ -218,14 +218,33 @@ class ArrowSpjSpec extends AnyFunSuite {
         col("id").as("lv"))
     Sinks.writeKeyGrouped(withNulls, dl, Seq("k"), partitions = 2)
 
+    val want = withNulls.groupBy("k").agg(count(lit(1)).as("n"))
+      .orderBy(asc_nulls_first("k")).collect().map(_.toString).toSeq
+
     withSpjConfs {
-      val l = spark.read.format("arrow-ipc").load(dl)
-      val agg = l.groupBy("k").agg(count(lit(1)).as("n"))
-      val (shuffles, _) = shufflesAndSorts(agg)
-      assert(shuffles === 0, s"null group must not break the claim:\n${agg.queryExecution.executedPlan}")
-      assert(agg.orderBy(asc_nulls_first("k")).collect().map(_.toString).toSeq ===
-        withNulls.groupBy("k").agg(count(lit(1)).as("n"))
-          .orderBy(asc_nulls_first("k")).collect().map(_.toString).toSeq)
+      // default regime: the aggregation pushes to the manifest — zero data
+      // files read, one exchange over per-file partial rows (metadata
+      // volume); the NULL-keyed file must still form its own group
+      val pushed = spark.read.format("arrow-ipc").load(dl)
+        .groupBy("k").agg(count(lit(1)).as("n"))
+      pushed.collect()
+      assert(pushed.queryExecution.executedPlan.toString.contains("PushedAggregation"),
+        s"expected manifest-only push:\n${pushed.queryExecution.executedPlan}")
+      assert(pushed.orderBy(asc_nulls_first("k")).collect().map(_.toString).toSeq === want)
+
+      // pushdown disabled: the raw keyed scan reports its grouping, so the
+      // SPJ machinery grades the groupBy exchange-free even with a NULL key
+      val saved = spark.conf.getOption("spark.graft.arrow.aggPushdown")
+      try {
+        spark.conf.set("spark.graft.arrow.aggPushdown", "false")
+        val agg = spark.read.format("arrow-ipc").load(dl)
+          .groupBy("k").agg(count(lit(1)).as("n"))
+        val (shuffles, _) = shufflesAndSorts(agg)
+        assert(shuffles === 0,
+          s"null group must not break the claim:\n${agg.queryExecution.executedPlan}")
+        assert(agg.orderBy(asc_nulls_first("k")).collect().map(_.toString).toSeq === want)
+      } finally saved.fold(spark.conf.unset("spark.graft.arrow.aggPushdown"))(
+        spark.conf.set("spark.graft.arrow.aggPushdown", _))
     }
   }
 }
