@@ -281,7 +281,7 @@ private[sources] class ArrowIpcScanBuilder(full: StructType, dir: String,
             case _ => return false
           }
         val rows = perFile.indices.toArray
-          .sortBy(i => groupCanon(i).map(_.fold(" ")("v" + _)).mkString(""))
+          .sortBy(i => groupCanon(i).map(_.fold("\u0000")("v" + _)).mkString("\u0001"))
           .map(i => groupVals(i) ++ aggPerFile.map(_._2(perFile(i))))
         agg = Some((StructType(
           groupFields.map(f => StructField(f.name, f.dataType)) ++ aggPerFile.map(_._1)),
