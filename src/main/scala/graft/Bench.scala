@@ -19,14 +19,15 @@ object Bench {
     "pipeline_warm", "text_bm25", "winsorize", "join_salted",
     "stream_interval_join", "shuffle_epoch", "sample_weighted", "profile",
     "embed_kmeans", "dup_ngram_stats", "cap_per_source", "pii_redact",
-    "chunk_docs", "dedup_incremental", "stream_enrich",
+    "chunk_docs", "dedup_incremental", "stream_enrich", "stream_arrow_events",
     "dedup_representatives", "join_full", "agg_cube", "orc_roundtrip",
     "dedup_containment", "agg_hll_merge", "q18_big_orders", "zorder_values",
     "dedup_incremental_stored", "split_by_source", "arrow_roundtrip",
     "q19_disjunctive", "correlated_subquery", "q4_exists", "q13_custdist",
     "arrow_embeddings", "multimodal_decode", "agg_theta_setops",
     "agg_kll_quantiles", "agg_freq_topk", "arrow_decimal", "sketch_manifest",
-    "arrow_dsv2", "arrow_stats_prune", "q10_returned", "q21_last_shipper",
+    "arrow_dsv2", "arrow_stats_prune", "arrow_decimal_prune",
+    "q10_returned", "q21_last_shipper",
     "q3_shipping_topk", "q8_market_share", "q9_product_profit",
     "q12_priority_counts", "q15_top_supplier", "q17_small_qty",
     "q20_promo_suppliers", "arrow_agg_pushdown", "arrow_runtime_prune",
@@ -63,25 +64,38 @@ object Bench {
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
     }
+    // A query that THROWS records the sentinel -1, never its elapsed-to-
+    // exception time — round 7's bench artifact presented 8 analysis-time
+    // failures as sub-0.2s successes because the old catch discarded the
+    // failure and the elapsed time was recorded anyway.
     def timeOnce(name: String): Double = {
       val t0 = System.nanoTime()
-      try { SparkEntry.queries(name)(spark, sfDir).count() }
-      catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); -1L }
+      val ok =
+        try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+        catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); false }
       val dt = (System.nanoTime() - t0) / 1e9
       clearState()
-      dt
+      if (ok) dt else -1.0
     }
     // Best of 2: this box is a shared VM with bursty CPU steal (measured
     // same-binary swings of 3-4× on heavy queries); the min of two cold
-    // runs is robust to a noise burst landing on one of them.
+    // runs is robust to a noise burst landing on one of them. Any failing
+    // run poisons the pair to the sentinel.
     val results = selected.filter(SparkEntry.queries.contains).map { name =>
-      name -> math.min(timeOnce(name), timeOnce(name))
+      val (a, b) = (timeOnce(name), timeOnce(name))
+      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
+    val (okResults, failedResults) = results.partition(_._2 >= 0)
+    val failedNames = failedResults.map(_._1)
+    if (failedNames.nonEmpty)
+      System.err.println(s"[bench] FAILED queries (${failedNames.size}): " +
+        failedNames.mkString(", "))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val maxQ = results.maxBy(_._2)
+    val total = okResults.map(_._2).sum
+    val maxQ = if (okResults.nonEmpty) okResults.maxBy(_._2) else ("none", 0.0)
     val perQuery =
-      s"""{"metric":"per_query","unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"per_query","unit":"sec","queries":$qs,"failed":${
+        failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir"}"""
     // The harness that captures this output keeps only a bounded stdout TAIL
     // and parses the last JSON line from it, so the per-query map (which
     // grows with the query count) goes to an earlier line and a durable
@@ -93,7 +107,7 @@ object Bench {
       java.nio.file.Files.write(out, perQuery.getBytes("UTF-8"))
     } catch { case e: Throwable => System.err.println(s"[bench] per-query file: $e") }
     println(
-      s"""{"metric":"total","value":${math.rint(total * 1e3) / 1e3},"unit":"sec","n_queries":${results.size},"max_query":"${maxQ._1}","max_sec":${math.rint(maxQ._2 * 1e3) / 1e3},"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${math.rint(total * 1e3) / 1e3},"unit":"sec","n_queries":${okResults.size},"n_failed":${failedNames.size},"max_query":"${maxQ._1}","max_sec":${math.rint(maxQ._2 * 1e3) / 1e3},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -893,6 +893,44 @@ object CoreQueries {
               FROM orders WHERE o_orderdate >= DATE '1997-06-01'
               GROUP BY 1 ORDER BY yr""")),
 
+    // Stats pruning on a DECIMAL column — `o_totalprice`-style keys are
+    // the common real-world pruning column, and the reference's decimal128
+    // is first-class comparable (switch_type.h:78-91). The per-file
+    // intervals canonicalize as plain decimal strings compared
+    // NUMERICALLY ("99.99" vs "399.99" would invert under text order);
+    // the query self-asserts that the range filter actually skipped files
+    // before the oracle checks the surviving answer.
+    ("arrow_decimal_prune", (s, d) => {
+      val ord = T(s, d, "orders").select(
+        col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast(DecimalType(12, 2)).as("price"))
+      // Scratch contract: see json_roundtrip.
+      val path = graft.sources.Scratch.dir(s, "graft_rt_arrowdecprune")
+      ord.repartitionByRange(4, col("price"))
+        .write.format("arrow-ipc").mode("overwrite").save(path)
+      val df = s.read.format("arrow-ipc").load(path)
+        .filter(col("price") >= lit(new java.math.BigDecimal("400000.00")))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum((col("price") * 100).cast(LongType)).as("cents"))
+        .orderBy("o_orderstatus")
+      // read the scan from the OPTIMIZED LOGICAL plan: pushdown has run
+      // there, and it is visible even when AQE wraps the physical plan
+      val desc = df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.scan.description()
+      }.mkString("\n")
+      val m = "files=(\\d+)/(\\d+)".r.findFirstMatchIn(desc).getOrElse(
+        sys.error(s"arrow_decimal_prune: no file-pruning scan in plan:\n$desc"))
+      require(m.group(1).toInt < m.group(2).toInt,
+        s"arrow_decimal_prune: decimal range filter pruned nothing (${m.matched})")
+      df
+    },
+      Some("""SELECT o_orderstatus, COUNT(*) AS n,
+                     CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+              FROM orders WHERE CAST(o_totalprice AS DECIMAL(12,2)) >= 400000.00
+              GROUP BY 1 ORDER BY o_orderstatus""")),
+
     // MANIFEST-ONLY GROUP BY: a key-grouped layout makes every file
     // provably single-valued on the key (exact-or-invalid stats), so
     // groupBy(key) + count/min/max pushes down as one precomputed row per
@@ -2082,7 +2120,39 @@ object CoreQueries {
     },
       Some("""SELECT event_type, COUNT(*) AS cnt,
                      CAST(SUM(CAST(value AS DECIMAL(14,4))) AS DOUBLE) AS sum_value
-              FROM events GROUP BY event_type ORDER BY event_type""")))
+              FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // The same micro-batch ingest path carrying the REAL temporal column:
+    // events (ts µs instants — normalized from whatever encoding the
+    // parquet shipped in) → Arrow IPC dir → streaming source → parquet
+    // sink, then an hourly windowed aggregate over the transported rows.
+    // Round 7's lesson: the streaming source was only fixture-checked, so
+    // a ts-type drift broke it invisibly; this query pins ts end-to-end
+    // through Arrow write, streaming read, and window() against the
+    // DuckDB oracle computed straight from the source table.
+    ("stream_arrow_events", (s, d) => {
+      val ev = T(s, d, "events").select("event_id", "ts", "event_type", "value")
+      // Scratch contract: see json_roundtrip.
+      val path = graft.sources.Scratch.dir(s, "graft_stream_arrowts")
+      ev.write.format("arrow-ipc").mode("overwrite").save(path + "/src")
+      val q = s.readStream.format("arrow-ipc").load(path + "/src")
+        .writeStream.format("parquet")
+        .option("path", path + "/out")
+        .option("checkpointLocation", path + "/ckpt")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(path + "/out")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast(DecimalType(14, 4))).cast(DoubleType).as("sum_value"))
+        .select(unix_micros(col("w.start")).as("w_start_us"), col("event_type"),
+          col("cnt"), col("sum_value"))
+        .orderBy("w_start_us", "event_type")
+    },
+      Some("""SELECT epoch_us(CAST(date_trunc('hour', ts) AS TIMESTAMP)) AS w_start_us,
+                     event_type, COUNT(*) AS cnt,
+                     CAST(SUM(CAST(value AS DECIMAL(14,4))) AS DOUBLE) AS sum_value
+              FROM events GROUP BY 1, 2 ORDER BY w_start_us, event_type""")))
 
   /** DuckDB replica of the z-order construction: same min/max scaling,
     * same 8-bit interleave, built from the same generator. */

@@ -44,18 +44,37 @@ object Engine {
   /** Read one named table from a scale-factor directory.
     * `$dir/$name.parquet` may be a single file or a directory of parts.
     *
-    * Nanosecond parquet timestamps (the `events.ts` column) are illegal for
-    * Spark's reader; with `spark.sql.legacy.parquet.nanosAsLong` they load
-    * as epoch-nanos longs, which we convert to TimestampType (µs) here —
-    * integer `div` so the int64 nanos never round-trip through a double. */
+    * Temporal normalization — the engine's canonical event-time type is
+    * TimestampType (µs, instant semantics; session pinned UTC above), and
+    * the testdata's `ts` column has shipped in three physical forms across
+    * generator versions, all normalized here:
+    *   - TIMESTAMP_MICROS(isAdjustedToUTC=true)  → TimestampType: no-op.
+    *   - TIMESTAMP_MICROS(isAdjustedToUTC=false) → Spark TIMESTAMP_NTZ:
+    *     cast to TimestampType. With the session zone pinned UTC the
+    *     rebase is the identity on the stored µs value.
+    *   - TIMESTAMP_NANOS → illegal for Spark's reader; with
+    *     `spark.sql.legacy.parquet.nanosAsLong` they load as epoch-nanos
+    *     longs, converted via integer `div` so the int64 nanos never
+    *     round-trip through a double. */
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$dir/$name.parquet")
+    normalizeTemporal(spark.read.parquet(s"$dir/$name.parquet"))
+  }
+
+  /** Canonicalize the temporal columns of a freshly-read frame (see
+    * [[table]]). Applied to every ingest path (batch parquet here; the
+    * schema-drift guard suite drives it over all three `ts` encodings). */
+  def normalizeTemporal(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     df.schema.fields.foldLeft(df) { (d, f) =>
-      if (f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType)
-        d.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
-      else d
+      f.dataType match {
+        case LongType if f.name == "ts" =>
+          d.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case TimestampNTZType =>
+          d.withColumn(f.name, col(f.name).cast(TimestampType))
+        case _ => d
+      }
     }
   }
 

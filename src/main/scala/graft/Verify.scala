@@ -20,13 +20,33 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // A failed query must be IMPOSSIBLE to miss: it gets an _ERROR record
+    // in its output dir (so the driver's per-query read fails loudly
+    // instead of the row silently vanishing from the correctness artifact,
+    // which is what hid 14 regressions in round 7) plus a final stdout
+    // summary line with the failed names.
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
+    var verified = 0
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        verified += 1
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed += name
+        try {
+          val dir = new java.io.File(s"$outDir/$name")
+          // wipe any partial write so the marker is unambiguous
+          if (dir.exists) dir.listFiles.foreach(f => if (f.isFile) f.delete())
+          dir.mkdirs()
+          Files.writeString(Paths.get(s"$outDir/$name/_ERROR"),
+            s"$name: ${e.toString.take(2000)}\n")
+        } catch { case w: Throwable =>
+          System.err.println(s"[verify] $name: could not write _ERROR: $w")
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -44,6 +64,10 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    println(s"""{"verified":$verified,"failed":${failed.size},"names":${
+      failed.map(q).mkString("[", ",", "]")}}""")
     spark.stop()
+    // Exit 0 even with failures — partial results must still reach the
+    // driver's compare; the _ERROR markers carry the red signal.
   }
 }

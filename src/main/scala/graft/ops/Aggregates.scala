@@ -19,9 +19,15 @@ object Aggregates {
     * keeps the `maxGroups` SMALLEST keys — same resource-guard semantics,
     * deterministic and oracle-checkable.
     *
-    * Plan shape: one aggregation pass, then TakeOrdered(maxGroups) on the
-    * (small) group frame + a broadcast anti-join to fold the rest into the
-    * overflow row — no global sort of the data, no second scan.
+    * Plan shape: ONE aggregation pass of the base table — the group frame
+    * is persisted (memory-and-disk) before the fan-out, so `kept` and the
+    * overflow fold both read the cache instead of re-running the
+    * scan+shuffle (round 7 executed the base aggregation three times:
+    * once per fan-out branch plus a `limit(1)` existence probe). On the
+    * cached frame: TakeOrdered(maxGroups) + a broadcast anti-join — no
+    * global sort of the data, no unpartitioned window (a `rank()` over
+    * the whole group frame would funnel every key through one partition;
+    * at 100 TB the key cardinality can be billions).
     *
     * @param grouped    already-aggregated frame: one row per key
     * @param keyCol     the group key column in `grouped`
@@ -32,24 +38,28 @@ object Aggregates {
   def withOverflowRow(
       grouped: DataFrame, keyCol: String, maxGroups: Int,
       mergeAggs: Seq[Column]): DataFrame = {
-    val kept = grouped.orderBy(col(keyCol).asc_nulls_first).limit(maxGroups)
+    // Cache the (small: one row per key) group frame — the expensive base
+    // aggregation materializes exactly once. Lazy: no job runs here.
+    val groupFrame = grouped.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val kept = groupFrame.orderBy(col(keyCol).asc_nulls_first).limit(maxGroups)
     // NULL-SAFE anti-join: a NULL group key is a legitimate group (and
     // sorts first, so it is always retained); plain equality would never
     // match it, leaving it in the overflow source too — double-counted in
     // the overflow row and emitting a spurious overflow when none occurred.
-    val overflowSrc = grouped.join(
+    val overflowSrc = groupFrame.join(
       broadcast(kept.select(col(keyCol).as("__kept_k"))),
       col(keyCol) <=> col("__kept_k"), "left_anti")
+    // The overflow row is emitted only if overflow actually happened (the
+    // reference emits it only when rows spilled past the cap) — the
+    // existence test rides in the same aggregation as the merge (a
+    // count(*) column filtered afterwards), not a separate probe pass.
     val overflow = overflowSrc
-      .agg(mergeAggs.head, mergeAggs.tail: _*)
+      .agg(count(lit(1)).as("__ovn"), mergeAggs: _*)
+      .filter(col("__ovn") > 0)
+      .drop("__ovn")
       .withColumn(keyCol, lit(null).cast(grouped.schema(keyCol).dataType))
-      .withColumn("__n", lit(1))
-    // Emit the overflow row only if overflow actually happened (the
-    // reference emits it only when rows spilled past the cap).
-    val overflowNonEmpty = overflow.join(
-      broadcast(overflowSrc.limit(1).select(lit(1).as("__n"))), Seq("__n"), "left_semi")
-      .drop("__n")
-    kept.unionByName(overflowNonEmpty.select(kept.columns.toIndexedSeq.map(col): _*))
+    kept.unionByName(overflow.select(kept.columns.toIndexedSeq.map(col): _*))
   }
 
   /** GROUP BY overflow modes — the reference's `OverflowMode` enum
@@ -86,8 +96,12 @@ object Aggregates {
     case OverflowMode.Break =>
       grouped.orderBy(col(keyCol).asc_nulls_first).limit(maxGroups)
     case OverflowMode.Throw =>
-      val cnt = grouped.agg(count(lit(1)).as("__gcnt"))
-      grouped.crossJoin(broadcast(cnt))
+      // Same single-materialization discipline as withOverflowRow: the
+      // count probe and the guarded pass-through both read the cache.
+      val g = grouped.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cnt = g.agg(count(lit(1)).as("__gcnt"))
+      g.crossJoin(broadcast(cnt))
         .filter(
           when(col("__gcnt") <= maxGroups, lit(true))
             .otherwise(raise_error(concat(

@@ -36,7 +36,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - a file absent from `_stats.json` is always kept.
   */
 private[graft] case class ColStats(
-    kind: String,               // "long" | "double" | "string"
+    kind: String,               // "long" | "double" | "string" | "decimal" | "binary"
     min: Option[String],        // canonical string form; None = interval invalid
     max: Option[String],
     nulls: Long)
@@ -49,16 +49,37 @@ private[graft] object ArrowFileStats {
   // ── kind mapping ───────────────────────────────────────────────────────
 
   /** Stats kind for a Spark type: 1=long-backed, 2=double, 3=string,
-    * 0=no stats (decimal/binary/nested — never pruned). Date/timestamp
-    * ride their internal long forms (days / µs), so filter evaluation
-    * stays integer arithmetic. */
+    * 4=decimal, 5=binary, 0=no stats (nested — never pruned). Date/
+    * timestamp ride their internal long forms (days / µs), so filter
+    * evaluation stays integer arithmetic. Decimals canonicalize as plain
+    * decimal strings compared NUMERICALLY (the column's scale is fixed,
+    * but "9.50" vs "10.00" still sorts wrong as text — the reference
+    * treats decimal128 as a first-class comparable, switch_type.h:78-91).
+    * Binary canonicalizes as lowercase hex, where LEXICOGRAPHIC hex order
+    * equals unsigned byte order (2 chars per byte, prefix-preserving) —
+    * the reference compares fixed-size binary the same way
+    * (CompositeKey.h:175-252). */
   def kindOf(dt: DataType): Int = dt match {
     case ByteType | ShortType | IntegerType | LongType | BooleanType |
          DateType | TimestampType | TimestampNTZType |
          _: DayTimeIntervalType => 1
     case FloatType | DoubleType => 2
     case StringType => 3
+    case _: DecimalType => 4
+    case BinaryType => 5
     case _ => 0
+  }
+
+  private[sources] def toHex(bytes: Array[Byte]): String = {
+    val sb = new StringBuilder(bytes.length * 2)
+    bytes.foreach(b => sb.append(f"${b & 0xff}%02x"))
+    sb.toString
+  }
+
+  private[sources] def fromHex(s: String): Array[Byte] = {
+    require(s.length % 2 == 0, s"bad hex stat: $s")
+    Array.tabulate(s.length / 2)(i =>
+      Integer.parseInt(s.substring(i * 2, i * 2 + 2), 16).toByte)
   }
 
   /** Normalize a v1 Filter's external value to the column's stats kind.
@@ -86,6 +107,9 @@ private[graft] object ArrowFileStats {
       val d = x.doubleValue()
       if (d.isNaN) None else Some(d)
     case ("string", x: String) => Some(x)
+    case ("decimal", x: java.math.BigDecimal) => Some(x)
+    case ("decimal", x: scala.math.BigDecimal) => Some(x.bigDecimal)
+    case ("binary", x: Array[Byte]) => Some(toHex(x)) // canonical hex form
     case _ => None
   }
 
@@ -93,7 +117,22 @@ private[graft] object ArrowFileStats {
     case "long" => java.lang.Long.compare(a.toLong, b.asInstanceOf[Long])
     case "double" => java.lang.Double.compare(a.toDouble, b.asInstanceOf[Double])
     case "string" => a.compareTo(b.asInstanceOf[String])
+    case "decimal" =>
+      new java.math.BigDecimal(a).compareTo(b.asInstanceOf[java.math.BigDecimal])
+    case "binary" => a.compareTo(b.asInstanceOf[String]) // both canonical hex
   }
+
+  /** Canonical-vs-canonical order for one kind — the comparison the
+    * manifest-aggregate extremes use (numeric for decimal; text order is
+    * correct for string AND hex-binary). */
+  private[sources] def ltCanonical(kind: String, a: String, b: String): Boolean =
+    kind match {
+      case "long" => a.toLong < b.toLong
+      case "double" => a.toDouble < b.toDouble
+      case "decimal" => new java.math.BigDecimal(a)
+        .compareTo(new java.math.BigDecimal(b)) < 0
+      case _ => a.compareTo(b) < 0
+    }
 
   // ── pruning ────────────────────────────────────────────────────────────
 
@@ -239,6 +278,8 @@ private[graft] object ArrowFileStats {
     case FloatType => s.toDouble.toFloat
     case DoubleType => s.toDouble
     case StringType => s // UTF8String in the reader
+    case d: DecimalType => Decimal(new java.math.BigDecimal(s), d.precision, d.scale)
+    case BinaryType => fromHex(s)
     case _ => s.toLong // Long / Timestamp(NTZ) / DayTimeInterval internal form
   }
 
@@ -298,6 +339,9 @@ private[graft] class ArrowStatsCollector(schema: StructType) {
   private val lmin = new Array[Long](n); private val lmax = new Array[Long](n)
   private val dmin = new Array[Double](n); private val dmax = new Array[Double](n)
   private val smin = new Array[UTF8String](n); private val smax = new Array[UTF8String](n)
+  private val gmin = new Array[java.math.BigDecimal](n)
+  private val gmax = new Array[java.math.BigDecimal](n)
+  private val bmin = new Array[Array[Byte]](n); private val bmax = new Array[Array[Byte]](n)
   private var rows = 0L
 
   private def updLong(c: Int, v: Long): Unit =
@@ -312,6 +356,35 @@ private[graft] class ArrowStatsCollector(schema: StructType) {
   /** `owned` = the UTF8String is freshly allocated (external conversion)
     * and safe to retain; internal-row strings view a reused buffer and
     * must be cloned on retention. */
+  private def updDecimal(c: Int, v: java.math.BigDecimal): Unit =
+    if (!seen(c)) { gmin(c) = v; gmax(c) = v; seen(c) = true }
+    else {
+      if (v.compareTo(gmin(c)) < 0) gmin(c) = v
+      if (v.compareTo(gmax(c)) > 0) gmax(c) = v
+    }
+
+  /** Unsigned lexicographic byte order — the order hex canonicals sort in.
+    * Same 256-byte payload-size refusal as strings. `v` always arrives
+    * owned (getBinary copies; external rows own their arrays). */
+  private def updBinary(c: Int, v: Array[Byte]): Unit = {
+    def lt(a: Array[Byte], b: Array[Byte]): Boolean = {
+      var i = 0
+      val m = math.min(a.length, b.length)
+      while (i < m) {
+        val d = (a(i) & 0xff) - (b(i) & 0xff)
+        if (d != 0) return d < 0
+        i += 1
+      }
+      a.length < b.length
+    }
+    if (v.length > 256) valid(c) = false
+    else if (!seen(c)) { bmin(c) = v; bmax(c) = v; seen(c) = true }
+    else {
+      if (lt(v, bmin(c))) bmin(c) = v
+      if (lt(bmax(c), v)) bmax(c) = v
+    }
+  }
+
   private def updString(c: Int, v: UTF8String, owned: Boolean): Unit =
     if (v.numBytes > 256) valid(c) = false
     else if (!seen(c)) {
@@ -343,6 +416,10 @@ private[graft] class ArrowStatsCollector(schema: StructType) {
               case _ => row.getDouble(c)
             })
           case 3 => updString(c, row.getUTF8String(c), owned = false)
+          case 4 =>
+            val d = dts(c).asInstanceOf[DecimalType]
+            updDecimal(c, row.getDecimal(c, d.precision, d.scale).toJavaBigDecimal)
+          case 5 => updBinary(c, row.getBinary(c))
           case _ => ()
         }
       }
@@ -375,6 +452,15 @@ private[graft] class ArrowStatsCollector(schema: StructType) {
             case x: String => updString(c, UTF8String.fromString(x), owned = true)
             case _ => valid(c) = false
           }
+          case 4 => v match {
+            case x: java.math.BigDecimal => updDecimal(c, x)
+            case x: scala.math.BigDecimal => updDecimal(c, x.bigDecimal)
+            case _ => valid(c) = false
+          }
+          case 5 => v match {
+            case x: Array[Byte] => updBinary(c, x)
+            case _ => valid(c) = false
+          }
           case _ => ()
         }
       }
@@ -386,12 +472,23 @@ private[graft] class ArrowStatsCollector(schema: StructType) {
     val cols = (0 until n).flatMap { c =>
       if (kinds(c) == 0) None
       else {
-        val kind = kinds(c) match { case 1 => "long"; case 2 => "double"; case _ => "string" }
+        val kind = kinds(c) match {
+          case 1 => "long"; case 2 => "double"; case 3 => "string"
+          case 4 => "decimal"; case _ => "binary"
+        }
         val mm: Option[(String, String)] =
           if (!valid(c) || !seen(c)) None
           else kinds(c) match {
             case 1 => Some((lmin(c).toString, lmax(c).toString))
             case 2 => Some((dmin(c).toString, dmax(c).toString))
+            case 4 =>
+              // toPlainString: exact, scientific-notation-free, reparses
+              // to the identical BigDecimal — internal rows carry the
+              // column's fixed scale so a single-valued file's min==max
+              // string equality holds
+              Some((gmin(c).toPlainString, gmax(c).toPlainString))
+            case 5 => Some((ArrowFileStats.toHex(bmin(c)),
+              ArrowFileStats.toHex(bmax(c))))
             case _ =>
               val (a, b) = (smin(c).toString, smax(c).toString)
               // UTF-8 byte order == String order only on the BMP; refuse

@@ -93,6 +93,10 @@ object ArrowInterchange {
         new ArrowType.FixedSizeBinary(w.toInt)
       case BinaryType    => ArrowType.Binary.INSTANCE
       case TimestampType => new ArrowType.Timestamp(ArrowTimeUnit.MICROSECOND, "UTC")
+      case TimestampNTZType =>
+        // naive µs timestamp — the reference's own event-time shape
+        // (timestamp(MICRO) with no zone, YdbModes/tests/ut_modes.cpp:66-93)
+        new ArrowType.Timestamp(ArrowTimeUnit.MICROSECOND, null)
       case DateType      => new ArrowType.Date(DateUnit.DAY)
       case _: DayTimeIntervalType =>
         // the reference's Duration (arrow_clickhouse_types.h:74-139):
@@ -134,7 +138,10 @@ object ArrowInterchange {
       case _: ArrowType.Bool   => BooleanType
       case _: ArrowType.Utf8   => StringType
       case _: ArrowType.Binary => BinaryType
-      case t: ArrowType.Timestamp if t.getUnit == ArrowTimeUnit.MICROSECOND => TimestampType
+      case t: ArrowType.Timestamp
+          if t.getUnit == ArrowTimeUnit.MICROSECOND && t.getTimezone != null => TimestampType
+      case t: ArrowType.Timestamp if t.getUnit == ArrowTimeUnit.MICROSECOND =>
+        TimestampNTZType // zoneless µs — bijective with the write side
       case t: ArrowType.Date if t.getUnit == DateUnit.DAY => DateType
       case t: ArrowType.Duration if t.getUnit == ArrowTimeUnit.MICROSECOND =>
         DayTimeIntervalType()
@@ -305,7 +312,8 @@ object ArrowInterchange {
       case (x: DecimalVector, d: DecimalType) =>
         x.setSafe(idx,
           row.getDecimal(col, d.precision, d.scale).toJavaBigDecimal.setScale(d.scale))
-      case (x: TimeStampVector, TimestampType) => x.setSafe(idx, row.getLong(col))
+      case (x: TimeStampVector, TimestampType | TimestampNTZType) =>
+        x.setSafe(idx, row.getLong(col)) // both are µs-long internally
       case (x: DateDayVector, DateType)        => x.setSafe(idx, row.getInt(col))
       case (x: DurationVector, _: DayTimeIntervalType) =>
         x.setSafe(idx, row.getLong(col)) // both sides store µs
@@ -354,9 +362,12 @@ object ArrowInterchange {
         // setScale never loses digits here: the row's decimal already has
         // scale <= d.scale by Spark's own type contract
         else x.setSafe(idx, value.asInstanceOf[java.math.BigDecimal].setScale(d.scale))
-      case (x: TimeStampVector, TimestampType) => // µs, TZ and zoneless alike
+      case (x: TimeStampVector, TimestampType) => // µs instant
         if (value == null) x.setNull(idx)
         else x.setSafe(idx, micros(value.asInstanceOf[Timestamp]))
+      case (x: TimeStampVector, TimestampNTZType) => // naive µs (LocalDateTime)
+        if (value == null) x.setNull(idx)
+        else x.setSafe(idx, ldtMicros(value.asInstanceOf[java.time.LocalDateTime]))
       case (x: DateDayVector, DateType) =>
         if (value == null) x.setNull(idx)
         else x.setSafe(idx,
@@ -561,7 +572,8 @@ object ArrowInterchange {
       case (x: FixedSizeBinaryVector, BinaryType) => x.get(idx)
       case (x: DecimalVector, d: DecimalType) =>
         org.apache.spark.sql.types.Decimal(x.getObject(idx), d.precision, d.scale)
-      case (x: TimeStampVector, TimestampType) => x.get(idx) // already µs
+      case (x: TimeStampVector, TimestampType | TimestampNTZType) =>
+        x.get(idx)                                           // already µs
       case (x: DateDayVector, DateType)     => x.get(idx)    // already days
       case (x: DurationVector, _: DayTimeIntervalType) =>
         DurationVector.get(x.getDataBuffer, idx)             // already µs
@@ -586,6 +598,7 @@ object ArrowInterchange {
       case (x: FixedSizeBinaryVector, BinaryType) => x.get(idx)
       case (x: DecimalVector, _: DecimalType) => x.getObject(idx)
       case (x: TimeStampVector, TimestampType) => tsFromMicros(x.get(idx))
+      case (x: TimeStampVector, TimestampNTZType) => ldtFromMicros(x.get(idx))
       case (x: DateDayVector, DateType) =>
         java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(x.get(idx).toLong))
       case (x: DurationVector, _: DayTimeIntervalType) => x.getObject(idx)
@@ -606,6 +619,18 @@ object ArrowInterchange {
   private def tsFromMicros(us: Long): Timestamp =
     Timestamp.from(Instant.ofEpochSecond(
       Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L))
+
+  // TIMESTAMP_NTZ's external type is LocalDateTime; its µs count is the
+  // naive wall-clock value, i.e. the instant math at a fixed UTC offset.
+  private def ldtMicros(ldt: java.time.LocalDateTime): Long = {
+    val s = ldt.toEpochSecond(java.time.ZoneOffset.UTC)
+    Math.addExact(Math.multiplyExact(s, 1000000L), (ldt.getNano / 1000).toLong)
+  }
+
+  private def ldtFromMicros(us: Long): java.time.LocalDateTime =
+    java.time.LocalDateTime.ofEpochSecond(
+      Math.floorDiv(us, 1000000L), (Math.floorMod(us, 1000000L) * 1000L).toInt,
+      java.time.ZoneOffset.UTC)
 }
 
 /** Minimal serializable Hadoop `Configuration` carrier so executor-side

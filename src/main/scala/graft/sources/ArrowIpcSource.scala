@@ -176,13 +176,10 @@ private[sources] class ArrowIpcScanBuilder(full: StructType, dir: String,
       if (vals.isEmpty) None
       else {
         val kind = vals.head._2
-        def lt(a: String, b: String): Boolean = kind match {
-          case "long" => a.toLong < b.toLong
-          case "double" => a.toDouble < b.toDouble
-          case _ => a.compareTo(b) < 0
-        }
+        // shared canonical order: numeric for long/double/decimal, text
+        // for string and hex-binary (where text order IS byte order)
         Some(vals.map(_._1).reduce((a, b) =>
-          if (lt(a, b) == wantMin) a else b))
+          if (ArrowFileStats.ltCanonical(kind, a, b) == wantMin) a else b))
       }
     }
 
@@ -580,12 +577,11 @@ private[sources] class ArrowIpcReaderFactory(
 
   // COLUMNAR path: Arrow IPC is already columnar, so the fastest read is
   // no decode at all — wrap the loaded Arrow vectors as a Spark
-  // ColumnarBatch (`ArrowColumnVector`) and let the columnar scan consume
-  // them in place. Spark ships no FixedSizeBinary accessor, so a
-  // projection touching an `arrow.fixed_size` column falls back to the
-  // row decoder; everything else in the type surface wraps zero-copy.
-  override def supportColumnarReads(partition: InputPartition): Boolean =
-    required.fields.forall(f => !f.metadata.contains(ArrowInterchange.FixedSizeKey))
+  // ColumnarBatch (`ArrowColumnVector`; [[FixedSizeBinaryColumnVector]]
+  // for the one vector type Spark ships no accessor for) and let the
+  // columnar scan consume them in place. The whole type surface wraps
+  // zero-copy.
+  override def supportColumnarReads(partition: InputPartition): Boolean = true
   override def createColumnarReader(
       partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
     partition match {
@@ -630,7 +626,11 @@ private[sources] class ArrowIpcColumnarReader(
     if (limit >= 0 && produced >= limit) return false
     if (!reader.loadNextBatch()) return false
     val vecs: Array[ColumnVector] =
-      cols.map(i => new ArrowColumnVector(root.getVector(i)): ColumnVector)
+      cols.map(i => root.getVector(i) match {
+        case f: org.apache.arrow.vector.FixedSizeBinaryVector =>
+          new FixedSizeBinaryColumnVector(f): ColumnVector
+        case v => new ArrowColumnVector(v): ColumnVector
+      })
     current = new ColumnarBatch(vecs, root.getRowCount)
     produced += root.getRowCount
     true
@@ -688,7 +688,8 @@ private[sources] class ArrowIpcWrite(
           s"(${schema.fieldNames.mkString(", ")})"))
       require(ArrowFileStats.kindOf(f.dataType) != 0,
         s"arrow-ipc: partitionKeys column '$k' has type ${f.dataType} — only " +
-          "stats-bearing types (integral/date/timestamp/float/string) can key a layout")
+          "stats-bearing types (integral/date/timestamp/float/string/" +
+          "decimal/binary) can key a layout")
     }
     val spark = SparkSession.active
     val conf = spark.sparkContext.hadoopConfiguration

@@ -81,6 +81,26 @@ object ArrowReadProbe {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(prunedDir, "_stats.json"), false)
     time("DSv2 filtered, no stats (32 files)") { filteredSum() }
+
+    // fixed-size binary (16-byte digests next to the embeddings): round 8
+    // adds a ColumnVector accessor, so this column must ride the COLUMNAR
+    // path instead of forcing the whole projection onto row decode
+    val fsbDir = "/tmp/graft_scale/arrow_fsb_probe"
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong(graft.sources.ArrowInterchange.FixedSizeKey, 16L).build()
+    val digested = spark.read.format("arrow-ipc").load(dir)
+      .select(col("vec_id"), col("embedding"),
+        expr("unhex(md5(cast(vec_id AS string)))").as("digest", meta))
+    graft.sources.ArrowInterchange.writeStream(digested.repartition(16), fsbDir)
+    val fsbRead = spark.read.format("arrow-ipc").load(fsbDir)
+      .select(col("vec_id"), col("digest"))
+    val fsbScan = fsbRead.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => s
+    }.head
+    println(s"[probe] fixed-size binary columnar path engaged: ${fsbScan.supportsColumnar}")
+    time("DSv2 columnar, fixed-size digest") {
+      fsbRead.select(sum(length(col("digest")))).head
+    }
     spark.stop()
   }
 }

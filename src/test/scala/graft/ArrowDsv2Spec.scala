@@ -97,7 +97,8 @@ class ArrowDsv2Spec extends AnyFunSuite {
     assert(read.orderBy("id").collect().map(_.toString).toSeq ===
       df.orderBy("id").collect().map(_.toString).toSeq)
 
-    // fixed-size binary: Spark has no ArrowColumnVector accessor → row path
+    // fixed-size binary: Spark ships no ArrowColumnVector accessor —
+    // [[graft.sources.FixedSizeBinaryColumnVector]] keeps it columnar
     val meta = new MetadataBuilder()
       .putLong(ArrowInterchange.FixedSizeKey, 2L).build()
     val fsbSchema = StructType(Seq(
@@ -105,16 +106,22 @@ class ArrowDsv2Spec extends AnyFunSuite {
       StructField("h", BinaryType, nullable = true, meta)))
     val fsb = spark.createDataFrame(
       spark.sparkContext.parallelize(Seq(
-        org.apache.spark.sql.Row(1L, Array[Byte](7, 8))), 1), fsbSchema)
+        org.apache.spark.sql.Row(1L, Array[Byte](7, 8)),
+        org.apache.spark.sql.Row(2L, null)), 1), fsbSchema)
     val fsbDir = tmp("graft_dsv2_fsb")
     ArrowInterchange.writeStream(fsb, fsbDir)
     val fsbRead = spark.read.format("arrow-ipc").load(fsbDir)
     val fsbScan = fsbRead.queryExecution.executedPlan.collect {
       case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => s
     }.head
-    assert(!fsbScan.supportsColumnar, "fixed-size binary must fall back to rows")
-    val got = fsbRead.head()
-    assert(got.getLong(0) === 1L && got.getAs[Array[Byte]](1).toSeq === Seq[Byte](7, 8))
+    assert(fsbScan.supportsColumnar,
+      "fixed-size binary must stay on the columnar path")
+    val got = fsbRead.orderBy("id").collect()
+    assert(got(0).getLong(0) === 1L &&
+      got(0).getAs[Array[Byte]](1).toSeq === Seq[Byte](7, 8))
+    assert(got(1).getLong(0) === 2L && got(1).isNullAt(1))
+    // metadata survives, so a re-write keeps the fixed width
+    assert(fsbRead.schema("h").metadata.getLong(ArrowInterchange.FixedSizeKey) === 2L)
   }
 
   private def scanDesc(df: org.apache.spark.sql.DataFrame): String =
@@ -480,5 +487,58 @@ class ArrowDsv2Spec extends AnyFunSuite {
     assert(!noStats.queryExecution.executedPlan.toString.contains("PushedAggregation"))
     val r = noStats.collect().head
     assert(r.getLong(0) === 50L && r.getLong(1) === 0L)
+  }
+
+  private def scanDesc2(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => s
+    }.head.scan.description()
+
+  test("decimal and binary columns carry stats: pruning + min/max pushdown") {
+    // price = id/100 as DECIMAL(12,2); bin = 3-byte big-endian id, so both
+    // columns are monotone in id and range-partitioning by id makes their
+    // per-file intervals disjoint
+    val df = spark.range(40000).select(col("id"),
+      (col("id").cast(DecimalType(12, 2)) / 100).cast(DecimalType(12, 2)).as("price"),
+      expr("unhex(lpad(hex(id), 6, '0'))").as("bin"))
+    val dir = tmp("graft_dsv2_decbin")
+    df.repartitionByRange(4, col("id")).write.format("arrow-ipc")
+      .mode("overwrite").save(dir)
+
+    // decimal range filter prunes to the one file whose interval reaches
+    // under 50.00 (others' minima are ≥ their range starts)
+    val qd = spark.read.format("arrow-ipc").load(dir)
+      .filter(col("price") < lit(new java.math.BigDecimal("50.00")))
+    assert(qd.count() === 5000)
+    assert(scanDesc2(qd).contains("files=1/4"), scanDesc2(qd))
+
+    // decimal scale mismatch in the literal still compares numerically
+    val qd2 = spark.read.format("arrow-ipc").load(dir)
+      .filter(col("price") >= lit(new java.math.BigDecimal("399.5")))
+    assert(qd2.count() === 50)
+    assert(scanDesc2(qd2).contains("files=1/4"), scanDesc2(qd2))
+
+    // binary equality prunes on the hex-canonical interval (unsigned
+    // byte order; 0x009c3f = 39999 lives in the last file)
+    val qb = spark.read.format("arrow-ipc").load(dir)
+      .filter(col("bin") === lit(Array[Byte](0x00, 0x9c.toByte, 0x3f)))
+    assert(qb.count() === 1)
+    assert(scanDesc2(qb).contains("files=1/4"), scanDesc2(qb))
+
+    // a decimal value beyond every interval reads zero files
+    val q0 = spark.read.format("arrow-ipc").load(dir)
+      .filter(col("price") > lit(new java.math.BigDecimal("400.00")))
+    assert(q0.count() === 0)
+    assert(scanDesc2(q0).contains("files=0/4"), scanDesc2(q0))
+
+    // min/max aggregate pushdown answers DECIMAL extremes from the
+    // manifest alone — numeric canonical order, not text order (the
+    // text-max "99.99" > "399.99" trap)
+    val agg = spark.read.format("arrow-ipc").load(dir)
+      .agg(min(col("price")).as("mn"), max(col("price")).as("mx"))
+    assert(agg.queryExecution.executedPlan.toString.contains("PushedAggregation"))
+    val row = agg.collect().head
+    assert(row.getDecimal(0) === new java.math.BigDecimal("0.00"))
+    assert(row.getDecimal(1) === new java.math.BigDecimal("399.99"))
   }
 }

@@ -24,7 +24,8 @@ class ArrowStatsPropertySpec extends AnyFunSuite {
 
   private val schema = StructType(Seq(
     StructField("l", LongType), StructField("d", DoubleType),
-    StructField("s", StringType)))
+    StructField("s", StringType), StructField("g", DecimalType(6, 2)),
+    StructField("b", BinaryType)))
 
   private def genRow(r: scala.util.Random): Row = {
     def ln: Any = if (r.nextInt(8) == 0) null else (r.nextInt(21) - 10).toLong
@@ -40,17 +41,35 @@ class ArrowStatsPropertySpec extends AnyFunSuite {
       case 3 => new String(Character.toChars(0x1F600)) + "a" // non-BMP
       case _ => ("" + ('a' + r.nextInt(4)).toChar) * (1 + r.nextInt(3))
     }
-    Row(ln, dn, sn)
+    def gn: Any = r.nextInt(10) match {
+      case 0 => null
+      // varying scale: "9.5" vs "9.50" must still compare numerically
+      case 1 => java.math.BigDecimal.valueOf((r.nextInt(41) - 20).toLong, 1)
+      case _ => java.math.BigDecimal.valueOf((r.nextInt(401) - 200).toLong, 2)
+    }
+    def bn: Any = r.nextInt(12) match {
+      case 0 => null
+      case 1 => Array.emptyByteArray
+      case 2 => Array.fill(300)(0x7f.toByte) // >256: invalidates the interval
+      case 3 => Array(0xff.toByte)           // sign-bit adversary: unsigned order
+      case _ => Array.fill(1 + r.nextInt(3))(r.nextInt(4).toByte)
+    }
+    Row(ln, dn, sn, gn, bn)
   }
 
   private def genValue(r: scala.util.Random, col: String): Any = col match {
     case "l" => (r.nextInt(25) - 12).toLong
     case "d" => if (r.nextInt(12) == 0) Double.NaN else (r.nextInt(25) - 12) / 2.0
+    case "g" => java.math.BigDecimal.valueOf((r.nextInt(481) - 240).toLong,
+      if (r.nextBoolean()) 2 else 1)
+    case "b" =>
+      if (r.nextInt(8) == 0) Array(0xfe.toByte)
+      else Array.fill(r.nextInt(4))(r.nextInt(5).toByte)
     case _ => ("" + ('a' + r.nextInt(5)).toChar) * (1 + r.nextInt(3))
   }
 
   private def genFilter(r: scala.util.Random, depth: Int): Filter = {
-    val col = Seq("l", "d", "s")(r.nextInt(3))
+    val col = Seq("l", "d", "s", "g", "b")(r.nextInt(5))
     r.nextInt(if (depth > 0) 12 else 10) match {
       case 0 => EqualTo(col, genValue(r, col))
       case 1 => GreaterThan(col, genValue(r, col))
@@ -71,14 +90,26 @@ class ArrowStatsPropertySpec extends AnyFunSuite {
     * "does this row SATISFY the predicate" (unknown = no) — the semantics
     * Spark's post-scan Filter applies. */
   private def sat(f: Filter, row: Row): Boolean = {
-    val idx = Map("l" -> 0, "d" -> 1, "s" -> 2)
+    val idx = Map("l" -> 0, "d" -> 1, "s" -> 2, "g" -> 3, "b" -> 4)
     def v(c: String): Any = row.get(idx(c))
+    def cmpBytes(a: Array[Byte], b: Array[Byte]): Int = {
+      var i = 0
+      val m = math.min(a.length, b.length)
+      while (i < m) {
+        val d = (a(i) & 0xff) - (b(i) & 0xff)
+        if (d != 0) return d
+        i += 1
+      }
+      a.length - b.length
+    }
     def cmp(c: String, x: Any): Option[Int] = (v(c), x) match {
       case (null, _) | (_, null) => None
       case (a: java.lang.Long, b: java.lang.Long) => Some(a.compareTo(b))
       case (a: java.lang.Double, b: java.lang.Double) =>
         if (a.isNaN || b.isNaN) Some(java.lang.Double.compare(a, b)) else Some(a.compareTo(b))
       case (a: String, b: String) => Some(a.compareTo(b))
+      case (a: java.math.BigDecimal, b: java.math.BigDecimal) => Some(a.compareTo(b))
+      case (a: Array[Byte], b: Array[Byte]) => Some(cmpBytes(a, b))
       case _ => None
     }
     f match {
