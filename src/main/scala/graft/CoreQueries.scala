@@ -789,8 +789,10 @@ object CoreQueries {
     // big join's exchange is pre-paid once at write time — the file-level
     // analog of the reference's co-located processing, with the claim
     // re-proven per file on every read so foreign appends can never
-    // mis-co-locate. Eagerly executed under scoped confs (broadcast off so
-    // co-location is load-bearing), returned as the collected result.
+    // mis-co-locate. Eagerly MATERIALIZED (persist + count) under scoped
+    // confs — the confs must hold at planning time and the plan asserts
+    // run post-execution — but no rows ever land on the driver: later
+    // consumers read the executor-side cache.
     ("arrow_spj_join", (s, d) => {
       val cust = T(s, d, "customer").select(col("c_custkey"), col("c_nationkey"))
       val supp = T(s, d, "supplier").select(col("s_suppkey"), col("s_nationkey"))
@@ -812,8 +814,14 @@ object CoreQueries {
             sum(col("c_custkey") * col("s_suppkey")).as("cross_sum"))
           .withColumnRenamed("c_nationkey", "nationkey")
           .orderBy("nationkey")
-        val rows = j.collect() // eager: confs must hold at planning time
-        val plan = j.queryExecution.executedPlan match {
+        val cached = j.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        cached.count() // eager: confs must hold at planning time; fills the cache
+        // the join plan now lives INSIDE the InMemoryRelation — assert on
+        // the plan that actually executed, not the cache-scan wrapper
+        val plan = cached.queryExecution.optimizedPlan.collect {
+          case m: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+            m.cachedPlan
+        }.head match {
           case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
             a.executedPlan
           case p => p
@@ -825,7 +833,7 @@ object CoreQueries {
           s"arrow_spj_join: expected a storage-partitioned join, got $shuffles shuffles\n$plan")
         require(plan.toString.contains("KeyGrouped="),
           "arrow_spj_join: scans did not report a key grouping")
-        s.createDataFrame(java.util.Arrays.asList(rows: _*), j.schema)
+        cached
       } finally saved.foreach { case (k, v) =>
         v.fold(s.conf.unset(k))(s.conf.set(k, _))
       }
