@@ -30,7 +30,8 @@ object Bench {
     "q10_returned", "q21_last_shipper",
     "q3_shipping_topk", "q8_market_share", "q9_product_profit",
     "q12_priority_counts", "q15_top_supplier", "q17_small_qty",
-    "q20_promo_suppliers", "arrow_agg_pushdown", "arrow_runtime_prune",
+    "q20_promo_suppliers", "arrow_agg_pushdown", "arrow_sum_pushdown",
+    "arrow_runtime_prune",
     "arrow_compact", "arrow_spj_join", "arrow_group_agg")
 
   def main(args: Array[String]): Unit = {

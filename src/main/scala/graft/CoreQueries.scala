@@ -752,6 +752,40 @@ object CoreQueries {
                      MAX(l_returnflag) AS max_flag
               FROM lineitem""")),
 
+    // Manifest SUM pushdown (round 8): per-file EXACT sums ride
+    // `_stats.json` — wrapping-64-bit partials for integral columns
+    // (two's-complement addition is associative, so file partials merge to
+    // precisely the full-scan answer under Spark's non-ANSI sum) and
+    // BigDecimal partials for DECIMAL columns. With count/min/max this
+    // completes the descriptive-stats family: "row count, key range, and
+    // total revenue of this 100 TB directory" is one metadata read, zero
+    // data files opened (ArrowDsv2Spec proves no-read by corrupting the
+    // data files; the oracle checks the VALUES here). Doubles are refused
+    // by design — float addition is order-dependent, and a pushed answer
+    // that can disagree with a scan is worse than a scan.
+    ("arrow_sum_pushdown", (s, d) => {
+      val ord = T(s, d, "orders").select(
+        col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").cast(DecimalType(12, 2)).as("price"))
+      // Scratch contract: see json_roundtrip.
+      val path = graft.sources.Scratch.dir(s, "graft_rt_arrowsum")
+      ord.repartition(4).write.format("arrow-ipc").mode("overwrite").save(path)
+      val r = s.read.format("arrow-ipc").load(path)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_custkey")).as("sum_cust"),
+          sum(col("price")).cast(DoubleType).as("sum_price"),
+          min(col("o_orderkey")).as("min_okey"),
+          max(col("o_orderkey")).as("max_okey"))
+      require(r.queryExecution.executedPlan.toString.contains("PushedAggregation"),
+        "arrow_sum_pushdown: sum aggregation was not pushed into the arrow-ipc scan")
+      r
+    },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                     CAST(SUM(o_custkey) AS BIGINT) AS sum_cust,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+                     MIN(o_orderkey) AS min_okey, MAX(o_orderkey) AS max_okey
+              FROM orders""")),
+
     // Compaction: three small append jobs leave a fragmented directory;
     // ArrowMaintenance.compact rewrites it into ~target-sized files under
     // the crash-safe _SUCCESS-latch swap (ArrowMaintenanceSpec proves the

@@ -39,7 +39,14 @@ private[graft] case class ColStats(
     kind: String,               // "long" | "double" | "string" | "decimal" | "binary"
     min: Option[String],        // canonical string form; None = interval invalid
     max: Option[String],
-    nulls: Long)
+    nulls: Long,
+    // exact per-file SUM of non-null values, for the EXACT-summable kinds
+    // only: integral (wrapping 64-bit two's-complement — associative, so
+    // file partials merge to precisely what a full scan computes under
+    // Spark's non-ANSI sum) and decimal (BigDecimal, exact). None for
+    // double/float (rounding is order-dependent), string/binary, all-null
+    // files, or manifests written before this field existed.
+    sum: Option[String] = None)
 
 private[graft] case class FileStats(rows: Long, cols: Map[String, ColStats])
 
@@ -226,6 +233,7 @@ private[graft] object ArrowFileStats {
           .append("\",\"nulls\":").append(c.nulls)
         c.min.foreach(m => sb.append(",\"min\":\"").append(esc(m)).append('"'))
         c.max.foreach(m => sb.append(",\"max\":\"").append(esc(m)).append('"'))
+        c.sum.foreach(m => sb.append(",\"sum\":\"").append(esc(m)).append('"'))
         sb.append('}')
       }
       sb.append("}}")
@@ -256,7 +264,7 @@ private[graft] object ArrowFileStats {
               case _ => 0L
             }
             col -> ColStats(str("kind").getOrElse("long"), str("min"),
-              str("max"), nulls)
+              str("max"), nulls, str("sum"))
           }.toMap
           case _ => Map.empty[String, ColStats]
         }
@@ -311,16 +319,115 @@ private[graft] object ArrowFileStats {
     } finally in.close()
   }
 
-  def read(fs: FileSystem, dir: Path): Map[String, FileStats] = {
+  /** Base manifest only (`_stats.json`) — the merge target for small
+    * commits. Most callers want [[read]], which also folds in shards. */
+  def readBase(fs: FileSystem, dir: Path): Map[String, FileStats] = {
     val p = new Path(dir, FileName)
     if (!fs.exists(p)) Map.empty
     else parse(readFully(fs, p))
   }
 
+  /** FULL manifest: base + every shard. File names are unique across
+    * commits (they embed the commit's queryId), so the union is a plain
+    * map merge. */
+  def read(fs: FileSystem, dir: Path): Map[String, FileStats] =
+    readBase(fs, dir) ++ shardIds(fs, dir).flatMap(readShard(fs, dir, _))
+
   def write(fs: FileSystem, dir: Path, files: Map[String, FileStats]): Unit = {
     val out = fs.create(new Path(dir, FileName), true)
     try out.write(toJson(files).getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+  }
+
+  // ── sharded manifests (`_stats-<queryId>.json` + `_stats_index.json`) ──
+  //
+  // At 100 TB a directory holds ~10^6 files; a monolithic manifest is a
+  // driver-side bottleneck at every planning. Large commits instead write
+  // their OWN shard plus one envelope row (the commit-wide column
+  // intervals, same JSON schema keyed by queryId) in the index. Planning
+  // reads the small index; a shard whose envelope PROVES no row matches
+  // the pushed filters prunes every file of that commit WITHOUT loading
+  // its per-file stats — membership is derivable from the file name,
+  // which ends with `-<queryId>.arrows`. The same trick Iceberg plays
+  // with manifest-list partition summaries, re-expressed for this
+  // source's flat layout. Shard loads that do happen stay O(matching
+  // commits); for time-ordered appends (the streaming-ingest shape) a
+  // time filter touches a handful of shards out of thousands.
+
+  val IndexFile = "_stats_index.json"
+  def shardFile(queryId: String) = s"_stats-$queryId.json"
+
+  /** queryIds of all shards present in the directory. */
+  def shardIds(fs: FileSystem, dir: Path): Seq[String] =
+    Option(fs.globStatus(new Path(dir, "_stats-*.json")))
+      .getOrElse(Array.empty).toSeq
+      .map(_.getPath.getName.stripPrefix("_stats-").stripSuffix(".json"))
+
+  def readShard(fs: FileSystem, dir: Path, queryId: String): Map[String, FileStats] = {
+    val p = new Path(dir, shardFile(queryId))
+    if (!fs.exists(p)) Map.empty else parse(readFully(fs, p))
+  }
+
+  /** Envelope index: queryId → commit-wide FileStats (rows summed, column
+    * intervals merged with the same exact-or-invalid discipline the
+    * per-file stats carry). */
+  def readIndex(fs: FileSystem, dir: Path): Map[String, FileStats] = {
+    val p = new Path(dir, IndexFile)
+    if (!fs.exists(p)) Map.empty else parse(readFully(fs, p))
+  }
+
+  /** Merge per-file stats into one commit-wide envelope. A column's
+    * interval merges only from files that HAVE one; a file with non-null
+    * rows but no interval (invalid) invalidates the envelope — the shard
+    * can then never be skipped on that column. Sums are not carried (the
+    * aggregate pushdown loads full stats anyway). */
+  def envelope(shard: Map[String, FileStats]): FileStats = {
+    val rows = shard.valuesIterator.map(_.rows).sum
+    val colNames = shard.valuesIterator.flatMap(_.cols.keysIterator).toSet
+    val cols = colNames.iterator.map { name =>
+      val per = shard.valuesIterator.map(st => (st, st.cols.get(name))).toSeq
+      val kind = per.collectFirst { case (_, Some(c)) => c.kind }.getOrElse("long")
+      val nulls = per.iterator.map(_._2.fold(0L)(_.nulls)).sum
+      // a file where the column is absent counts as unknown → invalid
+      // envelope unless the file is empty
+      var invalid = false
+      val intervals = per.flatMap {
+        case (st, Some(c)) => (c.min, c.max) match {
+          case (Some(mn), Some(mx)) => Some((mn, mx))
+          case _ if c.nulls >= st.rows => None // all-null: no interval rows
+          case _ => invalid = true; None       // invalid interval
+        }
+        case (st, None) => if (st.rows > 0) invalid = true; None
+      }
+      val mm: Option[(String, String)] =
+        if (invalid || intervals.isEmpty) None
+        else Some((
+          intervals.map(_._1).reduce((a, b) => if (ltCanonical(kind, a, b)) a else b),
+          intervals.map(_._2).reduce((a, b) => if (ltCanonical(kind, a, b)) b else a)))
+      name -> ColStats(kind, mm.map(_._1), mm.map(_._2), nulls)
+    }.toMap
+    FileStats(rows, cols)
+  }
+
+  /** Persist one commit's stats as a shard + its envelope row in the
+    * index. The index read-modify-write is driver-side at commit, the
+    * same (documented) non-atomicity the base-manifest merge has. */
+  def writeShard(fs: FileSystem, dir: Path, queryId: String,
+      shard: Map[String, FileStats]): Unit = {
+    val out = fs.create(new Path(dir, shardFile(queryId)), true)
+    try out.write(toJson(shard).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val idx = readIndex(fs, dir) + (queryId -> envelope(shard))
+    val iout = fs.create(new Path(dir, IndexFile), true)
+    try iout.write(toJson(idx).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally iout.close()
+  }
+
+  /** Drop every shard and the index (compaction consolidates into the
+    * base manifest). */
+  def deleteShards(fs: FileSystem, dir: Path): Unit = {
+    shardIds(fs, dir).foreach(q => fs.delete(new Path(dir, shardFile(q)), false))
+    fs.delete(new Path(dir, IndexFile), false)
   }
 }
 
@@ -342,11 +449,24 @@ private[graft] class ArrowStatsCollector(schema: StructType) {
   private val gmin = new Array[java.math.BigDecimal](n)
   private val gmax = new Array[java.math.BigDecimal](n)
   private val bmin = new Array[Array[Byte]](n); private val bmax = new Array[Array[Byte]](n)
+  // exact sums: wrapping 64-bit for integral columns (associative — file
+  // partials merge to the full-scan answer), BigDecimal for decimal.
+  // Only genuinely SUMMABLE types participate (sum over a date/timestamp/
+  // boolean/duration is not a pushable Spark aggregate).
+  private val summable: Array[Boolean] = schema.fields.map(_.dataType match {
+    case ByteType | ShortType | IntegerType | LongType | _: DecimalType => true
+    case _ => false
+  })
+  private val lsum = new Array[Long](n)
+  private val gsum: Array[java.math.BigDecimal] =
+    Array.fill(n)(java.math.BigDecimal.ZERO)
   private var rows = 0L
 
-  private def updLong(c: Int, v: Long): Unit =
+  private def updLong(c: Int, v: Long): Unit = {
+    if (summable(c)) lsum(c) += v // wrapping, like Spark's non-ANSI sum
     if (!seen(c)) { lmin(c) = v; lmax(c) = v; seen(c) = true }
     else { if (v < lmin(c)) lmin(c) = v; if (v > lmax(c)) lmax(c) = v }
+  }
 
   private def updDouble(c: Int, v: Double): Unit =
     if (v.isNaN) valid(c) = false
@@ -356,12 +476,14 @@ private[graft] class ArrowStatsCollector(schema: StructType) {
   /** `owned` = the UTF8String is freshly allocated (external conversion)
     * and safe to retain; internal-row strings view a reused buffer and
     * must be cloned on retention. */
-  private def updDecimal(c: Int, v: java.math.BigDecimal): Unit =
+  private def updDecimal(c: Int, v: java.math.BigDecimal): Unit = {
+    gsum(c) = gsum(c).add(v) // exact
     if (!seen(c)) { gmin(c) = v; gmax(c) = v; seen(c) = true }
     else {
       if (v.compareTo(gmin(c)) < 0) gmin(c) = v
       if (v.compareTo(gmax(c)) > 0) gmax(c) = v
     }
+  }
 
   /** Unsigned lexicographic byte order — the order hex canonicals sort in.
     * Same 256-byte payload-size refusal as strings. `v` always arrives
@@ -497,8 +619,15 @@ private[graft] class ArrowStatsCollector(schema: StructType) {
                   b.codePoints.anyMatch(_ > 0xFFFF)) None
               else Some((a, b))
           }
+        val sum: Option[String] =
+          if (!summable(c) || !valid(c) || !seen(c)) None
+          else kinds(c) match {
+            case 1 => Some(lsum(c).toString)
+            case 4 => Some(gsum(c).toPlainString)
+            case _ => None
+          }
         Some(schema.fields(c).name ->
-          ColStats(kind, mm.map(_._1), mm.map(_._2), nulls(c)))
+          ColStats(kind, mm.map(_._1), mm.map(_._2), nulls(c), sum))
       }
     }.toMap
     FileStats(rows, cols)

@@ -14,7 +14,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.sources.DataSourceRegister
-import org.apache.spark.sql.types.{StructField, StructType}
+import org.apache.spark.sql.types.{ByteType, DecimalType, IntegerType, LongType, ShortType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** DataSource V2 face of [[ArrowInterchange]] — `spark.read
@@ -186,6 +186,57 @@ private[sources] class ArrowIpcScanBuilder(full: StructType, dir: String,
     def internal(dt: org.apache.spark.sql.types.DataType, s: String): Any =
       ArrowFileStats.internalFromCanonical(dt, s)
 
+    /** Spark's sum result type for a pushable column, and whether the
+      * column is manifest-summable at all (exact kinds only — doubles are
+      * refused because rounding is order-dependent). */
+    def sumResultType(dt: org.apache.spark.sql.types.DataType):
+        Option[org.apache.spark.sql.types.DataType] = dt match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        Some(org.apache.spark.sql.types.LongType)
+      case d: DecimalType =>
+        Some(DecimalType(math.min(38, d.precision + 10), d.scale))
+      case _ => None
+    }
+
+    /** One file's exact sum contribution: None = no non-null rows
+      * (contributes nothing / NULL). Throws to reject when the file has
+      * non-null rows but no recorded sum (pre-sum manifest, invalidated
+      * column) — a partial answer would be silently wrong. */
+    def fileSum(st: graft.sources.FileStats, name: String): Option[String] = {
+      val c = st.cols.getOrElse(name, throw new NoSuchElementException)
+      if (c.nulls >= st.rows) None
+      else c.sum match {
+        case s @ Some(_) => s
+        case None => throw new NoSuchElementException
+      }
+    }
+
+    /** Sum canonical → internal value of `resType`. Wrapping long for the
+      * integral family; exact BigDecimal (precision-checked) for decimal. */
+    def sumInternal(resType: org.apache.spark.sql.types.DataType, s: String): Any =
+      resType match {
+        case org.apache.spark.sql.types.LongType => s.toLong
+        case d: DecimalType =>
+          val dec = org.apache.spark.sql.types.Decimal(new java.math.BigDecimal(s))
+          if (!dec.changePrecision(d.precision, d.scale))
+            throw new NoSuchElementException // partial wider than sum type: refuse
+          dec
+        case _ => throw new NoSuchElementException
+      }
+
+    /** Merge per-file sum canonicals the way Spark's final Sum would:
+      * wrapping 64-bit add (associative) or exact BigDecimal add. */
+    def mergeSums(resType: org.apache.spark.sql.types.DataType,
+        vals: Array[String]): Option[String] = resType match {
+      case org.apache.spark.sql.types.LongType =>
+        if (vals.isEmpty) None else Some(vals.map(_.toLong).sum.toString)
+      case _: DecimalType =>
+        if (vals.isEmpty) None
+        else Some(vals.map(new java.math.BigDecimal(_))
+          .reduce(_.add(_)).toPlainString)
+      case _ => None
+    }
+
     /** One file's contribution to a min/max: its exact interval endpoint,
       * None when the file holds no non-null rows. Throws to reject when
       * the interval is invalid yet non-null rows exist. */
@@ -223,6 +274,12 @@ private[sources] class ArrowIpcScanBuilder(full: StructType, dir: String,
             if (ArrowFileStats.kindOf(f.dataType) == 0) return false
             (StructField(s"max(${f.name})", f.dataType),
               extreme(f.name, wantMin = false).map(internal(f.dataType, _)).orNull: Any)
+          case s: Sum if !s.isDistinct =>
+            val f = col(s.column).getOrElse(return false)
+            val resType = sumResultType(f.dataType).getOrElse(return false)
+            val partials = perFile.flatMap(fileSum(_, f.name))
+            (StructField(s"sum(${f.name})", resType),
+              mergeSums(resType, partials).map(sumInternal(resType, _)).orNull: Any)
           case _ => return false
         }
         agg = Some((StructType(out.map(_._1)), Array(out.map(_._2))))
@@ -275,6 +332,15 @@ private[sources] class ArrowIpcScanBuilder(full: StructType, dir: String,
                 (st: graft.sources.FileStats) =>
                   fileExtreme(st, f.name, wantMin = false)
                     .map(internal(f.dataType, _)).orNull: Any)
+            case s: Sum if !s.isDistinct =>
+              val f = col(s.column).getOrElse(return false)
+              val resType = sumResultType(f.dataType).getOrElse(return false)
+              // probe every file NOW so an unanswerable one rejects the
+              // whole push (the per-row closures run after `true` returns)
+              perFile.foreach(fileSum(_, f.name))
+              (StructField(s"sum(${f.name})", resType),
+                (st: graft.sources.FileStats) =>
+                  fileSum(st, f.name).map(sumInternal(resType, _)).orNull: Any)
             case _ => return false
           }
         val rows = perFile.indices.toArray
@@ -347,7 +413,7 @@ private[sources] class ArrowIpcScan(required: StructType, dir: String,
     * semantics (a kept file is still filtered exactly by Spark post-scan).
     * Missing stats (foreign or function-style-written directories) keep
     * every file. */
-  private lazy val (allFiles, manifest) = {
+  private lazy val (allFiles, manifest, refutedShards) = {
     val spark = SparkSession.active
     val conf = spark.sparkContext.hadoopConfiguration
     val dirPath = new Path(dir)
@@ -360,10 +426,22 @@ private[sources] class ArrowIpcScan(required: StructType, dir: String,
         "— the writing job did not complete; refusing to read partial data")
     val all = Option(fs.globStatus(new Path(dir, "part-*.arrows")))
       .getOrElse(Array.empty)
-    val stats =
-      if (all.isEmpty) Map.empty[String, FileStats]
-      else ArrowFileStats.read(fs, dirPath)
-    (all, stats)
+    if (all.isEmpty)
+      (all, Map.empty[String, FileStats], Set.empty[String])
+    else {
+      // shard-level skipping: a commit whose ENVELOPE refutes the pushed
+      // filters prunes every one of its files without its per-file stats
+      // ever being loaded — planning cost stays O(index + matching
+      // commits), not O(files), on a directory of thousands of commits
+      val index = ArrowFileStats.readIndex(fs, dirPath)
+      val (refuted, live) = index.keys.partition { qid =>
+        filters.nonEmpty &&
+          !filters.forall(f => ArrowFileStats.canMatch(f, index(qid)))
+      }
+      val stats = ArrowFileStats.readBase(fs, dirPath) ++
+        live.flatMap(q => ArrowFileStats.readShard(fs, dirPath, q))
+      (all, stats, refuted.toSet)
+    }
   }
 
   private def totalFiles = allFiles.length
@@ -387,7 +465,11 @@ private[sources] class ArrowIpcScan(required: StructType, dir: String,
       : Array[org.apache.hadoop.fs.FileStatus] =
     if (active.isEmpty) allFiles
     else allFiles.filter { st =>
-      manifest.get(st.getPath.getName)
+      val name = st.getPath.getName
+      // whole-commit skip first (static filters refuted the envelope; the
+      // shard's per-file stats were never loaded), then per-file interval
+      !refutedShards.exists(q => name.endsWith(s"-$q.arrows")) &&
+      manifest.get(name)
         .forall(s => active.forall(f => ArrowFileStats.canMatch(f, s)))
     }
 
@@ -723,8 +805,20 @@ private[sources] class ArrowIpcWrite(
     val fresh = messages.collect { case ArrowIpcCommitMessage(files) =>
       files.map { case (path, st) => new Path(path).getName -> st }
     }.flatten.toMap
-    if (fresh.nonEmpty)
-      ArrowFileStats.write(fs, dirPath, ArrowFileStats.read(fs, dirPath) ++ fresh)
+    // Small commits merge into the base manifest. A commit at or above
+    // the shard threshold writes its OWN `_stats-<queryId>.json` plus an
+    // envelope row in `_stats_index.json` — planning can then skip whole
+    // commits against the envelope without loading per-file stats, which
+    // is what keeps a million-file directory's planning driver-cheap.
+    if (fresh.nonEmpty) {
+      val threshold = SparkSession.active.conf
+        .get("spark.graft.arrow.statsShardFiles", "1024").toInt
+      if (fresh.size >= threshold)
+        ArrowFileStats.writeShard(fs, dirPath, queryId, fresh)
+      else
+        ArrowFileStats.write(fs, dirPath,
+          ArrowFileStats.readBase(fs, dirPath) ++ fresh)
+    }
     // key-grouped layout declaration: written when this job keyed its
     // files; an append keyed DIFFERENTLY than the standing declaration
     // leaves the directory uniformly keyed on neither → drop the claim

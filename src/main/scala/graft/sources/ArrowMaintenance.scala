@@ -127,6 +127,10 @@ object ArrowMaintenance {
       .map { case (k, v) => intent.moves.getOrElse(k, k) -> v }
     val merged = (ArrowFileStats.read(fs, dirPath) -- intent.olds) ++ stagedStats
     ArrowFileStats.write(fs, dirPath, merged)
+    // shards consolidated into the base manifest above (read() folds them
+    // in) — drop them so replaced files leave no stale stats behind;
+    // idempotent under replay (deleting nothing is a no-op)
+    ArrowFileStats.deleteShards(fs, dirPath)
     // (d') lineage: record new-file → replaced-files so a streaming
     // consumer whose offset already covers the olds can absorb the
     // compacted file WITHOUT re-emitting its rows (idempotent merge —

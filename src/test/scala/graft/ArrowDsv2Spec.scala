@@ -83,7 +83,7 @@ class ArrowDsv2Spec extends AnyFunSuite {
     assert(got === Seq(5L, 6L, 7L))
   }
 
-  test("scan is COLUMNAR for the supported surface, row-fallback for fixed-size binary") {
+  test("scan is COLUMNAR for the whole surface, including fixed-size binary") {
     val df = spark.range(8).select(col("id"),
       array(col("id").cast("float")).as("vec"),
       col("id").cast(DecimalType(10, 2)).as("d"))
@@ -431,6 +431,76 @@ class ArrowDsv2Spec extends AnyFunSuite {
       assert(r.getLong(1) === ids.size.toLong && r.getLong(2) === ids.size.toLong)
       assert(r.getLong(3) === ids.min && r.getLong(4) === ids.max)
     }
+  }
+
+  test("manifest SUM pushdown: exact kinds answer with zero reads, doubles refuse") {
+    // long + decimal sums ride the manifest (wrapping-long / BigDecimal
+    // partials, both associative-exact); the double column must refuse.
+    // Same no-read proof: corrupt every data file after the write.
+    val df = spark.range(0, 1000).select(col("id"),
+      when(col("id") % 5 === 0, null).otherwise(col("id") * 3).as("v"),
+      (col("id").cast(DecimalType(10, 2)) * 25).cast(DecimalType(10, 2)).as("price"),
+      (col("id") / 7.0).as("dbl"))
+    val dir = tmp("graft_dsv2_sumpush")
+    df.repartition(4).write.format("arrow-ipc").mode("overwrite").save(dir)
+    new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("part-")).foreach { f =>
+        val out = new java.io.FileOutputStream(f)
+        out.write(Array.fill(16)(0x7f.toByte)); out.close()
+      }
+
+    val expectedV = (0L until 1000L).filter(_ % 5 != 0).map(_ * 3).sum
+    val expectedPrice =
+      new java.math.BigDecimal((0L until 1000L).map(_ * 25).sum).setScale(2)
+    val agg = spark.read.format("arrow-ipc").load(dir)
+      .agg(sum(col("id")).as("sid"), sum(col("v")).as("sv"),
+        sum(col("price")).as("sp"), expr("count(*)").as("n"))
+    assert(agg.queryExecution.executedPlan.toString.contains("PushedAggregation"),
+      "sum must push to the manifest")
+    val r = agg.collect().head
+    assert(r.getLong(0) === (0L until 1000L).sum)
+    assert(r.getLong(1) === expectedV)
+    assert(r.getDecimal(2) === expectedPrice.setScale(2))
+    assert(r.getLong(3) === 1000L)
+
+    // a double sum is order-dependent → the push refuses (all-or-nothing,
+    // so the whole aggregation hits the — corrupted — files and throws)
+    val dblAgg = spark.read.format("arrow-ipc").load(dir).agg(sum(col("dbl")))
+    assert(!dblAgg.queryExecution.executedPlan.toString.contains("PushedAggregation"))
+
+    // grouped sums from a keyed layout: per-file partials, Spark merges
+    val keyedDf = spark.range(0, 400).select((col("id") % 4).as("k"),
+      col("id"), (col("id").cast(DecimalType(10, 2))).as("p"))
+    val keyedDir = tmp("graft_dsv2_sumpush_keyed")
+    graft.sources.Sinks.writeKeyGrouped(keyedDf, keyedDir, Seq("k"), partitions = 4)
+    new java.io.File(keyedDir).listFiles()
+      .filter(_.getName.startsWith("part-")).foreach { f =>
+        val out = new java.io.FileOutputStream(f)
+        out.write(Array.fill(16)(0x7f.toByte)); out.close()
+      }
+    val gAgg = spark.read.format("arrow-ipc").load(keyedDir)
+      .groupBy("k").agg(sum(col("id")).as("sid"), sum(col("p")).as("sp"))
+    assert(gAgg.queryExecution.executedPlan.toString.contains("PushedAggregation"))
+    gAgg.collect().foreach { row =>
+      val k = row.getLong(0)
+      val ids = (0L until 400L).filter(_ % 4 == k)
+      assert(row.getLong(1) === ids.sum)
+      assert(row.getDecimal(2) === new java.math.BigDecimal(ids.sum).setScale(2))
+    }
+
+    // a pre-sum manifest (sum fields stripped) must REFUSE the push, not
+    // silently answer: rewrite _stats.json without any "sum" entries
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val statsPath = new org.apache.hadoop.fs.Path(dir, "_stats.json")
+    val stripped = graft.sources.ArrowFileStats
+      .read(fs, new org.apache.hadoop.fs.Path(dir)).map { case (f, st) =>
+        f -> st.copy(cols = st.cols.map { case (c, cs) => c -> cs.copy(sum = None) })
+      }
+    graft.sources.ArrowFileStats.write(fs, new org.apache.hadoop.fs.Path(dir), stripped)
+    val legacy = spark.read.format("arrow-ipc").load(dir).agg(sum(col("id")))
+    assert(!legacy.queryExecution.executedPlan.toString.contains("PushedAggregation"),
+      "sum over a pre-sum manifest must refuse the push")
   }
 
   test("runtime filtering: a broadcast join's key range prunes files dynamically") {

@@ -79,6 +79,34 @@ class ArrowSpjSpec extends AnyFunSuite {
     }
   }
 
+  test("DECIMAL keys group a layout and join shuffle-free (round-8 stats kinds)") {
+    // a decimal price-band column as the layout key: stats canonicalize as
+    // plain decimal strings, single-valuedness is proved numerically, and
+    // the partition values materialize as Decimal internals
+    import org.apache.spark.sql.types.DecimalType
+    val dLeft = spark.range(0, 2000).select(
+      (col("id") % 13).cast(DecimalType(8, 2)).as("band"), col("id").as("lv"))
+    val dRight = spark.range(0, 700).select(
+      (col("id") % 13).cast(DecimalType(8, 2)).as("band"), (col("id") * 7).as("rv"))
+    val (dl, dr) = (tmp("graft_spj_dec_l"), tmp("graft_spj_dec_r"))
+    Sinks.writeKeyGrouped(dLeft, dl, Seq("band"), partitions = 4)
+    Sinks.writeKeyGrouped(dRight, dr, Seq("band"), partitions = 4)
+
+    withSpjConfs {
+      val j = spark.read.format("arrow-ipc").load(dl)
+        .join(spark.read.format("arrow-ipc").load(dr), "band")
+        .groupBy("band").agg(count(lit(1)).as("n"), sum($"lv" + $"rv").as("s"))
+      val (shuffles, sorts) = shufflesAndSorts(j)
+      assert(shuffles === 0,
+        s"decimal-keyed SPJ should be exchange-free, got $shuffles:\n${j.queryExecution.executedPlan}")
+      assert(sorts === 0)
+      val want = dLeft.join(dRight, "band")
+        .groupBy("band").agg(count(lit(1)).as("n"), sum($"lv" + $"rv").as("s"))
+        .orderBy("band").collect().map(_.toString).toSeq
+      assert(j.orderBy("band").collect().map(_.toString).toSeq === want)
+    }
+  }
+
   test("mismatched key sets co-locate via pushed partition values; result exact") {
     // left holds keys 0..22, right only 0..10 — Spark fills the missing
     // groups with empty partitions (pushPartValues) instead of shuffling
@@ -144,14 +172,30 @@ class ArrowSpjSpec extends AnyFunSuite {
     ArrowLayout.delete(fsOf(dl), new org.apache.hadoop.fs.Path(dl))
 
     withSpjConfs {
+      val want = left.groupBy("k").agg(sum("lv").as("s"))
+        .collect().map(_.toString).sorted.toSeq
+
+      // with aggregate pushdown live (default), the keyed groupBy+sum is
+      // answered from the MANIFEST (round 8's sum stats): better than the
+      // grouping path — zero data files read, one exchange of per-file
+      // partial rows
       val l = spark.read.format("arrow-ipc").option("partitionKeys", "k").load(dl)
-      // grouped scan: partition count = distinct keys, not file count
-      val agg = l.groupBy("k").agg(sum("lv").as("s"))
-      val (shuffles, _) = shufflesAndSorts(agg)
-      assert(shuffles === 0,
-        s"groupBy on the partition key should reuse the grouping:\n${agg.queryExecution.executedPlan}")
-      assert(agg.collect().map(_.toString).sorted.toSeq ===
-        left.groupBy("k").agg(sum("lv").as("s")).collect().map(_.toString).sorted.toSeq)
+      val pushed = l.groupBy("k").agg(sum("lv").as("s"))
+      assert(pushed.queryExecution.executedPlan.toString.contains("PushedAggregation"),
+        s"keyed sum should answer from the manifest:\n${pushed.queryExecution.executedPlan}")
+      assert(pushed.collect().map(_.toString).sorted.toSeq === want)
+
+      // with pushdown off (the documented escape hatch), the scan reports
+      // the key grouping and the aggregation is exchange-free over data
+      spark.conf.set("spark.graft.arrow.aggPushdown", "false")
+      try {
+        val raw = spark.read.format("arrow-ipc").option("partitionKeys", "k").load(dl)
+          .groupBy("k").agg(sum("lv").as("s"))
+        val (shuffles, _) = shufflesAndSorts(raw)
+        assert(shuffles === 0,
+          s"groupBy on the partition key should reuse the grouping:\n${raw.queryExecution.executedPlan}")
+        assert(raw.collect().map(_.toString).sorted.toSeq === want)
+      } finally spark.conf.unset("spark.graft.arrow.aggPushdown")
     }
   }
 
