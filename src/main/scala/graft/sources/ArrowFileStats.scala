@@ -423,6 +423,18 @@ private[graft] object ArrowFileStats {
     finally iout.close()
   }
 
+  /** Stats for a SPECIFIC file set: base manifest + only the shards one
+    * of the named files belongs to (name suffix match). The streaming
+    * source's per-poll read — a poll over a thousand-commit directory
+    * parses the couple of shards its fresh files came from, not the
+    * whole history. */
+  def readForFiles(fs: FileSystem, dir: Path,
+      names: Iterable[String]): Map[String, FileStats] = {
+    val ids = shardIds(fs, dir)
+      .filter(q => names.exists(_.endsWith(s"-$q.arrows")))
+    readBase(fs, dir) ++ ids.flatMap(readShard(fs, dir, _))
+  }
+
   /** Drop every shard and the index (compaction consolidates into the
     * base manifest). */
   def deleteShards(fs: FileSystem, dir: Path): Unit = {

@@ -166,8 +166,8 @@ private[sources] class ArrowIpcMicroBatchStream(
       else stepped.filterNot(ArrowMaintenance.covered(lineage, seen, _))
     val stats =
       if (filters.isEmpty || fresh.isEmpty) Map.empty[String, FileStats]
-      else ArrowFileStats.read(
-        new Path(dir).getFileSystem(conf.value), new Path(dir))
+      else ArrowFileStats.readForFiles(
+        new Path(dir).getFileSystem(conf.value), new Path(dir), fresh)
     fresh.filter { name =>
       stats.get(name)
         .forall(s => filters.forall(f => ArrowFileStats.canMatch(f, s)))
