@@ -18,7 +18,9 @@ class PlanGuardSpec extends AnyFunSuite {
   private val allowedNlj: Set[String] = Set(
     "ann_brute_topk",   // corpus × broadcast(query set) — the brute-force contract
     "ann_ivf_topk",     // corpus × broadcast(nlist centroids), queries × broadcast(centroids)
-    "agg_overflow",     // overflow-row emptiness probe: × broadcast(1-row count)
+    // agg_overflow left the list in round 8: the overflow-row emptiness
+    // probe became a count column inside the merge aggregation, so the
+    // query no longer plans any nested-loop join
     "contamination",    // corpus × broadcast(1-row benchmark hash set)
     "text_bm25",        // corpus × broadcast(1-row BM25 corpus stats)
     "embed_kmeans",     // corpus × broadcast(k centroids) per Lloyd pass
