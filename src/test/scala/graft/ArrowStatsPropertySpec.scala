@@ -150,4 +150,67 @@ class ArrowStatsPropertySpec extends AnyFunSuite {
     // the check must actually exercise the skip branch, not pass vacuously
     assert(pruned > 200, s"only $pruned/2000 cases pruned — generator too weak")
   }
+
+  test("a shard skipped by its ENVELOPE can never contain a matching row (1000 seeded cases)") {
+    // the commit-level analog of the per-file property: random rows split
+    // into random "files", per-file stats merged into the commit envelope
+    // (ArrowFileStats.envelope — the _stats_index.json row); if the
+    // envelope refutes a filter, NO row in ANY file may match. This is
+    // the exact soundness the shard-skip planning path leans on.
+    val r = new scala.util.Random(0x5AAD)
+    var skipped = 0
+    for (_ <- 0 until 1000) {
+      val rows = Seq.fill(r.nextInt(60))(genRow(r))
+      val files = rows.grouped(1 + r.nextInt(7)).zipWithIndex.map {
+        case (chunk, i) =>
+          val c = new ArrowStatsCollector(schema)
+          chunk.foreach(c.updateExternal)
+          s"part-$i-q.arrows" -> c.result()
+      }.toMap
+      if (files.nonEmpty) {
+        val env = ArrowFileStats.envelope(files)
+        // envelope bookkeeping must agree with the data
+        assert(env.rows === rows.size.toLong)
+        val filter = genFilter(r, 2)
+        if (!ArrowFileStats.canMatch(filter, env)) {
+          skipped += 1
+          val witnesses = rows.filter(sat(filter, _))
+          assert(witnesses.isEmpty,
+            s"UNSOUND SHARD SKIP: filter=$filter env=$env witnesses=$witnesses")
+        }
+      }
+    }
+    assert(skipped > 100, s"only $skipped/1000 envelopes refuted — generator too weak")
+  }
+
+  test("per-file SUM partials merge to the direct sum (wrapping long + exact decimal)") {
+    val r = new scala.util.Random(0x5C77)
+    for (_ <- 0 until 300) {
+      val rows = Seq.fill(r.nextInt(50))(genRow(r))
+      val perFile = rows.grouped(1 + r.nextInt(5)).map { chunk =>
+        val c = new ArrowStatsCollector(schema)
+        chunk.foreach(c.updateExternal)
+        c.result()
+      }.toSeq
+      // long column "l": wrapping add of partials == wrapping direct sum
+      val directL = rows.flatMap(x => Option(x.get(0))).map(_.asInstanceOf[Long]).sum
+      val partialsL = perFile.flatMap(_.cols("l").sum).map(_.toLong)
+      if (rows.exists(_.get(0) != null))
+        assert(partialsL.sum === directL)
+      // decimal column "g": BigDecimal partials add to the exact total
+      val directG = rows.flatMap(x => Option(x.get(3)))
+        .map(_.asInstanceOf[java.math.BigDecimal])
+        .foldLeft(java.math.BigDecimal.ZERO)(_.add(_))
+      val partialsG = perFile.flatMap(_.cols("g").sum)
+        .map(new java.math.BigDecimal(_))
+      if (rows.exists(_.get(3) != null))
+        assert(partialsG.foldLeft(java.math.BigDecimal.ZERO)(_.add(_))
+          .compareTo(directG) === 0)
+      // string/binary/double columns never carry sums
+      perFile.foreach { st =>
+        assert(st.cols("s").sum.isEmpty && st.cols("b").sum.isEmpty &&
+          st.cols("d").sum.isEmpty)
+      }
+    }
+  }
 }
