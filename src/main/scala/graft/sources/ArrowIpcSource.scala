@@ -432,14 +432,21 @@ private[sources] class ArrowIpcScan(required: StructType, dir: String,
       // shard-level skipping: a commit whose ENVELOPE refutes the pushed
       // filters prunes every one of its files without its per-file stats
       // ever being loaded — planning cost stays O(index + matching
-      // commits), not O(files), on a directory of thousands of commits
+      // commits), not O(files), on a directory of thousands of commits.
+      // A shard with NO index row (lost to the index's last-writer-wins
+      // concurrency, or a deleted/stale index) degrades to a full shard
+      // load — per-file pruning survives, only the commit-level skip is
+      // lost; never a wrong skip, never an unpruned scan.
       val index = ArrowFileStats.readIndex(fs, dirPath)
-      val (refuted, live) = index.keys.partition { qid =>
+      val (refuted, liveIndexed) = index.keys.partition { qid =>
         filters.nonEmpty &&
           !filters.forall(f => ArrowFileStats.canMatch(f, index(qid)))
       }
+      val unindexed = ArrowFileStats.shardIds(fs, dirPath)
+        .filterNot(index.contains)
       val stats = ArrowFileStats.readBase(fs, dirPath) ++
-        live.flatMap(q => ArrowFileStats.readShard(fs, dirPath, q))
+        (liveIndexed ++ unindexed).flatMap(q =>
+          ArrowFileStats.readShard(fs, dirPath, q))
       (all, stats, refuted.toSet)
     }
   }

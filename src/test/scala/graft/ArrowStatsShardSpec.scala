@@ -102,6 +102,25 @@ class ArrowStatsShardSpec extends AnyFunSuite {
     }
   }
 
+  test("a shard without an index row loads fully: per-file pruning survives") {
+    // the degradation shape of the index's last-writer-wins concurrency
+    // (or a deleted index): commit-level skip is lost, per-file interval
+    // pruning is NOT
+    val dir = tmp("graft_shard_noindex")
+    withShardThreshold(2) {
+      spark.range(0, 10000).select(col("id"))
+        .repartitionByRange(4, col("id"))
+        .write.format("arrow-ipc").mode("overwrite").save(dir)
+      val fs = fsOf(dir)
+      fs.delete(new org.apache.hadoop.fs.Path(dir, ArrowFileStats.IndexFile), false)
+      val q = spark.read.format("arrow-ipc").load(dir).filter(col("id") < 2500)
+      assert(q.count() === 2500)
+      val m = "files=(\\d+)/(\\d+)".r.findFirstMatchIn(scanDesc(q)).get
+      assert(m.group(1).toInt === 1 && m.group(2).toInt === 4,
+        s"per-file pruning should survive a lost index: ${m.matched}")
+    }
+  }
+
   test("aggregate pushdown and SPJ read the full sharded manifest") {
     val dir = tmp("graft_shard_agg")
     withShardThreshold(2) {
