@@ -40,6 +40,10 @@ object Aggregates {
       mergeAggs: Seq[Column]): DataFrame = {
     // Cache the (small: one row per key) group frame — the expensive base
     // aggregation materializes exactly once. Lazy: no job runs here.
+    // Lifetime contract (as for Dedup/Similarity/Packing's persisted
+    // frames): the entry lives in the session's CacheManager until
+    // `unpersist()`/`clearCache()` — long-lived sessions calling this per
+    // batch should clear between calls.
     val groupFrame = grouped.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val kept = groupFrame.orderBy(col(keyCol).asc_nulls_first).limit(maxGroups)
@@ -96,8 +100,9 @@ object Aggregates {
     case OverflowMode.Break =>
       grouped.orderBy(col(keyCol).asc_nulls_first).limit(maxGroups)
     case OverflowMode.Throw =>
-      // Same single-materialization discipline as withOverflowRow: the
-      // count probe and the guarded pass-through both read the cache.
+      // Same single-materialization discipline (and cache-lifetime
+      // contract) as withOverflowRow: the count probe and the guarded
+      // pass-through both read the cache.
       val g = grouped.persist(
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cnt = g.agg(count(lit(1)).as("__gcnt"))

@@ -435,11 +435,21 @@ private[graft] object ArrowFileStats {
     readBase(fs, dir) ++ ids.flatMap(readShard(fs, dir, _))
   }
 
-  /** Drop every shard and the index (compaction consolidates into the
-    * base manifest). */
-  def deleteShards(fs: FileSystem, dir: Path): Unit = {
-    shardIds(fs, dir).foreach(q => fs.delete(new Path(dir, shardFile(q)), false))
-    fs.delete(new Path(dir, IndexFile), false)
+  /** Drop a SPECIFIC set of shards and their index rows (compaction
+    * consolidates exactly the shards it snapshot-read into the base
+    * manifest — a shard committed AFTER the snapshot keeps its file and
+    * index row, so a concurrent large commit's stats are never
+    * destroyed). The index survives with its remaining rows; it is
+    * deleted only when empty. */
+  def deleteShards(fs: FileSystem, dir: Path, ids: Seq[String]): Unit = {
+    ids.foreach(q => fs.delete(new Path(dir, shardFile(q)), false))
+    val remaining = readIndex(fs, dir) -- ids
+    if (remaining.isEmpty) fs.delete(new Path(dir, IndexFile), false)
+    else {
+      val out = fs.create(new Path(dir, IndexFile), true)
+      try out.write(toJson(remaining).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
   }
 }
 

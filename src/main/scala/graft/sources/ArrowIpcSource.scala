@@ -188,11 +188,18 @@ private[sources] class ArrowIpcScanBuilder(full: StructType, dir: String,
 
     /** Spark's sum result type for a pushable column, and whether the
       * column is manifest-summable at all (exact kinds only — doubles are
-      * refused because rounding is order-dependent). */
+      * refused because rounding is order-dependent). Integral sums are
+      * additionally refused under ANSI mode: the stored partials wrap
+      * (matching non-ANSI scan semantics exactly), but an ANSI scan
+      * THROWS on overflow — a pushed answer that can silently differ
+      * from the scan is worse than a scan. Decimal partials are exact
+      * (no wrapping to hide), so Spark's final merge keeps whichever
+      * overflow semantics the session runs. */
     def sumResultType(dt: org.apache.spark.sql.types.DataType):
         Option[org.apache.spark.sql.types.DataType] = dt match {
       case ByteType | ShortType | IntegerType | LongType =>
-        Some(org.apache.spark.sql.types.LongType)
+        if (spark.conf.get("spark.sql.ansi.enabled", "false").toBoolean) None
+        else Some(org.apache.spark.sql.types.LongType)
       case d: DecimalType =>
         Some(DecimalType(math.min(38, d.precision + 10), d.scale))
       case _ => None
@@ -468,6 +475,20 @@ private[sources] class ArrowIpcScan(required: StructType, dir: String,
   override def filter(runtimeFilters: Array[org.apache.spark.sql.sources.Filter]): Unit =
     runtime = runtimeFilters.filter(ArrowFileStats.prunable)
 
+  /** The commit queryId a data file's name carries: our writers suffix
+    * every file with it (`part-NNNNN[-gSSSS]-<qid>.arrows`, qid a
+    * 36-char UUID). A non-conforming (foreign) name yields a
+    * non-matching token and the file is simply kept — extraction makes
+    * the refuted-shard test O(1) per file instead of O(refuted shards)
+    * string scans, which matters at exactly the million-file scale the
+    * shard index serves. */
+  private def shardIdOf(name: String): String = {
+    val stem = name.stripSuffix(".arrows")
+    if (stem.length > 36 && stem.charAt(stem.length - 37) == '-')
+      stem.substring(stem.length - 36)
+    else ""
+  }
+
   private def keptWith(active: Array[org.apache.spark.sql.sources.Filter])
       : Array[org.apache.hadoop.fs.FileStatus] =
     if (active.isEmpty) allFiles
@@ -475,7 +496,7 @@ private[sources] class ArrowIpcScan(required: StructType, dir: String,
       val name = st.getPath.getName
       // whole-commit skip first (static filters refuted the envelope; the
       // shard's per-file stats were never loaded), then per-file interval
-      !refutedShards.exists(q => name.endsWith(s"-$q.arrows")) &&
+      !refutedShards.contains(shardIdOf(name)) &&
       manifest.get(name)
         .forall(s => active.forall(f => ArrowFileStats.canMatch(f, s)))
     }

@@ -125,12 +125,17 @@ object ArrowMaintenance {
     // once gone, staged stats are constant
     val stagedStats = ArrowFileStats.read(fs, stagingPath)
       .map { case (k, v) => intent.moves.getOrElse(k, k) -> v }
-    val merged = (ArrowFileStats.read(fs, dirPath) -- intent.olds) ++ stagedStats
+    // SNAPSHOT the shard set first, fold exactly that snapshot into the
+    // base, then delete exactly that snapshot: a large commit landing
+    // between these lines keeps both its shard and its index row — its
+    // stats are never folded-without-deleting or deleted-without-folding
+    val shardSnapshot = ArrowFileStats.shardIds(fs, dirPath)
+    val onDiskStats = ArrowFileStats.readBase(fs, dirPath) ++
+      shardSnapshot.flatMap(ArrowFileStats.readShard(fs, dirPath, _))
+    val merged = (onDiskStats -- intent.olds) ++ stagedStats
     ArrowFileStats.write(fs, dirPath, merged)
-    // shards consolidated into the base manifest above (read() folds them
-    // in) — drop them so replaced files leave no stale stats behind;
     // idempotent under replay (deleting nothing is a no-op)
-    ArrowFileStats.deleteShards(fs, dirPath)
+    ArrowFileStats.deleteShards(fs, dirPath, shardSnapshot)
     // (d') lineage: record new-file → replaced-files so a streaming
     // consumer whose offset already covers the olds can absorb the
     // compacted file WITHOUT re-emitting its rows (idempotent merge —

@@ -559,11 +559,6 @@ class ArrowDsv2Spec extends AnyFunSuite {
     assert(r.getLong(0) === 50L && r.getLong(1) === 0L)
   }
 
-  private def scanDesc2(df: org.apache.spark.sql.DataFrame): String =
-    df.queryExecution.executedPlan.collect {
-      case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => s
-    }.head.scan.description()
-
   test("decimal and binary columns carry stats: pruning + min/max pushdown") {
     // price = id/100 as DECIMAL(12,2); bin = 3-byte big-endian id, so both
     // columns are monotone in id and range-partitioning by id makes their
@@ -580,26 +575,26 @@ class ArrowDsv2Spec extends AnyFunSuite {
     val qd = spark.read.format("arrow-ipc").load(dir)
       .filter(col("price") < lit(new java.math.BigDecimal("50.00")))
     assert(qd.count() === 5000)
-    assert(scanDesc2(qd).contains("files=1/4"), scanDesc2(qd))
+    assert(scanDesc(qd).contains("files=1/4"), scanDesc(qd))
 
     // decimal scale mismatch in the literal still compares numerically
     val qd2 = spark.read.format("arrow-ipc").load(dir)
       .filter(col("price") >= lit(new java.math.BigDecimal("399.5")))
     assert(qd2.count() === 50)
-    assert(scanDesc2(qd2).contains("files=1/4"), scanDesc2(qd2))
+    assert(scanDesc(qd2).contains("files=1/4"), scanDesc(qd2))
 
     // binary equality prunes on the hex-canonical interval (unsigned
     // byte order; 0x009c3f = 39999 lives in the last file)
     val qb = spark.read.format("arrow-ipc").load(dir)
       .filter(col("bin") === lit(Array[Byte](0x00, 0x9c.toByte, 0x3f)))
     assert(qb.count() === 1)
-    assert(scanDesc2(qb).contains("files=1/4"), scanDesc2(qb))
+    assert(scanDesc(qb).contains("files=1/4"), scanDesc(qb))
 
     // a decimal value beyond every interval reads zero files
     val q0 = spark.read.format("arrow-ipc").load(dir)
       .filter(col("price") > lit(new java.math.BigDecimal("400.00")))
     assert(q0.count() === 0)
-    assert(scanDesc2(q0).contains("files=0/4"), scanDesc2(q0))
+    assert(scanDesc(q0).contains("files=0/4"), scanDesc(q0))
 
     // min/max aggregate pushdown answers DECIMAL extremes from the
     // manifest alone — numeric canonical order, not text order (the
