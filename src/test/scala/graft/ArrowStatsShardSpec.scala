@@ -145,6 +145,51 @@ class ArrowStatsShardSpec extends AnyFunSuite {
     }
   }
 
+  test("deleteShards is selective: an uncaptured shard keeps its file and index row") {
+    // the compaction-concurrency contract: consolidation deletes exactly
+    // the snapshot it folded, so a commit landing mid-compaction keeps
+    // both its shard and its envelope
+    val dir = tmp("graft_shard_selective")
+    withShardThreshold(2) {
+      spark.range(0, 100).repartition(2)
+        .write.format("arrow-ipc").mode("overwrite").save(dir)
+      spark.range(100, 200).repartition(2)
+        .write.format("arrow-ipc").mode("append").save(dir)
+      val fs = fsOf(dir)
+      val dirPath = new org.apache.hadoop.fs.Path(dir)
+      val ids = ArrowFileStats.shardIds(fs, dirPath)
+      assert(ids.size === 2)
+      ArrowFileStats.deleteShards(fs, dirPath, Seq(ids.head))
+      assert(ArrowFileStats.shardIds(fs, dirPath) === ids.tail)
+      assert(ArrowFileStats.readIndex(fs, dirPath).keySet === ids.tail.toSet)
+      // deleting the rest empties and removes the index file
+      ArrowFileStats.deleteShards(fs, dirPath, ids.tail)
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, ArrowFileStats.IndexFile)))
+    }
+  }
+
+  test("integral SUM pushdown refuses under ANSI mode; decimal stays pushable") {
+    val dir = tmp("graft_shard_ansi")
+    spark.range(0, 100)
+      .select(col("id"), col("id").cast(org.apache.spark.sql.types
+        .DecimalType(10, 2)).as("p"))
+      .repartition(2).write.format("arrow-ipc").mode("overwrite").save(dir)
+    val saved = spark.conf.getOption("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try {
+      val longSum = spark.read.format("arrow-ipc").load(dir).agg(sum(col("id")))
+      assert(!longSum.queryExecution.executedPlan.toString.contains("PushedAggregation"),
+        "wrapping long partials must not answer an ANSI-mode sum")
+      assert(longSum.collect().head.getLong(0) === (0L until 100L).sum)
+      val decSum = spark.read.format("arrow-ipc").load(dir).agg(sum(col("p")))
+      assert(decSum.queryExecution.executedPlan.toString.contains("PushedAggregation"),
+        "exact decimal partials stay pushable under ANSI")
+      assert(decSum.collect().head.getDecimal(0) ===
+        new java.math.BigDecimal((0L until 100L).sum).setScale(2))
+    } finally saved.fold(spark.conf.unset("spark.sql.ansi.enabled"))(
+      spark.conf.set("spark.sql.ansi.enabled", _))
+  }
+
   test("compaction consolidates shards into the base manifest and drops them") {
     val dir = tmp("graft_shard_compact")
     withShardThreshold(2) {
