@@ -27,6 +27,7 @@ object Bench {
     "arrow_embeddings", "multimodal_decode", "agg_theta_setops",
     "agg_kll_quantiles", "agg_freq_topk", "arrow_decimal", "sketch_manifest",
     "arrow_dsv2", "arrow_stats_prune", "arrow_decimal_prune",
+    "arrow_shard_prune",
     "q10_returned", "q21_last_shipper",
     "q3_shipping_topk", "q8_market_share", "q9_product_profit",
     "q12_priority_counts", "q15_top_supplier", "q17_small_qty",

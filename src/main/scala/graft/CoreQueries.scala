@@ -935,6 +935,62 @@ object CoreQueries {
               FROM orders WHERE o_orderdate >= DATE '1997-06-01'
               GROUP BY 1 ORDER BY yr""")),
 
+    // SHARDED-manifest pruning under the oracle: events written as four
+    // time-ordered APPEND commits (the streaming-ingest shape) with the
+    // shard threshold scoped low, so each commit carries its own
+    // `_stats-<queryId>.json` + envelope row. The late-window filter then
+    // skips earlier commits at the ENVELOPE level — per-file stats of a
+    // skipped commit are never parsed (ArrowStatsShardSpec proves the
+    // no-load property; here the oracle checks the surviving answer and
+    // the query self-asserts files were pruned). Cutoff = integer-µs
+    // arithmetic both engines compute identically.
+    ("arrow_shard_prune", (s, d) => {
+      val ev = T(s, d, "events")
+        .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      // Scratch contract: see json_roundtrip.
+      val path = graft.sources.Scratch.dir(s, "graft_rt_arrowshard")
+      val key = "spark.graft.arrow.statsShardFiles"
+      val saved = s.conf.getOption(key)
+      try {
+        s.conf.set(key, "2")
+        val b = ev.agg(min(unix_micros(col("ts"))).as("mn"),
+          max(unix_micros(col("ts"))).as("mx")).head()
+        val (mn, mx) = (b.getLong(0), b.getLong(1))
+        val span = mx - mn + 1
+        (0 until 4).foreach { i =>
+          ev.filter(unix_micros(col("ts")) >= mn + i * span / 4 &&
+              unix_micros(col("ts")) < mn + (i + 1) * span / 4)
+            .repartition(2)
+            .write.format("arrow-ipc")
+            .mode(if (i == 0) "overwrite" else "append").save(path)
+        }
+        val cutoff = mn + (mx - mn) * 3 / 4
+        val df = s.read.format("arrow-ipc").load(path)
+          // compare the COLUMN against a timestamp literal — a predicate
+          // on unix_micros(ts) would not translate to a pushable filter
+          .filter(col("ts") >= timestamp_micros(lit(cutoff)))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("value").cast(DecimalType(14, 4))).cast(DoubleType).as("sum_value"))
+          .orderBy("event_type")
+        val desc = df.queryExecution.optimizedPlan.collect {
+          case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+            r.scan.description()
+        }.mkString("\n")
+        val m = "files=(\\d+)/(\\d+)".r.findFirstMatchIn(desc).getOrElse(
+          sys.error(s"arrow_shard_prune: no file-pruning scan in plan:\n$desc"))
+        require(m.group(1).toInt < m.group(2).toInt,
+          s"arrow_shard_prune: late-window filter pruned nothing (${m.matched})")
+        df
+      } finally saved.fold(s.conf.unset(key))(s.conf.set(key, _))
+    },
+      Some("""WITH b AS (SELECT MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx FROM events)
+              SELECT event_type, COUNT(*) AS cnt,
+                     CAST(SUM(CAST(value AS DECIMAL(14,4))) AS DOUBLE) AS sum_value
+              FROM events, b
+              WHERE epoch_us(ts) >= mn + (mx - mn) * 3 // 4
+              GROUP BY event_type ORDER BY event_type""")),
+
     // Stats pruning on a DECIMAL column — `o_totalprice`-style keys are
     // the common real-world pruning column, and the reference's decimal128
     // is first-class comparable (switch_type.h:78-91). The per-file
