@@ -34,6 +34,11 @@ object Verify {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         verified += 1
+        // Queries that persist internally (withOverflowRow, arrow_spj_join)
+        // leave CacheManager entries scoped to themselves; drop them so a
+        // ~150-query sweep doesn't accumulate cached frames (Bench's
+        // clearState does the same between queries).
+        spark.catalog.clearCache()
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         failed += name
@@ -47,6 +52,7 @@ object Verify {
         } catch { case w: Throwable =>
           System.err.println(s"[verify] $name: could not write _ERROR: $w")
         }
+        scala.util.Try(spark.catalog.clearCache())
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -43,9 +43,11 @@ object Aggregates {
     // Lifetime contract (as for Dedup/Similarity/Packing's persisted
     // frames): the entry lives in the session's CacheManager until
     // `unpersist()`/`clearCache()` — long-lived sessions calling this per
-    // batch should clear between calls.
-    val groupFrame = grouped.persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // batch should clear between calls (Verify and Bench both do). An
+    // input the caller already persisted at another level is used as-is
+    // rather than fighting over the storage level.
+    val groupFrame = scala.util.Try(grouped.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)).getOrElse(grouped)
     val kept = groupFrame.orderBy(col(keyCol).asc_nulls_first).limit(maxGroups)
     // NULL-SAFE anti-join: a NULL group key is a legitimate group (and
     // sorts first, so it is always retained); plain equality would never
@@ -103,8 +105,8 @@ object Aggregates {
       // Same single-materialization discipline (and cache-lifetime
       // contract) as withOverflowRow: the count probe and the guarded
       // pass-through both read the cache.
-      val g = grouped.persist(
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val g = scala.util.Try(grouped.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)).getOrElse(grouped)
       val cnt = g.agg(count(lit(1)).as("__gcnt"))
       g.crossJoin(broadcast(cnt))
         .filter(

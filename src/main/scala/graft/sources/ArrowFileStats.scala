@@ -107,6 +107,11 @@ private[graft] object ArrowFileStats {
     case ("long", x: java.time.Instant) =>
       Some(Math.addExact(Math.multiplyExact(x.getEpochSecond, 1000000L),
         (x.getNano / 1000).toLong))
+    case ("long", x: java.time.LocalDateTime) => // TIMESTAMP_NTZ external form:
+      // naive µs at UTC offset, matching ArrowInterchange.ldtMicros
+      Some(Math.addExact(
+        Math.multiplyExact(x.toEpochSecond(java.time.ZoneOffset.UTC), 1000000L),
+        (x.getNano / 1000).toLong))
     case ("long", x: java.time.Duration) =>
       Some(Math.addExact(Math.multiplyExact(x.getSeconds, 1000000L),
         (x.getNano / 1000).toLong))
@@ -379,8 +384,11 @@ private[graft] object ArrowFileStats {
   /** Merge per-file stats into one commit-wide envelope. A column's
     * interval merges only from files that HAVE one; a file with non-null
     * rows but no interval (invalid) invalidates the envelope — the shard
-    * can then never be skipped on that column. Sums are not carried (the
-    * aggregate pushdown loads full stats anyway). */
+    * can then never be skipped on that column. Exact sums merge the same
+    * way (wrapping-long / BigDecimal, the per-file partials' own algebra),
+    * so a GLOBAL aggregate can answer from envelopes alone — a file with
+    * non-null rows but no recorded sum drops the envelope sum instead of
+    * mis-summing. */
   def envelope(shard: Map[String, FileStats]): FileStats = {
     val rows = shard.valuesIterator.map(_.rows).sum
     val colNames = shard.valuesIterator.flatMap(_.cols.keysIterator).toSet
@@ -391,6 +399,7 @@ private[graft] object ArrowFileStats {
       // a file where the column is absent counts as unknown → invalid
       // envelope unless the file is empty
       var invalid = false
+      var sumInvalid = false
       val intervals = per.flatMap {
         case (st, Some(c)) => (c.min, c.max) match {
           case (Some(mn), Some(mx)) => Some((mn, mx))
@@ -399,19 +408,41 @@ private[graft] object ArrowFileStats {
         }
         case (st, None) => if (st.rows > 0) invalid = true; None
       }
+      val sums = per.flatMap {
+        case (st, Some(c)) if c.nulls < st.rows => c.sum match {
+          case s @ Some(_) => s
+          case None => sumInvalid = true; None // non-null rows, no partial
+        }
+        case _ => None // all-null or empty file: contributes nothing
+      }
       val mm: Option[(String, String)] =
         if (invalid || intervals.isEmpty) None
         else Some((
           intervals.map(_._1).reduce((a, b) => if (ltCanonical(kind, a, b)) a else b),
           intervals.map(_._2).reduce((a, b) => if (ltCanonical(kind, a, b)) b else a)))
-      name -> ColStats(kind, mm.map(_._1), mm.map(_._2), nulls)
+      val sum: Option[String] =
+        if (sumInvalid || sums.isEmpty) None
+        else kind match {
+          case "long" => Some(sums.map(_.toLong).sum.toString) // wrapping
+          case "decimal" => Some(sums.map(new java.math.BigDecimal(_))
+            .reduce(_.add(_)).toPlainString)
+          case _ => None
+        }
+      name -> ColStats(kind, mm.map(_._1), mm.map(_._2), nulls, sum)
     }.toMap
     FileStats(rows, cols)
   }
 
   /** Persist one commit's stats as a shard + its envelope row in the
-    * index. The index read-modify-write is driver-side at commit, the
-    * same (documented) non-atomicity the base-manifest merge has. */
+    * index. The index read-modify-write is driver-side at commit and is
+    * last-writer-wins — CONCURRENT COMMITS to one directory can drop each
+    * other's envelope row (the same single-writer contract
+    * [[ArrowMaintenance]] states for compaction applies to writers too).
+    * A dropped row degrades SAFELY: the shard file itself survives, so
+    * the full [[read]] still sees its stats; only envelope-level skipping
+    * and the envelope-assisted aggregate push lose that commit (they
+    * refuse, never mis-answer, because shard membership is re-derived
+    * from live `_stats-*.json` files, not the index alone). */
   def writeShard(fs: FileSystem, dir: Path, queryId: String,
       shard: Map[String, FileStats]): Unit = {
     val out = fs.create(new Path(dir, shardFile(queryId)), true)
@@ -437,10 +468,14 @@ private[graft] object ArrowFileStats {
 
   /** Drop a SPECIFIC set of shards and their index rows (compaction
     * consolidates exactly the shards it snapshot-read into the base
-    * manifest — a shard committed AFTER the snapshot keeps its file and
-    * index row, so a concurrent large commit's stats are never
-    * destroyed). The index survives with its remaining rows; it is
-    * deleted only when empty. */
+    * manifest — a shard committed AFTER the snapshot keeps its FILE, so
+    * its per-file stats survive). The index survives with its remaining
+    * rows; it is deleted only when empty. NOTE the index RMW here shares
+    * [[writeShard]]'s last-writer-wins limitation: maintenance assumes a
+    * single writer (the [[ArrowMaintenance]] contract) — a commit racing
+    * this call keeps its shard file but may lose or resurrect an index
+    * row, which every index consumer tolerates by re-deriving membership
+    * from live shard files. */
   def deleteShards(fs: FileSystem, dir: Path, ids: Seq[String]): Unit = {
     ids.foreach(q => fs.delete(new Path(dir, shardFile(q)), false))
     val remaining = readIndex(fs, dir) -- ids

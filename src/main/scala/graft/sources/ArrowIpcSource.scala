@@ -149,9 +149,33 @@ private[sources] class ArrowIpcScanBuilder(full: StructType, dir: String,
         !fs.exists(new Path(dirPath, "_SUCCESS"))) return false
     val files = Option(fs.globStatus(new Path(dir, "part-*.arrows")))
       .getOrElse(Array.empty).map(_.getPath.getName)
-    val stats = ArrowFileStats.read(fs, dirPath)
-    if (!files.forall(stats.contains)) return false
-    val perFile = files.map(stats)
+
+    /** Per-file stats for every data file — the GROUP-BY-push substrate
+      * (one emitted row per file needs per-file values). O(shards) parses. */
+    def fullStats(): Option[Array[graft.sources.FileStats]] = {
+      val stats = ArrowFileStats.read(fs, dirPath)
+      if (files.forall(stats.contains)) Some(files.map(stats)) else None
+    }
+
+    /** GLOBAL aggregates answer from the base manifest + the commit
+      * ENVELOPES in `_stats_index.json` — count/min/max/sum all merge
+      * commit-wide, so planning reads the small index instead of parsing
+      * every shard (the O(all files) driver cost the index exists to
+      * remove). An envelope is trusted only while its shard file still
+      * exists, which filters the documented stale-index-row race under
+      * the single-writer maintenance contract. */
+    def envelopeStats(): Option[Array[graft.sources.FileStats]] = {
+      val base = ArrowFileStats.readBase(fs, dirPath)
+      val nonBase = files.filterNot(base.contains)
+      if (nonBase.isEmpty) return Some(files.flatMap(base.get))
+      val index = ArrowFileStats.readIndex(fs, dirPath)
+      val live = ArrowFileStats.shardIds(fs, dirPath).toSet
+      val envIds = index.keysIterator
+        .filter(q => live(q) && nonBase.exists(_.endsWith(s"-$q.arrows")))
+        .toSeq.sorted
+      if (!nonBase.forall(f => envIds.exists(q => f.endsWith(s"-$q.arrows")))) None
+      else Some(files.flatMap(base.get) ++ envIds.map(index))
+    }
 
     def col(e: org.apache.spark.sql.connector.expressions.Expression): Option[StructField] =
       e match {
@@ -159,6 +183,13 @@ private[sources] class ArrowIpcScanBuilder(full: StructType, dir: String,
           full.fields.find(_.name == r.fieldNames.head)
         case _ => None
       }
+
+    /** Build the pushed answer from a resolved stats array — per-file
+      * rows, or base+envelope rows for the global case (both merge
+      * identically: count/min/max/sum are commit-associative). Rejects by
+      * `return false` or by NoSuchElementException (the dispatcher below
+      * may then retry with full per-file stats). */
+    def answer(perFile: Array[graft.sources.FileStats]): Boolean = {
 
     /** (canonical-string extreme, its ColStats kind) over all files, via
       * the same comparison the pruner uses; None = no non-null rows
@@ -257,7 +288,6 @@ private[sources] class ArrowIpcScanBuilder(full: StructType, dir: String,
       }
     }
 
-    try {
       if (aggregation.groupByExpressions.isEmpty) {
         val out = aggregation.aggregateExpressions.map {
           case _: CountStar =>
@@ -358,7 +388,27 @@ private[sources] class ArrowIpcScanBuilder(full: StructType, dir: String,
           rows))
       }
       true
-    } catch { case _: NoSuchElementException => false }
+    } // answer
+
+    try {
+      if (aggregation.groupByExpressions.isEmpty)
+        // a corrupt index degrades to the per-file path, like a missing one
+        scala.util.Try(envelopeStats()).toOption.flatten match {
+          case Some(pf) =>
+            try answer(pf) catch {
+              // pre-sum envelope (older index): retry with per-file stats
+              case _: NoSuchElementException => fullStats().exists(answer)
+            }
+          case None => fullStats().exists(answer)
+        }
+      else fullStats().exists(answer)
+    } catch {
+      case _: NoSuchElementException => false
+      // a corrupt manifest/shard/index refuses the push (→ full scan,
+      // which provably tolerates corrupt shards) instead of failing the
+      // whole planning — json4s parse errors land here
+      case scala.util.control.NonFatal(_) => false
+    }
   }
   override def pruneColumns(requiredSchema: StructType): Unit =
     // Catalyst hands back a subset of `full` in table-schema order; empty
@@ -444,16 +494,22 @@ private[sources] class ArrowIpcScan(required: StructType, dir: String,
       // concurrency, or a deleted/stale index) degrades to a full shard
       // load — per-file pruning survives, only the commit-level skip is
       // lost; never a wrong skip, never an unpruned scan.
-      val index = ArrowFileStats.readIndex(fs, dirPath)
+      // Stats are ADVISORY: any unparseable metadata file degrades (no
+      // index → no commit-level skip; no shard/base stats → its files are
+      // always kept) — a corrupt manifest must never fail the read itself.
+      val index = scala.util.Try(ArrowFileStats.readIndex(fs, dirPath))
+        .getOrElse(Map.empty[String, FileStats])
       val (refuted, liveIndexed) = index.keys.partition { qid =>
         filters.nonEmpty &&
           !filters.forall(f => ArrowFileStats.canMatch(f, index(qid)))
       }
       val unindexed = ArrowFileStats.shardIds(fs, dirPath)
         .filterNot(index.contains)
-      val stats = ArrowFileStats.readBase(fs, dirPath) ++
+      val stats = scala.util.Try(ArrowFileStats.readBase(fs, dirPath))
+        .getOrElse(Map.empty[String, FileStats]) ++
         (liveIndexed ++ unindexed).flatMap(q =>
-          ArrowFileStats.readShard(fs, dirPath, q))
+          scala.util.Try(ArrowFileStats.readShard(fs, dirPath, q))
+            .getOrElse(Map.empty[String, FileStats]))
       (all, stats, refuted.toSet)
     }
   }

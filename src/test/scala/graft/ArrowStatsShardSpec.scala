@@ -145,6 +145,74 @@ class ArrowStatsShardSpec extends AnyFunSuite {
     }
   }
 
+  test("global aggregate push answers from envelopes: a corrupt SHARD never blocks it") {
+    // planning-cost contract at 10^6 files: a GLOBAL count/min/max/sum
+    // reads base + index envelopes only — proven by corrupting the
+    // per-file shard JSON (parsing it would throw) and still pushing
+    val dir = tmp("graft_env_agg")
+    withShardThreshold(2) {
+      spark.range(0, 400).select(col("id"))
+        .repartition(4).write.format("arrow-ipc").mode("overwrite").save(dir)
+      spark.range(400, 500).select(col("id"))
+        .repartition(2).write.format("arrow-ipc").mode("append").save(dir)
+      val fs = fsOf(dir)
+      val dirPath = new org.apache.hadoop.fs.Path(dir)
+      val ids = ArrowFileStats.shardIds(fs, dirPath)
+      assert(ids.size === 2)
+      ids.foreach { q =>
+        val o = fs.create(new org.apache.hadoop.fs.Path(dir, ArrowFileStats.shardFile(q)), true)
+        o.write("NOT JSON".getBytes); o.close()
+      }
+      val agg = spark.read.format("arrow-ipc").load(dir)
+        .agg(expr("count(*)").as("n"), sum(col("id")).as("s"),
+          min(col("id")).as("mn"), max(col("id")).as("mx"))
+      assert(agg.queryExecution.executedPlan.toString.contains("PushedAggregation"),
+        "envelopes alone must answer the global aggregate")
+      val r = agg.collect().head
+      assert(r.getLong(0) === 500L && r.getLong(1) === (0L until 500L).sum)
+      assert(r.getLong(2) === 0L && r.getLong(3) === 499L)
+    }
+  }
+
+  test("corrupt index refuses the push and the scan still answers exactly") {
+    val dir = tmp("graft_env_badidx")
+    withShardThreshold(2) {
+      spark.range(0, 300).select(col("id"))
+        .repartition(3).write.format("arrow-ipc").mode("overwrite").save(dir)
+      val fs = fsOf(dir)
+      val o = fs.create(new org.apache.hadoop.fs.Path(dir, ArrowFileStats.IndexFile), true)
+      o.write("NOT JSON".getBytes); o.close()
+      // global agg: index unreadable → per-file fallback still pushes
+      val agg = spark.read.format("arrow-ipc").load(dir).agg(sum(col("id")).as("s"))
+      assert(agg.queryExecution.executedPlan.toString.contains("PushedAggregation"))
+      assert(agg.collect().head.getLong(0) === (0L until 300L).sum)
+      // and with the SHARD also corrupt, planning must refuse (not throw)
+      // and the data scan still answers
+      val q = ArrowFileStats.shardIds(fs, new org.apache.hadoop.fs.Path(dir)).head
+      val o2 = fs.create(new org.apache.hadoop.fs.Path(dir, ArrowFileStats.shardFile(q)), true)
+      o2.write("ALSO NOT JSON".getBytes); o2.close()
+      val agg2 = spark.read.format("arrow-ipc").load(dir).agg(sum(col("id")).as("s"))
+      assert(!agg2.queryExecution.executedPlan.toString.contains("PushedAggregation"),
+        "unanswerable metadata must refuse the push, not fail planning")
+      assert(agg2.collect().head.getLong(0) === (0L until 300L).sum)
+    }
+  }
+
+  test("NTZ timestamp filters prune files (norm handles LocalDateTime)") {
+    val dir = tmp("graft_ntz_prune")
+    val df = spark.range(0, 4000).select(col("id"),
+      timestamp_seconds(col("id") * 3600).cast("timestamp_ntz").as("ts"))
+    df.repartitionByRange(4, col("id"))
+      .write.format("arrow-ipc").mode("overwrite").save(dir)
+    val cut = java.time.LocalDateTime.ofEpochSecond(500L * 3600, 0,
+      java.time.ZoneOffset.UTC)
+    val q = spark.read.format("arrow-ipc").load(dir).filter(col("ts") < lit(cut))
+    assert(q.count() === 500)
+    val m = "files=(\\d+)/(\\d+)".r.findFirstMatchIn(scanDesc(q)).get
+    assert(m.group(1).toInt < 4 && m.group(2).toInt === 4,
+      s"an NTZ predicate must prune files: ${m.matched}")
+  }
+
   test("deleteShards is selective: an uncaptured shard keeps its file and index row") {
     // the compaction-concurrency contract: consolidation deletes exactly
     // the snapshot it folded, so a commit landing mid-compaction keeps
