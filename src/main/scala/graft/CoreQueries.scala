@@ -2220,26 +2220,29 @@ object CoreQueries {
                      CAST(SUM(CAST(value AS DECIMAL(14,4))) AS DOUBLE) AS sum_value
               FROM events GROUP BY event_type ORDER BY event_type""")),
 
-    // The same micro-batch ingest path carrying the REAL temporal column:
-    // events (ts µs instants — normalized from whatever encoding the
-    // parquet shipped in) → Arrow IPC dir → streaming source → parquet
-    // sink, then an hourly windowed aggregate over the transported rows.
-    // Round 7's lesson: the streaming source was only fixture-checked, so
-    // a ts-type drift broke it invisibly; this query pins ts end-to-end
-    // through Arrow write, streaming read, and window() against the
-    // DuckDB oracle computed straight from the source table.
+    // The same micro-batch ingest path carrying the REAL temporal column,
+    // now ARROW ON BOTH SIDES: events (ts µs instants — normalized from
+    // whatever encoding the parquet shipped in) → Arrow IPC dir →
+    // streaming source → ARROW-IPC STREAMING SINK (epoch-committed,
+    // exactly-once via the _stream_commits ledger — the reference's
+    // IBlockOutputStream push side, DataStreams/IBlockOutputStream.h,
+    // made restartable) → batch read of the sink → hourly windowed
+    // aggregate against the DuckDB oracle computed straight from the
+    // source table. The curation loop this models never changes formats
+    // mid-stream. Round 7's lesson stands: ts is pinned end-to-end
+    // through Arrow write, streaming read, streaming WRITE, and window().
     ("stream_arrow_events", (s, d) => {
       val ev = T(s, d, "events").select("event_id", "ts", "event_type", "value")
       // Scratch contract: see json_roundtrip.
       val path = graft.sources.Scratch.dir(s, "graft_stream_arrowts")
       ev.write.format("arrow-ipc").mode("overwrite").save(path + "/src")
       val q = s.readStream.format("arrow-ipc").load(path + "/src")
-        .writeStream.format("parquet")
+        .writeStream.format("arrow-ipc")
         .option("path", path + "/out")
         .option("checkpointLocation", path + "/ckpt")
         .start()
       try q.processAllAvailable() finally q.stop()
-      s.read.parquet(path + "/out")
+      s.read.format("arrow-ipc").load(path + "/out")
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
         .agg(count(lit(1)).as("cnt"),
           sum(col("value").cast(DecimalType(14, 4))).cast(DoubleType).as("sum_value"))

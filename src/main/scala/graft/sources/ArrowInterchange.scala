@@ -438,17 +438,20 @@ object ArrowInterchange {
       s"Arrow interchange: $dir has a schema sentinel but no _SUCCESS marker " +
         "— the writing job did not complete; refusing to read partial data")
     val glob = new Path(dir, "part-*.arrows")
-    val hasData = glob.getFileSystem(conf).globStatus(glob) match {
-      case null => false
-      case st   => st.nonEmpty
-    }
-    if (!hasData) // all partitions were empty — sentinel carries the schema
+    // streaming-sink visibility: same rule as the DSv2 scan — a
+    // stream-named file without a committed ledger entry does not exist
+    val visible = ArrowStreamCommits.visibleFilter(fs, dirPath)
+    val dataPaths = (glob.getFileSystem(conf).globStatus(glob) match {
+      case null => Array.empty[org.apache.hadoop.fs.FileStatus]
+      case st   => st
+    }).map(_.getPath).filter(p => visible(p.getName))
+    if (dataPaths.isEmpty) // all partitions were empty — sentinel carries the schema
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     // Pruned reads tolerate extra (even unsupported-typed) columns in the
     // file; full reads require the exact schema — a stray column would
     // otherwise be silently dropped.
     val exact = columns.isEmpty
-    val rdd = spark.sparkContext.binaryFiles(glob.toString)
+    val rdd = spark.sparkContext.binaryFiles(dataPaths.map(_.toString).mkString(","))
       .flatMap { case (path, pds) => rowsFromStream(pds.open(), path, schema, exact) }
     spark.createDataFrame(rdd, schema)
   }

@@ -70,7 +70,8 @@ private[sources] class ArrowIpcTable(tableSchema: StructType, dir: String)
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ArrowIpcScanBuilder(tableSchema, dir,
       Option(options.get("maxFilesPerTrigger")).map(_.toInt),
@@ -147,8 +148,9 @@ private[sources] class ArrowIpcScanBuilder(full: StructType, dir: String,
     if (!fs.exists(dirPath)) return false
     if (fs.exists(new Path(dirPath, "_schema.arrows")) &&
         !fs.exists(new Path(dirPath, "_SUCCESS"))) return false
+    val visible = ArrowStreamCommits.visibleFilter(fs, dirPath)
     val files = Option(fs.globStatus(new Path(dir, "part-*.arrows")))
-      .getOrElse(Array.empty).map(_.getPath.getName)
+      .getOrElse(Array.empty).map(_.getPath.getName).filter(visible)
 
     /** Per-file stats for every data file — the GROUP-BY-push substrate
       * (one emitted row per file needs per-file values). O(shards) parses. */
@@ -481,8 +483,13 @@ private[sources] class ArrowIpcScan(required: StructType, dir: String,
       fs.exists(new Path(dirPath, "_SUCCESS")),
       s"Arrow interchange: $dir has a schema sentinel but no _SUCCESS marker " +
         "— the writing job did not complete; refusing to read partial data")
+    // streaming-sink visibility: a stream-named file with no committed
+    // ledger entry is an uncommitted epoch (crash leftover or in-flight)
+    // and does not exist for readers
+    val streamVisible = ArrowStreamCommits.visibleFilter(fs, dirPath)
     val all = Option(fs.globStatus(new Path(dir, "part-*.arrows")))
       .getOrElse(Array.empty)
+      .filter(st => streamVisible(st.getPath.getName))
     if (all.isEmpty)
       (all, Map.empty[String, FileStats], Set.empty[String])
     else {
@@ -836,12 +843,43 @@ private[sources] class ArrowIpcWrite(
     schema: StructType, dir: String, codec: Option[String], queryId: String,
     truncate: Boolean, partitionKeys: Seq[String] = Nil)
     extends org.apache.spark.sql.connector.write.Write
-    with org.apache.spark.sql.connector.write.BatchWrite {
+    with org.apache.spark.sql.connector.write.BatchWrite
+    with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
   import org.apache.spark.sql.connector.write._
 
   override def toBatch: BatchWrite = this
+  override def toStreaming
+      : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+    require(!truncate, "arrow-ipc stream sink is append-only — " +
+      "OutputMode.Complete (epoch truncation) is not supported")
+    new ArrowIpcStreamingWrite(schema, dir, codec, queryId, partitionKeys)
+  }
   override def description(): String = s"arrow-ipc $dir" +
     (if (partitionKeys.nonEmpty) s" keyed=[${partitionKeys.mkString(", ")}]" else "")
+
+  /** A keyed write DECLARES the clustering + in-partition order the
+    * rolling writer needs to produce single-valued files (the
+    * `KeyGroupedPartitioning` substrate) — Catalyst inserts the exchange/
+    * sort only when the child doesn't already satisfy it, so
+    * `Sinks.writeKeyGrouped`'s explicit repartition+sort costs nothing
+    * extra, while a keyed STREAMING write (which has no Sinks helper in
+    * front of it) gets the right shape from the plan itself. */
+  override def requiredDistribution()
+      : org.apache.spark.sql.connector.distributions.Distribution =
+    if (partitionKeys.isEmpty)
+      org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+    else
+      org.apache.spark.sql.connector.distributions.Distributions.clustered(
+        partitionKeys.map(k => org.apache.spark.sql.connector.expressions
+          .Expressions.identity(k): org.apache.spark.sql.connector.expressions
+          .Expression).toArray)
+  override def requiredOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    if (partitionKeys.isEmpty) Array.empty
+    else partitionKeys.map(k =>
+      org.apache.spark.sql.connector.expressions.Expressions.sort(
+        org.apache.spark.sql.connector.expressions.Expressions.identity(k),
+        org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)).toArray
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     // driver-side, before any task launches: validate the surface loudly
@@ -951,15 +989,17 @@ private[sources] class ArrowIpcWriterFactory(
   * partitions produce no file (the sentinel carries the schema). */
 private[sources] class ArrowIpcDataWriter(
     schema: StructType, dir: String, codec: Option[String], queryId: String,
-    partitionId: Int, taskId: Long, conf: SerializableHadoopConf)
+    partitionId: Int, taskId: Long, conf: SerializableHadoopConf,
+    epochTag: String = "")
     extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
   import org.apache.arrow.vector.VectorSchemaRoot
   import org.apache.arrow.vector.ipc.ArrowStreamWriter
 
   private val BatchRows = 4096
   private val tmpPath = new Path(dir,
-    f".part-$partitionId%05d-$queryId.arrows.task-$taskId.tmp")
-  private val finalPath = new Path(dir, f"part-$partitionId%05d-$queryId.arrows")
+    f".part-$partitionId%05d$epochTag-$queryId.arrows.task-$taskId.tmp")
+  private val finalPath = new Path(dir,
+    f"part-$partitionId%05d$epochTag-$queryId.arrows")
 
   private var alloc: RootAllocator = _
   private var root: VectorSchemaRoot = _
@@ -1041,7 +1081,7 @@ private[sources] class ArrowIpcDataWriter(
 private[sources] class ArrowIpcKeyedDataWriter(
     schema: StructType, dir: String, codec: Option[String], queryId: String,
     partitionId: Int, taskId: Long, conf: SerializableHadoopConf,
-    partitionKeys: Seq[String])
+    partitionKeys: Seq[String], epochTag: String = "")
     extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
   import org.apache.arrow.vector.VectorSchemaRoot
   import org.apache.arrow.vector.ipc.ArrowStreamWriter
@@ -1083,7 +1123,7 @@ private[sources] class ArrowIpcKeyedDataWriter(
     alloc = new RootAllocator()
     root = VectorSchemaRoot.create(ArrowInterchange.toArrowSchema(schema), alloc)
     tmp = new Path(dir,
-      f".part-$partitionId%05d-g$seq%04d-$queryId.arrows.task-$taskId.tmp")
+      f".part-$partitionId%05d-g$seq%04d$epochTag-$queryId.arrows.task-$taskId.tmp")
     val out = tmp.getFileSystem(conf.value).create(tmp, true)
     writer = ArrowInterchange.newStreamWriter(root, out, codec)
     writer.start()
@@ -1104,7 +1144,7 @@ private[sources] class ArrowIpcKeyedDataWriter(
     writer.end()
     closeCurrent()
     finished += ((tmp,
-      new Path(dir, f"part-$partitionId%05d-g$seq%04d-$queryId.arrows"),
+      new Path(dir, f"part-$partitionId%05d-g$seq%04d$epochTag-$queryId.arrows"),
       stats.result()))
     seq += 1
   }

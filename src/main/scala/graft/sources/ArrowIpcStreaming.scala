@@ -84,8 +84,12 @@ private[sources] class ArrowIpcMicroBatchStream(
     // previous offset instead of reading a torn directory
     if (fs.exists(new Path(dirPath, "_schema.arrows")) &&
         !fs.exists(new Path(dirPath, "_SUCCESS"))) return Nil
+    // a sink stream's uncommitted epoch files are invisible — the source
+    // emits a file only once its epoch's ledger entry landed
+    val visible = ArrowStreamCommits.visibleFilter(fs, dirPath)
     Option(fs.globStatus(new Path(dir, "part-*.arrows")))
-      .getOrElse(Array.empty).map(_.getPath.getName).toSeq.sorted
+      .getOrElse(Array.empty).map(_.getPath.getName).filter(visible)
+      .toSeq.sorted
   }
 
   override def initialOffset(): Offset = ArrowFilesOffset(Nil)

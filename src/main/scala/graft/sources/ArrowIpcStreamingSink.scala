@@ -1,0 +1,269 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write.{DataWriter, PhysicalWriteInfo, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
+import org.apache.spark.sql.types.StructType
+
+/** The streaming-commit ledger (`_stream_commits.json`) — the atomic
+  * visibility switch that makes `writeStream.format("arrow-ipc")`
+  * exactly-once. The reference's push side is `IBlockOutputStream`
+  * (DataStreams/IBlockOutputStream.h): blind `write(block)` calls with no
+  * delivery contract; re-expressed on Spark's epoch model the sink must
+  * survive two failure shapes a native pull pipeline never sees —
+  * a crash BETWEEN task file renames and the epoch commit, and an epoch
+  * REPLAY after the sink committed but the checkpoint didn't record it.
+  *
+  * Protocol (mirrors what Spark's own FileStreamSink does with
+  * `_spark_metadata`, re-expressed against this source's sidecar files):
+  *
+  *  - Every stream-written data file is named
+  *    `part-NNNNN[-gSSSS]-e<epoch>-<commit-uuid>.arrows` — the `-e<N>-`
+  *    segment marks it as stream-written; the 36-char commit uuid is
+  *    deterministic within a run (`nameUUIDFromBytes(runNonce:epoch)`)
+  *    and unique across runs (fresh nonce per restart), so a retried
+  *    epoch NEVER collides with the files of the attempt it retries.
+  *  - Readers treat a stream-named file as INVISIBLE unless its commit
+  *    uuid is in this ledger's `committed` set (no ledger → no stream
+  *    ever wrote here → nothing filtered). Task renames therefore
+  *    publish nothing: visibility flips atomically when the driver's
+  *    epoch commit appends the uuid — one small-file write.
+  *  - Epoch replay: `queries` maps the STREAMING QUERY id (stable across
+  *    restarts — it lives in the checkpoint) to the highest committed
+  *    epoch; a commit at or below it discards its files instead of
+  *    double-publishing.
+  *  - A crash before the ledger append leaves orphans that are invisible
+  *    forever; the next run start (or `ArrowMaintenance.cleanOrphans`)
+  *    deletes them.
+  *
+  * The ledger is CORRECTNESS-bearing (unlike the advisory stats
+  * manifests): an unparseable ledger fails reads loudly rather than
+  * risking duplicate or missing rows. Writes follow the directory's
+  * single-writer maintenance contract (one active stream, no concurrent
+  * compaction) — the driver is the only ledger writer, so the
+  * read-modify-write needs no locking.
+  */
+private[sources] object ArrowStreamCommits {
+  val LedgerFile = "_stream_commits.json"
+
+  private val StreamName =
+    """^part-\d+(?:-g\d+)?-e\d+-[0-9a-f\-]{36}\.arrows$""".r
+
+  def isStreamName(name: String): Boolean =
+    StreamName.pattern.matcher(name).matches()
+
+  /** Last-36-chars commit uuid of a conforming stream file name. */
+  def commitIdOf(name: String): String = {
+    val stem = name.stripSuffix(".arrows")
+    stem.substring(stem.length - 36)
+  }
+
+  case class Ledger(maxEpochs: Map[String, Long], committed: Set[String])
+
+  def read(fs: FileSystem, dir: Path): Option[Ledger] = {
+    val p = new Path(dir, LedgerFile)
+    if (!fs.exists(p)) None
+    else {
+      import org.json4s._
+      val root = org.json4s.jackson.JsonMethods.parse(
+        ArrowFileStats.readFully(fs, p))
+      val eps = (root \ "queries") match {
+        case JObject(qs) => qs.collect {
+          case (q, JInt(n)) => q -> n.toLong
+          case (q, JLong(n)) => q -> n
+        }.toMap
+        case _ => Map.empty[String, Long]
+      }
+      val committed = (root \ "committed") match {
+        case JArray(xs) => xs.collect { case JString(s) => s }.toSet
+        case _ => Set.empty[String]
+      }
+      Some(Ledger(eps, committed))
+    }
+  }
+
+  def write(fs: FileSystem, dir: Path, ledger: Ledger): Unit = {
+    val sb = new StringBuilder("{\"queries\":{")
+    sb.append(ledger.maxEpochs.toSeq.sortBy(_._1).map { case (q, e) =>
+      "\"" + ArrowFileStats.esc(q) + "\":" + e
+    }.mkString(","))
+    sb.append("},\"committed\":[")
+    sb.append(ledger.committed.toSeq.sorted.map(u =>
+      "\"" + ArrowFileStats.esc(u) + "\"").mkString(","))
+    sb.append("]}")
+    val out = fs.create(new Path(dir, LedgerFile), true)
+    try out.write(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Create an empty ledger if absent — MUST happen before any stream
+    * file lands, so a first-epoch crash leaves its orphans invisible. */
+  def ensure(fs: FileSystem, dir: Path): Unit =
+    if (!fs.exists(new Path(dir, LedgerFile)))
+      write(fs, dir, Ledger(Map.empty, Set.empty))
+
+  /** The visibility predicate for one directory listing: resolves the
+    * ledger ONCE, then O(1) per file name. */
+  def visibleFilter(fs: FileSystem, dir: Path): String => Boolean = {
+    lazy val ledger = read(fs, dir) // lazy: only loaded on a stream name
+    name => !isStreamName(name) ||
+      ledger.forall(_.committed.contains(commitIdOf(name)))
+  }
+
+  /** Delete invisible stream files + stray task temps. Safe only under
+    * the single-writer contract (an ACTIVE stream's in-flight epoch
+    * looks exactly like an orphan). Returns the deleted names. */
+  def cleanOrphans(fs: FileSystem, dir: Path): Seq[String] = {
+    if (!fs.exists(dir)) return Nil
+    val ledger = read(fs, dir)
+    val listed = fs.listStatus(dir).map(_.getPath.getName)
+    val orphans = listed.filter { n =>
+      (isStreamName(n) &&
+        !ledger.exists(_.committed.contains(commitIdOf(n)))) ||
+      (n.startsWith(".part-") && n.endsWith(".tmp"))
+    }
+    orphans.foreach(n => fs.delete(new Path(dir, n), false))
+    orphans.toSeq
+  }
+}
+
+/** Epoch-committed streaming face of the arrow-ipc write path:
+  * `df.writeStream.format("arrow-ipc").option("checkpointLocation", …)
+  * .start(dir)`. Append output mode only (the sink is a file log, like
+  * parquet's). Files land under the SAME contract every other writer of
+  * this source honors — `_schema.arrows` sentinel, `_SUCCESS`
+  * completeness gate, per-file stats into the base manifest or an
+  * epoch shard + index envelope, `_layout.json` key declaration — so a
+  * directory fed by a stream is indistinguishable to readers from one
+  * fed by batch appends, and the curation loop can ingest AND re-emit
+  * Arrow without a format detour. Exactly-once rides the
+  * [[ArrowStreamCommits]] ledger; see its scaladoc for the protocol. */
+private[sources] class ArrowIpcStreamingWrite(
+    schema: StructType, dir: String, codec: Option[String], queryId: String,
+    partitionKeys: Seq[String]) extends StreamingWrite {
+
+  // fresh per run (the StreamingWrite is constructed once per query run):
+  // commit uuids of a retried epoch can never collide with the crashed
+  // attempt's files
+  private val runNonce = java.util.UUID.randomUUID().toString
+
+  private def commitUuid(epochId: Long): String =
+    java.util.UUID.nameUUIDFromBytes(
+      s"$runNonce:$epochId".getBytes("UTF-8")).toString
+
+  private def fsAndDir(): (FileSystem, Path) = {
+    val dirPath = new Path(dir)
+    (dirPath.getFileSystem(
+      SparkSession.active.sparkContext.hadoopConfiguration), dirPath)
+  }
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory = {
+    // driver-side, once per run: validate loudly, prepare the directory,
+    // and sweep orphans of crashed runs (no epoch is in flight at run
+    // start; the single-writer contract excludes everyone else)
+    ArrowInterchange.codecType(codec)
+    ArrowInterchange.toArrowSchema(schema)
+    val spark = SparkSession.active
+    val (fs, dirPath) = fsAndDir()
+    if (fs.exists(new Path(dirPath, "_schema.arrows"))) {
+      val existing = ArrowInterchange.readSchema(spark, dir)
+      require(existing == schema,
+        s"arrow-ipc stream sink: appending schema $schema to $dir which " +
+          s"carries schema $existing — append requires an identical schema")
+    }
+    fs.mkdirs(dirPath)
+    ArrowStreamCommits.ensure(fs, dirPath) // before ANY data file exists
+    ArrowStreamCommits.cleanOrphans(fs, dirPath)
+    val sentinel = new Path(dirPath, "_schema.arrows")
+    if (!fs.exists(sentinel))
+      ArrowInterchange.writeSentinel(fs.create(sentinel, true), schema)
+    // the empty (or prior) state IS committed — uncommitted epoch files
+    // are invisible via the ledger, so the gate can stay green throughout
+    val success = new Path(dirPath, "_SUCCESS")
+    if (!fs.exists(success)) fs.create(success, true).close()
+    new ArrowIpcStreamingWriterFactory(schema, dir, codec, runNonce,
+      new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration),
+      partitionKeys)
+  }
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val (fs, dirPath) = fsAndDir()
+    val fresh = messages.collect { case ArrowIpcCommitMessage(files) =>
+      files.map { case (path, st) => new Path(path).getName -> st }
+    }.flatten.toMap
+    val ledger = ArrowStreamCommits.read(fs, dirPath).getOrElse(
+      throw new IllegalStateException(
+        s"arrow-ipc stream sink: ledger ${ArrowStreamCommits.LedgerFile} " +
+          s"vanished from $dir mid-run — refusing to commit epoch $epochId"))
+    if (ledger.maxEpochs.get(queryId).exists(epochId <= _)) {
+      // EPOCH REPLAY: the sink committed this epoch in a previous run but
+      // the checkpoint didn't record it. The committed attempt stands;
+      // this attempt's files (distinct uuid — never the committed ones)
+      // are discarded.
+      fresh.keysIterator.foreach(n => fs.delete(new Path(dirPath, n), false))
+      return
+    }
+    val uuid = commitUuid(epochId)
+    // stats BEFORE the ledger flip, same ordering as the batch commit's
+    // stats-before-_SUCCESS: a reader that can see the files must be able
+    // to see their stats. An epoch at/above the shard threshold writes its
+    // own `_stats-<uuid>.json` + envelope — a year of minutely epochs
+    // stays O(index), not O(all files), at planning.
+    if (fresh.nonEmpty) {
+      val threshold = SparkSession.active.conf
+        .get("spark.graft.arrow.statsShardFiles", "1024").toInt
+      if (fresh.size >= threshold)
+        ArrowFileStats.writeShard(fs, dirPath, uuid, fresh)
+      else
+        ArrowFileStats.write(fs, dirPath,
+          ArrowFileStats.readBase(fs, dirPath) ++ fresh)
+    }
+    if (partitionKeys.nonEmpty) {
+      val existing = ArrowLayout.read(fs, dirPath)
+      if (existing.isEmpty || existing == partitionKeys)
+        ArrowLayout.write(fs, dirPath, partitionKeys)
+      else ArrowLayout.delete(fs, dirPath)
+    }
+    // THE visibility flip: one small-file write publishes every file of
+    // the epoch at once (and advances the replay fence)
+    ArrowStreamCommits.write(fs, dirPath, ArrowStreamCommits.Ledger(
+      ledger.maxEpochs + (queryId -> epochId),
+      ledger.committed + uuid))
+    val success = new Path(dirPath, "_SUCCESS")
+    if (!fs.exists(success)) fs.create(success, true).close()
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val (fs, dirPath) = fsAndDir()
+    messages.foreach {
+      case ArrowIpcCommitMessage(files) => files.foreach { case (path, _) =>
+        fs.delete(new Path(path), false)
+      }
+      case _ => ()
+    }
+  }
+}
+
+/** Per-epoch writer factory: reuses the batch task writers verbatim —
+  * only the file name differs (`-e<epoch>-<commit-uuid>` tail), which is
+  * what carries both the stream-visibility marker and the stats-shard
+  * membership suffix. */
+private[sources] class ArrowIpcStreamingWriterFactory(
+    schema: StructType, dir: String, codec: Option[String], runNonce: String,
+    conf: SerializableHadoopConf, partitionKeys: Seq[String])
+    extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] = {
+    val uuid = java.util.UUID.nameUUIDFromBytes(
+      s"$runNonce:$epochId".getBytes("UTF-8")).toString
+    if (partitionKeys.isEmpty)
+      new ArrowIpcDataWriter(schema, dir, codec, uuid, partitionId, taskId,
+        conf, epochTag = s"-e$epochId")
+    else
+      new ArrowIpcKeyedDataWriter(schema, dir, codec, uuid, partitionId,
+        taskId, conf, partitionKeys, epochTag = s"-e$epochId")
+  }
+}

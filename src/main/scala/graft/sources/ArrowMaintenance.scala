@@ -62,6 +62,12 @@ object ArrowMaintenance {
     // clear staging dirs from runs that died BEFORE recording intent
     Option(fs.globStatus(new Path(dir, ".compact-*")))
       .getOrElse(Array.empty).foreach(st => fs.delete(st.getPath, true))
+    // crashed-epoch stream orphans are INVISIBLE to the staging read, so
+    // they must not survive into `olds` either (deleting a file whose rows
+    // were never staged would be fine; recording it as a lineage PARENT of
+    // files that don't carry its rows would poison streaming absorption) —
+    // sweep them first, under the same no-concurrent-writer contract
+    ArrowStreamCommits.cleanOrphans(fs, dirPath)
 
     val olds = Option(fs.globStatus(new Path(dir, "part-*.arrows")))
       .getOrElse(Array.empty)
@@ -91,6 +97,17 @@ object ArrowMaintenance {
     fs.delete(new Path(dirPath, "_SUCCESS"), false)
     replay(fs, dirPath)
     Some(CompactionResult(olds.length, staged.length))
+  }
+
+  /** Delete crashed-epoch leftovers of the streaming sink: stream-named
+    * files with no committed ledger entry, plus stray task temps. Runs
+    * automatically at stream start and at [[compact]]; exposed for ops.
+    * Same NO CONCURRENT WRITER contract as compaction — an active
+    * stream's in-flight epoch is indistinguishable from an orphan. */
+  def cleanOrphans(spark: SparkSession, dir: String): Seq[String] = {
+    val dirPath = new Path(dir)
+    ArrowStreamCommits.cleanOrphans(
+      dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration), dirPath)
   }
 
   /** Finish a swap a dead process left behind. True = an intent was found
@@ -147,6 +164,20 @@ object ArrowMaintenance {
     // key-grouped layout claim is destroyed with them
     intent.olds.foreach(o => fs.delete(new Path(dirPath, o), false))
     ArrowLayout.delete(fs, dirPath)
+    // (e') prune the streaming ledger's committed set down to ids that
+    // still name a live file (compacted outputs are not stream-named, so
+    // their visibility no longer rides the ledger); the per-query epoch
+    // fence is KEPT — it guards epoch replays, not visibility. Idempotent
+    // (a second replay prunes nothing further).
+    ArrowStreamCommits.read(fs, dirPath).foreach { led =>
+      val liveIds = Option(fs.globStatus(new Path(dirPath, "part-*.arrows")))
+        .getOrElse(Array.empty).map(_.getPath.getName)
+        .filter(ArrowStreamCommits.isStreamName)
+        .map(ArrowStreamCommits.commitIdOf).toSet
+      val keep = led.committed.intersect(liveIds)
+      if (keep != led.committed)
+        ArrowStreamCommits.write(fs, dirPath, led.copy(committed = keep))
+    }
     // (f) restore the latch, clear the intent + staging
     fs.create(new Path(dirPath, "_SUCCESS"), true).close()
     fs.delete(new Path(dirPath, IntentFile), false)
