@@ -33,7 +33,7 @@ object Bench {
     "q12_priority_counts", "q15_top_supplier", "q17_small_qty",
     "q20_promo_suppliers", "arrow_agg_pushdown", "arrow_sum_pushdown",
     "arrow_runtime_prune",
-    "arrow_compact", "arrow_spj_join", "arrow_group_agg")
+    "arrow_compact", "arrow_spj_join", "arrow_group_agg", "stream_spj_join")
 
   def main(args: Array[String]): Unit = {
     // Iteration aid: SPARK_GRAFT_ONLY=q1,q2 restricts the run to a subset.
@@ -79,13 +79,18 @@ object Bench {
       clearState()
       if (ok) dt else -1.0
     }
-    // Best of 2: this box is a shared VM with bursty CPU steal (measured
-    // same-binary swings of 3-4× on heavy queries); the min of two cold
-    // runs is robust to a noise burst landing on one of them. Any failing
-    // run poisons the pair to the sentinel.
+    // MEDIAN of 3: this box is a shared VM with bursty CPU steal (measured
+    // same-binary swings of 3-4× on heavy queries, and round-8's driver
+    // artifact was noise-dominated wholesale — median 1.38×, tail 14.6× vs
+    // the same binary). A median of three cold runs tolerates one noise
+    // burst in EITHER direction, so round-over-round artifact diffs can
+    // support real regression detection; min-of-N would still underreport
+    // a genuine regression that one lucky run dodged. Any failing run
+    // poisons the triple to the sentinel.
+    val runsPerQuery = 3
     val results = selected.filter(SparkEntry.queries.contains).map { name =>
-      val (a, b) = (timeOnce(name), timeOnce(name))
-      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+      val ts = Seq.fill(runsPerQuery)(timeOnce(name))
+      name -> (if (ts.exists(_ < 0)) -1.0 else ts.sorted.apply(runsPerQuery / 2))
     }
     val (okResults, failedResults) = results.partition(_._2 >= 0)
     val failedNames = failedResults.map(_._1)
@@ -96,7 +101,7 @@ object Bench {
     val total = okResults.map(_._2).sum
     val maxQ = if (okResults.nonEmpty) okResults.maxBy(_._2) else ("none", 0.0)
     val perQuery =
-      s"""{"metric":"per_query","unit":"sec","queries":$qs,"failed":${
+      s"""{"metric":"per_query","unit":"sec","runs":$runsPerQuery,"queries":$qs,"failed":${
         failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir"}"""
     // The harness that captures this output keeps only a bounded stdout TAIL
     // and parses the last JSON line from it, so the per-query map (which
@@ -109,7 +114,7 @@ object Bench {
       java.nio.file.Files.write(out, perQuery.getBytes("UTF-8"))
     } catch { case e: Throwable => System.err.println(s"[bench] per-query file: $e") }
     println(
-      s"""{"metric":"total","value":${math.rint(total * 1e3) / 1e3},"unit":"sec","n_queries":${okResults.size},"n_failed":${failedNames.size},"max_query":"${maxQ._1}","max_sec":${math.rint(maxQ._2 * 1e3) / 1e3},"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${math.rint(total * 1e3) / 1e3},"unit":"sec","runs":$runsPerQuery,"n_queries":${okResults.size},"n_failed":${failedNames.size},"max_query":"${maxQ._1}","max_sec":${math.rint(maxQ._2 * 1e3) / 1e3},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -877,6 +877,75 @@ object CoreQueries {
               FROM customer JOIN supplier ON c_nationkey = s_nationkey
               GROUP BY 1 ORDER BY nationkey""")),
 
+    // SPJ ∘ STREAMING: the two flagship DSv2 features COMPOSED. One side
+    // is written by the STREAMING SINK into a key-grouped layout
+    // (`writeStream.option("partitionKeys", …)` — the epoch writers roll
+    // per key, and RequiresDistributionAndOrdering shapes the micro-batch
+    // plan, so every committed file is provably single-valued); the other
+    // side is a batch writeKeyGrouped. The join then plans with ZERO
+    // shuffle exactly as arrow_spj_join — proving a streamed directory is
+    // a first-class co-location citizen, not a degraded append shape.
+    // The 100 TB shape: continuous ingest pre-pays the join exchange.
+    ("stream_spj_join", (s, d) => {
+      val ev = T(s, d, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      // Scratch contract: see json_roundtrip.
+      val path = graft.sources.Scratch.dir(s, "graft_rt_spjstream")
+      ev.write.format("arrow-ipc").mode("overwrite").save(path + "/src")
+      val q = s.readStream.format("arrow-ipc").load(path + "/src")
+        .writeStream.format("arrow-ipc")
+        .option("path", path + "/left")
+        .option("checkpointLocation", path + "/ckpt")
+        .option("partitionKeys", "event_type")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val dim = ev.groupBy(col("event_type")).agg(min(col("event_id")).as("anchor"))
+      graft.sources.Sinks.writeKeyGrouped(dim, path + "/right",
+        Seq("event_type"), partitions = 4)
+      val confs = Seq("spark.sql.sources.v2.bucketing.enabled" -> "true",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+      val saved = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+      try {
+        confs.foreach { case (k, v) => s.conf.set(k, v) }
+        val j = s.read.format("arrow-ipc").load(path + "/left")
+          .join(s.read.format("arrow-ipc").load(path + "/right")
+            .withColumnRenamed("event_type", "r_event_type"),
+            col("event_type") === col("r_event_type"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("event_id") - col("anchor")).as("drift"))
+          .orderBy("event_type")
+        val cached = j.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        cached.count() // eager: confs must hold at planning; no driver collect
+        val plan = cached.queryExecution.optimizedPlan.collect {
+          case m: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+            m.cachedPlan
+        }.head match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            a.executedPlan
+          case p => p
+        }
+        val shuffles = plan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+        }.size
+        require(shuffles == 0,
+          s"stream_spj_join: expected a storage-partitioned join over the " +
+            s"STREAMED layout, got $shuffles shuffles\n$plan")
+        require(plan.toString.contains("KeyGrouped="),
+          "stream_spj_join: scans did not report a key grouping")
+        cached
+      } finally saved.foreach { case (k, v) =>
+        v.fold(s.conf.unset(k))(s.conf.set(k, _))
+      }
+    },
+      Some("""SELECT e.event_type, COUNT(*) AS cnt,
+                     CAST(SUM(e.event_id - a.anchor) AS BIGINT) AS drift
+              FROM events e
+              JOIN (SELECT event_type, MIN(event_id) AS anchor
+                    FROM events GROUP BY 1) a
+                ON e.event_type = a.event_type
+              GROUP BY 1 ORDER BY e.event_type""")),
+
     // Runtime (dynamic) file pruning: the broadcast dim's key set reaches
     // the Arrow scan AFTER planning (SupportsRuntimeFiltering), and only
     // files whose stats interval can hold a matching o_custkey are read —
