@@ -33,7 +33,8 @@ object Bench {
     "q12_priority_counts", "q15_top_supplier", "q17_small_qty",
     "q20_promo_suppliers", "arrow_agg_pushdown", "arrow_sum_pushdown",
     "arrow_runtime_prune",
-    "arrow_compact", "arrow_spj_join", "arrow_group_agg", "stream_spj_join")
+    "arrow_compact", "arrow_spj_join", "arrow_group_agg", "stream_spj_join",
+    "multimodal_struct")
 
   def main(args: Array[String]): Unit = {
     // Iteration aid: SPARK_GRAFT_ONLY=q1,q2 restricts the run to a subset.

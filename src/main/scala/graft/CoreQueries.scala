@@ -681,6 +681,48 @@ object CoreQueries {
                   x -> CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT))) AS BIGINT) AS esum
               FROM embeddings ORDER BY vec_id""")),
 
+    // STRUCT column through the interchange, BOTH write paths: the
+    // multimodal row shape (payload bytes + caption + feature vector +
+    // label packed into ONE struct column — what a training-data lake
+    // actually stores per sample) rides Arrow Struct vectors through the
+    // DSv2 writer and back through the DSv2 scan. The reference excludes
+    // nested types from its comparable surface (switch_type.h:78-91) and
+    // so does the stats layer here (kind 0: never pruned, never a key),
+    // but the DATA round-trips first-class — no more flattening. Output
+    // scalarizes the struct for the comparator (exact integers/strings).
+    ("multimodal_struct", (s, d) => {
+      val docs = T(s, d, "documents").select(col("doc_id"), col("text"))
+      val emb = T(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"), col("label"))
+      val packed = docs.join(emb, col("doc_id") === col("vec_id"))
+        .select(col("doc_id"), struct(
+          encode(col("text"), "UTF-8").as("payload"),
+          substring(col("text"), 1, 40).as("caption"),
+          col("embedding").as("features"),
+          col("label").as("label")).as("media"))
+      // Scratch contract: see json_roundtrip.
+      val path = graft.sources.Scratch.dir(s, "graft_rt_mstruct")
+      packed.write.format("arrow-ipc").mode("overwrite").save(path)
+      s.read.format("arrow-ipc").load(path)
+        .select(col("doc_id"),
+          col("media.caption").as("caption"),
+          length(col("media.payload")).as("payload_bytes"),
+          size(col("media.features")).as("n_features"),
+          expr("aggregate(transform(media.features, " +
+            "x -> cast(round(cast(x as double) * 1048576) as bigint)), " +
+            "0L, (a, x) -> a + x)").as("fsum"),
+          col("media.label").as("label"))
+        .orderBy("doc_id")
+    },
+      Some("""SELECT d.doc_id, substr(d.text, 1, 40) AS caption,
+                     CAST(octet_length(encode(d.text)) AS INT) AS payload_bytes,
+                     CAST(len(e.embedding) AS INT) AS n_features,
+                     CAST(list_sum(list_transform(e.embedding,
+                       x -> CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT))) AS BIGINT) AS fsum,
+                     e.label
+              FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+              ORDER BY d.doc_id""")),
+
     // Arrow interchange of a DECIMAL column (reference Decimal128,
     // arrow_clickhouse_types.h:74-139): o_totalprice rides through the IPC
     // file as Decimal128(12,2) and back, and the read is COLUMN-PRUNED —

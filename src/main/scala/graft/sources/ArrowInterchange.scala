@@ -111,10 +111,19 @@ object ArrowInterchange {
         return new Field(f.name, new FieldType(f.nullable, ArrowType.List.INSTANCE, null),
           java.util.Collections.singletonList(
             toArrowField(StructField("item", et, containsNull))))
+      case st: StructType =>
+        // struct columns — the multimodal row shape (image bytes + caption
+        // + features in ONE column). The reference excludes nested types
+        // from its comparable/filterable surface (switch_type.h:78-91) and
+        // so does this source's stats layer (kindOf = 0: never pruned,
+        // never a partition key) — but the DATA round-trips first-class.
+        return new Field(f.name, new FieldType(f.nullable, ArrowType.Struct.INSTANCE, null),
+          st.fields.map(toArrowField).toSeq.asJava)
       case dt => throw new IllegalArgumentException(
         s"Arrow interchange: unsupported type $dt for column '${f.name}' " +
           "(supported: boolean, int, bigint, float, double, string, binary, " +
-          "timestamp[us], date, interval day-second, decimal(<=38), array<scalar>)")
+          "timestamp[us], date, interval day-second, decimal(<=38), " +
+          "array<scalar>, struct<...>)")
     }
     new Field(f.name, new FieldType(f.nullable, t, null),
       java.util.Collections.emptyList[Field]())
@@ -150,6 +159,8 @@ object ArrowInterchange {
       case _: ArrowType.List =>
         val elem = fromArrowField(f.getChildren.get(0))
         ArrayType(elem.dataType, elem.nullable)
+      case _: ArrowType.Struct =>
+        StructType(f.getChildren.asScala.map(fromArrowField).toSeq)
       case t => throw new IllegalArgumentException(
         s"Arrow interchange: unsupported Arrow type $t for field '${f.getName}'")
     }
@@ -289,6 +300,7 @@ object ArrowInterchange {
     if (row.isNullAt(col)) {
       v match {
         case x: ListVector => x.setNull(idx) // fills offset holes, keeps lastSet
+        case x: org.apache.arrow.vector.complex.StructVector => x.setNull(idx)
         case x: BaseFixedWidthVector => x.setNull(idx)
         case x: BaseVariableWidthVector => x.setNull(idx)
         case other => throw new IllegalArgumentException(
@@ -325,6 +337,15 @@ object ArrowInterchange {
           setInternalValue(x.getDataVector, et, offset + i, arr, i); i += 1
         }
         x.endValue(idx, arr.numElements())
+      case (x: org.apache.arrow.vector.complex.StructVector, st: StructType) =>
+        val struct = row.getStruct(col, st.length)
+        x.setIndexDefined(idx)
+        var i = 0
+        while (i < st.length) {
+          setInternalValue(x.getChildByOrdinal(i).asInstanceOf[FieldVector], st.fields(i).dataType,
+            idx, struct, i)
+          i += 1
+        }
       case (other, t) => throw new IllegalArgumentException(
         s"Arrow interchange: vector ${other.getClass.getSimpleName} / type $t mismatch")
     }
@@ -389,6 +410,17 @@ object ArrowInterchange {
             setRaw(x.getDataVector, et, offset + i, elems(i)); i += 1
           }
           x.endValue(idx, elems.length)
+        }
+      case (x: org.apache.arrow.vector.complex.StructVector, st: StructType) =>
+        if (value == null) x.setNull(idx)
+        else {
+          val r = value.asInstanceOf[Row]
+          x.setIndexDefined(idx)
+          var i = 0
+          while (i < st.length) {
+            setRaw(x.getChildByOrdinal(i).asInstanceOf[FieldVector], st.fields(i).dataType, idx, r.get(i))
+            i += 1
+          }
         }
       case (other, t) => throw new IllegalArgumentException(
         s"Arrow interchange: vector ${other.getClass.getSimpleName} / type $t mismatch")
@@ -584,6 +616,10 @@ object ArrowInterchange {
         val (start, end) = (x.getElementStartIndex(idx), x.getElementEndIndex(idx))
         new org.apache.spark.sql.catalyst.util.GenericArrayData(
           (start until end).map(i => getInternalValue(x.getDataVector, et, i)).toArray)
+      case (x: org.apache.arrow.vector.complex.StructVector, st: StructType) =>
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array.tabulate[Any](st.length)(i =>
+            getInternalValue(x.getChildByOrdinal(i).asInstanceOf[FieldVector], st.fields(i).dataType, idx)))
       case (other, t) => throw new IllegalArgumentException(
         s"Arrow interchange: vector ${other.getClass.getSimpleName} / type $t mismatch")
     }
@@ -608,6 +644,9 @@ object ArrowInterchange {
       case (x: ListVector, ArrayType(et, _)) =>
         val (start, end) = (x.getElementStartIndex(idx), x.getElementEndIndex(idx))
         (start until end).map(i => getValue(x.getDataVector, et, i))
+      case (x: org.apache.arrow.vector.complex.StructVector, st: StructType) =>
+        Row.fromSeq((0 until st.length).map(i =>
+          getValue(x.getChildByOrdinal(i).asInstanceOf[FieldVector], st.fields(i).dataType, idx)))
       case (other, t) => throw new IllegalArgumentException(
         s"Arrow interchange: vector ${other.getClass.getSimpleName} / type $t mismatch")
     }

@@ -415,7 +415,14 @@ private[sources] class ArrowIpcScanBuilder(full: StructType, dir: String,
   override def pruneColumns(requiredSchema: StructType): Unit =
     // Catalyst hands back a subset of `full` in table-schema order; empty
     // (count(*)-style) is legal — the reader then just counts rows.
-    required = requiredSchema
+    // NESTED prunes (a sub-struct of a struct column) are widened back to
+    // the full column type: the readers resolve and decode whole columns
+    // (a pruned-subset struct would mis-ordinal the columnar child
+    // vectors), and Spark projects the subfields post-scan. Top-level
+    // column pruning — the one that matters for scan volume — is kept.
+    required = StructType(requiredSchema.fields.map { f =>
+      full.fields.find(_.name == f.name).getOrElse(f)
+    })
   override def pushLimit(n: Int): Boolean = {
     // PARTIAL push (return false → Spark keeps its own Limit): each file
     // reader stops loading IPC batches once it has produced n rows, so a
@@ -753,8 +760,23 @@ private[sources] class ArrowIpcReaderFactory(
   // ColumnarBatch (`ArrowColumnVector`; [[FixedSizeBinaryColumnVector]]
   // for the one vector type Spark ships no accessor for) and let the
   // columnar scan consume them in place. The whole type surface wraps
-  // zero-copy.
-  override def supportColumnarReads(partition: InputPartition): Boolean = true
+  // zero-copy — except a FixedSizeBinary NESTED inside a struct, where
+  // the shim can't be interposed (ArrowColumnVector wraps children
+  // itself); that one shape takes the row path below.
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    !required.fields.exists(f => hasNestedFsb(f.dataType))
+
+  private def hasNestedFsb(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types.{ArrayType, BinaryType, StructType}
+    dt match {
+      case s: StructType => s.fields.exists(g =>
+        (g.dataType == BinaryType &&
+          g.metadata.contains(ArrowInterchange.FixedSizeKey)) ||
+        hasNestedFsb(g.dataType))
+      case ArrayType(et, _) => hasNestedFsb(et)
+      case _ => false
+    }
+  }
   override def createColumnarReader(
       partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
     partition match {

@@ -311,4 +311,73 @@ class ArrowInterchangeSpec extends AnyFunSuite {
     }
     assert(e.getCause.getMessage.contains("expects 4 bytes"))
   }
+
+  test("struct columns roundtrip exactly through BOTH write paths, nulls included") {
+    // multimodal row shape: payload + caption + features in one column,
+    // with a NESTED struct and null-at-every-level coverage
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("media", StructType(Seq(
+        StructField("payload", BinaryType),
+        StructField("caption", StringType),
+        StructField("features", ArrayType(FloatType)),
+        StructField("meta", StructType(Seq(
+          StructField("w", IntegerType),
+          StructField("h", IntegerType)))))))))
+    val rows = Seq(
+      Row(1L, Row(Array[Byte](1, 2, 3), "a cat", Seq(0.5f, -1.0f), Row(640, 480))),
+      Row(2L, Row(null, null, null, null)),          // null FIELDS
+      Row(3L, null),                                 // null STRUCT
+      Row(4L, Row(Array.empty[Byte], "", Seq.empty[Float], Row(null, 7))))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+
+    // function-style writer → function-style reader
+    val d1 = tmp("graft_struct_fn")
+    ArrowInterchange.writeStream(df, d1)
+    val b1 = ArrowInterchange.readStream(spark, d1).orderBy("id").collect()
+    assert(b1.map(r => (r.getLong(0), r.get(1))).toSeq ===
+      rows.map(r => (r.getLong(0), r.get(1))))
+
+    // DSv2 writer → DSv2 scan (internal-row path on both sides)
+    val d2 = tmp("graft_struct_dsv2")
+    df.write.format("arrow-ipc").mode("overwrite").save(d2)
+    val back = spark.read.format("arrow-ipc").load(d2)
+    assert(back.schema === schema)
+    val b2 = back.orderBy("id").collect()
+    assert(b2.map(r => (r.getLong(0), r.get(1))).toSeq ===
+      rows.map(r => (r.getLong(0), r.get(1))))
+    // field access composes with the scan (columnar read path)
+    assert(back.select(col("media.meta.w")).as[java.lang.Integer]
+      .collect().toSet === Set[java.lang.Integer](640, null, null, null))
+
+    // and the streaming SOURCE carries struct rows too
+    val q = spark.readStream.format("arrow-ipc").load(d2)
+      .select(col("id"), col("media.caption").as("cap"))
+      .writeStream.format("memory").queryName("graft_struct_stream").start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.table("graft_struct_stream").count() === 4)
+  }
+
+  test("a struct column can never prune, key, or push an aggregate") {
+    val df = spark.range(0, 10).select(col("id"),
+      struct(col("id").as("a"), lit("x").as("b")).as("st"))
+    val dir = tmp("graft_struct_nostats")
+    df.write.format("arrow-ipc").mode("overwrite").save(dir)
+    // stats manifest: kind 0 → the struct column is absent from stats
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stats = graft.sources.ArrowFileStats.read(fs, new org.apache.hadoop.fs.Path(dir))
+    assert(stats.nonEmpty && stats.values.forall(!_.cols.contains("st")))
+    // min/max over the struct refuses the manifest-only push (full scan)
+    val agg = spark.read.format("arrow-ipc").load(dir).agg(min(col("st")))
+    assert(!agg.queryExecution.executedPlan.toString.contains("PushedAggregation"))
+    assert(agg.collect().head.getStruct(0).getLong(0) === 0L)
+    // a struct partition key is rejected loudly at write time
+    val e = intercept[Exception] {
+      df.write.format("arrow-ipc").option("partitionKeys", "st")
+        .mode("overwrite").save(tmp("graft_struct_badkey"))
+    }
+    assert(e.getMessage.contains("stats-bearing") ||
+      Option(e.getCause).exists(_.getMessage.contains("stats-bearing")))
+  }
 }
