@@ -208,13 +208,40 @@ object Aggregates {
       .agg(hll_sketch_estimate(hll_union_agg(col(sketchCol), lit(false)))
         .as("nd_estimate"))
 
+  /** The full atomic-type instantiation table for [[AnyAgg]] — the analog
+    * of the reference's type-generic single-value template
+    * (AggregateFunctionMinMaxAny.h:18-159, instantiated per fixed-width
+    * type plus the string state). Keyed by the SQL-facing suffix used in
+    * `graft_any_<suffix>`; each entry pairs the boxed external encoder the
+    * typed Aggregator needs (null must flow through unharmed, so primitive
+    * encoders are out). Decimal rides Spark's UDAF input cast to the
+    * system default DecimalType — exact for any narrower column. */
+  private def anyAggInstances: Seq[(String, org.apache.spark.sql.expressions.UserDefinedFunction)] = {
+    def inst[T >: Null <: AnyRef : scala.reflect.runtime.universe.TypeTag](
+        e: Encoder[T]) = udaf(new AnyAgg[T](e))
+    Seq(
+      "boolean" -> inst(Encoders.BOOLEAN),
+      "byte" -> inst(Encoders.BYTE),
+      "short" -> inst(Encoders.SHORT),
+      "int" -> inst(Encoders.INT),
+      "long" -> inst(Encoders.LONG),
+      "float" -> inst(Encoders.FLOAT),
+      "double" -> inst(Encoders.DOUBLE),
+      "string" -> inst(Encoders.STRING),
+      "decimal" -> inst(Encoders.DECIMAL),
+      "date" -> inst(Encoders.DATE),
+      "timestamp" -> inst(Encoders.TIMESTAMP),
+      "binary" -> inst(Encoders.BINARY))
+  }
+
   /** Register the house aggregates on a session — the analog of the
     * reference registering "ch.any" etc. in the arrow FunctionRegistry.
-    * One instantiation per element type, like the reference template. */
+    * One instantiation per atomic element type, covering the same surface
+    * as the reference's SingleValueData template family. */
   def registerHouseFunctions(spark: SparkSession): Unit = {
-    spark.udf.register("graft_any_long", udaf(new AnyAgg[java.lang.Long](Encoders.LONG)))
-    spark.udf.register("graft_any_double", udaf(new AnyAgg[java.lang.Double](Encoders.DOUBLE)))
-    spark.udf.register("graft_any_string", udaf(new AnyAgg[String](Encoders.STRING)))
+    anyAggInstances.foreach { case (suffix, fn) =>
+      spark.udf.register(s"graft_any_$suffix", fn)
+    }
     spark.udf.register("graft_bottom_k", udaf(new BottomKByHashAgg(3, "bk")))
   }
 }

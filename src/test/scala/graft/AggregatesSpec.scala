@@ -131,6 +131,50 @@ class AggregatesSpec extends AnyFunSuite {
     assert(rows(2).isNullAt(1) && rows(2).isNullAt(2))
   }
 
+  test("generic any UDAF: every atomic instantiation keeps a member, nulls skipped") {
+    Aggregates.registerHouseFunctions(spark)
+    // Two non-null rows + one all-null row per group; parameterized over the
+    // full instantiation table (the reference's SingleValueData template is
+    // type-generic, AggregateFunctionMinMaxAny.h:18-159). Each column's
+    // group-1 result must be one of its two input values; group 2 is all
+    // null and must yield null through every encoder.
+    val df = spark.sql(
+      """SELECT * FROM VALUES
+           (1, true,  CAST(1 AS TINYINT), CAST(10 AS SMALLINT), 100, 1000L,
+            CAST(1.5 AS FLOAT), 2.5D, CAST(12.34 AS DECIMAL(10,2)),
+            DATE'2024-01-01', TIMESTAMP'2024-01-01 00:00:00', X'AB'),
+           (1, false, CAST(2 AS TINYINT), CAST(20 AS SMALLINT), 200, 2000L,
+            CAST(3.5 AS FLOAT), 4.5D, CAST(56.78 AS DECIMAL(10,2)),
+            DATE'2025-06-15', TIMESTAMP'2025-06-15 12:00:00', X'CD'),
+           (2, CAST(NULL AS BOOLEAN), CAST(NULL AS TINYINT), CAST(NULL AS SMALLINT),
+            CAST(NULL AS INT), CAST(NULL AS BIGINT), CAST(NULL AS FLOAT),
+            CAST(NULL AS DOUBLE), CAST(NULL AS DECIMAL(10,2)), CAST(NULL AS DATE),
+            CAST(NULL AS TIMESTAMP), CAST(NULL AS BINARY))
+         AS t(g, b, i8, i16, i32, i64, f32, f64, dec, d, ts, bin)""")
+    df.createOrReplaceTempView("any_atomic")
+    val cols = Seq("boolean" -> "b", "byte" -> "i8", "short" -> "i16",
+      "int" -> "i32", "long" -> "i64", "float" -> "f32", "double" -> "f64",
+      "decimal" -> "dec", "date" -> "d", "timestamp" -> "ts", "binary" -> "bin")
+    val sel = cols.map { case (sfx, c) => s"graft_any_$sfx($c) AS $c" }.mkString(", ")
+    val out = spark.sql(s"SELECT g, $sel FROM any_atomic GROUP BY g ORDER BY g")
+      .collect()
+    val members = df.filter($"g" === 1).collect()
+    cols.zipWithIndex.foreach { case ((sfx, c), i) =>
+      val got = out(0).get(i + 1)
+      assert(got != null, s"graft_any_$sfx returned null for non-null group")
+      val ok = members.exists { m =>
+        (m.get(i + 1), got) match {
+          case (a: Array[Byte], b: Array[Byte]) => java.util.Arrays.equals(a, b)
+          case (a: java.math.BigDecimal, b: java.math.BigDecimal) =>
+            a.compareTo(b) == 0
+          case (a, b) => a == b
+        }
+      }
+      assert(ok, s"graft_any_$sfx: $got is not a member value of column $c")
+      assert(out(1).isNullAt(i + 1), s"graft_any_$sfx: all-null group must be null")
+    }
+  }
+
   test("bottom-k-by-hash UDAF: deterministic, partition-invariant, bounded") {
     Aggregates.registerHouseFunctions(spark)
     val df = (0L until 500L).map(i => (i % 5, i)).toDF("g", "v")
