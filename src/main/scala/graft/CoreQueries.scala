@@ -1102,6 +1102,49 @@ object CoreQueries {
               WHERE epoch_us(ts) >= mn + (mx - mn) * 3 // 4
               GROUP BY event_type ORDER BY event_type""")),
 
+    // HIVE-STYLE `key=value/` DIRECTORY LAYOUT (the layout every data lake
+    // actually has): orders written partitioned by o_orderstatus into
+    // value subdirectories — the partition column lives in the PATH, not
+    // the files. The status filter prunes whole directories at DISCOVERY
+    // time (a skipped directory's files are never even listed — planning
+    // is O(matching dirs), the shape that matters at 10⁶ files), and the
+    // scan reconstructs the partition column as a constant vector. The
+    // query self-asserts the directory skip; the oracle checks the
+    // surviving answer.
+    ("arrow_hive_prune", (s, d) => {
+      val ord = T(s, d, "orders").select(
+        col("o_orderkey"), col("o_orderstatus"),
+        col("o_orderdate").cast(DateType).as("o_orderdate"),
+        col("o_totalprice").cast(DecimalType(12, 2)).as("price"))
+      // Scratch contract: see json_roundtrip.
+      val path = graft.sources.Scratch.dir(s, "graft_rt_arrowhive")
+      ord.write.format("arrow-ipc")
+        .option("hivePartitionKeys", "o_orderstatus")
+        .mode("overwrite").save(path)
+      val df = s.read.format("arrow-ipc").load(path)
+        .filter(col("o_orderstatus") === "F")
+        .groupBy(year(col("o_orderdate")).as("yr"))
+        .agg(count(lit(1)).as("n"),
+          sum((col("price") * 100).cast(LongType)).as("cents"))
+        .orderBy("yr")
+      val desc = df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.scan.description()
+      }.mkString("\n")
+      require(desc.contains("hive=[o_orderstatus]"),
+        s"arrow_hive_prune: scan did not report the hive layout:\n$desc")
+      val m = "dirs=(\\d+)/(\\d+)".r.findFirstMatchIn(desc).getOrElse(
+        sys.error(s"arrow_hive_prune: no directory-pruning scan in plan:\n$desc"))
+      require(m.group(1).toInt < m.group(2).toInt,
+        s"arrow_hive_prune: status filter pruned no directories (${m.matched})")
+      df
+    },
+      Some("""SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+                     COUNT(*) AS n,
+                     CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+              FROM orders WHERE o_orderstatus = 'F'
+              GROUP BY 1 ORDER BY yr""")),
+
     // Stats pruning on a DECIMAL column — `o_totalprice`-style keys are
     // the common real-world pruning column, and the reference's decimal128
     // is first-class comparable (switch_type.h:78-91). The per-file

@@ -1,0 +1,385 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Hive-style partitioned-directory layout for arrow-ipc datasets
+  * (`key=value/` subdirectories — the layout every data lake actually
+  * has). Declared by `_hive_layout.json` at the dataset root; data files
+  * live under one nested value directory per partition-key tuple and DO
+  * NOT store the partition columns — the path carries them, the scan
+  * reconstructs them as constants.
+  *
+  * The 100 TB payoff is directory-grain pruning: a static filter on a
+  * partition key skips whole value directories BEFORE their files are
+  * ever listed (planning cost O(matching dirs), not O(files)), and a
+  * runtime (DPP) key set prunes partition files through the same
+  * synthesized single-value stats the flat layout's manifest pruning
+  * uses. The reference has no analog (its scans take explicit file
+  * lists); this is the Spark-native discovery layer over the same
+  * Arrow IPC file format.
+  *
+  * Partition-key types are restricted to the forms that round-trip a
+  * directory name unambiguously: string, byte/short/int/long, boolean,
+  * date (ISO `yyyy-MM-dd` in the path). NULL encodes as the conventional
+  * `__HIVE_DEFAULT_PARTITION__`.
+  */
+private[graft] object ArrowHiveLayout {
+  val FileName = "_hive_layout.json"
+  val NullDir = "__HIVE_DEFAULT_PARTITION__"
+
+  def read(fs: FileSystem, dir: Path): Seq[String] = {
+    val p = new Path(dir, FileName)
+    if (!fs.exists(p)) Nil
+    else {
+      import org.json4s._
+      org.json4s.jackson.JsonMethods.parse(ArrowFileStats.readFully(fs, p)) \
+        "hiveKeys" match {
+        case JArray(xs) => xs.collect { case JString(s) => s }
+        case other => throw new IllegalStateException(s"bad $FileName: $other")
+      }
+    }
+  }
+
+  def write(fs: FileSystem, dir: Path, keys: Seq[String]): Unit = {
+    val body = keys.map(k => "\"" + ArrowFileStats.esc(k) + "\"")
+      .mkString("{\"hiveKeys\":[", ",", "]}")
+    val out = fs.create(new Path(dir, FileName), true)
+    try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Types a partition value can take without ambiguity in a path. */
+  def supported(dt: DataType): Boolean = dt match {
+    case StringType | ByteType | ShortType | IntegerType | LongType |
+         BooleanType | DateType => true
+    case _ => false
+  }
+
+  // ── path-segment escaping ────────────────────────────────────────────
+  // Escape the characters that break path semantics (separator, glob
+  // metacharacters, '=', '%', control chars) as %XX — reversible, stable,
+  // and compatible in spirit with Hive's escapePathName.
+  private val reserved: Set[Char] =
+    Set('/', '\\', ':', '*', '?', '"', '<', '>', '|', '=', '%', '#',
+      '{', '}', '[', ']', '\'')
+
+  def escape(s: String): String = {
+    val b = new StringBuilder(s.length + 8)
+    s.foreach { c =>
+      if (c < ' ' || reserved(c)) b.append(f"%%${c.toInt}%02X")
+      else b.append(c)
+    }
+    b.toString
+  }
+
+  def unescape(s: String): String = {
+    val b = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 3 <= s.length) {
+        b.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+        i += 3
+      } else { b.append(c); i += 1 }
+    }
+    b.toString
+  }
+
+  /** Directory segment for one key's INTERNAL value (null allowed). */
+  def dirSegment(field: StructField, internal: Any): String = {
+    val v =
+      if (internal == null) NullDir
+      else field.dataType match {
+        case StringType => escape(internal.toString) // UTF8String.toString
+        case DateType => java.time.LocalDate
+          .ofEpochDay(internal.asInstanceOf[Int].toLong).toString
+        case BooleanType => internal.toString
+        case _ => internal.toString // integral family
+      }
+    s"${escape(field.name)}=$v"
+  }
+
+  /** Parse a `key=value` segment: canonical stat string (None = NULL).
+    * Throws on a segment whose key half doesn't match `field`. */
+  def parseSegment(field: StructField, segment: String): Option[String] = {
+    val eq = segment.indexOf('=')
+    require(eq > 0, s"arrow-ipc hive layout: malformed directory '$segment'")
+    require(unescape(segment.substring(0, eq)) == field.name,
+      s"arrow-ipc hive layout: expected key '${field.name}' but found " +
+        s"directory '$segment'")
+    val raw = segment.substring(eq + 1)
+    if (raw == NullDir) None
+    else Some(field.dataType match {
+      case StringType => unescape(raw)
+      case DateType => java.time.LocalDate.parse(raw).toEpochDay.toString
+      case BooleanType => if (raw == "true") "1" else "0"
+      case _ => java.lang.Long.parseLong(raw).toString // validates integral
+    })
+  }
+
+  private def kindName(dt: DataType): String =
+    if (dt == StringType) "string" else "long"
+
+  /** Synthesized per-key ColStats for a partition value — every row in the
+    * directory carries exactly this value, so min==max (or all-null),
+    * which plugs partition pruning AND single-valuedness proofs into the
+    * same [[ArrowFileStats.canMatch]] machinery the flat manifest uses. */
+  def colStats(field: StructField, canon: Option[String], rows: Long): ColStats =
+    canon match {
+      case Some(v) => ColStats(kindName(field.dataType), Some(v), Some(v), 0)
+      case None => ColStats(kindName(field.dataType), None, None, math.max(rows, 1))
+    }
+
+  /** A one-key FileStats for DIRECTORY-level pruning (rows unknown → 1,
+    * only the all-null interval logic consults it). */
+  def dirStats(field: StructField, canon: Option[String]): FileStats =
+    FileStats(1, Map(field.name -> colStats(field, canon, 1)))
+
+  /** Internal-form value for one canonical partition string. */
+  def internalValue(dt: DataType, canon: Option[String]): Any = canon match {
+    case None => null
+    case Some(s) if dt == StringType => UTF8String.fromString(s)
+    case Some(s) => ArrowFileStats.internalFromCanonical(dt, s)
+  }
+}
+
+/** One data file of a hive-partitioned dataset plus its directory-derived
+  * partition values (canonical stat strings, None = NULL partition). */
+private[sources] case class ArrowHiveFilePartition(
+    file: String, values: Seq[Option[String]]) extends InputPartition
+
+/** Reader factory for hive-partitioned directories: inner readers decode
+  * only the DATA columns present in the files; the partition columns are
+  * spliced back as constants from the directory name — never stored,
+  * never decoded. Columnar path uses [[org.apache.spark.sql.execution
+  * .vectorized.ConstantColumnVector]], the same mechanism Spark's file
+  * sources use for partition values. */
+private[sources] class ArrowIpcHiveReaderFactory(
+    required: StructType, hiveFields: Seq[StructField],
+    conf: SerializableHadoopConf, limit: Int = -1)
+    extends PartitionReaderFactory {
+
+  private val hiveNames = hiveFields.map(_.name)
+  // required-position → Left(data ordinal) | Right(hive key ordinal)
+  private val slots: Array[Either[Int, Int]] = {
+    var d = -1
+    required.fields.map { f =>
+      val h = hiveNames.indexOf(f.name)
+      if (h >= 0) Right(h) else { d += 1; Left(d) }
+    }
+  }
+  private val dataRequired = StructType(
+    required.fields.filter(f => !hiveNames.contains(f.name)))
+
+  private def internals(p: ArrowHiveFilePartition): Array[Any] =
+    hiveFields.zipWithIndex.map { case (f, i) =>
+      ArrowHiveLayout.internalValue(f.dataType, p.values(i))
+    }.toArray
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[ArrowHiveFilePartition]
+    val inner = new ArrowIpcPartitionReader(p.file, dataRequired, conf, limit)
+    val consts = internals(p)
+    val types = required.fields.map(_.dataType)
+    new PartitionReader[InternalRow] {
+      override def next(): Boolean = inner.next()
+      override def get(): InternalRow = {
+        val in = inner.get()
+        val vals = new Array[Any](slots.length)
+        var i = 0
+        while (i < slots.length) {
+          vals(i) = slots(i) match {
+            case Left(d) => in.get(d, types(i))
+            case Right(h) => consts(h)
+          }
+          i += 1
+        }
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
+      }
+      override def close(): Unit = inner.close()
+    }
+  }
+
+  override def supportColumnarReads(partition: InputPartition): Boolean = true
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    import org.apache.spark.sql.execution.vectorized.ConstantColumnVector
+    import org.apache.spark.sql.vectorized.{ColumnarBatch, ColumnVector}
+    val p = partition.asInstanceOf[ArrowHiveFilePartition]
+    val inner = new ArrowIpcColumnarReader(p.file, dataRequired, conf, limit)
+    val consts = internals(p)
+    new PartitionReader[ColumnarBatch] {
+      override def next(): Boolean = inner.next()
+      override def get(): ColumnarBatch = {
+        val in = inner.get()
+        val vecs: Array[ColumnVector] = slots.zipWithIndex.map {
+          case (Left(d), _) => in.column(d)
+          case (Right(h), i) =>
+            val dt = required.fields(i).dataType
+            val v = new ConstantColumnVector(in.numRows(), dt)
+            consts(h) match {
+              case null => v.setNull()
+              case s: UTF8String => v.setUtf8String(s)
+              case b: java.lang.Boolean => v.setBoolean(b)
+              case b: java.lang.Byte => v.setByte(b)
+              case s: java.lang.Short => v.setShort(s)
+              case x: java.lang.Integer => v.setInt(x)
+              case l: java.lang.Long => v.setLong(l)
+              case other => throw new IllegalStateException(
+                s"arrow-ipc hive layout: unsupported constant $other")
+            }
+            v
+        }
+        new ColumnarBatch(vecs, in.numRows())
+      }
+      override def close(): Unit = inner.close()
+    }
+  }
+}
+
+/** Rolling task writer for hive-partitioned layouts: starts a new file in
+  * the value directory whenever the partition-key tuple changes (the plan
+  * is clustered+sorted on the keys via RequiresDistributionAndOrdering,
+  * so each task sees contiguous runs; unsorted input stays correct, just
+  * yields more files). Data files carry ONLY the non-key columns; stats
+  * are collected over those via a projecting row view. */
+private[sources] class ArrowIpcHiveDataWriter(
+    schema: StructType, dir: String, codec: Option[String], queryId: String,
+    partitionId: Int, taskId: Long, conf: SerializableHadoopConf,
+    hiveKeys: Seq[String])
+    extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+  import org.apache.arrow.vector.VectorSchemaRoot
+  import org.apache.arrow.vector.ipc.ArrowStreamWriter
+
+  private val BatchRows = 4096
+  private val types = schema.fields.map(_.dataType)
+  private val keyIdx = hiveKeys.map(k => schema.fieldNames.indexOf(k)).toArray
+  private val keyFields = keyIdx.map(schema.fields(_))
+  private val dataIdx = schema.fields.indices.filterNot(keyIdx.contains).toArray
+  private val dataSchema = StructType(dataIdx.map(schema.fields(_)))
+  private val proj = org.apache.spark.sql.catalyst.ProjectingInternalRow(
+    dataSchema, dataIdx.toIndexedSeq)
+
+  private var alloc: org.apache.arrow.memory.RootAllocator = _
+  private var root: VectorSchemaRoot = _
+  private var writer: ArrowStreamWriter = _
+  private var stats: ArrowStatsCollector = _
+  private var tmp: Path = _
+  private var subdir: Path = _
+  private var n = 0
+  private var seq = 0
+  private var curKey: Array[Any] = _
+  private val finished = scala.collection.mutable.ArrayBuffer
+    .empty[(Path, Path, FileStats)]
+
+  private def keyAt(row: InternalRow, i: Int): Any = {
+    val c = keyIdx(i)
+    if (row.isNullAt(c)) null
+    else types(c) match {
+      case StringType => row.getUTF8String(c)
+      case dt => row.get(c, dt)
+    }
+  }
+
+  private def sameKey(row: InternalRow): Boolean = {
+    var i = 0
+    while (i < keyIdx.length) {
+      if (!java.util.Objects.equals(curKey(i), keyAt(row, i))) return false
+      i += 1
+    }
+    true
+  }
+
+  private def open(): Unit = {
+    alloc = new org.apache.arrow.memory.RootAllocator()
+    root = VectorSchemaRoot.create(ArrowInterchange.toArrowSchema(dataSchema), alloc)
+    subdir = curKey.zipWithIndex.foldLeft(new Path(dir)) { case (p, (v, i)) =>
+      new Path(p, ArrowHiveLayout.dirSegment(keyFields(i), v))
+    }
+    tmp = new Path(subdir,
+      f".part-$partitionId%05d-g$seq%04d-$queryId.arrows.task-$taskId.tmp")
+    val out = tmp.getFileSystem(conf.value).create(tmp, true)
+    writer = ArrowInterchange.newStreamWriter(root, out, codec)
+    writer.start()
+    root.allocateNew()
+    stats = new ArrowStatsCollector(dataSchema)
+  }
+
+  private def flushBatch(): Unit = {
+    root.setRowCount(n)
+    writer.writeBatch()
+    root.allocateNew()
+    n = 0
+  }
+
+  private def roll(): Unit = {
+    if (writer == null) return
+    if (n > 0) flushBatch()
+    writer.end()
+    closeCurrent()
+    finished += ((tmp,
+      new Path(subdir, f"part-$partitionId%05d-g$seq%04d-$queryId.arrows"),
+      stats.result()))
+    seq += 1
+  }
+
+  override def write(row: InternalRow): Unit = {
+    if (curKey == null || !sameKey(row)) {
+      roll()
+      // retain the key OFF the row's reused buffers (UTF8String views them)
+      curKey = Array.tabulate(keyIdx.length) { i =>
+        keyAt(row, i) match {
+          case s: UTF8String => s.clone()
+          case v => v
+        }
+      }
+      open()
+    }
+    var d = 0
+    while (d < dataIdx.length) {
+      val c = dataIdx(d)
+      ArrowInterchange.setInternalValue(root.getVector(d), types(c), n, row, c)
+      d += 1
+    }
+    proj.project(row)
+    stats.update(proj)
+    n += 1
+    if (n >= BatchRows) flushBatch()
+  }
+
+  override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    roll()
+    val files = finished.map { case (t, fin, st) =>
+      val fs = fin.getFileSystem(conf.value)
+      if (!fs.rename(t, fin)) {
+        fs.delete(t, false)
+        throw new java.io.IOException(s"arrow-ipc: rename $t -> $fin failed")
+      }
+      fin.toString -> st
+    }.toSeq
+    ArrowIpcCommitMessage(files)
+  }
+
+  override def abort(): Unit = {
+    closeCurrent()
+    val fs = new Path(dir).getFileSystem(conf.value)
+    if (tmp != null) fs.delete(tmp, false)
+    finished.foreach { case (t, _, _) => fs.delete(t, false) }
+  }
+
+  private def closeCurrent(): Unit = {
+    try {
+      if (writer != null) writer.close()
+      if (root != null) root.close()
+      if (alloc != null) alloc.close()
+    } catch { case _: Throwable => () }
+    writer = null; root = null; alloc = null
+  }
+
+  override def close(): Unit = ()
+}

@@ -84,6 +84,9 @@ private[sources] class ArrowIpcTable(tableSchema: StructType, dir: String)
       Option(info.options.get("codec")), info.queryId(),
       Option(info.options.get("partitionKeys"))
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Nil),
+      Option(info.options.get("hivePartitionKeys"))
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
         .getOrElse(Nil))
 }
 
@@ -146,6 +149,11 @@ private[sources] class ArrowIpcScanBuilder(full: StructType, dir: String,
     val dirPath = new Path(dir)
     val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dirPath)) return false
+    // hive-partitioned directories: files live under value subdirs and lack
+    // the partition columns — the flat manifest arithmetic below doesn't
+    // apply; refuse (→ full scan, which reconstructs partition values)
+    if (scala.util.Try(ArrowHiveLayout.read(fs, dirPath)).toOption
+        .exists(_.nonEmpty)) return false
     if (fs.exists(new Path(dirPath, "_schema.arrows")) &&
         !fs.exists(new Path(dirPath, "_SUCCESS"))) return false
     val visible = ArrowStreamCommits.visibleFilter(fs, dirPath)
@@ -443,14 +451,15 @@ private[sources] class ArrowIpcScanBuilder(full: StructType, dir: String,
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
   override def build(): Scan =
     new ArrowIpcScan(required, dir, limit, pushed, agg, maxFilesPerTrigger,
-      partitionKeys)
+      partitionKeys, full)
 }
 
 private[sources] class ArrowIpcScan(required: StructType, dir: String,
     limit: Int, filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
     agg: Option[(StructType, Array[Array[Any]])] = None,
     maxFilesPerTrigger: Option[Int] = None,
-    partitionKeys: Option[Seq[String]] = None)
+    partitionKeys: Option[Seq[String]] = None,
+    full: StructType = null)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
@@ -468,7 +477,25 @@ private[sources] class ArrowIpcScan(required: StructType, dir: String,
       grouping.fold("") { case (fields, parts) =>
         s" KeyGrouped=[${fields.map(_.name).mkString(", ")}]" +
           s" groups=${parts.map(_.key).distinct.length} files=${parts.length}"
-      }
+      } +
+      (if (hiveFields.nonEmpty)
+        s" hive=[${hiveFields.map(_.name).mkString(", ")}]" +
+          s" dirs=${hiveDirCounts._1}/${hiveDirCounts._2}"
+      else "")
+
+  /** Hive partition-key fields, resolved against the dataset schema (the
+    * FULL one — a projection may prune a partition column the directory
+    * structure still nests by). Empty = flat layout. */
+  private lazy val hiveFields: Seq[StructField] = {
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
+    val schemaForKeys = Option(full).getOrElse(required)
+    ArrowHiveLayout.read(fs, dirPath).map { k =>
+      schemaForKeys.fields.find(_.name == k).getOrElse(throw new IllegalStateException(
+        s"arrow-ipc: ${ArrowHiveLayout.FileName} of $dir names partition key " +
+          s"'$k' which is not in the dataset schema"))
+    }
+  }
 
   /** One listing + completeness gate + manifest read, shared by planning,
     * statistics, explain, and runtime re-pruning. Stats-based skipping:
@@ -479,7 +506,7 @@ private[sources] class ArrowIpcScan(required: StructType, dir: String,
     * semantics (a kept file is still filtered exactly by Spark post-scan).
     * Missing stats (foreign or function-style-written directories) keep
     * every file. */
-  private lazy val (allFiles, manifest, refutedShards) = {
+  private lazy val (allFiles, manifest, refutedShards, hiveVals, hiveDirCounts) = {
     val spark = SparkSession.active
     val conf = spark.sparkContext.hadoopConfiguration
     val dirPath = new Path(dir)
@@ -494,11 +521,52 @@ private[sources] class ArrowIpcScan(required: StructType, dir: String,
     // ledger entry is an uncommitted epoch (crash leftover or in-flight)
     // and does not exist for readers
     val streamVisible = ArrowStreamCommits.visibleFilter(fs, dirPath)
-    val all = Option(fs.globStatus(new Path(dir, "part-*.arrows")))
-      .getOrElse(Array.empty)
-      .filter(st => streamVisible(st.getPath.getName))
+    // hive-partitioned discovery: walk one `key=value` directory level per
+    // partition key, pruning value directories the STATIC filters refute
+    // BEFORE descending — a skipped directory's children are never listed,
+    // so planning over a million-file lake costs O(matching dirs). Value
+    // parse failures under a declared layout are corruption: fail loudly
+    // rather than silently dropping data.
+    var dirsTotal = 0
+    var dirsKept = 0
+    val (all, valsByName) =
+      if (hiveFields.isEmpty) {
+        (Option(fs.globStatus(new Path(dir, "part-*.arrows")))
+          .getOrElse(Array.empty)
+          .filter(st => streamVisible(st.getPath.getName)),
+          Map.empty[String, Seq[Option[String]]])
+      } else {
+        var level: Seq[(Path, List[Option[String]])] = Seq((dirPath, Nil))
+        hiveFields.foreach { f =>
+          val children = level.flatMap { case (p, vals) =>
+            Option(fs.globStatus(
+              new Path(p, ArrowHiveLayout.escape(f.name) + "=*")))
+              .getOrElse(Array.empty).filter(_.isDirectory)
+              .map(st => (st.getPath, vals))
+          }
+          dirsTotal += children.size
+          level = children.flatMap { case (p, vals) =>
+            val canon = ArrowHiveLayout.parseSegment(f, p.getName)
+            if (filters.nonEmpty && !filters.forall(fl =>
+                ArrowFileStats.canMatch(fl, ArrowHiveLayout.dirStats(f, canon))))
+              None
+            else Some((p, canon :: vals))
+          }
+          dirsKept += level.size
+        }
+        val filesWithVals = level.flatMap { case (p, valsRev) =>
+          val vals = valsRev.reverse
+          Option(fs.globStatus(new Path(p, "part-*.arrows")))
+            .getOrElse(Array.empty)
+            .filter(st => streamVisible(st.getPath.getName))
+            .map(st => (st, vals))
+        }
+        (filesWithVals.map(_._1).toArray,
+          filesWithVals.map { case (st, v) => st.getPath.getName -> v }.toMap)
+      }
     if (all.isEmpty)
-      (all, Map.empty[String, FileStats], Set.empty[String])
+      (all, Map.empty[String, FileStats], Set.empty[String], valsByName,
+        (dirsKept, dirsTotal))
     else {
       // shard-level skipping: a commit whose ENVELOPE refutes the pushed
       // filters prunes every one of its files without its per-file stats
@@ -524,7 +592,24 @@ private[sources] class ArrowIpcScan(required: StructType, dir: String,
         (liveIndexed ++ unindexed).flatMap(q =>
           scala.util.Try(ArrowFileStats.readShard(fs, dirPath, q))
             .getOrElse(Map.empty[String, FileStats]))
-      (all, stats, refuted.toSet)
+      // hive layout: splice the directory-derived partition values into
+      // each file's stats as exact single-value columns — pushed and
+      // RUNTIME (DPP) filters on partition keys then prune through the
+      // same canMatch machinery as data-column stats (a manifest-less
+      // foreign file simply stays unpruned, never wrongly skipped)
+      val merged =
+        if (hiveFields.isEmpty) stats
+        else stats.map { case (name, st) =>
+          valsByName.get(name) match {
+            case Some(vals) =>
+              name -> st.copy(cols = st.cols ++
+                hiveFields.zip(vals).map { case (f, v) =>
+                  f.name -> ArrowHiveLayout.colStats(f, v, st.rows)
+                })
+            case None => name -> st
+          }
+        }
+      (all, merged, refuted.toSet, valsByName, (dirsKept, dirsTotal))
     }
   }
 
@@ -591,7 +676,10 @@ private[sources] class ArrowIpcScan(required: StructType, dir: String,
   private lazy val grouping: Option[(Seq[StructField], Array[ArrowKeyedPartition])] = {
     val enabled = SparkSession.active.conf
       .get("spark.sql.sources.v2.bucketing.enabled", "false").toBoolean
-    if (!enabled || agg.isDefined) None
+    // hive-partitioned directories never report a key grouping: the keyed
+    // reader chain decodes files directly and partition columns live in
+    // the path, not the files (flat key-grouped layouts cover SPJ)
+    if (!enabled || agg.isDefined || hiveFields.nonEmpty) None
     else {
       val dirPath = new Path(dir)
       val fs = dirPath.getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
@@ -701,18 +789,32 @@ private[sources] class ArrowIpcScan(required: StructType, dir: String,
           }): InputPartition
         }
       case None =>
-        kept.map(st => ArrowFilePartition(st.getPath.toString): InputPartition)
+        if (hiveFields.isEmpty)
+          kept.map(st => ArrowFilePartition(st.getPath.toString): InputPartition)
+        else kept.map { st =>
+          ArrowHiveFilePartition(st.getPath.toString,
+            hiveVals(st.getPath.getName)): InputPartition
+        }
     }
 
   override def toMicroBatchStream(checkpointLocation: String)
-      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(hiveFields.isEmpty,
+      s"arrow-ipc: streaming reads of hive-partitioned directories are not " +
+        s"supported — $dir declares keys ${hiveFields.map(_.name).mkString(", ")}")
     new ArrowIpcMicroBatchStream(required, dir, filters, maxFilesPerTrigger)
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    agg.fold(new ArrowIpcReaderFactory(required,
-      new SerializableHadoopConf(
-        SparkSession.active.sparkContext.hadoopConfiguration), limit)
-        : PartitionReaderFactory) { case (schema, rows) =>
+    agg.fold {
+      val conf = new SerializableHadoopConf(
+        SparkSession.active.sparkContext.hadoopConfiguration)
+      if (hiveFields.isEmpty)
+        new ArrowIpcReaderFactory(required, conf, limit): PartitionReaderFactory
+      else
+        new ArrowIpcHiveReaderFactory(required, hiveFields, conf, limit)
+          : PartitionReaderFactory
+    } { case (schema, rows) =>
       new ArrowAggReaderFactory(schema, rows)
     }
 }
@@ -841,7 +943,7 @@ private[sources] class ArrowIpcColumnarReader(
 
 private[sources] class ArrowIpcWriteBuilder(
     schema: StructType, dir: String, codec: Option[String], queryId: String,
-    partitionKeys: Seq[String] = Nil)
+    partitionKeys: Seq[String] = Nil, hiveKeys: Seq[String] = Nil)
     extends org.apache.spark.sql.connector.write.WriteBuilder
     with org.apache.spark.sql.connector.write.SupportsTruncate {
   private var doTruncate = false
@@ -849,7 +951,8 @@ private[sources] class ArrowIpcWriteBuilder(
     doTruncate = true; this
   }
   override def build(): org.apache.spark.sql.connector.write.Write =
-    new ArrowIpcWrite(schema, dir, codec, queryId, doTruncate, partitionKeys)
+    new ArrowIpcWrite(schema, dir, codec, queryId, doTruncate, partitionKeys,
+      hiveKeys)
 }
 
 /** DSv2 batch write: Spark's commit coordinator guarantees exactly one
@@ -863,21 +966,33 @@ private[sources] class ArrowIpcWriteBuilder(
   * directory and rewrites the schema sentinel. */
 private[sources] class ArrowIpcWrite(
     schema: StructType, dir: String, codec: Option[String], queryId: String,
-    truncate: Boolean, partitionKeys: Seq[String] = Nil)
+    truncate: Boolean, partitionKeys: Seq[String] = Nil,
+    hiveKeys: Seq[String] = Nil)
     extends org.apache.spark.sql.connector.write.Write
     with org.apache.spark.sql.connector.write.BatchWrite
     with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
   import org.apache.spark.sql.connector.write._
+
+  require(partitionKeys.isEmpty || hiveKeys.isEmpty,
+    "arrow-ipc: partitionKeys (flat key-grouped layout) and " +
+      "hivePartitionKeys (key=value directories) are mutually exclusive")
+
+  /** Keys the plan must cluster+sort by — shared by both layout flavors. */
+  private def clusterKeys: Seq[String] =
+    if (hiveKeys.nonEmpty) hiveKeys else partitionKeys
 
   override def toBatch: BatchWrite = this
   override def toStreaming
       : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
     require(!truncate, "arrow-ipc stream sink is append-only — " +
       "OutputMode.Complete (epoch truncation) is not supported")
+    require(hiveKeys.isEmpty, "arrow-ipc stream sink does not support " +
+      "hivePartitionKeys — use the flat partitionKeys layout for streaming")
     new ArrowIpcStreamingWrite(schema, dir, codec, queryId, partitionKeys)
   }
   override def description(): String = s"arrow-ipc $dir" +
-    (if (partitionKeys.nonEmpty) s" keyed=[${partitionKeys.mkString(", ")}]" else "")
+    (if (partitionKeys.nonEmpty) s" keyed=[${partitionKeys.mkString(", ")}]" else "") +
+    (if (hiveKeys.nonEmpty) s" hive=[${hiveKeys.mkString(", ")}]" else "")
 
   /** A keyed write DECLARES the clustering + in-partition order the
     * rolling writer needs to produce single-valued files (the
@@ -888,17 +1003,17 @@ private[sources] class ArrowIpcWrite(
     * front of it) gets the right shape from the plan itself. */
   override def requiredDistribution()
       : org.apache.spark.sql.connector.distributions.Distribution =
-    if (partitionKeys.isEmpty)
+    if (clusterKeys.isEmpty)
       org.apache.spark.sql.connector.distributions.Distributions.unspecified()
     else
       org.apache.spark.sql.connector.distributions.Distributions.clustered(
-        partitionKeys.map(k => org.apache.spark.sql.connector.expressions
+        clusterKeys.map(k => org.apache.spark.sql.connector.expressions
           .Expressions.identity(k): org.apache.spark.sql.connector.expressions
           .Expression).toArray)
   override def requiredOrdering()
       : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
-    if (partitionKeys.isEmpty) Array.empty
-    else partitionKeys.map(k =>
+    if (clusterKeys.isEmpty) Array.empty
+    else clusterKeys.map(k =>
       org.apache.spark.sql.connector.expressions.Expressions.sort(
         org.apache.spark.sql.connector.expressions.Expressions.identity(k),
         org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)).toArray
@@ -917,6 +1032,17 @@ private[sources] class ArrowIpcWrite(
           "stats-bearing types (integral/date/timestamp/float/string/" +
           "decimal/binary) can key a layout")
     }
+    hiveKeys.foreach { k =>
+      val f = schema.fields.find(_.name == k).getOrElse(throw new IllegalArgumentException(
+        s"arrow-ipc: hivePartitionKeys column '$k' not in schema " +
+          s"(${schema.fieldNames.mkString(", ")})"))
+      require(ArrowHiveLayout.supported(f.dataType),
+        s"arrow-ipc: hivePartitionKeys column '$k' has type ${f.dataType} — " +
+          "only string/byte/short/int/long/boolean/date round-trip a " +
+          "directory name unambiguously")
+    }
+    require(hiveKeys.isEmpty || hiveKeys.size < schema.size,
+      "arrow-ipc: a hive-partitioned dataset needs at least one non-key column")
     val spark = SparkSession.active
     val conf = spark.sparkContext.hadoopConfiguration
     val dirPath = new Path(dir)
@@ -927,6 +1053,14 @@ private[sources] class ArrowIpcWrite(
       require(existing == schema,
         s"arrow-ipc: appending schema $schema to $dir which carries " +
           s"schema $existing — append requires an identical schema")
+      // layout-flavor compatibility: files of a hive-partitioned dataset
+      // live at a different depth and OMIT the key columns — appending
+      // with mismatched keys would interleave unreadable layouts
+      val standing = ArrowHiveLayout.read(fs, dirPath)
+      require(standing == hiveKeys,
+        s"arrow-ipc: $dir is laid out with hive keys " +
+          s"[${standing.mkString(", ")}] but this append declares " +
+          s"[${hiveKeys.mkString(", ")}] — appends must match the standing layout")
     }
     fs.mkdirs(dirPath)
     val sentinel = new Path(dirPath, "_schema.arrows")
@@ -935,7 +1069,7 @@ private[sources] class ArrowIpcWrite(
     // a write in flight invalidates the completeness marker until commit
     fs.delete(new Path(dirPath, "_SUCCESS"), false)
     new ArrowIpcWriterFactory(schema, dir, codec, queryId,
-      new SerializableHadoopConf(conf), partitionKeys)
+      new SerializableHadoopConf(conf), partitionKeys, hiveKeys)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -973,6 +1107,10 @@ private[sources] class ArrowIpcWrite(
         ArrowLayout.write(fs, dirPath, partitionKeys)
       else ArrowLayout.delete(fs, dirPath)
     }
+    // hive layout declaration: appends were already validated to match at
+    // factory-create time, so this is idempotent (or the fresh write after
+    // a truncate)
+    if (hiveKeys.nonEmpty) ArrowHiveLayout.write(fs, dirPath, hiveKeys)
     fs.create(new Path(dirPath, "_SUCCESS"), true).close()
   }
 
@@ -994,11 +1132,15 @@ private[sources] case class ArrowIpcCommitMessage(
 
 private[sources] class ArrowIpcWriterFactory(
     schema: StructType, dir: String, codec: Option[String], queryId: String,
-    conf: SerializableHadoopConf, partitionKeys: Seq[String] = Nil)
+    conf: SerializableHadoopConf, partitionKeys: Seq[String] = Nil,
+    hiveKeys: Seq[String] = Nil)
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
-    if (partitionKeys.isEmpty)
+    if (hiveKeys.nonEmpty)
+      new ArrowIpcHiveDataWriter(schema, dir, codec, queryId, partitionId,
+        taskId, conf, hiveKeys)
+    else if (partitionKeys.isEmpty)
       new ArrowIpcDataWriter(schema, dir, codec, queryId, partitionId, taskId, conf)
     else
       new ArrowIpcKeyedDataWriter(schema, dir, codec, queryId, partitionId,

@@ -58,6 +58,12 @@ object ArrowMaintenance {
     require(targetBytes >= 1, "targetBytes must be >= 1")
     val dirPath = new Path(dir)
     val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // hive-partitioned directories nest files under value subdirs; the
+    // flat staging/swap below would silently compact nothing (or worse,
+    // stage a partition-column-less copy) — refuse loudly
+    require(ArrowHiveLayout.read(fs, dirPath).isEmpty,
+      s"arrow-ipc: compaction of hive-partitioned directories is not " +
+        s"supported — $dir declares a ${ArrowHiveLayout.FileName}")
     recover(spark, dir) // finish any crashed swap before touching anything
     // clear staging dirs from runs that died BEFORE recording intent
     Option(fs.globStatus(new Path(dir, ".compact-*")))

@@ -1,0 +1,243 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.ArrowHiveLayout
+
+/** Hive-style `key=value/` partitioned layout for the arrow-ipc source:
+  * write routes rows into value directories (partition columns live in the
+  * path, not the files), discovery prunes whole directories against static
+  * filters before listing their files, and the scan reconstructs the
+  * partition columns as constants. */
+class ArrowHiveSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString + "/out"
+
+  private def scanDesc(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan.description()
+    }.mkString("\n")
+
+  test("round-trip: values land in key=value dirs, files omit the key columns") {
+    val df = (0 until 60).map(i => (i, s"g${i % 3}", i % 2 == 0, s"payload$i"))
+      .toDF("id", "grp", "flag", "body")
+    val dir = tmp("graft_hive_rt")
+    df.write.format("arrow-ipc")
+      .option("hivePartitionKeys", "grp,flag").mode("overwrite").save(dir)
+
+    // directory shape: grp=g0/flag=true/... two nested levels
+    val root = new java.io.File(dir)
+    val level1 = root.listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(level1.toSeq === Seq("grp=g0", "grp=g1", "grp=g2"))
+    val level2 = new java.io.File(root, "grp=g0").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(level2.toSeq === Seq("flag=false", "flag=true"))
+
+    // data files carry ONLY the non-key columns
+    val aFile = Files.walk(root.toPath).filter(_.toString.endsWith(".arrows"))
+      .filter(!_.getFileName.toString.startsWith("_")).findFirst().get()
+    val alloc = new org.apache.arrow.memory.RootAllocator()
+    val rd = new org.apache.arrow.vector.ipc.ArrowStreamReader(
+      Files.newInputStream(aFile), alloc)
+    val names = rd.getVectorSchemaRoot.getSchema.getFields
+    assert(names.size() === 2)
+    assert(names.get(0).getName === "id" && names.get(1).getName === "body")
+    rd.close(); alloc.close()
+
+    // read back: full schema (sentinel order), identical content
+    val back = spark.read.format("arrow-ipc").load(dir)
+    assert(back.schema.fieldNames.toSeq === Seq("id", "grp", "flag", "body"))
+    assert(back.orderBy("id").collect().map(_.toString).toSeq ===
+      df.orderBy("id").collect().map(_.toString).toSeq)
+  }
+
+  test("static filter on a partition key prunes whole directories before listing") {
+    val df = (0 until 40).map(i => (i, s"g${i % 4}")).toDF("id", "grp")
+    val dir = tmp("graft_hive_prune")
+    df.write.format("arrow-ipc")
+      .option("hivePartitionKeys", "grp").mode("overwrite").save(dir)
+
+    // corrupt every file outside grp=g1: a read that opens one would throw
+    Files.walk(new java.io.File(dir).toPath)
+      .filter(_.toString.endsWith(".arrows"))
+      .filter(!_.getFileName.toString.startsWith("_"))
+      .filter(!_.toString.contains("grp=g1"))
+      .forEach(p => Files.write(p, Array[Byte](1, 2, 3)))
+
+    val q = spark.read.format("arrow-ipc").load(dir).filter($"grp" === "g1")
+    val desc = scanDesc(q)
+    assert(desc.contains("hive=[grp]"), s"scan must report the layout: $desc")
+    val m = "dirs=(\\d+)/(\\d+)".r.findFirstMatchIn(desc).get
+    assert(m.group(1).toInt === 1 && m.group(2).toInt === 4,
+      s"expected 1/4 directories kept: $desc")
+    assert(q.select("id").as[Int].collect().sorted.toSeq ===
+      (0 until 40).filter(_ % 4 == 1))
+  }
+
+  test("NULL partition values: default-partition dir, IsNull/IsNotNull prune exactly") {
+    val df = Seq((1, Option("a")), (2, Option("a")), (3, Option.empty[String]))
+      .toDF("id", "k")
+    val dir = tmp("graft_hive_null")
+    df.write.format("arrow-ipc")
+      .option("hivePartitionKeys", "k").mode("overwrite").save(dir)
+    val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .map(_.getName).sorted
+    assert(dirs.toSeq === Seq(ArrowHiveLayout.NullDir).map("k=" + _) ++ Seq("k=a"))
+
+    val back = spark.read.format("arrow-ipc").load(dir)
+    assert(back.filter($"k".isNull).select("id").as[Int].collect().toSeq === Seq(3))
+    assert(back.filter($"k".isNotNull).select("id").as[Int].collect().sorted.toSeq
+      === Seq(1, 2))
+    // equality never matches the null dir, and prunes it at the dir level
+    val eq = back.filter($"k" === "a")
+    assert(eq.count() === 2)
+    val m = "dirs=(\\d+)/(\\d+)".r.findFirstMatchIn(scanDesc(eq)).get
+    assert(m.group(1).toInt === 1 && m.group(2).toInt === 2)
+  }
+
+  test("path-hostile string values and date keys round-trip") {
+    val days = Seq("2024-01-31", "2025-12-01").map(java.sql.Date.valueOf)
+    val df = Seq(
+      ("a/b=c", days(0), 1), ("a/b=c", days(0), 2),
+      ("100% #tricky:*?", days(1), 3), ("plain", days(1), 4))
+      .toDF("s", "d", "id")
+    val dir = tmp("graft_hive_esc")
+    df.write.format("arrow-ipc")
+      .option("hivePartitionKeys", "s,d").mode("overwrite").save(dir)
+    val back = spark.read.format("arrow-ipc").load(dir)
+    assert(back.orderBy("id").collect().map(_.toString).toSeq ===
+      df.orderBy("id").collect().map(_.toString).toSeq)
+    // a date-key filter prunes at the directory level
+    val q = back.filter($"d" === lit(days(0)))
+    assert(q.select("id").as[Int].collect().sorted.toSeq === Seq(1, 2))
+    val desc = scanDesc(q)
+    val m = "dirs=(\\d+)/(\\d+)".r.findFirstMatchIn(desc).get
+    assert(m.group(1).toInt < m.group(2).toInt, s"date dir not pruned: $desc")
+  }
+
+  test("projection without the key column, and key-only projection, both read") {
+    val df = (0 until 12).map(i => (i, s"g${i % 2}")).toDF("id", "grp")
+    val dir = tmp("graft_hive_proj")
+    df.write.format("arrow-ipc")
+      .option("hivePartitionKeys", "grp").mode("overwrite").save(dir)
+    val back = spark.read.format("arrow-ipc").load(dir)
+    assert(back.select("id").as[Int].collect().sorted.toSeq === (0 until 12))
+    assert(back.select("grp").distinct().as[String].collect().sorted.toSeq ===
+      Seq("g0", "g1"))
+    // aggregate over the partition column only — group counts must be exact
+    assert(back.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap ===
+      Map("g0" -> 6L, "g1" -> 6L))
+  }
+
+  test("append with matching keys merges; mismatched layout appends refuse") {
+    val dir = tmp("graft_hive_append")
+    val mk = (lo: Int, hi: Int) =>
+      (lo until hi).map(i => (i, s"g${i % 2}")).toDF("id", "grp")
+    mk(0, 10).write.format("arrow-ipc")
+      .option("hivePartitionKeys", "grp").mode("overwrite").save(dir)
+    mk(10, 20).write.format("arrow-ipc")
+      .option("hivePartitionKeys", "grp").mode("append").save(dir)
+    val back = spark.read.format("arrow-ipc").load(dir)
+    assert(back.select("id").as[Int].collect().sorted.toSeq === (0 until 20))
+
+    val flat = intercept[Exception] {
+      mk(20, 30).write.format("arrow-ipc").mode("append").save(dir)
+    }
+    assert(flat.getMessage.contains("standing layout"))
+    val otherKey = intercept[Exception] {
+      mk(20, 30).write.format("arrow-ipc")
+        .option("hivePartitionKeys", "id").mode("append").save(dir)
+    }
+    assert(otherKey.getMessage.contains("standing layout"))
+  }
+
+  test("unsupported key types and all-key schemas refuse loudly") {
+    val df = Seq((1.5, "x", 1)).toDF("f", "s", "id")
+    val dir = tmp("graft_hive_badkey")
+    val bad = intercept[Exception] {
+      df.write.format("arrow-ipc")
+        .option("hivePartitionKeys", "f").mode("overwrite").save(dir)
+    }
+    assert(bad.getMessage.contains("round-trip"))
+    val allKeys = intercept[Exception] {
+      Seq(("a", "b")).toDF("x", "y").write.format("arrow-ipc")
+        .option("hivePartitionKeys", "x,y").mode("overwrite").save(dir)
+    }
+    assert(allKeys.getMessage.contains("non-key column"))
+    val both = intercept[Exception] {
+      df.write.format("arrow-ipc").option("hivePartitionKeys", "s")
+        .option("partitionKeys", "id").mode("overwrite").save(dir)
+    }
+    assert(both.getMessage.contains("mutually exclusive"))
+  }
+
+  test("runtime (DPP) filters prune partition files via the merged manifest") {
+    val facts = (0 until 100).map(i => (i, s"g${i % 5}", i * 10)).toDF("id", "grp", "v")
+    val dir = tmp("graft_hive_dpp")
+    facts.write.format("arrow-ipc")
+      .option("hivePartitionKeys", "grp").mode("overwrite").save(dir)
+    // corrupt everything outside grp=g2: the broadcast-join key set must
+    // keep the scan away from every other directory's files
+    Files.walk(new java.io.File(dir).toPath)
+      .filter(_.toString.endsWith(".arrows"))
+      .filter(!_.getFileName.toString.startsWith("_"))
+      .filter(!_.toString.contains("grp=g2"))
+      .forEach(p => Files.write(p, Array[Byte](9, 9, 9)))
+    // the filter on the dim side is what makes the build side SELECTIVE —
+    // Spark's partition-pruning rule only inserts a runtime filter when
+    // the broadcast side carries a selective predicate (a LocalRelation
+    // would constant-fold the filter away, so the dim rides spark.range)
+    val dim = spark.range(0, 5)
+      .select(concat(lit("g"), col("id")).as("dk"))
+      .filter($"dk" === "g2")
+    val joined = spark.read.format("arrow-ipc").load(dir)
+      .join(broadcast(dim), $"grp" === $"dk")
+      .agg(count(lit(1)).as("n"), sum($"v").as("sv"))
+    val r = joined.head()
+    assert(r.getLong(0) === 20L)
+    assert(r.getLong(1) === (0 until 100).filter(_ % 5 == 2).map(_ * 10).sum)
+  }
+
+  test("hive directories refuse streaming reads, compaction, and agg pushdown") {
+    val df = (0 until 10).map(i => (i, s"g${i % 2}")).toDF("id", "grp")
+    val dir = tmp("graft_hive_refuse")
+    df.write.format("arrow-ipc")
+      .option("hivePartitionKeys", "grp").mode("overwrite").save(dir)
+    // aggregate pushdown refuses → answered by a real scan, still correct
+    val agg = spark.read.format("arrow-ipc").load(dir).agg(count(lit(1)))
+    assert(!scanDesc(agg).contains("PushedAggregation"),
+      "hive dirs must not push aggregates over the flat manifest")
+    assert(agg.head().getLong(0) === 10L)
+    // the refusal surfaces on the stream-execution thread, not at start()
+    val q = spark.readStream.format("arrow-ipc")
+      .schema(spark.read.format("arrow-ipc").load(dir).schema)
+      .load(dir).writeStream.format("noop")
+      .option("checkpointLocation", tmp("graft_hive_ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    val stream = intercept[Exception] { q.awaitTermination() }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(stream).exists(_.contains("hive-partitioned")))
+    val comp = intercept[Exception] {
+      graft.sources.ArrowMaintenance.compact(spark, dir)
+    }
+    assert(comp.getMessage.contains("hive-partitioned"))
+  }
+
+  test("escape/unescape round-trips the reserved set") {
+    val hostile = "a/b\\c:d*e?f\"g<h>i|j=k%l#m{n}o[p]q'rs"
+    assert(ArrowHiveLayout.unescape(ArrowHiveLayout.escape(hostile)) === hostile)
+    assert(!ArrowHiveLayout.escape(hostile).exists(c =>
+      "/\\:*?\"<>|=#{}[]'".contains(c) || c < ' '))
+  }
+}
