@@ -1145,6 +1145,66 @@ object CoreQueries {
               FROM orders WHERE o_orderstatus = 'F'
               GROUP BY 1 ORDER BY yr""")),
 
+    // SPJ ∘ HIVE LAYOUT: two hive-partitioned directories join on the
+    // partition key with ZERO shuffle and ZERO sort — every file is
+    // single-valued on the key BY CONSTRUCTION (the directory value,
+    // spliced into the stats view), so the scans report
+    // KeyGroupedPartitioning without any read option. The 100 TB point:
+    // the layout every data lake already has IS a co-location layout —
+    // repeated joins on the partition key never pay an exchange.
+    // Materialization discipline identical to arrow_spj_join (persist +
+    // count, plan asserts on the cached plan, no driver collect).
+    ("arrow_hive_spj", (s, d) => {
+      val cust = T(s, d, "customer").select(col("c_custkey"), col("c_nationkey"))
+      val supp = T(s, d, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+      // Scratch contract: see json_roundtrip.
+      val pl = graft.sources.Scratch.dir(s, "graft_rt_hivespj_l")
+      val pr = graft.sources.Scratch.dir(s, "graft_rt_hivespj_r")
+      cust.write.format("arrow-ipc")
+        .option("hivePartitionKeys", "c_nationkey").mode("overwrite").save(pl)
+      supp.write.format("arrow-ipc")
+        .option("hivePartitionKeys", "s_nationkey").mode("overwrite").save(pr)
+      val confs = Seq("spark.sql.sources.v2.bucketing.enabled" -> "true",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+      val saved = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+      try {
+        confs.foreach { case (k, v) => s.conf.set(k, v) }
+        val j = s.read.format("arrow-ipc").load(pl)
+          .join(s.read.format("arrow-ipc").load(pr),
+            col("c_nationkey") === col("s_nationkey"))
+          .groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).as("pairs"),
+            sum(col("c_custkey") * col("s_suppkey")).as("cross_sum"))
+          .withColumnRenamed("c_nationkey", "nationkey")
+          .orderBy("nationkey")
+        val cached = j.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        cached.count()
+        val plan = cached.queryExecution.optimizedPlan.collect {
+          case m: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+            m.cachedPlan
+        }.head match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            a.executedPlan
+          case p => p
+        }
+        val shuffles = plan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+        }.size
+        require(shuffles == 0,
+          s"arrow_hive_spj: expected a storage-partitioned join, got $shuffles shuffles\n$plan")
+        require(plan.toString.contains("KeyGrouped=") &&
+          plan.toString.contains("hive=["),
+          "arrow_hive_spj: scans did not report a hive-derived key grouping")
+        cached
+      } finally saved.foreach { case (k, v) =>
+        v.fold(s.conf.unset(k))(s.conf.set(k, _))
+      }
+    },
+      Some("""SELECT c_nationkey AS nationkey, COUNT(*) AS pairs,
+                     CAST(SUM(CAST(c_custkey AS BIGINT) * s_suppkey) AS BIGINT) AS cross_sum
+              FROM customer JOIN supplier ON c_nationkey = s_nationkey
+              GROUP BY 1 ORDER BY nationkey""")),
+
     // Stats pruning on a DECIMAL column — `o_totalprice`-style keys are
     // the common real-world pruning column, and the reference's decimal128
     // is first-class comparable (switch_type.h:78-91). The per-file

@@ -175,15 +175,15 @@ private[sources] class ArrowIpcHiveReaderFactory(
   private val dataRequired = StructType(
     required.fields.filter(f => !hiveNames.contains(f.name)))
 
-  private def internals(p: ArrowHiveFilePartition): Array[Any] =
+  private def internals(values: Seq[Option[String]]): Array[Any] =
     hiveFields.zipWithIndex.map { case (f, i) =>
-      ArrowHiveLayout.internalValue(f.dataType, p.values(i))
+      ArrowHiveLayout.internalValue(f.dataType, values(i))
     }.toArray
 
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[ArrowHiveFilePartition]
-    val inner = new ArrowIpcPartitionReader(p.file, dataRequired, conf, limit)
-    val consts = internals(p)
+  private def rowReader(file: String, values: Seq[Option[String]])
+      : PartitionReader[InternalRow] = {
+    val inner = new ArrowIpcPartitionReader(file, dataRequired, conf, limit)
+    val consts = internals(values)
     val types = required.fields.map(_.dataType)
     new PartitionReader[InternalRow] {
       override def next(): Boolean = inner.next()
@@ -204,15 +204,12 @@ private[sources] class ArrowIpcHiveReaderFactory(
     }
   }
 
-  override def supportColumnarReads(partition: InputPartition): Boolean = true
-
-  override def createColumnarReader(partition: InputPartition)
+  private def columnarReader(file: String, values: Seq[Option[String]])
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     import org.apache.spark.sql.execution.vectorized.ConstantColumnVector
     import org.apache.spark.sql.vectorized.{ColumnarBatch, ColumnVector}
-    val p = partition.asInstanceOf[ArrowHiveFilePartition]
-    val inner = new ArrowIpcColumnarReader(p.file, dataRequired, conf, limit)
-    val consts = internals(p)
+    val inner = new ArrowIpcColumnarReader(file, dataRequired, conf, limit)
+    val consts = internals(values)
     new PartitionReader[ColumnarBatch] {
       override def next(): Boolean = inner.next()
       override def get(): ColumnarBatch = {
@@ -240,6 +237,28 @@ private[sources] class ArrowIpcHiveReaderFactory(
       override def close(): Unit = inner.close()
     }
   }
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    partition match {
+      case p: ArrowHiveFilePartition => rowReader(p.file, p.values)
+      case k: ArrowKeyedPartition =>
+        // a storage-partitioned key group over a hive directory: chain the
+        // splicing readers, each file with its own directory values
+        new ChainedPartitionReader[(String, Seq[Option[String]]), InternalRow](
+          k.files.zip(k.hiveValues), fv => rowReader(fv._1, fv._2))
+    }
+
+  override def supportColumnarReads(partition: InputPartition): Boolean = true
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    partition match {
+      case p: ArrowHiveFilePartition => columnarReader(p.file, p.values)
+      case k: ArrowKeyedPartition =>
+        new ChainedPartitionReader[(String, Seq[Option[String]]),
+            org.apache.spark.sql.vectorized.ColumnarBatch](
+          k.files.zip(k.hiveValues), fv => columnarReader(fv._1, fv._2))
+    }
 }
 
 /** Rolling task writer for hive-partitioned layouts: starts a new file in

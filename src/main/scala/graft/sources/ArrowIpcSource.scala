@@ -676,14 +676,20 @@ private[sources] class ArrowIpcScan(required: StructType, dir: String,
   private lazy val grouping: Option[(Seq[StructField], Array[ArrowKeyedPartition])] = {
     val enabled = SparkSession.active.conf
       .get("spark.sql.sources.v2.bucketing.enabled", "false").toBoolean
-    // hive-partitioned directories never report a key grouping: the keyed
-    // reader chain decodes files directly and partition columns live in
-    // the path, not the files (flat key-grouped layouts cover SPJ)
-    if (!enabled || agg.isDefined || hiveFields.nonEmpty) None
+    if (!enabled || agg.isDefined) None
     else {
       val dirPath = new Path(dir)
       val fs = dirPath.getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
-      val keys = partitionKeys.getOrElse(ArrowLayout.read(fs, dirPath))
+      // a hive-partitioned directory defaults its grouping keys to the
+      // hive keys themselves: every file is single-valued on them BY
+      // CONSTRUCTION (the directory value), which the merged manifest
+      // carries as exact single-value stats — so two hive-partitioned
+      // datasets (or a hive and a flat key-grouped one; the canonical key
+      // encoding is shared) join on the partition key with ZERO shuffle
+      val keys = partitionKeys.getOrElse {
+        if (hiveFields.nonEmpty) hiveFields.map(_.name)
+        else ArrowLayout.read(fs, dirPath)
+      }
       val fields = keys.flatMap(k => required.fields.find(_.name == k))
       if (keys.isEmpty || fields.length != keys.length ||
           fields.exists(f => ArrowFileStats.kindOf(f.dataType) == 0)) None
@@ -694,7 +700,8 @@ private[sources] class ArrowIpcScan(required: StructType, dir: String,
           manifest.get(name).flatMap { fstats =>
             val vals = keys.map(k => ArrowFileStats.singleValue(fstats, k))
             if (vals.exists(_.isEmpty)) None
-            else Some(st.getPath.toString -> vals.map(_.get))
+            else Some((st.getPath.toString, vals.map(_.get),
+              hiveVals.getOrElse(name, Nil)))
           }
         }
         if (files.isEmpty || proofs.exists(_.isEmpty)) None
@@ -707,10 +714,11 @@ private[sources] class ArrowIpcScan(required: StructType, dir: String,
           // keep a skewed key's files split instead of funneling them
           // through one task
           val parts = proofs.map(_.get)
-            .sortBy { case (path, key) =>
+            .sortBy { case (path, key, _) =>
               (key.map(_.getOrElse("")).mkString("\u0001"), path) }
-            .map { case (path, key) =>
-              ArrowKeyedPartition(Seq(path), key, dts) }
+            .map { case (path, key, hv) =>
+              ArrowKeyedPartition(Seq(path), key, dts,
+                if (hiveFields.isEmpty) Nil else Seq(hv)) }
           Some((fields, parts))
         }
       }
@@ -783,10 +791,13 @@ private[sources] class ArrowIpcScan(required: StructType, dir: String,
         // group stays as an empty partition (reads nothing)
         if (runtime.isEmpty) groups.map(g => g: InputPartition)
         else groups.map { g =>
-          g.copy(files = g.files.filter { path =>
-            manifest.get(new Path(path).getName)
+          val keep = g.files.indices.filter { i =>
+            manifest.get(new Path(g.files(i)).getName)
               .forall(s => runtime.forall(f => ArrowFileStats.canMatch(f, s)))
-          }): InputPartition
+          }
+          g.copy(files = keep.map(g.files),
+            hiveValues =
+              if (g.hiveValues.isEmpty) Nil else keep.map(g.hiveValues)): InputPartition
         }
       case None =>
         if (hiveFields.isEmpty)
@@ -853,7 +864,7 @@ private[sources] class ArrowIpcReaderFactory(
       case ArrowFilePartition(file) =>
         new ArrowIpcPartitionReader(file, required, conf, limit)
       case k: ArrowKeyedPartition =>
-        new ChainedPartitionReader[InternalRow](k.files,
+        new ChainedPartitionReader[String, InternalRow](k.files,
           f => new ArrowIpcPartitionReader(f, required, conf, limit))
     }
 
@@ -885,7 +896,7 @@ private[sources] class ArrowIpcReaderFactory(
       case ArrowFilePartition(file) =>
         new ArrowIpcColumnarReader(file, required, conf, limit)
       case k: ArrowKeyedPartition =>
-        new ChainedPartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch](
+        new ChainedPartitionReader[String, org.apache.spark.sql.vectorized.ColumnarBatch](
           k.files, f => new ArrowIpcColumnarReader(f, required, conf, limit))
     }
 }

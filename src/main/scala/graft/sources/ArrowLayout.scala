@@ -54,9 +54,14 @@ private[graft] object ArrowLayout {
 /** One key group of a key-grouped directory: every row of every listed
   * file carries exactly `key` on the grouping columns (canonical stat
   * strings; null element = the all-NULL group). Implements
-  * [[HasPartitionKey]] so Spark can co-locate compatible scans. */
+  * [[HasPartitionKey]] so Spark can co-locate compatible scans.
+  * `hiveValues` (parallel to `files`, empty for flat layouts) carries
+  * each file's directory-derived hive partition values so the hive
+  * reader can splice them back — hive-partitioned datasets participate
+  * in storage-partitioned joins through the same partition type. */
 private[sources] case class ArrowKeyedPartition(
-    files: Seq[String], key: Seq[Option[String]], keyTypes: Seq[DataType])
+    files: Seq[String], key: Seq[Option[String]], keyTypes: Seq[DataType],
+    hiveValues: Seq[Seq[Option[String]]] = Nil)
     extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow =
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
@@ -68,10 +73,11 @@ private[sources] case class ArrowKeyedPartition(
       }.toArray)
 }
 
-/** Sequential chain of per-file readers — a key group reads its files one
-  * after another inside a single Spark partition. */
-private[sources] class ChainedPartitionReader[T](
-    files: Seq[String], mk: String => PartitionReader[T])
+/** Sequential chain of per-item readers — a key group reads its files one
+  * after another inside a single Spark partition (`A` = whatever per-file
+  * descriptor the factory needs: a path, or a path + hive values). */
+private[sources] class ChainedPartitionReader[A, T](
+    files: Seq[A], mk: A => PartitionReader[T])
     extends PartitionReader[T] {
   private val remaining = files.iterator
   private var current: PartitionReader[T] = _

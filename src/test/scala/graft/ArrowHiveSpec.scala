@@ -234,6 +234,84 @@ class ArrowHiveSpec extends AnyFunSuite {
     assert(comp.getMessage.contains("hive-partitioned"))
   }
 
+  private def withSpjConfs[T](body: => T): T = {
+    val keys = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.autoBroadcastJoinThreshold", "spark.sql.adaptive.enabled")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    spark.conf.set(keys(0), "true")
+    spark.conf.set(keys(1), "-1")
+    spark.conf.set(keys(2), "false")
+    try body
+    finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
+  private def shufflesAndSorts(df: org.apache.spark.sql.DataFrame): (Int, Int) = {
+    df.collect()
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    (plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.size,
+      plan.collect { case s: org.apache.spark.sql.execution.SortExec => s }.size)
+  }
+
+  test("two hive-partitioned datasets join on the partition key with zero shuffle") {
+    // every file of a hive dir is single-valued on the key BY CONSTRUCTION
+    // (the directory value, spliced into the stats view) — so the scan
+    // reports KeyGroupedPartitioning without any partitionKeys option and
+    // two datasets laid out the same way co-locate for free
+    val dl = tmp("graft_hive_spj_l")
+    val dr = tmp("graft_hive_spj_r")
+    val left = (0 until 200).map(i => (s"k${i % 7}", i.toLong)).toDF("k", "lv")
+    val right = (0 until 140).map(i => (s"k${i % 7}", i * 10L)).toDF("k", "rv")
+    left.write.format("arrow-ipc")
+      .option("hivePartitionKeys", "k").mode("overwrite").save(dl)
+    right.write.format("arrow-ipc")
+      .option("hivePartitionKeys", "k").mode("overwrite").save(dr)
+    withSpjConfs {
+      val j = spark.read.format("arrow-ipc").load(dl)
+        .join(spark.read.format("arrow-ipc").load(dr), "k")
+        .groupBy("k").agg(count(lit(1)).as("n"), sum($"lv" + $"rv").as("s"))
+      val (shuffles, sorts) = shufflesAndSorts(j)
+      assert(shuffles === 0,
+        s"expected a storage-partitioned join over hive dirs, got $shuffles shuffles:\n${j.queryExecution.executedPlan}")
+      assert(sorts === 0, s"key ordering should kill SMJ sorts, got $sorts")
+      val want = left.join(right, "k")
+        .groupBy("k").agg(count(lit(1)).as("n"), sum($"lv" + $"rv").as("s"))
+        .orderBy("k").collect().map(_.toString).toSeq
+      assert(j.orderBy("k").collect().map(_.toString).toSeq === want)
+    }
+  }
+
+  test("a hive dataset joins a flat key-grouped dataset with zero shuffle") {
+    // the canonical key encoding is shared between directory values and
+    // stats intervals, so the two layout flavors co-locate with each other
+    val dl = tmp("graft_hive_spj_mix_l")
+    val dr = tmp("graft_hive_spj_mix_r")
+    val left = (0 until 200).map(i => (i % 5L, i.toLong)).toDF("k", "lv")
+    val right = (0 until 100).map(i => (i % 5L, i * 10L)).toDF("k", "rv")
+    left.write.format("arrow-ipc")
+      .option("hivePartitionKeys", "k").mode("overwrite").save(dl)
+    graft.sources.Sinks.writeKeyGrouped(right, dr, Seq("k"), partitions = 2)
+    withSpjConfs {
+      val j = spark.read.format("arrow-ipc").load(dl)
+        .join(spark.read.format("arrow-ipc").load(dr), "k")
+        .groupBy("k").agg(count(lit(1)).as("n"), sum($"lv" + $"rv").as("s"))
+      val (shuffles, _) = shufflesAndSorts(j)
+      assert(shuffles === 0,
+        s"expected hive ↔ flat co-location, got $shuffles shuffles:\n${j.queryExecution.executedPlan}")
+      val want = left.join(right, "k")
+        .groupBy("k").agg(count(lit(1)).as("n"), sum($"lv" + $"rv").as("s"))
+        .orderBy("k").collect().map(_.toString).toSeq
+      assert(j.orderBy("k").collect().map(_.toString).toSeq === want)
+    }
+  }
+
   test("escape/unescape round-trips the reserved set") {
     val hostile = "a/b\\c:d*e?f\"g<h>i|j=k%l#m{n}o[p]q'rs"
     assert(ArrowHiveLayout.unescape(ArrowHiveLayout.escape(hostile)) === hostile)
