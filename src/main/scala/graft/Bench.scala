@@ -34,7 +34,8 @@ object Bench {
     "q20_promo_suppliers", "arrow_agg_pushdown", "arrow_sum_pushdown",
     "arrow_runtime_prune",
     "arrow_compact", "arrow_spj_join", "arrow_group_agg", "stream_spj_join",
-    "multimodal_struct", "arrow_hive_prune", "arrow_hive_spj")
+    "multimodal_struct", "arrow_hive_prune", "arrow_hive_spj",
+    "arrow_hive_group_agg")
 
   def main(args: Array[String]): Unit = {
     // Iteration aid: SPARK_GRAFT_ONLY=q1,q2 restricts the run to a subset.

@@ -1145,6 +1145,42 @@ object CoreQueries {
               FROM orders WHERE o_orderstatus = 'F'
               GROUP BY 1 ORDER BY yr""")),
 
+    // HIVE-LAYOUT AGGREGATE PUSHDOWN: per-partition corpus stats as a
+    // pure METADATA read — the directory values splice into each file's
+    // manifest entry as exact single-value stats, so GROUP BY the hive
+    // key + count/min/max answers from `_stats.json` with zero data
+    // files opened (one partial row per file, Spark's final aggregate
+    // merges same-key files). The 100 TB shape: "how many rows / what
+    // key range per partition" over a hive lake costs a manifest read.
+    ("arrow_hive_group_agg", (s, d) => {
+      val ord = T(s, d, "orders").select(
+        col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast(DecimalType(12, 2)).as("price"))
+      // Scratch contract: see json_roundtrip.
+      val path = graft.sources.Scratch.dir(s, "graft_rt_arrowhiveagg")
+      ord.write.format("arrow-ipc")
+        .option("hivePartitionKeys", "o_orderstatus")
+        .mode("overwrite").save(path)
+      val df = s.read.format("arrow-ipc").load(path)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"),
+          sum(col("price")).cast(DoubleType).as("total"))
+        .orderBy("o_orderstatus")
+      val desc = df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.scan.description()
+      }.mkString("\n")
+      require(desc.contains("PushedAggregation"),
+        s"arrow_hive_group_agg: aggregate did not push to the manifest:\n$desc")
+      df
+    },
+      Some("""SELECT o_orderstatus, COUNT(*) AS n,
+                     MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+              FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
     // SPJ ∘ HIVE LAYOUT: two hive-partitioned directories join on the
     // partition key with ZERO shuffle and ZERO sort — every file is
     // single-valued on the key BY CONSTRUCTION (the directory value,

@@ -149,22 +149,41 @@ private[sources] class ArrowIpcScanBuilder(full: StructType, dir: String,
     val dirPath = new Path(dir)
     val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dirPath)) return false
-    // hive-partitioned directories: files live under value subdirs and lack
-    // the partition columns — the flat manifest arithmetic below doesn't
-    // apply; refuse (→ full scan, which reconstructs partition values)
-    if (scala.util.Try(ArrowHiveLayout.read(fs, dirPath)).toOption
-        .exists(_.nonEmpty)) return false
     if (fs.exists(new Path(dirPath, "_schema.arrows")) &&
         !fs.exists(new Path(dirPath, "_SUCCESS"))) return false
+    // hive-partitioned directories: files live under value subdirs and
+    // OMIT the partition columns — but the directory values ARE exact
+    // single-value stats, so after splicing them into each file's entry
+    // the same manifest arithmetic answers aggregates over partition keys
+    // too (GROUP BY a hive key = one partial row per file, no file opened)
+    val pushHive: Seq[StructField] =
+      scala.util.Try(ArrowHiveLayout.read(fs, dirPath)).getOrElse(Nil).map { k =>
+        full.fields.find(_.name == k).getOrElse(return false)
+      }
     val visible = ArrowStreamCommits.visibleFilter(fs, dirPath)
-    val files = Option(fs.globStatus(new Path(dir, "part-*.arrows")))
-      .getOrElse(Array.empty).map(_.getPath.getName).filter(visible)
+    val (files, pushHiveVals) =
+      if (pushHive.isEmpty)
+        (Option(fs.globStatus(new Path(dir, "part-*.arrows")))
+          .getOrElse(Array.empty).map(_.getPath.getName).filter(visible),
+          Map.empty[String, Seq[Option[String]]])
+      else {
+        val (sts, vals, _) =
+          ArrowHiveLayout.discover(fs, dirPath, pushHive, Array.empty, visible)
+        (sts.map(_.getPath.getName), vals)
+      }
 
     /** Per-file stats for every data file — the GROUP-BY-push substrate
-      * (one emitted row per file needs per-file values). O(shards) parses. */
+      * (one emitted row per file needs per-file values). O(shards) parses.
+      * Hive layouts splice the directory values in as single-value cols. */
     def fullStats(): Option[Array[graft.sources.FileStats]] = {
       val stats = ArrowFileStats.read(fs, dirPath)
-      if (files.forall(stats.contains)) Some(files.map(stats)) else None
+      if (!files.forall(stats.contains)) None
+      else {
+        val merged =
+          if (pushHive.isEmpty) stats
+          else ArrowHiveLayout.mergeStats(stats, pushHive, pushHiveVals)
+        Some(files.map(merged))
+      }
     }
 
     /** GLOBAL aggregates answer from the base manifest + the commit
@@ -524,49 +543,18 @@ private[sources] class ArrowIpcScan(required: StructType, dir: String,
     // hive-partitioned discovery: walk one `key=value` directory level per
     // partition key, pruning value directories the STATIC filters refute
     // BEFORE descending — a skipped directory's children are never listed,
-    // so planning over a million-file lake costs O(matching dirs). Value
-    // parse failures under a declared layout are corruption: fail loudly
-    // rather than silently dropping data.
-    var dirsTotal = 0
-    var dirsKept = 0
-    val (all, valsByName) =
+    // so planning over a million-file lake costs O(matching dirs).
+    val (all, valsByName, dirCounts) =
       if (hiveFields.isEmpty) {
         (Option(fs.globStatus(new Path(dir, "part-*.arrows")))
           .getOrElse(Array.empty)
           .filter(st => streamVisible(st.getPath.getName)),
-          Map.empty[String, Seq[Option[String]]])
-      } else {
-        var level: Seq[(Path, List[Option[String]])] = Seq((dirPath, Nil))
-        hiveFields.foreach { f =>
-          val children = level.flatMap { case (p, vals) =>
-            Option(fs.globStatus(
-              new Path(p, ArrowHiveLayout.escape(f.name) + "=*")))
-              .getOrElse(Array.empty).filter(_.isDirectory)
-              .map(st => (st.getPath, vals))
-          }
-          dirsTotal += children.size
-          level = children.flatMap { case (p, vals) =>
-            val canon = ArrowHiveLayout.parseSegment(f, p.getName)
-            if (filters.nonEmpty && !filters.forall(fl =>
-                ArrowFileStats.canMatch(fl, ArrowHiveLayout.dirStats(f, canon))))
-              None
-            else Some((p, canon :: vals))
-          }
-          dirsKept += level.size
-        }
-        val filesWithVals = level.flatMap { case (p, valsRev) =>
-          val vals = valsRev.reverse
-          Option(fs.globStatus(new Path(p, "part-*.arrows")))
-            .getOrElse(Array.empty)
-            .filter(st => streamVisible(st.getPath.getName))
-            .map(st => (st, vals))
-        }
-        (filesWithVals.map(_._1).toArray,
-          filesWithVals.map { case (st, v) => st.getPath.getName -> v }.toMap)
-      }
+          Map.empty[String, Seq[Option[String]]], (0, 0))
+      } else ArrowHiveLayout.discover(fs, dirPath, hiveFields, filters,
+        streamVisible)
     if (all.isEmpty)
       (all, Map.empty[String, FileStats], Set.empty[String], valsByName,
-        (dirsKept, dirsTotal))
+        dirCounts)
     else {
       // shard-level skipping: a commit whose ENVELOPE refutes the pushed
       // filters prunes every one of its files without its per-file stats
@@ -599,17 +587,8 @@ private[sources] class ArrowIpcScan(required: StructType, dir: String,
       // foreign file simply stays unpruned, never wrongly skipped)
       val merged =
         if (hiveFields.isEmpty) stats
-        else stats.map { case (name, st) =>
-          valsByName.get(name) match {
-            case Some(vals) =>
-              name -> st.copy(cols = st.cols ++
-                hiveFields.zip(vals).map { case (f, v) =>
-                  f.name -> ArrowHiveLayout.colStats(f, v, st.rows)
-                })
-            case None => name -> st
-          }
-        }
-      (all, merged, refuted.toSet, valsByName, (dirsKept, dirsTotal))
+        else ArrowHiveLayout.mergeStats(stats, hiveFields, valsByName)
+      (all, merged, refuted.toSet, valsByName, dirCounts)
     }
   }
 

@@ -207,16 +207,37 @@ class ArrowHiveSpec extends AnyFunSuite {
     assert(r.getLong(1) === (0 until 100).filter(_ % 5 == 2).map(_ * 10).sum)
   }
 
-  test("hive directories refuse streaming reads, compaction, and agg pushdown") {
+  test("aggregates over a hive dir answer from the manifest + directory values") {
+    val df = (0 until 30).map(i => (i, s"g${i % 3}")).toDF("id", "grp")
+    val dir = tmp("graft_hive_agg")
+    df.write.format("arrow-ipc")
+      .option("hivePartitionKeys", "grp").mode("overwrite").save(dir)
+    // corrupt EVERY data file: a pushed aggregate that answers correctly
+    // PROVES no file was opened (the ArrowDsv2Spec no-read trick)
+    Files.walk(new java.io.File(dir).toPath)
+      .filter(_.toString.endsWith(".arrows"))
+      .filter(!_.getFileName.toString.startsWith("_"))
+      .forEach(p => Files.write(p, Array[Byte](0, 0, 0)))
+    // global: count(*) + min/max over data AND hive columns
+    val g = spark.read.format("arrow-ipc").load(dir)
+      .agg(count(lit(1)), min($"id"), max($"id"), min($"grp"), max($"grp"))
+    assert(scanDesc(g).contains("PushedAggregation"), scanDesc(g))
+    val gr = g.head()
+    assert((gr.getLong(0), gr.getInt(1), gr.getInt(2), gr.getString(3),
+      gr.getString(4)) === ((30L, 0, 29, "g0", "g2")))
+    // GROUP BY the hive key: one partial row per file, merged by Spark
+    val k = spark.read.format("arrow-ipc").load(dir)
+      .groupBy($"grp").agg(count(lit(1)).as("n"), max($"id").as("mx"))
+    assert(scanDesc(k).contains("PushedAggregation"), scanDesc(k))
+    assert(k.collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+      === Set(("g0", 10L, 27), ("g1", 10L, 28), ("g2", 10L, 29)))
+  }
+
+  test("hive directories refuse streaming reads and compaction") {
     val df = (0 until 10).map(i => (i, s"g${i % 2}")).toDF("id", "grp")
     val dir = tmp("graft_hive_refuse")
     df.write.format("arrow-ipc")
       .option("hivePartitionKeys", "grp").mode("overwrite").save(dir)
-    // aggregate pushdown refuses → answered by a real scan, still correct
-    val agg = spark.read.format("arrow-ipc").load(dir).agg(count(lit(1)))
-    assert(!scanDesc(agg).contains("PushedAggregation"),
-      "hive dirs must not push aggregates over the flat manifest")
-    assert(agg.head().getLong(0) === 10L)
     // the refusal surfaces on the stream-execution thread, not at start()
     val q = spark.readStream.format("arrow-ipc")
       .schema(spark.read.format("arrow-ipc").load(dir).schema)
