@@ -27,14 +27,15 @@ object Bench {
     "arrow_embeddings", "multimodal_decode", "agg_theta_setops",
     "agg_kll_quantiles", "agg_freq_topk", "arrow_decimal", "sketch_manifest",
     "arrow_dsv2", "arrow_stats_prune", "arrow_decimal_prune",
-    "arrow_shard_prune",
+    "arrow_shard_prune", "arrow_bloom_prune",
     "q10_returned", "q21_last_shipper",
     "q3_shipping_topk", "q8_market_share", "q9_product_profit",
     "q12_priority_counts", "q15_top_supplier", "q17_small_qty",
     "q20_promo_suppliers", "arrow_agg_pushdown", "arrow_sum_pushdown",
     "arrow_runtime_prune",
     "arrow_compact", "arrow_spj_join", "arrow_group_agg", "stream_spj_join",
-    "multimodal_struct", "arrow_hive_prune", "arrow_hive_spj",
+    "multimodal_struct", "multimodal_map", "arrow_delete",
+    "arrow_hive_prune", "arrow_hive_spj",
     "arrow_hive_group_agg")
 
   def main(args: Array[String]): Unit = {

@@ -723,6 +723,73 @@ object CoreQueries {
               FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
               ORDER BY d.doc_id""")),
 
+    // METADATA-LEVEL DELETE through the path-addressed catalog (round 9):
+    // orders land key-grouped on o_orderstatus (every file single-valued
+    // on the key, the layout [[Sinks.writeKeyGrouped]] guarantees), so
+    // `DELETE FROM graft.`dir` WHERE o_orderstatus = 'F'` classifies
+    // EVERY file from the stats manifest alone — matching files drop
+    // whole, the rest stay untouched, no row is rewritten (the Iceberg
+    // metadata-delete contract re-expressed over `_stats.json`; a
+    // predicate that straddled a file would refuse loudly instead). At
+    // 100 TB this is retention enforcement as a manifest edit. The oracle
+    // checks the surviving aggregate.
+    ("arrow_delete", (s, d) => {
+      val ord = T(s, d, "orders").select(
+        col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast(DecimalType(12, 2)).as("price"))
+      // Scratch contract: see json_roundtrip.
+      val path = graft.sources.Scratch.dir(s, "graft_rt_arrowdel")
+      graft.sources.Sinks.writeKeyGrouped(ord, path, Seq("o_orderstatus"),
+        partitions = 8)
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.ArrowCatalog")
+      s.sql(s"DELETE FROM graft.`$path` WHERE o_orderstatus = 'F'")
+      s.read.format("arrow-ipc").load(path)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("cnt"),
+          sum((col("price") * 100).cast(LongType)).as("cents"))
+        .orderBy("o_orderstatus")
+    },
+      Some("""SELECT o_orderstatus, COUNT(*) AS cnt,
+                     CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+              FROM orders WHERE o_orderstatus <> 'F'
+              GROUP BY 1 ORDER BY o_orderstatus""")),
+
+    // MAP columns through the interchange (round 9): the tag/attribute
+    // shape (string→long counters per document) rides Arrow's canonical
+    // map layout — list<entries: struct<key, value>> with non-null keys —
+    // and reads back through the columnar path (Spark's ArrowColumnVector
+    // wraps MapVector natively). Same stats stance as struct: kind 0,
+    // data-only; map lookups happen post-scan. Word-ish metric = space
+    // count (len − len(without-spaces)) so both engines compute the
+    // identical integer without regex-split edge semantics.
+    ("multimodal_map", (s, d) => {
+      val docs = T(s, d, "documents")
+        .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      val tagged = docs.select(col("doc_id"),
+        map(lit("chars"), length(col("text")).cast(LongType),
+          lit("spaces"),
+          (length(col("text")) -
+            length(regexp_replace(col("text"), " ", ""))).cast(LongType))
+          .as("tags"),
+        map(col("lang"), col("source")).as("origin"))
+      // Scratch contract: see json_roundtrip.
+      val path = graft.sources.Scratch.dir(s, "graft_rt_mmap")
+      tagged.write.format("arrow-ipc").mode("overwrite").save(path)
+      s.read.format("arrow-ipc").load(path)
+        .select(col("doc_id"),
+          element_at(col("tags"), "chars").as("chars"),
+          element_at(col("tags"), "spaces").as("spaces"),
+          size(col("origin")).as("n_origin"),
+          element_at(map_keys(col("origin")), 1).as("lang"),
+          element_at(map_values(col("origin")), 1).as("source"))
+        .orderBy("doc_id")
+    },
+      Some("""SELECT doc_id,
+                     CAST(length(text) AS BIGINT) AS chars,
+                     CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS spaces,
+                     CAST(1 AS INT) AS n_origin, lang, source
+              FROM documents ORDER BY doc_id""")),
+
     // Arrow interchange of a DECIMAL column (reference Decimal128,
     // arrow_clickhouse_types.h:74-139): o_totalprice rides through the IPC
     // file as Decimal128(12,2) and back, and the read is COLUMN-PRUNED —
@@ -1045,6 +1112,52 @@ object CoreQueries {
                      CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
               FROM orders WHERE o_orderdate >= DATE '1997-06-01'
               GROUP BY 1 ORDER BY yr""")),
+
+    // BLOOM-FILTER file pruning (`option("bloomColumns", …)`): the
+    // point-lookup shape interval stats cannot serve. Orders are HASH
+    // partitioned on o_orderkey, so every file's min/max spans ~the whole
+    // key domain and interval pruning keeps all of them — the per-file
+    // Bloom filter in `_stats.json` (ArrowBloom) skips the files that
+    // provably never saw the probed keys. min/max keys are used as probes
+    // because they certainly exist; the query self-asserts files were
+    // pruned and the oracle checks the surviving answer. At 100 TB this
+    // is the "fetch one document by id from a million files" path: ~7
+    // bloom probes per file at planning instead of opening any of them.
+    ("arrow_bloom_prune", (s, d) => {
+      val ord = T(s, d, "orders").select(
+        col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").cast(DecimalType(12, 2)).as("price"))
+      // Scratch contract: see json_roundtrip.
+      val path = graft.sources.Scratch.dir(s, "graft_rt_arrowbloom")
+      ord.repartition(8, col("o_orderkey"))
+        .write.format("arrow-ipc").option("bloomColumns", "o_orderkey")
+        .mode("overwrite").save(path)
+      val b = ord.agg(min(col("o_orderkey")).as("mn"),
+        max(col("o_orderkey")).as("mx")).head()
+      val (mn, mx) = (b.getLong(0), b.getLong(1))
+      val df = s.read.format("arrow-ipc").load(path)
+        .filter(col("o_orderkey").isin(mn, mx))
+        .groupBy(col("o_orderkey"))
+        .agg(count(lit(1)).as("cnt"),
+          sum((col("price") * 100).cast(LongType)).as("cents"))
+        .orderBy("o_orderkey")
+      val desc = df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.scan.description()
+      }.mkString("\n")
+      val m = "files=(\\d+)/(\\d+)".r.findFirstMatchIn(desc).getOrElse(
+        sys.error(s"arrow_bloom_prune: no file-pruning scan in plan:\n$desc"))
+      require(m.group(1).toInt < m.group(2).toInt,
+        s"arrow_bloom_prune: bloom pruned nothing (${m.matched}) — " +
+          "interval pruning cannot help on a hash layout, so the bloom must")
+      df
+    },
+      Some("""WITH b AS (SELECT MIN(o_orderkey) AS mn, MAX(o_orderkey) AS mx FROM orders)
+              SELECT o_orderkey, COUNT(*) AS cnt,
+                     CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+              FROM orders, b
+              WHERE o_orderkey IN (mn, mx)
+              GROUP BY 1 ORDER BY o_orderkey""")),
 
     // SHARDED-manifest pruning under the oracle: events written as four
     // time-ordered APPEND commits (the streaming-ingest shape) with the

@@ -46,7 +46,11 @@ private[graft] case class ColStats(
     // Spark's non-ANSI sum) and decimal (BigDecimal, exact). None for
     // double/float (rounding is order-dependent), string/binary, all-null
     // files, or manifests written before this field existed.
-    sum: Option[String] = None)
+    sum: Option[String] = None,
+    // optional per-file Bloom filter over the column's non-null values
+    // (opt-in via the write option `bloomColumns`) — the point-lookup
+    // pruning substrate intervals can't provide; see [[ArrowBloom]]
+    bloom: Option[BloomStats] = None)
 
 private[graft] case class FileStats(rows: Long, cols: Map[String, ColStats])
 
@@ -156,9 +160,7 @@ private[graft] object ArrowFileStats {
     case IsNull(a) => stats.cols.get(a).forall(_.nulls > 0)
     case IsNotNull(a) =>
       stats.cols.get(a).forall(c => c.nulls < stats.rows || stats.rows == 0)
-    case EqualTo(a, v) => interval(a, stats) { (c, mn, mx) =>
-      norm(c.kind, v).forall(x => cmp(c.kind, mn, x) <= 0 && cmp(c.kind, mx, x) >= 0)
-    }
+    case EqualTo(a, v) => pointMatch(a, v, stats)
     case EqualNullSafe(a, null) => canMatch(IsNull(a), stats)
     case EqualNullSafe(a, v) => canMatch(EqualTo(a, v), stats)
     case GreaterThan(a, v) => interval(a, stats) { (c, _, mx) =>
@@ -173,14 +175,13 @@ private[graft] object ArrowFileStats {
     case LessThanOrEqual(a, v) => interval(a, stats) { (c, mn, _) =>
       norm(c.kind, v).forall(x => cmp(c.kind, mn, x) <= 0)
     }
-    case In(a, vs) => interval(a, stats) { (c, mn, mx) =>
-      vs.exists(v => norm(c.kind, v).forall(x =>
-        cmp(c.kind, mn, x) <= 0 && cmp(c.kind, mx, x) >= 0))
-    }
+    case In(a, vs) => vs.exists(v => pointMatch(a, v, stats))
     case StringStartsWith(a, p) => interval(a, stats) { (c, mn, mx) =>
       c.kind != "string" ||
         (mx.compareTo(p) >= 0 && mn.take(p.length).compareTo(p) <= 0)
     }
+    case Not(g) => !mustMatchAll(g, stats) // all-rows-match g ⇒ none match ¬g
+    case _: AlwaysFalse => false
     case _ => true
   }
 
@@ -195,11 +196,88 @@ private[graft] object ArrowFileStats {
       case _ => true
     }
 
+  /** Could any row equal `v`? Interval AND Bloom tests, each independently
+    * advisory (either may be absent/invalid — only a PRESENT, VALID
+    * structure refutes). The bloom is consulted even when the interval is
+    * invalid: a >256-byte string column has no interval but its bloom —
+    * which has no payload-size limit — still refutes point lookups. */
+  private def pointMatch(a: String, v: Any, stats: FileStats): Boolean =
+    stats.cols.get(a) match {
+      case Some(c) =>
+        if (c.nulls >= stats.rows && stats.rows > 0) false // all-null file
+        else {
+          val iv = for { mn <- c.min; mx <- c.max; x <- norm(c.kind, v) }
+            yield cmp(c.kind, mn, x) <= 0 && cmp(c.kind, mx, x) >= 0
+          val bl = for {
+            b <- c.bloom
+            x <- norm(c.kind, v)
+            key <- ArrowBloom.keyOf(c.kind, x)
+          } yield ArrowBloom.mightContain(b, key)
+          iv.getOrElse(true) && bl.getOrElse(true)
+        }
+      case None => true
+    }
+
+  /** Does EVERY row of a file with these stats satisfy `f`? False on any
+    * doubt — the dual of [[canMatch]], and the proof obligation behind
+    * METADATA-LEVEL DELETE (a file may be dropped whole only when this
+    * holds; a file may be kept untouched only when canMatch fails). The
+    * same trick Iceberg's metadata-delete plays with manifest partition
+    * summaries: strict bounds ⇒ whole-file action, anything else refuses.
+    *
+    * Soundness leans on the manifest's exact-or-invalid discipline: a
+    * stored interval is EXACT (string extremes whole, never truncated),
+    * so `nulls == 0 && min == max == v` really does prove every row
+    * equals v, and `min > v` really does prove every row exceeds v.
+    * NULL rows fail every non-IsNull predicate, so value predicates also
+    * require `nulls == 0`. */
+  def mustMatchAll(f: Filter, stats: FileStats): Boolean =
+    if (stats.rows == 0) true // vacuous: nothing to mis-delete
+    else f match {
+      case And(l, r) => mustMatchAll(l, stats) && mustMatchAll(r, stats)
+      case Or(l, r) => mustMatchAll(l, stats) || mustMatchAll(r, stats)
+      case Not(g) => !canMatch(g, stats) // canMatch=false is a no-row PROOF
+      case IsNull(a) => stats.cols.get(a).exists(_.nulls >= stats.rows)
+      case IsNotNull(a) => stats.cols.get(a).exists(_.nulls == 0)
+      case EqualTo(a, v) => allEqual(a, v, stats)
+      case EqualNullSafe(a, null) => mustMatchAll(IsNull(a), stats)
+      case EqualNullSafe(a, v) => allEqual(a, v, stats)
+      case In(a, vs) => vs.exists(v => allEqual(a, v, stats))
+      case GreaterThan(a, v) => bound(a, v, stats)((c, mn, _, x) =>
+        cmp(c.kind, mn, x) > 0)
+      case GreaterThanOrEqual(a, v) => bound(a, v, stats)((c, mn, _, x) =>
+        cmp(c.kind, mn, x) >= 0)
+      case LessThan(a, v) => bound(a, v, stats)((c, _, mx, x) =>
+        cmp(c.kind, mx, x) < 0)
+      case LessThanOrEqual(a, v) => bound(a, v, stats)((c, _, mx, x) =>
+        cmp(c.kind, mx, x) <= 0)
+      case StringStartsWith(a, p) => bound(a, p, stats)((c, mn, mx, _) =>
+        // both extremes carry the prefix ⇒ every value between does too
+        // (their first p.length chars are pinched between two copies of p)
+        c.kind == "string" && mn.startsWith(p) && mx.startsWith(p))
+      case _: AlwaysTrue => true
+      case _ => false
+    }
+
+  private def allEqual(a: String, v: Any, stats: FileStats): Boolean =
+    bound(a, v, stats)((c, mn, mx, x) =>
+      mn == mx && cmp(c.kind, mn, x) == 0)
+
+  /** Valid interval + zero nulls + interpretable value, or no proof. */
+  private def bound(a: String, v: Any, stats: FileStats)
+      (ok: (ColStats, String, String, Any) => Boolean): Boolean =
+    stats.cols.get(a) match {
+      case Some(c) if c.nulls == 0 && c.min.isDefined && c.max.isDefined =>
+        norm(c.kind, v).exists(x => ok(c, c.min.get, c.max.get, x))
+      case _ => false
+    }
+
   /** Filters worth carrying to the scan (everything [[canMatch]] can act
     * on — others would be dead weight in the explain output). */
   def prunable(f: Filter): Boolean = f match {
     case And(l, r) => prunable(l) || prunable(r)
     case Or(l, r) => prunable(l) && prunable(r)
+    case Not(g) => prunable(g)
     case _: IsNull | _: IsNotNull | _: EqualTo | _: EqualNullSafe |
          _: GreaterThan | _: GreaterThanOrEqual | _: LessThan |
          _: LessThanOrEqual | _: In | _: StringStartsWith => true
@@ -239,6 +317,8 @@ private[graft] object ArrowFileStats {
         c.min.foreach(m => sb.append(",\"min\":\"").append(esc(m)).append('"'))
         c.max.foreach(m => sb.append(",\"max\":\"").append(esc(m)).append('"'))
         c.sum.foreach(m => sb.append(",\"sum\":\"").append(esc(m)).append('"'))
+        c.bloom.foreach(b => sb.append(",\"bloom\":{\"k\":").append(b.k)
+          .append(",\"b64\":\"").append(ArrowBloom.toB64(b)).append("\"}"))
         sb.append('}')
       }
       sb.append("}}")
@@ -268,8 +348,21 @@ private[graft] object ArrowFileStats {
               case JLong(n) => n
               case _ => 0L
             }
+            val bloom = (jc \ "bloom") match {
+              case JObject(_) =>
+                val k = (jc \ "bloom" \ "k") match {
+                  case JInt(n) => n.toInt
+                  case JLong(n) => n.toInt
+                  case _ => -1
+                }
+                (jc \ "bloom" \ "b64") match {
+                  case JString(s) => ArrowBloom.fromB64(k, s)
+                  case _ => None
+                }
+              case _ => None
+            }
             col -> ColStats(str("kind").getOrElse("long"), str("min"),
-              str("max"), nulls, str("sum"))
+              str("max"), nulls, str("sum"), bloom)
           }.toMap
           case _ => Map.empty[String, ColStats]
         }
@@ -428,7 +521,22 @@ private[graft] object ArrowFileStats {
             .reduce(_.add(_)).toPlainString)
           case _ => None
         }
-      name -> ColStats(kind, mm.map(_._1), mm.map(_._2), nulls, sum)
+      // envelope bloom: only when EVERY file with non-null rows for the
+      // column carries one (else a missing file's values could slip the
+      // union → wrong commit-level skip); geometry mismatches make
+      // ArrowBloom.merge refuse
+      var bloomInvalid = false
+      val blooms = per.flatMap {
+        case (st, Some(c)) if c.nulls < st.rows && st.rows > 0 => c.bloom match {
+          case b @ Some(_) => b
+          case None => bloomInvalid = true; None
+        }
+        case _ => None // all-null or empty file contributes no values
+      }
+      val bloom: Option[BloomStats] =
+        if (bloomInvalid || blooms.isEmpty) None
+        else ArrowBloom.merge(blooms)
+      name -> ColStats(kind, mm.map(_._1), mm.map(_._2), nulls, sum, bloom)
     }.toMap
     FileStats(rows, cols)
   }
@@ -493,7 +601,8 @@ private[graft] object ArrowFileStats {
   * candidates are cloned only on a new extreme — `InternalRow` buffers are
   * reused by Spark, so holding an un-cloned `UTF8String` would read
   * whatever the NEXT row leaves there). */
-private[graft] class ArrowStatsCollector(schema: StructType) {
+private[graft] class ArrowStatsCollector(schema: StructType,
+    bloomCols: Set[String] = Set.empty) {
   private val n = schema.length
   private val kinds = schema.fields.map(f => ArrowFileStats.kindOf(f.dataType))
   private val dts = schema.fields.map(_.dataType)
@@ -518,6 +627,17 @@ private[graft] class ArrowStatsCollector(schema: StructType) {
   private val gsum: Array[java.math.BigDecimal] =
     Array.fill(n)(java.math.BigDecimal.ZERO)
   private var rows = 0L
+  // opt-in per-column Bloom builders (point-lookup pruning). Doubles are
+  // refused at construction (see ArrowBloom's -0.0 hazard). Bloom
+  // recording is INDEPENDENT of interval validity — a >256-byte string
+  // invalidates the interval but its bloom still covers every value, so
+  // the two refutation channels degrade separately.
+  private val bloomB: Array[ArrowBloom.Builder] = schema.fields.map { f =>
+    val k = ArrowFileStats.kindOf(f.dataType)
+    if (bloomCols.contains(f.name) && k != 0 && k != 2) new ArrowBloom.Builder
+    else null
+  }
+  private val bloomOk = Array.fill(n)(true)
 
   private def updLong(c: Int, v: Long): Unit = {
     if (summable(c)) lsum(c) += v // wrapping, like Spark's non-ANSI sum
@@ -580,25 +700,36 @@ private[graft] class ArrowStatsCollector(schema: StructType) {
     while (c < n) {
       if (kinds(c) != 0) {
         if (row.isNullAt(c)) nulls(c) += 1
-        else if (valid(c)) kinds(c) match {
+        else if (valid(c) || bloomB(c) != null) kinds(c) match {
           case 1 =>
-            updLong(c, dts(c) match {
+            val v = dts(c) match {
               case ByteType => row.getByte(c).toLong
               case ShortType => row.getShort(c).toLong
               case IntegerType | DateType => row.getInt(c).toLong
               case BooleanType => if (row.getBoolean(c)) 1L else 0L
               case _ => row.getLong(c)
-            })
+            }
+            if (bloomB(c) != null) bloomB(c).add(v.toString)
+            if (valid(c)) updLong(c, v)
           case 2 =>
-            updDouble(c, dts(c) match {
+            if (valid(c)) updDouble(c, dts(c) match {
               case FloatType => row.getFloat(c).toDouble
               case _ => row.getDouble(c)
             })
-          case 3 => updString(c, row.getUTF8String(c), owned = false)
+          case 3 =>
+            val s = row.getUTF8String(c)
+            if (bloomB(c) != null) bloomB(c).add(s.toString)
+            if (valid(c)) updString(c, s, owned = false)
           case 4 =>
             val d = dts(c).asInstanceOf[DecimalType]
-            updDecimal(c, row.getDecimal(c, d.precision, d.scale).toJavaBigDecimal)
-          case 5 => updBinary(c, row.getBinary(c))
+            val bd = row.getDecimal(c, d.precision, d.scale).toJavaBigDecimal
+            if (bloomB(c) != null)
+              bloomB(c).add(bd.stripTrailingZeros.toPlainString)
+            if (valid(c)) updDecimal(c, bd)
+          case 5 =>
+            val b = row.getBinary(c)
+            if (bloomB(c) != null) bloomB(c).add(ArrowFileStats.toHex(b))
+            if (valid(c)) updBinary(c, b)
           case _ => ()
         }
       }
@@ -618,29 +749,45 @@ private[graft] class ArrowStatsCollector(schema: StructType) {
       if (kinds(c) != 0) {
         val v = row.get(c)
         if (v == null) nulls(c) += 1
-        else if (valid(c)) kinds(c) match {
-          case 1 => ArrowFileStats.norm("long", v) match {
-            case Some(x) => updLong(c, x.asInstanceOf[Long])
-            case None => valid(c) = false
+        else {
+          // bloom first, through the SAME normalizer the filter side uses;
+          // an uninterpretable value must invalidate the bloom too (it
+          // would otherwise be a missed value → wrong skip)
+          if (bloomB(c) != null && bloomOk(c)) {
+            val kindStr = kinds(c) match {
+              case 1 => "long"; case 3 => "string"; case 4 => "decimal"
+              case _ => "binary"
+            }
+            ArrowFileStats.norm(kindStr, v)
+              .flatMap(x => ArrowBloom.keyOf(kindStr, x)) match {
+              case Some(key) => bloomB(c).add(key)
+              case None => bloomOk(c) = false
+            }
           }
-          case 2 => v match {
-            case x: java.lang.Number => updDouble(c, x.doubleValue())
-            case _ => valid(c) = false
+          if (valid(c)) kinds(c) match {
+            case 1 => ArrowFileStats.norm("long", v) match {
+              case Some(x) => updLong(c, x.asInstanceOf[Long])
+              case None => valid(c) = false
+            }
+            case 2 => v match {
+              case x: java.lang.Number => updDouble(c, x.doubleValue())
+              case _ => valid(c) = false
+            }
+            case 3 => v match {
+              case x: String => updString(c, UTF8String.fromString(x), owned = true)
+              case _ => valid(c) = false
+            }
+            case 4 => v match {
+              case x: java.math.BigDecimal => updDecimal(c, x)
+              case x: scala.math.BigDecimal => updDecimal(c, x.bigDecimal)
+              case _ => valid(c) = false
+            }
+            case 5 => v match {
+              case x: Array[Byte] => updBinary(c, x)
+              case _ => valid(c) = false
+            }
+            case _ => ()
           }
-          case 3 => v match {
-            case x: String => updString(c, UTF8String.fromString(x), owned = true)
-            case _ => valid(c) = false
-          }
-          case 4 => v match {
-            case x: java.math.BigDecimal => updDecimal(c, x)
-            case x: scala.math.BigDecimal => updDecimal(c, x.bigDecimal)
-            case _ => valid(c) = false
-          }
-          case 5 => v match {
-            case x: Array[Byte] => updBinary(c, x)
-            case _ => valid(c) = false
-          }
-          case _ => ()
         }
       }
       c += 1
@@ -683,8 +830,10 @@ private[graft] class ArrowStatsCollector(schema: StructType) {
             case 4 => Some(gsum(c).toPlainString)
             case _ => None
           }
+        val bloom: Option[BloomStats] =
+          if (bloomB(c) == null || !bloomOk(c)) None else bloomB(c).result()
         Some(schema.fields(c).name ->
-          ColStats(kind, mm.map(_._1), mm.map(_._2), nulls(c), sum))
+          ColStats(kind, mm.map(_._1), mm.map(_._2), nulls(c), sum, bloom))
       }
     }.toMap
     FileStats(rows, cols)

@@ -330,7 +330,7 @@ private[sources] class ArrowIpcHiveReaderFactory(
 private[sources] class ArrowIpcHiveDataWriter(
     schema: StructType, dir: String, codec: Option[String], queryId: String,
     partitionId: Int, taskId: Long, conf: SerializableHadoopConf,
-    hiveKeys: Seq[String])
+    hiveKeys: Seq[String], bloomCols: Set[String] = Set.empty)
     extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
   import org.apache.arrow.vector.VectorSchemaRoot
   import org.apache.arrow.vector.ipc.ArrowStreamWriter
@@ -386,7 +386,7 @@ private[sources] class ArrowIpcHiveDataWriter(
     writer = ArrowInterchange.newStreamWriter(root, out, codec)
     writer.start()
     root.allocateNew()
-    stats = new ArrowStatsCollector(dataSchema)
+    stats = new ArrowStatsCollector(dataSchema, bloomCols)
   }
 
   private def flushBatch(): Unit = {

@@ -119,11 +119,22 @@ object ArrowInterchange {
         // never a partition key) — but the DATA round-trips first-class.
         return new Field(f.name, new FieldType(f.nullable, ArrowType.Struct.INSTANCE, null),
           st.fields.map(toArrowField).toSeq.asJava)
+      case MapType(kt, vt, valueContainsNull) =>
+        // map columns — Arrow's canonical map layout: list<entries:
+        // struct<key, value>> with non-null entries and non-null keys
+        // (Spark's own map contract). Same stats stance as struct:
+        // kindOf = 0, data-only.
+        return new Field(f.name,
+          new FieldType(f.nullable, new ArrowType.Map(false), null),
+          java.util.Collections.singletonList(new Field("entries",
+            new FieldType(false, ArrowType.Struct.INSTANCE, null),
+            Seq(toArrowField(StructField("key", kt, nullable = false)),
+              toArrowField(StructField("value", vt, valueContainsNull))).asJava)))
       case dt => throw new IllegalArgumentException(
         s"Arrow interchange: unsupported type $dt for column '${f.name}' " +
           "(supported: boolean, int, bigint, float, double, string, binary, " +
           "timestamp[us], date, interval day-second, decimal(<=38), " +
-          "array<scalar>, struct<...>)")
+          "array<scalar>, struct<...>, map<k,v>)")
     }
     new Field(f.name, new FieldType(f.nullable, t, null),
       java.util.Collections.emptyList[Field]())
@@ -156,6 +167,14 @@ object ArrowInterchange {
         DayTimeIntervalType()
       case t: ArrowType.Decimal if t.getBitWidth == 128 =>
         DecimalType(t.getPrecision, t.getScale)
+      case _: ArrowType.Map =>
+        // MUST precede List (ArrowType.Map is not a List subtype, but
+        // MapVector extends ListVector on the vector side — keep the
+        // schema dispatch explicit regardless)
+        val entries = f.getChildren.get(0)
+        val key = fromArrowField(entries.getChildren.get(0))
+        val value = fromArrowField(entries.getChildren.get(1))
+        MapType(key.dataType, value.dataType, value.nullable)
       case _: ArrowType.List =>
         val elem = fromArrowField(f.getChildren.get(0))
         ArrayType(elem.dataType, elem.nullable)
@@ -329,6 +348,24 @@ object ArrowInterchange {
       case (x: DateDayVector, DateType)        => x.setSafe(idx, row.getInt(col))
       case (x: DurationVector, _: DayTimeIntervalType) =>
         x.setSafe(idx, row.getLong(col)) // both sides store µs
+      case (x: org.apache.arrow.vector.complex.MapVector, MapType(kt, vt, _)) =>
+        // BEFORE ListVector: MapVector IS a ListVector. Entries land as a
+        // run of defined structs; Spark's map contract keeps keys non-null.
+        val map = row.getMap(col)
+        val offset = x.startNewValue(idx)
+        val entries = x.getDataVector
+          .asInstanceOf[org.apache.arrow.vector.complex.StructVector]
+        val (keys, vals) = (map.keyArray(), map.valueArray())
+        var i = 0
+        while (i < map.numElements()) {
+          entries.setIndexDefined(offset + i)
+          setInternalValue(entries.getChildByOrdinal(0).asInstanceOf[FieldVector],
+            kt, offset + i, keys, i)
+          setInternalValue(entries.getChildByOrdinal(1).asInstanceOf[FieldVector],
+            vt, offset + i, vals, i)
+          i += 1
+        }
+        x.endValue(idx, map.numElements())
       case (x: ListVector, ArrayType(et, _)) =>
         val arr = row.getArray(col)
         val offset = x.startNewValue(idx)
@@ -399,6 +436,24 @@ object ArrowInterchange {
           val d = value.asInstanceOf[java.time.Duration]
           x.setSafe(idx, Math.addExact(
             Math.multiplyExact(d.getSeconds, 1000000L), (d.getNano / 1000).toLong))
+        }
+      case (x: org.apache.arrow.vector.complex.MapVector, MapType(kt, vt, _)) =>
+        if (value == null) x.setNull(idx)
+        else {
+          val m = value.asInstanceOf[scala.collection.Map[Any, Any]]
+          val offset = x.startNewValue(idx)
+          val entries = x.getDataVector
+            .asInstanceOf[org.apache.arrow.vector.complex.StructVector]
+          var i = 0
+          m.foreach { case (k, v2) =>
+            entries.setIndexDefined(offset + i)
+            setRaw(entries.getChildByOrdinal(0).asInstanceOf[FieldVector], kt,
+              offset + i, k)
+            setRaw(entries.getChildByOrdinal(1).asInstanceOf[FieldVector], vt,
+              offset + i, v2)
+            i += 1
+          }
+          x.endValue(idx, m.size)
         }
       case (x: ListVector, ArrayType(et, _)) =>
         if (value == null) x.setNull(idx) // fills offset holes, keeps lastSet
@@ -612,6 +667,18 @@ object ArrowInterchange {
       case (x: DateDayVector, DateType)     => x.get(idx)    // already days
       case (x: DurationVector, _: DayTimeIntervalType) =>
         DurationVector.get(x.getDataBuffer, idx)             // already µs
+      case (x: org.apache.arrow.vector.complex.MapVector, MapType(kt, vt, _)) =>
+        // BEFORE ListVector (subtype)
+        val (start, end) = (x.getElementStartIndex(idx), x.getElementEndIndex(idx))
+        val entries = x.getDataVector
+          .asInstanceOf[org.apache.arrow.vector.complex.StructVector]
+        val kv = entries.getChildByOrdinal(0).asInstanceOf[FieldVector]
+        val vv = entries.getChildByOrdinal(1).asInstanceOf[FieldVector]
+        new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(
+            (start until end).map(i => getInternalValue(kv, kt, i)).toArray),
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(
+            (start until end).map(i => getInternalValue(vv, vt, i)).toArray))
       case (x: ListVector, ArrayType(et, _)) =>
         val (start, end) = (x.getElementStartIndex(idx), x.getElementEndIndex(idx))
         new org.apache.spark.sql.catalyst.util.GenericArrayData(
@@ -641,6 +708,16 @@ object ArrowInterchange {
       case (x: DateDayVector, DateType) =>
         java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(x.get(idx).toLong))
       case (x: DurationVector, _: DayTimeIntervalType) => x.getObject(idx)
+      case (x: org.apache.arrow.vector.complex.MapVector, MapType(kt, vt, _)) =>
+        // BEFORE ListVector (subtype). Insertion-ordered so the external
+        // form round-trips deterministically.
+        val (start, end) = (x.getElementStartIndex(idx), x.getElementEndIndex(idx))
+        val entries = x.getDataVector
+          .asInstanceOf[org.apache.arrow.vector.complex.StructVector]
+        val kv = entries.getChildByOrdinal(0).asInstanceOf[FieldVector]
+        val vv = entries.getChildByOrdinal(1).asInstanceOf[FieldVector]
+        scala.collection.immutable.ListMap(
+          (start until end).map(i => getValue(kv, kt, i) -> getValue(vv, vt, i)): _*)
       case (x: ListVector, ArrayType(et, _)) =>
         val (start, end) = (x.getElementStartIndex(idx), x.getElementEndIndex(idx))
         (start until end).map(i => getValue(x.getDataVector, et, i))

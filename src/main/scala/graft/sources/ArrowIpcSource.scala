@@ -64,7 +64,8 @@ class ArrowIpcSource extends TableProvider with DataSourceRegister {
 
 private[sources] class ArrowIpcTable(tableSchema: StructType, dir: String)
     extends Table with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String = s"arrow-ipc `$dir`"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
@@ -72,6 +73,18 @@ private[sources] class ArrowIpcTable(tableSchema: StructType, dir: String)
       TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.STREAMING_WRITE)
+
+  /** METADATA-LEVEL DELETE (`DELETE FROM graft.\`dir\` WHERE …` through
+    * [[ArrowCatalog]]): whole files whose stats PROVE every row matches
+    * are dropped, files that provably contain no match stay untouched,
+    * anything in between refuses — Spark then reports the predicate as
+    * non-deletable instead of this source guessing. The Iceberg
+    * metadata-delete contract over this source's own manifest; see
+    * [[ArrowMaintenance.deleteWhere]] for the crash-safe swap. */
+  override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    ArrowMaintenance.canDeleteWhere(SparkSession.active, dir, filters)
+  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
+    ArrowMaintenance.deleteWhere(SparkSession.active, dir, filters)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ArrowIpcScanBuilder(tableSchema, dir,
       Option(options.get("maxFilesPerTrigger")).map(_.toInt),
@@ -87,7 +100,10 @@ private[sources] class ArrowIpcTable(tableSchema: StructType, dir: String)
         .getOrElse(Nil),
       Option(info.options.get("hivePartitionKeys"))
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-        .getOrElse(Nil))
+        .getOrElse(Nil),
+      Option(info.options.get("bloomColumns"))
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+        .getOrElse(Set.empty))
 }
 
 private[sources] class ArrowIpcScanBuilder(full: StructType, dir: String,
@@ -859,13 +875,14 @@ private[sources] class ArrowIpcReaderFactory(
     !required.fields.exists(f => hasNestedFsb(f.dataType))
 
   private def hasNestedFsb(dt: org.apache.spark.sql.types.DataType): Boolean = {
-    import org.apache.spark.sql.types.{ArrayType, BinaryType, StructType}
+    import org.apache.spark.sql.types.{ArrayType, BinaryType, MapType, StructType}
     dt match {
       case s: StructType => s.fields.exists(g =>
         (g.dataType == BinaryType &&
           g.metadata.contains(ArrowInterchange.FixedSizeKey)) ||
         hasNestedFsb(g.dataType))
       case ArrayType(et, _) => hasNestedFsb(et)
+      case MapType(kt, vt, _) => hasNestedFsb(kt) || hasNestedFsb(vt)
       case _ => false
     }
   }
@@ -933,7 +950,8 @@ private[sources] class ArrowIpcColumnarReader(
 
 private[sources] class ArrowIpcWriteBuilder(
     schema: StructType, dir: String, codec: Option[String], queryId: String,
-    partitionKeys: Seq[String] = Nil, hiveKeys: Seq[String] = Nil)
+    partitionKeys: Seq[String] = Nil, hiveKeys: Seq[String] = Nil,
+    bloomCols: Set[String] = Set.empty)
     extends org.apache.spark.sql.connector.write.WriteBuilder
     with org.apache.spark.sql.connector.write.SupportsTruncate {
   private var doTruncate = false
@@ -942,7 +960,7 @@ private[sources] class ArrowIpcWriteBuilder(
   }
   override def build(): org.apache.spark.sql.connector.write.Write =
     new ArrowIpcWrite(schema, dir, codec, queryId, doTruncate, partitionKeys,
-      hiveKeys)
+      hiveKeys, bloomCols)
 }
 
 /** DSv2 batch write: Spark's commit coordinator guarantees exactly one
@@ -957,7 +975,7 @@ private[sources] class ArrowIpcWriteBuilder(
 private[sources] class ArrowIpcWrite(
     schema: StructType, dir: String, codec: Option[String], queryId: String,
     truncate: Boolean, partitionKeys: Seq[String] = Nil,
-    hiveKeys: Seq[String] = Nil)
+    hiveKeys: Seq[String] = Nil, bloomCols: Set[String] = Set.empty)
     extends org.apache.spark.sql.connector.write.Write
     with org.apache.spark.sql.connector.write.BatchWrite
     with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
@@ -978,7 +996,8 @@ private[sources] class ArrowIpcWrite(
       "OutputMode.Complete (epoch truncation) is not supported")
     require(hiveKeys.isEmpty, "arrow-ipc stream sink does not support " +
       "hivePartitionKeys — use the flat partitionKeys layout for streaming")
-    new ArrowIpcStreamingWrite(schema, dir, codec, queryId, partitionKeys)
+    new ArrowIpcStreamingWrite(schema, dir, codec, queryId, partitionKeys,
+      bloomCols)
   }
   override def description(): String = s"arrow-ipc $dir" +
     (if (partitionKeys.nonEmpty) s" keyed=[${partitionKeys.mkString(", ")}]" else "") +
@@ -1033,6 +1052,19 @@ private[sources] class ArrowIpcWrite(
     }
     require(hiveKeys.isEmpty || hiveKeys.size < schema.size,
       "arrow-ipc: a hive-partitioned dataset needs at least one non-key column")
+    bloomCols.foreach { k =>
+      val f = schema.fields.find(_.name == k).getOrElse(throw new IllegalArgumentException(
+        s"arrow-ipc: bloomColumns column '$k' not in schema " +
+          s"(${schema.fieldNames.mkString(", ")})"))
+      val kind = ArrowFileStats.kindOf(f.dataType)
+      require(kind != 0 && kind != 2,
+        s"arrow-ipc: bloomColumns column '$k' has type ${f.dataType} — " +
+          "doubles (-0.0/0.0 bit-pattern equality hazard) and nested types " +
+          "cannot carry a Bloom filter")
+      require(!hiveKeys.contains(k),
+        s"arrow-ipc: bloomColumns column '$k' is a hive partition key — " +
+          "its value lives in the directory path and already prunes exactly")
+    }
     val spark = SparkSession.active
     val conf = spark.sparkContext.hadoopConfiguration
     val dirPath = new Path(dir)
@@ -1059,7 +1091,7 @@ private[sources] class ArrowIpcWrite(
     // a write in flight invalidates the completeness marker until commit
     fs.delete(new Path(dirPath, "_SUCCESS"), false)
     new ArrowIpcWriterFactory(schema, dir, codec, queryId,
-      new SerializableHadoopConf(conf), partitionKeys, hiveKeys)
+      new SerializableHadoopConf(conf), partitionKeys, hiveKeys, bloomCols)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -1123,18 +1155,19 @@ private[sources] case class ArrowIpcCommitMessage(
 private[sources] class ArrowIpcWriterFactory(
     schema: StructType, dir: String, codec: Option[String], queryId: String,
     conf: SerializableHadoopConf, partitionKeys: Seq[String] = Nil,
-    hiveKeys: Seq[String] = Nil)
+    hiveKeys: Seq[String] = Nil, bloomCols: Set[String] = Set.empty)
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
     if (hiveKeys.nonEmpty)
       new ArrowIpcHiveDataWriter(schema, dir, codec, queryId, partitionId,
-        taskId, conf, hiveKeys)
+        taskId, conf, hiveKeys, bloomCols = bloomCols)
     else if (partitionKeys.isEmpty)
-      new ArrowIpcDataWriter(schema, dir, codec, queryId, partitionId, taskId, conf)
+      new ArrowIpcDataWriter(schema, dir, codec, queryId, partitionId, taskId,
+        conf, bloomCols = bloomCols)
     else
       new ArrowIpcKeyedDataWriter(schema, dir, codec, queryId, partitionId,
-        taskId, conf, partitionKeys)
+        taskId, conf, partitionKeys, bloomCols = bloomCols)
 }
 
 /** Push-based per-task writer: rows land straight in the Arrow vectors
@@ -1144,7 +1177,7 @@ private[sources] class ArrowIpcWriterFactory(
 private[sources] class ArrowIpcDataWriter(
     schema: StructType, dir: String, codec: Option[String], queryId: String,
     partitionId: Int, taskId: Long, conf: SerializableHadoopConf,
-    epochTag: String = "")
+    epochTag: String = "", bloomCols: Set[String] = Set.empty)
     extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
   import org.apache.arrow.vector.VectorSchemaRoot
   import org.apache.arrow.vector.ipc.ArrowStreamWriter
@@ -1174,7 +1207,7 @@ private[sources] class ArrowIpcDataWriter(
   private val types = schema.fields.map(_.dataType)
   // per-file min/max/null-count fold; rides the commit message to the
   // driver's _stats.json so the scan can skip this file on a pushed filter
-  private val stats = new ArrowStatsCollector(schema)
+  private val stats = new ArrowStatsCollector(schema, bloomCols)
 
   override def write(row: InternalRow): Unit = {
     if (!opened) open()
@@ -1235,7 +1268,8 @@ private[sources] class ArrowIpcDataWriter(
 private[sources] class ArrowIpcKeyedDataWriter(
     schema: StructType, dir: String, codec: Option[String], queryId: String,
     partitionId: Int, taskId: Long, conf: SerializableHadoopConf,
-    partitionKeys: Seq[String], epochTag: String = "")
+    partitionKeys: Seq[String], epochTag: String = "",
+    bloomCols: Set[String] = Set.empty)
     extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
   import org.apache.arrow.vector.VectorSchemaRoot
   import org.apache.arrow.vector.ipc.ArrowStreamWriter
@@ -1282,7 +1316,7 @@ private[sources] class ArrowIpcKeyedDataWriter(
     writer = ArrowInterchange.newStreamWriter(root, out, codec)
     writer.start()
     root.allocateNew()
-    stats = new ArrowStatsCollector(schema)
+    stats = new ArrowStatsCollector(schema, bloomCols)
   }
 
   private def flushBatch(): Unit = {

@@ -142,7 +142,8 @@ private[sources] object ArrowStreamCommits {
   * [[ArrowStreamCommits]] ledger; see its scaladoc for the protocol. */
 private[sources] class ArrowIpcStreamingWrite(
     schema: StructType, dir: String, codec: Option[String], queryId: String,
-    partitionKeys: Seq[String]) extends StreamingWrite {
+    partitionKeys: Seq[String], bloomCols: Set[String] = Set.empty)
+    extends StreamingWrite {
 
   // fresh per run (the StreamingWrite is constructed once per query run):
   // commit uuids of a retried epoch can never collide with the crashed
@@ -186,7 +187,7 @@ private[sources] class ArrowIpcStreamingWrite(
     if (!fs.exists(success)) fs.create(success, true).close()
     new ArrowIpcStreamingWriterFactory(schema, dir, codec, runNonce,
       new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration),
-      partitionKeys)
+      partitionKeys, bloomCols)
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -253,7 +254,8 @@ private[sources] class ArrowIpcStreamingWrite(
   * membership suffix. */
 private[sources] class ArrowIpcStreamingWriterFactory(
     schema: StructType, dir: String, codec: Option[String], runNonce: String,
-    conf: SerializableHadoopConf, partitionKeys: Seq[String])
+    conf: SerializableHadoopConf, partitionKeys: Seq[String],
+    bloomCols: Set[String] = Set.empty)
     extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] = {
@@ -261,9 +263,10 @@ private[sources] class ArrowIpcStreamingWriterFactory(
       s"$runNonce:$epochId".getBytes("UTF-8")).toString
     if (partitionKeys.isEmpty)
       new ArrowIpcDataWriter(schema, dir, codec, uuid, partitionId, taskId,
-        conf, epochTag = s"-e$epochId")
+        conf, epochTag = s"-e$epochId", bloomCols = bloomCols)
     else
       new ArrowIpcKeyedDataWriter(schema, dir, codec, uuid, partitionId,
-        taskId, conf, partitionKeys, epochTag = s"-e$epochId")
+        taskId, conf, partitionKeys, epochTag = s"-e$epochId",
+        bloomCols = bloomCols)
   }
 }

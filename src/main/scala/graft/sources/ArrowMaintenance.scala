@@ -42,6 +42,7 @@ import org.apache.spark.sql.SparkSession
   */
 object ArrowMaintenance {
   private val IntentFile = "_compaction.json"
+  private val DeleteIntentFile = "_delete.json"
   private[graft] val LineageFile = "_lineage.json"
 
   /** Outcome of a [[compact]] run: how many files went in and came out. */
@@ -116,13 +117,176 @@ object ArrowMaintenance {
       dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration), dirPath)
   }
 
-  /** Finish a swap a dead process left behind. True = an intent was found
-    * and replayed (the directory is whole again); false = nothing to do. */
+  /** Finish a swap a dead process left behind (compaction OR delete).
+    * True = an intent was found and replayed (the directory is whole
+    * again); false = nothing to do. */
   def recover(spark: SparkSession, dir: String): Boolean = {
     val dirPath = new Path(dir)
     val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new Path(dirPath, IntentFile))) false
-    else { replay(fs, dirPath); true }
+    val compacting = fs.exists(new Path(dirPath, IntentFile))
+    val deleting = fs.exists(new Path(dirPath, DeleteIntentFile))
+    if (compacting) replay(fs, dirPath)
+    if (deleting) replayDelete(fs, dirPath)
+    compacting || deleting
+  }
+
+  // ── metadata-level DELETE ────────────────────────────────────────────────
+
+  /** Outcome of [[deleteWhere]]: whole files dropped / kept untouched. */
+  case class DeleteResult(deleted: Int, kept: Int)
+
+  /** Can `deleteWhere(filters)` act on this directory METADATA-ONLY —
+    * i.e. does every live file classify as provably-all-match (drop
+    * whole) or provably-none-match (keep untouched)? The Iceberg
+    * metadata-delete contract re-expressed over this source's stats
+    * manifest: no row is ever rewritten, so a `false` here means the
+    * caller must rewrite instead (Spark surfaces it as "cannot delete
+    * where"). Sound by the manifest's exact-or-invalid discipline —
+    * a file without stats, an invalid interval, or a straddling file
+    * refuses; refusal is the only failure mode, never a wrong drop.
+    *
+    * Empty `filters` = unconditional delete (every file matches). A
+    * hive-partitioned directory classifies through the same machinery —
+    * its partition-key values are spliced into each file's stats view,
+    * so `DELETE WHERE key = v` drops exactly the value directories. */
+  def canDeleteWhere(spark: SparkSession, dir: String,
+      filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    classify(spark, dir, filters).isDefined
+
+  /** Execute a provable whole-file delete under the `_SUCCESS` latch with
+    * a crash-safe intent record (same recovery discipline as compaction:
+    * any crash leaves the marker down and [[recover]] replays to
+    * completion). Throws when [[canDeleteWhere]] is false. Same
+    * NO CONCURRENT WRITER contract as all maintenance here. */
+  def deleteWhere(spark: SparkSession, dir: String,
+      filters: Array[org.apache.spark.sql.sources.Filter]): DeleteResult = {
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recover(spark, dir) // finish any crashed swap before classifying
+    val (doomed, total) = classify(spark, dir, filters).getOrElse(
+      throw new UnsupportedOperationException(
+        s"arrow-ipc: cannot delete from $dir by metadata alone — " +
+          s"[${filters.mkString(", ")}] does not provably select whole " +
+          "files (a file straddles the predicate, or lacks stats); " +
+          "rewrite the data instead"))
+    if (doomed.isEmpty) return DeleteResult(0, total)
+    writeDeleteIntent(fs, dirPath, doomed.map(_.toString).toSeq.sorted)
+    fs.delete(new Path(dirPath, "_SUCCESS"), false)
+    replayDelete(fs, dirPath)
+    DeleteResult(doomed.length, total - doomed.length)
+  }
+
+  /** All live data files (flat or hive layout) with the stats VIEW the
+    * classifier needs, keyed by file NAME (the manifest's own key —
+    * unique across value directories because every name embeds partition
+    * id, roll sequence and commit queryId). Hive layouts splice the
+    * directory-derived partition values in as exact single-value columns,
+    * exactly like the scan does; a hive file missing from the manifest
+    * still classifies on its PARTITION columns alone. */
+  private def liveWithStats(spark: SparkSession, dirPath: Path)
+      : (Array[Path], Map[String, FileStats]) = {
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val visible = ArrowStreamCommits.visibleFilter(fs, dirPath)
+    val hiveKeys = ArrowHiveLayout.read(fs, dirPath)
+    val stats = ArrowFileStats.read(fs, dirPath)
+    if (hiveKeys.isEmpty) {
+      val files = Option(fs.globStatus(new Path(dirPath, "part-*.arrows")))
+        .getOrElse(Array.empty).map(_.getPath)
+        .filter(p => visible(p.getName))
+      (files, stats)
+    } else {
+      val schema = ArrowInterchange.readSchema(spark, dirPath.toString)
+      val fields = hiveKeys.map(k => schema.fields.find(_.name == k).getOrElse(
+        throw new IllegalStateException(
+          s"arrow-ipc: hive key '$k' missing from schema of $dirPath")))
+      val (sts, valsByName, _) =
+        ArrowHiveLayout.discover(fs, dirPath, fields, Array.empty, visible)
+      // manifest-less hive files get a partition-column-only stats view
+      // (rows=1: enough for the nulls==0 / all-null branches, claims no
+      // data-column knowledge — any data-column predicate then refuses)
+      val base = valsByName.keys.map(n =>
+        n -> stats.getOrElse(n, FileStats(1L, Map.empty))).toMap
+      (sts.map(_.getPath), ArrowHiveLayout.mergeStats(base, fields, valsByName))
+    }
+  }
+
+  /** Some((doomed paths, live total)) when EVERY live file classifies
+    * cleanly; None = at least one file straddles or is unprovable. */
+  private def classify(spark: SparkSession, dir: String,
+      filters: Array[org.apache.spark.sql.sources.Filter])
+      : Option[(Array[Path], Int)] = {
+    val dirPath = new Path(dir)
+    val (files, stats) = liveWithStats(spark, dirPath)
+    val doomed = scala.collection.mutable.ArrayBuffer.empty[Path]
+    files.foreach { p =>
+      stats.get(p.getName) match {
+        case Some(st) if filters.forall(ArrowFileStats.mustMatchAll(_, st)) =>
+          doomed += p
+        case Some(st) if !filters.forall(ArrowFileStats.canMatch(_, st)) =>
+          () // provably untouched
+        case None if filters.isEmpty => doomed += p // unconditional
+        case _ => return None // straddles, or no stats: refuse
+      }
+    }
+    Some((doomed.toArray, files.length))
+  }
+
+  /** The idempotent tail of a delete: drop files, then rebuild every
+    * stats structure to cover exactly the files that still exist, then
+    * restore the latch. Each step is a fixed point under replay. */
+  private def replayDelete(fs: FileSystem, dirPath: Path): Unit = {
+    val doomed = readDeleteIntent(fs, dirPath)
+    fs.delete(new Path(dirPath, "_SUCCESS"), false)
+    doomed.foreach(s => fs.delete(new Path(s), false))
+    // manifests key on bare file names (unique across value directories)
+    val doomedNames = doomed.map(s => new Path(s).getName).toSet
+    // base manifest minus the dead entries
+    val base = ArrowFileStats.readBase(fs, dirPath)
+    val keptBase = base -- doomedNames
+    if (keptBase.size != base.size) ArrowFileStats.write(fs, dirPath, keptBase)
+    // each affected shard: rewrite minus the dead entries (writeShard
+    // recomputes the envelope row), or drop it (and its index row) whole
+    ArrowFileStats.shardIds(fs, dirPath).foreach { qid =>
+      val shard = ArrowFileStats.readShard(fs, dirPath, qid)
+      val kept = shard -- doomedNames
+      if (kept.isEmpty && shard.nonEmpty)
+        ArrowFileStats.deleteShards(fs, dirPath, Seq(qid))
+      else if (kept.size != shard.size)
+        ArrowFileStats.writeShard(fs, dirPath, qid, kept)
+    }
+    // empty hive value directories left behind are dropped (discovery
+    // would prune them anyway; this keeps listings clean)
+    if (ArrowHiveLayout.read(fs, dirPath).nonEmpty)
+      doomed.map(s => new Path(s).getParent).distinct.foreach { d =>
+        if (d != dirPath && fs.exists(d) &&
+            Option(fs.listStatus(d)).forall(_.isEmpty))
+          fs.delete(d, false)
+      }
+    fs.create(new Path(dirPath, "_SUCCESS"), true).close()
+    fs.delete(new Path(dirPath, DeleteIntentFile), false)
+  }
+
+  private def writeDeleteIntent(fs: FileSystem, dir: Path,
+      doomed: Seq[String]): Unit = {
+    val body = doomed.map(s => "\"" + esc(s) + "\"").mkString("[", ",", "]")
+    // temp + rename: a torn intent must not wedge recover()
+    val tmp = new Path(dir, s"$DeleteIntentFile.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val fin = new Path(dir, DeleteIntentFile)
+    fs.delete(fin, false)
+    if (!fs.rename(tmp, fin))
+      throw new java.io.IOException(s"delete: rename $tmp -> $fin failed")
+  }
+
+  private def readDeleteIntent(fs: FileSystem, dir: Path): Seq[String] = {
+    import org.json4s._
+    org.json4s.jackson.JsonMethods.parse(
+      ArrowFileStats.readFully(fs, new Path(dir, DeleteIntentFile))) match {
+      case JArray(xs) => xs.collect { case JString(s) => s }
+      case other => throw new IllegalStateException(s"bad $DeleteIntentFile: $other")
+    }
   }
 
   /** The idempotent tail of the swap: every step checks before acting, so

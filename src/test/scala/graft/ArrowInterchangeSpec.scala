@@ -171,12 +171,15 @@ class ArrowInterchangeSpec extends AnyFunSuite {
   }
 
   test("unsupported column type fails loudly at write time") {
-    val df = spark.range(3).select(map(col("id"), col("id")).as("m"))
+    // maps became supported in round 9 — CalendarInterval remains outside
+    // the surface (no Arrow µs-exact analog for its month component)
+    val df = spark.range(3)
+      .select(make_ym_interval(lit(1), lit(2)).as("ym"))
     val e = intercept[IllegalArgumentException] {
       ArrowInterchange.writeStream(df, tmp("graft_arrow_bad"))
     }
     assert(e.getMessage.contains("unsupported type"))
-    assert(e.getMessage.contains("'m'"))
+    assert(e.getMessage.contains("'ym'"))
   }
 
   test("column-pruned read decodes only the requested columns, in requested order") {
@@ -356,6 +359,58 @@ class ArrowInterchangeSpec extends AnyFunSuite {
       .writeStream.format("memory").queryName("graft_struct_stream").start()
     try q.processAllAvailable() finally q.stop()
     assert(spark.table("graft_struct_stream").count() === 4)
+  }
+
+  test("map columns roundtrip exactly through BOTH write paths, nulls included") {
+    // tag/attribute shape: string→long counters, plus a map with struct
+    // values (feature name → (score, rank)) to prove nesting composes
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("tags", MapType(StringType, LongType)),
+      StructField("scores", MapType(StringType, StructType(Seq(
+        StructField("score", DoubleType),
+        StructField("rank", IntegerType)))))))
+    val rows = Seq(
+      Row(1L, Map("en" -> 3L, "fr" -> 1L), Map("q" -> Row(0.5, 1))),
+      Row(2L, Map.empty[String, Long], Map("a" -> Row(1.0, 2), "b" -> null)),
+      Row(3L, null, null),                               // null MAPS
+      Row(4L, Map("only" -> 0L), Map.empty[String, Row]))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+
+    // function-style writer → function-style reader
+    val d1 = tmp("graft_map_fn")
+    ArrowInterchange.writeStream(df, d1)
+    val b1 = ArrowInterchange.readStream(spark, d1).orderBy("id").collect()
+    assert(b1.map(r => (r.getLong(0), r.get(1), r.get(2))).toSeq ===
+      rows.map(r => (r.getLong(0), r.get(1), r.get(2))))
+
+    // DSv2 writer → DSv2 scan (internal-row path on both sides)
+    val d2 = tmp("graft_map_dsv2")
+    df.write.format("arrow-ipc").mode("overwrite").save(d2)
+    val back = spark.read.format("arrow-ipc").load(d2)
+    assert(back.schema === schema)
+    val b2 = back.orderBy("id").collect()
+    assert(b2.map(r => (r.getLong(0), r.get(1), r.get(2))).toSeq ===
+      rows.map(r => (r.getLong(0), r.get(1), r.get(2))))
+    // map functions compose with the scan (columnar read path wraps
+    // MapVector through Spark's own ArrowColumnVector)
+    assert(back.select(element_at(col("tags"), "en")).as[java.lang.Long]
+      .collect().toSet === Set[java.lang.Long](3L, null, null, null))
+    assert(back.select(map_keys(col("scores"))).where(col("id") === 2)
+      .collect().head.getSeq[String](0).sorted === Seq("a", "b"))
+
+    // and the streaming SOURCE carries map rows too
+    val q = spark.readStream.format("arrow-ipc").load(d2)
+      .select(col("id"), map_keys(col("tags")).as("ks"))
+      .writeStream.format("memory").queryName("graft_map_stream").start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.table("graft_map_stream").count() === 4)
+
+    // a map column can never prune or key a layout (stats kind 0)
+    val fs = new org.apache.hadoop.fs.Path(d2)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stats = graft.sources.ArrowFileStats.read(fs, new org.apache.hadoop.fs.Path(d2))
+    assert(stats.nonEmpty && stats.values.forall(!_.cols.contains("tags")))
   }
 
   test("a struct column can never prune, key, or push an aggregate") {
