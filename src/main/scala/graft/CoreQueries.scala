@@ -754,6 +754,138 @@ object CoreQueries {
               FROM orders WHERE o_orderstatus <> 'F'
               GROUP BY 1 ORDER BY o_orderstatus""")),
 
+    // SQL UPDATE via group-based COPY-ON-WRITE (round 9,
+    // SupportsRowLevelOperations): the predicate straddles files (status
+    // values mix inside every key-range file), so the metadata path
+    // refuses and the rewrite replaces exactly the files containing
+    // matches — runtime group filtering on the `_file` metadata column
+    // keeps clean files byte-identical. At 100 TB an UPDATE costs
+    // O(affected files) rewrite + a metadata swap, never a table rewrite.
+    ("arrow_update", (s, d) => {
+      val ord = T(s, d, "orders").select(
+        col("o_orderkey"), col("o_orderstatus"),
+        (col("o_totalprice").cast(DecimalType(12, 2)) * 100)
+          .cast(LongType).as("cents"))
+      // Scratch contract: see json_roundtrip.
+      val path = graft.sources.Scratch.dir(s, "graft_rt_arrowupd")
+      ord.repartitionByRange(8, col("o_orderkey"))
+        .write.format("arrow-ipc").mode("overwrite").save(path)
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.ArrowCatalog")
+      s.sql(s"UPDATE graft.`$path` SET cents = cents + 5 " +
+        "WHERE o_orderstatus = 'P'")
+      s.read.format("arrow-ipc").load(path)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("cnt"), sum(col("cents")).as("cents"))
+        .orderBy("o_orderstatus")
+    },
+      Some("""SELECT o_orderstatus, COUNT(*) AS cnt,
+                     CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                       + CASE WHEN o_orderstatus = 'P' THEN 5 ELSE 0 END) AS BIGINT) AS cents
+              FROM orders GROUP BY 1 ORDER BY o_orderstatus""")),
+
+    // SQL MERGE INTO (round 9): upsert through the same copy-on-write
+    // protocol — matched rows update in place (their files rewritten),
+    // not-matched source rows append as fresh files. The lakehouse
+    // ingest-reconcile primitive: dims refresh without a table rewrite.
+    ("arrow_merge", (s, d) => {
+      val cents = (col("c_acctbal").cast(DecimalType(12, 2)) * 100)
+        .cast(LongType).as("cents")
+      val target = T(s, d, "customer")
+        .filter(col("c_custkey") % 2 === 0)
+        .select(col("c_custkey"), col("c_nationkey"), cents)
+      // Scratch contract: see json_roundtrip.
+      val path = graft.sources.Scratch.dir(s, "graft_rt_arrowmrg")
+      target.repartitionByRange(4, col("c_custkey"))
+        .write.format("arrow-ipc").mode("overwrite").save(path)
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.ArrowCatalog")
+      T(s, d, "customer").select(col("c_custkey"), col("c_nationkey"), cents)
+        .createOrReplaceTempView("graft_merge_src")
+      s.sql(
+        s"""MERGE INTO graft.`$path` t USING graft_merge_src s
+           |ON t.c_custkey = s.c_custkey
+           |WHEN MATCHED THEN UPDATE SET cents = s.cents + 7
+           |WHEN NOT MATCHED THEN INSERT (c_custkey, c_nationkey, cents)
+           |  VALUES (s.c_custkey, s.c_nationkey, s.cents)
+           |""".stripMargin)
+      s.read.format("arrow-ipc").load(path)
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("cnt"), sum(col("cents")).as("cents"))
+        .orderBy("c_nationkey")
+    },
+      Some("""SELECT c_nationkey, COUNT(*) AS cnt,
+                     CAST(SUM(CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+                       + CASE WHEN c_custkey % 2 = 0 THEN 7 ELSE 0 END) AS BIGINT) AS cents
+              FROM customer GROUP BY 1 ORDER BY c_nationkey""")),
+
+    // SCHEMA EVOLUTION (round 9): `ALTER TABLE … ADD COLUMN` is a
+    // metadata-only sentinel rewrite — standing files serve the column as
+    // all-NULL (the readers' missing→-1 resolution, null constant vectors
+    // on the columnar path), appends carry real values, and both
+    // generations scan together. At 100 TB adding a column costs one
+    // metadata write, never a table rewrite.
+    ("arrow_evolve", (s, d) => {
+      val sup = T(s, d, "supplier")
+      // Scratch contract: see json_roundtrip.
+      val path = graft.sources.Scratch.dir(s, "graft_rt_arrowevo")
+      sup.filter(col("s_suppkey") % 2 === 0)
+        .select(col("s_suppkey"), col("s_nationkey"))
+        .write.format("arrow-ipc").mode("overwrite").save(path)
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.ArrowCatalog")
+      s.sql(s"ALTER TABLE graft.`$path` ADD COLUMN cents BIGINT")
+      sup.filter(col("s_suppkey") % 2 === 1)
+        .select(col("s_suppkey"), col("s_nationkey"),
+          (col("s_acctbal").cast(DecimalType(12, 2)) * 100)
+            .cast(LongType).as("cents"))
+        .write.format("arrow-ipc").mode("append").save(path)
+      s.read.format("arrow-ipc").load(path)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(coalesce(col("cents"), lit(0L))).as("cents"))
+        .orderBy("s_nationkey")
+    },
+      Some("""SELECT s_nationkey, COUNT(*) AS cnt,
+                     CAST(SUM(CASE WHEN s_suppkey % 2 = 1
+                       THEN CAST(CAST(s_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS cents
+              FROM supplier GROUP BY 1 ORDER BY s_nationkey""")),
+
+    // TIME TRAVEL (round 9): every committed mutation appends a delta to
+    // `_snapshots.json` and retires replaced files to `.trash/`, so
+    // `VERSION AS OF` reconstructs any retained snapshot — here the state
+    // BEFORE a copy-on-write DELETE, read back bit-exactly alongside the
+    // live state. At 100 TB a snapshot read costs the log fold plus the
+    // same per-file scan as any read; history is bounded by
+    // expireSnapshots, never by table lifetime.
+    ("arrow_time_travel", (s, d) => {
+      val ord = T(s, d, "orders").select(
+        col("o_orderkey"), col("o_orderstatus"),
+        (col("o_totalprice").cast(DecimalType(12, 2)) * 100)
+          .cast(LongType).as("cents"))
+      // Scratch contract: see json_roundtrip.
+      val path = graft.sources.Scratch.dir(s, "graft_rt_arrowtt")
+      ord.repartitionByRange(4, col("o_orderkey"))
+        .write.format("arrow-ipc").mode("overwrite").save(path) // snapshot 1
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.ArrowCatalog")
+      s.sql(s"DELETE FROM graft.`$path` WHERE o_orderstatus = 'O'") // snapshot 2
+      val v1 = s.read.format("arrow-ipc").option("asOfSnapshot", 1).load(path)
+      val v2 = s.read.format("arrow-ipc").load(path)
+      v1.withColumn("ver", lit(1)).unionAll(v2.withColumn("ver", lit(2)))
+        .groupBy(col("ver"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("cnt"), sum(col("cents")).as("cents"))
+        .orderBy("ver", "o_orderstatus")
+    },
+      Some("""WITH base AS (SELECT o_orderstatus,
+                     CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
+              FROM orders)
+              SELECT 1 AS ver, o_orderstatus, COUNT(*) AS cnt,
+                     CAST(SUM(c) AS BIGINT) AS cents
+              FROM base GROUP BY 2
+              UNION ALL
+              SELECT 2 AS ver, o_orderstatus, COUNT(*) AS cnt,
+                     CAST(SUM(c) AS BIGINT) AS cents
+              FROM base WHERE o_orderstatus <> 'O' GROUP BY 2
+              ORDER BY ver, o_orderstatus""")),
+
     // MAP columns through the interchange (round 9): the tag/attribute
     // shape (string→long counters per document) rides Arrow's canonical
     // map layout — list<entries: struct<key, value>> with non-null keys —

@@ -28,8 +28,10 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * no-such-table error. DELETE resolves through [[ArrowIpcTable]]'s
   * `SupportsDelete` (metadata-level whole-file deletes, refusal
   * otherwise); INSERT INTO/OVERWRITE ride the standard DSv2 write path
-  * (append / truncate). CREATE/ALTER/RENAME are refused — directories
-  * are created by writes, not DDL. */
+  * (append / truncate); ALTER TABLE supports the two metadata-only
+  * schema evolutions (nullable ADD COLUMN, DROP COLUMN — see
+  * [[alterTable]]). CREATE/RENAME are refused — directories are created
+  * by writes, not DDL. */
 class ArrowCatalog extends TableCatalog {
   private var catalogName: String = "graft"
 
@@ -52,6 +54,38 @@ class ArrowCatalog extends TableCatalog {
     new ArrowIpcTable(ArrowInterchange.readSchema(spark, dir), dir)
   }
 
+  /** TIME TRAVEL — `VERSION AS OF <snapshot-id>`: pins the table to one
+    * entry of the directory's `_snapshots.json` log ([[ArrowSnapshots]]);
+    * scans read that snapshot's file set (trash-resolved), mutations
+    * refuse. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val id = try java.lang.Long.parseLong(version)
+    catch { case _: NumberFormatException =>
+      throw new IllegalArgumentException(
+        s"$catalogName: VERSION AS OF takes a numeric snapshot id, got '$version'")
+    }
+    loadTable(ident) match {
+      case t: ArrowIpcTable => new ArrowIpcTable(t.schema(), dirOf(ident), Some(id))
+    }
+  }
+
+  /** `TIMESTAMP AS OF …` (micros since epoch, per the DSv2 contract):
+    * resolves to the latest snapshot committed at or before the instant. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val dir = dirOf(ident)
+    val spark = SparkSession.active
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = loadTable(ident)
+    val snaps = ArrowSnapshots.read(fs, p)
+    val id = ArrowSnapshots.resolveAt(snaps, timestampMicros / 1000L)
+      .getOrElse(throw new IllegalArgumentException(
+        s"$catalogName: no snapshot of $dir at or before " +
+          s"timestamp $timestampMicros µs" + (
+            if (snaps.isEmpty) " (no snapshot log)" else "")))
+    new ArrowIpcTable(base.schema(), dir, Some(id))
+  }
+
   override def tableExists(ident: Identifier): Boolean = {
     val spark = SparkSession.active
     val p = new Path(dirOf(ident))
@@ -69,9 +103,79 @@ class ArrowCatalog extends TableCatalog {
       s"$catalogName: create directories by WRITING to them " +
         "(df.write.format(\"arrow-ipc\").save(path)), not by DDL")
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      s"$catalogName: schema is fixed by the directory's sentinel")
+  /** SCHEMA EVOLUTION — the two changes that are sound for name-resolved
+    * immutable data files, both metadata-only (a sentinel rewrite; no
+    * data file is touched):
+    *
+    *  - `ADD COLUMN` (nullable, appended last): standing files serve the
+    *    column as all-NULL (the readers' missing→-1 resolution); new
+    *    appends carry it. A non-nullable add, a positioned add, or a
+    *    nested-field add is refused — each would silently lie about
+    *    standing data.
+    *  - `DROP COLUMN`: the column leaves the sentinel; standing files
+    *    keep the bytes (readers resolve by name and ignore extras), new
+    *    appends omit them. Dropping a layout/partition key is refused
+    *    (the directory structure still encodes it). Re-adding a dropped
+    *    name with a DIFFERENT type is user error the read then reports
+    *    loudly (the standing bytes still carry the old type).
+    *
+    * Everything else (renames, type changes, comments) is refused:
+    * name-based resolution makes a rename unsound without a rewrite, and
+    * type changes would need per-file casts this source does not do. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val dir = dirOf(ident)
+    val spark = SparkSession.active
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val before = ArrowInterchange.readSchema(spark, dir)
+    val after = changes.foldLeft(before) { (schema, change) => change match {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames.length == 1,
+          s"$catalogName: only top-level columns can be added " +
+            s"(got ${add.fieldNames.mkString(".")})")
+        val colName = add.fieldNames.head
+        require(!schema.fieldNames.contains(colName),
+          s"$catalogName: column '$colName' already exists")
+        require(add.isNullable,
+          s"$catalogName: added column '$colName' must be nullable — " +
+            "standing files serve it as NULL")
+        require(add.position == null,
+          s"$catalogName: positioned adds are not supported — new columns " +
+            "append last")
+        val grown = schema.add(colName, add.dataType, nullable = true)
+        ArrowInterchange.toArrowSchema(grown) // interchange-supported type?
+        grown
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames.length == 1,
+          s"$catalogName: only top-level columns can be dropped " +
+            s"(got ${del.fieldNames.mkString(".")})")
+        val colName = del.fieldNames.head
+        require(schema.fieldNames.contains(colName),
+          s"$catalogName: no column '$colName' to drop")
+        val keyed = ArrowLayout.read(fs, p) ++ ArrowHiveLayout.read(fs, p)
+        require(!keyed.contains(colName),
+          s"$catalogName: column '$colName' keys the directory layout — " +
+            "it cannot be dropped")
+        val kept = StructType(schema.fields.filter(_.name != colName))
+        require(kept.nonEmpty,
+          s"$catalogName: cannot drop the last column")
+        kept
+      case other =>
+        throw new UnsupportedOperationException(
+          s"$catalogName: unsupported table change $other — only nullable " +
+            "ADD COLUMN (appended last) and DROP COLUMN evolve the sentinel")
+    }}
+    // torn-write-safe sentinel swap: write complete, then rename into
+    // place (the brief no-sentinel window is covered by the same
+    // single-writer contract as all maintenance here)
+    val tmp = new Path(p, "_schema.arrows.tmp")
+    ArrowInterchange.writeSentinel(fs.create(tmp, true), after)
+    val fin = new Path(p, "_schema.arrows")
+    fs.delete(fin, false)
+    if (!fs.rename(tmp, fin))
+      throw new java.io.IOException(s"$catalogName: rename $tmp -> $fin failed")
+    new ArrowIpcTable(after, dir)
+  }
 
   override def dropTable(ident: Identifier): Boolean =
     throw new UnsupportedOperationException(

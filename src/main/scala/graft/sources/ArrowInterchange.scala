@@ -607,7 +607,9 @@ object ArrowInterchange {
         val vals = new Array[Any](types.length)
         var c = 0
         while (c < types.length) {
-          vals(c) = getValue(root.getVector(cols(c)), types(c), i)
+          vals(c) =
+            if (cols(c) < 0) null // evolved column absent from this file
+            else getValue(root.getVector(cols(c)), types(c), i)
           c += 1
         }
         i += 1
@@ -624,23 +626,32 @@ object ArrowInterchange {
   private[sources] def resolveColumns(fileSchema: ArrowSchema,
       expected: StructType, path: String, exact: Boolean): Array[Int] = {
     val fileFields = fileSchema.getFields.asScala
-    if (exact && fileFields.size != expected.size)
+    if (exact && !fileFields.forall(f => expected.fieldNames.contains(f.getName)))
       throw new IllegalArgumentException(
-        s"Arrow interchange: $path has ${fileFields.size} columns " +
-          s"(${fileFields.map(_.getName).mkString(", ")}) but the dataset " +
-          s"schema has ${expected.size} — 'data files must share it'")
+        s"Arrow interchange: $path has columns " +
+          s"(${fileFields.map(_.getName).mkString(", ")}) outside the dataset " +
+          s"schema (${expected.fieldNames.mkString(", ")}) — 'data files must share it'")
     val indexByName = fileFields.zipWithIndex.map { case (f, i) => f.getName -> i }.toMap
     expected.fields.map { ef =>
-      val i = indexByName.getOrElse(ef.name,
-        throw new IllegalArgumentException(
-          s"Arrow interchange: $path has no column '${ef.name}' " +
-            s"(found: ${fileFields.map(_.getName).mkString(", ")})"))
-      val actual = fromArrowField(fileFields(i))
-      if (actual.dataType != ef.dataType)
-        throw new IllegalArgumentException(
-          s"Arrow interchange: $path column '${ef.name}' has type " +
-            s"${actual.dataType} but the dataset schema says ${ef.dataType}")
-      i
+      indexByName.get(ef.name) match {
+        case Some(i) =>
+          val actual = fromArrowField(fileFields(i))
+          if (actual.dataType != ef.dataType)
+            throw new IllegalArgumentException(
+              s"Arrow interchange: $path column '${ef.name}' has type " +
+                s"${actual.dataType} but the dataset schema says ${ef.dataType}")
+          i
+        // SCHEMA EVOLUTION (ALTER TABLE … ADD COLUMN through the
+        // catalog): a file written before a nullable column existed
+        // serves it as all-NULL — the readers map the -1 sentinel to a
+        // null column. A NON-nullable expectation still fails loudly:
+        // nulls there would be silent corruption, not evolution.
+        case None if ef.nullable => -1
+        case None =>
+          throw new IllegalArgumentException(
+            s"Arrow interchange: $path has no column '${ef.name}' " +
+              s"(found: ${fileFields.map(_.getName).mkString(", ")})")
+      }
     }
   }
 

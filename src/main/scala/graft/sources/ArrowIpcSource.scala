@@ -62,12 +62,49 @@ class ArrowIpcSource extends TableProvider with DataSourceRegister {
       dir(new CaseInsensitiveStringMap(properties)))
 }
 
-private[sources] class ArrowIpcTable(tableSchema: StructType, dir: String)
+/** `asOf`: a TIME-TRAVEL pin ([[ArrowCatalog.loadTable]] `VERSION AS OF`
+  * / `TIMESTAMP AS OF`) — scans read the pinned snapshot's file set and
+  * every mutation refuses. The read option `asOfSnapshot` pins a single
+  * DataFrame read the same way. */
+private[sources] class ArrowIpcTable(tableSchema: StructType, dir: String,
+    asOf: Option[Long] = None)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
-  override def name(): String = s"arrow-ipc `$dir`"
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+  override def name(): String =
+    s"arrow-ipc `$dir`" + asOf.fold("")(v => s" VERSION AS OF $v")
   override def schema(): StructType = tableSchema
+
+  private def refuseIfPinned(op: String): Unit =
+    require(asOf.isEmpty,
+      s"arrow-ipc: $op on a time-travel read (VERSION AS OF ${asOf.get}) " +
+        "is not allowed — address the live table instead")
+
+  /** `_file` — each row's source file path. Queryable provenance
+    * (`SELECT _file, * FROM …`) and the substrate of copy-on-write
+    * row-level operations (runtime GROUP filtering selects affected
+    * files by it). Suppressed if a data column claims the name. */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    if (tableSchema.fieldNames.contains(ArrowRowLevel.FileColumn)) Array.empty
+    else Array(ArrowRowLevel.FileMetadataColumn)
+
+  /** SQL `UPDATE` / `MERGE INTO` / non-provable `DELETE` via group-based
+    * COPY-ON-WRITE: scan the affected files (runtime group filtering on
+    * `_file` narrows to files that truly contain matches), write the
+    * modified survivor rows to a hidden staging dataset, and swap old
+    * files for new under the `_SUCCESS` latch with compaction's
+    * crash-safe intent/replay. Provable DELETEs still take the
+    * metadata-only path above (Spark's OptimizeMetadataOnlyDeleteFromTable
+    * asks [[canDeleteWhere]] first). */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    refuseIfPinned(info.command.toString)
+    () => new ArrowCowOperation(tableSchema, dir, info)
+  }
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
@@ -82,39 +119,46 @@ private[sources] class ArrowIpcTable(tableSchema: StructType, dir: String)
     * metadata-delete contract over this source's own manifest; see
     * [[ArrowMaintenance.deleteWhere]] for the crash-safe swap. */
   override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
-    ArrowMaintenance.canDeleteWhere(SparkSession.active, dir, filters)
-  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
+    asOf.isEmpty &&
+      ArrowMaintenance.canDeleteWhere(SparkSession.active, dir, filters)
+  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    refuseIfPinned("DELETE")
     ArrowMaintenance.deleteWhere(SparkSession.active, dir, filters)
+  }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ArrowIpcScanBuilder(tableSchema, dir,
       Option(options.get("maxFilesPerTrigger")).map(_.toInt),
       Option(options.get("partitionKeys"))
-        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq))
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq),
+      asOf = asOf.orElse(Option(options.get("asOfSnapshot")).map(_.toLong)))
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
-      : org.apache.spark.sql.connector.write.WriteBuilder =
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    refuseIfPinned("writing")
     new ArrowIpcWriteBuilder(info.schema(), dir,
       Option(info.options.get("codec")), info.queryId(),
       Option(info.options.get("partitionKeys"))
-        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-        .getOrElse(Nil),
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq),
       Option(info.options.get("hivePartitionKeys"))
-        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-        .getOrElse(Nil),
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq),
       Option(info.options.get("bloomColumns"))
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
         .getOrElse(Set.empty))
+  }
 }
 
 private[sources] class ArrowIpcScanBuilder(full: StructType, dir: String,
     maxFilesPerTrigger: Option[Int] = None,
-    partitionKeys: Option[Seq[String]] = None)
+    partitionKeys: Option[Seq[String]] = None,
+    onBuild: ArrowIpcScan => Unit = null,
+    asOf: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownLimit
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   private var required: StructType = full
   private var limit: Int = -1
+  private var fileSlot: Int = -1
   private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
   private var agg: Option[(StructType, Array[Array[Any]])] = None
 
@@ -157,6 +201,10 @@ private[sources] class ArrowIpcScanBuilder(full: StructType, dir: String,
     import org.apache.spark.sql.connector.expressions.aggregate._
     import org.apache.spark.sql.connector.expressions.NamedReference
     if (pushed.nonEmpty || limit >= 0)
+      return false
+    // a time-travel read must never answer from the manifest: stats
+    // describe the LIVE file set, not the pinned snapshot's
+    if (asOf.isDefined)
       return false
 
     val spark = SparkSession.active
@@ -455,7 +503,7 @@ private[sources] class ArrowIpcScanBuilder(full: StructType, dir: String,
       case scala.util.control.NonFatal(_) => false
     }
   }
-  override def pruneColumns(requiredSchema: StructType): Unit =
+  override def pruneColumns(requiredSchema: StructType): Unit = {
     // Catalyst hands back a subset of `full` in table-schema order; empty
     // (count(*)-style) is legal — the reader then just counts rows.
     // NESTED prunes (a sub-struct of a struct column) are widened back to
@@ -463,9 +511,18 @@ private[sources] class ArrowIpcScanBuilder(full: StructType, dir: String,
     // (a pruned-subset struct would mis-ordinal the columnar child
     // vectors), and Spark projects the subfields post-scan. Top-level
     // column pruning — the one that matters for scan volume — is kept.
-    required = StructType(requiredSchema.fields.map { f =>
-      full.fields.find(_.name == f.name).getOrElse(f)
-    })
+    // The `_file` METADATA column (provenance; the copy-on-write
+    // substrate) is never in the data files: its slot is recorded and
+    // the readers splice the partition's path back in as a constant.
+    fileSlot = requiredSchema.fields.indexWhere(f =>
+      f.name == ArrowRowLevel.FileColumn && !full.fieldNames.contains(f.name))
+    required = StructType(requiredSchema.fields
+      .filter(f => !(f.name == ArrowRowLevel.FileColumn &&
+        !full.fieldNames.contains(f.name)))
+      .map { f =>
+        full.fields.find(_.name == f.name).getOrElse(f)
+      })
+  }
   override def pushLimit(n: Int): Boolean = {
     // PARTIAL push (return false → Spark keeps its own Limit): each file
     // reader stops loading IPC batches once it has produced n rows, so a
@@ -484,9 +541,12 @@ private[sources] class ArrowIpcScanBuilder(full: StructType, dir: String,
     filters
   }
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
-  override def build(): Scan =
-    new ArrowIpcScan(required, dir, limit, pushed, agg, maxFilesPerTrigger,
-      partitionKeys, full)
+  override def build(): Scan = {
+    val scan = new ArrowIpcScan(required, dir, limit, pushed, agg,
+      maxFilesPerTrigger, partitionKeys, full, fileSlot, asOf)
+    if (onBuild != null) onBuild(scan)
+    scan
+  }
 }
 
 private[sources] class ArrowIpcScan(required: StructType, dir: String,
@@ -494,13 +554,23 @@ private[sources] class ArrowIpcScan(required: StructType, dir: String,
     agg: Option[(StructType, Array[Array[Any]])] = None,
     maxFilesPerTrigger: Option[Int] = None,
     partitionKeys: Option[Seq[String]] = None,
-    full: StructType = null)
+    full: StructType = null,
+    fileSlot: Int = -1,
+    asOf: Option[Long] = None)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsReportOrdering {
-  override def readSchema(): StructType = agg.fold(required)(_._1)
+  override def readSchema(): StructType = agg.fold {
+    if (fileSlot < 0) required
+    else {
+      // re-insert the `_file` metadata column at the slot Catalyst asked
+      // for — the readers splice it in as a per-partition constant
+      val (before, after) = required.fields.splitAt(fileSlot)
+      StructType((before :+ ArrowRowLevel.fileField) ++ after)
+    }
+  }(_._1)
   override def toBatch: Batch = this
   override def description(): String =
     s"arrow-ipc $dir [${required.fieldNames.mkString(", ")}]" +
@@ -516,7 +586,9 @@ private[sources] class ArrowIpcScan(required: StructType, dir: String,
       (if (hiveFields.nonEmpty)
         s" hive=[${hiveFields.map(_.name).mkString(", ")}]" +
           s" dirs=${hiveDirCounts._1}/${hiveDirCounts._2}"
-      else "")
+      else "") +
+      (if (fileSlot >= 0) " file-col" else "") +
+      asOf.fold("")(v => s" asOf=$v")
 
   /** Hive partition-key fields, resolved against the dataset schema (the
     * FULL one — a projection may prune a partition column the directory
@@ -560,8 +632,46 @@ private[sources] class ArrowIpcScan(required: StructType, dir: String,
     // partition key, pruning value directories the STATIC filters refute
     // BEFORE descending — a skipped directory's children are never listed,
     // so planning over a million-file lake costs O(matching dirs).
+    // TIME TRAVEL (`asOf`): skip discovery entirely — the snapshot log
+    // names the file set; each path resolves live-first, trash-second,
+    // and an expired snapshot refuses loudly rather than serving a
+    // partial table. Stats-based pruning below stays SOUND for the files
+    // the manifest still covers (data files are immutable), and simply
+    // keeps the rest.
     val (all, valsByName, dirCounts) =
-      if (hiveFields.isEmpty) {
+      if (asOf.isDefined) {
+        val snaps = scala.util.Try(ArrowSnapshots.read(fs, dirPath))
+          .getOrElse(Nil)
+        val set = ArrowSnapshots.resolve(snaps, asOf.get).getOrElse(
+          throw new IllegalArgumentException(
+            s"arrow-ipc: $dir has no snapshot ${asOf.get}" + (
+              if (snaps.isEmpty) " (no snapshot log)"
+              else s" — the log records ${snaps.head.id}..${snaps.last.id}")))
+        val sts = set.toSeq.sorted.map { rel =>
+          val live = new Path(dirPath, rel)
+          val p =
+            if (fs.exists(live)) live
+            else {
+              val t = ArrowSnapshots.trashPath(dirPath, rel)
+              require(fs.exists(t),
+                s"arrow-ipc: snapshot ${asOf.get} of $dir is expired — " +
+                  s"'$rel' is gone from both the live set and the trash")
+              t
+            }
+          fs.getFileStatus(p)
+        }.toArray
+        val vals =
+          if (hiveFields.isEmpty) Map.empty[String, Seq[Option[String]]]
+          else set.toSeq.map { rel =>
+            val segs = rel.split('/')
+            require(segs.length == hiveFields.length + 1,
+              s"arrow-ipc: snapshot path '$rel' does not match the " +
+                s"declared hive layout (${hiveFields.map(_.name).mkString("/")})")
+            segs.last -> hiveFields.zipWithIndex.map { case (f, i) =>
+              ArrowHiveLayout.parseSegment(f, segs(i)) }
+          }.toMap
+        (sts, vals, (0, 0))
+      } else if (hiveFields.isEmpty) {
         (Option(fs.globStatus(new Path(dir, "part-*.arrows")))
           .getOrElse(Array.empty)
           .filter(st => streamVisible(st.getPath.getName)),
@@ -618,12 +728,48 @@ private[sources] class ArrowIpcScan(required: StructType, dir: String,
     * the reference has no analog (its scans are single-query). */
   private var runtime: Array[org.apache.spark.sql.sources.Filter] = Array.empty
 
-  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    required.fields.filter(f => ArrowFileStats.kindOf(f.dataType) != 0)
-      .map(f => org.apache.spark.sql.connector.expressions.Expressions.column(f.name))
+  /** Runtime file-identity filter (`_file IN (…)`), the row-level
+    * operations' GROUP filtering channel: Spark's
+    * RowLevelOperationRuntimeGroupFiltering runs the command condition as
+    * a subquery projecting `_file` and hands the matching paths here, so
+    * a copy-on-write UPDATE/MERGE/DELETE rewrites ONLY the files that
+    * actually contain affected rows. None = no file filter received. */
+  private var fileKeep: Option[Set[String]] = None
 
-  override def filter(runtimeFilters: Array[org.apache.spark.sql.sources.Filter]): Unit =
-    runtime = runtimeFilters.filter(ArrowFileStats.prunable)
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    // `_file` projected (a row-level rewrite scan): offer ONLY the file
+    // identity — the group-filtering rule builds one combined IN over
+    // every offered attribute, and a multi-column struct-IN cannot
+    // translate to a source filter, which would silently lose the group
+    // filter entirely (Iceberg's COW scan makes the same restriction)
+    (if (fileSlot >= 0) Array(ArrowRowLevel.FileColumn)
+    else required.fields.filter(f => ArrowFileStats.kindOf(f.dataType) != 0)
+      .map(_.name))
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+
+  override def filter(runtimeFilters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    import org.apache.spark.sql.sources.{EqualTo, In}
+    val (onFile, onData) = runtimeFilters.partition(
+      _.references.contains(ArrowRowLevel.FileColumn))
+    runtime = onData.filter(ArrowFileStats.prunable)
+    // only exact-identity shapes narrow the file set; anything else on
+    // `_file` — including a value of unexpected runtime type — is
+    // ignored (keep all files — never a wrong skip). An In with an EMPTY
+    // value list is exact too: no row matched anywhere, keep nothing.
+    def str(v: Any): Option[String] = v match {
+      case s: String => Some(s)
+      case u: org.apache.spark.unsafe.types.UTF8String => Some(u.toString)
+      case _ => None
+    }
+    val sets = onFile.flatMap {
+      case In(_, vs) =>
+        val ss = vs.flatMap(str(_))
+        if (ss.length == vs.length) Some(ss.toSet) else None
+      case EqualTo(_, v) => str(v).map(Set(_))
+      case _ => None
+    }
+    if (sets.nonEmpty) fileKeep = Some(sets.reduce(_ intersect _))
+  }
 
   /** The commit queryId a data file's name carries: our writers suffix
     * every file with it (`part-NNNNN[-gSSSS]-<qid>.arrows`, qid a
@@ -640,16 +786,21 @@ private[sources] class ArrowIpcScan(required: StructType, dir: String,
   }
 
   private def keptWith(active: Array[org.apache.spark.sql.sources.Filter])
-      : Array[org.apache.hadoop.fs.FileStatus] =
-    if (active.isEmpty) allFiles
-    else allFiles.filter { st =>
-      val name = st.getPath.getName
-      // whole-commit skip first (static filters refuted the envelope; the
-      // shard's per-file stats were never loaded), then per-file interval
-      !refutedShards.contains(shardIdOf(name)) &&
-      manifest.get(name)
-        .forall(s => active.forall(f => ArrowFileStats.canMatch(f, s)))
-    }
+      : Array[org.apache.hadoop.fs.FileStatus] = {
+    val base =
+      if (active.isEmpty) allFiles
+      else allFiles.filter { st =>
+        val name = st.getPath.getName
+        // whole-commit skip first (static filters refuted the envelope; the
+        // shard's per-file stats were never loaded), then per-file interval
+        !refutedShards.contains(shardIdOf(name)) &&
+        manifest.get(name)
+          .forall(s => active.forall(f => ArrowFileStats.canMatch(f, s)))
+      }
+    // runtime file-identity filter: exact by construction (the values ARE
+    // this scan's own emitted paths)
+    fileKeep.fold(base)(keep => base.filter(st => keep(st.getPath.toString)))
+  }
 
   private def kept: Array[org.apache.hadoop.fs.FileStatus] = keptWith(filters ++ runtime)
 
@@ -671,7 +822,12 @@ private[sources] class ArrowIpcScan(required: StructType, dir: String,
   private lazy val grouping: Option[(Seq[StructField], Array[ArrowKeyedPartition])] = {
     val enabled = SparkSession.active.conf
       .get("spark.sql.sources.v2.bucketing.enabled", "false").toBoolean
-    if (!enabled || agg.isDefined) None
+    // `_file` projection disables key grouping: a grouped partition chains
+    // several files, and the per-row provenance constant is per-FILE (a
+    // row-level rewrite — the projection's only plan-level consumer —
+    // wants the file split visible anyway). Time-travel reads never claim
+    // grouping either: trash files have no manifest proof.
+    if (!enabled || agg.isDefined || fileSlot >= 0 || asOf.isDefined) None
     else {
       val dirPath = new Path(dir)
       val fs = dirPath.getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
@@ -803,8 +959,34 @@ private[sources] class ArrowIpcScan(required: StructType, dir: String,
         }
     }
 
+  /** The files this scan's final plan reads, as paths RELATIVE to the
+    * dataset root — the copy-on-write commit's replacement set. Reflects
+    * both the pushed (static) pruning and any runtime group filter, i.e.
+    * exactly the files whose rows the executed ReplaceData plan carried. */
+  private[sources] def replacedFiles: Seq[String] = {
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
+    val base = fs.makeQualified(dirPath)
+    kept.toSeq.map { st =>
+      val segs = scala.collection.mutable.ListBuffer.empty[String]
+      var cur = st.getPath
+      while (cur != null && cur != base && cur.getName.nonEmpty) {
+        segs.prepend(cur.getName)
+        cur = cur.getParent
+      }
+      require(cur == base,
+        s"arrow-ipc: file ${st.getPath} is not under dataset root $base")
+      segs.mkString("/")
+    }
+  }
+
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(asOf.isEmpty,
+      "arrow-ipc: a time-travel read (asOfSnapshot) is batch-only")
+    require(fileSlot < 0,
+      s"arrow-ipc: the _file metadata column is batch-only — a streaming " +
+        "read cannot project it")
     require(hiveFields.isEmpty,
       s"arrow-ipc: streaming reads of hive-partitioned directories are not " +
         s"supported — $dir declares keys ${hiveFields.map(_.name).mkString(", ")}")
@@ -815,11 +997,14 @@ private[sources] class ArrowIpcScan(required: StructType, dir: String,
     agg.fold {
       val conf = new SerializableHadoopConf(
         SparkSession.active.sparkContext.hadoopConfiguration)
-      if (hiveFields.isEmpty)
-        new ArrowIpcReaderFactory(required, conf, limit): PartitionReaderFactory
-      else
-        new ArrowIpcHiveReaderFactory(required, hiveFields, conf, limit)
-          : PartitionReaderFactory
+      val base =
+        if (hiveFields.isEmpty)
+          new ArrowIpcReaderFactory(required, conf, limit): PartitionReaderFactory
+        else
+          new ArrowIpcHiveReaderFactory(required, hiveFields, conf, limit)
+            : PartitionReaderFactory
+      if (fileSlot < 0) base
+      else new ArrowFileColReaderFactory(base, required, fileSlot)
     } { case (schema, rows) =>
       new ArrowAggReaderFactory(schema, rows)
     }
@@ -930,11 +1115,18 @@ private[sources] class ArrowIpcColumnarReader(
     if (limit >= 0 && produced >= limit) return false
     if (!reader.loadNextBatch()) return false
     val vecs: Array[ColumnVector] =
-      cols.map(i => root.getVector(i) match {
-        case f: org.apache.arrow.vector.FixedSizeBinaryVector =>
-          new FixedSizeBinaryColumnVector(f): ColumnVector
-        case v => new ArrowColumnVector(v): ColumnVector
-      })
+      cols.zipWithIndex.map {
+        case (-1, c) => // evolved column absent from this file: all-NULL
+          val v = new org.apache.spark.sql.execution.vectorized
+            .ConstantColumnVector(root.getRowCount, required.fields(c).dataType)
+          v.setNull()
+          v: ColumnVector
+        case (i, _) => root.getVector(i) match {
+          case f: org.apache.arrow.vector.FixedSizeBinaryVector =>
+            new FixedSizeBinaryColumnVector(f): ColumnVector
+          case v => new ArrowColumnVector(v): ColumnVector
+        }
+      }
     current = new ColumnarBatch(vecs, root.getRowCount)
     produced += root.getRowCount
     true
@@ -948,9 +1140,17 @@ private[sources] class ArrowIpcColumnarReader(
 
 // ── write path ───────────────────────────────────────────────────────────
 
+/** `partitionKeysOpt`/`hiveKeysOpt`: None = the caller passed no layout
+  * option. An option-less APPEND then defaults to the directory's
+  * standing declarations — above all so SQL `INSERT INTO` through the
+  * catalog lands in the directory's own layout instead of refusing
+  * (hive) or degrading the keyed claim (flat). An option-less TRUNCATE
+  * (`mode("overwrite")`) defaults to NO layout: overwrite resets the
+  * table definition. An explicit option always wins. */
 private[sources] class ArrowIpcWriteBuilder(
     schema: StructType, dir: String, codec: Option[String], queryId: String,
-    partitionKeys: Seq[String] = Nil, hiveKeys: Seq[String] = Nil,
+    partitionKeysOpt: Option[Seq[String]] = None,
+    hiveKeysOpt: Option[Seq[String]] = None,
     bloomCols: Set[String] = Set.empty)
     extends org.apache.spark.sql.connector.write.WriteBuilder
     with org.apache.spark.sql.connector.write.SupportsTruncate {
@@ -958,9 +1158,18 @@ private[sources] class ArrowIpcWriteBuilder(
   override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
     doTruncate = true; this
   }
-  override def build(): org.apache.spark.sql.connector.write.Write =
+  override def build(): org.apache.spark.sql.connector.write.Write = {
+    val (partitionKeys, hiveKeys) =
+      if (partitionKeysOpt.isDefined || hiveKeysOpt.isDefined || doTruncate)
+        (partitionKeysOpt.getOrElse(Nil), hiveKeysOpt.getOrElse(Nil))
+      else {
+        val p = new Path(dir)
+        val fs = p.getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
+        (ArrowLayout.read(fs, p), ArrowHiveLayout.read(fs, p))
+      }
     new ArrowIpcWrite(schema, dir, codec, queryId, doTruncate, partitionKeys,
       hiveKeys, bloomCols)
+  }
 }
 
 /** DSv2 batch write: Spark's commit coordinator guarantees exactly one
@@ -1072,9 +1281,18 @@ private[sources] class ArrowIpcWrite(
     if (truncate) fs.delete(dirPath, true)
     else if (fs.exists(new Path(dirPath, "_schema.arrows"))) {
       val existing = ArrowInterchange.readSchema(spark, dir)
-      require(existing == schema,
+      // identical names+types; nullability may be STRICTER on the incoming
+      // side (non-null data into a nullable column — the shape every
+      // post-ADD-COLUMN append has) but never looser (possibly-null data
+      // into a non-null column would corrupt the dataset's contract)
+      require(existing.length == schema.length &&
+        existing.fields.zip(schema.fields).forall { case (e, s) =>
+          e.name == s.name && e.dataType == s.dataType &&
+            (e.nullable || !s.nullable)
+        },
         s"arrow-ipc: appending schema $schema to $dir which carries " +
-          s"schema $existing — append requires an identical schema")
+          s"schema $existing — append requires identical names and types " +
+          "(incoming nullability may only be stricter)")
       // layout-flavor compatibility: files of a hive-partitioned dataset
       // live at a different depth and OMIT the key columns — appending
       // with mismatched keys would interleave unreadable layouts
@@ -1133,6 +1351,14 @@ private[sources] class ArrowIpcWrite(
     // factory-create time, so this is idempotent (or the fresh write after
     // a truncate)
     if (hiveKeys.nonEmpty) ArrowHiveLayout.write(fs, dirPath, hiveKeys)
+    // snapshot log: one delta entry per commit (advisory history — time
+    // travel's substrate, never consulted by live reads). A truncate
+    // wiped the directory, so its log restarts at snapshot 1.
+    val rels = messages.collect { case ArrowIpcCommitMessage(files) =>
+      files.map { case (path, _) =>
+        ArrowSnapshots.relativize(fs, dirPath, new Path(path)) }
+    }.flatten
+    ArrowSnapshots.append(fs, dirPath, rels.toSeq, Nil)
     fs.create(new Path(dirPath, "_SUCCESS"), true).close()
   }
 
@@ -1428,7 +1654,9 @@ private[sources] class ArrowIpcPartitionReader(
     val vals = new Array[Any](types.length)
     var c = 0
     while (c < types.length) {
-      vals(c) = ArrowInterchange.getInternalValue(root.getVector(cols(c)), types(c), i)
+      vals(c) =
+        if (cols(c) < 0) null // evolved column absent from this file
+        else ArrowInterchange.getInternalValue(root.getVector(cols(c)), types(c), i)
       c += 1
     }
     current = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)

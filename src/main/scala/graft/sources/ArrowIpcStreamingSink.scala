@@ -233,6 +233,9 @@ private[sources] class ArrowIpcStreamingWrite(
     ArrowStreamCommits.write(fs, dirPath, ArrowStreamCommits.Ledger(
       ledger.maxEpochs + (queryId -> epochId),
       ledger.committed + uuid))
+    // snapshot log: each committed epoch is one delta entry (stream files
+    // are flat — names ARE the relative paths)
+    ArrowSnapshots.append(fs, dirPath, fresh.keys.toSeq, Nil)
     val success = new Path(dirPath, "_SUCCESS")
     if (!fs.exists(success)) fs.create(success, true).close()
   }

@@ -67,7 +67,10 @@ object ArrowMaintenance {
         s"supported — $dir declares a ${ArrowHiveLayout.FileName}")
     recover(spark, dir) // finish any crashed swap before touching anything
     // clear staging dirs from runs that died BEFORE recording intent
+    // (compaction's own, and any copy-on-write rewrite's)
     Option(fs.globStatus(new Path(dir, ".compact-*")))
+      .getOrElse(Array.empty).foreach(st => fs.delete(st.getPath, true))
+    Option(fs.globStatus(new Path(dir, ".cow-*")))
       .getOrElse(Array.empty).foreach(st => fs.delete(st.getPath, true))
     // crashed-epoch stream orphans are INVISIBLE to the staging read, so
     // they must not survive into `olds` either (deleting a file whose rows
@@ -104,6 +107,71 @@ object ArrowMaintenance {
     fs.delete(new Path(dirPath, "_SUCCESS"), false)
     replay(fs, dirPath)
     Some(CompactionResult(olds.length, staged.length))
+  }
+
+  /** The copy-on-write commit tail (used by the row-level UPDATE/MERGE/
+    * DELETE write, [[ArrowCowWrite]]): swap a fully-staged rewrite in
+    * under the `_SUCCESS` latch with the same crash-safe intent/replay
+    * discipline as compaction — any crash leaves the latch down and
+    * [[recover]] replays to completion. `olds`/`moves` paths are relative
+    * to `dir` (nested for hive layouts); `layoutKeys` restores the
+    * standing key-grouped claim the clustered rewrite preserved. */
+  private[graft] def cowSwap(fs: FileSystem, dirPath: Path, olds: Seq[String],
+      staging: String, moves: Map[String, String],
+      layoutKeys: Seq[String]): Unit = {
+    writeIntent(fs, dirPath,
+      Intent(olds.sorted, staging, moves, "cow", layoutKeys))
+    fs.delete(new Path(dirPath, "_SUCCESS"), false)
+    replay(fs, dirPath)
+  }
+
+  /** Outcome of [[expireSnapshots]]. */
+  case class ExpireResult(dropped: Int, trashDeleted: Int)
+
+  /** Expire time-travel history older than snapshot `keepFrom`: the log's
+    * prefix collapses into ONE absolute entry at `keepFrom` (every
+    * retained id still reconstructs bit-identically), and `.trash/` files
+    * no retained snapshot references are deleted for good. Reading an
+    * expired snapshot afterwards refuses loudly. Same NO CONCURRENT
+    * WRITER contract as all maintenance; live readers are unaffected
+    * (the live set never touches the trash). */
+  def expireSnapshots(spark: SparkSession, dir: String,
+      keepFrom: Long): ExpireResult = {
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recover(spark, dir) // a half-swapped directory must finish first
+    val snaps = ArrowSnapshots.read(fs, dirPath)
+    val base = snaps.find(_.id == keepFrom).getOrElse(
+      throw new IllegalArgumentException(
+        s"arrow-ipc: $dir has no snapshot $keepFrom to keep from" +
+          (if (snaps.isEmpty) " (no snapshot log)"
+          else s" — the log records ${snaps.head.id}..${snaps.last.id}")))
+    val dropped = snaps.count(_.id < keepFrom)
+    val tail = snaps.filter(_.id > keepFrom)
+    val baseState = ArrowSnapshots.resolve(snaps, keepFrom).get
+    // every retained snapshot's file set still needs its trash copies
+    val needed = (baseState +: tail.map(s =>
+      ArrowSnapshots.resolve(snaps, s.id).get)).reduce(_ ++ _)
+    def sweep(at: Path, prefix: String): Int =
+      Option(fs.listStatus(at)).getOrElse(Array.empty).map { st =>
+        val rel = prefix + st.getPath.getName
+        if (st.isDirectory) sweep(st.getPath, rel + "/")
+        else if (!needed(rel)) { fs.delete(st.getPath, false); 1 }
+        else 0
+      }.sum
+    val trashRoot = new Path(dirPath, ArrowSnapshots.TrashDir)
+    val deleted = if (fs.exists(trashRoot)) sweep(trashRoot, "") else 0
+    ArrowSnapshots.write(fs, dirPath,
+      ArrowSnapshots.Snapshot(keepFrom, base.tsMillis,
+        baseState.toSeq.sorted, Nil) +: tail)
+    // drop emptied trash directories (incl. the root when history is gone)
+    def clean(at: Path): Unit = {
+      Option(fs.listStatus(at)).getOrElse(Array.empty)
+        .filter(_.isDirectory).foreach(st => clean(st.getPath))
+      if (Option(fs.listStatus(at)).forall(_.isEmpty)) fs.delete(at, false)
+    }
+    if (fs.exists(trashRoot)) clean(trashRoot)
+    ExpireResult(dropped, deleted)
   }
 
   /** Delete crashed-epoch leftovers of the streaming sink: stream-named
@@ -237,7 +305,11 @@ object ArrowMaintenance {
   private def replayDelete(fs: FileSystem, dirPath: Path): Unit = {
     val doomed = readDeleteIntent(fs, dirPath)
     fs.delete(new Path(dirPath, "_SUCCESS"), false)
-    doomed.foreach(s => fs.delete(new Path(s), false))
+    // retire to `.trash/` for time travel (idempotent under replay) and
+    // record the snapshot delta; intent paths are absolute → relativize
+    val rels = doomed.map(s => ArrowSnapshots.relativize(fs, dirPath, new Path(s)))
+    rels.foreach(r => ArrowSnapshots.moveToTrash(fs, dirPath, r))
+    ArrowSnapshots.append(fs, dirPath, Nil, rels)
     // manifests key on bare file names (unique across value directories)
     val doomedNames = doomed.map(s => new Path(s).getName).toSet
     // base manifest minus the dead entries
@@ -298,20 +370,29 @@ object ArrowMaintenance {
     // and marker-drop leaves the marker up, and moving files under a live
     // marker would expose readers to the mixed old+new state
     fs.delete(new Path(dirPath, "_SUCCESS"), false)
-    // (c) move staged files in — already-moved ones are gone from staging
+    // (c) move staged files in — already-moved ones are gone from staging.
+    // Move targets may be NESTED (a cow rewrite of a hive-partitioned
+    // dataset lands `key=value/part-…` paths; an UPDATE can mint a value
+    // directory that never existed), so parents are created on demand.
     intent.moves.toSeq.sortBy(_._1).foreach { case (s, fin) =>
       val src = new Path(stagingPath, s)
       if (fs.exists(src)) {
         val dst = new Path(dirPath, fin)
+        if (dst.getParent != dirPath) fs.mkdirs(dst.getParent)
         fs.delete(dst, false) // a half-replayed move: staged copy wins
         if (!fs.rename(src, dst))
           throw new java.io.IOException(s"compaction: rename $src -> $dst failed")
       }
     }
     // (d) merged manifest: fixed point under replay — minus(olds) no-ops
-    // once gone, staged stats are constant
+    // once gone, staged stats are constant. Manifests key on BARE file
+    // names (unique across value directories), so relative paths in the
+    // intent are stripped to names on both sides.
+    val oldNames = intent.olds.map(o => new Path(o).getName)
+    val movesByName = intent.moves.map { case (k, v) =>
+      new Path(k).getName -> new Path(v).getName }
     val stagedStats = ArrowFileStats.read(fs, stagingPath)
-      .map { case (k, v) => intent.moves.getOrElse(k, k) -> v }
+      .map { case (k, v) => movesByName.getOrElse(k, k) -> v }
     // SNAPSHOT the shard set first, fold exactly that snapshot into the
     // base, then delete exactly that snapshot: a large commit landing
     // between these lines keeps both its shard and its index row — its
@@ -319,7 +400,7 @@ object ArrowMaintenance {
     val shardSnapshot = ArrowFileStats.shardIds(fs, dirPath)
     val onDiskStats = ArrowFileStats.readBase(fs, dirPath) ++
       shardSnapshot.flatMap(ArrowFileStats.readShard(fs, dirPath, _))
-    val merged = (onDiskStats -- intent.olds) ++ stagedStats
+    val merged = (onDiskStats -- oldNames) ++ stagedStats
     ArrowFileStats.write(fs, dirPath, merged)
     // idempotent under replay (deleting nothing is a no-op)
     ArrowFileStats.deleteShards(fs, dirPath, shardSnapshot)
@@ -327,13 +408,31 @@ object ArrowMaintenance {
     // consumer whose offset already covers the olds can absorb the
     // compacted file WITHOUT re-emitting its rows (idempotent merge —
     // same entries every replay; append-only across compactions so
-    // chained lineage resolves transitively)
-    writeLineage(fs, dirPath,
-      readLineage(fs, dirPath) ++ intent.moves.values.map(_ -> intent.olds))
-    // (e) drop the old files; compaction coalesces across keys, so any
-    // key-grouped layout claim is destroyed with them
-    intent.olds.foreach(o => fs.delete(new Path(dirPath, o), false))
-    ArrowLayout.delete(fs, dirPath)
+    // chained lineage resolves transitively). A COW rewrite must NOT
+    // claim lineage: its rows CHANGED, so "parents covered ⇒ rows already
+    // emitted" would make a streaming consumer silently skip the updated
+    // rows — the rewritten files are honestly new data to a stream.
+    if (intent.kind == "compact")
+      writeLineage(fs, dirPath,
+        readLineage(fs, dirPath) ++ intent.moves.values.map(_ -> intent.olds))
+    // (e) retire the old files to `.trash/` (time travel finds them there
+    // until expiry; the move is idempotent under replay) and record the
+    // snapshot delta; empty hive value directories left behind are
+    // dropped like a metadata delete would
+    intent.olds.foreach(o => ArrowSnapshots.moveToTrash(fs, dirPath, o))
+    ArrowSnapshots.append(fs, dirPath,
+      intent.moves.values.toSeq, intent.olds)
+    intent.olds.map(o => new Path(dirPath, o).getParent).distinct.foreach { d =>
+      if (d != dirPath && fs.exists(d) &&
+          Option(fs.listStatus(d)).forall(_.isEmpty))
+        fs.delete(d, false)
+    }
+    // layout claim: compaction coalesces across keys, destroying any
+    // key-grouped claim; a COW rewrite clustered its output on the
+    // standing keys, so the claim it recorded in the intent is restored
+    if (intent.kind == "compact" || intent.layoutKeys.isEmpty)
+      ArrowLayout.delete(fs, dirPath)
+    else ArrowLayout.write(fs, dirPath, intent.layoutKeys)
     // (e') prune the streaming ledger's committed set down to ids that
     // still name a live file (compacted outputs are not stream-named, so
     // their visibility no longer rides the ledger); the per-query epoch
@@ -356,8 +455,15 @@ object ArrowMaintenance {
 
   // ── intent record ────────────────────────────────────────────────────────
 
+  /** `kind`: "compact" (lineage recorded, layout claim destroyed) or
+    * "cow" (a copy-on-write row-level rewrite — rows CHANGED, so no
+    * lineage claim is ever recorded, and the standing key-grouped layout
+    * claim is restored via `layoutKeys` because the rewrite clustered its
+    * output on those keys). `olds`/move targets are paths RELATIVE to the
+    * dataset dir (bare names for flat layouts, `key=value/...` for hive). */
   private[graft] case class Intent(
-      olds: Seq[String], staging: String, moves: Map[String, String])
+      olds: Seq[String], staging: String, moves: Map[String, String],
+      kind: String = "compact", layoutKeys: Seq[String] = Nil)
 
   private def esc(s: String): String = ArrowFileStats.esc(s)
 
@@ -367,7 +473,9 @@ object ArrowMaintenance {
     sb.append("],\"staging\":\"").append(esc(intent.staging)).append("\",\"moves\":{")
     sb.append(intent.moves.toSeq.sorted.map { case (k, v) =>
       "\"" + esc(k) + "\":\"" + esc(v) + "\"" }.mkString(","))
-    sb.append("}}")
+    sb.append("},\"kind\":\"").append(esc(intent.kind)).append("\",\"layoutKeys\":[")
+    sb.append(intent.layoutKeys.map(k => "\"" + esc(k) + "\"").mkString(","))
+    sb.append("]}")
     // temp + rename: a crash mid-write must leave NO intent file (the
     // stale staging dir is swept by the next compact) rather than a
     // corrupt one that wedges every later recover()
@@ -398,7 +506,17 @@ object ArrowMaintenance {
           case JObject(ms) => ms.collect { case (k, JString(v)) => k -> v }.toMap
           case _ => Map.empty[String, String]
         }
-        Intent(olds, staging, moves)
+        // both optional: intents written before the cow kind existed parse
+        // as plain compactions
+        val kind = (o \ "kind") match {
+          case JString(s) => s
+          case _ => "compact"
+        }
+        val layoutKeys = (o \ "layoutKeys") match {
+          case JArray(xs) => xs.collect { case JString(s) => s }
+          case _ => Nil
+        }
+        Intent(olds, staging, moves, kind, layoutKeys)
       case other => throw new IllegalStateException(s"bad $IntentFile: $other")
     }
   }

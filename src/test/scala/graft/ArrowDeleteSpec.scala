@@ -91,21 +91,20 @@ class ArrowDeleteSpec extends AnyFunSuite {
     assert(stats.keySet === after)
   }
 
-  test("a straddling predicate refuses loudly (no row is rewritten)") {
+  test("a straddling predicate refuses metadata-only and falls back to COW") {
     val dir = tmp("graft_del_straddle")
     spark.range(0, 1000).select(col("id"), (col("id") % 5).as("v"))
       .repartition(4, col("id")) // hash spread: every file straddles id<500
       .write.format("arrow-ipc").mode("overwrite").save(dir)
-    val before = files(dir)
-    val e = intercept[Exception] {
-      spark.sql(s"DELETE FROM graft.`$dir` WHERE id < 500")
-    }
-    def msgs(t: Throwable): Seq[String] =
-      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
-    assert(msgs(e).exists(m => m.toLowerCase.contains("delete")))
-    // untouched: same files, same rows
-    assert(files(dir) === before)
-    assert(spark.read.format("arrow-ipc").load(dir).count() === 1000)
+    // the metadata path itself still refuses (no whole-file proof) …
+    assert(!ArrowMaintenance.canDeleteWhere(spark, dir,
+      Array(org.apache.spark.sql.sources.LessThan("id", 500L))))
+    // … and SQL DELETE therefore takes the copy-on-write rewrite
+    val res = spark.sql(s"DELETE FROM graft.`$dir` WHERE id < 500")
+    assert(res.queryExecution.executedPlan.toString.contains("ReplaceData"))
+    assert(spark.read.format("arrow-ipc").load(dir).count() === 500)
+    assert(spark.read.format("arrow-ipc").load(dir)
+      .agg(min(col("id"))).head.getLong(0) === 500)
   }
 
   test("a range-aligned predicate deletes whole files of a range layout") {
@@ -150,12 +149,11 @@ class ArrowDeleteSpec extends AnyFunSuite {
     val back = spark.read.format("arrow-ipc").load(dir)
     assert(back.count() === 400)
     assert(back.filter(col("part") === "y").count() === 0)
-    // a DATA-column predicate that straddles still refuses on hive too
-    val e = intercept[Exception] {
-      spark.sql(s"DELETE FROM graft.`$dir` WHERE v % 2 = 0")
-    }
-    assert(e != null)
-    assert(spark.read.format("arrow-ipc").load(dir).count() === 400)
+    // a DATA-column predicate that straddles now rewrites via COW on hive
+    spark.sql(s"DELETE FROM graft.`$dir` WHERE v % 2 = 0")
+    val after = spark.read.format("arrow-ipc").load(dir)
+    assert(after.count() === 200)
+    assert(after.filter(col("v") % 2 === 0).count() === 0)
   }
 
   test("deleting a whole sharded commit drops its shard and index row") {

@@ -323,8 +323,8 @@ class ArrowDsv2Spec extends AnyFunSuite {
       spark.range(3).select(col("id"), col("id").as("other"))
         .write.format("arrow-ipc").mode("append").save(dir)
     }
-    assert(e.getMessage.contains("identical schema") ||
-      Option(e.getCause).exists(_.getMessage.contains("identical schema")))
+    assert(e.getMessage.contains("identical names") ||
+      Option(e.getCause).exists(_.getMessage.contains("identical names")))
   }
 
   test("DSv2 write honors the codec option") {

@@ -149,15 +149,23 @@ class ArrowHiveSpec extends AnyFunSuite {
     val back = spark.read.format("arrow-ipc").load(dir)
     assert(back.select("id").as[Int].collect().sorted.toSeq === (0 until 20))
 
-    val flat = intercept[Exception] {
-      mk(20, 30).write.format("arrow-ipc").mode("append").save(dir)
-    }
-    assert(flat.getMessage.contains("standing layout"))
+    // an OPTION-LESS append defaults to the standing layout (the SQL
+    // `INSERT INTO` shape) — rows route into value directories
+    mk(20, 30).write.format("arrow-ipc").mode("append").save(dir)
+    val grown = spark.read.format("arrow-ipc").load(dir)
+    assert(grown.select("id").as[Int].collect().sorted.toSeq === (0 until 30))
+    assert(grown.filter(col("grp") === "g0").count() === 15)
+    // … but an append declaring a DIFFERENT layout still refuses
     val otherKey = intercept[Exception] {
-      mk(20, 30).write.format("arrow-ipc")
+      mk(30, 40).write.format("arrow-ipc")
         .option("hivePartitionKeys", "id").mode("append").save(dir)
     }
     assert(otherKey.getMessage.contains("standing layout"))
+    val explicitFlat = intercept[Exception] {
+      mk(30, 40).write.format("arrow-ipc")
+        .option("hivePartitionKeys", "").mode("append").save(dir)
+    }
+    assert(explicitFlat.getMessage.contains("standing layout"))
   }
 
   test("unsupported key types and all-key schemas refuse loudly") {

@@ -135,10 +135,18 @@ class ArrowSpjSpec extends AnyFunSuite {
     val (dl, dr) = (tmp("graft_spj_app_l"), tmp("graft_spj_app_r"))
     Sinks.writeKeyGrouped(left, dl, Seq("k"), partitions = 4)
     Sinks.writeKeyGrouped(right, dr, Seq("k"), partitions = 4)
-    // a foreign writer appends one multi-key file: the layout claim stays
-    // but per-file verification fails → fall back, never wrong co-location
+    // a FOREIGN writer drops one multi-key file in (no stats entry, no
+    // clustering — a DSv2 append would now cluster into the standing
+    // layout): the layout claim stays but per-file verification fails →
+    // fall back, never wrong co-location
+    val foreign = tmp("graft_spj_app_foreign")
     spark.range(5000, 5004).select((col("id") % 23).as("k"), col("id").as("lv"))
-      .coalesce(1).write.format("arrow-ipc").mode("append").save(dl)
+      .coalesce(1).write.format("arrow-ipc").mode("overwrite").save(foreign)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val ffs = new org.apache.hadoop.fs.Path(foreign).getFileSystem(conf)
+    val src = ffs.globStatus(new org.apache.hadoop.fs.Path(foreign, "part-*.arrows")).head.getPath
+    org.apache.hadoop.fs.FileUtil.copy(ffs, src,
+      ffs, new org.apache.hadoop.fs.Path(dl, "part-foreign.arrows"), false, conf)
 
     withSpjConfs {
       val j = spark.read.format("arrow-ipc").load(dl)
