@@ -886,6 +886,43 @@ object CoreQueries {
               FROM base WHERE o_orderstatus <> 'O' GROUP BY 2
               ORDER BY ver, o_orderstatus""")),
 
+    // CHANGE FEED (round 9): "what changed between snapshot A and B" as
+    // insert/delete rows, folded from the snapshot log and served by
+    // `_file`-pruned as-of reads — the feed opens exactly the changed
+    // files, never the table. The incremental-processing primitive: a
+    // downstream training-data job consumes deltas instead of rescanning
+    // 100 TB per run.
+    ("arrow_changefeed", (s, d) => {
+      val ord = T(s, d, "orders").select(
+        col("o_orderkey"), col("o_orderstatus"),
+        (col("o_totalprice").cast(DecimalType(12, 2)) * 100)
+          .cast(LongType).as("cents"))
+      // Scratch contract: see json_roundtrip.
+      val path = graft.sources.Scratch.dir(s, "graft_rt_arrowcf")
+      graft.sources.Sinks.writeKeyGrouped(ord, path,
+        Seq("o_orderstatus"), partitions = 4)               // snapshot 1
+      ord.filter(col("o_orderstatus") === "O")
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+        .write.format("arrow-ipc").mode("append").save(path) // snapshot 2
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.ArrowCatalog")
+      s.sql(s"DELETE FROM graft.`$path` WHERE o_orderstatus = 'F'") // snapshot 3
+      graft.sources.ArrowChanges.changeFeed(s, path, 1, 3)
+        .groupBy(col("_change_type"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("cnt"), sum(col("cents")).as("cents"))
+        .orderBy("_change_type", "o_orderstatus")
+    },
+      Some("""WITH base AS (SELECT o_orderstatus,
+                     CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
+              FROM orders)
+              SELECT 'delete' AS _change_type, o_orderstatus, COUNT(*) AS cnt,
+                     CAST(SUM(c) AS BIGINT) AS cents
+              FROM base WHERE o_orderstatus = 'F' GROUP BY 2
+              UNION ALL
+              SELECT 'insert' AS _change_type, o_orderstatus, COUNT(*) AS cnt,
+                     CAST(SUM(c) AS BIGINT) AS cents
+              FROM base WHERE o_orderstatus = 'O' GROUP BY 2
+              ORDER BY _change_type, o_orderstatus""")),
+
     // MAP columns through the interchange (round 9): the tag/attribute
     // shape (string→long counters per document) rides Arrow's canonical
     // map layout — list<entries: struct<key, value>> with non-null keys —

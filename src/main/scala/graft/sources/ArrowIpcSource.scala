@@ -695,8 +695,14 @@ private[sources] class ArrowIpcScan(required: StructType, dir: String,
       // always kept) — a corrupt manifest must never fail the read itself.
       val index = scala.util.Try(ArrowFileStats.readIndex(fs, dirPath))
         .getOrElse(Map.empty[String, FileStats])
+      // commit-level (envelope) skipping is LIVE-state only: a COW/delete
+      // rewrites a shard's envelope to its surviving files, so an
+      // envelope can refute values that exist ONLY in that commit's
+      // trashed files — a time-travel read must not consult it. Per-FILE
+      // entries below stay sound at any snapshot: files are immutable
+      // and their entries are removed with them, never modified.
       val (refuted, liveIndexed) = index.keys.partition { qid =>
-        filters.nonEmpty &&
+        filters.nonEmpty && asOf.isEmpty &&
           !filters.forall(f => ArrowFileStats.canMatch(f, index(qid)))
       }
       val unindexed = ArrowFileStats.shardIds(fs, dirPath)
@@ -747,28 +753,41 @@ private[sources] class ArrowIpcScan(required: StructType, dir: String,
       .map(_.name))
       .map(org.apache.spark.sql.connector.expressions.Expressions.column)
 
-  override def filter(runtimeFilters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+  /** Exact file-identity keep-set from `_file` filters: only In/EqualTo
+    * with string values narrow; anything else — including a value of
+    * unexpected runtime type — is ignored (keep all files — never a
+    * wrong skip). An In with an EMPTY value list is exact too: no row
+    * matched anywhere, keep nothing. */
+  private def fileKeepFrom(fs: Array[org.apache.spark.sql.sources.Filter])
+      : Option[Set[String]] = {
     import org.apache.spark.sql.sources.{EqualTo, In}
-    val (onFile, onData) = runtimeFilters.partition(
-      _.references.contains(ArrowRowLevel.FileColumn))
-    runtime = onData.filter(ArrowFileStats.prunable)
-    // only exact-identity shapes narrow the file set; anything else on
-    // `_file` — including a value of unexpected runtime type — is
-    // ignored (keep all files — never a wrong skip). An In with an EMPTY
-    // value list is exact too: no row matched anywhere, keep nothing.
     def str(v: Any): Option[String] = v match {
       case s: String => Some(s)
       case u: org.apache.spark.unsafe.types.UTF8String => Some(u.toString)
       case _ => None
     }
-    val sets = onFile.flatMap {
-      case In(_, vs) =>
-        val ss = vs.flatMap(str(_))
-        if (ss.length == vs.length) Some(ss.toSet) else None
-      case EqualTo(_, v) => str(v).map(Set(_))
-      case _ => None
-    }
-    if (sets.nonEmpty) fileKeep = Some(sets.reduce(_ intersect _))
+    val sets = fs.filter(_.references.contains(ArrowRowLevel.FileColumn))
+      .flatMap {
+        case In(_, vs) =>
+          val ss = vs.flatMap(str(_))
+          if (ss.length == vs.length) Some(ss.toSet) else None
+        case EqualTo(_, v) => str(v).map(Set(_))
+        case _ => None
+      }
+    if (sets.isEmpty) None else Some(sets.reduce(_ intersect _))
+  }
+
+  /** STATIC `_file` pruning: a pushed `.where(col("_file").isin(…))`
+    * (the change-feed's and any provenance point-read's shape) drops
+    * non-matching files at planning — exact by identity, since the
+    * values are this scan's own emitted paths. */
+  private lazy val staticFileKeep: Option[Set[String]] = fileKeepFrom(filters)
+
+  override def filter(runtimeFilters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    val (onFile, onData) = runtimeFilters.partition(
+      _.references.contains(ArrowRowLevel.FileColumn))
+    runtime = onData.filter(ArrowFileStats.prunable)
+    fileKeep = fileKeepFrom(onFile)
   }
 
   /** The commit queryId a data file's name carries: our writers suffix
@@ -797,9 +816,12 @@ private[sources] class ArrowIpcScan(required: StructType, dir: String,
         manifest.get(name)
           .forall(s => active.forall(f => ArrowFileStats.canMatch(f, s)))
       }
-    // runtime file-identity filter: exact by construction (the values ARE
-    // this scan's own emitted paths)
-    fileKeep.fold(base)(keep => base.filter(st => keep(st.getPath.toString)))
+    // file-identity filters (static pushed + runtime): exact by
+    // construction — the values ARE this scan's own emitted paths
+    val afterStatic = staticFileKeep.fold(base)(keep =>
+      base.filter(st => keep(st.getPath.toString)))
+    fileKeep.fold(afterStatic)(keep =>
+      afterStatic.filter(st => keep(st.getPath.toString)))
   }
 
   private def kept: Array[org.apache.hadoop.fs.FileStatus] = keptWith(filters ++ runtime)

@@ -142,6 +142,29 @@ class ArrowTimeTravelSpec extends AnyFunSuite {
       .contains("no snapshot 1"))
   }
 
+  test("a rewritten shard envelope never prunes a snapshot's trashed files") {
+    val dir = tmp("graft_tt_envelope")
+    val key = "spark.graft.arrow.statsShardFiles"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key, "2")
+    try {
+      import spark.implicits._
+      val df = (0 until 300).map(i => (Seq("A", "B", "C")(i % 3), i.toLong))
+        .toDF("k", "v")
+      graft.sources.Sinks.writeKeyGrouped(df, dir, Seq("k"))        // snap 1, sharded
+      spark.sql(s"DELETE FROM graft.`$dir` WHERE k = 'C'")          // snap 2 (metadata)
+      // the LIVE shard envelope now spans only A..B — it would refute
+      // k='C' — but snapshot 1's C files live in the trash and the
+      // filtered as-of read must still find them (per-file stats only)
+      val v1 = spark.read.format("arrow-ipc").option("asOfSnapshot", 1).load(dir)
+      assert(v1.filter(col("k") === "C").count() === 100)
+      assert(v1.count() === 300)
+      // the live read still gets the envelope skip
+      assert(spark.read.format("arrow-ipc").load(dir)
+        .filter(col("k") === "C").count() === 0)
+    } finally saved.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
+
   test("time travel is batch-only and pruning stays sound on mixed sets") {
     val dir = tmp("graft_tt_guard")
     spark.range(0, 400).select(col("id"), (col("id") % 7).as("v"))
