@@ -850,7 +850,7 @@ object CoreQueries {
               FROM supplier GROUP BY 1 ORDER BY s_nationkey""")),
 
     // TIME TRAVEL (round 9): every committed mutation appends a delta to
-    // `_snapshots.json` and retires replaced files to `.trash/`, so
+    // the `_snapshots/` log and retires replaced files to `.trash/`, so
     // `VERSION AS OF` reconstructs any retained snapshot — here the state
     // BEFORE a copy-on-write DELETE, read back bit-exactly alongside the
     // live state. At 100 TB a snapshot read costs the log fold plus the

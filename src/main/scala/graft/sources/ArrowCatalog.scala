@@ -55,7 +55,7 @@ class ArrowCatalog extends TableCatalog {
   }
 
   /** TIME TRAVEL — `VERSION AS OF <snapshot-id>`: pins the table to one
-    * entry of the directory's `_snapshots.json` log ([[ArrowSnapshots]]);
+    * entry of the directory's `_snapshots/` log ([[ArrowSnapshots]]);
     * scans read that snapshot's file set (trash-resolved), mutations
     * refuse. */
   override def loadTable(ident: Identifier, version: String): Table = {
@@ -142,6 +142,19 @@ class ArrowCatalog extends TableCatalog {
         require(add.position == null,
           s"$catalogName: positioned adds are not supported — new columns " +
             "append last")
+        // a name standing data files still carry (a DROPped column's
+        // bytes) must not come back: name-based resolution would serve
+        // the OLD values where the ADD contract promises all-NULL.
+        // Detected from the stats manifest (every DSv2-written file
+        // records its columns); the refusal auto-heals once the old
+        // files are rewritten (COW/compaction rebuild their stats).
+        val carried = ArrowFileStats.read(fs, p).values
+          .exists(_.cols.contains(colName))
+        require(!carried,
+          s"$catalogName: standing data files still carry bytes for " +
+            s"'$colName' (dropped earlier?) — re-adding the name would " +
+            "resurrect the old values instead of NULLs; rewrite the " +
+            "files first or pick a new name")
         val grown = schema.add(colName, add.dataType, nullable = true)
         ArrowInterchange.toArrowSchema(grown) // interchange-supported type?
         grown
@@ -165,15 +178,12 @@ class ArrowCatalog extends TableCatalog {
           s"$catalogName: unsupported table change $other — only nullable " +
             "ADD COLUMN (appended last) and DROP COLUMN evolve the sentinel")
     }}
-    // torn-write-safe sentinel swap: write complete, then rename into
-    // place (the brief no-sentinel window is covered by the same
-    // single-writer contract as all maintenance here)
-    val tmp = new Path(p, "_schema.arrows.tmp")
-    ArrowInterchange.writeSentinel(fs.create(tmp, true), after)
+    // sentinel swap by DIRECT overwrite: a crash mid-write leaves a
+    // torn sentinel that every read then rejects LOUDLY (parse error) —
+    // strictly better than a delete+rename gap, whose no-sentinel window
+    // would silently re-infer the PRE-evolution schema from a data file.
     val fin = new Path(p, "_schema.arrows")
-    fs.delete(fin, false)
-    if (!fs.rename(tmp, fin))
-      throw new java.io.IOException(s"$catalogName: rename $tmp -> $fin failed")
+    ArrowInterchange.writeSentinel(fs.create(fin, true), after)
     new ArrowIpcTable(after, dir)
   }
 

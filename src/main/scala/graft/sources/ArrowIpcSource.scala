@@ -103,6 +103,14 @@ private[sources] class ArrowIpcTable(tableSchema: StructType, dir: String,
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
     refuseIfPinned(info.command.toString)
+    // the rewrite protocol NEEDS the `_file` metadata column (it selects
+    // the replaced files and anchors Spark's row projections); a schema
+    // that shadows the name suppresses it, so DML must refuse loudly
+    // here rather than mis-route rows downstream
+    require(!tableSchema.fieldNames.contains(ArrowRowLevel.FileColumn),
+      s"arrow-ipc: ${info.command} needs the `${ArrowRowLevel.FileColumn}` " +
+        "metadata column, but this dataset's schema claims that name — " +
+        "rename the data column to use row-level DML")
     () => new ArrowCowOperation(tableSchema, dir, info)
   }
   override def capabilities(): java.util.Set[TableCapability] =
@@ -758,9 +766,17 @@ private[sources] class ArrowIpcScan(required: StructType, dir: String,
     * unexpected runtime type — is ignored (keep all files — never a
     * wrong skip). An In with an EMPTY value list is exact too: no row
     * matched anywhere, keep nothing. */
+  /** True iff `_file` means the METADATA column here — a dataset whose
+    * own schema claims the name keeps its filters on the ordinary
+    * data-column path (the metadata column is suppressed for it, so a
+    * filter on it must never be read as file identity). */
+  private val fileIsMeta: Boolean =
+    full == null || !full.fieldNames.contains(ArrowRowLevel.FileColumn)
+
   private def fileKeepFrom(fs: Array[org.apache.spark.sql.sources.Filter])
       : Option[Set[String]] = {
     import org.apache.spark.sql.sources.{EqualTo, In}
+    if (!fileIsMeta) return None
     def str(v: Any): Option[String] = v match {
       case s: String => Some(s)
       case u: org.apache.spark.unsafe.types.UTF8String => Some(u.toString)
@@ -784,8 +800,10 @@ private[sources] class ArrowIpcScan(required: StructType, dir: String,
   private lazy val staticFileKeep: Option[Set[String]] = fileKeepFrom(filters)
 
   override def filter(runtimeFilters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
-    val (onFile, onData) = runtimeFilters.partition(
-      _.references.contains(ArrowRowLevel.FileColumn))
+    val (onFile, onData) =
+      if (fileIsMeta) runtimeFilters.partition(
+        _.references.contains(ArrowRowLevel.FileColumn))
+      else (Array.empty[org.apache.spark.sql.sources.Filter], runtimeFilters)
     runtime = onData.filter(ArrowFileStats.prunable)
     fileKeep = fileKeepFrom(onFile)
   }
@@ -988,18 +1006,7 @@ private[sources] class ArrowIpcScan(required: StructType, dir: String,
   private[sources] def replacedFiles: Seq[String] = {
     val dirPath = new Path(dir)
     val fs = dirPath.getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
-    val base = fs.makeQualified(dirPath)
-    kept.toSeq.map { st =>
-      val segs = scala.collection.mutable.ListBuffer.empty[String]
-      var cur = st.getPath
-      while (cur != null && cur != base && cur.getName.nonEmpty) {
-        segs.prepend(cur.getName)
-        cur = cur.getParent
-      }
-      require(cur == base,
-        s"arrow-ipc: file ${st.getPath} is not under dataset root $base")
-      segs.mkString("/")
-    }
+    kept.toSeq.map(st => ArrowSnapshots.relativize(fs, dirPath, st.getPath))
   }
 
   override def toMicroBatchStream(checkpointLocation: String)

@@ -178,6 +178,23 @@ private[sources] class ArrowIpcStreamingWrite(
     fs.mkdirs(dirPath)
     ArrowStreamCommits.ensure(fs, dirPath) // before ANY data file exists
     ArrowStreamCommits.cleanOrphans(fs, dirPath)
+    // HEAL the snapshot log: a prior run that crashed between its
+    // ledger flip (files live) and its snapshot append left committed
+    // files history never recorded — fold the log and append the
+    // stragglers as one entry, so time travel sees every live committed
+    // file. A damaged log skips the heal (travel already refuses
+    // loudly); the live path is unaffected either way.
+    scala.util.Try {
+      val snaps = ArrowSnapshots.read(fs, dirPath)
+      val state = snaps.lastOption
+        .flatMap(l => ArrowSnapshots.resolve(snaps, l.id)).getOrElse(Set.empty)
+      val visible = ArrowStreamCommits.visibleFilter(fs, dirPath)
+      val missing = Option(fs.globStatus(new Path(dirPath, "part-*.arrows")))
+        .getOrElse(Array.empty).map(_.getPath.getName)
+        .filter(n => visible(n) && !state(n))
+      if (missing.nonEmpty)
+        ArrowSnapshots.append(fs, dirPath, missing.toSeq, Nil)
+    }
     val sentinel = new Path(dirPath, "_schema.arrows")
     if (!fs.exists(sentinel))
       ArrowInterchange.writeSentinel(fs.create(sentinel, true), schema)

@@ -161,9 +161,9 @@ object ArrowMaintenance {
       }.sum
     val trashRoot = new Path(dirPath, ArrowSnapshots.TrashDir)
     val deleted = if (fs.exists(trashRoot)) sweep(trashRoot, "") else 0
-    ArrowSnapshots.write(fs, dirPath,
+    ArrowSnapshots.writeBase(fs, dirPath,
       ArrowSnapshots.Snapshot(keepFrom, base.tsMillis,
-        baseState.toSeq.sorted, Nil) +: tail)
+        baseState.toSeq.sorted, Nil))
     // drop emptied trash directories (incl. the root when history is gone)
     def clean(at: Path): Unit = {
       Option(fs.listStatus(at)).getOrElse(Array.empty)

@@ -189,9 +189,11 @@ private[sources] class ArrowCowWrite(
     val f = fs
     val keys = ArrowLayout.read(f, dirPath)
     val hive = ArrowHiveLayout.read(f, dirPath)
+    // a standing bloom on a since-DROPped column must not wedge DML:
+    // only columns still in the schema re-derive their blooms
     val blooms = ArrowFileStats.read(f, dirPath).values
       .flatMap(_.cols.collect { case (n, c) if c.bloom.isDefined => n })
-      .toSet
+      .toSet.intersect(schema.fieldNames.toSet)
     (keys, hive, blooms)
   }
 

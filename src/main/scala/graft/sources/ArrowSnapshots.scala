@@ -2,103 +2,166 @@ package graft.sources
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 
-/** TIME TRAVEL for arrow-ipc directories: an append-only snapshot log
-  * (`_snapshots.json`) plus a `.trash/` retention area.
+/** TIME TRAVEL for arrow-ipc directories: a per-entry snapshot log
+  * (`_snapshots/`) plus a `.trash/` retention area.
   *
-  * Every committed mutation appends one snapshot entry recording the
-  * file-set DELTA (relative paths added / removed). Removal never deletes
-  * data: replaced and deleted files MOVE to `.trash/<relpath>` (names are
-  * globally unique by the writer contract, so the flat-by-relpath trash
-  * cannot collide), where `VERSION AS OF` reads find them until
-  * [[ArrowMaintenance.expireSnapshots]] garbage-collects.
+  * Every committed mutation writes ONE delta entry
+  * (`_snapshots/<id>.json`: relative paths added / removed) — commits
+  * never rewrite history, so the hot path (a streaming epoch) pays one
+  * small file write, not an O(history) log rewrite. Removal never
+  * deletes data: replaced and deleted files MOVE to `.trash/<relpath>`
+  * (names are globally unique by the writer contract, so the
+  * flat-by-relpath trash cannot collide), where `VERSION AS OF` reads
+  * find them until [[ArrowMaintenance.expireSnapshots]] collects.
+  *
+  * Expiry writes a BASE checkpoint (`<id>.base.json`, the full file set
+  * at that id — the same design as a Delta checkpoint): readers take the
+  * newest base and fold only the deltas after it, so ids at or before a
+  * base refuse as expired, and the older entry files can be deleted at
+  * leisure (they are ignored the instant the base lands — every crash
+  * window is consistent).
   *
   * Design stance — the log is ADVISORY HISTORY:
   *
-  *  - LIVE reads never consult it. The live file set is what the listing
-  *    machinery says it is; a missing, stale or corrupt log degrades
+  *  - LIVE reads never consult it. A missing or damaged log degrades
   *    time travel to a loud refusal and nothing else.
+  *  - [[read]] REFUSES on an unparseable entry (a damaged history must
+  *    never serve a wrong snapshot); [[append]] keeps committing through
+  *    one — ids come from the entry FILENAMES, so a torn entry can never
+  *    silently rebase history.
   *  - A time-travel read reconstructs the set at snapshot N by folding
-  *    deltas with id ≤ N, then resolves each path live-first,
-  *    trash-second; a path in neither place means the snapshot was
-  *    expired — refuse loudly, never serve a partial snapshot.
+  *    deltas ≤ N, then resolves each path live-first, trash-second; a
+  *    path in neither place means the snapshot was expired — refuse
+  *    loudly, never serve a partial snapshot.
   *  - Log integrity rides the same SINGLE-WRITER maintenance contract as
-  *    the stats index (concurrent uncoordinated commits could drop each
-  *    other's entry — the entry, never the data).
-  *
-  * Scale: one entry per commit, delta-sized. [[ArrowMaintenance
-  * .expireSnapshots]] compacts the tail into one absolute entry, so the
-  * log is bounded by retained history, not table lifetime. */
+  *    the stats index (concurrent uncoordinated commits could both claim
+  *    an id — the entry, never the data). */
 private[graft] object ArrowSnapshots {
-  val FileName = "_snapshots.json"
+  val LogDir = "_snapshots"
   val TrashDir = ".trash"
 
   case class Snapshot(id: Long, tsMillis: Long,
       adds: Seq[String], removes: Seq[String])
 
-  def read(fs: FileSystem, dir: Path): Seq[Snapshot] = {
-    val p = new Path(dir, FileName)
-    if (!fs.exists(p)) Nil
-    else {
-      import org.json4s._
-      org.json4s.jackson.JsonMethods.parse(ArrowFileStats.readFully(fs, p)) \
-        "snapshots" match {
-        case JArray(xs) => xs.map {
-          case o: JObject =>
-            def strs(k: String): Seq[String] = (o \ k) match {
-              case JArray(ys) => ys.collect { case JString(s) => s }
-              case _ => Nil
-            }
-            def num(k: String): Long = (o \ k) match {
-              case JInt(n) => n.toLong
-              case JLong(n) => n
-              case other => throw new IllegalStateException(
-                s"bad $FileName: $k = $other")
-            }
-            Snapshot(num("id"), num("ts"), strs("adds"), strs("removes"))
-          case other => throw new IllegalStateException(s"bad $FileName: $other")
+  private def deltaName(id: Long) = f"$id%020d.json"
+  private def baseName(id: Long) = f"$id%020d.base.json"
+
+  /** (id, isBase) from an entry file name; None for foreign/temp files. */
+  private def parseName(name: String): Option[(Long, Boolean)] = {
+    def num(stem: String): Option[Long] =
+      if (stem.length == 20 && stem.forall(_.isDigit)) Some(stem.toLong)
+      else None
+    if (name.endsWith(".base.json"))
+      num(name.stripSuffix(".base.json")).map(_ -> true)
+    else if (name.endsWith(".json"))
+      num(name.stripSuffix(".json")).map(_ -> false)
+    else None
+  }
+
+  private def listEntries(fs: FileSystem, dir: Path): Seq[(Long, Boolean, Path)] = {
+    val logPath = new Path(dir, LogDir)
+    if (!fs.exists(logPath)) Nil
+    else Option(fs.listStatus(logPath)).getOrElse(Array.empty).toSeq
+      .flatMap(st => parseName(st.getPath.getName)
+        .map { case (id, b) => (id, b, st.getPath) })
+  }
+
+  private def parseEntry(fs: FileSystem, p: Path): Snapshot = {
+    import org.json4s._
+    org.json4s.jackson.JsonMethods.parse(ArrowFileStats.readFully(fs, p)) match {
+      case o: JObject =>
+        def strs(k: String): Seq[String] = (o \ k) match {
+          case JArray(ys) => ys.collect { case JString(s) => s }
+          case _ => Nil
         }
-        case other => throw new IllegalStateException(s"bad $FileName: $other")
-      }
+        def numf(k: String): Long = (o \ k) match {
+          case JInt(n) => n.toLong
+          case JLong(n) => n
+          case other => throw new IllegalStateException(
+            s"bad snapshot entry $p: $k = $other")
+        }
+        Snapshot(numf("id"), numf("ts"), strs("adds"), strs("removes"))
+      case other => throw new IllegalStateException(s"bad snapshot entry $p: $other")
     }
   }
 
-  def write(fs: FileSystem, dir: Path, snaps: Seq[Snapshot]): Unit = {
-    def esc(s: String) = ArrowFileStats.esc(s)
-    val body = snaps.map { s =>
-      s"""{"id":${s.id},"ts":${s.tsMillis},"adds":[${
-        s.adds.sorted.map(a => "\"" + esc(a) + "\"").mkString(",")}],"removes":[${
-        s.removes.sorted.map(r => "\"" + esc(r) + "\"").mkString(",")}]}"""
-    }.mkString("{\"snapshots\":[", ",", "]}")
-    // temp + rename: a torn log must not wedge time travel forever
-    val tmp = new Path(dir, s"$FileName.tmp")
+  private def entryBody(s: Snapshot): String = {
+    def esc(x: String) = ArrowFileStats.esc(x)
+    s"""{"id":${s.id},"ts":${s.tsMillis},"adds":[${
+      s.adds.sorted.map(a => "\"" + esc(a) + "\"").mkString(",")}],"removes":[${
+      s.removes.sorted.map(r => "\"" + esc(r) + "\"").mkString(",")}]}"""
+  }
+
+  /** Write one entry file crash-safely: full temp write, then rename to
+    * its (never-yet-existing) final name — a crash leaves a `.tmp` the
+    * listings ignore, never a torn entry. */
+  private def writeEntry(fs: FileSystem, dir: Path, name: String,
+      snap: Snapshot): Unit = {
+    val logPath = new Path(dir, LogDir)
+    fs.mkdirs(logPath)
+    val tmp = new Path(logPath, name + ".tmp")
     val out = fs.create(tmp, true)
-    try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try out.write(entryBody(snap).getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    val fin = new Path(dir, FileName)
-    fs.delete(fin, false)
+    val fin = new Path(logPath, name)
+    fs.delete(fin, false) // replay of the same id: rewrite wins
     if (!fs.rename(tmp, fin))
       throw new java.io.IOException(s"snapshots: rename $tmp -> $fin failed")
   }
 
-  /** Append one delta entry; returns its id. IDEMPOTENT against crash
-    * replay: an entry whose (adds, removes) equal the current tail's is
-    * the same operation replayed, not a new one — skip it. */
+  /** The effective log, oldest-first: the newest BASE checkpoint (if
+    * any) followed by the deltas after it. Throws on an unparseable
+    * retained entry — damaged history refuses, it never misleads. */
+  def read(fs: FileSystem, dir: Path): Seq[Snapshot] = {
+    val entries = listEntries(fs, dir)
+    if (entries.isEmpty) return Nil
+    val baseId = entries.collect { case (id, true, _) => id }.maxOption
+    val base = baseId.map { id =>
+      parseEntry(fs, entries.find(e => e._1 == id && e._2).get._3)
+    }
+    val deltas = entries
+      .filter { case (id, isBase, _) => !isBase && baseId.forall(id > _) }
+      .sortBy(_._1)
+      .map(e => parseEntry(fs, e._3))
+    base.toSeq ++ deltas
+  }
+
+  /** Append one delta entry; returns its id. O(1) data written — ids
+    * come from the entry filenames (one listing), so even an
+    * unparseable tail cannot rebase history; a tail whose content
+    * EQUALS this delta is the same operation crash-replayed and is
+    * skipped. Empty deltas (a zero-row commit) write nothing. */
   def append(fs: FileSystem, dir: Path,
       adds: Seq[String], removes: Seq[String]): Long = {
-    val snaps = scala.util.Try(read(fs, dir)).getOrElse(Nil)
-    snaps.lastOption match {
-      case Some(last) if last.adds.sorted == adds.sorted &&
-          last.removes.sorted == removes.sorted => last.id
-      case _ =>
-        val id = snaps.lastOption.fold(1L)(_.id + 1L)
-        write(fs, dir, snaps :+ Snapshot(id, System.currentTimeMillis(),
-          adds.sorted, removes.sorted))
-        id
+    val entries = listEntries(fs, dir)
+    val maxId = entries.map(_._1).maxOption.getOrElse(0L)
+    if (adds.isEmpty && removes.isEmpty) return maxId
+    val tailEqual = entries.filter(_._1 == maxId)
+      .sortBy(_._2) // delta before base; any match counts
+      .exists { e =>
+        scala.util.Try(parseEntry(fs, e._3)).toOption.exists(t =>
+          t.adds.sorted == adds.sorted && t.removes.sorted == removes.sorted)
+      }
+    if (tailEqual) return maxId
+    val id = maxId + 1L
+    writeEntry(fs, dir, deltaName(id),
+      Snapshot(id, System.currentTimeMillis(), adds.sorted, removes.sorted))
+    id
+  }
+
+  /** Expiry's checkpoint: land the absolute state as `<id>.base.json`
+    * (instantly superseding every entry ≤ id), then best-effort delete
+    * the superseded files — ignored either way, so any crash window is
+    * consistent. */
+  def writeBase(fs: FileSystem, dir: Path, snap: Snapshot): Unit = {
+    writeEntry(fs, dir, baseName(snap.id), snap.copy(removes = Nil))
+    listEntries(fs, dir).foreach { case (id, isBase, p) =>
+      if (id < snap.id || (id == snap.id && !isBase)) fs.delete(p, false)
     }
   }
 
   /** The file set (relative paths) at snapshot `id`. None = the log has
-    * no such snapshot (never written, expired past it, or corrupt). */
+    * no such snapshot (never written, expired past it, or damaged). */
   def resolve(snaps: Seq[Snapshot], id: Long): Option[Set[String]] = {
     if (!snaps.exists(_.id == id)) return None
     // ids are appended monotonically; fold everything ≤ id

@@ -59,6 +59,25 @@ class ArrowCowSpec extends AnyFunSuite {
       .forall(_.getString(0).contains("part=x")))
   }
 
+  test("a DATA column named _file keeps ordinary filter semantics") {
+    val dir = tmp("graft_cow_filedata")
+    import spark.implicits._
+    // the metadata column is suppressed for this schema; filters on
+    // `_file` must never be read as file-identity pruning
+    Seq(("abc", 1L), ("def", 2L), ("abc", 3L)).toDF("_file", "v")
+      .coalesce(1).write.format("arrow-ipc").mode("overwrite").save(dir)
+    val back = spark.read.format("arrow-ipc").load(dir)
+    assert(back.filter(col("_file") === "abc").count() === 2)
+    assert(back.filter(col("_file").isin("abc", "def")).count() === 3)
+    // DML needs the metadata column the shadowing suppresses — it must
+    // refuse LOUDLY (a silent mis-route would corrupt the rewrite)
+    val e = intercept[Exception] {
+      spark.sql(s"UPDATE graft.`$dir` SET v = -1 WHERE _file = 'abc'")
+    }
+    assert(e.getMessage.contains("rename the data column"))
+    assert(spark.read.format("arrow-ipc").load(dir).count() === 3)
+  }
+
   // ── UPDATE ───────────────────────────────────────────────────────────
 
   test("UPDATE rewrites only the files that contain affected rows") {

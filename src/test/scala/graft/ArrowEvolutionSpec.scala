@@ -67,7 +67,7 @@ class ArrowEvolutionSpec extends AnyFunSuite {
     assert(back.filter(col("note") === "fresh").count() === 1)
   }
 
-  test("DROP COLUMN: metadata-only, standing bytes ignored; re-add resurrects") {
+  test("DROP COLUMN: metadata-only; re-adding a still-carried name refuses") {
     val dir = tmp("graft_evo_drop")
     spark.range(0, 50).select(col("id"), (col("id") % 5).as("v"))
       .write.format("arrow-ipc").mode("overwrite").save(dir)
@@ -75,11 +75,19 @@ class ArrowEvolutionSpec extends AnyFunSuite {
     val dropped = spark.read.format("arrow-ipc").load(dir)
     assert(dropped.schema.fieldNames.toSeq === Seq("id"))
     assert(dropped.count() === 50)
-    // re-adding the same name+type RESURRECTS the standing bytes (documented:
-    // name resolution finds the old vectors again)
+    // standing files still carry v's bytes — re-adding the name would
+    // silently resurrect the old values instead of the promised NULLs
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.`$dir` ADD COLUMN v BIGINT")
+    }
+    assert(e.getMessage.contains("still carry"))
+    // once every carrying file is rewritten (COW touches them all), the
+    // stats no longer know the name and the re-add heals — now all-NULL
+    spark.sql(s"UPDATE graft.`$dir` SET id = id WHERE id >= 0")
     spark.sql(s"ALTER TABLE graft.`$dir` ADD COLUMN v BIGINT")
     val back = spark.read.format("arrow-ipc").load(dir)
-    assert(back.filter(col("v").isNotNull).count() === 50)
+    assert(back.count() === 50)
+    assert(back.filter(col("v").isNotNull).count() === 0)
   }
 
   test("COW UPDATE composes with an evolved schema") {

@@ -35,7 +35,8 @@ class ArrowHiveSpec extends AnyFunSuite {
 
     // directory shape: grp=g0/flag=true/... two nested levels
     val root = new java.io.File(dir)
-    val level1 = root.listFiles().filter(_.isDirectory).map(_.getName).sorted
+    val level1 = root.listFiles().filter(_.isDirectory).map(_.getName)
+      .filter(!_.startsWith("_")).sorted // _snapshots etc. are metadata
     assert(level1.toSeq === Seq("grp=g0", "grp=g1", "grp=g2"))
     val level2 = new java.io.File(root, "grp=g0").listFiles()
       .filter(_.isDirectory).map(_.getName).sorted
@@ -89,7 +90,7 @@ class ArrowHiveSpec extends AnyFunSuite {
     df.write.format("arrow-ipc")
       .option("hivePartitionKeys", "k").mode("overwrite").save(dir)
     val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory)
-      .map(_.getName).sorted
+      .map(_.getName).filter(!_.startsWith("_")).sorted // skip metadata dirs
     assert(dirs.toSeq === Seq(ArrowHiveLayout.NullDir).map("k=" + _) ++ Seq("k=a"))
 
     val back = spark.read.format("arrow-ipc").load(dir)

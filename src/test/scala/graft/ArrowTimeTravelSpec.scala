@@ -6,7 +6,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.sources.{ArrowMaintenance, ArrowSnapshots}
 
 /** Time travel: every committed mutation appends a delta entry to
-  * `_snapshots.json`; removed files retire to `.trash/` instead of
+  * the `_snapshots/` log; removed files retire to `.trash/` instead of
   * dying; `VERSION AS OF` / `TIMESTAMP AS OF` / the `asOfSnapshot` read
   * option reconstruct any retained snapshot;
   * [[ArrowMaintenance.expireSnapshots]] bounds history. */
