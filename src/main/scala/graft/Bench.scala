@@ -36,7 +36,8 @@ object Bench {
     "arrow_compact", "arrow_spj_join", "arrow_group_agg", "stream_spj_join",
     "multimodal_struct", "multimodal_map", "arrow_delete",
     "arrow_hive_prune", "arrow_hive_spj",
-    "arrow_hive_group_agg", "arrow_update", "arrow_merge", "arrow_evolve", "arrow_time_travel", "arrow_changefeed")
+    "arrow_hive_group_agg", "arrow_update", "arrow_merge", "arrow_evolve", "arrow_time_travel", "arrow_changefeed",
+    "stream_hive_ingest")
 
   def main(args: Array[String]): Unit = {
     // Iteration aid: SPARK_GRAFT_ONLY=q1,q2 restricts the run to a subset.

@@ -2763,6 +2763,36 @@ object CoreQueries {
     // source table. The curation loop this models never changes formats
     // mid-stream. Round 7's lesson stands: ts is pinned end-to-end
     // through Arrow write, streaming read, streaming WRITE, and window().
+    // STREAMING INTO A HIVE LAYOUT (round 9): the standard ingestion
+    // shape — a stream lands epoch files inside `key=value/` directories
+    // under the same exactly-once ledger, so the lake is partition-pruned
+    // from the first commit. The read back is dir-pruned on the partition
+    // key; the oracle checks the surviving aggregate.
+    ("stream_hive_ingest", (s, d) => {
+      val ev = T(s, d, "events")
+        .select("event_id", "user_id", "event_type", "value")
+      // Scratch contract: see json_roundtrip.
+      val path = graft.sources.Scratch.dir(s, "graft_stream_hive")
+      ev.write.format("arrow-ipc").mode("overwrite").save(path + "/src")
+      val q = s.readStream.format("arrow-ipc").load(path + "/src")
+        .writeStream.format("arrow-ipc")
+        .option("hivePartitionKeys", "event_type")
+        .option("path", path + "/out")
+        .option("checkpointLocation", path + "/ckpt")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.read.format("arrow-ipc").load(path + "/out")
+        .filter(col("event_type") =!= "view") // dir-level prune
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast(DecimalType(14, 4))).cast(DoubleType).as("sum_value"))
+        .orderBy("event_type")
+    },
+      Some("""SELECT event_type, COUNT(*) AS cnt,
+                     CAST(SUM(CAST(value AS DECIMAL(14,4))) AS DOUBLE) AS sum_value
+              FROM events WHERE event_type <> 'view'
+              GROUP BY 1 ORDER BY event_type""")),
+
     ("stream_arrow_events", (s, d) => {
       val ev = T(s, d, "events").select("event_id", "ts", "event_type", "value")
       // Scratch contract: see json_roundtrip.

@@ -330,7 +330,8 @@ private[sources] class ArrowIpcHiveReaderFactory(
 private[sources] class ArrowIpcHiveDataWriter(
     schema: StructType, dir: String, codec: Option[String], queryId: String,
     partitionId: Int, taskId: Long, conf: SerializableHadoopConf,
-    hiveKeys: Seq[String], bloomCols: Set[String] = Set.empty)
+    hiveKeys: Seq[String], epochTag: String = "",
+    bloomCols: Set[String] = Set.empty)
     extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
   import org.apache.arrow.vector.VectorSchemaRoot
   import org.apache.arrow.vector.ipc.ArrowStreamWriter
@@ -381,7 +382,7 @@ private[sources] class ArrowIpcHiveDataWriter(
       new Path(p, ArrowHiveLayout.dirSegment(keyFields(i), v))
     }
     tmp = new Path(subdir,
-      f".part-$partitionId%05d-g$seq%04d-$queryId.arrows.task-$taskId.tmp")
+      f".part-$partitionId%05d-g$seq%04d$epochTag%s-$queryId.arrows.task-$taskId.tmp")
     val out = tmp.getFileSystem(conf.value).create(tmp, true)
     writer = ArrowInterchange.newStreamWriter(root, out, codec)
     writer.start()
@@ -402,7 +403,7 @@ private[sources] class ArrowIpcHiveDataWriter(
     writer.end()
     closeCurrent()
     finished += ((tmp,
-      new Path(subdir, f"part-$partitionId%05d-g$seq%04d-$queryId.arrows"),
+      new Path(subdir, f"part-$partitionId%05d-g$seq%04d$epochTag%s-$queryId.arrows"),
       stats.result()))
     seq += 1
   }

@@ -1232,10 +1232,8 @@ private[sources] class ArrowIpcWrite(
       : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
     require(!truncate, "arrow-ipc stream sink is append-only — " +
       "OutputMode.Complete (epoch truncation) is not supported")
-    require(hiveKeys.isEmpty, "arrow-ipc stream sink does not support " +
-      "hivePartitionKeys — use the flat partitionKeys layout for streaming")
     new ArrowIpcStreamingWrite(schema, dir, codec, queryId, partitionKeys,
-      bloomCols)
+      bloomCols, hiveKeys)
   }
   override def description(): String = s"arrow-ipc $dir" +
     (if (partitionKeys.nonEmpty) s" keyed=[${partitionKeys.mkString(", ")}]" else "") +

@@ -45,7 +45,7 @@ import org.apache.spark.sql.types.StructType
   * compaction) — the driver is the only ledger writer, so the
   * read-modify-write needs no locking.
   */
-private[sources] object ArrowStreamCommits {
+private[graft] object ArrowStreamCommits {
   val LedgerFile = "_stream_commits.json"
 
   private val StreamName =
@@ -118,14 +118,22 @@ private[sources] object ArrowStreamCommits {
   def cleanOrphans(fs: FileSystem, dir: Path): Seq[String] = {
     if (!fs.exists(dir)) return Nil
     val ledger = read(fs, dir)
-    val listed = fs.listStatus(dir).map(_.getPath.getName)
-    val orphans = listed.filter { n =>
-      (isStreamName(n) &&
-        !ledger.exists(_.committed.contains(commitIdOf(n)))) ||
-      (n.startsWith(".part-") && n.endsWith(".tmp"))
-    }
-    orphans.foreach(n => fs.delete(new Path(dir, n), false))
-    orphans.toSeq
+    // walk nested value directories too (a hive-layout stream lands its
+    // epoch files — and crashes its orphans — inside them)
+    def walk(at: Path, prefix: String): Seq[String] =
+      Option(fs.listStatus(at)).getOrElse(Array.empty).toSeq.flatMap { st =>
+        val n = st.getPath.getName
+        if (st.isDirectory) {
+          if (n.startsWith("_") || n.startsWith(".")) Nil
+          else walk(st.getPath, prefix + n + "/")
+        } else if ((isStreamName(n) &&
+            !ledger.exists(_.committed.contains(commitIdOf(n)))) ||
+          (n.startsWith(".part-") && n.endsWith(".tmp"))) Seq(prefix + n)
+        else Nil
+      }
+    val orphans = walk(dir, "")
+    orphans.foreach(rel => fs.delete(new Path(dir, rel), false))
+    orphans
   }
 }
 
@@ -142,7 +150,8 @@ private[sources] object ArrowStreamCommits {
   * [[ArrowStreamCommits]] ledger; see its scaladoc for the protocol. */
 private[sources] class ArrowIpcStreamingWrite(
     schema: StructType, dir: String, codec: Option[String], queryId: String,
-    partitionKeys: Seq[String], bloomCols: Set[String] = Set.empty)
+    partitionKeys: Seq[String], bloomCols: Set[String] = Set.empty,
+    hiveKeys: Seq[String] = Nil)
     extends StreamingWrite {
 
   // fresh per run (the StreamingWrite is constructed once per query run):
@@ -175,7 +184,30 @@ private[sources] class ArrowIpcStreamingWrite(
         s"arrow-ipc stream sink: appending schema $schema to $dir which " +
           s"carries schema $existing — append requires an identical schema")
     }
+    hiveKeys.foreach { k =>
+      val f = schema.fields.find(_.name == k).getOrElse(throw new IllegalArgumentException(
+        s"arrow-ipc stream sink: hivePartitionKeys column '$k' not in schema " +
+          s"(${schema.fieldNames.mkString(", ")})"))
+      require(ArrowHiveLayout.supported(f.dataType),
+        s"arrow-ipc stream sink: hivePartitionKeys column '$k' has type " +
+          s"${f.dataType} — only string/byte/short/int/long/boolean/date " +
+          "round-trip a directory name unambiguously")
+    }
+    require(hiveKeys.isEmpty || hiveKeys.size < schema.size,
+      "arrow-ipc stream sink: a hive-partitioned dataset needs at least " +
+        "one non-key column")
+    if (fs.exists(new Path(dirPath, "_schema.arrows"))) {
+      val standing = ArrowHiveLayout.read(fs, dirPath)
+      require(standing == hiveKeys,
+        s"arrow-ipc stream sink: $dir is laid out with hive keys " +
+          s"[${standing.mkString(", ")}] but this stream declares " +
+          s"[${hiveKeys.mkString(", ")}] — appends must match the standing layout")
+    }
     fs.mkdirs(dirPath)
+    // the layout declaration must exist BEFORE the first commit makes
+    // nested files visible, or a concurrent reader would glob the flat
+    // root and miss them
+    if (hiveKeys.nonEmpty) ArrowHiveLayout.write(fs, dirPath, hiveKeys)
     ArrowStreamCommits.ensure(fs, dirPath) // before ANY data file exists
     ArrowStreamCommits.cleanOrphans(fs, dirPath)
     // HEAL the snapshot log: a prior run that crashed between its
@@ -189,11 +221,10 @@ private[sources] class ArrowIpcStreamingWrite(
       val state = snaps.lastOption
         .flatMap(l => ArrowSnapshots.resolve(snaps, l.id)).getOrElse(Set.empty)
       val visible = ArrowStreamCommits.visibleFilter(fs, dirPath)
-      val missing = Option(fs.globStatus(new Path(dirPath, "part-*.arrows")))
-        .getOrElse(Array.empty).map(_.getPath.getName)
-        .filter(n => visible(n) && !state(n))
+      val missing = ArrowSnapshots.listDataFiles(fs, dirPath)
+        .filter(rel => visible(new Path(rel).getName) && !state(rel))
       if (missing.nonEmpty)
-        ArrowSnapshots.append(fs, dirPath, missing.toSeq, Nil)
+        ArrowSnapshots.append(fs, dirPath, missing, Nil)
     }
     val sentinel = new Path(dirPath, "_schema.arrows")
     if (!fs.exists(sentinel))
@@ -204,7 +235,7 @@ private[sources] class ArrowIpcStreamingWrite(
     if (!fs.exists(success)) fs.create(success, true).close()
     new ArrowIpcStreamingWriterFactory(schema, dir, codec, runNonce,
       new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration),
-      partitionKeys, bloomCols)
+      partitionKeys, bloomCols, hiveKeys)
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -221,7 +252,11 @@ private[sources] class ArrowIpcStreamingWrite(
       // the checkpoint didn't record it. The committed attempt stands;
       // this attempt's files (distinct uuid — never the committed ones)
       // are discarded.
-      fresh.keysIterator.foreach(n => fs.delete(new Path(dirPath, n), false))
+      messages.foreach {
+        case ArrowIpcCommitMessage(files) =>
+          files.foreach { case (path, _) => fs.delete(new Path(path), false) }
+        case _ => ()
+      }
       return
     }
     val uuid = commitUuid(epochId)
@@ -250,9 +285,13 @@ private[sources] class ArrowIpcStreamingWrite(
     ArrowStreamCommits.write(fs, dirPath, ArrowStreamCommits.Ledger(
       ledger.maxEpochs + (queryId -> epochId),
       ledger.committed + uuid))
-    // snapshot log: each committed epoch is one delta entry (stream files
-    // are flat — names ARE the relative paths)
-    ArrowSnapshots.append(fs, dirPath, fresh.keys.toSeq, Nil)
+    // snapshot log: each committed epoch is one delta entry (relative
+    // paths — nested under a hive layout)
+    val rels = messages.collect { case ArrowIpcCommitMessage(files) =>
+      files.map { case (path, _) =>
+        ArrowSnapshots.relativize(fs, dirPath, new Path(path)) }
+    }.flatten
+    ArrowSnapshots.append(fs, dirPath, rels.toSeq, Nil)
     val success = new Path(dirPath, "_SUCCESS")
     if (!fs.exists(success)) fs.create(success, true).close()
   }
@@ -275,13 +314,17 @@ private[sources] class ArrowIpcStreamingWrite(
 private[sources] class ArrowIpcStreamingWriterFactory(
     schema: StructType, dir: String, codec: Option[String], runNonce: String,
     conf: SerializableHadoopConf, partitionKeys: Seq[String],
-    bloomCols: Set[String] = Set.empty)
+    bloomCols: Set[String] = Set.empty, hiveKeys: Seq[String] = Nil)
     extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] = {
     val uuid = java.util.UUID.nameUUIDFromBytes(
       s"$runNonce:$epochId".getBytes("UTF-8")).toString
-    if (partitionKeys.isEmpty)
+    if (hiveKeys.nonEmpty)
+      new ArrowIpcHiveDataWriter(schema, dir, codec, uuid, partitionId,
+        taskId, conf, hiveKeys, epochTag = s"-e$epochId",
+        bloomCols = bloomCols)
+    else if (partitionKeys.isEmpty)
       new ArrowIpcDataWriter(schema, dir, codec, uuid, partitionId, taskId,
         conf, epochTag = s"-e$epochId", bloomCols = bloomCols)
     else

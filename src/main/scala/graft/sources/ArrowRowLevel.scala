@@ -235,7 +235,7 @@ private[sources] class ArrowCowWrite(
     // staged data files, relative to the staging root (nested for hive);
     // names embed this write's fresh queryId so they cannot collide with
     // any live name — moves are identity on the relative path
-    val staged = listDataFiles(f, f.makeQualified(stagingPath), stagingPath)
+    val staged = ArrowSnapshots.listDataFiles(f, stagingPath)
     ArrowMaintenance.cowSwap(f, dirPath, olds, stagingName,
       staged.map(s => s -> s).toMap, standingKeys)
   }
@@ -244,16 +244,4 @@ private[sources] class ArrowCowWrite(
     inner.abort(messages)
     fs.delete(new Path(dirPath, stagingName), true)
   }
-
-  private def listDataFiles(f: org.apache.hadoop.fs.FileSystem,
-      root: Path, at: Path): Seq[String] =
-    Option(f.listStatus(at)).getOrElse(Array.empty).toSeq.flatMap { st =>
-      val name = st.getPath.getName
-      if (name.startsWith("_") || name.startsWith(".")) Nil
-      else if (st.isDirectory) listDataFiles(f, root, st.getPath)
-      else if (name.startsWith("part-") && name.endsWith(".arrows")) {
-        val rel = st.getPath.toString.stripPrefix(root.toString).stripPrefix("/")
-        Seq(rel)
-      } else Nil
-    }
 }

@@ -177,6 +177,24 @@ private[graft] object ArrowSnapshots {
   def resolveAt(snaps: Seq[Snapshot], tsMillis: Long): Option[Long] =
     snaps.filter(_.tsMillis <= tsMillis).map(_.id).maxOption
 
+  /** All data files under `root` as RELATIVE paths (bare names at the
+    * top level, `key=value/...` under hive layouts) — skips metadata
+    * (`_*`) and hidden (`.*`) entries at every level. Shared by the COW
+    * staging lister, the streaming sink's nested orphan sweep, and the
+    * snapshot-log heal. */
+  def listDataFiles(fs: FileSystem, root: Path): Seq[String] = {
+    def walk(at: Path, prefix: String): Seq[String] =
+      Option(fs.listStatus(at)).getOrElse(Array.empty).toSeq.flatMap { st =>
+        val name = st.getPath.getName
+        if (name.startsWith("_") || name.startsWith(".")) Nil
+        else if (st.isDirectory) walk(st.getPath, prefix + name + "/")
+        else if (name.startsWith("part-") && name.endsWith(".arrows"))
+          Seq(prefix + name)
+        else Nil
+      }
+    if (!fs.exists(root)) Nil else walk(root, "")
+  }
+
   /** Path of `p` relative to the dataset root (bare name for flat
     * layouts, `key=value/...` for hive) — the log's and trash's shared
     * addressing. */

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{ArrowSnapshots, ArrowStreamCommits}
+
+
+/** Streaming INTO a hive-partitioned layout: epoch files land inside
+  * `key=value/` directories under the same exactly-once ledger contract
+  * as the flat sink, the layout declaration precedes the first commit,
+  * nested orphans sweep, and the snapshot log records nested paths. */
+class ArrowStreamHiveSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("epochs land in value directories; reads, pruning and history compose") {
+    val base = java.nio.file.Files.createTempDirectory("graft_shive").toString
+    val out = s"$base/out"
+    val ckpt = s"$base/ckpt"
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(String, Long)]
+    val q = in.toDF().toDF("part", "v")
+      .writeStream.format("arrow-ipc")
+      .option("hivePartitionKeys", "part")
+      .option("checkpointLocation", ckpt)
+      .start(out)
+    try {
+      in.addData(("x", 1L), ("y", 2L), ("x", 3L))
+      q.processAllAvailable()
+      in.addData(("y", 4L), ("z", 5L))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // files are nested, stream-named, and the layout is declared
+    assert(fs.exists(new org.apache.hadoop.fs.Path(out, "part=x")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(out, "part=z")))
+    val rels = ArrowSnapshots.listDataFiles(fs, new org.apache.hadoop.fs.Path(out))
+    assert(rels.nonEmpty && rels.forall(_.contains("/")))
+    assert(rels.forall(r => ArrowStreamCommits.isStreamName(
+      new org.apache.hadoop.fs.Path(r).getName)))
+
+    val back = spark.read.format("arrow-ipc").load(out)
+    assert(back.count() === 5)
+    assert(back.groupBy("part").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap ===
+      Map("x" -> 2L, "y" -> 2L, "z" -> 1L))
+    // partition pruning through the directory values
+    val pruned = back.filter(col("part") === "x")
+    assert(pruned.select("v").as[Long].collect().sorted.toSeq === Seq(1L, 3L))
+
+    // the snapshot log recorded NESTED relative paths, one entry per epoch
+    val snaps = ArrowSnapshots.read(fs, new org.apache.hadoop.fs.Path(out))
+    assert(snaps.length === 2)
+    assert(snaps.flatMap(_.adds).toSet === rels.toSet)
+    // time travel to epoch 1's snapshot
+    val v1 = spark.read.format("arrow-ipc").option("asOfSnapshot", 1).load(out)
+    assert(v1.count() === 3)
+  }
+
+  test("a mismatched stream layout refuses; a crashed epoch's nested orphans sweep") {
+    val base = java.nio.file.Files.createTempDirectory("graft_shive2").toString
+    val out = s"$base/out"
+    val ckpt1 = s"$base/ckpt1"
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(String, Long)]
+    val q = in.toDF().toDF("part", "v")
+      .writeStream.format("arrow-ipc")
+      .option("hivePartitionKeys", "part")
+      .option("checkpointLocation", ckpt1)
+      .start(out)
+    try { in.addData(("x", 1L)); q.processAllAvailable() } finally q.stop()
+
+    // a new stream declaring a DIFFERENT layout refuses at run start
+    val in2 = MemoryStream[(String, Long)]
+    val q2 = in2.toDF().toDF("part", "v")
+      .writeStream.format("arrow-ipc")
+      .option("checkpointLocation", s"$base/ckpt2")
+      .option("hivePartitionKeys", "")
+      .start(out)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      in2.addData(("x", 9L)); q2.processAllAvailable(); q2.awaitTermination(10000)
+    }
+    assert((e.getMessage + Option(e.getCause).fold("")(c =>
+      Option(c.getMessage).getOrElse(""))).contains("standing layout"))
+
+    // manufacture a crashed epoch: an uncommitted stream-named file
+    // inside a value directory — invisible to reads, swept at run start
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val orphan = new org.apache.hadoop.fs.Path(out,
+      "part=x/part-00000-g0000-e9-99999999-9999-9999-9999-999999999999.arrows")
+    val os = fs.create(orphan, true); os.write(Array[Byte](1, 2, 3)); os.close()
+    assert(spark.read.format("arrow-ipc").load(out).count() === 1)
+    val swept = ArrowStreamCommits.cleanOrphans(fs,
+      new org.apache.hadoop.fs.Path(out))
+    assert(swept.exists(_.contains("part=x/")))
+    assert(!fs.exists(orphan))
+  }
+}
