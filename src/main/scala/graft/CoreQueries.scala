@@ -2793,6 +2793,38 @@ object CoreQueries {
               FROM events WHERE event_type <> 'view'
               GROUP BY 1 ORDER BY event_type""")),
 
+    // STREAMING OUT OF A HIVE LAYOUT (round 9): the inverse of
+    // stream_hive_ingest — a partitioned lake (here batch-written; the
+    // spec covers the streamed-in case) is consumed as a micro-batch
+    // stream, the directory-derived partition column spliced back into
+    // every emitted row. Offsets stay bare file names (unique across
+    // value dirs), so the exactly-once set-difference contract is
+    // layout-independent.
+    ("stream_hive_source", (s, d) => {
+      val ev = T(s, d, "events")
+        .select("event_id", "user_id", "event_type", "value")
+      // Scratch contract: see json_roundtrip.
+      val path = graft.sources.Scratch.dir(s, "graft_stream_hive_src")
+      ev.write.format("arrow-ipc").mode("overwrite")
+        .option("hivePartitionKeys", "event_type").save(path + "/lake")
+      val q = s.readStream.format("arrow-ipc").load(path + "/lake")
+        .writeStream.format("parquet")
+        .option("path", path + "/out")
+        .option("checkpointLocation", path + "/ckpt")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(path + "/out")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast(DecimalType(14, 4))).cast(DoubleType).as("sum_value"),
+          countDistinct(col("user_id")).as("users"))
+        .orderBy("event_type")
+    },
+      Some("""SELECT event_type, COUNT(*) AS cnt,
+                     CAST(SUM(CAST(value AS DECIMAL(14,4))) AS DOUBLE) AS sum_value,
+                     COUNT(DISTINCT user_id) AS users
+              FROM events GROUP BY event_type ORDER BY event_type""")),
+
     ("stream_arrow_events", (s, d) => {
       val ev = T(s, d, "events").select("event_id", "ts", "event_type", "value")
       // Scratch contract: see json_roundtrip.

@@ -1016,10 +1016,8 @@ private[sources] class ArrowIpcScan(required: StructType, dir: String,
     require(fileSlot < 0,
       s"arrow-ipc: the _file metadata column is batch-only — a streaming " +
         "read cannot project it")
-    require(hiveFields.isEmpty,
-      s"arrow-ipc: streaming reads of hive-partitioned directories are not " +
-        s"supported — $dir declares keys ${hiveFields.map(_.name).mkString(", ")}")
-    new ArrowIpcMicroBatchStream(required, dir, filters, maxFilesPerTrigger)
+    new ArrowIpcMicroBatchStream(required, dir, filters, maxFilesPerTrigger,
+      hiveFields)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

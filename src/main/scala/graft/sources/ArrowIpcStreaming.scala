@@ -62,11 +62,21 @@ private[sources] object ArrowFilesOffset {
   * analysis time with the full schema and no filters, so the stream
   * reads every committed file and Spark filters post-scan
   * (ArrowStreamSpec documents this as the observed behavior; if Spark
-  * grows streaming pushdown the skip activates unchanged). */
+  * grows streaming pushdown the skip activates unchanged).
+  *
+  * Hive-partitioned directories stream too (`hiveFields` non-empty): the
+  * listing walks `key=value/` directories, the offset stays a set of bare
+  * file NAMES (unique across value dirs by the writer contract, so the
+  * offset format — and any standing checkpoint — is layout-independent),
+  * and each batch's readers splice the directory-derived partition values
+  * back as constants exactly like the batch scan. Combined with the
+  * hive-layout sink this closes the loop: a pipeline can stream into a
+  * partitioned lake and a downstream pipeline can stream back out of it. */
 private[sources] class ArrowIpcMicroBatchStream(
     required: StructType, dir: String,
     filters: Array[org.apache.spark.sql.sources.Filter],
-    maxFilesPerTrigger: Option[Int] = None)
+    maxFilesPerTrigger: Option[Int] = None,
+    hiveFields: Seq[org.apache.spark.sql.types.StructField] = Nil)
     extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
@@ -75,6 +85,19 @@ private[sources] class ArrowIpcMicroBatchStream(
   private val spark = SparkSession.active
   private val conf = new SerializableHadoopConf(
     spark.sparkContext.hadoopConfiguration)
+
+  /** Live committed data files of a hive-partitioned directory: full path
+    * and canonical partition values, keyed by bare NAME (names are unique
+    * across value directories by the writer contract — which is what lets
+    * the offset stay a set of names regardless of layout, and a
+    * checkpoint survive a flat→hive reshaping of the reader code). */
+  private def discoverHive(fs: org.apache.hadoop.fs.FileSystem, dirPath: Path,
+      visible: String => Boolean)
+      : (Map[String, Path], Map[String, Seq[Option[String]]]) = {
+    val (sts, valsByName, _) =
+      ArrowHiveLayout.discover(fs, dirPath, hiveFields, Array.empty, visible)
+    (sts.map(st => st.getPath.getName -> st.getPath).toMap, valsByName)
+  }
 
   private def listCommitted(): Seq[String] = {
     val dirPath = new Path(dir)
@@ -87,7 +110,9 @@ private[sources] class ArrowIpcMicroBatchStream(
     // a sink stream's uncommitted epoch files are invisible — the source
     // emits a file only once its epoch's ledger entry landed
     val visible = ArrowStreamCommits.visibleFilter(fs, dirPath)
-    Option(fs.globStatus(new Path(dir, "part-*.arrows")))
+    if (hiveFields.nonEmpty)
+      discoverHive(fs, dirPath, visible)._1.keys.toSeq.sorted
+    else Option(fs.globStatus(new Path(dir, "part-*.arrows")))
       .getOrElse(Array.empty).map(_.getPath.getName).filter(visible)
       .toSeq.sorted
   }
@@ -168,19 +193,41 @@ private[sources] class ArrowIpcMicroBatchStream(
     val fresh =
       if (lineage.isEmpty) stepped
       else stepped.filterNot(ArrowMaintenance.covered(lineage, seen, _))
-    val stats =
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(conf.value)
+    // a hive-partitioned directory nests its files under value dirs: map
+    // the batch's NAMES back to full paths + partition values. A name the
+    // listing no longer finds means file-level maintenance ran against the
+    // no-concurrent-writer contract mid-stream — fail loudly, don't read a
+    // hole.
+    val (pathsByName, valsByName) =
+      if (hiveFields.isEmpty) (Map.empty[String, Path],
+        Map.empty[String, Seq[Option[String]]])
+      else discoverHive(fs, dirPath, _ => true)
+    val stats0 =
       if (filters.isEmpty || fresh.isEmpty) Map.empty[String, FileStats]
-      else ArrowFileStats.readForFiles(
-        new Path(dir).getFileSystem(conf.value), new Path(dir), fresh)
+      else ArrowFileStats.readForFiles(fs, dirPath, fresh)
+    val stats =
+      if (hiveFields.isEmpty || stats0.isEmpty) stats0
+      else ArrowHiveLayout.mergeStats(stats0, hiveFields, valsByName)
     fresh.filter { name =>
       stats.get(name)
         .forall(s => filters.forall(f => ArrowFileStats.canMatch(f, s)))
-    }.map(name =>
-      ArrowFilePartition(new Path(dir, name).toString): InputPartition).toArray
+    }.map { name =>
+      if (hiveFields.isEmpty)
+        ArrowFilePartition(new Path(dir, name).toString): InputPartition
+      else {
+        val p = pathsByName.getOrElse(name, throw new IllegalStateException(
+          s"arrow-ipc stream: committed file '$name' vanished from $dir — " +
+            "file-level maintenance ran concurrently with this stream"))
+        ArrowHiveFilePartition(p.toString, valsByName(name)): InputPartition
+      }
+    }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ArrowIpcReaderFactory(required, conf)
+    if (hiveFields.isEmpty) new ArrowIpcReaderFactory(required, conf)
+    else new ArrowIpcHiveReaderFactory(required, hiveFields, conf)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

@@ -61,6 +61,70 @@ class ArrowStreamHiveSpec extends AnyFunSuite {
     assert(v1.count() === 3)
   }
 
+  test("a hive-partitioned directory streams back out with partition values spliced") {
+    val base = java.nio.file.Files.createTempDirectory("graft_shive_src").toString
+    val src = s"$base/src"
+    // two committed batch appends → two generations of nested files
+    Seq(("a", 1L), ("b", 2L)).toDF("part", "v")
+      .write.format("arrow-ipc").mode("overwrite")
+      .option("hivePartitionKeys", "part").save(src)
+    Seq(("a", 3L), ("c", 4L)).toDF("part", "v")
+      .write.format("arrow-ipc").mode("append").save(src)
+
+    // a restart-capable sink (parquet) so one checkpoint spans both runs
+    def drain(): Unit = {
+      val q = spark.readStream.format("arrow-ipc").load(src)
+        .writeStream.format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    drain()
+    assert(spark.read.parquet(s"$base/out").collect()
+      .map(r => (r.getAs[String]("part"), r.getAs[Long]("v"))).sorted.toSeq ===
+      Seq(("a", 1L), ("a", 3L), ("b", 2L), ("c", 4L)))
+
+    // a third append lands while the stream is down; the restart emits
+    // ONLY the difference (exactly-once across the checkpoint)
+    Seq(("b", 5L)).toDF("part", "v")
+      .write.format("arrow-ipc").mode("append").save(src)
+    drain()
+    assert(spark.read.parquet(s"$base/out").collect()
+      .map(r => (r.getAs[String]("part"), r.getAs[Long]("v"))).sorted.toSeq ===
+      Seq(("a", 1L), ("a", 3L), ("b", 2L), ("b", 5L), ("c", 4L)))
+  }
+
+  test("hive streams compose: a streamed-in lake streams back out, admission-capped") {
+    val base = java.nio.file.Files.createTempDirectory("graft_shive_loop").toString
+    implicit val sql = spark.sqlContext
+    // stage 1: stream INTO a hive layout (the ingestion sink)
+    val in = MemoryStream[(String, Long)]
+    val q = in.toDF().toDF("part", "v")
+      .writeStream.format("arrow-ipc")
+      .option("hivePartitionKeys", "part")
+      .option("checkpointLocation", s"$base/ckpt_in")
+      .start(s"$base/lake")
+    try {
+      in.addData(("x", 1L), ("y", 2L))
+      q.processAllAvailable()
+      in.addData(("x", 3L))
+      q.processAllAvailable()
+    } finally q.stop()
+    // stage 2: stream OUT of it, one file per micro-batch
+    val q2 = spark.readStream.format("arrow-ipc")
+      .option("maxFilesPerTrigger", 1).load(s"$base/lake")
+      .writeStream.format("memory").queryName("shive_loop")
+      .option("checkpointLocation", s"$base/ckpt_out")
+      .start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(spark.table("shive_loop").collect()
+      .map(r => (r.getAs[String]("part"), r.getAs[Long]("v"))).sorted.toSeq ===
+      Seq(("x", 1L), ("x", 3L), ("y", 2L)))
+    // admission control really split the drain into one-file batches
+    assert(q2.recentProgress.count(_.numInputRows > 0) >= 3)
+  }
+
   test("a mismatched stream layout refuses; a crashed epoch's nested orphans sweep") {
     val base = java.nio.file.Files.createTempDirectory("graft_shive2").toString
     val out = s"$base/out"
