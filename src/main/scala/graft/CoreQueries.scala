@@ -1092,6 +1092,49 @@ object CoreQueries {
                      CAST(SUM(CAST(value AS DECIMAL(14,4))) AS DOUBLE) AS sum_value
               FROM events GROUP BY event_type ORDER BY event_type""")),
 
+    // HIVE-LAYOUT COMPACTION: the streaming-ingest maintenance shape — a
+    // partitioned lake accumulates per-epoch small files inside every
+    // value directory; one no-shuffle job rewrites each directory's files
+    // in place (routing preserved by the rolling hive writer, crash-safe
+    // swap shared with the flat path). The query fragments a hive dataset
+    // with three append jobs, compacts, SELF-CHECKS that files merged and
+    // stayed nested, and the oracle checks the surviving aggregate over a
+    // dir-pruned read.
+    ("arrow_hive_compact", (s, d) => {
+      val ev = T(s, d, "events")
+        .select("event_id", "user_id", "event_type", "value")
+      // Scratch contract: see json_roundtrip.
+      val path = graft.sources.Scratch.dir(s, "graft_rt_hivecompact")
+      (0 until 3).foreach { i =>
+        ev.filter(pmod(col("event_id"), lit(3)) === i)
+          .write.format("arrow-ipc").mode(if (i == 0) "overwrite" else "append")
+          .option("hivePartitionKeys", "event_type")
+          .save(path)
+      }
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val before = graft.sources.ArrowSnapshots.listDataFiles(
+        fs, new org.apache.hadoop.fs.Path(path))
+      val res = graft.sources.ArrowMaintenance.compact(s, path).getOrElse(
+        sys.error("arrow_hive_compact: nothing compacted"))
+      val after = graft.sources.ArrowSnapshots.listDataFiles(
+        fs, new org.apache.hadoop.fs.Path(path))
+      assert(res.oldFiles == before.size && after.size < before.size,
+        s"arrow_hive_compact: expected fewer files, ${before.size} -> ${after.size}")
+      assert(after.forall(_.contains("/")),
+        "arrow_hive_compact: compacted files must stay inside value dirs")
+      s.read.format("arrow-ipc").load(path)
+        .filter(col("event_type") =!= "view") // dir-level prune post-compact
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast(DecimalType(14, 4))).cast(DoubleType).as("sum_value"))
+        .orderBy("event_type")
+    },
+      Some("""SELECT event_type, COUNT(*) AS cnt,
+                     CAST(SUM(CAST(value AS DECIMAL(14,4))) AS DOUBLE) AS sum_value
+              FROM events WHERE event_type <> 'view'
+              GROUP BY 1 ORDER BY event_type""")),
+
     // STORAGE-PARTITIONED JOIN: both sides written key-grouped
     // (Sinks.writeKeyGrouped → single-valued files + _layout.json), so the
     // scans report KeyGroupedPartitioning proved from the stats manifest

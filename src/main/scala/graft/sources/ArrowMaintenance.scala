@@ -59,12 +59,6 @@ object ArrowMaintenance {
     require(targetBytes >= 1, "targetBytes must be >= 1")
     val dirPath = new Path(dir)
     val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // hive-partitioned directories nest files under value subdirs; the
-    // flat staging/swap below would silently compact nothing (or worse,
-    // stage a partition-column-less copy) — refuse loudly
-    require(ArrowHiveLayout.read(fs, dirPath).isEmpty,
-      s"arrow-ipc: compaction of hive-partitioned directories is not " +
-        s"supported — $dir declares a ${ArrowHiveLayout.FileName}")
     recover(spark, dir) // finish any crashed swap before touching anything
     // clear staging dirs from runs that died BEFORE recording intent
     // (compaction's own, and any copy-on-write rewrite's)
@@ -78,6 +72,11 @@ object ArrowMaintenance {
     // files that don't carry its rows would poison streaming absorption) —
     // sweep them first, under the same no-concurrent-writer contract
     ArrowStreamCommits.cleanOrphans(fs, dirPath)
+    // hive-partitioned directories nest files under value subdirs and
+    // need the partition columns routed back out — their own staging path
+    val hiveKeys = ArrowHiveLayout.read(fs, dirPath)
+    if (hiveKeys.nonEmpty)
+      return compactHive(spark, dirPath, fs, hiveKeys, targetBytes, codec)
 
     val olds = Option(fs.globStatus(new Path(dir, "part-*.arrows")))
       .getOrElse(Array.empty)
@@ -104,6 +103,96 @@ object ArrowMaintenance {
     // SWAP: intent first, then the latch
     writeIntent(fs, dirPath,
       Intent(olds.map(_.getPath.getName).toSeq.sorted, staging, moves))
+    fs.delete(new Path(dirPath, "_SUCCESS"), false)
+    replay(fs, dirPath)
+    Some(CompactionResult(olds.length, staged.length))
+  }
+
+  /** Hive-layout compaction: the per-value-directory small-files answer
+    * for the streaming-ingest shape (each epoch lands one file per active
+    * value directory — a day of micro-batches is thousands of tiny files
+    * per partition). One no-shuffle job stages the whole dataset into
+    * `.compact-<id>/` PRESERVING the `key=value/` nesting: the coalesced
+    * hive read lists files grouped by value directory, and the rolling
+    * hive writer routes rows back into per-value staged files (it rolls
+    * on key change, so interleaving costs extra files, never wrong
+    * routing). Standing bloom columns re-derive exactly as a COW rewrite
+    * would. The swap then rides the same crash-safe intent/replay as the
+    * flat path — relative `key=value/…` move targets, trash retention,
+    * emptied-value-dir cleanup and bare-name lineage are already its
+    * contract. Task retries are attempt-isolated: every attempt writes
+    * under its own attempt-scoped names and only the winning attempt's
+    * commit message reaches the intent, so a retried task can never
+    * collide with (or leak into) the committed state. */
+  private def compactHive(spark: SparkSession, dirPath: Path, fs: FileSystem,
+      hiveKeys: Seq[String], targetBytes: Long,
+      codec: Option[String]): Option[CompactionResult] = {
+    def walk(at: Path, prefix: String): Seq[(String, Long)] =
+      Option(fs.listStatus(at)).getOrElse(Array.empty).toSeq.flatMap { st =>
+        val name = st.getPath.getName
+        if (name.startsWith("_") || name.startsWith(".")) Nil
+        else if (st.isDirectory) walk(st.getPath, prefix + name + "/")
+        else if (name.startsWith("part-") && name.endsWith(".arrows"))
+          Seq((prefix + name, st.getLen))
+        else Nil
+      }
+    val olds = walk(dirPath, "")
+    // nothing to merge: files never combine ACROSS value directories, so
+    // a layout where every directory already holds ≤ 1 file is done
+    if (olds.length <= 1 ||
+        olds.groupBy(o => new Path(o._1).getParent.toString)
+          .values.forall(_.size <= 1)) return None
+
+    val id = java.util.UUID.randomUUID.toString.take(8)
+    val staging = s".compact-$id"
+    val stagingPath = new Path(dirPath, staging)
+    val n = math.min(Int.MaxValue.toLong, math.max(1L,
+      (olds.map(_._2).sum + targetBytes - 1) / targetBytes)).toInt
+
+    // STAGE: one internal-row job over the hive read (partition columns
+    // spliced), each task running the rolling hive writer against the
+    // staging dir. Attempt-scoped queryIds make retries collision-free;
+    // only the collected (winning) commit messages enter the intent.
+    val df = spark.read.format("arrow-ipc").load(dirPath.toString).coalesce(n)
+    val schema = df.schema
+    ArrowInterchange.codecType(codec) // validate eagerly, on the driver
+    val conf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+    // standing blooms: every schema column any live file carries one for
+    // (minus the partition keys, which are path-borne) — same derivation
+    // as the COW rewrite's
+    val blooms = ArrowFileStats.read(fs, dirPath).values
+      .flatMap(_.cols.collect { case (c, s) if s.bloom.isDefined => c })
+      .toSet.intersect(schema.fieldNames.toSet) -- hiveKeys
+    val stagingStr = stagingPath.toString
+    val msgs = df.queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        val tc = org.apache.spark.TaskContext.get()
+        val w = new ArrowIpcHiveDataWriter(schema, stagingStr, codec,
+          s"$id-a${tc.taskAttemptId()}", pid, tc.taskAttemptId(), conf,
+          hiveKeys, bloomCols = blooms)
+        tc.addTaskFailureListener(new org.apache.spark.util.TaskFailureListener {
+          override def onTaskFailure(ctx: org.apache.spark.TaskContext,
+              error: Throwable): Unit = w.abort()
+        })
+        it.foreach(w.write)
+        Iterator(w.commit().asInstanceOf[ArrowIpcCommitMessage])
+      }
+    }.collect()
+
+    val staged = msgs.toSeq.flatMap(_.files).map { case (abs, st) =>
+      ArrowSnapshots.relativize(fs, stagingPath, new Path(abs)) -> st }
+    // the staging manifest replay folds in (keyed by bare name, like every
+    // manifest)
+    ArrowFileStats.write(fs, stagingPath,
+      staged.map { case (rel, st) => new Path(rel).getName -> st }.toMap)
+    val moves = staged.map { case (rel, _) =>
+      val p = new Path(rel)
+      rel -> new Path(p.getParent,
+        p.getName.stripSuffix(".arrows") + s"-compact-$id.arrows").toString
+    }.toMap
+
+    writeIntent(fs, dirPath, Intent(olds.map(_._1).sorted, staging, moves))
     fs.delete(new Path(dirPath, "_SUCCESS"), false)
     replay(fs, dirPath)
     Some(CompactionResult(olds.length, staged.length))
@@ -412,9 +501,13 @@ object ArrowMaintenance {
     // claim lineage: its rows CHANGED, so "parents covered ⇒ rows already
     // emitted" would make a streaming consumer silently skip the updated
     // rows — the rewritten files are honestly new data to a stream.
+    // lineage entries use BARE NAMES on both sides (names are unique
+    // across value directories; the streaming source's offsets are also
+    // name-sets) — identity for flat layouts, a strip for hive
     if (intent.kind == "compact")
       writeLineage(fs, dirPath,
-        readLineage(fs, dirPath) ++ intent.moves.values.map(_ -> intent.olds))
+        readLineage(fs, dirPath) ++ intent.moves.values.map(v =>
+          new Path(v).getName -> intent.olds.map(o => new Path(o).getName)))
     // (e) retire the old files to `.trash/` (time travel finds them there
     // until expiry; the move is idempotent under replay) and record the
     // snapshot delta; empty hive value directories left behind are
@@ -439,8 +532,8 @@ object ArrowMaintenance {
     // fence is KEPT — it guards epoch replays, not visibility. Idempotent
     // (a second replay prunes nothing further).
     ArrowStreamCommits.read(fs, dirPath).foreach { led =>
-      val liveIds = Option(fs.globStatus(new Path(dirPath, "part-*.arrows")))
-        .getOrElse(Array.empty).map(_.getPath.getName)
+      val liveIds = ArrowSnapshots.listDataFiles(fs, dirPath)
+        .map(rel => new Path(rel).getName)
         .filter(ArrowStreamCommits.isStreamName)
         .map(ArrowStreamCommits.commitIdOf).toSet
       val keep = led.committed.intersect(liveIds)

@@ -242,26 +242,29 @@ class ArrowHiveSpec extends AnyFunSuite {
       === Set(("g0", 10L, 27), ("g1", 10L, 28), ("g2", 10L, 29)))
   }
 
-  test("hive directories refuse streaming reads and compaction") {
-    val df = (0 until 10).map(i => (i, s"g${i % 2}")).toDF("id", "grp")
-    val dir = tmp("graft_hive_refuse")
-    df.write.format("arrow-ipc")
-      .option("hivePartitionKeys", "grp").mode("overwrite").save(dir)
-    // the refusal surfaces on the stream-execution thread, not at start()
+  test("hive directories stream (AvailableNow) and compact — the old refusals are gone") {
+    val dir = tmp("graft_hive_stream_compact")
+    // two appends → two files per value dir (so compaction has work)
+    (0 until 2).foreach { g =>
+      (0 until 5).map(i => (g * 5 + i, s"g${i % 2}")).toDF("id", "grp")
+        .write.format("arrow-ipc")
+        .option("hivePartitionKeys", "grp")
+        .mode(if (g == 0) "overwrite" else "append").save(dir)
+    }
+    // AvailableNow over a hive layout drains exactly what exists and stops
     val q = spark.readStream.format("arrow-ipc")
-      .schema(spark.read.format("arrow-ipc").load(dir).schema)
-      .load(dir).writeStream.format("noop")
+      .load(dir).writeStream.format("memory").queryName("hive_now")
       .option("checkpointLocation", tmp("graft_hive_ckpt"))
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    val stream = intercept[Exception] { q.awaitTermination() }
-    def msgs(t: Throwable): Seq[String] =
-      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
-    assert(msgs(stream).exists(_.contains("hive-partitioned")))
-    val comp = intercept[Exception] {
-      graft.sources.ArrowMaintenance.compact(spark, dir)
-    }
-    assert(comp.getMessage.contains("hive-partitioned"))
+    q.awaitTermination(30000)
+    assert(spark.table("hive_now").count() === 10)
+    assert(spark.table("hive_now").groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap ===
+      Map("g0" -> 6L, "g1" -> 4L))
+    // and compaction merges within value dirs (detail in ArrowMaintenanceSpec)
+    assert(graft.sources.ArrowMaintenance.compact(spark, dir).isDefined)
+    assert(spark.read.format("arrow-ipc").load(dir).count() === 10)
   }
 
   private def withSpjConfs[T](body: => T): T = {

@@ -138,6 +138,93 @@ class ArrowMaintenanceSpec extends AnyFunSuite {
     assert(spark.read.format("arrow-ipc").load(dir).count() === 60)
   }
 
+  private def nestedFiles(dir: String): Seq[String] =
+    graft.sources.ArrowSnapshots.listDataFiles(
+      fsOf(dir), new org.apache.hadoop.fs.Path(dir)).sorted
+
+  test("a hive layout compacts per value directory; data, pruning, history survive") {
+    val dir = tmp("graft_compact_hive")
+    // three appends → three generations of small files per value dir
+    (0 until 3).foreach { i =>
+      spark.range(i * 90, (i + 1) * 90)
+        .select((col("id") % 3).cast("string").as("k"), col("id"),
+          concat(lit("v"), col("id")).as("v"))
+        .coalesce(1).write.format("arrow-ipc").mode(
+          if (i == 0) "overwrite" else "append")
+        .option("hivePartitionKeys", "k").save(dir)
+    }
+    val before = nestedFiles(dir)
+    assert(before.size === 9 && before.forall(_.startsWith("k=")))
+
+    val res = ArrowMaintenance.compact(spark, dir).get
+    assert(res.oldFiles === 9)
+    val after = nestedFiles(dir)
+    assert(after.size < before.size)
+    // compacted files stay nested under their value dirs, one per dir here
+    assert(after.forall(r => r.startsWith("k=") && r.contains("-compact-")))
+    assert(after.map(_.split('/').head).distinct.sorted === Seq("k=0", "k=1", "k=2"))
+
+    val back = spark.read.format("arrow-ipc").load(dir)
+    assert(back.count() === 270)
+    assert(back.groupBy("k").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap ===
+      Map("0" -> 90L, "1" -> 90L, "2" -> 90L))
+    // directory-grain pruning still works (one value dir read)
+    assert(back.filter(col("k") === "1").count() === 90)
+    // the manifest covers exactly the compacted files (bare names)
+    val stats = ArrowFileStats.read(fsOf(dir), new org.apache.hadoop.fs.Path(dir))
+    assert(stats.keySet === after.map(_.split('/').last).toSet)
+    // time travel: the pre-compaction snapshot reads back from the trash
+    val snaps = graft.sources.ArrowSnapshots.read(
+      fsOf(dir), new org.apache.hadoop.fs.Path(dir))
+    val preCompact = snaps(snaps.length - 2).id
+    val old = spark.read.format("arrow-ipc")
+      .option("asOfSnapshot", preCompact).load(dir)
+    assert(old.count() === 270)
+    // every value dir now holds one file: a second compact is a no-op
+    assert(ArrowMaintenance.compact(spark, dir).isEmpty)
+    assert(!new java.io.File(dir, "_compaction.json").exists)
+  }
+
+  test("hive compaction absorbs into a drained stream; a partial drain poisons") {
+    val dir = tmp("graft_compact_hive_stream")
+    (0 until 2).foreach { i =>
+      spark.range(i * 20, (i + 1) * 20)
+        .select((col("id") % 2).cast("string").as("k"), col("id"))
+        .coalesce(1).write.format("arrow-ipc").mode(
+          if (i == 0) "overwrite" else "append")
+        .option("hivePartitionKeys", "k").save(dir)
+    }
+    val ckpt = tmp("graft_compact_hive_stream_ckpt")
+    def drain(name: String): Long = {
+      val q = spark.readStream.format("arrow-ipc").load(dir)
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", ckpt)
+        .start()
+      try { q.processAllAvailable() } finally q.stop()
+      spark.table(name).count()
+    }
+    // the memory sink cannot recover a checkpoint, so seed the offset by
+    // hand: drain once WITHOUT a checkpoint, then verify absorption via
+    // the stream internals (the same covered() path the source runs)
+    assert(drain("hive_absorb_seed") === 40)
+    ArrowMaintenance.compact(spark, dir).get
+    val fs = fsOf(dir)
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val lineage = ArrowMaintenance.readLineage(fs, dirPath)
+    val compacted = nestedFiles(dir).map(_.split('/').last)
+    // lineage is keyed by BARE names on both sides — the streaming
+    // source's offset vocabulary
+    assert(lineage.keySet === compacted.toSet)
+    assert(lineage.values.flatten.toSet.forall(n => !n.contains("/")))
+    val seenAll = lineage.values.flatten.toSet
+    assert(compacted.forall(ArrowMaintenance.covered(lineage, seenAll, _)))
+    // a consumer that saw only part of the olds is poisoned, not silent
+    val partial = seenAll.drop(1)
+    assert(compacted.exists(c => ArrowMaintenance.touches(lineage, partial, c)
+      && !ArrowMaintenance.covered(lineage, partial, c)))
+  }
+
   test("a crash BEFORE the marker drop (intent recorded, marker up) also recovers") {
     val dir = tmp("graft_compact_crash2")
     (0 until 3).foreach { i =>

@@ -125,6 +125,38 @@ class ArrowStreamHiveSpec extends AnyFunSuite {
     assert(q2.recentProgress.count(_.numInputRows > 0) >= 3)
   }
 
+  test("a checkpointed hive stream absorbs a compaction without re-emitting") {
+    val base = java.nio.file.Files.createTempDirectory("graft_shive_cpt").toString
+    val src = s"$base/src"
+    (0 until 2).foreach { i =>
+      Seq(("p", i * 10L), ("q", i * 10L + 1)).toDF("part", "v")
+        .write.format("arrow-ipc").mode(if (i == 0) "overwrite" else "append")
+        .option("hivePartitionKeys", "part").save(src)
+    }
+    def drain(): Long = {
+      val q = spark.readStream.format("arrow-ipc").load(src)
+        .writeStream.format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      spark.read.parquet(s"$base/out").count()
+    }
+    assert(drain() === 4)
+    // maintenance between runs: value dirs compact, lineage records it
+    assert(graft.sources.ArrowMaintenance.compact(spark, src).isDefined)
+    // one genuinely new append after the compaction
+    Seq(("p", 99L)).toDF("part", "v")
+      .write.format("arrow-ipc").mode("append").save(src)
+    // the restart emits ONLY the append: the compacted files' ancestry is
+    // fully covered by the checkpoint, so they are absorbed silently
+    assert(drain() === 5)
+    val out = spark.read.parquet(s"$base/out")
+    assert(out.groupBy("part").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap ===
+      Map("p" -> 3L, "q" -> 2L))
+  }
+
   test("a mismatched stream layout refuses; a crashed epoch's nested orphans sweep") {
     val base = java.nio.file.Files.createTempDirectory("graft_shive2").toString
     val out = s"$base/out"
