@@ -2836,6 +2836,51 @@ object CoreQueries {
               FROM events WHERE event_type <> 'view'
               GROUP BY 1 ORDER BY event_type""")),
 
+    // CHANGE FEED AS A STREAMING SOURCE (round 9): option("changeFeed",
+    // true) turns the snapshot log into a continuous CDC stream —
+    // snapshot-id offsets, net file deltas per micro-batch, insert rows
+    // from the live set and delete rows (the old image) from the trash,
+    // each tagged _change_type. Here: a hive-partitioned lake bootstraps
+    // as inserts, a metadata DELETE drops one value directory, and the
+    // feed's delete rows reproduce exactly the dropped partition — the
+    // oracle rebuilds the same feed relationally from the source table.
+    ("stream_changefeed", (s, d) => {
+      val ev = T(s, d, "events")
+        .select("event_id", "event_type", "value")
+      // Scratch contract: see json_roundtrip.
+      val path = graft.sources.Scratch.dir(s, "graft_stream_cdc")
+      ev.write.format("arrow-ipc").mode("overwrite")
+        .option("hivePartitionKeys", "event_type").save(path + "/t")
+      val q = s.readStream.format("arrow-ipc")
+        .option("changeFeed", true).load(path + "/t")
+        .writeStream.format("parquet")
+        .option("path", path + "/out")
+        .option("checkpointLocation", path + "/ckpt")
+        .start()
+      try {
+        q.processAllAvailable() // bootstrap batch: everything as inserts
+        // the DELETE lands AFTER the bootstrap was drained, so its old
+        // image streams as delete rows (a delete in the SAME window as
+        // the insert would net out — the feed is net-change per batch)
+        graft.sources.ArrowMaintenance.deleteWhere(s, path + "/t",
+          Array(org.apache.spark.sql.sources.EqualTo("event_type", "view")))
+        q.processAllAvailable()
+      } finally q.stop()
+      s.read.parquet(path + "/out")
+        .groupBy(col("event_type"), col("_change_type"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast(DecimalType(14, 4))).cast(DoubleType).as("sum_value"))
+        .orderBy("event_type", "_change_type")
+    },
+      Some("""SELECT event_type, _change_type, COUNT(*) AS cnt,
+                     CAST(SUM(CAST(value AS DECIMAL(14,4))) AS DOUBLE) AS sum_value
+              FROM (
+                SELECT event_type, 'insert' AS _change_type, value FROM events
+                UNION ALL
+                SELECT event_type, 'delete' AS _change_type, value FROM events
+                WHERE event_type = 'view'
+              ) GROUP BY 1, 2 ORDER BY event_type, _change_type""")),
+
     // STREAMING OUT OF A HIVE LAYOUT (round 9): the inverse of
     // stream_hive_ingest — a partitioned lake (here batch-written; the
     // spec covers the streamed-in case) is consumed as a micro-batch

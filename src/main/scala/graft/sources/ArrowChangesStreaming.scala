@@ -1,0 +1,273 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Offset of the change-feed stream: the last snapshot id emitted.
+  * Snapshot ids are assigned monotonically by the log ([[ArrowSnapshots]]
+  * — ids come from entry filenames), so a single high-watermark is exact:
+  * a batch is the net file delta over `(start, end]`. */
+private[sources] case class ArrowSnapshotIdOffset(id: Long) extends Offset {
+  override def json(): String = s"""{"id":$id}"""
+}
+
+private[sources] object ArrowSnapshotIdOffset {
+  def fromJson(json: String): ArrowSnapshotIdOffset = {
+    import org.json4s._
+    org.json4s.jackson.JsonMethods.parse(json) \ "id" match {
+      case JInt(n) => ArrowSnapshotIdOffset(n.toLong)
+      case JLong(n) => ArrowSnapshotIdOffset(n)
+      case other => throw new IllegalArgumentException(
+        s"arrow-ipc change feed: bad offset json $other")
+    }
+  }
+}
+
+/** One changed file of a feed batch: full path (live or trash), the
+  * directory-derived partition values (hive layouts), and the change
+  * type (`insert` | `delete`) its rows carry. */
+private[sources] case class ArrowChangePartition(
+    file: String, hiveValues: Seq[Option[String]], changeType: String)
+    extends InputPartition
+
+/** CHANGE FEED as a STRUCTURED STREAMING SOURCE — `spark.readStream
+  * .format("arrow-ipc").option("changeFeed", true).load(dir)`: the
+  * incremental consumer that [[ArrowChanges.changeFeed]] serves in batch,
+  * made continuous. Offsets are snapshot ids (checkpointed, exactly-once);
+  * each micro-batch is the NET file delta over `(start, end]` folded from
+  * the snapshot log, served as `insert` rows (read from the live set) and
+  * `delete` rows (the old image, read from `.trash/` where a mutation
+  * retired it) with a `_change_type` column appended to the table schema.
+  *
+  * The scale shape matches the batch feed: a batch opens exactly the
+  * CHANGED files — never the table — and planning folds log entries
+  * (O(window), not O(files)). Copy-on-write rewrite amplification is the
+  * standard contract: an UPDATE surfaces as old-image deletes plus
+  * new-image inserts; consumers reconcile by key.
+  *
+  * Bootstrap: `startingSnapshot` 0 (the default) emits the full standing
+  * dataset as inserts first — an expired-history prefix is fine because
+  * [[ArrowMaintenance.expireSnapshots]] collapses it into an absolute
+  * base entry. A non-zero `startingSnapshot` must name a still-recorded
+  * snapshot; a window whose trash copies were expired refuses loudly
+  * rather than serving a partial delta. `maxSnapshotsPerTrigger` caps how
+  * many snapshots one micro-batch folds (admission control), and
+  * `Trigger.AvailableNow` drains exactly the log as of run start. */
+private[sources] class ArrowChangesMicroBatchStream(
+    required: StructType, dir: String,
+    hiveFields: Seq[StructField],
+    startingSnapshot: Long,
+    maxSnapshotsPerTrigger: Option[Int])
+    extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxFiles}
+
+  private val spark = SparkSession.active
+  private val conf = new SerializableHadoopConf(
+    spark.sparkContext.hadoopConfiguration)
+
+  require(startingSnapshot >= 0,
+    s"arrow-ipc change feed: startingSnapshot must be >= 0, got $startingSnapshot")
+
+  private def dirPath = new Path(dir)
+  private def fs = dirPath.getFileSystem(conf.value)
+
+  private def readLog(): Seq[ArrowSnapshots.Snapshot] = {
+    val f = fs
+    if (!f.exists(dirPath)) return Nil
+    // mid-commit (sentinel present, marker dropped): hold the line — the
+    // snapshot entry for the in-flight mutation may not have landed yet
+    if (f.exists(new Path(dirPath, "_schema.arrows")) &&
+        !f.exists(new Path(dirPath, "_SUCCESS"))) return Nil
+    ArrowSnapshots.read(f, dirPath)
+  }
+
+  override def initialOffset(): Offset = {
+    if (startingSnapshot > 0) {
+      val snaps = ArrowSnapshots.read(fs, dirPath)
+      require(snaps.exists(_.id == startingSnapshot),
+        s"arrow-ipc change feed: $dir has no snapshot $startingSnapshot to " +
+          "start from" + (if (snaps.isEmpty) " (no snapshot log)"
+          else s" — the log records ${snaps.head.id}..${snaps.last.id}; " +
+            "expired history? 0 = since the beginning"))
+    }
+    ArrowSnapshotIdOffset(startingSnapshot)
+  }
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxSnapshotsPerTrigger.fold(ReadLimit.allAvailable())(ReadLimit.maxFiles)
+
+  private var availableNowCap: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(readLog().map(_.id).maxOption.getOrElse(0L))
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[ArrowSnapshotIdOffset].id
+    val ids = readLog().map(_.id)
+      .filter(id => id > from && availableNowCap.forall(id <= _)).sorted
+    val admitted = limit match {
+      case mf: ReadMaxFiles => ids.take(mf.maxFiles)
+      case _ => ids
+    }
+    ArrowSnapshotIdOffset(admitted.lastOption.getOrElse(from))
+  }
+
+  override def reportLatestOffset(): Offset =
+    ArrowSnapshotIdOffset(readLog().map(_.id).maxOption.getOrElse(0L))
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "arrow-ipc change feed implements SupportsAdmissionControl — " +
+        "latestOffset(start, limit) is the entry point")
+
+  override def deserializeOffset(json: String): Offset =
+    ArrowSnapshotIdOffset.fromJson(json)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[ArrowSnapshotIdOffset].id
+    val to = end.asInstanceOf[ArrowSnapshotIdOffset].id
+    if (to <= from) return Array.empty
+    val f = fs
+    val snaps = ArrowSnapshots.read(f, dirPath)
+    // replay safety: the admitted window must still be fully recorded —
+    // an expired `from` (collapsed below the base entry) would silently
+    // drop the deltas between from and the base
+    require(from == 0 || snaps.exists(_.id == from),
+      s"arrow-ipc change feed: snapshot $from of $dir expired under a " +
+        "checkpointed stream — the delta since it cannot be reconstructed")
+    val window = snaps.filter(e => e.id > from && e.id <= to)
+    val added = window.flatMap(_.adds).toSet
+    val removed = window.flatMap(_.removes).toSet
+    // net-change semantics: a file added and removed inside the window
+    // (a transient epoch a compaction folded away) cancels
+    def resolve(rel: String): String = {
+      val live = new Path(dirPath, rel)
+      val p =
+        if (f.exists(live)) live
+        else {
+          val t = ArrowSnapshots.trashPath(dirPath, rel)
+          require(f.exists(t),
+            s"arrow-ipc change feed: '$rel' of window ($from, $to] is " +
+              "expired — gone from both the live set and the trash")
+          t
+        }
+      f.getFileStatus(p).getPath.toString
+    }
+    def values(rel: String): Seq[Option[String]] =
+      if (hiveFields.isEmpty) Nil
+      else {
+        val segs = rel.split('/')
+        require(segs.length == hiveFields.length + 1,
+          s"arrow-ipc change feed: path '$rel' does not match the declared " +
+            s"hive layout (${hiveFields.map(_.name).mkString("/")})")
+        hiveFields.zipWithIndex.map { case (fld, i) =>
+          ArrowHiveLayout.parseSegment(fld, segs(i)) }
+      }
+    def part(rel: String, kind: String): InputPartition =
+      ArrowChangePartition(resolve(rel), values(rel), kind)
+    ((added -- removed).toSeq.sorted.map(part(_, "insert")) ++
+      (removed -- added).toSeq.sorted.map(part(_, "delete"))).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ArrowChangeTypeReaderFactory(required, hiveFields, conf)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+/** Reader factory for change-feed batches: the inner reader decodes the
+  * DATA columns (hive partition values spliced as constants where the
+  * layout nests), and the partition's change type is appended at the
+  * `_change_type` slot as one more constant — columnar and row paths
+  * both, same mechanism as the `_file` metadata column. */
+private[sources] class ArrowChangeTypeReaderFactory(
+    required: StructType, hiveFields: Seq[StructField],
+    conf: SerializableHadoopConf)
+    extends PartitionReaderFactory {
+
+  private val slot = required.fieldNames.indexOf(ArrowChangesStream.ChangeTypeColumn)
+  require(slot >= 0, s"arrow-ipc change feed: schema lost the " +
+    s"${ArrowChangesStream.ChangeTypeColumn} column: $required")
+  private val dataRequired = StructType(
+    required.fields.filter(_.name != ArrowChangesStream.ChangeTypeColumn))
+  private val inner: PartitionReaderFactory =
+    if (hiveFields.isEmpty) new ArrowIpcReaderFactory(dataRequired, conf)
+    else new ArrowIpcHiveReaderFactory(dataRequired, hiveFields, conf)
+
+  private def innerPartition(p: InputPartition): InputPartition = p match {
+    case c: ArrowChangePartition =>
+      if (hiveFields.isEmpty) ArrowFilePartition(c.file)
+      else ArrowHiveFilePartition(c.file, c.hiveValues)
+    case other => throw new IllegalStateException(
+      s"arrow-ipc change feed: unexpected partition $other")
+  }
+
+  private def kindOf(p: InputPartition): String =
+    p.asInstanceOf[ArrowChangePartition].changeType
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val in = inner.createReader(innerPartition(p))
+    val const = UTF8String.fromString(kindOf(p))
+    val types = dataRequired.fields.map(_.dataType)
+    new PartitionReader[InternalRow] {
+      override def next(): Boolean = in.next()
+      override def get(): InternalRow = {
+        val row = in.get()
+        val vals = new Array[Any](types.length + 1)
+        var i = 0
+        while (i < vals.length) {
+          vals(i) =
+            if (i == slot) const
+            else if (i < slot) row.get(i, types(i))
+            else row.get(i - 1, types(i - 1))
+          i += 1
+        }
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
+      }
+      override def close(): Unit = in.close()
+    }
+  }
+
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    inner.supportColumnarReads(innerPartition(p))
+
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    import org.apache.spark.sql.execution.vectorized.ConstantColumnVector
+    import org.apache.spark.sql.vectorized.{ColumnarBatch, ColumnVector}
+    val in = inner.createColumnarReader(innerPartition(p))
+    val const = UTF8String.fromString(kindOf(p))
+    new PartitionReader[ColumnarBatch] {
+      override def next(): Boolean = in.next()
+      override def get(): ColumnarBatch = {
+        val b = in.get()
+        val vecs = new Array[ColumnVector](b.numCols() + 1)
+        var i = 0
+        while (i < vecs.length) {
+          vecs(i) =
+            if (i == slot) {
+              val v = new ConstantColumnVector(b.numRows(), StringType)
+              v.setUtf8String(const)
+              v
+            } else if (i < slot) b.column(i)
+            else b.column(i - 1)
+          i += 1
+        }
+        new ColumnarBatch(vecs, b.numRows())
+      }
+      override def close(): Unit = in.close()
+    }
+  }
+}
+
+private[graft] object ArrowChangesStream {
+  val ChangeTypeColumn = "_change_type"
+}

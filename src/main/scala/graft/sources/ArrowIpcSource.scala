@@ -14,7 +14,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.sources.DataSourceRegister
-import org.apache.spark.sql.types.{ByteType, DecimalType, IntegerType, LongType, ShortType, StructField, StructType}
+import org.apache.spark.sql.types.{ByteType, DecimalType, IntegerType, LongType, ShortType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** DataSource V2 face of [[ArrowInterchange]] — `spark.read
@@ -53,8 +53,14 @@ class ArrowIpcSource extends TableProvider with DataSourceRegister {
     } else raw
   }
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    ArrowInterchange.readSchema(SparkSession.active, dir(options))
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val base = ArrowInterchange.readSchema(SparkSession.active, dir(options))
+    // the change feed serves the table schema plus the change-type column
+    if (options.getBoolean("changeFeed", false))
+      StructType(base.fields :+
+        StructField(ArrowChangesStream.ChangeTypeColumn, StringType, nullable = false))
+    else base
+  }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table =
@@ -138,7 +144,12 @@ private[sources] class ArrowIpcTable(tableSchema: StructType, dir: String,
       Option(options.get("maxFilesPerTrigger")).map(_.toInt),
       Option(options.get("partitionKeys"))
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq),
-      asOf = asOf.orElse(Option(options.get("asOfSnapshot")).map(_.toLong)))
+      asOf = asOf.orElse(Option(options.get("asOfSnapshot")).map(_.toLong)),
+      changeFeed = options.getBoolean("changeFeed", false),
+      startingSnapshot =
+        Option(options.get("startingSnapshot")).map(_.toLong).getOrElse(0L),
+      maxSnapshotsPerTrigger =
+        Option(options.get("maxSnapshotsPerTrigger")).map(_.toInt))
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
@@ -159,7 +170,10 @@ private[sources] class ArrowIpcScanBuilder(full: StructType, dir: String,
     maxFilesPerTrigger: Option[Int] = None,
     partitionKeys: Option[Seq[String]] = None,
     onBuild: ArrowIpcScan => Unit = null,
-    asOf: Option[Long] = None)
+    asOf: Option[Long] = None,
+    changeFeed: Boolean = false,
+    startingSnapshot: Long = 0L,
+    maxSnapshotsPerTrigger: Option[Int] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownLimit
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
@@ -551,7 +565,8 @@ private[sources] class ArrowIpcScanBuilder(full: StructType, dir: String,
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
   override def build(): Scan = {
     val scan = new ArrowIpcScan(required, dir, limit, pushed, agg,
-      maxFilesPerTrigger, partitionKeys, full, fileSlot, asOf)
+      maxFilesPerTrigger, partitionKeys, full, fileSlot, asOf,
+      changeFeed, startingSnapshot, maxSnapshotsPerTrigger)
     if (onBuild != null) onBuild(scan)
     scan
   }
@@ -564,7 +579,10 @@ private[sources] class ArrowIpcScan(required: StructType, dir: String,
     partitionKeys: Option[Seq[String]] = None,
     full: StructType = null,
     fileSlot: Int = -1,
-    asOf: Option[Long] = None)
+    asOf: Option[Long] = None,
+    changeFeed: Boolean = false,
+    startingSnapshot: Long = 0L,
+    maxSnapshotsPerTrigger: Option[Int] = None)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
@@ -579,7 +597,12 @@ private[sources] class ArrowIpcScan(required: StructType, dir: String,
       StructType((before :+ ArrowRowLevel.fileField) ++ after)
     }
   }(_._1)
-  override def toBatch: Batch = this
+  override def toBatch: Batch = {
+    require(!changeFeed,
+      "arrow-ipc: option changeFeed is streaming-only (readStream) — for " +
+        "a batch window use ArrowChanges.changeFeed(spark, dir, from, to)")
+    this
+  }
   override def description(): String =
     s"arrow-ipc $dir [${required.fieldNames.mkString(", ")}]" +
       (if (limit >= 0) s" limit=$limit" else "") +
@@ -1016,8 +1039,12 @@ private[sources] class ArrowIpcScan(required: StructType, dir: String,
     require(fileSlot < 0,
       s"arrow-ipc: the _file metadata column is batch-only — a streaming " +
         "read cannot project it")
-    new ArrowIpcMicroBatchStream(required, dir, filters, maxFilesPerTrigger,
-      hiveFields)
+    if (changeFeed)
+      new ArrowChangesMicroBatchStream(required, dir, hiveFields,
+        startingSnapshot, maxSnapshotsPerTrigger)
+    else
+      new ArrowIpcMicroBatchStream(required, dir, filters, maxFilesPerTrigger,
+        hiveFields)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
