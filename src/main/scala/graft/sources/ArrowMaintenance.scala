@@ -111,12 +111,13 @@ object ArrowMaintenance {
   /** Hive-layout compaction: the per-value-directory small-files answer
     * for the streaming-ingest shape (each epoch lands one file per active
     * value directory — a day of micro-batches is thousands of tiny files
-    * per partition). One no-shuffle job stages the whole dataset into
-    * `.compact-<id>/` PRESERVING the `key=value/` nesting: the coalesced
-    * hive read lists files grouped by value directory, and the rolling
-    * hive writer routes rows back into per-value staged files (it rolls
-    * on key change, so interleaving costs extra files, never wrong
-    * routing). Standing bloom columns re-derive exactly as a COW rewrite
+    * per partition). One no-shuffle job stages ONLY the affected files
+    * (value directories holding ≥ 2 files; everything else is untouched)
+    * into `.compact-<id>/` PRESERVING the `key=value/` nesting: the
+    * coalesced hive read — restricted by static `_file` pushdown — lists
+    * files grouped by value directory, and the rolling hive writer routes
+    * rows back into per-value staged files (it rolls on key change, so
+    * interleaving costs extra files, never wrong routing). Standing bloom columns re-derive exactly as a COW rewrite
     * would. The swap then rides the same crash-safe intent/replay as the
     * flat path — relative `key=value/…` move targets, trash retention,
     * emptied-value-dir cleanup and bare-name lineage are already its
@@ -136,12 +137,17 @@ object ArrowMaintenance {
           Seq((prefix + name, st.getLen))
         else Nil
       }
-    val olds = walk(dirPath, "")
-    // nothing to merge: files never combine ACROSS value directories, so
-    // a layout where every directory already holds ≤ 1 file is done
-    if (olds.length <= 1 ||
-        olds.groupBy(o => new Path(o._1).getParent.toString)
-          .values.forall(_.size <= 1)) return None
+    val all = walk(dirPath, "")
+    // INCREMENTAL by construction: files never combine ACROSS value
+    // directories, so only directories holding ≥ 2 files have any work —
+    // every other directory's files are left completely untouched (not
+    // rewritten, not trashed, no snapshot entry). At 100 TB this is the
+    // difference between "cost ∝ small-file debt" and "cost ∝ table".
+    val dirOf = (rel: String) => new Path(rel).getParent.toString
+    val affectedDirs = all.groupBy(o => dirOf(o._1))
+      .filter(_._2.size > 1).keySet
+    if (affectedDirs.isEmpty) return None
+    val olds = all.filter(o => affectedDirs(dirOf(o._1)))
 
     val id = java.util.UUID.randomUUID.toString.take(8)
     val staging = s".compact-$id"
@@ -150,10 +156,19 @@ object ArrowMaintenance {
       (olds.map(_._2).sum + targetBytes - 1) / targetBytes)).toInt
 
     // STAGE: one internal-row job over the hive read (partition columns
-    // spliced), each task running the rolling hive writer against the
-    // staging dir. Attempt-scoped queryIds make retries collision-free;
-    // only the collected (winning) commit messages enter the intent.
-    val df = spark.read.format("arrow-ipc").load(dirPath.toString).coalesce(n)
+    // spliced), restricted to the affected files by the scan's STATIC
+    // `_file` pushdown — planning drops every untouched file before any
+    // task launches, so the job reads exactly the small-file debt. Each
+    // task runs the rolling hive writer against the staging dir.
+    // Attempt-scoped queryIds make retries collision-free; only the
+    // collected (winning) commit messages enter the intent.
+    val affectedPaths = olds.map { o =>
+      fs.getFileStatus(new Path(dirPath, o._1)).getPath.toString }
+    val df = spark.read.format("arrow-ipc").load(dirPath.toString)
+      .filter(org.apache.spark.sql.functions.col(ArrowRowLevel.FileColumn)
+        .isin(affectedPaths: _*))
+      .drop(ArrowRowLevel.FileColumn)
+      .coalesce(n)
     val schema = df.schema
     ArrowInterchange.codecType(codec) // validate eagerly, on the driver
     val conf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)

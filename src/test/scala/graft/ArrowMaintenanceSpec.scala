@@ -186,6 +186,42 @@ class ArrowMaintenanceSpec extends AnyFunSuite {
     assert(!new java.io.File(dir, "_compaction.json").exists)
   }
 
+  test("hive compaction is incremental: single-file value dirs are untouched") {
+    val dir = tmp("graft_compact_hive_incr")
+    // dir a accumulates 3 files; dir b gets exactly 1
+    Seq(("a", 1L), ("b", 2L)).toDF("k", "v")
+      .coalesce(1).write.format("arrow-ipc").mode("overwrite")
+      .option("hivePartitionKeys", "k").save(dir)
+    (0 until 2).foreach { i =>
+      Seq(("a", 10L + i)).toDF("k", "v")
+        .coalesce(1).write.format("arrow-ipc").mode("append").save(dir)
+    }
+    val before = nestedFiles(dir)
+    assert(before.count(_.startsWith("k=a/")) === 3)
+    val bFile = before.filter(_.startsWith("k=b/"))
+    assert(bFile.size === 1)
+
+    val res = ArrowMaintenance.compact(spark, dir).get
+    // only dir a's files were rewritten
+    assert(res.oldFiles === 3)
+    val after = nestedFiles(dir)
+    assert(after.filter(_.startsWith("k=b/")) === bFile) // byte-identical name
+    assert(after.count(_.startsWith("k=a/")) === 1)
+    assert(after.find(_.startsWith("k=a/")).get.contains("-compact-"))
+    // b's file was neither trashed nor re-logged: the snapshot delta
+    // names only dir a's files
+    val fs = fsOf(dir)
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val last = graft.sources.ArrowSnapshots.read(fs, dirPath).last
+    assert(last.removes.toSet === before.filter(_.startsWith("k=a/")).toSet)
+    assert(!fs.exists(graft.sources.ArrowSnapshots.trashPath(dirPath, bFile.head)))
+    // data intact
+    assert(spark.read.format("arrow-ipc").load(dir)
+      .groupBy("k").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap ===
+      Map("a" -> 3L, "b" -> 1L))
+  }
+
   test("hive compaction absorbs into a drained stream; a partial drain poisons") {
     val dir = tmp("graft_compact_hive_stream")
     (0 until 2).foreach { i =>
