@@ -1135,6 +1135,61 @@ object CoreQueries {
               FROM events WHERE event_type <> 'view'
               GROUP BY 1 ORDER BY event_type""")),
 
+    // CLUSTERED REWRITE (ArrowMaintenance.cluster — the OPTIMIZE-sort
+    // analog): orders land HASH-distributed (every file's date interval
+    // spans the whole domain — stats pruning is useless), then one
+    // crash-safe clustered rewrite range-sorts the dataset on o_orderdate
+    // and the SAME predicate prunes to ~the matching files. The query
+    // self-asserts pruning flipped from nothing to real, and the oracle
+    // checks the surviving aggregate. The 100 TB point: clustering is how
+    // a cold, arrival-ordered lake retroactively earns the pruning its
+    // manifest stats promise.
+    ("arrow_cluster", (s, d) => {
+      val ord = T(s, d, "orders").select(
+        col("o_orderkey"),
+        col("o_orderdate").cast(DateType).as("o_orderdate"),
+        col("o_totalprice").cast(DecimalType(12, 2)).as("price"))
+      // Scratch contract: see json_roundtrip.
+      val path = graft.sources.Scratch.dir(s, "graft_rt_cluster")
+      ord.repartition(6, col("o_orderkey"))
+        .write.format("arrow-ipc").mode("overwrite").save(path)
+      def narrow = s.read.format("arrow-ipc").load(path)
+        .filter(col("o_orderdate") >= lit("1997-06-01").cast(DateType))
+      def pruned(df: org.apache.spark.sql.DataFrame): (Int, Int) = {
+        val desc = df.queryExecution.optimizedPlan.collect {
+          case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+            r.scan.description()
+        }.mkString("\n")
+        val m = "files=(\\d+)/(\\d+)".r.findFirstMatchIn(desc).getOrElse(
+          sys.error(s"arrow_cluster: no file-pruning scan in plan:\n$desc"))
+        (m.group(1).toInt, m.group(2).toInt)
+      }
+      val (k0, n0) = pruned(narrow)
+      require(k0 == n0, s"arrow_cluster: hash layout must not prune ($k0/$n0)")
+      // scale-relative target: ~8 range files at ANY sf, so the pruning
+      // assert is about the clustering, not the test scale
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val total = fs.globStatus(new org.apache.hadoop.fs.Path(path, "part-*.arrows"))
+        .map(_.getLen).sum
+      graft.sources.ArrowMaintenance.cluster(s, path, Seq("o_orderdate"),
+        targetBytes = math.max(total / 8, 1L)).getOrElse(
+        sys.error("arrow_cluster: nothing rewritten"))
+      val (k1, n1) = pruned(narrow)
+      require(k1 < n1,
+        s"arrow_cluster: clustering must make the date range prunable ($k1/$n1)")
+      narrow
+        .groupBy(year(col("o_orderdate")).as("yr"))
+        .agg(count(lit(1)).as("n"),
+          sum((col("price") * 100).cast(LongType)).as("cents"))
+        .orderBy("yr")
+    },
+      Some("""SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+                     COUNT(*) AS n,
+                     CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+              FROM orders WHERE o_orderdate >= DATE '1997-06-01'
+              GROUP BY 1 ORDER BY yr""")),
+
     // STORAGE-PARTITIONED JOIN: both sides written key-grouped
     // (Sinks.writeKeyGrouped → single-valued files + _layout.json), so the
     // scans report KeyGroupedPartitioning proved from the stats manifest

@@ -125,9 +125,8 @@ object ArrowMaintenance {
     * under its own attempt-scoped names and only the winning attempt's
     * commit message reaches the intent, so a retried task can never
     * collide with (or leak into) the committed state. */
-  private def compactHive(spark: SparkSession, dirPath: Path, fs: FileSystem,
-      hiveKeys: Seq[String], targetBytes: Long,
-      codec: Option[String]): Option[CompactionResult] = {
+  /** Live data files with sizes, as (relative path, length). */
+  private def walkFiles(fs: FileSystem, dirPath: Path): Seq[(String, Long)] = {
     def walk(at: Path, prefix: String): Seq[(String, Long)] =
       Option(fs.listStatus(at)).getOrElse(Array.empty).toSeq.flatMap { st =>
         val name = st.getPath.getName
@@ -137,7 +136,13 @@ object ArrowMaintenance {
           Seq((prefix + name, st.getLen))
         else Nil
       }
-    val all = walk(dirPath, "")
+    walk(dirPath, "")
+  }
+
+  private def compactHive(spark: SparkSession, dirPath: Path, fs: FileSystem,
+      hiveKeys: Seq[String], targetBytes: Long,
+      codec: Option[String]): Option[CompactionResult] = {
+    val all = walkFiles(fs, dirPath)
     // INCREMENTAL by construction: files never combine ACROSS value
     // directories, so only directories holding ≥ 2 files have any work —
     // every other directory's files are left completely untouched (not
@@ -169,6 +174,19 @@ object ArrowMaintenance {
         .isin(affectedPaths: _*))
       .drop(ArrowRowLevel.FileColumn)
       .coalesce(n)
+    Some(stageHiveAndSwap(spark, fs, dirPath, hiveKeys, df, codec,
+      olds.map(_._1), id, staging))
+  }
+
+  /** Shared staging + swap tail for whole-or-partial hive rewrites
+    * (compaction, clustering): run the rolling hive writer over `df`'s
+    * internal rows into `.{staging}/`, then swap the staged files in for
+    * `olds` under the crash-safe intent/replay. */
+  private def stageHiveAndSwap(spark: SparkSession, fs: FileSystem,
+      dirPath: Path, hiveKeys: Seq[String],
+      df: org.apache.spark.sql.DataFrame, codec: Option[String],
+      olds: Seq[String], id: String, staging: String): CompactionResult = {
+    val stagingPath = new Path(dirPath, staging)
     val schema = df.schema
     ArrowInterchange.codecType(codec) // validate eagerly, on the driver
     val conf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
@@ -207,10 +225,85 @@ object ArrowMaintenance {
         p.getName.stripSuffix(".arrows") + s"-compact-$id.arrows").toString
     }.toMap
 
-    writeIntent(fs, dirPath, Intent(olds.map(_._1).sorted, staging, moves))
+    writeIntent(fs, dirPath, Intent(olds.sorted, staging, moves))
     fs.delete(new Path(dirPath, "_SUCCESS"), false)
     replay(fs, dirPath)
-    Some(CompactionResult(olds.length, staged.length))
+    CompactionResult(olds.length, staged.length)
+  }
+
+  /** CLUSTERED REWRITE — the OPTIMIZE-sort analog: rewrite the dataset
+    * ordered on `sortCols` so every file covers a narrow, nearly disjoint
+    * interval and the manifest's min/max pruning turns selective on those
+    * columns (an arrival- or hash-ordered layout keeps every file for any
+    * range predicate; a clustered one opens ~the matching files). Flat
+    * layouts range-partition + sort GLOBALLY; hive layouts cluster WITHIN
+    * each value directory (whole key groups hash to one task, rows sorted
+    * keys-first — partition columns stay path-borne; clustering BY a
+    * partition key is refused as meaningless). Whole-table by design —
+    * a global sort is a global decision (unlike [[compact]], which is
+    * incremental); a one-file dataset still rewrites (re-sorting it is
+    * the point). Rows are unchanged — only redistributed — so compaction
+    * LINEAGE applies and a drained streaming consumer absorbs the rewrite
+    * without re-emitting; same crash-safe swap and NO CONCURRENT WRITER
+    * contract as every maintenance op here. */
+  def cluster(spark: SparkSession, dir: String, sortCols: Seq[String],
+      targetBytes: Long = 128L << 20,
+      codec: Option[String] = None): Option[CompactionResult] = {
+    require(targetBytes >= 1, "targetBytes must be >= 1")
+    require(sortCols.nonEmpty, "cluster: at least one sort column")
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recover(spark, dir)
+    Option(fs.globStatus(new Path(dir, ".compact-*")))
+      .getOrElse(Array.empty).foreach(st => fs.delete(st.getPath, true))
+    Option(fs.globStatus(new Path(dir, ".cow-*")))
+      .getOrElse(Array.empty).foreach(st => fs.delete(st.getPath, true))
+    ArrowStreamCommits.cleanOrphans(fs, dirPath)
+
+    val schema = ArrowInterchange.readSchema(spark, dir)
+    sortCols.foreach(c => require(schema.fieldNames.contains(c),
+      s"cluster: sort column '$c' not in schema " +
+        s"(${schema.fieldNames.mkString(", ")})"))
+    val hiveKeys = ArrowHiveLayout.read(fs, dirPath)
+    sortCols.foreach(c => require(!hiveKeys.contains(c),
+      s"cluster: '$c' is a hive partition key — every value directory is " +
+        "already single-valued on it; cluster by a data column"))
+    val olds = walkFiles(fs, dirPath)
+    if (olds.isEmpty) return None
+    val id = java.util.UUID.randomUUID.toString.take(8)
+    val staging = s".compact-$id"
+    val n = math.min(Int.MaxValue.toLong, math.max(1L,
+      (olds.map(_._2).sum + targetBytes - 1) / targetBytes)).toInt
+    import org.apache.spark.sql.functions.col
+    val base = spark.read.format("arrow-ipc").load(dir)
+    if (hiveKeys.nonEmpty) {
+      // range-partition on (keys, sortCols): each task covers a contiguous
+      // key-then-sort range, so a large value directory SPLITS into
+      // several ~target-sized files with disjoint sort intervals while
+      // small directories share tasks; rows sorted keys-first so the
+      // rolling writer emits sorted per-directory runs
+      val df = base.repartitionByRange(n, (hiveKeys ++ sortCols).map(col): _*)
+        .sortWithinPartitions((hiveKeys ++ sortCols).map(col): _*)
+      Some(stageHiveAndSwap(spark, fs, dirPath, hiveKeys, df, codec,
+        olds.map(_._1), id, staging))
+    } else {
+      // global range clustering: file k covers the k-th sort-key range, so
+      // per-file intervals are ~disjoint and stats pruning turns selective
+      ArrowInterchange.writeStream(
+        base.repartitionByRange(n, sortCols.map(col): _*)
+          .sortWithinPartitions(sortCols.map(col): _*),
+        new Path(dirPath, staging).toString, codec = codec)
+      val stagingPath = new Path(dirPath, staging)
+      val staged = Option(fs.globStatus(new Path(stagingPath, "part-*.arrows")))
+        .getOrElse(Array.empty).map(_.getPath.getName).sorted
+      val moves = staged.map(s =>
+        s -> s.replace(".arrows", s"-compact-$id.arrows")).toMap
+      writeIntent(fs, dirPath,
+        Intent(olds.map(_._1).sorted, staging, moves))
+      fs.delete(new Path(dirPath, "_SUCCESS"), false)
+      replay(fs, dirPath)
+      Some(CompactionResult(olds.length, staged.length))
+    }
   }
 
   /** The copy-on-write commit tail (used by the row-level UPDATE/MERGE/

@@ -261,6 +261,69 @@ class ArrowMaintenanceSpec extends AnyFunSuite {
       && !ArrowMaintenance.covered(lineage, partial, c)))
   }
 
+  private def prunedFiles(df: org.apache.spark.sql.DataFrame): (Int, Int) = {
+    val desc = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan.description()
+    }.mkString("\n")
+    val m = "files=(\\d+)/(\\d+)".r.findFirstMatchIn(desc).getOrElse(
+      sys.error(s"no file-pruning scan in plan:\n$desc"))
+    (m.group(1).toInt, m.group(2).toInt)
+  }
+
+  test("cluster: a hash-ordered flat layout turns range-prunable") {
+    val dir = tmp("graft_cluster_flat")
+    // hash layout: every file's id interval spans ~the whole domain
+    spark.range(0, 4000).select(col("id"), (col("id") % 97).as("v"))
+      .repartition(4, col("v"))
+      .write.format("arrow-ipc").mode("overwrite").save(dir)
+    def narrow() = spark.read.format("arrow-ipc").load(dir)
+      .filter(col("id") >= 100 && col("id") < 200)
+    val (k0, n0) = prunedFiles(narrow())
+    assert(n0 === 4 && k0 === 4) // nothing prunable before
+
+    val res = ArrowMaintenance.cluster(spark, dir, Seq("id"), targetBytes = 16 << 10).get
+    assert(res.oldFiles === 4 && res.newFiles > 1)
+    val (k1, n1) = prunedFiles(narrow())
+    assert(n1 === res.newFiles && k1 < n1,
+      s"clustering must make the range prunable, got files=$k1/$n1")
+    assert(narrow().count() === 100)
+    assert(spark.read.format("arrow-ipc").load(dir).count() === 4000)
+    // rows only moved: lineage lets a drained stream absorb the rewrite
+    val lineage = ArrowMaintenance.readLineage(fsOf(dir),
+      new org.apache.hadoop.fs.Path(dir))
+    assert(lineage.nonEmpty)
+  }
+
+  test("cluster: hive layouts sort within value dirs; partition keys refuse") {
+    val dir = tmp("graft_cluster_hive")
+    spark.range(0, 1000)
+      .select((col("id") % 2).cast("string").as("k"), col("id"),
+        (col("id") * 37 % 1000).as("v"))
+      .repartition(3)
+      .write.format("arrow-ipc").mode("overwrite")
+      .option("hivePartitionKeys", "k").save(dir)
+    def narrow() = spark.read.format("arrow-ipc").load(dir)
+      .filter(col("v") >= 100 && col("v") < 150)
+    val (k0, n0) = prunedFiles(narrow())
+    assert(k0 === n0) // v is scattered: nothing prunable
+
+    // small target → several files per value dir, each a disjoint v-range
+    val res = ArrowMaintenance.cluster(spark, dir, Seq("v"), targetBytes = 4 << 10).get
+    val (k1, n1) = prunedFiles(narrow())
+    assert(k1 < n1, s"expected v-range pruning after cluster, files=$k1/$n1")
+    assert(spark.read.format("arrow-ipc").load(dir).count() === 1000)
+    assert(narrow().count() ===
+      spark.range(0, 1000).filter(col("id") * 37 % 1000 >= 100 &&
+        col("id") * 37 % 1000 < 150).count())
+    assert(nestedFiles(dir).forall(_.startsWith("k=")))
+    // clustering by the partition key is meaningless and refuses
+    val e = intercept[IllegalArgumentException] {
+      ArrowMaintenance.cluster(spark, dir, Seq("k"))
+    }
+    assert(e.getMessage.contains("partition key"))
+  }
+
   test("a crash BEFORE the marker drop (intent recorded, marker up) also recovers") {
     val dir = tmp("graft_compact_crash2")
     (0 until 3).foreach { i =>
