@@ -50,26 +50,14 @@ object ArrowChanges {
     val netAdds = added -- removed
     val netRemoves = removed -- added
 
-    // resolve each relative path the way the as-of scan will (live
-    // first, trash second) so the pushed `_file IN` matches exactly
-    def resolve(rel: String): String = {
-      val live = new Path(dirPath, rel)
-      val p =
-        if (fs.exists(live)) live
-        else {
-          val t = ArrowSnapshots.trashPath(dirPath, rel)
-          require(fs.exists(t),
-            s"arrow-ipc change feed: '$rel' of window ($from, $to] is " +
-              "expired — gone from both the live set and the trash")
-          t
-        }
-      fs.getFileStatus(p).getPath.toString
-    }
-
     def side(asOf: Long, rels: Set[String], kind: String): DataFrame = {
       val base = spark.read.format("arrow-ipc")
         .option("asOfSnapshot", asOf).load(dir)
-      val paths = rels.toSeq.sorted.map(resolve)
+      // resolve each relative path the way the as-of scan will (live
+      // first, trash second) so the pushed `_file IN` matches exactly
+      val paths = rels.toSeq.sorted.map(
+        ArrowSnapshots.resolveLiveOrTrash(fs, dirPath, _,
+          s"change-feed window ($from, $to]"))
       val pruned =
         if (paths.isEmpty) base.filter(lit(false))
         else base.filter(col(ArrowRowLevel.FileColumn).isin(paths: _*))

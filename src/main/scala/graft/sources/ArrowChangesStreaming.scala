@@ -146,34 +146,43 @@ private[sources] class ArrowChangesMicroBatchStream(
     val added = window.flatMap(_.adds).toSet
     val removed = window.flatMap(_.removes).toSet
     // net-change semantics: a file added and removed inside the window
-    // (a transient epoch a compaction folded away) cancels
-    def resolve(rel: String): String = {
-      val live = new Path(dirPath, rel)
-      val p =
-        if (f.exists(live)) live
-        else {
-          val t = ArrowSnapshots.trashPath(dirPath, rel)
-          require(f.exists(t),
-            s"arrow-ipc change feed: '$rel' of window ($from, $to] is " +
-              "expired — gone from both the live set and the trash")
-          t
-        }
-      f.getFileStatus(p).getPath.toString
+    // (a transient epoch a compaction folded away) cancels.
+    // MAINTENANCE ABSORPTION: a pure rewrite (compact/cluster) only MOVES
+    // rows, and records new-file → replaced-files lineage for exactly this
+    // purpose — an added file whose ancestry is fully covered by the
+    // window's removed files carries no row change, so neither it (as
+    // inserts) nor the ancestors it replaced (as deletes) are emitted. A
+    // COW rewrite records NO lineage (rows changed), so UPDATE/MERGE still
+    // amplify as delete+insert; a genuine DELETE's file is no compaction
+    // ancestor and still emits its old image.
+    val netAdds0 = added -- removed
+    val netRemoves0 = removed -- added
+    val lineage =
+      if (netAdds0.isEmpty) Map.empty[String, Seq[String]]
+      else ArrowMaintenance.readLineage(fs, dirPath)
+    val removedNames = netRemoves0.map(r => new Path(r).getName)
+    val absorbedAdds = netAdds0.filter { a =>
+      val n = new Path(a).getName
+      lineage.contains(n) && ArrowMaintenance.covered(lineage, removedNames, n)
     }
-    def values(rel: String): Seq[Option[String]] =
-      if (hiveFields.isEmpty) Nil
-      else {
-        val segs = rel.split('/')
-        require(segs.length == hiveFields.length + 1,
-          s"arrow-ipc change feed: path '$rel' does not match the declared " +
-            s"hive layout (${hiveFields.map(_.name).mkString("/")})")
-        hiveFields.zipWithIndex.map { case (fld, i) =>
-          ArrowHiveLayout.parseSegment(fld, segs(i)) }
-      }
+    val absorbedParents: Set[String] = {
+      def close(n: String): Set[String] =
+        lineage.get(n).fold(Set.empty[String])(ps =>
+          ps.toSet ++ ps.flatMap(close))
+      absorbedAdds.flatMap(a => close(new Path(a).getName))
+    }
+    val netAddsAbsorbed = netAdds0 -- absorbedAdds
+    val netRemovesAbsorbed =
+      netRemoves0.filterNot(r => absorbedParents(new Path(r).getName))
     def part(rel: String, kind: String): InputPartition =
-      ArrowChangePartition(resolve(rel), values(rel), kind)
-    ((added -- removed).toSeq.sorted.map(part(_, "insert")) ++
-      (removed -- added).toSeq.sorted.map(part(_, "delete"))).toArray
+      ArrowChangePartition(
+        ArrowSnapshots.resolveLiveOrTrash(f, dirPath, rel,
+          s"change-feed window ($from, $to]"),
+        if (hiveFields.isEmpty) Nil
+        else ArrowHiveLayout.parseRelPath(hiveFields, rel),
+        kind)
+    (netAddsAbsorbed.toSeq.sorted.map(part(_, "insert")) ++
+      netRemovesAbsorbed.toSeq.sorted.map(part(_, "delete"))).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

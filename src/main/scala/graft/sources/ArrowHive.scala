@@ -121,6 +121,17 @@ private[graft] object ArrowHiveLayout {
     })
   }
 
+  /** Parse a nested RELATIVE path's `key=value/` segments against the
+    * declared fields (canonical stat strings, None = NULL) — the shared
+    * reconstruction for snapshot paths, change feeds, and archived files. */
+  def parseRelPath(fields: Seq[StructField], rel: String): Seq[Option[String]] = {
+    val segs = rel.split('/')
+    require(segs.length == fields.length + 1,
+      s"arrow-ipc: path '$rel' does not match the declared hive layout " +
+        s"(${fields.map(_.name).mkString("/")})")
+    fields.zipWithIndex.map { case (f, i) => parseSegment(f, segs(i)) }
+  }
+
   private def kindName(dt: DataType): String =
     if (dt == StringType) "string" else "long"
 

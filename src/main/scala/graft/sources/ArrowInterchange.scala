@@ -196,7 +196,8 @@ object ArrowInterchange {
     * uncompressed). At 100 TB the tradeoff is the usual one: lz4 for
     * hot interchange, zstd for colder/denser storage. */
   def writeStream(df: DataFrame, dir: String, maxRecordsPerBatch: Int = 4096,
-      codec: Option[String] = None): Unit = {
+      codec: Option[String] = None,
+      bloomCols: Set[String] = Set.empty): Unit = {
     require(maxRecordsPerBatch >= 1, "maxRecordsPerBatch must be >= 1")
     codecType(codec) // validate the codec name eagerly, on the driver
     val schema = df.schema
@@ -228,7 +229,7 @@ object ArrowInterchange {
         val tmpP = new Path(dir,
           f".part-${tc.partitionId()}%05d.arrows.attempt-${tc.taskAttemptId()}.tmp")
         val pfs = finalP.getFileSystem(conf.value)
-        val collector = new ArrowStatsCollector(schema)
+        val collector = new ArrowStatsCollector(schema, bloomCols)
         writeOneFile(pfs.create(tmpP, true), schema, rows, maxRecordsPerBatch,
           codec, Some(collector))
         if (!pfs.rename(tmpP, finalP)) {

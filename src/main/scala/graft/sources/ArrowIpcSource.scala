@@ -56,10 +56,17 @@ class ArrowIpcSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val base = ArrowInterchange.readSchema(SparkSession.active, dir(options))
     // the change feed serves the table schema plus the change-type column
-    if (options.getBoolean("changeFeed", false))
+    if (options.getBoolean("changeFeed", false)) {
+      // a data column claiming the name would mis-wire the appended
+      // constant (duplicate field, shifted slots) — refuse loudly
+      require(!base.fieldNames.contains(ArrowChangesStream.ChangeTypeColumn),
+        s"arrow-ipc: changeFeed appends a " +
+          s"`${ArrowChangesStream.ChangeTypeColumn}` column, but this " +
+          "dataset's schema already claims that name — rename the data " +
+          "column to read its change feed")
       StructType(base.fields :+
         StructField(ArrowChangesStream.ChangeTypeColumn, StringType, nullable = false))
-    else base
+    } else base
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -694,12 +701,8 @@ private[sources] class ArrowIpcScan(required: StructType, dir: String,
         val vals =
           if (hiveFields.isEmpty) Map.empty[String, Seq[Option[String]]]
           else set.toSeq.map { rel =>
-            val segs = rel.split('/')
-            require(segs.length == hiveFields.length + 1,
-              s"arrow-ipc: snapshot path '$rel' does not match the " +
-                s"declared hive layout (${hiveFields.map(_.name).mkString("/")})")
-            segs.last -> hiveFields.zipWithIndex.map { case (f, i) =>
-              ArrowHiveLayout.parseSegment(f, segs(i)) }
+            new Path(rel).getName ->
+              ArrowHiveLayout.parseRelPath(hiveFields, rel)
           }.toMap
         (sts, vals, (0, 0))
       } else if (hiveFields.isEmpty) {

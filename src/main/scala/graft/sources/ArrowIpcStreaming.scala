@@ -201,7 +201,7 @@ private[sources] class ArrowIpcMicroBatchStream(
     // no-concurrent-writer contract mid-stream — fail loudly, don't read a
     // hole.
     val (pathsByName, valsByName) =
-      if (hiveFields.isEmpty) (Map.empty[String, Path],
+      if (hiveFields.isEmpty || fresh.isEmpty) (Map.empty[String, Path],
         Map.empty[String, Seq[Option[String]]])
       else discoverHive(fs, dirPath, _ => true)
     val stats0 =

@@ -89,9 +89,10 @@ object ArrowMaintenance {
     // dirs — coalesce only ever reduces, so the clamp is harmless
     val n = math.min(Int.MaxValue.toLong,
       math.max(1L, (olds.map(_.getLen).sum + targetBytes - 1) / targetBytes))
-    ArrowInterchange.writeStream(
-      spark.read.format("arrow-ipc").load(dir).coalesce(n.toInt),
-      new Path(dirPath, staging).toString, codec = codec)
+    val df = spark.read.format("arrow-ipc").load(dir).coalesce(n.toInt)
+    ArrowInterchange.writeStream(df,
+      new Path(dirPath, staging).toString, codec = codec,
+      bloomCols = standingBlooms(fs, dirPath, df.schema.fieldNames, Nil))
 
     val stagingPath = new Path(dirPath, staging)
     val staged = Option(fs.globStatus(new Path(stagingPath, "part-*.arrows")))
@@ -107,6 +108,22 @@ object ArrowMaintenance {
     replay(fs, dirPath)
     Some(CompactionResult(olds.length, staged.length))
   }
+
+  /** Standing bloom columns: every schema column any live manifest entry
+    * carries a bloom for, minus `exclude` (partition keys are path-borne)
+    * — the COW rewrite's derivation, shared by every maintenance rewrite
+    * so a compact/cluster never silently degrades point-lookup pruning. */
+  private def standingBlooms(fs: FileSystem, dirPath: Path,
+      schemaFields: Seq[String], exclude: Seq[String]): Set[String] =
+    ArrowFileStats.read(fs, dirPath).values
+      .flatMap(_.cols.collect { case (c, s) if s.bloom.isDefined => c })
+      .toSet.intersect(schemaFields.toSet) -- exclude
+
+  /** Live data files with sizes, as (relative path, length) — delegates
+    * to the one shared nested walk. */
+  private def walkFiles(fs: FileSystem, dirPath: Path): Seq[(String, Long)] =
+    ArrowSnapshots.listDataFileStatuses(fs, dirPath)
+      .map { case (rel, st) => (rel, st.getLen) }
 
   /** Hive-layout compaction: the per-value-directory small-files answer
     * for the streaming-ingest shape (each epoch lands one file per active
@@ -125,20 +142,6 @@ object ArrowMaintenance {
     * under its own attempt-scoped names and only the winning attempt's
     * commit message reaches the intent, so a retried task can never
     * collide with (or leak into) the committed state. */
-  /** Live data files with sizes, as (relative path, length). */
-  private def walkFiles(fs: FileSystem, dirPath: Path): Seq[(String, Long)] = {
-    def walk(at: Path, prefix: String): Seq[(String, Long)] =
-      Option(fs.listStatus(at)).getOrElse(Array.empty).toSeq.flatMap { st =>
-        val name = st.getPath.getName
-        if (name.startsWith("_") || name.startsWith(".")) Nil
-        else if (st.isDirectory) walk(st.getPath, prefix + name + "/")
-        else if (name.startsWith("part-") && name.endsWith(".arrows"))
-          Seq((prefix + name, st.getLen))
-        else Nil
-      }
-    walk(dirPath, "")
-  }
-
   private def compactHive(spark: SparkSession, dirPath: Path, fs: FileSystem,
       hiveKeys: Seq[String], targetBytes: Long,
       codec: Option[String]): Option[CompactionResult] = {
@@ -156,7 +159,6 @@ object ArrowMaintenance {
 
     val id = java.util.UUID.randomUUID.toString.take(8)
     val staging = s".compact-$id"
-    val stagingPath = new Path(dirPath, staging)
     val n = math.min(Int.MaxValue.toLong, math.max(1L,
       (olds.map(_._2).sum + targetBytes - 1) / targetBytes)).toInt
 
@@ -167,8 +169,11 @@ object ArrowMaintenance {
     // task runs the rolling hive writer against the staging dir.
     // Attempt-scoped queryIds make retries collision-free; only the
     // collected (winning) commit messages enter the intent.
-    val affectedPaths = olds.map { o =>
-      fs.getFileStatus(new Path(dirPath, o._1)).getPath.toString }
+    // makeQualified (not getFileStatus): the scan's `_file` constants are
+    // qualified path strings, and qualifying is pure string work — no
+    // per-file RPC in the function whose premise is "thousands of files"
+    val affectedPaths = olds.map(o =>
+      fs.makeQualified(new Path(dirPath, o._1)).toString)
     val df = spark.read.format("arrow-ipc").load(dirPath.toString)
       .filter(org.apache.spark.sql.functions.col(ArrowRowLevel.FileColumn)
         .isin(affectedPaths: _*))
@@ -190,12 +195,7 @@ object ArrowMaintenance {
     val schema = df.schema
     ArrowInterchange.codecType(codec) // validate eagerly, on the driver
     val conf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
-    // standing blooms: every schema column any live file carries one for
-    // (minus the partition keys, which are path-borne) — same derivation
-    // as the COW rewrite's
-    val blooms = ArrowFileStats.read(fs, dirPath).values
-      .flatMap(_.cols.collect { case (c, s) if s.bloom.isDefined => c })
-      .toSet.intersect(schema.fieldNames.toSet) -- hiveKeys
+    val blooms = standingBlooms(fs, dirPath, schema.fieldNames, hiveKeys)
     val stagingStr = stagingPath.toString
     val msgs = df.queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
       if (!it.hasNext) Iterator.empty
@@ -292,7 +292,8 @@ object ArrowMaintenance {
       ArrowInterchange.writeStream(
         base.repartitionByRange(n, sortCols.map(col): _*)
           .sortWithinPartitions(sortCols.map(col): _*),
-        new Path(dirPath, staging).toString, codec = codec)
+        new Path(dirPath, staging).toString, codec = codec,
+        bloomCols = standingBlooms(fs, dirPath, schema.fieldNames, Nil))
       val stagingPath = new Path(dirPath, staging)
       val staged = Option(fs.globStatus(new Path(stagingPath, "part-*.arrows")))
         .getOrElse(Array.empty).map(_.getPath.getName).sorted

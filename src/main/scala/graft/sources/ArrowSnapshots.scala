@@ -182,17 +182,43 @@ private[graft] object ArrowSnapshots {
     * (`_*`) and hidden (`.*`) entries at every level. Shared by the COW
     * staging lister, the streaming sink's nested orphan sweep, and the
     * snapshot-log heal. */
-  def listDataFiles(fs: FileSystem, root: Path): Seq[String] = {
-    def walk(at: Path, prefix: String): Seq[String] =
+  def listDataFiles(fs: FileSystem, root: Path): Seq[String] =
+    listDataFileStatuses(fs, root).map(_._1)
+
+  /** As [[listDataFiles]] but carrying each file's FileStatus — the ONE
+    * nested walk, so listing semantics cannot diverge between callers. */
+  def listDataFileStatuses(fs: FileSystem, root: Path)
+      : Seq[(String, org.apache.hadoop.fs.FileStatus)] = {
+    def walk(at: Path, prefix: String)
+        : Seq[(String, org.apache.hadoop.fs.FileStatus)] =
       Option(fs.listStatus(at)).getOrElse(Array.empty).toSeq.flatMap { st =>
         val name = st.getPath.getName
         if (name.startsWith("_") || name.startsWith(".")) Nil
         else if (st.isDirectory) walk(st.getPath, prefix + name + "/")
         else if (name.startsWith("part-") && name.endsWith(".arrows"))
-          Seq(prefix + name)
+          Seq((prefix + name, st))
         else Nil
       }
     if (!fs.exists(root)) Nil else walk(root, "")
+  }
+
+  /** Resolve a snapshot-relative path the way every historical reader
+    * must: live set first, trash second, loud refusal when expired.
+    * Returns the QUALIFIED path string (what the scan's `_file` constants
+    * carry). `what` names the caller's window for the error message. */
+  def resolveLiveOrTrash(fs: FileSystem, dirPath: Path, rel: String,
+      what: String): String = {
+    val live = new Path(dirPath, rel)
+    val p =
+      if (fs.exists(live)) live
+      else {
+        val t = trashPath(dirPath, rel)
+        require(fs.exists(t),
+          s"arrow-ipc: '$rel' of $what is expired — gone from both the " +
+            "live set and the trash")
+        t
+      }
+    fs.getFileStatus(p).getPath.toString
   }
 
   /** Path of `p` relative to the dataset root (bare name for flat

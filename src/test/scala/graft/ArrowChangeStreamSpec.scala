@@ -114,6 +114,50 @@ class ArrowChangeStreamSpec extends AnyFunSuite {
     assert(q.recentProgress.count(_.numInputRows > 0) === 3)
   }
 
+  test("a pure maintenance rewrite (compact, cluster) is absorbed — zero feed rows") {
+    val base = tmp("graft_cdc_absorb")
+    val dir = s"$base/t"
+    (0 until 3).foreach { i =>
+      Seq((i.toLong, s"v$i")).toDF("id", "v").coalesce(1)
+        .write.format("arrow-ipc").mode(if (i == 0) "overwrite" else "append")
+        .save(dir)
+    }
+    def drain(): Long = {
+      val q = spark.readStream.format("arrow-ipc")
+        .option("changeFeed", true).load(dir)
+        .writeStream.format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      spark.read.parquet(s"$base/out").count()
+    }
+    assert(drain() === 3) // bootstrap
+    // rows only MOVE: neither rewrite may emit a single feed row
+    assert(ArrowMaintenance.compact(spark, dir).isDefined)
+    assert(drain() === 3)
+    assert(ArrowMaintenance.cluster(spark, dir, Seq("id")).isDefined)
+    assert(drain() === 3)
+    // while a genuine append still streams
+    Seq((9L, "v9")).toDF("id", "v")
+      .write.format("arrow-ipc").mode("append").save(dir)
+    assert(drain() === 4)
+    val out = spark.read.parquet(s"$base/out")
+    assert(out.filter(col("_change_type") === "delete").count() === 0)
+  }
+
+  test("a dataset whose schema claims _change_type refuses the feed loudly") {
+    val base = tmp("graft_cdc_clash")
+    val dir = s"$base/t"
+    Seq((1L, "insert")).toDF("id", "_change_type")
+      .write.format("arrow-ipc").mode("overwrite").save(dir)
+    val e = intercept[Exception] {
+      spark.readStream.format("arrow-ipc")
+        .option("changeFeed", true).load(dir)
+    }
+    assert(e.getMessage.contains("_change_type"))
+  }
+
   test("expired history refuses a checkpointed window instead of serving a partial delta") {
     val base = tmp("graft_cdc_exp")
     val dir = s"$base/t"

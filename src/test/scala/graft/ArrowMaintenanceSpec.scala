@@ -295,6 +295,26 @@ class ArrowMaintenanceSpec extends AnyFunSuite {
     assert(lineage.nonEmpty)
   }
 
+  test("compact and cluster re-derive standing bloom filters (flat layout)") {
+    val dir = tmp("graft_compact_bloom")
+    (0 until 2).foreach { i =>
+      spark.range(i * 100, (i + 1) * 100)
+        .select(col("id"), concat(lit("d"), col("id")).as("digest"))
+        .coalesce(1).write.format("arrow-ipc")
+        .option("bloomColumns", "digest")
+        .mode(if (i == 0) "overwrite" else "append").save(dir)
+    }
+    def bloomCols(): Set[String] =
+      ArrowFileStats.read(fsOf(dir), new org.apache.hadoop.fs.Path(dir))
+        .values.flatMap(_.cols.collect {
+          case (c, s) if s.bloom.isDefined => c }).toSet
+    assert(bloomCols() === Set("digest"))
+    ArrowMaintenance.compact(spark, dir).get
+    assert(bloomCols() === Set("digest"), "compaction dropped the bloom")
+    ArrowMaintenance.cluster(spark, dir, Seq("id")).get
+    assert(bloomCols() === Set("digest"), "clustering dropped the bloom")
+  }
+
   test("cluster: hive layouts sort within value dirs; partition keys refuse") {
     val dir = tmp("graft_cluster_hive")
     spark.range(0, 1000)
