@@ -61,7 +61,8 @@ private[sources] case class ArrowChangePartition(
 private[sources] class ArrowChangesMicroBatchStream(
     required: StructType, dir: String,
     hiveFields: Seq[StructField],
-    startingSnapshot: Long,
+    startingSnapshotOpt: Option[Long],
+    startingTimestamp: Option[String],
     maxSnapshotsPerTrigger: Option[Int])
     extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
@@ -72,11 +73,29 @@ private[sources] class ArrowChangesMicroBatchStream(
   private val conf = new SerializableHadoopConf(
     spark.sparkContext.hadoopConfiguration)
 
+  require(startingSnapshotOpt.isEmpty || startingTimestamp.isEmpty,
+    "arrow-ipc change feed: startingSnapshot and startingTimestamp are " +
+      "mutually exclusive")
+  private val startingSnapshot = startingSnapshotOpt.getOrElse(0L)
   require(startingSnapshot >= 0,
     s"arrow-ipc change feed: startingSnapshot must be >= 0, got $startingSnapshot")
 
   private def dirPath = new Path(dir)
   private def fs = dirPath.getFileSystem(conf.value)
+
+  /** `startingTimestamp` → the feed emits every change whose snapshot
+    * landed AT or AFTER `t` (the Delta-CDF convention): the start offset
+    * is the newest snapshot strictly BEFORE `t` (0 when history begins
+    * after `t`). Accepts epoch millis or an ISO-8601 instant. */
+  private def timestampStart(raw: String): Long = {
+    val t = scala.util.Try(raw.trim.toLong).getOrElse(
+      scala.util.Try(java.time.Instant.parse(raw.trim).toEpochMilli)
+        .getOrElse(throw new IllegalArgumentException(
+          s"arrow-ipc change feed: startingTimestamp '$raw' is neither " +
+            "epoch millis nor an ISO-8601 instant")))
+    ArrowSnapshots.read(fs, dirPath)
+      .filter(_.tsMillis < t).map(_.id).maxOption.getOrElse(0L)
+  }
 
   private def readLog(): Seq[ArrowSnapshots.Snapshot] = {
     val f = fs
@@ -89,6 +108,9 @@ private[sources] class ArrowChangesMicroBatchStream(
   }
 
   override def initialOffset(): Offset = {
+    startingTimestamp.foreach { raw =>
+      return ArrowSnapshotIdOffset(timestampStart(raw))
+    }
     if (startingSnapshot > 0) {
       val snaps = ArrowSnapshots.read(fs, dirPath)
       require(snaps.exists(_.id == startingSnapshot),

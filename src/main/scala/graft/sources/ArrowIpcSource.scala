@@ -153,8 +153,8 @@ private[sources] class ArrowIpcTable(tableSchema: StructType, dir: String,
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq),
       asOf = asOf.orElse(Option(options.get("asOfSnapshot")).map(_.toLong)),
       changeFeed = options.getBoolean("changeFeed", false),
-      startingSnapshot =
-        Option(options.get("startingSnapshot")).map(_.toLong).getOrElse(0L),
+      startingSnapshot = Option(options.get("startingSnapshot")).map(_.toLong),
+      startingTimestamp = Option(options.get("startingTimestamp")),
       maxSnapshotsPerTrigger =
         Option(options.get("maxSnapshotsPerTrigger")).map(_.toInt))
   override def newWriteBuilder(
@@ -179,7 +179,8 @@ private[sources] class ArrowIpcScanBuilder(full: StructType, dir: String,
     onBuild: ArrowIpcScan => Unit = null,
     asOf: Option[Long] = None,
     changeFeed: Boolean = false,
-    startingSnapshot: Long = 0L,
+    startingSnapshot: Option[Long] = None,
+    startingTimestamp: Option[String] = None,
     maxSnapshotsPerTrigger: Option[Int] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownLimit
@@ -573,7 +574,7 @@ private[sources] class ArrowIpcScanBuilder(full: StructType, dir: String,
   override def build(): Scan = {
     val scan = new ArrowIpcScan(required, dir, limit, pushed, agg,
       maxFilesPerTrigger, partitionKeys, full, fileSlot, asOf,
-      changeFeed, startingSnapshot, maxSnapshotsPerTrigger)
+      changeFeed, startingSnapshot, startingTimestamp, maxSnapshotsPerTrigger)
     if (onBuild != null) onBuild(scan)
     scan
   }
@@ -588,7 +589,8 @@ private[sources] class ArrowIpcScan(required: StructType, dir: String,
     fileSlot: Int = -1,
     asOf: Option[Long] = None,
     changeFeed: Boolean = false,
-    startingSnapshot: Long = 0L,
+    startingSnapshot: Option[Long] = None,
+    startingTimestamp: Option[String] = None,
     maxSnapshotsPerTrigger: Option[Int] = None)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
@@ -1044,7 +1046,7 @@ private[sources] class ArrowIpcScan(required: StructType, dir: String,
         "read cannot project it")
     if (changeFeed)
       new ArrowChangesMicroBatchStream(required, dir, hiveFields,
-        startingSnapshot, maxSnapshotsPerTrigger)
+        startingSnapshot, startingTimestamp, maxSnapshotsPerTrigger)
     else
       new ArrowIpcMicroBatchStream(required, dir, filters, maxFilesPerTrigger,
         hiveFields)

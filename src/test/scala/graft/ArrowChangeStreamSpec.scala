@@ -158,6 +158,77 @@ class ArrowChangeStreamSpec extends AnyFunSuite {
     assert(e.getMessage.contains("_change_type"))
   }
 
+  test("startingTimestamp starts the feed at the first snapshot at-or-after t") {
+    val base = tmp("graft_cdc_ts")
+    val dir = s"$base/t"
+    (0 until 3).foreach { i =>
+      Seq((i.toLong, s"v$i")).toDF("id", "v")
+        .write.format("arrow-ipc").mode(if (i == 0) "overwrite" else "append")
+        .save(dir)
+      Thread.sleep(5) // distinct snapshot tsMillis
+    }
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val snaps = graft.sources.ArrowSnapshots.read(fs,
+      new org.apache.hadoop.fs.Path(dir))
+    // pick t = snapshot 2's own commit time: 2 and 3 are at-or-after
+    val t = snaps.find(_.id == 2).get.tsMillis
+    val q = spark.readStream.format("arrow-ipc")
+      .option("changeFeed", true)
+      .option("startingTimestamp", t.toString).load(dir)
+      .writeStream.format("memory").queryName("cdc_ts")
+      .option("checkpointLocation", s"$base/ckpt")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.table("cdc_ts").select("id").collect().map(_.getLong(0)).sorted
+      === Array(1L, 2L))
+    // both options together refuse
+    val e = intercept[Exception] {
+      val q2 = spark.readStream.format("arrow-ipc")
+        .option("changeFeed", true)
+        .option("startingTimestamp", t.toString)
+        .option("startingSnapshot", 1).load(dir)
+        .writeStream.format("memory").queryName("cdc_ts2")
+        .option("checkpointLocation", s"$base/ckpt2").start()
+      try { q2.processAllAvailable(); q2.awaitTermination(10000) }
+      finally q2.stop()
+    }
+    def msgs(th: Throwable): Seq[String] =
+      if (th == null) Nil else Option(th.getMessage).toSeq ++ msgs(th.getCause)
+    assert(msgs(e).exists(_.contains("mutually exclusive")))
+  }
+
+  test("streaming-sink epochs feed the CDC stream one batch per epoch") {
+    val base = tmp("graft_cdc_epochs")
+    implicit val sql = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val in = MemoryStream[(String, Long)]
+    val sink = in.toDF().toDF("part", "v")
+      .writeStream.format("arrow-ipc")
+      .option("hivePartitionKeys", "part")
+      .option("checkpointLocation", s"$base/ckpt_in")
+      .start(s"$base/lake")
+    try {
+      in.addData(("x", 1L)); sink.processAllAvailable()
+      in.addData(("y", 2L)); sink.processAllAvailable()
+      in.addData(("x", 3L)); sink.processAllAvailable()
+    } finally sink.stop()
+    // each committed epoch wrote one snapshot entry; the CDC consumer
+    // replays them one micro-batch per epoch, partition values intact
+    val q = spark.readStream.format("arrow-ipc")
+      .option("changeFeed", true)
+      .option("maxSnapshotsPerTrigger", 1).load(s"$base/lake")
+      .writeStream.format("memory").queryName("cdc_epochs")
+      .option("checkpointLocation", s"$base/ckpt_out")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(q.recentProgress.count(_.numInputRows > 0) === 3)
+    assert(spark.table("cdc_epochs").collect()
+      .map(r => (r.getAs[String]("part"), r.getAs[Long]("v"),
+        r.getAs[String]("_change_type"))).sorted.toSeq ===
+      Seq(("x", 1L, "insert"), ("x", 3L, "insert"), ("y", 2L, "insert")))
+  }
+
   test("expired history refuses a checkpointed window instead of serving a partial delta") {
     val base = tmp("graft_cdc_exp")
     val dir = s"$base/t"
