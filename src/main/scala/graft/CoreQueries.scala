@@ -1190,6 +1190,60 @@ object CoreQueries {
               FROM orders WHERE o_orderdate >= DATE '1997-06-01'
               GROUP BY 1 ORDER BY yr""")),
 
+    // Z-ORDERED REWRITE (ArrowMaintenance.clusterZOrdered): the Morton
+    // interleave of two dimensions — after the rewrite, file min/max
+    // stats prune on EITHER column, where a lexicographic sort clusters
+    // only its own leading column. Self-asserts pruning on both probe
+    // dimensions, oracle checks the surviving aggregate.
+    ("arrow_cluster_z", (s, d) => {
+      val ord = T(s, d, "orders").select(
+        col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").cast(DecimalType(12, 2)).as("price"))
+      // Scratch contract: see json_roundtrip.
+      val path = graft.sources.Scratch.dir(s, "graft_rt_cluster_z")
+      ord.repartition(6, col("price"))
+        .write.format("arrow-ipc").mode("overwrite").save(path)
+      val mx = ord.agg(max(col("o_custkey")).as("m"), max(col("o_orderkey")).as("k"))
+        .head()
+      // literal bounds: only `attr <= literal` translates to a pushable
+      // V2 filter — an arithmetic predicate would never reach the stats
+      val (custBound, keyBound) = (mx.getLong(0) / 4, mx.getLong(1) / 4)
+      def onCust = s.read.format("arrow-ipc").load(path)
+        .filter(col("o_custkey") <= custBound)
+      def onKey = s.read.format("arrow-ipc").load(path)
+        .filter(col("o_orderkey") <= keyBound)
+      def pruned(df: org.apache.spark.sql.DataFrame): (Int, Int) = {
+        val desc = df.queryExecution.optimizedPlan.collect {
+          case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+            r.scan.description()
+        }.mkString("\n")
+        val m = "files=(\\d+)/(\\d+)".r.findFirstMatchIn(desc).getOrElse(
+          sys.error(s"arrow_cluster_z: no file-pruning scan in plan:\n$desc"))
+        (m.group(1).toInt, m.group(2).toInt)
+      }
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val total = fs.globStatus(new org.apache.hadoop.fs.Path(path, "part-*.arrows"))
+        .map(_.getLen).sum
+      graft.sources.ArrowMaintenance.clusterZOrdered(s, path,
+        "o_custkey", "o_orderkey", bits = 10,
+        targetBytes = math.max(total / 8, 1L)).getOrElse(
+        sys.error("arrow_cluster_z: nothing rewritten"))
+      val (kc, nc) = pruned(onCust)
+      val (kk, nk) = pruned(onKey)
+      require(kc < nc && kk < nk,
+        s"arrow_cluster_z: both dimensions must prune ($kc/$nc, $kk/$nk)")
+      onCust
+        .agg(count(lit(1)).as("n"),
+          sum((col("price") * 100).cast(LongType)).as("cents"),
+          countDistinct(col("o_custkey")).as("custs"))
+    },
+      Some("""SELECT COUNT(*) AS n,
+                     CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS cents,
+                     COUNT(DISTINCT o_custkey) AS custs
+              FROM orders
+              WHERE o_custkey <= (SELECT MAX(o_custkey) FROM orders) // 4""")),
+
     // STORAGE-PARTITIONED JOIN: both sides written key-grouped
     // (Sinks.writeKeyGrouped → single-valued files + _layout.json), so the
     // scans report KeyGroupedPartitioning proved from the stats manifest

@@ -248,7 +248,9 @@ object ArrowMaintenance {
     * contract as every maintenance op here. */
   def cluster(spark: SparkSession, dir: String, sortCols: Seq[String],
       targetBytes: Long = 128L << 20,
-      codec: Option[String] = None): Option[CompactionResult] = {
+      codec: Option[String] = None,
+      withSortColumns: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame = identity): Option[CompactionResult] = {
     require(targetBytes >= 1, "targetBytes must be >= 1")
     require(sortCols.nonEmpty, "cluster: at least one sort column")
     val dirPath = new Path(dir)
@@ -261,9 +263,6 @@ object ArrowMaintenance {
     ArrowStreamCommits.cleanOrphans(fs, dirPath)
 
     val schema = ArrowInterchange.readSchema(spark, dir)
-    sortCols.foreach(c => require(schema.fieldNames.contains(c),
-      s"cluster: sort column '$c' not in schema " +
-        s"(${schema.fieldNames.mkString(", ")})"))
     val hiveKeys = ArrowHiveLayout.read(fs, dirPath)
     sortCols.foreach(c => require(!hiveKeys.contains(c),
       s"cluster: '$c' is a hive partition key — every value directory is " +
@@ -275,7 +274,14 @@ object ArrowMaintenance {
     val n = math.min(Int.MaxValue.toLong, math.max(1L,
       (olds.map(_._2).sum + targetBytes - 1) / targetBytes)).toInt
     import org.apache.spark.sql.functions.col
-    val base = spark.read.format("arrow-ipc").load(dir)
+    // `withSortColumns` derives SYNTHETIC sort dimensions (the z-value of
+    // [[clusterZOrdered]]); anything it adds orders the rewrite and is
+    // dropped before staging — data files carry the table schema only
+    val base = withSortColumns(spark.read.format("arrow-ipc").load(dir))
+    sortCols.foreach(c => require(base.columns.contains(c),
+      s"cluster: sort column '$c' is neither in the schema " +
+        s"(${schema.fieldNames.mkString(", ")}) nor derived by withSortColumns"))
+    val synthetic = base.columns.filterNot(schema.fieldNames.contains).toSeq
     if (hiveKeys.nonEmpty) {
       // range-partition on (keys, sortCols): each task covers a contiguous
       // key-then-sort range, so a large value directory SPLITS into
@@ -284,6 +290,7 @@ object ArrowMaintenance {
       // rolling writer emits sorted per-directory runs
       val df = base.repartitionByRange(n, (hiveKeys ++ sortCols).map(col): _*)
         .sortWithinPartitions((hiveKeys ++ sortCols).map(col): _*)
+        .drop(synthetic: _*)
       Some(stageHiveAndSwap(spark, fs, dirPath, hiveKeys, df, codec,
         olds.map(_._1), id, staging))
     } else {
@@ -291,7 +298,8 @@ object ArrowMaintenance {
       // per-file intervals are ~disjoint and stats pruning turns selective
       ArrowInterchange.writeStream(
         base.repartitionByRange(n, sortCols.map(col): _*)
-          .sortWithinPartitions(sortCols.map(col): _*),
+          .sortWithinPartitions(sortCols.map(col): _*)
+          .drop(synthetic: _*),
         new Path(dirPath, staging).toString, codec = codec,
         bloomCols = standingBlooms(fs, dirPath, schema.fieldNames, Nil))
       val stagingPath = new Path(dirPath, staging)
@@ -305,6 +313,48 @@ object ArrowMaintenance {
       replay(fs, dirPath)
       Some(CompactionResult(olds.length, staged.length))
     }
+  }
+
+  /** Z-ORDERED clustered rewrite: [[cluster]] with a Morton interleave of
+    * TWO numeric dimensions instead of a lexicographic sort — each file
+    * covers a small rectangle of (colA, colB) space, so manifest min/max
+    * pruning is selective on EITHER column (a single-column sort clusters
+    * only its own column; the other's per-file range stays global). The
+    * z-value construction is [[Sinks.zValue2]]'s pure integer arithmetic
+    * over one broadcast global min/max row. Everything else — crash-safe
+    * swap, lineage absorption, hive within-directory clustering (range on
+    * keys-then-z), whole-table scope — is [[cluster]]'s contract. */
+  def clusterZOrdered(spark: SparkSession, dir: String,
+      colA: String, colB: String, bits: Int = 12,
+      targetBytes: Long = 128L << 20,
+      codec: Option[String] = None): Option[CompactionResult] = {
+    require(colA != colB, "clusterZOrdered: two distinct columns")
+    val schema = ArrowInterchange.readSchema(spark, dir)
+    Seq(colA, colB).foreach { c =>
+      val f = schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"clusterZOrdered: column '$c' not in schema " +
+            s"(${schema.fieldNames.mkString(", ")})"))
+      require(f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"clusterZOrdered: column '$c' is ${f.dataType} — the Morton " +
+          "interleave needs numeric dimensions (cast dates/timestamps first)")
+    }
+    val reserved = Seq("__la", "__ha", "__lb", "__hb", "__z")
+    require(!schema.fieldNames.exists(reserved.contains),
+      s"clusterZOrdered: schema collides with internal names $reserved")
+    import org.apache.spark.sql.functions._
+    cluster(spark, dir, Seq("__z"), targetBytes, codec, withSortColumns = {
+      base =>
+        val stats = base.agg(
+          min(col(colA)).as("__la"), max(col(colA)).as("__ha"),
+          min(col(colB)).as("__lb"), max(col(colB)).as("__hb"))
+        base.crossJoin(broadcast(stats))
+          .withColumn("__z", graft.sources.Sinks.zValue2(
+            graft.sources.Sinks.scaleToBits(col(colA), col("__la"), col("__ha"), bits),
+            graft.sources.Sinks.scaleToBits(col(colB), col("__lb"), col("__hb"), bits),
+            bits))
+          .drop("__la", "__ha", "__lb", "__hb")
+    })
   }
 
   /** The copy-on-write commit tail (used by the row-level UPDATE/MERGE/

@@ -344,6 +344,41 @@ class ArrowMaintenanceSpec extends AnyFunSuite {
     assert(e.getMessage.contains("partition key"))
   }
 
+  test("clusterZOrdered makes BOTH dimensions prunable; lexicographic only one") {
+    val dir = tmp("graft_cluster_z")
+    // a 64x64 grid, hash-scattered: neither dimension prunes
+    spark.range(0, 4096)
+      .select((col("id") % 64).as("a"), (col("id") / 64).as("b"),
+        col("id").as("v"))
+      .repartition(4, col("v"))
+      .write.format("arrow-ipc").mode("overwrite").save(dir)
+    def onA() = spark.read.format("arrow-ipc").load(dir)
+      .filter(col("a") < 8)
+    def onB() = spark.read.format("arrow-ipc").load(dir)
+      .filter(col("b") < 8)
+    assert(prunedFiles(onA()) === ((4, 4)))
+    assert(prunedFiles(onB()) === ((4, 4)))
+
+    val res = ArrowMaintenance.clusterZOrdered(spark, dir, "a", "b",
+      bits = 6, targetBytes = 8 << 10).get
+    assert(res.newFiles > 4)
+    val (ka, na) = prunedFiles(onA())
+    val (kb, nb) = prunedFiles(onB())
+    assert(ka < na, s"z-order must prune on a: files=$ka/$na")
+    assert(kb < nb, s"z-order must prune on b: files=$kb/$nb")
+    // data intact, synthetic column gone
+    val back = spark.read.format("arrow-ipc").load(dir)
+    assert(back.columns.toSeq === Seq("a", "b", "v"))
+    assert(back.count() === 4096)
+    assert(onA().count() === 8 * 64)
+    assert(onB().count() === 8 * 64)
+    // refusals: non-numeric and colliding names
+    val e = intercept[IllegalArgumentException] {
+      ArrowMaintenance.clusterZOrdered(spark, dir, "a", "missing")
+    }
+    assert(e.getMessage.contains("missing"))
+  }
+
   test("a crash BEFORE the marker drop (intent recorded, marker up) also recovers") {
     val dir = tmp("graft_compact_crash2")
     (0 until 3).foreach { i =>
