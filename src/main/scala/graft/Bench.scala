@@ -38,7 +38,8 @@ object Bench {
     "arrow_hive_prune", "arrow_hive_spj",
     "arrow_hive_group_agg", "arrow_update", "arrow_merge", "arrow_evolve", "arrow_time_travel", "arrow_changefeed",
     "stream_hive_ingest", "stream_hive_source", "arrow_hive_compact",
-    "stream_changefeed", "arrow_cluster", "arrow_cluster_z")
+    "stream_changefeed", "arrow_cluster", "arrow_cluster_z",
+    "arrow_roll_write")
 
   def main(args: Array[String]): Unit = {
     // Iteration aid: SPARK_GRAFT_ONLY=q1,q2 restricts the run to a subset.

@@ -1190,6 +1190,46 @@ object CoreQueries {
               FROM orders WHERE o_orderdate >= DATE '1997-06-01'
               GROUP BY 1 ORDER BY yr""")),
 
+    // SIZE-BOUNDED WRITE (option("maxRecordsPerFile", n)): one giant task
+    // must not produce one giant file — the writer rolls into -g sequence
+    // files, each with its own stats entry, so the small-file AND
+    // huge-file pathologies both have a write-time answer. Self-asserts
+    // the roll produced multiple prunable files from one task; the
+    // oracle checks a filtered aggregate over the rolled dataset.
+    ("arrow_roll_write", (s, d) => {
+      val li = T(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_quantity").cast(DecimalType(12, 2)).as("qty"))
+        .orderBy("l_orderkey")
+      // Scratch contract: see json_roundtrip.
+      val path = graft.sources.Scratch.dir(s, "graft_rt_roll")
+      val total = li.count()
+      li.coalesce(1).write.format("arrow-ipc").mode("overwrite")
+        .option("maxRecordsPerFile", math.max(total / 6, 1L)).save(path)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val files = fs.globStatus(
+        new org.apache.hadoop.fs.Path(path, "part-*.arrows"))
+      require(files.length >= 6,
+        s"arrow_roll_write: one task must roll into >= 6 files, got ${files.length}")
+      val mx = li.agg(max(col("l_orderkey"))).head().getLong(0) / 4
+      val q = s.read.format("arrow-ipc").load(path)
+        .filter(col("l_orderkey") <= mx) // ordered roll → disjoint intervals
+      val desc = q.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.scan.description()
+      }.mkString("\n")
+      val m = "files=(\\d+)/(\\d+)".r.findFirstMatchIn(desc).getOrElse(
+        sys.error(s"arrow_roll_write: no file-pruning scan:\n$desc"))
+      require(m.group(1).toInt < m.group(2).toInt,
+        s"arrow_roll_write: rolled files must prune (${m.matched})")
+      q.agg(count(lit(1)).as("n"),
+        sum((col("qty") * 100).cast(LongType)).as("qty_cents"))
+    },
+      Some("""SELECT COUNT(*) AS n,
+                     CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS qty_cents
+              FROM lineitem
+              WHERE l_orderkey <= (SELECT MAX(l_orderkey) FROM lineitem) // 4""")),
+
     // Z-ORDERED REWRITE (ArrowMaintenance.clusterZOrdered): the Morton
     // interleave of two dimensions — after the rewrite, file min/max
     // stats prune on EITHER column, where a lexicographic sort clusters

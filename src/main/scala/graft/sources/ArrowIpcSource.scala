@@ -169,7 +169,8 @@ private[sources] class ArrowIpcTable(tableSchema: StructType, dir: String,
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq),
       Option(info.options.get("bloomColumns"))
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-        .getOrElse(Set.empty))
+        .getOrElse(Set.empty),
+      Option(info.options.get("maxRecordsPerFile")).map(_.toLong))
   }
 }
 
@@ -1210,7 +1211,8 @@ private[sources] class ArrowIpcWriteBuilder(
     schema: StructType, dir: String, codec: Option[String], queryId: String,
     partitionKeysOpt: Option[Seq[String]] = None,
     hiveKeysOpt: Option[Seq[String]] = None,
-    bloomCols: Set[String] = Set.empty)
+    bloomCols: Set[String] = Set.empty,
+    maxRecordsPerFile: Option[Long] = None)
     extends org.apache.spark.sql.connector.write.WriteBuilder
     with org.apache.spark.sql.connector.write.SupportsTruncate {
   private var doTruncate = false
@@ -1227,7 +1229,7 @@ private[sources] class ArrowIpcWriteBuilder(
         (ArrowLayout.read(fs, p), ArrowHiveLayout.read(fs, p))
       }
     new ArrowIpcWrite(schema, dir, codec, queryId, doTruncate, partitionKeys,
-      hiveKeys, bloomCols)
+      hiveKeys, bloomCols, maxRecordsPerFile)
   }
 }
 
@@ -1243,7 +1245,8 @@ private[sources] class ArrowIpcWriteBuilder(
 private[sources] class ArrowIpcWrite(
     schema: StructType, dir: String, codec: Option[String], queryId: String,
     truncate: Boolean, partitionKeys: Seq[String] = Nil,
-    hiveKeys: Seq[String] = Nil, bloomCols: Set[String] = Set.empty)
+    hiveKeys: Seq[String] = Nil, bloomCols: Set[String] = Set.empty,
+    maxRecordsPerFile: Option[Long] = None)
     extends org.apache.spark.sql.connector.write.Write
     with org.apache.spark.sql.connector.write.BatchWrite
     with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
@@ -1252,6 +1255,12 @@ private[sources] class ArrowIpcWrite(
   require(partitionKeys.isEmpty || hiveKeys.isEmpty,
     "arrow-ipc: partitionKeys (flat key-grouped layout) and " +
       "hivePartitionKeys (key=value directories) are mutually exclusive")
+  maxRecordsPerFile.foreach { m =>
+    require(m >= 1, s"arrow-ipc: maxRecordsPerFile must be >= 1, got $m")
+    require(partitionKeys.isEmpty && hiveKeys.isEmpty,
+      "arrow-ipc: maxRecordsPerFile applies to the plain layout — keyed " +
+        "and hive layouts bound files by key runs (roll on key change)")
+  }
 
   /** Keys the plan must cluster+sort by — shared by both layout flavors. */
   private def clusterKeys: Seq[String] =
@@ -1262,6 +1271,9 @@ private[sources] class ArrowIpcWrite(
       : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
     require(!truncate, "arrow-ipc stream sink is append-only — " +
       "OutputMode.Complete (epoch truncation) is not supported")
+    require(maxRecordsPerFile.isEmpty,
+      "arrow-ipc: maxRecordsPerFile is batch-only — streaming epochs are " +
+        "already bounded by the trigger")
     new ArrowIpcStreamingWrite(schema, dir, codec, queryId, partitionKeys,
       bloomCols, hiveKeys)
   }
@@ -1366,7 +1378,8 @@ private[sources] class ArrowIpcWrite(
     // a write in flight invalidates the completeness marker until commit
     fs.delete(new Path(dirPath, "_SUCCESS"), false)
     new ArrowIpcWriterFactory(schema, dir, codec, queryId,
-      new SerializableHadoopConf(conf), partitionKeys, hiveKeys, bloomCols)
+      new SerializableHadoopConf(conf), partitionKeys, hiveKeys, bloomCols,
+      maxRecordsPerFile)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -1438,7 +1451,8 @@ private[sources] case class ArrowIpcCommitMessage(
 private[sources] class ArrowIpcWriterFactory(
     schema: StructType, dir: String, codec: Option[String], queryId: String,
     conf: SerializableHadoopConf, partitionKeys: Seq[String] = Nil,
-    hiveKeys: Seq[String] = Nil, bloomCols: Set[String] = Set.empty)
+    hiveKeys: Seq[String] = Nil, bloomCols: Set[String] = Set.empty,
+    maxRecordsPerFile: Option[Long] = None)
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
@@ -1447,7 +1461,8 @@ private[sources] class ArrowIpcWriterFactory(
         taskId, conf, hiveKeys, bloomCols = bloomCols)
     else if (partitionKeys.isEmpty)
       new ArrowIpcDataWriter(schema, dir, codec, queryId, partitionId, taskId,
-        conf, bloomCols = bloomCols)
+        conf, bloomCols = bloomCols,
+        maxRowsPerFile = maxRecordsPerFile.getOrElse(Long.MaxValue))
     else
       new ArrowIpcKeyedDataWriter(schema, dir, codec, queryId, partitionId,
         taskId, conf, partitionKeys, bloomCols = bloomCols)
@@ -1460,37 +1475,51 @@ private[sources] class ArrowIpcWriterFactory(
 private[sources] class ArrowIpcDataWriter(
     schema: StructType, dir: String, codec: Option[String], queryId: String,
     partitionId: Int, taskId: Long, conf: SerializableHadoopConf,
-    epochTag: String = "", bloomCols: Set[String] = Set.empty)
+    epochTag: String = "", bloomCols: Set[String] = Set.empty,
+    maxRowsPerFile: Long = Long.MaxValue)
     extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
   import org.apache.arrow.vector.VectorSchemaRoot
   import org.apache.arrow.vector.ipc.ArrowStreamWriter
 
   private val BatchRows = 4096
-  private val tmpPath = new Path(dir,
-    f".part-$partitionId%05d$epochTag-$queryId.arrows.task-$taskId.tmp")
-  private val finalPath = new Path(dir,
-    f"part-$partitionId%05d$epochTag-$queryId.arrows")
+  private val rolling = maxRowsPerFile != Long.MaxValue
+  // rolled files carry a -g sequence (like the hive writer); the
+  // un-rolled default keeps the historical one-file-per-task name
+  private def tmpOf(seq: Int) = new Path(dir,
+    if (rolling)
+      f".part-$partitionId%05d-g$seq%04d$epochTag-$queryId.arrows.task-$taskId.tmp"
+    else f".part-$partitionId%05d$epochTag-$queryId.arrows.task-$taskId.tmp")
+  private def finalOf(seq: Int) = new Path(dir,
+    if (rolling)
+      f"part-$partitionId%05d-g$seq%04d$epochTag-$queryId.arrows"
+    else f"part-$partitionId%05d$epochTag-$queryId.arrows")
 
   private var alloc: RootAllocator = _
   private var root: VectorSchemaRoot = _
   private var writer: ArrowStreamWriter = _
   private var n = 0
+  private var fileRows = 0L
+  private var seq = 0
   private var opened = false
+  private val finished = scala.collection.mutable.ArrayBuffer
+    .empty[(Path, Path, FileStats)]
 
   private def open(): Unit = {
     alloc = new RootAllocator()
     root = VectorSchemaRoot.create(ArrowInterchange.toArrowSchema(schema), alloc)
-    val out = tmpPath.getFileSystem(conf.value).create(tmpPath, true)
+    val out = tmpOf(seq).getFileSystem(conf.value).create(tmpOf(seq), true)
     writer = ArrowInterchange.newStreamWriter(root, out, codec)
     writer.start()
     root.allocateNew()
+    stats = new ArrowStatsCollector(schema, bloomCols)
+    fileRows = 0L
     opened = true
   }
 
   private val types = schema.fields.map(_.dataType)
   // per-file min/max/null-count fold; rides the commit message to the
   // driver's _stats.json so the scan can skip this file on a pushed filter
-  private val stats = new ArrowStatsCollector(schema, bloomCols)
+  private var stats: ArrowStatsCollector = _
 
   override def write(row: InternalRow): Unit = {
     if (!opened) open()
@@ -1501,7 +1530,9 @@ private[sources] class ArrowIpcDataWriter(
     }
     stats.update(row)
     n += 1
+    fileRows += 1
     if (n >= BatchRows) flush()
+    if (fileRows >= maxRowsPerFile) roll()
   }
 
   private def flush(): Unit = {
@@ -1511,23 +1542,38 @@ private[sources] class ArrowIpcDataWriter(
     n = 0
   }
 
-  override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
-    if (!opened) return ArrowIpcCommitMessage(Nil) // empty partition: no file
+  /** Finish the current file and stage it for commit; the next row opens
+    * the task's next -g file. Bounds file size at WRITE time — the knob
+    * that keeps one giant input partition from producing one giant file. */
+  private def roll(): Unit = {
+    if (!opened) return
     if (n > 0) flush()
     writer.end()
     closeAll()
-    val fs = finalPath.getFileSystem(conf.value)
-    if (!fs.rename(tmpPath, finalPath)) {
-      fs.delete(tmpPath, false)
-      throw new java.io.IOException(
-        s"arrow-ipc: rename $tmpPath -> $finalPath failed")
-    }
-    ArrowIpcCommitMessage(Seq(finalPath.toString -> stats.result()))
+    finished += ((tmpOf(seq), finalOf(seq), stats.result()))
+    seq += 1
+    opened = false
+  }
+
+  override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    roll() // finish the in-flight file (no-op for an empty tail)
+    if (finished.isEmpty) return ArrowIpcCommitMessage(Nil) // empty partition
+    val files = finished.map { case (tmp, fin, st) =>
+      val fs = fin.getFileSystem(conf.value)
+      if (!fs.rename(tmp, fin)) {
+        fs.delete(tmp, false)
+        throw new java.io.IOException(s"arrow-ipc: rename $tmp -> $fin failed")
+      }
+      fin.toString -> st
+    }.toSeq
+    ArrowIpcCommitMessage(files)
   }
 
   override def abort(): Unit = {
     closeAll()
-    if (opened) tmpPath.getFileSystem(conf.value).delete(tmpPath, false)
+    val fs = new Path(dir).getFileSystem(conf.value)
+    if (opened) fs.delete(tmpOf(seq), false)
+    finished.foreach { case (tmp, _, _) => fs.delete(tmp, false) }
   }
 
   private def closeAll(): Unit =

@@ -160,6 +160,39 @@ class ArrowDsv2Spec extends AnyFunSuite {
     assert(scanDesc(q0).contains("files=0/4"), scanDesc(q0))
   }
 
+  test("maxRecordsPerFile rolls one task into size-bounded files with own stats") {
+    val dir = tmp("graft_dsv2_roll")
+    spark.range(10000).select(col("id")).coalesce(1)
+      .write.format("arrow-ipc").mode("overwrite")
+      .option("maxRecordsPerFile", 3000).save(dir)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val files = fs.globStatus(new org.apache.hadoop.fs.Path(dir, "part-*.arrows"))
+      .map(_.getPath.getName).sorted
+    assert(files.length === 4) // 3000+3000+3000+1000
+    assert(files.forall(_.contains("-g00")))
+    val back = spark.read.format("arrow-ipc").load(dir)
+    assert(back.count() === 10000)
+    assert(back.agg(min("id"), max("id")).head() ===
+      org.apache.spark.sql.Row(0L, 9999L))
+    // each rolled file carries its own stats entry; the ordered input
+    // makes intervals disjoint, so a narrow filter opens one file
+    val stats = graft.sources.ArrowFileStats.read(
+      fs, new org.apache.hadoop.fs.Path(dir))
+    assert(stats.keySet === files.toSet)
+    val q = back.filter(col("id") < 1000)
+    assert(q.count() === 1000)
+    assert(scanDesc(q).contains("files=1/4"), scanDesc(q))
+    // refusals: layouts roll by key runs; streaming epochs by the trigger
+    val e1 = intercept[Exception] {
+      spark.range(10).selectExpr("id", "cast(id % 2 as string) k")
+        .write.format("arrow-ipc").mode("overwrite")
+        .option("maxRecordsPerFile", 5)
+        .option("hivePartitionKeys", "k").save(tmp("graft_roll_hive"))
+    }
+    assert(e1.getMessage.contains("maxRecordsPerFile"))
+  }
+
   test("stats-pruning: IsNull/IsNotNull prune on null counts; append merges stats") {
     val dir = tmp("graft_dsv2_statsnull")
     // file 1: no nulls anywhere
