@@ -1829,32 +1829,64 @@ object CoreQueries {
                      l_returnflag IN ('A', 'R') AS in_ar
               FROM lineitem ORDER BY l_orderkey, l_linenumber""")),
 
-    // Approximate aggregates (HLL++ distinct count, approximate quantiles) —
-    // sketch algorithms differ per engine, so rows-only; bounds are
-    // unit-tested. At 100 TB these replace their exact twins wherever the
-    // answer feeds a heuristic rather than a ledger.
+    // Approximate aggregates (HLL++ distinct count, approximate quantiles).
+    // Sketch bytes/estimates are engine-specific, but the SKETCHES ARE
+    // DETERMINISTIC, so "estimate within its published bound of the exact
+    // answer" is a deterministic boolean a DuckDB oracle reproduces as a
+    // literal `true` — full rows+schema+hash oracle coverage, with the
+    // exact answers alongside as the anchor. At 100 TB these replace their
+    // exact twins wherever the answer feeds a heuristic rather than a
+    // ledger.
     // Sketch-merge pattern: per-(returnflag, linestatus) HLL sketches of
     // l_partkey built ONCE (as if stored per shard), then merged up to
-    // per-returnflag estimates with exact twins alongside. Sketch bytes are
-    // engine-specific → rows-only check; the ≤2% error bound vs exact is
-    // unit-asserted (AggregatesSpec).
+    // per-returnflag estimates, checked against the exact distinct count
+    // (tighter ≤2% bound also unit-asserted in AggregatesSpec).
     ("agg_hll_merge", (s, d) => {
       val shards = graft.ops.Aggregates.hllSketches(
         T(s, d, "lineitem"), Seq("l_returnflag", "l_linestatus"), "l_partkey")
       val merged = graft.ops.Aggregates.hllMergeEstimate(shards, Seq("l_returnflag"))
       val exact = T(s, d, "lineitem").groupBy(col("l_returnflag"))
         .agg(count_distinct(col("l_partkey")).as("nd_exact"))
-      merged.join(exact, "l_returnflag").orderBy("l_returnflag")
-    }, None),
+      merged.join(exact, "l_returnflag")
+        .select(col("l_returnflag"), col("nd_exact"),
+          (abs(col("nd_estimate") - col("nd_exact")) <=
+            col("nd_exact") * 0.05).as("within_5pct"))
+        .orderBy("l_returnflag")
+    },
+      Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS nd_exact,
+                     true AS within_5pct
+              FROM lineitem GROUP BY 1 ORDER BY 1""")),
 
-    ("agg_approx", (s, d) =>
-      T(s, d, "lineitem").groupBy(col("l_returnflag"))
+    // approx_count_distinct (rsd 0.05) checked against the exact count;
+    // approx_percentile (accuracy 1000, rank error ≤ 1/1000) checked by its
+    // OWN guarantee — the fraction of rows at or below the returned value
+    // must sit within rank error (plus slack for ties) of the requested
+    // quantile. Both checks are deterministic booleans ⇒ hash-exact oracle.
+    ("agg_approx", (s, d) => {
+      val li = T(s, d, "lineitem")
+      val sketched = li.groupBy(col("l_returnflag"))
         .agg(
           approx_count_distinct(col("l_partkey")).as("nd_approx"),
           expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("p50"),
-          expr("approx_percentile(l_extendedprice, 0.99, 1000)").as("p99"))
-        .orderBy("l_returnflag"),
-      None),
+          expr("approx_percentile(l_extendedprice, 0.99, 1000)").as("p99"),
+          count_distinct(col("l_partkey")).as("nd_exact"))
+      // rank check: one more pass over lineitem with the 3-row sketch
+      // frame broadcast onto it — never a driver-side compare
+      li.join(broadcast(sketched), "l_returnflag")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          first(col("nd_exact")).as("nd_exact"),
+          (abs(first(col("nd_approx")) - first(col("nd_exact"))) <=
+            first(col("nd_exact")) * 0.15).as("nd_ok"),
+          (abs(avg((col("l_extendedprice") <= col("p50")).cast("double")) - 0.5)
+            <= 0.02).as("p50_rank_ok"),
+          (avg((col("l_extendedprice") <= col("p99")).cast("double"))
+            >= 0.97).as("p99_rank_ok"))
+        .orderBy("l_returnflag")
+    },
+      Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS nd_exact,
+                     true AS nd_ok, true AS p50_rank_ok, true AS p99_rank_ok
+              FROM lineitem GROUP BY 1 ORDER BY 1""")),
 
     // Spark-native hashes (reference FunctionsHashing.h roles; no DuckDB
     // twin for xxhash64/murmur3 → rows-only check, semantics unit-tested).

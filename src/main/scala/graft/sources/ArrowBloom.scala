@@ -10,9 +10,10 @@ import graft.functions.RefHash
   * the row; a 10-bits-per-distinct Bloom filter skips ~99% of them. The
   * same idea as parquet's optional column bloom filters (and Iceberg's
   * `write.bloom-filter-enabled` properties), re-expressed for this
-  * source's commit-time JSON manifest. The reference's scan has no analog
-  * (KeyCondition is interval-only, MergeTreeIndexes.h) — this is a
-  * beyond-reference scale feature.
+  * source's commit-time JSON manifest. The reference's only scan is the
+  * plain parquet block reader (ParquetBlockInputStream.cpp:20-54) with no
+  * file-skipping index of any kind — this is a beyond-reference scale
+  * feature.
   *
   * Soundness discipline (same as the interval stats — "invalid ⇒ never
   * prune"):
