@@ -39,7 +39,8 @@ object Bench {
     "arrow_hive_group_agg", "arrow_update", "arrow_merge", "arrow_evolve", "arrow_time_travel", "arrow_changefeed",
     "stream_hive_ingest", "stream_hive_source", "arrow_hive_compact",
     "stream_changefeed", "arrow_cluster", "arrow_cluster_z",
-    "arrow_roll_write")
+    "arrow_roll_write", "arrow_cluster_scoped", "arrow_cluster_z3",
+    "arrow_evolve_widen")
 
   def main(args: Array[String]): Unit = {
     // Iteration aid: SPARK_GRAFT_ONLY=q1,q2 restricts the run to a subset.

@@ -849,6 +849,72 @@ object CoreQueries {
                        ELSE 0 END) AS BIGINT) AS cents
               FROM supplier GROUP BY 1 ORDER BY s_nationkey""")),
 
+    // TYPE-WIDENING EVOLUTION (round 10): `ALTER COLUMN … TYPE` for
+    // int→long, float→double, decimal(p,s)→(p+k,s) — metadata-only, like
+    // ADD/DROP. Generation-1 files keep their narrow vectors (readers
+    // widen value-exactly, float→double IEEE-exact); generation-2
+    // appends carry the wide types; both scan together, and the standing
+    // stats still PRUNE on the widened column (canonicals were already
+    // the widened forms) — self-asserted below on a range probe over
+    // mixed generations. At 100 TB widening a long-lived ingest schema
+    // costs one sentinel write, never a rewrite.
+    ("arrow_evolve_widen", (s, d) => {
+      val sup = T(s, d, "supplier")
+      // Scratch contract: see json_roundtrip.
+      val path = graft.sources.Scratch.dir(s, "graft_rt_evolvewiden")
+      sup.filter(col("s_suppkey") % 2 === 0)
+        .select(col("s_suppkey").cast(IntegerType).as("sk"),
+          col("s_nationkey"),
+          col("s_acctbal").cast(FloatType).as("score"),
+          col("s_acctbal").cast(DecimalType(10, 2)).as("bal"))
+        .repartitionByRange(3, col("sk"))
+        .write.format("arrow-ipc").mode("overwrite").save(path)
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.ArrowCatalog")
+      s.sql(s"ALTER TABLE graft.`$path` ALTER COLUMN sk TYPE BIGINT")
+      s.sql(s"ALTER TABLE graft.`$path` ALTER COLUMN score TYPE DOUBLE")
+      s.sql(s"ALTER TABLE graft.`$path` ALTER COLUMN bal TYPE DECIMAL(16,2)")
+      sup.filter(col("s_suppkey") % 2 === 1)
+        .select(col("s_suppkey").cast(LongType).as("sk"),
+          col("s_nationkey"),
+          col("s_acctbal").cast(DoubleType).as("score"),
+          col("s_acctbal").cast(DecimalType(16, 2)).as("bal"))
+        .repartitionByRange(3, col("sk"))
+        .write.format("arrow-ipc").mode("append").save(path)
+      // literal bound (only attr-vs-literal predicates push down)
+      val bound = sup.agg(max(col("s_suppkey"))).head().getLong(0) / 2
+      def narrow = s.read.format("arrow-ipc").load(path)
+        .filter(col("sk") <= bound)
+      val desc = narrow.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.scan.description()
+      }.mkString("\n")
+      val m = "files=(\\d+)/(\\d+)".r.findFirstMatchIn(desc).getOrElse(
+        sys.error(s"arrow_evolve_widen: no file-pruning scan:\n$desc"))
+      require(m.group(1).toInt < m.group(2).toInt,
+        s"arrow_evolve_widen: mixed-generation stats must still prune the " +
+          s"widened column (${m.matched})")
+      narrow.groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("cnt"),
+          sum((col("bal") * 100).cast(LongType)).as("bal_cents"),
+          max(col("score")).as("max_score"),
+          min(col("score")).as("min_score"))
+        .orderBy("s_nationkey")
+    },
+      // float generation: DuckDB REAL reproduces the IEEE float rounding,
+      // and its cast back to DOUBLE is the same exact widening the
+      // readers perform — min/max (order-independent) keep FP exactness
+      Some("""SELECT s_nationkey, COUNT(*) AS cnt,
+                     CAST(SUM(CAST(CAST(s_acctbal AS DECIMAL(10,2)) * 100 AS BIGINT)) AS BIGINT) AS bal_cents,
+                     MAX(CASE WHEN s_suppkey % 2 = 0
+                       THEN CAST(CAST(s_acctbal AS REAL) AS DOUBLE)
+                       ELSE CAST(s_acctbal AS DOUBLE) END) AS max_score,
+                     MIN(CASE WHEN s_suppkey % 2 = 0
+                       THEN CAST(CAST(s_acctbal AS REAL) AS DOUBLE)
+                       ELSE CAST(s_acctbal AS DOUBLE) END) AS min_score
+              FROM supplier
+              WHERE s_suppkey <= (SELECT MAX(s_suppkey) FROM supplier) // 2
+              GROUP BY 1 ORDER BY s_nationkey""")),
+
     // TIME TRAVEL (round 9): every committed mutation appends a delta to
     // the `_snapshots/` log and retires replaced files to `.trash/`, so
     // `VERSION AS OF` reconstructs any retained snapshot — here the state
@@ -1190,6 +1256,74 @@ object CoreQueries {
               FROM orders WHERE o_orderdate >= DATE '1997-06-01'
               GROUP BY 1 ORDER BY yr""")),
 
+    // SCOPED CLUSTERED REWRITE (round 10) — the `OPTIMIZE … WHERE`
+    // analog: cluster(where = …) rewrites ONLY the files that may hold
+    // matching rows (here: one hive value directory of a partitioned
+    // lake), range-sorting their rows among themselves; every
+    // out-of-scope file keeps its name and bytes, self-asserted below
+    // alongside the pruning flip on the scoped range. The 100 TB point:
+    // a hot partition earns its clustering without the whole-table
+    // rewrite nobody can afford.
+    ("arrow_cluster_scoped", (s, d) => {
+      val ev = T(s, d, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      // Scratch contract: see json_roundtrip.
+      val path = graft.sources.Scratch.dir(s, "graft_rt_cluster_scoped")
+      // ingest shape: three modulo-split appends → three files per value
+      // directory, each spanning the whole event_id range (no pruning)
+      (0 until 3).foreach { i =>
+        ev.filter(col("event_id") % 3 === i)
+          .write.format("arrow-ipc")
+          .mode(if (i == 0) "overwrite" else "append")
+          .option("hivePartitionKeys", "event_type").save(path)
+      }
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      def files() = graft.sources.ArrowSnapshots.listDataFiles(fs, root)
+      val before = files()
+      val beforeOutOfScope = before.filterNot(_.startsWith("event_type=click/")).toSet
+      require(before.size > beforeOutOfScope.size + 1,
+        "arrow_cluster_scoped: need >= 2 files in the scoped directory")
+      val bound = ev.agg(max(col("event_id"))).head().getLong(0) / 2
+      def narrow = s.read.format("arrow-ipc").load(path)
+        .filter(col("event_type") === "click" && col("event_id") <= bound)
+      def pruned(df: org.apache.spark.sql.DataFrame): (Int, Int) = {
+        val desc = df.queryExecution.optimizedPlan.collect {
+          case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+            r.scan.description()
+        }.mkString("\n")
+        val m = "files=(\\d+)/(\\d+)".r.findFirstMatchIn(desc).getOrElse(
+          sys.error(s"arrow_cluster_scoped: no file-pruning scan:\n$desc"))
+        (m.group(1).toInt, m.group(2).toInt)
+      }
+      val (k0, n0) = pruned(narrow)
+      require(k0 == n0,
+        s"arrow_cluster_scoped: the hash layout must not prune in-dir ($k0/$n0)")
+      val clickBytes = graft.sources.ArrowSnapshots.listDataFileStatuses(fs, root)
+        .filter(_._1.startsWith("event_type=click/")).map(_._2.getLen).sum
+      graft.sources.ArrowMaintenance.cluster(s, path, Seq("event_id"),
+        targetBytes = math.max(clickBytes / 3, 1L),
+        where = Array(org.apache.spark.sql.sources.EqualTo("event_type", "click")))
+        .getOrElse(sys.error("arrow_cluster_scoped: nothing rewritten"))
+      val after = files()
+      require(after.filterNot(_.startsWith("event_type=click/")).toSet ==
+        beforeOutOfScope,
+        "arrow_cluster_scoped: out-of-scope files must keep their exact names")
+      val (k1, n1) = pruned(narrow)
+      require(k1 < n1,
+        s"arrow_cluster_scoped: the scoped range must prune post-rewrite ($k1/$n1)")
+      narrow.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast(DecimalType(14, 4))).cast(DoubleType).as("sum_value"))
+        .orderBy("event_type")
+    },
+      Some("""SELECT event_type, COUNT(*) AS cnt,
+                     CAST(SUM(CAST(value AS DECIMAL(14,4))) AS DOUBLE) AS sum_value
+              FROM events
+              WHERE event_type = 'click'
+                AND event_id <= (SELECT MAX(event_id) FROM events) // 2
+              GROUP BY 1 ORDER BY event_type""")),
+
     // SIZE-BOUNDED WRITE (option("maxRecordsPerFile", n)): one giant task
     // must not produce one giant file — the writer rolls into -g sequence
     // files, each with its own stats entry, so the small-file AND
@@ -1276,6 +1410,60 @@ object CoreQueries {
       onCust
         .agg(count(lit(1)).as("n"),
           sum((col("price") * 100).cast(LongType)).as("cents"),
+          countDistinct(col("o_custkey")).as("custs"))
+    },
+      Some("""SELECT COUNT(*) AS n,
+                     CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS cents,
+                     COUNT(DISTINCT o_custkey) AS custs
+              FROM orders
+              WHERE o_custkey <= (SELECT MAX(o_custkey) FROM orders) // 4""")),
+
+    // N-DIMENSIONAL Z-ORDER (round 10, ArrowMaintenance.clusterZOrderedN):
+    // the Morton interleave generalized past two dimensions — here THREE
+    // (custkey, orderkey, price-cents), so every file covers a small
+    // 3-D box and min/max stats prune on ANY of the three probe columns,
+    // self-asserted per dimension. A lexicographic 3-column sort would
+    // cluster only its leading column; at 100 TB the interleave is what
+    // makes a multi-tenant probe pattern (filter by customer OR by order
+    // OR by amount) prunable from ONE layout.
+    ("arrow_cluster_z3", (s, d) => {
+      val ord = T(s, d, "orders").select(
+        col("o_orderkey"), col("o_custkey"),
+        (col("o_totalprice").cast(DecimalType(12, 2)) * 100)
+          .cast(LongType).as("cents"))
+      // Scratch contract: see json_roundtrip.
+      val path = graft.sources.Scratch.dir(s, "graft_rt_cluster_z3")
+      ord.repartition(6, col("o_orderkey"))
+        .write.format("arrow-ipc").mode("overwrite").save(path)
+      val mx = ord.agg(max(col("o_custkey")), max(col("o_orderkey")),
+        max(col("cents"))).head()
+      val (cb, kb, pb) = (mx.getLong(0) / 4, mx.getLong(1) / 4, mx.getLong(2) / 4)
+      def probe(c: String, b: Long) = s.read.format("arrow-ipc").load(path)
+        .filter(col(c) <= b)
+      def pruned(df: org.apache.spark.sql.DataFrame): (Int, Int) = {
+        val desc = df.queryExecution.optimizedPlan.collect {
+          case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+            r.scan.description()
+        }.mkString("\n")
+        val m = "files=(\\d+)/(\\d+)".r.findFirstMatchIn(desc).getOrElse(
+          sys.error(s"arrow_cluster_z3: no file-pruning scan in plan:\n$desc"))
+        (m.group(1).toInt, m.group(2).toInt)
+      }
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val total = fs.globStatus(new org.apache.hadoop.fs.Path(path, "part-*.arrows"))
+        .map(_.getLen).sum
+      graft.sources.ArrowMaintenance.clusterZOrderedN(s, path,
+        Seq("o_custkey", "o_orderkey", "cents"), bits = 8,
+        targetBytes = math.max(total / 8, 1L)).getOrElse(
+        sys.error("arrow_cluster_z3: nothing rewritten"))
+      val probes = Seq("o_custkey" -> cb, "o_orderkey" -> kb, "cents" -> pb)
+        .map { case (c, b) => (c, pruned(probe(c, b))) }
+      probes.foreach { case (c, (k, n)) =>
+        require(k < n, s"arrow_cluster_z3: dimension '$c' must prune ($k/$n)")
+      }
+      probe("o_custkey", cb)
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"),
           countDistinct(col("o_custkey")).as("custs"))
     },
       Some("""SELECT COUNT(*) AS n,
@@ -3068,7 +3256,9 @@ object CoreQueries {
     // stream, the directory-derived partition column spliced back into
     // every emitted row. Offsets stay bare file names (unique across
     // value dirs), so the exactly-once set-difference contract is
-    // layout-independent.
+    // layout-independent. Round 10: the out-leg is the arrow-ipc
+    // streaming SINK too — hive source → arrow stream → arrow directory,
+    // no parquet detour anywhere in the loop.
     ("stream_hive_source", (s, d) => {
       val ev = T(s, d, "events")
         .select("event_id", "user_id", "event_type", "value")
@@ -3077,12 +3267,12 @@ object CoreQueries {
       ev.write.format("arrow-ipc").mode("overwrite")
         .option("hivePartitionKeys", "event_type").save(path + "/lake")
       val q = s.readStream.format("arrow-ipc").load(path + "/lake")
-        .writeStream.format("parquet")
+        .writeStream.format("arrow-ipc")
         .option("path", path + "/out")
         .option("checkpointLocation", path + "/ckpt")
         .start()
       try q.processAllAvailable() finally q.stop()
-      s.read.parquet(path + "/out")
+      s.read.format("arrow-ipc").load(path + "/out")
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("cnt"),
           sum(col("value").cast(DecimalType(14, 4))).cast(DoubleType).as("sum_value"),

@@ -119,14 +119,25 @@ class ArrowCatalog extends TableCatalog {
     *    name with a DIFFERENT type is user error the read then reports
     *    loudly (the standing bytes still carry the old type).
     *
-    * Everything else (renames, type changes, comments) is refused:
-    * name-based resolution makes a rename unsound without a rewrite, and
-    * type changes would need per-file casts this source does not do. */
+    *  - `ALTER COLUMN … TYPE` for the WIDENINGS only (int→long,
+    *    float→double, decimal(p,s)→(p+k,s)): standing files keep their
+    *    narrow vectors, readers widen value-exactly, and the stats
+    *    canonicals are already the widened forms so pruning needs no
+    *    migration (see [[ArrowInterchange.isWidening]]).
+    *
+    * Everything else (renames, non-widening type changes, comments) is
+    * refused: name-based resolution makes a rename unsound without a
+    * rewrite, and non-widening casts would need per-file rewrites this
+    * source does not do in DDL. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = dirOf(ident)
     val spark = SparkSession.active
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // serialized like every other commit: two concurrent ALTERs (or an
+    // ALTER racing an append's schema validation... the append re-reads
+    // under ITS lock) cannot lose each other's change
+    ArrowOcc.withCommitLock(fs, p) {
     val before = ArrowInterchange.readSchema(spark, dir)
     val after = changes.foldLeft(before) { (schema, change) => change match {
       case add: TableChange.AddColumn =>
@@ -173,10 +184,38 @@ class ArrowCatalog extends TableCatalog {
         require(kept.nonEmpty,
           s"$catalogName: cannot drop the last column")
         kept
+      // TYPE WIDENING (round 10): ALTER COLUMN … TYPE for exactly the
+      // pairs [[ArrowInterchange.isWidening]] admits — int→long,
+      // float→double, decimal(p,s)→(p+k,s). Metadata-only like ADD/DROP
+      // (a sentinel rewrite): standing files keep their narrow vectors
+      // and the readers widen value-exactly; standing stats/bloom
+      // manifest entries are ALREADY in the widened canonical forms
+      // (longs, exact float→double, scale-preserving decimal strings),
+      // so pruning on the widened column stays sound with no migration.
+      // New appends carry the wide type; a later rewrite converges the
+      // physical files. Narrowing, scale changes, and everything
+      // non-widening still refuse.
+      case upd: TableChange.UpdateColumnType =>
+        require(upd.fieldNames.length == 1,
+          s"$catalogName: only top-level columns can change type " +
+            s"(got ${upd.fieldNames.mkString(".")})")
+        val colName = upd.fieldNames.head
+        val f = schema.fields.find(_.name == colName).getOrElse(
+          throw new IllegalArgumentException(
+            s"$catalogName: no column '$colName' to alter"))
+        require(graft.sources.ArrowInterchange.isWidening(
+            f.dataType, upd.newDataType),
+          s"$catalogName: cannot alter '$colName' from ${f.dataType} to " +
+            s"${upd.newDataType} — only the widenings int→long, " +
+            "float→double and decimal(p,s)→decimal(p+k,s) are sound for " +
+            "name-resolved immutable files (anything else needs a rewrite)")
+        StructType(schema.fields.map(g =>
+          if (g.name == colName) g.copy(dataType = upd.newDataType) else g))
       case other =>
         throw new UnsupportedOperationException(
           s"$catalogName: unsupported table change $other — only nullable " +
-            "ADD COLUMN (appended last) and DROP COLUMN evolve the sentinel")
+            "ADD COLUMN (appended last), DROP COLUMN, and widening " +
+            "ALTER COLUMN TYPE evolve the sentinel")
     }}
     // sentinel swap by DIRECT overwrite: a crash mid-write leaves a
     // torn sentinel that every read then rejects LOUDLY (parse error) —
@@ -185,6 +224,7 @@ class ArrowCatalog extends TableCatalog {
     val fin = new Path(p, "_schema.arrows")
     ArrowInterchange.writeSentinel(fs.create(fin, true), after)
     new ArrowIpcTable(after, dir)
+    } // withCommitLock
   }
 
   override def dropTable(ident: Identifier): Boolean =

@@ -342,7 +342,8 @@ private[sources] class ArrowIpcHiveDataWriter(
     schema: StructType, dir: String, codec: Option[String], queryId: String,
     partitionId: Int, taskId: Long, conf: SerializableHadoopConf,
     hiveKeys: Seq[String], epochTag: String = "",
-    bloomCols: Set[String] = Set.empty)
+    bloomCols: Set[String] = Set.empty,
+    maxRowsPerFile: Long = Long.MaxValue)
     extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
   import org.apache.arrow.vector.VectorSchemaRoot
   import org.apache.arrow.vector.ipc.ArrowStreamWriter
@@ -364,6 +365,7 @@ private[sources] class ArrowIpcHiveDataWriter(
   private var subdir: Path = _
   private var n = 0
   private var seq = 0
+  private var fileRows = 0L
   private var curKey: Array[Any] = _
   private val finished = scala.collection.mutable.ArrayBuffer
     .empty[(Path, Path, FileStats)]
@@ -399,6 +401,7 @@ private[sources] class ArrowIpcHiveDataWriter(
     writer.start()
     root.allocateNew()
     stats = new ArrowStatsCollector(dataSchema, bloomCols)
+    fileRows = 0L
   }
 
   private def flushBatch(): Unit = {
@@ -430,6 +433,14 @@ private[sources] class ArrowIpcHiveDataWriter(
         }
       }
       open()
+    } else if (fileRows >= maxRowsPerFile) {
+      // size-bounded rolling WITHIN a value directory: the key did not
+      // change, so the next -g file lands in the same `key=value/` dir
+      // with its own stats/bloom manifest entry — a hot partition's
+      // files stay bounded at write time instead of waiting for a
+      // maintenance pass
+      roll()
+      open()
     }
     var d = 0
     while (d < dataIdx.length) {
@@ -440,6 +451,7 @@ private[sources] class ArrowIpcHiveDataWriter(
     proj.project(row)
     stats.update(proj)
     n += 1
+    fileRows += 1
     if (n >= BatchRows) flushBatch()
   }
 

@@ -143,6 +143,12 @@ object ArrowInterchange {
   def fromArrowSchema(schema: ArrowSchema): StructType =
     StructType(schema.getFields.asScala.map(fromArrowField).toSeq)
 
+  /** The Spark type a file's Arrow field reads back as — the columnar
+    * widening shim compares it against the table schema's (possibly
+    * wider) type. */
+  private[sources] def sparkTypeOf(f: Field): DataType =
+    fromArrowField(f).dataType
+
   private def fromArrowField(f: Field): StructField = {
     f.getType match {
       case t: ArrowType.FixedSizeBinary =>
@@ -624,6 +630,24 @@ object ArrowInterchange {
     * (a reordered file resolves correctly; a missing/mistyped column
     * fails with the file's path), `exact` additionally rejecting extra
     * columns. Shared by the function-style reader and the DSv2 scan. */
+  /** TYPE-WIDENING evolution (file type → table type) this source reads
+    * through without rewriting data: int32→int64, float→double, and
+    * decimal(p,s)→decimal(p+k,s). Exactly the pairs whose STATS
+    * CANONICALS are already identical — integral stats store longs,
+    * float stats store the exact `toDouble` widening, decimal stats
+    * store scale-preserving plain strings — so standing manifest entries
+    * (min/max/sum and the long/decimal blooms) prune the widened column
+    * soundly with zero migration. Everything else (narrowing, scale
+    * changes, string↔binary, nested edits) still refuses loudly. */
+  private[sources] def isWidening(actual: DataType, expected: DataType): Boolean =
+    (actual, expected) match {
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (a: DecimalType, e: DecimalType) =>
+        a.scale == e.scale && e.precision > a.precision && e.precision <= 38
+      case _ => false
+    }
+
   private[sources] def resolveColumns(fileSchema: ArrowSchema,
       expected: StructType, path: String, exact: Boolean): Array[Int] = {
     val fileFields = fileSchema.getFields.asScala
@@ -637,7 +661,8 @@ object ArrowInterchange {
       indexByName.get(ef.name) match {
         case Some(i) =>
           val actual = fromArrowField(fileFields(i))
-          if (actual.dataType != ef.dataType)
+          if (actual.dataType != ef.dataType &&
+              !isWidening(actual.dataType, ef.dataType))
             throw new IllegalArgumentException(
               s"Arrow interchange: $path column '${ef.name}' has type " +
                 s"${actual.dataType} but the dataset schema says ${ef.dataType}")
@@ -668,6 +693,10 @@ object ArrowInterchange {
       case (x: BigIntVector, LongType)      => x.get(idx)
       case (x: Float4Vector, FloatType)     => x.get(idx)
       case (x: Float8Vector, DoubleType)    => x.get(idx)
+      // widened reads of pre-evolution files (see [[isWidening]]); the
+      // decimal case below already serves any precision the caller asks
+      case (x: IntVector, LongType)         => x.get(idx).toLong
+      case (x: Float4Vector, DoubleType)    => x.get(idx).toDouble
       case (x: VarCharVector, StringType)   =>
         org.apache.spark.unsafe.types.UTF8String.fromBytes(x.get(idx))
       case (x: VarBinaryVector, BinaryType) => x.get(idx)
@@ -711,6 +740,9 @@ object ArrowInterchange {
       case (x: BigIntVector, LongType)      => x.get(idx)
       case (x: Float4Vector, FloatType)     => x.get(idx)
       case (x: Float8Vector, DoubleType)    => x.get(idx)
+      // widened reads of pre-evolution files (see [[isWidening]])
+      case (x: IntVector, LongType)         => x.get(idx).toLong
+      case (x: Float4Vector, DoubleType)    => x.get(idx).toDouble
       case (x: VarCharVector, StringType)   => new String(x.get(idx), UTF_8)
       case (x: VarBinaryVector, BinaryType) => x.get(idx)
       case (x: FixedSizeBinaryVector, BinaryType) => x.get(idx)

@@ -659,16 +659,36 @@ private[sources] class ArrowIpcScan(required: StructType, dir: String,
     val conf = spark.sparkContext.hadoopConfiguration
     val dirPath = new Path(dir)
     val fs = dirPath.getFileSystem(conf)
-    // same completeness gate as the function-style reader: our sentinel
-    // without the job marker means a partial write — refuse, don't guess
-    require(!fs.exists(new Path(dirPath, "_schema.arrows")) ||
-      fs.exists(new Path(dirPath, "_SUCCESS")),
-      s"Arrow interchange: $dir has a schema sentinel but no _SUCCESS marker " +
-        "— the writing job did not complete; refusing to read partial data")
+    // completeness gate, OCC-aware: our sentinel without the job marker
+    // refuses — UNLESS the latch is down only because batch appends are
+    // IN FLIGHT (live `_pending-*` markers, no swap intent), in which
+    // case the read serves the COMMITTED snapshot: the in-flight writes'
+    // task-committed files (names embed their pending queryIds) are
+    // excluded below exactly like uncommitted stream epochs, and
+    // everything else — manifest, ledger, snapshot log — still describes
+    // precisely the committed state. A swap in progress (intent present)
+    // or a crashed append (markers gone stale) still refuses loudly.
+    val pendingHidden: Set[String] =
+      if (!fs.exists(new Path(dirPath, "_schema.arrows")) ||
+          fs.exists(new Path(dirPath, "_SUCCESS"))) Set.empty
+      else {
+        val swapping = fs.exists(new Path(dirPath, ArrowMaintenance.IntentFile)) ||
+          fs.exists(new Path(dirPath, ArrowMaintenance.DeleteIntentFile))
+        val pend = ArrowOcc.livePendingQueryIds(fs, dirPath)
+        require(!swapping && pend.nonEmpty,
+          s"Arrow interchange: $dir has a schema sentinel but no _SUCCESS marker " +
+            "— the writing job did not complete; refusing to read partial data")
+        pend
+      }
     // streaming-sink visibility: a stream-named file with no committed
     // ledger entry is an uncommitted epoch (crash leftover or in-flight)
-    // and does not exist for readers
-    val streamVisible = ArrowStreamCommits.visibleFilter(fs, dirPath)
+    // and does not exist for readers; neither does an in-flight batch
+    // append's file
+    val streamVisible = {
+      val ledgerVisible = ArrowStreamCommits.visibleFilter(fs, dirPath)
+      (n: String) => ledgerVisible(n) &&
+        !pendingHidden.exists(q => n.stripSuffix(".arrows").endsWith(q))
+    }
     // hive-partitioned discovery: walk one `key=value` directory level per
     // partition key, pruning value directories the STATIC filters refute
     // BEFORE descending — a skipped directory's children are never listed,
@@ -1181,10 +1201,16 @@ private[sources] class ArrowIpcColumnarReader(
             .ConstantColumnVector(root.getRowCount, required.fields(c).dataType)
           v.setNull()
           v: ColumnVector
-        case (i, _) => root.getVector(i) match {
+        case (i, c) => root.getVector(i) match {
           case f: org.apache.arrow.vector.FixedSizeBinaryVector =>
             new FixedSizeBinaryColumnVector(f): ColumnVector
-          case v => new ArrowColumnVector(v): ColumnVector
+          case v =>
+            // a pre-evolution file's narrow vector answers the table's
+            // widened getters through the shim; same-generation files
+            // wrap zero-cost as before
+            WideningColumnVector.maybe(new ArrowColumnVector(v),
+              ArrowInterchange.sparkTypeOf(v.getField),
+              required.fields(c).dataType): ColumnVector
         }
       }
     current = new ColumnarBatch(vecs, root.getRowCount)
@@ -1257,9 +1283,6 @@ private[sources] class ArrowIpcWrite(
       "hivePartitionKeys (key=value directories) are mutually exclusive")
   maxRecordsPerFile.foreach { m =>
     require(m >= 1, s"arrow-ipc: maxRecordsPerFile must be >= 1, got $m")
-    require(partitionKeys.isEmpty && hiveKeys.isEmpty,
-      "arrow-ipc: maxRecordsPerFile applies to the plain layout — keyed " +
-        "and hive layouts bound files by key runs (roll on key change)")
   }
 
   /** Keys the plan must cluster+sort by — shared by both layout flavors. */
@@ -1375,7 +1398,11 @@ private[sources] class ArrowIpcWrite(
     val sentinel = new Path(dirPath, "_schema.arrows")
     if (!fs.exists(sentinel))
       ArrowInterchange.writeSentinel(fs.create(sentinel, true), schema)
-    // a write in flight invalidates the completeness marker until commit
+    // a write in flight invalidates the completeness marker until commit;
+    // the pending marker (written FIRST) tells every concurrent committer
+    // not to restore the latch — and marks this write's files (they embed
+    // the queryId) as not-yet-replaceable to concurrent maintenance
+    ArrowOcc.markPending(fs, dirPath, queryId)
     fs.delete(new Path(dirPath, "_SUCCESS"), false)
     new ArrowIpcWriterFactory(schema, dir, codec, queryId,
       new SerializableHadoopConf(conf), partitionKeys, hiveKeys, bloomCols,
@@ -1385,6 +1412,7 @@ private[sources] class ArrowIpcWrite(
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dirPath = new Path(dir)
     val fs = dirPath.getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
+    ArrowOcc.withCommitLock(fs, dirPath) {
     // persist per-file column stats (the scan's file-pruning substrate)
     // BEFORE the completeness marker: a reader that sees _SUCCESS must
     // also see the stats of every committed file. Appends merge with the
@@ -1429,7 +1457,11 @@ private[sources] class ArrowIpcWrite(
         ArrowSnapshots.relativize(fs, dirPath, new Path(path)) }
     }.flatten
     ArrowSnapshots.append(fs, dirPath, rels.toSeq, Nil)
-    fs.create(new Path(dirPath, "_SUCCESS"), true).close()
+    // this append is done: clear the pending marker, then restore the
+    // latch unless ANOTHER live append still owns it
+    ArrowOcc.clearPending(fs, dirPath, queryId)
+    ArrowOcc.restoreLatch(fs, dirPath)
+    } // withCommitLock
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -1441,6 +1473,12 @@ private[sources] class ArrowIpcWrite(
       }
       case _ => ()
     }
+    // the aborted write's marker must not wedge latch restores forever;
+    // the latch itself stays down (same pre-OCC contract: a failed
+    // append leaves the directory refusing until the next commit)
+    val dirPath = new Path(dir)
+    ArrowOcc.clearPending(
+      dirPath.getFileSystem(conf), dirPath, queryId)
   }
 }
 
@@ -1458,14 +1496,16 @@ private[sources] class ArrowIpcWriterFactory(
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
     if (hiveKeys.nonEmpty)
       new ArrowIpcHiveDataWriter(schema, dir, codec, queryId, partitionId,
-        taskId, conf, hiveKeys, bloomCols = bloomCols)
+        taskId, conf, hiveKeys, bloomCols = bloomCols,
+        maxRowsPerFile = maxRecordsPerFile.getOrElse(Long.MaxValue))
     else if (partitionKeys.isEmpty)
       new ArrowIpcDataWriter(schema, dir, codec, queryId, partitionId, taskId,
         conf, bloomCols = bloomCols,
         maxRowsPerFile = maxRecordsPerFile.getOrElse(Long.MaxValue))
     else
       new ArrowIpcKeyedDataWriter(schema, dir, codec, queryId, partitionId,
-        taskId, conf, partitionKeys, bloomCols = bloomCols)
+        taskId, conf, partitionKeys, bloomCols = bloomCols,
+        maxRowsPerFile = maxRecordsPerFile.getOrElse(Long.MaxValue))
 }
 
 /** Push-based per-task writer: rows land straight in the Arrow vectors
@@ -1598,7 +1638,8 @@ private[sources] class ArrowIpcKeyedDataWriter(
     schema: StructType, dir: String, codec: Option[String], queryId: String,
     partitionId: Int, taskId: Long, conf: SerializableHadoopConf,
     partitionKeys: Seq[String], epochTag: String = "",
-    bloomCols: Set[String] = Set.empty)
+    bloomCols: Set[String] = Set.empty,
+    maxRowsPerFile: Long = Long.MaxValue)
     extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
   import org.apache.arrow.vector.VectorSchemaRoot
   import org.apache.arrow.vector.ipc.ArrowStreamWriter
@@ -1614,6 +1655,7 @@ private[sources] class ArrowIpcKeyedDataWriter(
   private var tmp: Path = _
   private var n = 0
   private var seq = 0
+  private var fileRows = 0L
   private var curKey: Array[Any] = _ // boxed internal forms; strings cloned
   private val finished = scala.collection.mutable.ArrayBuffer
     .empty[(Path, Path, FileStats)] // (tmp, final, stats)
@@ -1646,6 +1688,7 @@ private[sources] class ArrowIpcKeyedDataWriter(
     writer.start()
     root.allocateNew()
     stats = new ArrowStatsCollector(schema, bloomCols)
+    fileRows = 0L
   }
 
   private def flushBatch(): Unit = {
@@ -1677,6 +1720,13 @@ private[sources] class ArrowIpcKeyedDataWriter(
           case v => v
         }
       }
+    } else if (fileRows >= maxRowsPerFile) {
+      // size-bounded rolling WITHIN a key run: the key did not change, so
+      // the next -g file is still single-valued on the keys (each file
+      // gets its own stats/bloom entry; the scan's one-partition-per-file
+      // grouping merges same-key files back into one task)
+      roll()
+      open()
     }
     var c = 0
     while (c < types.length) {
@@ -1685,6 +1735,7 @@ private[sources] class ArrowIpcKeyedDataWriter(
     }
     stats.update(row)
     n += 1
+    fileRows += 1
     if (n >= BatchRows) flushBatch()
   }
 

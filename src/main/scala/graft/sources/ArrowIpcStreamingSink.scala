@@ -40,10 +40,13 @@ import org.apache.spark.sql.types.StructType
   *
   * The ledger is CORRECTNESS-bearing (unlike the advisory stats
   * manifests): an unparseable ledger fails reads loudly rather than
-  * risking duplicate or missing rows. Writes follow the directory's
-  * single-writer maintenance contract (one active stream, no concurrent
-  * compaction) — the driver is the only ledger writer, so the
-  * read-modify-write needs no locking.
+  * risking duplicate or missing rows. The ledger read-modify-write runs
+  * under the directory's [[ArrowOcc]] commit lock — concurrent
+  * maintenance (which prunes the committed set after a compaction) and
+  * the epoch flip serialize instead of losing updates — and the epoch
+  * commit re-validates its files still exist before flipping, so a
+  * maintenance sweep that raced the epoch fails the batch loudly (Spark
+  * replays it) rather than committing ids that point at deleted files.
   */
 private[graft] object ArrowStreamCommits {
   val LedgerFile = "_stream_commits.json"
@@ -112,12 +115,16 @@ private[graft] object ArrowStreamCommits {
       ledger.forall(_.committed.contains(commitIdOf(name)))
   }
 
-  /** Delete invisible stream files + stray task temps. Safe only under
-    * the single-writer contract (an ACTIVE stream's in-flight epoch
-    * looks exactly like an orphan). Returns the deleted names. */
+  /** Delete PROVABLY-DEAD invisible stream files + stray task temps: an
+    * uncommitted stream file younger than [[ArrowOcc.staleMs]] may be a
+    * concurrent run's IN-FLIGHT epoch (its commit re-validates existence
+    * as a backstop) and is left alone — it is invisible either way, and
+    * a later sweep collects it once it is stale. Returns deleted names. */
   def cleanOrphans(fs: FileSystem, dir: Path): Seq[String] = {
     if (!fs.exists(dir)) return Nil
     val ledger = read(fs, dir)
+    val now = System.currentTimeMillis()
+    val stale = ArrowOcc.staleMs
     // walk nested value directories too (a hive-layout stream lands its
     // epoch files — and crashes its orphans — inside them)
     def walk(at: Path, prefix: String): Seq[String] =
@@ -126,9 +133,10 @@ private[graft] object ArrowStreamCommits {
         if (st.isDirectory) {
           if (n.startsWith("_") || n.startsWith(".")) Nil
           else walk(st.getPath, prefix + n + "/")
-        } else if ((isStreamName(n) &&
+        } else if (((isStreamName(n) &&
             !ledger.exists(_.committed.contains(commitIdOf(n)))) ||
-          (n.startsWith(".part-") && n.endsWith(".tmp"))) Seq(prefix + n)
+          (n.startsWith(".part-") && n.endsWith(".tmp"))) &&
+          now - st.getModificationTime > stale) Seq(prefix + n)
         else Nil
       }
     val orphans = walk(dir, "")
@@ -208,31 +216,33 @@ private[sources] class ArrowIpcStreamingWrite(
     // nested files visible, or a concurrent reader would glob the flat
     // root and miss them
     if (hiveKeys.nonEmpty) ArrowHiveLayout.write(fs, dirPath, hiveKeys)
-    ArrowStreamCommits.ensure(fs, dirPath) // before ANY data file exists
-    ArrowStreamCommits.cleanOrphans(fs, dirPath)
-    // HEAL the snapshot log: a prior run that crashed between its
-    // ledger flip (files live) and its snapshot append left committed
-    // files history never recorded — fold the log and append the
-    // stragglers as one entry, so time travel sees every live committed
-    // file. A damaged log skips the heal (travel already refuses
-    // loudly); the live path is unaffected either way.
-    scala.util.Try {
-      val snaps = ArrowSnapshots.read(fs, dirPath)
-      val state = snaps.lastOption
-        .flatMap(l => ArrowSnapshots.resolve(snaps, l.id)).getOrElse(Set.empty)
-      val visible = ArrowStreamCommits.visibleFilter(fs, dirPath)
-      val missing = ArrowSnapshots.listDataFiles(fs, dirPath)
-        .filter(rel => visible(new Path(rel).getName) && !state(rel))
-      if (missing.nonEmpty)
-        ArrowSnapshots.append(fs, dirPath, missing, Nil)
+    ArrowOcc.withCommitLock(fs, dirPath) {
+      ArrowStreamCommits.ensure(fs, dirPath) // before ANY data file exists
+      ArrowStreamCommits.cleanOrphans(fs, dirPath)
+      // HEAL the snapshot log: a prior run that crashed between its
+      // ledger flip (files live) and its snapshot append left committed
+      // files history never recorded — fold the log and append the
+      // stragglers as one entry, so time travel sees every live committed
+      // file. A damaged log skips the heal (travel already refuses
+      // loudly); the live path is unaffected either way.
+      scala.util.Try {
+        val snaps = ArrowSnapshots.read(fs, dirPath)
+        val state = snaps.lastOption
+          .flatMap(l => ArrowSnapshots.resolve(snaps, l.id)).getOrElse(Set.empty)
+        val visible = ArrowStreamCommits.visibleFilter(fs, dirPath)
+        val missing = ArrowSnapshots.listDataFiles(fs, dirPath)
+          .filter(rel => visible(new Path(rel).getName) && !state(rel))
+        if (missing.nonEmpty)
+          ArrowSnapshots.append(fs, dirPath, missing, Nil)
+      }
+      val sentinel = new Path(dirPath, "_schema.arrows")
+      if (!fs.exists(sentinel))
+        ArrowInterchange.writeSentinel(fs.create(sentinel, true), schema)
+      // the empty (or prior) state IS committed — uncommitted epoch files
+      // are invisible via the ledger, so the gate can stay green
+      // throughout (unless a live batch append holds the latch down)
+      ArrowOcc.restoreLatch(fs, dirPath)
     }
-    val sentinel = new Path(dirPath, "_schema.arrows")
-    if (!fs.exists(sentinel))
-      ArrowInterchange.writeSentinel(fs.create(sentinel, true), schema)
-    // the empty (or prior) state IS committed — uncommitted epoch files
-    // are invisible via the ledger, so the gate can stay green throughout
-    val success = new Path(dirPath, "_SUCCESS")
-    if (!fs.exists(success)) fs.create(success, true).close()
     new ArrowIpcStreamingWriterFactory(schema, dir, codec, runNonce,
       new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration),
       partitionKeys, bloomCols, hiveKeys)
@@ -240,9 +250,24 @@ private[sources] class ArrowIpcStreamingWrite(
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val (fs, dirPath) = fsAndDir()
+    ArrowOcc.withCommitLock(fs, dirPath) {
     val fresh = messages.collect { case ArrowIpcCommitMessage(files) =>
       files.map { case (path, st) => new Path(path).getName -> st }
     }.flatten.toMap
+    // conflict backstop: a concurrent maintenance sweep that (wrongly
+    // young staleness, operator intervention) deleted an in-flight file
+    // must fail the batch HERE — committing its id would put deleted
+    // files in the ledger. Spark replays the failed batch from the
+    // checkpoint with fresh writes; exactly-once holds.
+    val swept = messages.collect { case ArrowIpcCommitMessage(files) =>
+      files.collect { case (path, _) if !fs.exists(new Path(path)) => path }
+    }.flatten
+    if (swept.nonEmpty)
+      throw new IllegalStateException(
+        s"arrow-ipc stream sink: ${swept.size} file(s) of epoch $epochId " +
+          s"vanished before the ledger flip (first: ${swept.head}) — a " +
+          "concurrent sweep removed in-flight files; failing the batch " +
+          "so the replay rewrites them")
     val ledger = ArrowStreamCommits.read(fs, dirPath).getOrElse(
       throw new IllegalStateException(
         s"arrow-ipc stream sink: ledger ${ArrowStreamCommits.LedgerFile} " +
@@ -292,8 +317,8 @@ private[sources] class ArrowIpcStreamingWrite(
         ArrowSnapshots.relativize(fs, dirPath, new Path(path)) }
     }.flatten
     ArrowSnapshots.append(fs, dirPath, rels.toSeq, Nil)
-    val success = new Path(dirPath, "_SUCCESS")
-    if (!fs.exists(success)) fs.create(success, true).close()
+    ArrowOcc.restoreLatch(fs, dirPath)
+    } // withCommitLock
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {

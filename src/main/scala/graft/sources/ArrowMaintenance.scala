@@ -36,13 +36,20 @@ import org.apache.spark.sql.SparkSession
   * deletes of already-deleted files no-op, and the manifest merge is a
   * fixed point, so replaying any prefix twice is safe.
   *
-  * Like any file-level maintenance job, compaction assumes NO CONCURRENT
-  * WRITER on the directory (concurrent readers are safe — they either see
-  * the complete old state or refuse during the swap).
+  * CONCURRENT WRITERS are serialized through [[ArrowOcc]]: staging is
+  * lock-free, the swap (intent → latch → replay) runs under the
+  * directory's commit lock, and the swap first validates every file it
+  * replaces is still live — a concurrent commit that removed one first
+  * wins, and this run retries from the new state (bounded; see
+  * [[retryOnConflict]]). Only COMMITTED, non-in-flight files are ever
+  * listed as replaceable: uncommitted stream epochs hide behind the
+  * ledger filter and in-flight batch appends behind their pending
+  * markers. Concurrent readers are safe throughout — they either see the
+  * complete old state or refuse during the swap.
   */
 object ArrowMaintenance {
-  private val IntentFile = "_compaction.json"
-  private val DeleteIntentFile = "_delete.json"
+  private[sources] val IntentFile = "_compaction.json"
+  private[sources] val DeleteIntentFile = "_delete.json"
   private[graft] val LineageFile = "_lineage.json"
 
   /** Outcome of a [[compact]] run: how many files went in and came out. */
@@ -55,22 +62,28 @@ object ArrowMaintenance {
     * choice for data cold enough to compact); None keeps it uncompressed. */
   def compact(spark: SparkSession, dir: String,
       targetBytes: Long = 128L << 20,
-      codec: Option[String] = None): Option[CompactionResult] = {
+      codec: Option[String] = None): Option[CompactionResult] =
+    retryOnConflict("compact")(compactOnce(spark, dir, targetBytes, codec))
+
+  private def compactOnce(spark: SparkSession, dir: String,
+      targetBytes: Long,
+      codec: Option[String]): Option[CompactionResult] = {
     require(targetBytes >= 1, "targetBytes must be >= 1")
     val dirPath = new Path(dir)
     val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     recover(spark, dir) // finish any crashed swap before touching anything
-    // clear staging dirs from runs that died BEFORE recording intent
-    // (compaction's own, and any copy-on-write rewrite's)
-    Option(fs.globStatus(new Path(dir, ".compact-*")))
-      .getOrElse(Array.empty).foreach(st => fs.delete(st.getPath, true))
-    Option(fs.globStatus(new Path(dir, ".cow-*")))
-      .getOrElse(Array.empty).foreach(st => fs.delete(st.getPath, true))
+    // clear staging dirs from runs that PROVABLY died before recording
+    // intent (compaction's own, and any copy-on-write rewrite's) — a
+    // young dir may be a concurrent run mid-stage and is left alone
+    ArrowOcc.sweepStaleStaging(fs, dirPath, ".compact-*")
+    ArrowOcc.sweepStaleStaging(fs, dirPath, ".cow-*")
     // crashed-epoch stream orphans are INVISIBLE to the staging read, so
     // they must not survive into `olds` either (deleting a file whose rows
     // were never staged would be fine; recording it as a lineage PARENT of
     // files that don't carry its rows would poison streaming absorption) —
-    // sweep them first, under the same no-concurrent-writer contract
+    // sweep the provably-dead ones, and keep the rest out of `olds` via
+    // [[replaceableFilter]] (an in-flight epoch's files are fresh AND
+    // uncommitted — both fences exclude them)
     ArrowStreamCommits.cleanOrphans(fs, dirPath)
     // hive-partitioned directories nest files under value subdirs and
     // need the partition columns routed back out — their own staging path
@@ -78,18 +91,30 @@ object ArrowMaintenance {
     if (hiveKeys.nonEmpty)
       return compactHive(spark, dirPath, fs, hiveKeys, targetBytes, codec)
 
+    val replaceable = replaceableFilter(fs, dirPath)
     val olds = Option(fs.globStatus(new Path(dir, "part-*.arrows")))
       .getOrElse(Array.empty)
+      .filter(st => replaceable(st.getPath.getName))
     if (olds.length <= 1) return None
 
-    // STAGE: a complete new dataset in a hidden subdir
+    // STAGE: a complete new dataset in a hidden subdir. The read is
+    // restricted to exactly `olds` by static `_file` pushdown: a file
+    // committed by a CONCURRENT writer after the listing must neither be
+    // staged (its rows would duplicate when it survives the swap) nor
+    // replaced (it is not in `olds`).
     val id = java.util.UUID.randomUUID.toString.take(8)
     val staging = s".compact-$id"
     // clamp: ceil(bytes/target) can exceed Int for tiny targets over huge
     // dirs — coalesce only ever reduces, so the clamp is harmless
     val n = math.min(Int.MaxValue.toLong,
       math.max(1L, (olds.map(_.getLen).sum + targetBytes - 1) / targetBytes))
-    val df = spark.read.format("arrow-ipc").load(dir).coalesce(n.toInt)
+    val oldPaths = olds.map(st =>
+      fs.makeQualified(st.getPath).toString).toSeq
+    val df = spark.read.format("arrow-ipc").load(dir)
+      .filter(org.apache.spark.sql.functions.col(ArrowRowLevel.FileColumn)
+        .isin(oldPaths: _*))
+      .drop(ArrowRowLevel.FileColumn)
+      .coalesce(n.toInt)
     ArrowInterchange.writeStream(df,
       new Path(dirPath, staging).toString, codec = codec,
       bloomCols = standingBlooms(fs, dirPath, df.schema.fieldNames, Nil))
@@ -101,13 +126,64 @@ object ArrowMaintenance {
     // this run replaces, nor with a previous compaction's output
     val moves = staged.map(s => s -> s.replace(".arrows", s"-compact-$id.arrows")).toMap
 
-    // SWAP: intent first, then the latch
-    writeIntent(fs, dirPath,
+    // SWAP: serialized, validated, crash-safe
+    commitSwap(fs, dirPath,
       Intent(olds.map(_.getPath.getName).toSeq.sorted, staging, moves))
-    fs.delete(new Path(dirPath, "_SUCCESS"), false)
-    replay(fs, dirPath)
     Some(CompactionResult(olds.length, staged.length))
   }
+
+  /** Which live-listed files a maintenance rewrite may replace: committed
+    * stream files only (the ledger filter hides uncommitted epochs) and
+    * no file of an IN-FLIGHT batch append (its `_pending-<queryId>`
+    * marker is live and the file name embeds that queryId). Both fences
+    * resolve once per call — O(1) per file name after that. */
+  private def replaceableFilter(fs: FileSystem, dirPath: Path)
+      : String => Boolean = {
+    val visible = ArrowStreamCommits.visibleFilter(fs, dirPath)
+    val pending = ArrowOcc.livePendingQueryIds(fs, dirPath)
+    name => visible(name) &&
+      !pending.exists(q => name.stripSuffix(".arrows").endsWith(q))
+  }
+
+  /** Bounded conflict-retry for maintenance rewrites: a lost commit race
+    * re-runs the whole op against the new state ([[commitSwap]] already
+    * cleaned the loser's staging). */
+  private def retryOnConflict[T](what: String, attempts: Int = 3)(
+      body: => T): T = {
+    var last: ArrowOcc.CommitConflictException = null
+    var i = 0
+    while (i < attempts) {
+      try return body
+      catch { case e: ArrowOcc.CommitConflictException => last = e; i += 1 }
+    }
+    throw last
+  }
+
+  /** Test seam: fires after staging, immediately before a swap tries to
+    * commit — the one instant a concurrent commit can deterministically
+    * be interleaved. No-op outside specs. */
+  private[graft] var beforeSwapHook: () => Unit = () => ()
+
+  /** The serialized swap: under the directory's commit lock, validate
+    * every replaced file is still live, then intent → latch → replay. A
+    * conflict deletes this run's staging and rethrows for the caller's
+    * retry. */
+  private def commitSwap(fs: FileSystem, dirPath: Path,
+      intent: Intent): Unit =
+    try {
+      beforeSwapHook()
+      ArrowOcc.withCommitLock(fs, dirPath) {
+      ArrowOcc.validateOldsLive(fs, dirPath, intent.olds,
+        s"${intent.kind} swap")
+      writeIntent(fs, dirPath, intent)
+      fs.delete(new Path(dirPath, "_SUCCESS"), false)
+      replay(fs, dirPath)
+      }
+    } catch {
+      case e: ArrowOcc.CommitConflictException =>
+        fs.delete(new Path(dirPath, intent.staging), true)
+        throw e
+    }
 
   /** Standing bloom columns: every schema column any live manifest entry
     * carries a bloom for, minus `exclude` (partition keys are path-borne)
@@ -145,7 +221,9 @@ object ArrowMaintenance {
   private def compactHive(spark: SparkSession, dirPath: Path, fs: FileSystem,
       hiveKeys: Seq[String], targetBytes: Long,
       codec: Option[String]): Option[CompactionResult] = {
+    val replaceable = replaceableFilter(fs, dirPath)
     val all = walkFiles(fs, dirPath)
+      .filter(o => replaceable(new Path(o._1).getName))
     // INCREMENTAL by construction: files never combine ACROSS value
     // directories, so only directories holding ≥ 2 files have any work —
     // every other directory's files are left completely untouched (not
@@ -225,9 +303,7 @@ object ArrowMaintenance {
         p.getName.stripSuffix(".arrows") + s"-compact-$id.arrows").toString
     }.toMap
 
-    writeIntent(fs, dirPath, Intent(olds.sorted, staging, moves))
-    fs.delete(new Path(dirPath, "_SUCCESS"), false)
-    replay(fs, dirPath)
+    commitSwap(fs, dirPath, Intent(olds.sorted, staging, moves))
     CompactionResult(olds.length, staged.length)
   }
 
@@ -250,16 +326,26 @@ object ArrowMaintenance {
       targetBytes: Long = 128L << 20,
       codec: Option[String] = None,
       withSortColumns: org.apache.spark.sql.DataFrame =>
-        org.apache.spark.sql.DataFrame = identity): Option[CompactionResult] = {
+        org.apache.spark.sql.DataFrame = identity,
+      where: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+      : Option[CompactionResult] =
+    retryOnConflict("cluster")(
+      clusterOnce(spark, dir, sortCols, targetBytes, codec, withSortColumns,
+        where))
+
+  private def clusterOnce(spark: SparkSession, dir: String,
+      sortCols: Seq[String], targetBytes: Long, codec: Option[String],
+      withSortColumns: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame,
+      where: Array[org.apache.spark.sql.sources.Filter])
+      : Option[CompactionResult] = {
     require(targetBytes >= 1, "targetBytes must be >= 1")
     require(sortCols.nonEmpty, "cluster: at least one sort column")
     val dirPath = new Path(dir)
     val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     recover(spark, dir)
-    Option(fs.globStatus(new Path(dir, ".compact-*")))
-      .getOrElse(Array.empty).foreach(st => fs.delete(st.getPath, true))
-    Option(fs.globStatus(new Path(dir, ".cow-*")))
-      .getOrElse(Array.empty).foreach(st => fs.delete(st.getPath, true))
+    ArrowOcc.sweepStaleStaging(fs, dirPath, ".compact-*")
+    ArrowOcc.sweepStaleStaging(fs, dirPath, ".cow-*")
     ArrowStreamCommits.cleanOrphans(fs, dirPath)
 
     val schema = ArrowInterchange.readSchema(spark, dir)
@@ -267,17 +353,33 @@ object ArrowMaintenance {
     sortCols.foreach(c => require(!hiveKeys.contains(c),
       s"cluster: '$c' is a hive partition key — every value directory is " +
         "already single-valued on it; cluster by a data column"))
-    val olds = walkFiles(fs, dirPath)
+    // SCOPE — the `OPTIMIZE WHERE` analog: with `where` given, only files
+    // that MAY contain matching rows (stats/partition-value interval test;
+    // a stats-less file conservatively scopes IN) are rewritten, and the
+    // rewrite clusters exactly those files' rows among themselves — every
+    // out-of-scope file keeps its name, bytes and manifest entry. At
+    // 100 TB this turns "a global sort is a global decision" into an
+    // operation scoped to the partitions that actually need it.
+    val olds = scopedOlds(spark, fs, dirPath, where)
     if (olds.isEmpty) return None
     val id = java.util.UUID.randomUUID.toString.take(8)
     val staging = s".compact-$id"
     val n = math.min(Int.MaxValue.toLong, math.max(1L,
       (olds.map(_._2).sum + targetBytes - 1) / targetBytes)).toInt
     import org.apache.spark.sql.functions.col
+    // The staging read is restricted to exactly `olds` by static `_file`
+    // pushdown — a file committed by a CONCURRENT writer after the scope
+    // listing is neither staged (no duplicate rows) nor replaced, and a
+    // scoped run reads only the in-scope files to begin with.
+    val oldPaths = olds.map(o =>
+      fs.makeQualified(new Path(dirPath, o._1)).toString)
+    val restricted = spark.read.format("arrow-ipc").load(dir)
+      .filter(col(ArrowRowLevel.FileColumn).isin(oldPaths: _*))
+      .drop(ArrowRowLevel.FileColumn)
     // `withSortColumns` derives SYNTHETIC sort dimensions (the z-value of
     // [[clusterZOrdered]]); anything it adds orders the rewrite and is
     // dropped before staging — data files carry the table schema only
-    val base = withSortColumns(spark.read.format("arrow-ipc").load(dir))
+    val base = withSortColumns(restricted)
     sortCols.foreach(c => require(base.columns.contains(c),
       s"cluster: sort column '$c' is neither in the schema " +
         s"(${schema.fieldNames.mkString(", ")}) nor derived by withSortColumns"))
@@ -307,11 +409,32 @@ object ArrowMaintenance {
         .getOrElse(Array.empty).map(_.getPath.getName).sorted
       val moves = staged.map(s =>
         s -> s.replace(".arrows", s"-compact-$id.arrows")).toMap
-      writeIntent(fs, dirPath,
+      commitSwap(fs, dirPath,
         Intent(olds.map(_._1).sorted, staging, moves))
-      fs.delete(new Path(dirPath, "_SUCCESS"), false)
-      replay(fs, dirPath)
       Some(CompactionResult(olds.length, staged.length))
+    }
+  }
+
+  /** The files a (possibly scoped) rewrite replaces: live, committed,
+    * not in-flight, and — when `where` is given — not provably free of
+    * matching rows. Classification is the same exact-or-conservative
+    * stats test the metadata DELETE uses, with hive partition values
+    * spliced in; "no stats" scopes IN (the file may match). Returns
+    * (relative path, length) pairs. */
+  private def scopedOlds(spark: SparkSession, fs: FileSystem, dirPath: Path,
+      where: Array[org.apache.spark.sql.sources.Filter])
+      : Seq[(String, Long)] = {
+    val replaceable = replaceableFilter(fs, dirPath)
+    val all = ArrowSnapshots.listDataFileStatuses(fs, dirPath)
+      .filter { case (rel, _) => replaceable(new Path(rel).getName) }
+      .map { case (rel, st) => (rel, st.getLen) }
+    if (where.isEmpty) all
+    else {
+      val (_, stats) = liveWithStats(spark, dirPath)
+      all.filter { case (rel, _) =>
+        stats.get(new Path(rel).getName)
+          .forall(st => where.forall(ArrowFileStats.canMatch(_, st)))
+      }
     }
   }
 
@@ -327,10 +450,28 @@ object ArrowMaintenance {
   def clusterZOrdered(spark: SparkSession, dir: String,
       colA: String, colB: String, bits: Int = 12,
       targetBytes: Long = 128L << 20,
-      codec: Option[String] = None): Option[CompactionResult] = {
-    require(colA != colB, "clusterZOrdered: two distinct columns")
+      codec: Option[String] = None): Option[CompactionResult] =
+    clusterZOrderedN(spark, dir, Seq(colA, colB), bits, targetBytes, codec)
+
+  /** N-dimensional z-ordered rewrite (round 10): [[clusterZOrdered]]
+    * generalized to any 2..K numeric dimensions with `K*bits <= 63` —
+    * each file covers a small hyper-rectangle of the K-column space, so
+    * manifest min/max pruning is selective on EVERY listed column at
+    * once. Dates/timestamps ride their numeric internal forms (cast in a
+    * view or derive a column first); everything else — scoped `where`,
+    * crash-safe swap, OCC commit, hive within-directory clustering — is
+    * [[cluster]]'s contract. */
+  def clusterZOrderedN(spark: SparkSession, dir: String,
+      cols: Seq[String], bits: Int = 12,
+      targetBytes: Long = 128L << 20,
+      codec: Option[String] = None,
+      where: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+      : Option[CompactionResult] = {
+    require(cols.distinct.length == cols.length,
+      s"clusterZOrdered: duplicate dimension in ${cols.mkString(", ")}")
+    require(cols.length >= 2, "clusterZOrdered: at least two dimensions")
     val schema = ArrowInterchange.readSchema(spark, dir)
-    Seq(colA, colB).foreach { c =>
+    cols.foreach { c =>
       val f = schema.fields.find(_.name == c).getOrElse(
         throw new IllegalArgumentException(
           s"clusterZOrdered: column '$c' not in schema " +
@@ -339,22 +480,27 @@ object ArrowMaintenance {
         s"clusterZOrdered: column '$c' is ${f.dataType} — the Morton " +
           "interleave needs numeric dimensions (cast dates/timestamps first)")
     }
-    val reserved = Seq("__la", "__ha", "__lb", "__hb", "__z")
+    val los = cols.indices.map(i => s"__lo$i")
+    val his = cols.indices.map(i => s"__hi$i")
+    val reserved = (los ++ his :+ "__z")
     require(!schema.fieldNames.exists(reserved.contains),
       s"clusterZOrdered: schema collides with internal names $reserved")
     import org.apache.spark.sql.functions._
     cluster(spark, dir, Seq("__z"), targetBytes, codec, withSortColumns = {
       base =>
-        val stats = base.agg(
-          min(col(colA)).as("__la"), max(col(colA)).as("__ha"),
-          min(col(colB)).as("__lb"), max(col(colB)).as("__hb"))
+        // ONE broadcast 1-row global-bounds pass (scoped runs compute
+        // bounds over the in-scope rows only — exactly the space the
+        // rewrite redistributes)
+        val bounds = cols.indices.flatMap(i => Seq(
+          min(col(cols(i))).as(los(i)), max(col(cols(i))).as(his(i))))
+        val stats = base.agg(bounds.head, bounds.tail: _*)
         base.crossJoin(broadcast(stats))
-          .withColumn("__z", graft.sources.Sinks.zValue2(
-            graft.sources.Sinks.scaleToBits(col(colA), col("__la"), col("__ha"), bits),
-            graft.sources.Sinks.scaleToBits(col(colB), col("__lb"), col("__hb"), bits),
+          .withColumn("__z", graft.sources.Sinks.zValueN(
+            cols.indices.map(i => graft.sources.Sinks.scaleToBits(
+              col(cols(i)), col(los(i)), col(his(i)), bits)),
             bits))
-          .drop("__la", "__ha", "__lb", "__hb")
-    })
+          .drop(los ++ his: _*)
+    }, where = where)
   }
 
   /** The copy-on-write commit tail (used by the row-level UPDATE/MERGE/
@@ -366,12 +512,13 @@ object ArrowMaintenance {
     * standing key-grouped claim the clustered rewrite preserved. */
   private[graft] def cowSwap(fs: FileSystem, dirPath: Path, olds: Seq[String],
       staging: String, moves: Map[String, String],
-      layoutKeys: Seq[String]): Unit = {
-    writeIntent(fs, dirPath,
+      layoutKeys: Seq[String]): Unit =
+    // no retry here: the staged rows came from an executed ReplaceData
+    // plan — a lost race means the snapshot that plan read is gone, and
+    // only the user can decide to re-run the STATEMENT; the conflict
+    // surfaces as the DML's failure (staging already cleaned)
+    commitSwap(fs, dirPath,
       Intent(olds.sorted, staging, moves, "cow", layoutKeys))
-    fs.delete(new Path(dirPath, "_SUCCESS"), false)
-    replay(fs, dirPath)
-  }
 
   /** Outcome of [[expireSnapshots]]. */
   case class ExpireResult(dropped: Int, trashDeleted: Int)
@@ -388,6 +535,7 @@ object ArrowMaintenance {
     val dirPath = new Path(dir)
     val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     recover(spark, dir) // a half-swapped directory must finish first
+    ArrowOcc.withCommitLock(fs, dirPath) {
     val snaps = ArrowSnapshots.read(fs, dirPath)
     val base = snaps.find(_.id == keepFrom).getOrElse(
       throw new IllegalArgumentException(
@@ -420,6 +568,7 @@ object ArrowMaintenance {
     }
     if (fs.exists(trashRoot)) clean(trashRoot)
     ExpireResult(dropped, deleted)
+    } // withCommitLock: expiry is one serialized commit like any other
   }
 
   /** Delete crashed-epoch leftovers of the streaming sink: stream-named
@@ -439,11 +588,19 @@ object ArrowMaintenance {
   def recover(spark: SparkSession, dir: String): Boolean = {
     val dirPath = new Path(dir)
     val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val compacting = fs.exists(new Path(dirPath, IntentFile))
-    val deleting = fs.exists(new Path(dirPath, DeleteIntentFile))
-    if (compacting) replay(fs, dirPath)
-    if (deleting) replayDelete(fs, dirPath)
-    compacting || deleting
+    // cheap unlocked probe first — recover() runs at the head of every
+    // maintenance op and scan-side callers, and the common case is "no
+    // intent"; when one exists, re-check and replay under the lock (the
+    // dead holder's lock breaks after the staleness window)
+    if (!fs.exists(new Path(dirPath, IntentFile)) &&
+        !fs.exists(new Path(dirPath, DeleteIntentFile))) return false
+    ArrowOcc.withCommitLock(fs, dirPath) {
+      val compacting = fs.exists(new Path(dirPath, IntentFile))
+      val deleting = fs.exists(new Path(dirPath, DeleteIntentFile))
+      if (compacting) replay(fs, dirPath)
+      if (deleting) replayDelete(fs, dirPath)
+      compacting || deleting
+    }
   }
 
   // ── metadata-level DELETE ────────────────────────────────────────────────
@@ -479,17 +636,24 @@ object ArrowMaintenance {
     val dirPath = new Path(dir)
     val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     recover(spark, dir) // finish any crashed swap before classifying
-    val (doomed, total) = classify(spark, dir, filters).getOrElse(
-      throw new UnsupportedOperationException(
-        s"arrow-ipc: cannot delete from $dir by metadata alone — " +
-          s"[${filters.mkString(", ")}] does not provably select whole " +
-          "files (a file straddles the predicate, or lacks stats); " +
-          "rewrite the data instead"))
-    if (doomed.isEmpty) return DeleteResult(0, total)
-    writeDeleteIntent(fs, dirPath, doomed.map(_.toString).toSeq.sorted)
-    fs.delete(new Path(dirPath, "_SUCCESS"), false)
-    replayDelete(fs, dirPath)
-    DeleteResult(doomed.length, total - doomed.length)
+    // classification is driver-side metadata only (stats lookups), so the
+    // WHOLE delete — classify through replay — fits under the commit
+    // lock: the doomed set cannot go stale, and no conflict is possible
+    ArrowOcc.withCommitLock(fs, dirPath) {
+      val (doomed, total) = classify(spark, dir, filters).getOrElse(
+        throw new UnsupportedOperationException(
+          s"arrow-ipc: cannot delete from $dir by metadata alone — " +
+            s"[${filters.mkString(", ")}] does not provably select whole " +
+            "files (a file straddles the predicate, or lacks stats); " +
+            "rewrite the data instead"))
+      if (doomed.isEmpty) DeleteResult(0, total)
+      else {
+        writeDeleteIntent(fs, dirPath, doomed.map(_.toString).toSeq.sorted)
+        fs.delete(new Path(dirPath, "_SUCCESS"), false)
+        replayDelete(fs, dirPath)
+        DeleteResult(doomed.length, total - doomed.length)
+      }
+    }
   }
 
   /** All live data files (flat or hive layout) with the stats VIEW the
@@ -502,7 +666,10 @@ object ArrowMaintenance {
   private def liveWithStats(spark: SparkSession, dirPath: Path)
       : (Array[Path], Map[String, FileStats]) = {
     val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val visible = ArrowStreamCommits.visibleFilter(fs, dirPath)
+    // committed files only: uncommitted stream epochs AND in-flight batch
+    // appends are invisible to maintenance decisions — they serialize
+    // AFTER whatever this classification commits
+    val visible = replaceableFilter(fs, dirPath)
     val hiveKeys = ArrowHiveLayout.read(fs, dirPath)
     val stats = ArrowFileStats.read(fs, dirPath)
     if (hiveKeys.isEmpty) {
@@ -582,7 +749,9 @@ object ArrowMaintenance {
             Option(fs.listStatus(d)).forall(_.isEmpty))
           fs.delete(d, false)
       }
-    fs.create(new Path(dirPath, "_SUCCESS"), true).close()
+    // latch restore defers to any batch append still in flight — ITS
+    // commit restores once no pending marker remains
+    ArrowOcc.restoreLatch(fs, dirPath)
     fs.delete(new Path(dirPath, DeleteIntentFile), false)
   }
 
@@ -699,8 +868,9 @@ object ArrowMaintenance {
       if (keep != led.committed)
         ArrowStreamCommits.write(fs, dirPath, led.copy(committed = keep))
     }
-    // (f) restore the latch, clear the intent + staging
-    fs.create(new Path(dirPath, "_SUCCESS"), true).close()
+    // (f) restore the latch (unless a live batch append owns it — its
+    // commit restores), clear the intent + staging
+    ArrowOcc.restoreLatch(fs, dirPath)
     fs.delete(new Path(dirPath, IntentFile), false)
     fs.delete(stagingPath, true)
   }

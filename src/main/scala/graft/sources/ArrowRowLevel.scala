@@ -162,7 +162,11 @@ private[sources] class ArrowCowOperation(
   * hidden dataset via the ordinary batch write (pointed at `.cow-<id>/`,
   * clustered on the standing layout keys, standing bloom columns
   * preserved), then commits with the crash-safe [[ArrowMaintenance
-  * .cowSwap]]. Same NO CONCURRENT WRITER contract as all maintenance. */
+  * .cowSwap]] — serialized and validated under [[ArrowOcc]]: a
+  * concurrent commit that removed any file this statement rewrites wins,
+  * and the statement fails with a CommitConflictException (its staged
+  * rows came from an executed plan over a snapshot that no longer
+  * exists — only the user can re-run it). */
 private[sources] class ArrowCowWrite(
     op: ArrowCowOperation, schema: StructType, dir: String,
     writeInfo: LogicalWriteInfo)
@@ -214,11 +218,12 @@ private[sources] class ArrowCowWrite(
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val f = fs
-    // finish any dead swap, then clear staging dirs of runs that died
-    // before recording intent — BEFORE creating this run's staging dir
+    // finish any dead swap, then clear staging dirs of runs that
+    // PROVABLY died before recording intent (a younger `.cow-*` may be a
+    // concurrent DML mid-stage — the commit-time validation, not the
+    // sweep, arbitrates between us) — BEFORE creating this run's staging
     ArrowMaintenance.recover(SparkSession.active, dir)
-    Option(f.globStatus(new Path(dir, ".cow-*")))
-      .getOrElse(Array.empty).foreach(st => f.delete(st.getPath, true))
+    ArrowOcc.sweepStaleStaging(f, dirPath, ".cow-*")
     inner.createBatchWriterFactory(info)
   }
 

@@ -92,6 +92,26 @@ object Sinks {
     }.reduce(_ + _)
   }
 
+  /** Z-order (Morton) value of N integer dimensions, each already scaled
+    * to [0, 2^bits): bit `i` of dimension `j` lands at interleaved
+    * position `i*N + (N-1-j)`, so consecutive z-values stay close in ALL
+    * N dimensions at once — the N-ary generalization of [[zValue2]]
+    * (which it reproduces bit-for-bit at N=2). Total interleaved width
+    * `N*bits` must fit a positive long. */
+  def zValueN(dims: Seq[org.apache.spark.sql.Column], bits: Int)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val k = dims.length
+    require(k >= 2, "zValueN: at least two dimensions")
+    require(bits >= 1 && k * bits <= 63,
+      s"zValueN: $k dims × $bits bits = ${k * bits} interleaved bits — " +
+        "must stay within a positive long (≤ 63)")
+    (for { i <- 0 until bits; j <- 0 until k } yield {
+      val pos = i * k + (k - 1 - j)
+      shiftright(dims(j), i).bitwiseAND(lit(1)).cast("long") * lit(1L << pos)
+    }).reduce(_ + _)
+  }
+
   /** Min/max-scale a raw numeric column into [0, 2^bits) given broadcast
     * global bounds (`lo`/`hi` columns from a 1-row stats frame). */
   def scaleToBits(v: org.apache.spark.sql.Column, lo: org.apache.spark.sql.Column,

@@ -183,14 +183,20 @@ class ArrowDsv2Spec extends AnyFunSuite {
     val q = back.filter(col("id") < 1000)
     assert(q.count() === 1000)
     assert(scanDesc(q).contains("files=1/4"), scanDesc(q))
-    // refusals: layouts roll by key runs; streaming epochs by the trigger
-    val e1 = intercept[Exception] {
-      spark.range(10).selectExpr("id", "cast(id % 2 as string) k")
-        .write.format("arrow-ipc").mode("overwrite")
-        .option("maxRecordsPerFile", 5)
-        .option("hivePartitionKeys", "k").save(tmp("graft_roll_hive"))
-    }
-    assert(e1.getMessage.contains("maxRecordsPerFile"))
+    // layouts COMPOSE with the roll (round 10): a hive write rolls within
+    // each value directory — key runs and the row bound both cap files
+    // (ArrowHiveSpec covers the full hive-roll contract)
+    val hiveDir = tmp("graft_roll_hive")
+    spark.range(20).selectExpr("id", "cast(id % 2 as string) k")
+      .coalesce(1).sortWithinPartitions("k", "id")
+      .write.format("arrow-ipc").mode("overwrite")
+      .option("maxRecordsPerFile", 5)
+      .option("hivePartitionKeys", "k").save(hiveDir)
+    val hiveRels = graft.sources.ArrowSnapshots.listDataFiles(
+      fs, new org.apache.hadoop.fs.Path(hiveDir))
+    assert(hiveRels.groupBy(_.split("/").head).forall(_._2.size === 2),
+      s"10 rows per value dir / 5 per file = 2 files each, got $hiveRels")
+    assert(spark.read.format("arrow-ipc").load(hiveDir).count() === 20)
   }
 
   test("stats-pruning: IsNull/IsNotNull prune on null counts; append merges stats") {

@@ -345,6 +345,40 @@ class ArrowHiveSpec extends AnyFunSuite {
     }
   }
 
+  test("maxRecordsPerFile rolls within a value directory; each file carries stats") {
+    val df = (0 until 300).map(i => (i.toLong, s"g${i % 2}", s"payload$i"))
+      .toDF("id", "grp", "body")
+    val dir = tmp("graft_hive_roll")
+    // one task per key run (coalesce 1 + sort) so rolling, not task
+    // parallelism, is what bounds the files
+    df.coalesce(1).sortWithinPartitions("grp", "id")
+      .write.format("arrow-ipc")
+      .option("hivePartitionKeys", "grp")
+      .option("maxRecordsPerFile", 40)
+      .mode("overwrite").save(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rels = graft.sources.ArrowSnapshots.listDataFiles(
+      fs, new org.apache.hadoop.fs.Path(dir))
+    // 150 rows per value dir / 40 per file = 4 files in each
+    val byDir = rels.groupBy(r => r.split("/").head)
+    assert(byDir.keySet === Set("grp=g0", "grp=g1"))
+    byDir.values.foreach(fsn => assert(fsn.size === 4,
+      s"expected 4 rolled files per value dir, got ${fsn.size}"))
+    // every rolled file has its own manifest entry, and the sorted roll
+    // gives disjoint id intervals → an id range prunes files WITHIN dirs
+    val stats = graft.sources.ArrowFileStats.read(
+      fs, new org.apache.hadoop.fs.Path(dir))
+    assert(rels.map(r => r.split("/").last).forall(stats.contains))
+    val q = spark.read.format("arrow-ipc").load(dir).filter(col("id") <= 50L)
+    val m = "files=(\\d+)/(\\d+)".r.findFirstMatchIn(scanDesc(q)).get
+    assert(m.group(1).toInt < m.group(2).toInt, s"rolled files must prune (${m.matched})")
+    // round-trip integrity
+    val back = spark.read.format("arrow-ipc").load(dir)
+    assert(back.count() === 300)
+    assert(back.select("id").distinct().count() === 300)
+  }
+
   test("escape/unescape round-trips the reserved set") {
     val hostile = "a/b\\c:d*e?f\"g<h>i|j=k%l#m{n}o[p]q'rs"
     assert(ArrowHiveLayout.unescape(ArrowHiveLayout.escape(hostile)) === hostile)

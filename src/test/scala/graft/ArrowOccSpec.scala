@@ -1,0 +1,243 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{ArrowMaintenance, ArrowOcc}
+
+/** Optimistic concurrency for arrow-ipc directory commits: staging is
+  * lock-free, commits serialize through the `_commit.lock` claim, and
+  * remove-carrying commits validate their replaced files are still live
+  * — losers retry (maintenance) or refuse (DML). The headline scenario
+  * is the round-9 verdict's "done" criterion: a streaming sink racing a
+  * concurrent compact() on one directory, both outcomes serializable,
+  * zero lost rows, lineage intact. */
+class ArrowOccSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString + "/out"
+
+  private def fsOf(dir: String) = new Path(dir)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  // ── the lock primitive ──────────────────────────────────────────────
+
+  test("withCommitLock serializes a non-atomic read-modify-write across threads") {
+    val dir = tmp("graft_occ_lock")
+    val fs = fsOf(dir)
+    val dirPath = new Path(dir)
+    fs.mkdirs(dirPath)
+    val counter = new Path(dirPath, "_counter")
+    def readCount(): Int =
+      if (!fs.exists(counter)) 0
+      else {
+        val in = fs.open(counter)
+        try new String(in.readAllBytes()).trim.toInt finally in.close()
+      }
+    val threads = (0 until 8).map { _ =>
+      new Thread(() => (0 until 25).foreach { _ =>
+        ArrowOcc.withCommitLock(fs, dirPath) {
+          val n = readCount()
+          Thread.sleep(0, 100000) // widen the lost-update window
+          val out = fs.create(counter, true)
+          try out.write((n + 1).toString.getBytes) finally out.close()
+        }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(120000))
+    assert(readCount() === 200) // any lost update would read < 200
+    assert(!fs.exists(new Path(dirPath, ArrowOcc.LockFile)))
+  }
+
+  test("withCommitLock is reentrant within a thread") {
+    val dir = tmp("graft_occ_reenter")
+    val fs = fsOf(dir)
+    val dirPath = new Path(dir)
+    val got = ArrowOcc.withCommitLock(fs, dirPath) {
+      ArrowOcc.withCommitLock(fs, dirPath) { 42 }
+    }
+    assert(got === 42)
+    assert(!fs.exists(new Path(dirPath, ArrowOcc.LockFile)))
+  }
+
+  test("a dead holder's stale lock is broken; a fresh one is honored") {
+    val dir = tmp("graft_occ_stale")
+    val fs = fsOf(dir)
+    val dirPath = new Path(dir)
+    fs.mkdirs(dirPath)
+    fs.create(new Path(dirPath, ArrowOcc.LockFile), true).close()
+    // fresh lock + tiny timeout: acquisition must time out loudly
+    spark.conf.set("spark.graft.arrow.occTimeoutMs", "300")
+    try {
+      intercept[java.io.IOException] {
+        ArrowOcc.withCommitLock(fs, dirPath) { fail("must not acquire") }
+      }
+    } finally spark.conf.unset("spark.graft.arrow.occTimeoutMs")
+    // stale window collapsed to zero: the same lock now breaks
+    spark.conf.set("spark.graft.arrow.occStaleMs", "0")
+    try {
+      val got = ArrowOcc.withCommitLock(fs, dirPath) { 7 }
+      assert(got === 7)
+    } finally spark.conf.unset("spark.graft.arrow.occStaleMs")
+  }
+
+  // ── maintenance racing maintenance / appends ────────────────────────
+
+  test("concurrent appends and compactions on one directory: zero lost, zero duplicated rows") {
+    val dir = tmp("graft_occ_append_race")
+    // seed so the first compact has work
+    spark.range(0, 100).select(col("id"), (col("id") % 7).as("k"))
+      .coalesce(2).write.format("arrow-ipc").mode("append").save(dir)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val appenders = (0 until 3).map { t =>
+      new Thread(() => try {
+        (0 until 4).foreach { i =>
+          val lo = 1000L * (t * 4 + i + 1)
+          spark.range(lo, lo + 100)
+            .select(col("id"), (col("id") % 7).as("k"))
+            .coalesce(2).write.format("arrow-ipc").mode("append").save(dir)
+        }
+      } catch { case e: Throwable => errs.add(e) })
+    }
+    val compactor = new Thread(() => try {
+      (0 until 5).foreach { _ =>
+        ArrowMaintenance.compact(spark, dir, targetBytes = 1L << 20)
+        Thread.sleep(30)
+      }
+    } catch { case e: Throwable => errs.add(e) })
+    (appenders :+ compactor).foreach(_.start())
+    (appenders :+ compactor).foreach(_.join(300000))
+    assert(errs.isEmpty, s"concurrent run failed: ${errs.peek()}")
+    // every appended id exactly once — any lost swap or double-stage
+    // breaks one of these two
+    val back = spark.read.format("arrow-ipc").load(dir)
+    val expected = 100 + 3 * 4 * 100
+    assert(back.count() === expected)
+    assert(back.select("id").distinct().count() === expected)
+    // directory is whole: latch up, no intent, no staging leftovers
+    val fs = fsOf(dir)
+    assert(fs.exists(new Path(dir, "_SUCCESS")))
+    assert(!fs.exists(new Path(dir, "_compaction.json")))
+    assert(new java.io.File(dir).listFiles.forall(f =>
+      !f.getName.startsWith(".compact-") && !f.getName.startsWith("_pending-")))
+  }
+
+  test("a compaction that loses its race to a metadata DELETE retries and lands") {
+    val dir = tmp("graft_occ_conflict")
+    (0 until 4).foreach { i =>
+      spark.range(i * 100, (i + 1) * 100).select(col("id"))
+        .coalesce(1).write.format("arrow-ipc").mode("append").save(dir)
+    }
+    // deterministic interleave: after compact stages (4 files → 1), a
+    // DELETE commits first and removes one of the staged-over files —
+    // compact's validation must throw, and its retry must re-stage from
+    // the 3 survivors and succeed
+    val fired = new java.util.concurrent.atomic.AtomicInteger(0)
+    ArrowMaintenance.beforeSwapHook = () =>
+      if (fired.getAndIncrement() == 0) {
+        val res = ArrowMaintenance.deleteWhere(spark, dir,
+          Array(org.apache.spark.sql.sources.LessThan("id", 100L)))
+        assert(res.deleted === 1)
+      }
+    try {
+      val res = ArrowMaintenance.compact(spark, dir).get
+      // the retry compacted the three surviving files
+      assert(res.oldFiles === 3 && res.newFiles === 1)
+    } finally ArrowMaintenance.beforeSwapHook = () => ()
+    assert(fired.get() >= 2, "the swap must have been attempted twice")
+    val back = spark.read.format("arrow-ipc").load(dir)
+    assert(back.count() === 300)
+    assert(back.agg(min("id")).head().getLong(0) === 100L)
+  }
+
+  test("a COW UPDATE that loses its race surfaces a conflict instead of resurrecting rows") {
+    val dir = tmp("graft_occ_cow_conflict")
+    (0 until 3).foreach { i =>
+      spark.range(i * 100, (i + 1) * 100)
+        .select(col("id"), lit("old").as("v"))
+        .coalesce(1).write.format("arrow-ipc").mode("append").save(dir)
+    }
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.ArrowCatalog")
+    val fired = new java.util.concurrent.atomic.AtomicInteger(0)
+    // between the UPDATE's staging and its swap, a DELETE removes the
+    // very file the UPDATE rewrites
+    ArrowMaintenance.beforeSwapHook = () =>
+      if (fired.getAndIncrement() == 0) {
+        val res = ArrowMaintenance.deleteWhere(spark, dir,
+          Array(org.apache.spark.sql.sources.LessThan("id", 100L)))
+        assert(res.deleted === 1)
+      }
+    try {
+      val e = intercept[Exception] {
+        spark.sql(s"UPDATE graft.`$dir` SET v = 'new' WHERE id < 50")
+      }
+      def conflict(t: Throwable): Boolean =
+        t != null && (t.isInstanceOf[ArrowOcc.CommitConflictException] ||
+          conflict(t.getCause))
+      assert(conflict(e), s"expected a CommitConflictException chain, got $e")
+    } finally ArrowMaintenance.beforeSwapHook = () => ()
+    // the losing statement changed nothing: deleted rows stay deleted,
+    // surviving rows keep their old values, and no staging leaked
+    val back = spark.read.format("arrow-ipc").load(dir)
+    assert(back.count() === 200)
+    assert(back.filter(col("v") === "new").count() === 0)
+    assert(new java.io.File(dir).listFiles.forall(f =>
+      !f.getName.startsWith(".cow-")))
+  }
+
+  // ── the flagship: streaming sink racing compact ─────────────────────
+
+  test("a streaming sink racing concurrent compact(): serializable, zero lost rows, lineage intact") {
+    val dir = tmp("graft_occ_stream_race")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_occ_ckpt").toString
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    val q = mem.toDF().select(col("value").as("id"),
+        (col("value") % 5).as("k"))
+      .writeStream.format("arrow-ipc")
+      .option("checkpointLocation", ckpt)
+      .start(dir)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val compactor = new Thread(() => try {
+      (0 until 6).foreach { _ =>
+        ArrowMaintenance.compact(spark, dir, targetBytes = 1L << 20)
+        Thread.sleep(20)
+      }
+    } catch { case e: Throwable => errs.add(e) })
+    try {
+      mem.addData(0L until 200L); q.processAllAvailable()
+      compactor.start()
+      (1 to 5).foreach { i =>
+        mem.addData((i * 1000L) until (i * 1000L + 200L))
+        q.processAllAvailable()
+      }
+      compactor.join(300000)
+      // one more epoch AFTER the last compact — the ledger must still
+      // accept commits
+      mem.addData(9000L until 9200L); q.processAllAvailable()
+    } finally q.stop()
+    assert(errs.isEmpty, s"concurrent compact failed: ${errs.peek()}")
+    val back = spark.read.format("arrow-ipc").load(dir)
+    assert(back.count() === 7 * 200)
+    assert(back.select("id").distinct().count() === 7 * 200)
+    // lineage intact: a fresh streaming READER over the directory emits
+    // every row exactly once even though compactions rewrote files
+    val outCkpt = java.nio.file.Files.createTempDirectory("graft_occ_ckpt2").toString
+    val echo = spark.readStream.format("arrow-ipc").load(dir)
+      .writeStream.format("memory").queryName("occ_echo")
+      .option("checkpointLocation", outCkpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    echo.awaitTermination(120000)
+    val echoed = spark.table("occ_echo")
+    assert(echoed.count() === 7 * 200)
+    assert(echoed.select("id").distinct().count() === 7 * 200)
+    // directory is whole
+    val fs = fsOf(dir)
+    assert(fs.exists(new Path(dir, "_SUCCESS")))
+    assert(!fs.exists(new Path(dir, ArrowOcc.LockFile)))
+  }
+}

@@ -191,8 +191,12 @@ class ArrowStreamHiveSpec extends AnyFunSuite {
       "part=x/part-00000-g0000-e9-99999999-9999-9999-9999-999999999999.arrows")
     val os = fs.create(orphan, true); os.write(Array[Byte](1, 2, 3)); os.close()
     assert(spark.read.format("arrow-ipc").load(out).count() === 1)
-    val swept = ArrowStreamCommits.cleanOrphans(fs,
-      new org.apache.hadoop.fs.Path(out))
+    // the sweep is staleness-gated under OCC (a fresh uncommitted file
+    // may be a live epoch); collapse the window to simulate a dead run
+    spark.conf.set("spark.graft.arrow.occStaleMs", "-1")
+    val swept =
+      try ArrowStreamCommits.cleanOrphans(fs, new org.apache.hadoop.fs.Path(out))
+      finally spark.conf.unset("spark.graft.arrow.occStaleMs")
     assert(swept.exists(_.contains("part=x/")))
     assert(!fs.exists(orphan))
   }

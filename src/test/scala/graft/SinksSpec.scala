@@ -113,6 +113,34 @@ class SinksSpec extends AnyFunSuite {
     assert(cb > 48, s"single-dim control should leave b unclustered, got $cb")
   }
 
+  test("zValueN reproduces zValue2 at N=2 and bounds all N dims at N=3") {
+    // bit-for-bit N=2 equivalence on the full 6-bit grid
+    val grid = (for (a <- 0 until 64; b <- 0 until 64) yield (a, b)).toDF("a", "b")
+    val both = grid.select(
+      Sinks.zValue2($"a", $"b", 6).as("z2"),
+      Sinks.zValueN(Seq($"a", $"b"), 6).as("zn"))
+    assert(both.filter($"z2" =!= $"zn").count() === 0)
+    // 3-D: 16 z-range files over a 16^3 grid each cover a small cube —
+    // per-file ranges bounded on ALL THREE dims (a 1-D sort would leave
+    // two of them ~global)
+    val cube = (for (a <- 0 until 16; b <- 0 until 16; c <- 0 until 16)
+      yield (a, b, c)).toDF("a", "b", "c")
+    val p = tmp()
+    cube.withColumn("z", Sinks.zValueN(Seq($"a", $"b", $"c"), 4))
+      .repartitionByRange(16, $"z").sortWithinPartitions($"z").drop("z")
+      .write.mode("overwrite").parquet(p)
+    val r = spark.read.parquet(p)
+      .groupBy(input_file_name())
+      .agg((max($"a") - min($"a")).as("ra"), (max($"b") - min($"b")).as("rb"),
+        (max($"c") - min($"c")).as("rc"))
+      .agg(avg($"ra"), avg($"rb"), avg($"rc")).head()
+    Seq(r.getDouble(0), r.getDouble(1), r.getDouble(2)).foreach(rng =>
+      assert(rng < 10, s"3-D z-order must bound every dim, got $r"))
+    // guard rails: degenerate dims and overflow refuse loudly
+    intercept[IllegalArgumentException](Sinks.zValueN(Seq($"a"), 4))
+    intercept[IllegalArgumentException](Sinks.zValueN(Seq($"a", $"b", $"c"), 22))
+  }
+
   test("bucketed tables join without a shuffle") {
     spark.sql("DROP TABLE IF EXISTS bkt_a")
     spark.sql("DROP TABLE IF EXISTS bkt_b")

@@ -141,7 +141,12 @@ class ArrowStreamSinkSpec extends AnyFunSuite {
     assert(spark.table("graft_sink_orphan_src").count() === 20)
 
     // the sweep (run automatically at the next stream start) removes it
-    val swept = ArrowMaintenance.cleanOrphans(spark, dir)
+    // once stale — collapse the OCC staleness window to simulate the
+    // dead run having aged out
+    spark.conf.set("spark.graft.arrow.occStaleMs", "-1")
+    val swept =
+      try ArrowMaintenance.cleanOrphans(spark, dir)
+      finally spark.conf.unset("spark.graft.arrow.occStaleMs")
     assert(swept.size === 1)
     assert(listData(dir).size === 1)
     assert(spark.read.format("arrow-ipc").load(dir).count() === 20)
