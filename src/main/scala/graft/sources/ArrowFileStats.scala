@@ -431,11 +431,9 @@ private[graft] object ArrowFileStats {
   def read(fs: FileSystem, dir: Path): Map[String, FileStats] =
     readBase(fs, dir) ++ shardIds(fs, dir).flatMap(readShard(fs, dir, _))
 
-  def write(fs: FileSystem, dir: Path, files: Map[String, FileStats]): Unit = {
-    val out = fs.create(new Path(dir, FileName), true)
-    try out.write(toJson(files).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-  }
+  def write(fs: FileSystem, dir: Path, files: Map[String, FileStats]): Unit =
+    ArrowOcc.writeAtomic(fs, new Path(dir, FileName),
+      toJson(files).getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
   // ── sharded manifests (`_stats-<queryId>.json` + `_stats_index.json`) ──
   //
@@ -553,13 +551,11 @@ private[graft] object ArrowFileStats {
     * from live `_stats-*.json` files, not the index alone). */
   def writeShard(fs: FileSystem, dir: Path, queryId: String,
       shard: Map[String, FileStats]): Unit = {
-    val out = fs.create(new Path(dir, shardFile(queryId)), true)
-    try out.write(toJson(shard).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+    ArrowOcc.writeAtomic(fs, new Path(dir, shardFile(queryId)),
+      toJson(shard).getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val idx = readIndex(fs, dir) + (queryId -> envelope(shard))
-    val iout = fs.create(new Path(dir, IndexFile), true)
-    try iout.write(toJson(idx).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally iout.close()
+    ArrowOcc.writeAtomic(fs, new Path(dir, IndexFile),
+      toJson(idx).getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
   /** Stats for a SPECIFIC file set: base manifest + only the shards one
@@ -588,11 +584,8 @@ private[graft] object ArrowFileStats {
     ids.foreach(q => fs.delete(new Path(dir, shardFile(q)), false))
     val remaining = readIndex(fs, dir) -- ids
     if (remaining.isEmpty) fs.delete(new Path(dir, IndexFile), false)
-    else {
-      val out = fs.create(new Path(dir, IndexFile), true)
-      try out.write(toJson(remaining).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-    }
+    else ArrowOcc.writeAtomic(fs, new Path(dir, IndexFile),
+      toJson(remaining).getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 }
 

@@ -47,9 +47,8 @@ private[graft] object ArrowHiveLayout {
   def write(fs: FileSystem, dir: Path, keys: Seq[String]): Unit = {
     val body = keys.map(k => "\"" + ArrowFileStats.esc(k) + "\"")
       .mkString("{\"hiveKeys\":[", ",", "]}")
-    val out = fs.create(new Path(dir, FileName), true)
-    try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+    ArrowOcc.writeAtomic(fs, new Path(dir, FileName),
+      body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
   /** Types a partition value can take without ambiguity in a path. */

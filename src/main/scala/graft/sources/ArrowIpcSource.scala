@@ -1395,15 +1395,22 @@ private[sources] class ArrowIpcWrite(
           s"[${hiveKeys.mkString(", ")}] — appends must match the standing layout")
     }
     fs.mkdirs(dirPath)
-    val sentinel = new Path(dirPath, "_schema.arrows")
-    if (!fs.exists(sentinel))
-      ArrowInterchange.writeSentinel(fs.create(sentinel, true), schema)
-    // a write in flight invalidates the completeness marker until commit;
-    // the pending marker (written FIRST) tells every concurrent committer
-    // not to restore the latch — and marks this write's files (they embed
-    // the queryId) as not-yet-replaceable to concurrent maintenance
-    ArrowOcc.markPending(fs, dirPath, queryId)
-    fs.delete(new Path(dirPath, "_SUCCESS"), false)
+    // under the commit lock: the sentinel write, the pending marker and
+    // the latch drop must not interleave with a concurrent committer's
+    // latch restore (ChecksumFileSystem's create/delete on one path race
+    // at the .crc level, let alone semantically)
+    ArrowOcc.withCommitLock(fs, dirPath) {
+      val sentinel = new Path(dirPath, "_schema.arrows")
+      if (!fs.exists(sentinel))
+        ArrowInterchange.writeSentinel(fs.create(sentinel, true), schema)
+      // a write in flight invalidates the completeness marker until
+      // commit; the pending marker (written FIRST) tells every concurrent
+      // committer not to restore the latch — and marks this write's files
+      // (they embed the queryId) as not-yet-replaceable to concurrent
+      // maintenance
+      ArrowOcc.markPending(fs, dirPath, queryId)
+      fs.delete(new Path(dirPath, "_SUCCESS"), false)
+    }
     new ArrowIpcWriterFactory(schema, dir, codec, queryId,
       new SerializableHadoopConf(conf), partitionKeys, hiveKeys, bloomCols,
       maxRecordsPerFile)

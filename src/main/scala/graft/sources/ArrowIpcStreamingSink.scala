@@ -96,9 +96,11 @@ private[graft] object ArrowStreamCommits {
     sb.append(ledger.committed.toSeq.sorted.map(u =>
       "\"" + ArrowFileStats.esc(u) + "\"").mkString(","))
     sb.append("]}")
-    val out = fs.create(new Path(dir, LedgerFile), true)
-    try out.write(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+    // atomic flip: the ledger is THE visibility switch and is read
+    // lock-free by every scan — a torn or vanished window would publish
+    // uncommitted epochs
+    ArrowOcc.writeAtomic(fs, new Path(dir, LedgerFile),
+      sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
   /** Create an empty ledger if absent — MUST happen before any stream

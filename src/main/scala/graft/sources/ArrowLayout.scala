@@ -42,9 +42,8 @@ private[graft] object ArrowLayout {
   def write(fs: FileSystem, dir: Path, keys: Seq[String]): Unit = {
     val body = keys.map(k => "\"" + ArrowFileStats.esc(k) + "\"")
       .mkString("{\"partitionKeys\":[", ",", "]}")
-    val out = fs.create(new Path(dir, FileName), true)
-    try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+    ArrowOcc.writeAtomic(fs, new Path(dir, FileName),
+      body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
   def delete(fs: FileSystem, dir: Path): Unit =

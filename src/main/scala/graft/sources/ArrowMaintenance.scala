@@ -975,15 +975,11 @@ object ArrowMaintenance {
       "\"" + esc(k) + "\":" +
         olds.sorted.map(o => "\"" + esc(o) + "\"").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    // temp + rename: same torn-write rationale as the intent record
-    val tmp = new Path(dir, s"$LineageFile.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    val fin = new Path(dir, LineageFile)
-    fs.delete(fin, false)
-    if (!fs.rename(tmp, fin))
-      throw new java.io.IOException(s"compaction: rename $tmp -> $fin failed")
+    // atomic replace: lineage is read LOCK-FREE by streaming absorption —
+    // a vanished-file window would make a consumer re-emit a compacted
+    // file's rows as new
+    ArrowOcc.writeAtomic(fs, new Path(dir, LineageFile),
+      body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
   /** True when every row of `name` was already emitted under `seen`: the

@@ -173,6 +173,42 @@ private[graft] object ArrowOcc {
           "retry against the new state")
   }
 
+  /** Atomically REPLACE `path` with `bytes`: a concurrent (lock-free)
+    * reader sees the old content or the new content, never a torn,
+    * empty, or vanished file. Commits hold the directory lock against
+    * each other, but READS are deliberately lock-free — so every
+    * correctness-bearing sidecar (stream ledger, stats manifest/shards/
+    * index, layout declarations, lineage) must flip atomically.
+    * `file:` rides java.nio ATOMIC_MOVE (any stale ChecksumFileSystem
+    * `.crc` sibling from a pre-OCC write is deleted first — checksums
+    * of a replaced file would otherwise fail reads); other stores ride
+    * `FileContext.rename(OVERWRITE)`, which HDFS implements atomically. */
+  def writeAtomic(fs: FileSystem, path: Path, bytes: Array[Byte]): Unit = {
+    val q = fs.makeQualified(path)
+    if ("file" == Option(q.toUri.getScheme).getOrElse("file")) {
+      val fin = java.nio.file.Paths.get(q.toUri.getPath)
+      java.nio.file.Files.createDirectories(fin.getParent)
+      val tmp = fin.resolveSibling(
+        "." + fin.getFileName.toString + "." +
+          java.util.UUID.randomUUID.toString.take(8) + ".tmp")
+      java.nio.file.Files.write(tmp, bytes)
+      java.nio.file.Files.deleteIfExists(
+        fin.resolveSibling("." + fin.getFileName.toString + ".crc"))
+      java.nio.file.Files.move(tmp, fin,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } else {
+      val tmp = new Path(q.getParent,
+        "." + q.getName + "." +
+          java.util.UUID.randomUUID.toString.take(8) + ".tmp")
+      val out = fs.create(tmp, true)
+      try out.write(bytes) finally out.close()
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        q.toUri, fs.getConf)
+      fc.rename(tmp, q, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    }
+  }
+
   // ── pending-append markers ────────────────────────────────────────────
 
   private def markerPath(dirPath: Path, queryId: String) =
