@@ -1324,6 +1324,58 @@ object CoreQueries {
                 AND event_id <= (SELECT MAX(event_id) FROM events) // 2
               GROUP BY 1 ORDER BY event_type""")),
 
+    // OPTIMISTIC CONCURRENCY END-TO-END (round 10): four appends and
+    // three compactions race on ONE directory from two uncoordinated
+    // threads — the exact shape the round-9 "NO CONCURRENT WRITER"
+    // contracts forbade. Every commit serializes through the directory's
+    // _commit.lock, compaction only replaces committed files and
+    // validates them still live at swap time (losers retry), so the
+    // final state is the same for EVERY interleaving: each source row
+    // exactly once — which is what lets a DuckDB oracle hash-check a
+    // genuinely concurrent run. Self-asserts the directory healed
+    // completely (latch up, no lock, no intent, no staging).
+    ("arrow_occ_race", (s, d) => {
+      val ev = T(s, d, "events").select("event_id", "event_type", "value")
+      // Scratch contract: see json_roundtrip.
+      val path = graft.sources.Scratch.dir(s, "graft_rt_occ")
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+      val appender = new Thread(() => try {
+        (0 until 4).foreach { i =>
+          ev.filter(col("event_id") % 4 === i).coalesce(2)
+            .write.format("arrow-ipc").mode("append").save(path)
+        }
+      } catch { case e: Throwable => errs.add(e) })
+      val compactor = new Thread(() => try {
+        (0 until 3).foreach { _ =>
+          graft.sources.ArrowMaintenance.compact(s, path, targetBytes = 8L << 20)
+          Thread.sleep(25)
+        }
+      } catch { case e: Throwable => errs.add(e) })
+      appender.start(); compactor.start()
+      appender.join(300000); compactor.join(300000)
+      require(errs.isEmpty, s"arrow_occ_race: concurrent run failed: ${errs.peek()}")
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      require(fs.exists(new org.apache.hadoop.fs.Path(root, "_SUCCESS")),
+        "arrow_occ_race: latch must be restored")
+      Seq(graft.sources.ArrowOcc.LockFile, "_compaction.json").foreach(f =>
+        require(!fs.exists(new org.apache.hadoop.fs.Path(root, f)),
+          s"arrow_occ_race: $f must not survive the run"))
+      require(Option(fs.globStatus(new org.apache.hadoop.fs.Path(root, ".compact-*")))
+        .getOrElse(Array.empty).isEmpty,
+        "arrow_occ_race: no staging directory may leak")
+      s.read.format("arrow-ipc").load(path)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          countDistinct(col("event_id")).as("ids"),
+          sum(col("value").cast(DecimalType(14, 4))).cast(DoubleType).as("sum_value"))
+        .orderBy("event_type")
+    },
+      Some("""SELECT event_type, COUNT(*) AS cnt,
+                     COUNT(DISTINCT event_id) AS ids,
+                     CAST(SUM(CAST(value AS DECIMAL(14,4))) AS DOUBLE) AS sum_value
+              FROM events GROUP BY 1 ORDER BY event_type""")),
+
     // SIZE-BOUNDED WRITE (option("maxRecordsPerFile", n)): one giant task
     // must not produce one giant file — the writer rolls into -g sequence
     // files, each with its own stats entry, so the small-file AND

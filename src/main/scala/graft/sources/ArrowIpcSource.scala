@@ -1370,7 +1370,13 @@ private[sources] class ArrowIpcWrite(
     val conf = spark.sparkContext.hadoopConfiguration
     val dirPath = new Path(dir)
     val fs = dirPath.getFileSystem(conf)
-    if (truncate) fs.delete(dirPath, true)
+    // truncate is destructive-exclusive by nature; taking the lock for
+    // the delete at least serializes it against in-flight COMMITS (a
+    // truncate racing a long STAGING job remains the caller's decision —
+    // overwrite means overwrite)
+    if (truncate) ArrowOcc.withCommitLock(fs, dirPath) {
+      fs.delete(dirPath, true)
+    }
     else if (fs.exists(new Path(dirPath, "_schema.arrows"))) {
       val existing = ArrowInterchange.readSchema(spark, dir)
       // identical names+types; nullability may be STRICTER on the incoming

@@ -454,13 +454,14 @@ object ArrowMaintenance {
     clusterZOrderedN(spark, dir, Seq(colA, colB), bits, targetBytes, codec)
 
   /** N-dimensional z-ordered rewrite (round 10): [[clusterZOrdered]]
-    * generalized to any 2..K numeric dimensions with `K*bits <= 63` —
-    * each file covers a small hyper-rectangle of the K-column space, so
-    * manifest min/max pruning is selective on EVERY listed column at
-    * once. Dates/timestamps ride their numeric internal forms (cast in a
-    * view or derive a column first); everything else — scoped `where`,
-    * crash-safe swap, OCC commit, hive within-directory clustering — is
-    * [[cluster]]'s contract. */
+    * generalized to any 2..K dimensions with `K*bits <= 63` — each file
+    * covers a small hyper-rectangle of the K-column space, so manifest
+    * min/max pruning is selective on EVERY listed column at once.
+    * Numeric, date, and timestamp dimensions are accepted directly
+    * (dates/timestamps interleave by their epoch-day/µs ordinals — the
+    * same forms their stats canonicals store); everything else — scoped
+    * `where`, crash-safe swap, OCC commit, hive within-directory
+    * clustering — is [[cluster]]'s contract. */
   def clusterZOrderedN(spark: SparkSession, dir: String,
       cols: Seq[String], bits: Int = 12,
       targetBytes: Long = 128L << 20,
@@ -471,15 +472,31 @@ object ArrowMaintenance {
       s"clusterZOrdered: duplicate dimension in ${cols.mkString(", ")}")
     require(cols.length >= 2, "clusterZOrdered: at least two dimensions")
     val schema = ArrowInterchange.readSchema(spark, dir)
-    cols.foreach { c =>
-      val f = schema.fields.find(_.name == c).getOrElse(
-        throw new IllegalArgumentException(
-          s"clusterZOrdered: column '$c' not in schema " +
-            s"(${schema.fieldNames.mkString(", ")})"))
-      require(f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
-        s"clusterZOrdered: column '$c' is ${f.dataType} — the Morton " +
-          "interleave needs numeric dimensions (cast dates/timestamps first)")
-    }
+    // each dimension rides its NUMERIC ORDINAL: numerics as themselves,
+    // dates as epoch days, timestamps as epoch µs (NTZ through the
+    // UTC-pinned session cast — every session builder here pins UTC) —
+    // the same ordinals the stats canonicals store, so post-rewrite
+    // pruning on the raw column is exactly as selective as on the ordinal
+    import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
+    val ordinalOf: Map[String, org.apache.spark.sql.Column => org.apache.spark.sql.Column] =
+      cols.map { c =>
+        val f = schema.fields.find(_.name == c).getOrElse(
+          throw new IllegalArgumentException(
+            s"clusterZOrdered: column '$c' not in schema " +
+              s"(${schema.fieldNames.mkString(", ")})"))
+        val fn: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+          f.dataType match {
+            case _: org.apache.spark.sql.types.NumericType => identity
+            case DateType => org.apache.spark.sql.functions.unix_date
+            case TimestampType => org.apache.spark.sql.functions.unix_micros
+            case TimestampNTZType => (x: org.apache.spark.sql.Column) =>
+              org.apache.spark.sql.functions.unix_micros(x.cast(TimestampType))
+            case other => throw new IllegalArgumentException(
+              s"clusterZOrdered: column '$c' is $other — the Morton " +
+                "interleave needs numeric, date, or timestamp dimensions")
+          }
+        c -> fn
+      }.toMap
     val los = cols.indices.map(i => s"__lo$i")
     val his = cols.indices.map(i => s"__hi$i")
     val reserved = (los ++ his :+ "__z")
@@ -491,13 +508,14 @@ object ArrowMaintenance {
         // ONE broadcast 1-row global-bounds pass (scoped runs compute
         // bounds over the in-scope rows only — exactly the space the
         // rewrite redistributes)
+        val dim = (i: Int) => ordinalOf(cols(i))(col(cols(i)))
         val bounds = cols.indices.flatMap(i => Seq(
-          min(col(cols(i))).as(los(i)), max(col(cols(i))).as(his(i))))
+          min(dim(i)).as(los(i)), max(dim(i)).as(his(i))))
         val stats = base.agg(bounds.head, bounds.tail: _*)
         base.crossJoin(broadcast(stats))
           .withColumn("__z", graft.sources.Sinks.zValueN(
             cols.indices.map(i => graft.sources.Sinks.scaleToBits(
-              col(cols(i)), col(los(i)), col(his(i)), bits)),
+              dim(i), col(los(i)), col(his(i)), bits)),
             bits))
           .drop(los ++ his: _*)
     }, where = where)
@@ -523,6 +541,34 @@ object ArrowMaintenance {
   /** Outcome of [[expireSnapshots]]. */
   case class ExpireResult(dropped: Int, trashDeleted: Int)
 
+  /** Outcome of [[vacuum]]. */
+  case class VacuumResult(recovered: Boolean, stagingSwept: Int,
+      orphansSwept: Int, expired: Option[ExpireResult])
+
+  /** VACUUM — the one nightly-cron housekeeping entry point: finish any
+    * crashed swap, sweep provably-dead staging dirs (`.compact-*` /
+    * `.cow-*` past the OCC staleness window), stale pending-append
+    * markers, dead stream orphans and task temps, and — when `keepFrom`
+    * is given — expire time-travel history before that snapshot
+    * (collapsing the log prefix into a base checkpoint and collecting
+    * unreferenced `.trash/` files). Every step is individually safe
+    * under [[ArrowOcc]]'s concurrency protocol, so vacuum can run beside
+    * live writers: anything younger than the staleness window is left
+    * alone, and the expiry section takes the commit lock like any other
+    * commit. */
+  def vacuum(spark: SparkSession, dir: String,
+      keepFrom: Option[Long] = None): VacuumResult = {
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val recovered = recover(spark, dir)
+    val staging = ArrowOcc.sweepStaleStaging(fs, dirPath, ".compact-*") +
+      ArrowOcc.sweepStaleStaging(fs, dirPath, ".cow-*")
+    ArrowOcc.sweepStalePending(fs, dirPath)
+    val orphans = ArrowStreamCommits.cleanOrphans(fs, dirPath).size
+    VacuumResult(recovered, staging, orphans,
+      keepFrom.map(expireSnapshots(spark, dir, _)))
+  }
+
   /** Expire time-travel history older than snapshot `keepFrom`: the log's
     * prefix collapses into ONE absolute entry at `keepFrom` (every
     * retained id still reconstructs bit-identically), and `.trash/` files
@@ -545,9 +591,12 @@ object ArrowMaintenance {
     val dropped = snaps.count(_.id < keepFrom)
     val tail = snaps.filter(_.id > keepFrom)
     val baseState = ArrowSnapshots.resolve(snaps, keepFrom).get
-    // every retained snapshot's file set still needs its trash copies
-    val needed = (baseState +: tail.map(s =>
-      ArrowSnapshots.resolve(snaps, s.id).get)).reduce(_ ++ _)
+    // every retained snapshot's file set still needs its trash copies.
+    // The union of all states ≥ keepFrom is state(keepFrom) ∪ every file
+    // ADDED after it (a later-removed file still appears in the state of
+    // its add snapshot) — one O(history) pass, where refolding resolve()
+    // per retained id would be O(history²) under the commit lock.
+    val needed = baseState ++ tail.flatMap(_.adds)
     def sweep(at: Path, prefix: String): Int =
       Option(fs.listStatus(at)).getOrElse(Array.empty).map { st =>
         val rel = prefix + st.getPath.getName

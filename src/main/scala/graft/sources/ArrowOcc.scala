@@ -280,11 +280,14 @@ private[graft] object ArrowOcc {
   /** Delete staging dirs (`.compact-*` / `.cow-*`) only when provably
     * dead — untouched for longer than the staleness window. A younger
     * dir may be a CONCURRENT run mid-stage; its own commit validates, so
-    * leaving it costs only disk until it finishes or goes stale. */
-  def sweepStaleStaging(fs: FileSystem, dirPath: Path, glob: String): Unit = {
+    * leaving it costs only disk until it finishes or goes stale.
+    * Returns how many dirs were swept. */
+  def sweepStaleStaging(fs: FileSystem, dirPath: Path, glob: String): Int = {
     val now = System.currentTimeMillis()
-    Option(fs.globStatus(new Path(dirPath, glob))).getOrElse(Array.empty)
+    val dead = Option(fs.globStatus(new Path(dirPath, glob)))
+      .getOrElse(Array.empty)
       .filter(st => now - newestMTime(fs, st.getPath) > staleMs)
-      .foreach(st => fs.delete(st.getPath, true))
+    dead.foreach(st => fs.delete(st.getPath, true))
+    dead.length
   }
 }

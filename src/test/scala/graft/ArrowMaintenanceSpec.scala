@@ -379,6 +379,79 @@ class ArrowMaintenanceSpec extends AnyFunSuite {
     assert(e.getMessage.contains("missing"))
   }
 
+  test("clusterZOrderedN interleaves date and timestamp dimensions by their ordinals") {
+    val dir = tmp("graft_cluster_zdt")
+    // 64 days × 64 hour-slots, hash-scattered: neither dimension prunes
+    spark.range(0, 4096)
+      .select(
+        date_add(lit(java.sql.Date.valueOf("2024-01-01")),
+          (col("id") % 64).cast("int")).as("d"),
+        (lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")).cast("timestamp")
+          + make_dt_interval(lit(0), (col("id") / 64).cast("int"))).as("ts"),
+        col("id").as("v"))
+      .repartition(4, col("v"))
+      .write.format("arrow-ipc").mode("overwrite").save(dir)
+    def onD() = spark.read.format("arrow-ipc").load(dir)
+      .filter(col("d") < lit(java.sql.Date.valueOf("2024-01-09")))
+    def onT() = spark.read.format("arrow-ipc").load(dir)
+      .filter(col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-01 08:00:00")))
+    assert(prunedFiles(onD()) === ((4, 4)))
+    assert(prunedFiles(onT()) === ((4, 4)))
+    ArrowMaintenance.clusterZOrderedN(spark, dir, Seq("d", "ts"),
+      bits = 6, targetBytes = 8 << 10).get
+    val (kd, nd) = prunedFiles(onD())
+    val (kt, nt) = prunedFiles(onT())
+    assert(kd < nd, s"z-order must prune on the date dim: files=$kd/$nd")
+    assert(kt < nt, s"z-order must prune on the timestamp dim: files=$kt/$nt")
+    assert(onD().count() === 8 * 64)
+    assert(onT().count() === 8 * 64)
+    // a string dimension still refuses
+    val e = intercept[IllegalArgumentException] {
+      ArrowMaintenance.clusterZOrderedN(spark,
+        { val d2 = tmp("graft_cluster_zs")
+          spark.range(4).select(col("id"), col("id").cast("string").as("s"))
+            .write.format("arrow-ipc").mode("overwrite").save(d2); d2 },
+        Seq("id", "s"))
+    }
+    assert(e.getMessage.contains("needs numeric, date, or timestamp"))
+  }
+
+  test("vacuum: one pass finishes swaps, sweeps dead litter, expires history") {
+    val dir = tmp("graft_vacuum")
+    (0 until 3).foreach { i =>                       // snapshots 1..3
+      spark.range(i * 50, (i + 1) * 50).select(col("id"))
+        .coalesce(1).write.format("arrow-ipc").mode("append").save(dir)
+    }
+    ArrowMaintenance.compact(spark, dir).get         // snapshot 4
+    val fs = fsOf(dir)
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    // litter: a dead staging dir, a dead stream orphan, a dead task temp
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dirPath, ".compact-deadrun"))
+    val orphan = new org.apache.hadoop.fs.Path(dirPath,
+      "part-00000-e9-99999999-9999-9999-9999-999999999999.arrows")
+    fs.create(orphan, true).close()
+    graft.sources.ArrowStreamCommits.ensure(fs, dirPath)
+    fs.create(new org.apache.hadoop.fs.Path(dirPath,
+      ".part-00001.arrows.task-7.tmp"), true).close()
+    // young litter must SURVIVE a default-window vacuum...
+    val r0 = ArrowMaintenance.vacuum(spark, dir)
+    assert(r0.stagingSwept === 0 && r0.orphansSwept === 0 && r0.expired.isEmpty)
+    // ...and die once stale (window collapsed), while history before
+    // snapshot 4 expires in the same pass
+    spark.conf.set("spark.graft.arrow.occStaleMs", "-1")
+    val r = try ArrowMaintenance.vacuum(spark, dir, keepFrom = Some(4L))
+      finally spark.conf.unset("spark.graft.arrow.occStaleMs")
+    assert(r.stagingSwept === 1)
+    assert(r.orphansSwept === 2) // the orphan + the task temp
+    assert(r.expired.get.dropped === 3)
+    assert(!fs.exists(orphan))
+    // the directory still reads whole, expired travel refuses loudly
+    assert(spark.read.format("arrow-ipc").load(dir).count() === 150)
+    intercept[Exception] {
+      spark.read.format("arrow-ipc").option("asOfSnapshot", 2).load(dir).count()
+    }
+  }
+
   test("a crash BEFORE the marker drop (intent recorded, marker up) also recovers") {
     val dir = tmp("graft_compact_crash2")
     (0 until 3).foreach { i =>
