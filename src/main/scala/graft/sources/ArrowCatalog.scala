@@ -32,7 +32,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * schema evolutions (nullable ADD COLUMN, DROP COLUMN — see
   * [[alterTable]]). CREATE/RENAME are refused — directories are created
   * by writes, not DDL. */
-class ArrowCatalog extends TableCatalog {
+class ArrowCatalog extends TableCatalog with ProcedureCatalog {
   private var catalogName: String = "graft"
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
@@ -235,4 +235,138 @@ class ArrowCatalog extends TableCatalog {
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException(
       s"$catalogName: rename the directory with filesystem tooling")
+
+  // ── SQL maintenance procedures (round 10) ────────────────────────────
+  //
+  // The DSv2 ProcedureCatalog face (Spark 4's public `CALL` API — the
+  // same surface Iceberg exposes `rewrite_data_files` through): every
+  // maintenance op as one SQL statement, so an operator never needs the
+  // Scala API for the nightly loop:
+  //
+  //   CALL graft.system.compact(dir => '/lake/events')
+  //   CALL graft.system.cluster('/lake/orders', 'o_orderdate')
+  //   CALL graft.system.zorder('/lake/orders', 'o_custkey,o_orderkey')
+  //   CALL graft.system.expire_snapshots('/lake/events', 42)
+  //   CALL graft.system.vacuum('/lake/events')
+  //   CALL graft.system.clean_orphans('/lake/events')
+  //   CALL graft.system.recover('/lake/events')
+  //
+  // Each CALL returns a small result row (counts) and rides the same
+  // OCC-serialized, crash-safe implementations as the Scala entry
+  // points. The namespace is conventional — any one-level namespace
+  // resolves (`CALL graft.ops.compact(…)` works too).
+
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+  import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+  import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType}
+
+  private case class GraftProcedure(
+      procName: String, doc: String,
+      params: Array[ProcedureParameter],
+      out: StructType,
+      body: InternalRow => Seq[InternalRow])
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = procName
+    override def description(): String = doc
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = params
+    override def isDeterministic: Boolean = false // mutates the directory
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val result = body(input).toArray
+      val scan: Scan = new LocalScan {
+        override def rows(): Array[InternalRow] = result
+        override def readSchema(): StructType = out
+      }
+      java.util.Collections.singletonList(scan).iterator()
+    }
+  }
+
+  private def in(n: String, dt: DataType): ProcedureParameter =
+    ProcedureParameter.in(n, dt).build()
+  private def inDefault(n: String, dt: DataType, sql: String): ProcedureParameter =
+    ProcedureParameter.in(n, dt).defaultValue(sql).build()
+  private def row(vs: Any*): InternalRow =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      vs.toArray.map {
+        case s: String => org.apache.spark.unsafe.types.UTF8String.fromString(s)
+        case v => v
+      })
+  private def dirArg(r: InternalRow): String = r.getUTF8String(0).toString
+  private def targetBytes(r: InternalRow, i: Int): Long = r.getLong(i)
+
+  private lazy val procedures: Map[String, GraftProcedure] = Seq(
+    GraftProcedure("compact",
+      "merge small files (incremental on hive layouts)",
+      Array(in("dir", StringType),
+        inDefault("target_bytes", LongType, "134217728")),
+      StructType(Seq(org.apache.spark.sql.types.StructField("old_files", IntegerType),
+        org.apache.spark.sql.types.StructField("new_files", IntegerType))),
+      r => ArrowMaintenance.compact(SparkSession.active, dirArg(r),
+          targetBytes = targetBytes(r, 1))
+        .map(c => row(c.oldFiles, c.newFiles)).toSeq),
+    GraftProcedure("cluster",
+      "range-sort the dataset on sort_cols (csv) for interval pruning",
+      Array(in("dir", StringType), in("sort_cols", StringType),
+        inDefault("target_bytes", LongType, "134217728")),
+      StructType(Seq(org.apache.spark.sql.types.StructField("old_files", IntegerType),
+        org.apache.spark.sql.types.StructField("new_files", IntegerType))),
+      r => ArrowMaintenance.cluster(SparkSession.active, dirArg(r),
+          r.getUTF8String(1).toString.split(",").map(_.trim).toSeq,
+          targetBytes = targetBytes(r, 2))
+        .map(c => row(c.oldFiles, c.newFiles)).toSeq),
+    GraftProcedure("zorder",
+      "z-order the dataset on cols (csv, 2..K dims) for multi-column pruning",
+      Array(in("dir", StringType), in("cols", StringType),
+        inDefault("bits", IntegerType, "12"),
+        inDefault("target_bytes", LongType, "134217728")),
+      StructType(Seq(org.apache.spark.sql.types.StructField("old_files", IntegerType),
+        org.apache.spark.sql.types.StructField("new_files", IntegerType))),
+      r => ArrowMaintenance.clusterZOrderedN(SparkSession.active, dirArg(r),
+          r.getUTF8String(1).toString.split(",").map(_.trim).toSeq,
+          bits = r.getInt(2), targetBytes = targetBytes(r, 3))
+        .map(c => row(c.oldFiles, c.newFiles)).toSeq),
+    GraftProcedure("expire_snapshots",
+      "collapse time-travel history before keep_from; GC unreferenced trash",
+      Array(in("dir", StringType), in("keep_from", LongType)),
+      StructType(Seq(org.apache.spark.sql.types.StructField("dropped", IntegerType),
+        org.apache.spark.sql.types.StructField("trash_deleted", IntegerType))),
+      r => {
+        val e = ArrowMaintenance.expireSnapshots(
+          SparkSession.active, dirArg(r), r.getLong(1))
+        Seq(row(e.dropped, e.trashDeleted))
+      }),
+    GraftProcedure("vacuum",
+      "recover crashed swaps + sweep provably-dead staging/orphans/markers",
+      Array(in("dir", StringType)),
+      StructType(Seq(org.apache.spark.sql.types.StructField("recovered", org.apache.spark.sql.types.BooleanType),
+        org.apache.spark.sql.types.StructField("staging_swept", IntegerType),
+        org.apache.spark.sql.types.StructField("orphans_swept", IntegerType))),
+      r => {
+        val v = ArrowMaintenance.vacuum(SparkSession.active, dirArg(r))
+        Seq(row(v.recovered, v.stagingSwept, v.orphansSwept))
+      }),
+    GraftProcedure("clean_orphans",
+      "delete provably-dead uncommitted stream files and task temps",
+      Array(in("dir", StringType)),
+      StructType(Seq(org.apache.spark.sql.types.StructField("swept", IntegerType))),
+      r => Seq(row(
+        ArrowMaintenance.cleanOrphans(SparkSession.active, dirArg(r)).size))),
+    GraftProcedure("recover",
+      "replay a crashed swap's intent to completion",
+      Array(in("dir", StringType)),
+      StructType(Seq(org.apache.spark.sql.types.StructField("replayed", org.apache.spark.sql.types.BooleanType))),
+      r => Seq(row(ArrowMaintenance.recover(SparkSession.active, dirArg(r)))))
+  ).map(p => p.procName -> p).toMap
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure =
+    procedures.getOrElse(ident.name.toLowerCase(java.util.Locale.ROOT),
+      throw new UnsupportedOperationException(
+        s"$catalogName: no procedure '${ident.name}' — available: " +
+          procedures.keys.toSeq.sorted.mkString(", ")))
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    procedures.keys.toSeq.sorted
+      .map(n => Identifier.of(
+        if (namespace.isEmpty) Array("system") else namespace, n)).toArray
 }

@@ -97,16 +97,6 @@ private[sources] class ArrowChangesMicroBatchStream(
       .filter(_.tsMillis < t).map(_.id).maxOption.getOrElse(0L)
   }
 
-  private def readLog(): Seq[ArrowSnapshots.Snapshot] = {
-    val f = fs
-    if (!f.exists(dirPath)) return Nil
-    // mid-commit (sentinel present, marker dropped): hold the line — the
-    // snapshot entry for the in-flight mutation may not have landed yet
-    if (f.exists(new Path(dirPath, "_schema.arrows")) &&
-        !f.exists(new Path(dirPath, "_SUCCESS"))) return Nil
-    ArrowSnapshots.read(f, dirPath)
-  }
-
   override def initialOffset(): Offset = {
     startingTimestamp.foreach { raw =>
       return ArrowSnapshotIdOffset(timestampStart(raw))
@@ -127,13 +117,32 @@ private[sources] class ArrowChangesMicroBatchStream(
 
   private var availableNowCap: Option[Long] = None
 
-  override def prepareForTriggerAvailableNow(): Unit =
-    availableNowCap = Some(readLog().map(_.id).maxOption.getOrElse(0L))
+  /** Gate for polls: directory absent or mid-commit (sentinel present,
+    * completeness marker dropped) → hold the line, nothing is admitted
+    * this trigger. */
+  private def pollable(f: org.apache.hadoop.fs.FileSystem): Boolean =
+    f.exists(dirPath) &&
+      !(f.exists(new Path(dirPath, "_schema.arrows")) &&
+        !f.exists(new Path(dirPath, "_SUCCESS")))
+
+  override def prepareForTriggerAvailableNow(): Unit = {
+    val f = fs
+    availableNowCap = Some(
+      if (!pollable(f)) 0L else ArrowSnapshots.currentTip(f, dirPath))
+  }
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[ArrowSnapshotIdOffset].id
-    val ids = readLog().map(_.id)
-      .filter(id => id > from && availableNowCap.forall(id <= _)).sorted
+    val f = fs
+    if (!pollable(f)) return ArrowSnapshotIdOffset(from)
+    // idle-poll fast path: the tip pointer answers "anything new?" in
+    // O(1) — a steady-state consumer over a quiet table never lists the
+    // log directory at all
+    if (ArrowSnapshots.currentTip(f, dirPath) <= from)
+      return ArrowSnapshotIdOffset(from)
+    // something new: admit by id, from entry FILENAMES only (no parse)
+    val ids = ArrowSnapshots.listIds(f, dirPath)
+      .filter(id => id > from && availableNowCap.forall(id <= _))
     val admitted = limit match {
       case mf: ReadMaxFiles => ids.take(mf.maxFiles)
       case _ => ids
@@ -141,8 +150,11 @@ private[sources] class ArrowChangesMicroBatchStream(
     ArrowSnapshotIdOffset(admitted.lastOption.getOrElse(from))
   }
 
-  override def reportLatestOffset(): Offset =
-    ArrowSnapshotIdOffset(readLog().map(_.id).maxOption.getOrElse(0L))
+  override def reportLatestOffset(): Offset = {
+    val f = fs
+    ArrowSnapshotIdOffset(
+      if (!pollable(f)) 0L else ArrowSnapshots.currentTip(f, dirPath))
+  }
 
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(

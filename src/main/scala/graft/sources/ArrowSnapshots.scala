@@ -126,26 +126,84 @@ private[graft] object ArrowSnapshots {
     base.toSeq ++ deltas
   }
 
-  /** Append one delta entry; returns its id. O(1) data written — ids
-    * come from the entry filenames (one listing), so even an
+  // ── tip pointer (`_snapshots/_tip`) ──────────────────────────────────
+  // A commit needs only the CURRENT max id, but a listing of the log
+  // directory is O(history) — a year of minutely epochs would pay ~500k
+  // names per commit. The tip file caches the max id; it is advanced
+  // under the directory's commit lock (every append site holds it), a
+  // crash between entry write and tip update is healed by the forward
+  // probe, and a missing/invalid tip degrades to one full listing. The
+  // name does not parse as an entry, so readers ignore it structurally.
+
+  private def tipFile(dir: Path) = new Path(new Path(dir, LogDir), "_tip")
+
+  private def readTipFile(fs: FileSystem, dir: Path): Option[Long] =
+    scala.util.Try {
+      import org.json4s._
+      org.json4s.jackson.JsonMethods.parse(
+        ArrowFileStats.readFully(fs, tipFile(dir))) \ "id" match {
+        case JInt(n) => n.toLong
+        case JLong(n) => n
+        case _ => throw new IllegalStateException("bad _tip")
+      }
+    }.toOption
+
+  private def writeTip(fs: FileSystem, dir: Path, id: Long): Unit =
+    ArrowOcc.writeAtomic(fs, tipFile(dir),
+      s"""{"id":$id}""".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** Current max snapshot id — O(1) amortized via the tip pointer
+    * (+ forward probe past crash-unrecorded entries); one full listing
+    * only for logs that predate the tip or whose tip went bad. */
+  def currentTip(fs: FileSystem, dir: Path): Long = {
+    val logPath = new Path(dir, LogDir)
+    def entryExists(id: Long): Boolean =
+      id > 0 && (fs.exists(new Path(logPath, deltaName(id))) ||
+        fs.exists(new Path(logPath, baseName(id))))
+    val start = readTipFile(fs, dir) match {
+      case Some(t) if t == 0L || entryExists(t) => t
+      case _ => listEntries(fs, dir).map(_._1).maxOption.getOrElse(0L)
+    }
+    var id = start
+    while (entryExists(id + 1)) id += 1
+    id
+  }
+
+  /** Ids of the effective log (newest base checkpoint + the deltas after
+    * it) from entry FILENAMES alone — the admission-control poll's
+    * shape: no entry content is ever parsed. */
+  def listIds(fs: FileSystem, dir: Path): Seq[Long] = {
+    val entries = listEntries(fs, dir)
+    val baseId = entries.collect { case (id, true, _) => id }.maxOption
+    entries
+      .filter { case (id, isBase, _) =>
+        baseId.forall(b => id > b || (id == b && isBase)) }
+      .map(_._1).distinct.sorted
+  }
+
+  /** Append one delta entry; returns its id. O(1) amortized — the id
+    * comes from [[currentTip]] and entry FILENAMES, so even an
     * unparseable tail cannot rebase history; a tail whose content
     * EQUALS this delta is the same operation crash-replayed and is
-    * skipped. Empty deltas (a zero-row commit) write nothing. */
+    * skipped. Empty deltas (a zero-row commit) write nothing. Callers
+    * hold the directory's commit lock (every committing op does), which
+    * is what makes read-tip → write-tip+1 the snapshot-id CAS. */
   def append(fs: FileSystem, dir: Path,
       adds: Seq[String], removes: Seq[String]): Long = {
-    val entries = listEntries(fs, dir)
-    val maxId = entries.map(_._1).maxOption.getOrElse(0L)
+    val maxId = currentTip(fs, dir)
     if (adds.isEmpty && removes.isEmpty) return maxId
-    val tailEqual = entries.filter(_._1 == maxId)
-      .sortBy(_._2) // delta before base; any match counts
-      .exists { e =>
-        scala.util.Try(parseEntry(fs, e._3)).toOption.exists(t =>
+    val logPath = new Path(dir, LogDir)
+    val tailEqual = maxId > 0 && Seq(deltaName(maxId), baseName(maxId))
+      .map(new Path(logPath, _)).filter(p => fs.exists(p))
+      .exists { p =>
+        scala.util.Try(parseEntry(fs, p)).toOption.exists(t =>
           t.adds.sorted == adds.sorted && t.removes.sorted == removes.sorted)
       }
     if (tailEqual) return maxId
     val id = maxId + 1L
     writeEntry(fs, dir, deltaName(id),
       Snapshot(id, System.currentTimeMillis(), adds.sorted, removes.sorted))
+    writeTip(fs, dir, id)
     id
   }
 

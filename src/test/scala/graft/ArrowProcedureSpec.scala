@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL `CALL` maintenance procedures (DSv2 ProcedureCatalog): every
+  * maintenance op as one statement, riding the same OCC-serialized
+  * crash-safe implementations as the Scala entry points. */
+class ArrowProcedureSpec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = TestSpark.spark
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.ArrowCatalog")
+    s
+  }
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString + "/out"
+
+  private def files(dir: String): Seq[String] =
+    graft.sources.ArrowSnapshots.listDataFiles(
+      new org.apache.hadoop.fs.Path(dir).getFileSystem(
+        spark.sparkContext.hadoopConfiguration),
+      new org.apache.hadoop.fs.Path(dir))
+
+  test("CALL compact merges small files and returns the counts") {
+    val dir = tmp("graft_proc_compact")
+    (0 until 4).foreach { i =>
+      spark.range(i * 50, (i + 1) * 50).select(col("id"))
+        .coalesce(1).write.format("arrow-ipc").mode("append").save(dir)
+    }
+    val r = spark.sql(s"CALL graft.system.compact(dir => '$dir')").head()
+    assert(r.getInt(0) === 4 && r.getInt(1) === 1)
+    assert(files(dir).size === 1)
+    assert(spark.read.format("arrow-ipc").load(dir).count() === 200)
+    // nothing to do → empty result, not an error
+    assert(spark.sql(s"CALL graft.system.compact('$dir')").count() === 0)
+  }
+
+  test("CALL cluster + zorder rewrite with pruning payoffs; CALL vacuum/recover report") {
+    val dir = tmp("graft_proc_cluster")
+    spark.range(0, 4096)
+      .select((col("id") % 64).as("a"), (col("id") / 64).as("b"))
+      .repartition(4, (col("a") * 64 + col("b")))
+      .write.format("arrow-ipc").mode("overwrite").save(dir)
+    def pruned(c: String): (Int, Int) = {
+      val desc = spark.read.format("arrow-ipc").load(dir).filter(col(c) < 8)
+        .queryExecution.optimizedPlan.collect {
+          case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+            r.scan.description()
+        }.mkString("\n")
+      val m = "files=(\\d+)/(\\d+)".r.findFirstMatchIn(desc).get
+      (m.group(1).toInt, m.group(2).toInt)
+    }
+    val rc = spark.sql(
+      s"CALL graft.system.cluster('$dir', 'a', target_bytes => 8192)").head()
+    assert(rc.getInt(0) === 4)
+    val (ka, na) = pruned("a")
+    assert(ka < na, s"clustered 'a' must prune: $ka/$na")
+    val rz = spark.sql(
+      s"CALL graft.system.zorder('$dir', 'a, b', bits => 6, target_bytes => 8192)").head()
+    assert(rz.getInt(0) >= 1)
+    val (ka2, na2) = pruned("a")
+    val (kb2, nb2) = pruned("b")
+    assert(ka2 < na2 && kb2 < nb2, s"z-order must prune both: $ka2/$na2 $kb2/$nb2")
+    // vacuum + recover: nothing pending → clean report
+    val rv = spark.sql(s"CALL graft.system.vacuum('$dir')").head()
+    assert(!rv.getBoolean(0) && rv.getInt(1) === 0 && rv.getInt(2) === 0)
+    assert(!spark.sql(s"CALL graft.system.recover('$dir')").head().getBoolean(0))
+    assert(spark.sql(s"CALL graft.system.clean_orphans('$dir')").head().getInt(0) === 0)
+  }
+
+  test("CALL expire_snapshots collapses history; unknown procedures refuse with the roster") {
+    val dir = tmp("graft_proc_expire")
+    (0 until 3).foreach { i =>
+      spark.range(i * 10, (i + 1) * 10).select(col("id"))
+        .coalesce(1).write.format("arrow-ipc").mode("append").save(dir)
+    }
+    spark.sql(s"DELETE FROM graft.`$dir` WHERE id < 10") // snapshot 4, trash
+    val r = spark.sql(s"CALL graft.system.expire_snapshots('$dir', 4)").head()
+    assert(r.getInt(0) === 3)
+    assert(r.getInt(1) === 1) // the deleted file's trash copy collected
+    intercept[Exception] {
+      spark.read.format("arrow-ipc").option("asOfSnapshot", 2).load(dir).count()
+    }
+    assert(spark.read.format("arrow-ipc").load(dir).count() === 20)
+    val e = intercept[Exception] {
+      spark.sql(s"CALL graft.system.no_such_proc('$dir')")
+    }
+    assert(e.getMessage.contains("no procedure") ||
+      Option(e.getCause).exists(_.getMessage.contains("no procedure")))
+  }
+}
