@@ -1,0 +1,74 @@
+package graft.tools
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+import graft.sources.ArrowSnapshots
+
+/** Dev-only probe: quantifies the snapshot-log TIP POINTER on the
+  * deep-history shape (a long-lived streaming ingest: one log entry per
+  * epoch, thousands of entries between expiries). Builds a log of N
+  * delta entries, then times the per-commit id-assignment path
+  * ([[ArrowSnapshots.currentTip]]):
+  *
+  *   1. WITH the `_tip` pointer — read one small file + one existence
+  *      probe, O(1) regardless of history depth;
+  *   2. WITHOUT it (pointer deleted — the pre-round-10 shape): one full
+  *      `_snapshots/` directory listing per commit, O(history);
+  *
+  * plus the change-feed idle poll (tip fast path vs the listing). The
+  * point is the 100 TB ingest loop: an epoch commit's metadata cost must
+  * not grow with how long the table has lived.
+  */
+object SnapshotScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val n = args.headOption.map(_.toInt).getOrElse(5000)
+    val dirPath = new Path(s"/tmp/graft_scale/snapshot_probe_$n")
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(dirPath, true)
+    fs.mkdirs(dirPath)
+
+    println(s"building a $n-entry snapshot log (one delta per 'epoch')...")
+    val t0 = System.nanoTime()
+    (1 to n).foreach(i => ArrowSnapshots.append(fs, dirPath, Seq(s"f$i"), Nil))
+    println(f"  built in ${(System.nanoTime() - t0) / 1e9}%.1f s " +
+      f"(${(System.nanoTime() - t0) / 1e6 / n}%.2f ms/append, tip-assisted)")
+
+    def time(what: String, reps: Int)(body: => Long): Double = {
+      val t = System.nanoTime()
+      var last = 0L
+      (0 until reps).foreach(_ => last = body)
+      val ms = (System.nanoTime() - t) / 1e6 / reps
+      println(f"  $what%-42s $ms%8.2f ms/op (tip=$last)")
+      ms
+    }
+
+    println(s"per-commit id assignment at history depth $n:")
+    val withTip = time("currentTip WITH the pointer", 50) {
+      ArrowSnapshots.currentTip(fs, dirPath)
+    }
+    val tip = new Path(dirPath, "_snapshots/_tip")
+    val noTip = time("currentTip WITHOUT it (full listing)", 10) {
+      fs.delete(tip, false)
+      ArrowSnapshots.currentTip(fs, dirPath)
+    }
+    println(f"  ratio: ${noTip / withTip}%.0fx — and the listing cost " +
+      "grows with history while the pointer stays flat")
+    // restore for the id-listing measurement below
+    ArrowSnapshots.append(fs, dirPath, Seq("restore"), Nil)
+
+    println("admission-control poll shapes:")
+    time("listIds (filenames only, no parse)", 10) {
+      ArrowSnapshots.listIds(fs, dirPath).size.toLong
+    }
+    time("read (full entry parse — batch planning)", 3) {
+      ArrowSnapshots.read(fs, dirPath).size.toLong
+    }
+    spark.stop()
+  }
+}
