@@ -282,6 +282,27 @@ object PipelineQueries {
         k = 5, nlist = 16, nprobe = 4).orderBy("qid", "rk")
     }, Some(ivfOracle)),
 
+    // STORED IVF index (round 10): build-once (centroids + key-grouped
+    // cell files — the inverted-list layout on disk), query-many. The
+    // stored query is bit-identical to the inline construction, so the
+    // SAME oracle hash-checks it; its 100 TB shape is what changes — the
+    // probes⋈cells broadcast join runtime-prunes cell FILES by the
+    // probed cids, so a query reads ~nprobe cells, never the corpus, and
+    // the index amortizes across sessions instead of rebuilding per
+    // query.
+    ("ann_ivf_stored", (s, d) => {
+      val e = T(s, d, "embeddings")
+      // Scratch contract: see json_roundtrip.
+      val path = graft.sources.Scratch.dir(s, "graft_rt_ivf_index")
+      Similarity.ivfBuild(e.select(col("vec_id"), col("embedding")),
+        idCol = "vec_id", vecCol = "embedding", nlist = 16, dir = path)
+      Similarity.ivfTopKStored(s, path,
+        queries = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe")),
+        idCol = "vec_id", vecCol = "embedding", qidCol = "qid", qvecCol = "qe",
+        k = 5, nprobe = 4).orderBy("qid", "rk")
+    }, Some(ivfOracle)),
+
     // LSH-bucketed ANN. The hyperplanes are plan-time literal constants, so
     // the oracle recomputes the same buckets from the same values (doubles
     // serialized via exact decimal expansion).

@@ -109,9 +109,83 @@ object Similarity {
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, qidCol: String, qvecCol: String,
       k: Int, nlist: Int, nprobe: Int, deterministicMeans: Boolean = true): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(nprobe >= 1 && nprobe <= nlist)
+    val (centroids, cells) =
+      ivfIndex(corpus, idCol, vecCol, nlist, deterministicMeans)
+    ivfProbeScore(centroids, cells, queries, idCol, vecCol, qidCol, qvecCol,
+      k, nprobe)
+  }
 
+  /** BUILD-ONCE, QUERY-MANY IVF index persistence (round 10): the index
+    * is just two frames, so it stores as two arrow-ipc directories —
+    * `dir/centroids` (nlist rows) and `dir/cells`, the cell-assigned
+    * corpus written KEY-GROUPED on `cid` ([[graft.sources.Sinks
+    * .writeKeyGrouped]]): every cell's rows live in files single-valued
+    * on the cell id, the storage analog of an IVF inverted list. A
+    * stored query's `probes ⋈ cells` broadcast join then prunes cell
+    * FILES by the probed-cid runtime set (the arrow source's runtime
+    * filtering), so query cost is ∝ the ~nprobe probed cells — never a
+    * corpus scan — and the index amortizes across sessions instead of
+    * being rebuilt per query like [[ivfTopK]]'s inline construction.
+    * Precomputed row norms ride along (`cn`), so a stored query does no
+    * per-corpus-row arithmetic beyond the candidate dots. */
+  def ivfBuild(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, dir: String, deterministicMeans: Boolean = true): Unit = {
+    val (centroids, cells) =
+      ivfIndex(corpus, idCol, vecCol, nlist, deterministicMeans)
+    centroids.coalesce(1).write.format("arrow-ipc").mode("overwrite")
+      .save(s"$dir/centroids")
+    graft.sources.Sinks.writeKeyGrouped(
+      cells.select(col("cid"), col(idCol), col(vecCol), col("cn")),
+      s"$dir/cells", Seq("cid"), partitions = math.min(nlist, 32))
+  }
+
+  /** INCREMENTAL index growth: assign `fresh` vectors to the STORED
+    * centroids and append them to the cell files — O(new · nlist) work,
+    * never a rebuild, the same new-only cost shape as
+    * [[Dedup]]'s incremental signature store. Appended rows ride the
+    * keyed write path, so the inverted-list layout (files single-valued
+    * on `cid`) and the runtime cell pruning survive. Centroids stay
+    * FROZEN — the standard IVF ingestion contract (recall drifts only as
+    * far as the data does; re-run [[ivfBuild]] to re-center, the analog
+    * of a clustering maintenance pass). */
+  def ivfAppend(spark: org.apache.spark.sql.SparkSession, dir: String,
+      fresh: DataFrame, idCol: String, vecCol: String): Unit = {
+    val centroids = spark.read.format("arrow-ipc").load(s"$dir/centroids")
+    val freshN = fresh.withColumn("cn", norm(col(vecCol)))
+    val assigned = freshN
+      .crossJoin(broadcast(centroids))
+      .withColumn("__sim",
+        dot(col(vecCol), col("cvec")) / (col("cn") * norm(col("cvec"))))
+      .groupBy(col(idCol))
+      .agg(max(struct(col("__sim"), col("cid"))).getField("cid").as("cid"))
+    freshN.join(assigned, idCol)
+      .select(col("cid"), col(idCol), col(vecCol), col("cn"))
+      .write.format("arrow-ipc").mode("append")
+      .option("partitionKeys", "cid")
+      .save(s"$dir/cells")
+  }
+
+  /** Query a [[ivfBuild]]-persisted index — bit-identical to running
+    * [[ivfTopK]] with the same parameters (the probe/score tail is the
+    * same code over the same stored values; floats, doubles and norms
+    * round-trip the arrow interchange exactly). */
+  def ivfTopKStored(spark: org.apache.spark.sql.SparkSession, dir: String,
+      queries: DataFrame, idCol: String, vecCol: String,
+      qidCol: String, qvecCol: String, k: Int, nprobe: Int): DataFrame = {
+    require(nprobe >= 1, "ivfTopKStored: nprobe must be >= 1")
+    val centroids = spark.read.format("arrow-ipc").load(s"$dir/centroids")
+    val cells = spark.read.format("arrow-ipc").load(s"$dir/cells")
+    ivfProbeScore(centroids, cells, queries, idCol, vecCol, qidCol, qvecCol,
+      k, nprobe)
+  }
+
+  /** The IVF index as data: (centroids (cid, cvec), cell-assigned corpus
+    * (…, cn, cid)) — [[ivfTopK]] consumes it inline; [[ivfBuild]]
+    * persists it. */
+  private def ivfIndex(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, deterministicMeans: Boolean): (DataFrame, DataFrame) = {
     // Corpus norms computed ONCE and reused by assignment and scoring.
     val corpusN = corpus.withColumn("cn", norm(col(vecCol)))
 
@@ -165,7 +239,17 @@ object Similarity {
       .localCheckpoint(true)
 
     val cells = corpusN.join(assign(corpusN, idCol, vecCol, centroids), idCol)
+    (centroids, cells)
+  }
 
+  /** The IVF query tail over an index frame pair — shared verbatim by the
+    * inline and the STORED paths, so a persisted index answers
+    * bit-identically to a same-session build. */
+  private def ivfProbeScore(
+      centroids: DataFrame, cells: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, qidCol: String, qvecCol: String,
+      k: Int, nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // Query side: nprobe nearest centroids per query (window partitioned by
     // query id — never a global sort).
     val queriesN = queries.withColumn("qn", norm(col(qvecCol)))

@@ -18,6 +18,7 @@ class PlanGuardSpec extends AnyFunSuite {
   private val allowedNlj: Set[String] = Set(
     "ann_brute_topk",   // corpus × broadcast(query set) — the brute-force contract
     "ann_ivf_topk",     // corpus × broadcast(nlist centroids), queries × broadcast(centroids)
+    "ann_ivf_stored",   // same probe tail: queries × broadcast(stored nlist centroids)
     // agg_overflow left the list in round 8: the overflow-row emptiness
     // probe became a count column inside the merge aggregation, so the
     // query no longer plans any nested-loop join

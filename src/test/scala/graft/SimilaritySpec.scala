@@ -66,6 +66,86 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.8, s"IVF recall $recall < 0.8 (ivf=$ivf brute=$brute)")
   }
 
+  test("stored IVF index answers bit-identically and runtime-prunes cell files") {
+    val rnd = new scala.util.Random(11)
+    val centers = Seq(
+      Array.fill(16)(5.0f), Array.fill(16)(-5.0f),
+      Array.tabulate(16)(i => if (i < 8) 5.0f else -5.0f),
+      Array.tabulate(16)(i => if (i < 8) -5.0f else 5.0f))
+    val corpus = (0 until 100).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(v => v + rnd.nextFloat() * 0.5f))
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" < 4)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"))
+    val inline = Similarity.ivfTopK(corpus, queries,
+      "vec_id", "embedding", "qid", "qe", k = 5, nlist = 8, nprobe = 2)
+      .orderBy("qid", "rk").collect().toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString + "/ix"
+    Similarity.ivfBuild(corpus, "vec_id", "embedding", nlist = 8, dir = dir)
+    val storedDf = Similarity.ivfTopKStored(spark, dir, queries,
+      "vec_id", "embedding", "qid", "qe", k = 5, nprobe = 2)
+      .orderBy("qid", "rk")
+    assert(storedDf.collect().toSeq === inline,
+      "a persisted index must answer bit-identically to the inline build")
+    // the probes ⋈ cells join must plan a runtime (dynamic) pruning
+    // subquery on the cells scan — the 100 TB shape: a query opens the
+    // ~nprobe probed cells' files, never the corpus
+    val plan = storedDf.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"expected runtime pruning on the stored cells scan:\n$plan")
+    // the cells directory is key-grouped on cid: every file single-valued
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stats = graft.sources.ArrowFileStats.read(
+      fs, new org.apache.hadoop.fs.Path(s"$dir/cells"))
+    assert(stats.nonEmpty && stats.values.forall { s =>
+      val c = s.cols("cid")
+      c.nulls == 0 && c.min.isDefined && c.min == c.max
+    })
+  }
+
+  test("incremental IVF append: new vectors join the stored cells, recall holds, layout survives") {
+    val rnd = new scala.util.Random(7)
+    val centers = Seq(
+      Array.fill(16)(5.0f), Array.fill(16)(-5.0f),
+      Array.tabulate(16)(i => if (i < 8) 5.0f else -5.0f),
+      Array.tabulate(16)(i => if (i < 8) -5.0f else 5.0f))
+    def mk(ids: Range) = ids.map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(v => v + rnd.nextFloat() * 0.5f))
+    }.toDF("vec_id", "embedding")
+    val gen1 = mk(0 until 80)
+    val gen2 = mk(80 until 100)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_app").toString + "/ix"
+    Similarity.ivfBuild(gen1, "vec_id", "embedding", nlist = 8, dir = dir)
+    Similarity.ivfAppend(spark, dir, gen2, "vec_id", "embedding")
+    val cells = spark.read.format("arrow-ipc").load(s"$dir/cells")
+    assert(cells.count() === 100)
+    assert(cells.select("vec_id").distinct().count() === 100)
+    // appended files kept the inverted-list claim: still single-valued
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stats = graft.sources.ArrowFileStats.read(
+      fs, new org.apache.hadoop.fs.Path(s"$dir/cells"))
+    assert(stats.values.forall { s =>
+      val c = s.cols("cid"); c.nulls == 0 && c.min.isDefined && c.min == c.max
+    })
+    // queries near gen-2 vectors FIND them through the frozen centroids
+    val queries = gen2.filter($"vec_id" < 84)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"))
+    val full = gen1.unionAll(gen2)
+    val brute = Similarity.bruteForceTopK(full, queries,
+      "vec_id", "embedding", "qid", "qe", k = 5)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))).toSet
+    val stored = Similarity.ivfTopKStored(spark, dir, queries,
+      "vec_id", "embedding", "qid", "qe", k = 5, nprobe = 4)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))).toSet
+    val recall = brute.intersect(stored).size.toDouble / brute.size
+    assert(recall >= 0.8, s"post-append recall $recall < 0.8")
+    assert(stored.exists(_._2 >= 80L), "appended vectors must be retrievable")
+  }
+
   test("LSH top-k: same-bucket neighbors are exact-ranked; buckets deterministic") {
     val rnd = new scala.util.Random(7)
     val corpus = (0L until 100L).map(i => (i, Array.fill(16)(rnd.nextFloat()))).toDF("vec_id", "embedding")
