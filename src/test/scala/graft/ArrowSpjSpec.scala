@@ -299,4 +299,40 @@ class ArrowSpjSpec extends AnyFunSuite {
         spark.conf.set("spark.graft.arrow.aggPushdown", _))
     }
   }
+
+  test("a WIDENED layout key still proves the zero-shuffle claim across generations") {
+    // generation 1 keyed on an INT column; ALTER widens it to BIGINT;
+    // generation 2 appends long keys. The single-value canonicals are
+    // identical across generations (integral stats store longs), so the
+    // SPJ proof must survive the widening — both the mixed-generation
+    // left side and the natively-long right side co-locate.
+    val dl = tmp("graft_spj_widen_l")
+    val dr = tmp("graft_spj_widen_r")
+    val gen1 = (0 until 100).map(i => (i % 4, i.toLong)).toDF("k", "lv")
+      .select(col("k").cast("int").as("k"), col("lv"))
+    Sinks.writeKeyGrouped(gen1, dl, Seq("k"), partitions = 4)
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.ArrowCatalog")
+    spark.sql(s"ALTER TABLE graft.`$dl` ALTER COLUMN k TYPE BIGINT")
+    val gen2 = (100 until 140).map(i => ((i % 4) + 4L, i.toLong)).toDF("k", "lv")
+    gen2.repartition(2, col("k")).sortWithinPartitions("k")
+      .write.format("arrow-ipc").mode("append")
+      .option("partitionKeys", "k").save(dl)
+    val right = (0 until 80).map(i => (i.toLong % 8, i * 10L)).toDF("k", "rv")
+    Sinks.writeKeyGrouped(right, dr, Seq("k"), partitions = 4)
+    withSpjConfs {
+      val j = spark.read.format("arrow-ipc").load(dl)
+        .join(spark.read.format("arrow-ipc").load(dr), "k")
+        .groupBy("k").agg(count(lit(1)).as("n"), sum($"lv" + $"rv").as("s"))
+      val (shuffles, sorts) = shufflesAndSorts(j)
+      assert(shuffles === 0,
+        s"widened key must keep the SPJ claim:\n${j.queryExecution.executedPlan}")
+      assert(sorts === 0)
+      val lFull = gen1.select(col("k").cast("long").as("k"), col("lv"))
+        .unionAll(gen2)
+      val want = lFull.join(right, "k")
+        .groupBy("k").agg(count(lit(1)).as("n"), sum($"lv" + $"rv").as("s"))
+        .orderBy("k").collect().map(_.toString).toSeq
+      assert(j.orderBy("k").collect().map(_.toString).toSeq === want)
+    }
+  }
 }
