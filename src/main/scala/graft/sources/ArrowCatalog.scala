@@ -356,7 +356,39 @@ class ArrowCatalog extends TableCatalog with ProcedureCatalog {
       "replay a crashed swap's intent to completion",
       Array(in("dir", StringType)),
       StructType(Seq(org.apache.spark.sql.types.StructField("replayed", org.apache.spark.sql.types.BooleanType))),
-      r => Seq(row(ArrowMaintenance.recover(SparkSession.active, dirArg(r)))))
+      r => Seq(row(ArrowMaintenance.recover(SparkSession.active, dirArg(r))))),
+    // read-only: the id a reproducible consumer should pin
+    // (`option("asOfSnapshot", id)` / `VERSION AS OF id`) — e.g. a
+    // training job that must see one frozen table across retries
+    GraftProcedure("current_snapshot",
+      "the directory's latest committed snapshot id (0 = no history)",
+      Array(in("dir", StringType)),
+      StructType(Seq(org.apache.spark.sql.types.StructField("snapshot_id", LongType))),
+      r => {
+        val p = new Path(dirArg(r))
+        val fs = p.getFileSystem(
+          SparkSession.active.sparkContext.hadoopConfiguration)
+        Seq(row(ArrowSnapshots.currentTip(fs, p)))
+      }),
+    // read-only: the DESCRIBE HISTORY analog — one row per retained
+    // snapshot, newest first (expired prefixes are folded into the base
+    // checkpoint entry, which reports its cumulative adds)
+    GraftProcedure("history",
+      "retained snapshot log: id, commit time, files added/removed",
+      Array(in("dir", StringType)),
+      StructType(Seq(
+        org.apache.spark.sql.types.StructField("snapshot_id", LongType),
+        org.apache.spark.sql.types.StructField("committed_at",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("files_added", IntegerType),
+        org.apache.spark.sql.types.StructField("files_removed", IntegerType))),
+      r => {
+        val p = new Path(dirArg(r))
+        val fs = p.getFileSystem(
+          SparkSession.active.sparkContext.hadoopConfiguration)
+        ArrowSnapshots.read(fs, p).sortBy(-_.id).map(s =>
+          row(s.id, s.tsMillis * 1000L, s.adds.size, s.removes.size))
+      })
   ).map(p => p.procName -> p).toMap
 
   override def loadProcedure(ident: Identifier): UnboundProcedure =

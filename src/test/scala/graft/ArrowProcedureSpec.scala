@@ -89,4 +89,27 @@ class ArrowProcedureSpec extends AnyFunSuite {
     assert(e.getMessage.contains("no procedure") ||
       Option(e.getCause).exists(_.getMessage.contains("no procedure")))
   }
+
+  test("CALL current_snapshot pins reproducible reads; CALL history is the log, newest first") {
+    val dir = tmp("graft_proc_hist")
+    (0 until 3).foreach { i =>                            // snapshots 1..3
+      spark.range(i * 10, (i + 1) * 10).select(col("id"))
+        .coalesce(1).write.format("arrow-ipc").mode("append").save(dir)
+    }
+    val tip = spark.sql(s"CALL graft.system.current_snapshot('$dir')")
+      .head().getLong(0)
+    assert(tip === 3L)
+    // pin → later mutations are invisible to the pinned read
+    spark.sql(s"DELETE FROM graft.`$dir` WHERE id < 10")  // snapshot 4
+    assert(spark.read.format("arrow-ipc")
+      .option("asOfSnapshot", tip).load(dir).count() === 30)
+    assert(spark.read.format("arrow-ipc").load(dir).count() === 20)
+    assert(spark.sql(s"CALL graft.system.current_snapshot('$dir')")
+      .head().getLong(0) === 4L)
+    val hist = spark.sql(s"CALL graft.system.history('$dir')").collect()
+    assert(hist.map(_.getLong(0)).toSeq === Seq(4L, 3L, 2L, 1L))
+    assert(hist.head.getInt(2) === 0 && hist.head.getInt(3) === 1) // the delete
+    assert(hist.last.getInt(2) === 1 && hist.last.getInt(3) === 0) // first append
+    assert(hist.forall(_.getTimestamp(1) != null))
+  }
 }
