@@ -1417,9 +1417,21 @@ private[sources] class ArrowIpcWrite(
       ArrowOcc.markPending(fs, dirPath, queryId)
       fs.delete(new Path(dirPath, "_SUCCESS"), false)
     }
+    // STANDING BLOOM INHERITANCE (round 10): an option-less APPEND
+    // defaults its bloom set to the columns any live manifest entry
+    // carries a bloom for — the same standing-declaration rule layouts
+    // follow, and the same derivation every maintenance rewrite uses —
+    // so point-lookup pruning no longer silently degrades file by file
+    // because one ingest job forgot the option. Truncates reset the
+    // declaration (overwrite means overwrite); an explicit option wins.
+    val effectiveBlooms =
+      if (bloomCols.nonEmpty || truncate) bloomCols
+      else ArrowFileStats.read(fs, dirPath).values
+        .flatMap(_.cols.collect { case (c, s) if s.bloom.isDefined => c })
+        .toSet.intersect(schema.fieldNames.toSet) -- hiveKeys
     new ArrowIpcWriterFactory(schema, dir, codec, queryId,
-      new SerializableHadoopConf(conf), partitionKeys, hiveKeys, bloomCols,
-      maxRecordsPerFile)
+      new SerializableHadoopConf(conf), partitionKeys, hiveKeys,
+      effectiveBlooms, maxRecordsPerFile)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {

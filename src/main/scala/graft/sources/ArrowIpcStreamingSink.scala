@@ -245,9 +245,16 @@ private[sources] class ArrowIpcStreamingWrite(
       // throughout (unless a live batch append holds the latch down)
       ArrowOcc.restoreLatch(fs, dirPath)
     }
+    // standing bloom inheritance, like the batch append: an option-less
+    // stream keeps blooming the columns the directory already blooms
+    val effectiveBlooms =
+      if (bloomCols.nonEmpty) bloomCols
+      else ArrowFileStats.read(fs, dirPath).values
+        .flatMap(_.cols.collect { case (c, s) if s.bloom.isDefined => c })
+        .toSet.intersect(schema.fieldNames.toSet) -- hiveKeys
     new ArrowIpcStreamingWriterFactory(schema, dir, codec, runNonce,
       new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration),
-      partitionKeys, bloomCols, hiveKeys)
+      partitionKeys, effectiveBlooms, hiveKeys)
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {

@@ -564,6 +564,7 @@ object ArrowMaintenance {
     val staging = ArrowOcc.sweepStaleStaging(fs, dirPath, ".compact-*") +
       ArrowOcc.sweepStaleStaging(fs, dirPath, ".cow-*")
     ArrowOcc.sweepStalePending(fs, dirPath)
+    ArrowOcc.sweepStaleTmp(fs, dirPath)
     val orphans = ArrowStreamCommits.cleanOrphans(fs, dirPath).size
     VacuumResult(recovered, staging, orphans,
       keepFrom.map(expireSnapshots(spark, dir, _)))

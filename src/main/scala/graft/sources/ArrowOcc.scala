@@ -277,6 +277,26 @@ private[graft] object ArrowOcc {
     (top +: kids.toSeq).max
   }
 
+  /** Sweep stale `.<name>.<uuid>.tmp` files a crashed [[writeAtomic]]
+    * left at the dataset root or in `_snapshots/` (live ones exist for
+    * sub-second windows; the staleness gate protects them). Returns the
+    * count swept. */
+  def sweepStaleTmp(fs: FileSystem, dirPath: Path): Int = {
+    val now = System.currentTimeMillis()
+    Seq(dirPath, new Path(dirPath, "_snapshots")).map { at =>
+      if (!fs.exists(at)) 0
+      else {
+        val dead = Option(fs.listStatus(at)).getOrElse(Array.empty)
+          .filter(st => st.isFile &&
+            st.getPath.getName.startsWith(".") &&
+            st.getPath.getName.endsWith(".tmp") &&
+            now - st.getModificationTime > staleMs)
+        dead.foreach(st => fs.delete(st.getPath, false))
+        dead.length
+      }
+    }.sum
+  }
+
   /** Delete staging dirs (`.compact-*` / `.cow-*`) only when provably
     * dead — untouched for longer than the staleness window. A younger
     * dir may be a CONCURRENT run mid-stage; its own commit validates, so

@@ -121,6 +121,53 @@ class ArrowBloomSpec extends AnyFunSuite {
     }
   }
 
+  test("standing bloom inheritance: option-less appends keep blooming; truncate resets") {
+    val dir = tmp("graft_bloom_inherit")
+    spark.range(0, 2000).select(col("id"), (col("id") % 7).as("v"))
+      .repartition(2, col("id"))
+      .write.format("arrow-ipc").option("bloomColumns", "id")
+      .mode("overwrite").save(dir)
+    // the forgetful ingest job: an APPEND with no bloom option must
+    // inherit the standing set — its files bloom `id` too
+    spark.range(2000, 4000).select(col("id"), (col("id") % 7).as("v"))
+      .repartition(2, col("id"))
+      .write.format("arrow-ipc").mode("append").save(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stats = graft.sources.ArrowFileStats.read(
+      fs, new org.apache.hadoop.fs.Path(dir))
+    assert(stats.size === 4)
+    assert(stats.values.forall(_.cols("id").bloom.isDefined),
+      "appended files must inherit the standing bloom declaration")
+    // a point lookup in the APPENDED range prunes through the new blooms
+    val q = spark.read.format("arrow-ipc").load(dir).filter(col("id") === 3333L)
+    assert(q.count() === 1)
+    assert(keptOf(scanDesc(q))._1 <= 2)
+    // the streaming sink inherits too
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_bloom_ckpt").toString
+    val sq = mem.toDF().select(col("value").as("id"), (col("value") % 7).as("v"))
+      .writeStream.format("arrow-ipc")
+      .option("checkpointLocation", ckpt).start(dir)
+    try { mem.addData(4000L until 4100L); sq.processAllAvailable() }
+    finally sq.stop()
+    val stats2 = graft.sources.ArrowFileStats.read(
+      fs, new org.apache.hadoop.fs.Path(dir))
+    val streamed = stats2.keys.filter(
+      graft.sources.ArrowStreamCommits.isStreamName)
+    assert(streamed.nonEmpty &&
+      streamed.forall(n => stats2(n).cols("id").bloom.isDefined),
+      "stream-epoch files must inherit the standing bloom declaration")
+    // overwrite resets the declaration: fresh files carry no blooms
+    spark.range(10).select(col("id"), (col("id") % 7).as("v"))
+      .write.format("arrow-ipc").mode("overwrite").save(dir)
+    val stats3 = graft.sources.ArrowFileStats.read(
+      fs, new org.apache.hadoop.fs.Path(dir))
+    assert(stats3.values.forall(_.cols("id").bloom.isEmpty))
+  }
+
   test("IN-list prunes to the union of member files") {
     val dir = tmp("graft_bloom_in")
     spark.range(0, 4000).select(col("id"))

@@ -442,7 +442,11 @@ class ArrowMaintenanceSpec extends AnyFunSuite {
     val r = try ArrowMaintenance.vacuum(spark, dir, keepFrom = Some(4L))
       finally spark.conf.unset("spark.graft.arrow.occStaleMs")
     assert(r.stagingSwept === 1)
-    assert(r.orphansSwept === 2) // the orphan + the task temp
+    // the stream orphan counts here; the task temp was claimed by the
+    // atomic-write temp sweep that runs first (either way it is gone)
+    assert(r.orphansSwept === 1)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dirPath,
+      ".part-00001.arrows.task-7.tmp")))
     assert(r.expired.get.dropped === 3)
     assert(!fs.exists(orphan))
     // the directory still reads whole, expired travel refuses loudly
