@@ -370,6 +370,45 @@ class ArrowCatalog extends TableCatalog with ProcedureCatalog {
           SparkSession.active.sparkContext.hadoopConfiguration)
         Seq(row(ArrowSnapshots.currentTip(fs, p)))
       }),
+    // read-only: the DESCRIBE DETAIL analog — one row of table facts
+    // from metadata alone (listing + manifest + declarations; no data
+    // file is ever opened)
+    GraftProcedure("detail",
+      "table facts: files, bytes, rows (manifest-exact or -1), layouts, blooms, tip",
+      Array(in("dir", StringType)),
+      StructType(Seq(
+        org.apache.spark.sql.types.StructField("location", StringType),
+        org.apache.spark.sql.types.StructField("files", IntegerType),
+        org.apache.spark.sql.types.StructField("bytes", LongType),
+        org.apache.spark.sql.types.StructField("rows", LongType),
+        org.apache.spark.sql.types.StructField("layout_keys", StringType),
+        org.apache.spark.sql.types.StructField("hive_keys", StringType),
+        org.apache.spark.sql.types.StructField("bloom_columns", StringType),
+        org.apache.spark.sql.types.StructField("snapshot_tip", LongType))),
+      r => {
+        val dir = dirArg(r)
+        val p = new Path(dir)
+        val fs = p.getFileSystem(
+          SparkSession.active.sparkContext.hadoopConfiguration)
+        val visible = ArrowStreamCommits.visibleFilter(fs, p)
+        val sts = ArrowSnapshots.listDataFileStatuses(fs, p)
+          .filter { case (rel, _) => visible(new Path(rel).getName) }
+        val manifest = ArrowFileStats.read(fs, p)
+        val rows =
+          if (sts.forall { case (rel, _) =>
+            manifest.contains(new Path(rel).getName) })
+            sts.map { case (rel, _) =>
+              manifest(new Path(rel).getName).rows }.sum
+          else -1L
+        val blooms = manifest.values
+          .flatMap(_.cols.collect { case (c, s) if s.bloom.isDefined => c })
+          .toSet.toSeq.sorted
+        Seq(row(dir, sts.size, sts.map(_._2.getLen).sum, rows,
+          ArrowLayout.read(fs, p).mkString(","),
+          ArrowHiveLayout.read(fs, p).mkString(","),
+          blooms.mkString(","),
+          ArrowSnapshots.currentTip(fs, p)))
+      }),
     // read-only: the DESCRIBE HISTORY analog — one row per retained
     // snapshot, newest first (expired prefixes are folded into the base
     // checkpoint entry, which reports its cumulative adds)

@@ -112,4 +112,20 @@ class ArrowProcedureSpec extends AnyFunSuite {
     assert(hist.last.getInt(2) === 1 && hist.last.getInt(3) === 0) // first append
     assert(hist.forall(_.getTimestamp(1) != null))
   }
+
+  test("CALL detail reports metadata-exact table facts without opening data files") {
+    val dir = tmp("graft_proc_detail")
+    spark.range(0, 90).selectExpr("id", "cast(id % 3 as string) k")
+      .write.format("arrow-ipc").mode("overwrite")
+      .option("hivePartitionKeys", "k")
+      .option("bloomColumns", "id").save(dir)
+    val d = spark.sql(s"CALL graft.system.detail('$dir')").head()
+    assert(d.getString(0) === dir)
+    assert(d.getInt(1) === 3)          // one file per value dir
+    assert(d.getLong(2) > 0)
+    assert(d.getLong(3) === 90L)       // manifest-exact row count
+    assert(d.getString(5) === "k")     // hive keys
+    assert(d.getString(6) === "id")    // bloom columns
+    assert(d.getLong(7) === 1L)        // first snapshot
+  }
 }
