@@ -145,16 +145,46 @@ object ArrowMaintenance {
       !pending.exists(q => name.stripSuffix(".arrows").endsWith(q))
   }
 
+  /** A maintenance op can lose its race at TWO points: at commit-time
+    * validation (the clean [[ArrowOcc.CommitConflictException]]), or
+    * EARLIER — mid-staging, when a concurrent swap trashes a file
+    * between this op's scan planning and a task's open, surfacing as a
+    * FileNotFoundException buried in a SparkException chain. Both mean
+    * the same thing: the listed state is gone, re-run against the new
+    * one. (A genuinely missing file fails every retry and still
+    * surfaces.) */
+  private def lostRace(t: Throwable): Boolean = {
+    var c = t
+    var depth = 0
+    while (c != null && depth < 16) {
+      if (c.isInstanceOf[java.io.FileNotFoundException]) return true
+      // mid-staging vanish, or a plan that caught a CONCURRENT swap's
+      // latch-down window (the swap finishes in ms; the retry's
+      // recover() waits on the commit lock and proceeds against the
+      // restored state)
+      if (Option(c.getMessage).exists(m =>
+        m.contains("FileNotFoundException") ||
+          m.contains("refusing to read partial data"))) return true
+      c = c.getCause
+      depth += 1
+    }
+    false
+  }
+
   /** Bounded conflict-retry for maintenance rewrites: a lost commit race
-    * re-runs the whole op against the new state ([[commitSwap]] already
-    * cleaned the loser's staging). */
+    * (validation conflict OR mid-staging vanish) re-runs the whole op
+    * against the new state ([[commitSwap]] cleans a validation loser's
+    * staging; a mid-staging loser's dir falls to the stale sweep). */
   private def retryOnConflict[T](what: String, attempts: Int = 3)(
       body: => T): T = {
-    var last: ArrowOcc.CommitConflictException = null
+    var last: Throwable = null
     var i = 0
     while (i < attempts) {
       try return body
-      catch { case e: ArrowOcc.CommitConflictException => last = e; i += 1 }
+      catch {
+        case e: ArrowOcc.CommitConflictException => last = e; i += 1
+        case e: Throwable if lostRace(e) => last = e; i += 1
+      }
     }
     throw last
   }
@@ -348,6 +378,12 @@ object ArrowMaintenance {
     ArrowOcc.sweepStaleStaging(fs, dirPath, ".cow-*")
     ArrowStreamCommits.cleanOrphans(fs, dirPath)
 
+    // nothing to rewrite (directory absent, empty, or not yet committed —
+    // e.g. a maintenance loop that started before the first ingest batch
+    // landed): a no-op, not an error
+    if (!fs.exists(dirPath) ||
+        ArrowSnapshots.listDataFiles(fs, dirPath).isEmpty) return None
+
     val schema = ArrowInterchange.readSchema(spark, dir)
     val hiveKeys = ArrowHiveLayout.read(fs, dirPath)
     sortCols.foreach(c => require(!hiveKeys.contains(c),
@@ -471,6 +507,11 @@ object ArrowMaintenance {
     require(cols.distinct.length == cols.length,
       s"clusterZOrdered: duplicate dimension in ${cols.mkString(", ")}")
     require(cols.length >= 2, "clusterZOrdered: at least two dimensions")
+    // same empty-directory no-op as cluster (the schema read below would
+    // otherwise throw before cluster's own emptiness check can)
+    val zfs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!zfs.exists(new Path(dir)) ||
+        ArrowSnapshots.listDataFiles(zfs, new Path(dir)).isEmpty) return None
     val schema = ArrowInterchange.readSchema(spark, dir)
     // each dimension rides its NUMERIC ORDINAL: numerics as themselves,
     // dates as epoch days, timestamps as epoch µs (NTZ through the

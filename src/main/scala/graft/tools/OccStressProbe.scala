@@ -1,0 +1,171 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.sources.ArrowMaintenance
+
+/** Dev-only probe: a sustained randomized-interleaving stress of the OCC
+  * commit protocol — the belt-and-braces companion to ArrowOccSpec's
+  * deterministic races. FIVE uncoordinated writers hammer ONE directory
+  * for a fixed wall-clock budget:
+  *
+  *   - two batch appenders (disjoint id ranges, variable batch sizes),
+  *   - a streaming sink draining a MemoryStream (a third id range),
+  *   - a compactor loop,
+  *   - a clusterer loop (range-sort on id — a whole-table remove-carrying
+  *     rewrite, the op most likely to lose validation races and retry).
+  *
+  * No sleeps are tuned and no outcome is scripted: whatever interleaving
+  * the scheduler produces must satisfy the invariants at the end —
+  *   1. every id exactly once (no lost swap, no double-stage),
+  *   2. the directory healed (latch up; no lock, intent, or staging),
+  *   3. a fresh checkpointed streaming reader emits every row exactly
+  *      once (lineage intact through however many rewrites landed).
+  */
+object OccStressProbe {
+  def main(args: Array[String]): Unit = {
+    val seconds = args.headOption.map(_.toInt).getOrElse(60)
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = s"/tmp/graft_scale/occ_stress_${System.nanoTime()}/out"
+    println(s"hammering $dir for ${seconds}s with 5 uncoordinated writers...")
+
+    val deadline = System.nanoTime() + seconds * 1000000000L
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val appended = new java.util.concurrent.atomic.AtomicLong(0) // ids 0..
+    val appended2 = new java.util.concurrent.atomic.AtomicLong(0) // 10^9..
+    val compactions = new java.util.concurrent.atomic.AtomicInteger(0)
+    val clusterings = new java.util.concurrent.atomic.AtomicInteger(0)
+    val conflicts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val rnd = new java.util.Random(42)
+
+    def appender(base: Long, ctr: java.util.concurrent.atomic.AtomicLong) =
+      new Thread(() => try {
+        while (System.nanoTime() < deadline) {
+          val n = 50 + rnd.nextInt(150)
+          val lo = base + ctr.getAndAdd(n)
+          spark.range(lo, lo + n).select(col("id"), (col("id") % 13).as("k"))
+            .coalesce(1 + rnd.nextInt(2))
+            .write.format("arrow-ipc").mode("append").save(dir)
+        }
+      } catch { case e: Throwable => errs.add(e) })
+
+    // a maintenance run CAN exhaust its bounded lost-race retries under
+    // sustained pressure — the documented contract is "refuse loudly,
+    // caller re-runs", not a correctness failure. Both conflict shapes
+    // count: the commit-time validation exception and the mid-staging
+    // file-vanished SparkException chain.
+    def refusedLoudly(t: Throwable): Boolean = {
+      var c: Throwable = t
+      while (c != null) {
+        if (c.isInstanceOf[graft.sources.ArrowOcc.CommitConflictException] ||
+            c.isInstanceOf[java.io.FileNotFoundException] ||
+            Option(c.getMessage).exists(m =>
+              m.contains("FileNotFoundException") ||
+                m.contains("refusing to read partial data")))
+          return true
+        c = c.getCause
+      }
+      false
+    }
+
+    val maintainer = new Thread(() => try {
+      while (System.nanoTime() < deadline) {
+        try {
+          ArrowMaintenance.compact(spark, dir, targetBytes = 4L << 20)
+          compactions.incrementAndGet()
+        } catch {
+          case e: Throwable if refusedLoudly(e) => conflicts.incrementAndGet()
+        }
+        Thread.sleep(50)
+      }
+    } catch { case e: Throwable => errs.add(e) })
+
+    val clusterer = new Thread(() => try {
+      while (System.nanoTime() < deadline) {
+        try {
+          ArrowMaintenance.cluster(spark, dir, Seq("id"),
+            targetBytes = 4L << 20)
+          clusterings.incrementAndGet()
+        } catch {
+          case e: Throwable if refusedLoudly(e) => conflicts.incrementAndGet()
+        }
+        Thread.sleep(100)
+      }
+    } catch { case e: Throwable => errs.add(e) })
+
+    // streaming leg: ids 2e9.., one epoch per addData
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    val ckpt = java.nio.file.Files.createTempDirectory("occ_stress_ck").toString
+    val sq = mem.toDF().select(col("value").as("id"), (col("value") % 13).as("k"))
+      .writeStream.format("arrow-ipc")
+      .option("checkpointLocation", ckpt).start(dir)
+    var streamed = 0L
+    val streamer = new Thread(() => try {
+      while (System.nanoTime() < deadline) {
+        val n = 100 + rnd.nextInt(100)
+        mem.addData(2000000000L + streamed until 2000000000L + streamed + n)
+        streamed += n
+        sq.processAllAvailable()
+      }
+    } catch { case e: Throwable => errs.add(e) })
+
+    val threads = Seq(appender(0L, appended),
+      appender(1000000000L, appended2), maintainer, clusterer, streamer)
+    threads.foreach(_.start()); threads.foreach(_.join())
+    sq.processAllAvailable(); sq.stop()
+
+    val expected = appended.get + appended2.get + streamed
+    println(f"  writers done: ${appended.get + appended2.get}%d batch ids, " +
+      f"$streamed%d streamed ids, ${compactions.get}%d compactions, " +
+      f"${clusterings.get}%d clusterings, ${conflicts.get}%d " +
+      "retry-exhaustions (refused loudly, by contract)")
+    require(errs.isEmpty, s"writer failed: ${errs.peek()}")
+
+    val back = spark.read.format("arrow-ipc").load(dir)
+    val (cnt, dst) = (back.count(), back.select("id").distinct().count())
+    println(s"  invariant 1 — every id exactly once: count=$cnt distinct=$dst expected=$expected")
+    require(cnt == expected && dst == expected, "LOST OR DUPLICATED ROWS")
+
+    // a run that lost its race MID-STAGING leaves its staging dir to the
+    // stale sweep by design — collapse the window and vacuum, then the
+    // directory must be spotless
+    spark.conf.set("spark.graft.arrow.occStaleMs", "-1")
+    val v = try ArrowMaintenance.vacuum(spark, dir)
+      finally spark.conf.unset("spark.graft.arrow.occStaleMs")
+    println(s"  vacuum: recovered=${v.recovered} staging=${v.stagingSwept} " +
+      s"orphans=${v.orphansSwept}")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def gone(n: String) = !fs.exists(new org.apache.hadoop.fs.Path(dir, n))
+    require(fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS")) &&
+      gone("_commit.lock") && gone("_compaction.json"),
+      "directory did not heal")
+    require(Option(fs.globStatus(new org.apache.hadoop.fs.Path(dir, ".compact-*")))
+      .getOrElse(Array.empty).isEmpty, "staging leaked")
+    println("  invariant 2 — directory healed: latch up, no lock/intent/staging")
+
+    val ck2 = java.nio.file.Files.createTempDirectory("occ_stress_ck2").toString
+    val echo = spark.readStream.format("arrow-ipc").load(dir)
+      .writeStream.format("memory").queryName("occ_stress_echo")
+      .option("checkpointLocation", ck2)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    echo.awaitTermination(300000)
+    val e2 = spark.table("occ_stress_echo")
+    println(s"  invariant 3 — fresh streaming reader exactly-once: " +
+      s"count=${e2.count()} distinct=${e2.select("id").distinct().count()}")
+    require(e2.count() == expected &&
+      e2.select("id").distinct().count() == expected,
+      "streaming reader lost or duplicated rows")
+    println("ALL INVARIANTS HELD")
+    spark.stop()
+  }
+}
