@@ -7,14 +7,16 @@ import graft.sources.ArrowMaintenance
 
 /** Dev-only probe: a sustained randomized-interleaving stress of the OCC
   * commit protocol — the belt-and-braces companion to ArrowOccSpec's
-  * deterministic races. FIVE uncoordinated writers hammer ONE directory
+  * deterministic races. SIX uncoordinated writers hammer ONE directory
   * for a fixed wall-clock budget:
   *
   *   - two batch appenders (disjoint id ranges, variable batch sizes),
   *   - a streaming sink draining a MemoryStream (a third id range),
   *   - a compactor loop,
   *   - a clusterer loop (range-sort on id — a whole-table remove-carrying
-  *     rewrite, the op most likely to lose validation races and retry).
+  *     rewrite, the op most likely to lose validation races and retry),
+  *   - a SQL DML loop (value-identity copy-on-write UPDATE — the
+  *     statement-level writer, which must lose cleanly or win cleanly).
   *
   * No sleeps are tuned and no outcome is scripted: whatever interleaving
   * the scheduler produces must satisfy the invariants at the end —
@@ -33,7 +35,7 @@ object OccStressProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = s"/tmp/graft_scale/occ_stress_${System.nanoTime()}/out"
-    println(s"hammering $dir for ${seconds}s with 5 uncoordinated writers...")
+    println(s"hammering $dir for ${seconds}s with 6 uncoordinated writers...")
 
     val deadline = System.nanoTime() + seconds * 1000000000L
     val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
@@ -99,6 +101,29 @@ object OccStressProbe {
       }
     } catch { case e: Throwable => errs.add(e) })
 
+    // SQL DML leg: a copy-on-write UPDATE racing everything else. The
+    // update is VALUE-IDENTITY (`k = k`) so the id multiset — and thus
+    // every end invariant — is unchanged no matter how many statements
+    // win; what it exercises is the COW staging + swap losing/winning
+    // races against appends, compactions, clusterings and epochs.
+    val updates = new java.util.concurrent.atomic.AtomicInteger(0)
+    val dmler = new Thread(() => try {
+      spark.conf.set("spark.sql.catalog.graft", "graft.sources.ArrowCatalog")
+      while (System.nanoTime() < deadline) {
+        try {
+          spark.sql(s"UPDATE graft.`$dir` SET k = k WHERE id % 997 = 7")
+          updates.incrementAndGet()
+        } catch {
+          case e: Throwable if refusedLoudly(e) => conflicts.incrementAndGet()
+          // the DML loop can outrace the table's very existence (first
+          // append not committed yet) — not a conflict, just early
+          case e: Throwable if Option(e.getMessage).exists(
+            _.contains("TABLE_OR_VIEW_NOT_FOUND")) => ()
+        }
+        Thread.sleep(150)
+      }
+    } catch { case e: Throwable => errs.add(e) })
+
     // streaming leg: ids 2e9.., one epoch per addData
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
@@ -118,15 +143,16 @@ object OccStressProbe {
     } catch { case e: Throwable => errs.add(e) })
 
     val threads = Seq(appender(0L, appended),
-      appender(1000000000L, appended2), maintainer, clusterer, streamer)
+      appender(1000000000L, appended2), maintainer, clusterer, dmler,
+      streamer)
     threads.foreach(_.start()); threads.foreach(_.join())
     sq.processAllAvailable(); sq.stop()
 
     val expected = appended.get + appended2.get + streamed
     println(f"  writers done: ${appended.get + appended2.get}%d batch ids, " +
       f"$streamed%d streamed ids, ${compactions.get}%d compactions, " +
-      f"${clusterings.get}%d clusterings, ${conflicts.get}%d " +
-      "retry-exhaustions (refused loudly, by contract)")
+      f"${clusterings.get}%d clusterings, ${updates.get}%d COW updates, " +
+      f"${conflicts.get}%d retry-exhaustions (refused loudly, by contract)")
     require(errs.isEmpty, s"writer failed: ${errs.peek()}")
 
     val back = spark.read.format("arrow-ipc").load(dir)
