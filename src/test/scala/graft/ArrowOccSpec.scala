@@ -188,6 +188,45 @@ class ArrowOccSpec extends AnyFunSuite {
       !f.getName.startsWith(".cow-")))
   }
 
+  test("hive layout: concurrent appends and incremental compactions, zero lost or duplicated rows") {
+    val dir = tmp("graft_occ_hive_race")
+    spark.range(0, 100).select(col("id"), (col("id") % 5).cast("string").as("p"))
+      .write.format("arrow-ipc").mode("overwrite")
+      .option("hivePartitionKeys", "p").save(dir)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val appenders = (0 until 2).map { t =>
+      new Thread(() => try {
+        (0 until 5).foreach { i =>
+          val lo = 1000L * (t * 5 + i + 1)
+          spark.range(lo, lo + 100)
+            .select(col("id"), (col("id") % 5).cast("string").as("p"))
+            .write.format("arrow-ipc").mode("append")
+            .option("hivePartitionKeys", "p").save(dir)
+        }
+      } catch { case e: Throwable => errs.add(e) })
+    }
+    val compactor = new Thread(() => try {
+      (0 until 5).foreach { _ =>
+        ArrowMaintenance.compact(spark, dir, targetBytes = 1L << 20)
+        Thread.sleep(30)
+      }
+    } catch { case e: Throwable => errs.add(e) })
+    (appenders :+ compactor).foreach(_.start())
+    (appenders :+ compactor).foreach(_.join(300000))
+    assert(errs.isEmpty, s"concurrent hive run failed: ${errs.peek()}")
+    val back = spark.read.format("arrow-ipc").load(dir)
+    val expected = 100 + 2 * 5 * 100
+    assert(back.count() === expected)
+    assert(back.select("id").distinct().count() === expected)
+    // files stayed inside value directories; partition reconstruction holds
+    val fs = fsOf(dir)
+    val rels = graft.sources.ArrowSnapshots.listDataFiles(fs, new Path(dir))
+    assert(rels.nonEmpty && rels.forall(_.startsWith("p=")))
+    assert(back.groupBy("p").count().count() === 5)
+    assert(fs.exists(new Path(dir, "_SUCCESS")))
+    assert(!fs.exists(new Path(dir, "_compaction.json")))
+  }
+
   // ── the flagship: streaming sink racing compact ─────────────────────
 
   test("a streaming sink racing concurrent compact(): serializable, zero lost rows, lineage intact") {
