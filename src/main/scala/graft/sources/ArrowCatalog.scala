@@ -217,12 +217,18 @@ class ArrowCatalog extends TableCatalog with ProcedureCatalog {
             "ADD COLUMN (appended last), DROP COLUMN, and widening " +
             "ALTER COLUMN TYPE evolve the sentinel")
     }}
-    // sentinel swap by DIRECT overwrite: a crash mid-write leaves a
-    // torn sentinel that every read then rejects LOUDLY (parse error) —
-    // strictly better than a delete+rename gap, whose no-sentinel window
-    // would silently re-infer the PRE-evolution schema from a data file.
-    val fin = new Path(p, "_schema.arrows")
-    ArrowInterchange.writeSentinel(fs.create(fin, true), after)
+    // sentinel swap via ATOMIC REPLACE (round 11): reads are
+    // deliberately lock-free, so the most correctness-bearing sidecar of
+    // all must flip like the ledger/stats/tip files do — a racing reader
+    // sees the old schema or the new one, never a torn/empty sentinel,
+    // and a crash mid-ALTER leaves the table readable (old schema)
+    // instead of wedged until manual repair.
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      ArrowInterchange.writeSentinel(bos, after)
+      bos.toByteArray
+    }
+    ArrowOcc.writeAtomic(fs, new Path(p, "_schema.arrows"), bytes)
     new ArrowIpcTable(after, dir)
     } // withCommitLock
   }

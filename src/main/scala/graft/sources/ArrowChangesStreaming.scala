@@ -138,11 +138,16 @@ private[sources] class ArrowChangesMicroBatchStream(
     // idle-poll fast path: the tip pointer answers "anything new?" in
     // O(1) — a steady-state consumer over a quiet table never lists the
     // log directory at all
-    if (ArrowSnapshots.currentTip(f, dirPath) <= from)
-      return ArrowSnapshotIdOffset(from)
-    // something new: admit by id, from entry FILENAMES only (no parse)
-    val ids = ArrowSnapshots.listIds(f, dirPath)
-      .filter(id => id > from && availableNowCap.forall(id <= _))
+    val tip0 = ArrowSnapshots.currentTip(f, dirPath)
+    val tip = availableNowCap.fold(tip0)(math.min(tip0, _))
+    if (tip <= from) return ArrowSnapshotIdOffset(from)
+    // something new: ids are dense and entries are named by id, so the
+    // admitted window constructs DIRECTLY — O(delta) per trigger, flat in
+    // history depth (round 11; listing the log was O(history) every
+    // data-carrying poll, forever). Only a bootstrap (from = 0) or an
+    // expired `from` falls back to one full filename listing.
+    val ids = ArrowSnapshots.idsAfter(f, dirPath, from, tip).getOrElse(
+      ArrowSnapshots.listIds(f, dirPath).filter(id => id > from && id <= tip))
     val admitted = limit match {
       case mf: ReadMaxFiles => ids.take(mf.maxFiles)
       case _ => ids
@@ -169,14 +174,12 @@ private[sources] class ArrowChangesMicroBatchStream(
     val to = end.asInstanceOf[ArrowSnapshotIdOffset].id
     if (to <= from) return Array.empty
     val f = fs
-    val snaps = ArrowSnapshots.read(f, dirPath)
-    // replay safety: the admitted window must still be fully recorded —
-    // an expired `from` (collapsed below the base entry) would silently
-    // drop the deltas between from and the base
-    require(from == 0 || snaps.exists(_.id == from),
-      s"arrow-ipc change feed: snapshot $from of $dir expired under a " +
-        "checkpointed stream — the delta since it cannot be reconstructed")
-    val window = snaps.filter(e => e.id > from && e.id <= to)
+    // replay safety rides readRange: the admitted window must still be
+    // fully recorded — an expired `from` (collapsed below the base entry)
+    // refuses loudly rather than silently dropping deltas. O(window)
+    // direct-path parses, never an O(history) log read per batch.
+    val window = ArrowSnapshots.readRange(f, dirPath, from, to,
+      "a checkpointed stream")
     val added = window.flatMap(_.adds).toSet
     val removed = window.flatMap(_.removes).toSet
     // net-change semantics: a file added and removed inside the window

@@ -687,7 +687,7 @@ private[sources] class ArrowIpcScan(required: StructType, dir: String,
     val streamVisible = {
       val ledgerVisible = ArrowStreamCommits.visibleFilter(fs, dirPath)
       (n: String) => ledgerVisible(n) &&
-        !pendingHidden.exists(q => n.stripSuffix(".arrows").endsWith(q))
+        !pendingHidden.contains(ArrowOcc.nameQueryId(n))
     }
     // hive-partitioned discovery: walk one `key=value` directory level per
     // partition key, pruning value directories the STATIC filters refute
@@ -857,19 +857,13 @@ private[sources] class ArrowIpcScan(required: StructType, dir: String,
     fileKeep = fileKeepFrom(onFile)
   }
 
-  /** The commit queryId a data file's name carries: our writers suffix
-    * every file with it (`part-NNNNN[-gSSSS]-<qid>.arrows`, qid a
-    * 36-char UUID). A non-conforming (foreign) name yields a
-    * non-matching token and the file is simply kept — extraction makes
-    * the refuted-shard test O(1) per file instead of O(refuted shards)
-    * string scans, which matters at exactly the million-file scale the
-    * shard index serves. */
-  private def shardIdOf(name: String): String = {
-    val stem = name.stripSuffix(".arrows")
-    if (stem.length > 36 && stem.charAt(stem.length - 37) == '-')
-      stem.substring(stem.length - 36)
-    else ""
-  }
+  /** The commit queryId a data file's name carries — the shared
+    * [[ArrowOcc.nameQueryId]] convention. A non-conforming (foreign)
+    * name yields a non-matching token and the file is simply kept —
+    * extraction makes the refuted-shard test O(1) per file instead of
+    * O(refuted shards) string scans, which matters at exactly the
+    * million-file scale the shard index serves. */
+  private def shardIdOf(name: String): String = ArrowOcc.nameQueryId(name)
 
   private def keptWith(active: Array[org.apache.spark.sql.sources.Filter])
       : Array[org.apache.hadoop.fs.FileStatus] = {
@@ -1289,6 +1283,12 @@ private[sources] class ArrowIpcWrite(
   private def clusterKeys: Seq[String] =
     if (hiveKeys.nonEmpty) hiveKeys else partitionKeys
 
+  // driver-side refresh of this append's `_pending-<queryId>` marker for
+  // the whole write stage — a multi-hour job must never cross the
+  // pending-liveness window mid-write (round 11; created at factory time,
+  // stopped at commit/abort)
+  @volatile private var heartbeat: Option[ArrowOcc.PendingHeartbeat] = None
+
   override def toBatch: BatchWrite = this
   override def toStreaming
       : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
@@ -1417,6 +1417,11 @@ private[sources] class ArrowIpcWrite(
       ArrowOcc.markPending(fs, dirPath, queryId)
       fs.delete(new Path(dirPath, "_SUCCESS"), false)
     }
+    // keep the marker live for the write job's whole duration — without
+    // the heartbeat, a write stage longer than the pending window would
+    // silently lose its in-flight protection (latch re-created mid-append,
+    // files replaceable by concurrent maintenance)
+    heartbeat = Some(ArrowOcc.heartbeatPending(fs, dirPath, queryId))
     // STANDING BLOOM INHERITANCE (round 10): an option-less APPEND
     // defaults its bloom set to the columns any live manifest entry
     // carries a bloom for — the same standing-declaration rule layouts
@@ -1437,7 +1442,30 @@ private[sources] class ArrowIpcWrite(
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dirPath = new Path(dir)
     val fs = dirPath.getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
+    heartbeat.foreach(_.stop())
     ArrowOcc.withCommitLock(fs, dirPath) {
+    // LIVENESS BACKSTOP (round 11): if this append's marker is gone or
+    // stale (heartbeat died, or a sweep collected it), concurrent
+    // maintenance may have treated the job's task-committed files as
+    // replaceable — re-validate every file still exists before recording
+    // stats/snapshot entries for it, and fail the batch loudly (like the
+    // stream sink's epoch commit) instead of committing pointers to
+    // deleted files. With a live marker the check is one getFileStatus.
+    if (!ArrowOcc.pendingLive(fs, dirPath, queryId)) {
+      val gone = messages.collect { case ArrowIpcCommitMessage(files) =>
+        files.collect { case (path, _) if !fs.exists(new Path(path)) => path }
+      }.flatten
+      if (gone.nonEmpty) {
+        ArrowOcc.clearPending(fs, dirPath, queryId)
+        throw new java.io.IOException(
+          s"arrow-ipc: append $queryId to $dir lost its in-flight " +
+            s"protection (pending marker expired) and ${gone.size} of its " +
+            s"files were removed by concurrent maintenance (first: " +
+            s"${gone.head}) — re-run the write")
+      }
+      // all files survived the unprotected window: safe to commit
+      ArrowOcc.markPending(fs, dirPath, queryId) // restore for the tail
+    }
     // persist per-file column stats (the scan's file-pruning substrate)
     // BEFORE the completeness marker: a reader that sees _SUCCESS must
     // also see the stats of every committed file. Appends merge with the
@@ -1490,6 +1518,7 @@ private[sources] class ArrowIpcWrite(
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    heartbeat.foreach(_.stop())
     val conf = SparkSession.active.sparkContext.hadoopConfiguration
     messages.foreach {
       case ArrowIpcCommitMessage(files) => files.foreach { case (path, _) =>

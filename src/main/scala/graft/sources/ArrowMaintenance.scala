@@ -63,7 +63,8 @@ object ArrowMaintenance {
   def compact(spark: SparkSession, dir: String,
       targetBytes: Long = 128L << 20,
       codec: Option[String] = None): Option[CompactionResult] =
-    retryOnConflict("compact")(compactOnce(spark, dir, targetBytes, codec))
+    retryOnConflict("compact", dir)(
+      compactOnce(spark, dir, targetBytes, codec))
 
   private def compactOnce(spark: SparkSession, dir: String,
       targetBytes: Long,
@@ -141,8 +142,10 @@ object ArrowMaintenance {
       : String => Boolean = {
     val visible = ArrowStreamCommits.visibleFilter(fs, dirPath)
     val pending = ArrowOcc.livePendingQueryIds(fs, dirPath)
-    name => visible(name) &&
-      !pending.exists(q => name.stripSuffix(".arrows").endsWith(q))
+    // exact queryId-component equality, not a suffix test — the shared
+    // [[ArrowOcc.nameQueryId]] convention keeps this in lockstep with the
+    // writers' naming scheme
+    name => visible(name) && !pending.contains(ArrowOcc.nameQueryId(name))
   }
 
   /** A maintenance op can lose its race at TWO points: at commit-time
@@ -151,20 +154,28 @@ object ArrowMaintenance {
     * between this op's scan planning and a task's open, surfacing as a
     * FileNotFoundException buried in a SparkException chain. Both mean
     * the same thing: the listed state is gone, re-run against the new
-    * one. (A genuinely missing file fails every retry and still
-    * surfaces.) */
-  private def lostRace(t: Throwable): Boolean = {
+    * one. SCOPED to the dataset (round 11): the FNF's message must name
+    * a path under `dir` — a genuinely missing foreign path (a
+    * misconfigured input read inside the job) fails once, loudly,
+    * instead of silently tripling an expensive whole-table staging run. */
+  private def lostRace(t: Throwable, dir: String): Boolean = {
+    // both spellings a message can carry: the raw path and the
+    // scheme-qualified one ("/a/b" appears inside "file:/a/b" too)
+    val under = new Path(dir).toUri.getPath
+    def ours(m: String): Boolean = m.contains(under) || m.contains(dir)
     var c = t
     var depth = 0
     while (c != null && depth < 16) {
-      if (c.isInstanceOf[java.io.FileNotFoundException]) return true
+      val msg = Option(c.getMessage).getOrElse("")
+      if (c.isInstanceOf[java.io.FileNotFoundException] && ours(msg))
+        return true
       // mid-staging vanish, or a plan that caught a CONCURRENT swap's
       // latch-down window (the swap finishes in ms; the retry's
       // recover() waits on the commit lock and proceeds against the
       // restored state)
-      if (Option(c.getMessage).exists(m =>
-        m.contains("FileNotFoundException") ||
-          m.contains("refusing to read partial data"))) return true
+      if ((msg.contains("FileNotFoundException") ||
+          msg.contains("refusing to read partial data")) && ours(msg))
+        return true
       c = c.getCause
       depth += 1
     }
@@ -175,15 +186,15 @@ object ArrowMaintenance {
     * (validation conflict OR mid-staging vanish) re-runs the whole op
     * against the new state ([[commitSwap]] cleans a validation loser's
     * staging; a mid-staging loser's dir falls to the stale sweep). */
-  private def retryOnConflict[T](what: String, attempts: Int = 3)(
-      body: => T): T = {
+  private def retryOnConflict[T](what: String, dir: String,
+      attempts: Int = 3)(body: => T): T = {
     var last: Throwable = null
     var i = 0
     while (i < attempts) {
       try return body
       catch {
         case e: ArrowOcc.CommitConflictException => last = e; i += 1
-        case e: Throwable if lostRace(e) => last = e; i += 1
+        case e: Throwable if lostRace(e, dir) => last = e; i += 1
       }
     }
     throw last
@@ -359,7 +370,7 @@ object ArrowMaintenance {
         org.apache.spark.sql.DataFrame = identity,
       where: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
       : Option[CompactionResult] =
-    retryOnConflict("cluster")(
+    retryOnConflict("cluster", dir)(
       clusterOnce(spark, dir, sortCols, targetBytes, codec, withSortColumns,
         where))
 
@@ -623,43 +634,61 @@ object ArrowMaintenance {
     val dirPath = new Path(dir)
     val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     recover(spark, dir) // a half-swapped directory must finish first
-    ArrowOcc.withCommitLock(fs, dirPath) {
-    val snaps = ArrowSnapshots.read(fs, dirPath)
-    val base = snaps.find(_.id == keepFrom).getOrElse(
-      throw new IllegalArgumentException(
-        s"arrow-ipc: $dir has no snapshot $keepFrom to keep from" +
-          (if (snaps.isEmpty) " (no snapshot log)"
-          else s" — the log records ${snaps.head.id}..${snaps.last.id}")))
-    val dropped = snaps.count(_.id < keepFrom)
-    val tail = snaps.filter(_.id > keepFrom)
-    val baseState = ArrowSnapshots.resolve(snaps, keepFrom).get
-    // every retained snapshot's file set still needs its trash copies.
-    // The union of all states ≥ keepFrom is state(keepFrom) ∪ every file
-    // ADDED after it (a later-removed file still appears in the state of
-    // its add snapshot) — one O(history) pass, where refolding resolve()
-    // per retained id would be O(history²) under the commit lock.
-    val needed = baseState ++ tail.flatMap(_.adds)
-    def sweep(at: Path, prefix: String): Int =
-      Option(fs.listStatus(at)).getOrElse(Array.empty).map { st =>
-        val rel = prefix + st.getPath.getName
-        if (st.isDirectory) sweep(st.getPath, rel + "/")
-        else if (!needed(rel)) { fs.delete(st.getPath, false); 1 }
-        else 0
-      }.sum
     val trashRoot = new Path(dirPath, ArrowSnapshots.TrashDir)
-    val deleted = if (fs.exists(trashRoot)) sweep(trashRoot, "") else 0
-    ArrowSnapshots.writeBase(fs, dirPath,
-      ArrowSnapshots.Snapshot(keepFrom, base.tsMillis,
-        baseState.toSeq.sorted, Nil))
-    // drop emptied trash directories (incl. the root when history is gone)
+    // LIST the trash BEFORE the lock — O(trash) driver work that must not
+    // sit inside a critical section other committers wait on. A file
+    // trashed by a commit landing after this listing is simply absent
+    // from the candidate set and survives until the next expiry: sound,
+    // never a wrong delete.
+    def listTrash(at: Path, prefix: String): Seq[String] =
+      Option(fs.listStatus(at)).getOrElse(Array.empty).toSeq.flatMap { st =>
+        val rel = prefix + st.getPath.getName
+        if (st.isDirectory) listTrash(st.getPath, rel + "/") else Seq(rel)
+      }
+    val candidates =
+      if (fs.exists(trashRoot)) listTrash(trashRoot, "") else Nil
+    // under the lock: METADATA ONLY — validate, fold the retained state,
+    // land the base checkpoint, decide the doomed set. Milliseconds held,
+    // like every other commit's critical section.
+    val (dropped, doomed) = ArrowOcc.withCommitLock(fs, dirPath) {
+      val snaps = ArrowSnapshots.read(fs, dirPath)
+      val base = snaps.find(_.id == keepFrom).getOrElse(
+        throw new IllegalArgumentException(
+          s"arrow-ipc: $dir has no snapshot $keepFrom to keep from" +
+            (if (snaps.isEmpty) " (no snapshot log)"
+            else s" — the log records ${snaps.head.id}..${snaps.last.id}")))
+      val tail = snaps.filter(_.id > keepFrom)
+      val baseState = ArrowSnapshots.resolve(snaps, keepFrom).get
+      // every retained snapshot's file set still needs its trash copies.
+      // The union of all states ≥ keepFrom is state(keepFrom) ∪ every file
+      // ADDED after it (a later-removed file still appears in the state of
+      // its add snapshot) — one O(history) pass, where refolding resolve()
+      // per retained id would be O(history²) under the commit lock.
+      val needed = baseState ++ tail.flatMap(_.adds)
+      ArrowSnapshots.writeBase(fs, dirPath,
+        ArrowSnapshots.Snapshot(keepFrom, base.tsMillis,
+          baseState.toSeq.sorted, Nil))
+      (snaps.count(_.id < keepFrom), candidates.filterNot(needed))
+    }
+    // O(files) DELETES OUTSIDE the lock: once the base has landed, no
+    // retained snapshot references a doomed file and every expired id
+    // already refuses — nothing can start needing one. Concurrent commits
+    // only ADD trash files, which are never in the doomed set.
+    doomed.foreach(rel =>
+      scala.util.Try(fs.delete(new Path(trashRoot, rel), false)))
+    // drop emptied trash directories (incl. the root when history is
+    // gone) — best-effort: a concurrent moveToTrash may be minting a
+    // directory this instant, and losing the cosmetic cleanup beats
+    // failing its rename
     def clean(at: Path): Unit = {
-      Option(fs.listStatus(at)).getOrElse(Array.empty)
+      Option(scala.util.Try(fs.listStatus(at)).getOrElse(null))
+        .getOrElse(Array.empty)
         .filter(_.isDirectory).foreach(st => clean(st.getPath))
-      if (Option(fs.listStatus(at)).forall(_.isEmpty)) fs.delete(at, false)
+      if (scala.util.Try(fs.listStatus(at)).toOption.forall(_.isEmpty))
+        scala.util.Try(fs.delete(at, false))
     }
     if (fs.exists(trashRoot)) clean(trashRoot)
-    ExpireResult(dropped, deleted)
-    } // withCommitLock: expiry is one serialized commit like any other
+    ExpireResult(dropped, doomed.size)
   }
 
   /** Delete crashed-epoch leftovers of the streaming sink: stream-named

@@ -74,10 +74,21 @@ private[graft] object ArrowOcc {
     scala.util.Try(org.apache.spark.sql.SparkSession.active.conf
       .get(key, default.toString).toLong).getOrElse(default)
 
-  /** Age beyond which an unreleased lock, an unswept staging dir, an
-    * uncommitted stream file, or a pending-append marker is presumed
-    * dead. Lowered by specs that simulate crashed runs. */
+  /** Age beyond which an unreleased lock, an unswept staging dir, or an
+    * uncommitted stream file is presumed dead. Lowered by specs that
+    * simulate crashed runs. */
   def staleMs: Long = conf("spark.graft.arrow.occStaleMs", 10L * 60 * 1000)
+
+  /** Age beyond which a PENDING-APPEND marker is presumed dead —
+    * deliberately decoupled from [[staleMs]] (round 11): the lock window
+    * bounds metadata critical sections (milliseconds), but an append
+    * marker must outlive an arbitrarily long WRITE JOB, so its liveness
+    * rides a driver-side heartbeat ([[heartbeatPending]]) that refreshes
+    * the marker's mtime every window/3 while the job runs. Defaults to
+    * [[staleMs]] so crash specs that lower one lower both; a deployment
+    * can widen it independently. */
+  def pendingStaleMs: Long =
+    conf("spark.graft.arrow.pendingStaleMs", staleMs)
 
   /** How long a committer waits for the lock before giving up. */
   def timeoutMs: Long = conf("spark.graft.arrow.occTimeoutMs", 60L * 1000)
@@ -132,17 +143,11 @@ private[graft] object ArrowOcc {
       fs.mkdirs(dirPath)
       if (tryClaim(fs, lock, payload)) claimed = true
       else {
-        // contended: break a dead holder's lock, else wait a beat.
-        // (The conditional delete is read-check-delete — not atomic, but
-        // the race window is microseconds against a staleness window of
-        // minutes, and a wrongly-broken FRESH lock still leads both
-        // holders through validate-under-latch paths whose steps are
-        // individually idempotent.)
         val stale = scala.util.Try {
           val st = fs.getFileStatus(lock)
           System.currentTimeMillis() - st.getModificationTime > staleMs
         }.getOrElse(false) // vanished → just retry the claim
-        if (stale) fs.delete(lock, false)
+        if (stale) breakStaleLock(fs, lock)
         else if (System.nanoTime() > deadline)
           throw new java.io.IOException(
             s"arrow-ipc occ: could not acquire $lock within ${timeoutMs}ms " +
@@ -155,8 +160,56 @@ private[graft] object ArrowOcc {
     try body
     finally {
       held.set(held.get() - key)
-      scala.util.Try(fs.delete(lock, false))
+      // payload-verified release: delete ONLY a lock that is still OURS.
+      // If this section overran the staleness window and a waiter broke
+      // the lock, the path now holds (or will hold) the NEXT committer's
+      // claim — an unconditional delete here would evict it and re-open
+      // the very double-hold the tombstone break closes.
+      scala.util.Try {
+        if (readFully(fs, lock).contains(holder)) fs.delete(lock, false)
+      }
     }
+  }
+
+  /** Break a presumed-dead lock by ATOMIC RENAME to a unique tombstone:
+    * of N waiters that all observed the stale lock, exactly one wins the
+    * rename (the losers' sources vanish) — the read-check-delete double
+    * -break of earlier rounds cannot happen. Rename preserves mtime, so
+    * the winner re-checks staleness ON THE TOMBSTONE: a fresh lock that
+    * slid into the stat→rename window (old holder released, new claim
+    * landed) is detected and renamed straight back; only a genuinely
+    * stale victim is discarded. */
+  private def breakStaleLock(fs: FileSystem, lock: Path): Unit = {
+    // the `.tmp` suffix puts a crashed breaker's orphaned tombstone under
+    // [[sweepStaleTmp]]'s existing collection
+    val tomb = new Path(lock.getParent,
+      s".$LockFile.broken-" +
+        java.util.UUID.randomUUID().toString.take(8) + ".tmp")
+    if (scala.util.Try(fs.rename(lock, tomb)).getOrElse(false)) {
+      val freshVictim = scala.util.Try {
+        System.currentTimeMillis() -
+          fs.getFileStatus(tomb).getModificationTime <= staleMs
+      }.getOrElse(false)
+      if (freshVictim) {
+        // restore; if another waiter claimed during the vacancy the
+        // rename fails and the displaced holder is simply gone — a
+        // microsecond³ window whose steps all remain idempotent, and the
+        // displaced holder's payload-verified release cannot evict anyone
+        if (!scala.util.Try(fs.rename(tomb, lock)).getOrElse(false))
+          scala.util.Try(fs.delete(tomb, false))
+      } else scala.util.Try(fs.delete(tomb, false))
+    }
+  }
+
+  private def readFully(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try {
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+      new String(bos.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
   }
 
   /** Conflict validation for a remove-carrying commit: every relative
@@ -225,7 +278,8 @@ private[graft] object ArrowOcc {
     fs.delete(markerPath(dirPath, queryId), false)
 
   /** Is any OTHER batch append still in flight (live marker, not mine,
-    * younger than the staleness window)? Gates every latch restore. */
+    * younger than the pending-liveness window)? Gates every latch
+    * restore. */
   def appendsPending(fs: FileSystem, dirPath: Path,
       exceptQueryId: Option[String] = None): Boolean = {
     val now = System.currentTimeMillis()
@@ -233,7 +287,7 @@ private[graft] object ArrowOcc {
       .getOrElse(Array.empty).exists { st =>
         val qid = st.getPath.getName.stripPrefix(PendingPrefix)
         !exceptQueryId.contains(qid) &&
-          (now - st.getModificationTime <= staleMs)
+          (now - st.getModificationTime <= pendingStaleMs)
       }
   }
 
@@ -244,17 +298,84 @@ private[graft] object ArrowOcc {
     val now = System.currentTimeMillis()
     Option(fs.globStatus(new Path(dirPath, PendingPrefix + "*")))
       .getOrElse(Array.empty)
-      .filter(st => now - st.getModificationTime <= staleMs)
+      .filter(st => now - st.getModificationTime <= pendingStaleMs)
       .map(_.getPath.getName.stripPrefix(PendingPrefix)).toSet
   }
+
+  /** Is THIS append's own marker still live? The batch commit's cheap
+    * pre-check: a live marker means no concurrent committer ever treated
+    * this write as dead, so its files were protected throughout; a
+    * missing or stale marker (heartbeat died, or a sweep collected it)
+    * forces the commit to re-validate its files exist before recording
+    * them. */
+  def pendingLive(fs: FileSystem, dirPath: Path, queryId: String): Boolean =
+    scala.util.Try {
+      System.currentTimeMillis() - fs.getFileStatus(
+        markerPath(dirPath, queryId)).getModificationTime <= pendingStaleMs
+    }.getOrElse(false)
 
   /** Sweep pending markers old enough to belong to dead runs. */
   def sweepStalePending(fs: FileSystem, dirPath: Path): Unit = {
     val now = System.currentTimeMillis()
     Option(fs.globStatus(new Path(dirPath, PendingPrefix + "*")))
       .getOrElse(Array.empty)
-      .filter(st => now - st.getModificationTime > staleMs)
+      .filter(st => now - st.getModificationTime > pendingStaleMs)
       .foreach(st => fs.delete(st.getPath, false))
+  }
+
+  /** DRIVER-SIDE MARKER HEARTBEAT (round 11): a multi-hour batch append
+    * must keep its in-flight protection for its whole write stage — a
+    * marker written once at job start would cross [[pendingStaleMs]] and
+    * silently become "dead": latch restores would re-expose the
+    * directory mid-append and a concurrent compaction could rewrite the
+    * job's task-committed files before it commits. The heartbeat
+    * refreshes the marker's mtime every window/3 from the driver while
+    * the job runs; [[pendingLive]] at commit is the backstop for a died
+    * heartbeat. */
+  final class PendingHeartbeat private[ArrowOcc] (
+      fs: FileSystem, dirPath: Path, queryId: String) {
+    private val interval = math.max(200L, pendingStaleMs / 3)
+    @volatile private var stopped = false
+    private val t = new Thread(() => {
+      while (!stopped) {
+        try Thread.sleep(interval)
+        catch { case _: InterruptedException => () }
+        if (!stopped) scala.util.Try {
+          val p = markerPath(dirPath, queryId)
+          if (fs.exists(p)) touch(fs, p)
+        }
+      }
+    }, s"graft-pending-heartbeat-$queryId")
+    t.setDaemon(true)
+    t.start()
+    def stop(): Unit = { stopped = true; t.interrupt() }
+  }
+
+  /** Start refreshing `queryId`'s pending marker until `.stop()`. */
+  def heartbeatPending(fs: FileSystem, dirPath: Path,
+      queryId: String): PendingHeartbeat =
+    new PendingHeartbeat(fs, dirPath, queryId)
+
+  private def touch(fs: FileSystem, p: Path): Unit =
+    try fs.setTimes(p, System.currentTimeMillis(), -1)
+    catch { // stores without setTimes: rewriting the empty marker works too
+      case _: UnsupportedOperationException => fs.create(p, true).close()
+    }
+
+  /** The commit queryId a data file's name carries — our writers suffix
+    * every name with it (`part-NNNNN[-gSSSS][epochTag]-<qid>.arrows`,
+    * qid a 36-char UUID). Extracted by POSITION, not endsWith: a
+    * non-conforming name (foreign file, or a maintenance rename like
+    * `…-compact-<id>`) yields a token that can never EQUAL a real
+    * queryId, where a suffix test could silently mis-include names whose
+    * tails merely overlap. The one name→queryId convention, shared by
+    * the scan's pending-exclusion, the shard-skip test, and maintenance's
+    * replaceable filter. */
+  def nameQueryId(name: String): String = {
+    val stem = name.stripSuffix(".arrows")
+    if (stem.length > 36 && stem.charAt(stem.length - 37) == '-')
+      stem.substring(stem.length - 36)
+    else ""
   }
 
   /** Restore `_SUCCESS` unless a live append owns the latch. Call under

@@ -169,9 +169,58 @@ private[graft] object ArrowSnapshots {
     id
   }
 
+  /** Ids in `(from, tip]` WITHOUT listing the log — the admission poll's
+    * O(delta) shape (round 11). Ids are DENSE (every commit assigns
+    * tip+1 under the lock) and entries are NAMED by their id, so the
+    * window is simply `from+1 .. tip` — provided `from+1` is still
+    * retained, which ONE existence probe answers (its delta file, or the
+    * base checkpoint landing exactly there). None = not retained
+    * (bootstrap from 0, or history expired past `from`): the caller
+    * falls back to one full [[listIds]] listing. A steady-state stream
+    * therefore pays O(new snapshots) per data-carrying trigger, flat in
+    * history depth, where the listing was O(history) — the round-10
+    * probe measured 241 ms/op at 5k-snapshot depth vs 0.17 ms for the
+    * tip. */
+  def idsAfter(fs: FileSystem, dir: Path, from: Long,
+      tip: Long): Option[Seq[Long]] = {
+    if (from <= 0 || tip <= from) return None
+    val logPath = new Path(dir, LogDir)
+    val first = from + 1
+    if (fs.exists(new Path(logPath, deltaName(first))) ||
+        fs.exists(new Path(logPath, baseName(first))))
+      Some((first to tip).toSeq)
+    else None
+  }
+
+  /** The snapshots of window `(from, to]` parsed from directly-
+    * constructed entry paths — O(window), never an O(history) listing or
+    * parse (round 11; the planner-side twin of [[idsAfter]]). `from == 0`
+    * (bootstrap) folds the full effective log once — the base
+    * checkpoint's cumulative adds ARE the standing set. Refuses loudly
+    * when `from` is no longer retained or an expiry collapsed inside the
+    * window: a partial delta must never be served. */
+  def readRange(fs: FileSystem, dir: Path, from: Long, to: Long,
+      what: String): Seq[Snapshot] = {
+    if (to <= from) return Nil
+    if (from == 0) return read(fs, dir).filter(_.id <= to)
+    val logPath = new Path(dir, LogDir)
+    require(fs.exists(new Path(logPath, deltaName(from))) ||
+        fs.exists(new Path(logPath, baseName(from))),
+      s"arrow-ipc change feed: snapshot $from of $dir expired under " +
+        s"$what — the delta since it cannot be reconstructed")
+    (from + 1 to to).map { id =>
+      val p = new Path(logPath, deltaName(id))
+      require(fs.exists(p),
+        s"arrow-ipc change feed: snapshot $id of $dir expired under " +
+          s"$what — the delta over ($from, $to] cannot be reconstructed")
+      parseEntry(fs, p)
+    }
+  }
+
   /** Ids of the effective log (newest base checkpoint + the deltas after
     * it) from entry FILENAMES alone — the admission-control poll's
-    * shape: no entry content is ever parsed. */
+    * BOOTSTRAP shape ([[idsAfter]] serves the steady state without a
+    * listing): no entry content is ever parsed. */
   def listIds(fs: FileSystem, dir: Path): Seq[Long] = {
     val entries = listEntries(fs, dir)
     val baseId = entries.collect { case (id, true, _) => id }.maxOption
@@ -309,8 +358,13 @@ private[graft] object ArrowSnapshots {
       if (fs.exists(dst)) fs.delete(src, false)
       else {
         fs.mkdirs(dst.getParent)
-        if (!fs.rename(src, dst))
-          throw new java.io.IOException(s"snapshots: trash $src -> $dst failed")
+        if (!fs.rename(src, dst)) {
+          // a concurrent expiry's empty-dir cleanup can race the mkdirs —
+          // re-create the parent and retry once before giving up
+          fs.mkdirs(dst.getParent)
+          if (!fs.rename(src, dst))
+            throw new java.io.IOException(s"snapshots: trash $src -> $dst failed")
+        }
       }
     }
   }

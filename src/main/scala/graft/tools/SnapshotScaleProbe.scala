@@ -63,12 +63,29 @@ object SnapshotScaleProbe {
     ArrowSnapshots.append(fs, dirPath, Seq("restore"), Nil)
 
     println("admission-control poll shapes:")
-    time("listIds (filenames only, no parse)", 10) {
+    val listing = time("listIds (filenames only, no parse)", 10) {
       ArrowSnapshots.listIds(fs, dirPath).size.toLong
     }
     time("read (full entry parse — batch planning)", 3) {
       ArrowSnapshots.read(fs, dirPath).size.toLong
     }
+
+    // round 11: the DATA-PENDING poll — the tip moved, a steady-state
+    // stream admits the (from, tip] window. Must be flat in history
+    // depth (O(delta) direct construction), where the round-10 shape
+    // paid the full listing above on every data-carrying trigger.
+    println("data-pending poll (tip moved; admit a 3-snapshot window):")
+    val tipNow = ArrowSnapshots.currentTip(fs, dirPath)
+    val pending = time(s"idsAfter at history depth ${n + 1}", 200) {
+      ArrowSnapshots.idsAfter(fs, dirPath, tipNow - 3, tipNow)
+        .map(_.size.toLong).getOrElse(-1L)
+    }
+    val planning = time("readRange (plan the same window)", 200) {
+      ArrowSnapshots.readRange(fs, dirPath, tipNow - 3, tipNow, "probe")
+        .size.toLong
+    }
+    println(f"  vs the full listing: ${listing / pending}%.0fx (admission) " +
+      f"/ ${listing / planning}%.0fx (planning) — both flat in depth")
     spark.stop()
   }
 }

@@ -84,6 +84,111 @@ class ArrowOccSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.arrow.occStaleMs")
   }
 
+  test("N waiters racing to break one stale lock: one break, one holder at a time") {
+    val dir = tmp("graft_occ_break_race")
+    val fs = fsOf(dir)
+    val dirPath = new Path(dir)
+    fs.mkdirs(dirPath)
+    val lock = new Path(dirPath, ArrowOcc.LockFile)
+    spark.conf.set("spark.graft.arrow.occStaleMs", "60000")
+    try {
+      (0 until 5).foreach { _ =>
+        // plant a dead holder's lock, mtime well past the staleness window
+        fs.create(lock, true).close()
+        fs.setTimes(lock, System.currentTimeMillis() - 120000, -1)
+        val inside = new java.util.concurrent.atomic.AtomicInteger(0)
+        val maxInside = new java.util.concurrent.atomic.AtomicInteger(0)
+        val threads = (0 until 4).map(_ => new Thread(() =>
+          ArrowOcc.withCommitLock(fs, dirPath) {
+            val n = inside.incrementAndGet()
+            maxInside.getAndUpdate(m => math.max(m, n))
+            Thread.sleep(30)
+            inside.decrementAndGet()
+          }))
+        threads.foreach(_.start()); threads.foreach(_.join(60000))
+        // the read-check-delete break of earlier rounds could let waiter B
+        // delete waiter A's freshly claimed lock → two simultaneous
+        // holders; the tombstone rename admits exactly one breaker
+        assert(maxInside.get() === 1,
+          "two holders entered the critical section")
+        assert(!fs.exists(lock))
+      }
+      // no breaker tombstones leaked (winners delete theirs on the spot)
+      assert(new java.io.File(dir).listFiles.forall(f =>
+        !f.getName.contains(".broken-")))
+    } finally spark.conf.unset("spark.graft.arrow.occStaleMs")
+  }
+
+  test("pending-marker heartbeat keeps a marker live past the window; stop lets it expire") {
+    val dir = tmp("graft_occ_hb")
+    val fs = fsOf(dir)
+    val dirPath = new Path(dir)
+    spark.conf.set("spark.graft.arrow.pendingStaleMs", "500")
+    try {
+      ArrowOcc.markPending(fs, dirPath, "q-hb")
+      val hb = ArrowOcc.heartbeatPending(fs, dirPath, "q-hb")
+      try {
+        Thread.sleep(1600) // three liveness windows deep into the "job"
+        assert(ArrowOcc.pendingLive(fs, dirPath, "q-hb"),
+          "heartbeat failed to keep the marker live")
+        assert(ArrowOcc.appendsPending(fs, dirPath))
+      } finally hb.stop()
+      Thread.sleep(900)
+      assert(!ArrowOcc.pendingLive(fs, dirPath, "q-hb"))
+      assert(!ArrowOcc.appendsPending(fs, dirPath))
+      ArrowOcc.sweepStalePending(fs, dirPath)
+      ArrowOcc.clearPending(fs, dirPath, "q-hb")
+    } finally spark.conf.unset("spark.graft.arrow.pendingStaleMs")
+  }
+
+  test("nameQueryId extracts the exact component; maintenance renames never match") {
+    val qid = java.util.UUID.randomUUID().toString
+    assert(ArrowOcc.nameQueryId(s"part-00001-$qid.arrows") === qid)
+    assert(ArrowOcc.nameQueryId(s"part-00001-g0003-$qid.arrows") === qid)
+    // a compaction-renamed output must never equal a live queryId
+    assert(ArrowOcc.nameQueryId(s"part-00001-$qid-compact-ab12cd34.arrows")
+      !== qid)
+    assert(ArrowOcc.nameQueryId("foreign.arrows") === "")
+  }
+
+  test("a batch append outliving the pending window keeps in-flight protection (heartbeat)") {
+    val dir = tmp("graft_occ_slow_append")
+    spark.range(0, 100).toDF("id").coalesce(2)
+      .write.format("arrow-ipc").mode("append").save(dir)
+    spark.conf.set("spark.graft.arrow.pendingStaleMs", "500")
+    try {
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+      val appender = new Thread(() => try {
+        spark.range(1000, 1100).as[Long].repartition(2)
+          .mapPartitions { it => Thread.sleep(2500); it }
+          .toDF("id")
+          .write.format("arrow-ipc").mode("append").save(dir)
+      } catch { case e: Throwable => errs.add(e) })
+      appender.start()
+      val fs = fsOf(dir)
+      val dirPath = new Path(dir)
+      val deadline = System.currentTimeMillis() + 30000
+      while (!ArrowOcc.appendsPending(fs, dirPath) &&
+          System.currentTimeMillis() < deadline) Thread.sleep(20)
+      assert(ArrowOcc.appendsPending(fs, dirPath), "append never marked pending")
+      Thread.sleep(1200) // two+ liveness windows into the write stage
+      // without the heartbeat the marker is now "dead": a concurrent
+      // committer would restore the latch mid-append and maintenance
+      // would treat the job's task-committed files as replaceable
+      assert(ArrowOcc.appendsPending(fs, dirPath),
+        "marker went stale mid-write — the heartbeat is not refreshing it")
+      // concurrent maintenance mid-append must leave the in-flight files
+      // alone (replaceableFilter excludes the live queryId)
+      ArrowMaintenance.compact(spark, dir, targetBytes = 1L << 20)
+      appender.join(120000)
+      assert(errs.isEmpty, s"slow append failed: ${errs.peek()}")
+      val back = spark.read.format("arrow-ipc").load(dir)
+      assert(back.count() === 200)
+      assert(back.select("id").distinct().count() === 200)
+      assert(fs.exists(new Path(dirPath, "_SUCCESS")))
+    } finally spark.conf.unset("spark.graft.arrow.pendingStaleMs")
+  }
+
   // ── maintenance racing maintenance / appends ────────────────────────
 
   test("concurrent appends and compactions on one directory: zero lost, zero duplicated rows") {

@@ -219,4 +219,38 @@ class ArrowTimeTravelSpec extends AnyFunSuite {
     assert(ArrowSnapshots.listIds(fs, dirPath) === Seq(2L, 3L))
     assert(ArrowSnapshots.append(fs, dirPath, Nil, Seq("a")) === 4L)
   }
+
+  test("idsAfter/readRange serve the admission window O(delta); expiry refuses") {
+    val dir = tmp("graft_tt_idsafter")
+    (0 until 5).foreach { i =>                                 // snaps 1..5
+      spark.range(i * 10, (i + 1) * 10).select(col("id"))
+        .coalesce(1).write.format("arrow-ipc").mode("append").save(dir)
+    }
+    val fs = fsOf(dir)
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    // steady state: the window constructs directly, no listing
+    assert(ArrowSnapshots.idsAfter(fs, dirPath, 2L, 5L) ===
+      Some(Seq(3L, 4L, 5L)))
+    // bootstrap falls back (the base checkpoint's role needs the listing)
+    assert(ArrowSnapshots.idsAfter(fs, dirPath, 0L, 5L) === None)
+    assert(ArrowSnapshots.idsAfter(fs, dirPath, 5L, 5L) === None)
+    val window = ArrowSnapshots.readRange(fs, dirPath, 2L, 4L, "a test")
+    assert(window.map(_.id) === Seq(3L, 4L))
+    assert(window.flatMap(_.adds).size === 2)
+    // expire before snapshot 4: ids 1..3 collapse into the base
+    ArrowMaintenance.expireSnapshots(spark, dir, 4L)
+    assert(ArrowSnapshots.idsAfter(fs, dirPath, 2L, 5L) === None,
+      "an expired `from` must fall back so the planner can refuse")
+    assert(ArrowSnapshots.idsAfter(fs, dirPath, 4L, 5L) === Some(Seq(5L)))
+    assert(ArrowSnapshots.readRange(fs, dirPath, 4L, 5L, "a test")
+      .map(_.id) === Seq(5L))
+    val e = intercept[IllegalArgumentException] {
+      ArrowSnapshots.readRange(fs, dirPath, 2L, 5L, "a test")
+    }
+    assert(e.getMessage.contains("expired"))
+    // bootstrap over the collapsed log folds the base's cumulative adds
+    val boot = ArrowSnapshots.readRange(fs, dirPath, 0L, 5L, "a test")
+    assert(boot.map(_.id) === Seq(4L, 5L))
+    assert(ArrowSnapshots.resolve(boot, 5L).get.size === 5)
+  }
 }
