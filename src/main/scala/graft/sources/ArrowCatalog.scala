@@ -343,15 +343,46 @@ class ArrowCatalog extends TableCatalog with ProcedureCatalog {
         Seq(row(e.dropped, e.trashDeleted))
       }),
     GraftProcedure("vacuum",
-      "recover crashed swaps + sweep provably-dead staging/orphans/markers",
-      Array(in("dir", StringType)),
+      "recover crashed swaps + sweep dead staging/orphans/markers; " +
+        "keep_from also expires time-travel history before that snapshot",
+      Array(in("dir", StringType),
+        inDefault("keep_from", LongType, "NULL")),
       StructType(Seq(org.apache.spark.sql.types.StructField("recovered", org.apache.spark.sql.types.BooleanType),
         org.apache.spark.sql.types.StructField("staging_swept", IntegerType),
-        org.apache.spark.sql.types.StructField("orphans_swept", IntegerType))),
+        org.apache.spark.sql.types.StructField("orphans_swept", IntegerType),
+        org.apache.spark.sql.types.StructField("snapshots_dropped", IntegerType),
+        org.apache.spark.sql.types.StructField("trash_deleted", IntegerType))),
       r => {
-        val v = ArrowMaintenance.vacuum(SparkSession.active, dirArg(r))
-        Seq(row(v.recovered, v.stagingSwept, v.orphansSwept))
+        val keepFrom = if (r.isNullAt(1)) None else Some(r.getLong(1))
+        val v = ArrowMaintenance.vacuum(SparkSession.active, dirArg(r),
+          keepFrom)
+        Seq(row(v.recovered, v.stagingSwept, v.orphansSwept,
+          v.expired.map(_.dropped).getOrElse(-1),
+          v.expired.map(_.trashDeleted).getOrElse(-1)))
       }),
+    // statement-level DML with BOUNDED TRANSPARENT RETRY (round 11):
+    // a lost COW commit race re-plans and re-executes the statement
+    // against the new snapshot (ArrowDml) — the hands-free face of
+    // UPDATE/DELETE for the ingest+maintenance loop
+    GraftProcedure("update",
+      "UPDATE dir SET set_clause [WHERE where_clause] with bounded " +
+        "transparent retry on a lost commit race",
+      Array(in("dir", StringType), in("set_clause", StringType),
+        inDefault("where_clause", StringType, "NULL")),
+      StructType(Seq(
+        org.apache.spark.sql.types.StructField("retried", IntegerType))),
+      r => Seq(row(ArrowDml.update(SparkSession.active, dirArg(r),
+        r.getUTF8String(1).toString,
+        if (r.isNullAt(2)) None else Some(r.getUTF8String(2).toString))))),
+    GraftProcedure("delete_where",
+      "DELETE FROM dir [WHERE where_clause] with bounded transparent " +
+        "retry on a lost commit race (metadata fast path when provable)",
+      Array(in("dir", StringType),
+        inDefault("where_clause", StringType, "NULL")),
+      StructType(Seq(
+        org.apache.spark.sql.types.StructField("retried", IntegerType))),
+      r => Seq(row(ArrowDml.delete(SparkSession.active, dirArg(r),
+        if (r.isNullAt(1)) None else Some(r.getUTF8String(1).toString))))),
     GraftProcedure("clean_orphans",
       "delete provably-dead uncommitted stream files and task temps",
       Array(in("dir", StringType)),

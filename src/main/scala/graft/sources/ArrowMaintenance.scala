@@ -158,7 +158,7 @@ object ArrowMaintenance {
     * a path under `dir` — a genuinely missing foreign path (a
     * misconfigured input read inside the job) fails once, loudly,
     * instead of silently tripling an expensive whole-table staging run. */
-  private def lostRace(t: Throwable, dir: String): Boolean = {
+  private[sources] def lostRace(t: Throwable, dir: String): Boolean = {
     // both spellings a message can carry: the raw path and the
     // scheme-qualified one ("/a/b" appears inside "file:/a/b" too)
     val under = new Path(dir).toUri.getPath
@@ -213,6 +213,11 @@ object ArrowMaintenance {
       intent: Intent): Unit =
     try {
       beforeSwapHook()
+      // FAIR SCHEDULING: a maintenance rewrite defers its commit while a
+      // statement-level COW writer is in flight (bounded) — maintenance
+      // losses are cheap and retried by contract, a statement's are not.
+      // The statement's own cow swap must not wait for itself.
+      if (intent.kind != "cow") ArrowOcc.yieldToDml(fs, dirPath)
       ArrowOcc.withCommitLock(fs, dirPath) {
       ArrowOcc.validateOldsLive(fs, dirPath, intent.olds,
         s"${intent.kind} swap")
@@ -616,6 +621,7 @@ object ArrowMaintenance {
     val staging = ArrowOcc.sweepStaleStaging(fs, dirPath, ".compact-*") +
       ArrowOcc.sweepStaleStaging(fs, dirPath, ".cow-*")
     ArrowOcc.sweepStalePending(fs, dirPath)
+    ArrowOcc.sweepStaleDml(fs, dirPath)
     ArrowOcc.sweepStaleTmp(fs, dirPath)
     val orphans = ArrowStreamCommits.cleanOrphans(fs, dirPath).size
     VacuumResult(recovered, staging, orphans,

@@ -171,34 +171,54 @@ private[graft] object ArrowOcc {
     }
   }
 
-  /** Break a presumed-dead lock by ATOMIC RENAME to a unique tombstone:
-    * of N waiters that all observed the stale lock, exactly one wins the
-    * rename (the losers' sources vanish) — the read-check-delete double
-    * -break of earlier rounds cannot happen. Rename preserves mtime, so
-    * the winner re-checks staleness ON THE TOMBSTONE: a fresh lock that
-    * slid into the stat→rename window (old holder released, new claim
-    * landed) is detected and renamed straight back; only a genuinely
-    * stale victim is discarded. */
+  /** Break a presumed-dead lock. Three fences close the double-holder
+    * races of the earlier read-check-delete design:
+    *
+    *  1. breakers SERIALIZE through a create-exclusive breaker mutex —
+    *     of N waiters that all observed the stale lock, exactly one
+    *     breaks (the stampede where a loser's break lands on the
+    *     winner's fresh CLAIM is structurally gone);
+    *  2. the one breaker RE-STATS the lock under the mutex — a claim
+    *     that slid in since the waiter's staleness observation is seen
+    *     fresh and left alone;
+    *  3. the break is an ATOMIC RENAME to a unique tombstone, and
+    *     rename preserves mtime, so the breaker re-verifies staleness ON
+    *     the tombstone and renames a fresh victim straight back.
+    *
+    * The breaker mutex is held for microseconds; a crashed breaker's
+    * mutex is swept by the same staleness window. */
   private def breakStaleLock(fs: FileSystem, lock: Path): Unit = {
-    // the `.tmp` suffix puts a crashed breaker's orphaned tombstone under
-    // [[sweepStaleTmp]]'s existing collection
-    val tomb = new Path(lock.getParent,
-      s".$LockFile.broken-" +
-        java.util.UUID.randomUUID().toString.take(8) + ".tmp")
-    if (scala.util.Try(fs.rename(lock, tomb)).getOrElse(false)) {
-      val freshVictim = scala.util.Try {
-        System.currentTimeMillis() -
-          fs.getFileStatus(tomb).getModificationTime <= staleMs
-      }.getOrElse(false)
-      if (freshVictim) {
-        // restore; if another waiter claimed during the vacancy the
-        // rename fails and the displaced holder is simply gone — a
-        // microsecond³ window whose steps all remain idempotent, and the
-        // displaced holder's payload-verified release cannot evict anyone
-        if (!scala.util.Try(fs.rename(tomb, lock)).getOrElse(false))
-          scala.util.Try(fs.delete(tomb, false))
-      } else scala.util.Try(fs.delete(tomb, false))
+    val breaker = new Path(lock.getParent, s".$LockFile.breaker")
+    scala.util.Try {
+      if (System.currentTimeMillis() -
+          fs.getFileStatus(breaker).getModificationTime > staleMs)
+        fs.delete(breaker, false)
     }
+    // contended mutex → skip; the current breaker's work frees the lock
+    // for this waiter's next claim attempt too
+    if (!tryClaim(fs, breaker, Array.emptyByteArray)) return
+    try {
+      val stillStale = scala.util.Try {
+        System.currentTimeMillis() -
+          fs.getFileStatus(lock).getModificationTime > staleMs
+      }.getOrElse(false)
+      if (!stillStale) return
+      // the `.tmp` suffix puts a crashed breaker's orphaned tombstone
+      // under [[sweepStaleTmp]]'s existing collection
+      val tomb = new Path(lock.getParent,
+        s".$LockFile.broken-" +
+          java.util.UUID.randomUUID().toString.take(8) + ".tmp")
+      if (scala.util.Try(fs.rename(lock, tomb)).getOrElse(false)) {
+        val freshVictim = scala.util.Try {
+          System.currentTimeMillis() -
+            fs.getFileStatus(tomb).getModificationTime <= staleMs
+        }.getOrElse(false)
+        if (freshVictim) {
+          if (!scala.util.Try(fs.rename(tomb, lock)).getOrElse(false))
+            scala.util.Try(fs.delete(tomb, false))
+        } else scala.util.Try(fs.delete(tomb, false))
+      }
+    } finally scala.util.Try(fs.delete(breaker, false))
   }
 
   private def readFully(fs: FileSystem, p: Path): String = {
@@ -333,7 +353,7 @@ private[graft] object ArrowOcc {
     * the job runs; [[pendingLive]] at commit is the backstop for a died
     * heartbeat. */
   final class PendingHeartbeat private[ArrowOcc] (
-      fs: FileSystem, dirPath: Path, queryId: String) {
+      fs: FileSystem, marker: Path) {
     private val interval = math.max(200L, pendingStaleMs / 3)
     @volatile private var stopped = false
     private val t = new Thread(() => {
@@ -341,11 +361,10 @@ private[graft] object ArrowOcc {
         try Thread.sleep(interval)
         catch { case _: InterruptedException => () }
         if (!stopped) scala.util.Try {
-          val p = markerPath(dirPath, queryId)
-          if (fs.exists(p)) touch(fs, p)
+          if (fs.exists(marker)) touch(fs, marker)
         }
       }
-    }, s"graft-pending-heartbeat-$queryId")
+    }, s"graft-marker-heartbeat-${marker.getName}")
     t.setDaemon(true)
     t.start()
     def stop(): Unit = { stopped = true; t.interrupt() }
@@ -354,7 +373,7 @@ private[graft] object ArrowOcc {
   /** Start refreshing `queryId`'s pending marker until `.stop()`. */
   def heartbeatPending(fs: FileSystem, dirPath: Path,
       queryId: String): PendingHeartbeat =
-    new PendingHeartbeat(fs, dirPath, queryId)
+    new PendingHeartbeat(fs, markerPath(dirPath, queryId))
 
   private def touch(fs: FileSystem, p: Path): Unit =
     try fs.setTimes(p, System.currentTimeMillis(), -1)
@@ -430,5 +449,77 @@ private[graft] object ArrowOcc {
       .filter(st => now - newestMTime(fs, st.getPath) > staleMs)
     dead.foreach(st => fs.delete(st.getPath, true))
     dead.length
+  }
+
+  // ── DML in-flight markers + maintenance yield (round 11) ─────────────
+  //
+  // FAIR SCHEDULING between a statement-level COW writer and a
+  // continuous maintenance loop. Bounded retry alone cannot win a DML
+  // statement a race it structurally loses: its ~seconds staging window
+  // always overlaps several compact/cluster commits, so every re-plan
+  // loses again (the stress probe measured exactly this). The marker
+  // flips the asymmetry: a retrying DML statement advertises itself
+  // (`_dml-<id>`, heartbeat-refreshed), and a MAINTENANCE rewrite —
+  // whose loss is cheap, idempotent, and already retried by contract —
+  // pauses before its commit until no foreign statement is in flight
+  // (bounded by `spark.graft.arrow.dmlYieldMs`, default 30 s, so a
+  // pathological statement can only delay maintenance, never starve
+  // it). Same-thread markers are exempt (a maintenance call nested
+  // inside a DML statement must not wait for its caller).
+
+  private val DmlPrefix = "_dml-"
+
+  /** How long a maintenance commit will defer to in-flight DML. */
+  def dmlYieldMs: Long = conf("spark.graft.arrow.dmlYieldMs", 30L * 1000)
+
+  private val threadDml = new ThreadLocal[Set[String]] {
+    override def initialValue(): Set[String] = Set.empty
+  }
+
+  /** Advertise an in-flight DML statement; returns (marker id,
+    * heartbeat). Pair with [[clearDml]]. */
+  def markDml(fs: FileSystem, dirPath: Path): (String, PendingHeartbeat) = {
+    val id = java.util.UUID.randomUUID().toString
+    val marker = new Path(dirPath, DmlPrefix + id)
+    fs.mkdirs(dirPath)
+    fs.create(marker, true).close()
+    threadDml.set(threadDml.get() + id)
+    (id, new PendingHeartbeat(fs, marker))
+  }
+
+  def clearDml(fs: FileSystem, dirPath: Path, id: String,
+      hb: PendingHeartbeat): Unit = {
+    hb.stop()
+    threadDml.set(threadDml.get() - id)
+    scala.util.Try(fs.delete(new Path(dirPath, DmlPrefix + id), false))
+  }
+
+  /** Any FOREIGN (not this thread's) live DML marker? */
+  private def foreignDmlInFlight(fs: FileSystem, dirPath: Path): Boolean = {
+    val now = System.currentTimeMillis()
+    val mine = threadDml.get()
+    Option(fs.globStatus(new Path(dirPath, DmlPrefix + "*")))
+      .getOrElse(Array.empty).exists { st =>
+        val id = st.getPath.getName.stripPrefix(DmlPrefix)
+        !mine.contains(id) && (now - st.getModificationTime <= pendingStaleMs)
+      }
+  }
+
+  /** Pause (bounded) while a foreign DML statement is in flight. Called
+    * by maintenance rewrites OUTSIDE any lock — never while holding the
+    * commit lock, which the statement needs to finish. */
+  def yieldToDml(fs: FileSystem, dirPath: Path): Unit = {
+    val deadline = System.nanoTime() + dmlYieldMs * 1000000L
+    while (foreignDmlInFlight(fs, dirPath) && System.nanoTime() < deadline)
+      Thread.sleep(20L + scala.util.Random.nextInt(30))
+  }
+
+  /** Sweep DML markers old enough to belong to dead statements. */
+  def sweepStaleDml(fs: FileSystem, dirPath: Path): Unit = {
+    val now = System.currentTimeMillis()
+    Option(fs.globStatus(new Path(dirPath, DmlPrefix + "*")))
+      .getOrElse(Array.empty)
+      .filter(st => now - st.getModificationTime > pendingStaleMs)
+      .foreach(st => fs.delete(st.getPath, false))
   }
 }

@@ -106,15 +106,21 @@ object OccStressProbe {
     // every end invariant — is unchanged no matter how many statements
     // win; what it exercises is the COW staging + swap losing/winning
     // races against appends, compactions, clusterings and epochs.
+    // Round 11: the leg rides ArrowDml's bounded transparent retry — a
+    // lost race re-plans and re-executes the statement, so at default
+    // settings the loop must complete with ZERO surfaced conflicts.
     val updates = new java.util.concurrent.atomic.AtomicInteger(0)
+    val dmlRetries = new java.util.concurrent.atomic.AtomicInteger(0)
+    val dmlSurfaced = new java.util.concurrent.atomic.AtomicInteger(0)
     val dmler = new Thread(() => try {
       spark.conf.set("spark.sql.catalog.graft", "graft.sources.ArrowCatalog")
       while (System.nanoTime() < deadline) {
         try {
-          spark.sql(s"UPDATE graft.`$dir` SET k = k WHERE id % 997 = 7")
+          dmlRetries.addAndGet(graft.sources.ArrowDml.update(spark, dir,
+            "k = k", Some("id % 997 = 7")))
           updates.incrementAndGet()
         } catch {
-          case e: Throwable if refusedLoudly(e) => conflicts.incrementAndGet()
+          case e: Throwable if refusedLoudly(e) => dmlSurfaced.incrementAndGet()
           // the DML loop can outrace the table's very existence (first
           // append not committed yet) — not a conflict, just early
           case e: Throwable if Option(e.getMessage).exists(
@@ -151,9 +157,14 @@ object OccStressProbe {
     val expected = appended.get + appended2.get + streamed
     println(f"  writers done: ${appended.get + appended2.get}%d batch ids, " +
       f"$streamed%d streamed ids, ${compactions.get}%d compactions, " +
-      f"${clusterings.get}%d clusterings, ${updates.get}%d COW updates, " +
-      f"${conflicts.get}%d retry-exhaustions (refused loudly, by contract)")
+      f"${clusterings.get}%d clusterings, ${updates.get}%d COW updates " +
+      f"(${dmlRetries.get}%d transparent retries, ${dmlSurfaced.get}%d " +
+      f"surfaced), ${conflicts.get}%d maintenance retry-exhaustions " +
+      "(refused loudly, by contract)")
     require(errs.isEmpty, s"writer failed: ${errs.peek()}")
+    require(dmlSurfaced.get == 0,
+      "a DML statement surfaced a conflict despite bounded retry at " +
+        "default settings")
 
     val back = spark.read.format("arrow-ipc").load(dir)
     val (cnt, dst) = (back.count(), back.select("id").distinct().count())

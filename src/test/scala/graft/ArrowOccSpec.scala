@@ -293,6 +293,53 @@ class ArrowOccSpec extends AnyFunSuite {
       !f.getName.startsWith(".cow-")))
   }
 
+  test("a COW UPDATE that loses its race lands transparently via ArrowDml's bounded retry") {
+    val dir = tmp("graft_occ_dml_retry")
+    (0 until 3).foreach { i =>
+      spark.range(i * 100, (i + 1) * 100)
+        .select(col("id"), lit("old").as("v"))
+        .coalesce(1).write.format("arrow-ipc").mode("append").save(dir)
+    }
+    val fired = new java.util.concurrent.atomic.AtomicInteger(0)
+    // first swap attempt: a concurrent metadata DELETE removes one of the
+    // files the UPDATE rewrites → validation conflict; the wrapper must
+    // re-plan and re-execute the STATEMENT against the new snapshot and
+    // land without user action (the Delta semantics the raw spark.sql
+    // surface deliberately does not provide)
+    ArrowMaintenance.beforeSwapHook = () =>
+      if (fired.getAndIncrement() == 0) {
+        val res = ArrowMaintenance.deleteWhere(spark, dir,
+          Array(org.apache.spark.sql.sources.LessThan("id", 100L)))
+        assert(res.deleted === 1)
+      }
+    val retried = try {
+      graft.sources.ArrowDml.update(spark, dir, "v = 'new'",
+        Some("id < 150"))
+    } finally ArrowMaintenance.beforeSwapHook = () => ()
+    assert(retried >= 1, "the statement must have been re-executed")
+    val back = spark.read.format("arrow-ipc").load(dir)
+    assert(back.count() === 200) // ids 100..299 (0..99 deleted)
+    // the retry read the NEW snapshot: exactly ids 100..149 updated
+    assert(back.filter(col("v") === "new").count() === 50)
+    assert(back.filter(col("v") === "new").agg(max("id")).head.getLong(0) === 149L)
+    // an UPDATE racing a live COMPACTION (not just a delete) also lands:
+    // stage a small-files state, then race
+    val fired2 = new java.util.concurrent.atomic.AtomicInteger(0)
+    ArrowMaintenance.beforeSwapHook = () =>
+      if (fired2.getAndIncrement() == 0)
+        ArrowMaintenance.compact(spark, dir, targetBytes = 1L << 20)
+    val retried2 = try {
+      graft.sources.ArrowDml.update(spark, dir, "v = 'newer'",
+        Some("id >= 200"))
+    } finally ArrowMaintenance.beforeSwapHook = () => ()
+    assert(retried2 >= 1)
+    val back2 = spark.read.format("arrow-ipc").load(dir)
+    assert(back2.count() === 200)
+    assert(back2.filter(col("v") === "newer").count() === 100)
+    assert(new java.io.File(dir).listFiles.forall(f =>
+      !f.getName.startsWith(".cow-")))
+  }
+
   test("hive layout: concurrent appends and incremental compactions, zero lost or duplicated rows") {
     val dir = tmp("graft_occ_hive_race")
     spark.range(0, 100).select(col("id"), (col("id") % 5).cast("string").as("p"))

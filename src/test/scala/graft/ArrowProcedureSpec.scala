@@ -128,4 +128,38 @@ class ArrowProcedureSpec extends AnyFunSuite {
     assert(d.getString(6) === "id")    // bloom columns
     assert(d.getLong(7) === 1L)        // first snapshot
   }
+
+  test("CALL update / delete_where run retrying DML; vacuum takes keep_from") {
+    val dir = tmp("graft_proc_dml")
+    spark.range(0, 200).select(col("id"), lit("old").as("v"))
+      .repartitionByRange(2, col("id"))
+      .write.format("arrow-ipc").mode("overwrite").save(dir)          // snap 1
+    val u = spark.sql(s"CALL graft.system.update('$dir', " +
+      "\"v = 'new'\", 'id < 50')").head()
+    assert(u.getInt(0) === 0) // uncontended: first attempt won
+    val back = spark.read.format("arrow-ipc").load(dir)
+    assert(back.filter(col("v") === "new").count() === 50)
+    val del = spark.sql(
+      s"CALL graft.system.delete_where('$dir', 'id >= 150')").head()
+    assert(del.getInt(0) === 0)
+    assert(spark.read.format("arrow-ipc").load(dir).count() === 150)
+    // vacuum with retention: expires history before the current tip
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val tip = graft.sources.ArrowSnapshots.currentTip(
+      fs, new org.apache.hadoop.fs.Path(dir))
+    val v = spark.sql(
+      s"CALL graft.system.vacuum('$dir', keep_from => $tip)").head()
+    assert(v.getInt(3) >= 1, "expiry must have dropped history")
+    // expired snapshot now refuses; the tip still reads
+    intercept[Exception] {
+      spark.read.format("arrow-ipc").option("asOfSnapshot", 1).load(dir)
+        .count()
+    }
+    assert(spark.read.format("arrow-ipc")
+      .option("asOfSnapshot", tip).load(dir).count() === 150)
+    // plain vacuum (no retention) reports -1 for the expiry columns
+    val v2 = spark.sql(s"CALL graft.system.vacuum('$dir')").head()
+    assert(v2.getInt(3) === -1 && v2.getInt(4) === -1)
+  }
 }
