@@ -129,15 +129,103 @@ object Similarity {
     * being rebuilt per query like [[ivfTopK]]'s inline construction.
     * Precomputed row norms ride along (`cn`), so a stored query does no
     * per-corpus-row arithmetic beyond the candidate dots. */
+  /** INDEX/TABLE CONSISTENCY (round 11): the index spans two datasets
+    * (centroids + cells) with no cross-directory atomicity, so each
+    * build stages BOTH into a fresh generation subdir
+    * (`$dir/g-<id>/{centroids,cells}`) and a versioned manifest
+    * (`$dir/_index.json`) flips ATOMICALLY to the new generation LAST.
+    * A crash anywhere mid-build leaves the manifest on the previous
+    * generation — the index is old-and-queryable or new-and-queryable,
+    * never torn halves — and readers REFUSE a manifest-less index
+    * rather than guess. Superseded/orphaned generation dirs are swept by
+    * the next build once provably dead (staleness-gated, same discipline
+    * as maintenance staging). */
+  private val IndexManifest = "_index.json"
+
+  /** Test seam: fires between the two dataset writes of a build — the
+    * crash window the manifest protocol exists for. */
+  private[graft] var afterIvfCentroidsHook: () => Unit = () => ()
+
+  private case class IvfManifest(generation: String, nlist: Int,
+      idCol: String, vecCol: String, cellsTip: Long)
+
+  private def writeManifest(spark: org.apache.spark.sql.SparkSession,
+      dir: String, m: IvfManifest): Unit = {
+    def esc(s: String) = graft.sources.ArrowFileStats.esc(s)
+    val body = s"""{"version":1,"generation":"${esc(m.generation)}",""" +
+      s""""nlist":${m.nlist},"idCol":"${esc(m.idCol)}",""" +
+      s""""vecCol":"${esc(m.vecCol)}","cellsTip":${m.cellsTip}}"""
+    val p = new org.apache.hadoop.fs.Path(dir, IndexManifest)
+    graft.sources.ArrowOcc.writeAtomic(
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration), p,
+      body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  private def readManifest(spark: org.apache.spark.sql.SparkSession,
+      dir: String): IvfManifest = {
+    val p = new org.apache.hadoop.fs.Path(dir, IndexManifest)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p),
+      s"ivf: $dir has no $IndexManifest — the index is torn (a build " +
+        "crashed before its manifest landed) or predates the manifest " +
+        "protocol; re-run ivfBuild")
+    import org.json4s._
+    org.json4s.jackson.JsonMethods.parse(
+      graft.sources.ArrowFileStats.readFully(fs, p)) match {
+      case o: JObject =>
+        def str(k: String) = (o \ k) match {
+          case JString(s) => s
+          case other => throw new IllegalStateException(
+            s"ivf: bad $IndexManifest at $dir: $k = $other")
+        }
+        def num(k: String): Long = (o \ k) match {
+          case JInt(n) => n.toLong
+          case JLong(n) => n
+          case other => throw new IllegalStateException(
+            s"ivf: bad $IndexManifest at $dir: $k = $other")
+        }
+        IvfManifest(str("generation"), num("nlist").toInt,
+          str("idCol"), str("vecCol"), num("cellsTip"))
+      case other => throw new IllegalStateException(
+        s"ivf: bad $IndexManifest at $dir: $other")
+    }
+  }
+
+  /** The current generation's subdir (`$dir/g-<id>`) — introspection for
+    * specs and ops tooling; refuses like every manifest read. */
+  private[graft] def ivfGenerationDir(
+      spark: org.apache.spark.sql.SparkSession, dir: String): String =
+    s"$dir/${readManifest(spark, dir).generation}"
+
   def ivfBuild(corpus: DataFrame, idCol: String, vecCol: String,
       nlist: Int, dir: String, deterministicMeans: Boolean = true): Unit = {
+    val spark = corpus.sparkSession
     val (centroids, cells) =
       ivfIndex(corpus, idCol, vecCol, nlist, deterministicMeans)
+    val gen = "g-" + java.util.UUID.randomUUID.toString.take(8)
     centroids.coalesce(1).write.format("arrow-ipc").mode("overwrite")
-      .save(s"$dir/centroids")
+      .save(s"$dir/$gen/centroids")
+    afterIvfCentroidsHook()
     graft.sources.Sinks.writeKeyGrouped(
       cells.select(col("cid"), col(idCol), col(vecCol), col("cn")),
-      s"$dir/cells", Seq("cid"), partitions = math.min(nlist, 32))
+      s"$dir/$gen/cells", Seq("cid"), partitions = math.min(nlist, 32))
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tip = graft.sources.ArrowSnapshots.currentTip(
+      fs, new org.apache.hadoop.fs.Path(s"$dir/$gen/cells"))
+    // the COMMIT: one atomic flip — readers see the old generation or the
+    // new one, never a mix
+    writeManifest(spark, dir, IvfManifest(gen, nlist, idCol, vecCol, tip))
+    // sweep superseded/orphaned generations once provably dead (a young
+    // foreign dir may be a concurrent build mid-stage or a reader's
+    // in-flight old generation)
+    val now = System.currentTimeMillis()
+    Option(fs.globStatus(new org.apache.hadoop.fs.Path(dir, "g-*")))
+      .getOrElse(Array.empty)
+      .filter(st => st.getPath.getName != gen &&
+        now - graft.sources.ArrowOcc.newestMTime(fs, st.getPath) >
+          graft.sources.ArrowOcc.staleMs)
+      .foreach(st => fs.delete(st.getPath, true))
   }
 
   /** INCREMENTAL index growth: assign `fresh` vectors to the STORED
@@ -151,7 +239,9 @@ object Similarity {
     * of a clustering maintenance pass). */
   def ivfAppend(spark: org.apache.spark.sql.SparkSession, dir: String,
       fresh: DataFrame, idCol: String, vecCol: String): Unit = {
-    val centroids = spark.read.format("arrow-ipc").load(s"$dir/centroids")
+    val m = readManifest(spark, dir) // refuses a torn/manifest-less index
+    val centroids = spark.read.format("arrow-ipc")
+      .load(s"$dir/${m.generation}/centroids")
     val freshN = fresh.withColumn("cn", norm(col(vecCol)))
     val assigned = freshN
       .crossJoin(broadcast(centroids))
@@ -163,19 +253,34 @@ object Similarity {
       .select(col("cid"), col(idCol), col(vecCol), col("cn"))
       .write.format("arrow-ipc").mode("append")
       .option("partitionKeys", "cid")
-      .save(s"$dir/cells")
+      .save(s"$dir/${m.generation}/cells")
+    // advance the manifest: same generation, new cells tip — bookkeeping
+    // for consumers pinning reproducible reads, and the signal that the
+    // append landed (the cell append itself is atomic under the arrow
+    // source's own commit protocol)
+    val cellsPath = new org.apache.hadoop.fs.Path(s"$dir/${m.generation}/cells")
+    val tip = graft.sources.ArrowSnapshots.currentTip(
+      cellsPath.getFileSystem(spark.sparkContext.hadoopConfiguration),
+      cellsPath)
+    writeManifest(spark, dir, m.copy(cellsTip = tip))
   }
 
   /** Query a [[ivfBuild]]-persisted index — bit-identical to running
     * [[ivfTopK]] with the same parameters (the probe/score tail is the
     * same code over the same stored values; floats, doubles and norms
-    * round-trip the arrow interchange exactly). */
+    * round-trip the arrow interchange exactly). Resolves through the
+    * index manifest, so a torn (mid-build-crashed) index either serves
+    * its previous consistent generation or refuses loudly — never
+    * mismatched centroid/cell halves. */
   def ivfTopKStored(spark: org.apache.spark.sql.SparkSession, dir: String,
       queries: DataFrame, idCol: String, vecCol: String,
       qidCol: String, qvecCol: String, k: Int, nprobe: Int): DataFrame = {
     require(nprobe >= 1, "ivfTopKStored: nprobe must be >= 1")
-    val centroids = spark.read.format("arrow-ipc").load(s"$dir/centroids")
-    val cells = spark.read.format("arrow-ipc").load(s"$dir/cells")
+    val m = readManifest(spark, dir)
+    val centroids = spark.read.format("arrow-ipc")
+      .load(s"$dir/${m.generation}/centroids")
+    val cells = spark.read.format("arrow-ipc")
+      .load(s"$dir/${m.generation}/cells")
     ivfProbeScore(centroids, cells, queries, idCol, vecCol, qidCol, qvecCol,
       k, nprobe)
   }

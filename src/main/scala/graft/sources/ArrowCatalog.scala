@@ -394,6 +394,84 @@ class ArrowCatalog extends TableCatalog with ProcedureCatalog {
       Array(in("dir", StringType)),
       StructType(Seq(org.apache.spark.sql.types.StructField("replayed", org.apache.spark.sql.types.BooleanType))),
       r => Seq(row(ArrowMaintenance.recover(SparkSession.active, dirArg(r))))),
+    // LLM-pipeline ops as SQL (round 11): the pieces a SQL-only operator
+    // needs to run the training-data loop — ANN index maintenance and
+    // the dedup kept-set — each riding the same Scala implementations
+    // the oracle-checked queries use
+    GraftProcedure("ivf_build",
+      "build (or atomically rebuild) the stored IVF ANN index over an " +
+        "arrow-ipc corpus directory",
+      Array(in("index_dir", StringType), in("source_dir", StringType),
+        in("id_col", StringType), in("vec_col", StringType),
+        inDefault("nlist", IntegerType, "64")),
+      StructType(Seq(
+        org.apache.spark.sql.types.StructField("generation", StringType),
+        org.apache.spark.sql.types.StructField("nlist", IntegerType))),
+      r => {
+        val spark = SparkSession.active
+        val indexDir = dirArg(r)
+        val corpus = spark.read.format("arrow-ipc")
+          .load(r.getUTF8String(1).toString)
+        graft.ops.Similarity.ivfBuild(corpus,
+          r.getUTF8String(2).toString, r.getUTF8String(3).toString,
+          r.getInt(4), indexDir)
+        val gen = new Path(
+          graft.ops.Similarity.ivfGenerationDir(spark, indexDir)).getName
+        Seq(row(gen, r.getInt(4)))
+      }),
+    GraftProcedure("ivf_append",
+      "assign fresh vectors to the stored index's frozen centroids and " +
+        "append them to its cell files (O(new*nlist), never a rebuild)",
+      Array(in("index_dir", StringType), in("source_dir", StringType),
+        in("id_col", StringType), in("vec_col", StringType)),
+      StructType(Seq(
+        org.apache.spark.sql.types.StructField("appended", LongType),
+        org.apache.spark.sql.types.StructField("generation", StringType))),
+      r => {
+        val spark = SparkSession.active
+        val indexDir = dirArg(r)
+        val fresh = spark.read.format("arrow-ipc")
+          .load(r.getUTF8String(1).toString)
+        val n = fresh.count()
+        graft.ops.Similarity.ivfAppend(spark, indexDir, fresh,
+          r.getUTF8String(2).toString, r.getUTF8String(3).toString)
+        val gen = new Path(
+          graft.ops.Similarity.ivfGenerationDir(spark, indexDir)).getName
+        Seq(row(n, gen))
+      }),
+    GraftProcedure("dedup",
+      "near-dup dedup of a document directory: minhash-LSH pairs -> " +
+        "exact-jaccard verify -> connected components -> keep the " +
+        "longest doc per cluster; writes the kept set to output_dir",
+      Array(in("source_dir", StringType), in("output_dir", StringType),
+        in("id_col", StringType), in("text_col", StringType),
+        inDefault("threshold", org.apache.spark.sql.types.DoubleType, "0.6"),
+        inDefault("width", IntegerType, "6")),
+      StructType(Seq(
+        org.apache.spark.sql.types.StructField("input_rows", LongType),
+        org.apache.spark.sql.types.StructField("kept_rows", LongType))),
+      r => {
+        val spark = SparkSession.active
+        import org.apache.spark.sql.functions.{coalesce, col, length}
+        val idCol = r.getUTF8String(2).toString
+        val textCol = r.getUTF8String(3).toString
+        val docs = spark.read.format("arrow-ipc").load(dirArg(r))
+        val pairs = graft.ops.Dedup.jaccardPairsLsh(docs, idCol, textCol,
+          width = r.getInt(5), threshold = r.getDouble(4),
+          k = 12, bands = 4)
+        val labels = graft.ops.Dedup.connectedComponents(pairs, idCol)
+        val scored = docs
+          .select(col(idCol), length(col(textCol)).cast("long").as("__score"))
+          .join(labels, Seq(idCol), "left")
+          .withColumn("component", coalesce(col("component"), col(idCol)))
+        val reps = graft.ops.Dedup.componentRepresentatives(
+          scored, idCol, "component", "__score")
+        val kept = docs.join(
+          reps.select(col(s"rep_$idCol").as(idCol)), idCol)
+        kept.write.format("arrow-ipc").mode("overwrite")
+          .save(r.getUTF8String(1).toString)
+        Seq(row(docs.count(), kept.count()))
+      }),
     // read-only: the id a reproducible consumer should pin
     // (`option("asOfSnapshot", id)` / `VERSION AS OF id`) — e.g. a
     // training job that must see one frozen table across retries

@@ -288,7 +288,7 @@ private[graft] object ArrowFileStats {
 
   /** Shared JSON string escaper (stats manifest, compaction intent,
     * streaming offsets) — one correctness envelope, incl. control chars. */
-  private[sources] def esc(s: String): String = {
+  private[graft] def esc(s: String): String = {
     val b = new StringBuilder(s.length + 8)
     s.foreach {
       case '"' => b.append("\\\"")
@@ -406,7 +406,7 @@ private[graft] object ArrowFileStats {
     }
 
   /** Drain a small metadata file to a UTF-8 string (manifest, intent). */
-  private[sources] def readFully(fs: FileSystem, p: Path): String = {
+  private[graft] def readFully(fs: FileSystem, p: Path): String = {
     val in = fs.open(p)
     try {
       val bytes = new java.io.ByteArrayOutputStream()

@@ -162,4 +162,57 @@ class ArrowProcedureSpec extends AnyFunSuite {
     val v2 = spark.sql(s"CALL graft.system.vacuum('$dir')").head()
     assert(v2.getInt(3) === -1 && v2.getInt(4) === -1)
   }
+
+  test("CALL ivf_build / ivf_append maintain the stored ANN index from SQL") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    def mk(ids: Range) = ids.map { i =>
+      (i.toLong, Array.fill(16)((if (i % 2 == 0) 5.0f else -5.0f) +
+        rnd.nextFloat() * 0.5f))
+    }.toDF("vec_id", "embedding")
+    val src = tmp("graft_proc_ivf_src")
+    val src2 = tmp("graft_proc_ivf_src2")
+    val idx = tmp("graft_proc_ivf_idx")
+    mk(0 until 60).write.format("arrow-ipc").mode("overwrite").save(src)
+    mk(60 until 80).write.format("arrow-ipc").mode("overwrite").save(src2)
+    val b = spark.sql(s"CALL graft.system.ivf_build('$idx', '$src', " +
+      "'vec_id', 'embedding', nlist => 8)").head()
+    assert(b.getString(0).startsWith("g-") && b.getInt(1) === 8)
+    val a = spark.sql(s"CALL graft.system.ivf_append('$idx', '$src2', " +
+      "'vec_id', 'embedding')").head()
+    assert(a.getLong(0) === 20L && a.getString(1) === b.getString(0))
+    val cells = spark.read.format("arrow-ipc")
+      .load(graft.ops.Similarity.ivfGenerationDir(spark, idx) + "/cells")
+    assert(cells.count() === 80)
+    // the index answers through the manifest
+    val queries = mk(0 until 2)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val got = graft.ops.Similarity.ivfTopKStored(spark, idx, queries,
+      "vec_id", "embedding", "qid", "qe", k = 3, nprobe = 4)
+    assert(got.count() === 6)
+  }
+
+  test("CALL dedup writes the kept-set of a near-dup document directory") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (1L, base + " alpha beta gamma delta epsilon"),
+      (2L, base + " alpha beta gamma delta epsilon!"),   // near-dup of 1, shorter... longer?
+      (3L, "completely different text about spark catalyst optimizer internals"),
+      (4L, base + " alpha beta gamma delta epsilon extended even further")
+    ).toDF("doc_id", "text")
+    val src = tmp("graft_proc_dedup_src")
+    val out = tmp("graft_proc_dedup_out")
+    docs.write.format("arrow-ipc").mode("overwrite").save(src)
+    val r = spark.sql(s"CALL graft.system.dedup('$src', '$out', " +
+      "'doc_id', 'text', threshold => 0.5)").head()
+    assert(r.getLong(0) === 4L)
+    assert(r.getLong(1) < 4L, "near-dups must have collapsed")
+    val kept = spark.read.format("arrow-ipc").load(out)
+    assert(kept.count() === r.getLong(1))
+    // the unrelated doc always survives; the cluster keeps its longest
+    val ids = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.contains(3L))
+    assert(ids.contains(4L), "the longest doc of the cluster is the rep")
+  }
 }

@@ -98,7 +98,8 @@ class SimilaritySpec extends AnyFunSuite {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val stats = graft.sources.ArrowFileStats.read(
-      fs, new org.apache.hadoop.fs.Path(s"$dir/cells"))
+      fs, new org.apache.hadoop.fs.Path(
+        Similarity.ivfGenerationDir(spark, dir) + "/cells"))
     assert(stats.nonEmpty && stats.values.forall { s =>
       val c = s.cols("cid")
       c.nulls == 0 && c.min.isDefined && c.min == c.max
@@ -120,14 +121,16 @@ class SimilaritySpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf_app").toString + "/ix"
     Similarity.ivfBuild(gen1, "vec_id", "embedding", nlist = 8, dir = dir)
     Similarity.ivfAppend(spark, dir, gen2, "vec_id", "embedding")
-    val cells = spark.read.format("arrow-ipc").load(s"$dir/cells")
+    val cells = spark.read.format("arrow-ipc")
+      .load(Similarity.ivfGenerationDir(spark, dir) + "/cells")
     assert(cells.count() === 100)
     assert(cells.select("vec_id").distinct().count() === 100)
     // appended files kept the inverted-list claim: still single-valued
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val stats = graft.sources.ArrowFileStats.read(
-      fs, new org.apache.hadoop.fs.Path(s"$dir/cells"))
+      fs, new org.apache.hadoop.fs.Path(
+        Similarity.ivfGenerationDir(spark, dir) + "/cells"))
     assert(stats.values.forall { s =>
       val c = s.cols("cid"); c.nulls == 0 && c.min.isDefined && c.min == c.max
     })
@@ -144,6 +147,52 @@ class SimilaritySpec extends AnyFunSuite {
     val recall = brute.intersect(stored).size.toDouble / brute.size
     assert(recall >= 0.8, s"post-append recall $recall < 0.8")
     assert(stored.exists(_._2 >= 80L), "appended vectors must be retrievable")
+  }
+
+  test("a build crash between centroids and cells leaves the index old-or-new, never torn") {
+    val rnd = new scala.util.Random(7)
+    val centers = Seq(
+      Array.fill(16)(5.0f), Array.fill(16)(-5.0f),
+      Array.tabulate(16)(i => if (i < 8) 5.0f else -5.0f),
+      Array.tabulate(16)(i => if (i < 8) -5.0f else 5.0f))
+    def mk(ids: Range) = ids.map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(v => v + rnd.nextFloat() * 0.5f))
+    }.toDF("vec_id", "embedding")
+    val gen1 = mk(0 until 80)
+    val full = mk(0 until 100)
+    val queries = gen1.filter($"vec_id" < 4)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_crash").toString + "/ix"
+    def topk() = Similarity.ivfTopKStored(spark, dir, queries,
+      "vec_id", "embedding", "qid", "qe", k = 5, nprobe = 4)
+      .orderBy("qid", "rk").collect().toSeq
+    // a FIRST build that crashes between the two dataset writes leaves
+    // NO manifest: queries and appends refuse loudly, never guess
+    Similarity.afterIvfCentroidsHook = () => sys.error("crash mid-build")
+    try intercept[RuntimeException] {
+      Similarity.ivfBuild(gen1, "vec_id", "embedding", nlist = 8, dir = dir)
+    } finally Similarity.afterIvfCentroidsHook = () => ()
+    val e = intercept[IllegalArgumentException] { topk() }
+    assert(e.getMessage.contains("_index.json"))
+    intercept[IllegalArgumentException] {
+      Similarity.ivfAppend(spark, dir, full, "vec_id", "embedding")
+    }
+    // a completed build answers; a crashed REBUILD must not change them
+    Similarity.ivfBuild(gen1, "vec_id", "embedding", nlist = 8, dir = dir)
+    val before = topk()
+    Similarity.afterIvfCentroidsHook = () => sys.error("crash mid-rebuild")
+    try intercept[RuntimeException] {
+      Similarity.ivfBuild(full, "vec_id", "embedding", nlist = 8, dir = dir)
+    } finally Similarity.afterIvfCentroidsHook = () => ()
+    assert(topk() === before,
+      "a crashed rebuild must leave the previous generation answering")
+    // the flip: a completed rebuild serves the new corpus
+    Similarity.ivfBuild(full, "vec_id", "embedding", nlist = 8, dir = dir)
+    val cells = spark.read.format("arrow-ipc")
+      .load(Similarity.ivfGenerationDir(spark, dir) + "/cells")
+    assert(cells.count() === 100)
   }
 
   test("LSH top-k: same-bucket neighbors are exact-ranked; buckets deterministic") {
