@@ -915,6 +915,61 @@ object CoreQueries {
               WHERE s_suppkey <= (SELECT MAX(s_suppkey) FROM supplier) // 2
               GROUP BY 1 ORDER BY s_nationkey""")),
 
+    // COLUMN RENAME EVOLUTION (round 11): `ALTER COLUMN RENAME` is a
+    // sentinel-only rewrite via FIELD-ID INDIRECTION — generation-1
+    // files keep their old vector label (resolved by stable field id, or
+    // by the sentinel's rename history for id-less files), generation-2
+    // appends carry the new name, and the stats manifests re-key under
+    // the ALTER's lock so min/max pruning on the RENAMED column stays
+    // exactly as selective across both generations — self-asserted below
+    // on a range probe that must drop files of each generation. At
+    // 100 TB renaming a long-lived ingest schema costs one sentinel
+    // write and a manifest re-key, never a data rewrite.
+    ("arrow_evolve_rename", (s, d) => {
+      val sup = T(s, d, "supplier")
+      // Scratch contract: see json_roundtrip.
+      val path = graft.sources.Scratch.dir(s, "graft_rt_evolverename")
+      def cents = (col("s_acctbal").cast(DecimalType(12, 2)) * 100)
+        .cast(LongType)
+      sup.filter(col("s_suppkey") % 2 === 0)
+        .select(col("s_suppkey").as("sk"), col("s_nationkey"),
+          cents.as("cents_v1"))
+        .repartitionByRange(3, col("cents_v1"))
+        .write.format("arrow-ipc").mode("overwrite").save(path)
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.ArrowCatalog")
+      s.sql(s"ALTER TABLE graft.`$path` RENAME COLUMN cents_v1 TO cents")
+      sup.filter(col("s_suppkey") % 2 === 1)
+        .select(col("s_suppkey").as("sk"), col("s_nationkey"),
+          cents.as("cents"))
+        .repartitionByRange(3, col("cents"))
+        .write.format("arrow-ipc").mode("append").save(path)
+      // prune self-assert ON THE RENAMED COLUMN: literal bound (only
+      // attr-vs-literal predicates push down), both generations are
+      // range-laid-out on the column, so a low bound must drop files
+      val bound = sup.agg(min(cents), max(cents)).head()
+      val probeAt = (bound.getLong(0) + bound.getLong(1)) / 4
+      val probe = s.read.format("arrow-ipc").load(path)
+        .filter(col("cents") <= probeAt)
+      val desc = probe.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.scan.description()
+      }.mkString("\n")
+      val m = "files=(\\d+)/(\\d+)".r.findFirstMatchIn(desc).getOrElse(
+        sys.error(s"arrow_evolve_rename: no file-pruning scan:\n$desc"))
+      require(m.group(1).toInt < m.group(2).toInt,
+        s"arrow_evolve_rename: stats must stay keyed to the renamed " +
+          s"column across generations (${m.matched})")
+      s.read.format("arrow-ipc").load(path)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("cnt"), sum(col("cents")).as("cents"),
+          max(col("sk")).as("max_sk"))
+        .orderBy("s_nationkey")
+    },
+      Some("""SELECT s_nationkey, COUNT(*) AS cnt,
+                     CAST(SUM(CAST(CAST(s_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS cents,
+                     MAX(s_suppkey) AS max_sk
+              FROM supplier GROUP BY 1 ORDER BY s_nationkey""")),
+
     // TIME TRAVEL (round 9): every committed mutation appends a delta to
     // the `_snapshots/` log and retires replaced files to `.trash/`, so
     // `VERSION AS OF` reconstructs any retained snapshot — here the state

@@ -138,7 +138,10 @@ class ArrowCatalog extends TableCatalog with ProcedureCatalog {
     // ALTER racing an append's schema validation... the append re-reads
     // under ITS lock) cannot lose each other's change
     ArrowOcc.withCommitLock(fs, p) {
-    val before = ArrowInterchange.readSchema(spark, dir)
+    // the META-carrying schema: field ids + rename history survive the
+    // fold (f.copy keeps metadata), renames extend it
+    val before = ArrowInterchange.readSchemaWithMeta(spark, dir)
+    var statsRenames = Map.empty[String, String]
     val after = changes.foldLeft(before) { (schema, change) => change match {
       case add: TableChange.AddColumn =>
         require(add.fieldNames.length == 1,
@@ -166,6 +169,13 @@ class ArrowCatalog extends TableCatalog with ProcedureCatalog {
             s"'$colName' (dropped earlier?) — re-adding the name would " +
             "resurrect the old values instead of NULLs; rewrite the " +
             "files first or pick a new name")
+        // a name in some field's RENAME HISTORY still labels that field's
+        // bytes in standing files — a new column under it would serve them
+        require(!schema.fields.exists(g =>
+            ArrowInterchange.priorNames(g).contains(colName)),
+          s"$catalogName: '$colName' is a prior name of an existing " +
+            "column (renamed away) — standing files still resolve it to " +
+            "that column; pick a new name")
         val grown = schema.add(colName, add.dataType, nullable = true)
         ArrowInterchange.toArrowSchema(grown) // interchange-supported type?
         grown
@@ -211,11 +221,57 @@ class ArrowCatalog extends TableCatalog with ProcedureCatalog {
             "name-resolved immutable files (anything else needs a rewrite)")
         StructType(schema.fields.map(g =>
           if (g.name == colName) g.copy(dataType = upd.newDataType) else g))
+      // COLUMN RENAME (round 11) — sentinel-only, via field-id
+      // indirection: the field keeps its stable id, the old name joins
+      // its rename history, and readers resolve standing files by id
+      // (files that carry ids) or by the history (id-less legacy and
+      // maintenance-rewritten files). The stats manifests re-key to the
+      // new name under this same lock, so pruning stays exactly as
+      // selective. Refusals guard every label-reuse ambiguity.
+      case ren: TableChange.RenameColumn =>
+        require(ren.fieldNames.length == 1,
+          s"$catalogName: only top-level columns can be renamed " +
+            s"(got ${ren.fieldNames.mkString(".")})")
+        val from = ren.fieldNames.head
+        val to = ren.newName
+        val f = schema.fields.find(_.name == from).getOrElse(
+          throw new IllegalArgumentException(
+            s"$catalogName: no column '$from' to rename"))
+        val keyed = ArrowLayout.read(fs, p) ++ ArrowHiveLayout.read(fs, p)
+        require(!keyed.contains(from),
+          s"$catalogName: column '$from' keys the directory layout — the " +
+            "paths/claims encode its name; it cannot be renamed")
+        require(!schema.fieldNames.contains(to),
+          s"$catalogName: column '$to' already exists")
+        require(!to.exists(_ == ArrowInterchange.PriorSep),
+          s"$catalogName: column names must not contain U+001F")
+        // `to` must not be a name standing bytes or histories resolve to
+        // ANOTHER field — that would mislabel their values
+        require(!schema.fields.exists(g => g.name != from &&
+            ArrowInterchange.priorNames(g).contains(to)),
+          s"$catalogName: '$to' is a prior name of another column — " +
+            "standing files still resolve it there; pick a new name")
+        val carried = ArrowFileStats.read(fs, p).values
+          .exists(_.cols.contains(to))
+        require(!carried,
+          s"$catalogName: standing data files still carry bytes for " +
+            s"'$to' (a dropped column?) — renaming onto that label would " +
+            "mislabel their values; rewrite the files first or pick a " +
+            "new name")
+        statsRenames += (from -> to)
+        val hist = (from +: ArrowInterchange.priorNames(f))
+          .filterNot(_ == to).distinct
+        val meta = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+          .putStringArray(ArrowInterchange.PriorNamesKey, hist.toArray)
+          .build()
+        StructType(schema.fields.map(g =>
+          if (g.name == from) g.copy(name = to, metadata = meta) else g))
       case other =>
         throw new UnsupportedOperationException(
           s"$catalogName: unsupported table change $other — only nullable " +
-            "ADD COLUMN (appended last), DROP COLUMN, and widening " +
-            "ALTER COLUMN TYPE evolve the sentinel")
+            "ADD COLUMN (appended last), DROP COLUMN, widening " +
+            "ALTER COLUMN TYPE, and RENAME COLUMN evolve the sentinel")
     }}
     // sentinel swap via ATOMIC REPLACE (round 11): reads are
     // deliberately lock-free, so the most correctness-bearing sidecar of
@@ -223,13 +279,19 @@ class ArrowCatalog extends TableCatalog with ProcedureCatalog {
     // sees the old schema or the new one, never a torn/empty sentinel,
     // and a crash mid-ALTER leaves the table readable (old schema)
     // instead of wedged until manual repair.
+    // any ALTER also assigns ids a legacy sentinel lacks — renames then
+    // have history to hang on from the first evolution onward
+    val committed = ArrowInterchange.withFieldIds(after)
     val bytes = {
       val bos = new java.io.ByteArrayOutputStream()
-      ArrowInterchange.writeSentinel(bos, after)
+      ArrowInterchange.writeSentinel(bos, committed)
       bos.toByteArray
     }
     ArrowOcc.writeAtomic(fs, new Path(p, "_schema.arrows"), bytes)
-    new ArrowIpcTable(after, dir)
+    // re-key the stats manifests to renamed columns under this same lock
+    // — min/max/bloom pruning on the new name stays exactly as selective
+    if (statsRenames.nonEmpty) ArrowFileStats.renameColumns(fs, p, statsRenames)
+    new ArrowIpcTable(ArrowInterchange.stripEvolution(committed), dir)
     } // withCommitLock
   }
 

@@ -223,7 +223,11 @@ private[sources] class ArrowChangesMicroBatchStream(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ArrowChangeTypeReaderFactory(required, hiveFields, conf)
+    // evolution metadata rides the required schema (see the batch scan);
+    // the _change_type column is no sentinel field and passes untouched
+    new ArrowChangeTypeReaderFactory(
+      ArrowInterchange.attachResolutionMeta(required, dir, conf.value),
+      hiveFields, conf)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

@@ -454,6 +454,26 @@ private[graft] object ArrowFileStats {
   def shardFile(queryId: String) = s"_stats-$queryId.json"
 
   /** queryIds of all shards present in the directory. */
+  /** Re-key column stats across every stats structure (base manifest +
+    * shards; shard envelopes recompute on write) — `ALTER COLUMN
+    * RENAME`'s metadata migration, run under the table's commit lock so
+    * pruning stays keyed to the current name with no gap. Cost is
+    * O(manifest) driver work for a rare DDL statement. */
+  def renameColumns(fs: FileSystem, dir: Path,
+      renames: Map[String, String]): Unit = {
+    def rekey(m: Map[String, FileStats]): Map[String, FileStats] =
+      m.map { case (file, st) => file -> st.copy(cols =
+        st.cols.map { case (c, cs) => renames.getOrElse(c, c) -> cs }) }
+    val base = readBase(fs, dir)
+    if (base.exists(_._2.cols.keys.exists(renames.contains)))
+      write(fs, dir, rekey(base))
+    shardIds(fs, dir).foreach { qid =>
+      val shard = readShard(fs, dir, qid)
+      if (shard.exists(_._2.cols.keys.exists(renames.contains)))
+        writeShard(fs, dir, qid, rekey(shard))
+    }
+  }
+
   def shardIds(fs: FileSystem, dir: Path): Seq[String] =
     Option(fs.globStatus(new Path(dir, "_stats-*.json")))
       .getOrElse(Array.empty).toSeq

@@ -78,6 +78,111 @@ object ArrowInterchange {
     * the mapping round-trips. */
   val FixedSizeKey = "arrow.fixed_size"
 
+  // ── schema-evolution metadata (round 11): field ids + rename history ──
+  //
+  // FIELD-ID INDIRECTION, the Iceberg resolution model re-expressed over
+  // arrow field metadata: every sentinel field carries a STABLE id
+  // (`graft.field.id`, assigned at table creation / first ALTER and never
+  // reused), appends stamp the ids into their data files' headers, and
+  // readers resolve a required column by ID first — names become labels,
+  // which is what makes `ALTER COLUMN RENAME` a sentinel-only rewrite.
+  // Files that predate ids (or maintenance rewrites, which deliberately
+  // stay id-less — a staging job must never mint ids) resolve by the
+  // current name or any PRIOR name recorded in the sentinel's rename
+  // history (`graft.prior.names`), with an id GUARD: a name hit whose
+  // file field carries a DIFFERENT id is a reused label, never this
+  // column. The metadata is invisible to users — [[readSchema]] strips
+  // it — and travels to executors on the required schema's StructField
+  // metadata ([[attachResolutionMeta]]).
+
+  val FieldIdKey = "graft.field.id"
+  val PriorNamesKey = "graft.prior.names"
+  // unit separator — refused inside column names at rename time, so the
+  // encoded prior-name list is unambiguous
+  private[sources] val PriorSep = '\u001F'
+
+  /** (field id, prior names) of an arrow field. */
+  private[sources] def evolutionMeta(f: Field): (Option[Long], Seq[String]) = {
+    val m = Option(f.getMetadata).map(_.asScala).getOrElse(
+      scala.collection.mutable.Map.empty[String, String])
+    (m.get(FieldIdKey).flatMap(s => scala.util.Try(s.toLong).toOption),
+      m.get(PriorNamesKey)
+        .map(_.split(PriorSep).toSeq.filter(_.nonEmpty)).getOrElse(Nil))
+  }
+
+  private def fieldId(f: StructField): Option[Long] =
+    if (f.metadata.contains(FieldIdKey))
+      scala.util.Try(f.metadata.getLong(FieldIdKey)).toOption
+    else None
+
+  private[sources] def priorNames(f: StructField): Seq[String] =
+    if (f.metadata.contains(PriorNamesKey))
+      f.metadata.getStringArray(PriorNamesKey).toSeq
+    else Nil
+
+  /** The arrow-side encoding of a field's evolution metadata; null when
+    * the field carries none (the legacy shape, byte-identical headers). */
+  private def evolutionMetaMap(f: StructField): java.util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    fieldId(f).foreach(id => m.put(FieldIdKey, id.toString))
+    val priors = priorNames(f)
+    if (priors.nonEmpty) m.put(PriorNamesKey, priors.mkString(PriorSep.toString))
+    if (m.isEmpty) null else m
+  }
+
+  /** Assign stable field ids where missing: existing ids are preserved,
+    * new fields take max+1.. in field order. The sentinel-creation and
+    * ALTER tail — ids are minted HERE and nowhere else. */
+  private[sources] def withFieldIds(schema: StructType): StructType = {
+    var next = schema.fields.flatMap(fieldId).foldLeft(0L)(math.max) + 1
+    StructType(schema.fields.map { f =>
+      if (fieldId(f).isDefined) f
+      else {
+        val b = new MetadataBuilder().withMetadata(f.metadata)
+          .putLong(FieldIdKey, next)
+        next += 1
+        f.copy(metadata = b.build())
+      }
+    })
+  }
+
+  /** Strip the evolution metadata — the user-facing schema shows names
+    * and types, not the resolution machinery. */
+  private[sources] def stripEvolution(schema: StructType): StructType =
+    StructType(schema.fields.map { f =>
+      if (!f.metadata.contains(FieldIdKey) &&
+          !f.metadata.contains(PriorNamesKey)) f
+      else f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+        .remove(FieldIdKey).remove(PriorNamesKey).build())
+    })
+
+  /** Attach the SENTINEL's evolution metadata to the matching required
+    * fields — the scan-side transport: required schemas arrive stripped,
+    * and executors resolve by id/alias from StructField metadata (which
+    * serializes with the reader factory). Fields the sentinel doesn't
+    * know (metadata columns, foreign dirs) and sentinel-less directories
+    * pass through untouched. */
+  private[sources] def attachResolutionMeta(required: StructType,
+      dir: String, conf: org.apache.hadoop.conf.Configuration): StructType = {
+    val sentinel = new Path(dir, "_schema.arrows")
+    val fs = sentinel.getFileSystem(conf)
+    val raw = scala.util.Try(readArrowSchemaFrom(fs, sentinel)).toOption
+      .getOrElse(return required)
+    val byName = raw.getFields.asScala.map(f => f.getName -> f).toMap
+    StructType(required.fields.map { rf =>
+      byName.get(rf.name).map { ff =>
+        val (id, priors) = evolutionMeta(ff)
+        if (id.isEmpty && priors.isEmpty) rf
+        else {
+          val b = new MetadataBuilder().withMetadata(rf.metadata)
+          id.foreach(b.putLong(FieldIdKey, _))
+          if (priors.nonEmpty) b.putStringArray(PriorNamesKey, priors.toArray)
+          rf.copy(metadata = b.build())
+        }
+      }.getOrElse(rf)
+    })
+  }
+
   private def toArrowField(f: StructField): Field = {
     val t: ArrowType = f.dataType match {
       case BooleanType   => ArrowType.Bool.INSTANCE
@@ -108,7 +213,9 @@ object ArrowInterchange {
       case ArrayType(et, containsNull) =>
         // one level of list nesting (the embeddings shape); the element
         // field recurses through the scalar mapping above
-        return new Field(f.name, new FieldType(f.nullable, ArrowType.List.INSTANCE, null),
+        return new Field(f.name,
+          new FieldType(f.nullable, ArrowType.List.INSTANCE, null,
+            evolutionMetaMap(f)),
           java.util.Collections.singletonList(
             toArrowField(StructField("item", et, containsNull))))
       case st: StructType =>
@@ -117,7 +224,9 @@ object ArrowInterchange {
         // from its comparable/filterable surface (switch_type.h:78-91) and
         // so does this source's stats layer (kindOf = 0: never pruned,
         // never a partition key) — but the DATA round-trips first-class.
-        return new Field(f.name, new FieldType(f.nullable, ArrowType.Struct.INSTANCE, null),
+        return new Field(f.name,
+          new FieldType(f.nullable, ArrowType.Struct.INSTANCE, null,
+            evolutionMetaMap(f)),
           st.fields.map(toArrowField).toSeq.asJava)
       case MapType(kt, vt, valueContainsNull) =>
         // map columns — Arrow's canonical map layout: list<entries:
@@ -125,7 +234,8 @@ object ArrowInterchange {
         // (Spark's own map contract). Same stats stance as struct:
         // kindOf = 0, data-only.
         return new Field(f.name,
-          new FieldType(f.nullable, new ArrowType.Map(false), null),
+          new FieldType(f.nullable, new ArrowType.Map(false), null,
+            evolutionMetaMap(f)),
           java.util.Collections.singletonList(new Field("entries",
             new FieldType(false, ArrowType.Struct.INSTANCE, null),
             Seq(toArrowField(StructField("key", kt, nullable = false)),
@@ -136,7 +246,7 @@ object ArrowInterchange {
           "timestamp[us], date, interval day-second, decimal(<=38), " +
           "array<scalar>, struct<...>, map<k,v>)")
     }
-    new Field(f.name, new FieldType(f.nullable, t, null),
+    new Field(f.name, new FieldType(f.nullable, t, null, evolutionMetaMap(f)),
       java.util.Collections.emptyList[Field]())
   }
 
@@ -149,11 +259,21 @@ object ArrowInterchange {
   private[sources] def sparkTypeOf(f: Field): DataType =
     fromArrowField(f).dataType
 
+  /** Re-attach the evolution metadata an arrow field carries (surfaced on
+    * the WithMeta read paths; [[readSchema]]/function reads strip it). */
+  private def withEvolutionMeta(f: Field, base: MetadataBuilder): Metadata = {
+    val (id, priors) = evolutionMeta(f)
+    id.foreach(base.putLong(FieldIdKey, _))
+    if (priors.nonEmpty) base.putStringArray(PriorNamesKey, priors.toArray)
+    base.build()
+  }
+
   private def fromArrowField(f: Field): StructField = {
     f.getType match {
       case t: ArrowType.FixedSizeBinary =>
         return StructField(f.getName, BinaryType, f.isNullable,
-          new MetadataBuilder().putLong(FixedSizeKey, t.getByteWidth.toLong).build())
+          withEvolutionMeta(f, new MetadataBuilder()
+            .putLong(FixedSizeKey, t.getByteWidth.toLong)))
       case _ => ()
     }
     val dt = f.getType match {
@@ -189,7 +309,8 @@ object ArrowInterchange {
       case t => throw new IllegalArgumentException(
         s"Arrow interchange: unsupported Arrow type $t for field '${f.getName}'")
     }
-    StructField(f.getName, dt, f.isNullable)
+    StructField(f.getName, dt, f.isNullable,
+      withEvolutionMeta(f, new MetadataBuilder()))
   }
 
   // ── write ──────────────────────────────────────────────────────────────
@@ -539,19 +660,29 @@ object ArrowInterchange {
       case null => Array.empty[org.apache.hadoop.fs.FileStatus]
       case st   => st
     }).map(_.getPath).filter(p => visible(p.getName))
+    // the DataFrame surfaces the STRIPPED schema; the enriched one (field
+    // ids, rename history) rides only into the per-file resolution
     if (dataPaths.isEmpty) // all partitions were empty — sentinel carries the schema
-      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        stripEvolution(schema))
     // Pruned reads tolerate extra (even unsupported-typed) columns in the
     // file; full reads require the exact schema — a stray column would
     // otherwise be silently dropped.
     val exact = columns.isEmpty
     val rdd = spark.sparkContext.binaryFiles(dataPaths.map(_.toString).mkString(","))
       .flatMap { case (path, pds) => rowsFromStream(pds.open(), path, schema, exact) }
-    spark.createDataFrame(rdd, schema)
+    spark.createDataFrame(rdd, stripEvolution(schema))
   }
 
-  /** Driver-side schema derivation from the sentinel or first data file. */
+  /** Driver-side schema derivation from the sentinel or first data file —
+    * the USER-FACING schema: evolution metadata stripped. */
   def readSchema(spark: SparkSession, dir: String): StructType =
+    stripEvolution(readSchemaWithMeta(spark, dir))
+
+  /** As [[readSchema]] but carrying the evolution metadata (field ids,
+    * rename history) — the ALTER/resolution-side twin. */
+  private[sources] def readSchemaWithMeta(spark: SparkSession,
+      dir: String): StructType =
     fromArrowSchema(readArrowSchema(spark, dir))
 
   private def readArrowSchema(spark: SparkSession, dir: String): ArrowSchema = {
@@ -566,7 +697,13 @@ object ArrowInterchange {
         require(st.nonEmpty, s"Arrow interchange: no .arrows files under $dir")
         st.map(_.getPath).minBy(_.getName.toString)
       }
-    val in = src.getFileSystem(conf).open(src)
+    readArrowSchemaFrom(src.getFileSystem(conf), src)
+  }
+
+  /** The arrow schema of one IPC file (header only). */
+  private[sources] def readArrowSchemaFrom(
+      fs: org.apache.hadoop.fs.FileSystem, src: Path): ArrowSchema = {
+    val in = fs.open(src)
     val alloc = new RootAllocator()
     val reader = new ArrowStreamReader(in, alloc, CommonsCompressionFactory.INSTANCE)
     try reader.getVectorSchemaRoot.getSchema
@@ -651,15 +788,31 @@ object ArrowInterchange {
   private[sources] def resolveColumns(fileSchema: ArrowSchema,
       expected: StructType, path: String, exact: Boolean): Array[Int] = {
     val fileFields = fileSchema.getFields.asScala
-    if (exact && !fileFields.forall(f => expected.fieldNames.contains(f.getName)))
-      throw new IllegalArgumentException(
-        s"Arrow interchange: $path has columns " +
-          s"(${fileFields.map(_.getName).mkString(", ")}) outside the dataset " +
-          s"schema (${expected.fieldNames.mkString(", ")}) — 'data files must share it'")
-    val indexByName = fileFields.zipWithIndex.map { case (f, i) => f.getName -> i }.toMap
-    expected.fields.map { ef =>
-      indexByName.get(ef.name) match {
+    val fileIds: IndexedSeq[Option[Long]] =
+      fileFields.map(f => evolutionMeta(f)._1).toIndexedSeq
+    val indexByName =
+      fileFields.zipWithIndex.map { case (f, i) => f.getName -> i }.toMap
+    val indexById =
+      fileIds.zipWithIndex.collect { case (Some(id), i) => id -> i }.toMap
+    val claimed = new Array[Boolean](fileFields.size)
+    val out = expected.fields.map { ef =>
+      val efId = fieldId(ef)
+      // FIELD-ID INDIRECTION: the id is the identity, names are labels —
+      // id match first, then the current name, then any PRIOR name from
+      // the rename history (id-less legacy/maintenance files across
+      // renames). A name hit whose file field carries a DIFFERENT id is
+      // a reused label, never this column.
+      def idOk(i: Int): Boolean = (fileIds(i), efId) match {
+        case (Some(a), Some(b)) => a == b
+        case _ => true
+      }
+      val hit: Option[Int] = efId.flatMap(indexById.get)
+        .orElse(indexByName.get(ef.name).filter(idOk))
+        .orElse(priorNames(ef).collectFirst(
+          scala.Function.unlift(p => indexByName.get(p).filter(idOk))))
+      hit match {
         case Some(i) =>
+          claimed(i) = true
           val actual = fromArrowField(fileFields(i))
           if (actual.dataType != ef.dataType &&
               !isWidening(actual.dataType, ef.dataType))
@@ -679,6 +832,17 @@ object ArrowInterchange {
               s"(found: ${fileFields.map(_.getName).mkString(", ")})")
       }
     }
+    // exact mode (function-style FULL reads): every file column must have
+    // been claimed by some expected field — by id, name, or rename
+    // history — else the file carries columns outside the dataset schema
+    if (exact && !claimed.forall(identity))
+      throw new IllegalArgumentException(
+        s"Arrow interchange: $path has columns " +
+          s"(${fileFields.zipWithIndex.collect {
+            case (f, i) if !claimed(i) => f.getName }.mkString(", ")}) " +
+          s"outside the dataset schema (${expected.fieldNames.mkString(", ")}) " +
+          "— 'data files must share it'")
+    out
   }
 
   /** One value in Catalyst INTERNAL form (UTF8String, micros long, days

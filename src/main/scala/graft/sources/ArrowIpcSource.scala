@@ -1069,16 +1069,20 @@ private[sources] class ArrowIpcScan(required: StructType, dir: String,
 
   override def createReaderFactory(): PartitionReaderFactory =
     agg.fold {
-      val conf = new SerializableHadoopConf(
-        SparkSession.active.sparkContext.hadoopConfiguration)
+      val hconf = SparkSession.active.sparkContext.hadoopConfiguration
+      val conf = new SerializableHadoopConf(hconf)
+      // the sentinel's evolution metadata (field ids, rename history)
+      // rides the required schema to the executors — renamed columns
+      // resolve across mixed-generation files
+      val req = ArrowInterchange.attachResolutionMeta(required, dir, hconf)
       val base =
         if (hiveFields.isEmpty)
-          new ArrowIpcReaderFactory(required, conf, limit): PartitionReaderFactory
+          new ArrowIpcReaderFactory(req, conf, limit): PartitionReaderFactory
         else
-          new ArrowIpcHiveReaderFactory(required, hiveFields, conf, limit)
+          new ArrowIpcHiveReaderFactory(req, hiveFields, conf, limit)
             : PartitionReaderFactory
       if (fileSlot < 0) base
-      else new ArrowFileColReaderFactory(base, required, fileSlot)
+      else new ArrowFileColReaderFactory(base, req, fileSlot)
     } { case (schema, rows) =>
       new ArrowAggReaderFactory(schema, rows)
     }
@@ -1408,7 +1412,9 @@ private[sources] class ArrowIpcWrite(
     ArrowOcc.withCommitLock(fs, dirPath) {
       val sentinel = new Path(dirPath, "_schema.arrows")
       if (!fs.exists(sentinel))
-        ArrowInterchange.writeSentinel(fs.create(sentinel, true), schema)
+        // table creation mints the stable field ids (round 11)
+        ArrowInterchange.writeSentinel(fs.create(sentinel, true),
+          ArrowInterchange.withFieldIds(schema))
       // a write in flight invalidates the completeness marker until
       // commit; the pending marker (written FIRST) tells every concurrent
       // committer not to restore the latch — and marks this write's files
@@ -1434,7 +1440,12 @@ private[sources] class ArrowIpcWrite(
       else ArrowFileStats.read(fs, dirPath).values
         .flatMap(_.cols.collect { case (c, s) if s.bloom.isDefined => c })
         .toSet.intersect(schema.fieldNames.toSet) -- hiveKeys
-    new ArrowIpcWriterFactory(schema, dir, codec, queryId,
+    // stamp the sentinel's stable field ids into this append's data-file
+    // headers: readers then resolve these files by ID across any future
+    // renames (id-less files fall back to the sentinel's rename history)
+    new ArrowIpcWriterFactory(
+      ArrowInterchange.attachResolutionMeta(schema, dir, conf),
+      dir, codec, queryId,
       new SerializableHadoopConf(conf), partitionKeys, hiveKeys,
       effectiveBlooms, maxRecordsPerFile)
   }

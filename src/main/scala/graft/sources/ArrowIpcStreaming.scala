@@ -225,9 +225,12 @@ private[sources] class ArrowIpcMicroBatchStream(
     }.toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    if (hiveFields.isEmpty) new ArrowIpcReaderFactory(required, conf)
-    else new ArrowIpcHiveReaderFactory(required, hiveFields, conf)
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // evolution metadata rides the required schema (see the batch scan)
+    val req = ArrowInterchange.attachResolutionMeta(required, dir, conf.value)
+    if (hiveFields.isEmpty) new ArrowIpcReaderFactory(req, conf)
+    else new ArrowIpcHiveReaderFactory(req, hiveFields, conf)
+  }
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

@@ -239,7 +239,9 @@ private[sources] class ArrowIpcStreamingWrite(
       }
       val sentinel = new Path(dirPath, "_schema.arrows")
       if (!fs.exists(sentinel))
-        ArrowInterchange.writeSentinel(fs.create(sentinel, true), schema)
+        // table creation mints the stable field ids (round 11)
+        ArrowInterchange.writeSentinel(fs.create(sentinel, true),
+          ArrowInterchange.withFieldIds(schema))
       // the empty (or prior) state IS committed — uncommitted epoch files
       // are invisible via the ledger, so the gate can stay green
       // throughout (unless a live batch append holds the latch down)
@@ -252,7 +254,11 @@ private[sources] class ArrowIpcStreamingWrite(
       else ArrowFileStats.read(fs, dirPath).values
         .flatMap(_.cols.collect { case (c, s) if s.bloom.isDefined => c })
         .toSet.intersect(schema.fieldNames.toSet) -- hiveKeys
-    new ArrowIpcStreamingWriterFactory(schema, dir, codec, runNonce,
+    // epoch files carry the sentinel's stable field ids like any append
+    new ArrowIpcStreamingWriterFactory(
+      ArrowInterchange.attachResolutionMeta(schema, dir,
+        spark.sparkContext.hadoopConfiguration),
+      dir, codec, runNonce,
       new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration),
       partitionKeys, effectiveBlooms, hiveKeys)
   }

@@ -161,6 +161,62 @@ class ArrowEvolutionSpec extends AnyFunSuite {
     assert(qd.count() === 41)
   }
 
+  test("RENAME COLUMN: sentinel-only via field ids; mixed generations read, prune and rewrite") {
+    val dir = tmp("graft_evo_rename")
+    // generation 1 under the ORIGINAL name (files carry stable field ids)
+    spark.range(0, 50).select(col("id"), (col("id") * 2).as("old_v"))
+      .repartitionByRange(2, col("id"))
+      .write.format("arrow-ipc").mode("append").save(dir)
+    spark.sql(s"ALTER TABLE graft.`$dir` RENAME COLUMN old_v TO new_v")
+    // the standing generation serves its values under the new label
+    val t1 = spark.read.format("arrow-ipc").load(dir)
+    assert(t1.schema.fieldNames.toSeq === Seq("id", "new_v"))
+    assert(t1.agg(sum("new_v")).head.getLong(0) === 2L * (0 until 50).sum)
+    // generation 2 appends under the new name; both generations coexist
+    spark.range(50, 100).select(col("id"), (col("id") * 2).as("new_v"))
+      .repartitionByRange(2, col("id"))
+      .write.format("arrow-ipc").mode("append").save(dir)
+    val t2 = spark.read.format("arrow-ipc").load(dir)
+    assert(t2.count() === 100)
+    assert(t2.agg(sum("new_v")).head.getLong(0) === 2L * (0 until 100).sum)
+    // stats pruning keyed to the NEW name across BOTH generations: the
+    // manifests were re-keyed under the ALTER's lock, so a range
+    // predicate on new_v prunes files from each generation
+    def pruned(pred: org.apache.spark.sql.Column): (Int, Int) = {
+      val desc = spark.read.format("arrow-ipc").load(dir).filter(pred)
+        .queryExecution.optimizedPlan.collect {
+          case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+            r.scan.description()
+        }.mkString("\n")
+      val m = "files=(\\d+)/(\\d+)".r.findFirstMatchIn(desc).get
+      (m.group(1).toInt, m.group(2).toInt)
+    }
+    val (kept, total) = pruned(col("new_v") < 20)
+    assert(total === 4 && kept === 1,
+      s"rename must keep min/max pruning exact: kept $kept/$total")
+    // SQL DML addresses the new name (COW rewrite over a renamed column)
+    spark.sql(s"UPDATE graft.`$dir` SET new_v = -1 WHERE id = 7")
+    assert(spark.read.format("arrow-ipc").load(dir)
+      .filter(col("new_v") === -1).count() === 1)
+    // a maintenance rewrite after the rename: staged files are id-less
+    // and carry the CURRENT name — resolution and counts survive
+    graft.sources.ArrowMaintenance.compact(spark, dir, targetBytes = 1L << 20)
+    val t3 = spark.read.format("arrow-ipc").load(dir)
+    assert(t3.count() === 100)
+    // rename CHAIN: pre-rename id-carrying files, the compacted id-less
+    // file named new_v, and future appends all resolve under v3
+    spark.sql(s"ALTER TABLE graft.`$dir` RENAME COLUMN new_v TO v3")
+    val t4 = spark.read.format("arrow-ipc").load(dir)
+    assert(t4.schema.fieldNames.toSeq === Seq("id", "v3"))
+    assert(t4.filter(col("v3") === -1).count() === 1)
+    assert(t4.agg(sum("v3")).head.getLong(0) ===
+      2L * (0 until 100).sum - 14 - 1)
+    // ADD COLUMN under a retired label refuses (history still resolves it)
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.`$dir` ADD COLUMN old_v BIGINT")
+    }
+  }
+
   test("unsound evolutions refuse loudly") {
     val dir = tmp("graft_evo_refuse")
     import spark.implicits._
@@ -176,10 +232,15 @@ class ArrowEvolutionSpec extends AnyFunSuite {
     intercept[Exception] {
       spark.sql(s"ALTER TABLE graft.`$dir` ADD COLUMN early BIGINT AFTER k")
     }
-    // rename / type change
+    // renaming a LAYOUT KEY (paths/claims encode the name) or onto an
+    // existing name — plain renames are supported since round 11
     intercept[Exception] {
-      spark.sql(s"ALTER TABLE graft.`$dir` RENAME COLUMN v TO w")
+      spark.sql(s"ALTER TABLE graft.`$dir` RENAME COLUMN k TO kk")
     }
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.`$dir` RENAME COLUMN v TO k")
+    }
+    // narrowing type change
     intercept[Exception] {
       spark.sql(s"ALTER TABLE graft.`$dir` ALTER COLUMN v TYPE INT")
     }
