@@ -100,37 +100,32 @@ private[graft] object ArrowOcc {
     override def initialValue(): Set[String] = Set.empty
   }
 
-  private def tryClaim(fs: FileSystem, lock: Path, body: Array[Byte]): Boolean =
-    if ("file" == Option(lock.toUri.getScheme).getOrElse(fs.getUri.getScheme)) {
-      // O_EXCL — atomic on POSIX even across processes
-      val local = java.nio.file.Paths.get(lock.toUri.getPath)
-      try {
-        java.nio.file.Files.createDirectories(local.getParent)
-        java.nio.file.Files.write(local, body,
-          java.nio.file.StandardOpenOption.CREATE_NEW,
-          java.nio.file.StandardOpenOption.WRITE)
-        true
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException => false
-        case _: java.io.IOException => false
-      }
-    } else {
-      try {
-        val out = fs.create(lock, false)
-        try out.write(body) finally out.close()
-        true
-      } catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-        case _: java.io.IOException => !fs.exists(lock) && {
-          throw new java.io.IOException(s"occ: cannot create $lock")
-        }
+  // ── pluggable commit primitives (round 11) ───────────────────────────
+  // Claim/release/break/replace delegate to an [[ArrowCommitStore]]:
+  // POSIX/HDFS by default; specs (and future object-store deployments)
+  // register a CONDITIONAL-WRITE store for a path prefix, and the whole
+  // protocol runs unchanged over If-None-Match PUT / If-Match DELETE.
+
+  private[graft] val storeOverrides =
+    new java.util.concurrent.ConcurrentHashMap[String, ArrowCommitStore]()
+
+  private def storeFor(path: Path): ArrowCommitStore = {
+    if (!storeOverrides.isEmpty) {
+      val p = path.toString
+      val it = storeOverrides.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (p.startsWith(e.getKey)) return e.getValue
       }
     }
+    PosixCommitStore
+  }
 
   /** Run `body` as the directory's sole committer. Reentrant within a
     * thread. Throws after [[timeoutMs]] of contention. */
   def withCommitLock[T](fs: FileSystem, dirPath: Path)(body: => T): T = {
     val lock = new Path(fs.makeQualified(dirPath), LockFile)
+    val store = storeFor(lock)
     val key = lock.toString
     if (held.get().contains(key)) return body
     val holder = java.util.UUID.randomUUID().toString
@@ -138,16 +133,16 @@ private[graft] object ArrowOcc {
       s"""{"holder":"$holder","ts":${System.currentTimeMillis()}}"""
         .getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val deadline = System.nanoTime() + timeoutMs * 1000000L
-    var claimed = false
-    while (!claimed) {
+    var token: Option[String] = None
+    while (token.isEmpty) {
       fs.mkdirs(dirPath)
-      if (tryClaim(fs, lock, payload)) claimed = true
-      else {
+      token = store.tryClaim(fs, lock, payload)
+      if (token.isEmpty) {
         val stale = scala.util.Try {
           val st = fs.getFileStatus(lock)
           System.currentTimeMillis() - st.getModificationTime > staleMs
         }.getOrElse(false) // vanished → just retry the claim
-        if (stale) breakStaleLock(fs, lock)
+        if (stale) store.breakStale(fs, lock, staleMs)
         else if (System.nanoTime() > deadline)
           throw new java.io.IOException(
             s"arrow-ipc occ: could not acquire $lock within ${timeoutMs}ms " +
@@ -160,76 +155,10 @@ private[graft] object ArrowOcc {
     try body
     finally {
       held.set(held.get() - key)
-      // payload-verified release: delete ONLY a lock that is still OURS.
-      // If this section overran the staleness window and a waiter broke
-      // the lock, the path now holds (or will hold) the NEXT committer's
-      // claim — an unconditional delete here would evict it and re-open
-      // the very double-hold the tombstone break closes.
-      scala.util.Try {
-        if (readFully(fs, lock).contains(holder)) fs.delete(lock, false)
-      }
+      // verified release: must not evict the NEXT committer's claim if
+      // this section overran the staleness window and was broken
+      store.release(fs, lock, token.get)
     }
-  }
-
-  /** Break a presumed-dead lock. Three fences close the double-holder
-    * races of the earlier read-check-delete design:
-    *
-    *  1. breakers SERIALIZE through a create-exclusive breaker mutex —
-    *     of N waiters that all observed the stale lock, exactly one
-    *     breaks (the stampede where a loser's break lands on the
-    *     winner's fresh CLAIM is structurally gone);
-    *  2. the one breaker RE-STATS the lock under the mutex — a claim
-    *     that slid in since the waiter's staleness observation is seen
-    *     fresh and left alone;
-    *  3. the break is an ATOMIC RENAME to a unique tombstone, and
-    *     rename preserves mtime, so the breaker re-verifies staleness ON
-    *     the tombstone and renames a fresh victim straight back.
-    *
-    * The breaker mutex is held for microseconds; a crashed breaker's
-    * mutex is swept by the same staleness window. */
-  private def breakStaleLock(fs: FileSystem, lock: Path): Unit = {
-    val breaker = new Path(lock.getParent, s".$LockFile.breaker")
-    scala.util.Try {
-      if (System.currentTimeMillis() -
-          fs.getFileStatus(breaker).getModificationTime > staleMs)
-        fs.delete(breaker, false)
-    }
-    // contended mutex → skip; the current breaker's work frees the lock
-    // for this waiter's next claim attempt too
-    if (!tryClaim(fs, breaker, Array.emptyByteArray)) return
-    try {
-      val stillStale = scala.util.Try {
-        System.currentTimeMillis() -
-          fs.getFileStatus(lock).getModificationTime > staleMs
-      }.getOrElse(false)
-      if (!stillStale) return
-      // the `.tmp` suffix puts a crashed breaker's orphaned tombstone
-      // under [[sweepStaleTmp]]'s existing collection
-      val tomb = new Path(lock.getParent,
-        s".$LockFile.broken-" +
-          java.util.UUID.randomUUID().toString.take(8) + ".tmp")
-      if (scala.util.Try(fs.rename(lock, tomb)).getOrElse(false)) {
-        val freshVictim = scala.util.Try {
-          System.currentTimeMillis() -
-            fs.getFileStatus(tomb).getModificationTime <= staleMs
-        }.getOrElse(false)
-        if (freshVictim) {
-          if (!scala.util.Try(fs.rename(tomb, lock)).getOrElse(false))
-            scala.util.Try(fs.delete(tomb, false))
-        } else scala.util.Try(fs.delete(tomb, false))
-      }
-    } finally scala.util.Try(fs.delete(breaker, false))
-  }
-
-  private def readFully(fs: FileSystem, p: Path): String = {
-    val in = fs.open(p)
-    try {
-      val bos = new java.io.ByteArrayOutputStream()
-      val buf = new Array[Byte](8192)
-      var n = in.read(buf)
-      while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
-      new String(bos.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
-    } finally in.close()
   }
 
   /** Conflict validation for a remove-carrying commit: every relative
@@ -258,28 +187,7 @@ private[graft] object ArrowOcc {
     * `FileContext.rename(OVERWRITE)`, which HDFS implements atomically. */
   def writeAtomic(fs: FileSystem, path: Path, bytes: Array[Byte]): Unit = {
     val q = fs.makeQualified(path)
-    if ("file" == Option(q.toUri.getScheme).getOrElse("file")) {
-      val fin = java.nio.file.Paths.get(q.toUri.getPath)
-      java.nio.file.Files.createDirectories(fin.getParent)
-      val tmp = fin.resolveSibling(
-        "." + fin.getFileName.toString + "." +
-          java.util.UUID.randomUUID.toString.take(8) + ".tmp")
-      java.nio.file.Files.write(tmp, bytes)
-      java.nio.file.Files.deleteIfExists(
-        fin.resolveSibling("." + fin.getFileName.toString + ".crc"))
-      java.nio.file.Files.move(tmp, fin,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    } else {
-      val tmp = new Path(q.getParent,
-        "." + q.getName + "." +
-          java.util.UUID.randomUUID.toString.take(8) + ".tmp")
-      val out = fs.create(tmp, true)
-      try out.write(bytes) finally out.close()
-      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-        q.toUri, fs.getConf)
-      fc.rename(tmp, q, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    }
+    storeFor(q).atomicReplace(fs, q, bytes)
   }
 
   // ── pending-append markers ────────────────────────────────────────────
