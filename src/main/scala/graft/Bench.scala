@@ -40,7 +40,8 @@ object Bench {
     "stream_hive_ingest", "stream_hive_source", "arrow_hive_compact",
     "stream_changefeed", "arrow_cluster", "arrow_cluster_z",
     "arrow_roll_write", "arrow_cluster_scoped", "arrow_cluster_z3",
-    "arrow_evolve_widen", "arrow_occ_race", "ann_ivf_stored")
+    "arrow_evolve_widen", "arrow_evolve_rename", "arrow_occ_race",
+    "ann_ivf_stored")
 
   def main(args: Array[String]): Unit = {
     // Iteration aid: SPARK_GRAFT_ONLY=q1,q2 restricts the run to a subset.
