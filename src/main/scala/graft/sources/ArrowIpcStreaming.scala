@@ -12,8 +12,11 @@ import org.apache.spark.sql.types.StructType
   * queryId), so new files land at arbitrary lexicographic positions and
   * any count- or name-threshold offset would mis-attribute them. The
   * same design as Spark's own FileStreamSource seen-files log, carried
-  * in the offset itself; bounded by the interchange-directory scale this
-  * source serves (thousands of files, not millions).
+  * in the offset itself. Round 11 bounds it: once a poll finds every
+  * live file seen, the offset COMPACTS to the live set (names of gone
+  * files can never matter again — see [[ArrowIpcMicroBatchStream
+  * .latestOffset]]), so a drained stream's offset tracks the directory's
+  * file count, not its ingest history.
   */
 private[sources] case class ArrowFilesOffset(files: Seq[String]) extends Offset {
   override def json(): String =
@@ -99,23 +102,51 @@ private[sources] class ArrowIpcMicroBatchStream(
     (sts.map(st => st.getPath.getName -> st.getPath).toMap, valsByName)
   }
 
-  private def listCommitted(): Seq[String] = {
+  /** None = the poll gate is CLOSED (directory absent, or mid-append with
+    * the latch down): hold the line at the previous offset; the caller
+    * must neither admit nor compact. Some(files) = the real committed
+    * listing (possibly empty — a legitimately emptied directory). */
+  private def listCommitted(): Option[Seq[String]] = {
     val dirPath = new Path(dir)
     val fs = dirPath.getFileSystem(conf.value)
-    if (!fs.exists(dirPath)) return Nil
+    if (!fs.exists(dirPath)) return None
     // mid-append (sentinel present, marker dropped): hold the line at the
     // previous offset instead of reading a torn directory
     if (fs.exists(new Path(dirPath, "_schema.arrows")) &&
-        !fs.exists(new Path(dirPath, "_SUCCESS"))) return Nil
+        !fs.exists(new Path(dirPath, "_SUCCESS"))) return None
+    // IDLE FAST PATH (round 11): every commit to the directory — append,
+    // epoch, compaction, delete, COW — advances the snapshot log, so an
+    // unchanged (tip id, sentinel mtime) stamp means the previous listing
+    // is still exact: a steady-state poll costs a couple of metadata
+    // probes, not an O(files) walk + ledger read. Log-less (foreign)
+    // directories have no stamp and always list; the sentinel mtime
+    // guards the truncate-and-rewrite-to-the-same-tip corner.
+    val stamp = scala.util.Try {
+      val tip = ArrowSnapshots.currentTip(fs, dirPath)
+      if (tip <= 0) None
+      else Some((tip,
+        fs.getFileStatus(new Path(dirPath, "_schema.arrows"))
+          .getModificationTime))
+    }.toOption.flatten
+    tipCache match {
+      case Some((s, cached)) if stamp.contains(s) => return Some(cached)
+      case _ => ()
+    }
     // a sink stream's uncommitted epoch files are invisible — the source
     // emits a file only once its epoch's ledger entry landed
     val visible = ArrowStreamCommits.visibleFilter(fs, dirPath)
-    if (hiveFields.nonEmpty)
-      discoverHive(fs, dirPath, visible)._1.keys.toSeq.sorted
-    else Option(fs.globStatus(new Path(dir, "part-*.arrows")))
-      .getOrElse(Array.empty).map(_.getPath.getName).filter(visible)
-      .toSeq.sorted
+    val listed =
+      if (hiveFields.nonEmpty)
+        discoverHive(fs, dirPath, visible)._1.keys.toSeq.sorted
+      else Option(fs.globStatus(new Path(dir, "part-*.arrows")))
+        .getOrElse(Array.empty).map(_.getPath.getName).filter(visible)
+        .toSeq.sorted
+    tipCache = stamp.map(s => (s, listed))
+    Some(listed)
   }
+
+  // (tip id, sentinel mtime) → that committed listing; see listCommitted
+  @volatile private var tipCache: Option[((Long, Long), Seq[String])] = None
 
   override def initialOffset(): Offset = ArrowFilesOffset(Nil)
 
@@ -134,13 +165,16 @@ private[sources] class ArrowIpcMicroBatchStream(
   private var availableNowCap: Option[Set[String]] = None
 
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowCap = Some(listCommitted().toSet)
+    availableNowCap = Some(listCommitted().getOrElse(Nil).toSet)
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val seen = start.asInstanceOf[ArrowFilesOffset].files
     val seenSet = seen.toSet
-    val listed = availableNowCap.fold(listCommitted())(cap =>
-      listCommitted().filter(cap))
+    // gate closed (absent / mid-append): hold the line — no admission,
+    // no offset compaction (an empty gate-listing must never be read as
+    // "every file was deleted")
+    val listedAll = listCommitted().getOrElse(return start)
+    val listed = availableNowCap.fold(listedAll)(cap => listedAll.filter(cap))
     val fresh = listed.filterNot(seenSet).sorted
     // Compaction lineage: a rewritten file whose every replaced ancestor is
     // already in the offset carries no unseen rows — absorb it into the
@@ -167,10 +201,29 @@ private[sources] class ArrowIpcMicroBatchStream(
       case mf: ReadMaxFiles => emitable.take(mf.maxFiles)
       case _ => emitable
     }
-    ArrowFilesOffset((seen ++ absorbed ++ admitted).sorted)
+    val grown = (seen ++ absorbed ++ admitted).sorted
+    // OFFSET COMPACTION (round 11): once every live file is in the
+    // offset, names of files GONE from disk can never matter again —
+    // future lineage parents are live files (all seen), unique names
+    // mean a gone file cannot return, and the poison check only fires
+    // for unseen live files (none exist here) — so the offset shrinks to
+    // the live set. A year-long ingest's checkpoint offsets then track
+    // the directory's file count, not its append history. Skipped under
+    // an AvailableNow cap (the capped listing is not the live set) and
+    // whenever some live file is still unseen (its absorption may need
+    // the gone ancestors).
+    val compacted =
+      if (availableNowCap.isEmpty && {
+        val g = grown.toSet; listedAll.forall(g)
+      }) {
+        val live = listedAll.toSet
+        grown.filter(live)
+      } else grown
+    ArrowFilesOffset(compacted)
   }
 
-  override def reportLatestOffset(): Offset = ArrowFilesOffset(listCommitted())
+  override def reportLatestOffset(): Offset =
+    ArrowFilesOffset(listCommitted().getOrElse(Nil))
 
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(

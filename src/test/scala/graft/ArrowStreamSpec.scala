@@ -127,6 +127,57 @@ class ArrowStreamSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() === 130)
   }
 
+  test("offsets compact to the live set: checkpoints track file count, not ingest history") {
+    val base = java.nio.file.Files.createTempDirectory("graft_arrowstream6").toString
+    val (src, out, ckpt) = (s"$base/src", s"$base/out", s"$base/ckpt")
+    def feed(from: Long, until: Long): Unit =
+      spark.range(from, until).select(col("id"))
+        .coalesce(1).write.format("arrow-ipc").mode("append").save(src)
+    def runOnePass(): Unit = {
+      val q = spark.readStream.format("arrow-ipc").load(src)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    def latestOffsetNames(): Seq[String] = {
+      // newest offsets file in the checkpoint: one JSON array per source
+      val dir = java.nio.file.Paths.get(ckpt, "offsets")
+      val newest = java.nio.file.Files.list(dir).toArray.map(_.toString)
+        .filter(p => new java.io.File(p).getName.forall(_.isDigit))
+        .maxBy(p => new java.io.File(p).getName.toLong)
+      val line = scala.io.Source.fromFile(newest).getLines()
+        .find(_.trim.startsWith("[")).getOrElse("[]")
+      import org.json4s._
+      org.json4s.jackson.JsonMethods.parse(line) match {
+        case JArray(xs) => xs.collect { case JString(s) => s }
+        case _ => Nil
+      }
+    }
+
+    // 8 small ingest commits → offset = 8 names
+    (0 until 8).foreach(i => feed(i * 10, (i + 1) * 10))
+    runOnePass()
+    assert(latestOffsetNames().size === 8)
+
+    // compaction folds 8 → 1; the next DRAINED poll absorbs the new file
+    // and compacts the offset down to the live set — the 8 historical
+    // names are gone from the checkpoint, not carried forever
+    assert(ArrowMaintenance.compact(spark, src).get.newFiles === 1)
+    feed(80, 90) // a data-carrying trigger so a batch (and offset) lands
+    runOnePass()
+    assert(spark.read.parquet(out).count() === 90)
+    val afterCompact = latestOffsetNames()
+    assert(afterCompact.size === 2,
+      s"offset must shrink to the live set, got $afterCompact")
+
+    // exactly-once survives the shrink: restart + more appends
+    feed(90, 120)
+    runOnePass()
+    assert(spark.read.parquet(out).select("id").as[Long].collect().sorted.toSeq
+      === (0L until 120L))
+  }
+
   test("Trigger.AvailableNow processes the start-time snapshot in bounded batches, then stops") {
     val base = java.nio.file.Files.createTempDirectory("graft_arrowstream4").toString
     val src = s"$base/src"
