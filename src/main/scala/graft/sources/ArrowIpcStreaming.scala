@@ -18,13 +18,13 @@ import org.apache.spark.sql.types.StructType
   * .latestOffset]]), so a drained stream's offset tracks the directory's
   * file count, not its ingest history.
   */
-private[sources] case class ArrowFilesOffset(files: Seq[String]) extends Offset {
+private[graft] case class ArrowFilesOffset(files: Seq[String]) extends Offset {
   override def json(): String =
     files.sorted.map(n => "\"" + ArrowFileStats.esc(n) + "\"")
       .mkString("[", ",", "]")
 }
 
-private[sources] object ArrowFilesOffset {
+private[graft] object ArrowFilesOffset {
   def fromJson(json: String): ArrowFilesOffset = {
     import org.json4s._
     org.json4s.jackson.JsonMethods.parse(json) match {
@@ -75,7 +75,7 @@ private[sources] object ArrowFilesOffset {
   * back as constants exactly like the batch scan. Combined with the
   * hive-layout sink this closes the loop: a pipeline can stream into a
   * partitioned lake and a downstream pipeline can stream back out of it. */
-private[sources] class ArrowIpcMicroBatchStream(
+private[graft] class ArrowIpcMicroBatchStream(
     required: StructType, dir: String,
     filters: Array[org.apache.spark.sql.sources.Filter],
     maxFilesPerTrigger: Option[Int] = None,
@@ -176,6 +176,11 @@ private[sources] class ArrowIpcMicroBatchStream(
     val listedAll = listCommitted().getOrElse(return start)
     val listed = availableNowCap.fold(listedAll)(cap => listedAll.filter(cap))
     val fresh = listed.filterNot(seenSet).sorted
+    // idle short-circuit: nothing new and the offset already equals the
+    // live set (fresh empty ⇒ listed ⊆ seen; equal sizes ⇒ equal sets) —
+    // skip the set rebuild/sort entirely
+    if (fresh.isEmpty && availableNowCap.isEmpty && seen.size == listed.size)
+      return start
     // Compaction lineage: a rewritten file whose every replaced ancestor is
     // already in the offset carries no unseen rows — absorb it into the
     // offset WITHOUT emitting (and without charging the admission cap).
