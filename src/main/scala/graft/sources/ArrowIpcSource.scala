@@ -170,7 +170,9 @@ private[sources] class ArrowIpcTable(tableSchema: StructType, dir: String,
       Option(info.options.get("bloomColumns"))
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
         .getOrElse(Set.empty),
-      Option(info.options.get("maxRecordsPerFile")).map(_.toLong))
+      Option(info.options.get("maxRecordsPerFile")).map(_.toLong),
+      Option(info.options.get("autoCompactEvery")).map(_.toInt),
+      Option(info.options.get("autoCompactTargetBytes")).map(_.toLong))
   }
 }
 
@@ -1236,7 +1238,9 @@ private[sources] class ArrowIpcWriteBuilder(
     partitionKeysOpt: Option[Seq[String]] = None,
     hiveKeysOpt: Option[Seq[String]] = None,
     bloomCols: Set[String] = Set.empty,
-    maxRecordsPerFile: Option[Long] = None)
+    maxRecordsPerFile: Option[Long] = None,
+    autoCompactEvery: Option[Int] = None,
+    autoCompactTargetBytes: Option[Long] = None)
     extends org.apache.spark.sql.connector.write.WriteBuilder
     with org.apache.spark.sql.connector.write.SupportsTruncate {
   private var doTruncate = false
@@ -1253,7 +1257,8 @@ private[sources] class ArrowIpcWriteBuilder(
         (ArrowLayout.read(fs, p), ArrowHiveLayout.read(fs, p))
       }
     new ArrowIpcWrite(schema, dir, codec, queryId, doTruncate, partitionKeys,
-      hiveKeys, bloomCols, maxRecordsPerFile)
+      hiveKeys, bloomCols, maxRecordsPerFile, autoCompactEvery,
+      autoCompactTargetBytes)
   }
 }
 
@@ -1270,7 +1275,9 @@ private[sources] class ArrowIpcWrite(
     schema: StructType, dir: String, codec: Option[String], queryId: String,
     truncate: Boolean, partitionKeys: Seq[String] = Nil,
     hiveKeys: Seq[String] = Nil, bloomCols: Set[String] = Set.empty,
-    maxRecordsPerFile: Option[Long] = None)
+    maxRecordsPerFile: Option[Long] = None,
+    autoCompactEvery: Option[Int] = None,
+    autoCompactTargetBytes: Option[Long] = None)
     extends org.apache.spark.sql.connector.write.Write
     with org.apache.spark.sql.connector.write.BatchWrite
     with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
@@ -1302,7 +1309,7 @@ private[sources] class ArrowIpcWrite(
       "arrow-ipc: maxRecordsPerFile is batch-only — streaming epochs are " +
         "already bounded by the trigger")
     new ArrowIpcStreamingWrite(schema, dir, codec, queryId, partitionKeys,
-      bloomCols, hiveKeys)
+      bloomCols, hiveKeys, autoCompactEvery, autoCompactTargetBytes)
   }
   override def description(): String = s"arrow-ipc $dir" +
     (if (partitionKeys.nonEmpty) s" keyed=[${partitionKeys.mkString(", ")}]" else "") +
@@ -1335,6 +1342,10 @@ private[sources] class ArrowIpcWrite(
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     // driver-side, before any task launches: validate the surface loudly
     // and prepare the directory + schema sentinel
+    require(autoCompactEvery.isEmpty && autoCompactTargetBytes.isEmpty,
+      "arrow-ipc: autoCompactEvery is a streaming-sink option — for " +
+        "batch tables run ArrowMaintenance.compact or " +
+        "CALL graft.system.compact")
     ArrowInterchange.codecType(codec)
     ArrowInterchange.toArrowSchema(schema)
     partitionKeys.foreach { k =>

@@ -161,8 +161,35 @@ private[graft] object ArrowStreamCommits {
 private[sources] class ArrowIpcStreamingWrite(
     schema: StructType, dir: String, codec: Option[String], queryId: String,
     partitionKeys: Seq[String], bloomCols: Set[String] = Set.empty,
-    hiveKeys: Seq[String] = Nil)
+    hiveKeys: Seq[String] = Nil,
+    autoCompactEvery: Option[Int] = None,
+    autoCompactTargetBytes: Option[Long] = None)
     extends StreamingWrite {
+
+  autoCompactEvery.foreach(n => require(n >= 1,
+    s"arrow-ipc stream sink: autoCompactEvery must be >= 1, got $n"))
+
+  // SELF-MAINTAINING INGEST (round 11): `option("autoCompactEvery", n)`
+  // fires one background, single-flight `ArrowMaintenance.compact` on
+  // the sink's own directory at every n-th epoch commit — the flagship
+  // loop (streaming ingest + periodic compaction) without an external
+  // cron. Keyed on the EPOCH ID (Spark constructs a fresh StreamingWrite
+  // per micro-batch, so instance state cannot count; epoch ids are
+  // monotonic and survive restarts via the checkpoint) with a JVM-wide
+  // per-directory in-flight guard ([[ArrowAutoCompact]]). Safe by
+  // construction: the OCC protocol serializes the swap against epoch
+  // commits (the round-10 flagship spec), compaction lineage lets any
+  // downstream streaming consumer absorb the rewrite without
+  // re-emitting, and the rewrite yields to in-flight DML like every
+  // maintenance op. Failures (e.g. retry-exhaustion under heavy
+  // contention) are logged, never fatal to the stream — a later window
+  // simply tries again.
+  private def maybeAutoCompact(epochId: Long): Unit =
+    autoCompactEvery.foreach { every =>
+      if (epochId > 0 && epochId % every == 0)
+        ArrowAutoCompact.fire(SparkSession.active, dir,
+          autoCompactTargetBytes.getOrElse(128L << 20), queryId)
+    }
 
   // fresh per run (the StreamingWrite is constructed once per query run):
   // commit uuids of a retried epoch can never collide with the crashed
@@ -334,6 +361,8 @@ private[sources] class ArrowIpcStreamingWrite(
     ArrowSnapshots.append(fs, dirPath, rels.toSeq, Nil)
     ArrowOcc.restoreLatch(fs, dirPath)
     } // withCommitLock
+    // OUTSIDE the lock: fire-and-forget maintenance window check
+    maybeAutoCompact(epochId)
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -372,4 +401,29 @@ private[sources] class ArrowIpcStreamingWriterFactory(
         taskId, conf, partitionKeys, epochTag = s"-e$epochId",
         bloomCols = bloomCols)
   }
+}
+
+/** JVM-wide single-flight launcher for the streaming sink's background
+  * auto-compaction: one concurrent compact per directory, across however
+  * many per-epoch StreamingWrite instances Spark constructs. */
+private[sources] object ArrowAutoCompact {
+  private val inFlight =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  def fire(spark: SparkSession, dir: String, targetBytes: Long,
+      queryId: String): Unit =
+    if (inFlight.add(dir)) {
+      val t = new Thread(() => try {
+        ArrowMaintenance.compact(spark, dir, targetBytes = targetBytes)
+        ()
+      } catch {
+        case e: Throwable =>
+          System.err.println(
+            s"arrow-ipc stream sink: background auto-compact of $dir " +
+              s"skipped this window: ${e.getMessage}")
+      } finally inFlight.remove(dir),
+        s"graft-auto-compact-$queryId")
+      t.setDaemon(true)
+      t.start()
+    }
 }

@@ -178,6 +178,57 @@ class ArrowStreamSpec extends AnyFunSuite {
       === (0L until 120L))
   }
 
+  test("autoCompactEvery: the sink maintains its own directory; exactly-once holds end to end") {
+    val base = java.nio.file.Files.createTempDirectory("graft_arrowstream7").toString
+    val (dir, ckpt) = (s"$base/out", s"$base/ckpt")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    val q = mem.toDF().select(col("value").as("id")).coalesce(1)
+      .writeStream.format("arrow-ipc")
+      .option("checkpointLocation", ckpt)
+      .option("autoCompactEvery", "3")
+      .start(dir)
+    try {
+      (0 until 9).foreach { i =>
+        mem.addData((i * 50L) until ((i + 1) * 50L))
+        q.processAllAvailable()
+      }
+      // compaction is asynchronous single-flight: wait for the debt to fold
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val deadline = System.currentTimeMillis() + 120000
+      def live() = graft.sources.ArrowSnapshots.listDataFiles(
+        fs, new org.apache.hadoop.fs.Path(dir)).size
+      while (live() > 4 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(live() <= 4, s"auto-compact never folded the debt: ${live()} files")
+      // one more epoch AFTER maintenance: the ledger still accepts commits
+      mem.addData(450L until 500L); q.processAllAvailable()
+    } finally q.stop()
+    val back = spark.read.format("arrow-ipc").load(dir)
+    assert(back.count() === 500)
+    assert(back.select("id").distinct().count() === 500)
+    // a fresh downstream streaming reader absorbs the sink's own
+    // maintenance: every row exactly once
+    val ck2 = java.nio.file.Files.createTempDirectory("graft_as7_ck2").toString
+    val echo = spark.readStream.format("arrow-ipc").load(dir)
+      .writeStream.format("memory").queryName("auto_compact_echo")
+      .option("checkpointLocation", ck2)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    echo.awaitTermination(120000)
+    assert(spark.table("auto_compact_echo").count() === 500)
+    assert(spark.table("auto_compact_echo")
+      .select("id").distinct().count() === 500)
+    // the option is streaming-only: a batch append refuses loudly
+    val e = intercept[Exception] {
+      spark.range(5).toDF("id").write.format("arrow-ipc")
+        .option("autoCompactEvery", "4").mode("append").save(s"$base/other")
+    }
+    assert(e.getMessage.contains("streaming-sink option") ||
+      Option(e.getCause).exists(_.getMessage.contains("streaming-sink option")))
+  }
+
   test("Trigger.AvailableNow processes the start-time snapshot in bounded batches, then stops") {
     val base = java.nio.file.Files.createTempDirectory("graft_arrowstream4").toString
     val src = s"$base/src"
