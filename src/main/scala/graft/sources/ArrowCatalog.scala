@@ -258,7 +258,10 @@ class ArrowCatalog extends TableCatalog with ProcedureCatalog {
             s"'$to' (a dropped column?) — renaming onto that label would " +
             "mislabel their values; rewrite the files first or pick a " +
             "new name")
-        statsRenames += (from -> to)
+        // compose chains within one ALTER call (a→b then b→c must re-key
+        // the stats' 'a' columns straight to 'c')
+        statsRenames = statsRenames.map { case (k, v) =>
+          k -> (if (v == from) to else v) } + (from -> to)
         val hist = (from +: ArrowInterchange.priorNames(f))
           .filterNot(_ == to).distinct
         val meta = new org.apache.spark.sql.types.MetadataBuilder()
