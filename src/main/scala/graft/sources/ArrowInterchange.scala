@@ -335,8 +335,7 @@ object ArrowInterchange {
     val fs = dirPath.getFileSystem(sc.hadoopConfiguration)
     fs.delete(dirPath, true)
     fs.mkdirs(dirPath)
-    writeOneFile(fs.create(new Path(dirPath, "_schema.arrows"), true),
-      schema, Iterator.empty, maxRecordsPerBatch, codec)
+    writeSentinelAtomic(fs, dirPath, schema)
     // Per-file column stats ride an accumulator to the driver's
     // `_stats.json` (same pruning substrate as the DSv2 write path).
     // Duplicate task attempts write identical deterministic content, so
@@ -399,6 +398,19 @@ object ArrowInterchange {
   private[sources] def writeSentinel(out: java.io.OutputStream,
       schema: StructType): Unit =
     writeOneFile(out, schema, Iterator.empty, 1, None)
+
+  /** The ONLY way a sentinel reaches its live path: serialized to bytes,
+    * then flipped in with ArrowOcc.writeAtomic. Reads are deliberately
+    * lock-free, so an in-place `fs.create(sentinel)` is a torn-read race
+    * — a concurrent reader can catch the file existing but half-written
+    * ("Unexpected end of input. Missing schema"), which the OCC stress
+    * probe reproduced against the old direct-create sites. */
+  private[sources] def writeSentinelAtomic(fs: org.apache.hadoop.fs.FileSystem,
+      dirPath: Path, schema: StructType): Unit = {
+    val bos = new java.io.ByteArrayOutputStream()
+    writeSentinel(bos, schema)
+    ArrowOcc.writeAtomic(fs, new Path(dirPath, "_schema.arrows"), bos.toByteArray)
+  }
 
   private def writeOneFile(out: java.io.OutputStream, schema: StructType,
       rows: Iterator[Row], maxRecordsPerBatch: Int,
@@ -785,7 +797,7 @@ object ArrowInterchange {
       case _ => false
     }
 
-  private[sources] def resolveColumns(fileSchema: ArrowSchema,
+  private[graft] def resolveColumns(fileSchema: ArrowSchema,
       expected: StructType, path: String, exact: Boolean): Array[Int] = {
     val fileFields = fileSchema.getFields.asScala
     val fileIds: IndexedSeq[Option[Long]] =

@@ -1177,7 +1177,10 @@ private[sources] class ArrowIpcColumnarReader(
   private val alloc = new RootAllocator()
   private val reader = {
     val p = new Path(file)
-    new ArrowStreamReader(p.getFileSystem(conf.value).open(p), alloc,
+    // openPlanned: a concurrent compaction may retire the planned file to
+    // `.trash/` mid-query — the trash copy is bit-identical until expiry
+    new ArrowStreamReader(
+      ArrowSnapshots.openPlanned(p.getFileSystem(conf.value), p), alloc,
       CommonsCompressionFactory.INSTANCE)
   }
   private val root = reader.getVectorSchemaRoot
@@ -1423,8 +1426,9 @@ private[sources] class ArrowIpcWrite(
     ArrowOcc.withCommitLock(fs, dirPath) {
       val sentinel = new Path(dirPath, "_schema.arrows")
       if (!fs.exists(sentinel))
-        // table creation mints the stable field ids (round 11)
-        ArrowInterchange.writeSentinel(fs.create(sentinel, true),
+        // table creation mints the stable field ids (round 11); the
+        // atomic flip keeps lock-free readers from a torn sentinel
+        ArrowInterchange.writeSentinelAtomic(fs, dirPath,
           ArrowInterchange.withFieldIds(schema))
       // a write in flight invalidates the completeness marker until
       // commit; the pending marker (written FIRST) tells every concurrent
@@ -1859,7 +1863,10 @@ private[sources] class ArrowIpcPartitionReader(
   private val alloc = new RootAllocator()
   private val reader = {
     val p = new Path(file)
-    new ArrowStreamReader(p.getFileSystem(conf.value).open(p), alloc,
+    // openPlanned: a concurrent compaction may retire the planned file to
+    // `.trash/` mid-query — the trash copy is bit-identical until expiry
+    new ArrowStreamReader(
+      ArrowSnapshots.openPlanned(p.getFileSystem(conf.value), p), alloc,
       CommonsCompressionFactory.INSTANCE)
   }
   private val root = reader.getVectorSchemaRoot

@@ -266,8 +266,9 @@ private[sources] class ArrowIpcStreamingWrite(
       }
       val sentinel = new Path(dirPath, "_schema.arrows")
       if (!fs.exists(sentinel))
-        // table creation mints the stable field ids (round 11)
-        ArrowInterchange.writeSentinel(fs.create(sentinel, true),
+        // table creation mints the stable field ids (round 11); the
+        // atomic flip keeps lock-free readers from a torn sentinel
+        ArrowInterchange.writeSentinelAtomic(fs, dirPath,
           ArrowInterchange.withFieldIds(schema))
       // the empty (or prior) state IS committed — uncommitted epoch files
       // are invisible via the ledger, so the gate can stay green

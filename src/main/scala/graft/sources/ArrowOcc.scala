@@ -275,7 +275,15 @@ private[graft] object ArrowOcc {
     }, s"graft-marker-heartbeat-${marker.getName}")
     t.setDaemon(true)
     t.start()
-    def stop(): Unit = { stopped = true; t.interrupt() }
+    /** Stop AND JOIN: the commit deletes the marker right after this
+      * returns, so an in-flight touch must not straddle the delete and
+      * resurrect the marker (the stray-file race the append-race spec
+      * caught). The join is bounded by one touch, not one interval —
+      * the interrupt wakes the sleep immediately. */
+    def stop(): Unit = {
+      stopped = true; t.interrupt()
+      scala.util.Try(t.join(5000))
+    }
   }
 
   /** Start refreshing `queryId`'s pending marker until `.stop()`. */
@@ -286,7 +294,11 @@ private[graft] object ArrowOcc {
   private def touch(fs: FileSystem, p: Path): Unit =
     try fs.setTimes(p, System.currentTimeMillis(), -1)
     catch { // stores without setTimes: rewriting the empty marker works too
-      case _: UnsupportedOperationException => fs.create(p, true).close()
+      case _: UnsupportedOperationException =>
+        // re-check liveness first — an overwrite-create would RESURRECT a
+        // marker the commit just cleared (the stop() join closes the same
+        // window on the setTimes path)
+        if (fs.exists(p)) fs.create(p, true).close()
     }
 
   /** The commit queryId a data file's name carries — our writers suffix

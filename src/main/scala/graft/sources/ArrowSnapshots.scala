@@ -349,6 +349,36 @@ private[graft] object ArrowSnapshots {
   def trashPath(dir: Path, rel: String): Path =
     new Path(new Path(dir, TrashDir), rel)
 
+  /** Open a data file a reader PLANNED from a snapshot, tolerating a
+    * concurrent rewrite retiring it between planning and read: if the
+    * live path is gone, the `.trash/` copy — bit-identical by the
+    * unique-name contract, retained until expiry — answers instead.
+    * Without this, a compaction landing mid-query fails every in-flight
+    * scan of a replaced file; with it, maintenance and readers race
+    * freely (Delta/Iceberg get the same property from vacuum retention
+    * windows). Hive layouts nest the rel path under the table root, so
+    * the ancestor walk tries each level's `.trash/` mirror; a file gone
+    * from BOTH live and trash (expired) rethrows the original error. */
+  def openPlanned(fs: FileSystem, p: Path): org.apache.hadoop.fs.FSDataInputStream =
+    try fs.open(p) catch {
+      case e: java.io.FileNotFoundException =>
+        var rel = p.getName
+        var dir = p.getParent
+        var depth = 0
+        var found: org.apache.hadoop.fs.FSDataInputStream = null
+        while (found == null && dir != null && depth < 4) {
+          val cand = new Path(new Path(dir, TrashDir), rel)
+          found =
+            try { if (fs.exists(cand)) fs.open(cand) else null }
+            catch { case _: java.io.FileNotFoundException => null }
+          rel = s"${dir.getName}/$rel"
+          dir = dir.getParent
+          depth += 1
+        }
+        if (found == null) throw e
+        found
+    }
+
   /** Move `rel` to the trash (idempotent: gone-from-live no-ops; an
     * existing trash copy wins — same bytes by the unique-name contract). */
   def moveToTrash(fs: FileSystem, dir: Path, rel: String): Unit = {

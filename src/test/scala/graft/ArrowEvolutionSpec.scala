@@ -257,4 +257,46 @@ class ArrowEvolutionSpec extends AnyFunSuite {
     assert(back.schema.fieldNames.toSeq === Seq("k", "v"))
     assert(back.count() === 90)
   }
+
+  test("resolveColumns guards: id wins over name; reused labels never mislabel") {
+    import org.apache.spark.sql.types._
+    import graft.sources.ArrowInterchange
+    def field(name: String, id: Option[Long],
+        priors: Seq[String] = Nil): StructField = {
+      val b = new MetadataBuilder()
+      id.foreach(b.putLong(ArrowInterchange.FieldIdKey, _))
+      if (priors.nonEmpty)
+        b.putStringArray(ArrowInterchange.PriorNamesKey, priors.toArray)
+      StructField(name, LongType, nullable = true, b.build())
+    }
+    def arrow(fields: StructField*) =
+      ArrowInterchange.toArrowSchema(StructType(fields.toSeq))
+    def resolve(file: org.apache.arrow.vector.types.pojo.Schema,
+        expect: StructField*) =
+      ArrowInterchange.resolveColumns(file, StructType(expect.toSeq),
+        "test.arrows", exact = false).toSeq
+
+    // id match beats everything, even across a rename (labels differ)
+    assert(resolve(arrow(field("old_v", Some(3L)), field("id", Some(1L))),
+      field("id", Some(1L)), field("new_v", Some(3L), Seq("old_v")))
+      === Seq(1, 0))
+    // an id-less file resolves through the rename history
+    assert(resolve(arrow(field("old_v", None), field("id", None)),
+      field("id", Some(1L)), field("new_v", Some(3L), Seq("old_v")))
+      === Seq(1, 0))
+    // a name hit under a DIFFERENT id is a reused label — the nullable
+    // column reads as absent (NULLs), never the other field's bytes
+    assert(resolve(arrow(field("v", Some(7L))),
+      field("v", Some(3L))) === Seq(-1))
+    // the most recent prior wins when a history has several
+    assert(resolve(arrow(field("b", None)),
+      field("c", Some(2L), Seq("b", "a"))) === Seq(0))
+    // exact mode accounts file columns through the rename history too
+    val e = intercept[IllegalArgumentException] {
+      ArrowInterchange.resolveColumns(
+        arrow(field("stray", None), field("id", None)),
+        StructType(Seq(field("id", Some(1L)))), "test.arrows", exact = true)
+    }
+    assert(e.getMessage.contains("stray"))
+  }
 }

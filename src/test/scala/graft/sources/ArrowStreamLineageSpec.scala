@@ -31,12 +31,19 @@ class ArrowStreamLineageSpec extends AnyFunSuite {
       new StructType().add("id", LongType), src, Array.empty)
 
     // consumer that emitted ALL originals: the compacted file is absorbed
-    // into the offset, and the batch it bounds plans zero partitions
+    // into the offset, the batch it bounds plans zero partitions, and —
+    // round 11 — the offset COMPACTS to the live set (the gone originals'
+    // names can never matter again; lineage re-derivation still proves
+    // the absorbed file carries no unseen rows)
     val drained = ArrowFilesOffset(originals)
     val end = stream.latestOffset(drained, ReadLimit.allAvailable())
       .asInstanceOf[ArrowFilesOffset]
-    assert(end.files.toSet.size === originals.size + 1)
+    assert(end.files.toSet.size === 1,
+      "the drained offset must compact to the live set")
     assert(stream.planInputPartitions(drained, end).isEmpty)
+    // and the compacted offset is a fixed point
+    assert(stream.latestOffset(end, ReadLimit.allAvailable())
+      .asInstanceOf[ArrowFilesOffset].files === end.files)
 
     // consumer that emitted only ONE original: the compacted file mixes
     // its seen rows with unseen ones — the poll must fail, not guess
