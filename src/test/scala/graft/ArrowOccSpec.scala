@@ -431,4 +431,54 @@ class ArrowOccSpec extends AnyFunSuite {
     assert(fs.exists(new Path(dir, "_SUCCESS")))
     assert(!fs.exists(new Path(dir, ArrowOcc.LockFile)))
   }
+
+  // ── planned reads race maintenance: the .trash/ fallback ────────────
+
+  test("openPlanned: a planned file retired to .trash answers until expiry") {
+    import graft.sources.ArrowSnapshots
+    val root = new Path(tmp("graft_occ_planned"))
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def put(rel: String, bytes: Array[Byte]): Path = {
+      val p = new Path(root, rel)
+      fs.mkdirs(p.getParent)
+      val out = fs.create(p, true); out.write(bytes); out.close(); p
+    }
+    def slurp(in: java.io.InputStream): Array[Byte] =
+      try Iterator.continually(in.read()).takeWhile(_ >= 0).map(_.toByte).toArray
+      finally in.close()
+
+    // flat layout: live path gone, trash copy answers byte-identically
+    val flat = put("part-a.arrows", "flat-bytes".getBytes)
+    ArrowSnapshots.moveToTrash(fs, root, "part-a.arrows")
+    assert(!fs.exists(flat))
+    assert(new String(slurp(ArrowSnapshots.openPlanned(fs, flat))) === "flat-bytes")
+
+    // hive layout: the rel path nests under the root — the ancestor walk
+    // must find root/.trash/k=1/... from the live k=1/... path
+    val hive = put("k=1/part-b.arrows", "hive-bytes".getBytes)
+    ArrowSnapshots.moveToTrash(fs, root, "k=1/part-b.arrows")
+    assert(new String(slurp(ArrowSnapshots.openPlanned(fs, hive))) === "hive-bytes")
+
+    // expired from BOTH live and trash: the original FNF surfaces
+    fs.delete(ArrowSnapshots.trashPath(root, "part-a.arrows"), false)
+    intercept[java.io.FileNotFoundException] {
+      ArrowSnapshots.openPlanned(fs, flat)
+    }
+  }
+
+  test("a read planned BEFORE a compaction still scans after it retires the files") {
+    val dir = tmp("graft_occ_planrace")
+    (0 until 4).foreach { i =>
+      spark.range(i * 25, (i + 1) * 25).toDF("id")
+        .coalesce(1).write.format("arrow-ipc").mode("append").save(dir)
+    }
+    val df = spark.read.format("arrow-ipc").load(dir)
+    // force physical planning NOW: the scan's partitions pin the
+    // pre-compaction file paths
+    val planned = df.queryExecution.toRdd
+    assert(ArrowMaintenance.compact(spark, dir).get.newFiles === 1)
+    // the planned paths are now in .trash/ — without openPlanned every
+    // task dies with FileNotFoundException
+    assert(planned.count() === 100)
+  }
 }
