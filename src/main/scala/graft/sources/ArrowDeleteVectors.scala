@@ -1,0 +1,424 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** MERGE-ON-READ row-level DELETE via DELETION VECTORS — the row-level
+  * path where copy-on-write genuinely does not scale: a point delete
+  * (the GDPR shape: "erase these 40 rows") under COW rewrites every
+  * affected file in full, O(file bytes) per deleted row. A deletion
+  * vector records the deleted ROW POSITIONS of one immutable data file
+  * in a tiny sidecar instead: the delete commits in O(deleted rows),
+  * readers mask the positions at scan time, and the next compaction
+  * folds the vector away by physically rewriting the survivors (the
+  * same maintenance loop the directory already runs). Delta Lake and
+  * Iceberg v2 ship the same design (deletion vectors / positional
+  * delete files); this is that contract re-expressed over this source's
+  * snapshot log and OCC protocol. The reference has no mutation story
+  * at all on its write side (a blind `IBlockOutputStream::write` —
+  * arrow_clickhouse ParallelInputsSink), so this surface is
+  * beyond-reference by construction.
+  *
+  * Layout and versioning:
+  *  - one live vector per data file, under the hidden `.dv/` dir:
+  *    `.dv/<dataFileName>.g<gen>.c<cardinality>.dv` — bare data-file
+  *    names are unique table-wide (the manifest's own keying), so the
+  *    dir stays flat even for hive layouts;
+  *  - vectors are CUMULATIVE: a second delete on the same file writes
+  *    gen+1 holding the UNION of positions and retires gen to
+  *    `.trash/` in the same commit — the live dir holds at most one
+  *    vector per file, and `resolve`-ing any snapshot yields exactly
+  *    the vector set in force at that snapshot (time travel and the
+  *    change feed ride the ordinary log entries: adds = new gens,
+  *    removes = old gens);
+  *  - commits are crash-safe via the same intent/replay discipline as
+  *    compaction: vectors are staged, then under the commit lock the
+  *    intent lands, the `_SUCCESS` latch drops (lock-free readers never
+  *    see a torn multi-file delete), staged vectors rename into place,
+  *    the snapshot entry lands, and the latch restores; [[replayMor]]
+  *    converges any crash-and-replay sequence.
+  *
+  * Scale shape: a delete's cost is one scan of the statically-kept
+  * candidate files (stats/bloom pruning applies — the scan, not this
+  * module, decides what to open) plus O(deleted positions) metadata; a
+  * vector's size is O(its file's deleted rows) delta-varint bytes.
+  * Reads of un-deleted files are completely untouched (zero-copy
+  * columnar path, no lookups); only a file carrying a vector drops to
+  * the row path with a bitset probe per row — and compaction restores
+  * it to columnar. Position lists are bounded by
+  * `spark.graft.arrow.morMaxDeletedRows` (default 10M): above it the
+  * statement refuses and points at COW `DELETE`, which IS the right
+  * tool for bulk deletes.
+  */
+private[graft] object ArrowDeleteVectors {
+
+  val DvDir = ".dv"
+  private[graft] val MorIntentFile = "_mor.json"
+
+  /** One live deletion vector: `rel` is the path relative to the table
+    * root (`.dv/name.g2.c17.dv`), `gen` its generation, `card` its
+    * position count (carried in the name so planning never opens it). */
+  case class DvRef(rel: String, gen: Int, card: Long) {
+    def name: String = new Path(rel).getName
+  }
+
+  def dvRel(dataFileName: String, gen: Int, card: Long): String =
+    s"$DvDir/$dataFileName.g$gen.c$card.dv"
+
+  /** `(dataFileName, gen, card)` from a vector file name; None for
+    * foreign files. */
+  def parseName(name: String): Option[(String, Int, Long)] = {
+    if (!name.endsWith(".dv")) return None
+    val stem = name.stripSuffix(".dv")
+    val ci = stem.lastIndexOf(".c")
+    if (ci < 0) return None
+    val gi = stem.lastIndexOf(".g", ci - 1)
+    if (gi < 0) return None
+    for {
+      card <- stem.substring(ci + 2).toLongOption
+      gen <- stem.substring(gi + 2, ci).toIntOption
+      if gen >= 1 && card >= 0
+    } yield (stem.substring(0, gi), gen, card)
+  }
+
+  // ── the position codec ────────────────────────────────────────────────
+  // "GDV1" magic, varint count, then delta-varints over the SORTED
+  // positions — a million deleted rows is ~1-3 MB. Written only via
+  // atomic flips, so a reader never sees a torn vector.
+
+  private val Magic = Array[Byte]('G', 'D', 'V', '1')
+
+  def encode(sortedPositions: Array[Long]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(16 + sortedPositions.length * 2)
+    out.write(Magic)
+    def varint(v0: Long): Unit = {
+      var v = v0
+      while ((v & ~0x7fL) != 0) { out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+      out.write(v.toInt)
+    }
+    varint(sortedPositions.length.toLong)
+    var prev = -1L
+    sortedPositions.foreach { p =>
+      require(p > prev, s"deletion vector: positions not strictly sorted ($p after $prev)")
+      varint(p - prev - 1)
+      prev = p
+    }
+    out.toByteArray
+  }
+
+  def decode(bytes: Array[Byte]): Array[Long] = {
+    require(bytes.length >= 4 && java.util.Arrays.equals(
+        java.util.Arrays.copyOf(bytes, 4), Magic),
+      "deletion vector: bad magic — torn or foreign file")
+    var at = 4
+    def varint(): Long = {
+      var v = 0L; var shift = 0
+      while (true) {
+        val b = bytes(at); at += 1
+        v |= (b & 0x7fL) << shift
+        if ((b & 0x80) == 0) return v
+        shift += 7
+      }
+      v
+    }
+    val n = varint().toInt
+    val out = new Array[Long](n)
+    var prev = -1L
+    var i = 0
+    while (i < n) { prev += varint() + 1; out(i) = prev; i += 1 }
+    out
+  }
+
+  /** Read a vector file (any absolute path — live or trash). */
+  def read(fs: FileSystem, p: Path): Array[Long] = {
+    val in = ArrowSnapshots.openPlanned(fs, p)
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](8192)
+      var n = in.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      decode(buf.toByteArray)
+    } finally in.close()
+  }
+
+  /** The positions as a bitset (positions are row ordinals, bounded by
+    * the file's row count — a 1M-row file's worst-case set is 128 KB). */
+  def readBitSet(fs: FileSystem, p: Path): java.util.BitSet = {
+    val bs = new java.util.BitSet()
+    read(fs, p).foreach(pos => bs.set(pos.toInt))
+    bs
+  }
+
+  // ── live listing ─────────────────────────────────────────────────────
+
+  /** The live vectors, keyed by DATA file name — one listing of the
+    * (small, maintenance-bounded) `.dv/` dir; empty when absent, which
+    * is the zero-cost common case for an un-deleted table. Stale lower
+    * gens (a crashed commit's leftovers) lose to the max gen. */
+  def live(fs: FileSystem, dirPath: Path): Map[String, DvRef] = {
+    val dv = new Path(dirPath, DvDir)
+    val entries = scala.util.Try(Option(fs.listStatus(dv))
+      .getOrElse(Array.empty)).getOrElse(Array.empty)
+    entries.iterator
+      // `.mor-<id>-…` staged vectors of an in-flight (or crashed) delete
+      // are invisible until their commit renames them into place
+      .filter(st => !st.getPath.getName.startsWith("."))
+      .flatMap { st =>
+        parseName(st.getPath.getName).map { case (data, gen, card) =>
+          (data, DvRef(s"$DvDir/${st.getPath.getName}", gen, card))
+        }
+      }.toSeq.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).maxBy(_.gen) }
+  }
+
+  /** The dv rels in force for `olds` (bare names or nested rels) RIGHT
+    * NOW — a maintenance rewrite captures this at staging time and
+    * records it in its intent, so the commit can prove no vector
+    * advanced mid-staging and the replay can retire exactly these. */
+  def relsFor(fs: FileSystem, dirPath: Path, olds: Seq[String]): Seq[String] = {
+    if (olds.isEmpty) return Nil
+    val l = live(fs, dirPath)
+    if (l.isEmpty) Nil
+    else olds.flatMap(o => l.get(new Path(o).getName).map(_.rel)).distinct.sorted
+  }
+
+  /** Commit-time validation for maintenance rewrites (compact / cluster /
+    * COW): the deletion vectors in force against `olds` must be EXACTLY
+    * the ones the staging read masked (`recorded`) — a vector that
+    * advanced mid-staging means the staged survivors RESURRECT
+    * freshly-deleted rows, so the swap must lose its race and re-run
+    * against the new state. Runs under the commit lock. */
+  def validateStable(fs: FileSystem, dirPath: Path, olds: Seq[String],
+      recorded: Seq[String], what: String): Unit = {
+    val expected: Map[String, String] = recorded.flatMap { rel =>
+      parseName(new Path(rel).getName).map { case (data, _, _) => data -> rel }
+    }.toMap
+    val current = live(fs, dirPath)
+    if (current.isEmpty && expected.isEmpty) return
+    olds.foreach { o =>
+      val name = new Path(o).getName
+      if (current.get(name).map(_.rel) != expected.get(name))
+        throw new ArrowOcc.CommitConflictException(
+          s"arrow-ipc occ: $what on $dirPath lost its race — the deletion " +
+            s"vector of $name advanced during staging; re-run against the " +
+            "new state")
+    }
+  }
+
+  /** Sweep `.dv/.mor-*` staged vectors of runs that PROVABLY died before
+    * commit (untouched past the OCC staleness window) — a younger one
+    * may be a concurrent delete mid-stage and is left alone. */
+  def sweepStaleStaged(fs: FileSystem, dirPath: Path): Int = {
+    val dv = new Path(dirPath, DvDir)
+    if (!fs.exists(dv)) return 0
+    val now = System.currentTimeMillis()
+    val dead = Option(fs.listStatus(dv)).getOrElse(Array.empty)
+      .filter(st => st.getPath.getName.startsWith(".mor-") &&
+        now - st.getModificationTime > ArrowOcc.staleMs)
+    dead.foreach(st => fs.delete(st.getPath, false))
+    dead.length
+  }
+
+  /** True iff any live vector exists — the agg-pushdown / planning probe
+    * (one existence check when the dir is absent). */
+  def any(fs: FileSystem, dirPath: Path): Boolean =
+    live(fs, dirPath).nonEmpty
+
+  /** Vectors in force at a resolved SNAPSHOT file set (the `.dv/` rels
+    * the log's resolve() yields), keyed by data file name. */
+  def fromResolvedSet(set: Set[String]): Map[String, DvRef] =
+    set.iterator.filter(_.startsWith(DvDir + "/")).flatMap { rel =>
+      parseName(new Path(rel).getName).map { case (data, gen, card) =>
+        data -> DvRef(rel, gen, card)
+      }
+    }.toMap
+
+  /** Split a resolved snapshot set into (data rels, dv rels). */
+  def splitResolved(set: Set[String]): (Set[String], Set[String]) =
+    set.partition(!_.startsWith(DvDir + "/"))
+
+  // ── the MOR DELETE statement ─────────────────────────────────────────
+
+  case class MorDeleteResult(files: Int, deletedRows: Long, retries: Int)
+
+  private def morMaxRows: Long =
+    scala.util.Try(SparkSession.active.conf
+      .get("spark.graft.arrow.morMaxDeletedRows", (10L * 1000 * 1000).toString)
+      .toLong).getOrElse(10L * 1000 * 1000)
+
+  /** `DELETE FROM dir WHERE condition`, merge-on-read: mark the matching
+    * row positions deleted instead of rewriting any data file. Rides
+    * [[ArrowDml.withRetry]] (bounded transparent retry + the `_dml-`
+    * fair-scheduling marker), so a lost race against concurrent
+    * maintenance re-plans and lands hands-free. Returns files touched,
+    * rows deleted, retries used. A no-match delete commits nothing. */
+  def deleteMor(spark: SparkSession, dir: String,
+      condition: String): MorDeleteResult = {
+    val ((files, rows), retries) = ArrowDml.withRetry(spark, dir) {
+      deleteMorOnce(spark, dir, condition)
+    }
+    MorDeleteResult(files, rows, retries)
+  }
+
+  private def deleteMorOnce(spark: SparkSession, dir: String,
+      condition: String): (Int, Long) = {
+    import org.apache.spark.sql.functions.{col, collect_list, expr, sort_array}
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    ArrowMaintenance.recover(spark, dir) // finish any crashed swap first
+    sweepStaleStaged(fs, dirPath) // provably-dead `.dv/.mor-*` leftovers
+    // 1. FIND: one scan of the statically-kept candidates — stats/bloom
+    // pruning drops provably-unaffected files before any task launches,
+    // and the scan's own dv masking keeps already-deleted rows out (a
+    // re-run of the same predicate is a no-op, not a fatter vector).
+    val hits = spark.read.format("arrow-ipc").load(dir)
+      .where(expr(condition))
+      .select(col(ArrowRowLevel.FileColumn),
+        col(ArrowRowLevel.PosColumn))
+    // enforce the cap BEFORE any positions reach the driver: a runaway
+    // predicate must fail on a distributed count, never on a driver
+    // collect (the pre-count re-scans only the stats/bloom-kept
+    // candidates — bounded, and the point-delete shape this path is for
+    // keeps it tiny)
+    val total = hits.count()
+    if (total == 0L) return (0, 0L)
+    require(total <= morMaxRows,
+      s"arrow-ipc MOR delete on $dir matches $total rows (cap " +
+        s"spark.graft.arrow.morMaxDeletedRows=$morMaxRows) — a delete this " +
+        "bulky should rewrite, not mask: use the COW path (ArrowDml.delete " +
+        "/ DELETE FROM), whose cost amortizes at that scale")
+    val perFile = hits
+      .groupBy(ArrowRowLevel.FileColumn)
+      .agg(sort_array(collect_list(col(ArrowRowLevel.PosColumn))).as("pos"))
+      .collect()
+      .map(r => (r.getString(0), r.getSeq[Long](1).toArray))
+    if (perFile.isEmpty) return (0, 0L)
+    // the statement's true row count (the pre-count ran as a separate
+    // scan; the commit validates against racing writers anyway)
+    val deleted = perFile.map(_._2.length.toLong).sum
+
+    // 2. STAGE new cumulative vectors OUTSIDE the lock: union each file's
+    // fresh positions with its CURRENT vector; remember which old vector
+    // the union was computed against — commit-time validation pins it.
+    val liveNow = live(fs, dirPath)
+    val nameOf = perFile.map { case (path, _) => path -> new Path(path).getName }.toMap
+    val stageId = java.util.UUID.randomUUID.toString.take(8)
+    val staged = perFile.map { case (path, fresh) =>
+      val name = nameOf(path)
+      val old = liveNow.get(name)
+      val merged: Array[Long] = old match {
+        case None => fresh
+        case Some(ref) =>
+          val prior = read(fs, new Path(dirPath, ref.rel))
+          (prior ++ fresh).distinct.sorted
+      }
+      val gen = old.fold(1)(_.gen + 1)
+      val finalRel = dvRel(name, gen, merged.length.toLong)
+      val stagedRel = s"$DvDir/.mor-$stageId-${new Path(finalRel).getName}"
+      ArrowOcc.writeAtomic(fs, new Path(dirPath, stagedRel), encode(merged))
+      MorMove(stagedRel, finalRel, old.map(_.rel),
+        relOf(fs, dirPath, path), merged.length.toLong)
+    }
+
+    // 3. COMMIT under the lock: validate (files live, vectors unmoved),
+    // intent, latch down, replay, latch up. Any validation miss cleans
+    // the staging and throws the conflict the statement retry re-plans on.
+    try {
+      ArrowOcc.withCommitLock(fs, dirPath) {
+        ArrowOcc.validateOldsLive(fs, dirPath, staged.map(_.dataRel).toSeq,
+          "MOR delete")
+        val current = live(fs, dirPath)
+        val moved = staged.filter(m =>
+          current.get(new Path(m.dataRel).getName).map(_.rel) != m.oldDv)
+        if (moved.nonEmpty)
+          throw new ArrowOcc.CommitConflictException(
+            s"arrow-ipc occ: MOR delete on $dirPath lost its race — the " +
+              s"deletion vector of ${moved.head.dataRel} advanced " +
+              "concurrently; re-run the statement")
+        writeMorIntent(fs, dirPath, staged.toSeq)
+        fs.delete(new Path(dirPath, "_SUCCESS"), false)
+        replayMor(fs, dirPath)
+      }
+    } catch {
+      case e: ArrowOcc.CommitConflictException =>
+        staged.foreach(m =>
+          scala.util.Try(fs.delete(new Path(dirPath, m.stagedRel), false)))
+        throw e
+    }
+    (perFile.length, deleted)
+  }
+
+  private def relOf(fs: FileSystem, dirPath: Path, abs: String): String =
+    ArrowSnapshots.relativize(fs, dirPath, new Path(abs))
+
+  /** One file's vector flip: staged rel → final rel, the prior live
+    * vector it supersedes (retired to trash), and the data file it
+    * masks (validation + snapshot bookkeeping). */
+  private[sources] case class MorMove(stagedRel: String, finalRel: String,
+      oldDv: Option[String], dataRel: String, card: Long)
+
+  private def esc(s: String): String = ArrowFileStats.esc(s)
+
+  private def writeMorIntent(fs: FileSystem, dir: Path,
+      moves: Seq[MorMove]): Unit = {
+    val body = moves.sortBy(_.finalRel).map { m =>
+      "{\"staged\":\"" + esc(m.stagedRel) + "\",\"final\":\"" +
+        esc(m.finalRel) + "\"" +
+        m.oldDv.fold("")(o => ",\"old\":\"" + esc(o) + "\"") + "}"
+    }.mkString("[", ",", "]")
+    // atomic like every correctness-bearing sidecar: a crash mid-write
+    // must leave NO intent, never a corrupt one that wedges recover()
+    ArrowOcc.writeAtomic(fs, new Path(dir, MorIntentFile),
+      body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  private def readMorIntent(fs: FileSystem, dir: Path): Seq[MorMove] = {
+    import org.json4s._
+    org.json4s.jackson.JsonMethods.parse(
+      ArrowFileStats.readFully(fs, new Path(dir, MorIntentFile))) match {
+      case JArray(xs) => xs.map { x =>
+        def str(k: String): Option[String] = x \ k match {
+          case JString(s) => Some(s); case _ => None
+        }
+        MorMove(str("staged").get, str("final").get, str("old"), "", 0L)
+      }
+      case other => throw new IllegalStateException(s"bad $MorIntentFile: $other")
+    }
+  }
+
+  /** The idempotent tail of a MOR delete — every step checks before
+    * acting, so any crash-and-replay sequence converges: staged vectors
+    * in, superseded gens to trash, ONE snapshot delta, intent gone,
+    * latch restored. Called under the commit lock (directly at commit,
+    * or from [[ArrowMaintenance.recover]] after a crash). */
+  private[sources] def replayMor(fs: FileSystem, dirPath: Path): Unit = {
+    val moves = readMorIntent(fs, dirPath)
+    fs.delete(new Path(dirPath, "_SUCCESS"), false)
+    moves.foreach { m =>
+      val src = new Path(dirPath, m.stagedRel)
+      if (fs.exists(src)) {
+        val dst = new Path(dirPath, m.finalRel)
+        fs.delete(dst, false) // half-replayed flip: staged copy wins
+        if (!fs.rename(src, dst))
+          throw new java.io.IOException(s"MOR delete: rename $src -> $dst failed")
+      }
+    }
+    moves.flatMap(_.oldDv).foreach(o =>
+      ArrowSnapshots.moveToTrash(fs, dirPath, o))
+    // one delta for the whole statement: new gens in, old gens out —
+    // time travel and the change feed see the delete as a unit.
+    // Idempotent under replay: ArrowSnapshots.append skips a delta whose
+    // adds are already the live tip state? It does not — so fence on the
+    // final vectors' presence in the CURRENT resolved tip instead: if
+    // every final vector is already recorded, the delta landed before
+    // the crash.
+    val snaps = ArrowSnapshots.read(fs, dirPath)
+    val tipState: Set[String] = snaps.lastOption
+      .flatMap(last => ArrowSnapshots.resolve(snaps, last.id))
+      .getOrElse(Set.empty)
+    if (!moves.forall(m => tipState.contains(m.finalRel)))
+      ArrowSnapshots.append(fs, dirPath,
+        moves.map(_.finalRel), moves.flatMap(_.oldDv))
+    ArrowOcc.restoreLatch(fs, dirPath)
+    fs.delete(new Path(dirPath, MorIntentFile), false)
+  }
+}

@@ -220,7 +220,8 @@ private[graft] object ArrowHiveLayout {
 /** One data file of a hive-partitioned dataset plus its directory-derived
   * partition values (canonical stat strings, None = NULL partition). */
 private[sources] case class ArrowHiveFilePartition(
-    file: String, values: Seq[Option[String]]) extends InputPartition
+    file: String, values: Seq[Option[String]],
+    dv: Option[String] = None) extends InputPartition
 
 /** Reader factory for hive-partitioned directories: inner readers decode
   * only the DATA columns present in the files; the partition columns are
@@ -230,11 +231,15 @@ private[sources] case class ArrowHiveFilePartition(
   * sources use for partition values. */
 private[sources] class ArrowIpcHiveReaderFactory(
     required: StructType, hiveFields: Seq[StructField],
-    conf: SerializableHadoopConf, limit: Int = -1)
+    conf: SerializableHadoopConf, limit: Int = -1,
+    posSlot: Int = -1, anyDv: Boolean = false)
     extends PartitionReaderFactory {
 
   private val hiveNames = hiveFields.map(_.name)
-  // required-position → Left(data ordinal) | Right(hive key ordinal)
+  // required-position → Left(data ordinal) | Right(hive key ordinal);
+  // `required` never contains `_pos` (the scan strips metadata columns)
+  // — when posSlot >= 0 the OUTPUT row has one extra slot carrying the
+  // inner reader's physical position
   private val slots: Array[Either[Int, Int]] = {
     var d = -1
     required.fields.map { f =>
@@ -250,22 +255,33 @@ private[sources] class ArrowIpcHiveReaderFactory(
       ArrowHiveLayout.internalValue(f.dataType, values(i))
     }.toArray
 
-  private def rowReader(file: String, values: Seq[Option[String]])
-      : PartitionReader[InternalRow] = {
-    val inner = new ArrowIpcPartitionReader(file, dataRequired, conf, limit)
+  private def maskOf(dv: Option[String]): java.util.BitSet =
+    dv.fold(null: java.util.BitSet) { p =>
+      val path = new org.apache.hadoop.fs.Path(p)
+      ArrowDeleteVectors.readBitSet(path.getFileSystem(conf.value), path)
+    }
+
+  private def rowReader(file: String, values: Seq[Option[String]],
+      dv: Option[String] = None): PartitionReader[InternalRow] = {
+    val inner = new ArrowIpcPartitionReader(file, dataRequired, conf, limit,
+      skip = maskOf(dv))
     val consts = internals(values)
     val types = required.fields.map(_.dataType)
+    val out = slots.length + (if (posSlot >= 0) 1 else 0)
     new PartitionReader[InternalRow] {
       override def next(): Boolean = inner.next()
       override def get(): InternalRow = {
         val in = inner.get()
-        val vals = new Array[Any](slots.length)
+        val vals = new Array[Any](out)
         var i = 0
-        while (i < slots.length) {
-          vals(i) = slots(i) match {
-            case Left(d) => in.get(d, types(i))
-            case Right(h) => consts(h)
-          }
+        while (i < out) {
+          val s = if (posSlot >= 0 && i > posSlot) i - 1 else i
+          vals(i) =
+            if (i == posSlot) java.lang.Long.valueOf(inner.lastPos)
+            else slots(s) match {
+              case Left(d) => in.get(d, types(s))
+              case Right(h) => consts(h)
+            }
           i += 1
         }
         new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
@@ -310,15 +326,21 @@ private[sources] class ArrowIpcHiveReaderFactory(
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
-      case p: ArrowHiveFilePartition => rowReader(p.file, p.values)
+      case p: ArrowHiveFilePartition => rowReader(p.file, p.values, p.dv)
       case k: ArrowKeyedPartition =>
         // a storage-partitioned key group over a hive directory: chain the
         // splicing readers, each file with its own directory values
-        new ChainedPartitionReader[(String, Seq[Option[String]]), InternalRow](
-          k.files.zip(k.hiveValues), fv => rowReader(fv._1, fv._2))
+        new ChainedPartitionReader[((String, Seq[Option[String]]), Option[String]),
+            InternalRow](
+          k.files.zip(k.hiveValues).zip(k.dvOrNone),
+          fv => rowReader(fv._1._1, fv._1._2, fv._2))
     }
 
-  override def supportColumnarReads(partition: InputPartition): Boolean = true
+  // one scan's partitions must agree on columnar-vs-row (Spark refuses a
+  // mix), so ANY live deletion vector drops the whole scan to the row
+  // path — until compaction folds the vectors away
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    posSlot < 0 && !anyDv
 
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =

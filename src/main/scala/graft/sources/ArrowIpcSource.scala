@@ -100,9 +100,12 @@ private[sources] class ArrowIpcTable(tableSchema: StructType, dir: String,
     * row-level operations (runtime GROUP filtering selects affected
     * files by it). Suppressed if a data column claims the name. */
   override def metadataColumns()
-      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
-    if (tableSchema.fieldNames.contains(ArrowRowLevel.FileColumn)) Array.empty
-    else Array(ArrowRowLevel.FileMetadataColumn)
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] = {
+    val names = tableSchema.fieldNames
+    Array[org.apache.spark.sql.connector.catalog.MetadataColumn](
+      ArrowRowLevel.FileMetadataColumn, ArrowRowLevel.PosMetadataColumn)
+      .filter(c => !names.contains(c.name))
+  }
 
   /** SQL `UPDATE` / `MERGE INTO` / non-provable `DELETE` via group-based
     * COPY-ON-WRITE: scan the affected files (runtime group filtering on
@@ -192,6 +195,7 @@ private[sources] class ArrowIpcScanBuilder(full: StructType, dir: String,
   private var required: StructType = full
   private var limit: Int = -1
   private var fileSlot: Int = -1
+  private var posSlot: Int = -1
   private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
   private var agg: Option[(StructType, Array[Array[Any]])] = None
 
@@ -246,6 +250,11 @@ private[sources] class ArrowIpcScanBuilder(full: StructType, dir: String,
     val dirPath = new Path(dir)
     val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dirPath)) return false
+    // manifest rows are PHYSICAL counts: a live deletion vector means
+    // some of them are masked, and a metadata-only answer would count
+    // deleted rows — refuse the push, scan honestly (the next compaction
+    // folds the vectors away and re-enables it)
+    if (ArrowDeleteVectors.any(fs, dirPath)) return false
     if (fs.exists(new Path(dirPath, "_schema.arrows")) &&
         !fs.exists(new Path(dirPath, "_SUCCESS"))) return false
     // hive-partitioned directories: files live under value subdirs and
@@ -547,11 +556,15 @@ private[sources] class ArrowIpcScanBuilder(full: StructType, dir: String,
     // The `_file` METADATA column (provenance; the copy-on-write
     // substrate) is never in the data files: its slot is recorded and
     // the readers splice the partition's path back in as a constant.
-    fileSlot = requiredSchema.fields.indexWhere(f =>
-      f.name == ArrowRowLevel.FileColumn && !full.fieldNames.contains(f.name))
+    // `_pos` (row provenance; the merge-on-read delete substrate) is
+    // likewise spliced — per-row from the reader's position counter.
+    def isMeta(f: StructField, name: String): Boolean =
+      f.name == name && !full.fieldNames.contains(name)
+    fileSlot = requiredSchema.fields.indexWhere(isMeta(_, ArrowRowLevel.FileColumn))
+    posSlot = requiredSchema.fields.indexWhere(isMeta(_, ArrowRowLevel.PosColumn))
     required = StructType(requiredSchema.fields
-      .filter(f => !(f.name == ArrowRowLevel.FileColumn &&
-        !full.fieldNames.contains(f.name)))
+      .filter(f => !isMeta(f, ArrowRowLevel.FileColumn) &&
+        !isMeta(f, ArrowRowLevel.PosColumn))
       .map { f =>
         full.fields.find(_.name == f.name).getOrElse(f)
       })
@@ -577,7 +590,8 @@ private[sources] class ArrowIpcScanBuilder(full: StructType, dir: String,
   override def build(): Scan = {
     val scan = new ArrowIpcScan(required, dir, limit, pushed, agg,
       maxFilesPerTrigger, partitionKeys, full, fileSlot, asOf,
-      changeFeed, startingSnapshot, startingTimestamp, maxSnapshotsPerTrigger)
+      changeFeed, startingSnapshot, startingTimestamp, maxSnapshotsPerTrigger,
+      posSlot)
     if (onBuild != null) onBuild(scan)
     scan
   }
@@ -594,20 +608,23 @@ private[sources] class ArrowIpcScan(required: StructType, dir: String,
     changeFeed: Boolean = false,
     startingSnapshot: Option[Long] = None,
     startingTimestamp: Option[String] = None,
-    maxSnapshotsPerTrigger: Option[Int] = None)
+    maxSnapshotsPerTrigger: Option[Int] = None,
+    posSlot: Int = -1)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsReportOrdering {
   override def readSchema(): StructType = agg.fold {
-    if (fileSlot < 0) required
-    else {
-      // re-insert the `_file` metadata column at the slot Catalyst asked
-      // for — the readers splice it in as a per-partition constant
-      val (before, after) = required.fields.splitAt(fileSlot)
-      StructType((before :+ ArrowRowLevel.fileField) ++ after)
-    }
+    // re-insert the metadata columns (`_pos`, `_file`) at the slots
+    // Catalyst asked for — the readers splice them back in (a per-row
+    // position, a per-partition path constant). Ascending-slot inserts:
+    // the earlier insert shifts nothing at or after the later slot.
+    var fields = required.fields.toVector
+    Seq(posSlot -> ArrowRowLevel.posField, fileSlot -> ArrowRowLevel.fileField)
+      .filter(_._1 >= 0).sortBy(_._1)
+      .foreach { case (slot, f) => fields = fields.patch(slot, Seq(f), 0) }
+    StructType(fields)
   }(_._1)
   override def toBatch: Batch = {
     require(!changeFeed,
@@ -631,6 +648,8 @@ private[sources] class ArrowIpcScan(required: StructType, dir: String,
           s" dirs=${hiveDirCounts._1}/${hiveDirCounts._2}"
       else "") +
       (if (fileSlot >= 0) " file-col" else "") +
+      (if (posSlot >= 0) " pos-col" else "") +
+      (if (dvPaths.nonEmpty) s" dvs=${dvPaths.size}" else "") +
       asOf.fold("")(v => s" asOf=$v")
 
   /** Hive partition-key fields, resolved against the dataset schema (the
@@ -705,11 +724,14 @@ private[sources] class ArrowIpcScan(required: StructType, dir: String,
       if (asOf.isDefined) {
         val snaps = scala.util.Try(ArrowSnapshots.read(fs, dirPath))
           .getOrElse(Nil)
-        val set = ArrowSnapshots.resolve(snaps, asOf.get).getOrElse(
+        val resolved = ArrowSnapshots.resolve(snaps, asOf.get).getOrElse(
           throw new IllegalArgumentException(
             s"arrow-ipc: $dir has no snapshot ${asOf.get}" + (
               if (snaps.isEmpty) " (no snapshot log)"
               else s" — the log records ${snaps.head.id}..${snaps.last.id}")))
+        // deletion vectors ride the same log entries as data files; a
+        // pinned snapshot applies exactly the vectors in force AT it
+        val (set, _) = ArrowDeleteVectors.splitResolved(resolved)
         val sts = set.toSeq.sorted.map { rel =>
           val live = new Path(dirPath, rel)
           val p =
@@ -784,6 +806,33 @@ private[sources] class ArrowIpcScan(required: StructType, dir: String,
   }
 
   private def totalFiles = allFiles.length
+
+  /** Live deletion vectors keyed by data-file name, resolved ONCE per
+    * scan: one listing of the (small) `.dv/` dir for live reads; for a
+    * pinned snapshot, exactly the vectors its log entries record —
+    * resolved live-first, trash-second like the data files. Values are
+    * absolute paths the readers open directly. Empty for the un-deleted
+    * common case — zero per-file cost. */
+  private lazy val dvPaths: Map[String, String] = {
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
+    asOf match {
+      case None =>
+        ArrowDeleteVectors.live(fs, dirPath).map { case (name, ref) =>
+          name -> fs.makeQualified(new Path(dirPath, ref.rel)).toString
+        }
+      case Some(v) =>
+        val snaps = scala.util.Try(ArrowSnapshots.read(fs, dirPath)).getOrElse(Nil)
+        val resolved = ArrowSnapshots.resolve(snaps, v).getOrElse(Set.empty)
+        ArrowDeleteVectors.fromResolvedSet(resolved).map { case (name, ref) =>
+          name -> ArrowSnapshots.resolveLiveOrTrash(fs, dirPath, ref.rel,
+            s"snapshot $v deletion vector")
+        }
+    }
+  }
+
+  private def dvFor(fileName: String): Option[String] =
+    if (dvPaths.isEmpty) None else dvPaths.get(fileName)
 
   /** Runtime (join-produced) filters, applied on top of the pushed ones:
     * Spark's dynamic pruning hands the build side's key set here AFTER
@@ -912,7 +961,8 @@ private[sources] class ArrowIpcScan(required: StructType, dir: String,
     // row-level rewrite — the projection's only plan-level consumer —
     // wants the file split visible anyway). Time-travel reads never claim
     // grouping either: trash files have no manifest proof.
-    if (!enabled || agg.isDefined || fileSlot >= 0 || asOf.isDefined) None
+    if (!enabled || agg.isDefined || fileSlot >= 0 || posSlot >= 0 ||
+        asOf.isDefined) None
     else {
       val dirPath = new Path(dir)
       val fs = dirPath.getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
@@ -954,7 +1004,8 @@ private[sources] class ArrowIpcScan(required: StructType, dir: String,
               (key.map(_.getOrElse("")).mkString("\u0001"), path) }
             .map { case (path, key, hv) =>
               ArrowKeyedPartition(Seq(path), key, dts,
-                if (hiveFields.isEmpty) Nil else Seq(hv)) }
+                if (hiveFields.isEmpty) Nil else Seq(hv),
+                Seq(dvFor(new Path(path).getName))) }
           Some((fields, parts))
         }
       }
@@ -1006,8 +1057,19 @@ private[sources] class ArrowIpcScan(required: StructType, dir: String,
         // exact row count when the manifest covers every kept file — a
         // real number beats Spark's size-based row guess for AQE/joins
         val sts = files.map(st => manifest.get(st.getPath.getName))
+        // manifest rows are PHYSICAL counts; live rows subtract each
+        // file's deletion-vector cardinality (carried in the dv name —
+        // nothing is opened here)
+        val masked =
+          if (dvPaths.isEmpty) 0L
+          else files.iterator.map { st =>
+            dvFor(st.getPath.getName)
+              .flatMap(p => ArrowDeleteVectors.parseName(new Path(p).getName))
+              .fold(0L)(_._3)
+          }.sum
         (files.map(_.getLen).sum,
-          if (sts.forall(_.isDefined)) Some(sts.map(_.get.rows).sum) else None)
+          if (sts.forall(_.isDefined)) Some(sts.map(_.get.rows).sum - masked)
+          else None)
     }
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
@@ -1033,14 +1095,17 @@ private[sources] class ArrowIpcScan(required: StructType, dir: String,
           }
           g.copy(files = keep.map(g.files),
             hiveValues =
-              if (g.hiveValues.isEmpty) Nil else keep.map(g.hiveValues)): InputPartition
+              if (g.hiveValues.isEmpty) Nil else keep.map(g.hiveValues),
+            dvs = keep.map(g.dvOrNone)): InputPartition
         }
       case None =>
         if (hiveFields.isEmpty)
-          kept.map(st => ArrowFilePartition(st.getPath.toString): InputPartition)
+          kept.map(st => ArrowFilePartition(st.getPath.toString,
+            dvFor(st.getPath.getName)): InputPartition)
         else kept.map { st =>
           ArrowHiveFilePartition(st.getPath.toString,
-            hiveVals(st.getPath.getName)): InputPartition
+            hiveVals(st.getPath.getName),
+            dvFor(st.getPath.getName)): InputPartition
         }
     }
 
@@ -1054,12 +1119,25 @@ private[sources] class ArrowIpcScan(required: StructType, dir: String,
     kept.toSeq.map(st => ArrowSnapshots.relativize(fs, dirPath, st.getPath))
   }
 
+  /** The deletion-vector rels THIS scan masked for `olds` — the COW
+    * commit records plan-time state, so a vector that advances between
+    * the statement's read and its swap fails validation (a commit-time
+    * re-list would miss exactly that window and resurrect the rows). */
+  private[sources] def plannedDvRels(olds: Seq[String]): Seq[String] =
+    olds.flatMap { o =>
+      dvPaths.get(new Path(o).getName)
+        .map(p => s"${ArrowDeleteVectors.DvDir}/${new Path(p).getName}")
+    }.distinct.sorted
+
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
     require(asOf.isEmpty,
       "arrow-ipc: a time-travel read (asOfSnapshot) is batch-only")
     require(fileSlot < 0,
       s"arrow-ipc: the _file metadata column is batch-only — a streaming " +
+        "read cannot project it")
+    require(posSlot < 0,
+      s"arrow-ipc: the _pos metadata column is batch-only — a streaming " +
         "read cannot project it")
     if (changeFeed)
       new ArrowChangesMicroBatchStream(required, dir, hiveFields,
@@ -1077,20 +1155,38 @@ private[sources] class ArrowIpcScan(required: StructType, dir: String,
       // rides the required schema to the executors — renamed columns
       // resolve across mixed-generation files
       val req = ArrowInterchange.attachResolutionMeta(required, dir, hconf)
+      // `fileSlot`/`posSlot` index the FINAL schema (both metadata
+      // columns present). The inner factories splice `_pos` first, so
+      // their slot must not count a `_file` column inserted BEFORE it;
+      // the `_file` wrapper then splices over the pos-included schema.
+      val innerPos =
+        if (posSlot < 0) posSlot
+        else if (fileSlot >= 0 && fileSlot < posSlot) posSlot - 1
+        else posSlot
       val base =
         if (hiveFields.isEmpty)
-          new ArrowIpcReaderFactory(req, conf, limit): PartitionReaderFactory
+          new ArrowIpcReaderFactory(req, conf, limit, innerPos,
+            anyDv = dvPaths.nonEmpty): PartitionReaderFactory
         else
-          new ArrowIpcHiveReaderFactory(req, hiveFields, conf, limit)
-            : PartitionReaderFactory
+          new ArrowIpcHiveReaderFactory(req, hiveFields, conf, limit, innerPos,
+            anyDv = dvPaths.nonEmpty): PartitionReaderFactory
       if (fileSlot < 0) base
-      else new ArrowFileColReaderFactory(base, req, fileSlot)
+      else {
+        val withPos =
+          if (innerPos < 0) req
+          else StructType(req.fields.toVector
+            .patch(innerPos, Seq(ArrowRowLevel.posField), 0).toArray)
+        new ArrowFileColReaderFactory(base, withPos, fileSlot)
+      }
     } { case (schema, rows) =>
       new ArrowAggReaderFactory(schema, rows)
     }
 }
 
-private[sources] case class ArrowFilePartition(file: String) extends InputPartition
+/** One data file; `dv` = absolute path of its live deletion vector (the
+  * readers mask those positions; None for the untouched common case). */
+private[sources] case class ArrowFilePartition(file: String,
+    dv: Option[String] = None) extends InputPartition
 
 private[sources] case object ArrowAggPartition extends InputPartition
 
@@ -1117,15 +1213,55 @@ private[sources] class ArrowAggReaderFactory(schema: StructType, rows: Array[Arr
 }
 
 private[sources] class ArrowIpcReaderFactory(
-    required: StructType, conf: SerializableHadoopConf, limit: Int = -1)
+    required: StructType, conf: SerializableHadoopConf, limit: Int = -1,
+    posSlot: Int = -1, anyDv: Boolean = false)
     extends PartitionReaderFactory {
+
+  /** The deletion-vector mask of a partition's file, loaded task-side
+    * (one tiny read per dv-carrying partition; None for the common
+    * un-deleted case). */
+  private def maskOf(dv: Option[String]): java.util.BitSet =
+    dv.fold(null: java.util.BitSet) { p =>
+      val path = new Path(p)
+      ArrowDeleteVectors.readBitSet(path.getFileSystem(conf.value), path)
+    }
+
+  private def core(file: String, dv: Option[String]): ArrowIpcPartitionReader =
+    new ArrowIpcPartitionReader(file, required, conf, limit, skip = maskOf(dv))
+
+  /** Splice the row's physical position at `posSlot` (the `_pos`
+    * metadata column) — per-row, so it rides the core reader's own
+    * position counter rather than a constant vector. */
+  private def withPos(in: ArrowIpcPartitionReader): PartitionReader[InternalRow] = {
+    val types = required.fields.map(_.dataType)
+    new PartitionReader[InternalRow] {
+      override def next(): Boolean = in.next()
+      override def get(): InternalRow = {
+        val row = in.get()
+        val vals = new Array[Any](types.length + 1)
+        var i = 0
+        while (i < vals.length) {
+          vals(i) =
+            if (i == posSlot) java.lang.Long.valueOf(in.lastPos)
+            else if (i < posSlot) row.get(i, types(i))
+            else row.get(i - 1, types(i - 1))
+          i += 1
+        }
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
+      }
+      override def close(): Unit = in.close()
+    }
+  }
+
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
-      case ArrowFilePartition(file) =>
-        new ArrowIpcPartitionReader(file, required, conf, limit)
+      case ArrowFilePartition(file, dv) =>
+        if (posSlot < 0) core(file, dv) else withPos(core(file, dv))
       case k: ArrowKeyedPartition =>
-        new ChainedPartitionReader[String, InternalRow](k.files,
-          f => new ArrowIpcPartitionReader(f, required, conf, limit))
+        // `_pos` projection disables key grouping at the scan, so a keyed
+        // partition never splices positions; per-file dv masks chain
+        new ChainedPartitionReader[(String, Option[String]), InternalRow](
+          k.files.zip(k.dvOrNone), fd => core(fd._1, fd._2))
     }
 
   // COLUMNAR path: Arrow IPC is already columnar, so the fastest read is
@@ -1135,8 +1271,13 @@ private[sources] class ArrowIpcReaderFactory(
   // columnar scan consume them in place. The whole type surface wraps
   // zero-copy — except a FixedSizeBinary NESTED inside a struct, where
   // the shim can't be interposed (ArrowColumnVector wraps children
-  // itself); that one shape takes the row path below.
+  // itself); that one shape takes the row path below. A scan over ANY
+  // live DELETION VECTOR also takes the row path (masking needs per-row
+  // positions, and Spark requires every partition of one scan to agree
+  // on columnar-vs-row) — the cost lasts exactly until the next
+  // compaction folds the vectors away and restores the zero-copy read.
   override def supportColumnarReads(partition: InputPartition): Boolean =
+    posSlot < 0 && !anyDv &&
     !required.fields.exists(f => hasNestedFsb(f.dataType))
 
   private def hasNestedFsb(dt: org.apache.spark.sql.types.DataType): Boolean = {
@@ -1154,7 +1295,7 @@ private[sources] class ArrowIpcReaderFactory(
   override def createColumnarReader(
       partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
     partition match {
-      case ArrowFilePartition(file) =>
+      case ArrowFilePartition(file, _) =>
         new ArrowIpcColumnarReader(file, required, conf, limit)
       case k: ArrowKeyedPartition =>
         new ChainedPartitionReader[String, org.apache.spark.sql.vectorized.ColumnarBatch](
@@ -1857,7 +1998,9 @@ private[sources] class ArrowIpcKeyedDataWriter(
   * validation covers exactly the projected set. */
 private[sources] class ArrowIpcPartitionReader(
     file: String, required: StructType, conf: SerializableHadoopConf,
-    limit: Int = -1)
+    limit: Int = -1,
+    skip: java.util.BitSet = null,
+    keepOnly: java.util.BitSet = null)
     extends PartitionReader[InternalRow] {
 
   private val alloc = new RootAllocator()
@@ -1879,27 +2022,48 @@ private[sources] class ArrowIpcPartitionReader(
   private var n = 0
   private var done = false
   private var produced = 0L
+  private var phys = -1L
   private var current: InternalRow = _
+
+  /** Physical ordinal (within the file) of the row `get()` serves — the
+    * `_pos` metadata value. Masking skips positions, so surviving rows
+    * keep their ORIGINAL ordinals (what a cumulative deletion vector
+    * must reference). */
+  def lastPos: Long = phys
+
+  /** Deletion-vector masking: `skip` drops those positions; `keepOnly`
+    * (the change feed's diff emission) drops everything else. */
+  private def masked(pos: Long): Boolean =
+    (skip != null && pos <= Int.MaxValue && skip.get(pos.toInt)) ||
+      (keepOnly != null && (pos > Int.MaxValue || !keepOnly.get(pos.toInt)))
 
   override def next(): Boolean = {
     if (limit >= 0 && produced >= limit) return false
-    while (!done && i >= n) {
-      if (reader.loadNextBatch()) { n = root.getRowCount; i = 0 }
-      else done = true
+    while (true) {
+      while (!done && i >= n) {
+        if (reader.loadNextBatch()) { n = root.getRowCount; i = 0 }
+        else done = true
+      }
+      if (done) return false
+      val pos = phys + 1
+      if (masked(pos)) { i += 1; phys = pos }
+      else {
+        val vals = new Array[Any](types.length)
+        var c = 0
+        while (c < types.length) {
+          vals(c) =
+            if (cols(c) < 0) null // evolved column absent from this file
+            else ArrowInterchange.getInternalValue(root.getVector(cols(c)), types(c), i)
+          c += 1
+        }
+        current = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
+        i += 1
+        phys = pos
+        produced += 1
+        return true
+      }
     }
-    if (done) return false
-    val vals = new Array[Any](types.length)
-    var c = 0
-    while (c < types.length) {
-      vals(c) =
-        if (cols(c) < 0) null // evolved column absent from this file
-        else ArrowInterchange.getInternalValue(root.getVector(cols(c)), types(c), i)
-      c += 1
-    }
-    current = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
-    i += 1
-    produced += 1
-    true
+    false
   }
 
   override def get(): InternalRow = current

@@ -60,8 +60,13 @@ private[graft] object ArrowLayout {
   * in storage-partitioned joins through the same partition type. */
 private[sources] case class ArrowKeyedPartition(
     files: Seq[String], key: Seq[Option[String]], keyTypes: Seq[DataType],
-    hiveValues: Seq[Seq[Option[String]]] = Nil)
+    hiveValues: Seq[Seq[Option[String]]] = Nil,
+    dvs: Seq[Option[String]] = Nil)
     extends InputPartition with HasPartitionKey {
+  /** Per-file deletion-vector paths, parallel to `files` (Nil = none —
+    * normalized so readers can always zip). */
+  def dvOrNone: Seq[Option[String]] =
+    if (dvs.isEmpty) files.map(_ => None) else dvs
   override def partitionKey(): InternalRow =
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       key.zip(keyTypes).map {

@@ -111,6 +111,11 @@ object ArrowMaintenance {
       math.max(1L, (olds.map(_.getLen).sum + targetBytes - 1) / targetBytes))
     val oldPaths = olds.map(st =>
       fs.makeQualified(st.getPath).toString).toSeq
+    // capture the deletion vectors in force BEFORE the staging read plans:
+    // the read masks exactly these, the commit validates none advanced,
+    // the replay retires them (the rewrite folded them into the data)
+    val dvRels = ArrowDeleteVectors.relsFor(fs, dirPath,
+      olds.map(_.getPath.getName).toSeq)
     val df = spark.read.format("arrow-ipc").load(dir)
       .filter(org.apache.spark.sql.functions.col(ArrowRowLevel.FileColumn)
         .isin(oldPaths: _*))
@@ -129,7 +134,8 @@ object ArrowMaintenance {
 
     // SWAP: serialized, validated, crash-safe
     commitSwap(fs, dirPath,
-      Intent(olds.map(_.getPath.getName).toSeq.sorted, staging, moves))
+      Intent(olds.map(_.getPath.getName).toSeq.sorted, staging, moves,
+        dvs = dvRels))
     Some(CompactionResult(olds.length, staged.length))
   }
 
@@ -221,6 +227,10 @@ object ArrowMaintenance {
       ArrowOcc.withCommitLock(fs, dirPath) {
       ArrowOcc.validateOldsLive(fs, dirPath, intent.olds,
         s"${intent.kind} swap")
+      // a deletion vector that advanced mid-staging means the staged
+      // survivors resurrect freshly-deleted rows — the swap loses
+      ArrowDeleteVectors.validateStable(fs, dirPath, intent.olds,
+        intent.dvs, s"${intent.kind} swap")
       writeIntent(fs, dirPath, intent)
       fs.delete(new Path(dirPath, "_SUCCESS"), false)
       replay(fs, dirPath)
@@ -317,6 +327,9 @@ object ArrowMaintenance {
       olds: Seq[String], id: String, staging: String): CompactionResult = {
     val stagingPath = new Path(dirPath, staging)
     val schema = df.schema
+    // dv capture BEFORE the staging job runs — same contract as the flat
+    // path: masked at staging, validated at commit, retired at replay
+    val dvRels = ArrowDeleteVectors.relsFor(fs, dirPath, olds)
     ArrowInterchange.codecType(codec) // validate eagerly, on the driver
     val conf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
     val blooms = standingBlooms(fs, dirPath, schema.fieldNames, hiveKeys)
@@ -349,7 +362,8 @@ object ArrowMaintenance {
         p.getName.stripSuffix(".arrows") + s"-compact-$id.arrows").toString
     }.toMap
 
-    commitSwap(fs, dirPath, Intent(olds.sorted, staging, moves))
+    commitSwap(fs, dirPath, Intent(olds.sorted, staging, moves,
+      dvs = dvRels))
     CompactionResult(olds.length, staged.length)
   }
 
@@ -425,6 +439,10 @@ object ArrowMaintenance {
     // scoped run reads only the in-scope files to begin with.
     val oldPaths = olds.map(o =>
       fs.makeQualified(new Path(dirPath, o._1)).toString)
+    // dv capture BEFORE the staging read plans (masked at staging,
+    // validated at commit, retired at replay); the hive branch captures
+    // inside stageHiveAndSwap, so this serves the flat branch only
+    val dvRels = ArrowDeleteVectors.relsFor(fs, dirPath, olds.map(_._1))
     val restricted = spark.read.format("arrow-ipc").load(dir)
       .filter(col(ArrowRowLevel.FileColumn).isin(oldPaths: _*))
       .drop(ArrowRowLevel.FileColumn)
@@ -462,7 +480,7 @@ object ArrowMaintenance {
       val moves = staged.map(s =>
         s -> s.replace(".arrows", s"-compact-$id.arrows")).toMap
       commitSwap(fs, dirPath,
-        Intent(olds.map(_._1).sorted, staging, moves))
+        Intent(olds.map(_._1).sorted, staging, moves, dvs = dvRels))
       Some(CompactionResult(olds.length, staged.length))
     }
   }
@@ -587,13 +605,16 @@ object ArrowMaintenance {
     * standing key-grouped claim the clustered rewrite preserved. */
   private[graft] def cowSwap(fs: FileSystem, dirPath: Path, olds: Seq[String],
       staging: String, moves: Map[String, String],
-      layoutKeys: Seq[String]): Unit =
+      layoutKeys: Seq[String], dvs: Seq[String] = Nil): Unit =
     // no retry here: the staged rows came from an executed ReplaceData
     // plan — a lost race means the snapshot that plan read is gone, and
     // only the user can decide to re-run the STATEMENT; the conflict
-    // surfaces as the DML's failure (staging already cleaned)
+    // surfaces as the DML's failure (staging already cleaned). `dvs` is
+    // the PLAN-time deletion-vector set of `olds` (from the scan): the
+    // swap validates none advanced since the statement read, and retires
+    // them with their files (the rewrite folded the masks into the data).
     commitSwap(fs, dirPath,
-      Intent(olds.sorted, staging, moves, "cow", layoutKeys))
+      Intent(olds.sorted, staging, moves, "cow", layoutKeys, dvs))
 
   /** Outcome of [[expireSnapshots]]. */
   case class ExpireResult(dropped: Int, trashDeleted: Int)
@@ -619,7 +640,8 @@ object ArrowMaintenance {
     val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val recovered = recover(spark, dir)
     val staging = ArrowOcc.sweepStaleStaging(fs, dirPath, ".compact-*") +
-      ArrowOcc.sweepStaleStaging(fs, dirPath, ".cow-*")
+      ArrowOcc.sweepStaleStaging(fs, dirPath, ".cow-*") +
+      ArrowDeleteVectors.sweepStaleStaged(fs, dirPath)
     ArrowOcc.sweepStalePending(fs, dirPath)
     ArrowOcc.sweepStaleDml(fs, dirPath)
     ArrowOcc.sweepStaleTmp(fs, dirPath)
@@ -719,13 +741,17 @@ object ArrowMaintenance {
     // intent"; when one exists, re-check and replay under the lock (the
     // dead holder's lock breaks after the staleness window)
     if (!fs.exists(new Path(dirPath, IntentFile)) &&
-        !fs.exists(new Path(dirPath, DeleteIntentFile))) return false
+        !fs.exists(new Path(dirPath, DeleteIntentFile)) &&
+        !fs.exists(new Path(dirPath, ArrowDeleteVectors.MorIntentFile)))
+      return false
     ArrowOcc.withCommitLock(fs, dirPath) {
       val compacting = fs.exists(new Path(dirPath, IntentFile))
       val deleting = fs.exists(new Path(dirPath, DeleteIntentFile))
+      val morring = fs.exists(new Path(dirPath, ArrowDeleteVectors.MorIntentFile))
       if (compacting) replay(fs, dirPath)
       if (deleting) replayDelete(fs, dirPath)
-      compacting || deleting
+      if (morring) ArrowDeleteVectors.replayMor(fs, dirPath)
+      compacting || deleting || morring
     }
   }
 
@@ -849,8 +875,19 @@ object ArrowMaintenance {
     // retire to `.trash/` for time travel (idempotent under replay) and
     // record the snapshot delta; intent paths are absolute → relativize
     val rels = doomed.map(s => ArrowSnapshots.relativize(fs, dirPath, new Path(s)))
-    rels.foreach(r => ArrowSnapshots.moveToTrash(fs, dirPath, r))
-    ArrowSnapshots.append(fs, dirPath, Nil, rels)
+    // a dropped file's deletion vector retires with it — derived from the
+    // snapshot TIP (not the live listing: a crash between trashing and
+    // the log append must still find the vector on the second replay)
+    val dvRels = {
+      val snaps = ArrowSnapshots.read(fs, dirPath)
+      val tip = snaps.lastOption
+        .flatMap(l => ArrowSnapshots.resolve(snaps, l.id)).getOrElse(Set.empty)
+      val doomedNames = rels.map(r => new Path(r).getName).toSet
+      ArrowDeleteVectors.fromResolvedSet(tip).collect {
+        case (data, ref) if doomedNames(data) => ref.rel }.toSeq.sorted
+    }
+    (rels ++ dvRels).foreach(r => ArrowSnapshots.moveToTrash(fs, dirPath, r))
+    ArrowSnapshots.append(fs, dirPath, Nil, rels ++ dvRels)
     // manifests key on bare file names (unique across value directories)
     val doomedNames = doomed.map(s => new Path(s).getName).toSet
     // base manifest minus the dead entries
@@ -967,8 +1004,12 @@ object ArrowMaintenance {
     // snapshot delta; empty hive value directories left behind are
     // dropped like a metadata delete would
     intent.olds.foreach(o => ArrowSnapshots.moveToTrash(fs, dirPath, o))
+    // the replaced files' deletion vectors are FOLDED by the rewrite (the
+    // staging read masked them), so they retire with their files — the
+    // new files carry no vector and read zero-copy columnar again
+    intent.dvs.foreach(d => ArrowSnapshots.moveToTrash(fs, dirPath, d))
     ArrowSnapshots.append(fs, dirPath,
-      intent.moves.values.toSeq, intent.olds)
+      intent.moves.values.toSeq, intent.olds ++ intent.dvs)
     intent.olds.map(o => new Path(dirPath, o).getParent).distinct.foreach { d =>
       if (d != dirPath && fs.exists(d) &&
           Option(fs.listStatus(d)).forall(_.isEmpty))
@@ -1011,7 +1052,8 @@ object ArrowMaintenance {
     * dataset dir (bare names for flat layouts, `key=value/...` for hive). */
   private[graft] case class Intent(
       olds: Seq[String], staging: String, moves: Map[String, String],
-      kind: String = "compact", layoutKeys: Seq[String] = Nil)
+      kind: String = "compact", layoutKeys: Seq[String] = Nil,
+      dvs: Seq[String] = Nil)
 
   private def esc(s: String): String = ArrowFileStats.esc(s)
 
@@ -1023,6 +1065,8 @@ object ArrowMaintenance {
       "\"" + esc(k) + "\":\"" + esc(v) + "\"" }.mkString(","))
     sb.append("},\"kind\":\"").append(esc(intent.kind)).append("\",\"layoutKeys\":[")
     sb.append(intent.layoutKeys.map(k => "\"" + esc(k) + "\"").mkString(","))
+    sb.append("],\"dvs\":[")
+    sb.append(intent.dvs.map(d => "\"" + esc(d) + "\"").mkString(","))
     sb.append("]}")
     // temp + rename: a crash mid-write must leave NO intent file (the
     // stale staging dir is swept by the next compact) rather than a
@@ -1064,7 +1108,11 @@ object ArrowMaintenance {
           case JArray(xs) => xs.collect { case JString(s) => s }
           case _ => Nil
         }
-        Intent(olds, staging, moves, kind, layoutKeys)
+        val dvs = (o \ "dvs") match {
+          case JArray(xs) => xs.collect { case JString(s) => s }
+          case _ => Nil
+        }
+        Intent(olds, staging, moves, kind, layoutKeys, dvs)
       case other => throw new IllegalStateException(s"bad $IntentFile: $other")
     }
   }

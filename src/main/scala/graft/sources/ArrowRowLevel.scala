@@ -58,6 +58,26 @@ private[graft] object ArrowRowLevel {
     override def isNullable: Boolean = false
     override def comment(): String = "source file path of the row"
   }
+
+  /** Name of the row-position metadata column: the row's PHYSICAL
+    * ordinal within its source file (Iceberg's `_pos`), stable across
+    * re-reads because data files are immutable. The merge-on-read
+    * DELETE's substrate ([[ArrowDeleteVectors]]) and a queryable
+    * provenance surface in its own right. Projection takes the row
+    * path — positions are per-row values, not per-partition constants. */
+  val PosColumn = "_pos"
+
+  private[sources] val posField: StructField =
+    StructField(PosColumn, org.apache.spark.sql.types.LongType, nullable = false)
+
+  private[sources] object PosMetadataColumn
+      extends org.apache.spark.sql.connector.catalog.MetadataColumn {
+    override def name(): String = PosColumn
+    override def dataType(): org.apache.spark.sql.types.DataType =
+      org.apache.spark.sql.types.LongType
+    override def isNullable: Boolean = false
+    override def comment(): String = "physical row ordinal within the source file"
+  }
 }
 
 /** Wraps a reader factory to splice the `_file` metadata column in as a
@@ -69,7 +89,7 @@ private[sources] class ArrowFileColReaderFactory(
     extends PartitionReaderFactory {
 
   private def fileOf(p: InputPartition): String = p match {
-    case ArrowFilePartition(f) => f
+    case ArrowFilePartition(f, _) => f
     case h: ArrowHiveFilePartition => h.file
     case other => throw new IllegalStateException(
       s"arrow-ipc: _file projection over unexpected partition $other")
@@ -242,7 +262,8 @@ private[sources] class ArrowCowWrite(
     // any live name — moves are identity on the relative path
     val staged = ArrowSnapshots.listDataFiles(f, stagingPath)
     ArrowMaintenance.cowSwap(f, dirPath, olds, stagingName,
-      staged.map(s => s -> s).toMap, standingKeys)
+      staged.map(s => s -> s).toMap, standingKeys,
+      dvs = scan.plannedDvRels(olds))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

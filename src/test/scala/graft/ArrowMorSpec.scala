@@ -1,0 +1,349 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{ArrowDeleteVectors, ArrowMaintenance, ArrowSnapshots}
+
+/** Merge-on-read row-level DELETE via deletion vectors: a point delete
+  * commits O(deleted rows) of sidecar metadata instead of rewriting any
+  * data file; readers mask the positions at scan time; the next
+  * compaction folds the vectors away and restores the zero-copy
+  * columnar read. Versioned through the snapshot log (time travel sees
+  * exactly the vectors in force at a snapshot), crash-safe through the
+  * same intent/replay discipline as compaction. */
+class ArrowMorSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString + "/out"
+
+  private def fsOf(dir: String) = new Path(dir)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def dataFiles(dir: String): Set[String] = {
+    val fs = fsOf(dir)
+    Option(fs.globStatus(new Path(dir, "part-*.arrows")))
+      .getOrElse(Array.empty).map(_.getPath.getName).toSet
+  }
+
+  private def liveDvs(dir: String): Map[String, ArrowDeleteVectors.DvRef] =
+    ArrowDeleteVectors.live(fsOf(dir), new Path(dir))
+
+  // ── the position codec ────────────────────────────────────────────────
+
+  test("codec: delta-varint roundtrip, strict-sort enforcement, bad magic refusal") {
+    val cases = Seq(
+      Array.empty[Long],
+      Array(0L),
+      Array(0L, 1L, 2L),
+      Array(5L, 127L, 128L, 16383L, 16384L, 1L << 40),
+      Array.iterate(3L, 1000)(p => p + 1 + (p % 7)))
+    cases.foreach { ps =>
+      assert(ArrowDeleteVectors.decode(ArrowDeleteVectors.encode(ps))
+        .sameElements(ps), s"roundtrip failed for ${ps.take(5).mkString(",")}…")
+    }
+    intercept[IllegalArgumentException] {
+      ArrowDeleteVectors.encode(Array(3L, 3L)) // not strictly sorted
+    }
+    intercept[IllegalArgumentException] {
+      ArrowDeleteVectors.decode("not a vector".getBytes)
+    }
+  }
+
+  test("vector names carry (dataFile, gen, cardinality); foreign names refuse") {
+    val rel = ArrowDeleteVectors.dvRel("part-00001-abc.arrows", 3, 42L)
+    assert(rel === ".dv/part-00001-abc.arrows.g3.c42.dv")
+    assert(ArrowDeleteVectors.parseName(new Path(rel).getName)
+      === Some(("part-00001-abc.arrows", 3, 42L)))
+    assert(ArrowDeleteVectors.parseName("part-00001.arrows") === None)
+    assert(ArrowDeleteVectors.parseName("x.g1.dv") === None)
+    assert(ArrowDeleteVectors.parseName("x.c1.dv") === None)
+  }
+
+  // ── the `_pos` metadata column ────────────────────────────────────────
+
+  test("_pos projects each row's physical ordinal; composes with _file at any slot order") {
+    val dir = tmp("graft_mor_pos")
+    spark.range(0, 50).select(col("id"))
+      .repartitionByRange(2, col("id"))
+      .write.format("arrow-ipc").mode("overwrite").save(dir)
+    val df = spark.read.format("arrow-ipc").load(dir)
+    // per-file ordinals are dense 0..n-1
+    val perFile = df.select(col("_file"), col("_pos"))
+      .groupBy("_file")
+      .agg(count(lit(1)).as("n"), min("_pos").as("lo"), max("_pos").as("hi"))
+      .collect()
+    assert(perFile.length === 2)
+    perFile.foreach { r =>
+      assert(r.getLong(2) === 0L, "_pos must start at 0")
+      assert(r.getLong(3) === r.getLong(1) - 1, "_pos must be dense")
+    }
+    // slot math: every projection order of (_pos, _file, data) agrees
+    val a = df.select(col("_pos"), col("_file"), col("id"))
+    val b = df.select(col("_file"), col("id"), col("_pos"))
+    val c = df.select(col("id"), col("_pos"), col("_file"))
+    val canon = a.select("id", "_file", "_pos").collect().map(_.toSeq).toSet
+    assert(b.select("id", "_file", "_pos").collect().map(_.toSeq).toSet === canon)
+    assert(c.select("id", "_file", "_pos").collect().map(_.toSeq).toSet === canon)
+    // _pos alone (no _file) also works
+    assert(df.select(col("_pos")).where(col("_pos") === 0).count() === 2)
+  }
+
+  // ── the MOR delete statement ──────────────────────────────────────────
+
+  test("deleteMor masks rows without touching any data file; re-run is a no-op") {
+    val dir = tmp("graft_mor_basic")
+    spark.range(0, 1000).select(col("id"), (col("id") % 10).as("k"))
+      .repartitionByRange(4, col("id"))
+      .write.format("arrow-ipc").mode("overwrite").save(dir)
+    val before = dataFiles(dir)
+    val fs = fsOf(dir)
+    val mtimes = before.map(n =>
+      n -> fs.getFileStatus(new Path(dir, n)).getModificationTime).toMap
+
+    val r = ArrowDeleteVectors.deleteMor(spark, dir, "k = 3")
+    assert(r.deletedRows === 100)
+    assert(r.files === 4) // range-partitioned on id, k=3 hits every file
+
+    // NO data file was rewritten, moved, or renamed
+    assert(dataFiles(dir) === before)
+    before.foreach(n => assert(
+      fs.getFileStatus(new Path(dir, n)).getModificationTime === mtimes(n),
+      s"$n was touched by a merge-on-read delete"))
+
+    // reads mask
+    val df = spark.read.format("arrow-ipc").load(dir)
+    assert(df.count() === 900)
+    assert(df.where(col("k") === 3).count() === 0)
+    assert(df.agg(sum("id")).head.getLong(0)
+      === (0L until 1000L).filter(_ % 10 != 3).sum)
+
+    // one live vector per affected file
+    assert(liveDvs(dir).keySet === before)
+    assert(liveDvs(dir).values.map(_.card).sum === 100L)
+
+    // a re-run of the same predicate matches nothing (masked at the find
+    // scan) and commits nothing
+    val r2 = ArrowDeleteVectors.deleteMor(spark, dir, "k = 3")
+    assert(r2.files === 0 && r2.deletedRows === 0L)
+    assert(liveDvs(dir).values.map(_.gen).max === 1)
+  }
+
+  test("a second delete is CUMULATIVE: gen advances, positions union, history stays navigable") {
+    val dir = tmp("graft_mor_cumulative")
+    spark.range(0, 300).select(col("id"))
+      .coalesce(1)
+      .write.format("arrow-ipc").mode("overwrite").save(dir)
+    val fs = fsOf(dir)
+    val tipBefore = ArrowSnapshots.currentTip(fs, new Path(dir))
+
+    assert(ArrowDeleteVectors.deleteMor(spark, dir, "id < 10").deletedRows === 10)
+    val afterFirst = ArrowSnapshots.currentTip(fs, new Path(dir))
+    assert(ArrowDeleteVectors.deleteMor(spark, dir, "id >= 290").deletedRows === 10)
+
+    val dvs = liveDvs(dir)
+    assert(dvs.size === 1)
+    assert(dvs.values.head.gen === 2)
+    assert(dvs.values.head.card === 20L)
+    // the live dir holds exactly ONE vector for the file (gen 1 retired)
+    val dvDir = new Path(dir, ArrowDeleteVectors.DvDir)
+    assert(fs.listStatus(dvDir).count(
+      st => !st.getPath.getName.startsWith(".")) === 1)
+
+    val read = spark.read.format("arrow-ipc").load(dir)
+    assert(read.count() === 280)
+    assert(read.agg(min("id"), max("id")).head().toSeq === Seq(10L, 289L))
+
+    // TIME TRAVEL: each snapshot applies exactly the vectors in force AT it
+    def asOf(id: Long) = spark.read.format("arrow-ipc")
+      .option("asOfSnapshot", id).load(dir)
+    assert(asOf(tipBefore).count() === 300)
+    assert(asOf(afterFirst).count() === 290)
+    assert(asOf(afterFirst).agg(min("id")).head.getLong(0) === 10L)
+  }
+
+  test("deleteMor on a hive layout masks through the partition-value splice") {
+    val dir = tmp("graft_mor_hive")
+    import spark.implicits._
+    (0 until 400).map(i => (i, i % 4, s"r$i")).toDF("id", "bucket", "payload")
+      .write.format("arrow-ipc").option("hivePartitionColumns", "bucket")
+      .mode("overwrite").save(dir)
+
+    val r = ArrowDeleteVectors.deleteMor(spark, dir, "bucket = 2 AND id < 200")
+    assert(r.deletedRows === 50)
+    val df = spark.read.format("arrow-ipc").load(dir)
+    assert(df.count() === 350)
+    assert(df.where(col("bucket") === 2).count() === 50)
+    assert(df.where(col("bucket") === 2).agg(min("id")).head.getInt(0) >= 200)
+    // vectors land in the FLAT .dv dir even for nested layouts
+    assert(liveDvs(dir).values.map(_.card).sum === 50L)
+  }
+
+  test("a no-match delete commits nothing (no snapshot, no vector)") {
+    val dir = tmp("graft_mor_nomatch")
+    spark.range(0, 10).write.format("arrow-ipc").mode("overwrite").save(dir)
+    val fs = fsOf(dir)
+    val tip = ArrowSnapshots.currentTip(fs, new Path(dir))
+    val r = ArrowDeleteVectors.deleteMor(spark, dir, "id > 1000")
+    assert(r.files === 0)
+    assert(ArrowSnapshots.currentTip(fs, new Path(dir)) === tip)
+    assert(liveDvs(dir).isEmpty)
+  }
+
+  test("the bulk cap refuses and points at the COW path") {
+    val dir = tmp("graft_mor_cap")
+    spark.range(0, 1000).write.format("arrow-ipc").mode("overwrite").save(dir)
+    spark.conf.set("spark.graft.arrow.morMaxDeletedRows", "100")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        ArrowDeleteVectors.deleteMor(spark, dir, "id >= 0")
+      }
+      assert(e.getMessage.contains("COW"))
+      // nothing committed, table intact
+      assert(spark.read.format("arrow-ipc").load(dir).count() === 1000)
+      assert(liveDvs(dir).isEmpty)
+    } finally spark.conf.unset("spark.graft.arrow.morMaxDeletedRows")
+  }
+
+  // ── planning integration ──────────────────────────────────────────────
+
+  test("a live vector disables metadata-only aggregate answers; the scan stays correct") {
+    val dir = tmp("graft_mor_agg")
+    spark.range(0, 500).select(col("id"))
+      .repartitionByRange(2, col("id"))
+      .write.format("arrow-ipc").mode("overwrite").save(dir)
+    // manifest-served COUNT before the delete
+    val df0 = spark.read.format("arrow-ipc").load(dir).agg(count(lit(1)))
+    assert(df0.queryExecution.executedPlan.toString.contains("PushedAggregation") ||
+      df0.head.getLong(0) === 500) // plan shape is advisory; value is the gate
+    ArrowDeleteVectors.deleteMor(spark, dir, "id % 100 = 7")
+    val df1 = spark.read.format("arrow-ipc").load(dir).agg(count(lit(1)))
+    // the push must NOT answer from physical manifest counts now
+    assert(!df1.queryExecution.executedPlan.toString.contains("PushedAggregation"))
+    assert(df1.head.getLong(0) === 495)
+    // reported statistics subtract the masked cardinality
+    val rel = spark.read.format("arrow-ipc").load(dir)
+    assert(rel.count() === 495)
+  }
+
+  test("deleted files keep columnar reads; only vector-carrying files drop to the row path") {
+    val dir = tmp("graft_mor_columnar")
+    spark.range(0, 200).select(col("id"), (col("id") < 100).as("low"))
+      .repartitionByRange(2, col("id"))
+      .write.format("arrow-ipc").mode("overwrite").save(dir)
+    // delete only from the low file
+    ArrowDeleteVectors.deleteMor(spark, dir, "id = 5")
+    assert(liveDvs(dir).size === 1)
+    val df = spark.read.format("arrow-ipc").load(dir)
+    assert(df.count() === 199)
+    assert(df.where(col("id") === 5).count() === 0)
+    assert(df.where(col("id") === 105).count() === 1)
+  }
+
+  // ── maintenance interplay ─────────────────────────────────────────────
+
+  test("compaction folds vectors away: files rewrite to survivors, vectors retire, pushdown returns") {
+    val dir = tmp("graft_mor_fold")
+    spark.range(0, 600).select(col("id"))
+      .repartitionByRange(3, col("id"))
+      .write.format("arrow-ipc").mode("overwrite").save(dir)
+    ArrowDeleteVectors.deleteMor(spark, dir, "id % 3 = 1")
+    assert(spark.read.format("arrow-ipc").load(dir).count() === 400)
+
+    val res = ArrowMaintenance.compact(spark, dir)
+    assert(res.isDefined)
+    // vectors are gone from the live dir (folded into the rewrite)
+    assert(liveDvs(dir).isEmpty)
+    val df = spark.read.format("arrow-ipc").load(dir)
+    assert(df.count() === 400)
+    assert(df.where(col("id") % 3 === 1).count() === 0)
+    // metadata-only answers are live again: the new manifest counts are real
+    val agg = df.agg(count(lit(1)))
+    assert(agg.head.getLong(0) === 400)
+    // time travel to the pre-compaction snapshot still applies the vector
+    val fs = fsOf(dir)
+    val snaps = ArrowSnapshots.read(fs, new Path(dir))
+    val preCompact = snaps(snaps.length - 2).id
+    val tt = spark.read.format("arrow-ipc")
+      .option("asOfSnapshot", preCompact).load(dir)
+    assert(tt.count() === 400)
+    assert(tt.where(col("id") % 3 === 1).count() === 0)
+  }
+
+  test("a vector that advances mid-staging fails the maintenance swap (no resurrection)") {
+    val dir = tmp("graft_mor_race")
+    spark.range(0, 400).select(col("id"))
+      .repartitionByRange(2, col("id"))
+      .write.format("arrow-ipc").mode("overwrite").save(dir)
+    // stage a compaction, then land a MOR delete in the window between
+    // staging and commit — the swap must LOSE (else the rewrite, staged
+    // from pre-delete masks, would resurrect the deleted rows), and the
+    // bounded retry re-runs it against the new state.
+    var fired = false
+    ArrowMaintenance.beforeSwapHook = () => {
+      if (!fired) {
+        fired = true
+        ArrowDeleteVectors.deleteMor(spark, dir, "id = 42")
+      }
+    }
+    try {
+      val res = ArrowMaintenance.compact(spark, dir)
+      assert(res.isDefined)
+    } finally ArrowMaintenance.beforeSwapHook = () => ()
+    assert(fired)
+    val df = spark.read.format("arrow-ipc").load(dir)
+    assert(df.count() === 399)
+    assert(df.where(col("id") === 42).count() === 0, "compaction resurrected a deleted row")
+    assert(liveDvs(dir).isEmpty) // the winning re-run folded the vector
+  }
+
+  test("COW UPDATE on a vector-carrying table folds the mask and retires the vector") {
+    val dir = tmp("graft_mor_cow")
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.ArrowCatalog].getName)
+    spark.range(0, 200).select(col("id"), lit(0L).as("v"))
+      .coalesce(1)
+      .write.format("arrow-ipc").mode("overwrite").save(dir)
+    ArrowDeleteVectors.deleteMor(spark, dir, "id < 20")
+    spark.sql(s"UPDATE graft.`$dir` SET v = 1 WHERE id >= 190")
+    val df = spark.read.format("arrow-ipc").load(dir)
+    assert(df.count() === 180, "COW rewrite resurrected MOR-deleted rows")
+    assert(df.where(col("v") === 1).count() === 10)
+    assert(df.where(col("id") < 20).count() === 0)
+    // the rewrite folded the mask: no live vector remains for the old file
+    assert(liveDvs(dir).isEmpty)
+  }
+
+  // ── crash safety ──────────────────────────────────────────────────────
+
+  test("a crash between intent and rename replays to completion via recover()") {
+    val dir = tmp("graft_mor_crash")
+    spark.range(0, 100).coalesce(1)
+      .write.format("arrow-ipc").mode("overwrite").save(dir)
+    val fs = fsOf(dir)
+    val dirPath = new Path(dir)
+    val dataName = dataFiles(dir).head
+
+    // hand-stage the exact on-disk state a crash after intent+latch-down
+    // leaves behind: staged vector present, final absent, latch down
+    val staged = s"${ArrowDeleteVectors.DvDir}/.mor-test-$dataName.g1.c5.dv"
+    val finalRel = ArrowDeleteVectors.dvRel(dataName, 1, 5L)
+    graft.sources.ArrowOcc.writeAtomic(fs, new Path(dirPath, staged),
+      ArrowDeleteVectors.encode(Array(0L, 1L, 2L, 3L, 4L)))
+    val intent = "[{\"staged\":\"" + staged + "\",\"final\":\"" + finalRel + "\"}]"
+    graft.sources.ArrowOcc.writeAtomic(fs,
+      new Path(dirPath, ArrowDeleteVectors.MorIntentFile), intent.getBytes)
+    fs.delete(new Path(dirPath, "_SUCCESS"), false)
+
+    // any maintenance caller converges the directory
+    assert(ArrowMaintenance.recover(spark, dir))
+    assert(fs.exists(new Path(dirPath, "_SUCCESS")))
+    assert(!fs.exists(new Path(dirPath, ArrowDeleteVectors.MorIntentFile)))
+    assert(liveDvs(dir).values.head.card === 5L)
+    assert(spark.read.format("arrow-ipc").load(dir).count() === 95)
+    // and the replay is itself replayable (fixed point)
+    assert(!ArrowMaintenance.recover(spark, dir))
+  }
+}
