@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{broadcast, col, lit}
 
 /** CHANGE FEED between two snapshots of an arrow-ipc directory — the
   * incremental-processing primitive a training-data pipeline needs
@@ -45,19 +45,29 @@ object ArrowChanges {
         "(expired history? 0 = since the beginning)")
 
     val window = snaps.filter(e => e.id > from && e.id <= to)
-    val added = window.flatMap(_.adds).toSet
-    val removed = window.flatMap(_.removes).toSet
+    // deletion vectors ride the same log entries but are mask metadata —
+    // split them out of the file delta and fold their own activity
+    val (added, dvAdded) =
+      ArrowDeleteVectors.splitResolved(window.flatMap(_.adds).toSet)
+    val (removed, dvRemoved) =
+      ArrowDeleteVectors.splitResolved(window.flatMap(_.removes).toSet)
     val netAdds = added -- removed
     val netRemoves = removed -- added
+    val dvActivity = ArrowDeleteVectors.windowActivity(dvAdded, dvRemoved)
+
+    def resolve(rel: String): String =
+      ArrowSnapshots.resolveLiveOrTrash(fs, dirPath, rel,
+        s"change-feed window ($from, $to]")
 
     def side(asOf: Long, rels: Set[String], kind: String): DataFrame = {
       val base = spark.read.format("arrow-ipc")
         .option("asOfSnapshot", asOf).load(dir)
       // resolve each relative path the way the as-of scan will (live
-      // first, trash second) so the pushed `_file IN` matches exactly
-      val paths = rels.toSeq.sorted.map(
-        ArrowSnapshots.resolveLiveOrTrash(fs, dirPath, _,
-          s"change-feed window ($from, $to]"))
+      // first, trash second) so the pushed `_file IN` matches exactly.
+      // The as-of read applies the deletion vectors in force AT that
+      // snapshot, so inserts exclude positions already deleted by `to`
+      // and old-image deletes exclude positions already deleted at `from`.
+      val paths = rels.toSeq.sorted.map(resolve)
       val pruned =
         if (paths.isEmpty) base.filter(lit(false))
         else base.filter(col(ArrowRowLevel.FileColumn).isin(paths: _*))
@@ -66,7 +76,50 @@ object ArrowChanges {
     }
 
     val inserts = side(to, netAdds, "insert")
-    if (from == 0) inserts
-    else inserts.unionAll(side(from, netRemoves, "delete"))
+    if (from == 0) return inserts
+    val deletes = side(from, netRemoves, "delete")
+
+    // MERGE-ON-READ deltas: files standing at BOTH window edges whose
+    // deletion vector advanced emit exactly the newly-deleted positions
+    // as `delete` rows — the old image at `from`, narrowed by a semi
+    // join on (file, _pos) against the driver-computed position delta
+    // (bounded by the window's deleted-row count, the same O(changes)
+    // the feed already pays in changed files).
+    val addedNames = added.map(r => new Path(r).getName)
+    val removedNames = netRemoves.map(r => new Path(r).getName)
+    val mor = dvActivity.collect {
+      case (n, (Some(top), pre)) if !addedNames(n) && !removedNames(n) =>
+        (n, top, pre)
+    }.toSeq.sortBy(_._1)
+    if (mor.isEmpty) return inserts.unionAll(deletes)
+
+    val state = ArrowSnapshots.resolve(snaps, to).getOrElse(Set.empty)
+    val relByName = (ArrowDeleteVectors.splitResolved(state)._1 ++
+      added ++ removed).iterator.map(r => new Path(r).getName -> r).toMap
+    val pairs: Seq[(String, Long)] = mor.flatMap { case (n, top, pre) =>
+      val topPos = ArrowDeleteVectors.read(fs, new Path(resolve(top.rel)))
+      val preSet = pre.fold(Set.empty[Long])(p =>
+        ArrowDeleteVectors.read(fs, new Path(resolve(p.rel))).toSet)
+      val path = resolve(relByName.getOrElse(n,
+        throw new IllegalStateException(s"arrow-ipc change feed: window " +
+          s"($from, $to] has a deletion vector for $n but no snapshot " +
+          "records the file")))
+      topPos.iterator.filterNot(preSet).map(p => (path, p)).toSeq
+    }
+    import spark.implicits._
+    val delta = broadcast(pairs.toDF("__f", "__p"))
+    val asFrom = spark.read.format("arrow-ipc")
+      .option("asOfSnapshot", from).load(dir)
+    val dataCols = asFrom.columns.toSeq
+    val morRows = asFrom
+      .filter(col(ArrowRowLevel.FileColumn)
+        .isin(pairs.map(_._1).distinct: _*))
+      .select(dataCols.map(col) :+
+        col(ArrowRowLevel.FileColumn).as("__f") :+
+        col(ArrowRowLevel.PosColumn).as("__p"): _*)
+      .join(delta, Seq("__f", "__p"), "left_semi")
+      .drop("__f", "__p")
+      .withColumn("_change_type", lit("delete"))
+    inserts.unionAll(deletes).unionAll(morRows)
   }
 }

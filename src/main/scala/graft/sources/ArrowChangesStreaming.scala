@@ -30,9 +30,17 @@ private[sources] object ArrowSnapshotIdOffset {
 
 /** One changed file of a feed batch: full path (live or trash), the
   * directory-derived partition values (hive layouts), and the change
-  * type (`insert` | `delete`) its rows carry. */
+  * type (`insert` | `delete`) its rows carry. `skip`/`keep` are
+  * deletion-vector paths: `skip` masks positions OUT (an insert or
+  * old-image read excludes rows already deleted), `keep` masks
+  * positions IN (a merge-on-read delete's window delta emits EXACTLY
+  * the newly-deleted positions). `forceRow` is set batch-wide whenever
+  * ANY partition of the batch carries a mask — Spark requires one
+  * batch's partitions to agree on columnar-vs-row. */
 private[sources] case class ArrowChangePartition(
-    file: String, hiveValues: Seq[Option[String]], changeType: String)
+    file: String, hiveValues: Seq[Option[String]], changeType: String,
+    skip: Option[String] = None, keep: Option[String] = None,
+    forceRow: Boolean = false)
     extends InputPartition
 
 /** CHANGE FEED as a STRUCTURED STREAMING SOURCE — `spark.readStream
@@ -180,8 +188,15 @@ private[sources] class ArrowChangesMicroBatchStream(
     // direct-path parses, never an O(history) log read per batch.
     val window = ArrowSnapshots.readRange(f, dirPath, from, to,
       "a checkpointed stream")
-    val added = window.flatMap(_.adds).toSet
-    val removed = window.flatMap(_.removes).toSet
+    // deletion vectors ride the same log entries as data files but are
+    // MASK metadata: split them out before net-change folding (a dv rel
+    // must never be opened as a data file), and fold their own activity
+    // into per-file (topAdd, preWindow) pairs below
+    val (added, dvAdded) =
+      ArrowDeleteVectors.splitResolved(window.flatMap(_.adds).toSet)
+    val (removed, dvRemoved) =
+      ArrowDeleteVectors.splitResolved(window.flatMap(_.removes).toSet)
+    val dvActivity = ArrowDeleteVectors.windowActivity(dvAdded, dvRemoved)
     // net-change semantics: a file added and removed inside the window
     // (a transient epoch a compaction folded away) cancels.
     // MAINTENANCE ABSORPTION: a pure rewrite (compact/cluster) only MOVES
@@ -211,15 +226,65 @@ private[sources] class ArrowChangesMicroBatchStream(
     val netAddsAbsorbed = netAdds0 -- absorbedAdds
     val netRemovesAbsorbed =
       netRemoves0.filterNot(r => absorbedParents(new Path(r).getName))
-    def part(rel: String, kind: String): InputPartition =
-      ArrowChangePartition(
-        ArrowSnapshots.resolveLiveOrTrash(f, dirPath, rel,
-          s"change-feed window ($from, $to]"),
+
+    def resolveRel(rel: String): String =
+      ArrowSnapshots.resolveLiveOrTrash(f, dirPath, rel,
+        s"change-feed window ($from, $to]")
+    def resolveDv(ref: ArrowDeleteVectors.DvRef): String = resolveRel(ref.rel)
+    def dvOf(rel: String, side: ((Option[ArrowDeleteVectors.DvRef],
+        Option[ArrowDeleteVectors.DvRef])) => Option[ArrowDeleteVectors.DvRef])
+        : Option[String] =
+      dvActivity.get(new Path(rel).getName).flatMap(side).map(resolveDv)
+    def part(rel: String, kind: String, skip: Option[String],
+        keep: Option[String] = None): ArrowChangePartition =
+      ArrowChangePartition(resolveRel(rel),
         if (hiveFields.isEmpty) Nil
         else ArrowHiveLayout.parseRelPath(hiveFields, rel),
-        kind)
-    (netAddsAbsorbed.toSeq.sorted.map(part(_, "insert")) ++
-      netRemovesAbsorbed.toSeq.sorted.map(part(_, "delete"))).toArray
+        kind, skip, keep)
+
+    // MERGE-ON-READ deltas: a data file that existed at the window START
+    // and still stands at its end (not re-added, not emitted as a
+    // whole-file delete) but whose deletion vector ADVANCED in the window
+    // emits exactly the newly-deleted positions — keep the top committed
+    // gen, skip the gen in force at the window start. A compacted-away
+    // file (absorbed above) still emits its delta: the vector and the
+    // file both resolve from the trash.
+    val addedNames = added.map(r => new Path(r).getName)
+    val deleteEmittedNames = netRemovesAbsorbed.map(r => new Path(r).getName)
+    val morNames = dvActivity.collect {
+      case (name, (Some(top), pre))
+          if !addedNames(name) && !deleteEmittedNames(name) =>
+        (name, top, pre)
+    }.toSeq.sortBy(_._1)
+    val relByName: Map[String, String] =
+      if (morNames.isEmpty) Map.empty
+      else {
+        // name → rel (flat: identity; hive: nested): the window's own
+        // entries cover touched files, the `to`-state covers files whose
+        // ONLY window change is their vector
+        val snaps = ArrowSnapshots.read(f, dirPath)
+        val state = ArrowSnapshots.resolve(snaps, to).getOrElse(Set.empty)
+        (ArrowDeleteVectors.splitResolved(state)._1 ++ added ++ removed)
+          .iterator.map(r => new Path(r).getName -> r).toMap
+      }
+    val morParts = morNames.map { case (name, top, pre) =>
+      val rel = relByName.getOrElse(name, throw new IllegalStateException(
+        s"arrow-ipc change feed: window ($from, $to] has a deletion " +
+          s"vector for $name but no snapshot records the file"))
+      part(rel, "delete", skip = pre.map(resolveDv),
+        keep = Some(resolveDv(top)))
+    }
+
+    // inserts exclude positions already deleted by the window's end;
+    // old-image deletes exclude positions already deleted at its start
+    val parts: Seq[ArrowChangePartition] =
+      netAddsAbsorbed.toSeq.sorted.map(r => part(r, "insert", dvOf(r, _._1))) ++
+      netRemovesAbsorbed.toSeq.sorted.map(r => part(r, "delete", dvOf(r, _._2))) ++
+      morParts
+    // one batch's partitions must agree on columnar-vs-row
+    val anyMask = parts.exists(p => p.skip.isDefined || p.keep.isDefined)
+    parts.map(p => (if (anyMask) p.copy(forceRow = true) else p)
+      : InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -254,8 +319,8 @@ private[sources] class ArrowChangeTypeReaderFactory(
 
   private def innerPartition(p: InputPartition): InputPartition = p match {
     case c: ArrowChangePartition =>
-      if (hiveFields.isEmpty) ArrowFilePartition(c.file)
-      else ArrowHiveFilePartition(c.file, c.hiveValues)
+      if (hiveFields.isEmpty) ArrowFilePartition(c.file, c.skip, c.keep)
+      else ArrowHiveFilePartition(c.file, c.hiveValues, c.skip, c.keep)
     case other => throw new IllegalStateException(
       s"arrow-ipc change feed: unexpected partition $other")
   }
@@ -287,7 +352,13 @@ private[sources] class ArrowChangeTypeReaderFactory(
   }
 
   override def supportColumnarReads(p: InputPartition): Boolean =
-    inner.supportColumnarReads(innerPartition(p))
+    // masked rows need the row path, and a batch with ANY mask rides
+    // forceRow on every partition so the batch stays uniform
+    (p match {
+      case c: ArrowChangePartition =>
+        !c.forceRow && c.skip.isEmpty && c.keep.isEmpty
+      case _ => true
+    }) && inner.supportColumnarReads(innerPartition(p))
 
   override def createColumnarReader(p: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {

@@ -236,6 +236,33 @@ private[graft] object ArrowDeleteVectors {
   def splitResolved(set: Set[String]): (Set[String], Set[String]) =
     set.partition(!_.startsWith(DvDir + "/"))
 
+  /** Per-data-file deletion-vector activity over a change-feed window:
+    * `topAdd` = the highest vector gen COMMITTED in the window (the
+    * positions deleted by the END of it — gens are cumulative), `pre` =
+    * the vector IN FORCE AT THE WINDOW START (removed by a window commit
+    * but never added by one; gens are linear, so at most one exists).
+    * A file whose rows were deleted in the window emits exactly
+    * `positions(topAdd) − positions(pre)` as `delete` change rows. */
+  def windowActivity(addRels: Iterable[String], removeRels: Iterable[String])
+      : Map[String, (Option[DvRef], Option[DvRef])] = {
+    def refs(rels: Iterable[String]): Seq[(String, DvRef)] =
+      rels.iterator.filter(_.startsWith(DvDir + "/")).flatMap { rel =>
+        parseName(new Path(rel).getName).map { case (data, gen, card) =>
+          data -> DvRef(rel, gen, card)
+        }
+      }.toSeq
+    val addedAll = refs(addRels)
+    val added = addedAll.groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2).maxBy(_.gen) }
+    // a removed rel that was ALSO added in the window is intermediate
+    // churn (g1→g2→g3 removes g1 and g2, adds g2 and g3: pre = g1 only)
+    val addedRels: Set[String] = addedAll.map(_._2.rel).toSet
+    val pre = refs(removeRels).filter(r => !addedRels.contains(r._2.rel))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).maxBy(_.gen) }
+    (added.keySet ++ pre.keySet).iterator
+      .map(k => k -> (added.get(k), pre.get(k))).toMap
+  }
+
   // ── the MOR DELETE statement ─────────────────────────────────────────
 
   case class MorDeleteResult(files: Int, deletedRows: Long, retries: Int)

@@ -221,7 +221,8 @@ private[graft] object ArrowHiveLayout {
   * partition values (canonical stat strings, None = NULL partition). */
 private[sources] case class ArrowHiveFilePartition(
     file: String, values: Seq[Option[String]],
-    dv: Option[String] = None) extends InputPartition
+    dv: Option[String] = None,
+    keep: Option[String] = None) extends InputPartition
 
 /** Reader factory for hive-partitioned directories: inner readers decode
   * only the DATA columns present in the files; the partition columns are
@@ -262,9 +263,10 @@ private[sources] class ArrowIpcHiveReaderFactory(
     }
 
   private def rowReader(file: String, values: Seq[Option[String]],
-      dv: Option[String] = None): PartitionReader[InternalRow] = {
+      dv: Option[String] = None,
+      keep: Option[String] = None): PartitionReader[InternalRow] = {
     val inner = new ArrowIpcPartitionReader(file, dataRequired, conf, limit,
-      skip = maskOf(dv))
+      skip = maskOf(dv), keepOnly = maskOf(keep))
     val consts = internals(values)
     val types = required.fields.map(_.dataType)
     val out = slots.length + (if (posSlot >= 0) 1 else 0)
@@ -326,7 +328,7 @@ private[sources] class ArrowIpcHiveReaderFactory(
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
-      case p: ArrowHiveFilePartition => rowReader(p.file, p.values, p.dv)
+      case p: ArrowHiveFilePartition => rowReader(p.file, p.values, p.dv, p.keep)
       case k: ArrowKeyedPartition =>
         // a storage-partitioned key group over a hive directory: chain the
         // splicing readers, each file with its own directory values

@@ -1183,10 +1183,14 @@ private[sources] class ArrowIpcScan(required: StructType, dir: String,
     }
 }
 
-/** One data file; `dv` = absolute path of its live deletion vector (the
-  * readers mask those positions; None for the untouched common case). */
+/** One data file; `dv` = absolute path of a deletion vector whose
+  * positions the readers SKIP (None for the untouched common case);
+  * `keep` = a vector whose positions are the ONLY ones emitted (the
+  * change feed's "rows deleted in this window" = keep new gen, skip old
+  * gen). */
 private[sources] case class ArrowFilePartition(file: String,
-    dv: Option[String] = None) extends InputPartition
+    dv: Option[String] = None,
+    keep: Option[String] = None) extends InputPartition
 
 private[sources] case object ArrowAggPartition extends InputPartition
 
@@ -1226,8 +1230,10 @@ private[sources] class ArrowIpcReaderFactory(
       ArrowDeleteVectors.readBitSet(path.getFileSystem(conf.value), path)
     }
 
-  private def core(file: String, dv: Option[String]): ArrowIpcPartitionReader =
-    new ArrowIpcPartitionReader(file, required, conf, limit, skip = maskOf(dv))
+  private def core(file: String, dv: Option[String],
+      keep: Option[String] = None): ArrowIpcPartitionReader =
+    new ArrowIpcPartitionReader(file, required, conf, limit,
+      skip = maskOf(dv), keepOnly = maskOf(keep))
 
   /** Splice the row's physical position at `posSlot` (the `_pos`
     * metadata column) — per-row, so it rides the core reader's own
@@ -1255,8 +1261,9 @@ private[sources] class ArrowIpcReaderFactory(
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
-      case ArrowFilePartition(file, dv) =>
-        if (posSlot < 0) core(file, dv) else withPos(core(file, dv))
+      case ArrowFilePartition(file, dv, keep) =>
+        if (posSlot < 0) core(file, dv, keep)
+        else withPos(core(file, dv, keep))
       case k: ArrowKeyedPartition =>
         // `_pos` projection disables key grouping at the scan, so a keyed
         // partition never splices positions; per-file dv masks chain
@@ -1295,7 +1302,7 @@ private[sources] class ArrowIpcReaderFactory(
   override def createColumnarReader(
       partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
     partition match {
-      case ArrowFilePartition(file, _) =>
+      case ArrowFilePartition(file, _, _) =>
         new ArrowIpcColumnarReader(file, required, conf, limit)
       case k: ArrowKeyedPartition =>
         new ChainedPartitionReader[String, org.apache.spark.sql.vectorized.ColumnarBatch](

@@ -89,7 +89,7 @@ private[sources] class ArrowFileColReaderFactory(
     extends PartitionReaderFactory {
 
   private def fileOf(p: InputPartition): String = p match {
-    case ArrowFilePartition(f, _) => f
+    case ArrowFilePartition(f, _, _) => f
     case h: ArrowHiveFilePartition => h.file
     case other => throw new IllegalStateException(
       s"arrow-ipc: _file projection over unexpected partition $other")

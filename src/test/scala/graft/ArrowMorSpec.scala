@@ -316,6 +316,74 @@ class ArrowMorSpec extends AnyFunSuite {
     assert(liveDvs(dir).isEmpty)
   }
 
+  // ── change-feed integration ───────────────────────────────────────────
+
+  test("batch change feed emits a MOR delete as exactly the newly-deleted rows") {
+    val dir = tmp("graft_mor_cdc_batch")
+    spark.range(0, 200).select(col("id")).coalesce(1)
+      .write.format("arrow-ipc").mode("overwrite").save(dir)
+    val fs = fsOf(dir)
+    val tip0 = ArrowSnapshots.currentTip(fs, new Path(dir))
+    ArrowDeleteVectors.deleteMor(spark, dir, "id < 10")
+    val tip1 = ArrowSnapshots.currentTip(fs, new Path(dir))
+    ArrowDeleteVectors.deleteMor(spark, dir, "id >= 190 OR id < 15")
+    val tip2 = ArrowSnapshots.currentTip(fs, new Path(dir))
+
+    def feed(from: Long, to: Long): Map[String, Set[Long]] =
+      graft.sources.ArrowChanges.changeFeed(spark, dir, from, to)
+        .collect().groupBy(_.getAs[String]("_change_type"))
+        .map { case (k, rs) => k -> rs.map(_.getAs[Long]("id")).toSet }
+
+    // first window: only the 10 deleted rows, as deletes
+    assert(feed(tip0, tip1) === Map("delete" -> (0L until 10L).toSet))
+    // second window: only the NEWLY deleted (cumulative gen diffed)
+    assert(feed(tip1, tip2) ===
+      Map("delete" -> ((10L until 15L) ++ (190L until 200L)).toSet))
+    // spanning window: the union, still no inserts
+    assert(feed(tip0, tip2) ===
+      Map("delete" -> ((0L until 15L) ++ (190L until 200L)).toSet))
+    // from the beginning: net state at `to` as inserts only
+    val boot = feed(0L, tip2)
+    assert(boot.keySet === Set("insert"))
+    assert(boot("insert") === (15L until 190L).toSet)
+  }
+
+  test("streaming change feed: a live MOR delete arrives as delete rows; a same-window compaction absorbs into the delta") {
+    val base = java.nio.file.Files.createTempDirectory("graft_mor_cdc_stream").toString
+    val dir = s"$base/t"
+    spark.range(0, 100).select(col("id"))
+      .repartitionByRange(2, col("id"))
+      .write.format("arrow-ipc").mode("overwrite").save(dir)
+    val q = spark.readStream.format("arrow-ipc")
+      .option("changeFeed", true).load(dir)
+      .writeStream.format("memory").queryName("mor_cdc")
+      .option("checkpointLocation", s"$base/ckpt")
+      .start()
+    def rows(): Map[String, Set[Long]] =
+      spark.table("mor_cdc").collect()
+        .groupBy(_.getAs[String]("_change_type"))
+        .map { case (k, rs) => k -> rs.map(_.getAs[Long]("id")).toSet }
+    try {
+      q.processAllAvailable()
+      assert(rows() === Map("insert" -> (0L until 100L).toSet))
+      // a MOR delete lands → exactly the deleted rows stream out
+      ArrowDeleteVectors.deleteMor(spark, dir, "id % 10 = 3")
+      q.processAllAvailable()
+      assert(rows()("delete") === (0L until 100L).filter(_ % 10 == 3).toSet)
+      // MOR delete + compaction land within ONE polling window: the
+      // rewrite is absorbed (lineage), the delta reads from the trash
+      q.processAllAvailable() // drain first so the next window is clean
+      ArrowDeleteVectors.deleteMor(spark, dir, "id = 50")
+      assert(ArrowMaintenance.compact(spark, dir).isDefined)
+      q.processAllAvailable()
+      assert(rows()("delete") ===
+        ((0L until 100L).filter(_ % 10 == 3) :+ 50L).toSet,
+        "a compaction absorbed the MOR delta or re-emitted absorbed rows")
+      assert(rows()("insert") === (0L until 100L).toSet,
+        "an absorbed rewrite re-emitted its rows as inserts")
+    } finally q.stop()
+  }
+
   // ── crash safety ──────────────────────────────────────────────────────
 
   test("a crash between intent and rename replays to completion via recover()") {
