@@ -754,6 +754,89 @@ object CoreQueries {
               FROM orders WHERE o_orderstatus <> 'F'
               GROUP BY 1 ORDER BY o_orderstatus""")),
 
+    // MERGE-ON-READ DELETE via DELETION VECTORS (round 11): the
+    // row-level path where copy-on-write does not scale — a point
+    // delete under COW rewrites every affected file in full, O(file
+    // bytes) per deleted row; here it commits O(deleted rows) of
+    // `.dv/` sidecar metadata instead (the Delta/Iceberg-v2 contract
+    // re-expressed over this source's snapshot log + OCC). Two deletes
+    // prove CUMULATIVE vectors (gen 2 = union), the SQL face is the
+    // `CALL graft.delete_mor` procedure, and the query SELF-ASSERTS
+    // that no data file was rewritten, moved, or even touched — the
+    // entire delete is sidecar metadata. The oracle checks the
+    // surviving aggregate; at 100 TB this is GDPR erasure at O(rows
+    // erased), with the next compaction folding the masks away.
+    ("arrow_delete_mor", (s, d) => {
+      val ord = T(s, d, "orders").select(
+        col("o_orderkey"), col("o_orderstatus"),
+        (col("o_totalprice").cast(DecimalType(12, 2)) * 100)
+          .cast(LongType).as("cents"))
+      // Scratch contract: see json_roundtrip.
+      val path = graft.sources.Scratch.dir(s, "graft_rt_arrowmor")
+      ord.repartitionByRange(6, col("o_orderkey"))
+        .write.format("arrow-ipc").mode("overwrite").save(path)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      def files = fs.globStatus(
+          new org.apache.hadoop.fs.Path(path, "part-*.arrows"))
+        .map(st => (st.getPath.getName, st.getLen,
+          st.getModificationTime)).toSet
+      val before = files
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.ArrowCatalog")
+      s.sql(s"CALL graft.delete_mor('$path', 'o_orderstatus = ''P''')")
+        .collect()
+      s.sql(s"CALL graft.delete_mor('$path', 'o_orderkey % 10 = 7')")
+        .collect()
+      require(files == before,
+        "arrow_delete_mor: a merge-on-read delete touched a data file")
+      require(graft.sources.ArrowDeleteVectors.live(fs,
+          new org.apache.hadoop.fs.Path(path)).nonEmpty,
+        "arrow_delete_mor: no deletion vector landed")
+      s.read.format("arrow-ipc").load(path)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("cnt"), sum(col("cents")).as("cents"))
+        .orderBy("o_orderstatus")
+    },
+      Some("""SELECT o_orderstatus, COUNT(*) AS cnt,
+                     CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+              FROM orders WHERE o_orderstatus <> 'P' AND o_orderkey % 10 <> 7
+              GROUP BY 1 ORDER BY o_orderstatus""")),
+
+    // The change feed over a merge-on-read window (round 11): a
+    // deletion-vector commit surfaces as `delete` change rows — exactly
+    // the newly-deleted positions, read as the old image and narrowed by
+    // the vector delta. The feed opens only the AFFECTED files (never
+    // the table), and the emitted set is position-exact even though no
+    // file changed — CDC for the GDPR shape.
+    ("arrow_changefeed_mor", (s, d) => {
+      val cust = T(s, d, "customer").select(
+        col("c_custkey"), col("c_nationkey"),
+        (col("c_acctbal").cast(DecimalType(12, 2)) * 100)
+          .cast(LongType).as("cents"))
+      // Scratch contract: see json_roundtrip.
+      val path = graft.sources.Scratch.dir(s, "graft_rt_arrowcfmor")
+      cust.repartitionByRange(4, col("c_custkey"))
+        .write.format("arrow-ipc").mode("overwrite").save(path)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val tip0 = graft.sources.ArrowSnapshots.currentTip(fs,
+        new org.apache.hadoop.fs.Path(path))
+      graft.sources.ArrowDeleteVectors.deleteMor(s, path, "cents < 0")
+      val tip1 = graft.sources.ArrowSnapshots.currentTip(fs,
+        new org.apache.hadoop.fs.Path(path))
+      graft.sources.ArrowChanges.changeFeed(s, path, tip0, tip1)
+        .groupBy(col("_change_type"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("c_custkey")).as("keysum"),
+          sum(col("cents")).as("cents"))
+        .orderBy("_change_type")
+    },
+      Some("""SELECT 'delete' AS _change_type, COUNT(*) AS cnt,
+                     CAST(SUM(c_custkey) AS BIGINT) AS keysum,
+                     CAST(SUM(CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+              FROM customer
+              WHERE CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) < 0""")),
+
     // SQL UPDATE via group-based COPY-ON-WRITE (round 9,
     // SupportsRowLevelOperations): the predicate straddles files (status
     // values mix inside every key-range file), so the metadata path

@@ -448,6 +448,23 @@ class ArrowCatalog extends TableCatalog with ProcedureCatalog {
         org.apache.spark.sql.types.StructField("retried", IntegerType))),
       r => Seq(row(ArrowDml.delete(SparkSession.active, dirArg(r),
         if (r.isNullAt(1)) None else Some(r.getUTF8String(1).toString))))),
+    // MERGE-ON-READ delete (round 11): commit O(deleted rows) of
+    // deletion-vector metadata instead of rewriting files — the GDPR
+    // point-delete shape; the next compact/vacuum folds the vectors away
+    GraftProcedure("delete_mor",
+      "merge-on-read DELETE FROM dir WHERE where_clause: mask row " +
+        "positions via deletion vectors (no file rewrite); bounded " +
+        "transparent retry on a lost commit race",
+      Array(in("dir", StringType), in("where_clause", StringType)),
+      StructType(Seq(
+        org.apache.spark.sql.types.StructField("files", IntegerType),
+        org.apache.spark.sql.types.StructField("deleted_rows", LongType),
+        org.apache.spark.sql.types.StructField("retried", IntegerType))),
+      r => {
+        val res = ArrowDeleteVectors.deleteMor(SparkSession.active,
+          dirArg(r), r.getUTF8String(1).toString)
+        Seq(row(res.files, res.deletedRows, res.retries))
+      }),
     GraftProcedure("clean_orphans",
       "delete provably-dead uncommitted stream files and task temps",
       Array(in("dir", StringType)),

@@ -163,6 +163,33 @@ class ArrowProcedureSpec extends AnyFunSuite {
     assert(v2.getInt(3) === -1 && v2.getInt(4) === -1)
   }
 
+  test("CALL delete_mor masks rows via deletion vectors without touching a file") {
+    val dir = tmp("graft_proc_mor")
+    spark.range(0, 300).select(col("id"), (col("id") % 3).as("k"))
+      .repartitionByRange(3, col("id"))
+      .write.format("arrow-ipc").mode("overwrite").save(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def files = fs.globStatus(
+        new org.apache.hadoop.fs.Path(dir, "part-*.arrows"))
+      .map(st => (st.getPath.getName, st.getModificationTime)).toSet
+    val before = files
+    val r = spark.sql(
+      s"CALL graft.system.delete_mor('$dir', 'k = 1')").head()
+    assert(r.getInt(0) === 3)    // files carrying a vector
+    assert(r.getLong(1) === 100) // rows masked
+    assert(r.getInt(2) === 0)    // uncontended: first attempt won
+    assert(files === before, "delete_mor touched a data file")
+    assert(spark.read.format("arrow-ipc").load(dir).count() === 200)
+    assert(spark.read.format("arrow-ipc").load(dir)
+      .filter(col("k") === 1).count() === 0)
+    // compact folds the vectors and the directory reads columnar again
+    spark.sql(s"CALL graft.system.compact('$dir')").collect()
+    assert(graft.sources.ArrowDeleteVectors.live(fs,
+      new org.apache.hadoop.fs.Path(dir)).isEmpty)
+    assert(spark.read.format("arrow-ipc").load(dir).count() === 200)
+  }
+
   test("CALL ivf_build / ivf_append maintain the stored ANN index from SQL") {
     import spark.implicits._
     val rnd = new scala.util.Random(5)
