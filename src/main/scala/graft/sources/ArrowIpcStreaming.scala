@@ -67,6 +67,16 @@ private[graft] object ArrowFilesOffset {
   * (ArrowStreamSpec documents this as the observed behavior; if Spark
   * grows streaming pushdown the skip activates unchanged).
   *
+  * Merge-on-read deletes ([[ArrowDeleteVectors]]) are NOT applied here,
+  * by design: this source is the APPEND LOG — a batch's content is the
+  * file as committed, so a checkpointed replay is bit-stable no matter
+  * what vectors landed since (masking at poll time would make the same
+  * offset window yield different rows before and after a restart). A
+  * delete-aware consumer reads the CHANGE FEED, which emits vector
+  * commits as position-exact `delete` events; note a compaction folds
+  * vectors physically, so a file absorbed via lineage never re-emits
+  * either way.
+  *
   * Hive-partitioned directories stream too (`hiveFields` non-empty): the
   * listing walks `key=value/` directories, the offset stays a set of bare
   * file NAMES (unique across value dirs by the writer contract, so the

@@ -16,11 +16,15 @@ import graft.sources.ArrowMaintenance
   *   - a clusterer loop (range-sort on id — a whole-table remove-carrying
   *     rewrite, the op most likely to lose validation races and retry),
   *   - a SQL DML loop (value-identity copy-on-write UPDATE — the
-  *     statement-level writer, which must lose cleanly or win cleanly).
+  *     statement-level writer, which must lose cleanly or win cleanly),
+  *   - a MERGE-ON-READ delete loop (round 11: deletion vectors racing
+  *     every rewrite — a compaction staged against gen N must lose to a
+  *     gen N+1 that lands mid-staging, never resurrect its rows).
   *
   * No sleeps are tuned and no outcome is scripted: whatever interleaving
   * the scheduler produces must satisfy the invariants at the end —
-  *   1. every id exactly once (no lost swap, no double-stage),
+  *   1. every id exactly once, minus exactly the deterministically
+  *      MOR-deleted set (no lost swap, no double-stage, no resurrection),
   *   2. the directory healed (latch up; no lock, intent, or staging),
   *   3. a fresh checkpointed streaming reader emits every row exactly
   *      once (lineage intact through however many rewrites landed).
@@ -35,7 +39,7 @@ object OccStressProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = s"/tmp/graft_scale/occ_stress_${System.nanoTime()}/out"
-    println(s"hammering $dir for ${seconds}s with 6 uncoordinated writers...")
+    println(s"hammering $dir for ${seconds}s with 7 uncoordinated writers...")
 
     val deadline = System.nanoTime() + seconds * 1000000000L
     val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
@@ -130,6 +134,33 @@ object OccStressProbe {
       }
     } catch { case e: Throwable => errs.add(e) })
 
+    // MERGE-ON-READ delete leg: deletion vectors racing every rewrite.
+    // The predicate is DETERMINISTIC over appender 1's ids (k = 5, i.e.
+    // id % 13 = 5, ids < 1e9), so the end state is computable: a final
+    // delete after the writers stop catches rows appended after the last
+    // in-flight one, and `expected` subtracts exactly that id set. A
+    // statement can exhaust its bounded retries under this pressure —
+    // refused loudly, atomically, by the same contract as maintenance.
+    val morDeletes = new java.util.concurrent.atomic.AtomicInteger(0)
+    val morRefused = new java.util.concurrent.atomic.AtomicInteger(0)
+    val MorPredicate = "k = 5 AND id < 500000000"
+    val morrer = new Thread(() => try {
+      while (System.nanoTime() < deadline) {
+        try {
+          graft.sources.ArrowDeleteVectors.deleteMor(spark, dir, MorPredicate)
+          morDeletes.incrementAndGet()
+        } catch {
+          case e: Throwable if refusedLoudly(e) => morRefused.incrementAndGet()
+          // the leg can outrace the table's very existence (first append
+          // not committed yet) — not a conflict, just early
+          case e: Throwable if Option(e.getMessage).exists(m =>
+            m.contains("PATH_NOT_FOUND") || m.contains("does not exist") ||
+              m.contains("no .arrows files")) => ()
+        }
+        Thread.sleep(200)
+      }
+    } catch { case e: Throwable => errs.add(e) })
+
     // streaming leg: ids 2e9.., one epoch per addData
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
@@ -150,17 +181,35 @@ object OccStressProbe {
 
     val threads = Seq(appender(0L, appended),
       appender(1000000000L, appended2), maintainer, clusterer, dmler,
-      streamer)
+      morrer, streamer)
     threads.foreach(_.start()); threads.foreach(_.join())
     sq.processAllAvailable(); sq.stop()
 
-    val expected = appended.get + appended2.get + streamed
+    // the deterministic tail: one final MOR delete catches ids appended
+    // after the last in-flight one, then one compaction folds every
+    // vector so the batch read, the manifest counts, and a fresh
+    // streaming reader all describe the same physical rows
+    graft.sources.ArrowDeleteVectors.deleteMor(spark, dir, MorPredicate)
+    ArrowMaintenance.compact(spark, dir)
+    val morDeleted = (0L until appended.get).count(_ % 13 == 5).toLong
+    val fs0 = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // compact() no-ops on a ≤1-file table; a cluster rewrite folds too
+    if (graft.sources.ArrowDeleteVectors.live(fs0,
+        new org.apache.hadoop.fs.Path(dir)).nonEmpty)
+      ArrowMaintenance.cluster(spark, dir, Seq("id"))
+    require(graft.sources.ArrowDeleteVectors.live(fs0,
+        new org.apache.hadoop.fs.Path(dir)).isEmpty,
+      "the final rewrite did not fold every deletion vector")
+
+    val expected = appended.get + appended2.get + streamed - morDeleted
     println(f"  writers done: ${appended.get + appended2.get}%d batch ids, " +
       f"$streamed%d streamed ids, ${compactions.get}%d compactions, " +
       f"${clusterings.get}%d clusterings, ${updates.get}%d COW updates " +
       f"(${dmlRetries.get}%d transparent retries, ${dmlSurfaced.get}%d " +
-      f"surfaced), ${conflicts.get}%d maintenance retry-exhaustions " +
-      "(refused loudly, by contract)")
+      f"surfaced), ${morDeletes.get}%d MOR deletes (${morRefused.get}%d " +
+      f"refused, $morDeleted%d ids masked), ${conflicts.get}%d " +
+      "maintenance retry-exhaustions (refused loudly, by contract)")
     require(errs.isEmpty, s"writer failed: ${errs.peek()}")
     require(dmlSurfaced.get == 0,
       "a DML statement surfaced a conflict despite bounded retry at " +
@@ -168,8 +217,12 @@ object OccStressProbe {
 
     val back = spark.read.format("arrow-ipc").load(dir)
     val (cnt, dst) = (back.count(), back.select("id").distinct().count())
-    println(s"  invariant 1 — every id exactly once: count=$cnt distinct=$dst expected=$expected")
+    println(s"  invariant 1 — every id exactly once minus the MOR-deleted set: " +
+      s"count=$cnt distinct=$dst expected=$expected")
     require(cnt == expected && dst == expected, "LOST OR DUPLICATED ROWS")
+    require(back.filter(col("id") < 500000000L)
+        .filter(col("id") % 13 === 5).count() == 0,
+      "a rewrite RESURRECTED merge-on-read-deleted rows")
 
     // a run that lost its race MID-STAGING leaves its staging dir to the
     // stale sweep by design — collapse the window and vacuum, then the
