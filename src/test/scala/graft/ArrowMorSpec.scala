@@ -316,6 +316,57 @@ class ArrowMorSpec extends AnyFunSuite {
     assert(liveDvs(dir).isEmpty)
   }
 
+  test("a metadata (whole-file) DELETE retires the dropped file's vector with it") {
+    val dir = tmp("graft_mor_metadel")
+    import spark.implicits._
+    // key-grouped on k so `k = 'a'` classifies whole files from stats
+    val df = (0 until 300).map(i => (i.toLong, if (i < 150) "a" else "b"))
+      .toDF("id", "k")
+    graft.sources.Sinks.writeKeyGrouped(df, dir, Seq("k"), partitions = 2)
+    ArrowDeleteVectors.deleteMor(spark, dir, "id % 50 = 0") // both files
+    assert(liveDvs(dir).size === 2)
+    val res = ArrowMaintenance.deleteWhere(spark, dir,
+      Array(org.apache.spark.sql.sources.EqualTo("k", "a")))
+    assert(res.deleted >= 1)
+    // the dropped file's vector left the live dir and the snapshot state
+    val fs = fsOf(dir)
+    assert(liveDvs(dir).size === 1)
+    val snaps = ArrowSnapshots.read(fs, new Path(dir))
+    val tipState = ArrowSnapshots.resolve(snaps, snaps.last.id).get
+    assert(ArrowDeleteVectors.fromResolvedSet(tipState).size === 1,
+      "the snapshot tip still references the dropped file's vector")
+    val back = spark.read.format("arrow-ipc").load(dir)
+    assert(back.count() === 147) // 150 'b' rows minus ids 150,200,250
+    assert(back.where(col("id") % 50 === 0).count() === 0)
+  }
+
+  test("expiry keeps trash vectors referenced by retained snapshots, collects the rest") {
+    val dir = tmp("graft_mor_expire")
+    spark.range(0, 200).coalesce(1)
+      .write.format("arrow-ipc").mode("overwrite").save(dir)
+    val fs = fsOf(dir)
+    ArrowDeleteVectors.deleteMor(spark, dir, "id < 25")
+    val afterDelete = ArrowSnapshots.currentTip(fs, new Path(dir))
+    assert(ArrowMaintenance.compact(spark, dir).isEmpty) // 1 file: no-op
+    ArrowMaintenance.cluster(spark, dir, Seq("id"))      // folds the vector
+    assert(liveDvs(dir).isEmpty)
+    // the pre-fold snapshot still reads through the trash vector
+    assert(spark.read.format("arrow-ipc")
+      .option("asOfSnapshot", afterDelete).load(dir).count() === 175)
+    // expire everything before the tip: the trash vector is unreferenced
+    val tip = ArrowSnapshots.currentTip(fs, new Path(dir))
+    ArrowMaintenance.expireSnapshots(spark, dir, tip)
+    intercept[Exception] {
+      spark.read.format("arrow-ipc")
+        .option("asOfSnapshot", afterDelete).load(dir).count()
+    }
+    val trashDv = new Path(dir,
+      s"${graft.sources.ArrowSnapshots.TrashDir}/${ArrowDeleteVectors.DvDir}")
+    assert(!fs.exists(trashDv) ||
+      fs.listStatus(trashDv).isEmpty, "expiry leaked an unreferenced vector")
+    assert(spark.read.format("arrow-ipc").load(dir).count() === 175)
+  }
+
   // ── change-feed integration ───────────────────────────────────────────
 
   test("batch change feed emits a MOR delete as exactly the newly-deleted rows") {
