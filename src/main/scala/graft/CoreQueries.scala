@@ -785,8 +785,12 @@ object CoreQueries {
       s.conf.set("spark.sql.catalog.graft", "graft.sources.ArrowCatalog")
       s.sql(s"CALL graft.delete_mor('$path', 'o_orderstatus = ''P''')")
         .collect()
-      s.sql(s"CALL graft.delete_mor('$path', 'o_orderkey % 10 = 7')")
-        .collect()
+      // the second (cumulative, gen-2) delete takes the OTHER SQL face:
+      // plain DELETE routed through the SupportsDelta position-delta
+      // protocol by deleteMode=mor
+      s.conf.set("spark.graft.arrow.deleteMode", "mor")
+      try s.sql(s"DELETE FROM graft.`$path` WHERE o_orderkey % 10 = 7")
+      finally s.conf.unset("spark.graft.arrow.deleteMode")
       require(files == before,
         "arrow_delete_mor: a merge-on-read delete touched a data file")
       require(graft.sources.ArrowDeleteVectors.live(fs,

@@ -267,7 +267,7 @@ private[graft] object ArrowDeleteVectors {
 
   case class MorDeleteResult(files: Int, deletedRows: Long, retries: Int)
 
-  private def morMaxRows: Long =
+  private[sources] def morMaxRows: Long =
     scala.util.Try(SparkSession.active.conf
       .get("spark.graft.arrow.morMaxDeletedRows", (10L * 1000 * 1000).toString)
       .toLong).getOrElse(10L * 1000 * 1000)
@@ -319,9 +319,27 @@ private[graft] object ArrowDeleteVectors {
       .collect()
       .map(r => (r.getString(0), r.getSeq[Long](1).toArray))
     if (perFile.isEmpty) return (0, 0L)
-    // the statement's true row count (the pre-count ran as a separate
-    // scan; the commit validates against racing writers anyway)
+    commitDeletes(spark, dir, perFile)
+  }
+
+  /** The delete's COMMIT TAIL, shared by [[deleteMorOnce]] (the
+    * find-scan face) and the SupportsDelta write ([[ArrowMorRowLevel]] —
+    * plain SQL `DELETE FROM`): stage cumulative vectors outside the
+    * lock, then validate + intent + replay under it. `perFile` keys are
+    * the scan's `_file` constants (qualified paths); positions need not
+    * be sorted or unique across callers. */
+  private[sources] def commitDeletes(spark: SparkSession, dir: String,
+      perFileRaw: Array[(String, Array[Long])]): (Int, Long) = {
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val perFile = perFileRaw.map { case (p, ps) => (p, ps.distinct.sorted) }
+    if (perFile.isEmpty) return (0, 0L)
     val deleted = perFile.map(_._2.length.toLong).sum
+    require(deleted <= morMaxRows,
+      s"arrow-ipc MOR delete on $dir matches $deleted rows (cap " +
+        s"spark.graft.arrow.morMaxDeletedRows=$morMaxRows) — a delete this " +
+        "bulky should rewrite, not mask: use the COW path (ArrowDml.delete " +
+        "/ DELETE FROM), whose cost amortizes at that scale")
 
     // 2. STAGE new cumulative vectors OUTSIDE the lock: union each file's
     // fresh positions with its CURRENT vector; remember which old vector
@@ -373,6 +391,7 @@ private[graft] object ArrowDeleteVectors {
     }
     (perFile.length, deleted)
   }
+  // (end of commitDeletes)
 
   private def relOf(fs: FileSystem, dirPath: Path, abs: String): String =
     ArrowSnapshots.relativize(fs, dirPath, new Path(abs))

@@ -127,7 +127,25 @@ private[sources] class ArrowIpcTable(tableSchema: StructType, dir: String,
       s"arrow-ipc: ${info.command} needs the `${ArrowRowLevel.FileColumn}` " +
         "metadata column, but this dataset's schema claims that name — " +
         "rename the data column to use row-level DML")
-    () => new ArrowCowOperation(tableSchema, dir, info)
+    // DELETE routes by `spark.graft.arrow.deleteMode`: `cow` (default)
+    // rewrites affected files; `mor` commits deletion vectors through
+    // the SupportsDelta position-delta protocol (ArrowMorRowLevel) —
+    // O(deleted rows), no rewrite. Provable whole-file deletes are
+    // intercepted by canDeleteWhere BEFORE either; UPDATE/MERGE always
+    // rewrite (their MOR dual would pay delete+insert amplification).
+    val mor = info.command ==
+      org.apache.spark.sql.connector.write.RowLevelOperation.Command.DELETE &&
+      scala.util.Try(SparkSession.active.conf
+        .get("spark.graft.arrow.deleteMode", "cow")).getOrElse("cow") == "mor"
+    if (mor) {
+      require(!tableSchema.fieldNames.contains(ArrowRowLevel.PosColumn),
+        s"arrow-ipc: merge-on-read DELETE needs the " +
+          s"`${ArrowRowLevel.PosColumn}` metadata column, but this " +
+          "dataset's schema claims that name — rename the data column " +
+          "or use deleteMode=cow")
+      () => new ArrowMorDeleteOperation(tableSchema, dir, info)
+    } else
+      () => new ArrowCowOperation(tableSchema, dir, info)
   }
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,

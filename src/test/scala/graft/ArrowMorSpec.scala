@@ -316,6 +316,49 @@ class ArrowMorSpec extends AnyFunSuite {
     assert(liveDvs(dir).isEmpty)
   }
 
+  test("plain SQL DELETE rides SupportsDelta position deltas under deleteMode=mor") {
+    val dir = tmp("graft_mor_sql")
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.ArrowCatalog].getName)
+    spark.range(0, 420).select(col("id"), (col("id") % 7).as("k"))
+      .repartitionByRange(3, col("id"))
+      .write.format("arrow-ipc").mode("overwrite").save(dir)
+    val fs = fsOf(dir)
+    val before = dataFiles(dir)
+    val mtimes = before.map(n =>
+      n -> fs.getFileStatus(new Path(dir, n)).getModificationTime).toMap
+
+    spark.conf.set("spark.graft.arrow.deleteMode", "mor")
+    try {
+      // straddling predicate: the metadata path refuses, SupportsDelta
+      // plans the position delta
+      spark.sql(s"DELETE FROM graft.`$dir` WHERE k = 3")
+      assert(dataFiles(dir) === before)
+      before.foreach(n => assert(
+        fs.getFileStatus(new Path(dir, n)).getModificationTime === mtimes(n),
+        s"$n was rewritten by a merge-on-read SQL DELETE"))
+      assert(liveDvs(dir).values.map(_.card).sum === 60L)
+      val df = spark.read.format("arrow-ipc").load(dir)
+      assert(df.count() === 360)
+      assert(df.where(col("k") === 3).count() === 0)
+      // a second statement is cumulative (gen 2 = union)
+      spark.sql(s"DELETE FROM graft.`$dir` WHERE id < 14")
+      assert(liveDvs(dir).values.map(_.gen).max === 2)
+      val df2 = spark.read.format("arrow-ipc").load(dir)
+      assert(df2.count() === 348) // 360 - (14 ids minus the k=3 ids 3, 10)
+      assert(df2.agg(min("id")).head.getLong(0) === 14L)
+      // a provable whole-file predicate still takes the metadata path
+      // (strictly better than any vector): files are key-ranged on id
+      val dropped = ArrowMaintenance.canDeleteWhere(spark, dir,
+        Array(org.apache.spark.sql.sources.GreaterThanOrEqual("id", 280)))
+      assert(dropped, "the metadata classifier lost precedence under mor mode")
+    } finally spark.conf.unset("spark.graft.arrow.deleteMode")
+    // default mode unchanged: COW rewrite still lands after the unset
+    spark.sql(s"DELETE FROM graft.`$dir` WHERE id % 97 = 5")
+    assert(spark.read.format("arrow-ipc").load(dir)
+      .where(col("id") % 97 === 5).count() === 0)
+  }
+
   test("a metadata (whole-file) DELETE retires the dropped file's vector with it") {
     val dir = tmp("graft_mor_metadel")
     import spark.implicits._
