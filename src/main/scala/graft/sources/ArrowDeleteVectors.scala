@@ -297,29 +297,32 @@ private[graft] object ArrowDeleteVectors {
     // pruning drops provably-unaffected files before any task launches,
     // and the scan's own dv masking keeps already-deleted rows out (a
     // re-run of the same predicate is a no-op, not a fatter vector).
+    // ONE table scan: the matching (file, pos) set — tiny for the
+    // point-delete shape this path exists for — persists executor-side,
+    // so the cap check (which must run BEFORE any positions reach the
+    // driver: a runaway predicate fails on a distributed count, never as
+    // a driver OOM) and the per-file collect both read the cached hits
     val hits = spark.read.format("arrow-ipc").load(dir)
       .where(expr(condition))
       .select(col(ArrowRowLevel.FileColumn),
         col(ArrowRowLevel.PosColumn))
-    // enforce the cap BEFORE any positions reach the driver: a runaway
-    // predicate must fail on a distributed count, never on a driver
-    // collect (the pre-count re-scans only the stats/bloom-kept
-    // candidates — bounded, and the point-delete shape this path is for
-    // keeps it tiny)
-    val total = hits.count()
-    if (total == 0L) return (0, 0L)
-    require(total <= morMaxRows,
-      s"arrow-ipc MOR delete on $dir matches $total rows (cap " +
-        s"spark.graft.arrow.morMaxDeletedRows=$morMaxRows) — a delete this " +
-        "bulky should rewrite, not mask: use the COW path (ArrowDml.delete " +
-        "/ DELETE FROM), whose cost amortizes at that scale")
-    val perFile = hits
-      .groupBy(ArrowRowLevel.FileColumn)
-      .agg(sort_array(collect_list(col(ArrowRowLevel.PosColumn))).as("pos"))
-      .collect()
-      .map(r => (r.getString(0), r.getSeq[Long](1).toArray))
-    if (perFile.isEmpty) return (0, 0L)
-    commitDeletes(spark, dir, perFile)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    try {
+      val total = hits.count()
+      if (total == 0L) return (0, 0L)
+      require(total <= morMaxRows,
+        s"arrow-ipc MOR delete on $dir matches $total rows (cap " +
+          s"spark.graft.arrow.morMaxDeletedRows=$morMaxRows) — a delete this " +
+          "bulky should rewrite, not mask: use the COW path (ArrowDml.delete " +
+          "/ DELETE FROM), whose cost amortizes at that scale")
+      val perFile = hits
+        .groupBy(ArrowRowLevel.FileColumn)
+        .agg(sort_array(collect_list(col(ArrowRowLevel.PosColumn))).as("pos"))
+        .collect()
+        .map(r => (r.getString(0), r.getSeq[Long](1).toArray))
+      if (perFile.isEmpty) return (0, 0L)
+      commitDeletes(spark, dir, perFile)
+    } finally hits.unpersist(blocking = false)
   }
 
   /** The delete's COMMIT TAIL, shared by [[deleteMorOnce]] (the

@@ -1,0 +1,138 @@
+package graft.tools
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.sources.{ArrowDeleteVectors, ArrowDml, ArrowMaintenance}
+
+/** Dev-only probe: quantifies the MERGE-ON-READ delete's claims on the
+  * shape it exists for — a POINT DELETE (GDPR erasure: a handful of rows
+  * scattered across large files):
+  *
+  *   1. statement cost: wall time + bytes written, MOR (deletion
+  *      vectors) vs COW (file rewrite) for the same point predicate on
+  *      identical copies of one table — MOR must be O(deleted rows)
+  *      metadata, COW pays O(affected file bytes);
+  *   2. read tax: the same full-scan aggregate on the clean table, on
+  *      the vector-carrying table (masking forces the row path — the
+  *      honest cost), and after compaction folds the vectors (zero-copy
+  *      columnar restored, bit-identical result);
+  *   3. codec density: delta-varint bytes per deleted position at three
+  *      cardinalities.
+  *
+  * The numbers justify the routing default: vectors for point deletes,
+  * COW for bulk (the cap's rationale), compaction as the tax collector.
+  */
+object MorScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.ArrowCatalog")
+    val rows = args.headOption.map(_.toLong).getOrElse(4000000L)
+    val base = s"/tmp/graft_scale/mor_probe_$rows"
+    val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(base), true)
+
+    def build(dir: String): Unit =
+      spark.range(0, rows)
+        .select(col("id"), (col("id") % 1000).as("k"),
+          sha2(col("id").cast("string"), 256).as("payload"))
+        .repartitionByRange(8, col("id"))
+        .write.format("arrow-ipc").mode("overwrite").save(dir)
+
+    def dataBytes(dir: String): Long =
+      Option(fs.globStatus(new Path(dir, "part-*.arrows")))
+        .getOrElse(Array.empty).map(_.getLen).sum
+    def dvBytes(dir: String): Long =
+      Option(fs.globStatus(new Path(dir, ".dv/*.dv")))
+        .getOrElse(Array.empty).map(_.getLen).sum
+
+    def timed[T](body: => T): (T, Double) = {
+      val t = System.nanoTime(); val r = body
+      (r, (System.nanoTime() - t) / 1e6)
+    }
+
+    // ── 1. the point delete, at 1x and 2x data: the SAME ~0.1% predicate
+    // must cost MOR ~flat (O(deleted rows) metadata) while COW pays
+    // O(affected file bytes) — the asymptote, not one wall number ─────────
+    val predicate = "k = 777" // 0.1% of rows, scattered across every file
+    case class Leg(scale: Int, morMs: Double, morBytes: Long,
+      cowMs: Double, cowBytes: Long)
+    val morDir = s"$base/mor" // the 1x MOR table survives for phase 2
+    val legs = Seq(1, 2).map { m =>
+      val rs = rows * m
+      val mDir = if (m == 1) morDir else s"$base/mor$m"
+      val cDir = s"$base/cow$m"
+      println(s"building two identical ${rs}-row tables (8 files)...")
+      spark.range(0, rs)
+        .select(col("id"), (col("id") % 1000).as("k"),
+          sha2(col("id").cast("string"), 256).as("payload"))
+        .repartitionByRange(8, col("id"))
+        .write.format("arrow-ipc").mode("overwrite").save(mDir)
+      spark.read.format("arrow-ipc").load(mDir)
+        .write.format("arrow-ipc").mode("overwrite").save(cDir)
+      println(f"  table: ${dataBytes(mDir) / 1e6}%.0f MB data")
+      val (morRes, morMs) = timed(
+        ArrowDeleteVectors.deleteMor(spark, mDir, predicate))
+      val cowBefore = Option(fs.globStatus(new Path(cDir, "part-*.arrows")))
+        .getOrElse(Array.empty).map(_.getPath.getName).toSet
+      val (_, cowMs) = timed(ArrowDml.delete(spark, cDir, Some(predicate)))
+      val cowRewritten = Option(fs.globStatus(new Path(cDir, "part-*.arrows")))
+        .getOrElse(Array.empty).filter(st => !cowBefore(st.getPath.getName))
+        .map(_.getLen).sum
+      println(f"  MOR: ${morRes.deletedRows} rows in $morMs%.0f ms, " +
+        f"${dvBytes(mDir)} B written | COW: $cowMs%.0f ms, " +
+        f"$cowRewritten B rewritten " +
+        f"(${cowRewritten.toDouble / math.max(1L, dvBytes(mDir))}%.0fx more)")
+      Leg(m, morMs, dvBytes(mDir), cowMs, cowRewritten)
+    }
+    val (l1, l2) = (legs.head, legs.last)
+    // BYTES are the asymptote (a local NVMe page cache absorbs the COW
+    // rewrite, so wall time under ~1 GB is Spark fixed overhead for both
+    // paths; on an object store the write bytes ARE the statement cost):
+    // MOR bytes track DELETED ROWS, COW bytes track FILE SIZES.
+    println(f"  2x data growth: MOR ${l2.morBytes.toDouble / l1.morBytes}%.2fx " +
+      f"bytes (tracks deleted rows), COW ${l2.cowBytes.toDouble / l1.cowBytes}%.2fx " +
+      f"bytes (tracks file bytes), absolute gap " +
+      f"${l2.cowBytes.toDouble / l2.morBytes}%.0fx; wall (cache-noisy locally): " +
+      f"MOR ${l2.morMs / l1.morMs}%.2fx, COW ${l2.cowMs / l1.cowMs}%.2fx")
+
+    // ── 2. the read tax ──────────────────────────────────────────────────
+    def scanMs(dir: String, label: String): (Double, Long) = {
+      val q = spark.read.format("arrow-ipc").load(dir)
+        .agg(sum(col("id")), count(lit(1)))
+      q.collect() // warm plan/codegen
+      val (r, ms) = timed(q.collect())
+      println(f"  $label%-46s $ms%8.0f ms (cnt=${r.head.getLong(1)})")
+      (ms, r.head.getLong(1))
+    }
+    println("full-scan aggregate (sum+count), median-of-1 after warm:")
+    val clean = s"$base/clean"; build(clean)
+    val (cleanMs, _) = scanMs(clean, "clean table (zero-copy columnar)")
+    val (maskedMs, maskedCnt) = scanMs(morDir, "vector-carrying table (row path + mask)")
+    ArrowMaintenance.compact(spark, morDir)
+    require(ArrowDeleteVectors.live(fs, new Path(morDir)).isEmpty)
+    val (foldedMs, foldedCnt) = scanMs(morDir, "after compaction folds (columnar again)")
+    require(maskedCnt == foldedCnt, "fold changed the result")
+    println(f"  read tax while vectors live: ${maskedMs / cleanMs}%.1fx; " +
+      f"after fold: ${foldedMs / cleanMs}%.2fx")
+
+    // ── 3. codec density ─────────────────────────────────────────────────
+    println("codec density (delta-varint over sorted positions):")
+    Seq(1000, 100000, 1000000).foreach { n =>
+      val rnd = new java.util.Random(7)
+      val ps = Array.fill(n)(math.abs(rnd.nextLong()) % (n * 20L))
+        .distinct.sorted
+      val bytes = ArrowDeleteVectors.encode(ps).length
+      println(f"  ${ps.length}%8d positions -> $bytes%9d bytes " +
+        f"(${bytes.toDouble / ps.length}%.2f B/position)")
+    }
+    println("MOR PROBE DONE")
+    spark.stop()
+  }
+}
