@@ -465,6 +465,16 @@ class ArrowCatalog extends TableCatalog with ProcedureCatalog {
           dirArg(r), r.getUTF8String(1).toString)
         Seq(row(res.files, res.deletedRows, res.retries))
       }),
+    GraftProcedure("purge",
+      "fold deletion vectors by rewriting ONLY the vector-carrying " +
+        "files to their survivors (clean files untouched)",
+      Array(in("dir", StringType),
+        inDefault("target_bytes", LongType, "134217728")),
+      StructType(Seq(org.apache.spark.sql.types.StructField("old_files", IntegerType),
+        org.apache.spark.sql.types.StructField("new_files", IntegerType))),
+      r => ArrowMaintenance.purgeDeletes(SparkSession.active, dirArg(r),
+          targetBytes = targetBytes(r, 1))
+        .map(c => row(c.oldFiles, c.newFiles)).toSeq),
     GraftProcedure("clean_orphans",
       "delete provably-dead uncommitted stream files and task temps",
       Array(in("dir", StringType)),

@@ -34,13 +34,11 @@ private[sources] object ArrowSnapshotIdOffset {
   * deletion-vector paths: `skip` masks positions OUT (an insert or
   * old-image read excludes rows already deleted), `keep` masks
   * positions IN (a merge-on-read delete's window delta emits EXACTLY
-  * the newly-deleted positions). `forceRow` is set batch-wide whenever
-  * ANY partition of the batch carries a mask — Spark requires one
-  * batch's partitions to agree on columnar-vs-row. */
+  * the newly-deleted positions); both ride the columnar path through
+  * the row-remapping MaskedColumnVector. */
 private[sources] case class ArrowChangePartition(
     file: String, hiveValues: Seq[Option[String]], changeType: String,
-    skip: Option[String] = None, keep: Option[String] = None,
-    forceRow: Boolean = false)
+    skip: Option[String] = None, keep: Option[String] = None)
     extends InputPartition
 
 /** CHANGE FEED as a STRUCTURED STREAMING SOURCE — `spark.readStream
@@ -277,14 +275,9 @@ private[sources] class ArrowChangesMicroBatchStream(
 
     // inserts exclude positions already deleted by the window's end;
     // old-image deletes exclude positions already deleted at its start
-    val parts: Seq[ArrowChangePartition] =
-      netAddsAbsorbed.toSeq.sorted.map(r => part(r, "insert", dvOf(r, _._1))) ++
+    (netAddsAbsorbed.toSeq.sorted.map(r => part(r, "insert", dvOf(r, _._1))) ++
       netRemovesAbsorbed.toSeq.sorted.map(r => part(r, "delete", dvOf(r, _._2))) ++
-      morParts
-    // one batch's partitions must agree on columnar-vs-row
-    val anyMask = parts.exists(p => p.skip.isDefined || p.keep.isDefined)
-    parts.map(p => (if (anyMask) p.copy(forceRow = true) else p)
-      : InputPartition).toArray
+      morParts).map(p => p: InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -352,13 +345,9 @@ private[sources] class ArrowChangeTypeReaderFactory(
   }
 
   override def supportColumnarReads(p: InputPartition): Boolean =
-    // masked rows need the row path, and a batch with ANY mask rides
-    // forceRow on every partition so the batch stays uniform
-    (p match {
-      case c: ArrowChangePartition =>
-        !c.forceRow && c.skip.isEmpty && c.keep.isEmpty
-      case _ => true
-    }) && inner.supportColumnarReads(innerPartition(p))
+    // vector masks read columnar through MaskedColumnVector inside the
+    // inner readers — no row-path downgrade for masked batches
+    inner.supportColumnarReads(innerPartition(p))
 
   override def createColumnarReader(p: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {

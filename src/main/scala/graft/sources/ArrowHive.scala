@@ -233,7 +233,7 @@ private[sources] case class ArrowHiveFilePartition(
 private[sources] class ArrowIpcHiveReaderFactory(
     required: StructType, hiveFields: Seq[StructField],
     conf: SerializableHadoopConf, limit: Int = -1,
-    posSlot: Int = -1, anyDv: Boolean = false)
+    posSlot: Int = -1)
     extends PartitionReaderFactory {
 
   private val hiveNames = hiveFields.map(_.name)
@@ -292,11 +292,13 @@ private[sources] class ArrowIpcHiveReaderFactory(
     }
   }
 
-  private def columnarReader(file: String, values: Seq[Option[String]])
+  private def columnarReader(file: String, values: Seq[Option[String]],
+      dv: Option[String] = None, keep: Option[String] = None)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     import org.apache.spark.sql.execution.vectorized.ConstantColumnVector
     import org.apache.spark.sql.vectorized.{ColumnarBatch, ColumnVector}
-    val inner = new ArrowIpcColumnarReader(file, dataRequired, conf, limit)
+    val inner = new ArrowIpcColumnarReader(file, dataRequired, conf, limit,
+      skip = maskOf(dv), keepOnly = maskOf(keep))
     val consts = internals(values)
     new PartitionReader[ColumnarBatch] {
       override def next(): Boolean = inner.next()
@@ -338,20 +340,22 @@ private[sources] class ArrowIpcHiveReaderFactory(
           fv => rowReader(fv._1._1, fv._1._2, fv._2))
     }
 
-  // one scan's partitions must agree on columnar-vs-row (Spark refuses a
-  // mix), so ANY live deletion vector drops the whole scan to the row
-  // path — until compaction folds the vectors away
+  // deletion vectors read columnar through the row-remapping
+  // MaskedColumnVector (applied inside ArrowIpcColumnarReader), so the
+  // scan stays uniformly columnar whether or not masks exist
   override def supportColumnarReads(partition: InputPartition): Boolean =
-    posSlot < 0 && !anyDv
+    posSlot < 0
 
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
     partition match {
-      case p: ArrowHiveFilePartition => columnarReader(p.file, p.values)
+      case p: ArrowHiveFilePartition =>
+        columnarReader(p.file, p.values, p.dv, p.keep)
       case k: ArrowKeyedPartition =>
-        new ChainedPartitionReader[(String, Seq[Option[String]]),
+        new ChainedPartitionReader[((String, Seq[Option[String]]), Option[String]),
             org.apache.spark.sql.vectorized.ColumnarBatch](
-          k.files.zip(k.hiveValues), fv => columnarReader(fv._1, fv._2))
+          k.files.zip(k.hiveValues).zip(k.dvOrNone),
+          fv => columnarReader(fv._1._1, fv._1._2, fv._2))
     }
 }
 

@@ -705,20 +705,37 @@ private[sources] class ArrowIpcScan(required: StructType, dir: String,
     // task-committed files (names embed their pending queryIds) are
     // excluded below exactly like uncommitted stream epochs, and
     // everything else — manifest, ledger, snapshot log — still describes
-    // precisely the committed state. A swap in progress (intent present)
-    // or a crashed append (markers gone stale) still refuses loudly.
-    val pendingHidden: Set[String] =
-      if (!fs.exists(new Path(dirPath, "_schema.arrows")) ||
-          fs.exists(new Path(dirPath, "_SUCCESS"))) Set.empty
-      else {
-        val swapping = fs.exists(new Path(dirPath, ArrowMaintenance.IntentFile)) ||
-          fs.exists(new Path(dirPath, ArrowMaintenance.DeleteIntentFile))
-        val pend = ArrowOcc.livePendingQueryIds(fs, dirPath)
-        require(!swapping && pend.nonEmpty,
-          s"Arrow interchange: $dir has a schema sentinel but no _SUCCESS marker " +
-            "— the writing job did not complete; refusing to read partial data")
-        pend
+    // precisely the committed state. A swap IN PROGRESS (intent present,
+    // latch down) holds that state for single-digit milliseconds — a
+    // reader that lands inside the window WAITS it out (bounded,
+    // `spark.graft.arrow.readGateWaitMs`) instead of surfacing a spurious
+    // refusal to a continuous ingest+maintenance loop; only a state still
+    // torn past the wait (a crashed writer whose markers went stale)
+    // refuses loudly.
+    val pendingHidden: Set[String] = {
+      def gate(): Option[Set[String]] =
+        if (!fs.exists(new Path(dirPath, "_schema.arrows")) ||
+            fs.exists(new Path(dirPath, "_SUCCESS"))) Some(Set.empty)
+        else {
+          val swapping = fs.exists(new Path(dirPath, ArrowMaintenance.IntentFile)) ||
+            fs.exists(new Path(dirPath, ArrowMaintenance.DeleteIntentFile)) ||
+            fs.exists(new Path(dirPath, ArrowDeleteVectors.MorIntentFile))
+          val pend = ArrowOcc.livePendingQueryIds(fs, dirPath)
+          if (!swapping && pend.nonEmpty) Some(pend) else None
+        }
+      val waitMs = scala.util.Try(spark.conf
+        .get("spark.graft.arrow.readGateWaitMs", "3000").toLong).getOrElse(3000L)
+      val deadline = System.nanoTime() + waitMs * 1000000L
+      var out = gate()
+      while (out.isEmpty && System.nanoTime() < deadline) {
+        Thread.sleep(25)
+        out = gate()
       }
+      out.getOrElse(throw new IllegalArgumentException(
+        s"Arrow interchange: $dir has a schema sentinel but no _SUCCESS " +
+          s"marker after ${waitMs} ms — the writing job did not complete; " +
+          "refusing to read partial data"))
+    }
     // streaming-sink visibility: a stream-named file with no committed
     // ledger entry is an uncommitted epoch (crash leftover or in-flight)
     // and does not exist for readers; neither does an in-flight batch
@@ -1183,11 +1200,11 @@ private[sources] class ArrowIpcScan(required: StructType, dir: String,
         else posSlot
       val base =
         if (hiveFields.isEmpty)
-          new ArrowIpcReaderFactory(req, conf, limit, innerPos,
-            anyDv = dvPaths.nonEmpty): PartitionReaderFactory
+          new ArrowIpcReaderFactory(req, conf, limit, innerPos)
+            : PartitionReaderFactory
         else
-          new ArrowIpcHiveReaderFactory(req, hiveFields, conf, limit, innerPos,
-            anyDv = dvPaths.nonEmpty): PartitionReaderFactory
+          new ArrowIpcHiveReaderFactory(req, hiveFields, conf, limit, innerPos)
+            : PartitionReaderFactory
       if (fileSlot < 0) base
       else {
         val withPos =
@@ -1236,7 +1253,7 @@ private[sources] class ArrowAggReaderFactory(schema: StructType, rows: Array[Arr
 
 private[sources] class ArrowIpcReaderFactory(
     required: StructType, conf: SerializableHadoopConf, limit: Int = -1,
-    posSlot: Int = -1, anyDv: Boolean = false)
+    posSlot: Int = -1)
     extends PartitionReaderFactory {
 
   /** The deletion-vector mask of a partition's file, loaded task-side
@@ -1296,13 +1313,14 @@ private[sources] class ArrowIpcReaderFactory(
   // columnar scan consume them in place. The whole type surface wraps
   // zero-copy — except a FixedSizeBinary NESTED inside a struct, where
   // the shim can't be interposed (ArrowColumnVector wraps children
-  // itself); that one shape takes the row path below. A scan over ANY
-  // live DELETION VECTOR also takes the row path (masking needs per-row
-  // positions, and Spark requires every partition of one scan to agree
-  // on columnar-vs-row) — the cost lasts exactly until the next
-  // compaction folds the vectors away and restores the zero-copy read.
+  // itself); that one shape takes the row path below. DELETION VECTORS
+  // do NOT disqualify columnar: a masked file reads through the
+  // row-remapping [[MaskedColumnVector]] (one int per surviving row,
+  // zero column bytes copied), so clean files keep the zero-copy path
+  // and the whole scan stays uniformly columnar — Spark requires every
+  // partition of one scan to agree on columnar-vs-row.
   override def supportColumnarReads(partition: InputPartition): Boolean =
-    posSlot < 0 && !anyDv &&
+    posSlot < 0 &&
     !required.fields.exists(f => hasNestedFsb(f.dataType))
 
   private def hasNestedFsb(dt: org.apache.spark.sql.types.DataType): Boolean = {
@@ -1320,11 +1338,15 @@ private[sources] class ArrowIpcReaderFactory(
   override def createColumnarReader(
       partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
     partition match {
-      case ArrowFilePartition(file, _, _) =>
-        new ArrowIpcColumnarReader(file, required, conf, limit)
+      case ArrowFilePartition(file, dv, keep) =>
+        new ArrowIpcColumnarReader(file, required, conf, limit,
+          skip = maskOf(dv), keepOnly = maskOf(keep))
       case k: ArrowKeyedPartition =>
-        new ChainedPartitionReader[String, org.apache.spark.sql.vectorized.ColumnarBatch](
-          k.files, f => new ArrowIpcColumnarReader(f, required, conf, limit))
+        new ChainedPartitionReader[(String, Option[String]),
+            org.apache.spark.sql.vectorized.ColumnarBatch](
+          k.files.zip(k.dvOrNone),
+          fd => new ArrowIpcColumnarReader(fd._1, required, conf, limit,
+            skip = maskOf(fd._2)))
     }
 }
 
@@ -1336,7 +1358,9 @@ private[sources] class ArrowIpcReaderFactory(
   * reader contract: a batch is consumed before the next `next()`). */
 private[sources] class ArrowIpcColumnarReader(
     file: String, required: StructType, conf: SerializableHadoopConf,
-    limit: Int = -1)
+    limit: Int = -1,
+    skip: java.util.BitSet = null,
+    keepOnly: java.util.BitSet = null)
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
   import org.apache.spark.sql.vectorized.{ArrowColumnVector, ColumnarBatch, ColumnVector}
 
@@ -1356,35 +1380,67 @@ private[sources] class ArrowIpcColumnarReader(
 
   private var current: ColumnarBatch = _
   private var produced = 0L
+  private var physBase = 0L
+
+  /** Deletion-vector masking, columnar face: same semantics as the row
+    * reader's (`skip` drops positions, `keepOnly` keeps exactly those). */
+  private def masked(pos: Long): Boolean =
+    (skip != null && pos <= Int.MaxValue && skip.get(pos.toInt)) ||
+      (keepOnly != null && (pos > Int.MaxValue || !keepOnly.get(pos.toInt)))
 
   override def next(): Boolean = {
     // pushed limit: a batch may overshoot (Spark's own Limit trims), but
     // no FURTHER batch is loaded once n rows are out — a limit 10 over a
-    // TB directory reads ~one batch per file
+    // TB directory reads ~one batch per file. With masks, `produced`
+    // counts SURVIVORS, so the limit contract is over emitted rows.
     if (limit >= 0 && produced >= limit) return false
-    if (!reader.loadNextBatch()) return false
-    val vecs: Array[ColumnVector] =
-      cols.zipWithIndex.map {
-        case (-1, c) => // evolved column absent from this file: all-NULL
-          val v = new org.apache.spark.sql.execution.vectorized
-            .ConstantColumnVector(root.getRowCount, required.fields(c).dataType)
-          v.setNull()
-          v: ColumnVector
-        case (i, c) => root.getVector(i) match {
-          case f: org.apache.arrow.vector.FixedSizeBinaryVector =>
-            new FixedSizeBinaryColumnVector(f): ColumnVector
-          case v =>
-            // a pre-evolution file's narrow vector answers the table's
-            // widened getters through the shim; same-generation files
-            // wrap zero-cost as before
-            WideningColumnVector.maybe(new ArrowColumnVector(v),
-              ArrowInterchange.sparkTypeOf(v.getField),
-              required.fields(c).dataType): ColumnVector
+    while (true) {
+      if (!reader.loadNextBatch()) return false
+      val n = root.getRowCount
+      val base = physBase
+      physBase += n
+      // survivor map for this batch: null = untouched (the common case —
+      // also when THIS batch holds no masked position)
+      val map: Array[Int] =
+        if (skip == null && keepOnly == null) null
+        else {
+          val b = Array.newBuilder[Int]
+          var i = 0
+          while (i < n) { if (!masked(base + i)) b += i; i += 1 }
+          val m = b.result()
+          if (m.length == n) null else m
         }
+      if (map != null && map.isEmpty) () // fully-masked batch: load next
+      else {
+        val vecs: Array[ColumnVector] =
+          cols.zipWithIndex.map {
+            case (-1, c) => // evolved column absent from this file: all-NULL
+              val v = new org.apache.spark.sql.execution.vectorized
+                .ConstantColumnVector(n, required.fields(c).dataType)
+              v.setNull()
+              v: ColumnVector
+            case (i, c) => root.getVector(i) match {
+              case f: org.apache.arrow.vector.FixedSizeBinaryVector =>
+                new FixedSizeBinaryColumnVector(f): ColumnVector
+              case v =>
+                // a pre-evolution file's narrow vector answers the table's
+                // widened getters through the shim; same-generation files
+                // wrap zero-cost as before
+                WideningColumnVector.maybe(new ArrowColumnVector(v),
+                  ArrowInterchange.sparkTypeOf(v.getField),
+                  required.fields(c).dataType): ColumnVector
+            }
+          }
+        val (out, rows) =
+          if (map == null) (vecs, n)
+          else (vecs.map(new MaskedColumnVector(_, map): ColumnVector),
+            map.length)
+        current = new ColumnarBatch(out, rows)
+        produced += rows
+        return true
       }
-    current = new ColumnarBatch(vecs, root.getRowCount)
-    produced += root.getRowCount
-    true
+    }
+    false
   }
 
   override def get(): ColumnarBatch = current

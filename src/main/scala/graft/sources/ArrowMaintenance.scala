@@ -139,6 +139,72 @@ object ArrowMaintenance {
     Some(CompactionResult(olds.length, staged.length))
   }
 
+  /** PURGE — fold deletion vectors WITHOUT a whole-table rewrite (the
+    * `REORG TABLE … APPLY (PURGE)` analog): rewrite ONLY the files
+    * carrying a live vector to their survivor rows, retire the vectors,
+    * leave every clean file untouched. At 100 TB this is the difference
+    * between "fold 3 files' masks" and "rewrite the table" — the
+    * targeted tax collector for a steady MOR-delete workload. Rides the
+    * standard staged swap (masked staging read, commit-time vector
+    * validation, crash-safe replay); like compaction it coalesces across
+    * the purged files, so a standing key-grouped claim is dropped (the
+    * next cluster re-establishes it) — hive layouts keep their routing
+    * through the rolling hive writer. Returns None when no vector lives. */
+  def purgeDeletes(spark: SparkSession, dir: String,
+      targetBytes: Long = 128L << 20,
+      codec: Option[String] = None): Option[CompactionResult] =
+    retryOnConflict("purge", dir)(
+      purgeOnce(spark, dir, targetBytes, codec))
+
+  private def purgeOnce(spark: SparkSession, dir: String,
+      targetBytes: Long, codec: Option[String]): Option[CompactionResult] = {
+    require(targetBytes >= 1, "targetBytes must be >= 1")
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recover(spark, dir)
+    ArrowOcc.sweepStaleStaging(fs, dirPath, ".compact-*")
+    val dvs = ArrowDeleteVectors.live(fs, dirPath)
+    if (dvs.isEmpty) return None
+    val replaceable = replaceableFilter(fs, dirPath)
+    val olds = walkFiles(fs, dirPath).filter { case (rel, _) =>
+      val n = new Path(rel).getName
+      replaceable(n) && dvs.contains(n)
+    }
+    if (olds.isEmpty) return None
+    val id = java.util.UUID.randomUUID.toString.take(8)
+    val staging = s".compact-$id"
+    val n = math.min(Int.MaxValue.toLong, math.max(1L,
+      (olds.map(_._2).sum + targetBytes - 1) / targetBytes)).toInt
+    val oldPaths = olds.map(o =>
+      fs.makeQualified(new Path(dirPath, o._1)).toString)
+    val hiveKeys = ArrowHiveLayout.read(fs, dirPath)
+    // dv capture BEFORE the staging read plans (the scan masks exactly
+    // these; commit validates; replay retires) — for hive the shared
+    // tail captures its own
+    val dvRels = ArrowDeleteVectors.relsFor(fs, dirPath, olds.map(_._1))
+    val df = spark.read.format("arrow-ipc").load(dir)
+      .filter(org.apache.spark.sql.functions.col(ArrowRowLevel.FileColumn)
+        .isin(oldPaths: _*))
+      .drop(ArrowRowLevel.FileColumn)
+      .coalesce(n)
+    if (hiveKeys.nonEmpty)
+      Some(stageHiveAndSwap(spark, fs, dirPath, hiveKeys, df, codec,
+        olds.map(_._1), id, staging))
+    else {
+      ArrowInterchange.writeStream(df,
+        new Path(dirPath, staging).toString, codec = codec,
+        bloomCols = standingBlooms(fs, dirPath, df.schema.fieldNames, Nil))
+      val stagingPath = new Path(dirPath, staging)
+      val staged = Option(fs.globStatus(new Path(stagingPath, "part-*.arrows")))
+        .getOrElse(Array.empty).map(_.getPath.getName).sorted
+      val moves = staged.map(s =>
+        s -> s.replace(".arrows", s"-compact-$id.arrows")).toMap
+      commitSwap(fs, dirPath,
+        Intent(olds.map(_._1).sorted, staging, moves, dvs = dvRels))
+      Some(CompactionResult(olds.length, staged.length))
+    }
+  }
+
   /** Which live-listed files a maintenance rewrite may replace: committed
     * stream files only (the ledger filter hides uncommitted epochs) and
     * no file of an IN-FLIGHT batch append (its `_pending-<queryId>`

@@ -114,7 +114,7 @@ object MorScaleProbe {
     println("full-scan aggregate (sum+count), median-of-1 after warm:")
     val clean = s"$base/clean"; build(clean)
     val (cleanMs, _) = scanMs(clean, "clean table (zero-copy columnar)")
-    val (maskedMs, maskedCnt) = scanMs(morDir, "vector-carrying table (row path + mask)")
+    val (maskedMs, maskedCnt) = scanMs(morDir, "vector-carrying table (columnar + remap)")
     ArrowMaintenance.compact(spark, morDir)
     require(ArrowDeleteVectors.live(fs, new Path(morDir)).isEmpty)
     val (foldedMs, foldedCnt) = scanMs(morDir, "after compaction folds (columnar again)")

@@ -228,7 +228,7 @@ class ArrowMorSpec extends AnyFunSuite {
     assert(rel.count() === 495)
   }
 
-  test("deleted files keep columnar reads; only vector-carrying files drop to the row path") {
+  test("masked scans stay COLUMNAR: the row-remapping vector keeps zero-copy reads") {
     val dir = tmp("graft_mor_columnar")
     spark.range(0, 200).select(col("id"), (col("id") < 100).as("low"))
       .repartitionByRange(2, col("id"))
@@ -237,9 +237,17 @@ class ArrowMorSpec extends AnyFunSuite {
     ArrowDeleteVectors.deleteMor(spark, dir, "id = 5")
     assert(liveDvs(dir).size === 1)
     val df = spark.read.format("arrow-ipc").load(dir)
+    // the executed plan reads columnar even though one file carries a
+    // vector (MaskedColumnVector remaps; Spark's per-scan uniformity
+    // holds because EVERY partition claims columnar)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"),
+      s"masked scan fell off the columnar path:\n$plan")
     assert(df.count() === 199)
     assert(df.where(col("id") === 5).count() === 0)
     assert(df.where(col("id") === 105).count() === 1)
+    // mask + evolution interplay: the remap wraps the widening shim
+    assert(df.agg(sum("id")).head.getLong(0) === (0L until 200L).sum - 5L)
   }
 
   // ── maintenance interplay ─────────────────────────────────────────────
@@ -270,6 +278,43 @@ class ArrowMorSpec extends AnyFunSuite {
       .option("asOfSnapshot", preCompact).load(dir)
     assert(tt.count() === 400)
     assert(tt.where(col("id") % 3 === 1).count() === 0)
+  }
+
+  test("purgeDeletes folds ONLY vector-carrying files; clean files keep their bytes") {
+    val dir = tmp("graft_mor_purge")
+    spark.range(0, 900).select(col("id"))
+      .repartitionByRange(3, col("id"))
+      .write.format("arrow-ipc").mode("overwrite").save(dir)
+    val fs = fsOf(dir)
+    // delete rows that live in ONE file only (ids 0..299 by range split)
+    ArrowDeleteVectors.deleteMor(spark, dir, "id < 30")
+    assert(liveDvs(dir).size === 1)
+    val dvName = liveDvs(dir).keySet.head
+    val untouched = dataFiles(dir) - dvName
+    val mtimes = untouched.map(n =>
+      n -> fs.getFileStatus(new Path(dir, n)).getModificationTime).toMap
+
+    val res = ArrowMaintenance.purgeDeletes(spark, dir)
+    assert(res.contains(ArrowMaintenance.CompactionResult(1, 1)))
+    // the vector is gone, the clean files were never touched
+    assert(liveDvs(dir).isEmpty)
+    untouched.foreach(n => assert(
+      fs.getFileStatus(new Path(dir, n)).getModificationTime === mtimes(n),
+      s"purge touched clean file $n"))
+    assert(!fs.exists(new Path(dir, dvName)), "the purged file survived")
+    val df = spark.read.format("arrow-ipc").load(dir)
+    assert(df.count() === 870)
+    assert(df.agg(min("id")).head.getLong(0) === 30L)
+    // nothing to do on a vector-less table
+    assert(ArrowMaintenance.purgeDeletes(spark, dir).isEmpty)
+    // the SQL face
+    ArrowDeleteVectors.deleteMor(spark, dir, "id >= 870")
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.ArrowCatalog].getName)
+    val r = spark.sql(s"CALL graft.system.purge('$dir')").head()
+    assert(r.getInt(0) >= 1)
+    assert(liveDvs(dir).isEmpty)
+    assert(spark.read.format("arrow-ipc").load(dir).count() === 840)
   }
 
   test("a vector that advances mid-staging fails the maintenance swap (no resurrection)") {

@@ -481,4 +481,38 @@ class ArrowOccSpec extends AnyFunSuite {
     // task dies with FileNotFoundException
     assert(planned.count() === 100)
   }
+
+  test("a read landing inside a swap's latch-down window WAITS it out; a crashed state still refuses") {
+    val dir = tmp("graft_occ_gatewait")
+    spark.range(0, 50).coalesce(1)
+      .write.format("arrow-ipc").mode("overwrite").save(dir)
+    val fs = fsOf(dir)
+    val dirPath = new Path(dir)
+    // simulate the mid-swap window: latch down + a (contentless) intent;
+    // a restorer thread lifts it after ~200 ms, like a real swap's replay
+    ArrowMaintenance.writeIntent(fs, dirPath,
+      ArrowMaintenance.Intent(Nil, ".compact-gate", Map.empty))
+    fs.delete(new Path(dirPath, "_SUCCESS"), false)
+    val restorer = new Thread(() => {
+      Thread.sleep(200)
+      fs.delete(new Path(dirPath, "_compaction.json"), false)
+      ArrowOcc.restoreLatch(fs, dirPath)
+    })
+    restorer.start()
+    // the read waits out the window instead of refusing spuriously
+    assert(spark.read.format("arrow-ipc").load(dir).count() === 50)
+    restorer.join()
+    // a state still torn past the bounded wait refuses loudly
+    fs.delete(new Path(dirPath, "_SUCCESS"), false)
+    spark.conf.set("spark.graft.arrow.readGateWaitMs", "100")
+    try {
+      val e = intercept[Exception] {
+        spark.read.format("arrow-ipc").load(dir).count()
+      }
+      assert(e.getMessage.contains("refusing to read partial data"))
+    } finally {
+      spark.conf.unset("spark.graft.arrow.readGateWaitMs")
+      ArrowOcc.restoreLatch(fs, dirPath)
+    }
+  }
 }
