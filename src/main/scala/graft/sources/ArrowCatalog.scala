@@ -581,13 +581,16 @@ class ArrowCatalog extends TableCatalog with ProcedureCatalog {
     // from metadata alone (listing + manifest + declarations; no data
     // file is ever opened)
     GraftProcedure("detail",
-      "table facts: files, bytes, rows (manifest-exact or -1), layouts, blooms, tip",
+      "table facts: files, bytes, rows (manifest-exact or -1), deletion " +
+        "vectors, layouts, blooms, tip",
       Array(in("dir", StringType)),
       StructType(Seq(
         org.apache.spark.sql.types.StructField("location", StringType),
         org.apache.spark.sql.types.StructField("files", IntegerType),
         org.apache.spark.sql.types.StructField("bytes", LongType),
         org.apache.spark.sql.types.StructField("rows", LongType),
+        org.apache.spark.sql.types.StructField("deletion_vectors", IntegerType),
+        org.apache.spark.sql.types.StructField("masked_rows", LongType),
         org.apache.spark.sql.types.StructField("layout_keys", StringType),
         org.apache.spark.sql.types.StructField("hive_keys", StringType),
         org.apache.spark.sql.types.StructField("bloom_columns", StringType),
@@ -601,16 +604,21 @@ class ArrowCatalog extends TableCatalog with ProcedureCatalog {
         val sts = ArrowSnapshots.listDataFileStatuses(fs, p)
           .filter { case (rel, _) => visible(new Path(rel).getName) }
         val manifest = ArrowFileStats.read(fs, p)
+        // LIVE rows: physical manifest counts minus the deletion-vector
+        // cardinalities (carried in the vector names — nothing opened)
+        val dvs = ArrowDeleteVectors.live(fs, p)
+        val masked = dvs.values.map(_.card).sum
         val rows =
           if (sts.forall { case (rel, _) =>
             manifest.contains(new Path(rel).getName) })
             sts.map { case (rel, _) =>
-              manifest(new Path(rel).getName).rows }.sum
+              manifest(new Path(rel).getName).rows }.sum - masked
           else -1L
         val blooms = manifest.values
           .flatMap(_.cols.collect { case (c, s) if s.bloom.isDefined => c })
           .toSet.toSeq.sorted
         Seq(row(dir, sts.size, sts.map(_._2.getLen).sum, rows,
+          dvs.size, masked,
           ArrowLayout.read(fs, p).mkString(","),
           ArrowHiveLayout.read(fs, p).mkString(","),
           blooms.mkString(","),

@@ -124,9 +124,18 @@ class ArrowProcedureSpec extends AnyFunSuite {
     assert(d.getInt(1) === 3)          // one file per value dir
     assert(d.getLong(2) > 0)
     assert(d.getLong(3) === 90L)       // manifest-exact row count
-    assert(d.getString(5) === "k")     // hive keys
-    assert(d.getString(6) === "id")    // bloom columns
-    assert(d.getLong(7) === 1L)        // first snapshot
+    assert(d.getInt(4) === 0)          // no deletion vectors yet
+    assert(d.getLong(5) === 0L)
+    assert(d.getString(7) === "k")     // hive keys
+    assert(d.getString(8) === "id")    // bloom columns
+    assert(d.getLong(9) === 1L)        // first snapshot
+    // a MOR delete shows up as vectors + masked rows, and the LIVE row
+    // count subtracts them — all from metadata, no file opened
+    graft.sources.ArrowDeleteVectors.deleteMor(spark, dir, "id < 9")
+    val d2 = spark.sql(s"CALL graft.system.detail('$dir')").head()
+    assert(d2.getLong(3) === 81L)
+    assert(d2.getInt(4) === 3)
+    assert(d2.getLong(5) === 9L)
   }
 
   test("CALL update / delete_where run retrying DML; vacuum takes keep_from") {
