@@ -841,6 +841,50 @@ object CoreQueries {
               FROM customer
               WHERE CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) < 0""")),
 
+    // SQL UPDATE as a MERGE-ON-READ POSITION DELTA (round 11,
+    // SupportsDelta with representUpdateAsDeleteAndInsert — the protocol
+    // Iceberg's position deltas ride): the updated rows' OLD images mask
+    // via deletion vectors and their NEW images append as one small
+    // file; unchanged rows in touched files are NEVER rewritten. The
+    // query SELF-ASSERTS the original files kept their mtimes — at
+    // 100 TB an UPDATE of 0.1% of rows costs O(changed rows), not
+    // O(affected file bytes). One intent commits vectors + inserts
+    // atomically: no reader window shows duplicates or lost updates.
+    ("arrow_update_mor", (s, d) => {
+      val ord = T(s, d, "orders").select(
+        col("o_orderkey"), col("o_orderstatus"),
+        (col("o_totalprice").cast(DecimalType(12, 2)) * 100)
+          .cast(LongType).as("cents"))
+      // Scratch contract: see json_roundtrip.
+      val path = graft.sources.Scratch.dir(s, "graft_rt_arrowupdmor")
+      ord.repartitionByRange(6, col("o_orderkey"))
+        .write.format("arrow-ipc").mode("overwrite").save(path)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      def files = fs.globStatus(
+          new org.apache.hadoop.fs.Path(path, "part-*.arrows"))
+        .map(st => (st.getPath.getName, st.getModificationTime)).toSet
+      val before = files
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.ArrowCatalog")
+      s.conf.set("spark.graft.arrow.updateMode", "mor")
+      try s.sql(s"UPDATE graft.`$path` SET cents = cents + 5 " +
+        "WHERE o_orderstatus = 'P'")
+      finally s.conf.unset("spark.graft.arrow.updateMode")
+      require(before.subsetOf(files),
+        "arrow_update_mor: a merge-on-read UPDATE rewrote a data file")
+      require(graft.sources.ArrowDeleteVectors.live(fs,
+          new org.apache.hadoop.fs.Path(path)).nonEmpty,
+        "arrow_update_mor: no deletion vector landed")
+      s.read.format("arrow-ipc").load(path)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("cnt"), sum(col("cents")).as("cents"))
+        .orderBy("o_orderstatus")
+    },
+      Some("""SELECT o_orderstatus, COUNT(*) AS cnt,
+                     CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                       + CASE WHEN o_orderstatus = 'P' THEN 5 ELSE 0 END) AS BIGINT) AS cents
+              FROM orders GROUP BY 1 ORDER BY o_orderstatus""")),
+
     // SQL UPDATE via group-based COPY-ON-WRITE (round 9,
     // SupportsRowLevelOperations): the predicate straddles files (status
     // values mix inside every key-range file), so the metadata path

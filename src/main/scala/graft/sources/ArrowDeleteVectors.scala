@@ -367,22 +367,86 @@ private[graft] object ArrowDeleteVectors {
         relOf(fs, dirPath, path), merged.length.toLong)
     }
 
-    // 3. COMMIT under the lock: validate (files live, vectors unmoved),
-    // intent, latch down, replay, latch up. Any validation miss cleans
-    // the staging and throws the conflict the statement retry re-plans on.
+    commitStaged(fs, dirPath, staged.toSeq, None)
+    (perFile.length, deleted)
+  }
+
+  /** The COMBINED position-delta commit (UPDATE / MERGE through
+    * [[ArrowMorRowLevel]]): `perFileRaw` masks the old images, and the
+    * hidden `stagingName` dataset (already committed complete by the
+    * ordinary batch write: sentinel, stats, blooms, `_SUCCESS`) carries
+    * the inserted rows. ONE intent lands both — a reader can never see
+    * the inserts without their paired deletes (duplicate rows) or the
+    * deletes without the inserts (lost updates). Returns (files masked,
+    * rows deleted). */
+  private[sources] def commitDelta(spark: SparkSession, dir: String,
+      perFileRaw: Array[(String, Array[Long])],
+      stagingName: String): (Int, Long) = {
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stagingPath = new Path(dirPath, stagingName)
+    val perFile = perFileRaw.map { case (p, ps) => (p, ps.distinct.sorted) }
+    val deleted = perFile.map(_._2.length.toLong).sum
+    require(deleted <= morMaxRows,
+      s"arrow-ipc MOR delta on $dir deletes $deleted rows (cap " +
+        s"spark.graft.arrow.morMaxDeletedRows=$morMaxRows) — a statement " +
+        "this bulky should rewrite (updateMode/mergeMode=cow), whose " +
+        "cost amortizes at that scale")
+    val dataRels = ArrowSnapshots.listDataFiles(fs, stagingPath)
+    if (perFile.isEmpty && dataRels.isEmpty) {
+      fs.delete(stagingPath, true) // a no-match statement commits nothing
+      return (0, 0L)
+    }
+    val staged = stageVectors(fs, dirPath, perFile)
+    commitStaged(fs, dirPath, staged.toSeq, Some((stagingName, dataRels)))
+    (staged.length, deleted)
+  }
+
+  /** Stage the cumulative vectors OUTSIDE the lock: union each file's
+    * fresh positions with its CURRENT vector; remember which old vector
+    * the union was computed against — commit-time validation pins it. */
+  private def stageVectors(fs: FileSystem, dirPath: Path,
+      perFile: Array[(String, Array[Long])]): Array[MorMove] = {
+    val liveNow = live(fs, dirPath)
+    val stageId = java.util.UUID.randomUUID.toString.take(8)
+    perFile.map { case (path, fresh) =>
+      val name = new Path(path).getName
+      val old = liveNow.get(name)
+      val merged: Array[Long] = old match {
+        case None => fresh
+        case Some(ref) =>
+          val prior = read(fs, new Path(dirPath, ref.rel))
+          (prior ++ fresh).distinct.sorted
+      }
+      val gen = old.fold(1)(_.gen + 1)
+      val finalRel = dvRel(name, gen, merged.length.toLong)
+      val stagedRel = s"$DvDir/.mor-$stageId-${new Path(finalRel).getName}"
+      ArrowOcc.writeAtomic(fs, new Path(dirPath, stagedRel), encode(merged))
+      MorMove(stagedRel, finalRel, old.map(_.rel),
+        relOf(fs, dirPath, path), merged.length.toLong)
+    }
+  }
+
+  /** COMMIT under the lock: validate (masked files live, vectors
+    * unmoved), intent, latch down, replay, latch up. Any validation miss
+    * cleans the staged vectors (and the insert staging, when present)
+    * and throws the conflict the statement retry re-plans on. */
+  private def commitStaged(fs: FileSystem, dirPath: Path,
+      staged: Seq[MorMove],
+      data: Option[(String, Seq[String])]): Unit =
     try {
       ArrowOcc.withCommitLock(fs, dirPath) {
-        ArrowOcc.validateOldsLive(fs, dirPath, staged.map(_.dataRel).toSeq,
-          "MOR delete")
+        ArrowOcc.validateOldsLive(fs, dirPath, staged.map(_.dataRel),
+          "MOR delta")
         val current = live(fs, dirPath)
         val moved = staged.filter(m =>
           current.get(new Path(m.dataRel).getName).map(_.rel) != m.oldDv)
         if (moved.nonEmpty)
           throw new ArrowOcc.CommitConflictException(
-            s"arrow-ipc occ: MOR delete on $dirPath lost its race — the " +
+            s"arrow-ipc occ: MOR delta on $dirPath lost its race — the " +
               s"deletion vector of ${moved.head.dataRel} advanced " +
               "concurrently; re-run the statement")
-        writeMorIntent(fs, dirPath, staged.toSeq)
+        writeMorIntent(fs, dirPath, staged, data)
         fs.delete(new Path(dirPath, "_SUCCESS"), false)
         replayMor(fs, dirPath)
       }
@@ -390,11 +454,10 @@ private[graft] object ArrowDeleteVectors {
       case e: ArrowOcc.CommitConflictException =>
         staged.foreach(m =>
           scala.util.Try(fs.delete(new Path(dirPath, m.stagedRel), false)))
+        data.foreach { case (s, _) =>
+          scala.util.Try(fs.delete(new Path(dirPath, s), true)) }
         throw e
     }
-    (perFile.length, deleted)
-  }
-  // (end of commitDeletes)
 
   private def relOf(fs: FileSystem, dirPath: Path, abs: String): String =
     ArrowSnapshots.relativize(fs, dirPath, new Path(abs))
@@ -408,39 +471,61 @@ private[graft] object ArrowDeleteVectors {
   private def esc(s: String): String = ArrowFileStats.esc(s)
 
   private def writeMorIntent(fs: FileSystem, dir: Path,
-      moves: Seq[MorMove]): Unit = {
-    val body = moves.sortBy(_.finalRel).map { m =>
+      moves: Seq[MorMove], data: Option[(String, Seq[String])]): Unit = {
+    val dvPart = moves.sortBy(_.finalRel).map { m =>
       "{\"staged\":\"" + esc(m.stagedRel) + "\",\"final\":\"" +
         esc(m.finalRel) + "\"" +
         m.oldDv.fold("")(o => ",\"old\":\"" + esc(o) + "\"") + "}"
     }.mkString("[", ",", "]")
+    val body = "{\"dv\":" + dvPart + data.fold("") { case (s, rels) =>
+      ",\"staging\":\"" + esc(s) + "\",\"data\":[" +
+        rels.sorted.map(r => "\"" + esc(r) + "\"").mkString(",") + "]"
+    } + "}"
     // atomic like every correctness-bearing sidecar: a crash mid-write
     // must leave NO intent, never a corrupt one that wedges recover()
     ArrowOcc.writeAtomic(fs, new Path(dir, MorIntentFile),
       body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
-  private def readMorIntent(fs: FileSystem, dir: Path): Seq[MorMove] = {
+  private def readMorIntent(fs: FileSystem, dir: Path)
+      : (Seq[MorMove], Option[(String, Seq[String])]) = {
     import org.json4s._
+    def moveOf(x: JValue): MorMove = {
+      def str(k: String): Option[String] = x \ k match {
+        case JString(s) => Some(s); case _ => None
+      }
+      MorMove(str("staged").get, str("final").get, str("old"), "", 0L)
+    }
     org.json4s.jackson.JsonMethods.parse(
       ArrowFileStats.readFully(fs, new Path(dir, MorIntentFile))) match {
-      case JArray(xs) => xs.map { x =>
-        def str(k: String): Option[String] = x \ k match {
-          case JString(s) => Some(s); case _ => None
+      case JArray(xs) => (xs.map(moveOf), None) // pre-delta intent shape
+      case o: JObject =>
+        val dv = (o \ "dv") match {
+          case JArray(xs) => xs.map(moveOf)
+          case _ => Nil
         }
-        MorMove(str("staged").get, str("final").get, str("old"), "", 0L)
-      }
+        val data = (o \ "staging") match {
+          case JString(s) =>
+            val rels = (o \ "data") match {
+              case JArray(xs) => xs.collect { case JString(r) => r }
+              case _ => Nil
+            }
+            Some((s, rels))
+          case _ => None
+        }
+        (dv, data)
       case other => throw new IllegalStateException(s"bad $MorIntentFile: $other")
     }
   }
 
-  /** The idempotent tail of a MOR delete — every step checks before
-    * acting, so any crash-and-replay sequence converges: staged vectors
-    * in, superseded gens to trash, ONE snapshot delta, intent gone,
-    * latch restored. Called under the commit lock (directly at commit,
-    * or from [[ArrowMaintenance.recover]] after a crash). */
+  /** The idempotent tail of a MOR delete/delta — every step checks
+    * before acting, so any crash-and-replay sequence converges: staged
+    * vectors in, staged INSERT files in (UPDATE/MERGE) with their stats
+    * folded as a shard, superseded gens to trash, ONE snapshot delta,
+    * intent gone, latch restored. Called under the commit lock (directly
+    * at commit, or from [[ArrowMaintenance.recover]] after a crash). */
   private[sources] def replayMor(fs: FileSystem, dirPath: Path): Unit = {
-    val moves = readMorIntent(fs, dirPath)
+    val (moves, data) = readMorIntent(fs, dirPath)
     fs.delete(new Path(dirPath, "_SUCCESS"), false)
     moves.foreach { m =>
       val src = new Path(dirPath, m.stagedRel)
@@ -451,23 +536,53 @@ private[graft] object ArrowDeleteVectors {
           throw new java.io.IOException(s"MOR delete: rename $src -> $dst failed")
       }
     }
+    // the delta's inserted files: move in (names embed a fresh queryId —
+    // no collision with any live name; identity rels, nested for hive),
+    // then fold the staging's stats manifest in as a SHARD keyed by the
+    // staging id — O(1) commit work, exactly the batch append's own
+    // discipline. Both steps are fixed points under replay (a moved file
+    // is gone from staging; the shard write is an idempotent overwrite,
+    // and a deleted staging skips the fold — it already happened).
+    val dataRels: Seq[String] = data.fold(Seq.empty[String]) {
+      case (stagingName, rels) =>
+        val stagingPath = new Path(dirPath, stagingName)
+        rels.foreach { rel =>
+          val src = new Path(stagingPath, rel)
+          if (fs.exists(src)) {
+            val dst = new Path(dirPath, rel)
+            if (dst.getParent != dirPath) fs.mkdirs(dst.getParent)
+            fs.delete(dst, false)
+            if (!fs.rename(src, dst))
+              throw new java.io.IOException(
+                s"MOR delta: rename $src -> $dst failed")
+          }
+        }
+        if (fs.exists(stagingPath)) {
+          val staged = ArrowFileStats.read(fs, stagingPath)
+          if (staged.nonEmpty)
+            ArrowFileStats.writeShard(fs, dirPath,
+              stagingName.stripPrefix("."), staged)
+        }
+        rels
+    }
     moves.flatMap(_.oldDv).foreach(o =>
       ArrowSnapshots.moveToTrash(fs, dirPath, o))
-    // one delta for the whole statement: new gens in, old gens out —
-    // time travel and the change feed see the delete as a unit.
-    // Idempotent under replay: ArrowSnapshots.append skips a delta whose
-    // adds are already the live tip state? It does not — so fence on the
-    // final vectors' presence in the CURRENT resolved tip instead: if
-    // every final vector is already recorded, the delta landed before
-    // the crash.
+    // one delta for the whole statement: new gens + inserted files in,
+    // old gens out — time travel and the change feed see the statement
+    // as a unit. Idempotent under replay: fence on the adds' presence in
+    // the CURRENT resolved tip (if every add is already recorded, the
+    // delta landed before the crash); ArrowSnapshots.append's own
+    // tail-equality check backs this up.
+    val adds = moves.map(_.finalRel) ++ dataRels
     val snaps = ArrowSnapshots.read(fs, dirPath)
     val tipState: Set[String] = snaps.lastOption
       .flatMap(last => ArrowSnapshots.resolve(snaps, last.id))
       .getOrElse(Set.empty)
-    if (!moves.forall(m => tipState.contains(m.finalRel)))
-      ArrowSnapshots.append(fs, dirPath,
-        moves.map(_.finalRel), moves.flatMap(_.oldDv))
+    if (!adds.forall(tipState.contains))
+      ArrowSnapshots.append(fs, dirPath, adds, moves.flatMap(_.oldDv))
     ArrowOcc.restoreLatch(fs, dirPath)
+    data.foreach { case (stagingName, _) =>
+      fs.delete(new Path(dirPath, stagingName), true) }
     fs.delete(new Path(dirPath, MorIntentFile), false)
   }
 }

@@ -127,23 +127,28 @@ private[sources] class ArrowIpcTable(tableSchema: StructType, dir: String,
       s"arrow-ipc: ${info.command} needs the `${ArrowRowLevel.FileColumn}` " +
         "metadata column, but this dataset's schema claims that name — " +
         "rename the data column to use row-level DML")
-    // DELETE routes by `spark.graft.arrow.deleteMode`: `cow` (default)
-    // rewrites affected files; `mor` commits deletion vectors through
-    // the SupportsDelta position-delta protocol (ArrowMorRowLevel) —
-    // O(deleted rows), no rewrite. Provable whole-file deletes are
-    // intercepted by canDeleteWhere BEFORE either; UPDATE/MERGE always
-    // rewrite (their MOR dual would pay delete+insert amplification).
-    val mor = info.command ==
-      org.apache.spark.sql.connector.write.RowLevelOperation.Command.DELETE &&
-      scala.util.Try(SparkSession.active.conf
-        .get("spark.graft.arrow.deleteMode", "cow")).getOrElse("cow") == "mor"
+    // Each command routes by its mode conf (`spark.graft.arrow
+    // .deleteMode` / `updateMode` / `mergeMode`): `cow` (default)
+    // rewrites affected files; `mor` ships position deltas through the
+    // SupportsDelta protocol (ArrowMorRowLevel) — deletion vectors for
+    // the old images, an ordinary append for UPDATE/MERGE's new rows;
+    // O(changed rows), unchanged rows never rewrite. Provable whole-file
+    // deletes are intercepted by canDeleteWhere BEFORE either.
+    import org.apache.spark.sql.connector.write.RowLevelOperation.Command
+    val modeKey = info.command match {
+      case Command.DELETE => "spark.graft.arrow.deleteMode"
+      case Command.UPDATE => "spark.graft.arrow.updateMode"
+      case _ => "spark.graft.arrow.mergeMode"
+    }
+    val mor = scala.util.Try(SparkSession.active.conf
+      .get(modeKey, "cow")).getOrElse("cow") == "mor"
     if (mor) {
       require(!tableSchema.fieldNames.contains(ArrowRowLevel.PosColumn),
-        s"arrow-ipc: merge-on-read DELETE needs the " +
+        s"arrow-ipc: merge-on-read ${info.command} needs the " +
           s"`${ArrowRowLevel.PosColumn}` metadata column, but this " +
           "dataset's schema claims that name — rename the data column " +
-          "or use deleteMode=cow")
-      () => new ArrowMorDeleteOperation(tableSchema, dir, info)
+          s"or use $modeKey=cow")
+      () => new ArrowMorOperation(tableSchema, dir, info)
     } else
       () => new ArrowCowOperation(tableSchema, dir, info)
   }

@@ -118,8 +118,18 @@ object OccStressProbe {
     val dmlSurfaced = new java.util.concurrent.atomic.AtomicInteger(0)
     val dmler = new Thread(() => try {
       spark.conf.set("spark.sql.catalog.graft", "graft.sources.ArrowCatalog")
+      var flip = false
       while (System.nanoTime() < deadline) {
         try {
+          // alternate the UPDATE's physical protocol: COW rewrite one
+          // statement, MOR position delta (vectors + append) the next —
+          // both value-identity, both racing every other writer. The id
+          // multiset is unchanged either way; what this stresses is the
+          // COMBINED delta commit (vectors + staged inserts in one
+          // intent) losing/winning against compactions and clusterings.
+          flip = !flip
+          spark.conf.set("spark.graft.arrow.updateMode",
+            if (flip) "mor" else "cow")
           dmlRetries.addAndGet(graft.sources.ArrowDml.update(spark, dir,
             "k = k", Some("id % 997 = 7")))
           updates.incrementAndGet()
