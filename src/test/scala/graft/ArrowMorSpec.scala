@@ -168,7 +168,7 @@ class ArrowMorSpec extends AnyFunSuite {
     val dir = tmp("graft_mor_hive")
     import spark.implicits._
     (0 until 400).map(i => (i, i % 4, s"r$i")).toDF("id", "bucket", "payload")
-      .write.format("arrow-ipc").option("hivePartitionColumns", "bucket")
+      .write.format("arrow-ipc").option("hivePartitionKeys", "bucket")
       .mode("overwrite").save(dir)
 
     val r = ArrowDeleteVectors.deleteMor(spark, dir, "bucket = 2 AND id < 200")
@@ -476,6 +476,54 @@ class ArrowMorSpec extends AnyFunSuite {
     assert(df.where(col("id") >= 150).agg(min(col("v") - col("id")))
       .head.getLong(0) === 1000L)
     assert(df.where(col("id") < 150 && col("v") =!= col("id")).count() === 0)
+  }
+
+  test("MOR UPDATE on a hive layout: inserts route to value directories, masks splice") {
+    val dir = tmp("graft_mor_upd_hive")
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.ArrowCatalog].getName)
+    import spark.implicits._
+    (0 until 300).map(i => (i.toLong, i % 3, 0L)).toDF("id", "bucket", "v")
+      .write.format("arrow-ipc").option("hivePartitionKeys", "bucket")
+      .mode("overwrite").save(dir)
+    val fs = fsOf(dir)
+    def walk = graft.sources.ArrowSnapshots.listDataFiles(fs, new Path(dir)).toSet
+    val before = walk
+    spark.conf.set("spark.graft.arrow.updateMode", "mor")
+    try spark.sql(s"UPDATE graft.`$dir` SET v = 9 WHERE bucket = 1 AND id < 60")
+    finally spark.conf.unset("spark.graft.arrow.updateMode")
+    assert(before.subsetOf(walk), "a hive MOR update removed a file")
+    val fresh = walk -- before
+    assert(fresh.nonEmpty && fresh.forall(_.startsWith("bucket=1/")),
+      s"inserted rows did not route to their value directory: $fresh")
+    val df = spark.read.format("arrow-ipc").load(dir)
+    assert(df.count() === 300)
+    assert(df.where(col("v") === 9).count() === 20) // ids 1,4,...,58
+    assert(df.where(col("bucket") === 1).count() === 100)
+    // hive pruning still skips clean directories after the delta
+    assert(df.where(col("bucket") === 2 && col("v") === 9).count() === 0)
+  }
+
+  test("the change feed of a MOR UPDATE window = old images out, new images in — changed rows only") {
+    val dir = tmp("graft_mor_upd_cdc")
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.ArrowCatalog].getName)
+    spark.range(0, 200).select(col("id"), lit(0L).as("v")).coalesce(1)
+      .write.format("arrow-ipc").mode("overwrite").save(dir)
+    val fs = fsOf(dir)
+    val tip0 = ArrowSnapshots.currentTip(fs, new Path(dir))
+    spark.conf.set("spark.graft.arrow.updateMode", "mor")
+    try spark.sql(s"UPDATE graft.`$dir` SET v = 5 WHERE id >= 190")
+    finally spark.conf.unset("spark.graft.arrow.updateMode")
+    val tip1 = ArrowSnapshots.currentTip(fs, new Path(dir))
+    val feed = graft.sources.ArrowChanges.changeFeed(spark, dir, tip0, tip1)
+      .collect().groupBy(_.getAs[String]("_change_type"))
+      .map { case (k, rs) =>
+        k -> rs.map(r => (r.getAs[Long]("id"), r.getAs[Long]("v"))).toSet }
+    // exactly the 10 changed rows, as delete(old image) + insert(new) —
+    // the other 190 rows of the touched file never appear
+    assert(feed("delete") === (190L until 200L).map(i => (i, 0L)).toSet)
+    assert(feed("insert") === (190L until 200L).map(i => (i, 5L)).toSet)
   }
 
   test("a crash between a delta UPDATE's vector commit steps replays to completion") {
