@@ -102,6 +102,37 @@ object MorScaleProbe {
       f"${l2.cowBytes.toDouble / l2.morBytes}%.0fx; wall (cache-noisy locally): " +
       f"MOR ${l2.morMs / l1.morMs}%.2fx, COW ${l2.cowMs / l1.cowMs}%.2fx")
 
+    // ── 1b. the point UPDATE: same asymmetry through SupportsDelta ──────
+    // (vectors mask the old images + ONE small appended file carries the
+    // new ones vs a COW rewrite of every affected file)
+    {
+      spark.conf.set("spark.sql.catalog.graft", "graft.sources.ArrowCatalog")
+      val uM = s"$base/updm"; val uC = s"$base/updc"
+      spark.read.format("arrow-ipc").load(morDir) // post-delete content
+      spark.range(0, rows)
+        .select(col("id"), (col("id") % 1000).as("k"),
+          sha2(col("id").cast("string"), 256).as("payload"))
+        .repartitionByRange(8, col("id"))
+        .write.format("arrow-ipc").mode("overwrite").save(uM)
+      spark.read.format("arrow-ipc").load(uM)
+        .write.format("arrow-ipc").mode("overwrite").save(uC)
+      def files(d: String) = Option(fs.globStatus(new Path(d, "part-*.arrows")))
+        .getOrElse(Array.empty).map(st => st.getPath.getName -> st.getLen).toMap
+      val beforeM = files(uM); val beforeC = files(uC)
+      spark.conf.set("spark.graft.arrow.updateMode", "mor")
+      val (_, umMs) = try timed(spark.sql(
+          s"UPDATE graft.`$uM` SET payload = 'redacted' WHERE k = 777"))
+        finally spark.conf.unset("spark.graft.arrow.updateMode")
+      val morNew = files(uM).view.filterKeys(!beforeM.contains(_)).values.sum +
+        dvBytes(uM)
+      val (_, ucMs) = timed(spark.sql(
+        s"UPDATE graft.`$uC` SET payload = 'redacted' WHERE k = 777"))
+      val cowNew = files(uC).view.filterKeys(!beforeC.contains(_)).values.sum
+      println(f"  MOR point UPDATE (0.1%% of rows): $umMs%.0f ms, $morNew B " +
+        f"written (vectors + one appended file) | COW: $ucMs%.0f ms, " +
+        f"$cowNew B rewritten (${cowNew.toDouble / math.max(1L, morNew)}%.0fx more)")
+    }
+
     // ── 2. the read tax ──────────────────────────────────────────────────
     def scanMs(dir: String, label: String): (Double, Long) = {
       val q = spark.read.format("arrow-ipc").load(dir)
