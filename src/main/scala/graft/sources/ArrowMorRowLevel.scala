@@ -35,7 +35,14 @@ import org.apache.spark.sql.types.StructType
   * Routing: `spark.graft.arrow.deleteMode` / `updateMode` / `mergeMode`
   * = `cow` (default) | `mor`. Provable whole-file DELETEs still take
   * the metadata path first; the caps guard bulk statements toward COW,
-  * whose cost amortizes there. */
+  * whose cost amortizes there.
+  *
+  * Beyond-reference by construction: the reference's write side is a
+  * blind append (arrow_clickhouse ParallelInputsSink — no mutation
+  * story at all); this is the public Spark `SupportsDelta` connector
+  * API over [[ArrowDeleteVectors]]'s snapshot-log/OCC substrate, with
+  * Delta Lake's deletion vectors and Iceberg's position deltas as the
+  * shape precedents. */
 private[sources] class ArrowMorOperation(
     schema: StructType, dir: String, info: RowLevelOperationInfo)
     extends RowLevelOperation
