@@ -628,20 +628,29 @@ class ArrowCatalog extends TableCatalog with ProcedureCatalog {
     // snapshot, newest first (expired prefixes are folded into the base
     // checkpoint entry, which reports its cumulative adds)
     GraftProcedure("history",
-      "retained snapshot log: id, commit time, files added/removed",
+      "retained snapshot log: id, commit time, files and deletion " +
+        "vectors added/removed",
       Array(in("dir", StringType)),
       StructType(Seq(
         org.apache.spark.sql.types.StructField("snapshot_id", LongType),
         org.apache.spark.sql.types.StructField("committed_at",
           org.apache.spark.sql.types.TimestampType),
         org.apache.spark.sql.types.StructField("files_added", IntegerType),
-        org.apache.spark.sql.types.StructField("files_removed", IntegerType))),
+        org.apache.spark.sql.types.StructField("files_removed", IntegerType),
+        org.apache.spark.sql.types.StructField("dvs_added", IntegerType),
+        org.apache.spark.sql.types.StructField("dvs_removed", IntegerType))),
       r => {
         val p = new Path(dirArg(r))
         val fs = p.getFileSystem(
           SparkSession.active.sparkContext.hadoopConfiguration)
-        ArrowSnapshots.read(fs, p).sortBy(-_.id).map(s =>
-          row(s.id, s.tsMillis * 1000L, s.adds.size, s.removes.size))
+        // a merge-on-read commit's vector rels ride the same log entries
+        // as data files — split them so "files_added" means FILES and a
+        // pure MOR delete reads as (0 files, 1 vector), not "+1 file"
+        ArrowSnapshots.read(fs, p).sortBy(-_.id).map { s =>
+          val (af, av) = ArrowDeleteVectors.splitResolved(s.adds.toSet)
+          val (rf, rv) = ArrowDeleteVectors.splitResolved(s.removes.toSet)
+          row(s.id, s.tsMillis * 1000L, af.size, rf.size, av.size, rv.size)
+        }
       })
   ).map(p => p.procName -> p).toMap
 

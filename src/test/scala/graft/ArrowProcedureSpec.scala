@@ -111,6 +111,12 @@ class ArrowProcedureSpec extends AnyFunSuite {
     assert(hist.head.getInt(2) === 0 && hist.head.getInt(3) === 1) // the delete
     assert(hist.last.getInt(2) === 1 && hist.last.getInt(3) === 0) // first append
     assert(hist.forall(_.getTimestamp(1) != null))
+    // a merge-on-read delete reads as a VECTOR commit, not a file churn
+    graft.sources.ArrowDeleteVectors.deleteMor(spark, dir, "id = 25")
+    val h5 = spark.sql(s"CALL graft.system.history('$dir')").head()
+    assert(h5.getLong(0) === 5L)
+    assert(h5.getInt(2) === 0 && h5.getInt(3) === 0) // zero files touched
+    assert(h5.getInt(4) === 1 && h5.getInt(5) === 0) // one vector added
   }
 
   test("CALL detail reports metadata-exact table facts without opening data files") {
