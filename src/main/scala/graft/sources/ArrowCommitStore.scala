@@ -136,8 +136,13 @@ private[graft] object PosixCommitStore extends ArrowCommitStore {
             fs.getFileStatus(tomb).getModificationTime <= staleMs
         }.getOrElse(false)
         if (freshVictim) {
-          if (!scala.util.Try(fs.rename(tomb, lock)).getOrElse(false))
-            scala.util.Try(fs.delete(tomb, false))
+          // A claim slid in between the re-stat and the rename: put it
+          // back. If the rename-back loses (a third claimant already
+          // took the lock path), LEAVE the tombstone — it holds the
+          // fresh victim's live claim, and deleting it would destroy
+          // the only on-disk record that two holders overlap. The
+          // `.tmp` name puts it under sweepStaleTmp once it goes stale.
+          scala.util.Try(fs.rename(tomb, lock))
         } else scala.util.Try(fs.delete(tomb, false))
       }
     } finally scala.util.Try(fs.delete(breaker, false))

@@ -43,13 +43,20 @@ import org.apache.spark.sql.SparkSession
   * module, decides what to open) plus O(deleted positions) metadata; a
   * vector's size is O(its file's deleted rows) delta-varint bytes.
   * Reads of un-deleted files are completely untouched (zero-copy
-  * columnar path, no lookups); only a file carrying a vector drops to
-  * the row path with a bitset probe per row — and compaction restores
-  * it to columnar. Position lists are bounded by
-  * `spark.graft.arrow.morMaxDeletedRows` (default 10M): above it the
-  * statement refuses and points at COW `DELETE`, which IS the right
-  * tool for bulk deletes.
-  */
+  * columnar path, no lookups); a file carrying a vector STAYS COLUMNAR
+  * — the scan wraps its batches in a row-remapping delegating vector
+  * ([[MaskedColumnVector]]: one int-map indirection per access, no
+  * per-row bitset probe, no row-path fallback), measured at a 1.3×
+  * read tax while vectors live and exactly 1.00× after compaction
+  * folds them (tools/mor_scale_probe.log). Position lists are bounded
+  * by `spark.graft.arrow.morMaxDeletedRows` (default 10M): above it
+  * the statement refuses and points at COW `DELETE`, which IS the
+  * right tool for bulk deletes. Positions themselves are bounded to
+  * Int.MaxValue at encode time — a row ordinal past 2^31-1 would need
+  * a single data file of >2 billion rows, far past the write paths'
+  * rolling targets, and the masks index int-addressed structures; the
+  * bound is enforced loudly at commit rather than silently truncated
+  * at read. */
 private[graft] object ArrowDeleteVectors {
 
   val DvDir = ".dv"
@@ -100,6 +107,14 @@ private[graft] object ArrowDeleteVectors {
     var prev = -1L
     sortedPositions.foreach { p =>
       require(p > prev, s"deletion vector: positions not strictly sorted ($p after $prev)")
+      // int-addressed masks downstream (BitSet / MaskedColumnVector row
+      // maps): a position past 2^31-1 must fail HERE, at commit, not
+      // truncate to the wrong bit at read time
+      require(p <= Int.MaxValue,
+        s"deletion vector: position $p exceeds Int.MaxValue — a single " +
+          "data file cannot carry more than 2^31-1 rows under this " +
+          "source's write paths; refusing to encode a mask that would " +
+          "be silently truncated at read")
       varint(p - prev - 1)
       prev = p
     }
@@ -145,7 +160,14 @@ private[graft] object ArrowDeleteVectors {
     * the file's row count — a 1M-row file's worst-case set is 128 KB). */
   def readBitSet(fs: FileSystem, p: Path): java.util.BitSet = {
     val bs = new java.util.BitSet()
-    read(fs, p).foreach(pos => bs.set(pos.toInt))
+    read(fs, p).foreach { pos =>
+      // encode() rejects these since round 12; be loud (not silently
+      // wrong-bit) on a foreign or pre-fix vector
+      if (pos > Int.MaxValue) throw new IllegalStateException(
+        s"deletion vector $p: position $pos exceeds Int.MaxValue — " +
+          "foreign or corrupt vector; masks are int-addressed")
+      bs.set(pos.toInt)
+    }
     bs
   }
 

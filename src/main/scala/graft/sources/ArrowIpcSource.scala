@@ -182,7 +182,8 @@ private[sources] class ArrowIpcTable(tableSchema: StructType, dir: String,
       startingSnapshot = Option(options.get("startingSnapshot")).map(_.toLong),
       startingTimestamp = Option(options.get("startingTimestamp")),
       maxSnapshotsPerTrigger =
-        Option(options.get("maxSnapshotsPerTrigger")).map(_.toInt))
+        Option(options.get("maxSnapshotsPerTrigger")).map(_.toInt),
+      ignoreDeletes = options.getBoolean("ignoreDeletes", false))
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
@@ -210,7 +211,8 @@ private[sources] class ArrowIpcScanBuilder(full: StructType, dir: String,
     changeFeed: Boolean = false,
     startingSnapshot: Option[Long] = None,
     startingTimestamp: Option[String] = None,
-    maxSnapshotsPerTrigger: Option[Int] = None)
+    maxSnapshotsPerTrigger: Option[Int] = None,
+    ignoreDeletes: Boolean = false)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownLimit
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
@@ -614,7 +616,7 @@ private[sources] class ArrowIpcScanBuilder(full: StructType, dir: String,
     val scan = new ArrowIpcScan(required, dir, limit, pushed, agg,
       maxFilesPerTrigger, partitionKeys, full, fileSlot, asOf,
       changeFeed, startingSnapshot, startingTimestamp, maxSnapshotsPerTrigger,
-      posSlot)
+      posSlot, ignoreDeletes)
     if (onBuild != null) onBuild(scan)
     scan
   }
@@ -632,7 +634,8 @@ private[sources] class ArrowIpcScan(required: StructType, dir: String,
     startingSnapshot: Option[Long] = None,
     startingTimestamp: Option[String] = None,
     maxSnapshotsPerTrigger: Option[Int] = None,
-    posSlot: Int = -1)
+    posSlot: Int = -1,
+    ignoreDeletes: Boolean = false)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
@@ -1184,7 +1187,7 @@ private[sources] class ArrowIpcScan(required: StructType, dir: String,
         startingSnapshot, startingTimestamp, maxSnapshotsPerTrigger)
     else
       new ArrowIpcMicroBatchStream(required, dir, filters, maxFilesPerTrigger,
-        hiveFields)
+        hiveFields, ignoreDeletes)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

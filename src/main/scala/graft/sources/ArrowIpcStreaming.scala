@@ -71,11 +71,17 @@ private[graft] object ArrowFilesOffset {
   * by design: this source is the APPEND LOG — a batch's content is the
   * file as committed, so a checkpointed replay is bit-stable no matter
   * what vectors landed since (masking at poll time would make the same
-  * offset window yield different rows before and after a restart). A
-  * delete-aware consumer reads the CHANGE FEED, which emits vector
-  * commits as position-exact `delete` events; note a compaction folds
-  * vectors physically, so a file absorbed via lineage never re-emits
-  * either way.
+  * offset window yield different rows before and after a restart). But
+  * append-log semantics over a MUTATED table must be a CONSCIOUS choice
+  * (Delta's contract: fail on deletes unless the consumer opts in), so
+  * a poll that observes LIVE deletion vectors FAILS by default with an
+  * instructive error; `option("ignoreDeletes", true)` is the explicit
+  * opt-in that masked (e.g. GDPR-erased) rows may flow. A delete-aware
+  * consumer reads the CHANGE FEED instead, which emits vector commits
+  * as position-exact `delete` events; note a compaction folds vectors
+  * physically, so a file absorbed via lineage never re-emits either
+  * way — and a fully-compacted table carries no live vectors, so
+  * streams over it need no opt-in.
   *
   * Hive-partitioned directories stream too (`hiveFields` non-empty): the
   * listing walks `key=value/` directories, the offset stays a set of bare
@@ -89,7 +95,8 @@ private[graft] class ArrowIpcMicroBatchStream(
     required: StructType, dir: String,
     filters: Array[org.apache.spark.sql.sources.Filter],
     maxFilesPerTrigger: Option[Int] = None,
-    hiveFields: Seq[org.apache.spark.sql.types.StructField] = Nil)
+    hiveFields: Seq[org.apache.spark.sql.types.StructField] = Nil,
+    ignoreDeletes: Boolean = false)
     extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
@@ -142,6 +149,21 @@ private[graft] class ArrowIpcMicroBatchStream(
       case Some((s, cached)) if stamp.contains(s) => return Some(cached)
       case _ => ()
     }
+    // live deletion vectors mean this append-log stream would serve
+    // rows the table has deleted — fail unless the consumer opted in
+    // (checked only on a cache-miss poll: every DV commit advances the
+    // snapshot tip, so the stamp cache cannot hide a fresh vector)
+    if (!ignoreDeletes && ArrowDeleteVectors.any(fs, dirPath))
+      throw new IllegalStateException(
+        s"arrow-ipc stream: $dir carries live merge-on-read deletion " +
+          "vectors, but this source is an APPEND LOG and would keep " +
+          "serving the deleted rows (batches are files as committed, " +
+          "bit-stable under replay). Either (a) read the change feed " +
+          "(option(\"changeFeed\", true)) for position-exact delete " +
+          "events, (b) compact/purge the table to fold its vectors, or " +
+          "(c) opt in with option(\"ignoreDeletes\", true) to accept " +
+          "that masked rows flow — the same contract as Delta's " +
+          "ignoreDeletes.")
     // a sink stream's uncommitted epoch files are invisible — the source
     // emits a file only once its epoch's ledger entry landed
     val visible = ArrowStreamCommits.visibleFilter(fs, dirPath)

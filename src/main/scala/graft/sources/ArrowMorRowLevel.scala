@@ -200,14 +200,28 @@ private[sources] class ArrowMorUpdateWrite(
 }
 
 private[sources] object ArrowMorUpdateWrite {
-  /** Merge every task's per-file deleted positions. */
+  /** Merge every task's per-file deleted positions, enforcing the
+    * STATEMENT-LEVEL cap incrementally while folding: the per-task cap
+    * ([[ArrowMorDeltaWriter]]) bounds each message, but N tasks each
+    * just under it could otherwise accumulate N×cap Longs in this map
+    * before any check fired — the fold aborts the moment the running
+    * total crosses the cap, so the merged structure never materializes
+    * past cap+1 positions on the driver. */
   def mergedPositions(messages: Array[WriterCommitMessage])
       : Array[(String, Array[Long])] = {
+    val cap = ArrowDeleteVectors.morMaxRows
+    var total = 0L
     val merged = scala.collection.mutable.HashMap.empty[String,
       scala.collection.mutable.ArrayBuffer[Long]]
     messages.foreach {
       case ArrowMorDeltaCommit(perFile, _) =>
         perFile.foreach { case (f, ps) =>
+          total += ps.length
+          require(total <= cap,
+            s"arrow-ipc MOR delta: statement matched more than " +
+              s"spark.graft.arrow.morMaxDeletedRows=$cap rows across its " +
+              "tasks — use the COW path (deleteMode/updateMode/" +
+              "mergeMode=cow), whose cost amortizes at that scale")
           merged.getOrElseUpdate(f,
             scala.collection.mutable.ArrayBuffer.empty[Long]) ++= ps
         }

@@ -293,12 +293,18 @@ private[graft] object ArrowOcc {
 
   private def touch(fs: FileSystem, p: Path): Unit =
     try fs.setTimes(p, System.currentTimeMillis(), -1)
-    catch { // stores without setTimes: rewriting the empty marker works too
-      case _: UnsupportedOperationException =>
-        // re-check liveness first — an overwrite-create would RESURRECT a
-        // marker the commit just cleared (the stop() join closes the same
-        // window on the setTimes path)
-        if (fs.exists(p)) fs.create(p, true).close()
+    catch {
+      // Stores without setTimes: do NOTHING. An exists-then-create
+      // fallback is a TOCTOU that can RESURRECT a marker a concurrent
+      // sweepStalePending just collected — and a resurrected marker
+      // defeats the commit-side gap detection: pendingLive would report
+      // "protection held throughout" when it demonstrably lapsed.
+      // setTimes refreshes an existing inode and can never bring a
+      // deleted one back; with no such primitive the marker simply goes
+      // stale, and the commit's pendingLive=false backstop re-validates
+      // the job's files before recording them (the documented degraded
+      // mode for such stores).
+      case _: UnsupportedOperationException => ()
     }
 
   /** The commit queryId a data file's name carries — our writers suffix

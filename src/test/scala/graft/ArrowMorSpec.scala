@@ -38,7 +38,7 @@ class ArrowMorSpec extends AnyFunSuite {
       Array.empty[Long],
       Array(0L),
       Array(0L, 1L, 2L),
-      Array(5L, 127L, 128L, 16383L, 16384L, 1L << 40),
+      Array(5L, 127L, 128L, 16383L, 16384L, Int.MaxValue.toLong),
       Array.iterate(3L, 1000)(p => p + 1 + (p % 7)))
     cases.foreach { ps =>
       assert(ArrowDeleteVectors.decode(ArrowDeleteVectors.encode(ps))
@@ -47,6 +47,13 @@ class ArrowMorSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       ArrowDeleteVectors.encode(Array(3L, 3L)) // not strictly sorted
     }
+    // int-addressed masks downstream: a position past 2^31-1 must fail
+    // LOUDLY at encode/commit time, never truncate to the wrong bit at
+    // read time (a file cannot carry that many rows anyway)
+    val e = intercept[IllegalArgumentException] {
+      ArrowDeleteVectors.encode(Array(Int.MaxValue.toLong + 1))
+    }
+    assert(e.getMessage.contains("Int.MaxValue"))
     intercept[IllegalArgumentException] {
       ArrowDeleteVectors.decode("not a vector".getBytes)
     }
@@ -642,6 +649,47 @@ class ArrowMorSpec extends AnyFunSuite {
     val boot = feed(0L, tip2)
     assert(boot.keySet === Set("insert"))
     assert(boot("insert") === (15L until 190L).toSet)
+  }
+
+  test("append-log stream over live vectors FAILS by default; ignoreDeletes opts in; folded vectors need no opt-in") {
+    val base = java.nio.file.Files.createTempDirectory("graft_mor_stream_dv").toString
+    val dir = s"$base/t"
+    spark.range(0, 100).select(col("id"))
+      .repartitionByRange(2, col("id"))
+      .write.format("arrow-ipc").mode("overwrite").save(dir)
+    ArrowDeleteVectors.deleteMor(spark, dir, "id < 10")
+    assert(liveDvs(dir).nonEmpty)
+    // default: the poll observes live vectors and fails with the
+    // Delta-shaped contract message (append-log over a mutated table
+    // must be a conscious choice)
+    val q1 = spark.readStream.format("arrow-ipc").load(dir)
+      .writeStream.format("memory").queryName("mor_dv_default")
+      .option("checkpointLocation", s"$base/ck1").start()
+    val failed = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.processAllAvailable()
+    }
+    assert(Iterator.iterate[Throwable](failed)(_.getCause)
+      .takeWhile(_ != null).exists(c => Option(c.getMessage)
+        .exists(_.contains("ignoreDeletes"))))
+    // explicit opt-in: masked rows flow (files as committed)
+    val q2 = spark.readStream.format("arrow-ipc")
+      .option("ignoreDeletes", true).load(dir)
+      .writeStream.format("memory").queryName("mor_dv_optin")
+      .option("checkpointLocation", s"$base/ck2").start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.table("mor_dv_optin").count() === 100L)
+    } finally q2.stop()
+    // compaction folds the vectors → no live vectors → no opt-in needed
+    assert(ArrowMaintenance.compact(spark, dir).isDefined)
+    assert(liveDvs(dir).isEmpty)
+    val q3 = spark.readStream.format("arrow-ipc").load(dir)
+      .writeStream.format("memory").queryName("mor_dv_folded")
+      .option("checkpointLocation", s"$base/ck3").start()
+    try {
+      q3.processAllAvailable()
+      assert(spark.table("mor_dv_folded").count() === 90L)
+    } finally q3.stop()
   }
 
   test("streaming change feed: a live MOR delete arrives as delete rows; a same-window compaction absorbs into the delta") {
