@@ -28,10 +28,20 @@ import graft.sources.ArrowMaintenance
   *   2. the directory healed (latch up; no lock, intent, or staging),
   *   3. a fresh checkpointed streaming reader emits every row exactly
   *      once (lineage intact through however many rewrites landed).
+  *
+  * PARAMETERIZED OVER THE COMMIT STORE (round 12): `args(1)` picks the
+  * [[graft.sources.ArrowCommitStore]] the whole run commits through —
+  * `posix` (default: O_EXCL claims, rename tombstone breaks) or
+  * `conditional` ([[graft.sources.ConditionalPutCommitStore]] over the
+  * simulated If-None-Match/If-Match [[graft.sources.SimulatedObjectStore]]
+  * — the store class a real object-store deployment runs on, previously
+  * proven only by unit spec). Same writers, same invariants: the
+  * randomized interleavings must hold on BOTH stores.
   */
 object OccStressProbe {
   def main(args: Array[String]): Unit = {
     val seconds = args.headOption.map(_.toInt).getOrElse(60)
+    val storeName = args.drop(1).headOption.getOrElse("posix")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
@@ -39,7 +49,20 @@ object OccStressProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = s"/tmp/graft_scale/occ_stress_${System.nanoTime()}/out"
-    println(s"hammering $dir for ${seconds}s with 7 uncoordinated writers...")
+    storeName match {
+      case "posix" => ()
+      case "conditional" =>
+        val fs0 = new org.apache.hadoop.fs.Path(dir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val key = fs0.makeQualified(new org.apache.hadoop.fs.Path(dir)).toString
+        graft.sources.ArrowOcc.storeOverrides.put(key,
+          new graft.sources.ConditionalPutCommitStore(
+            new graft.sources.SimulatedObjectStore))
+      case other => sys.error(
+        s"unknown commit store '$other' (expected posix | conditional)")
+    }
+    println(s"hammering $dir for ${seconds}s with 7 uncoordinated writers " +
+      s"(commit store: $storeName)...")
 
     val deadline = System.nanoTime() + seconds * 1000000000L
     val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
