@@ -3488,6 +3488,104 @@ object CoreQueries {
                 WHERE event_type = 'view'
               ) GROUP BY 1, 2 ORDER BY event_type, _change_type""")),
 
+    // STREAMING CDC-APPLY (round 12): a keyed change stream folds into
+    // an arrow-ipc table as per-micro-batch MERGE routed MERGE-ON-READ
+    // (mergeMode=mor — old images mask via deletion vectors, new images
+    // append; base files never rewrite), idempotent per batch via the
+    // Delta txnAppId/txnVersion contract (ArrowCdcApply: the batch id
+    // lands in _cdc_applied.json IN THE SAME intent/replay commit as
+    // the vectors + inserts, so a foreachBatch replay after a crash
+    // skips instead of double-applying). The query drains one wave,
+    // RESTARTS the stream from its checkpoint for a second wave, and
+    // self-asserts (a) no base file rewrote, (b) a hand-replayed batch
+    // version no-ops. At 100 TB each batch costs one pruned find-scan +
+    // O(changed rows) — the per-batch cost at a 3000-file table is
+    // measured in tools/mor_scale_probe.log's CDC leg.
+    ("stream_upsert_mor", (s, d) => {
+      val cust = T(s, d, "customer").select(
+        col("c_custkey").as("key"), col("c_nationkey").as("nation"),
+        (col("c_acctbal").cast(DecimalType(12, 2)) * 100)
+          .cast(LongType).as("cents"))
+      // Scratch contract: see json_roundtrip.
+      val path = graft.sources.Scratch.dir(s, "graft_stream_upsert")
+      val table = path + "/t"
+      cust.repartitionByRange(4, col("key"))
+        .write.format("arrow-ipc").mode("overwrite").save(table)
+      // the change stream: orders as keyed cents-deltas; 1-in-10 rows
+      // shift out of the customer key space to force the INSERT leg
+      val changes = T(s, d, "orders").select(
+        when(col("o_orderkey") % 10 === 0, col("o_custkey") + 1000000)
+          .otherwise(col("o_custkey")).as("key"),
+        (col("o_totalprice").cast(DecimalType(12, 2)) * 100)
+          .cast(LongType).as("delta"), col("o_orderkey"))
+      changes.filter(col("o_orderkey") % 2 === 0).drop("o_orderkey")
+        .write.format("arrow-ipc").mode("overwrite").save(path + "/changes")
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.ArrowCatalog")
+      s.conf.set("spark.graft.arrow.mergeMode", "mor")
+      val fs = new org.apache.hadoop.fs.Path(table)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      def baseFiles = fs.globStatus(
+          new org.apache.hadoop.fs.Path(table, "part-*.arrows"))
+        .map(st => (st.getPath.getName, st.getModificationTime)).toSet
+      val before = baseFiles
+      val apply: (DataFrame, Long) => Unit = (batch, id) => {
+        val bs = batch.sparkSession
+        graft.sources.ArrowCdcApply.applyBatch(bs, table, "upsert_q", id) {
+          // fold the batch per key first: MERGE requires at most one
+          // source match per target row, and addition folds associatively
+          batch.groupBy("key").agg(sum("delta").as("delta"))
+            .createOrReplaceTempView("stream_upsert_src")
+          graft.sources.ArrowDml.sql(bs, table,
+            s"""MERGE INTO graft.`$table` t
+                USING stream_upsert_src c ON t.key = c.key
+                WHEN MATCHED THEN UPDATE SET cents = t.cents + c.delta
+                WHEN NOT MATCHED THEN
+                  INSERT (key, nation, cents) VALUES (c.key, -1, c.delta)""")
+          ()
+        }
+        ()
+      }
+      def drain(): Unit = {
+        val q = s.readStream.format("arrow-ipc").load(path + "/changes")
+          .writeStream.foreachBatch(apply)
+          .option("checkpointLocation", path + "/ckpt").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      try {
+        drain() // wave 1
+        // wave 2 lands; a RESTARTED query (same checkpoint) applies
+        // only the difference — the kill-and-restart shape
+        changes.filter(col("o_orderkey") % 2 === 1).drop("o_orderkey")
+          .write.format("arrow-ipc").mode("append").save(path + "/changes")
+        drain()
+      } finally s.conf.unset("spark.graft.arrow.mergeMode")
+      require(before.subsetOf(baseFiles),
+        "stream_upsert_mor: a MOR merge rewrote a base file")
+      require(graft.sources.ArrowCdcApply
+          .appliedVersion(s, table, "upsert_q").exists(_ >= 1),
+        "stream_upsert_mor: CDC ledger did not advance")
+      require(!graft.sources.ArrowCdcApply.applyBatch(s, table, "upsert_q", 0L) {
+          sys.error("a replayed batch version re-ran its MERGE")
+        }, "stream_upsert_mor: ledger failed to skip a replayed batch")
+      s.read.format("arrow-ipc").load(table)
+        .groupBy(col("nation"))
+        .agg(count(lit(1)).as("cnt"), sum(col("cents")).as("cents"))
+        .orderBy("nation")
+    },
+      Some("""WITH changes AS (
+                SELECT CASE WHEN o_orderkey % 10 = 0 THEN o_custkey + 1000000
+                            ELSE o_custkey END AS key,
+                       CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS delta
+                FROM orders
+              ), folded AS (SELECT key, SUM(delta) AS delta FROM changes GROUP BY 1),
+              base AS (SELECT c_custkey AS key, c_nationkey AS nation,
+                              CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+                       FROM customer)
+              SELECT COALESCE(b.nation, -1) AS nation, COUNT(*) AS cnt,
+                     CAST(SUM(COALESCE(b.cents, 0) + COALESCE(f.delta, 0)) AS BIGINT) AS cents
+              FROM base b FULL OUTER JOIN folded f ON b.key = f.key
+              GROUP BY 1 ORDER BY nation""")),
+
     // STREAMING OUT OF A HIVE LAYOUT (round 9): the inverse of
     // stream_hive_ingest — a partitioned lake (here batch-written; the
     // spec covers the streamed-in case) is consumed as a micro-batch

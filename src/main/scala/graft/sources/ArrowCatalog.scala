@@ -408,22 +408,29 @@ class ArrowCatalog extends TableCatalog with ProcedureCatalog {
         Seq(row(e.dropped, e.trashDeleted))
       }),
     GraftProcedure("vacuum",
-      "recover crashed swaps + sweep dead staging/orphans/markers; " +
-        "keep_from also expires time-travel history before that snapshot",
+      "recover crashed swaps + sweep dead staging/orphans/markers + " +
+        "purge files whose deletion vectors mask >= purge_masked_above " +
+        "of their rows (default 0.5; > 1.0 disables); keep_from also " +
+        "expires time-travel history before that snapshot",
       Array(in("dir", StringType),
-        inDefault("keep_from", LongType, "NULL")),
+        inDefault("keep_from", LongType, "NULL"),
+        inDefault("purge_masked_above",
+          org.apache.spark.sql.types.DoubleType, "NULL")),
       StructType(Seq(org.apache.spark.sql.types.StructField("recovered", org.apache.spark.sql.types.BooleanType),
         org.apache.spark.sql.types.StructField("staging_swept", IntegerType),
         org.apache.spark.sql.types.StructField("orphans_swept", IntegerType),
         org.apache.spark.sql.types.StructField("snapshots_dropped", IntegerType),
-        org.apache.spark.sql.types.StructField("trash_deleted", IntegerType))),
+        org.apache.spark.sql.types.StructField("trash_deleted", IntegerType),
+        org.apache.spark.sql.types.StructField("files_purged", IntegerType))),
       r => {
         val keepFrom = if (r.isNullAt(1)) None else Some(r.getLong(1))
+        val theta = if (r.isNullAt(2)) None else Some(r.getDouble(2))
         val v = ArrowMaintenance.vacuum(SparkSession.active, dirArg(r),
-          keepFrom)
+          keepFrom, theta)
         Seq(row(v.recovered, v.stagingSwept, v.orphansSwept,
           v.expired.map(_.dropped).getOrElse(-1),
-          v.expired.map(_.trashDeleted).getOrElse(-1)))
+          v.expired.map(_.trashDeleted).getOrElse(-1),
+          v.purged.map(_.oldFiles).getOrElse(0)))
       }),
     // statement-level DML with BOUNDED TRANSPARENT RETRY (round 11):
     // a lost COW commit race re-plans and re-executes the statement

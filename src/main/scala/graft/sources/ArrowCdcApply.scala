@@ -1,0 +1,80 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** STREAMING CDC-APPLY (round 12): apply a keyed change stream into an
+  * arrow-ipc table as per-micro-batch MERGE, exactly-once across a
+  * kill-and-restart — the upsert shape a continuous ingest loop runs
+  * (Debezium-style change rows folded into the lake).
+  *
+  * Structured Streaming's `foreachBatch` is AT-LEAST-ONCE for side
+  * effects: after a crash the restarted query re-runs its last
+  * uncommitted batch, and a bare MERGE that ADDS deltas would
+  * double-apply. Delta Lake closes this with `txnAppId`/`txnVersion` —
+  * the version is recorded in the same transaction as the data, and a
+  * replayed version is skipped. This object is that contract over this
+  * source's MOR commit: [[applyBatch]] tags the statement with
+  * `(appId, batchId)` via the session conf; the MOR position-delta
+  * commit ([[ArrowDeleteVectors]]) writes the tag into its intent, the
+  * replay folds it into the table's `_cdc_applied.json` ledger
+  * ATOMICALLY with the batch's vectors + inserted files, and a commit
+  * whose version the ledger already covers cleans its staging and
+  * no-ops under the commit lock. Every crash window converges:
+  *
+  *  - crash before the intent → nothing landed; the restarted batch
+  *    re-runs from scratch (the MERGE reads the unchanged snapshot);
+  *  - crash after the intent → recover()/the next commit replays
+  *    merge + ledger together; the restarted batch's re-run then skips
+  *    on the ledger check.
+  *
+  * Usage (the declared `stream_upsert_mor` query is exactly this):
+  * {{{
+  * changes.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+  *   ArrowCdcApply.applyBatch(spark, dir, "my-app", id) {
+  *     batch.groupBy("key").agg(...).createOrReplaceTempView("src")
+  *     // MERGE INTO graft.`dir` USING src ... (mergeMode=mor)
+  *   }
+  * }
+  * }}}
+  *
+  * Scale shape: each batch's MERGE pays one find-scan of the candidate
+  * files (stats/bloom pruning applies) plus O(changed rows) of vectors
+  * and inserts — measured in tools/mor_scale_probe.log's CDC leg at a
+  * 3000-file table. The ledger is O(distinct appIds), read lock-free
+  * and folded under the commit lock. Versions per app must be
+  * monotonically increasing (Structured Streaming batch ids are).
+  *
+  * Beyond-reference by construction: the reference has no streaming or
+  * mutation story (its write side is a blind `IBlockOutputStream::
+  * write`); the shape precedent is Delta's idempotent-writes contract,
+  * re-expressed over this source's intent/replay commit. */
+object ArrowCdcApply {
+
+  private val TxnConf = "spark.graft.arrow.cdcTxn"
+
+  /** The highest batch version `appId` has applied to `dir`'s table
+    * (None = never applied). Lock-free read of the atomic ledger. */
+  def appliedVersion(spark: SparkSession, dir: String,
+      appId: String): Option[Long] = {
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    ArrowDeleteVectors.appliedCdcVersion(fs, dirPath, appId)
+  }
+
+  /** Run `body` (the batch's MERGE/DML against `dir`) tagged with
+    * `(appId, batchId)`. Returns false — running NOTHING — when the
+    * ledger already covers `batchId` (a foreachBatch replay); returns
+    * true when the body ran. The pre-check here is the cheap fast path;
+    * the authoritative check re-runs under the commit lock inside the
+    * MOR commit, so even a race between two replays of one batch
+    * applies once. The appId must not contain ':' (the conf separator
+    * splits on the LAST ':', so a qualified app name still works). */
+  def applyBatch(spark: SparkSession, dir: String, appId: String,
+      batchId: Long)(body: => Unit): Boolean = {
+    if (appliedVersion(spark, dir, appId).exists(_ >= batchId)) return false
+    spark.conf.set(TxnConf, s"$appId:$batchId")
+    try { body; true }
+    finally spark.conf.unset(TxnConf)
+  }
+}

@@ -61,6 +61,76 @@ private[graft] object ArrowDeleteVectors {
 
   val DvDir = ".dv"
   private[graft] val MorIntentFile = "_mor.json"
+  private[graft] val CdcLedgerFile = "_cdc_applied.json"
+
+  // ── CDC idempotency ledger (round 12) ────────────────────────────────
+  // The Delta txnAppId/txnVersion contract for foreachBatch CDC-apply:
+  // a statement tagged with (app, version) — via the
+  // `spark.graft.arrow.cdcTxn` conf, set by [[ArrowCdcApply]] around the
+  // per-batch MERGE — records the version in `_cdc_applied.json` IN THE
+  // SAME intent/replay commit as its vectors and inserts, and a commit
+  // whose version the ledger already covers SKIPS atomically. A crashed
+  // micro-batch therefore replays to exactly-once: either the intent
+  // landed (replay completes merge + ledger together) or it didn't
+  // (the restarted batch re-runs from scratch).
+
+  /** The highest batch version `appId` has applied to this table. */
+  def appliedCdcVersion(fs: FileSystem, dirPath: Path,
+      appId: String): Option[Long] = {
+    val p = new Path(dirPath, CdcLedgerFile)
+    if (!scala.util.Try(fs.exists(p)).getOrElse(false)) return None
+    import org.json4s._
+    scala.util.Try {
+      org.json4s.jackson.JsonMethods.parse(
+        ArrowFileStats.readFully(fs, p)) match {
+        case JObject(fields) => fields.collectFirst {
+          case (k, JInt(v)) if k == appId => v.toLong
+          case (k, JLong(v)) if k == appId => v
+        }
+        case _ => None
+      }
+    }.toOption.flatten
+  }
+
+  /** The statement's (appId, version) tag, if the session set one. */
+  private def cdcTxn(): Option[(String, Long)] =
+    scala.util.Try(SparkSession.active.conf
+      .getOption("spark.graft.arrow.cdcTxn")).toOption.flatten
+      .flatMap { s =>
+        val i = s.lastIndexOf(':')
+        if (i <= 0) None
+        else s.substring(i + 1).toLongOption.map(v => (s.substring(0, i), v))
+      }
+
+  /** Fold `(app, ver)` into the ledger — monotone max per app, atomic
+    * flip. Runs under the commit lock (from [[replayMor]]), so the
+    * read-modify-write cannot interleave with another committer. */
+  private def foldCdcLedger(fs: FileSystem, dirPath: Path,
+      app: String, ver: Long): Unit = {
+    val current: Map[String, Long] = {
+      val p = new Path(dirPath, CdcLedgerFile)
+      if (!scala.util.Try(fs.exists(p)).getOrElse(false)) Map.empty
+      else {
+        import org.json4s._
+        scala.util.Try {
+          org.json4s.jackson.JsonMethods.parse(
+            ArrowFileStats.readFully(fs, p)) match {
+            case JObject(fields) => fields.collect {
+              case (k, JInt(v)) => k -> v.toLong
+              case (k, JLong(v)) => k -> v
+            }.toMap
+            case _ => Map.empty[String, Long]
+          }
+        }.getOrElse(Map.empty)
+      }
+    }
+    val next = current + (app -> math.max(ver, current.getOrElse(app, Long.MinValue)))
+    val body = next.toSeq.sortBy(_._1).map { case (k, v) =>
+      "\"" + esc(k) + "\":" + v
+    }.mkString("{", ",", "}")
+    ArrowOcc.writeAtomic(fs, new Path(dirPath, CdcLedgerFile),
+      body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
 
   /** One live deletion vector: `rel` is the path relative to the table
     * root (`.dv/name.g2.c17.dv`), `gen` its generation, `card` its
@@ -389,7 +459,7 @@ private[graft] object ArrowDeleteVectors {
         relOf(fs, dirPath, path), merged.length.toLong)
     }
 
-    commitStaged(fs, dirPath, staged.toSeq, None)
+    if (!commitStaged(fs, dirPath, staged.toSeq, None)) return (0, 0L)
     (perFile.length, deleted)
   }
 
@@ -420,7 +490,8 @@ private[graft] object ArrowDeleteVectors {
       return (0, 0L)
     }
     val staged = stageVectors(fs, dirPath, perFile)
-    commitStaged(fs, dirPath, staged.toSeq, Some((stagingName, dataRels)))
+    if (!commitStaged(fs, dirPath, staged.toSeq,
+        Some((stagingName, dataRels)))) return (0, 0L)
     (staged.length, deleted)
   }
 
@@ -452,34 +523,54 @@ private[graft] object ArrowDeleteVectors {
   /** COMMIT under the lock: validate (masked files live, vectors
     * unmoved), intent, latch down, replay, latch up. Any validation miss
     * cleans the staged vectors (and the insert staging, when present)
-    * and throws the conflict the statement retry re-plans on. */
+    * and throws the conflict the statement retry re-plans on.
+    *
+    * Returns false — cleaning the staged artifacts, committing NOTHING
+    * — when the session's `spark.graft.arrow.cdcTxn` tag names a batch
+    * version the table's CDC ledger already covers: a foreachBatch
+    * replay after a crash-and-restart re-runs its MERGE, and this check
+    * (under the same lock that applied it) is what makes the re-run a
+    * no-op instead of a double-apply. */
   private def commitStaged(fs: FileSystem, dirPath: Path,
       staged: Seq[MorMove],
-      data: Option[(String, Seq[String])]): Unit =
-    try {
-      ArrowOcc.withCommitLock(fs, dirPath) {
-        ArrowOcc.validateOldsLive(fs, dirPath, staged.map(_.dataRel),
-          "MOR delta")
-        val current = live(fs, dirPath)
-        val moved = staged.filter(m =>
-          current.get(new Path(m.dataRel).getName).map(_.rel) != m.oldDv)
-        if (moved.nonEmpty)
-          throw new ArrowOcc.CommitConflictException(
-            s"arrow-ipc occ: MOR delta on $dirPath lost its race — the " +
-              s"deletion vector of ${moved.head.dataRel} advanced " +
-              "concurrently; re-run the statement")
-        writeMorIntent(fs, dirPath, staged, data)
-        fs.delete(new Path(dirPath, "_SUCCESS"), false)
-        replayMor(fs, dirPath)
-      }
-    } catch {
-      case e: ArrowOcc.CommitConflictException =>
-        staged.foreach(m =>
-          scala.util.Try(fs.delete(new Path(dirPath, m.stagedRel), false)))
-        data.foreach { case (s, _) =>
-          scala.util.Try(fs.delete(new Path(dirPath, s), true)) }
-        throw e
+      data: Option[(String, Seq[String])]): Boolean = {
+    val txn = cdcTxn()
+    def cleanStaged(): Unit = {
+      staged.foreach(m =>
+        scala.util.Try(fs.delete(new Path(dirPath, m.stagedRel), false)))
+      data.foreach { case (s, _) =>
+        scala.util.Try(fs.delete(new Path(dirPath, s), true)) }
     }
+    val applied =
+      try {
+        ArrowOcc.withCommitLock(fs, dirPath) {
+          if (txn.exists { case (app, ver) =>
+              appliedCdcVersion(fs, dirPath, app).exists(_ >= ver) }) false
+          else {
+            ArrowOcc.validateOldsLive(fs, dirPath, staged.map(_.dataRel),
+              "MOR delta")
+            val current = live(fs, dirPath)
+            val moved = staged.filter(m =>
+              current.get(new Path(m.dataRel).getName).map(_.rel) != m.oldDv)
+            if (moved.nonEmpty)
+              throw new ArrowOcc.CommitConflictException(
+                s"arrow-ipc occ: MOR delta on $dirPath lost its race — the " +
+                  s"deletion vector of ${moved.head.dataRel} advanced " +
+                  "concurrently; re-run the statement")
+            writeMorIntent(fs, dirPath, staged, data, txn)
+            fs.delete(new Path(dirPath, "_SUCCESS"), false)
+            replayMor(fs, dirPath)
+            true
+          }
+        }
+      } catch {
+        case e: ArrowOcc.CommitConflictException =>
+          cleanStaged()
+          throw e
+      }
+    if (!applied) cleanStaged()
+    applied
+  }
 
   private def relOf(fs: FileSystem, dirPath: Path, abs: String): String =
     ArrowSnapshots.relativize(fs, dirPath, new Path(abs))
@@ -493,7 +584,8 @@ private[graft] object ArrowDeleteVectors {
   private def esc(s: String): String = ArrowFileStats.esc(s)
 
   private def writeMorIntent(fs: FileSystem, dir: Path,
-      moves: Seq[MorMove], data: Option[(String, Seq[String])]): Unit = {
+      moves: Seq[MorMove], data: Option[(String, Seq[String])],
+      txn: Option[(String, Long)] = None): Unit = {
     val dvPart = moves.sortBy(_.finalRel).map { m =>
       "{\"staged\":\"" + esc(m.stagedRel) + "\",\"final\":\"" +
         esc(m.finalRel) + "\"" +
@@ -502,6 +594,8 @@ private[graft] object ArrowDeleteVectors {
     val body = "{\"dv\":" + dvPart + data.fold("") { case (s, rels) =>
       ",\"staging\":\"" + esc(s) + "\",\"data\":[" +
         rels.sorted.map(r => "\"" + esc(r) + "\"").mkString(",") + "]"
+    } + txn.fold("") { case (app, ver) =>
+      ",\"txnApp\":\"" + esc(app) + "\",\"txnVer\":" + ver
     } + "}"
     // atomic like every correctness-bearing sidecar: a crash mid-write
     // must leave NO intent, never a corrupt one that wedges recover()
@@ -510,7 +604,7 @@ private[graft] object ArrowDeleteVectors {
   }
 
   private def readMorIntent(fs: FileSystem, dir: Path)
-      : (Seq[MorMove], Option[(String, Seq[String])]) = {
+      : (Seq[MorMove], Option[(String, Seq[String])], Option[(String, Long)]) = {
     import org.json4s._
     def moveOf(x: JValue): MorMove = {
       def str(k: String): Option[String] = x \ k match {
@@ -520,7 +614,7 @@ private[graft] object ArrowDeleteVectors {
     }
     org.json4s.jackson.JsonMethods.parse(
       ArrowFileStats.readFully(fs, new Path(dir, MorIntentFile))) match {
-      case JArray(xs) => (xs.map(moveOf), None) // pre-delta intent shape
+      case JArray(xs) => (xs.map(moveOf), None, None) // pre-delta intent shape
       case o: JObject =>
         val dv = (o \ "dv") match {
           case JArray(xs) => xs.map(moveOf)
@@ -535,7 +629,12 @@ private[graft] object ArrowDeleteVectors {
             Some((s, rels))
           case _ => None
         }
-        (dv, data)
+        val txn = (o \ "txnApp", o \ "txnVer") match {
+          case (JString(app), JInt(v)) => Some((app, v.toLong))
+          case (JString(app), JLong(v)) => Some((app, v))
+          case _ => None
+        }
+        (dv, data, txn)
       case other => throw new IllegalStateException(s"bad $MorIntentFile: $other")
     }
   }
@@ -547,7 +646,7 @@ private[graft] object ArrowDeleteVectors {
     * intent gone, latch restored. Called under the commit lock (directly
     * at commit, or from [[ArrowMaintenance.recover]] after a crash). */
   private[sources] def replayMor(fs: FileSystem, dirPath: Path): Unit = {
-    val (moves, data) = readMorIntent(fs, dirPath)
+    val (moves, data, txn) = readMorIntent(fs, dirPath)
     fs.delete(new Path(dirPath, "_SUCCESS"), false)
     moves.foreach { m =>
       val src = new Path(dirPath, m.stagedRel)
@@ -602,6 +701,11 @@ private[graft] object ArrowDeleteVectors {
       .getOrElse(Set.empty)
     if (!adds.forall(tipState.contains))
       ArrowSnapshots.append(fs, dirPath, adds, moves.flatMap(_.oldDv))
+    // the CDC idempotency record lands in the SAME replay as the merge's
+    // vectors/inserts — a crash anywhere between intent and here replays
+    // both together, so a foreachBatch restart can never double-apply.
+    // Fixed point: the fold is a monotone max per app.
+    txn.foreach { case (app, ver) => foldCdcLedger(fs, dirPath, app, ver) }
     ArrowOcc.restoreLatch(fs, dirPath)
     data.foreach { case (stagingName, _) =>
       fs.delete(new Path(dirPath, stagingName), true) }

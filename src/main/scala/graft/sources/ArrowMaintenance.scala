@@ -152,12 +152,14 @@ object ArrowMaintenance {
     * through the rolling hive writer. Returns None when no vector lives. */
   def purgeDeletes(spark: SparkSession, dir: String,
       targetBytes: Long = 128L << 20,
-      codec: Option[String] = None): Option[CompactionResult] =
+      codec: Option[String] = None,
+      onlyFiles: Option[Set[String]] = None): Option[CompactionResult] =
     retryOnConflict("purge", dir)(
-      purgeOnce(spark, dir, targetBytes, codec))
+      purgeOnce(spark, dir, targetBytes, codec, onlyFiles))
 
   private def purgeOnce(spark: SparkSession, dir: String,
-      targetBytes: Long, codec: Option[String]): Option[CompactionResult] = {
+      targetBytes: Long, codec: Option[String],
+      onlyFiles: Option[Set[String]]): Option[CompactionResult] = {
     require(targetBytes >= 1, "targetBytes must be >= 1")
     val dirPath = new Path(dir)
     val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -168,7 +170,7 @@ object ArrowMaintenance {
     val replaceable = replaceableFilter(fs, dirPath)
     val olds = walkFiles(fs, dirPath).filter { case (rel, _) =>
       val n = new Path(rel).getName
-      replaceable(n) && dvs.contains(n)
+      replaceable(n) && dvs.contains(n) && onlyFiles.forall(_.contains(n))
     }
     if (olds.isEmpty) return None
     val id = java.util.UUID.randomUUID.toString.take(8)
@@ -687,21 +689,38 @@ object ArrowMaintenance {
 
   /** Outcome of [[vacuum]]. */
   case class VacuumResult(recovered: Boolean, stagingSwept: Int,
-      orphansSwept: Int, expired: Option[ExpireResult])
+      orphansSwept: Int, expired: Option[ExpireResult],
+      purged: Option[CompactionResult] = None)
 
   /** VACUUM — the one nightly-cron housekeeping entry point: finish any
     * crashed swap, sweep provably-dead staging dirs (`.compact-*` /
     * `.cow-*` past the OCC staleness window), stale pending-append
-    * markers, dead stream orphans and task temps, and — when `keepFrom`
-    * is given — expire time-travel history before that snapshot
-    * (collapsing the log prefix into a base checkpoint and collecting
-    * unreferenced `.trash/` files). Every step is individually safe
-    * under [[ArrowOcc]]'s concurrency protocol, so vacuum can run beside
-    * live writers: anything younger than the staleness window is left
-    * alone, and the expiry section takes the commit lock like any other
-    * commit. */
+    * markers, dead stream orphans and task temps, collect MOR vector
+    * debt past the masked-fraction threshold (below), and — when
+    * `keepFrom` is given — expire time-travel history before that
+    * snapshot (collapsing the log prefix into a base checkpoint and
+    * collecting unreferenced `.trash/` files). Every step is
+    * individually safe under [[ArrowOcc]]'s concurrency protocol, so
+    * vacuum can run beside live writers: anything younger than the
+    * staleness window is left alone, the expiry section takes the
+    * commit lock like any other commit, and the purge leg rides the
+    * standard staged swap with commit-time vector validation.
+    *
+    * AUTO VECTOR-DEBT POLICY (round 12): a table under sustained
+    * point-delete churn accumulates masked rows that tax every read
+    * until something folds them; before this leg, only a manual
+    * `CALL purge` or an incidental compaction collected the debt. Any
+    * data file whose live deletion vector masks ≥ θ of its rows
+    * (cardinality from the vector name / row count from the stats
+    * manifest — no file or vector is opened to decide) gets a TARGETED
+    * [[purgeDeletes]] of exactly those files. θ defaults from
+    * `spark.graft.arrow.vacuumPurgeMaskedFraction` (0.5 — conservative:
+    * a half-masked file is pure debt, rewriting it halves its bytes);
+    * ≥ 1.0 disables the leg (a fully-masked file is still collected at
+    * exactly 1.0 — pass purgeMaskedAbove > 1.0 to opt out entirely). */
   def vacuum(spark: SparkSession, dir: String,
-      keepFrom: Option[Long] = None): VacuumResult = {
+      keepFrom: Option[Long] = None,
+      purgeMaskedAbove: Option[Double] = None): VacuumResult = {
     val dirPath = new Path(dir)
     val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val recovered = recover(spark, dir)
@@ -712,8 +731,32 @@ object ArrowMaintenance {
     ArrowOcc.sweepStaleDml(fs, dirPath)
     ArrowOcc.sweepStaleTmp(fs, dirPath)
     val orphans = ArrowStreamCommits.cleanOrphans(fs, dirPath).size
+    val theta = purgeMaskedAbove.getOrElse(
+      scala.util.Try(spark.conf
+        .get("spark.graft.arrow.vacuumPurgeMaskedFraction", "0.5").toDouble)
+        .getOrElse(0.5))
+    val purged =
+      if (theta > 1.0) None
+      else {
+        val dvs = ArrowDeleteVectors.live(fs, dirPath)
+        if (dvs.isEmpty) None
+        else {
+          // masked fraction from metadata alone: vector cardinality is
+          // in its name, row counts in the stats manifest. A file the
+          // manifest doesn't know (foreign import) is skipped — purging
+          // it needs an operator's explicit CALL purge.
+          val stats = ArrowFileStats.read(fs, dirPath)
+          val debtors = dvs.collect {
+            case (name, ref) if stats.get(name)
+                .exists(st => st.rows > 0 &&
+                  ref.card.toDouble / st.rows >= theta) => name
+          }.toSet
+          if (debtors.isEmpty) None
+          else purgeDeletes(spark, dir, onlyFiles = Some(debtors))
+        }
+      }
     VacuumResult(recovered, staging, orphans,
-      keepFrom.map(expireSnapshots(spark, dir, _)))
+      keepFrom.map(expireSnapshots(spark, dir, _)), purged)
   }
 
   /** Expire time-travel history older than snapshot `keepFrom`: the log's

@@ -133,6 +133,52 @@ object MorScaleProbe {
         f"$cowNew B rewritten (${cowNew.toDouble / math.max(1L, morNew)}%.0fx more)")
     }
 
+    // ── 1c. streaming CDC-apply per-batch cost vs FILE COUNT (round 12:
+    // the stream_upsert_mor shape — each micro-batch's MERGE pays one
+    // find-scan over the candidate files; a keyed join prunes nothing
+    // statically, so the scan is O(live files). Measured at 300 vs 3000
+    // files, same rows: if the per-batch cost scales with file count and
+    // dominates, that is the case for equality deletes — this leg is the
+    // evidence either way.) ──────────────────────────────────────────────
+    {
+      val cdcRows = math.min(rows, 3000000L)
+      val perBatch = Seq(300, 3000).map { nf =>
+        val d = s"$base/cdc$nf"
+        spark.range(0, cdcRows)
+          .select(col("id").as("key"), (col("id") % 1000).as("k"),
+            sha2(col("id").cast("string"), 256).as("payload"))
+          .repartition(nf, col("key"))
+          .write.format("arrow-ipc").mode("overwrite").save(d)
+        spark.conf.set("spark.graft.arrow.mergeMode", "mor")
+        val times = try {
+          (0 until 3).map { b =>
+            spark.range(b * 200L, b * 200L + 200L)
+              .select(col("id").as("key"), lit(1L).as("d"))
+              .createOrReplaceTempView("cdc_probe_src")
+            val (_, ms) = timed {
+              graft.sources.ArrowCdcApply.applyBatch(spark, d,
+                  "cdc_probe", b.toLong) {
+                ArrowDml.sql(spark, d,
+                  s"MERGE INTO graft.`$d` t USING cdc_probe_src c " +
+                    "ON t.key = c.key " +
+                    "WHEN MATCHED THEN UPDATE SET payload = 'redacted' " +
+                    "WHEN NOT MATCHED THEN INSERT (key, k, payload) " +
+                    "VALUES (c.key, -1, 'new')")
+                ()
+              }
+            }
+            ms
+          }
+        } finally spark.conf.unset("spark.graft.arrow.mergeMode")
+        println(f"  CDC-apply (200-key MERGE mor batch) at $nf%5d files: " +
+          times.map(t => f"$t%.0f ms").mkString(", ") +
+          f" (median ${times.sorted.apply(1)}%.0f ms/batch)")
+        times.sorted.apply(1)
+      }
+      println(f"  per-batch cost 300->3000 files (10x): " +
+        f"${perBatch.last / perBatch.head}%.2fx")
+    }
+
     // ── 2. the read tax ──────────────────────────────────────────────────
     def scanMs(dir: String, label: String): (Double, Long) = {
       val q = spark.read.format("arrow-ipc").load(dir)
@@ -152,6 +198,45 @@ object MorScaleProbe {
     require(maskedCnt == foldedCnt, "fold changed the result")
     println(f"  read tax while vectors live: ${maskedMs / cleanMs}%.1fx; " +
       f"after fold: ${foldedMs / cleanMs}%.2fx")
+
+    // ── 2b. AUTO VECTOR-DEBT under sustained churn (round 12): waves of
+    // point deletes with ONLY a nightly vacuum(θ=0.2) between them — no
+    // manual CALL purge anywhere. The policy must hold the masked
+    // fraction (and with it the read tax) bounded: debt grows ~3% per
+    // wave, vacuum collects any file past θ, so the fraction sawtooths
+    // under θ+wave instead of growing without bound. ───────────────────
+    {
+      val d = s"$base/churn"; build(d)
+      val dPath = new Path(d)
+      def maskedFrac: Double = {
+        val dvs = ArrowDeleteVectors.live(fs, dPath)
+        if (dvs.isEmpty) return 0.0
+        val stats = graft.sources.ArrowFileStats.read(fs, dPath)
+        dvs.map { case (n, ref) =>
+          ref.card.toDouble / math.max(1L, stats.get(n).map(_.rows).getOrElse(1L))
+        }.max
+      }
+      val q = spark.read.format("arrow-ipc").load(d).agg(sum(col("id")), count(lit(1)))
+      q.collect() // warm
+      val (_, cleanChurnMs) = timed(q.collect())
+      var maxFrac = 0.0; var purgedFiles = 0
+      val waveMs = (0 until 12).map { w =>
+        ArrowDeleteVectors.deleteMor(spark, d,
+          s"k >= ${w * 30} AND k < ${w * 30 + 30}") // a fresh 3% slice
+        maxFrac = math.max(maxFrac, maskedFrac)
+        val v = ArrowMaintenance.vacuum(spark, d,
+          purgeMaskedAbove = Some(0.2))
+        purgedFiles += v.purged.map(_.oldFiles).getOrElse(0)
+        require(maskedFrac < 0.2, "vacuum left a file past the threshold")
+        val (_, ms) = timed(q.collect())
+        ms
+      }
+      println(f"  churn: 12 delete waves (3%%/wave) + nightly vacuum(0.2), " +
+        f"NO manual purge: max masked fraction $maxFrac%.2f (bounded), " +
+        f"$purgedFiles files auto-purged, scan ${waveMs.max / cleanChurnMs}%.1fx " +
+        f"worst / ${waveMs.last / cleanChurnMs}%.1fx final vs clean " +
+        f"($cleanChurnMs%.0f ms)")
+    }
 
     // ── 3. codec density ─────────────────────────────────────────────────
     println("codec density (delta-varint over sorted positions):")

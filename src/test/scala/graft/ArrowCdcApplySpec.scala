@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{ArrowCdcApply, ArrowDeleteVectors, ArrowDml, ArrowMaintenance}
+
+/** Exactly-once CDC-apply (round 12): foreachBatch MERGE tagged with
+  * (appId, batchId) records the version in `_cdc_applied.json` in the
+  * SAME intent/replay commit as the batch's vectors + inserts — the
+  * Delta txnAppId/txnVersion contract over this source's MOR commit.
+  * A replayed batch (crash-and-restart re-runs the last uncommitted
+  * micro-batch; foreachBatch is at-least-once by itself) must be a
+  * no-op, through every crash window. */
+class ArrowCdcApplySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString + "/out"
+
+  private def fsOf(dir: String) = new Path(dir)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def seed(dir: String): Unit = {
+    spark.range(0, 100)
+      .select(col("id").as("key"), (col("id") * 10).as("v"))
+      .repartitionByRange(2, col("key"))
+      .write.format("arrow-ipc").mode("overwrite").save(dir)
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.ArrowCatalog")
+  }
+
+  private def vsum(dir: String): Long =
+    spark.read.format("arrow-ipc").load(dir)
+      .agg(sum(col("v"))).collect()(0).getLong(0)
+
+  /** One upsert batch: add 1 to v for keys < 30, insert key 1000+ver. */
+  private def mergeBatch(dir: String, ver: Long): Boolean =
+    ArrowCdcApply.applyBatch(spark, dir, "cdc_spec", ver) {
+      spark.conf.set("spark.graft.arrow.mergeMode", "mor")
+      try {
+        spark.range(0, 30).select(col("id").as("key"), lit(1L).as("d"))
+          .union(spark.range(1000 + ver, 1001 + ver)
+            .select(col("id").as("key"), lit(7L).as("d")))
+          .createOrReplaceTempView("cdc_spec_src")
+        ArrowDml.sql(spark, dir,
+          s"""MERGE INTO graft.`$dir` t USING cdc_spec_src c ON t.key = c.key
+              WHEN MATCHED THEN UPDATE SET v = t.v + c.d
+              WHEN NOT MATCHED THEN INSERT (key, v) VALUES (c.key, c.d)""")
+        ()
+      } finally spark.conf.unset("spark.graft.arrow.mergeMode")
+    }
+
+  test("a replayed batch version is a no-op; later versions apply; ledger is monotone") {
+    val dir = tmp("graft_cdc_replay")
+    seed(dir)
+    val base = vsum(dir)
+    assert(ArrowCdcApply.appliedVersion(spark, dir, "cdc_spec") === None)
+
+    assert(mergeBatch(dir, 0L))
+    val after0 = vsum(dir)
+    assert(after0 === base + 30 + 7)
+    assert(ArrowCdcApply.appliedVersion(spark, dir, "cdc_spec") === Some(0L))
+
+    // the at-least-once replay: same version re-runs after a "crash" —
+    // the fast path skips without executing the body at all
+    assert(!mergeBatch(dir, 0L))
+    assert(vsum(dir) === after0, "a replayed batch DOUBLE-APPLIED")
+
+    // the next version applies; the one after that replays as no-op too
+    assert(mergeBatch(dir, 1L))
+    assert(vsum(dir) === after0 + 30 + 7)
+    assert(!mergeBatch(dir, 1L) && !mergeBatch(dir, 0L))
+    assert(vsum(dir) === after0 + 30 + 7)
+    assert(ArrowCdcApply.appliedVersion(spark, dir, "cdc_spec") === Some(1L))
+    // independent apps have independent versions
+    assert(ArrowCdcApply.appliedVersion(spark, dir, "other_app") === None)
+  }
+
+  test("the authoritative skip is under the commit lock: a tagged statement whose version already applied commits NOTHING even when the fast path is bypassed") {
+    val dir = tmp("graft_cdc_lock")
+    seed(dir)
+    // apply version 3 via a tagged MOR delete (deleteMor reads the same
+    // session tag through commitStaged)
+    spark.conf.set("spark.graft.arrow.cdcTxn", "cdc_lock:3")
+    try {
+      val r1 = ArrowDeleteVectors.deleteMor(spark, dir, "key < 5")
+      assert(r1.deletedRows === 5L)
+      // replay the SAME version with a DIFFERENT predicate, bypassing
+      // ArrowCdcApply's pre-check entirely: the under-lock ledger check
+      // must refuse the commit (if only the mask made it a no-op, this
+      // predicate would delete 5 new rows)
+      val r2 = ArrowDeleteVectors.deleteMor(spark, dir, "key >= 5 AND key < 10")
+      assert(r2.deletedRows === 0L,
+        "the under-lock ledger check failed: a replayed version committed")
+    } finally spark.conf.unset("spark.graft.arrow.cdcTxn")
+    assert(spark.read.format("arrow-ipc").load(dir).count() === 95L)
+    assert(ArrowCdcApply.appliedVersion(spark, dir, "cdc_lock") === Some(3L))
+  }
+
+  test("crash window: an intent carrying a txn replays merge + ledger together via recover()") {
+    val dir = tmp("graft_cdc_crash")
+    seed(dir)
+    val fs = fsOf(dir)
+    val dirPath = new Path(dir)
+    val dataName = Option(fs.globStatus(new Path(dir, "part-*.arrows")))
+      .getOrElse(Array.empty).map(_.getPath.getName).head
+
+    // hand-stage the exact on-disk state of a crash after the tagged
+    // intent landed but before any replay step ran
+    val staged = s"${ArrowDeleteVectors.DvDir}/.mor-test-$dataName.g1.c5.dv"
+    val finalRel = ArrowDeleteVectors.dvRel(dataName, 1, 5L)
+    graft.sources.ArrowOcc.writeAtomic(fs, new Path(dirPath, staged),
+      ArrowDeleteVectors.encode(Array(0L, 1L, 2L, 3L, 4L)))
+    val intent = "{\"dv\":[{\"staged\":\"" + staged + "\",\"final\":\"" +
+      finalRel + "\"}],\"txnApp\":\"cdc_crash\",\"txnVer\":9}"
+    graft.sources.ArrowOcc.writeAtomic(fs,
+      new Path(dirPath, ArrowDeleteVectors.MorIntentFile), intent.getBytes)
+    fs.delete(new Path(dirPath, "_SUCCESS"), false)
+
+    assert(ArrowMaintenance.recover(spark, dir))
+    assert(spark.read.format("arrow-ipc").load(dir).count() === 95L)
+    // the ledger advanced IN THE SAME replay — the restarted batch's
+    // re-run now skips
+    assert(ArrowCdcApply.appliedVersion(spark, dir, "cdc_crash") === Some(9L))
+    assert(!ArrowCdcApply.applyBatch(spark, dir, "cdc_crash", 9L) {
+      fail("a replayed batch version re-ran after crash replay")
+    })
+    // and version 10 still applies
+    assert(ArrowCdcApply.applyBatch(spark, dir, "cdc_crash", 10L) { () })
+  }
+
+  test("an untagged statement never touches the ledger") {
+    val dir = tmp("graft_cdc_untagged")
+    seed(dir)
+    ArrowDeleteVectors.deleteMor(spark, dir, "key < 3")
+    assert(!fsOf(dir).exists(
+      new Path(dir, ArrowDeleteVectors.CdcLedgerFile)))
+  }
+}

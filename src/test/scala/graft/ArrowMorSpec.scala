@@ -728,6 +728,49 @@ class ArrowMorSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("vacuum auto-purges files whose vectors mask >= theta; lightly-masked files keep their bytes") {
+    val dir = tmp("graft_mor_vacuum_debt")
+    // 4 range files over id 0..399: file ownership of ids is positional
+    spark.range(0, 400).select(col("id"))
+      .repartitionByRange(4, col("id"))
+      .write.format("arrow-ipc").mode("overwrite").save(dir)
+    val fs = fsOf(dir)
+    // mask 60% of the first file's rows (ids 0..59 of 0..99) and 5% of
+    // the last file's (ids 300..304 of 300..399)
+    ArrowDeleteVectors.deleteMor(spark, dir, "id < 60")
+    ArrowDeleteVectors.deleteMor(spark, dir, "id >= 300 AND id < 305")
+    assert(liveDvs(dir).size === 2)
+    val byteSizes = Option(fs.globStatus(new Path(dir, "part-*.arrows")))
+      .getOrElse(Array.empty).map(st => st.getPath.getName -> st.getLen).toMap
+
+    // threshold > 1.0 = disabled: both vectors survive
+    val r0 = ArrowMaintenance.vacuum(spark, dir, purgeMaskedAbove = Some(2.0))
+    assert(r0.purged.isEmpty && liveDvs(dir).size === 2)
+
+    // default theta (0.5): exactly the 60%-masked file purges; the
+    // 5%-masked file keeps its vector AND its bytes
+    val r = ArrowMaintenance.vacuum(spark, dir)
+    assert(r.purged.map(_.oldFiles) === Some(1),
+      s"expected exactly one debtor purged, got ${r.purged}")
+    val after = liveDvs(dir)
+    assert(after.size === 1, "the light vector should survive")
+    val (lightFile, lightRef) = after.head
+    assert(lightRef.card === 5L)
+    assert(byteSizes(lightFile) === Option(fs.globStatus(
+        new Path(dir, "part-*.arrows"))).getOrElse(Array.empty)
+      .collectFirst { case st if st.getPath.getName == lightFile => st.getLen }
+      .get, "vacuum rewrote a file below the debt threshold")
+    // content is unchanged throughout
+    assert(spark.read.format("arrow-ipc").load(dir).count() === 335L)
+    // SQL face: CALL vacuum reports the purge count
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.ArrowCatalog")
+    val row = spark.sql(
+      s"CALL graft.system.vacuum('$dir', purge_masked_above => 0.01D)").head()
+    assert(row.getAs[Int]("files_purged") === 1)
+    assert(liveDvs(dir).isEmpty)
+    assert(spark.read.format("arrow-ipc").load(dir).count() === 335L)
+  }
+
   // ── crash safety ──────────────────────────────────────────────────────
 
   test("a crash between intent and rename replays to completion via recover()") {
