@@ -885,6 +885,45 @@ object CoreQueries {
                        + CASE WHEN o_orderstatus = 'P' THEN 5 ELSE 0 END) AS BIGINT) AS cents
               FROM orders GROUP BY 1 ORDER BY o_orderstatus""")),
 
+    // CREATE TABLE AS SELECT through the path catalog (round 12,
+    // StagingTableCatalog): the SQL-only bootstrap — the staged table's
+    // write builder IS the ordinary batch write pointed at the final
+    // directory, so sentinel + stats + snapshot + latch land as the
+    // write's own single commit (readers refuse the path until then:
+    // that is the staged atomicity, with no copy and no second commit).
+    // The query stays SQL end-to-end after the source view: CTAS, a
+    // follow-up DELETE, the final aggregate — closing the last step
+    // that used to require the DataFrame API once per pipeline.
+    ("arrow_ctas", (s, d) => {
+      // Scratch contract: see json_roundtrip.
+      val path = graft.sources.Scratch.dir(s, "graft_rt_ctas") + "/t"
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.ArrowCatalog")
+      T(s, d, "supplier").createOrReplaceTempView("graft_ctas_src")
+      s.sql(s"""CREATE TABLE graft.`$path` AS
+                SELECT s_suppkey, s_nationkey,
+                       CAST(CAST(s_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+                FROM graft_ctas_src""")
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      // ONE ordinary commit: completeness latch, stats manifest, and a
+      // navigable snapshot log — not a bare directory of part files
+      require(fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS")) &&
+        fs.exists(new org.apache.hadoop.fs.Path(path, "_stats.json")) &&
+        graft.sources.ArrowSnapshots.currentTip(fs,
+          new org.apache.hadoop.fs.Path(path)) >= 1L,
+        "arrow_ctas: the CTAS did not land as an ordinary batch commit")
+      s.sql(s"DELETE FROM graft.`$path` WHERE cents < 0")
+      s.sql(s"""SELECT s_nationkey, COUNT(*) AS cnt,
+                       CAST(SUM(cents) AS BIGINT) AS cents
+                FROM graft.`$path`
+                GROUP BY s_nationkey ORDER BY s_nationkey""")
+    },
+      Some("""SELECT s_nationkey, COUNT(*) AS cnt,
+                     CAST(SUM(CAST(CAST(s_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+              FROM supplier
+              WHERE CAST(CAST(s_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) >= 0
+              GROUP BY 1 ORDER BY s_nationkey""")),
+
     // SQL UPDATE via group-based COPY-ON-WRITE (round 9,
     // SupportsRowLevelOperations): the predicate straddles files (status
     // values mix inside every key-range file), so the metadata path

@@ -32,7 +32,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * schema evolutions (nullable ADD COLUMN, DROP COLUMN — see
   * [[alterTable]]). CREATE/RENAME are refused — directories are created
   * by writes, not DDL. */
-class ArrowCatalog extends TableCatalog with ProcedureCatalog {
+class ArrowCatalog extends TableCatalog with ProcedureCatalog
+    with StagingTableCatalog {
   private var catalogName: String = "graft"
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
@@ -97,11 +98,133 @@ class ArrowCatalog extends TableCatalog with ProcedureCatalog {
     throw new UnsupportedOperationException(
       s"$catalogName: a path-addressed catalog cannot enumerate tables")
 
+  /** Identity `PARTITIONED BY` columns → hive layout keys; anything
+    * else (bucket/transform) is refused. */
+  private def hiveKeysOf(partitions: Array[Transform]): Seq[String] =
+    partitions.toSeq.map { t =>
+      require(t.name == "identity" && t.references.length == 1,
+        s"$catalogName: only identity PARTITIONED BY columns map to this " +
+          s"source's hive layout; got $t")
+      t.references.head.fieldNames.mkString(".")
+    }
+
+  /** A table/write option from CREATE TABLE properties — Spark lands
+    * SQL `OPTIONS(k v)` under the `option.` prefix, `TBLPROPERTIES`
+    * bare. */
+  private def propOf(properties: util.Map[String, String],
+      key: String): Option[String] =
+    Option(properties.get(TableCatalog.OPTION_PREFIX + key))
+      .orElse(Option(properties.get(key)))
+
+  /** CREATE TABLE (round 12) — the SQL-only bootstrap: mints the
+    * dataset's metadata exactly the way a first write would (field-id'd
+    * sentinel via atomic flip, layout declarations, completeness latch),
+    * just with zero data files — so a pure-SQL session can
+    * `CREATE TABLE graft.\`dir\` (…) PARTITIONED BY (…)` then INSERT /
+    * MERGE / CALL without ever touching the DataFrame API. The created
+    * table is indistinguishable from a drained one; every subsequent
+    * commit rides the ordinary paths. CTAS goes through [[stageCreate]]
+    * instead (one atomic batch-write commit). */
   override def createTable(ident: Identifier, schema: StructType,
-      partitions: Array[Transform], properties: util.Map[String, String]): Table =
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    val dir = dirOf(ident)
+    val spark = SparkSession.active
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+        Seq(catalogName) ++ ident.namespace :+ ident.name)
+    val hiveKeys = hiveKeysOf(partitions)
+    require(hiveKeys.forall(schema.fieldNames.contains),
+      s"$catalogName: PARTITIONED BY columns must be table columns")
+    fs.mkdirs(p)
+    ArrowOcc.withCommitLock(fs, p) {
+      ArrowInterchange.writeSentinelAtomic(fs, p,
+        ArrowInterchange.withFieldIds(schema))
+      if (hiveKeys.nonEmpty) ArrowHiveLayout.write(fs, p, hiveKeys)
+      propOf(properties, "partitionKeys").foreach(ks =>
+        ArrowLayout.write(fs, p, ks.split(",").map(_.trim).filter(_.nonEmpty).toSeq))
+      ArrowOcc.restoreLatch(fs, p)
+    }
+    loadTable(ident)
+  }
+
+  /** CTAS (round 12) — `CREATE TABLE graft.\`dir\` … AS SELECT …`
+    * through the ORDINARY batch write: the staged table's write builder
+    * is the same [[ArrowIpcWriteBuilder]] every append uses, pointed at
+    * the final directory, so sentinel + stats + blooms + snapshot +
+    * `_SUCCESS` land as the write's own single commit. No staging copy,
+    * no second commit: readers refuse the directory until that commit
+    * (no sentinel/latch → no table), which IS the staged-atomicity the
+    * StagingTableCatalog contract wants — commitStagedChanges has
+    * nothing left to do, and an abort removes the directory the CTAS
+    * created. `PARTITIONED BY` (identity) maps to the hive layout;
+    * OPTIONS codec/partitionKeys/bloomColumns/maxRecordsPerFile pass
+    * through to the write. */
+  override def stageCreate(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable = {
+    val dir = dirOf(ident)
+    val spark = SparkSession.active
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+        Seq(catalogName) ++ ident.namespace :+ ident.name)
+    val hiveKeys = hiveKeysOf(partitions)
+    val existedBefore = fs.exists(p)
+    // bind under fresh names: inside the anonymous class, `schema`/
+    // `properties` resolve to the METHODS being defined (infinite
+    // recursion), not these parameters
+    val tableSchema = schema
+    val tableProps = properties
+    new StagedTable with SupportsWrite {
+      override def name(): String = s"$catalogName.`$dir`"
+      override def schema(): StructType = tableSchema
+      override def capabilities(): java.util.Set[TableCapability] =
+        java.util.EnumSet.of(TableCapability.BATCH_WRITE,
+          TableCapability.TRUNCATE)
+      override def newWriteBuilder(
+          info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+          : org.apache.spark.sql.connector.write.WriteBuilder =
+        new ArrowIpcWriteBuilder(info.schema(), dir,
+          propOf(properties, "codec")
+            .orElse(Option(info.options.get("codec"))),
+          info.queryId(),
+          propOf(properties, "partitionKeys")
+            .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq),
+          if (hiveKeys.nonEmpty) Some(hiveKeys) else None,
+          propOf(properties, "bloomColumns")
+            .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+            .getOrElse(Set.empty),
+          propOf(properties, "maxRecordsPerFile").map(_.toLong))
+      override def commitStagedChanges(): Unit = ()
+      override def abortStagedChanges(): Unit =
+        // the CTAS created this directory; a failed/aborted write takes
+        // it back. A directory that pre-existed (without a dataset) is
+        // left alone — only the write's own task-temp cleanup applies.
+        if (!existedBefore) {
+          val _ = scala.util.Try(fs.delete(p, true))
+        }
+      override def partitioning(): Array[Transform] = partitions
+      // the staged handle is also a plain Table view of the target
+      override def properties(): util.Map[String, String] = tableProps
+    }
+  }
+
+  override def stageReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable =
     throw new UnsupportedOperationException(
-      s"$catalogName: create directories by WRITING to them " +
-        "(df.write.format(\"arrow-ipc\").save(path)), not by DDL")
+      s"$catalogName: REPLACE TABLE is not supported — use " +
+        "INSERT OVERWRITE (truncate) on the standing table, which keeps " +
+        "its snapshot history navigable")
+
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable =
+    if (tableExists(ident)) stageReplace(ident, schema, partitions, properties)
+    else stageCreate(ident, schema, partitions, properties)
 
   /** SCHEMA EVOLUTION — the two changes that are sound for name-resolved
     * immutable data files, both metadata-only (a sentinel rewrite; no
