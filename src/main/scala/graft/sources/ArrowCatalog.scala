@@ -758,9 +758,11 @@ class ArrowCatalog extends TableCatalog with ProcedureCatalog
     // snapshot, newest first (expired prefixes are folded into the base
     // checkpoint entry, which reports its cumulative adds)
     GraftProcedure("history",
-      "retained snapshot log: id, commit time, files and deletion " +
-        "vectors added/removed",
-      Array(in("dir", StringType)),
+      "retained snapshot log, newest first: id, commit time, files and " +
+        "deletion vectors added/removed; `limit` bounds the parse to " +
+        "the newest N entries (an unlimited call is O(retained history))",
+      Array(in("dir", StringType),
+        inDefault("limit", IntegerType, "NULL")),
       StructType(Seq(
         org.apache.spark.sql.types.StructField("snapshot_id", LongType),
         org.apache.spark.sql.types.StructField("committed_at",
@@ -775,8 +777,13 @@ class ArrowCatalog extends TableCatalog with ProcedureCatalog
           SparkSession.active.sparkContext.hadoopConfiguration)
         // a merge-on-read commit's vector rels ride the same log entries
         // as data files — split them so "files_added" means FILES and a
-        // pure MOR delete reads as (0 files, 1 vector), not "+1 file"
-        ArrowSnapshots.read(fs, p).sortBy(-_.id).map { s =>
+        // pure MOR delete reads as (0 files, 1 vector), not "+1 file".
+        // `limit` parses exactly the newest N entries (readNewest) —
+        // the deep-history diagnostic shape a 5000-epoch table needs.
+        val snaps =
+          if (r.isNullAt(1)) ArrowSnapshots.read(fs, p).sortBy(-_.id)
+          else ArrowSnapshots.readNewest(fs, p, r.getInt(1))
+        snaps.map { s =>
           val (af, av) = ArrowDeleteVectors.splitResolved(s.adds.toSet)
           val (rf, rv) = ArrowDeleteVectors.splitResolved(s.removes.toSet)
           row(s.id, s.tsMillis * 1000L, af.size, rf.size, av.size, rv.size)

@@ -230,6 +230,21 @@ private[graft] object ArrowSnapshots {
       .map(_._1).distinct.sorted
   }
 
+  /** The newest `n` retained entries, newest first, parsing EXACTLY
+    * those: the filename listing is O(retained entries), entry content
+    * O(n) — the bounded face of the `CALL history` diagnostic at deep
+    * history (an unlimited history is honestly O(history): it must
+    * parse every retained entry it reports). */
+  def readNewest(fs: FileSystem, dir: Path, n: Int): Seq[Snapshot] = {
+    val entries = listEntries(fs, dir)
+    val baseId = entries.collect { case (id, true, _) => id }.maxOption
+    entries
+      .filter { case (id, isBase, _) =>
+        baseId.forall(b => id > b || (id == b && isBase)) }
+      .sortBy(-_._1).take(math.max(0, n))
+      .map { case (_, _, p) => parseEntry(fs, p) }
+  }
+
   /** Append one delta entry; returns its id. O(1) amortized — the id
     * comes from [[currentTip]] and entry FILENAMES, so even an
     * unparseable tail cannot rebase history; a tail whose content

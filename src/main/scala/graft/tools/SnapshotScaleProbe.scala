@@ -86,6 +86,27 @@ object SnapshotScaleProbe {
     }
     println(f"  vs the full listing: ${listing / pending}%.0fx (admission) " +
       f"/ ${listing / planning}%.0fx (planning) — both flat in depth")
+
+    // round 12: the read-only DIAGNOSTICS at depth. An unlimited CALL
+    // history must parse every retained entry it reports — honestly
+    // O(history); `limit` bounds the parse to the newest N (listIds
+    // names + N entry reads). CALL detail walks files + manifest, not
+    // the log (its only log touch is the O(1) tip read) — flat in depth.
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.ArrowCatalog")
+    println(s"read-only diagnostics at history depth ${n + 1}:")
+    val histFull = time("CALL history (unlimited — O(history))", 3) {
+      spark.sql(s"CALL graft.system.history('$dirPath')").count()
+    }
+    val histLim = time("CALL history(limit => 10)", 10) {
+      spark.sql(s"CALL graft.system.history('$dirPath', limit => 10)").count()
+    }
+    val det = time("CALL detail (files+manifest, not log)", 10) {
+      spark.sql(s"CALL graft.system.detail('$dirPath')").count()
+    }
+    println(f"  limited history is ${histFull / histLim}%.0fx cheaper than " +
+      f"the full parse; detail ${histFull / det}%.0fx cheaper — both flat " +
+      "in depth (the full parse is the documented cost of asking for " +
+      "everything)")
     spark.stop()
   }
 }

@@ -117,6 +117,14 @@ class ArrowProcedureSpec extends AnyFunSuite {
     assert(h5.getLong(0) === 5L)
     assert(h5.getInt(2) === 0 && h5.getInt(3) === 0) // zero files touched
     assert(h5.getInt(4) === 1 && h5.getInt(5) === 0) // one vector added
+    // `limit` bounds the parse to the newest N, same rows, same order
+    // (the deep-history diagnostic face — round 12)
+    val h2 = spark.sql(s"CALL graft.system.history('$dir', limit => 2)")
+      .collect()
+    assert(h2.map(_.getLong(0)).toSeq === Seq(5L, 4L))
+    assert(h2.head.getInt(4) === 1)
+    assert(spark.sql(s"CALL graft.system.history('$dir', limit => 0)")
+      .count() === 0L)
   }
 
   test("CALL detail reports metadata-exact table facts without opening data files") {
