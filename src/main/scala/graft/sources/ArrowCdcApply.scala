@@ -62,6 +62,31 @@ object ArrowCdcApply {
     ArrowDeleteVectors.appliedCdcVersion(fs, dirPath, appId)
   }
 
+  /** Static pruning predicate for a keyed batch: the min/max bounds of
+    * the batch's key column, rendered as a SQL fragment to AND into the
+    * MERGE's ON clause (`t.key >= lo AND t.key <= hi`). Spark pushes
+    * the target-side conjuncts of ON into the target scan, so the
+    * file-stats pruning that already serves static filters drops every
+    * candidate file whose key interval cannot overlap the batch —
+    * on a key-CLUSTERED table that turns the per-batch find-scan from
+    * O(live files) into O(files overlapping the batch's key range)
+    * (measured in tools/mor_scale_probe.log's clustered CDC leg; the
+    * same pattern Delta/Iceberg document for streaming upserts). One
+    * extra aggregate over the (small) batch; None for an empty batch —
+    * skip the MERGE. Numeric and string keys supported. */
+  def keyBounds(batch: DataFrame, keyCol: String,
+      targetAlias: String): Option[String] = {
+    import org.apache.spark.sql.functions.{max, min}
+    val r = batch.agg(min(keyCol), max(keyCol)).head()
+    if (r.isNullAt(0)) return None // all-null or empty batch
+    def lit(v: Any): String = v match {
+      case s: String => "'" + s.replace("'", "''") + "'"
+      case x => x.toString
+    }
+    Some(s"$targetAlias.$keyCol >= ${lit(r.get(0))} AND " +
+      s"$targetAlias.$keyCol <= ${lit(r.get(1))}")
+  }
+
   /** Run `body` (the batch's MERGE/DML against `dir`) tagged with
     * `(appId, batchId)`. Returns false — running NOTHING — when the
     * ledger already covers `batchId` (a foreachBatch replay); returns

@@ -177,6 +177,49 @@ object MorScaleProbe {
       }
       println(f"  per-batch cost 300->3000 files (10x): " +
         f"${perBatch.last / perBatch.head}%.2fx")
+
+      // the mitigation, measured: a key-CLUSTERED table + the batch's
+      // static key bounds ANDed into the ON clause
+      // (ArrowCdcApply.keyBounds) — the pushed bounds reach the target
+      // scan's file-stats pruning, so the find-scan opens only the
+      // files overlapping the batch's key range instead of every live
+      // file. Same 3000 files, same batches.
+      {
+        val d = s"$base/cdck"
+        spark.range(0, cdcRows)
+          .select(col("id").as("key"), (col("id") % 1000).as("k"),
+            sha2(col("id").cast("string"), 256).as("payload"))
+          .repartitionByRange(3000, col("key"))
+          .write.format("arrow-ipc").mode("overwrite").save(d)
+        spark.conf.set("spark.graft.arrow.mergeMode", "mor")
+        val times = try {
+          (0 until 3).map { b =>
+            val batch = spark.range(b * 200L, b * 200L + 200L)
+              .select(col("id").as("key"), lit(1L).as("d"))
+            batch.createOrReplaceTempView("cdc_probe_src")
+            val bounds = graft.sources.ArrowCdcApply
+              .keyBounds(batch, "key", "t").get
+            val (_, ms) = timed {
+              graft.sources.ArrowCdcApply.applyBatch(spark, d,
+                  "cdc_probe_k", b.toLong) {
+                ArrowDml.sql(spark, d,
+                  s"MERGE INTO graft.`$d` t USING cdc_probe_src c " +
+                    s"ON t.key = c.key AND $bounds " +
+                    "WHEN MATCHED THEN UPDATE SET payload = 'redacted' " +
+                    "WHEN NOT MATCHED THEN INSERT (key, k, payload) " +
+                    "VALUES (c.key, -1, 'new')")
+                ()
+              }
+            }
+            ms
+          }
+        } finally spark.conf.unset("spark.graft.arrow.mergeMode")
+        println(f"  CDC-apply CLUSTERED + keyBounds at  3000 files: " +
+          times.map(t => f"$t%.0f ms").mkString(", ") +
+          f" (median ${times.sorted.apply(1)}%.0f ms/batch, " +
+          f"${perBatch.last / times.sorted.apply(1)}%.1fx cheaper than " +
+          "unclustered-unbounded at the same file count)")
+      }
     }
 
     // ── 2. the read tax ──────────────────────────────────────────────────

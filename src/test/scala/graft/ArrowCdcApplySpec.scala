@@ -130,6 +130,36 @@ class ArrowCdcApplySpec extends AnyFunSuite {
     assert(ArrowCdcApply.applyBatch(spark, dir, "cdc_crash", 10L) { () })
   }
 
+  test("keyBounds renders the batch's static pruning predicate; bounded MERGE is semantically identical") {
+    val dir = tmp("graft_cdc_bounds")
+    seed(dir)
+    val batch = spark.range(10, 20).select(col("id").as("key"), lit(2L).as("d"))
+    val bounds = ArrowCdcApply.keyBounds(batch, "key", "t")
+    assert(bounds === Some("t.key >= 10 AND t.key <= 19"))
+    // string keys quote (and escape) correctly
+    val sb = ArrowCdcApply.keyBounds(
+      spark.sql("SELECT * FROM VALUES ('a'), ('o''k') AS v(key)"), "key", "t")
+    assert(sb === Some("t.key >= 'a' AND t.key <= 'o''k'"))
+    // an empty batch yields None — the caller skips the MERGE
+    assert(ArrowCdcApply.keyBounds(
+      spark.range(0).select(col("id").as("key")), "key", "t") === None)
+    // the bounded MERGE applies the same rows as the unbounded shape
+    spark.conf.set("spark.graft.arrow.mergeMode", "mor")
+    try {
+      batch.createOrReplaceTempView("cdc_bounds_src")
+      assert(ArrowCdcApply.applyBatch(spark, dir, "cdc_bounds", 0L) {
+        ArrowDml.sql(spark, dir,
+          s"""MERGE INTO graft.`$dir` t USING cdc_bounds_src c
+              ON t.key = c.key AND ${bounds.get}
+              WHEN MATCHED THEN UPDATE SET v = t.v + c.d
+              WHEN NOT MATCHED THEN INSERT (key, v) VALUES (c.key, c.d)""")
+        ()
+      })
+    } finally spark.conf.unset("spark.graft.arrow.mergeMode")
+    assert(vsum(dir) === (0 until 100).map(_ * 10L).sum + 10 * 2)
+    assert(spark.read.format("arrow-ipc").load(dir).count() === 100L)
+  }
+
   test("an untagged statement never touches the ledger") {
     val dir = tmp("graft_cdc_untagged")
     seed(dir)
