@@ -51,8 +51,6 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * re-expressed over this source's intent/replay commit. */
 object ArrowCdcApply {
 
-  private val TxnConf = "spark.graft.arrow.cdcTxn"
-
   /** The highest batch version `appId` has applied to `dir`'s table
     * (None = never applied). Lock-free read of the atomic ledger. */
   def appliedVersion(spark: SparkSession, dir: String,
@@ -98,8 +96,13 @@ object ArrowCdcApply {
   def applyBatch(spark: SparkSession, dir: String, appId: String,
       batchId: Long)(body: => Unit): Boolean = {
     if (appliedVersion(spark, dir, appId).exists(_ >= batchId)) return false
-    spark.conf.set(TxnConf, s"$appId:$batchId")
+    // THREAD-confined tag, not a session conf: a DSv2 DML command's
+    // commit runs on the thread that issued the statement, and a
+    // session-global tag would leak onto CONCURRENT statements from
+    // other threads of the same session (their commits would record or
+    // skip on a foreign version). See ArrowDeleteVectors.threadCdcTxn.
+    ArrowDeleteVectors.threadCdcTxn.set(Some((appId, batchId)))
     try { body; true }
-    finally spark.conf.unset(TxnConf)
+    finally ArrowDeleteVectors.threadCdcTxn.set(None)
   }
 }

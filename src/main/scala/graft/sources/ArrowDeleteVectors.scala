@@ -56,7 +56,23 @@ import org.apache.spark.sql.SparkSession
   * a single data file of >2 billion rows, far past the write paths'
   * rolling targets, and the masks index int-addressed structures; the
   * bound is enforced loudly at commit rather than silently truncated
-  * at read. */
+  * at read.
+  *
+  * Concurrency contract (round 12): two row-level statements whose
+  * matched ROW sets are disjoint commute freely — cumulative vector
+  * unions compose in either commit order. Statements that touched the
+  * SAME row conflict, and the loser is detected across the whole
+  * scan-to-commit span: a racing commit that lands BEFORE the loser's
+  * staging read surfaces as a fresh position already present in the
+  * file's current vector ([[stageVectors]]'s re-delete check — the
+  * 9-writer stress probe caught exactly this as a silent duplicate
+  * before the check existed), and one that lands AFTER surfaces as the
+  * pinned `oldDv` having advanced (commit-time `moved` validation). A
+  * racing COW rewrite of a masked file is caught by olds-live
+  * validation. Either way the statement throws
+  * [[ArrowOcc.CommitConflictException]] having committed nothing, and
+  * [[ArrowDml]]'s bounded retry re-plans it — Delta Lake's
+  * ConcurrentDeleteReadException contract. */
 private[graft] object ArrowDeleteVectors {
 
   val DvDir = ".dv"
@@ -92,15 +108,30 @@ private[graft] object ArrowDeleteVectors {
     }.toOption.flatten
   }
 
-  /** The statement's (appId, version) tag, if the session set one. */
+  /** The calling THREAD's (appId, version) tag — [[ArrowCdcApply]] sets
+    * it around the batch body, and a DSv2 DML command's commit runs on
+    * the thread that issued the statement, so the tag reaches exactly
+    * that statement's commit. Thread-confined on purpose: a session
+    * conf here would leak the tag to CONCURRENT statements on other
+    * threads of the same session (another writer's commit would record
+    * — or skip on — a version it had nothing to do with; the 9-writer
+    * stress probe's CDC leg exercises exactly that interleaving). The
+    * `spark.graft.arrow.cdcTxn` conf remains as an explicit
+    * session-level escape hatch for single-threaded callers. */
+  private[sources] val threadCdcTxn =
+    new ThreadLocal[Option[(String, Long)]] {
+      override def initialValue(): Option[(String, Long)] = None
+    }
+
   private def cdcTxn(): Option[(String, Long)] =
-    scala.util.Try(SparkSession.active.conf
-      .getOption("spark.graft.arrow.cdcTxn")).toOption.flatten
-      .flatMap { s =>
-        val i = s.lastIndexOf(':')
-        if (i <= 0) None
-        else s.substring(i + 1).toLongOption.map(v => (s.substring(0, i), v))
-      }
+    threadCdcTxn.get().orElse(
+      scala.util.Try(SparkSession.active.conf
+        .getOption("spark.graft.arrow.cdcTxn")).toOption.flatten
+        .flatMap { s =>
+          val i = s.lastIndexOf(':')
+          if (i <= 0) None
+          else s.substring(i + 1).toLongOption.map(v => (s.substring(0, i), v))
+        })
 
   /** Fold `(app, ver)` into the ledger — monotone max per app, atomic
     * flip. Runs under the commit lock (from [[replayMor]]), so the
@@ -436,29 +467,9 @@ private[graft] object ArrowDeleteVectors {
         "bulky should rewrite, not mask: use the COW path (ArrowDml.delete " +
         "/ DELETE FROM), whose cost amortizes at that scale")
 
-    // 2. STAGE new cumulative vectors OUTSIDE the lock: union each file's
-    // fresh positions with its CURRENT vector; remember which old vector
-    // the union was computed against — commit-time validation pins it.
-    val liveNow = live(fs, dirPath)
-    val nameOf = perFile.map { case (path, _) => path -> new Path(path).getName }.toMap
-    val stageId = java.util.UUID.randomUUID.toString.take(8)
-    val staged = perFile.map { case (path, fresh) =>
-      val name = nameOf(path)
-      val old = liveNow.get(name)
-      val merged: Array[Long] = old match {
-        case None => fresh
-        case Some(ref) =>
-          val prior = read(fs, new Path(dirPath, ref.rel))
-          (prior ++ fresh).distinct.sorted
-      }
-      val gen = old.fold(1)(_.gen + 1)
-      val finalRel = dvRel(name, gen, merged.length.toLong)
-      val stagedRel = s"$DvDir/.mor-$stageId-${new Path(finalRel).getName}"
-      ArrowOcc.writeAtomic(fs, new Path(dirPath, stagedRel), encode(merged))
-      MorMove(stagedRel, finalRel, old.map(_.rel),
-        relOf(fs, dirPath, path), merged.length.toLong)
-    }
-
+    // 2. STAGE new cumulative vectors OUTSIDE the lock (shared helper —
+    // including the re-delete conflict check, see stageVectors).
+    val staged = stageVectors(fs, dirPath, perFile)
     if (!commitStaged(fs, dirPath, staged.toSeq, None)) return (0, 0L)
     (perFile.length, deleted)
   }
@@ -497,27 +508,80 @@ private[graft] object ArrowDeleteVectors {
 
   /** Stage the cumulative vectors OUTSIDE the lock: union each file's
     * fresh positions with its CURRENT vector; remember which old vector
-    * the union was computed against — commit-time validation pins it. */
+    * the union was computed against — commit-time validation pins it.
+    *
+    * RE-DELETE = WRITE-WRITE CONFLICT: a fresh position already present
+    * in the file's CURRENT vector means the statement's find-scan read a
+    * row some OTHER statement deleted (or updated — its new image is
+    * already committed) after this scan planned. Masking it again is a
+    * no-op union, but for an UPDATE/MERGE the paired INSERT would land a
+    * SECOND new image — a duplicate row; for a DELETE, the row may have
+    * been moved by a concurrent update and would silently survive the
+    * predicate. Either way the statement planned against a state that no
+    * longer holds for the rows it touches, so it throws the same
+    * [[ArrowOcc.CommitConflictException]] every lost race throws and
+    * [[ArrowDml]]'s bounded retry re-plans it wholesale (Delta Lake's
+    * ConcurrentDeleteReadException is the semantic precedent). The pin
+    * (`oldDv` → commitStaged's `moved` check) covers vectors advancing
+    * AFTER this staging read; this check covers advances BETWEEN the
+    * scan and the staging read — together the scan-to-commit span. */
   private def stageVectors(fs: FileSystem, dirPath: Path,
       perFile: Array[(String, Array[Long])]): Array[MorMove] = {
+    beforeStageHook()
     val liveNow = live(fs, dirPath)
     val stageId = java.util.UUID.randomUUID.toString.take(8)
-    perFile.map { case (path, fresh) =>
+    val out = scala.collection.mutable.ArrayBuffer.empty[MorMove]
+    perFile.foreach { case (path, fresh) =>
       val name = new Path(path).getName
       val old = liveNow.get(name)
       val merged: Array[Long] = old match {
         case None => fresh
         case Some(ref) =>
           val prior = read(fs, new Path(dirPath, ref.rel))
+          sortedClash(prior, fresh).foreach { p =>
+            if (java.lang.Boolean.getBoolean("graft.debug.scan"))
+              System.err.println(s"[clash-debug] ${System.nanoTime()} thread=" +
+                s"${Thread.currentThread().getName} dir=$dirPath file=$name " +
+                s"pos=$p prior=${ref.rel} fresh=${fresh.length}")
+            // clean what this call staged so far, then lose loudly
+            out.foreach(m => scala.util.Try(
+              fs.delete(new Path(dirPath, m.stagedRel), false)))
+            throw new ArrowOcc.CommitConflictException(
+              s"arrow-ipc occ: MOR delta on $dirPath lost its race — row " +
+                s"position $p of $name was deleted (or updated) by a " +
+                "concurrent statement after this statement's scan planned; " +
+                "re-run the statement")
+          }
           (prior ++ fresh).distinct.sorted
       }
       val gen = old.fold(1)(_.gen + 1)
       val finalRel = dvRel(name, gen, merged.length.toLong)
       val stagedRel = s"$DvDir/.mor-$stageId-${new Path(finalRel).getName}"
       ArrowOcc.writeAtomic(fs, new Path(dirPath, stagedRel), encode(merged))
-      MorMove(stagedRel, finalRel, old.map(_.rel),
+      out += MorMove(stagedRel, finalRel, old.map(_.rel),
         relOf(fs, dirPath, path), merged.length.toLong)
     }
+    out.toArray
+  }
+
+  /** Test seam: runs at the head of every vector staging — AFTER the
+    * statement's find-scan collected its positions, BEFORE the prior
+    * vector is read — so a spec can land a COMPETING row-level commit
+    * deterministically inside the scan-to-commit window (the interleaving
+    * the 9-writer stress probe only hits probabilistically). */
+  private[graft] var beforeStageHook: () => Unit = () => ()
+
+  /** First element two SORTED Long arrays share, if any — linear merge,
+    * no boxing (arrays are statement-capped). */
+  private def sortedClash(a: Array[Long], b: Array[Long]): Option[Long] = {
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) return Some(a(i))
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    None
   }
 
   /** COMMIT under the lock: validate (masked files live, vectors
@@ -560,6 +624,11 @@ private[graft] object ArrowDeleteVectors {
             writeMorIntent(fs, dirPath, staged, data, txn)
             fs.delete(new Path(dirPath, "_SUCCESS"), false)
             replayMor(fs, dirPath)
+            if (java.lang.Boolean.getBoolean("graft.debug.scan"))
+              System.err.println(s"[mor-debug] ${System.nanoTime()} thread=" +
+                s"${Thread.currentThread().getName} dir=$dirPath txn=$txn " +
+                s"vectors=${staged.map(_.finalRel).mkString(",")} " +
+                s"inserts=${data.map(_._2.mkString(",")).getOrElse("-")}")
             true
           }
         }

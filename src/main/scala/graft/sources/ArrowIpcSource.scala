@@ -796,10 +796,17 @@ private[sources] class ArrowIpcScan(required: StructType, dir: String,
           }.toMap
         (sts, vals, (0, 0))
       } else if (hiveFields.isEmpty) {
-        (Option(fs.globStatus(new Path(dir, "part-*.arrows")))
+        val raw = Option(fs.globStatus(new Path(dir, "part-*.arrows")))
           .getOrElse(Array.empty)
-          .filter(st => streamVisible(st.getPath.getName)),
-          Map.empty[String, Seq[Option[String]]], (0, 0))
+        val vis = raw.filter(st => streamVisible(st.getPath.getName))
+        if (java.lang.Boolean.getBoolean("graft.debug.scan")) {
+          val newest = vis.sortBy(_.getModificationTime).lastOption
+          System.err.println(s"[scan-debug] ${System.nanoTime()} thread=" +
+            s"${Thread.currentThread().getName} dir=$dir listed=${raw.length} " +
+            s"visible=${vis.length} hidden=${raw.length - vis.length} " +
+            s"newest=${newest.map(s => s.getPath.getName + "@" + s.getModificationTime).getOrElse("-")}")
+        }
+        (vis, Map.empty[String, Seq[Option[String]]], (0, 0))
       } else ArrowHiveLayout.discover(fs, dirPath, hiveFields, filters,
         streamVisible)
     if (all.isEmpty)
@@ -861,7 +868,13 @@ private[sources] class ArrowIpcScan(required: StructType, dir: String,
     val fs = dirPath.getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
     asOf match {
       case None =>
-        ArrowDeleteVectors.live(fs, dirPath).map { case (name, ref) =>
+        val l = ArrowDeleteVectors.live(fs, dirPath)
+        if (java.lang.Boolean.getBoolean("graft.debug.scan"))
+          System.err.println(s"[scan-debug] ${System.nanoTime()} thread=" +
+            s"${Thread.currentThread().getName} dir=$dir dvs=${l.size} " +
+            s"gens=${l.toSeq.sortBy(_._1).take(24).map { case (n, r) =>
+              n.take(10) + ":g" + r.gen }.mkString(",")}")
+        l.map { case (name, ref) =>
           name -> fs.makeQualified(new Path(dirPath, ref.rel)).toString
         }
       case Some(v) =>

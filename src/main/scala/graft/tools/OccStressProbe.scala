@@ -7,7 +7,7 @@ import graft.sources.ArrowMaintenance
 
 /** Dev-only probe: a sustained randomized-interleaving stress of the OCC
   * commit protocol — the belt-and-braces companion to ArrowOccSpec's
-  * deterministic races. SIX uncoordinated writers hammer ONE directory
+  * deterministic races. NINE uncoordinated writers hammer ONE directory
   * for a fixed wall-clock budget:
   *
   *   - two batch appenders (disjoint id ranges, variable batch sizes),
@@ -15,11 +15,23 @@ import graft.sources.ArrowMaintenance
   *   - a compactor loop,
   *   - a clusterer loop (range-sort on id — a whole-table remove-carrying
   *     rewrite, the op most likely to lose validation races and retry),
-  *   - a SQL DML loop (value-identity copy-on-write UPDATE — the
-  *     statement-level writer, which must lose cleanly or win cleanly),
+  *   - a SQL DML loop (value-identity UPDATE, randomly routed
+  *     copy-on-write or merge-on-read — the statement-level writer,
+  *     which must lose cleanly or win cleanly),
   *   - a MERGE-ON-READ delete loop (round 11: deletion vectors racing
   *     every rewrite — a compaction staged against gen N must lose to a
-  *     gen N+1 that lands mid-staging, never resurrect its rows).
+  *     gen N+1 that lands mid-staging, never resurrect its rows),
+  *   - a CDC-apply loop (round 12: versioned MERGE batches routed MOR —
+  *     the tagged combined commit racing everything, ledger monotone),
+  *   - a vacuum loop (round 12: recover + staleness sweeps + the auto
+  *     vector-debt purge running CONTINUOUSLY beside live writers).
+  *
+  * This probe is what surfaced the scan-to-commit write-write race the
+  * re-delete conflict check closes (ArrowDeleteVectors.stageVectors):
+  * two concurrent row-level statements touching the SAME row — e.g. the
+  * CDC MERGE and a MOR-routed UPDATE — would otherwise both insert a new
+  * image of it (the second's find-scan planned before the first's commit
+  * landed), one no-op'd delete later = a silent duplicate row.
   *
   * No sleeps are tuned and no outcome is scripted: whatever interleaving
   * the scheduler produces must satisfy the invariants at the end —
@@ -61,7 +73,7 @@ object OccStressProbe {
       case other => sys.error(
         s"unknown commit store '$other' (expected posix | conditional)")
     }
-    println(s"hammering $dir for ${seconds}s with 7 uncoordinated writers " +
+    println(s"hammering $dir for ${seconds}s with 9 uncoordinated writers " +
       s"(commit store: $storeName)...")
 
     val deadline = System.nanoTime() + seconds * 1000000000L
@@ -194,6 +206,77 @@ object OccStressProbe {
       }
     } catch { case e: Throwable => errs.add(e) })
 
+    // CDC-APPLY leg (round 12): the stream_upsert_mor shape under
+    // randomized concurrency — per-"batch" MERGE through
+    // ArrowCdcApply.applyBatch with monotone versions, routed MOR.
+    // VALUE-IDENTITY (SET k = k) and MATCHED-only (an id not yet
+    // appended is ignored, never inserted), so the id multiset is
+    // unchanged no matter how many batches land; what this stresses is
+    // the tagged combined commit (vectors + ledger in one intent)
+    // losing/winning against every other writer, and the ledger's
+    // monotonicity through retries. Rides ArrowDml.sql (bounded
+    // transparent retry), so surfaced conflicts must be ZERO.
+    val cdcApplied = new java.util.concurrent.atomic.AtomicInteger(0)
+    val cdcSurfaced = new java.util.concurrent.atomic.AtomicInteger(0)
+    var cdcVersion = -1L
+    val cdcer = new Thread(() => try {
+      spark.conf.set("spark.sql.catalog.graft", "graft.sources.ArrowCatalog")
+      var v = 0L
+      while (System.nanoTime() < deadline) {
+        try {
+          spark.conf.set("spark.graft.arrow.mergeMode", "mor")
+          try {
+            spark.range(v * 37 % 1000, v * 37 % 1000 + 50)
+              .selectExpr("id", "id % 13 AS k")
+              .createOrReplaceTempView("occ_cdc_src")
+            if (java.lang.Boolean.getBoolean("graft.debug.scan"))
+              System.err.println(s"[cdc-debug] ${System.nanoTime()} batch=$v begin")
+            val ran = graft.sources.ArrowCdcApply.applyBatch(
+                spark, dir, "occ_stress", v) {
+              graft.sources.ArrowDml.sql(spark, dir,
+                s"MERGE INTO graft.`$dir` t USING occ_cdc_src c " +
+                  "ON t.id = c.id WHEN MATCHED THEN UPDATE SET k = c.k")
+              ()
+            }
+            if (java.lang.Boolean.getBoolean("graft.debug.scan"))
+              System.err.println(s"[cdc-debug] ${System.nanoTime()} batch=$v end ran=$ran")
+            if (ran) { cdcApplied.incrementAndGet(); cdcVersion = v; v += 1 }
+          } finally spark.conf.unset("spark.graft.arrow.mergeMode")
+        } catch {
+          case e: Throwable if refusedLoudly(e) => cdcSurfaced.incrementAndGet()
+          case e: Throwable if Option(e.getMessage).exists(m =>
+            m.contains("TABLE_OR_VIEW_NOT_FOUND") ||
+              m.contains("PATH_NOT_FOUND") || m.contains("does not exist") ||
+              m.contains("no .arrows files")) => ()
+        }
+        Thread.sleep(250)
+      }
+    } catch { case e: Throwable => errs.add(e) })
+
+    // VACUUM leg (round 12): the nightly entry point runs CONTINUOUSLY
+    // beside the live writers — recover, staleness-gated sweeps, and the
+    // auto vector-debt purge (θ=0.25, so MOR-delete debt actually
+    // crosses it mid-run). Purge is a maintenance rewrite: it rides
+    // retryOnConflict and must lose cleanly or win cleanly.
+    val vacuums = new java.util.concurrent.atomic.AtomicInteger(0)
+    val vacuumPurged = new java.util.concurrent.atomic.AtomicInteger(0)
+    val vacuumer = new Thread(() => try {
+      while (System.nanoTime() < deadline) {
+        try {
+          val v = ArrowMaintenance.vacuum(spark, dir,
+            purgeMaskedAbove = Some(0.25))
+          vacuums.incrementAndGet()
+          vacuumPurged.addAndGet(v.purged.map(_.oldFiles).getOrElse(0))
+        } catch {
+          case e: Throwable if refusedLoudly(e) => conflicts.incrementAndGet()
+          case e: Throwable if Option(e.getMessage).exists(m =>
+            m.contains("PATH_NOT_FOUND") || m.contains("does not exist") ||
+              m.contains("no .arrows files")) => ()
+        }
+        Thread.sleep(400)
+      }
+    } catch { case e: Throwable => errs.add(e) })
+
     // streaming leg: ids 2e9.., one epoch per addData
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
@@ -214,7 +297,7 @@ object OccStressProbe {
 
     val threads = Seq(appender(0L, appended),
       appender(1000000000L, appended2), maintainer, clusterer, dmler,
-      morrer, streamer)
+      morrer, streamer, cdcer, vacuumer)
     threads.foreach(_.start()); threads.foreach(_.join())
     sq.processAllAvailable(); sq.stop()
 
@@ -241,17 +324,45 @@ object OccStressProbe {
       f"${clusterings.get}%d clusterings, ${updates.get}%d COW updates " +
       f"(${dmlRetries.get}%d transparent retries, ${dmlSurfaced.get}%d " +
       f"surfaced), ${morDeletes.get}%d MOR deletes (${morRefused.get}%d " +
-      f"refused, $morDeleted%d ids masked), ${conflicts.get}%d " +
+      f"refused, $morDeleted%d ids masked), ${cdcApplied.get}%d CDC-apply " +
+      f"batches (${cdcSurfaced.get}%d surfaced), ${vacuums.get}%d vacuums " +
+      f"(${vacuumPurged.get}%d files auto-purged), ${conflicts.get}%d " +
       "maintenance retry-exhaustions (refused loudly, by contract)")
     require(errs.isEmpty, s"writer failed: ${errs.peek()}")
     require(dmlSurfaced.get == 0,
       "a DML statement surfaced a conflict despite bounded retry at " +
         "default settings")
+    require(cdcSurfaced.get == 0,
+      "a CDC-apply batch surfaced a conflict despite bounded retry at " +
+        "default settings")
+    // the CDC ledger advanced exactly with the applied batches — no
+    // version lost to a race, none double-counted
+    if (cdcVersion >= 0) {
+      val led = graft.sources.ArrowCdcApply
+        .appliedVersion(spark, dir, "occ_stress")
+      require(led.contains(cdcVersion),
+        s"CDC ledger ${led} != last applied version $cdcVersion")
+      require(cdcVersion + 1 == cdcApplied.get.toLong,
+        s"CDC versions not dense: ${cdcApplied.get} applied, last $cdcVersion")
+    }
 
     val back = spark.read.format("arrow-ipc").load(dir)
     val (cnt, dst) = (back.count(), back.select("id").distinct().count())
     println(s"  invariant 1 — every id exactly once minus the MOR-deleted set: " +
       s"count=$cnt distinct=$dst expected=$expected")
+    if (cnt != expected || dst != expected) {
+      // diagnostics before the loud failure: WHICH ids, in WHICH files
+      val dups = back.groupBy("id").count().filter(col("count") > 1)
+        .select("id").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+        .collect().sorted.take(20)
+      println(s"  duplicated ids (${dups.length} shown): ${dups.mkString(", ")}")
+      if (dups.nonEmpty)
+        spark.read.format("arrow-ipc").load(dir)
+          .filter(col("id").isin(dups.map(Long.box): _*))
+          .select(col("id"), col("k"), col(graft.sources.ArrowRowLevel.FileColumn),
+            col(graft.sources.ArrowRowLevel.PosColumn))
+          .orderBy("id").show(40, false)
+    }
     require(cnt == expected && dst == expected, "LOST OR DUPLICATED ROWS")
     require(back.filter(col("id") < 500000000L)
         .filter(col("id") % 13 === 5).count() == 0,

@@ -801,4 +801,65 @@ class ArrowMorSpec extends AnyFunSuite {
     // and the replay is itself replayable (fixed point)
     assert(!ArrowMaintenance.recover(spark, dir))
   }
+
+  // ── scan-to-commit write-write conflicts (round 12) ───────────────────
+  // Two row-level statements touching the SAME row must conflict, not
+  // silently compose: before the re-delete check, the loser's paired
+  // INSERT (update path) landed a second image of the row — the 9-writer
+  // stress probe surfaced exactly that as a duplicate id. The hook lands
+  // the competing commit deterministically inside the window the probe
+  // only hits probabilistically.
+
+  test("a competing delete inside the scan-to-commit window CONFLICTS, never a silent no-op") {
+    val dir = tmp("graft_mor_ww_delete")
+    spark.range(0, 100).select(col("id"), (col("id") % 10).as("k"))
+      .coalesce(1).write.format("arrow-ipc").mode("overwrite").save(dir)
+    // fires AFTER the outer statement's find-scan collected its positions:
+    // a competing delete of the same row commits fully inside the window
+    var fired = false
+    ArrowDeleteVectors.beforeStageHook = () => if (!fired) {
+      fired = true
+      assert(ArrowDeleteVectors.deleteMor(spark, dir, "id = 7").deletedRows === 1L)
+    }
+    val r =
+      try ArrowDeleteVectors.deleteMor(spark, dir, "id = 7")
+      finally ArrowDeleteVectors.beforeStageHook = () => ()
+    // the loser CONFLICTED (not a silent no-op union) and its transparent
+    // retry re-planned against the winner's state: nothing left to delete
+    assert(r.retries === 1, "the first attempt must lose the window race")
+    assert(r.deletedRows === 0L && r.files === 0)
+    // the winner's delete stands alone: no torn vector, no double mask
+    val df = spark.read.format("arrow-ipc").load(dir)
+    assert(df.where(col("id") === 7).count() === 0)
+    assert(df.count() === 99)
+    assert(liveDvs(dir).values.map(_.card).sum === 1L)
+  }
+
+  test("MOR UPDATE losing the window race: conflict + transparent retry, never a duplicate") {
+    val dir = tmp("graft_mor_ww_update")
+    spark.range(0, 100).select(col("id"), (col("id") % 10).as("k"))
+      .coalesce(1).write.format("arrow-ipc").mode("overwrite").save(dir)
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.ArrowCatalog")
+    var fired = false
+    ArrowDeleteVectors.beforeStageHook = () => if (!fired) {
+      fired = true
+      assert(ArrowDeleteVectors.deleteMor(spark, dir, "id = 7").deletedRows === 1L)
+    }
+    spark.conf.set("spark.graft.arrow.updateMode", "mor")
+    val retries =
+      try graft.sources.ArrowDml.update(spark, dir, "k = 99",
+        Some("id >= 5 AND id < 10"))
+      finally {
+        spark.conf.unset("spark.graft.arrow.updateMode")
+        ArrowDeleteVectors.beforeStageHook = () => ()
+      }
+    assert(retries === 1, "the first attempt must lose the window race")
+    val df = spark.read.format("arrow-ipc").load(dir)
+    // the retry re-planned against the winner's state: id=7 stays deleted,
+    // ids 5,6,8,9 updated EXACTLY once — no second image of any row
+    assert(df.where(col("id") === 7).count() === 0)
+    assert(df.where(col("k") === 99).count() === 4)
+    assert(df.count() === 99)
+    assert(df.select("id").distinct().count() === 99)
+  }
 }
