@@ -42,7 +42,7 @@ object Bench {
     "arrow_roll_write", "arrow_cluster_scoped", "arrow_cluster_z3",
     "arrow_evolve_widen", "arrow_evolve_rename", "arrow_occ_race",
     "ann_ivf_stored", "arrow_delete_mor", "arrow_changefeed_mor",
-    "arrow_update_mor", "stream_upsert_mor", "arrow_ctas")
+    "arrow_update_mor", "stream_upsert_mor", "arrow_ctas", "arrow_restore")
 
   def main(args: Array[String]): Unit = {
     // Iteration aid: SPARK_GRAFT_ONLY=q1,q2 restricts the run to a subset.

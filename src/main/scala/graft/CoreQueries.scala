@@ -924,6 +924,55 @@ object CoreQueries {
               WHERE CAST(CAST(s_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) >= 0
               GROUP BY 1 ORDER BY s_nationkey""")),
 
+    // Snapshot RESTORE / rollback (round 12): the time-travel log made
+    // actionable — roll the live table back to any retained snapshot as
+    // ONE new log entry (Iceberg rollback / Delta RESTORE). History is
+    // never rewritten: the pre-restore tip stays time-travelable and the
+    // rollback itself reverses by restoring forward. Cost is O(delta)
+    // live↔trash renames + one log append — no data byte is read or
+    // written, which is what makes "undo last night's bad pipeline run"
+    // an O(seconds) operation on a 100 TB table. The query damages the
+    // table TWICE (COW delete, then MOR delete — so the restore also
+    // proves vectors roll back), restores to the original snapshot via
+    // the SQL CALL face, and self-asserts both damages were visible
+    // before the restore; the oracle checks the fully-restored content.
+    ("arrow_restore", (s, d) => {
+      val cust = T(s, d, "customer").select(
+        col("c_custkey"), col("c_nationkey"),
+        (col("c_acctbal").cast(DecimalType(12, 2)) * 100)
+          .cast(LongType).as("cents"))
+      // Scratch contract: see json_roundtrip.
+      val path = graft.sources.Scratch.dir(s, "graft_rt_restore")
+      cust.repartitionByRange(4, col("c_custkey"))
+        .write.format("arrow-ipc").mode("overwrite").save(path)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val v1 = graft.sources.ArrowSnapshots.currentTip(fs,
+        new org.apache.hadoop.fs.Path(path))
+      val total = s.read.format("arrow-ipc").load(path).count()
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.ArrowCatalog")
+      // damage 1: COW delete (files rewritten); damage 2: MOR delete
+      // (deletion vectors) — the restore must undo BOTH shapes
+      s.sql(s"DELETE FROM graft.`$path` WHERE c_nationkey < 5")
+      s.sql(s"CALL graft.system.delete_mor('$path', 'cents < 0')").collect()
+      val damaged = s.read.format("arrow-ipc").load(path).count()
+      require(damaged < total,
+        "arrow_restore: the deletes did not take effect")
+      val out = s.sql(s"CALL graft.system.restore('$path', $v1)").collect()
+      require(out.head.getLong(2) > v1,
+        "arrow_restore: no restore snapshot landed")
+      require(graft.sources.ArrowDeleteVectors.live(fs,
+          new org.apache.hadoop.fs.Path(path)).isEmpty,
+        "arrow_restore: the MOR vector did not roll back")
+      s.read.format("arrow-ipc").load(path)
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("cnt"), sum(col("cents")).as("cents"))
+        .orderBy("c_nationkey")
+    },
+      Some("""SELECT c_nationkey, COUNT(*) AS cnt,
+                     CAST(SUM(CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+              FROM customer GROUP BY 1 ORDER BY c_nationkey""")),
+
     // SQL UPDATE via group-based COPY-ON-WRITE (round 9,
     // SupportsRowLevelOperations): the predicate straddles files (status
     // values mix inside every key-range file), so the metadata path

@@ -605,6 +605,24 @@ class ArrowCatalog extends TableCatalog with ProcedureCatalog
       r => ArrowMaintenance.purgeDeletes(SparkSession.active, dirArg(r),
           targetBytes = targetBytes(r, 1))
         .map(c => row(c.oldFiles, c.newFiles)).toSeq),
+    // snapshot RESTORE (round 12): roll the live table back to any
+    // retained snapshot as ONE new log entry — history never rewritten,
+    // O(delta) renames, crash-safe intent/replay; the rollback is itself
+    // time-travelable and reversible (restore forward again)
+    GraftProcedure("restore",
+      "restore the live table to the exact state of snapshot to_snapshot " +
+        "(Iceberg rollback / Delta RESTORE): one new snapshot entry, " +
+        "files move between the live set and .trash/, no data rewritten",
+      Array(in("dir", StringType), in("to_snapshot", LongType)),
+      StructType(Seq(
+        org.apache.spark.sql.types.StructField("restored_files", IntegerType),
+        org.apache.spark.sql.types.StructField("removed_files", IntegerType),
+        org.apache.spark.sql.types.StructField("new_snapshot", LongType))),
+      r => {
+        val res = ArrowMaintenance.restore(SparkSession.active, dirArg(r),
+          r.getLong(1))
+        Seq(row(res.restoredFiles, res.removedFiles, res.newSnapshot))
+      }),
     GraftProcedure("clean_orphans",
       "delete provably-dead uncommitted stream files and task temps",
       Array(in("dir", StringType)),

@@ -727,7 +727,8 @@ private[sources] class ArrowIpcScan(required: StructType, dir: String,
         else {
           val swapping = fs.exists(new Path(dirPath, ArrowMaintenance.IntentFile)) ||
             fs.exists(new Path(dirPath, ArrowMaintenance.DeleteIntentFile)) ||
-            fs.exists(new Path(dirPath, ArrowDeleteVectors.MorIntentFile))
+            fs.exists(new Path(dirPath, ArrowDeleteVectors.MorIntentFile)) ||
+            fs.exists(new Path(dirPath, ArrowMaintenance.RestoreIntentFile))
           val pend = ArrowOcc.livePendingQueryIds(fs, dirPath)
           if (!swapping && pend.nonEmpty) Some(pend) else None
         }

@@ -50,6 +50,7 @@ import org.apache.spark.sql.SparkSession
 object ArrowMaintenance {
   private[sources] val IntentFile = "_compaction.json"
   private[sources] val DeleteIntentFile = "_delete.json"
+  private[graft] val RestoreIntentFile = "_restore.json"
   private[graft] val LineageFile = "_lineage.json"
 
   /** Outcome of a [[compact]] run: how many files went in and came out. */
@@ -851,16 +852,19 @@ object ArrowMaintenance {
     // dead holder's lock breaks after the staleness window)
     if (!fs.exists(new Path(dirPath, IntentFile)) &&
         !fs.exists(new Path(dirPath, DeleteIntentFile)) &&
-        !fs.exists(new Path(dirPath, ArrowDeleteVectors.MorIntentFile)))
+        !fs.exists(new Path(dirPath, ArrowDeleteVectors.MorIntentFile)) &&
+        !fs.exists(new Path(dirPath, RestoreIntentFile)))
       return false
     ArrowOcc.withCommitLock(fs, dirPath) {
       val compacting = fs.exists(new Path(dirPath, IntentFile))
       val deleting = fs.exists(new Path(dirPath, DeleteIntentFile))
       val morring = fs.exists(new Path(dirPath, ArrowDeleteVectors.MorIntentFile))
+      val restoring = fs.exists(new Path(dirPath, RestoreIntentFile))
       if (compacting) replay(fs, dirPath)
       if (deleting) replayDelete(fs, dirPath)
       if (morring) ArrowDeleteVectors.replayMor(fs, dirPath)
-      compacting || deleting || morring
+      if (restoring) replayRestore(fs, dirPath)
+      compacting || deleting || morring || restoring
     }
   }
 
@@ -998,21 +1002,7 @@ object ArrowMaintenance {
     (rels ++ dvRels).foreach(r => ArrowSnapshots.moveToTrash(fs, dirPath, r))
     ArrowSnapshots.append(fs, dirPath, Nil, rels ++ dvRels)
     // manifests key on bare file names (unique across value directories)
-    val doomedNames = doomed.map(s => new Path(s).getName).toSet
-    // base manifest minus the dead entries
-    val base = ArrowFileStats.readBase(fs, dirPath)
-    val keptBase = base -- doomedNames
-    if (keptBase.size != base.size) ArrowFileStats.write(fs, dirPath, keptBase)
-    // each affected shard: rewrite minus the dead entries (writeShard
-    // recomputes the envelope row), or drop it (and its index row) whole
-    ArrowFileStats.shardIds(fs, dirPath).foreach { qid =>
-      val shard = ArrowFileStats.readShard(fs, dirPath, qid)
-      val kept = shard -- doomedNames
-      if (kept.isEmpty && shard.nonEmpty)
-        ArrowFileStats.deleteShards(fs, dirPath, Seq(qid))
-      else if (kept.size != shard.size)
-        ArrowFileStats.writeShard(fs, dirPath, qid, kept)
-    }
+    scrubStats(fs, dirPath, doomed.map(s => new Path(s).getName).toSet)
     // empty hive value directories left behind are dropped (discovery
     // would prune them anyway; this keeps listings clean)
     if (ArrowHiveLayout.read(fs, dirPath).nonEmpty)
@@ -1048,6 +1038,172 @@ object ArrowMaintenance {
       case JArray(xs) => xs.collect { case JString(s) => s }
       case other => throw new IllegalStateException(s"bad $DeleteIntentFile: $other")
     }
+  }
+
+  /** Remove `names`' entries from the base stats manifest and every
+    * shard — envelope rows recompute with the shard rewrite, emptied
+    * shards (and their index rows) drop whole. Shared by the metadata
+    * delete and restore replays; each step is a fixed point. */
+  private def scrubStats(fs: FileSystem, dirPath: Path,
+      names: Set[String]): Unit = {
+    val base = ArrowFileStats.readBase(fs, dirPath)
+    val keptBase = base -- names
+    if (keptBase.size != base.size) ArrowFileStats.write(fs, dirPath, keptBase)
+    ArrowFileStats.shardIds(fs, dirPath).foreach { qid =>
+      val shard = ArrowFileStats.readShard(fs, dirPath, qid)
+      val kept = shard -- names
+      if (kept.isEmpty && shard.nonEmpty)
+        ArrowFileStats.deleteShards(fs, dirPath, Seq(qid))
+      else if (kept.size != shard.size)
+        ArrowFileStats.writeShard(fs, dirPath, qid, kept)
+    }
+  }
+
+  // ── snapshot RESTORE (rollback) ──────────────────────────────────────
+
+  /** Outcome of [[restore]]: files brought back from the trash / retired
+    * to it, and the id of the restore's own snapshot entry. */
+  case class RestoreResult(toSnapshot: Long, restoredFiles: Int,
+      removedFiles: Int, newSnapshot: Long)
+
+  /** RESTORE the live table to the exact state of snapshot `toSnapshot`
+    * — Iceberg's rollback / Delta Lake's RESTORE re-expressed over this
+    * source's snapshot log. History is NEVER rewritten: the restore is
+    * ONE new snapshot entry whose resolved state equals the target's
+    * (adds = target files currently retired, back from `.trash/`;
+    * removes = files added after the target, retired to `.trash/`), so
+    * every prior snapshot — including the pre-restore tip — stays
+    * time-travelable, the change feed sees the restore as an ordinary
+    * adds/removes delta, and a second restore can roll the roll-back
+    * back. Deletion-vector rels ride the same entries, so the restored
+    * state masks exactly what the target masked.
+    *
+    * Cost is O(delta) renames + one log append — no data byte is read or
+    * written (both directions move between the live tree and `.trash/`,
+    * the same retirement discipline every rewrite uses). Crash-safe via
+    * the intent/replay discipline ([[recover]] converges a half-restored
+    * directory); refuses loudly if the target is unknown or any needed
+    * file was expired by [[expireSnapshots]]. Restored streaming-epoch
+    * files re-union their commit ids into the stream ledger (visibility
+    * is ledger-gated); stats entries of removed files are scrubbed, and
+    * a restored file whose entry was scrubbed by the forward path simply
+    * reads unpruned until the next rewrite (sound — stats are advisory).
+    * CDC idempotency ledgers (`_cdc_applied.json`) are deliberately NOT
+    * restored — replaying an already-applied batch version after a
+    * restore stays a no-op, Delta's own RESTORE caveat. Same NO
+    * CONCURRENT WRITER contract as all maintenance: an in-flight append
+    * commits its own files AFTER the restore (union state), never torn. */
+  def restore(spark: SparkSession, dir: String,
+      toSnapshot: Long): RestoreResult = {
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recover(spark, dir) // a half-swapped directory must finish first
+    ArrowOcc.withCommitLock(fs, dirPath) {
+      val snaps = ArrowSnapshots.read(fs, dirPath)
+      val target = ArrowSnapshots.resolve(snaps, toSnapshot).getOrElse(
+        throw new IllegalArgumentException(
+          s"arrow-ipc: $dir has no snapshot $toSnapshot to restore to" +
+            (if (snaps.isEmpty) " (no snapshot log)"
+            else s" — the log records ${snaps.head.id}..${snaps.last.id}")))
+      val tipId = snaps.last.id
+      val tip = ArrowSnapshots.resolve(snaps, tipId).getOrElse(Set.empty)
+      val adds = (target -- tip).toSeq.sorted
+      val removes = (tip -- target).toSeq.sorted
+      if (adds.isEmpty && removes.isEmpty)
+        RestoreResult(toSnapshot, 0, 0, tipId) // already that state
+      else {
+        // validate EVERY add is materializable BEFORE mutating anything —
+        // a restore must be all-or-nothing, and expiry is the one thing
+        // replay cannot converge past
+        adds.foreach { rel =>
+          require(fs.exists(new Path(dirPath, rel)) ||
+              fs.exists(ArrowSnapshots.trashPath(dirPath, rel)),
+            s"arrow-ipc: cannot restore $dir to snapshot $toSnapshot — " +
+              s"'$rel' is expired (gone from both the live set and the " +
+              "trash); expireSnapshots already reclaimed it")
+        }
+        writeRestoreIntent(fs, dirPath, toSnapshot, adds, removes)
+        fs.delete(new Path(dirPath, "_SUCCESS"), false)
+        replayRestore(fs, dirPath)
+        RestoreResult(toSnapshot, adds.size, removes.size,
+          ArrowSnapshots.read(fs, dirPath).last.id)
+      }
+    }
+  }
+
+  /** The idempotent tail of a restore: untrash the target's files,
+    * retire the rest, re-admit restored stream epochs to the ledger,
+    * ONE snapshot delta, stats scrub, latch, intent gone — every step a
+    * fixed point under replay (called at commit or from [[recover]]). */
+  private def replayRestore(fs: FileSystem, dirPath: Path): Unit = {
+    val (_, adds, removes) = readRestoreIntent(fs, dirPath)
+    fs.delete(new Path(dirPath, "_SUCCESS"), false)
+    adds.foreach { rel =>
+      val live = new Path(dirPath, rel)
+      if (!fs.exists(live)) { // already-live = half-replayed flip
+        val t = ArrowSnapshots.trashPath(dirPath, rel)
+        if (!fs.exists(t))
+          throw new IllegalStateException(
+            s"arrow-ipc: restore replay of $dirPath lost '$rel' — gone " +
+              "from both the live set and the trash")
+        if (live.getParent != dirPath) fs.mkdirs(live.getParent)
+        if (!fs.rename(t, live))
+          throw new java.io.IOException(
+            s"restore: untrash $t -> $live failed")
+      }
+    }
+    removes.foreach(rel => ArrowSnapshots.moveToTrash(fs, dirPath, rel))
+    // restored streaming-epoch files become visible again only through
+    // the ledger — union their commit ids back in (idempotent overwrite)
+    val streamIds = adds.map(r => new Path(r).getName)
+      .filter(ArrowStreamCommits.isStreamName)
+      .map(ArrowStreamCommits.commitIdOf).toSet
+    if (streamIds.nonEmpty) {
+      val led = ArrowStreamCommits.read(fs, dirPath)
+        .getOrElse(ArrowStreamCommits.Ledger(Map.empty, Set.empty))
+      if (!streamIds.subsetOf(led.committed))
+        ArrowStreamCommits.write(fs, dirPath,
+          led.copy(committed = led.committed ++ streamIds))
+    }
+    // ONE delta for the whole restore — fenced on the tip already
+    // reflecting it (the entry may have landed just before a crash)
+    val snaps = ArrowSnapshots.read(fs, dirPath)
+    val tipState = snaps.lastOption
+      .flatMap(l => ArrowSnapshots.resolve(snaps, l.id)).getOrElse(Set.empty)
+    if (!(adds.forall(tipState.contains) &&
+        !removes.exists(tipState.contains)))
+      ArrowSnapshots.append(fs, dirPath, adds, removes)
+    scrubStats(fs, dirPath, removes.map(r => new Path(r).getName).toSet)
+    ArrowOcc.restoreLatch(fs, dirPath)
+    fs.delete(new Path(dirPath, RestoreIntentFile), false)
+  }
+
+  private def writeRestoreIntent(fs: FileSystem, dir: Path, to: Long,
+      adds: Seq[String], removes: Seq[String]): Unit = {
+    def arr(xs: Seq[String]) =
+      xs.map(s => "\"" + esc(s) + "\"").mkString("[", ",", "]")
+    val body = s"""{"to":$to,"adds":${arr(adds)},"removes":${arr(removes)}}"""
+    // atomic like every intent: a torn intent must not wedge recover()
+    ArrowOcc.writeAtomic(fs, new Path(dir, RestoreIntentFile),
+      body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  private def readRestoreIntent(fs: FileSystem, dir: Path)
+      : (Long, Seq[String], Seq[String]) = {
+    import org.json4s._
+    val root = org.json4s.jackson.JsonMethods.parse(
+      ArrowFileStats.readFully(fs, new Path(dir, RestoreIntentFile)))
+    def strs(k: String): Seq[String] = (root \ k) match {
+      case JArray(xs) => xs.collect { case JString(s) => s }
+      case _ => Nil
+    }
+    val to = (root \ "to") match {
+      case JInt(n) => n.toLong
+      case JLong(n) => n
+      case other => throw new IllegalStateException(
+        s"bad $RestoreIntentFile: to=$other")
+    }
+    (to, strs("adds"), strs("removes"))
   }
 
   /** The idempotent tail of the swap: every step checks before acting, so

@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{ArrowDeleteVectors, ArrowMaintenance, ArrowSnapshots}
+
+/** Snapshot RESTORE (rollback): the live table rolls back to any
+  * retained snapshot as ONE new log entry — history is never rewritten
+  * (every prior snapshot stays time-travelable, including the
+  * pre-restore tip), no data byte moves except live↔trash renames, and
+  * the operation is itself reversible and crash-replayable. Iceberg
+  * rollback / Delta RESTORE re-expressed over the snapshot log. */
+class ArrowRestoreSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString + "/out"
+
+  private def fsOf(dir: String) = new Path(dir)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def tip(dir: String): Long =
+    ArrowSnapshots.currentTip(fsOf(dir), new Path(dir))
+
+  private def ids(dir: String, at: Option[Long] = None): Set[Long] = {
+    val base = spark.read.format("arrow-ipc")
+    val r = at.fold(base)(v => base.option("asOfSnapshot", v.toString))
+    r.load(dir).select("id").collect().map(_.getLong(0)).toSet
+  }
+
+  test("restore rolls back a COW delete; history keeps BOTH states; restore is reversible") {
+    val dir = tmp("graft_restore_basic")
+    spark.range(0, 100).select(col("id"), (col("id") % 7).as("k"))
+      .coalesce(2).write.format("arrow-ipc").mode("overwrite").save(dir)
+    val v1 = tip(dir)
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.ArrowCatalog")
+    spark.sql(s"DELETE FROM graft.`$dir` WHERE id >= 50")
+    val v2 = tip(dir)
+    assert(ids(dir) === (0L until 50L).toSet)
+
+    val r = ArrowMaintenance.restore(spark, dir, v1)
+    assert(r.toSnapshot === v1 && r.newSnapshot > v2)
+    assert(ids(dir) === (0L until 100L).toSet)
+    // history NOT rewritten: both prior states still time-travel
+    assert(ids(dir, Some(v1)) === (0L until 100L).toSet)
+    assert(ids(dir, Some(v2)) === (0L until 50L).toSet)
+    // the rollback rolls back: restore forward to the post-delete state
+    val r2 = ArrowMaintenance.restore(spark, dir, v2)
+    assert(ids(dir) === (0L until 50L).toSet)
+    assert(r2.newSnapshot > r.newSnapshot)
+    // restoring to the current state is a no-op (no new snapshot)
+    val r3 = ArrowMaintenance.restore(spark, dir, r2.newSnapshot)
+    assert(r3.restoredFiles === 0 && r3.removedFiles === 0)
+    assert(r3.newSnapshot === r2.newSnapshot)
+  }
+
+  test("restore across a MOR delete moves the deletion vector both ways") {
+    val dir = tmp("graft_restore_mor")
+    spark.range(0, 60).select(col("id")).coalesce(1)
+      .write.format("arrow-ipc").mode("overwrite").save(dir)
+    val v1 = tip(dir)
+    assert(ArrowDeleteVectors.deleteMor(spark, dir, "id < 10").deletedRows === 10L)
+    val v2 = tip(dir)
+    assert(ids(dir) === (10L until 60L).toSet)
+    assert(ArrowDeleteVectors.live(fsOf(dir), new Path(dir)).nonEmpty)
+
+    // back to the pre-delete state: the vector leaves the live set
+    ArrowMaintenance.restore(spark, dir, v1)
+    assert(ids(dir) === (0L until 60L).toSet)
+    assert(ArrowDeleteVectors.live(fsOf(dir), new Path(dir)).isEmpty)
+    // forward again: the vector returns, rows re-masked
+    ArrowMaintenance.restore(spark, dir, v2)
+    assert(ids(dir) === (10L until 60L).toSet)
+    assert(ArrowDeleteVectors.live(fsOf(dir), new Path(dir)).nonEmpty)
+  }
+
+  test("a crash between intent and the moves replays to completion via recover()") {
+    val dir = tmp("graft_restore_crash")
+    spark.range(0, 40).select(col("id")).coalesce(1)
+      .write.format("arrow-ipc").mode("overwrite").save(dir)
+    val v1 = tip(dir)
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.ArrowCatalog")
+    spark.sql(s"DELETE FROM graft.`$dir` WHERE id >= 20")
+    val fs = fsOf(dir)
+    val dirPath = new Path(dir)
+
+    // simulate the crash window: intent present, latch down, NO moves —
+    // built from the log exactly as restore() would have
+    val snaps = ArrowSnapshots.read(fs, dirPath)
+    val target = ArrowSnapshots.resolve(snaps, v1).get
+    val cur = ArrowSnapshots.resolve(snaps, snaps.last.id).get
+    def arr(xs: Seq[String]) =
+      xs.map(s => "\"" + s + "\"").mkString("[", ",", "]")
+    val body = s"""{"to":$v1,"adds":${arr((target -- cur).toSeq.sorted)},""" +
+      s""""removes":${arr((cur -- target).toSeq.sorted)}}"""
+    graft.sources.ArrowOcc.writeAtomic(fs,
+      new Path(dirPath, ArrowMaintenance.RestoreIntentFile), body.getBytes)
+    fs.delete(new Path(dirPath, "_SUCCESS"), false)
+
+    assert(ArrowMaintenance.recover(spark, dir))
+    assert(fs.exists(new Path(dirPath, "_SUCCESS")))
+    assert(!fs.exists(new Path(dirPath, ArrowMaintenance.RestoreIntentFile)))
+    assert(ids(dir) === (0L until 40L).toSet)
+    // the replay is itself replayable (fixed point)
+    assert(!ArrowMaintenance.recover(spark, dir))
+  }
+
+  test("restoring to an expired snapshot refuses loudly; unknown snapshot refuses") {
+    val dir = tmp("graft_restore_expired")
+    spark.range(0, 30).select(col("id")).coalesce(1)
+      .write.format("arrow-ipc").mode("overwrite").save(dir)
+    val v1 = tip(dir)
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.ArrowCatalog")
+    spark.sql(s"DELETE FROM graft.`$dir` WHERE id >= 15")
+    val v2 = tip(dir)
+    // expire everything before v2: v1's dropped file leaves the trash
+    ArrowMaintenance.expireSnapshots(spark, dir, v2)
+    val e = intercept[Exception] {
+      ArrowMaintenance.restore(spark, dir, v1)
+    }
+    assert(e.getMessage.contains("no snapshot") ||
+      e.getMessage.contains("expired"))
+    val e2 = intercept[IllegalArgumentException] {
+      ArrowMaintenance.restore(spark, dir, 99999L)
+    }
+    assert(e2.getMessage.contains("no snapshot"))
+    // the refusals changed nothing
+    assert(ids(dir) === (0L until 15L).toSet)
+  }
+
+  test("CALL graft.system.restore: the SQL face") {
+    val dir = tmp("graft_restore_call")
+    spark.range(0, 50).select(col("id")).coalesce(1)
+      .write.format("arrow-ipc").mode("overwrite").save(dir)
+    val v1 = tip(dir)
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.ArrowCatalog")
+    spark.sql(s"DELETE FROM graft.`$dir` WHERE id % 2 = 0")
+    val out = spark.sql(s"CALL graft.system.restore('$dir', $v1)").collect()
+    assert(out.length === 1)
+    assert(out.head.getLong(2) > v1) // new_snapshot
+    assert(ids(dir) === (0L until 50L).toSet)
+  }
+}
