@@ -611,16 +611,26 @@ class ArrowCatalog extends TableCatalog with ProcedureCatalog
     // time-travelable and reversible (restore forward again)
     GraftProcedure("restore",
       "restore the live table to the exact state of snapshot to_snapshot " +
+        "— or, via to_timestamp_ms, of the newest snapshot committed at " +
+        "or before that wall clock (exactly one of the two) — " +
         "(Iceberg rollback / Delta RESTORE): one new snapshot entry, " +
         "files move between the live set and .trash/, no data rewritten",
-      Array(in("dir", StringType), in("to_snapshot", LongType)),
+      Array(in("dir", StringType),
+        inDefault("to_snapshot", LongType, "NULL"),
+        inDefault("to_timestamp_ms", LongType, "NULL")),
       StructType(Seq(
         org.apache.spark.sql.types.StructField("restored_files", IntegerType),
         org.apache.spark.sql.types.StructField("removed_files", IntegerType),
         org.apache.spark.sql.types.StructField("new_snapshot", LongType))),
       r => {
-        val res = ArrowMaintenance.restore(SparkSession.active, dirArg(r),
-          r.getLong(1))
+        require(r.isNullAt(1) != r.isNullAt(2),
+          "restore: pass exactly one of to_snapshot / to_timestamp_ms")
+        val res =
+          if (!r.isNullAt(1))
+            ArrowMaintenance.restore(SparkSession.active, dirArg(r),
+              r.getLong(1))
+          else ArrowMaintenance.restoreAt(SparkSession.active, dirArg(r),
+            r.getLong(2))
         Seq(row(res.restoredFiles, res.removedFiles, res.newSnapshot))
       }),
     GraftProcedure("clean_orphans",

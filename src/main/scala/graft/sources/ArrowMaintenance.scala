@@ -1131,6 +1131,24 @@ object ArrowMaintenance {
     }
   }
 
+  /** [[restore]] addressed by WALL CLOCK instead of snapshot id — rolls
+    * back to the newest snapshot committed at or before `tsMillis`
+    * (`TIMESTAMP AS OF` semantics, made actionable): "restore to 03:00,
+    * before the bad run" without reading the log first. Refuses when
+    * nothing was committed by then. */
+  def restoreAt(spark: SparkSession, dir: String,
+      tsMillis: Long): RestoreResult = {
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val snaps = ArrowSnapshots.read(fs, dirPath)
+    val id = ArrowSnapshots.resolveAt(snaps, tsMillis).getOrElse(
+      throw new IllegalArgumentException(
+        s"arrow-ipc: $dir has no snapshot at or before ${tsMillis} ms" +
+          (if (snaps.isEmpty) " (no snapshot log)"
+          else s" — the earliest records ${snaps.head.tsMillis} ms")))
+    restore(spark, dir, id)
+  }
+
   /** The idempotent tail of a restore: untrash the target's files,
     * retire the rest, re-admit restored stream epochs to the ledger,
     * ONE snapshot delta, stats scrub, latch, intent gone — every step a

@@ -130,6 +130,60 @@ class ArrowRestoreSpec extends AnyFunSuite {
     assert(ids(dir) === (0L until 15L).toSet)
   }
 
+  test("restoreAt: wall-clock addressing picks the newest snapshot at or before the instant") {
+    val dir = tmp("graft_restore_at")
+    spark.range(0, 80).select(col("id")).coalesce(1)
+      .write.format("arrow-ipc").mode("overwrite").save(dir)
+    val fs = fsOf(dir)
+    val snaps = ArrowSnapshots.read(fs, new Path(dir))
+    val t1 = snaps.last.tsMillis // the clean state's commit instant
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.ArrowCatalog")
+    Thread.sleep(5) // the damage commits strictly later on the wall clock
+    spark.sql(s"DELETE FROM graft.`$dir` WHERE id >= 40")
+    assert(ids(dir) === (0L until 40L).toSet)
+
+    // Scala face at the clean instant, SQL face by to_timestamp_ms
+    val r = ArrowMaintenance.restoreAt(spark, dir, t1)
+    assert(r.toSnapshot === snaps.last.id)
+    assert(ids(dir) === (0L until 80L).toSet)
+    spark.sql(s"DELETE FROM graft.`$dir` WHERE id >= 40")
+    spark.sql(
+      s"CALL graft.system.restore('$dir', to_timestamp_ms => $t1)").collect()
+    assert(ids(dir) === (0L until 80L).toSet)
+    // before anything existed: refuse; both addresses at once: refuse
+    intercept[IllegalArgumentException] {
+      ArrowMaintenance.restoreAt(spark, dir, t1 - 1000000L)
+    }
+    intercept[Exception] {
+      spark.sql(s"CALL graft.system.restore('$dir', $t1, $t1)").collect()
+    }
+  }
+
+  test("the change feed sees a restore as an ordinary adds/removes delta") {
+    val dir = tmp("graft_restore_feed")
+    spark.range(0, 100).select(col("id")).coalesce(1)
+      .write.format("arrow-ipc").mode("overwrite").save(dir)
+    val v1 = tip(dir)
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.ArrowCatalog")
+    spark.sql(s"DELETE FROM graft.`$dir` WHERE id >= 60") // COW: 1 file → 1 file
+    val v2 = tip(dir)
+    ArrowMaintenance.restore(spark, dir, v1)
+    val v3 = tip(dir)
+    // (v2, v3]: the restore window — the resurrected full file inserts,
+    // the post-delete survivor image deletes: an incremental consumer
+    // needs no special case for rollbacks
+    val feed = graft.sources.ArrowChanges.changeFeed(spark, dir, v2, v3)
+    val counts = feed.groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts === Map("insert" -> 100L, "delete" -> 60L))
+    // net over the whole history (v1, v3]: delete+restore cancel out
+    val net = graft.sources.ArrowChanges.changeFeed(spark, dir, v1, v3)
+    val netCounts = net.groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(netCounts.getOrElse("insert", 0L) ===
+      netCounts.getOrElse("delete", 0L))
+  }
+
   test("CALL graft.system.restore: the SQL face") {
     val dir = tmp("graft_restore_call")
     spark.range(0, 50).select(col("id")).coalesce(1)
