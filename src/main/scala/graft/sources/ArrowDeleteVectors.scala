@@ -719,12 +719,21 @@ private[graft] object ArrowDeleteVectors {
     fs.delete(new Path(dirPath, "_SUCCESS"), false)
     moves.foreach { m =>
       val src = new Path(dirPath, m.stagedRel)
+      val dst = new Path(dirPath, m.finalRel)
       if (fs.exists(src)) {
-        val dst = new Path(dirPath, m.finalRel)
         fs.delete(dst, false) // half-replayed flip: staged copy wins
         if (!fs.rename(src, dst))
           throw new java.io.IOException(s"MOR delete: rename $src -> $dst failed")
-      }
+      } else if (!fs.exists(dst))
+        // a missing staged vector is only legitimate when a prior replay
+        // already flipped it to its final name — BOTH gone means the
+        // statement's delete would silently vanish while its paired
+        // inserts land (duplicate rows). Refuse; the intent stays for a
+        // human, nothing later in this replay runs.
+        throw new IllegalStateException(
+          s"arrow-ipc: MOR replay of $dirPath lost staged vector " +
+            s"'${m.stagedRel}' — gone without reaching '${m.finalRel}'; " +
+            "refusing to admit the statement's inserts without its deletes")
     }
     // the delta's inserted files: move in (names embed a fresh queryId —
     // no collision with any live name; identity rels, nested for hive),
@@ -738,14 +747,21 @@ private[graft] object ArrowDeleteVectors {
         val stagingPath = new Path(dirPath, stagingName)
         rels.foreach { rel =>
           val src = new Path(stagingPath, rel)
+          val dst = new Path(dirPath, rel)
           if (fs.exists(src)) {
-            val dst = new Path(dirPath, rel)
             if (dst.getParent != dirPath) fs.mkdirs(dst.getParent)
             fs.delete(dst, false)
             if (!fs.rename(src, dst))
               throw new java.io.IOException(
                 s"MOR delta: rename $src -> $dst failed")
-          }
+          } else if (!fs.exists(dst))
+            // mirror of the vector check above: a staged insert gone
+            // without reaching its final name would land the statement's
+            // deletes WITHOUT their paired inserts (lost update)
+            throw new IllegalStateException(
+              s"arrow-ipc: MOR replay of $dirPath lost staged insert " +
+                s"'$rel' from $stagingName — refusing to admit the " +
+                "statement's deletes without its inserts")
         }
         if (fs.exists(stagingPath)) {
           val staged = ArrowFileStats.read(fs, stagingPath)

@@ -1239,13 +1239,21 @@ object ArrowMaintenance {
     // directory that never existed), so parents are created on demand.
     intent.moves.toSeq.sortBy(_._1).foreach { case (s, fin) =>
       val src = new Path(stagingPath, s)
+      val dst = new Path(dirPath, fin)
       if (fs.exists(src)) {
-        val dst = new Path(dirPath, fin)
         if (dst.getParent != dirPath) fs.mkdirs(dst.getParent)
         fs.delete(dst, false) // a half-replayed move: staged copy wins
         if (!fs.rename(src, dst))
           throw new java.io.IOException(s"compaction: rename $src -> $dst failed")
-      }
+      } else if (!fs.exists(dst))
+        // a staged survivor gone without reaching its final name: letting
+        // the replay continue would trash the olds below and LOSE their
+        // rows. Refuse; the intent stays for a human — the one state
+        // recover() must never converge past is silent data loss.
+        throw new IllegalStateException(
+          s"arrow-ipc: ${intent.kind} replay of $dirPath lost staged " +
+            s"file '$s' — gone without reaching '$fin'; refusing to " +
+            "retire the replaced files without their survivors")
     }
     // (d) merged manifest: fixed point under replay — minus(olds) no-ops
     // once gone, staged stats are constant. Manifests key on BARE file
