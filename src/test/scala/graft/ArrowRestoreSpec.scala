@@ -184,6 +184,26 @@ class ArrowRestoreSpec extends AnyFunSuite {
       netCounts.getOrElse("delete", 0L))
   }
 
+  test("restore on a hive layout: nested rels untrash with parents, value dirs survive") {
+    val dir = tmp("graft_restore_hive")
+    spark.range(0, 90).select(col("id"), (col("id") % 3).as("part"))
+      .repartition(col("part"))
+      .write.format("arrow-ipc").option("hivePartitionKeys", "part")
+      .mode("overwrite").save(dir)
+    val v1 = tip(dir)
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.ArrowCatalog")
+    // drop a whole partition (metadata path — its value dir empties)
+    spark.sql(s"DELETE FROM graft.`$dir` WHERE part = 1")
+    assert(ids(dir).size === 60)
+
+    ArrowMaintenance.restore(spark, dir, v1)
+    assert(ids(dir) === (0L until 90L).toSet)
+    // the restored partition reads through the hive discovery with its
+    // directory-derived value intact
+    assert(spark.read.format("arrow-ipc").load(dir)
+      .where(col("part") === 1).count() === 30)
+  }
+
   test("CALL graft.system.restore: the SQL face") {
     val dir = tmp("graft_restore_call")
     spark.range(0, 50).select(col("id")).coalesce(1)
