@@ -72,7 +72,12 @@ import org.apache.spark.sql.SparkSession
   * validation. Either way the statement throws
   * [[ArrowOcc.CommitConflictException]] having committed nothing, and
   * [[ArrowDml]]'s bounded retry re-plans it — Delta Lake's
-  * ConcurrentDeleteReadException contract. */
+  * ConcurrentDeleteReadException contract. The PURE-DELETE path's
+  * isolation is selectable (`spark.graft.arrow.morDeleteIsolation` =
+  * `serializable` default | `snapshot` — Iceberg's isolation levels):
+  * snapshot mode folds a re-delete silently (never a duplicate — no
+  * inserts ride a delete), trading "chase concurrently-moved rows" for
+  * point-delete liveness under sustained update churn. */
 private[graft] object ArrowDeleteVectors {
 
   val DvDir = ".dv"
@@ -467,9 +472,29 @@ private[graft] object ArrowDeleteVectors {
         "bulky should rewrite, not mask: use the COW path (ArrowDml.delete " +
         "/ DELETE FROM), whose cost amortizes at that scale")
 
-    // 2. STAGE new cumulative vectors OUTSIDE the lock (shared helper —
-    // including the re-delete conflict check, see stageVectors).
-    val staged = stageVectors(fs, dirPath, perFile)
+    // 2. STAGE new cumulative vectors OUTSIDE the lock (shared helper).
+    // Isolation is selectable for the PURE-DELETE path (Iceberg's
+    // serializable/snapshot isolation levels, same semantics):
+    //  - serializable (default): a fresh position already masked by a
+    //    concurrent statement is a conflict — the retry re-plans and
+    //    chases rows a concurrent UPDATE moved, so DELETE WHERE pred
+    //    observes every committed state;
+    //  - snapshot: the clash folds away silently (the union is identical
+    //    either way — the row this statement saw IS deleted; only a
+    //    concurrently-moved NEW image survives, which snapshot isolation
+    //    permits). NEVER a duplicate either way — only the UPDATE/MERGE
+    //    path pairs deletes with inserts, and that path stays strict
+    //    unconditionally. Snapshot mode keeps point-delete liveness under
+    //    sustained concurrent-update churn, where serializable honestly
+    //    refuses after bounded retry.
+    val isolation = scala.util.Try(SparkSession.active.conf
+      .get("spark.graft.arrow.morDeleteIsolation", "serializable"))
+      .getOrElse("serializable")
+    require(isolation == "serializable" || isolation == "snapshot",
+      s"spark.graft.arrow.morDeleteIsolation must be serializable | " +
+        s"snapshot, got '$isolation'")
+    val staged = stageVectors(fs, dirPath, perFile,
+      failOnRedelete = isolation == "serializable")
     if (!commitStaged(fs, dirPath, staged.toSeq, None)) return (0, 0L)
     (perFile.length, deleted)
   }
@@ -524,9 +549,18 @@ private[graft] object ArrowDeleteVectors {
     * ConcurrentDeleteReadException is the semantic precedent). The pin
     * (`oldDv` → commitStaged's `moved` check) covers vectors advancing
     * AFTER this staging read; this check covers advances BETWEEN the
-    * scan and the staging read — together the scan-to-commit span. */
+    * scan and the staging read — together the scan-to-commit span.
+    *
+    * `failOnRedelete = false` (pure DELETE under snapshot isolation
+    * only): the clash folds into the union silently instead — sound
+    * there because a delete-only statement admits no inserts, so the
+    * worst outcome is a concurrently-MOVED row's new image surviving the
+    * predicate, which snapshot isolation permits (Iceberg's snapshot
+    * isolation level for row deltas is the precedent). The UPDATE/MERGE
+    * path must never pass false. */
   private def stageVectors(fs: FileSystem, dirPath: Path,
-      perFile: Array[(String, Array[Long])]): Array[MorMove] = {
+      perFile: Array[(String, Array[Long])],
+      failOnRedelete: Boolean = true): Array[MorMove] = {
     beforeStageHook()
     val liveNow = live(fs, dirPath)
     val stageId = java.util.UUID.randomUUID.toString.take(8)
@@ -538,7 +572,7 @@ private[graft] object ArrowDeleteVectors {
         case None => fresh
         case Some(ref) =>
           val prior = read(fs, new Path(dirPath, ref.rel))
-          sortedClash(prior, fresh).foreach { p =>
+          if (failOnRedelete) sortedClash(prior, fresh).foreach { p =>
             if (java.lang.Boolean.getBoolean("graft.debug.scan"))
               System.err.println(s"[clash-debug] ${System.nanoTime()} thread=" +
                 s"${Thread.currentThread().getName} dir=$dirPath file=$name " +

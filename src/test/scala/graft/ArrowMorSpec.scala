@@ -835,6 +835,32 @@ class ArrowMorSpec extends AnyFunSuite {
     assert(liveDvs(dir).values.map(_.card).sum === 1L)
   }
 
+  test("snapshot isolation: a pure DELETE folds a re-delete silently (liveness under churn)") {
+    val dir = tmp("graft_mor_ww_snapshot")
+    spark.range(0, 100).select(col("id"), (col("id") % 10).as("k"))
+      .coalesce(1).write.format("arrow-ipc").mode("overwrite").save(dir)
+    var fired = false
+    ArrowDeleteVectors.beforeStageHook = () => if (!fired) {
+      fired = true
+      assert(ArrowDeleteVectors.deleteMor(spark, dir, "id = 7").deletedRows === 1L)
+    }
+    spark.conf.set("spark.graft.arrow.morDeleteIsolation", "snapshot")
+    val r =
+      try ArrowDeleteVectors.deleteMor(spark, dir, "id = 7")
+      finally {
+        spark.conf.unset("spark.graft.arrow.morDeleteIsolation")
+        ArrowDeleteVectors.beforeStageHook = () => ()
+      }
+    // NO conflict, NO retry: the clash folds into the identical union —
+    // the row this statement saw is deleted either way, and a delete-only
+    // statement can never mint a duplicate
+    assert(r.retries === 0)
+    val df = spark.read.format("arrow-ipc").load(dir)
+    assert(df.where(col("id") === 7).count() === 0)
+    assert(df.count() === 99)
+    assert(liveDvs(dir).values.map(_.card).sum === 1L)
+  }
+
   test("MOR UPDATE losing the window race: conflict + transparent retry, never a duplicate") {
     val dir = tmp("graft_mor_ww_update")
     spark.range(0, 100).select(col("id"), (col("id") % 10).as("k"))
