@@ -183,7 +183,8 @@ private[sources] class ArrowIpcTable(tableSchema: StructType, dir: String,
       startingTimestamp = Option(options.get("startingTimestamp")),
       maxSnapshotsPerTrigger =
         Option(options.get("maxSnapshotsPerTrigger")).map(_.toInt),
-      ignoreDeletes = options.getBoolean("ignoreDeletes", false))
+      ignoreDeletes = options.getBoolean("ignoreDeletes", false),
+      ignoreRestores = options.getBoolean("ignoreRestores", false))
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
@@ -212,7 +213,8 @@ private[sources] class ArrowIpcScanBuilder(full: StructType, dir: String,
     startingSnapshot: Option[Long] = None,
     startingTimestamp: Option[String] = None,
     maxSnapshotsPerTrigger: Option[Int] = None,
-    ignoreDeletes: Boolean = false)
+    ignoreDeletes: Boolean = false,
+    ignoreRestores: Boolean = false)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownLimit
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
@@ -616,7 +618,7 @@ private[sources] class ArrowIpcScanBuilder(full: StructType, dir: String,
     val scan = new ArrowIpcScan(required, dir, limit, pushed, agg,
       maxFilesPerTrigger, partitionKeys, full, fileSlot, asOf,
       changeFeed, startingSnapshot, startingTimestamp, maxSnapshotsPerTrigger,
-      posSlot, ignoreDeletes)
+      posSlot, ignoreDeletes, ignoreRestores)
     if (onBuild != null) onBuild(scan)
     scan
   }
@@ -635,7 +637,8 @@ private[sources] class ArrowIpcScan(required: StructType, dir: String,
     startingTimestamp: Option[String] = None,
     maxSnapshotsPerTrigger: Option[Int] = None,
     posSlot: Int = -1,
-    ignoreDeletes: Boolean = false)
+    ignoreDeletes: Boolean = false,
+    ignoreRestores: Boolean = false)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
@@ -1201,7 +1204,7 @@ private[sources] class ArrowIpcScan(required: StructType, dir: String,
         startingSnapshot, startingTimestamp, maxSnapshotsPerTrigger)
     else
       new ArrowIpcMicroBatchStream(required, dir, filters, maxFilesPerTrigger,
-        hiveFields, ignoreDeletes)
+        hiveFields, ignoreDeletes, ignoreRestores)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

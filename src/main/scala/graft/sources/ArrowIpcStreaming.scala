@@ -18,10 +18,17 @@ import org.apache.spark.sql.types.StructType
   * .latestOffset]]), so a drained stream's offset tracks the directory's
   * file count, not its ingest history.
   */
-private[graft] case class ArrowFilesOffset(files: Seq[String]) extends Offset {
-  override def json(): String =
+private[graft] case class ArrowFilesOffset(files: Seq[String],
+    restoreGen: Long = 0L) extends Offset {
+  private def arr: String =
     files.sorted.map(n => "\"" + ArrowFileStats.esc(n) + "\"")
       .mkString("[", ",", "]")
+  override def json(): String =
+    // legacy bare-array form while no restore ever happened — existing
+    // checkpoints stay byte-compatible; the object form appears only on
+    // tables that carry a restore generation
+    if (restoreGen == 0L) arr
+    else s"""{"gen":$restoreGen,"files":$arr}"""
 }
 
 private[graft] object ArrowFilesOffset {
@@ -29,6 +36,17 @@ private[graft] object ArrowFilesOffset {
     import org.json4s._
     org.json4s.jackson.JsonMethods.parse(json) match {
       case JArray(xs) => ArrowFilesOffset(xs.collect { case JString(s) => s })
+      case o: JObject =>
+        val files = (o \ "files") match {
+          case JArray(xs) => xs.collect { case JString(s) => s }
+          case _ => Nil
+        }
+        val gen = (o \ "gen") match {
+          case JInt(n) => n.toLong
+          case JLong(n) => n
+          case _ => 0L
+        }
+        ArrowFilesOffset(files, gen)
       case other => throw new IllegalArgumentException(
         s"arrow-ipc stream: bad offset json $other")
     }
@@ -96,7 +114,8 @@ private[graft] class ArrowIpcMicroBatchStream(
     filters: Array[org.apache.spark.sql.sources.Filter],
     maxFilesPerTrigger: Option[Int] = None,
     hiveFields: Seq[org.apache.spark.sql.types.StructField] = Nil,
-    ignoreDeletes: Boolean = false)
+    ignoreDeletes: Boolean = false,
+    ignoreRestores: Boolean = false)
     extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
@@ -180,7 +199,13 @@ private[graft] class ArrowIpcMicroBatchStream(
   // (tip id, sentinel mtime) → that committed listing; see listCommitted
   @volatile private var tipCache: Option[((Long, Long), Seq[String])] = None
 
-  override def initialOffset(): Offset = ArrowFilesOffset(Nil)
+  override def initialOffset(): Offset = {
+    // pin the CURRENT restore generation: restores that predate this
+    // stream are history, not a change it observed
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(conf.value)
+    ArrowFilesOffset(Nil, ArrowMaintenance.restoreGen(fs, dirPath))
+  }
 
   /** Admission control: `option("maxFilesPerTrigger", n)` caps how many
     * NEW files one micro-batch admits, so a backlog (a weekend of appends,
@@ -200,7 +225,8 @@ private[graft] class ArrowIpcMicroBatchStream(
     availableNowCap = Some(listCommitted().getOrElse(Nil).toSet)
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val seen = start.asInstanceOf[ArrowFilesOffset].files
+    val startOffset = start.asInstanceOf[ArrowFilesOffset]
+    val seen = startOffset.files
     val seenSet = seen.toSet
     // gate closed (absent / mid-append): hold the line — no admission,
     // no offset compaction (an empty gate-listing must never be read as
@@ -210,9 +236,32 @@ private[graft] class ArrowIpcMicroBatchStream(
     val fresh = listed.filterNot(seenSet).sorted
     // idle short-circuit: nothing new and the offset already equals the
     // live set (fresh empty ⇒ listed ⊆ seen; equal sizes ⇒ equal sets) —
-    // skip the set rebuild/sort entirely
+    // skip the set rebuild/sort entirely. Sound across restores too: a
+    // restore CHANGES the live file set (or is a no-op), so a poll that
+    // lands here observed no effect of it
     if (fresh.isEmpty && availableNowCap.isEmpty && seen.size == listed.size)
       return start
+    // RESTORE fence: a restore RE-ADDS previously-removed file names,
+    // which breaks this source's offset-compaction soundness argument
+    // ("a gone file cannot return") — silently admitting a restored file
+    // re-emits rows the stream already delivered, and a restore that only
+    // removed files retracts rows an append log cannot retract. Same
+    // contract as the deletion-vector gate: fail with the outs, or opt
+    // in. The gen is read ONLY on polls that already observed a change.
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(conf.value)
+    val gen = ArrowMaintenance.restoreGen(fs, dirPath)
+    if (gen > startOffset.restoreGen && !ignoreRestores)
+      throw new IllegalStateException(
+        s"arrow-ipc stream: $dir was RESTOREd (rollback) at snapshot $gen, " +
+          s"past this stream's checkpoint (generation " +
+          s"${startOffset.restoreGen}) — restored files would re-emit rows " +
+          "this stream already delivered, and rolled-back appends cannot " +
+          "be retracted from an append log. Either (a) restart the " +
+          "consumer from a fresh checkpoint against the restored table, " +
+          "or (b) opt in with option(\"ignoreRestores\", true) to accept " +
+          "at-least-once delivery across rollbacks — the same contract as " +
+          "Delta's streaming behavior on RESTORE.")
     // Compaction lineage: a rewritten file whose every replaced ancestor is
     // already in the offset carries no unseen rows — absorb it into the
     // offset WITHOUT emitting (and without charging the admission cap).
@@ -256,11 +305,17 @@ private[graft] class ArrowIpcMicroBatchStream(
         val live = listedAll.toSet
         grown.filter(live)
       } else grown
-    ArrowFilesOffset(compacted)
+    // the offset carries the generation it has ABSORBED forward — under
+    // ignoreRestores the next poll stops re-flagging the same rollback
+    ArrowFilesOffset(compacted, math.max(startOffset.restoreGen, gen))
   }
 
-  override def reportLatestOffset(): Offset =
-    ArrowFilesOffset(listCommitted().getOrElse(Nil))
+  override def reportLatestOffset(): Offset = {
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(conf.value)
+    ArrowFilesOffset(listCommitted().getOrElse(Nil),
+      ArrowMaintenance.restoreGen(fs, dirPath))
+  }
 
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(

@@ -51,6 +51,17 @@ object ArrowMaintenance {
   private[sources] val IntentFile = "_compaction.json"
   private[sources] val DeleteIntentFile = "_delete.json"
   private[graft] val RestoreIntentFile = "_restore.json"
+  private[graft] val RestoreGenFile = "_restore_gen"
+
+  /** Monotone restore generation: the snapshot id of the latest restore
+    * commit (0 = never restored). The append-log streaming source pins
+    * this in its offsets — a restore RE-ADDS previously-removed file
+    * names, which breaks the offset-compaction soundness argument ("a
+    * gone file cannot return"), so a gen that advanced past the offset's
+    * is a non-append change the stream must not silently absorb. */
+  def restoreGen(fs: FileSystem, dirPath: Path): Long =
+    scala.util.Try(ArrowFileStats.readFully(fs,
+      new Path(dirPath, RestoreGenFile)).trim.toLong).getOrElse(0L)
   private[graft] val LineageFile = "_lineage.json"
 
   /** Outcome of a [[compact]] run: how many files went in and came out. */
@@ -1192,6 +1203,13 @@ object ArrowMaintenance {
         !removes.exists(tipState.contains)))
       ArrowSnapshots.append(fs, dirPath, adds, removes)
     scrubStats(fs, dirPath, removes.map(r => new Path(r).getName).toSet)
+    // advance the restore generation to the tip AFTER the fenced append —
+    // monotone and replay-safe (a re-replay reads a tip ≥ the restore
+    // entry's id; overshooting only marks MORE polls as restore-affected,
+    // never fewer). Streams gate on this: file names CAME BACK.
+    ArrowOcc.writeAtomic(fs, new Path(dirPath, RestoreGenFile),
+      ArrowSnapshots.currentTip(fs, dirPath).toString
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     ArrowOcc.restoreLatch(fs, dirPath)
     fs.delete(new Path(dirPath, RestoreIntentFile), false)
   }

@@ -204,6 +204,81 @@ class ArrowRestoreSpec extends AnyFunSuite {
       .where(col("part") === 1).count() === 30)
   }
 
+  test("a checkpointed append-log stream FAILS across a restore; ignoreRestores opts in (at-least-once)") {
+    val base = java.nio.file.Files.createTempDirectory("graft_restore_stream").toString
+    val dir = s"$base/t"
+    spark.range(0, 100).select(col("id"))
+      .repartitionByRange(2, col("id"))
+      .write.format("arrow-ipc").mode("overwrite").save(dir)
+    val v1 = tip(dir)
+    // the stream drains the clean table into an arrow-ipc sink (memory
+    // sink cannot recover a checkpoint), then stops (checkpoint persists)
+    val out = s"$base/out"
+    def sunk(): Seq[Long] = spark.read.format("arrow-ipc").load(out)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    val q1 = spark.readStream.format("arrow-ipc").load(dir)
+      .writeStream.format("arrow-ipc").option("path", out)
+      .option("checkpointLocation", s"$base/ck").start()
+    try {
+      q1.processAllAvailable()
+      assert(sunk().size === 100)
+    } finally q1.stop()
+
+    // a DELETE lands and the stream observes it: offset compaction drops
+    // the gone name ("a gone file cannot return" — the soundness argument
+    // a restore is about to break)
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.ArrowCatalog")
+    spark.sql(s"DELETE FROM graft.`$dir` WHERE id < 50")
+    val q2 = spark.readStream.format("arrow-ipc").load(dir)
+      .writeStream.format("arrow-ipc").option("path", out)
+      .option("checkpointLocation", s"$base/ck").start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(sunk().size === 100) // a delete retracts nothing
+
+    // the rollback: the deleted file's NAME comes back, no longer in the
+    // compacted offset — resuming must FAIL with the contract message,
+    // not silently re-emit its 50 rows
+    ArrowMaintenance.restore(spark, dir, v1)
+    assert(ArrowMaintenance.restoreGen(fsOf(dir), new Path(dir)) > v1)
+    val q3 = spark.readStream.format("arrow-ipc").load(dir)
+      .writeStream.format("arrow-ipc").option("path", out)
+      .option("checkpointLocation", s"$base/ck").start()
+    val failed = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q3.processAllAvailable()
+    }
+    assert(Iterator.iterate[Throwable](failed)(_.getCause)
+      .takeWhile(_ != null).exists(c => Option(c.getMessage)
+        .exists(_.contains("ignoreRestores"))))
+
+    // explicit opt-in: at-least-once across the rollback — the restored
+    // file re-emits (its 50 rows land twice in the sink, the documented
+    // trade), the gen is absorbed, and later appends flow normally
+    val q4 = spark.readStream.format("arrow-ipc")
+      .option("ignoreRestores", true).load(dir)
+      .writeStream.format("arrow-ipc").option("path", out)
+      .option("checkpointLocation", s"$base/ck").start()
+    try {
+      q4.processAllAvailable()
+      spark.range(100, 110).select(col("id")).coalesce(1)
+        .write.format("arrow-ipc").mode("append").save(dir)
+      q4.processAllAvailable()
+      val got = sunk()
+      assert(got.size === 160) // 100 + 50 re-emitted + 10 fresh
+      assert(got.toSet === (0L until 110L).toSet)
+      assert(got.groupBy(identity).count(_._2.size == 2) === 50)
+    } finally q4.stop()
+
+    // a FRESH stream over the restored table needs no opt-in: the
+    // initial offset pins the current generation
+    val q5 = spark.readStream.format("arrow-ipc").load(dir)
+      .writeStream.format("memory").queryName("restore_stream_d")
+      .option("checkpointLocation", s"$base/ck5").start()
+    try {
+      q5.processAllAvailable()
+      assert(spark.table("restore_stream_d").count() === 110L)
+    } finally q5.stop()
+  }
+
   test("CALL graft.system.restore: the SQL face") {
     val dir = tmp("graft_restore_call")
     spark.range(0, 50).select(col("id")).coalesce(1)
