@@ -786,7 +786,9 @@ class ArrowCatalog extends TableCatalog with ProcedureCatalog
     // snapshot, newest first (expired prefixes are folded into the base
     // checkpoint entry, which reports its cumulative adds)
     GraftProcedure("history",
-      "retained snapshot log, newest first: id, commit time, files and " +
+      "retained snapshot log, newest first: id, commit time, OPERATION " +
+        "kind (append/stream/compact/cluster/cow/delete/mor-delete/" +
+        "mor-update/restore; blank = pre-kind history), files and " +
         "deletion vectors added/removed; `limit` bounds the parse to " +
         "the newest N entries (an unlimited call is O(retained history))",
       Array(in("dir", StringType),
@@ -795,6 +797,7 @@ class ArrowCatalog extends TableCatalog with ProcedureCatalog
         org.apache.spark.sql.types.StructField("snapshot_id", LongType),
         org.apache.spark.sql.types.StructField("committed_at",
           org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("operation", StringType),
         org.apache.spark.sql.types.StructField("files_added", IntegerType),
         org.apache.spark.sql.types.StructField("files_removed", IntegerType),
         org.apache.spark.sql.types.StructField("dvs_added", IntegerType),
@@ -814,7 +817,9 @@ class ArrowCatalog extends TableCatalog with ProcedureCatalog
         snaps.map { s =>
           val (af, av) = ArrowDeleteVectors.splitResolved(s.adds.toSet)
           val (rf, rv) = ArrowDeleteVectors.splitResolved(s.removes.toSet)
-          row(s.id, s.tsMillis * 1000L, af.size, rf.size, av.size, rv.size)
+          row(s.id, s.tsMillis * 1000L,
+            org.apache.spark.unsafe.types.UTF8String.fromString(s.op),
+            af.size, rf.size, av.size, rv.size)
         }
       })
   ).map(p => p.procName -> p).toMap

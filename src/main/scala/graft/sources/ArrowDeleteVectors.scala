@@ -819,7 +819,8 @@ private[graft] object ArrowDeleteVectors {
       .flatMap(last => ArrowSnapshots.resolve(snaps, last.id))
       .getOrElse(Set.empty)
     if (!adds.forall(tipState.contains))
-      ArrowSnapshots.append(fs, dirPath, adds, moves.flatMap(_.oldDv))
+      ArrowSnapshots.append(fs, dirPath, adds, moves.flatMap(_.oldDv),
+        op = if (data.isDefined) "mor-update" else "mor-delete")
     // the CDC idempotency record lands in the SAME replay as the merge's
     // vectors/inserts — a crash anywhere between intent and here replays
     // both together, so a foreachBatch restart can never double-apply.

@@ -1782,7 +1782,7 @@ private[sources] class ArrowIpcWrite(
       files.map { case (path, _) =>
         ArrowSnapshots.relativize(fs, dirPath, new Path(path)) }
     }.flatten
-    ArrowSnapshots.append(fs, dirPath, rels.toSeq, Nil)
+    ArrowSnapshots.append(fs, dirPath, rels.toSeq, Nil, op = "append")
     // this append is done: clear the pending marker, then restore the
     // latch unless ANOTHER live append still owns it
     ArrowOcc.clearPending(fs, dirPath, queryId)

@@ -262,7 +262,7 @@ private[sources] class ArrowIpcStreamingWrite(
         val missing = ArrowSnapshots.listDataFiles(fs, dirPath)
           .filter(rel => visible(new Path(rel).getName) && !state(rel))
         if (missing.nonEmpty)
-          ArrowSnapshots.append(fs, dirPath, missing, Nil)
+          ArrowSnapshots.append(fs, dirPath, missing, Nil, op = "stream")
       }
       val sentinel = new Path(dirPath, "_schema.arrows")
       if (!fs.exists(sentinel))
@@ -359,7 +359,7 @@ private[sources] class ArrowIpcStreamingWrite(
       files.map { case (path, _) =>
         ArrowSnapshots.relativize(fs, dirPath, new Path(path)) }
     }.flatten
-    ArrowSnapshots.append(fs, dirPath, rels.toSeq, Nil)
+    ArrowSnapshots.append(fs, dirPath, rels.toSeq, Nil, op = "stream")
     ArrowOcc.restoreLatch(fs, dirPath)
     } // withCommitLock
     // OUTSIDE the lock: fire-and-forget maintenance window check

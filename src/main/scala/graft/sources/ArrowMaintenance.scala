@@ -1011,7 +1011,7 @@ object ArrowMaintenance {
         case (data, ref) if doomedNames(data) => ref.rel }.toSeq.sorted
     }
     (rels ++ dvRels).foreach(r => ArrowSnapshots.moveToTrash(fs, dirPath, r))
-    ArrowSnapshots.append(fs, dirPath, Nil, rels ++ dvRels)
+    ArrowSnapshots.append(fs, dirPath, Nil, rels ++ dvRels, op = "delete")
     // manifests key on bare file names (unique across value directories)
     scrubStats(fs, dirPath, doomed.map(s => new Path(s).getName).toSet)
     // empty hive value directories left behind are dropped (discovery
@@ -1201,7 +1201,7 @@ object ArrowMaintenance {
       .flatMap(l => ArrowSnapshots.resolve(snaps, l.id)).getOrElse(Set.empty)
     if (!(adds.forall(tipState.contains) &&
         !removes.exists(tipState.contains)))
-      ArrowSnapshots.append(fs, dirPath, adds, removes)
+      ArrowSnapshots.append(fs, dirPath, adds, removes, op = "restore")
     scrubStats(fs, dirPath, removes.map(r => new Path(r).getName).toSet)
     // advance the restore generation to the tip AFTER the fenced append —
     // monotone and replay-safe (a re-replay reads a tip ≥ the restore
@@ -1318,7 +1318,7 @@ object ArrowMaintenance {
     // new files carry no vector and read zero-copy columnar again
     intent.dvs.foreach(d => ArrowSnapshots.moveToTrash(fs, dirPath, d))
     ArrowSnapshots.append(fs, dirPath,
-      intent.moves.values.toSeq, intent.olds ++ intent.dvs)
+      intent.moves.values.toSeq, intent.olds ++ intent.dvs, op = intent.kind)
     intent.olds.map(o => new Path(dirPath, o).getParent).distinct.foreach { d =>
       if (d != dirPath && fs.exists(d) &&
           Option(fs.listStatus(d)).forall(_.isEmpty))

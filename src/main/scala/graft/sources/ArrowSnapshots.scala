@@ -41,7 +41,7 @@ private[graft] object ArrowSnapshots {
   val TrashDir = ".trash"
 
   case class Snapshot(id: Long, tsMillis: Long,
-      adds: Seq[String], removes: Seq[String])
+      adds: Seq[String], removes: Seq[String], op: String = "")
 
   private def deltaName(id: Long) = f"$id%020d.json"
   private def baseName(id: Long) = f"$id%020d.base.json"
@@ -80,7 +80,11 @@ private[graft] object ArrowSnapshots {
           case other => throw new IllegalStateException(
             s"bad snapshot entry $p: $k = $other")
         }
-        Snapshot(numf("id"), numf("ts"), strs("adds"), strs("removes"))
+        val op = (o \ "op") match {
+          case JString(s) => s
+          case _ => "" // entries written before op kinds existed
+        }
+        Snapshot(numf("id"), numf("ts"), strs("adds"), strs("removes"), op)
       case other => throw new IllegalStateException(s"bad snapshot entry $p: $other")
     }
   }
@@ -89,7 +93,8 @@ private[graft] object ArrowSnapshots {
     def esc(x: String) = ArrowFileStats.esc(x)
     s"""{"id":${s.id},"ts":${s.tsMillis},"adds":[${
       s.adds.sorted.map(a => "\"" + esc(a) + "\"").mkString(",")}],"removes":[${
-      s.removes.sorted.map(r => "\"" + esc(r) + "\"").mkString(",")}]}"""
+      s.removes.sorted.map(r => "\"" + esc(r) + "\"").mkString(",")}]${
+      if (s.op.isEmpty) "" else ",\"op\":\"" + esc(s.op) + "\""}}"""
   }
 
   /** Write one entry file crash-safely: full temp write, then rename to
@@ -253,7 +258,7 @@ private[graft] object ArrowSnapshots {
     * hold the directory's commit lock (every committing op does), which
     * is what makes read-tip → write-tip+1 the snapshot-id CAS. */
   def append(fs: FileSystem, dir: Path,
-      adds: Seq[String], removes: Seq[String]): Long = {
+      adds: Seq[String], removes: Seq[String], op: String = ""): Long = {
     val maxId = currentTip(fs, dir)
     if (adds.isEmpty && removes.isEmpty) return maxId
     val logPath = new Path(dir, LogDir)
@@ -266,7 +271,7 @@ private[graft] object ArrowSnapshots {
     if (tailEqual) return maxId
     val id = maxId + 1L
     writeEntry(fs, dir, deltaName(id),
-      Snapshot(id, System.currentTimeMillis(), adds.sorted, removes.sorted))
+      Snapshot(id, System.currentTimeMillis(), adds.sorted, removes.sorted, op))
     writeTip(fs, dir, id)
     id
   }

@@ -108,21 +108,26 @@ class ArrowProcedureSpec extends AnyFunSuite {
       .head().getLong(0) === 4L)
     val hist = spark.sql(s"CALL graft.system.history('$dir')").collect()
     assert(hist.map(_.getLong(0)).toSeq === Seq(4L, 3L, 2L, 1L))
-    assert(hist.head.getInt(2) === 0 && hist.head.getInt(3) === 1) // the delete
-    assert(hist.last.getInt(2) === 1 && hist.last.getInt(3) === 0) // first append
+    assert(hist.head.getInt(3) === 0 && hist.head.getInt(4) === 1) // the delete
+    assert(hist.last.getInt(3) === 1 && hist.last.getInt(4) === 0) // first append
     assert(hist.forall(_.getTimestamp(1) != null))
+    // OPERATION kinds (round 12): the log reads like DESCRIBE HISTORY —
+    // three appends, then the COW/metadata delete
+    assert(hist.map(_.getString(2)).toSeq ===
+      Seq("delete", "append", "append", "append"))
     // a merge-on-read delete reads as a VECTOR commit, not a file churn
     graft.sources.ArrowDeleteVectors.deleteMor(spark, dir, "id = 25")
     val h5 = spark.sql(s"CALL graft.system.history('$dir')").head()
     assert(h5.getLong(0) === 5L)
-    assert(h5.getInt(2) === 0 && h5.getInt(3) === 0) // zero files touched
-    assert(h5.getInt(4) === 1 && h5.getInt(5) === 0) // one vector added
+    assert(h5.getString(2) === "mor-delete")
+    assert(h5.getInt(3) === 0 && h5.getInt(4) === 0) // zero files touched
+    assert(h5.getInt(5) === 1 && h5.getInt(6) === 0) // one vector added
     // `limit` bounds the parse to the newest N, same rows, same order
     // (the deep-history diagnostic face — round 12)
     val h2 = spark.sql(s"CALL graft.system.history('$dir', limit => 2)")
       .collect()
     assert(h2.map(_.getLong(0)).toSeq === Seq(5L, 4L))
-    assert(h2.head.getInt(4) === 1)
+    assert(h2.head.getInt(5) === 1)
     assert(spark.sql(s"CALL graft.system.history('$dir', limit => 0)")
       .count() === 0L)
   }
