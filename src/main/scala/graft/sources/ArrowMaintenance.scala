@@ -1101,9 +1101,17 @@ object ArrowMaintenance {
     * reads unpruned until the next rewrite (sound — stats are advisory).
     * CDC idempotency ledgers (`_cdc_applied.json`) are deliberately NOT
     * restored — replaying an already-applied batch version after a
-    * restore stays a no-op, Delta's own RESTORE caveat. Same NO
-    * CONCURRENT WRITER contract as all maintenance: an in-flight append
-    * commits its own files AFTER the restore (union state), never torn. */
+    * restore stays a no-op, Delta's own RESTORE caveat.
+    *
+    * Concurrency: unlike staged maintenance rewrites, the WHOLE restore
+    * (diff, validation, moves, log append) runs under the commit lock —
+    * metadata-only, milliseconds held — so it cannot lose a race. A
+    * concurrent staged rewrite that commits after it fails olds-live /
+    * vector validation and retries; an in-flight append commits its own
+    * files AFTER the restore (union state), never torn; in-flight scans
+    * of retired files fall back to their `.trash/` copies (openPlanned).
+    * Checkpointed append-log STREAMS gate on the restore generation —
+    * see [[restoreGen]] and the ignoreRestores read option. */
   def restore(spark: SparkSession, dir: String,
       toSnapshot: Long): RestoreResult = {
     val dirPath = new Path(dir)

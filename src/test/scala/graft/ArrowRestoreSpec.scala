@@ -290,5 +290,9 @@ class ArrowRestoreSpec extends AnyFunSuite {
     assert(out.length === 1)
     assert(out.head.getLong(2) > v1) // new_snapshot
     assert(ids(dir) === (0L until 50L).toSet)
+    // the log reads like DESCRIBE HISTORY: the rollback is labelled
+    val ops = spark.sql(s"CALL graft.system.history('$dir', limit => 2)")
+      .collect().map(_.getString(2)).toSeq
+    assert(ops.head === "restore")
   }
 }
