@@ -279,6 +279,57 @@ class ArrowRestoreSpec extends AnyFunSuite {
     } finally q5.stop()
   }
 
+  test("a restore landing mid-compaction: the swap loses cleanly and retries against the restored state") {
+    val dir = tmp("graft_restore_vs_compact")
+    spark.range(0, 200).select(col("id")).repartition(6)
+      .write.format("arrow-ipc").mode("overwrite").save(dir)
+    val v1 = tip(dir)
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.ArrowCatalog")
+    spark.sql(s"DELETE FROM graft.`$dir` WHERE id >= 100")
+    // the compaction stages against the post-delete state; the hook lands
+    // a full RESTORE inside its staging-to-commit window (the restore
+    // itself is lock-serialized — it cannot lose; the staged swap must)
+    var fired = false
+    ArrowMaintenance.beforeSwapHook = () => if (!fired) {
+      fired = true
+      ArrowMaintenance.restore(spark, dir, v1)
+    }
+    val res =
+      try ArrowMaintenance.compact(spark, dir)
+      finally ArrowMaintenance.beforeSwapHook = () => ()
+    // the retry re-planned against the RESTORED state and compacted it
+    assert(res.isDefined)
+    assert(ids(dir) === (0L until 200L).toSet)
+    assert(spark.read.format("arrow-ipc").load(dir)
+      .select("id").distinct().count() === 200)
+  }
+
+  test("a restore landing inside a MOR statement's window: the statement conflicts and re-plans") {
+    val dir = tmp("graft_restore_vs_mor")
+    spark.range(0, 100).select(col("id")).coalesce(1)
+      .write.format("arrow-ipc").mode("overwrite").save(dir)
+    val v1 = tip(dir)
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.ArrowCatalog")
+    spark.sql(s"DELETE FROM graft.`$dir` WHERE id >= 80") // COW: new file name
+    // the MOR delete's find-scan runs against the post-COW state; the
+    // hook restores to v1 inside the window — the scanned file is now
+    // TRASHED, so olds-live validation must throw and the bounded retry
+    // re-plans against the restored table
+    var fired = false
+    graft.sources.ArrowDeleteVectors.beforeStageHook = () => if (!fired) {
+      fired = true
+      ArrowMaintenance.restore(spark, dir, v1)
+    }
+    val r =
+      try graft.sources.ArrowDeleteVectors.deleteMor(spark, dir, "id = 5")
+      finally graft.sources.ArrowDeleteVectors.beforeStageHook = () => ()
+    assert(r.retries === 1, "the statement must lose to the restore once")
+    assert(r.deletedRows === 1L)
+    val df = spark.read.format("arrow-ipc").load(dir)
+    assert(df.where(col("id") === 5).count() === 0)
+    assert(df.count() === 99) // the restore stands; only id=5 deleted
+  }
+
   test("CALL graft.system.restore: the SQL face") {
     val dir = tmp("graft_restore_call")
     spark.range(0, 50).select(col("id")).coalesce(1)
