@@ -330,6 +330,59 @@ class ArrowRestoreSpec extends AnyFunSuite {
     assert(df.count() === 99) // the restore stands; only id=5 deleted
   }
 
+  test("expiry after a restore keeps the restored files (they are referenced by the retained tip)") {
+    val dir = tmp("graft_restore_expire_after")
+    spark.range(0, 60).select(col("id")).coalesce(1)
+      .write.format("arrow-ipc").mode("overwrite").save(dir)
+    val v1 = tip(dir)
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.ArrowCatalog")
+    spark.sql(s"DELETE FROM graft.`$dir` WHERE id >= 30")
+    val r = ArrowMaintenance.restore(spark, dir, v1)
+    // collapse everything before the restore's own snapshot: the restored
+    // file is in the retained tip state — expiry must not reclaim it
+    ArrowMaintenance.expireSnapshots(spark, dir, r.newSnapshot)
+    assert(ids(dir) === (0L until 60L).toSet)
+    // and the pre-restore states are now genuinely gone
+    intercept[Exception] {
+      spark.read.format("arrow-ipc")
+        .option("asOfSnapshot", v1.toString).load(dir).count()
+    }
+  }
+
+  test("CDC idempotency ledgers are NOT restored: a replayed batch still skips after a rollback") {
+    val dir = tmp("graft_restore_cdc")
+    spark.range(0, 40).selectExpr("id", "id % 5 AS k").coalesce(1)
+      .write.format("arrow-ipc").mode("overwrite").save(dir)
+    val v1 = tip(dir)
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.ArrowCatalog")
+    spark.conf.set("spark.graft.arrow.mergeMode", "mor")
+    spark.range(0, 10).selectExpr("id", "99 AS k")
+      .createOrReplaceTempView("restore_cdc_src")
+    def mergeBatch(v: Long): Boolean =
+      graft.sources.ArrowCdcApply.applyBatch(spark, dir, "restore_app", v) {
+        graft.sources.ArrowDml.sql(spark, dir,
+          s"MERGE INTO graft.`$dir` t USING restore_cdc_src c ON t.id = c.id " +
+            "WHEN MATCHED THEN UPDATE SET k = c.k")
+        ()
+      }
+    try {
+      assert(mergeBatch(0L))
+      ArrowMaintenance.restore(spark, dir, v1) // the merge's effect rolls back
+      assert(spark.read.format("arrow-ipc").load(dir)
+        .where(col("k") === 99).count() === 0)
+      // the ledger survives the rollback (Delta's RESTORE caveat): a
+      // foreachBatch replay of version 0 is STILL a no-op — rolled-back
+      // means rolled-back, not silently re-applied by a crash replay
+      assert(!mergeBatch(0L))
+      assert(spark.read.format("arrow-ipc").load(dir)
+        .where(col("k") === 99).count() === 0)
+      // the NEXT version applies normally on top of the restored state
+      assert(mergeBatch(1L))
+      assert(spark.read.format("arrow-ipc").load(dir)
+        .where(col("k") === 99).count() === 10)
+    } finally spark.conf.unset("spark.graft.arrow.mergeMode")
+  }
+
   test("CALL graft.system.restore: the SQL face") {
     val dir = tmp("graft_restore_call")
     spark.range(0, 50).select(col("id")).coalesce(1)
