@@ -617,7 +617,8 @@ class ArrowCatalog extends TableCatalog with ProcedureCatalog
         "files move between the live set and .trash/, no data rewritten",
       Array(in("dir", StringType),
         inDefault("to_snapshot", LongType, "NULL"),
-        inDefault("to_timestamp_ms", LongType, "NULL")),
+        inDefault("to_timestamp_ms", LongType, "NULL"),
+        inDefault("dry_run", org.apache.spark.sql.types.BooleanType, "false")),
       StructType(Seq(
         org.apache.spark.sql.types.StructField("restored_files", IntegerType),
         org.apache.spark.sql.types.StructField("removed_files", IntegerType),
@@ -625,12 +626,13 @@ class ArrowCatalog extends TableCatalog with ProcedureCatalog
       r => {
         require(r.isNullAt(1) != r.isNullAt(2),
           "restore: pass exactly one of to_snapshot / to_timestamp_ms")
+        val dry = !r.isNullAt(3) && r.getBoolean(3)
         val res =
           if (!r.isNullAt(1))
             ArrowMaintenance.restore(SparkSession.active, dirArg(r),
-              r.getLong(1))
+              r.getLong(1), dryRun = dry)
           else ArrowMaintenance.restoreAt(SparkSession.active, dirArg(r),
-            r.getLong(2))
+            r.getLong(2), dryRun = dry)
         Seq(row(res.restoredFiles, res.removedFiles, res.newSnapshot))
       }),
     GraftProcedure("clean_orphans",

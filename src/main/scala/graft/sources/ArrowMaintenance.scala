@@ -1112,8 +1112,8 @@ object ArrowMaintenance {
     * of retired files fall back to their `.trash/` copies (openPlanned).
     * Checkpointed append-log STREAMS gate on the restore generation —
     * see [[restoreGen]] and the ignoreRestores read option. */
-  def restore(spark: SparkSession, dir: String,
-      toSnapshot: Long): RestoreResult = {
+  def restore(spark: SparkSession, dir: String, toSnapshot: Long,
+      dryRun: Boolean = false): RestoreResult = {
     val dirPath = new Path(dir)
     val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     recover(spark, dir) // a half-swapped directory must finish first
@@ -1141,11 +1141,17 @@ object ArrowMaintenance {
               s"'$rel' is expired (gone from both the live set and the " +
               "trash); expireSnapshots already reclaimed it")
         }
-        writeRestoreIntent(fs, dirPath, toSnapshot, adds, removes)
-        fs.delete(new Path(dirPath, "_SUCCESS"), false)
-        replayRestore(fs, dirPath)
-        RestoreResult(toSnapshot, adds.size, removes.size,
-          ArrowSnapshots.read(fs, dirPath).last.id)
+        // DRY RUN: the full diff + materializability validation with
+        // NOTHING mutated — "what would this rollback do" answered with
+        // the same code path that would do it (newSnapshot = current tip)
+        if (dryRun) RestoreResult(toSnapshot, adds.size, removes.size, tipId)
+        else {
+          writeRestoreIntent(fs, dirPath, toSnapshot, adds, removes)
+          fs.delete(new Path(dirPath, "_SUCCESS"), false)
+          replayRestore(fs, dirPath)
+          RestoreResult(toSnapshot, adds.size, removes.size,
+            ArrowSnapshots.read(fs, dirPath).last.id)
+        }
       }
     }
   }
@@ -1155,8 +1161,8 @@ object ArrowMaintenance {
     * (`TIMESTAMP AS OF` semantics, made actionable): "restore to 03:00,
     * before the bad run" without reading the log first. Refuses when
     * nothing was committed by then. */
-  def restoreAt(spark: SparkSession, dir: String,
-      tsMillis: Long): RestoreResult = {
+  def restoreAt(spark: SparkSession, dir: String, tsMillis: Long,
+      dryRun: Boolean = false): RestoreResult = {
     val dirPath = new Path(dir)
     val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val snaps = ArrowSnapshots.read(fs, dirPath)
@@ -1165,7 +1171,7 @@ object ArrowMaintenance {
         s"arrow-ipc: $dir has no snapshot at or before ${tsMillis} ms" +
           (if (snaps.isEmpty) " (no snapshot log)"
           else s" — the earliest records ${snaps.head.tsMillis} ms")))
-    restore(spark, dir, id)
+    restore(spark, dir, id, dryRun)
   }
 
   /** The idempotent tail of a restore: untrash the target's files,

@@ -398,5 +398,14 @@ class ArrowRestoreSpec extends AnyFunSuite {
     val ops = spark.sql(s"CALL graft.system.history('$dir', limit => 2)")
       .collect().map(_.getString(2)).toSeq
     assert(ops.head === "restore")
+    // DRY RUN: the full diff with nothing mutated (new_snapshot = tip)
+    spark.sql(s"DELETE FROM graft.`$dir` WHERE id >= 25")
+    val tipNow = tip(dir)
+    val dry = spark.sql(
+      s"CALL graft.system.restore('$dir', $v1, dry_run => true)").head()
+    assert(dry.getInt(0) > 0 || dry.getInt(1) > 0) // a real delta reported
+    assert(dry.getLong(2) === tipNow) // ...and nothing landed
+    assert(tip(dir) === tipNow)
+    assert(ids(dir) === (0L until 25L).toSet)
   }
 }
