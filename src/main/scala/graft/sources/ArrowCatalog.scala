@@ -533,8 +533,12 @@ class ArrowCatalog extends TableCatalog with ProcedureCatalog
     GraftProcedure("vacuum",
       "recover crashed swaps + sweep dead staging/orphans/markers + " +
         "purge files whose deletion vectors mask >= purge_masked_above " +
-        "of their rows (default 0.5; > 1.0 disables); keep_from also " +
-        "expires time-travel history before that snapshot",
+        "of their rows (default 0.5; > 1.0 disables — NOTE: the purge " +
+        "leg REWRITES data files and is ON by default since round 12; " +
+        "earlier rounds' vacuum was metadata-only); keep_from also " +
+        "expires time-travel history before that snapshot. Output " +
+        "sentinel: -1 in snapshots_dropped/trash_deleted/files_purged " +
+        "means that leg did not run",
       Array(in("dir", StringType),
         inDefault("keep_from", LongType, "NULL"),
         inDefault("purge_masked_above",
@@ -553,7 +557,10 @@ class ArrowCatalog extends TableCatalog with ProcedureCatalog
         Seq(row(v.recovered, v.stagingSwept, v.orphansSwept,
           v.expired.map(_.dropped).getOrElse(-1),
           v.expired.map(_.trashDeleted).getOrElse(-1),
-          v.purged.map(_.oldFiles).getOrElse(0)))
+          // -1 = purge leg did not rewrite anything — the SAME no-op
+          // sentinel as the expiry columns above (0 would be ambiguous
+          // with "ran and purged zero files")
+          v.purged.map(_.oldFiles).getOrElse(-1)))
       }),
     // statement-level DML with BOUNDED TRANSPARENT RETRY (round 11):
     // a lost COW commit race re-plans and re-executes the statement

@@ -71,15 +71,37 @@ object ArrowCdcApply {
     * (measured in tools/mor_scale_probe.log's clustered CDC leg; the
     * same pattern Delta/Iceberg document for streaming upserts). One
     * extra aggregate over the (small) batch; None for an empty batch —
-    * skip the MERGE. Numeric and string keys supported. */
+    * skip the MERGE. Numeric, string, date and timestamp keys render
+    * TYPED SQL literals (`DATE '…'` / `TIMESTAMP '…'` — a bare
+    * `2024-01-01` would parse as integer arithmetic and turn MATCHED
+    * rows into phantom inserts); any other key type is REFUSED loudly
+    * rather than emitting silently-wrong SQL. */
   def keyBounds(batch: DataFrame, keyCol: String,
       targetAlias: String): Option[String] = {
     import org.apache.spark.sql.functions.{max, min}
+    import org.apache.spark.sql.types._
+    val dt = batch.schema(keyCol).dataType
+    dt match {
+      case _: NumericType | StringType | DateType | TimestampType |
+           TimestampNTZType => ()
+      case other => throw new IllegalArgumentException(
+        s"ArrowCdcApply.keyBounds: key column '$keyCol' has type $other — " +
+          "only numeric, string, date and timestamp keys can be rendered " +
+          "as pruning bounds; drop the bounds or cast the key")
+    }
     val r = batch.agg(min(keyCol), max(keyCol)).head()
     if (r.isNullAt(0)) return None // all-null or empty batch
     def lit(v: Any): String = v match {
       case s: String => "'" + s.replace("'", "''") + "'"
-      case x => x.toString
+      case d: java.sql.Date => s"DATE '$d'"
+      case d: java.time.LocalDate => s"DATE '$d'"
+      case t: java.sql.Timestamp =>
+        "TIMESTAMP '" + t.toString + "'"
+      case t: java.time.Instant =>
+        "TIMESTAMP '" + java.sql.Timestamp.from(t).toString + "'"
+      case t: java.time.LocalDateTime =>
+        "TIMESTAMP_NTZ '" + java.sql.Timestamp.valueOf(t).toString + "'"
+      case x => x.toString // numeric (guarded above)
     }
     Some(s"$targetAlias.$keyCol >= ${lit(r.get(0))} AND " +
       s"$targetAlias.$keyCol <= ${lit(r.get(1))}")
@@ -90,11 +112,24 @@ object ArrowCdcApply {
     * ledger already covers `batchId` (a foreachBatch replay); returns
     * true when the body ran. The pre-check here is the cheap fast path;
     * the authoritative check re-runs under the commit lock inside the
-    * MOR commit, so even a race between two replays of one batch
-    * applies once. The appId must not contain ':' (the conf separator
-    * splits on the LAST ':', so a qualified app name still works). */
+    * tagged commit (MOR: ArrowDeleteVectors.commitStaged; COW:
+    * ArrowMaintenance.commitSwap — BOTH honor the tag since round 13,
+    * so the default cow merge/update/delete modes are exactly-once
+    * too), so even a race between two replays of one batch applies
+    * once. The appId must not contain ':' (the conf separator splits
+    * on the LAST ':', so a qualified app name still works).
+    *
+    * FAILS LOUDLY (IllegalStateException) when the body ran but the
+    * ledger did not advance to `batchId` — that means the batch's
+    * writes routed through a commit path with no idempotency support
+    * (e.g. a bare INSERT INTO append instead of a MERGE), and a crash
+    * replay WOULD double-apply; exactly-once would otherwise degrade
+    * to at-least-once silently. Run the DML unconditionally (an
+    * empty-source MERGE still records its ledger entry); a body that
+    * may legitimately commit nothing — and is therefore idempotent by
+    * vacuity — opts out with `allowNoop = true`. */
   def applyBatch(spark: SparkSession, dir: String, appId: String,
-      batchId: Long)(body: => Unit): Boolean = {
+      batchId: Long, allowNoop: Boolean = false)(body: => Unit): Boolean = {
     if (appliedVersion(spark, dir, appId).exists(_ >= batchId)) return false
     // THREAD-confined tag, not a session conf: a DSv2 DML command's
     // commit runs on the thread that issued the statement, and a
@@ -102,7 +137,17 @@ object ArrowCdcApply {
     // other threads of the same session (their commits would record or
     // skip on a foreign version). See ArrowDeleteVectors.threadCdcTxn.
     ArrowDeleteVectors.threadCdcTxn.set(Some((appId, batchId)))
-    try { body; true }
+    try body
     finally ArrowDeleteVectors.threadCdcTxn.set(None)
+    if (!allowNoop && !appliedVersion(spark, dir, appId).exists(_ >= batchId))
+      throw new IllegalStateException(
+        s"ArrowCdcApply: batch $batchId of '$appId' ran but did not " +
+          s"record its version in $dir's CDC ledger — its writes went " +
+          "through a commit path without idempotency support (bare " +
+          "appends are not tagged; use MERGE, whose cow and mor modes " +
+          "both fold the ledger atomically), so a crash replay would " +
+          "double-apply. Refusing to report exactly-once. A body that " +
+          "may legitimately commit nothing can pass allowNoop=true.")
+    true
   }
 }

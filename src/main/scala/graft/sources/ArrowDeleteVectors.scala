@@ -138,10 +138,16 @@ private[graft] object ArrowDeleteVectors {
           else s.substring(i + 1).toLongOption.map(v => (s.substring(0, i), v))
         })
 
+  /** The calling thread's active CDC tag, for OTHER commit paths (the
+    * COW swap) that must honor it with the same atomic skip/fold
+    * contract as the MOR commit. */
+  private[sources] def currentCdcTxn(): Option[(String, Long)] = cdcTxn()
+
   /** Fold `(app, ver)` into the ledger — monotone max per app, atomic
-    * flip. Runs under the commit lock (from [[replayMor]]), so the
-    * read-modify-write cannot interleave with another committer. */
-  private def foldCdcLedger(fs: FileSystem, dirPath: Path,
+    * flip. Runs under the commit lock (from [[replayMor]] and the COW
+    * swap's replay), so the read-modify-write cannot interleave with
+    * another committer. */
+  private[sources] def foldCdcLedger(fs: FileSystem, dirPath: Path,
       app: String, ver: Long): Unit = {
     val current: Map[String, Long] = {
       val p = new Path(dirPath, CdcLedgerFile)
@@ -573,10 +579,6 @@ private[graft] object ArrowDeleteVectors {
         case Some(ref) =>
           val prior = read(fs, new Path(dirPath, ref.rel))
           if (failOnRedelete) sortedClash(prior, fresh).foreach { p =>
-            if (java.lang.Boolean.getBoolean("graft.debug.scan"))
-              System.err.println(s"[clash-debug] ${System.nanoTime()} thread=" +
-                s"${Thread.currentThread().getName} dir=$dirPath file=$name " +
-                s"pos=$p prior=${ref.rel} fresh=${fresh.length}")
             // clean what this call staged so far, then lose loudly
             out.foreach(m => scala.util.Try(
               fs.delete(new Path(dirPath, m.stagedRel), false)))
@@ -658,11 +660,6 @@ private[graft] object ArrowDeleteVectors {
             writeMorIntent(fs, dirPath, staged, data, txn)
             fs.delete(new Path(dirPath, "_SUCCESS"), false)
             replayMor(fs, dirPath)
-            if (java.lang.Boolean.getBoolean("graft.debug.scan"))
-              System.err.println(s"[mor-debug] ${System.nanoTime()} thread=" +
-                s"${Thread.currentThread().getName} dir=$dirPath txn=$txn " +
-                s"vectors=${staged.map(_.finalRel).mkString(",")} " +
-                s"inserts=${data.map(_._2.mkString(",")).getOrElse("-")}")
             true
           }
         }

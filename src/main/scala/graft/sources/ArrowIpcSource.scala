@@ -803,13 +803,6 @@ private[sources] class ArrowIpcScan(required: StructType, dir: String,
         val raw = Option(fs.globStatus(new Path(dir, "part-*.arrows")))
           .getOrElse(Array.empty)
         val vis = raw.filter(st => streamVisible(st.getPath.getName))
-        if (java.lang.Boolean.getBoolean("graft.debug.scan")) {
-          val newest = vis.sortBy(_.getModificationTime).lastOption
-          System.err.println(s"[scan-debug] ${System.nanoTime()} thread=" +
-            s"${Thread.currentThread().getName} dir=$dir listed=${raw.length} " +
-            s"visible=${vis.length} hidden=${raw.length - vis.length} " +
-            s"newest=${newest.map(s => s.getPath.getName + "@" + s.getModificationTime).getOrElse("-")}")
-        }
         (vis, Map.empty[String, Seq[Option[String]]], (0, 0))
       } else ArrowHiveLayout.discover(fs, dirPath, hiveFields, filters,
         streamVisible)
@@ -873,11 +866,6 @@ private[sources] class ArrowIpcScan(required: StructType, dir: String,
     asOf match {
       case None =>
         val l = ArrowDeleteVectors.live(fs, dirPath)
-        if (java.lang.Boolean.getBoolean("graft.debug.scan"))
-          System.err.println(s"[scan-debug] ${System.nanoTime()} thread=" +
-            s"${Thread.currentThread().getName} dir=$dir dvs=${l.size} " +
-            s"gens=${l.toSeq.sortBy(_._1).take(24).map { case (n, r) =>
-              n.take(10) + ":g" + r.gen }.mkString(",")}")
         l.map { case (name, ref) =>
           name -> fs.makeQualified(new Path(dirPath, ref.rel)).toString
         }

@@ -305,6 +305,19 @@ object ArrowMaintenance {
       // The statement's own cow swap must not wait for itself.
       if (intent.kind != "cow") ArrowOcc.yieldToDml(fs, dirPath)
       ArrowOcc.withCommitLock(fs, dirPath) {
+      // CDC idempotency (round 13): a COW-routed statement tagged with a
+      // batch version the table's ledger already covers is a foreachBatch
+      // replay after a crash-and-restart — clean its staging and commit
+      // NOTHING, under the same lock that applied the original (the MOR
+      // commit's exact contract, ArrowDeleteVectors.commitStaged).
+      // Checked BEFORE olds-validation: the first apply trashed the olds,
+      // so a replay would otherwise die on a spurious conflict.
+      if (intent.txn.exists { case (app, ver) =>
+          ArrowDeleteVectors.appliedCdcVersion(fs, dirPath, app)
+            .exists(_ >= ver) }) {
+        fs.delete(new Path(dirPath, intent.staging), true)
+        return
+      }
       ArrowOcc.validateOldsLive(fs, dirPath, intent.olds,
         s"${intent.kind} swap")
       // a deletion vector that advanced mid-staging means the staged
@@ -693,8 +706,11 @@ object ArrowMaintenance {
     // the PLAN-time deletion-vector set of `olds` (from the scan): the
     // swap validates none advanced since the statement read, and retires
     // them with their files (the rewrite folded the masks into the data).
+    // The issuing thread's CDC tag (ArrowCdcApply) rides the intent, so
+    // a COW-routed tagged MERGE is exactly-once like the MOR path.
     commitSwap(fs, dirPath,
-      Intent(olds.sorted, staging, moves, "cow", layoutKeys, dvs))
+      Intent(olds.sorted, staging, moves, "cow", layoutKeys, dvs,
+        txn = ArrowDeleteVectors.currentCdcTxn()))
 
   /** Outcome of [[expireSnapshots]]. */
   case class ExpireResult(dropped: Int, trashDeleted: Int)
@@ -1358,6 +1374,13 @@ object ArrowMaintenance {
       if (keep != led.committed)
         ArrowStreamCommits.write(fs, dirPath, led.copy(committed = keep))
     }
+    // (e'') CDC idempotency: a COW-routed tagged statement records its
+    // batch version in the SAME replay as its data — a crash anywhere
+    // between intent and here replays both together, so a foreachBatch
+    // restart can never double-apply. Fixed point (monotone max per app);
+    // mirrors ArrowDeleteVectors.replayMor's fold exactly.
+    intent.txn.foreach { case (app, ver) =>
+      ArrowDeleteVectors.foldCdcLedger(fs, dirPath, app, ver) }
     // (f) restore the latch (unless a live batch append owns it — its
     // commit restores), clear the intent + staging
     ArrowOcc.restoreLatch(fs, dirPath)
@@ -1376,7 +1399,7 @@ object ArrowMaintenance {
   private[graft] case class Intent(
       olds: Seq[String], staging: String, moves: Map[String, String],
       kind: String = "compact", layoutKeys: Seq[String] = Nil,
-      dvs: Seq[String] = Nil)
+      dvs: Seq[String] = Nil, txn: Option[(String, Long)] = None)
 
   private def esc(s: String): String = ArrowFileStats.esc(s)
 
@@ -1390,7 +1413,12 @@ object ArrowMaintenance {
     sb.append(intent.layoutKeys.map(k => "\"" + esc(k) + "\"").mkString(","))
     sb.append("],\"dvs\":[")
     sb.append(intent.dvs.map(d => "\"" + esc(d) + "\"").mkString(","))
-    sb.append("]}")
+    sb.append("]")
+    intent.txn.foreach { case (app, ver) =>
+      sb.append(",\"txnApp\":\"").append(esc(app))
+        .append("\",\"txnVer\":").append(ver)
+    }
+    sb.append("}")
     // temp + rename: a crash mid-write must leave NO intent file (the
     // stale staging dir is swept by the next compact) rather than a
     // corrupt one that wedges every later recover()
@@ -1435,7 +1463,12 @@ object ArrowMaintenance {
           case JArray(xs) => xs.collect { case JString(s) => s }
           case _ => Nil
         }
-        Intent(olds, staging, moves, kind, layoutKeys, dvs)
+        val txn = ((o \ "txnApp"), (o \ "txnVer")) match {
+          case (JString(app), JInt(v)) => Some((app, v.toLong))
+          case (JString(app), JLong(v)) => Some((app, v))
+          case _ => None
+        }
+        Intent(olds, staging, moves, kind, layoutKeys, dvs, txn)
       case other => throw new IllegalStateException(s"bad $IntentFile: $other")
     }
   }

@@ -126,8 +126,10 @@ class ArrowCdcApplySpec extends AnyFunSuite {
     assert(!ArrowCdcApply.applyBatch(spark, dir, "cdc_crash", 9L) {
       fail("a replayed batch version re-ran after crash replay")
     })
-    // and version 10 still applies
-    assert(ArrowCdcApply.applyBatch(spark, dir, "cdc_crash", 10L) { () })
+    // and version 10 still runs (empty body → allowNoop, round 13's
+    // loud post-check would otherwise refuse)
+    assert(ArrowCdcApply.applyBatch(spark, dir, "cdc_crash", 10L,
+      allowNoop = true) { () })
   }
 
   test("keyBounds renders the batch's static pruning predicate; bounded MERGE is semantically identical") {
@@ -166,5 +168,138 @@ class ArrowCdcApplySpec extends AnyFunSuite {
     ArrowDeleteVectors.deleteMor(spark, dir, "key < 3")
     assert(!fsOf(dir).exists(
       new Path(dir, ArrowDeleteVectors.CdcLedgerFile)))
+  }
+
+  // ── round 13: COW-routed statements honor the tag too ────────────────
+
+  /** Same upsert batch as [[mergeBatch]] but through the DEFAULT cow
+    * merge mode — round 12's hole: only the MOR commit consulted the
+    * tag, so a cow-routed batch silently degraded to at-least-once. */
+  private def cowMergeBatch(dir: String, ver: Long): Boolean =
+    ArrowCdcApply.applyBatch(spark, dir, "cdc_cow", ver) {
+      spark.range(0, 30).select(col("id").as("key"), lit(1L).as("d"))
+        .union(spark.range(2000 + ver, 2001 + ver)
+          .select(col("id").as("key"), lit(7L).as("d")))
+        .createOrReplaceTempView("cdc_cow_src")
+      ArrowDml.sql(spark, dir,
+        s"""MERGE INTO graft.`$dir` t USING cdc_cow_src c ON t.key = c.key
+            WHEN MATCHED THEN UPDATE SET v = t.v + c.d
+            WHEN NOT MATCHED THEN INSERT (key, v) VALUES (c.key, c.d)""")
+      ()
+    }
+
+  test("a COW-routed (default-mode) tagged MERGE folds the ledger and replays as a no-op") {
+    val dir = tmp("graft_cdc_cow")
+    seed(dir)
+    val base = vsum(dir)
+    assert(cowMergeBatch(dir, 0L))
+    assert(vsum(dir) === base + 30 + 7)
+    // THE round-12 hole: the cow commit now records the version
+    assert(ArrowCdcApply.appliedVersion(spark, dir, "cdc_cow") === Some(0L))
+    assert(!cowMergeBatch(dir, 0L))
+    assert(vsum(dir) === base + 30 + 7, "a replayed COW batch DOUBLE-APPLIED")
+    assert(cowMergeBatch(dir, 1L))
+    assert(vsum(dir) === base + 2 * (30 + 7))
+  }
+
+  test("the COW under-lock skip: a tagged cow statement whose version already applied commits NOTHING even when the fast path is bypassed") {
+    val dir = tmp("graft_cdc_cowlock")
+    seed(dir)
+    spark.conf.set("spark.graft.arrow.cdcTxn", "cow_lock:3")
+    try {
+      // cow UPDATE (ReplaceData route) applies and records version 3
+      ArrowDml.update(spark, dir, "v = v + 1", Some("key < 5"))
+      assert(vsum(dir) === (0 until 100).map(_ * 10L).sum + 5)
+      assert(ArrowCdcApply.appliedVersion(spark, dir, "cow_lock") === Some(3L))
+      // replay the SAME version with a DIFFERENT assignment, bypassing
+      // the pre-check: the under-lock ledger check in commitSwap must
+      // clean the staging and commit nothing
+      ArrowDml.update(spark, dir, "v = v + 1000", Some("key < 50"))
+      assert(vsum(dir) === (0 until 100).map(_ * 10L).sum + 5,
+        "the COW under-lock ledger check failed: a replayed version committed")
+    } finally spark.conf.unset("spark.graft.arrow.cdcTxn")
+    // no stray staging left behind by the skipped commit
+    val fs = fsOf(dir)
+    assert(Option(fs.globStatus(new Path(dir, ".cow-*")))
+      .getOrElse(Array.empty).isEmpty)
+  }
+
+  test("crash window: a COW intent carrying a txn replays swap + ledger together via recover()") {
+    val dir = tmp("graft_cdc_cowcrash")
+    seed(dir)
+    val fs = fsOf(dir)
+    val dirPath = new Path(dir)
+    val victim = Option(fs.globStatus(new Path(dir, "part-*.arrows")))
+      .getOrElse(Array.empty).map(_.getPath.getName).head
+
+    // hand-stage the on-disk state of a crash after a tagged cow
+    // intent landed but before any replay step ran (the ArrowCowSpec
+    // recipe, plus the txn)
+    val staging = ".cow-cdc00001"
+    val replacement = spark.read.format("arrow-ipc").load(dir)
+      .filter(col("_file").endsWith(victim))
+      .select(col("key"), lit(-1L).as("v")).coalesce(1)
+    graft.sources.ArrowInterchange.writeStream(replacement,
+      new Path(dirPath, staging).toString)
+    val staged = Option(fs.globStatus(new Path(
+      new Path(dirPath, staging), "part-*.arrows")))
+      .getOrElse(Array.empty).map(_.getPath.getName)
+    assert(staged.length === 1)
+    ArrowMaintenance.writeIntent(fs, dirPath, ArrowMaintenance.Intent(
+      Seq(victim), staging, staged.map(s => s -> s).toMap, "cow", Nil,
+      txn = Some(("cdc_cow_crash", 9L))))
+    fs.delete(new Path(dirPath, "_SUCCESS"), false)
+
+    assert(ArrowMaintenance.recover(spark, dir))
+    assert(spark.read.format("arrow-ipc").load(dir).count() === 100L)
+    // the ledger advanced IN THE SAME replay — the restarted batch skips
+    assert(ArrowCdcApply.appliedVersion(spark, dir, "cdc_cow_crash")
+      === Some(9L))
+    assert(!ArrowCdcApply.applyBatch(spark, dir, "cdc_cow_crash", 9L) {
+      fail("a replayed batch version re-ran after COW crash replay")
+    })
+  }
+
+  test("keyBounds renders typed literals for date/timestamp keys and refuses unsupported key types") {
+    val d = spark.sql(
+      "SELECT * FROM VALUES (DATE '2024-01-05'), (DATE '2024-03-01') AS v(key)")
+    assert(ArrowCdcApply.keyBounds(d, "key", "t") ===
+      Some("t.key >= DATE '2024-01-05' AND t.key <= DATE '2024-03-01'"))
+    val ts = spark.sql(
+      "SELECT * FROM VALUES (TIMESTAMP '2024-01-05 01:02:03'), " +
+        "(TIMESTAMP '2024-03-01 00:00:00') AS v(key)")
+    val tb = ArrowCdcApply.keyBounds(ts, "key", "t").get
+    assert(tb.startsWith("t.key >= TIMESTAMP '2024-01-05 01:02:03"))
+    // the rendered bounds PARSE and prune correctly (the round-12 bug:
+    // a bare 2024-01-05 parsed as integer arithmetic = 2018)
+    assert(spark.sql(s"SELECT DATE '2024-02-01' AS key").filter(
+      ArrowCdcApply.keyBounds(d, "key", "key").get
+        .replace("key.key", "key")).count() === 1L)
+    // unsupported key type: loud refusal, not silently-wrong SQL
+    val bad = spark.sql("SELECT array(1, 2) AS key")
+    val e = intercept[IllegalArgumentException] {
+      ArrowCdcApply.keyBounds(bad, "key", "t")
+    }
+    assert(e.getMessage.contains("only numeric, string, date and timestamp"))
+  }
+
+  test("applyBatch fails LOUDLY when the body's writes bypass the ledger (bare append), and allowNoop opts out for empty bodies") {
+    val dir = tmp("graft_cdc_loud")
+    seed(dir)
+    // a bare INSERT-style append commits through the untagged append
+    // path — exactly-once would silently degrade to at-least-once, so
+    // applyBatch must refuse
+    val e = intercept[IllegalStateException] {
+      ArrowCdcApply.applyBatch(spark, dir, "cdc_loud", 0L) {
+        spark.range(5000, 5003)
+          .select(col("id").as("key"), lit(0L).as("v"))
+          .write.format("arrow-ipc").mode("append").save(dir)
+      }
+    }
+    assert(e.getMessage.contains("did not record its version"))
+    // an intentionally-empty body is idempotent by vacuity: allowNoop
+    assert(ArrowCdcApply.applyBatch(spark, dir, "cdc_loud", 1L,
+      allowNoop = true) { () })
+    assert(ArrowCdcApply.appliedVersion(spark, dir, "cdc_loud") === None)
   }
 }
