@@ -520,6 +520,20 @@ class ArrowCatalog extends TableCatalog with ProcedureCatalog
           r.getUTF8String(1).toString.split(",").map(_.trim).toSeq,
           bits = r.getInt(2), targetBytes = targetBytes(r, 3))
         .map(c => row(c.oldFiles, c.newFiles)).toSeq),
+    GraftProcedure("purge_eq",
+      "fold every live equality-delete tombstone into positional " +
+        "deletion vectors and remove it — restores row-level DML, " +
+        "compaction, time travel, the change feed and aggregate " +
+        "pushdown on a table fed by equality upserts",
+      Array(in("dir", StringType)),
+      StructType(Seq(
+        org.apache.spark.sql.types.StructField("tombstones", IntegerType),
+        org.apache.spark.sql.types.StructField("files_masked", IntegerType),
+        org.apache.spark.sql.types.StructField("rows", LongType))),
+      r => {
+        val f = ArrowEqualityDeletes.fold(SparkSession.active, dirArg(r))
+        Seq(row(f.tombstones, f.filesMasked, f.rows))
+      }),
     GraftProcedure("expire_snapshots",
       "collapse time-travel history before keep_from; GC unreferenced trash",
       Array(in("dir", StringType), in("keep_from", LongType)),

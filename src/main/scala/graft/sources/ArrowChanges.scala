@@ -45,6 +45,17 @@ object ArrowChanges {
         "(expired history? 0 = since the beginning)")
 
     val window = snaps.filter(e => e.id > from && e.id <= to)
+    // equality-delete commits refuse: a tombstone's delete rows are only
+    // knowable by probing every older file's keys (no positional record
+    // exists until a fold), so a change feed across them would silently
+    // omit deletions — fold first (CALL graft.system.purge_eq), then
+    // feed from the fold's positional vectors like any MOR delete
+    require(!window.exists(e => (e.adds ++ e.removes)
+        .exists(_.startsWith(ArrowEqualityDeletes.EqDir + "/"))),
+      s"arrow-ipc change feed: window ($from, $to] of $dir contains " +
+        "equality-delete commits — their deletions have no positional " +
+        "record yet; fold them (CALL graft.system.purge_eq) and read " +
+        "the feed across the fold instead")
     // deletion vectors ride the same log entries but are mask metadata —
     // split them out of the file delta and fold their own activity
     val (added, dvAdded) =

@@ -186,6 +186,14 @@ private[sources] class ArrowChangesMicroBatchStream(
     // direct-path parses, never an O(history) log read per batch.
     val window = ArrowSnapshots.readRange(f, dirPath, from, to,
       "a checkpointed stream")
+    // equality-delete commits refuse (same contract as the batch feed):
+    // their deletions have no positional record until a fold, so the
+    // stream would silently omit delete rows
+    require(!window.exists(e => (e.adds ++ e.removes)
+        .exists(_.startsWith(ArrowEqualityDeletes.EqDir + "/"))),
+      s"arrow-ipc change-feed stream: window ($from, $to] of $dir " +
+        "contains equality-delete commits — fold them first (CALL " +
+        "graft.system.purge_eq); the stream resumes across the fold")
     // deletion vectors ride the same log entries as data files but are
     // MASK metadata: split them out before net-change folding (a dv rel
     // must never be opened as a data file), and fold their own activity

@@ -368,7 +368,10 @@ private[graft] object ArrowDeleteVectors {
 
   /** Split a resolved snapshot set into (data rels, dv rels). */
   def splitResolved(set: Set[String]): (Set[String], Set[String]) =
-    set.partition(!_.startsWith(DvDir + "/"))
+    // equality tombstones (`.eq/`) ride the same snapshot entries as
+    // deletion vectors — both are delete ARTIFACTS, never data files
+    set.partition(r => !r.startsWith(DvDir + "/") &&
+      !r.startsWith(ArrowEqualityDeletes.EqDir + "/"))
 
   /** Per-data-file deletion-vector activity over a change-feed window:
     * `topAdd` = the highest vector gen COMMITTED in the window (the
@@ -465,7 +468,7 @@ private[graft] object ArrowDeleteVectors {
     * lock, then validate + intent + replay under it. `perFile` keys are
     * the scan's `_file` constants (qualified paths); positions need not
     * be sorted or unique across callers. */
-  private[sources] def commitDeletes(spark: SparkSession, dir: String,
+  private[graft] def commitDeletes(spark: SparkSession, dir: String,
       perFileRaw: Array[(String, Array[Long])]): (Int, Long) = {
     val dirPath = new Path(dir)
     val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -634,6 +637,22 @@ private[graft] object ArrowDeleteVectors {
   private def commitStaged(fs: FileSystem, dirPath: Path,
       staged: Seq[MorMove],
       data: Option[(String, Seq[String])]): Boolean = {
+    // live equality tombstones defer row-level DML (a MOR insert would
+    // land unsequenced files the standing tombstones wrongly mask) —
+    // EXCEPT the fold's own positional commit, which is how the
+    // tombstones retire. Checked before the lock: cheap, and the staged
+    // artifacts are cleaned exactly like any refused commit.
+    if (!ArrowEqualityDeletes.foldInProgress.get() &&
+        ArrowEqualityDeletes.any(fs, dirPath)) {
+      staged.foreach(m =>
+        scala.util.Try(fs.delete(new Path(dirPath, m.stagedRel), false)))
+      data.foreach { case (s, _) =>
+        scala.util.Try(fs.delete(new Path(dirPath, s), true)) }
+      throw new UnsupportedOperationException(
+        s"arrow-ipc: $dirPath has live equality-delete tombstones — " +
+          "row-level DML would interleave wrongly with them; fold first " +
+          "(ArrowEqualityDeletes.fold / CALL graft.system.purge_eq)")
+    }
     val txn = cdcTxn()
     def cleanStaged(): Unit = {
       staged.foreach(m =>

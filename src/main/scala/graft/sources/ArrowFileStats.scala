@@ -52,7 +52,15 @@ private[graft] case class ColStats(
     // pruning substrate intervals can't provide; see [[ArrowBloom]]
     bloom: Option[BloomStats] = None)
 
-private[graft] case class FileStats(rows: Long, cols: Map[String, ColStats])
+/** `seq`: the file's COMMIT SEQUENCE for equality-delete masking
+  * ([[ArrowEqualityDeletes]]) — a tombstone with sequence T masks
+  * matching rows only in files whose seq < T, so a batch's own inserts
+  * (stamped with the tombstone's seq) survive it while every older image
+  * is masked. 0 = "predates every tombstone" (files written before the
+  * table saw equality deletes, and rewrites of already-folded state —
+  * both correctly maskable by any later tombstone). */
+private[graft] case class FileStats(rows: Long, cols: Map[String, ColStats],
+    seq: Long = 0L)
 
 private[graft] object ArrowFileStats {
   val FileName = "_stats.json"
@@ -308,7 +316,9 @@ private[graft] object ArrowFileStats {
     files.toSeq.sortBy(_._1).foreach { case (name, fsT) =>
       if (!firstF) sb.append(','); firstF = false
       sb.append('"').append(esc(name)).append("\":{\"rows\":")
-        .append(fsT.rows).append(",\"cols\":{")
+        .append(fsT.rows)
+      if (fsT.seq != 0L) sb.append(",\"seq\":").append(fsT.seq)
+      sb.append(",\"cols\":{")
       var firstC = true
       fsT.cols.toSeq.sortBy(_._1).foreach { case (col, c) =>
         if (!firstC) sb.append(','); firstC = false
@@ -366,7 +376,12 @@ private[graft] object ArrowFileStats {
           }.toMap
           case _ => Map.empty[String, ColStats]
         }
-        name -> FileStats(rows, cols)
+        val seq = (jf \ "seq") match {
+          case JInt(n) => n.toLong
+          case JLong(n) => n
+          case _ => 0L
+        }
+        name -> FileStats(rows, cols, seq)
       }.toMap
       case _ => Map.empty
     }

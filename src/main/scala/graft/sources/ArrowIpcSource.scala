@@ -184,7 +184,8 @@ private[sources] class ArrowIpcTable(tableSchema: StructType, dir: String,
       maxSnapshotsPerTrigger =
         Option(options.get("maxSnapshotsPerTrigger")).map(_.toInt),
       ignoreDeletes = options.getBoolean("ignoreDeletes", false),
-      ignoreRestores = options.getBoolean("ignoreRestores", false))
+      ignoreRestores = options.getBoolean("ignoreRestores", false),
+      eqEmitDeleted = "deleted".equalsIgnoreCase(options.get("eqEmit")))
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
@@ -214,7 +215,8 @@ private[sources] class ArrowIpcScanBuilder(full: StructType, dir: String,
     startingTimestamp: Option[String] = None,
     maxSnapshotsPerTrigger: Option[Int] = None,
     ignoreDeletes: Boolean = false,
-    ignoreRestores: Boolean = false)
+    ignoreRestores: Boolean = false,
+    eqEmitDeleted: Boolean = false)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownLimit
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
@@ -282,6 +284,9 @@ private[sources] class ArrowIpcScanBuilder(full: StructType, dir: String,
     // deleted rows — refuse the push, scan honestly (the next compaction
     // folds the vectors away and re-enables it)
     if (ArrowDeleteVectors.any(fs, dirPath)) return false
+    // same refusal for live equality tombstones (masked rows are only
+    // knowable by probing keys — no metadata answer exists until a fold)
+    if (ArrowEqualityDeletes.any(fs, dirPath)) return false
     if (fs.exists(new Path(dirPath, "_schema.arrows")) &&
         !fs.exists(new Path(dirPath, "_SUCCESS"))) return false
     // hive-partitioned directories: files live under value subdirs and
@@ -618,7 +623,7 @@ private[sources] class ArrowIpcScanBuilder(full: StructType, dir: String,
     val scan = new ArrowIpcScan(required, dir, limit, pushed, agg,
       maxFilesPerTrigger, partitionKeys, full, fileSlot, asOf,
       changeFeed, startingSnapshot, startingTimestamp, maxSnapshotsPerTrigger,
-      posSlot, ignoreDeletes, ignoreRestores)
+      posSlot, ignoreDeletes, ignoreRestores, eqEmitDeleted)
     if (onBuild != null) onBuild(scan)
     scan
   }
@@ -638,7 +643,8 @@ private[sources] class ArrowIpcScan(required: StructType, dir: String,
     maxSnapshotsPerTrigger: Option[Int] = None,
     posSlot: Int = -1,
     ignoreDeletes: Boolean = false,
-    ignoreRestores: Boolean = false)
+    ignoreRestores: Boolean = false,
+    eqEmitDeleted: Boolean = false)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
@@ -679,6 +685,7 @@ private[sources] class ArrowIpcScan(required: StructType, dir: String,
       (if (fileSlot >= 0) " file-col" else "") +
       (if (posSlot >= 0) " pos-col" else "") +
       (if (dvPaths.nonEmpty) s" dvs=${dvPaths.size}" else "") +
+      (if (eqTombs.nonEmpty) s" eqTombs=${eqTombs.length}" else "") +
       asOf.fold("")(v => s" asOf=$v")
 
   /** Hive partition-key fields, resolved against the dataset schema (the
@@ -882,6 +889,58 @@ private[sources] class ArrowIpcScan(required: StructType, dir: String,
   private def dvFor(fileName: String): Option[String] =
     if (dvPaths.isEmpty) None else dvPaths.get(fileName)
 
+  /** Live equality-delete tombstones (abs path, sequence), resolved once
+    * per scan — one `.eq/` listing, empty for the ordinary table (zero
+    * per-file cost). Time travel across equality commits refuses: a
+    * trashed file's sequence left the manifest with it, so the masking
+    * rule cannot be reconstructed as-of — fold first (the same
+    * restriction Iceberg documents for equality deletes). */
+  private lazy val eqTombs: Array[(String, Long)] = {
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(
+      SparkSession.active.sparkContext.hadoopConfiguration)
+    asOf match {
+      case None =>
+        ArrowEqualityDeletes.liveTombs(fs, dirPath).map { case (rel, s) =>
+          (fs.makeQualified(new Path(dirPath, rel)).toString, s)
+        }.toArray
+      case Some(v) =>
+        val snaps = scala.util.Try(ArrowSnapshots.read(fs, dirPath)).getOrElse(Nil)
+        val resolved = ArrowSnapshots.resolve(snaps, v).getOrElse(Set.empty)
+        require(!resolved.exists(_.startsWith(
+            ArrowEqualityDeletes.EqDir + "/")),
+          s"arrow-ipc: snapshot $v of $dir has equality-delete tombstones " +
+            "in force — time travel across equality commits is not " +
+            "supported (a retired file's sequence is gone); fold them " +
+            "first (CALL graft.system.purge_eq), then travel to later " +
+            "snapshots")
+        Array.empty
+    }
+  }
+
+  private lazy val eqKeyCol: Option[String] =
+    if (eqTombs.isEmpty) None
+    else {
+      val dirPath = new Path(dir)
+      ArrowEqualityDeletes.keyColOf(
+        dirPath.getFileSystem(
+          SparkSession.active.sparkContext.hadoopConfiguration), dirPath)
+    }
+
+  /** The equality-mask spec for one data file: only tombstones with a
+    * STRICTLY GREATER sequence apply (the file's own batch — and
+    * anything after it — is never masked by it); a file no tombstone
+    * outranks reads mask-free. `eqEmitDeleted` inverts the polarity
+    * ([[ArrowEqualityDeletes.fold]]'s position-finding read). */
+  private def eqFor(fileName: String): Option[ArrowEqualityDeletes.EqPart] = {
+    if (eqTombs.isEmpty || eqKeyCol.isEmpty) return None
+    val fileSeq = manifest.get(fileName).map(_.seq).getOrElse(0L)
+    val applicable = eqTombs.filter(_._2 > fileSeq)
+    if (applicable.isEmpty) None
+    else Some(ArrowEqualityDeletes.EqPart(eqKeyCol.get, fileSeq,
+      applicable.map(_._1), applicable.map(_._2), eqEmitDeleted))
+  }
+
   /** Runtime (join-produced) filters, applied on top of the pushed ones:
     * Spark's dynamic pruning hands the build side's key set here AFTER
     * planning; `BatchScanExec` then re-invokes [[planInputPartitions]],
@@ -1011,6 +1070,11 @@ private[sources] class ArrowIpcScan(required: StructType, dir: String,
     // grouping either: trash files have no manifest proof.
     if (!enabled || agg.isDefined || fileSlot >= 0 || posSlot >= 0 ||
         asOf.isDefined) None
+    // live equality tombstones: the first eq-upsert dropped the layout
+    // claim anyway (its batch files are unclustered); degrade to a plain
+    // shuffled read rather than threading per-file masks through the
+    // keyed chain
+    else if (eqTombs.nonEmpty) None
     else {
       val dirPath = new Path(dir)
       val fs = dirPath.getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
@@ -1116,7 +1180,12 @@ private[sources] class ArrowIpcScan(required: StructType, dir: String,
               .fold(0L)(_._3)
           }.sum
         (files.map(_.getLen).sum,
-          if (sts.forall(_.isDefined)) Some(sts.map(_.get.rows).sum - masked)
+          // live equality tombstones: the masked count is unknowable
+          // without probing keys — report no row count rather than an
+          // overcount that misleads AQE/join sizing
+          if (eqTombs.nonEmpty) None
+          else if (sts.forall(_.isDefined))
+            Some(sts.map(_.get.rows).sum - masked)
           else None)
     }
     new org.apache.spark.sql.connector.read.Statistics {
@@ -1147,9 +1216,19 @@ private[sources] class ArrowIpcScan(required: StructType, dir: String,
             dvs = keep.map(g.dvOrNone)): InputPartition
         }
       case None =>
-        if (hiveFields.isEmpty)
-          kept.map(st => ArrowFilePartition(st.getPath.toString,
-            dvFor(st.getPath.getName)): InputPartition)
+        if (hiveFields.isEmpty) {
+          // eqEmit=deleted (the fold's position-finding read): only files
+          // some tombstone outranks can hold masked rows — everything
+          // else is dropped at planning, so a mostly-folded table
+          // re-reads only its fresh debt
+          val files =
+            if (eqEmitDeleted)
+              kept.filter(st => eqFor(st.getPath.getName).isDefined)
+            else kept
+          files.map(st => ArrowFilePartition(st.getPath.toString,
+            dvFor(st.getPath.getName),
+            eq = eqFor(st.getPath.getName)): InputPartition)
+        }
         else kept.map { st =>
           ArrowHiveFilePartition(st.getPath.toString,
             hiveVals(st.getPath.getName),
@@ -1238,7 +1317,8 @@ private[sources] class ArrowIpcScan(required: StructType, dir: String,
   * gen). */
 private[sources] case class ArrowFilePartition(file: String,
     dv: Option[String] = None,
-    keep: Option[String] = None) extends InputPartition
+    keep: Option[String] = None,
+    eq: Option[ArrowEqualityDeletes.EqPart] = None) extends InputPartition
 
 private[sources] case object ArrowAggPartition extends InputPartition
 
@@ -1279,9 +1359,10 @@ private[sources] class ArrowIpcReaderFactory(
     }
 
   private def core(file: String, dv: Option[String],
-      keep: Option[String] = None): ArrowIpcPartitionReader =
+      keep: Option[String] = None,
+      eq: Option[ArrowEqualityDeletes.EqPart] = None): ArrowIpcPartitionReader =
     new ArrowIpcPartitionReader(file, required, conf, limit,
-      skip = maskOf(dv), keepOnly = maskOf(keep))
+      skip = maskOf(dv), keepOnly = maskOf(keep), eq = eq.orNull)
 
   /** Splice the row's physical position at `posSlot` (the `_pos`
     * metadata column) — per-row, so it rides the core reader's own
@@ -1309,9 +1390,9 @@ private[sources] class ArrowIpcReaderFactory(
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
-      case ArrowFilePartition(file, dv, keep) =>
-        if (posSlot < 0) core(file, dv, keep)
-        else withPos(core(file, dv, keep))
+      case p: ArrowFilePartition =>
+        if (posSlot < 0) core(p.file, p.dv, p.keep, p.eq)
+        else withPos(core(p.file, p.dv, p.keep, p.eq))
       case k: ArrowKeyedPartition =>
         // `_pos` projection disables key grouping at the scan, so a keyed
         // partition never splices positions; per-file dv masks chain
@@ -1351,9 +1432,9 @@ private[sources] class ArrowIpcReaderFactory(
   override def createColumnarReader(
       partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
     partition match {
-      case ArrowFilePartition(file, dv, keep) =>
-        new ArrowIpcColumnarReader(file, required, conf, limit,
-          skip = maskOf(dv), keepOnly = maskOf(keep))
+      case p: ArrowFilePartition =>
+        new ArrowIpcColumnarReader(p.file, required, conf, limit,
+          skip = maskOf(p.dv), keepOnly = maskOf(p.keep), eq = p.eq.orNull)
       case k: ArrowKeyedPartition =>
         new ChainedPartitionReader[(String, Option[String]),
             org.apache.spark.sql.vectorized.ColumnarBatch](
@@ -1373,7 +1454,8 @@ private[sources] class ArrowIpcColumnarReader(
     file: String, required: StructType, conf: SerializableHadoopConf,
     limit: Int = -1,
     skip: java.util.BitSet = null,
-    keepOnly: java.util.BitSet = null)
+    keepOnly: java.util.BitSet = null,
+    eq: ArrowEqualityDeletes.EqPart = null)
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
   import org.apache.spark.sql.vectorized.{ArrowColumnVector, ColumnarBatch, ColumnVector}
 
@@ -1401,6 +1483,13 @@ private[sources] class ArrowIpcColumnarReader(
     (skip != null && pos <= Int.MaxValue && skip.get(pos.toInt)) ||
       (keepOnly != null && (pos > Int.MaxValue || !keepOnly.get(pos.toInt)))
 
+  // equality-delete masking, columnar face: rides the SAME survivor-map
+  // remap as deletion vectors (MaskedColumnVector) — the key column is
+  // probed per batch, zero column bytes are copied, clean batches stay
+  // zero-copy, and the scan stays uniformly columnar.
+  private val eqLookup =
+    if (eq == null) null else ArrowEqualityDeletes.lookupFor(eq, conf.value)
+
   override def next(): Boolean = {
     // pushed limit: a batch may overshoot (Spark's own Limit trims), but
     // no FURTHER batch is loaded once n rows are out — a limit 10 over a
@@ -1412,14 +1501,24 @@ private[sources] class ArrowIpcColumnarReader(
       val n = root.getRowCount
       val base = physBase
       physBase += n
+      val eqDrop: Array[Boolean] =
+        if (eqLookup == null) null
+        else ArrowEqualityDeletes.batchMask(eq, eqLookup, root)
+      val emitDel = eq != null && eq.emitDeleted
       // survivor map for this batch: null = untouched (the common case —
       // also when THIS batch holds no masked position)
       val map: Array[Int] =
-        if (skip == null && keepOnly == null) null
+        if (skip == null && keepOnly == null && eqDrop == null && !emitDel) null
         else {
           val b = Array.newBuilder[Int]
           var i = 0
-          while (i < n) { if (!masked(base + i)) b += i; i += 1 }
+          while (i < n) {
+            val eqHit = eqDrop != null && eqDrop(i)
+            val keep =
+              !masked(base + i) && (if (emitDel) eqHit else !eqHit)
+            if (keep) b += i
+            i += 1
+          }
           val m = b.result()
           if (m.length == n) null else m
         }
@@ -1732,9 +1831,18 @@ private[sources] class ArrowIpcWrite(
     // also see the stats of every committed file. Appends merge with the
     // existing manifest; entries for files a truncate removed are gone
     // with the directory.
-    val fresh = messages.collect { case ArrowIpcCommitMessage(files) =>
+    val freshRaw = messages.collect { case ArrowIpcCommitMessage(files) =>
       files.map { case (path, st) => new Path(path).getName -> st }
     }.flatten.toMap
+    // equality-delete sequencing: on a table that has seen equality
+    // upserts, a plain append's files are stamped with the CURRENT
+    // sequence — later tombstones mask them (they are older images),
+    // earlier ones don't. Under the same commit lock as the tombstone
+    // commits, so the ordering is total. Zero cost on ordinary tables.
+    val eqSeq = ArrowEqualityDeletes.currentSeq(fs, dirPath)
+    val fresh =
+      if (eqSeq == 0L) freshRaw
+      else freshRaw.map { case (n, st) => n -> st.copy(seq = eqSeq) }
     // Small commits merge into the base manifest. A commit at or above
     // the shard threshold writes its OWN `_stats-<queryId>.json` plus an
     // envelope row in `_stats_index.json` — planning can then skip whole
@@ -2094,7 +2202,8 @@ private[sources] class ArrowIpcPartitionReader(
     file: String, required: StructType, conf: SerializableHadoopConf,
     limit: Int = -1,
     skip: java.util.BitSet = null,
-    keepOnly: java.util.BitSet = null)
+    keepOnly: java.util.BitSet = null,
+    eq: ArrowEqualityDeletes.EqPart = null)
     extends PartitionReader[InternalRow] {
 
   private val alloc = new RootAllocator()
@@ -2131,16 +2240,36 @@ private[sources] class ArrowIpcPartitionReader(
     (skip != null && pos <= Int.MaxValue && skip.get(pos.toInt)) ||
       (keepOnly != null && (pos > Int.MaxValue || !keepOnly.get(pos.toInt)))
 
+  // equality-delete masking: per-BATCH drop mask over the key vector
+  // (Arrow loads every column of a batch, so the key is available even
+  // when pruned from the projection). `emitDeleted` inverts — the fold's
+  // position-finding read emits exactly the masked, dv-alive rows.
+  private val eqLookup =
+    if (eq == null) null else ArrowEqualityDeletes.lookupFor(eq, conf.value)
+  private var eqDrop: Array[Boolean] = _
+
+  /** Combined drop decision for batch row `i` at file position `pos`. */
+  private def dropped(pos: Long, row: Int): Boolean = {
+    if (masked(pos)) return true
+    val eqHit = eqDrop != null && eqDrop(row)
+    if (eq != null && eq.emitDeleted) !eqHit else eqHit
+  }
+
   override def next(): Boolean = {
     if (limit >= 0 && produced >= limit) return false
     while (true) {
       while (!done && i >= n) {
-        if (reader.loadNextBatch()) { n = root.getRowCount; i = 0 }
+        if (reader.loadNextBatch()) {
+          n = root.getRowCount; i = 0
+          eqDrop =
+            if (eqLookup == null) null
+            else ArrowEqualityDeletes.batchMask(eq, eqLookup, root)
+        }
         else done = true
       }
       if (done) return false
       val pos = phys + 1
-      if (masked(pos)) { i += 1; phys = pos }
+      if (dropped(pos, i)) { i += 1; phys = pos }
       else {
         val vals = new Array[Any](types.length)
         var c = 0

@@ -183,6 +183,14 @@ private[graft] class ArrowIpcMicroBatchStream(
           "(c) opt in with option(\"ignoreDeletes\", true) to accept " +
           "that masked rows flow — the same contract as Delta's " +
           "ignoreDeletes.")
+    // equality tombstones are deletions too — same append-log contract
+    if (!ignoreDeletes && ArrowEqualityDeletes.any(fs, dirPath))
+      throw new IllegalStateException(
+        s"arrow-ipc stream: $dir carries live equality-delete " +
+          "tombstones, but this source is an APPEND LOG and would keep " +
+          "serving the masked rows. Either fold them first (CALL " +
+          "graft.system.purge_eq) or opt in with " +
+          "option(\"ignoreDeletes\", true).")
     // a sink stream's uncommitted epoch files are invisible — the source
     // emits a file only once its epoch's ledger entry landed
     val visible = ArrowStreamCommits.visibleFilter(fs, dirPath)

@@ -295,10 +295,32 @@ object ArrowMaintenance {
     * every replaced file is still live, then intent → latch → replay. A
     * conflict deletes this run's staging and rethrows for the caller's
     * retry. */
+  /** Write + replay a prepared intent — the commit tail for callers
+    * that assemble their intent UNDER an already-held commit lock
+    * (the equality-upsert's sequence assignment must be inside it;
+    * [[ArrowOcc.withCommitLock]] is re-entrant). No olds validation:
+    * the caller's intent replaces nothing. */
+  private[sources] def commitIntent(fs: FileSystem, dirPath: Path,
+      intent: Intent): Unit = ArrowOcc.withCommitLock(fs, dirPath) {
+    writeIntent(fs, dirPath, intent)
+    fs.delete(new Path(dirPath, "_SUCCESS"), false)
+    replay(fs, dirPath)
+  }
+
   private def commitSwap(fs: FileSystem, dirPath: Path,
       intent: Intent): Unit =
     try {
       beforeSwapHook()
+      // LIVE EQUALITY DELETES refuse every rewriting swap: a rewrite
+      // resets its outputs' commit sequence, so standing tombstones
+      // would re-mask (or a fold window miss) the rewritten rows —
+      // fold the tombstones to positional vectors first. eq-upsert
+      // commits ride commitIntent, never this path.
+      if (ArrowEqualityDeletes.any(fs, dirPath))
+        throw new UnsupportedOperationException(
+          s"arrow-ipc: $dirPath has live equality-delete tombstones — " +
+            s"${intent.kind} would resurrect masked rows; fold them " +
+            "first (ArrowEqualityDeletes.fold / CALL graft.system.purge_eq)")
       // FAIR SCHEDULING: a maintenance rewrite defers its commit while a
       // statement-level COW writer is in flight (bounded) — maintenance
       // losses are cheap and retried by contract, a statement's are not.
@@ -764,7 +786,10 @@ object ArrowMaintenance {
         .get("spark.graft.arrow.vacuumPurgeMaskedFraction", "0.5").toDouble)
         .getOrElse(0.5))
     val purged =
-      if (theta > 1.0) None
+      // live equality tombstones defer every rewrite (commitSwap refuses)
+      // — vacuum SKIPS the purge leg instead of failing the nightly cron;
+      // CALL purge_eq folds them and the next vacuum purges normally
+      if (theta > 1.0 || ArrowEqualityDeletes.any(fs, dirPath)) None
       else {
         val dvs = ArrowDeleteVectors.live(fs, dirPath)
         if (dvs.isEmpty) None
@@ -1142,6 +1167,15 @@ object ArrowMaintenance {
             else s" — the log records ${snaps.head.id}..${snaps.last.id}")))
       val tipId = snaps.last.id
       val tip = ArrowSnapshots.resolve(snaps, tipId).getOrElse(Set.empty)
+      // restoring INTO an equality-delete window refuses: the retired
+      // data files' commit sequences left the stats manifest with them,
+      // so the masking rule could not be reconstructed after the
+      // rollback (same contract as the time-travel read's refusal)
+      require(!target.exists(_.startsWith(
+          ArrowEqualityDeletes.EqDir + "/")),
+        s"arrow-ipc: cannot restore $dir to snapshot $toSnapshot — it " +
+          "has equality-delete tombstones in force; restore to a " +
+          "snapshot at or after their fold instead")
       val adds = (target -- tip).toSeq.sorted
       val removes = (tip -- target).toSeq.sorted
       if (adds.isEmpty && removes.isEmpty)

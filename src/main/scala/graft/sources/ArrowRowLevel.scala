@@ -89,7 +89,7 @@ private[sources] class ArrowFileColReaderFactory(
     extends PartitionReaderFactory {
 
   private def fileOf(p: InputPartition): String = p match {
-    case ArrowFilePartition(f, _, _) => f
+    case p: ArrowFilePartition => p.file
     case h: ArrowHiveFilePartition => h.file
     case other => throw new IllegalStateException(
       s"arrow-ipc: _file projection over unexpected partition $other")
@@ -198,6 +198,17 @@ private[sources] class ArrowCowWrite(
       s"match table schema $schema")
 
   private val dirPath = new Path(dir)
+
+  // EARLY refusal on live equality tombstones (the commit-time guard in
+  // commitSwap is authoritative; this one fails the statement before it
+  // pays the rewrite): a COW output's reset sequence would let standing
+  // tombstones re-mask the rewritten rows.
+  require(!ArrowEqualityDeletes.any(
+      dirPath.getFileSystem(
+        SparkSession.active.sparkContext.hadoopConfiguration), dirPath),
+    s"arrow-ipc: $dir has live equality-delete tombstones — row-level " +
+      "DML is deferred until they fold (ArrowEqualityDeletes.fold / " +
+      "CALL graft.system.purge_eq)")
   private def fs = dirPath.getFileSystem(
     SparkSession.active.sparkContext.hadoopConfiguration)
 

@@ -1,0 +1,340 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{ArrowCdcApply, ArrowDeleteVectors, ArrowDml,
+  ArrowEqualityDeletes, ArrowMaintenance}
+
+/** Equality deletes (round 13): keyed tombstones applied at read — the
+  * O(batch) upsert commit for an UNCLUSTERED target. A tombstone with
+  * sequence T masks matching rows in every data file with a smaller
+  * sequence; the batch's own inserts (stamped T) survive it; a fold
+  * converts tombstones to positional vectors and restores every
+  * deferred capability (DML, compaction, time travel, change feed,
+  * aggregate pushdown). Iceberg's equality-delete contract over this
+  * source's stats manifest and intent/replay commit. */
+class ArrowEqualityDeletesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString + "/out"
+
+  private def fsOf(dir: String) = new Path(dir)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def seed(dir: String, n: Int = 100, parts: Int = 4): Unit = {
+    spark.range(0, n)
+      .select(col("id").as("key"), (col("id") * 10).as("v"))
+      .repartition(parts)
+      .write.format("arrow-ipc").mode("overwrite").save(dir)
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.ArrowCatalog")
+  }
+
+  private def table(dir: String) =
+    spark.read.format("arrow-ipc").load(dir)
+
+  private def dataFiles(dir: String): Map[String, Long] = {
+    val fs = fsOf(dir)
+    Option(fs.globStatus(new Path(dir, "part-*.arrows")))
+      .getOrElse(Array.empty)
+      .map(st => st.getPath.getName -> st.getModificationTime).toMap
+  }
+
+  /** One upsert batch updating keys [0, upTo) to v = key*10 + bump and
+    * inserting key `ins`. */
+  private def batchDf(upTo: Int, bump: Long, ins: Long) =
+    spark.range(0, upTo)
+      .select(col("id").as("key"), (col("id") * 10 + bump).as("v"))
+      .union(spark.range(ins, ins + 1)
+        .select(col("id").as("key"), lit(-7L).as("v")))
+
+  test("upsert masks every older image, never its own inserts; base files untouched; multi-batch last-writer-wins") {
+    val dir = tmp("graft_eq_basic")
+    seed(dir)
+    val before = dataFiles(dir)
+
+    val r1 = ArrowEqualityDeletes.upsertBatch(spark, dir, "key",
+      batchDf(30, 1, 1000))
+    assert(r1.applied && r1.seq === 1L && r1.tombstoneKeys === 31L)
+    val t1 = table(dir)
+    assert(t1.count() === 101L) // 100 + 1 insert; 30 old images masked
+    // updated keys serve the NEW image
+    assert(t1.filter(col("key") === 5).select("v").head().getLong(0) === 51L)
+    assert(t1.filter(col("key") === 1000).count() === 1L)
+    // untouched keys unchanged
+    assert(t1.filter(col("key") === 50).select("v").head().getLong(0) === 500L)
+    // O(batch) commit: every base file is byte-identical (same mtime)
+    val after = dataFiles(dir)
+    assert(before.forall { case (n, ts) => after.get(n).contains(ts) },
+      "an equality upsert rewrote a base file")
+
+    // batch 2 updates a key batch 1 INSERTED — last writer wins across
+    // batches (seq 2 tombstone masks the seq-1 image)
+    val b2 = spark.sql("SELECT 1000L AS key, 99L AS v")
+    val r2 = ArrowEqualityDeletes.upsertBatch(spark, dir, "key", b2)
+    assert(r2.applied && r2.seq === 2L)
+    val t2 = table(dir)
+    assert(t2.count() === 101L)
+    assert(t2.filter(col("key") === 1000).select("v").head().getLong(0) === 99L)
+    // and batch 1's other updates still serve batch 1's image
+    assert(t2.filter(col("key") === 5).select("v").head().getLong(0) === 51L)
+  }
+
+  test("masking applies when the key column is pruned from the projection, and the scan stays columnar") {
+    val dir = tmp("graft_eq_prune")
+    seed(dir)
+    ArrowEqualityDeletes.upsertBatch(spark, dir, "key", batchDf(30, 1, 1000))
+    // project ONLY v: the key is pruned from the output, but the mask
+    // must still apply (Arrow loads every column of a batch)
+    val vsum = table(dir).select("v").agg(sum("v")).head().getLong(0)
+    val expect = (30 until 100).map(_ * 10L).sum + // untouched
+      (0 until 30).map(_ * 10L + 1).sum + -7L // new images + insert
+    assert(vsum === expect)
+    // uniformly columnar: the masked read still reports columnar support
+    val plan = table(dir).select("v")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow") || plan.contains("Columnar"),
+      s"equality-masked scan fell off the columnar path:\n$plan")
+  }
+
+  test("plain appends are stamped with the current sequence — standing tombstones do not mask them") {
+    val dir = tmp("graft_eq_append")
+    seed(dir)
+    ArrowEqualityDeletes.upsertBatch(spark, dir, "key", batchDf(30, 1, 1000))
+    // append key 5 again through the ORDINARY append path: it is newer
+    // than tombstone seq 1, so it must survive (two images of key 5 now
+    // live — an append is not an upsert; this asserts sequence stamping,
+    // not dedup)
+    spark.sql("SELECT 5L AS key, 777L AS v")
+      .write.format("arrow-ipc").mode("append").save(dir)
+    val rows = table(dir).filter(col("key") === 5)
+      .select("v").collect().map(_.getLong(0)).toSet
+    assert(rows === Set(51L, 777L),
+      s"append stamping failed: images of key 5 = $rows")
+    // and a LATER tombstone masks the appended image too
+    ArrowEqualityDeletes.upsertBatch(spark, dir, "key",
+      spark.sql("SELECT 5L AS key, 1L AS v"))
+    val rows2 = table(dir).filter(col("key") === 5)
+      .select("v").collect().map(_.getLong(0)).toSet
+    assert(rows2 === Set(1L))
+  }
+
+  test("deleteOnly commits a tombstone without rows — the CDC-delete shape") {
+    val dir = tmp("graft_eq_delonly")
+    seed(dir)
+    val r = ArrowEqualityDeletes.upsertBatch(spark, dir, "key",
+      spark.range(0, 10).select(col("id").as("key")), deleteOnly = true)
+    assert(r.applied && r.insertedFiles === 0)
+    assert(table(dir).count() === 90L)
+    assert(table(dir).filter(col("key") < 10).count() === 0L)
+  }
+
+  test("fold converts tombstones to positional vectors; reads identical; capabilities restored; re-fold is a no-op") {
+    val dir = tmp("graft_eq_fold")
+    seed(dir)
+    ArrowEqualityDeletes.upsertBatch(spark, dir, "key", batchDf(30, 1, 1000))
+    ArrowEqualityDeletes.upsertBatch(spark, dir, "key",
+      spark.sql("SELECT 1000L AS key, 99L AS v"))
+    val beforeRows = table(dir).orderBy("key", "v").collect().toSeq
+
+    val f = ArrowEqualityDeletes.fold(spark, dir)
+    assert(f.tombstones === 2)
+    assert(f.rows === 31L) // 30 seed images + batch 1's key-1000 image
+    val fs = fsOf(dir)
+    assert(!ArrowEqualityDeletes.any(fs, new Path(dir)))
+    assert(ArrowDeleteVectors.any(fs, new Path(dir)),
+      "fold produced no positional vectors")
+    assert(table(dir).orderBy("key", "v").collect().toSeq === beforeRows,
+      "fold changed the table's content")
+
+    // re-fold: nothing to do
+    val f2 = ArrowEqualityDeletes.fold(spark, dir)
+    assert(f2.tombstones === 0)
+
+    // DML is live again after the fold
+    val d = ArrowDeleteVectors.deleteMor(spark, dir, "key = 7")
+    assert(d.deletedRows === 1L)
+    // and compaction folds everything back to clean files
+    assert(ArrowMaintenance.compact(spark, dir).isDefined)
+    assert(table(dir).count() === 100L) // 101 - key 7
+  }
+
+  test("CALL purge_eq is the fold's SQL face") {
+    val dir = tmp("graft_eq_call")
+    seed(dir)
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.ArrowCatalog")
+    ArrowEqualityDeletes.upsertBatch(spark, dir, "key", batchDf(10, 1, 1000))
+    val r = spark.sql(s"CALL graft.system.purge_eq('$dir')").head()
+    assert(r.getAs[Int]("tombstones") === 1)
+    assert(r.getAs[Long]("rows") === 10L)
+    assert(table(dir).count() === 101L)
+  }
+
+  test("deferred capabilities refuse LOUDLY while tombstones live") {
+    val dir = tmp("graft_eq_refuse")
+    seed(dir)
+    val fs = fsOf(dir)
+    val preEqTip = graft.sources.ArrowSnapshots.currentTip(fs, new Path(dir))
+    ArrowEqualityDeletes.upsertBatch(spark, dir, "key", batchDf(10, 1, 1000))
+
+    // row-level DML (MOR and COW)
+    val e1 = intercept[UnsupportedOperationException] {
+      ArrowDeleteVectors.deleteMor(spark, dir, "key = 3")
+    }
+    assert(e1.getMessage.contains("equality-delete"))
+    val e2 = intercept[Exception] {
+      ArrowDml.update(spark, dir, "v = v + 1", Some("key = 3"))
+    }
+    assert(e2.getMessage.contains("equality-delete"))
+    // compaction
+    val e3 = intercept[UnsupportedOperationException] {
+      ArrowMaintenance.compact(spark, dir)
+    }
+    assert(e3.getMessage.contains("equality-delete"))
+    // aggregate pushdown silently degrades to a correct scan
+    val cnt = table(dir).count()
+    assert(cnt === 101L)
+    // time travel into the eq window refuses; pre-eq snapshots still work
+    val tip = graft.sources.ArrowSnapshots.currentTip(fs, new Path(dir))
+    val e4 = intercept[Exception] {
+      spark.read.format("arrow-ipc").option("asOfSnapshot", tip)
+        .load(dir).count()
+    }
+    assert(e4.getMessage.contains("equality-delete"))
+    assert(spark.read.format("arrow-ipc").option("asOfSnapshot", preEqTip)
+      .load(dir).count() === 100L)
+    // change feed across the eq commit refuses
+    val e5 = intercept[Exception] {
+      graft.sources.ArrowChanges.changeFeed(spark, dir, preEqTip, tip).count()
+    }
+    assert(e5.getMessage.contains("equality-delete"))
+    // restore INTO the eq window refuses; restore to before it works
+    val e6 = intercept[Exception] {
+      ArrowMaintenance.restore(spark, dir, tip, dryRun = true)
+    }
+    assert(e6.getMessage.contains("equality-delete"))
+    assert(ArrowMaintenance.restore(spark, dir, preEqTip, dryRun = true)
+      .toSnapshot === preEqTip)
+    // append-log stream refuses without ignoreDeletes
+    val ckpt = tmp("graft_eq_refuse_ckpt")
+    val q = spark.readStream.format("arrow-ipc").load(dir)
+      .writeStream.format("noop")
+      .option("checkpointLocation", ckpt).start()
+    val e7 = intercept[Exception] { q.processAllAvailable() }
+    try assert(e7.getMessage.contains("equality") ||
+      Option(e7.getCause).exists(_.getMessage.contains("equality")))
+    finally q.stop()
+  }
+
+  test("batch contract violations refuse: duplicate keys, null keys, wrong type, hive table, unsupported key type") {
+    val dir = tmp("graft_eq_contract")
+    seed(dir)
+    val dup = intercept[IllegalArgumentException] {
+      ArrowEqualityDeletes.upsertBatch(spark, dir, "key",
+        spark.sql("SELECT * FROM VALUES (1L, 1L), (1L, 2L) AS t(key, v)"))
+    }
+    assert(dup.getMessage.contains("distinct"))
+    val nul = intercept[IllegalArgumentException] {
+      ArrowEqualityDeletes.upsertBatch(spark, dir, "key",
+        spark.sql("SELECT * FROM VALUES (CAST(NULL AS BIGINT), 1L) AS t(key, v)"))
+    }
+    assert(nul.getMessage.contains("NULL keys"))
+    val typ = intercept[IllegalArgumentException] {
+      ArrowEqualityDeletes.upsertBatch(spark, dir, "key",
+        spark.sql("SELECT * FROM VALUES (CAST(1 AS INT), 1L) AS t(key, v)"))
+    }
+    assert(typ.getMessage.contains("key type"))
+    // empty batch: clean no-op
+    val empty = ArrowEqualityDeletes.upsertBatch(spark, dir, "key",
+      spark.range(0).select(col("id").as("key"), col("id").as("v")))
+    assert(!empty.applied)
+
+    val hive = tmp("graft_eq_hive")
+    spark.range(0, 10)
+      .select((col("id") % 2).as("p"), col("id").as("key"), col("id").as("v"))
+      .write.format("arrow-ipc").option("hivePartitionKeys", "p")
+      .mode("overwrite").save(hive)
+    val h = intercept[IllegalArgumentException] {
+      ArrowEqualityDeletes.upsertBatch(spark, hive, "key",
+        spark.sql("SELECT 0L AS p, 1L AS key, 9L AS v"))
+    }
+    assert(h.getMessage.contains("hive-partitioned"))
+  }
+
+  test("string keys work end-to-end (normalization parity between tombstone and data vectors)") {
+    val dir = tmp("graft_eq_str")
+    spark.range(0, 50)
+      .select(concat(lit("k"), col("id")).as("key"), col("id").as("v"))
+      .repartition(3)
+      .write.format("arrow-ipc").mode("overwrite").save(dir)
+    val batch = spark.sql(
+      "SELECT * FROM VALUES ('k5', 500L), ('k6', 600L), ('zz', 1L) AS t(key, v)")
+    val r = ArrowEqualityDeletes.upsertBatch(spark, dir, "key", batch)
+    assert(r.applied)
+    val t = table(dir)
+    assert(t.count() === 51L)
+    assert(t.filter(col("key") === "k5").select("v").head().getLong(0) === 500L)
+    assert(t.filter(col("key") === "k6").select("v").head().getLong(0) === 600L)
+    assert(t.filter(col("key") === "k7").select("v").head().getLong(0) === 7L)
+  }
+
+  test("exactly-once CDC: upsertBatch inside applyBatch folds the ledger atomically; a replay commits nothing") {
+    val dir = tmp("graft_eq_cdc")
+    seed(dir)
+    def run(ver: Long, bump: Long): Boolean =
+      ArrowCdcApply.applyBatch(spark, dir, "eq_cdc", ver) {
+        ArrowEqualityDeletes.upsertBatch(spark, dir, "key",
+          batchDf(20, bump, 2000 + ver))
+        ()
+      }
+    assert(run(0L, 1))
+    assert(table(dir).count() === 101L)
+    assert(ArrowCdcApply.appliedVersion(spark, dir, "eq_cdc") === Some(0L))
+    // replay of version 0 (fast path) — and a forced re-run through the
+    // under-lock check commits nothing either
+    assert(!run(0L, 5))
+    assert(table(dir).filter(col("key") === 3)
+      .select("v").head().getLong(0) === 31L)
+    spark.conf.set("spark.graft.arrow.cdcTxn", "eq_cdc:0")
+    try {
+      val r = ArrowEqualityDeletes.upsertBatch(spark, dir, "key",
+        batchDf(20, 9, 3000))
+      assert(!r.applied, "a replayed version's eq upsert committed")
+    } finally spark.conf.unset("spark.graft.arrow.cdcTxn")
+    assert(table(dir).count() === 101L)
+    // next version applies
+    assert(run(1L, 2))
+    assert(table(dir).filter(col("key") === 3)
+      .select("v").head().getLong(0) === 32L)
+    assert(table(dir).count() === 102L)
+  }
+
+  test("crash window: fold interrupted between vector commit and tombstone removal converges on re-run") {
+    val dir = tmp("graft_eq_crash")
+    seed(dir)
+    ArrowEqualityDeletes.upsertBatch(spark, dir, "key", batchDf(10, 1, 1000))
+    // simulate the crash half: commit the positional vectors exactly as
+    // fold would, but leave the tombstones in place
+    import org.apache.spark.sql.functions.{collect_list, sort_array}
+    val hits = spark.read.format("arrow-ipc").option("eqEmit", "deleted")
+      .load(dir)
+      .select(col(graft.sources.ArrowRowLevel.FileColumn),
+        col(graft.sources.ArrowRowLevel.PosColumn))
+      .groupBy(graft.sources.ArrowRowLevel.FileColumn)
+      .agg(sort_array(collect_list(col(graft.sources.ArrowRowLevel.PosColumn))).as("pos"))
+      .collect().map(r => (r.getString(0), r.getSeq[Long](1).toArray))
+    assert(hits.map(_._2.length).sum === 10)
+    ArrowEqualityDeletes.foldInProgress.set(true)
+    try graft.sources.ArrowDeleteVectors.commitDeletes(spark, dir, hits)
+    finally ArrowEqualityDeletes.foldInProgress.set(false)
+    // both artifacts live: rows masked by BOTH — still exactly once
+    assert(table(dir).count() === 101L)
+    // the re-run finds zero new positions and just removes the tombstones
+    val f = ArrowEqualityDeletes.fold(spark, dir)
+    assert(f.tombstones === 1 && f.rows === 0L)
+    assert(!ArrowEqualityDeletes.any(fsOf(dir), new Path(dir)))
+    assert(table(dir).count() === 101L)
+  }
+}
