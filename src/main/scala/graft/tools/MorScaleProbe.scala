@@ -220,6 +220,56 @@ object MorScaleProbe {
           f"${perBatch.last / times.sorted.apply(1)}%.1fx cheaper than " +
           "unclustered-unbounded at the same file count)")
       }
+
+      // ── 1d. EQUALITY DELETES (round 13): the UNCLUSTERED answer — the
+      // upsert commits its key set as one tombstone + its rows as data
+      // files WITHOUT reading the target, so the per-batch cost must be
+      // FLAT in the table's file count (the MERGE legs above are the
+      // O(live files) baseline this path exists to beat). Same 200-key
+      // batches, same unclustered 300- and 3000-file tables. ─────────────
+      {
+        val eqBatch = Seq(300, 3000).map { nf =>
+          val d = s"$base/eq$nf"
+          spark.range(0, cdcRows)
+            .select(col("id").as("key"), (col("id") % 1000).as("k"),
+              sha2(col("id").cast("string"), 256).as("payload"))
+            .repartition(nf, col("key"))
+            .write.format("arrow-ipc").mode("overwrite").save(d)
+          val times = (0 until 3).map { b =>
+            val batch = spark.range(b * 200L, b * 200L + 200L)
+              .select(col("id").as("key"), lit(-1L).as("k"),
+                lit("new").as("payload"))
+            val (_, ms) = timed {
+              graft.sources.ArrowCdcApply.applyBatch(spark, d,
+                  "eq_probe", b.toLong) {
+                graft.sources.ArrowEqualityDeletes.upsertBatch(
+                  spark, d, "key", batch)
+                ()
+              }
+            }
+            ms
+          }
+          println(f"  eq-upsert  (200-key tombstone batch) at $nf%5d files: " +
+            times.map(t => f"$t%.0f ms").mkString(", ") +
+            f" (median ${times.sorted.apply(1)}%.0f ms/batch)")
+          (d, times.sorted.apply(1))
+        }
+        val ratio = eqBatch.last._2 / eqBatch.head._2
+        println(f"  eq per-batch cost 300->3000 files (10x): $ratio%.2fx " +
+          f"(vs MERGE's ${perBatch.last / perBatch.head}%.2fx); at 3000 " +
+          f"files eq is ${perBatch.last / eqBatch.last._2}%.1fx cheaper " +
+          "than the unclustered MERGE")
+        // correctness sanity + the fold's cost on the 3000-file table
+        val d = eqBatch.last._1
+        val cnt = spark.read.format("arrow-ipc").load(d).count()
+        require(cnt == cdcRows,
+          s"eq probe: count $cnt != $cdcRows after 3 upsert waves")
+        val (f, foldMs) = timed(
+          graft.sources.ArrowEqualityDeletes.fold(spark, d))
+        println(f"  fold of ${f.tombstones} tombstones " +
+          f"(${f.rows} masked rows, ${f.filesMasked} files): $foldMs%.0f ms; " +
+          f"count after fold ${spark.read.format("arrow-ipc").load(d).count()}")
+      }
     }
 
     // ── 2. the read tax ──────────────────────────────────────────────────
