@@ -180,7 +180,9 @@ object Bench {
     // grows with the query count) goes to an earlier line and a durable
     // file, while the LAST line stays compact (< 500 chars) forever.
     println(perQuery)
-    try {
+    // the durable map is the round's REFERENCE baseline — a subset run
+    // (SPARK_GRAFT_ONLY iteration/A-B) must not clobber it
+    if (only.isEmpty) try {
       val out = java.nio.file.Paths.get("tools", "bench_queries_latest.json")
       java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.write(out, perQuery.getBytes("UTF-8"))
