@@ -206,6 +206,64 @@ object PipelineQueries {
                WHERE s.n_shingles > 0
                ORDER BY s.doc_id""")),
 
+    // EXACT-SUBSTRING dedup at SPAN granularity (round 13 — Lee et al.
+    // 2022's actual dedup target, not just the dup-share signal above):
+    // every token inside an 8-token gram whose exact text occurs in ≥2
+    // documents is removed from every doc but the gram's canonical
+    // owner (min doc id). Distributed shape: doc-local gram windows →
+    // one fixed-width (hash, doc, pos) df-aggregation → exact-text
+    // confirmation on the candidate hashes only → per-doc position-set
+    // union (overlapping grams merge into maximal spans). No suffix
+    // array, no driver state — the suffix-array reference algorithm is
+    // single-machine by construction.
+    ("dedup_substring", (s, d) => {
+      val docs = T(s, d, "documents")
+      Dedup.substringDedup(docs, "doc_id", "text", k = 8)
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("docs"),
+          sum(when(col("removed_tokens") > 0, 1L).otherwise(0L))
+            .as("docs_trimmed"),
+          sum(col("n_tokens")).as("tokens"),
+          sum(col("removed_tokens")).as("tokens_removed"))
+        .orderBy("lang")
+    },
+      Some("""WITH toks AS (
+                SELECT doc_id, u.tok, u.pos
+                FROM documents d,
+                LATERAL (SELECT unnest(string_split(d.text, ' ')) AS tok,
+                         generate_subscripts(string_split(d.text, ' '), 1) AS pos) u
+                WHERE d.text IS NOT NULL
+              ), grams AS (
+                SELECT doc_id, pos,
+                       string_agg(tok, ' ') OVER w AS g,
+                       count(*) OVER w AS gn
+                FROM toks
+                WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING)
+              ), anchors AS (
+                SELECT doc_id, pos, g FROM grams WHERE gn = 8
+              ), own AS (
+                SELECT g, MIN(doc_id) AS owner FROM anchors
+                GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2
+              ), cover AS (
+                SELECT DISTINCT a.doc_id, a.pos + i.i AS tp
+                FROM anchors a JOIN own o ON a.g = o.g AND a.doc_id <> o.owner
+                CROSS JOIN (SELECT unnest(range(8)) AS i) i
+              ), removed AS (
+                SELECT doc_id, COUNT(*) AS removed_tokens FROM cover GROUP BY doc_id
+              ), per AS (
+                SELECT doc_id, COUNT(*) AS n_tokens FROM toks GROUP BY doc_id
+              )
+              SELECT d.lang, COUNT(*) AS docs,
+                     CAST(SUM(CASE WHEN COALESCE(r.removed_tokens, 0) > 0
+                              THEN 1 ELSE 0 END) AS BIGINT) AS docs_trimmed,
+                     CAST(SUM(p.n_tokens) AS BIGINT) AS tokens,
+                     CAST(SUM(COALESCE(r.removed_tokens, 0)) AS BIGINT) AS tokens_removed
+              FROM per p JOIN documents d USING (doc_id)
+              LEFT JOIN removed r ON p.doc_id = r.doc_id
+              GROUP BY 1 ORDER BY lang""")),
+
     // Incremental (continuous-ingest) dedup: LSH candidates for a new doc
     // batch against itself and the existing corpus — never old×old. The
     // per-batch cost is what makes dedup sustainable on a growing corpus.

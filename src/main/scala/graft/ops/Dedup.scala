@@ -443,6 +443,81 @@ object Dedup {
         col("n_dup_shingles").cast("double") / col("n_shingles").cast("double"))
   }
 
+  /** EXACT-SUBSTRING dedup at span granularity — the strongest-evidence
+    * dedup signal for pretraining corpora (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better":
+    * duplicated spans ≥ k tokens are memorization fuel even when the
+    * documents around them differ). Their reference implementation
+    * builds a corpus-wide suffix array — inherently single-machine.
+    * This is the DISTRIBUTED re-expression: every k-token gram is an
+    * ANCHOR; a gram whose exact text occurs in ≥ 2 documents marks its
+    * k token positions for removal in every document except the gram's
+    * canonical OWNER (min doc id among carriers — a deterministic
+    * "keep one occurrence" policy). Overlapping duplicated grams merge
+    * naturally into maximal spans through the position-set union, so a
+    * 200-token copied paragraph is removed wholesale from every
+    * non-owner (anchored at every offset), while the owner keeps it.
+    *
+    * Scale shape — NO suffix array, NO driver state, never pairwise:
+    *  1. tokenize + gram via doc-local window functions (`lead`, one
+    *     partition per doc — no cross-doc shuffle);
+    *  2. shuffle fixed-width (hash64, doc, pos) rows, map-side combined,
+    *     to find hashes with document frequency ≥ 2 — the ONLY
+    *     corpus-wide pass, O(corpus grams) of 24-byte rows;
+    *  3. re-join gram TEXT only for the candidate hashes and confirm
+    *     groups on the exact string — hash collisions can only cost
+    *     work, never a wrong removal (exactness is Lee et al.'s point);
+    *  4. union the masked anchors' k-position covers per doc.
+    * Within-document repeats are NOT masked (cross-document evidence
+    * only) — self-repetition is [[dupNgramStats]]' signal.
+    *
+    * @return (idCol, n_tokens, removed_tokens) — one row per doc with
+    *   non-null text; removed_tokens = 0 when nothing duplicated. */
+  def substringDedup(df: DataFrame, idCol: String, textCol: String,
+      k: Int, persistGrams: Boolean = true): DataFrame = {
+    require(k >= 2, s"substringDedup: need k >= 2 tokens, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val toks = graft.Engine.rebalanceForCompute(df)
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol), posexplode(split(col(textCol), " ")).as(Seq("pos", "tok")))
+    val wOrd = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val wAll = Window.partitionBy(col(idCol))
+    // grams via lead(): exactly ordered, codegen-friendly; the trailing
+    // (k-1) positions of each doc anchor no gram (frame runs short)
+    val gramCols = (0 until k).map(i => lead(col("tok"), i).over(wOrd))
+    val grams0 = toks
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("g", concat_ws(" ", gramCols: _*))
+      .filter(col("pos") <= col("n") - k)
+      .select(col(idCol), col("pos"), col("n"), col("g"),
+        xxhash64(col("g")).as("gh"))
+    val grams =
+      if (persistGrams)
+        grams0.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      else grams0
+    // pass 2: candidate hashes by document frequency — fixed-width rows
+    val sharedHashes = grams.groupBy(col("gh"))
+      .agg(countDistinct(col(idCol)).as("__df")).filter(col("__df") >= 2)
+      .select(col("gh"))
+    // pass 3: exact-text confirmation + canonical owner, candidates only
+    val cand = grams.join(sharedHashes, "gh")
+    val dupOwn = cand.groupBy(col("gh"), col("g"))
+      .agg(countDistinct(col(idCol)).as("__dn"), min(col(idCol)).as("__own"))
+      .filter(col("__dn") >= 2)
+      .select(col("gh"), col("g"), col("__own"))
+    // pass 4: anchors in non-owner docs → k-position covers → union
+    val removed = cand.join(dupOwn, Seq("gh", "g"))
+      .filter(col(idCol) =!= col("__own"))
+      .select(col(idCol),
+        explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("tp"))
+      .distinct()
+      .groupBy(col(idCol)).agg(count(lit(1)).as("removed_tokens"))
+    val perDoc = toks.groupBy(col(idCol)).agg(count(lit(1)).as("n_tokens"))
+    perDoc.join(removed, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("removed_tokens"), lit(0L)).as("removed_tokens"))
+  }
+
   /** Connected components over a similarity-pair graph — the clustering
     * step that turns pairwise near-dup hits into dedup groups (keep one
     * representative per component). DEFAULT = the alternating

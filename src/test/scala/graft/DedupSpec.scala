@@ -404,4 +404,29 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh.size.toDouble / exact.size >= 0.9,
       s"LSH recall ${lsh.size}/${exact.size} below 0.9")
   }
+
+  test("substringDedup: owner keeps the span, every non-owner loses exactly its cover; overlapping grams merge; within-doc repeats untouched") {
+    // a 12-token span copied into docs 1, 2 and 3; unique filler around it
+    val span = (1 to 12).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta $span gamma delta"),
+      (2L, s"one two three $span four"),
+      (3L, s"$span tail1 tail2 tail3 tail4 tail5"),
+      // doc 4: repeats ITS OWN 8-gram twice but shares nothing cross-doc
+      (4L, ((1 to 8).map(i => s"r$i") ++ (1 to 8).map(i => s"r$i")).mkString(" ")),
+      (5L, "entirely unique text with no duplication at all here")
+    ).toDF("doc_id", "text")
+    val res = Dedup.substringDedup(docs, "doc_id", "text", k = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // doc 1 owns every duplicated gram (min id) — keeps everything
+    assert(res(1L) === ((16L, 0L)), s"owner lost tokens: ${res(1L)}")
+    // docs 2 and 3 lose exactly the 12-token span: the 5 duplicated
+    // 8-gram anchors (positions 0..4 of the span) cover all 12 tokens —
+    // overlapping grams merged into ONE maximal span, no double count
+    assert(res(2L) === ((16L, 12L)), s"non-owner cover wrong: ${res(2L)}")
+    assert(res(3L) === ((17L, 12L)), s"non-owner cover wrong: ${res(3L)}")
+    // within-doc repetition alone is NOT cross-document evidence
+    assert(res(4L) === ((16L, 0L)), s"self-repeat was masked: ${res(4L)}")
+    assert(res(5L) === ((9L, 0L)))
+  }
 }
