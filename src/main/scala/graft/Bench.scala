@@ -18,7 +18,7 @@ object Bench {
     "asof_join", "range_join", "dedup_components_star", "pipeline_curate",
     "pipeline_warm", "text_bm25", "winsorize", "join_salted",
     "stream_interval_join", "shuffle_epoch", "sample_weighted", "profile",
-    "embed_kmeans", "dup_ngram_stats", "dedup_substring", "cap_per_source", "pii_redact",
+    "embed_kmeans", "dedup_semantic", "dup_ngram_stats", "dedup_substring", "cap_per_source", "pii_redact",
     "chunk_docs", "dedup_incremental", "stream_enrich", "stream_arrow_events",
     "dedup_representatives", "join_full", "agg_cube", "orc_roundtrip",
     "dedup_containment", "agg_hll_merge", "q18_big_orders", "zorder_values",

@@ -396,6 +396,37 @@ object PipelineQueries {
         "vec_id", "embedding", k = 8, iters = 2).orderBy("vec_id"),
       Some(kmeansOracle(k = 8, iters = 2))),
 
+    // SEMANTIC dedup (round 13, SemDeDup-shaped): k-means clusters the
+    // embedding space, near-dup candidates are scoped to WITHIN a
+    // cluster (exact cosine ≥ θ), and each neighborhood keeps its
+    // smallest id. Composition of the two standing kernels — the
+    // deterministic kmeans (the oracle replays it bit-for-bit, same CTE
+    // as embed_kmeans) and the exact-cosine verify — so the whole
+    // pipeline is a full hash-match, not a rows-only claim.
+    ("dedup_semantic", (s, d) =>
+      Dedup.semanticDedup(
+        T(s, d, "embeddings").select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", k = 8, iters = 2, threshold = 0.45)
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n_vectors"),
+          sum(when(col("kept"), 0L).otherwise(1L)).as("n_dropped"))
+        .orderBy("cluster"),
+      Some(s"""WITH assigned AS (
+                 SELECT vec_id, cluster FROM (${kmeansOracle(k = 8, iters = 2)}) t
+               ), v AS (
+                 SELECT e.vec_id, e.embedding, a.cluster
+                 FROM embeddings e JOIN assigned a USING (vec_id)
+               ), drp AS (
+                 SELECT DISTINCT y.vec_id
+                 FROM v x JOIN v y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+                 WHERE ${duckCosRaw("x.embedding", "y.embedding")} >= 0.45
+               )
+               SELECT v.cluster, COUNT(*) AS n_vectors,
+                      CAST(SUM(CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END)
+                           AS BIGINT) AS n_dropped
+               FROM v LEFT JOIN drp d ON v.vec_id = d.vec_id
+               GROUP BY 1 ORDER BY cluster""")),
+
     // ── text analysis ────────────────────────────────────────────────────
     ("text_stats", (s, d) =>
       T(s, d, "documents").select(

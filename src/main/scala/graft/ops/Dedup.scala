@@ -443,6 +443,53 @@ object Dedup {
         col("n_dup_shingles").cast("double") / col("n_shingles").cast("double"))
   }
 
+  /** SEMANTIC dedup, SemDeDup-shaped (Abbas et al. 2023: "SemDeDup —
+    * Data-efficient learning at web-scale through semantic
+    * deduplication"): k-means clusters the embedding space, then
+    * near-duplicate pairs are sought ONLY within a cluster — the
+    * clustering bounds the candidate set harder than one global LSH
+    * when the corpus is diverse (cross-cluster pairs are below
+    * threshold by construction of the clustering; global LSH still
+    * hashes every vector against every table). Composition of the two
+    * standing kernels: [[graft.ops.Similarity.kmeans]] (deterministic
+    * seeds, fixed-point centroid means — the SQL oracle replays it
+    * bit-for-bit) and the exact-cosine verify of
+    * [[embeddingNearDupPairs]].
+    *
+    * Dedup rule (SemDeDup's, with min-id determinism): within a
+    * cluster, an embedding is DROPPED iff some SMALLER-id embedding in
+    * the same cluster has cosine ≥ `threshold` with it — "keep the
+    * first of every near-dup neighborhood", no transitive-closure pass
+    * needed (a chain a~b~c with a<b<c drops b and c iff each has a
+    * smaller neighbor; use [[connectedComponents]] downstream when
+    * full-closure groups are wanted).
+    *
+    * Scale shape: the within-cluster self-join is O(Σ cᵢ²) pairs — the
+    * paper's own cost, tamed by k (clusters of ~corpus/k). A skewed
+    * giant cluster is the known failure mode: raise k, or run the
+    * banded-LSH [[embeddingNearDupPairs]] INSIDE the offending cluster
+    * (same composition, one more level).
+    *
+    * @return one row per input embedding: (idCol, cluster, kept) */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, threshold: Double): DataFrame = {
+    val base = df.select(col(idCol), col(vecCol))
+    val assigned = graft.ops.Similarity.kmeans(base, idCol, vecCol, k, iters)
+      .select(col(idCol), col("cluster"))
+    val v = base.join(assigned, Seq(idCol))
+    val a = v.select(col("cluster"), col(idCol).as("__ida"), col(vecCol).as("__va"))
+    val b = v.select(col("cluster"), col(idCol).as("__idb"), col(vecCol).as("__vb"))
+    val dropped = a.join(b, Seq("cluster"))
+      .filter(col("__ida") < col("__idb"))
+      .filter(graft.ops.Similarity.cosine(col("__va"), col("__vb")) >= threshold)
+      .select(col("__idb").as(idCol)).distinct()
+      .withColumn("__drop", lit(true))
+    v.select(col(idCol), col("cluster"))
+      .join(dropped, Seq(idCol), "left")
+      .select(col(idCol), col("cluster"),
+        coalesce(!col("__drop"), lit(true)).as("kept"))
+  }
+
   /** EXACT-SUBSTRING dedup at span granularity — the strongest-evidence
     * dedup signal for pretraining corpora (Lee et al. 2022,
     * "Deduplicating Training Data Makes Language Models Better":

@@ -405,6 +405,23 @@ class DedupSpec extends AnyFunSuite {
       s"LSH recall ${lsh.size}/${exact.size} below 0.9")
   }
 
+  test("semanticDedup: near-dups drop within a cluster (min id kept); distinct vectors and cross-cluster pairs survive") {
+    val rows = Seq(
+      (1L, Seq(1.0f, 0.0f)),       // cluster A anchor
+      (2L, Seq(0.999f, 0.01f)),    // ~A: cos ≈ 1 with id 1 → dropped
+      (3L, Seq(0.998f, 0.02f)),    // ~A: near both → dropped
+      (10L, Seq(0.0f, 1.0f)),      // cluster B anchor
+      (11L, Seq(0.6f, 0.8f))       // B but cos(10,11)=0.8 < θ → kept
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedup(rows, "vec_id", "embedding",
+        k = 2, iters = 2, threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out(1L) && !out(2L) && !out(3L),
+      s"cluster-A neighborhood wrong: $out")
+    assert(out(10L) && out(11L),
+      s"sub-threshold pair was dropped: $out")
+  }
+
   test("substringDedup: owner keeps the span, every non-owner loses exactly its cover; overlapping grams merge; within-doc repeats untouched") {
     // a 12-token span copied into docs 1, 2 and 3; unique filler around it
     val span = (1 to 12).map(i => s"s$i").mkString(" ")
