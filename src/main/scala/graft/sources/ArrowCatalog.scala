@@ -520,6 +520,29 @@ class ArrowCatalog extends TableCatalog with ProcedureCatalog
           r.getUTF8String(1).toString.split(",").map(_.trim).toSeq,
           bits = r.getInt(2), targetBytes = targetBytes(r, 3))
         .map(c => row(c.oldFiles, c.newFiles)).toSeq),
+    GraftProcedure("publish_branch",
+      "atomically move a WAP branch's staged files into the table " +
+        "(one intent/replay commit, op = publish); the branch was " +
+        "written with df.write.option('branch', name) and validated " +
+        "via ArrowBranch.read",
+      Array(in("dir", StringType), in("branch", StringType)),
+      StructType(Seq(
+        org.apache.spark.sql.types.StructField("files", IntegerType),
+        org.apache.spark.sql.types.StructField("rows", LongType))),
+      r => {
+        val p = ArrowBranch.publish(SparkSession.active, dirArg(r),
+          r.getUTF8String(1).toString)
+        Seq(row(p.files, p.rows))
+      }),
+    GraftProcedure("drop_branch",
+      "abandon a WAP branch: its staged files are discarded, the main " +
+        "table was never touched",
+      Array(in("dir", StringType), in("branch", StringType)),
+      StructType(Seq(
+        org.apache.spark.sql.types.StructField("dropped",
+          org.apache.spark.sql.types.BooleanType))),
+      r => Seq(row(ArrowBranch.drop(SparkSession.active, dirArg(r),
+        r.getUTF8String(1).toString)))),
     GraftProcedure("purge_eq",
       "fold every live equality-delete tombstone into positional " +
         "deletion vectors and remove it — restores row-level DML, " +

@@ -190,7 +190,17 @@ private[sources] class ArrowIpcTable(tableSchema: StructType, dir: String,
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
     refuseIfPinned("writing")
-    new ArrowIpcWriteBuilder(info.schema(), dir,
+    // WAP: option("branch", name) redirects the write to the table's
+    // `.branch/<name>/` staging dataset — invisible to main readers
+    // until CALL publish_branch (ArrowBranch). Spark already validated
+    // the frame against THIS table's schema, so the staged batch is
+    // publish-compatible by construction.
+    val targetDir = Option(info.options.get("branch")).fold(dir) { b =>
+      require(b.matches("[A-Za-z0-9_-]+"),
+        s"arrow-ipc: invalid branch name '$b' ([A-Za-z0-9_-] only)")
+      new Path(dir, s"${ArrowBranch.BranchRoot}/$b").toString
+    }
+    new ArrowIpcWriteBuilder(info.schema(), targetDir,
       Option(info.options.get("codec")), info.queryId(),
       Option(info.options.get("partitionKeys"))
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq),
