@@ -3797,6 +3797,51 @@ object CoreQueries {
               SELECT nation, COUNT(*) AS cnt, CAST(SUM(cents) AS BIGINT) AS cents
               FROM upserted GROUP BY 1 ORDER BY nation""")),
 
+    // PARTITION EVOLUTION (round 13): change the hive keys for FUTURE
+    // writes metadata-only (CALL evolve_partitioning / ArrowMaintenance
+    // .evolvePartitioning — Iceberg's partition-spec evolution); the
+    // flat generation's files stay at the root, pruned by their real
+    // manifest stats, while post-evolution appends nest under value
+    // directories, pruned by discovery — one mixed read serves both.
+    // Self-asserts the metadata-only property (no flat file moved) and
+    // that the append nested.
+    ("arrow_partition_evolution", (s, d) => {
+      val ev = T(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+      // Scratch contract: see json_roundtrip.
+      val path = graft.sources.Scratch.dir(s, "graft_pevo")
+      val table = path + "/t"
+      ev.filter(col("event_id") % 2 === 0)
+        .repartitionByRange(4, col("event_type"))
+        .write.format("arrow-ipc").mode("overwrite").save(table)
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.ArrowCatalog")
+      val fs = new org.apache.hadoop.fs.Path(table)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      def rootFiles = Option(fs.globStatus(new org.apache.hadoop.fs.Path(
+        table, "part-*.arrows"))).getOrElse(Array.empty)
+        .map(_.getPath.getName).toSet
+      val flatGen = rootFiles
+      graft.sources.ArrowMaintenance.evolvePartitioning(
+        s, table, Seq("event_type"))
+      ev.filter(col("event_id") % 2 === 1)
+        .write.format("arrow-ipc").mode("append").save(table)
+      require(rootFiles == flatGen,
+        "arrow_partition_evolution: evolve was not metadata-only")
+      require(Option(fs.globStatus(new org.apache.hadoop.fs.Path(table,
+          "event_type=*/part-*.arrows"))).getOrElse(Array.empty).nonEmpty,
+        "arrow_partition_evolution: the post-evolve append did not nest")
+      s.read.format("arrow-ipc").load(table)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast(DecimalType(14, 4)))
+            .cast(DoubleType).as("sum_value"))
+        .orderBy("event_type")
+    },
+      Some("""SELECT event_type, COUNT(*) AS cnt,
+                     CAST(SUM(CAST(value AS DECIMAL(14,4))) AS DOUBLE) AS sum_value
+              FROM events GROUP BY 1 ORDER BY event_type""")),
+
     // WRITE-AUDIT-PUBLISH (round 13): stage a batch on a named branch
     // (`df.write.option("branch", …)` → `.branch/<name>/`, invisible to
     // every main reader), validate it through the union view, publish

@@ -520,6 +520,24 @@ class ArrowCatalog extends TableCatalog with ProcedureCatalog
           r.getUTF8String(1).toString.split(",").map(_.trim).toSeq,
           bits = r.getInt(2), targetBytes = targetBytes(r, 3))
         .map(c => row(c.oldFiles, c.newFiles)).toSeq),
+    GraftProcedure("evolve_partitioning",
+      "change the hive partition keys for FUTURE writes, metadata-only " +
+        "(empty keys = flat) — existing files stay readable under their " +
+        "own generation; at most one hive generation may hold files",
+      Array(in("dir", StringType),
+        inDefault("keys", StringType, "''")),
+      StructType(Seq(
+        org.apache.spark.sql.types.StructField("evolved",
+          org.apache.spark.sql.types.BooleanType))),
+      r => {
+        val keys =
+          if (r.isNullAt(1)) Nil
+          else r.getUTF8String(1).toString.split(",")
+            .map(_.trim).filter(_.nonEmpty).toSeq
+        ArrowMaintenance.evolvePartitioning(
+          SparkSession.active, dirArg(r), keys)
+        Seq(row(true))
+      }),
     GraftProcedure("publish_branch",
       "atomically move a WAP branch's staged files into the table " +
         "(one intent/replay commit, op = publish); the branch was " +

@@ -300,8 +300,8 @@ object ArrowEqualityDeletes {
     val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(new Path(dirPath, "_schema.arrows")),
       s"arrow-ipc equality upsert: $dir is not an arrow-ipc table")
-    require(ArrowHiveLayout.read(fs, dirPath).isEmpty,
-      s"arrow-ipc equality upsert: $dir is hive-partitioned — a " +
+    require(ArrowHiveLayout.readGenerations(fs, dirPath).forall(_.isEmpty),
+      s"arrow-ipc equality upsert: $dir is (or was) hive-partitioned — a " +
         "partitioned table is the key-clustered case; use the MERGE path " +
         "(ArrowCdcApply with keyBounds), which prunes to the batch's keys")
     val tableSchema = ArrowInterchange.readSchema(spark, dir)

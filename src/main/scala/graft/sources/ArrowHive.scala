@@ -31,6 +31,7 @@ private[graft] object ArrowHiveLayout {
   val FileName = "_hive_layout.json"
   val NullDir = "__HIVE_DEFAULT_PARTITION__"
 
+  /** CURRENT partition keys — what new writes nest by. */
   def read(fs: FileSystem, dir: Path): Seq[String] = {
     val p = new Path(dir, FileName)
     if (!fs.exists(p)) Nil
@@ -44,9 +45,75 @@ private[graft] object ArrowHiveLayout {
     }
   }
 
+  /** PARTITION EVOLUTION (round 13): every key list the table has ever
+    * been declared with, oldest first, CURRENT last — distinct,
+    * consecutive no-ops collapsed. A layout file written before
+    * evolution existed parses as the single-generation history; no
+    * layout file = the flat generation only. Readers union the
+    * generations' file sets ([[ArrowMaintenance.evolvePartitioning]]
+    * bounds standing HIVE generations to one, so the union is
+    * flat ∪ one-hive — each side pruned by its own mechanism). */
+  def readGenerations(fs: FileSystem, dir: Path): Seq[Seq[String]] = {
+    val p = new Path(dir, FileName)
+    if (!fs.exists(p)) return Seq(Nil)
+    import org.json4s._
+    val root = org.json4s.jackson.JsonMethods.parse(
+      ArrowFileStats.readFully(fs, p))
+    val current = root \ "hiveKeys" match {
+      case JArray(xs) => xs.collect { case JString(s) => s }
+      case other => throw new IllegalStateException(s"bad $FileName: $other")
+    }
+    val history = root \ "history" match {
+      case JArray(gens) => gens.collect {
+        case JArray(xs) => xs.collect { case JString(s) => s }
+      }
+      case _ => Nil
+    }
+    val all = (history :+ current)
+    all.foldLeft(Vector.empty[Seq[String]]) { (acc, g) =>
+      if (acc.lastOption.contains(g)) acc else acc :+ g
+    }
+  }
+
+  /** Declare `keys` as the current layout. PRESERVES the existing
+    * generation history (an append's idempotent re-declaration must not
+    * forget a standing flat generation); a table with no layout file
+    * starts with empty history — a spurious flat generation is never
+    * invented. [[reset]] collapses history after a unifying rewrite. */
   def write(fs: FileSystem, dir: Path, keys: Seq[String]): Unit = {
-    val body = keys.map(k => "\"" + ArrowFileStats.esc(k) + "\"")
-      .mkString("{\"hiveKeys\":[", ",", "]}")
+    val prior: Seq[Seq[String]] =
+      if (scala.util.Try(fs.exists(new Path(dir, FileName)))
+          .getOrElse(false)) readGenerations(fs, dir)
+      else Nil
+    writeRaw(fs, dir, keys, prior)
+  }
+
+  /** Declare `keys` with NO history — for whole-table rewrites that
+    * physically unified the layout (and fresh tables). */
+  def reset(fs: FileSystem, dir: Path, keys: Seq[String]): Unit =
+    writeRaw(fs, dir, keys, Nil)
+
+  /** EVOLVE to `keys`: the full standing history — INCLUDING the
+    * implicit flat generation of a table that never had a layout file —
+    * is recorded, so existing files stay readable under their own
+    * layout. Metadata-only; [[ArrowMaintenance.evolvePartitioning]] is
+    * the validated entry point. */
+  def declareEvolved(fs: FileSystem, dir: Path, keys: Seq[String]): Unit =
+    writeRaw(fs, dir, keys, readGenerations(fs, dir))
+
+  private def writeRaw(fs: FileSystem, dir: Path, keys: Seq[String],
+      history: Seq[Seq[String]]): Unit = {
+    def arr(ks: Seq[String]): String =
+      ks.map(k => "\"" + ArrowFileStats.esc(k) + "\"")
+        .mkString("[", ",", "]")
+    val hist0 = history.foldLeft(Vector.empty[Seq[String]]) { (acc, g) =>
+      if (acc.lastOption.contains(g)) acc else acc :+ g
+    }
+    val hist1 = if (hist0.lastOption.contains(keys)) hist0.init else hist0
+    val hist =
+      if (hist1.isEmpty) ""
+      else s""","history":${hist1.map(arr).mkString("[", ",", "]")}"""
+    val body = s"""{"hiveKeys":${arr(keys)}$hist}"""
     ArrowOcc.writeAtomic(fs, new Path(dir, FileName),
       body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
@@ -328,8 +395,15 @@ private[sources] class ArrowIpcHiveReaderFactory(
     }
   }
 
+  /** Partition evolution: a FLAT-generation file on an evolved table
+    * carries every column (including the new partition keys) in its
+    * data — the plain readers serve it inside this hive scan. */
+  private lazy val plainFactory =
+    new ArrowIpcReaderFactory(required, conf, limit, posSlot)
+
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
+      case p: ArrowFilePartition => plainFactory.createReader(p)
       case p: ArrowHiveFilePartition => rowReader(p.file, p.values, p.dv, p.keep)
       case k: ArrowKeyedPartition =>
         // a storage-partitioned key group over a hive directory: chain the
@@ -349,6 +423,7 @@ private[sources] class ArrowIpcHiveReaderFactory(
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
     partition match {
+      case p: ArrowFilePartition => plainFactory.createColumnarReader(p)
       case p: ArrowHiveFilePartition =>
         columnarReader(p.file, p.values, p.dv, p.keep)
       case k: ArrowKeyedPartition =>

@@ -297,6 +297,9 @@ private[sources] class ArrowIpcScanBuilder(full: StructType, dir: String,
     // same refusal for live equality tombstones (masked rows are only
     // knowable by probing keys — no metadata answer exists until a fold)
     if (ArrowEqualityDeletes.any(fs, dirPath)) return false
+    // partition evolution in progress: the single-generation discovery
+    // below would miss the other generation's files — scan honestly
+    if (ArrowHiveLayout.readGenerations(fs, dirPath).size > 1) return false
     if (fs.exists(new Path(dirPath, "_schema.arrows")) &&
         !fs.exists(new Path(dirPath, "_SUCCESS"))) return false
     // hive-partitioned directories: files live under value subdirs and
@@ -698,17 +701,43 @@ private[sources] class ArrowIpcScan(required: StructType, dir: String,
       (if (eqTombs.nonEmpty) s" eqTombs=${eqTombs.length}" else "") +
       asOf.fold("")(v => s" asOf=$v")
 
-  /** Hive partition-key fields, resolved against the dataset schema (the
-    * FULL one — a projection may prune a partition column the directory
-    * structure still nests by). Empty = flat layout. */
-  private lazy val hiveFields: Seq[StructField] = {
+  /** Hive partition-key fields for the READ side, resolved against the
+    * dataset schema (the FULL one — a projection may prune a partition
+    * column the directory structure still nests by). Empty = flat.
+    *
+    * PARTITION EVOLUTION (round 13): the layout file records every
+    * generation; evolvePartitioning bounds STANDING hive generations
+    * (value dirs present) to one, so the read side resolves: the
+    * standing hive generation if any, else the current declaration —
+    * and [[layoutMixedFlat]] says whether a flat generation also
+    * participates (root files union in). A tampered table with TWO
+    * standing hive generations refuses loudly. */
+  private lazy val (hiveFields: Seq[StructField], layoutMixedFlat: Boolean) = {
     val dirPath = new Path(dir)
     val fs = dirPath.getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
     val schemaForKeys = Option(full).getOrElse(required)
-    ArrowHiveLayout.read(fs, dirPath).map { k =>
+    def resolve(keys: Seq[String]): Seq[StructField] = keys.map { k =>
       schemaForKeys.fields.find(_.name == k).getOrElse(throw new IllegalStateException(
         s"arrow-ipc: ${ArrowHiveLayout.FileName} of $dir names partition key " +
           s"'$k' which is not in the dataset schema"))
+    }
+    val gens = ArrowHiveLayout.readGenerations(fs, dirPath)
+    if (gens.size == 1) (resolve(gens.head), gens.head.isEmpty)
+    else {
+      val hiveGens = gens.filter(_.nonEmpty).distinct
+      val standing = hiveGens.filter { g =>
+        Option(fs.globStatus(new Path(dirPath,
+          ArrowHiveLayout.escape(g.head) + "=*")))
+          .getOrElse(Array.empty).exists(_.isDirectory)
+      }
+      require(standing.size <= 1,
+        s"arrow-ipc: $dir has value directories for ${standing.size} " +
+          s"partition generations (${standing.map(_.mkString(","))
+            .mkString("; ")}) — at most one hive generation may hold " +
+          "files; rewrite (CALL cluster) to unify")
+      val active = standing.headOption
+        .orElse(Some(gens.last).filter(_.nonEmpty)).getOrElse(Nil)
+      (resolve(active), gens.exists(_.isEmpty))
     }
   }
 
@@ -811,18 +840,36 @@ private[sources] class ArrowIpcScan(required: StructType, dir: String,
         }.toArray
         val vals =
           if (hiveFields.isEmpty) Map.empty[String, Seq[Option[String]]]
-          else set.toSeq.map { rel =>
-            new Path(rel).getName ->
-              ArrowHiveLayout.parseRelPath(hiveFields, rel)
-          }.toMap
+          else set.toSeq
+            // partition evolution: a flat-generation rel (bare name) has
+            // no path-borne values — its columns come from the data
+            .filter(_.split('/').length == hiveFields.length + 1)
+            .map { rel =>
+              new Path(rel).getName ->
+                ArrowHiveLayout.parseRelPath(hiveFields, rel)
+            }.toMap
         (sts, vals, (0, 0))
       } else if (hiveFields.isEmpty) {
         val raw = Option(fs.globStatus(new Path(dir, "part-*.arrows")))
           .getOrElse(Array.empty)
         val vis = raw.filter(st => streamVisible(st.getPath.getName))
         (vis, Map.empty[String, Seq[Option[String]]], (0, 0))
-      } else ArrowHiveLayout.discover(fs, dirPath, hiveFields, filters,
-        streamVisible)
+      } else {
+        val (hsts, hvals, hdirs) = ArrowHiveLayout.discover(fs, dirPath,
+          hiveFields, filters, streamVisible)
+        // partition evolution: a declared FLAT generation's files live
+        // at the root and union in — pruned by their own (real) manifest
+        // stats below, exactly like a flat table's; the hive files prune
+        // by directory discovery above. Each generation by its own
+        // mechanism, no rewrite.
+        if (!layoutMixedFlat) (hsts, hvals, hdirs)
+        else {
+          val flat = Option(fs.globStatus(new Path(dir, "part-*.arrows")))
+            .getOrElse(Array.empty)
+            .filter(st => streamVisible(st.getPath.getName))
+          (hsts ++ flat, hvals, hdirs)
+        }
+      }
     if (all.isEmpty)
       (all, Map.empty[String, FileStats], Set.empty[String], valsByName,
         dirCounts)
@@ -1085,6 +1132,10 @@ private[sources] class ArrowIpcScan(required: StructType, dir: String,
     // shuffled read rather than threading per-file masks through the
     // keyed chain
     else if (eqTombs.nonEmpty) None
+    // mid-evolution mixed layouts: a flat-generation file inside a
+    // keyed chain would feed the hive splicing reader values it does
+    // not have — degrade to a plain shuffled read until unification
+    else if (hiveFields.nonEmpty && layoutMixedFlat) None
     else {
       val dirPath = new Path(dir)
       val fs = dirPath.getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
@@ -1240,9 +1291,18 @@ private[sources] class ArrowIpcScan(required: StructType, dir: String,
             eq = eqFor(st.getPath.getName)): InputPartition)
         }
         else kept.map { st =>
-          ArrowHiveFilePartition(st.getPath.toString,
-            hiveVals(st.getPath.getName),
-            dvFor(st.getPath.getName)): InputPartition
+          val name = st.getPath.getName
+          hiveVals.get(name) match {
+            case Some(vals) =>
+              ArrowHiveFilePartition(st.getPath.toString, vals,
+                dvFor(name)): InputPartition
+            case None =>
+              // a flat-generation file on an evolved table: every
+              // column (including the new partition keys) is in its
+              // data — the plain reader serves it
+              ArrowFilePartition(st.getPath.toString,
+                dvFor(name)): InputPartition
+          }
         }
     }
 

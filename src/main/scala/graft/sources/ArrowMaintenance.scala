@@ -393,8 +393,13 @@ object ArrowMaintenance {
       hiveKeys: Seq[String], targetBytes: Long,
       codec: Option[String]): Option[CompactionResult] = {
     val replaceable = replaceableFilter(fs, dirPath)
+    // partition evolution: flat-generation files at the ROOT of an
+    // evolved table are another generation's — compaction stays
+    // per-generation (migrating them into value dirs is a rewrite
+    // decision, CALL cluster's job), so only nested files participate
     val all = walkFiles(fs, dirPath)
-      .filter(o => replaceable(new Path(o._1).getName))
+      .filter(o => o._1.contains('/') &&
+        replaceable(new Path(o._1).getName))
     // INCREMENTAL by construction: files never combine ACROSS value
     // directories, so only directories holding ≥ 2 files have any work —
     // every other directory's files are left completely untouched (not
@@ -569,7 +574,7 @@ object ArrowMaintenance {
       s"cluster: sort column '$c' is neither in the schema " +
         s"(${schema.fieldNames.mkString(", ")}) nor derived by withSortColumns"))
     val synthetic = base.columns.filterNot(schema.fieldNames.contains).toSeq
-    if (hiveKeys.nonEmpty) {
+    val out = if (hiveKeys.nonEmpty) {
       // range-partition on (keys, sortCols): each task covers a contiguous
       // key-then-sort range, so a large value directory SPLITS into
       // several ~target-sized files with disjoint sort intervals while
@@ -598,6 +603,14 @@ object ArrowMaintenance {
         Intent(olds.map(_._1).sorted, staging, moves, dvs = dvRels))
       Some(CompactionResult(olds.length, staged.length))
     }
+    // a WHOLE-TABLE cluster on a mid-evolution table physically unified
+    // the layout (every file now nests by the current keys, or sits flat
+    // for a flat target) — collapse the generation history so SPJ
+    // grouping and aggregate pushdown come back
+    if (where.isEmpty && out.isDefined &&
+        ArrowHiveLayout.readGenerations(fs, dirPath).size > 1)
+      ArrowHiveLayout.reset(fs, dirPath, hiveKeys)
+    out
   }
 
   /** The files a (possibly scoped) rewrite replaces: live, committed,
@@ -733,6 +746,58 @@ object ArrowMaintenance {
     commitSwap(fs, dirPath,
       Intent(olds.sorted, staging, moves, "cow", layoutKeys, dvs,
         txn = ArrowDeleteVectors.currentCdcTxn()))
+
+  /** PARTITION EVOLUTION (round 13): change the hive partition keys for
+    * FUTURE writes, metadata-only — one atomic layout-file update, no
+    * data file touched (Iceberg's partition-spec evolution contract).
+    * Existing files stay readable under their own generation: the scan
+    * unions the flat generation's root files (pruned by their real
+    * manifest stats, the new keys included — they are data columns
+    * there) with the hive generation's value directories (pruned by
+    * directory discovery). Supported transitions keep AT MOST ONE hive
+    * generation holding files: flat → hive, hive → flat, and no-ops;
+    * hive → different-hive with standing value dirs refuses — rewrite
+    * (CALL cluster) to unify first. Refused while equality-delete
+    * tombstones live (their masks ride flat-scan partitions only).
+    * SPJ grouping and aggregate pushdown degrade (correctly, loudly in
+    * the plan) while generations are mixed; a unifying rewrite restores
+    * them. */
+  def evolvePartitioning(spark: SparkSession, dir: String,
+      newKeys: Seq[String]): Unit = {
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new Path(dirPath, "_schema.arrows")),
+      s"arrow-ipc: $dir is not an arrow-ipc table")
+    val schema = ArrowInterchange.readSchema(spark, dir)
+    newKeys.foreach { k =>
+      val f = schema.fields.find(_.name == k).getOrElse(
+        throw new IllegalArgumentException(
+          s"arrow-ipc evolvePartitioning: $dir has no column '$k'"))
+      require(ArrowHiveLayout.supported(f.dataType),
+        s"arrow-ipc evolvePartitioning: column '$k' has type " +
+          s"${f.dataType} — not a supported partition-value type")
+    }
+    recover(spark, dir)
+    ArrowOcc.withCommitLock(fs, dirPath) {
+      require(!ArrowEqualityDeletes.any(fs, dirPath),
+        s"arrow-ipc evolvePartitioning: $dir has live equality-delete " +
+          "tombstones — fold them first (CALL graft.system.purge_eq)")
+      val gens = ArrowHiveLayout.readGenerations(fs, dirPath)
+      if (gens.last == newKeys) return
+      def standing(g: Seq[String]): Boolean = g.nonEmpty &&
+        Option(fs.globStatus(new Path(dirPath,
+          ArrowHiveLayout.escape(g.head) + "=*")))
+          .getOrElse(Array.empty).exists(_.isDirectory)
+      val standingHive = gens.filter(_.nonEmpty).distinct.filter(standing)
+      require(standingHive.isEmpty || newKeys.isEmpty ||
+          standingHive == Seq(newKeys),
+        s"arrow-ipc evolvePartitioning: $dir holds files partitioned by " +
+          s"(${standingHive.map(_.mkString(",")).mkString("; ")}) — " +
+          s"evolving to (${newKeys.mkString(",")}) would leave two hive " +
+          "generations with files; rewrite (CALL cluster) to unify first")
+      ArrowHiveLayout.declareEvolved(fs, dirPath, newKeys)
+    }
+  }
 
   /** Outcome of [[expireSnapshots]]. */
   case class ExpireResult(dropped: Int, trashDeleted: Int)

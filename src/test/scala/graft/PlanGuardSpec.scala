@@ -25,6 +25,8 @@ class PlanGuardSpec extends AnyFunSuite {
     "contamination",    // corpus × broadcast(1-row benchmark hash set)
     "text_bm25",        // corpus × broadcast(1-row BM25 corpus stats)
     "embed_kmeans",     // corpus × broadcast(k centroids) per Lloyd pass
+    "dedup_semantic",   // the same kmeans Lloyd pass (its pair join is
+                        // an equi-join on the cluster id, never NLJ)
     "zorder_values")    // scan × broadcast(1-row min/max stats)
 
   test("no query plans a cartesian product or unlisted nested-loop join") {
