@@ -1,0 +1,194 @@
+package graft.tools
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.sources.{ArrowEqualityDeletes, ArrowMaintenance}
+
+/** Dev-only probe: randomized concurrency stress for the EQUALITY-DELETE
+  * commit surface (round 13) — the pieces the deterministic specs pin
+  * one interleaving of:
+  *
+  *  - U upsert writers hammer ONE table with overlapping key batches;
+  *    the sequence returned by each commit (assigned under the commit
+  *    lock) is the ground truth's total order, so "last writer per key
+  *    wins" is checkable EXACTLY;
+  *  - an appender adds fresh keys through the plain append path (its
+  *    files must be stamped with the current sequence — a standing
+  *    tombstone must never mask them);
+  *  - a folder runs ArrowEqualityDeletes.fold in a loop (tombstones →
+  *    positional vectors mid-flight, racing the writers);
+  *  - a reader asserts, against live committed states, that NO upsert
+  *    key ever has two live images (the masking invariant under every
+  *    interleaving of upserts, appends and folds).
+  *
+  * Final gate: fold everything, then every key's surviving value must
+  * equal the value of the HIGHEST-sequence batch that carried it, the
+  * row count must be exact, and no duplicates may exist anywhere.
+  *
+  * Run: `sbt "runMain graft.tools.EqStressProbe 60"`; log appended to
+  * tools/eq_stress_probe.log by hand after a run. */
+object EqStressProbe {
+  def main(args: Array[String]): Unit = {
+    val secs = args.headOption.map(_.toInt).getOrElse(60)
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val dir = s"/tmp/graft_scale/eq_stress_${System.currentTimeMillis()}"
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(dir), true)
+
+    val K = 2000L // the contested upsert key space
+    spark.range(0, K).select(col("id").as("key"), lit(0L).as("v"))
+      .repartition(4)
+      .write.format("arrow-ipc").mode("overwrite").save(dir)
+
+    // ground truth: key -> (sequence, value) of the winning batch,
+    // merged by max sequence (the commit lock totally orders sequences)
+    val truth = new java.util.concurrent.ConcurrentHashMap[Long, (Long, Long)]()
+    val appended = new java.util.concurrent.atomic.AtomicLong(0)
+    val upserts = new java.util.concurrent.atomic.AtomicLong(0)
+    val folds = new java.util.concurrent.atomic.AtomicLong(0)
+    val reads = new java.util.concurrent.atomic.AtomicLong(0)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val deadline = System.nanoTime() + secs * 1000000000L
+    @volatile var stop = false
+
+    def guard(what: String)(body: => Unit): Unit =
+      try body catch {
+        case e: Throwable =>
+          failures.add(s"$what: ${e.getClass.getSimpleName}: ${e.getMessage}")
+          stop = true
+      }
+
+    val threads = scala.collection.mutable.ArrayBuffer.empty[Thread]
+
+    // U upsert writers: overlapping random key batches, value = a
+    // writer-unique stamp recorded against the COMMIT's sequence
+    for (w <- 0 until 3) {
+      threads += new Thread(() => {
+        val rnd = new java.util.Random(7701 + w)
+        var n = 0L
+        while (System.nanoTime() < deadline && !stop) guard(s"upserter-$w") {
+          n += 1
+          val stamp = (w + 1) * 1000000000000L + n
+          val keys = (0 until (20 + rnd.nextInt(60)))
+            .map(_ => rnd.nextLong(K)).distinct
+          val batch = spark.createDataFrame(
+            spark.sparkContext.parallelize(
+              keys.map(k => org.apache.spark.sql.Row(k, stamp)), 2),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("key",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("v",
+                org.apache.spark.sql.types.LongType))))
+          val r = ArrowEqualityDeletes.upsertBatch(spark, dir, "key", batch)
+          if (r.applied) {
+            upserts.incrementAndGet()
+            keys.foreach { k =>
+              truth.merge(k, (r.seq, stamp),
+                (a, b) => if (a._1 >= b._1) a else b)
+            }
+          }
+        }
+      }, s"upserter-$w")
+    }
+
+    // appender: fresh keys through the PLAIN append path (sequence
+    // stamping under the append's own commit)
+    threads += new Thread(() => {
+      var base = 1000000L
+      while (System.nanoTime() < deadline && !stop) guard("appender") {
+        val n = 25L
+        spark.range(base, base + n)
+          .select(col("id").as("key"), lit(-9L).as("v"))
+          .coalesce(1)
+          .write.format("arrow-ipc").mode("append").save(dir)
+        appended.addAndGet(n)
+        base += n
+        Thread.sleep(400)
+      }
+    }, "appender")
+
+    // folder: tombstones → positional vectors, racing everything
+    threads += new Thread(() => {
+      while (System.nanoTime() < deadline && !stop) guard("folder") {
+        Thread.sleep(3000)
+        val f = ArrowEqualityDeletes.fold(spark, dir)
+        if (f.tombstones > 0) folds.incrementAndGet()
+      }
+    }, "folder")
+
+    // reader: every committed state must satisfy "one live image per
+    // contested key"
+    threads += new Thread(() => {
+      while (System.nanoTime() < deadline && !stop) guard("reader") {
+        Thread.sleep(1500)
+        val dups = spark.read.format("arrow-ipc").load(dir)
+          .filter(col("key") < K)
+          .groupBy("key").agg(count(lit(1)).as("n"))
+          .filter(col("n") > 1).count()
+        if (dups > 0) {
+          failures.add(s"reader: $dups contested keys with DUPLICATE " +
+            "live images")
+          stop = true
+        }
+        reads.incrementAndGet()
+      }
+    }, "reader")
+
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+
+    println(s"probe phase done: upserts=${upserts.get} folds=${folds.get} " +
+      s"appends=${appended.get} reads=${reads.get} failures=${failures.size}")
+    failures.forEach(f => println(s"  FAILURE: $f"))
+
+    // ── final gate ───────────────────────────────────────────────────
+    var ok = failures.isEmpty
+    if (ok) {
+      ArrowEqualityDeletes.fold(spark, dir)
+      ArrowMaintenance.recover(spark, dir)
+      val t = spark.read.format("arrow-ipc").load(dir)
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      try {
+        val total = t.count()
+        val expect = K + appended.get
+        if (total != expect) {
+          println(s"FINAL: count $total != expected $expect"); ok = false
+        }
+        val dupAny = t.groupBy("key").agg(count(lit(1)).as("n"))
+          .filter(col("n") > 1).count()
+        if (dupAny != 0) {
+          println(s"FINAL: $dupAny keys with duplicate images"); ok = false
+        }
+        // last-writer-wins, checked exactly against the sequence order
+        val got = t.filter(col("key") < K)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        var wrong = 0
+        truth.forEach { (k, sv) =>
+          if (got.get(k) != Some(sv._2)) wrong += 1
+        }
+        val untouched = (0L until K).count(k =>
+          !truth.containsKey(k) && got.get(k) != Some(0L))
+        if (wrong > 0 || untouched > 0) {
+          println(s"FINAL: $wrong keys lost their winning batch, " +
+            s"$untouched untouched keys mutated"); ok = false
+        }
+        val appendedSurvived = t.filter(col("key") >= 1000000L).count()
+        if (appendedSurvived != appended.get) {
+          println(s"FINAL: appended rows $appendedSurvived != " +
+            s"${appended.get} (sequence stamping failed?)"); ok = false
+        }
+      } finally t.unpersist(blocking = false)
+    }
+    println(if (ok) "ALL INVARIANTS HELD" else "INVARIANTS VIOLATED")
+    spark.stop()
+    if (!ok) sys.exit(1)
+  }
+}
