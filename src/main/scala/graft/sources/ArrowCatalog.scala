@@ -261,6 +261,28 @@ class ArrowCatalog extends TableCatalog with ProcedureCatalog
     // ALTER racing an append's schema validation... the append re-reads
     // under ITS lock) cannot lose each other's change
     ArrowOcc.withCommitLock(fs, p) {
+    // EQUALITY-DELETE KEY protection: tombstones probe data files by
+    // the key column's NAME — renaming or dropping it while tombstones
+    // live would silently stop the masks from applying (resurrected
+    // rows). Refuse loudly; the fold removes the constraint.
+    ArrowEqualityDeletes.keyColOf(fs, p).filter(_ =>
+        ArrowEqualityDeletes.any(fs, p)).foreach { eqKey =>
+      changes.foreach {
+        case ren: TableChange.RenameColumn
+            if ren.fieldNames.headOption.contains(eqKey) =>
+          throw new IllegalArgumentException(
+            s"$catalogName: '$eqKey' is the table's equality-delete key " +
+              "and tombstones are live — renaming it would silently stop " +
+              "the masks; fold first (CALL graft.system.purge_eq)")
+        case del: TableChange.DeleteColumn
+            if del.fieldNames.headOption.contains(eqKey) =>
+          throw new IllegalArgumentException(
+            s"$catalogName: '$eqKey' is the table's equality-delete key " +
+              "and tombstones are live — dropping it would silently stop " +
+              "the masks; fold first (CALL graft.system.purge_eq)")
+        case _ => ()
+      }
+    }
     // the META-carrying schema: field ids + rename history survive the
     // fold (f.copy keeps metadata), renames extend it
     val before = ArrowInterchange.readSchemaWithMeta(spark, dir)

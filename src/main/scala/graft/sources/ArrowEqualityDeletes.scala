@@ -430,7 +430,7 @@ object ArrowEqualityDeletes {
     * Planning prunes to files with seq below some tombstone's, so a
     * mostly-folded table re-folds only its fresh debt. */
   def fold(spark: SparkSession, dir: String): EqFoldResult = {
-    import org.apache.spark.sql.functions.{col, collect_list, sort_array}
+    import org.apache.spark.sql.functions.{col, collect_list, count, lit, sort_array}
     val dirPath = new Path(dir)
     val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tombs = liveTombs(fs, dirPath)
@@ -441,15 +441,46 @@ object ArrowEqualityDeletes {
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     try {
       val total = hits.count()
-      val perFile = hits
-        .groupBy(ArrowRowLevel.FileColumn)
-        .agg(sort_array(collect_list(col(ArrowRowLevel.PosColumn))).as("pos"))
-        .collect()
-        .map(r => (r.getString(0), r.getSeq[Long](1).toArray))
-      if (perFile.nonEmpty) {
-        foldInProgress.set(true)
-        try ArrowDeleteVectors.commitDeletes(spark, dir, perFile)
-        finally foldInProgress.set(false)
+      // DRIVER-MEMORY DISCIPLINE (the same class of bug the MOR cap
+      // closed in round 11): position lists reach the driver in GROUPS
+      // bounded by `spark.graft.arrow.foldBatchRows` (default 10M —
+      // ~80 MB of longs), one MOR commit per group, instead of one
+      // unbounded collect over a table whose equality debt is exactly
+      // what motivated the fold. The per-FILE counts (tiny: one row per
+      // masked file) drive the grouping; `hits` is persisted, so each
+      // group's collect re-reads spilled rows, not the table.
+      val groupCap = scala.util.Try(spark.conf
+        .get("spark.graft.arrow.foldBatchRows", "10000000").toLong)
+        .getOrElse(10000000L)
+      val counts = hits.groupBy(ArrowRowLevel.FileColumn)
+        .agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+        .sortBy(_._1)
+      val groups = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+      var cur = scala.collection.mutable.ArrayBuffer.empty[String]
+      var curRows = 0L
+      counts.foreach { case (f, n) =>
+        if (cur.nonEmpty && curRows + n > groupCap) {
+          groups += cur.toSeq; cur = scala.collection.mutable.ArrayBuffer.empty
+          curRows = 0L
+        }
+        cur += f; curRows += n
+      }
+      if (cur.nonEmpty) groups += cur.toSeq
+      var filesMasked = 0
+      groups.foreach { g =>
+        val perFile = hits
+          .filter(col(ArrowRowLevel.FileColumn).isin(g: _*))
+          .groupBy(ArrowRowLevel.FileColumn)
+          .agg(sort_array(collect_list(col(ArrowRowLevel.PosColumn))).as("pos"))
+          .collect()
+          .map(r => (r.getString(0), r.getSeq[Long](1).toArray))
+        if (perFile.nonEmpty) {
+          foldInProgress.set(true)
+          try ArrowDeleteVectors.commitDeletes(spark, dir, perFile)
+          finally foldInProgress.set(false)
+          filesMasked += perFile.length
+        }
       }
       // REMOVE the tombstones (idempotent, crash-safe: a tombstone that
       // outlives its fold double-masks already-masked rows)
@@ -461,7 +492,7 @@ object ArrowEqualityDeletes {
           ArrowSnapshots.append(fs, dirPath, Nil, stillLive.map(_._1),
             op = "eq-fold")
       }
-      EqFoldResult(tombs.size, perFile.length, total)
+      EqFoldResult(tombs.size, filesMasked, total)
     } finally hits.unpersist(blocking = false)
   }
 }

@@ -311,6 +311,46 @@ class ArrowEqualityDeletesSpec extends AnyFunSuite {
     assert(table(dir).count() === 102L)
   }
 
+  test("fold groups its driver collects under foldBatchRows — multiple MOR commits, identical result") {
+    val dir = tmp("graft_eq_foldgrp")
+    seed(dir, n = 200, parts = 8) // masked rows spread over 8 files
+    ArrowEqualityDeletes.upsertBatch(spark, dir, "key", batchDf(120, 1, 1000))
+    val before = table(dir).orderBy("key", "v").collect().toSeq
+    assert(before.length === 201)
+    // cap of 20 rows/group forces ~6 groups over the 120 masked rows
+    spark.conf.set("spark.graft.arrow.foldBatchRows", "20")
+    try {
+      val f = ArrowEqualityDeletes.fold(spark, dir)
+      assert(f.rows === 120L && f.filesMasked === 8,
+        s"grouped fold wrong: $f")
+    } finally spark.conf.unset("spark.graft.arrow.foldBatchRows")
+    assert(!ArrowEqualityDeletes.any(fsOf(dir), new Path(dir)))
+    assert(table(dir).orderBy("key", "v").collect().toSeq === before,
+      "grouped fold changed the table's content")
+  }
+
+  test("ALTER refuses to rename or drop the equality key while tombstones live; fine after the fold") {
+    val dir = tmp("graft_eq_alter")
+    seed(dir)
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.ArrowCatalog")
+    ArrowEqualityDeletes.upsertBatch(spark, dir, "key",
+      spark.sql("SELECT 1L AS key, 9L AS v"))
+    val e1 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.`$dir` RENAME COLUMN key TO k2")
+    }
+    assert(e1.getMessage.contains("equality-delete key"))
+    val e2 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.`$dir` DROP COLUMN key")
+    }
+    assert(e2.getMessage.contains("equality-delete key"))
+    // a NON-key column still alters freely
+    spark.sql(s"ALTER TABLE graft.`$dir` RENAME COLUMN v TO v2")
+    assert(table(dir).columns.toSeq === Seq("key", "v2"))
+    ArrowEqualityDeletes.fold(spark, dir)
+    spark.sql(s"ALTER TABLE graft.`$dir` RENAME COLUMN key TO k2")
+    assert(table(dir).columns.toSeq === Seq("k2", "v2"))
+  }
+
   test("crash window: fold interrupted between vector commit and tombstone removal converges on re-run") {
     val dir = tmp("graft_eq_crash")
     seed(dir)
