@@ -143,9 +143,15 @@ object ArrowEqualityDeletes {
     * masked rows, [[fold]]'s position-finding read). Serializable —
     * rides the InputPartition; the key SETS load executor-side from the
     * (immutable) tombstone files through a JVM-wide cache. */
+  /** `keySchema`: a ONE-field StructType naming the key column WITH the
+    * table's resolution metadata attached (field ids + rename history)
+    * — pre-rename files carry the key under an old physical name, and
+    * resolving by bare name would silently skip their masks. None (the
+    * legacy serialized form) falls back to name matching. */
   case class EqPart(keyCol: String, fileSeq: Long,
       tombPaths: Array[String], tombSeqs: Array[Long],
-      emitDeleted: Boolean = false) extends Serializable
+      emitDeleted: Boolean = false,
+      keySchema: Option[StructType] = None) extends Serializable
 
   /** JVM-wide lookup cache: tombstone file names are content-addressed
     * (uuid + sequence, immutable once committed), so a key→maxSeq map
@@ -158,7 +164,7 @@ object ArrowEqualityDeletes {
   private[sources] def lookupFor(part: EqPart,
       conf: org.apache.hadoop.conf.Configuration)
       : java.util.HashMap[Any, java.lang.Long] = {
-    val key = part.tombPaths.sorted.mkString("")
+    val key = part.tombPaths.sorted.mkString("\\u0000")
     val cached = lookupCache.get(key)
     val hit = if (cached == null) null else cached.get()
     if (hit != null) return hit
@@ -238,12 +244,24 @@ object ArrowEqualityDeletes {
       lookup: java.util.HashMap[Any, java.lang.Long],
       root: org.apache.arrow.vector.VectorSchemaRoot): Array[Boolean] = {
     if (lookup.isEmpty) return null
-    val idx = root.getSchema.getFields
-    var slot = -1
-    var j = 0
-    while (j < idx.size()) {
-      if (idx.get(j).getName == part.keyCol) slot = j
-      j += 1
+    // key slot via the SAME field-id/rename resolution the scan uses —
+    // a pre-rename file carries the key under an old physical name, and
+    // a file that predates the column entirely resolves to -1 (its rows
+    // have no key value, so nothing masks — correct by vacuity)
+    val slot = part.keySchema match {
+      case Some(ks) =>
+        scala.util.Try(ArrowInterchange.resolveColumns(
+          root.getSchema, ks, "<eq-key>", exact = false).head)
+          .getOrElse(-1)
+      case None =>
+        val idx = root.getSchema.getFields
+        var s = -1
+        var j = 0
+        while (j < idx.size()) {
+          if (idx.get(j).getName == part.keyCol) s = j
+          j += 1
+        }
+        s
     }
     if (slot < 0) return null
     val v = root.getVector(slot)
@@ -320,9 +338,13 @@ object ArrowEqualityDeletes {
         s"arrow-ipc equality upsert: batch columns " +
           s"${batch.schema.fieldNames.mkString(",")} do not match table " +
           s"${tableSchema.fieldNames.mkString(",")}")
-    keyColOf(fs, dirPath).foreach(k => require(k == keyCol,
+    // one key column per table — but a table whose key was RENAMED
+    // after a full fold (no tombstones constrain it) may re-declare
+    // under the new name; the meta rewrite happens under the lock below
+    keyColOf(fs, dirPath).foreach(k => require(k == keyCol ||
+        liveTombs(fs, dirPath).isEmpty,
       s"arrow-ipc equality upsert: $dir's equality key is '$k', not " +
-        s"'$keyCol' — one key column per table"))
+        s"'$keyCol' — one key column per table (fold first to change it)"))
 
     ArrowMaintenance.recover(spark, dir) // finish any crashed swap first
 
@@ -380,7 +402,7 @@ object ArrowEqualityDeletes {
         fs.delete(stagingPath, true)
         return EqUpsertResult(applied = false, 0L, 0, total)
       }
-      if (keyColOf(fs, dirPath).isEmpty)
+      if (!keyColOf(fs, dirPath).contains(keyCol))
         ArrowOcc.writeAtomic(fs, new Path(dirPath, s"$EqDir/$MetaName"),
           ("{\"keyCol\":\"" + ArrowFileStats.esc(keyCol) + "\"}")
             .getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -984,6 +984,18 @@ private[sources] class ArrowIpcScan(required: StructType, dir: String,
           SparkSession.active.sparkContext.hadoopConfiguration), dirPath)
     }
 
+  /** The key column as a one-field schema with resolution metadata
+    * (field ids / rename history) — pre-rename files resolve the key
+    * under their old physical name, exactly like the projection does. */
+  private lazy val eqKeySchema: Option[StructType] = eqKeyCol.map { k =>
+    val hconf = SparkSession.active.sparkContext.hadoopConfiguration
+    val schemaForKey = Option(full).getOrElse(required)
+    val f = schemaForKey.fields.find(_.name == k).getOrElse(
+      throw new IllegalStateException(
+        s"arrow-ipc: equality key '$k' of $dir is not in the schema"))
+    ArrowInterchange.attachResolutionMeta(StructType(Seq(f)), dir, hconf)
+  }
+
   /** The equality-mask spec for one data file: only tombstones with a
     * STRICTLY GREATER sequence apply (the file's own batch — and
     * anything after it — is never masked by it); a file no tombstone
@@ -995,7 +1007,8 @@ private[sources] class ArrowIpcScan(required: StructType, dir: String,
     val applicable = eqTombs.filter(_._2 > fileSeq)
     if (applicable.isEmpty) None
     else Some(ArrowEqualityDeletes.EqPart(eqKeyCol.get, fileSeq,
-      applicable.map(_._1), applicable.map(_._2), eqEmitDeleted))
+      applicable.map(_._1), applicable.map(_._2), eqEmitDeleted,
+      keySchema = eqKeySchema))
   }
 
   /** Runtime (join-produced) filters, applied on top of the pushed ones:

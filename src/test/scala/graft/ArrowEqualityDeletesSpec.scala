@@ -349,6 +349,16 @@ class ArrowEqualityDeletesSpec extends AnyFunSuite {
     ArrowEqualityDeletes.fold(spark, dir)
     spark.sql(s"ALTER TABLE graft.`$dir` RENAME COLUMN key TO k2")
     assert(table(dir).columns.toSeq === Seq("k2", "v2"))
+    // RENAME RESOLUTION: upserts under the NEW key name must mask the
+    // standing files, which physically carry the OLD name — the key
+    // resolves through the same field-id machinery as the projection
+    val r = ArrowEqualityDeletes.upsertBatch(spark, dir, "k2",
+      spark.sql("SELECT 7L AS k2, 77L AS v2"))
+    assert(r.applied)
+    val images = table(dir).filter(col("k2") === 7)
+      .select("v2").collect().map(_.getLong(0)).toSet
+    assert(images === Set(77L),
+      s"pre-rename file's image survived the mask: $images")
   }
 
   test("crash window: fold interrupted between vector commit and tombstone removal converges on re-run") {
