@@ -613,9 +613,13 @@ class ArrowCatalog extends TableCatalog with ProcedureCatalog
         "of their rows (default 0.5; > 1.0 disables — NOTE: the purge " +
         "leg REWRITES data files and is ON by default since round 12; " +
         "earlier rounds' vacuum was metadata-only); keep_from also " +
-        "expires time-travel history before that snapshot. Output " +
-        "sentinel: -1 in snapshots_dropped/trash_deleted/files_purged " +
-        "means that leg did not run",
+        "expires time-travel history before that snapshot; folds " +
+        "equality-delete tombstones once their count reaches " +
+        "spark.graft.arrow.vacuumFoldEqAbove (default 16, <= 0 " +
+        "disables) so the purge leg can collect the resulting vector " +
+        "debt in the same run. Output sentinel: -1 in snapshots_dropped/" +
+        "trash_deleted/files_purged/eq_tombstones_folded means that " +
+        "leg did not run",
       Array(in("dir", StringType),
         inDefault("keep_from", LongType, "NULL"),
         inDefault("purge_masked_above",
@@ -625,7 +629,11 @@ class ArrowCatalog extends TableCatalog with ProcedureCatalog
         org.apache.spark.sql.types.StructField("orphans_swept", IntegerType),
         org.apache.spark.sql.types.StructField("snapshots_dropped", IntegerType),
         org.apache.spark.sql.types.StructField("trash_deleted", IntegerType),
-        org.apache.spark.sql.types.StructField("files_purged", IntegerType))),
+        org.apache.spark.sql.types.StructField("files_purged", IntegerType),
+        // appended at the END: positional consumers of the round-12
+        // schema keep their columns (the round-12 advice's convention)
+        org.apache.spark.sql.types.StructField("eq_tombstones_folded",
+          IntegerType))),
       r => {
         val keepFrom = if (r.isNullAt(1)) None else Some(r.getLong(1))
         val theta = if (r.isNullAt(2)) None else Some(r.getDouble(2))
@@ -637,7 +645,8 @@ class ArrowCatalog extends TableCatalog with ProcedureCatalog
           // -1 = purge leg did not rewrite anything — the SAME no-op
           // sentinel as the expiry columns above (0 would be ambiguous
           // with "ran and purged zero files")
-          v.purged.map(_.oldFiles).getOrElse(-1)))
+          v.purged.map(_.oldFiles).getOrElse(-1),
+          v.eqFolded.map(_.tombstones).getOrElse(-1)))
       }),
     // statement-level DML with BOUNDED TRANSPARENT RETRY (round 11):
     // a lost COW commit race re-plans and re-executes the statement

@@ -805,7 +805,8 @@ object ArrowMaintenance {
   /** Outcome of [[vacuum]]. */
   case class VacuumResult(recovered: Boolean, stagingSwept: Int,
       orphansSwept: Int, expired: Option[ExpireResult],
-      purged: Option[CompactionResult] = None)
+      purged: Option[CompactionResult] = None,
+      eqFolded: Option[ArrowEqualityDeletes.EqFoldResult] = None)
 
   /** VACUUM — the one nightly-cron housekeeping entry point: finish any
     * crashed swap, sweep provably-dead staging dirs (`.compact-*` /
@@ -846,6 +847,26 @@ object ArrowMaintenance {
     ArrowOcc.sweepStaleDml(fs, dirPath)
     ArrowOcc.sweepStaleTmp(fs, dirPath)
     val orphans = ArrowStreamCommits.cleanOrphans(fs, dirPath).size
+    // AUTO EQUALITY-FOLD POLICY (round 13, symmetric with the vector-
+    // debt policy below): a table fed by equality upserts accrues
+    // tombstones that defer DML/compaction/time-travel and tax reads
+    // until something folds them — once the count reaches the threshold
+    // (from the `.eq/` listing alone, nothing opened), vacuum folds
+    // them to positional vectors, which ALSO unlocks this same run's
+    // purge leg to collect the resulting vector debt. Applies only to
+    // tables that use equality deletes (new in round 13 — no standing
+    // vacuum behavior changes); `spark.graft.arrow.vacuumFoldEqAbove`
+    // <= 0 disables.
+    val eqAbove = scala.util.Try(spark.conf
+      .get("spark.graft.arrow.vacuumFoldEqAbove", "16").toInt)
+      .getOrElse(16)
+    val eqFolded =
+      if (eqAbove <= 0) None
+      else {
+        val tombs = ArrowEqualityDeletes.liveTombs(fs, dirPath)
+        if (tombs.size < eqAbove) None
+        else Some(ArrowEqualityDeletes.fold(spark, dir))
+      }
     val theta = purgeMaskedAbove.getOrElse(
       scala.util.Try(spark.conf
         .get("spark.graft.arrow.vacuumPurgeMaskedFraction", "0.5").toDouble)
@@ -874,7 +895,7 @@ object ArrowMaintenance {
         }
       }
     VacuumResult(recovered, staging, orphans,
-      keepFrom.map(expireSnapshots(spark, dir, _)), purged)
+      keepFrom.map(expireSnapshots(spark, dir, _)), purged, eqFolded)
   }
 
   /** Expire time-travel history older than snapshot `keepFrom`: the log's

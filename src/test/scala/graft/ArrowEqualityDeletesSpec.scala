@@ -361,6 +361,38 @@ class ArrowEqualityDeletesSpec extends AnyFunSuite {
       s"pre-rename file's image survived the mask: $images")
   }
 
+  test("vacuum auto-folds equality debt at the threshold, then its purge leg collects the vector debt in the same run") {
+    val dir = tmp("graft_eq_vac")
+    seed(dir, n = 60, parts = 1) // one base file: the fold masks >= 50%
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.ArrowCatalog")
+    // 3 tombstones: below the test threshold of 4 → vacuum leaves them
+    (0 until 3).foreach { i =>
+      ArrowEqualityDeletes.upsertBatch(spark, dir, "key",
+        spark.range(i * 12L, i * 12L + 12L)
+          .select(col("id").as("key"), lit(100L + i).as("v")))
+    }
+    spark.conf.set("spark.graft.arrow.vacuumFoldEqAbove", "4")
+    try {
+      val v1 = ArrowMaintenance.vacuum(spark, dir)
+      assert(v1.eqFolded.isEmpty)
+      assert(ArrowEqualityDeletes.liveTombs(fsOf(dir), new Path(dir)).size === 3)
+      // a 4th tombstone reaches the threshold → fold + purge in ONE run
+      ArrowEqualityDeletes.upsertBatch(spark, dir, "key",
+        spark.range(36L, 48L).select(col("id").as("key"), lit(103L).as("v")))
+      val before = table(dir).orderBy("key", "v").collect().toSeq
+      val r = spark.sql(s"CALL graft.system.vacuum('$dir')").head()
+      assert(r.getAs[Int]("eq_tombstones_folded") === 4)
+      assert(r.getAs[Int]("files_purged") >= 1,
+        "the purge leg did not collect the fold's vector debt")
+      assert(!ArrowEqualityDeletes.any(fsOf(dir), new Path(dir)))
+      assert(table(dir).orderBy("key", "v").collect().toSeq === before,
+        "vacuum's fold+purge changed the table's content")
+      // and DML is live again — the cron needed no manual purge_eq
+      assert(graft.sources.ArrowDeleteVectors
+        .deleteMor(spark, dir, "key = 50").deletedRows === 1L)
+    } finally spark.conf.unset("spark.graft.arrow.vacuumFoldEqAbove")
+  }
+
   test("crash window: fold interrupted between vector commit and tombstone removal converges on re-run") {
     val dir = tmp("graft_eq_crash")
     seed(dir)
