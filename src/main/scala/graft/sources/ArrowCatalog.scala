@@ -835,7 +835,8 @@ class ArrowCatalog extends TableCatalog with ProcedureCatalog
     // file is ever opened)
     GraftProcedure("detail",
       "table facts: files, bytes, rows (manifest-exact or -1), deletion " +
-        "vectors, layouts, blooms, tip",
+        "vectors, layouts, blooms, tip, equality tombstones (count + " +
+        "keys, round 13), WAP branches, partition generations",
       Array(in("dir", StringType)),
       StructType(Seq(
         org.apache.spark.sql.types.StructField("location", StringType),
@@ -847,7 +848,15 @@ class ArrowCatalog extends TableCatalog with ProcedureCatalog
         org.apache.spark.sql.types.StructField("layout_keys", StringType),
         org.apache.spark.sql.types.StructField("hive_keys", StringType),
         org.apache.spark.sql.types.StructField("bloom_columns", StringType),
-        org.apache.spark.sql.types.StructField("snapshot_tip", LongType))),
+        org.apache.spark.sql.types.StructField("snapshot_tip", LongType),
+        // appended at the END (round-12 advice convention): round-13
+        // surfaces — equality tombstones (count and key cardinality
+        // from the names alone), WAP branches, partition generations
+        org.apache.spark.sql.types.StructField("eq_tombstones", IntegerType),
+        org.apache.spark.sql.types.StructField("eq_masked_keys", LongType),
+        org.apache.spark.sql.types.StructField("branches", StringType),
+        org.apache.spark.sql.types.StructField("partition_generations",
+          IntegerType))),
       r => {
         val dir = dirArg(r)
         val p = new Path(dir)
@@ -870,12 +879,19 @@ class ArrowCatalog extends TableCatalog with ProcedureCatalog
         val blooms = manifest.values
           .flatMap(_.cols.collect { case (c, s) if s.bloom.isDefined => c })
           .toSet.toSeq.sorted
+        val tombs = ArrowEqualityDeletes.liveTombs(fs, p)
+        val tombKeys = tombs.flatMap { case (rel, _) =>
+          ArrowEqualityDeletes.parseName(new Path(rel).getName).map(_._2)
+        }.sum
         Seq(row(dir, sts.size, sts.map(_._2.getLen).sum, rows,
           dvs.size, masked,
           ArrowLayout.read(fs, p).mkString(","),
           ArrowHiveLayout.read(fs, p).mkString(","),
           blooms.mkString(","),
-          ArrowSnapshots.currentTip(fs, p)))
+          ArrowSnapshots.currentTip(fs, p),
+          tombs.size, tombKeys,
+          ArrowBranch.list(fs, p).mkString(","),
+          ArrowHiveLayout.readGenerations(fs, p).size))
       }),
     // read-only: the DESCRIBE HISTORY analog — one row per retained
     // snapshot, newest first (expired prefixes are folded into the base
@@ -883,7 +899,8 @@ class ArrowCatalog extends TableCatalog with ProcedureCatalog
     GraftProcedure("history",
       "retained snapshot log, newest first: id, commit time, OPERATION " +
         "kind (append/stream/compact/cluster/cow/delete/mor-delete/" +
-        "mor-update/restore; blank = pre-kind history), files and " +
+        "mor-update/restore/eq-upsert/eq-fold/publish; blank = pre-kind " +
+        "history), files and " +
         "deletion vectors added/removed; `limit` bounds the parse to " +
         "the newest N entries (an unlimited call is O(retained history))",
       Array(in("dir", StringType),

@@ -347,6 +347,10 @@ object ArrowEqualityDeletes {
         s"'$keyCol' — one key column per table (fold first to change it)"))
 
     ArrowMaintenance.recover(spark, dir) // finish any crashed swap first
+    // clear staging dirs of upserts that PROVABLY died before recording
+    // intent (same discipline as `.compact-*` / `.cow-*`; a young dir
+    // may be a concurrent upsert mid-stage and is left alone)
+    ArrowOcc.sweepStaleStaging(fs, dirPath, ".equp-*")
 
     // one small aggregate validates the batch contract (empty / null
     // keys / duplicate keys) before anything is staged
@@ -482,7 +486,10 @@ object ArrowEqualityDeletes {
       var cur = scala.collection.mutable.ArrayBuffer.empty[String]
       var curRows = 0L
       counts.foreach { case (f, n) =>
-        if (cur.nonEmpty && curRows + n > groupCap) {
+        // rows bound driver memory; the file-count bound keeps the
+        // group's `isin` restriction a sane expression (a group of
+        // 100k tiny masks would otherwise plan a 100k-literal filter)
+        if (cur.nonEmpty && (curRows + n > groupCap || cur.size >= 1000)) {
           groups += cur.toSeq; cur = scala.collection.mutable.ArrayBuffer.empty
           curRows = 0L
         }

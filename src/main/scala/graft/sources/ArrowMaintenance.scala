@@ -842,6 +842,7 @@ object ArrowMaintenance {
     val recovered = recover(spark, dir)
     val staging = ArrowOcc.sweepStaleStaging(fs, dirPath, ".compact-*") +
       ArrowOcc.sweepStaleStaging(fs, dirPath, ".cow-*") +
+      ArrowOcc.sweepStaleStaging(fs, dirPath, ".equp-*") +
       ArrowDeleteVectors.sweepStaleStaged(fs, dirPath)
     ArrowOcc.sweepStalePending(fs, dirPath)
     ArrowOcc.sweepStaleDml(fs, dirPath)
