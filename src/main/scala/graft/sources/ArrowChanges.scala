@@ -45,17 +45,22 @@ object ArrowChanges {
         "(expired history? 0 = since the beginning)")
 
     val window = snaps.filter(e => e.id > from && e.id <= to)
-    // equality-delete commits refuse: a tombstone's delete rows are only
-    // knowable by probing every older file's keys (no positional record
-    // exists until a fold), so a change feed across them would silently
-    // omit deletions — fold first (CALL graft.system.purge_eq), then
-    // feed from the fold's positional vectors like any MOR delete
-    require(!window.exists(e => (e.adds ++ e.removes)
-        .exists(_.startsWith(ArrowEqualityDeletes.EqDir + "/"))),
-      s"arrow-ipc change feed: window ($from, $to] of $dir contains " +
-        "equality-delete commits — their deletions have no positional " +
-        "record yet; fold them (CALL graft.system.purge_eq) and read " +
-        "the feed across the fold instead")
+    // EQUALITY DELETES: the feed is sound iff NEITHER ENDPOINT has
+    // tombstones in force — a window that fully spans upsert→fold is
+    // served correctly (the batches' inserts are ordinary data adds,
+    // the fold's deletion-vector entries carry the deletions
+    // position-exactly, and the tombstone rels net-cancel as metadata);
+    // a window ENDING mid-equality refuses, because those deletions
+    // have no positional record yet — fold (CALL graft.system.purge_eq)
+    // and the feed resumes across it
+    def eqInForce(id: Long): Boolean = id > 0 &&
+      ArrowSnapshots.resolve(snaps, id).getOrElse(Set.empty)
+        .exists(_.startsWith(ArrowEqualityDeletes.EqDir + "/"))
+    require(!eqInForce(from) && !eqInForce(to),
+      s"arrow-ipc change feed: window ($from, $to] of $dir starts or " +
+        "ends with equality-delete tombstones in force — their " +
+        "deletions have no positional record yet; fold them " +
+        "(CALL graft.system.purge_eq) and feed across the fold instead")
     // deletion vectors ride the same log entries but are mask metadata —
     // split them out of the file delta and fold their own activity
     val (added, dvAdded) =

@@ -186,14 +186,26 @@ private[sources] class ArrowChangesMicroBatchStream(
     // direct-path parses, never an O(history) log read per batch.
     val window = ArrowSnapshots.readRange(f, dirPath, from, to,
       "a checkpointed stream")
-    // equality-delete commits refuse (same contract as the batch feed):
-    // their deletions have no positional record until a fold, so the
-    // stream would silently omit delete rows
-    require(!window.exists(e => (e.adds ++ e.removes)
-        .exists(_.startsWith(ArrowEqualityDeletes.EqDir + "/"))),
-      s"arrow-ipc change-feed stream: window ($from, $to] of $dir " +
-        "contains equality-delete commits — fold them first (CALL " +
-        "graft.system.purge_eq); the stream resumes across the fold")
+    // EQUALITY DELETES, O(window) form of the batch feed's endpoint
+    // rule: the stream's offsets only ever land on eq-free states
+    // (inductively — this check), so tombstones in force at `to` show
+    // up as net-positive `.eq/` adds within the window. A window that
+    // fully spans upsert→fold nets to zero and serves correctly (the
+    // fold's vector entries carry the deletions position-exactly); one
+    // ending mid-equality WAITS — the poll fails until the fold lands,
+    // then the stream resumes across it
+    val eqNet = {
+      val a = window.flatMap(_.adds)
+        .filter(_.startsWith(ArrowEqualityDeletes.EqDir + "/")).toSet
+      val r = window.flatMap(_.removes)
+        .filter(_.startsWith(ArrowEqualityDeletes.EqDir + "/")).toSet
+      a -- r
+    }
+    require(eqNet.isEmpty,
+      s"arrow-ipc change-feed stream: window ($from, $to] of $dir ends " +
+        "with equality-delete tombstones in force — their deletions " +
+        "have no positional record yet; fold them (CALL " +
+        "graft.system.purge_eq) and the stream resumes across the fold")
     // deletion vectors ride the same log entries as data files but are
     // MASK metadata: split them out before net-change folding (a dv rel
     // must never be opened as a data file), and fold their own activity

@@ -393,6 +393,36 @@ class ArrowEqualityDeletesSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.arrow.vacuumFoldEqAbove")
   }
 
+  test("the change feed serves a window that fully SPANS upsert -> fold; a mid-equality window refuses until the fold") {
+    val dir = tmp("graft_eq_feed")
+    seed(dir)
+    val fs = fsOf(dir)
+    val tipA = graft.sources.ArrowSnapshots.currentTip(fs, new Path(dir))
+    ArrowEqualityDeletes.upsertBatch(spark, dir, "key", batchDf(10, 1, 1000))
+    val tipB = graft.sources.ArrowSnapshots.currentTip(fs, new Path(dir))
+    // window ENDING mid-equality: the deletions have no positional
+    // record yet — refuse, naming the fold
+    val e = intercept[Exception] {
+      graft.sources.ArrowChanges.changeFeed(spark, dir, tipA, tipB).count()
+    }
+    assert(e.getMessage.contains("purge_eq"))
+    ArrowEqualityDeletes.fold(spark, dir)
+    val tipC = graft.sources.ArrowSnapshots.currentTip(fs, new Path(dir))
+    // window spanning upsert -> fold: the batch's inserts are data adds,
+    // the fold's vectors carry the deletions position-exactly
+    val feed = graft.sources.ArrowChanges.changeFeed(spark, dir, tipA, tipC)
+    val byType = feed.groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType.getOrElse("insert", 0L) === 11L, // 10 new images + key 1000
+      s"feed across the fold wrong: $byType")
+    assert(byType.getOrElse("delete", 0L) === 10L, // the 10 old images
+      s"feed across the fold wrong: $byType")
+    // and the delete rows are the OLD images (v = key*10), not the new
+    val delV = feed.filter(col("_change_type") === "delete")
+      .select(sum("v")).head().getLong(0)
+    assert(delV === (0 until 10).map(_ * 10L).sum)
+  }
+
   test("crash window: fold interrupted between vector commit and tombstone removal converges on re-run") {
     val dir = tmp("graft_eq_crash")
     seed(dir)
