@@ -158,7 +158,39 @@ private[sources] class ArrowChangesMicroBatchStream(
       case mf: ReadMaxFiles => ids.take(mf.maxFiles)
       case _ => ids
     }
-    ArrowSnapshotIdOffset(admitted.lastOption.getOrElse(from))
+    val last0 = admitted.lastOption.getOrElse(from)
+    // EQUALITY-SPAN INDIVISIBILITY (round 13): an offset, once written
+    // to the WAL, MUST be servable — restarts replay it verbatim — so
+    // an endpoint with tombstones in force may never be ADMITTED (its
+    // deletions have no positional record until the fold). The span
+    // upsert→fold is indivisible: admit the LAST net-eq-zero point; if
+    // the trigger cap cuts mid-span, look past it (the span is one
+    // unit); if no zero point exists yet, hold the line — the stream
+    // waits and resumes once the fold lands. Ordinary tables pay one
+    // exists() on data-carrying polls only.
+    val endId =
+      if (last0 <= from || !scala.util.Try(f.exists(new Path(dirPath,
+          ArrowEqualityDeletes.EqDir))).getOrElse(false)) last0
+      else {
+        def lastZero(upTo: Long): Long = {
+          val entries = ArrowSnapshots.readRange(f, dirPath, from, upTo,
+            "a checkpointed stream")
+          var net = Set.empty[String]
+          var best = from
+          entries.sortBy(_.id).foreach { e =>
+            net = net ++ e.adds.filter(_.startsWith(
+              ArrowEqualityDeletes.EqDir + "/")) --
+              e.removes.filter(_.startsWith(
+                ArrowEqualityDeletes.EqDir + "/"))
+            if (net.isEmpty) best = e.id
+          }
+          best
+        }
+        val within = lastZero(last0)
+        if (within > from || last0 >= tip) within.max(from)
+        else lastZero(tip).max(from) // span crosses the cap: one unit
+      }
+    ArrowSnapshotIdOffset(endId)
   }
 
   override def reportLatestOffset(): Offset = {

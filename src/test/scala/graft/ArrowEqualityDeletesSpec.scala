@@ -423,6 +423,47 @@ class ArrowEqualityDeletesSpec extends AnyFunSuite {
     assert(delV === (0 until 10).map(_ * 10L).sum)
   }
 
+  test("streaming change feed: holds the line mid-equality (WAL-safe admission); resumes across the fold exactly-once") {
+    val base = tmp("graft_eq_cfstream")
+    val dir = s"$base/t"
+    seed(dir, n = 50, parts = 2)
+    def start() = spark.readStream.format("arrow-ipc")
+      .option("changeFeed", true).load(dir)
+      .writeStream.format("parquet")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt").start()
+    // drain the pre-equality state
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(spark.read.parquet(s"$base/out").count() === 50L)
+
+    ArrowEqualityDeletes.upsertBatch(spark, dir, "key", batchDf(5, 1, 900))
+    // mid-equality, the stream HOLDS THE LINE: an offset, once written
+    // to the WAL, must be servable on replay, so the admission never
+    // lands on a tombstones-in-force endpoint — the poll admits nothing
+    // (no failure, no partial delta) until the fold creates the next
+    // net-zero point
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(spark.read.parquet(s"$base/out").count() === 50L,
+      "a mid-equality poll emitted a partial delta")
+
+    ArrowEqualityDeletes.fold(spark, dir)
+    // restart from the SAME checkpoint: the window now spans the fold
+    val q3 = start()
+    try q3.processAllAvailable() finally q3.stop()
+    val delta = spark.read.parquet(s"$base/out")
+      .filter(col("key") < 5 || col("key") === 900)
+    val byType = delta.groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the out dir accumulates BOTH runs: 5 initial images (run 1) + 5
+    // new images + key 900 (the restart's spanning window); 5 deletes
+    assert(byType.getOrElse("insert", 0L) === 11L,
+      s"stream across the fold wrong: $byType")
+    assert(byType.getOrElse("delete", 0L) === 5L,
+      s"stream across the fold wrong: $byType")
+  }
+
   test("crash window: fold interrupted between vector commit and tombstone removal converges on re-run") {
     val dir = tmp("graft_eq_crash")
     seed(dir)
