@@ -107,6 +107,14 @@ object ArrowBranch {
     val bp = branchPath(dirPath, branch)
     require(fs.exists(bp),
       s"arrow-ipc branch: $dir has no branch '$branch' to publish")
+    // mirror [[write]]'s flat-only refusal: a branch staged while the
+    // table was flat could otherwise publish AFTER an evolution to a
+    // hive layout, landing root part files a pure-hive read never lists
+    // — a "successful" publish whose rows are silently invisible
+    require(ArrowHiveLayout.read(fs, dirPath).isEmpty,
+      s"arrow-ipc branch: $dir is hive-partitioned — a publish would " +
+        "land flat part files a hive read never lists; branches are " +
+        "flat-layout only")
     ArrowMaintenance.recover(spark, dir) // finish any crashed swap first
     ArrowOcc.withCommitLock(fs, dirPath) {
       // a branch write IN FLIGHT (live pending marker on the branch

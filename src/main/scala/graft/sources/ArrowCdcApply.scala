@@ -91,14 +91,26 @@ object ArrowCdcApply {
     }
     val r = batch.agg(min(keyCol), max(keyCol)).head()
     if (r.isNullAt(0)) return None // all-null or empty batch
+    // TIMESTAMP literals parse in spark.sql.session.timeZone, while
+    // java.sql.Timestamp.toString formats in the JVM default — when the
+    // two differ the bounds would shift and MATCHED target rows fall
+    // OUTSIDE the pruning predicate (phantom inserts). Render the
+    // wall-clock at the SESSION zone so the literal round-trips to the
+    // same instant the batch holds.
+    lazy val sessionZone = java.time.ZoneId.of(
+      batch.sparkSession.sessionState.conf.sessionLocalTimeZone)
+    lazy val wallFmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
+    def wall(i: java.time.Instant): String =
+      wallFmt.format(java.time.LocalDateTime.ofInstant(i, sessionZone))
     def lit(v: Any): String = v match {
       case s: String => "'" + s.replace("'", "''") + "'"
       case d: java.sql.Date => s"DATE '$d'"
       case d: java.time.LocalDate => s"DATE '$d'"
       case t: java.sql.Timestamp =>
-        "TIMESTAMP '" + t.toString + "'"
+        "TIMESTAMP '" + wall(t.toInstant) + "'"
       case t: java.time.Instant =>
-        "TIMESTAMP '" + java.sql.Timestamp.from(t).toString + "'"
+        "TIMESTAMP '" + wall(t) + "'"
       case t: java.time.LocalDateTime =>
         "TIMESTAMP_NTZ '" + java.sql.Timestamp.valueOf(t).toString + "'"
       case x => x.toString // numeric (guarded above)

@@ -94,6 +94,17 @@ object ArrowEqualityDeletes {
       .sortBy(_._2)
   }
 
+  /** Total keys across live tombstones — the executor-resident lookup
+    * cost, summed from the names alone (nothing opened). Drives the
+    * key-count auto-fold trigger (`vacuumFoldEqKeysAbove`). */
+  def liveKeyCount(fs: FileSystem, dirPath: Path): Long = {
+    val eq = new Path(dirPath, EqDir)
+    if (!scala.util.Try(fs.exists(eq)).getOrElse(false)) return 0L
+    Option(fs.globStatus(new Path(eq, "eq-*.eq.arrows")))
+      .getOrElse(Array.empty)
+      .flatMap(st => parseName(st.getPath.getName)).map(_._2).sum
+  }
+
   /** The declared key column; None = the table never saw an equality
     * delete. */
   def keyColOf(fs: FileSystem, dirPath: Path): Option[String] = {
@@ -164,7 +175,7 @@ object ArrowEqualityDeletes {
   private[sources] def lookupFor(part: EqPart,
       conf: org.apache.hadoop.conf.Configuration)
       : java.util.HashMap[Any, java.lang.Long] = {
-    val key = part.tombPaths.sorted.mkString("\\u0000")
+    val key = part.tombPaths.sorted.mkString(0.toChar.toString)
     val cached = lookupCache.get(key)
     val hit = if (cached == null) null else cached.get()
     if (hit != null) return hit
@@ -180,6 +191,57 @@ object ArrowEqualityDeletes {
     }
     lookupCache.put(key, new java.lang.ref.SoftReference(m))
     m
+  }
+
+  // ── planning-time key pruning (round 14) ────────────────────────────
+
+  /** Sidecar name for a tombstone's key range: `<tomb>.range.json`,
+    * holding `{"col","kind","min","max"}` in the stats manifest's
+    * canonical string forms. ADVISORY by contract — a missing or
+    * unreadable sidecar only disables pruning, never correctness (the
+    * read-side mask consults the tombstone file itself). Committed via
+    * the same intent moves as its tombstone and retired with it. */
+  private[sources] def rangeName(tombRel: String): String =
+    tombRel + ".range.json"
+
+  /** A tombstone's key range from its sidecar: (kind, min, max) in
+    * canonical form; None = no/invalid sidecar (prune nothing). */
+  private[sources] def rangeOf(fs: FileSystem, dirPath: Path,
+      tombRel: String): Option[(String, String, String)] = {
+    val p = new Path(dirPath, rangeName(tombRel))
+    if (!scala.util.Try(fs.exists(p)).getOrElse(false)) return None
+    scala.util.Try {
+      import org.json4s._
+      val j = org.json4s.jackson.JsonMethods.parse(
+        ArrowFileStats.readFully(fs, p))
+      (j \ "kind", j \ "min", j \ "max") match {
+        case (JString(k), JString(mn), JString(mx)) => Some((k, mn, mx))
+        case _ => None
+      }
+    }.toOption.flatten
+  }
+
+  /** JVM-wide cache of SMALL tombstones' key sets for planning-time
+    * point pruning (tombstone files are immutable — a loaded set is
+    * valid forever; soft refs shed under pressure). Planning probes each
+    * candidate file's stats interval + bloom with these keys via
+    * [[ArrowFileStats.canMatch]], so a 200-key CDC batch prunes the
+    * fold/read to files that can actually hold a masked key. */
+  private val keysCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      java.lang.ref.SoftReference[Array[Any]]]()
+
+  private[sources] def keysOf(path: String,
+      conf: org.apache.hadoop.conf.Configuration): Array[Any] = {
+    val cached = keysCache.get(path)
+    val hit = if (cached == null) null else cached.get()
+    if (hit != null) return hit
+    val p = new Path(path)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Any]
+    foreachTombKey(p.getFileSystem(conf), p)(buf += _)
+    val arr = buf.toArray
+    keysCache.put(path, new java.lang.ref.SoftReference(arr))
+    arr
   }
 
   /** Iterate a tombstone file's (single) key column, normalized. */
@@ -395,6 +457,24 @@ object ArrowEqualityDeletes {
     if (!fs.rename(tombPart.getPath, new Path(stagingPath, tombStaged)))
       throw new java.io.IOException(
         s"arrow-ipc equality upsert: rename of staged tombstone failed")
+    // the tombstone's key RANGE, from the stats the interchange write of
+    // the key column just computed — staged as an advisory sidecar so
+    // planning can intersect it with each candidate file's key interval
+    // (the fold-scan pruning of round 14); absent stats = no sidecar,
+    // pruning simply stays off for this tombstone
+    val tombRange: Option[String] = ArrowFileStats.read(fs, tombTmp)
+      .values.headOption.flatMap(_.cols.get(keyCol))
+      .filter(c => c.min.isDefined && c.max.isDefined)
+      .map { c =>
+        val name = s".tomb-$id.eq.range.json"
+        ArrowOcc.writeAtomic(fs, new Path(stagingPath, name),
+          ("{\"col\":\"" + ArrowFileStats.esc(keyCol) +
+            "\",\"kind\":\"" + ArrowFileStats.esc(c.kind) +
+            "\",\"min\":\"" + ArrowFileStats.esc(c.min.get) +
+            "\",\"max\":\"" + ArrowFileStats.esc(c.max.get) + "\"}")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        name
+      }
     fs.delete(tombTmp, true)
 
     val txn = ArrowDeleteVectors.currentCdcTxn()
@@ -429,7 +509,8 @@ object ArrowEqualityDeletes {
       val tombFinal = s"$EqDir/${tombName(id, seq, total)}"
       val intent = ArrowMaintenance.Intent(
         olds = Nil, staging = staging,
-        moves = dataMoves + (tombStaged -> tombFinal),
+        moves = dataMoves + (tombStaged -> tombFinal) ++
+          tombRange.map(n => n -> rangeName(tombFinal)),
         kind = "eq-upsert", layoutKeys = Nil, dvs = Nil, txn = txn)
       ArrowMaintenance.commitIntent(fs, dirPath, intent)
       EqUpsertResult(applied = true, seq, dataMoves.size, total)
@@ -511,15 +592,26 @@ object ArrowEqualityDeletes {
           filesMasked += perFile.length
         }
       }
-      // REMOVE the tombstones (idempotent, crash-safe: a tombstone that
-      // outlives its fold double-masks already-masked rows)
+      // REMOVE the tombstones through the intent/replay machinery so the
+      // retirement is CONVERGENT: trash moves and the snapshot entry are
+      // one replayable unit — a crash between them is finished by
+      // recover(), never a state where the files are gone but every
+      // later snapshot still resolves them in (which would wedge time
+      // travel and the change feed forever, since a re-run fold would
+      // see no live tombstones and log nothing). Range sidecars retire
+      // with their tombstones.
       ArrowOcc.withCommitLock(fs, dirPath) {
         val stillLive = liveTombs(fs, dirPath).filter(tombs.contains)
-        stillLive.foreach { case (rel, _) =>
-          ArrowSnapshots.moveToTrash(fs, dirPath, rel) }
-        if (stillLive.nonEmpty)
-          ArrowSnapshots.append(fs, dirPath, Nil, stillLive.map(_._1),
-            op = "eq-fold")
+        if (stillLive.nonEmpty) {
+          val sidecars = stillLive.map(t => rangeName(t._1)).filter(r =>
+            scala.util.Try(fs.exists(new Path(dirPath, r))).getOrElse(false))
+          val foldStaging = s".eqfold-${java.util.UUID.randomUUID.toString.take(8)}"
+          fs.mkdirs(new Path(dirPath, foldStaging))
+          ArrowMaintenance.commitIntent(fs, dirPath, ArrowMaintenance.Intent(
+            olds = stillLive.map(_._1) ++ sidecars, staging = foldStaging,
+            moves = Map.empty, kind = "eq-fold", layoutKeys = Nil,
+            dvs = Nil, txn = None))
+        }
       }
       EqFoldResult(tombs.size, filesMasked, total)
     } finally hits.unpersist(blocking = false)

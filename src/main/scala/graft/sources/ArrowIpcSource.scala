@@ -198,6 +198,15 @@ private[sources] class ArrowIpcTable(tableSchema: StructType, dir: String,
     val targetDir = Option(info.options.get("branch")).fold(dir) { b =>
       require(b.matches("[A-Za-z0-9_-]+"),
         s"arrow-ipc: invalid branch name '$b' ([A-Za-z0-9_-] only)")
+      // mirror ArrowBranch.write's flat-only refusal: a branch staged on
+      // a hive table would publish flat part files into the table root
+      // where a pure-hive read never lists them (silently invisible rows)
+      val dp = new Path(dir)
+      require(ArrowHiveLayout.read(
+          dp.getFileSystem(SparkSession.active.sparkContext
+            .hadoopConfiguration), dp).isEmpty,
+        s"arrow-ipc branch: $dir is hive-partitioned — branches are " +
+          "flat-layout only")
       new Path(dir, s"${ArrowBranch.BranchRoot}/$b").toString
     }
     new ArrowIpcWriteBuilder(info.schema(), targetDir,
@@ -996,15 +1005,76 @@ private[sources] class ArrowIpcScan(required: StructType, dir: String,
     ArrowInterchange.attachResolutionMeta(StructType(Seq(f)), dir, hconf)
   }
 
+  /** Per-tombstone key-prune metadata, resolved once per scan:
+    * small tombstones (key count ≤ `spark.graft.arrow.eqPruneKeysMax`,
+    * the count rides the name) enumerate their keys for exact
+    * interval+bloom point probes; larger ones fall back to the range
+    * sidecar's (kind, min, max). Both ADVISORY — absence keeps the
+    * tombstone applicable, never a wrong skip. */
+  private lazy val eqPrune: Map[String, Either[Array[Any], (String, String, String)]] = {
+    if (eqTombs.isEmpty) Map.empty
+    else {
+      val spark = SparkSession.active
+      val conf = spark.sparkContext.hadoopConfiguration
+      val cap = scala.util.Try(spark.conf
+        .get("spark.graft.arrow.eqPruneKeysMax", "4096").toLong)
+        .getOrElse(4096L)
+      val dirPath = new Path(dir)
+      val fs = dirPath.getFileSystem(conf)
+      eqTombs.flatMap { case (abs, _) =>
+        val name = new Path(abs).getName
+        val count = ArrowEqualityDeletes.parseName(name).map(_._2)
+        if (count.exists(c => c > 0 && c <= cap))
+          scala.util.Try(ArrowEqualityDeletes.keysOf(abs, conf)).toOption
+            .map(ks => abs -> Left(ks))
+        else
+          ArrowEqualityDeletes.rangeOf(fs, dirPath,
+            s"${ArrowEqualityDeletes.EqDir}/$name").map(r => abs -> Right(r))
+      }.toMap
+    }
+  }
+
+  /** Could `tombPath` mask ANY row of a file with these stats? True on
+    * any doubt (no stats, no prune metadata, kind mismatch, pre-rename
+    * physical name — the stats key misses and the lookup stays
+    * advisory-true). Small tombstones reuse [[ArrowFileStats.canMatch]]
+    * with an In over the enumerated keys (interval AND bloom per key);
+    * large ones intersect the sidecar's key range with the file's. */
+  private def eqMayHit(tombPath: String, st: Option[FileStats]): Boolean =
+    st match {
+      case None => true
+      case Some(s) => eqPrune.get(tombPath) match {
+        case Some(Left(keys)) =>
+          eqKeyCol.exists(k => ArrowFileStats.canMatch(
+            org.apache.spark.sql.sources.In(k, keys), s))
+        case Some(Right((kind, tmin, tmax))) =>
+          eqKeyCol.flatMap(k => s.cols.get(k)) match {
+            case Some(c) if c.nulls >= s.rows && s.rows > 0 => false
+            case Some(c) if c.kind == kind &&
+                c.min.isDefined && c.max.isDefined =>
+              scala.util.Try(
+                !(ArrowFileStats.ltCanonical(kind, c.max.get, tmin) ||
+                  ArrowFileStats.ltCanonical(kind, tmax, c.min.get)))
+                .getOrElse(true)
+            case _ => true
+          }
+        case None => true
+      }
+    }
+
   /** The equality-mask spec for one data file: only tombstones with a
     * STRICTLY GREATER sequence apply (the file's own batch — and
-    * anything after it — is never masked by it); a file no tombstone
-    * outranks reads mask-free. `eqEmitDeleted` inverts the polarity
-    * ([[ArrowEqualityDeletes.fold]]'s position-finding read). */
+    * anything after it — is never masked by it), and — round 14 — only
+    * tombstones whose KEYS could live in the file per its stats
+    * interval/bloom (exact CDC-shape pruning: a 200-key batch's fold
+    * scans candidate files, not the table); a file no surviving
+    * tombstone outranks reads mask-free. `eqEmitDeleted` inverts the
+    * polarity ([[ArrowEqualityDeletes.fold]]'s position-finding read). */
   private def eqFor(fileName: String): Option[ArrowEqualityDeletes.EqPart] = {
     if (eqTombs.isEmpty || eqKeyCol.isEmpty) return None
-    val fileSeq = manifest.get(fileName).map(_.seq).getOrElse(0L)
-    val applicable = eqTombs.filter(_._2 > fileSeq)
+    val st = manifest.get(fileName)
+    val fileSeq = st.map(_.seq).getOrElse(0L)
+    val applicable = eqTombs.filter(t => t._2 > fileSeq && eqMayHit(t._1, st))
     if (applicable.isEmpty) None
     else Some(ArrowEqualityDeletes.EqPart(eqKeyCol.get, fileSeq,
       applicable.map(_._1), applicable.map(_._2), eqEmitDeleted,

@@ -861,12 +861,25 @@ object ArrowMaintenance {
     val eqAbove = scala.util.Try(spark.conf
       .get("spark.graft.arrow.vacuumFoldEqAbove", "16").toInt)
       .getOrElse(16)
+    // KEY-COUNT companion trigger (round 14): the read-side lookup
+    // materializes every live tombstone KEY in executor memory, so the
+    // resident cost is bounded by total keys, not tombstone count — 16
+    // bulk upserts of 10M keys each would hold ~1.6 GB per executor
+    // before the count trigger fired. Each tombstone's key count rides
+    // its NAME (`.k<count>.`), so the sum costs one listing; default
+    // 5M keys ≈ 40-80 MB resident. <= 0 disables the key leg.
+    val eqKeysAbove = scala.util.Try(spark.conf
+      .get("spark.graft.arrow.vacuumFoldEqKeysAbove", "5000000").toLong)
+      .getOrElse(5000000L)
     val eqFolded =
-      if (eqAbove <= 0) None
+      if (eqAbove <= 0 && eqKeysAbove <= 0L) None
       else {
         val tombs = ArrowEqualityDeletes.liveTombs(fs, dirPath)
-        if (tombs.size < eqAbove) None
-        else Some(ArrowEqualityDeletes.fold(spark, dir))
+        val keys = ArrowEqualityDeletes.liveKeyCount(fs, dirPath)
+        if ((eqAbove > 0 && tombs.size >= eqAbove) ||
+            (eqKeysAbove > 0L && keys >= eqKeysAbove))
+          Some(ArrowEqualityDeletes.fold(spark, dir))
+        else None
       }
     val theta = purgeMaskedAbove.getOrElse(
       scala.util.Try(spark.conf

@@ -464,6 +464,121 @@ class ArrowEqualityDeletesSpec extends AnyFunSuite {
       s"stream across the fold wrong: $byType")
   }
 
+  test("round 14: the fold scan prunes to files that can hold a masked key (clustered table)") {
+    val dir = tmp("graft_eq_foldprune")
+    // 4 key-clustered files: [0,100), [100,200), [200,300), [300,400)
+    spark.range(0, 400)
+      .select(col("id").as("key"), (col("id") * 10).as("v"))
+      .repartitionByRange(4, col("key")).sortWithinPartitions("key")
+      .write.format("arrow-ipc").mode("overwrite").save(dir)
+    assert(dataFiles(dir).size === 4)
+    val r = ArrowEqualityDeletes.upsertBatch(spark, dir, "key",
+      spark.range(0, 10).select(col("id").as("key"), lit(-1L).as("v")))
+    assert(r.applied)
+    // the range sidecar rode the commit
+    val fs = fsOf(dir)
+    assert(Option(fs.globStatus(new Path(dir, ".eq/eq-*.range.json")))
+      .getOrElse(Array.empty).length === 1, "no key-range sidecar committed")
+    // SMALL-TOMBSTONE path (keys enumerated): the eqEmit=deleted scan
+    // plans ONE partition — only the [0,100) file can hold a masked key
+    // (the batch's own insert file has seq = the tombstone's, never a
+    // candidate)
+    def foldScanParts(): Int = spark.read.format("arrow-ipc")
+      .option("eqEmit", "deleted").load(dir)
+      .select(col(graft.sources.ArrowRowLevel.FileColumn),
+        col(graft.sources.ArrowRowLevel.PosColumn))
+      .rdd.getNumPartitions
+    assert(foldScanParts() === 1,
+      s"fold scan read ${foldScanParts()} files, expected 1 candidate")
+    // LARGE-TOMBSTONE path: force the range-sidecar fallback by capping
+    // key enumeration below the batch size — same single candidate
+    spark.conf.set("spark.graft.arrow.eqPruneKeysMax", "4")
+    try assert(foldScanParts() === 1,
+      "range-sidecar pruning did not restrict the fold scan")
+    finally spark.conf.unset("spark.graft.arrow.eqPruneKeysMax")
+    // pruning never loses a mask: the read serves the new images, and
+    // the fold finds exactly the 10 old ones
+    assert(table(dir).filter(col("key") < 10).select(sum("v"))
+      .head().getLong(0) === -10L)
+    val f = ArrowEqualityDeletes.fold(spark, dir)
+    assert(f.rows === 10L && f.filesMasked === 1, s"pruned fold wrong: $f")
+    assert(table(dir).count() === 400L)
+    // sidecar retired with its tombstone
+    assert(Option(fs.globStatus(new Path(dir, ".eq/eq-*.range.json")))
+      .getOrElse(Array.empty).isEmpty, "fold left the range sidecar behind")
+  }
+
+  test("round 14: fold retirement is convergent — a crash after the intent is finished by recover(), unwedging time travel") {
+    val dir = tmp("graft_eq_foldcrash")
+    seed(dir)
+    ArrowEqualityDeletes.upsertBatch(spark, dir, "key", batchDf(10, 1, 1000))
+    val fs = fsOf(dir)
+    val dirPath = new Path(dir)
+    // the fold's first (separately crash-safe) half: vectors committed
+    import org.apache.spark.sql.functions.{collect_list, sort_array}
+    val hits = spark.read.format("arrow-ipc").option("eqEmit", "deleted")
+      .load(dir)
+      .select(col(graft.sources.ArrowRowLevel.FileColumn),
+        col(graft.sources.ArrowRowLevel.PosColumn))
+      .groupBy(graft.sources.ArrowRowLevel.FileColumn)
+      .agg(sort_array(collect_list(col(graft.sources.ArrowRowLevel.PosColumn))).as("pos"))
+      .collect().map(r => (r.getString(0), r.getSeq[Long](1).toArray))
+    ArrowEqualityDeletes.foldInProgress.set(true)
+    try graft.sources.ArrowDeleteVectors.commitDeletes(spark, dir, hits)
+    finally ArrowEqualityDeletes.foldInProgress.set(false)
+    // CRASH SIMULATION: the retirement intent lands, the process dies
+    // before the replay runs a single trash move
+    val tombs = ArrowEqualityDeletes.liveTombs(fs, dirPath)
+    val sidecars = tombs.map(t => t._1 + ".range.json")
+      .filter(r => fs.exists(new Path(dirPath, r)))
+    fs.mkdirs(new Path(dirPath, ".eqfold-crash"))
+    ArrowMaintenance.writeIntent(fs, dirPath, ArrowMaintenance.Intent(
+      olds = tombs.map(_._1) ++ sidecars, staging = ".eqfold-crash",
+      moves = Map.empty, kind = "eq-fold"))
+    // recover() finishes the retirement: trash moves AND the snapshot
+    // entry land together — never the wedge where the files are gone
+    // but later snapshots still resolve them in
+    assert(ArrowMaintenance.recover(spark, dir))
+    assert(!ArrowEqualityDeletes.any(fs, dirPath))
+    val snaps = graft.sources.ArrowSnapshots.read(fs, dirPath)
+    val foldEntry = snaps.filter(_.op == "eq-fold").lastOption
+    assert(foldEntry.exists(e => tombs.map(_._1).forall(e.removes.contains)),
+      "recover() did not log the tombstone removal")
+    assert(foldEntry.exists(e => sidecars.forall(e.removes.contains)),
+      "recover() did not log the sidecar removal")
+    // the wedge the round-13 advice flagged: time travel to the CURRENT
+    // tip must work once tombstones are resolved OUT
+    val tip = graft.sources.ArrowSnapshots.currentTip(fs, dirPath)
+    assert(spark.read.format("arrow-ipc").option("asOfSnapshot", tip)
+      .load(dir).count() === 101L)
+    assert(table(dir).count() === 101L)
+  }
+
+  test("round 14: vacuum's KEY-COUNT trigger folds fat tombstones before the count trigger would") {
+    val dir = tmp("graft_eq_vackeys")
+    seed(dir, n = 60, parts = 2)
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.ArrowCatalog")
+    // 2 tombstones x 12 keys = 24 keys: far under the count trigger,
+    // over a 20-key budget
+    (0 until 2).foreach { i =>
+      ArrowEqualityDeletes.upsertBatch(spark, dir, "key",
+        spark.range(i * 12L, i * 12L + 12L)
+          .select(col("id").as("key"), lit(100L + i).as("v")))
+    }
+    assert(ArrowEqualityDeletes.liveKeyCount(fsOf(dir), new Path(dir)) === 24L)
+    spark.conf.set("spark.graft.arrow.vacuumFoldEqAbove", "100")
+    spark.conf.set("spark.graft.arrow.vacuumFoldEqKeysAbove", "20")
+    try {
+      val v = ArrowMaintenance.vacuum(spark, dir)
+      assert(v.eqFolded.exists(_.tombstones === 2),
+        s"key-count trigger did not fold: ${v.eqFolded}")
+      assert(!ArrowEqualityDeletes.any(fsOf(dir), new Path(dir)))
+    } finally {
+      spark.conf.unset("spark.graft.arrow.vacuumFoldEqAbove")
+      spark.conf.unset("spark.graft.arrow.vacuumFoldEqKeysAbove")
+    }
+  }
+
   test("crash window: fold interrupted between vector commit and tombstone removal converges on re-run") {
     val dir = tmp("graft_eq_crash")
     seed(dir)
