@@ -282,6 +282,46 @@ object MorScaleProbe {
           f"with live tombstones vs $foldedMs%.0f ms after the fold " +
           f"(${tombMs / foldedMs}%.2fx — the per-row key probe is O(1) " +
           "per row; at this tombstone count it sits in run-to-run noise)")
+
+        // ── 1e. FOLD KEY-PRUNING (round 14): planning intersects each
+        // tombstone's keys with the per-file stats interval (small
+        // tombstones enumerate keys; large ones use the range sidecar),
+        // so the eqEmit=deleted scan reads candidate files only — fold
+        // cost ∝ masked files, not table files. Proven structurally
+        // (planned partitions) and by wall time on a 600-file
+        // key-clustered table with the same 3 x 200-key batches. ────────
+        {
+          val dc = s"$base/eqclustered"
+          spark.range(0, cdcRows)
+            .select(col("id").as("key"), (col("id") % 1000).as("k"),
+              sha2(col("id").cast("string"), 256).as("payload"))
+            .repartitionByRange(600, col("key"))
+            .write.format("arrow-ipc").mode("overwrite").save(dc)
+          (0 until 3).foreach { b =>
+            graft.sources.ArrowEqualityDeletes.upsertBatch(spark, dc, "key",
+              spark.range(b * 200L, b * 200L + 200L)
+                .select(col("id").as("key"), lit(-1L).as("k"),
+                  lit("new").as("payload")))
+          }
+          val totalFiles = Option(fs.globStatus(new Path(dc, "part-*.arrows")))
+            .getOrElse(Array.empty).length
+          val planned = spark.read.format("arrow-ipc")
+            .option("eqEmit", "deleted").load(dc)
+            .select(col(graft.sources.ArrowRowLevel.FileColumn),
+              col(graft.sources.ArrowRowLevel.PosColumn))
+            .rdd.getNumPartitions
+          val (fc, foldClMs) = timed(
+            graft.sources.ArrowEqualityDeletes.fold(spark, dc))
+          // disjoint 200-key ranges: each tombstone masks exactly its
+          // keys' seed images — 600 masked rows total
+          require(fc.rows == 600L,
+            s"eq clustered fold masked ${fc.rows} rows, expected 600")
+          println(f"  fold KEY-PRUNED (clustered, $totalFiles files, 600 " +
+            f"keys in 3 tombstones): planned $planned candidate files " +
+            f"(of $totalFiles), ${fc.filesMasked} actually masked, " +
+            f"$foldClMs%.0f ms (vs $foldMs%.0f ms for the ${f.filesMasked}" +
+            f"-file unclustered fold above)")
+        }
       }
     }
 
