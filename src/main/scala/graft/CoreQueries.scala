@@ -3797,6 +3797,101 @@ object CoreQueries {
               SELECT nation, COUNT(*) AS cnt, CAST(SUM(cents) AS BIGINT) AS cents
               FROM upserted GROUP BY 1 ORDER BY nation""")),
 
+    // COMPOSITE EQUALITY KEYS (round 14): the Iceberg spec's equality
+    // FIELD LIST — a tombstone row masks only when EVERY component
+    // matches (the common CDC shape is (tenant, id); a per-column match
+    // would wrongly mask sibling tenants). Two upsert waves through
+    // ArrowEqualityDeletes.upsertBatchKeys over a (grp, sub) key —
+    // (c_custkey % 7, c_custkey div 7), a bijection, so base tuples
+    // sharing `sub` across different `grp` exist and the oracle's
+    // two-column join is the exactness proof. Wave 2 overlaps wave 1's
+    // tuples (last writer wins per TUPLE); the read is checked through
+    // live tombstones AND after the fold.
+    ("arrow_upsert_eq_composite", (s, d) => {
+      val cust = T(s, d, "customer").select(
+        (col("c_custkey") % 7).cast(LongType).as("grp"),
+        expr("c_custkey div 7").cast(LongType).as("sub"),
+        (col("c_acctbal").cast(DecimalType(12, 2)) * 100)
+          .cast(LongType).as("cents"))
+      // Scratch contract: see json_roundtrip.
+      val path = graft.sources.Scratch.dir(s, "graft_eq_composite")
+      val table = path + "/t"
+      cust.repartition(4).write.format("arrow-ipc")
+        .mode("overwrite").save(table) // unclustered on purpose
+      def wave(m: Int): DataFrame = T(s, d, "orders")
+        .filter(col("o_orderkey") % 2 === m)
+        .select(
+          when(col("o_orderkey") % 10 === 0, col("o_custkey") + 1000000)
+            .otherwise(col("o_custkey")).as("k"),
+          (col("o_totalprice").cast(DecimalType(12, 2)) * 100)
+            .cast(LongType).as("cents"))
+        .groupBy((col("k") % 7).cast(LongType).as("grp"),
+          expr("k div 7").cast(LongType).as("sub"))
+        .agg(sum("cents").as("cents"))
+      val fs = new org.apache.hadoop.fs.Path(table)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      def baseFiles = fs.globStatus(
+          new org.apache.hadoop.fs.Path(table, "part-*.arrows"))
+        .map(st => (st.getPath.getName, st.getModificationTime)).toSet
+      val before = baseFiles
+      val r0 = graft.sources.ArrowEqualityDeletes.upsertBatchKeys(
+        s, table, Seq("grp", "sub"), wave(0))
+      val r1 = graft.sources.ArrowEqualityDeletes.upsertBatchKeys(
+        s, table, Seq("grp", "sub"), wave(1))
+      require(r0.applied && r1.applied && r1.seq > r0.seq,
+        "arrow_upsert_eq_composite: upsert waves did not commit in order")
+      require(before.subsetOf(baseFiles),
+        "arrow_upsert_eq_composite: an equality upsert rewrote a base file")
+      val tPath = new org.apache.hadoop.fs.Path(table)
+      require(graft.sources.ArrowEqualityDeletes.any(fs, tPath),
+        "arrow_upsert_eq_composite: no live tombstones after the waves")
+      val viaTombs = s.read.format("arrow-ipc").load(table)
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("cnt"), sum(col("cents")).as("cents"))
+        .orderBy("grp").collect().toSeq
+      val f = graft.sources.ArrowEqualityDeletes.fold(s, table)
+      require(f.tombstones == 2 && !graft.sources.ArrowEqualityDeletes
+        .any(fs, tPath), "arrow_upsert_eq_composite: fold left tombstones")
+      val out = s.read.format("arrow-ipc").load(table)
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("cnt"), sum(col("cents")).as("cents"))
+        .orderBy("grp")
+      require(out.collect().toSeq == viaTombs,
+        "arrow_upsert_eq_composite: fold changed the table's content")
+      out
+    },
+      Some("""WITH base AS (
+                SELECT c_custkey % 7 AS grp, c_custkey // 7 AS sub,
+                       CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+                FROM customer
+              ), ch AS (
+                SELECT o_orderkey % 2 AS w,
+                       CASE WHEN o_orderkey % 10 = 0 THEN o_custkey + 1000000
+                            ELSE o_custkey END AS k,
+                       CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+                FROM orders
+              ), w0 AS (
+                SELECT k % 7 AS grp, k // 7 AS sub, SUM(cents) AS cents
+                FROM ch WHERE w = 0 GROUP BY 1, 2
+              ), w1 AS (
+                SELECT k % 7 AS grp, k // 7 AS sub, SUM(cents) AS cents
+                FROM ch WHERE w = 1 GROUP BY 1, 2
+              ), final AS (
+                SELECT grp, sub, cents FROM w1
+                UNION ALL
+                SELECT grp, sub, cents FROM w0 w
+                WHERE NOT EXISTS (SELECT 1 FROM w1
+                                  WHERE w1.grp = w.grp AND w1.sub = w.sub)
+                UNION ALL
+                SELECT grp, sub, cents FROM base b
+                WHERE NOT EXISTS (SELECT 1 FROM w1
+                                  WHERE w1.grp = b.grp AND w1.sub = b.sub)
+                  AND NOT EXISTS (SELECT 1 FROM w0
+                                  WHERE w0.grp = b.grp AND w0.sub = b.sub)
+              )
+              SELECT grp, COUNT(*) AS cnt, CAST(SUM(cents) AS BIGINT) AS cents
+              FROM final GROUP BY 1 ORDER BY grp""")),
+
     // PARTITION EVOLUTION (round 13): change the hive keys for FUTURE
     // writes metadata-only (CALL evolve_partitioning / ArrowMaintenance
     // .evolvePartitioning — Iceberg's partition-spec evolution); the

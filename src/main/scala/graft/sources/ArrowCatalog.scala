@@ -265,8 +265,8 @@ class ArrowCatalog extends TableCatalog with ProcedureCatalog
     // the key column's NAME — renaming or dropping it while tombstones
     // live would silently stop the masks from applying (resurrected
     // rows). Refuse loudly; the fold removes the constraint.
-    ArrowEqualityDeletes.keyColOf(fs, p).filter(_ =>
-        ArrowEqualityDeletes.any(fs, p)).foreach { eqKey =>
+    (if (ArrowEqualityDeletes.any(fs, p))
+      ArrowEqualityDeletes.keyColsOf(fs, p) else Nil).foreach { eqKey =>
       changes.foreach {
         case ren: TableChange.RenameColumn
             if ren.fieldNames.headOption.contains(eqKey) =>

@@ -105,20 +105,31 @@ object ArrowEqualityDeletes {
       .flatMap(st => parseName(st.getPath.getName)).map(_._2).sum
   }
 
-  /** The declared key column; None = the table never saw an equality
-    * delete. */
-  def keyColOf(fs: FileSystem, dirPath: Path): Option[String] = {
+  /** The declared equality key columns, in declaration order; empty =
+    * the table never saw an equality delete. Composite keys (round 14,
+    * the Iceberg spec's equality field list — the common CDC shape is
+    * (tenant, id)) are stored as `keyCols`; a legacy single-key meta
+    * (`keyCol`) reads as a one-element list. */
+  def keyColsOf(fs: FileSystem, dirPath: Path): Seq[String] = {
     val p = new Path(dirPath, s"$EqDir/$MetaName")
-    if (!scala.util.Try(fs.exists(p)).getOrElse(false)) return None
+    if (!scala.util.Try(fs.exists(p)).getOrElse(false)) return Nil
     scala.util.Try {
       import org.json4s._
-      org.json4s.jackson.JsonMethods.parse(
-        ArrowFileStats.readFully(fs, p)) \ "keyCol" match {
-        case JString(s) => Some(s)
-        case _ => None
+      val j = org.json4s.jackson.JsonMethods.parse(
+        ArrowFileStats.readFully(fs, p))
+      j \ "keyCols" match {
+        case JArray(vs) => vs.collect { case JString(s) => s }
+        case _ => j \ "keyCol" match {
+          case JString(s) => Seq(s)
+          case _ => Nil
+        }
       }
-    }.toOption.flatten
+    }.getOrElse(Nil)
   }
+
+  /** Single-key convenience: the first declared key column. */
+  def keyColOf(fs: FileSystem, dirPath: Path): Option[String] =
+    keyColsOf(fs, dirPath).headOption
 
   /** Current sequence counter (last assigned; 0 = none yet). Plain
     * appends stamp their files with this value at commit. */
@@ -154,12 +165,17 @@ object ArrowEqualityDeletes {
     * masked rows, [[fold]]'s position-finding read). Serializable —
     * rides the InputPartition; the key SETS load executor-side from the
     * (immutable) tombstone files through a JVM-wide cache. */
-  /** `keySchema`: a ONE-field StructType naming the key column WITH the
+  /** `keySchema`: a StructType naming the key column(s) WITH the
     * table's resolution metadata attached (field ids + rename history)
     * — pre-rename files carry the key under an old physical name, and
     * resolving by bare name would silently skip their masks. None (the
-    * legacy serialized form) falls back to name matching. */
-  case class EqPart(keyCol: String, fileSeq: Long,
+    * legacy serialized form) falls back to name matching.
+    *
+    * Composite keys: `keyCols` lists the declared columns in order; the
+    * lookup key is the bare normalized value for a single column and a
+    * `List[Any]` of the normalized components for a composite (the SAME
+    * construction on the tombstone and data sides). */
+  case class EqPart(keyCols: Seq[String], fileSeq: Long,
       tombPaths: Array[String], tombSeqs: Array[Long],
       emitDeleted: Boolean = false,
       keySchema: Option[StructType] = None) extends Serializable
@@ -183,7 +199,9 @@ object ArrowEqualityDeletes {
     part.tombPaths.zip(part.tombSeqs).foreach { case (p, seq) =>
       val path = new Path(p)
       val fs = path.getFileSystem(conf)
-      foreachTombKey(fs, path) { k =>
+      foreachTombKey(fs, path) { t =>
+        // lookup key shape: bare value (single) / List (composite)
+        val k = if (t.length == 1) t(0) else t.toList
         val prev = m.get(k)
         if (prev == null || prev.longValue() < seq)
           m.put(k, java.lang.Long.valueOf(seq))
@@ -204,21 +222,29 @@ object ArrowEqualityDeletes {
   private[sources] def rangeName(tombRel: String): String =
     tombRel + ".range.json"
 
-  /** A tombstone's key range from its sidecar: (kind, min, max) in
-    * canonical form; None = no/invalid sidecar (prune nothing). */
+  /** A tombstone's key ranges from its sidecar: per key column
+    * (col, kind, min, max) in canonical form; empty = no/invalid
+    * sidecar (prune nothing). Reads both the round-14 multi-column form
+    * (`{"cols":[...]}`) and the original single-object form. */
   private[sources] def rangeOf(fs: FileSystem, dirPath: Path,
-      tombRel: String): Option[(String, String, String)] = {
+      tombRel: String): Seq[(String, String, String, String)] = {
     val p = new Path(dirPath, rangeName(tombRel))
-    if (!scala.util.Try(fs.exists(p)).getOrElse(false)) return None
+    if (!scala.util.Try(fs.exists(p)).getOrElse(false)) return Nil
     scala.util.Try {
       import org.json4s._
+      def one(j: JValue): Option[(String, String, String, String)] =
+        (j \ "col", j \ "kind", j \ "min", j \ "max") match {
+          case (JString(c), JString(k), JString(mn), JString(mx)) =>
+            Some((c, k, mn, mx))
+          case _ => None
+        }
       val j = org.json4s.jackson.JsonMethods.parse(
         ArrowFileStats.readFully(fs, p))
-      (j \ "kind", j \ "min", j \ "max") match {
-        case (JString(k), JString(mn), JString(mx)) => Some((k, mn, mx))
-        case _ => None
+      j \ "cols" match {
+        case JArray(vs) => vs.flatMap(one)
+        case _ => one(j).toSeq
       }
-    }.toOption.flatten
+    }.getOrElse(Nil)
   }
 
   /** JVM-wide cache of SMALL tombstones' key sets for planning-time
@@ -229,23 +255,26 @@ object ArrowEqualityDeletes {
     * fold/read to files that can actually hold a masked key. */
   private val keysCache =
     new java.util.concurrent.ConcurrentHashMap[String,
-      java.lang.ref.SoftReference[Array[Any]]]()
+      java.lang.ref.SoftReference[Array[Array[Any]]]]()
 
   private[sources] def keysOf(path: String,
-      conf: org.apache.hadoop.conf.Configuration): Array[Any] = {
+      conf: org.apache.hadoop.conf.Configuration): Array[Array[Any]] = {
     val cached = keysCache.get(path)
     val hit = if (cached == null) null else cached.get()
     if (hit != null) return hit
     val p = new Path(path)
-    val buf = scala.collection.mutable.ArrayBuffer.empty[Any]
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Array[Any]]
     foreachTombKey(p.getFileSystem(conf), p)(buf += _)
     val arr = buf.toArray
     keysCache.put(path, new java.lang.ref.SoftReference(arr))
     arr
   }
 
-  /** Iterate a tombstone file's (single) key column, normalized. */
-  private def foreachTombKey(fs: FileSystem, p: Path)(f: Any => Unit): Unit = {
+  /** Iterate a tombstone file's key tuples (one array per row, columns
+    * in file order, each component normalized). Rows with any null
+    * component are skipped — the upsert contract forbids them. */
+  private def foreachTombKey(fs: FileSystem, p: Path)
+      (f: Array[Any] => Unit): Unit = {
     val alloc = new org.apache.arrow.memory.RootAllocator()
     val reader = new org.apache.arrow.vector.ipc.ArrowStreamReader(
       ArrowSnapshots.openPlanned(fs, p), alloc,
@@ -253,13 +282,20 @@ object ArrowEqualityDeletes {
     try {
       val root = reader.getVectorSchemaRoot
       while (reader.loadNextBatch()) {
-        val v = root.getVector(0)
-        val get = accessor(v)
+        val nc = root.getSchema.getFields.size()
+        val gets = Array.tabulate(nc)(c => accessor(root.getVector(c)))
         var i = 0
         val n = root.getRowCount
         while (i < n) {
-          val k = get(i)
-          if (k != null) f(k)
+          val t = new Array[Any](nc)
+          var c = 0
+          var ok = true
+          while (c < nc && ok) {
+            t(c) = gets(c)(i)
+            if (t(c) == null) ok = false
+            c += 1
+          }
+          if (ok) f(t)
           i += 1
         }
       }
@@ -306,33 +342,49 @@ object ArrowEqualityDeletes {
       lookup: java.util.HashMap[Any, java.lang.Long],
       root: org.apache.arrow.vector.VectorSchemaRoot): Array[Boolean] = {
     if (lookup.isEmpty) return null
-    // key slot via the SAME field-id/rename resolution the scan uses —
-    // a pre-rename file carries the key under an old physical name, and
-    // a file that predates the column entirely resolves to -1 (its rows
-    // have no key value, so nothing masks — correct by vacuity)
-    val slot = part.keySchema match {
+    // key slots via the SAME field-id/rename resolution the scan uses —
+    // a pre-rename file carries a key column under an old physical name,
+    // and a file that predates ANY key column resolves it to -1 (its
+    // rows have no complete key, so nothing masks — correct by vacuity,
+    // and Iceberg's own null-never-equals rule for missing columns)
+    val slots: Array[Int] = part.keySchema match {
       case Some(ks) =>
         scala.util.Try(ArrowInterchange.resolveColumns(
-          root.getSchema, ks, "<eq-key>", exact = false).head)
-          .getOrElse(-1)
+          root.getSchema, ks, "<eq-key>", exact = false).toArray)
+          .getOrElse(Array.fill(part.keyCols.size)(-1))
       case None =>
         val idx = root.getSchema.getFields
-        var s = -1
-        var j = 0
-        while (j < idx.size()) {
-          if (idx.get(j).getName == part.keyCol) s = j
-          j += 1
-        }
-        s
+        part.keyCols.map { kc =>
+          var s = -1
+          var j = 0
+          while (j < idx.size()) {
+            if (idx.get(j).getName == kc) s = j
+            j += 1
+          }
+          s
+        }.toArray
     }
-    if (slot < 0) return null
-    val v = root.getVector(slot)
-    val get = accessor(v)
+    if (slots.exists(_ < 0) || slots.length != part.keyCols.size) return null
+    val gets = slots.map(s => accessor(root.getVector(s)))
+    val nc = gets.length
     val n = root.getRowCount
     var out: Array[Boolean] = null
     var i = 0
     while (i < n) {
-      val k = get(i)
+      // same key shape as the lookup build: bare value / List
+      var k: Any = null
+      if (nc == 1) k = gets(0)(i)
+      else {
+        val t = new Array[Any](nc)
+        var c = 0
+        var ok = true
+        while (c < nc && ok) {
+          t(c) = gets(c)(i)
+          if (t(c) == null) ok = false
+          c += 1
+        }
+        if (ok) k = t.toList
+      }
       if (k != null) {
         val s = lookup.get(k)
         if (s != null && s.longValue() > part.fileSeq) {
@@ -369,13 +421,25 @@ object ArrowEqualityDeletes {
     *
     * Contract: `batch` matches the table schema (upsert form), carries
     * no NULL keys and at most one row per key (fold your batch first —
-    * MERGE's own source-match rule); the key column's type must be
+    * MERGE's own source-match rule); each key column's type must be
     * integer-backed, string, date or timestamp. Hive-partitioned tables
     * are not supported (use the clustered MERGE path — a hive table IS
     * the clustered case this path exists to avoid). */
   def upsertBatch(spark: SparkSession, dir: String, keyCol: String,
-      batch: DataFrame, deleteOnly: Boolean = false): EqUpsertResult = {
+      batch: DataFrame, deleteOnly: Boolean = false): EqUpsertResult =
+    upsertBatchKeys(spark, dir, Seq(keyCol), batch, deleteOnly)
+
+  /** Composite-key form (the Iceberg spec's equality field list — the
+    * common CDC shape is (tenant, id)): the tombstone carries the
+    * DISTINCT key TUPLES, and a row is masked when every component
+    * matches. Same contract as the single-key form per column. */
+  def upsertBatchKeys(spark: SparkSession, dir: String,
+      keyCols: Seq[String], batch: DataFrame,
+      deleteOnly: Boolean = false): EqUpsertResult = {
     import org.apache.spark.sql.functions.{col, count, countDistinct, lit, sum, when}
+    require(keyCols.nonEmpty && keyCols.distinct == keyCols,
+      s"arrow-ipc equality upsert: key columns must be non-empty and " +
+        s"distinct (got ${keyCols.mkString(",")})")
     val dirPath = new Path(dir)
     val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(new Path(dirPath, "_schema.arrows")),
@@ -385,28 +449,32 @@ object ArrowEqualityDeletes {
         "partitioned table is the key-clustered case; use the MERGE path " +
         "(ArrowCdcApply with keyBounds), which prunes to the batch's keys")
     val tableSchema = ArrowInterchange.readSchema(spark, dir)
-    val keyField = tableSchema.fields.find(_.name == keyCol).getOrElse(
-      throw new IllegalArgumentException(
-        s"arrow-ipc equality upsert: $dir has no column '$keyCol'"))
-    require(supportedKeyType(keyField.dataType),
-      s"arrow-ipc equality upsert: key column '$keyCol' has type " +
-        s"${keyField.dataType} — supported: integral, string, date, timestamp")
-    require(batch.schema(keyCol).dataType == keyField.dataType,
-      s"arrow-ipc equality upsert: batch key type " +
-        s"${batch.schema(keyCol).dataType} != table ${keyField.dataType}")
+    keyCols.foreach { keyCol =>
+      val keyField = tableSchema.fields.find(_.name == keyCol).getOrElse(
+        throw new IllegalArgumentException(
+          s"arrow-ipc equality upsert: $dir has no column '$keyCol'"))
+      require(supportedKeyType(keyField.dataType),
+        s"arrow-ipc equality upsert: key column '$keyCol' has type " +
+          s"${keyField.dataType} — supported: integral, string, date, timestamp")
+      require(batch.schema(keyCol).dataType == keyField.dataType,
+        s"arrow-ipc equality upsert: batch key type " +
+          s"${batch.schema(keyCol).dataType} != table ${keyField.dataType}")
+    }
     if (!deleteOnly)
       require(batch.schema.fieldNames.sorted.sameElements(
           tableSchema.fieldNames.sorted),
         s"arrow-ipc equality upsert: batch columns " +
           s"${batch.schema.fieldNames.mkString(",")} do not match table " +
           s"${tableSchema.fieldNames.mkString(",")}")
-    // one key column per table — but a table whose key was RENAMED
-    // after a full fold (no tombstones constrain it) may re-declare
-    // under the new name; the meta rewrite happens under the lock below
-    keyColOf(fs, dirPath).foreach(k => require(k == keyCol ||
+    // one key LIST per table — but a table whose key was RENAMED (or
+    // re-shaped) after a full fold (no tombstones constrain it) may
+    // re-declare; the meta rewrite happens under the lock below
+    val declared = keyColsOf(fs, dirPath)
+    require(declared.isEmpty || declared == keyCols ||
         liveTombs(fs, dirPath).isEmpty,
-      s"arrow-ipc equality upsert: $dir's equality key is '$k', not " +
-        s"'$keyCol' — one key column per table (fold first to change it)"))
+      s"arrow-ipc equality upsert: $dir's equality key is " +
+        s"(${declared.mkString(",")}), not (${keyCols.mkString(",")}) — " +
+        "one key list per table (fold first to change it)")
 
     ArrowMaintenance.recover(spark, dir) // finish any crashed swap first
     // clear staging dirs of upserts that PROVABLY died before recording
@@ -416,8 +484,10 @@ object ArrowEqualityDeletes {
 
     // one small aggregate validates the batch contract (empty / null
     // keys / duplicate keys) before anything is staged
-    val check = batch.agg(count(lit(1)), countDistinct(col(keyCol)),
-      sum(when(col(keyCol).isNull, 1L).otherwise(0L))).head()
+    val anyNull = keyCols.map(k => col(k).isNull).reduce(_ || _)
+    val check = batch.agg(count(lit(1)),
+      countDistinct(keyCols.head, keyCols.tail: _*),
+      sum(when(anyNull, 1L).otherwise(0L))).head()
     val total = check.getLong(0)
     if (total == 0L) return EqUpsertResult(applied = false, 0L, 0, 0L)
     require(check.getLong(2) == 0L,
@@ -442,13 +512,13 @@ object ArrowEqualityDeletes {
     else {
       fs.mkdirs(stagingPath)
     }
-    // STAGE the tombstone: the batch's distinct keys as one
-    // single-column arrow file inside the staging dir (written through
-    // the same interchange writer, then renamed to the staged tomb name
-    // so the staged stats never cover it)
+    // STAGE the tombstone: the batch's distinct key tuples as one
+    // key-columns-only arrow file inside the staging dir (written
+    // through the same interchange writer, then renamed to the staged
+    // tomb name so the staged stats never cover it)
     val tombTmp = new Path(stagingPath, ".tomb")
     ArrowInterchange.writeStream(
-      batch.select(col(keyCol)).coalesce(1), tombTmp.toString)
+      batch.select(keyCols.map(col): _*).coalesce(1), tombTmp.toString)
     val tombPart = Option(fs.globStatus(new Path(tombTmp, "part-*.arrows")))
       .getOrElse(Array.empty).headOption.getOrElse(
         throw new IllegalStateException(
@@ -457,24 +527,29 @@ object ArrowEqualityDeletes {
     if (!fs.rename(tombPart.getPath, new Path(stagingPath, tombStaged)))
       throw new java.io.IOException(
         s"arrow-ipc equality upsert: rename of staged tombstone failed")
-    // the tombstone's key RANGE, from the stats the interchange write of
-    // the key column just computed — staged as an advisory sidecar so
-    // planning can intersect it with each candidate file's key interval
-    // (the fold-scan pruning of round 14); absent stats = no sidecar,
-    // pruning simply stays off for this tombstone
-    val tombRange: Option[String] = ArrowFileStats.read(fs, tombTmp)
-      .values.headOption.flatMap(_.cols.get(keyCol))
-      .filter(c => c.min.isDefined && c.max.isDefined)
-      .map { c =>
+    // the tombstone's per-column key RANGES, from the stats the
+    // interchange write of the key columns just computed — staged as an
+    // advisory sidecar so planning can intersect them with each
+    // candidate file's key intervals (the fold-scan pruning of round
+    // 14); columns without valid stats are omitted, an empty set means
+    // no sidecar (pruning simply stays off for this tombstone)
+    val tombRange: Option[String] = {
+      val stats = ArrowFileStats.read(fs, tombTmp).values.headOption
+      val entries = keyCols.flatMap(k => stats.flatMap(_.cols.get(k))
+        .filter(c => c.min.isDefined && c.max.isDefined)
+        .map(c => "{\"col\":\"" + ArrowFileStats.esc(k) +
+          "\",\"kind\":\"" + ArrowFileStats.esc(c.kind) +
+          "\",\"min\":\"" + ArrowFileStats.esc(c.min.get) +
+          "\",\"max\":\"" + ArrowFileStats.esc(c.max.get) + "\"}"))
+      if (entries.isEmpty) None
+      else {
         val name = s".tomb-$id.eq.range.json"
         ArrowOcc.writeAtomic(fs, new Path(stagingPath, name),
-          ("{\"col\":\"" + ArrowFileStats.esc(keyCol) +
-            "\",\"kind\":\"" + ArrowFileStats.esc(c.kind) +
-            "\",\"min\":\"" + ArrowFileStats.esc(c.min.get) +
-            "\",\"max\":\"" + ArrowFileStats.esc(c.max.get) + "\"}")
+          ("{\"cols\":[" + entries.mkString(",") + "]}")
             .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        name
+        Some(name)
       }
+    }
     fs.delete(tombTmp, true)
 
     val txn = ArrowDeleteVectors.currentCdcTxn()
@@ -486,10 +561,16 @@ object ArrowEqualityDeletes {
         fs.delete(stagingPath, true)
         return EqUpsertResult(applied = false, 0L, 0, total)
       }
-      if (!keyColOf(fs, dirPath).contains(keyCol))
+      if (keyColsOf(fs, dirPath) != keyCols) {
+        // legacy single-key field kept alongside for older readers
+        val legacy = if (keyCols.size == 1)
+          ",\"keyCol\":\"" + ArrowFileStats.esc(keyCols.head) + "\"" else ""
         ArrowOcc.writeAtomic(fs, new Path(dirPath, s"$EqDir/$MetaName"),
-          ("{\"keyCol\":\"" + ArrowFileStats.esc(keyCol) + "\"}")
+          ("{\"keyCols\":[" + keyCols.map(k =>
+            "\"" + ArrowFileStats.esc(k) + "\"").mkString(",") +
+            "]" + legacy + "}")
             .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
       // sequence assigned UNDER the lock: concurrent upserts serialize,
       // so cross-batch masking (last writer wins per key) is total-ordered
       val seq = bumpSeq(fs, dirPath)

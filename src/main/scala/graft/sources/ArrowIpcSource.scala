@@ -984,26 +984,30 @@ private[sources] class ArrowIpcScan(required: StructType, dir: String,
     }
   }
 
-  private lazy val eqKeyCol: Option[String] =
-    if (eqTombs.isEmpty) None
+  private lazy val eqKeyCols: Seq[String] =
+    if (eqTombs.isEmpty) Nil
     else {
       val dirPath = new Path(dir)
-      ArrowEqualityDeletes.keyColOf(
+      ArrowEqualityDeletes.keyColsOf(
         dirPath.getFileSystem(
           SparkSession.active.sparkContext.hadoopConfiguration), dirPath)
     }
 
-  /** The key column as a one-field schema with resolution metadata
-    * (field ids / rename history) — pre-rename files resolve the key
-    * under their old physical name, exactly like the projection does. */
-  private lazy val eqKeySchema: Option[StructType] = eqKeyCol.map { k =>
-    val hconf = SparkSession.active.sparkContext.hadoopConfiguration
-    val schemaForKey = Option(full).getOrElse(required)
-    val f = schemaForKey.fields.find(_.name == k).getOrElse(
-      throw new IllegalStateException(
-        s"arrow-ipc: equality key '$k' of $dir is not in the schema"))
-    ArrowInterchange.attachResolutionMeta(StructType(Seq(f)), dir, hconf)
-  }
+  /** The key column(s) as a schema with resolution metadata (field ids
+    * / rename history) — pre-rename files resolve each key under its
+    * old physical name, exactly like the projection does. */
+  private lazy val eqKeySchema: Option[StructType] =
+    if (eqKeyCols.isEmpty) None
+    else {
+      val hconf = SparkSession.active.sparkContext.hadoopConfiguration
+      val schemaForKey = Option(full).getOrElse(required)
+      val fields = eqKeyCols.map(k =>
+        schemaForKey.fields.find(_.name == k).getOrElse(
+          throw new IllegalStateException(
+            s"arrow-ipc: equality key '$k' of $dir is not in the schema")))
+      Some(ArrowInterchange.attachResolutionMeta(
+        StructType(fields), dir, hconf))
+    }
 
   /** Per-tombstone key-prune metadata, resolved once per scan:
     * small tombstones (key count ≤ `spark.graft.arrow.eqPruneKeysMax`,
@@ -1011,7 +1015,8 @@ private[sources] class ArrowIpcScan(required: StructType, dir: String,
     * interval+bloom point probes; larger ones fall back to the range
     * sidecar's (kind, min, max). Both ADVISORY — absence keeps the
     * tombstone applicable, never a wrong skip. */
-  private lazy val eqPrune: Map[String, Either[Array[Any], (String, String, String)]] = {
+  private lazy val eqPrune: Map[String,
+      Either[Array[Array[Any]], Seq[(String, String, String, String)]]] = {
     if (eqTombs.isEmpty) Map.empty
     else {
       val spark = SparkSession.active
@@ -1027,9 +1032,11 @@ private[sources] class ArrowIpcScan(required: StructType, dir: String,
         if (count.exists(c => c > 0 && c <= cap))
           scala.util.Try(ArrowEqualityDeletes.keysOf(abs, conf)).toOption
             .map(ks => abs -> Left(ks))
-        else
-          ArrowEqualityDeletes.rangeOf(fs, dirPath,
-            s"${ArrowEqualityDeletes.EqDir}/$name").map(r => abs -> Right(r))
+        else {
+          val r = ArrowEqualityDeletes.rangeOf(fs, dirPath,
+            s"${ArrowEqualityDeletes.EqDir}/$name")
+          if (r.isEmpty) None else Some(abs -> Right(r))
+        }
       }.toMap
     }
   }
@@ -1038,27 +1045,35 @@ private[sources] class ArrowIpcScan(required: StructType, dir: String,
     * any doubt (no stats, no prune metadata, kind mismatch, pre-rename
     * physical name — the stats key misses and the lookup stays
     * advisory-true). Small tombstones reuse [[ArrowFileStats.canMatch]]
-    * with an In over the enumerated keys (interval AND bloom per key);
-    * large ones intersect the sidecar's key range with the file's. */
+    * per key TUPLE (an AND of per-column equalities — interval AND
+    * bloom each); large ones intersect the sidecar's per-column key
+    * ranges with the file's. */
   private def eqMayHit(tombPath: String, st: Option[FileStats]): Boolean =
     st match {
       case None => true
       case Some(s) => eqPrune.get(tombPath) match {
-        case Some(Left(keys)) =>
-          eqKeyCol.exists(k => ArrowFileStats.canMatch(
-            org.apache.spark.sql.sources.In(k, keys), s))
-        case Some(Right((kind, tmin, tmax))) =>
-          eqKeyCol.flatMap(k => s.cols.get(k)) match {
-            case Some(c) if c.nulls >= s.rows && s.rows > 0 => false
-            case Some(c) if c.kind == kind &&
-                c.min.isDefined && c.max.isDefined =>
-              scala.util.Try(
-                !(ArrowFileStats.ltCanonical(kind, c.max.get, tmin) ||
-                  ArrowFileStats.ltCanonical(kind, tmax, c.min.get)))
-                .getOrElse(true)
-            case _ => true
+        case Some(Left(keys)) if eqKeyCols.nonEmpty =>
+          keys.exists { t =>
+            if (t.length != eqKeyCols.size) true // foreign shape: no prune
+            else eqKeyCols.zip(t).forall { case (c, v) =>
+              ArrowFileStats.canMatch(
+                org.apache.spark.sql.sources.EqualTo(c, v), s)
+            }
           }
-        case None => true
+        case Some(Right(ranges)) =>
+          ranges.forall { case (c, kind, tmin, tmax) =>
+            s.cols.get(c) match {
+              case Some(cs) if cs.nulls >= s.rows && s.rows > 0 => false
+              case Some(cs) if cs.kind == kind &&
+                  cs.min.isDefined && cs.max.isDefined =>
+                scala.util.Try(
+                  !(ArrowFileStats.ltCanonical(kind, cs.max.get, tmin) ||
+                    ArrowFileStats.ltCanonical(kind, tmax, cs.min.get)))
+                  .getOrElse(true)
+              case _ => true
+            }
+          }
+        case _ => true
       }
     }
 
@@ -1071,12 +1086,12 @@ private[sources] class ArrowIpcScan(required: StructType, dir: String,
     * tombstone outranks reads mask-free. `eqEmitDeleted` inverts the
     * polarity ([[ArrowEqualityDeletes.fold]]'s position-finding read). */
   private def eqFor(fileName: String): Option[ArrowEqualityDeletes.EqPart] = {
-    if (eqTombs.isEmpty || eqKeyCol.isEmpty) return None
+    if (eqTombs.isEmpty || eqKeyCols.isEmpty) return None
     val st = manifest.get(fileName)
     val fileSeq = st.map(_.seq).getOrElse(0L)
     val applicable = eqTombs.filter(t => t._2 > fileSeq && eqMayHit(t._1, st))
     if (applicable.isEmpty) None
-    else Some(ArrowEqualityDeletes.EqPart(eqKeyCol.get, fileSeq,
+    else Some(ArrowEqualityDeletes.EqPart(eqKeyCols, fileSeq,
       applicable.map(_._1), applicable.map(_._2), eqEmitDeleted,
       keySchema = eqKeySchema))
   }

@@ -579,6 +579,59 @@ class ArrowEqualityDeletesSpec extends AnyFunSuite {
     }
   }
 
+  test("round 14: composite equality keys — only the FULL tuple masks, siblings survive; last-writer-wins; fold preserves content") {
+    val dir = tmp("graft_eq_composite")
+    // (g, x) bijective with id: tuples sharing x across different g exist
+    spark.range(0, 100)
+      .select((col("id") % 2).as("g"), (col("id") / 2).cast("long").as("x"),
+        col("id").as("v"))
+      .repartition(4)
+      .write.format("arrow-ipc").mode("overwrite").save(dir)
+    val b1 = spark.sql(
+      "SELECT * FROM VALUES (0L, 5L, -1L), (1L, 7L, -2L) AS t(g, x, v)")
+    val r1 = graft.sources.ArrowEqualityDeletes.upsertBatchKeys(
+      spark, dir, Seq("g", "x"), b1)
+    assert(r1.applied && r1.tombstoneKeys === 2L)
+    val t = table(dir)
+    assert(t.count() === 100L)
+    // exact tuples replaced...
+    assert(t.filter(col("g") === 0 && col("x") === 5)
+      .select("v").head().getLong(0) === -1L)
+    assert(t.filter(col("g") === 1 && col("x") === 7)
+      .select("v").head().getLong(0) === -2L)
+    // ...and SIBLING tuples (same x, other g) untouched — the per-column
+    // mask would have wrongly killed these
+    assert(t.filter(col("g") === 1 && col("x") === 5)
+      .select("v").head().getLong(0) === 11L)
+    assert(t.filter(col("g") === 0 && col("x") === 7)
+      .select("v").head().getLong(0) === 14L)
+    // a mismatched key list refuses while tombstones live
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.ArrowEqualityDeletes.upsertBatch(spark, dir, "x",
+        spark.sql("SELECT 0L AS g, 5L AS x, 9L AS v"))
+    }
+    assert(e.getMessage.contains("one key list"))
+    // last-writer-wins per tuple across batches
+    val r2 = graft.sources.ArrowEqualityDeletes.upsertBatchKeys(
+      spark, dir, Seq("g", "x"), spark.sql("SELECT 0L AS g, 5L AS x, -9L AS v"))
+    assert(r2.applied && r2.seq > r1.seq)
+    assert(table(dir).filter(col("g") === 0 && col("x") === 5)
+      .select("v").head().getLong(0) === -9L)
+    // deleteOnly with a composite key
+    val r3 = graft.sources.ArrowEqualityDeletes.upsertBatchKeys(
+      spark, dir, Seq("g", "x"),
+      spark.sql("SELECT 1L AS g, 7L AS x, 0L AS v"), deleteOnly = true)
+    assert(r3.applied)
+    assert(table(dir).filter(col("g") === 1 && col("x") === 7).count() === 0L)
+    val before = table(dir).orderBy("g", "x", "v").collect().toSeq
+    assert(before.length === 99)
+    val f = graft.sources.ArrowEqualityDeletes.fold(spark, dir)
+    assert(f.tombstones === 3)
+    assert(!graft.sources.ArrowEqualityDeletes.any(fsOf(dir), new Path(dir)))
+    assert(table(dir).orderBy("g", "x", "v").collect().toSeq === before,
+      "composite fold changed the table's content")
+  }
+
   test("crash window: fold interrupted between vector commit and tombstone removal converges on re-run") {
     val dir = tmp("graft_eq_crash")
     seed(dir)
