@@ -140,7 +140,27 @@ object Bench {
       .getGarbageCollectorMXBeans.stream.mapToLong(_.getCollectionTime).sum
     def heapMb: Double = math.rint(java.lang.management.ManagementFactory
       .getMemoryMXBean.getHeapMemoryUsage.getUsed / 1e4) / 100.0
-    val envByQuery = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double, Long)]
+    // MACHINE-LEVEL contention telemetry (round 14): a uniform
+    // round-over-round shift with no code cause is an environment
+    // window — record the evidence (1-min load average per query, plus
+    // run-wide steal time from /proc/stat) so "contention" is measured,
+    // not inferred from movers.
+    def load1: Double = {
+      val v = java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+      if (v < 0) -1.0 else math.rint(v * 100) / 100.0
+    }
+    // (steal jiffies, total jiffies) from /proc/stat's cpu line; (0,0)
+    // where unavailable (non-Linux)
+    def cpuJiffies: (Long, Long) = try {
+      val line = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get("/proc/stat")).get(0)
+      val f = line.trim.split("\\s+").drop(1).map(_.toLong)
+      (if (f.length > 7) f(7) else 0L, f.sum)
+    } catch { case _: Throwable => (0L, 0L) }
+    val (steal0, jiffies0) = cpuJiffies
+    val load1Start = load1
+    val envByQuery = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double, Long, Double)]
     val results = selected.filter(SparkEntry.queries.contains).map { name =>
       val gc0 = gcMs
       val first = median3(name)
@@ -154,7 +174,7 @@ object Bench {
           if (rerun < 0) -1.0 else math.min(first, rerun)
         case _ => first
       }
-      envByQuery += name -> (ccUsedMb, heapMb, gcMs - gc0)
+      envByQuery += name -> (ccUsedMb, heapMb, gcMs - gc0, load1)
       name -> value
     }
     val (okResults, failedResults) = results.partition(_._2 >= 0)
@@ -168,9 +188,11 @@ object Bench {
     val outliersJson = outliers.map { case (k, (f, r)) =>
       "\"" + k + "\":{\"first\":" + f + ",\"rerun\":" + r + "}"
     }.mkString("{", ",", "}")
-    // [ccMb, heapMb, gcMsDelta] captured right after each query's triple
-    val envJson = envByQuery.map { case (k, (cc, hp, gc)) =>
-      "\"" + k + "\":[" + cc + "," + hp + "," + gc + "]"
+    // [ccMb, heapMb, gcMsDelta, load1] captured right after each query's
+    // triple — load1 is the machine's 1-min run queue, the direct
+    // contention-window signature
+    val envJson = envByQuery.map { case (k, (cc, hp, gc, ld)) =>
+      "\"" + k + "\":[" + cc + "," + hp + "," + gc + "," + ld + "]"
     }.mkString("{", ",", "}")
     val perQuery =
       s"""{"metric":"per_query","unit":"sec","runs":$runsPerQuery,"queries":$qs,"failed":${
@@ -187,8 +209,15 @@ object Bench {
       java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.write(out, perQuery.getBytes("UTF-8"))
     } catch { case e: Throwable => System.err.println(s"[bench] per-query file: $e") }
+    val (steal1, jiffies1) = cpuJiffies
+    val stealPct =
+      if (jiffies1 > jiffies0)
+        math.rint(10000.0 * (steal1 - steal0) / (jiffies1 - jiffies0)) / 100.0
+      else 0.0
+    val loadPeak = if (envByQuery.isEmpty) load1
+      else envByQuery.values.map(_._4).max
     println(
-      s"""{"metric":"total","value":${math.rint(total * 1e3) / 1e3},"unit":"sec","runs":$runsPerQuery,"n_queries":${okResults.size},"n_failed":${failedNames.size},"n_outliers":${outliers.size},"max_query":"${maxQ._1}","max_sec":${math.rint(maxQ._2 * 1e3) / 1e3},"cc_mb":$ccUsedMb,"gc_ms":$gcMs,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${math.rint(total * 1e3) / 1e3},"unit":"sec","runs":$runsPerQuery,"n_queries":${okResults.size},"n_failed":${failedNames.size},"n_outliers":${outliers.size},"max_query":"${maxQ._1}","max_sec":${math.rint(maxQ._2 * 1e3) / 1e3},"cc_mb":$ccUsedMb,"gc_ms":$gcMs,"load1_start":$load1Start,"load1_end":$load1,"load1_peak":$loadPeak,"steal_pct":$stealPct,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
