@@ -59,6 +59,27 @@ object ArrowBranch {
       .filter(_.isDirectory).map(_.getPath.getName).sorted.toSeq
   }
 
+  case class BranchInfo(name: String, files: Int, bytes: Long,
+    rows: Long, modifiedMs: Long)
+
+  /** Branches with their staged footprint: data-file count/bytes, rows
+    * from the branch's stats manifest, and the NEWEST modification time
+    * under the branch (the age an expiry policy judges by — one fresh
+    * write renews the whole branch). */
+  def detail(fs: FileSystem, dirPath: Path): Seq[BranchInfo] =
+    list(fs, dirPath).map { name =>
+      val bp = new Path(dirPath, s"$BranchRoot/$name")
+      val parts = Option(fs.globStatus(new Path(bp, "part-*.arrows")))
+        .getOrElse(Array.empty)
+      val rows = scala.util.Try(
+        ArrowFileStats.read(fs, bp).values.map(_.rows).sum).getOrElse(0L)
+      val newest = (Option(fs.listStatus(bp)).getOrElse(Array.empty)
+        .map(_.getModificationTime) :+
+        scala.util.Try(fs.getFileStatus(bp).getModificationTime)
+          .getOrElse(0L)).max
+      BranchInfo(name, parts.length, parts.map(_.getLen).sum, rows, newest)
+    }
+
   /** Stage `df` on `branch` — created on first write, appended after;
     * main readers see NOTHING until [[publish]]. Schema must match the
     * main table's column names (the publish would otherwise land

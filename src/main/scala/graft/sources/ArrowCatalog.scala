@@ -574,6 +574,25 @@ class ArrowCatalog extends TableCatalog with ProcedureCatalog
           r.getUTF8String(1).toString)
         Seq(row(p.files, p.rows))
       }),
+    GraftProcedure("list_branches",
+      "live WAP branches with their staged footprint (files/bytes/rows " +
+        "from the branch's own manifest) and newest modification time — " +
+        "the age vacuum's branch-TTL expiry judges by",
+      Array(in("dir", StringType)),
+      StructType(Seq(
+        org.apache.spark.sql.types.StructField("branch", StringType),
+        org.apache.spark.sql.types.StructField("files", IntegerType),
+        org.apache.spark.sql.types.StructField("bytes", LongType),
+        org.apache.spark.sql.types.StructField("rows", LongType),
+        org.apache.spark.sql.types.StructField("modified_ms", LongType))),
+      r => {
+        val dir = dirArg(r)
+        val p = new Path(dir)
+        val fs = p.getFileSystem(
+          SparkSession.active.sparkContext.hadoopConfiguration)
+        ArrowBranch.detail(fs, p).map(b =>
+          row(b.name, b.files, b.bytes, b.rows, b.modifiedMs))
+      }),
     GraftProcedure("drop_branch",
       "abandon a WAP branch: its staged files are discarded, the main " +
         "table was never touched",
@@ -617,9 +636,13 @@ class ArrowCatalog extends TableCatalog with ProcedureCatalog
         "equality-delete tombstones once their count reaches " +
         "spark.graft.arrow.vacuumFoldEqAbove (default 16, <= 0 " +
         "disables) so the purge leg can collect the resulting vector " +
-        "debt in the same run. Output sentinel: -1 in snapshots_dropped/" +
-        "trash_deleted/files_purged/eq_tombstones_folded means that " +
-        "leg did not run",
+        "debt in the same run; drops WAP branches idle past " +
+        "spark.graft.arrow.vacuumBranchTtlMs (default 7 days, <= 0 " +
+        "disables — a write in flight always protects its branch). " +
+        "Output sentinel: -1 in snapshots_dropped/" +
+        "trash_deleted/files_purged/eq_tombstones_folded/" +
+        "branches_expired means that leg did not run (or expired " +
+        "nothing)",
       Array(in("dir", StringType),
         inDefault("keep_from", LongType, "NULL"),
         inDefault("purge_masked_above",
@@ -633,6 +656,8 @@ class ArrowCatalog extends TableCatalog with ProcedureCatalog
         // appended at the END: positional consumers of the round-12
         // schema keep their columns (the round-12 advice's convention)
         org.apache.spark.sql.types.StructField("eq_tombstones_folded",
+          IntegerType),
+        org.apache.spark.sql.types.StructField("branches_expired",
           IntegerType))),
       r => {
         val keepFrom = if (r.isNullAt(1)) None else Some(r.getLong(1))
@@ -646,7 +671,8 @@ class ArrowCatalog extends TableCatalog with ProcedureCatalog
           // sentinel as the expiry columns above (0 would be ambiguous
           // with "ran and purged zero files")
           v.purged.map(_.oldFiles).getOrElse(-1),
-          v.eqFolded.map(_.tombstones).getOrElse(-1)))
+          v.eqFolded.map(_.tombstones).getOrElse(-1),
+          v.branchesExpired.map(_.size).getOrElse(-1)))
       }),
     // statement-level DML with BOUNDED TRANSPARENT RETRY (round 11):
     // a lost COW commit race re-plans and re-executes the statement

@@ -806,7 +806,8 @@ object ArrowMaintenance {
   case class VacuumResult(recovered: Boolean, stagingSwept: Int,
       orphansSwept: Int, expired: Option[ExpireResult],
       purged: Option[CompactionResult] = None,
-      eqFolded: Option[ArrowEqualityDeletes.EqFoldResult] = None)
+      eqFolded: Option[ArrowEqualityDeletes.EqFoldResult] = None,
+      branchesExpired: Option[Seq[String]] = None)
 
   /** VACUUM — the one nightly-cron housekeeping entry point: finish any
     * crashed swap, sweep provably-dead staging dirs (`.compact-*` /
@@ -848,6 +849,29 @@ object ArrowMaintenance {
     ArrowOcc.sweepStaleDml(fs, dirPath)
     ArrowOcc.sweepStaleTmp(fs, dirPath)
     val orphans = ArrowStreamCommits.cleanOrphans(fs, dirPath).size
+    // BRANCH RETENTION (round 14): an abandoned write-audit-publish
+    // branch holds its staged bytes forever — an audit that never
+    // published (validation failed, the job died) leaves debt nothing
+    // else collects. Any branch whose NEWEST content is older than
+    // `spark.graft.arrow.vacuumBranchTtlMs` (default 7 days; <= 0
+    // disables) is dropped — one fresh write renews the whole branch,
+    // and a branch with a write IN FLIGHT (live pending marker) is
+    // always left alone regardless of mtimes.
+    val branchTtl = scala.util.Try(spark.conf
+      .get("spark.graft.arrow.vacuumBranchTtlMs", "604800000").toLong)
+      .getOrElse(604800000L)
+    val branchesExpired: Option[Seq[String]] =
+      if (branchTtl <= 0L) None
+      else {
+        val cutoff = System.currentTimeMillis() - branchTtl
+        val stale = ArrowBranch.detail(fs, dirPath)
+          .filter(b => b.modifiedMs < cutoff &&
+            ArrowOcc.livePendingQueryIds(fs,
+              new Path(dirPath, s"${ArrowBranch.BranchRoot}/${b.name}")).isEmpty)
+          .map(_.name)
+        stale.foreach(n => ArrowBranch.drop(spark, dir, n))
+        if (stale.isEmpty) None else Some(stale)
+      }
     // AUTO EQUALITY-FOLD POLICY (round 13, symmetric with the vector-
     // debt policy below): a table fed by equality upserts accrues
     // tombstones that defer DML/compaction/time-travel and tax reads
@@ -909,7 +933,8 @@ object ArrowMaintenance {
         }
       }
     VacuumResult(recovered, staging, orphans,
-      keepFrom.map(expireSnapshots(spark, dir, _)), purged, eqFolded)
+      keepFrom.map(expireSnapshots(spark, dir, _)), purged, eqFolded,
+      branchesExpired)
   }
 
   /** Expire time-travel history older than snapshot `keepFrom`: the log's

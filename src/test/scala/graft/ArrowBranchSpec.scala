@@ -85,6 +85,62 @@ class ArrowBranchSpec extends AnyFunSuite {
     assert(ArrowBranch.list(fsOf(dir), new Path(dir)).isEmpty)
   }
 
+  test("round 14: CALL list_branches reports the staged footprint; vacuum's branch TTL drops idle branches, fresh ones survive") {
+    val dir = tmp("graft_wap_ttl")
+    seed(dir)
+    ArrowBranch.write(spark, dir, "stale", batch(1000, 10))
+    ArrowBranch.write(spark, dir, "fresh", batch(2000, 5))
+    val rows = spark.sql(s"CALL graft.system.list_branches('$dir')")
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Int]("files"), r.getAs[Long]("rows"))).toMap
+    assert(rows.keySet === Set("fresh", "stale"))
+    assert(rows("stale")._2 === 10L && rows("fresh")._2 === 5L)
+    assert(rows("stale")._1 >= 1)
+    // age the 'stale' branch: push every mtime under it past the TTL
+    val fs = fsOf(dir)
+    val bp = new Path(dir, ".branch/stale")
+    val old = System.currentTimeMillis() - 10000000L
+    fs.listStatus(bp).foreach(st => fs.setTimes(st.getPath, old, old))
+    fs.setTimes(bp, old, old)
+    spark.conf.set("spark.graft.arrow.vacuumBranchTtlMs", "5000000")
+    try {
+      val v = ArrowMaintenance.vacuum(spark, dir)
+      assert(v.branchesExpired === Some(Seq("stale")),
+        s"branch TTL expired ${v.branchesExpired}")
+    } finally spark.conf.unset("spark.graft.arrow.vacuumBranchTtlMs")
+    assert(ArrowBranch.list(fs, new Path(dir)) === Seq("fresh"))
+    // the CALL face reports the expiry count (appended column, -1 = none)
+    val vr = spark.sql(s"CALL graft.system.vacuum('$dir')").head()
+    assert(vr.getAs[Int]("branches_expired") === -1)
+    // and the surviving branch still publishes
+    val p = ArrowBranch.publish(spark, dir, "fresh")
+    assert(p.rows === 5L)
+  }
+
+  test("round 14: publish refuses on a hive-partitioned table (rows would be invisible to a hive read)") {
+    val dir = tmp("graft_wap_hive")
+    spark.range(0, 20)
+      .select((col("id") % 2).as("p"), col("id").as("key"), col("id").as("v"))
+      .write.format("arrow-ipc").option("hivePartitionKeys", "p")
+      .mode("overwrite").save(dir)
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.ArrowCatalog")
+    // the DSv2 branch write option refuses up front
+    val e1 = intercept[Exception] {
+      spark.range(0, 3)
+        .select(lit(0L).as("p"), col("id").as("key"), col("id").as("v"))
+        .write.format("arrow-ipc").option("branch", "b1")
+        .mode("append").save(dir)
+    }
+    assert(e1.getMessage.contains("flat-layout only"))
+    // and publish itself guards (a branch dir planted out-of-band)
+    val fs = fsOf(dir)
+    fs.mkdirs(new Path(dir, ".branch/planted"))
+    val e2 = intercept[IllegalArgumentException] {
+      ArrowBranch.publish(spark, dir, "planted")
+    }
+    assert(e2.getMessage.contains("flat-layout only"))
+  }
+
   test("refusals: schema mismatch, invalid name, publish of a missing branch") {
     val dir = tmp("graft_wap_refuse")
     seed(dir)
