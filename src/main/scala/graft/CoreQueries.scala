@@ -3892,22 +3892,26 @@ object CoreQueries {
               SELECT grp, COUNT(*) AS cnt, CAST(SUM(cents) AS BIGINT) AS cents
               FROM final GROUP BY 1 ORDER BY grp""")),
 
-    // PARTITION EVOLUTION (round 13): change the hive keys for FUTURE
-    // writes metadata-only (CALL evolve_partitioning / ArrowMaintenance
-    // .evolvePartitioning — Iceberg's partition-spec evolution); the
-    // flat generation's files stay at the root, pruned by their real
-    // manifest stats, while post-evolution appends nest under value
-    // directories, pruned by discovery — one mixed read serves both.
-    // Self-asserts the metadata-only property (no flat file moved) and
-    // that the append nested.
+    // PARTITION EVOLUTION (rounds 13-14): change the hive keys for
+    // FUTURE writes metadata-only (CALL evolve_partitioning /
+    // ArrowMaintenance.evolvePartitioning — Iceberg's partition-spec
+    // evolution). Round 14 removes the one-standing-hive-generation
+    // bound: THREE generations here (flat → event_type-hive →
+    // bucket-hive, both hive generations holding files), one read
+    // unioning all three with each generation pruned by its own
+    // mechanism — the flat files by their real manifest stats, each
+    // hive generation by ITS OWN value-directory discovery, and
+    // cross-generation filters by per-file data stats. Self-asserts
+    // the metadata-only property, the nesting of both post-evolve
+    // appends, and a pruning proof on all three generations.
     ("arrow_partition_evolution", (s, d) => {
       val ev = T(s, d, "events")
-        .select(col("event_id"), col("user_id"), col("event_type"),
-          col("value"))
+        .select(col("event_id"), (col("user_id") % 4).as("bucket"),
+          col("event_type"), col("value"))
       // Scratch contract: see json_roundtrip.
       val path = graft.sources.Scratch.dir(s, "graft_pevo")
       val table = path + "/t"
-      ev.filter(col("event_id") % 2 === 0)
+      ev.filter(col("event_id") % 3 === 0)
         .repartitionByRange(4, col("event_type"))
         .write.format("arrow-ipc").mode("overwrite").save(table)
       s.conf.set("spark.sql.catalog.graft", "graft.sources.ArrowCatalog")
@@ -3919,15 +3923,47 @@ object CoreQueries {
       val flatGen = rootFiles
       graft.sources.ArrowMaintenance.evolvePartitioning(
         s, table, Seq("event_type"))
-      ev.filter(col("event_id") % 2 === 1)
+      ev.filter(col("event_id") % 3 === 1)
+        .write.format("arrow-ipc").mode("append").save(table)
+      // second evolution WITH standing event_type dirs (round 14)
+      graft.sources.ArrowMaintenance.evolvePartitioning(
+        s, table, Seq("bucket"))
+      ev.filter(col("event_id") % 3 === 2)
         .write.format("arrow-ipc").mode("append").save(table)
       require(rootFiles == flatGen,
         "arrow_partition_evolution: evolve was not metadata-only")
       require(Option(fs.globStatus(new org.apache.hadoop.fs.Path(table,
           "event_type=*/part-*.arrows"))).getOrElse(Array.empty).nonEmpty,
-        "arrow_partition_evolution: the post-evolve append did not nest")
-      s.read.format("arrow-ipc").load(table)
-        .groupBy(col("event_type"))
+        "arrow_partition_evolution: the gen-2 append did not nest")
+      require(Option(fs.globStatus(new org.apache.hadoop.fs.Path(table,
+          "bucket=*/part-*.arrows"))).getOrElse(Array.empty).nonEmpty,
+        "arrow_partition_evolution: the gen-3 append did not nest")
+      // pruning self-asserts, all three generations in one scan: a
+      // filter on event_type dir-prunes gen 2, stats-prunes the
+      // clustered flat gen, and file-prunes gen 3 through data stats;
+      // a filter on bucket dir-prunes gen 3
+      def pruneProof(q: org.apache.spark.sql.DataFrame,
+          what: String, expectFilePrune: Boolean): Unit = {
+        val desc = q.queryExecution.executedPlan.toString
+        val dd = "dirs=(\\d+)/(\\d+)".r.findFirstMatchIn(desc)
+        require(dd.exists(m => m.group(1).toInt < m.group(2).toInt),
+          s"arrow_partition_evolution: no dir prune on $what:\n$desc")
+        // files=k/t counts post-discovery files, so a file prune here
+        // is the FLAT generation's manifest-stats prune (it is
+        // clustered on event_type; a bucket filter has no file-level
+        // discriminator and proves the dir prune only)
+        val ff = "files=(\\d+)/(\\d+)".r.findFirstMatchIn(desc)
+        require(!expectFilePrune ||
+          ff.exists(m => m.group(1).toInt < m.group(2).toInt),
+          s"arrow_partition_evolution: no file prune on $what:\n$desc")
+      }
+      val full = s.read.format("arrow-ipc").load(table)
+      val oneType = ev.agg(min(col("event_type"))).head().getString(0)
+      pruneProof(full.filter(col("event_type") === oneType),
+        "event_type", expectFilePrune = true)
+      pruneProof(full.filter(col("bucket") === 1L),
+        "bucket", expectFilePrune = false)
+      full.groupBy(col("event_type"))
         .agg(count(lit(1)).as("cnt"),
           sum(col("value").cast(DecimalType(14, 4)))
             .cast(DoubleType).as("sum_value"))

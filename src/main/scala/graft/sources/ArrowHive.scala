@@ -75,6 +75,15 @@ private[graft] object ArrowHiveLayout {
     }
   }
 
+  /** The hive generations that currently HOLD files (their first key's
+    * value directories exist), oldest first — the set a reader must
+    * union and a rewrite must unify. One glob per distinct generation. */
+  def standingHiveGens(fs: FileSystem, dir: Path): Seq[Seq[String]] =
+    readGenerations(fs, dir).filter(_.nonEmpty).distinct.filter { g =>
+      Option(fs.globStatus(new Path(dir, escape(g.head) + "=*")))
+        .getOrElse(Array.empty).exists(_.isDirectory)
+    }
+
   /** Declare `keys` as the current layout. PRESERVES the existing
     * generation history (an append's idempotent re-declaration must not
     * forget a standing flat generation); a table with no layout file
@@ -285,11 +294,16 @@ private[graft] object ArrowHiveLayout {
 }
 
 /** One data file of a hive-partitioned dataset plus its directory-derived
-  * partition values (canonical stat strings, None = NULL partition). */
+  * partition values (canonical stat strings, None = NULL partition).
+  * `fields`: the key NAMES the values align to — empty means the
+  * factory's default (current) generation; non-empty names an OLD
+  * partition generation (round 14: N-generation reads), whose keys the
+  * factory splices instead. */
 private[sources] case class ArrowHiveFilePartition(
     file: String, values: Seq[Option[String]],
     dv: Option[String] = None,
-    keep: Option[String] = None) extends InputPartition
+    keep: Option[String] = None,
+    fields: Seq[String] = Nil) extends InputPartition
 
 /** Reader factory for hive-partitioned directories: inner readers decode
   * only the DATA columns present in the files; the partition columns are
@@ -300,28 +314,46 @@ private[sources] case class ArrowHiveFilePartition(
 private[sources] class ArrowIpcHiveReaderFactory(
     required: StructType, hiveFields: Seq[StructField],
     conf: SerializableHadoopConf, limit: Int = -1,
-    posSlot: Int = -1)
+    posSlot: Int = -1, extraGens: Seq[Seq[StructField]] = Nil)
     extends PartitionReaderFactory {
 
-  private val hiveNames = hiveFields.map(_.name)
-  // required-position → Left(data ordinal) | Right(hive key ordinal);
-  // `required` never contains `_pos` (the scan strips metadata columns)
-  // — when posSlot >= 0 the OUTPUT row has one extra slot carrying the
-  // inner reader's physical position
-  private val slots: Array[Either[Int, Int]] = {
+  /** One partition GENERATION's splice plan: required-position →
+    * Left(data ordinal) | Right(key ordinal), and the data columns the
+    * inner reader decodes. `required` never contains `_pos` (the scan
+    * strips metadata columns) — when posSlot >= 0 the OUTPUT row has
+    * one extra slot carrying the inner reader's physical position.
+    * Round 14: a partition naming an OLD generation's keys
+    * ([[ArrowHiveFilePartition.fields]]) splices THOSE from its path
+    * and reads the current keys from its data like any other column. */
+  private case class GenPlan(fields: Seq[StructField],
+      slots: Array[Either[Int, Int]], dataRequired: StructType) {
+    def internals(values: Seq[Option[String]]): Array[Any] =
+      fields.zipWithIndex.map { case (f, i) =>
+        ArrowHiveLayout.internalValue(f.dataType, values(i))
+      }.toArray
+  }
+
+  private def planFor(fields: Seq[StructField]): GenPlan = {
+    val names = fields.map(_.name)
     var d = -1
-    required.fields.map { f =>
-      val h = hiveNames.indexOf(f.name)
+    val slots: Array[Either[Int, Int]] = required.fields.map { f =>
+      val h = names.indexOf(f.name)
       if (h >= 0) Right(h) else { d += 1; Left(d) }
     }
+    GenPlan(fields, slots,
+      StructType(required.fields.filter(f => !names.contains(f.name))))
   }
-  private val dataRequired = StructType(
-    required.fields.filter(f => !hiveNames.contains(f.name)))
 
-  private def internals(values: Seq[Option[String]]): Array[Any] =
-    hiveFields.zipWithIndex.map { case (f, i) =>
-      ArrowHiveLayout.internalValue(f.dataType, values(i))
-    }.toArray
+  private val defaultPlan = planFor(hiveFields)
+  private val plansByNames: Map[Seq[String], GenPlan] =
+    (extraGens :+ hiveFields).map(g => g.map(_.name) -> planFor(g)).toMap
+
+  private def planOf(fieldNames: Seq[String]): GenPlan =
+    if (fieldNames.isEmpty) defaultPlan
+    else plansByNames.getOrElse(fieldNames,
+      throw new IllegalStateException(
+        s"arrow-ipc hive layout: partition names keys " +
+          s"(${fieldNames.mkString(",")}) of no declared generation"))
 
   private def maskOf(dv: Option[String]): java.util.BitSet =
     dv.fold(null: java.util.BitSet) { p =>
@@ -331,10 +363,12 @@ private[sources] class ArrowIpcHiveReaderFactory(
 
   private def rowReader(file: String, values: Seq[Option[String]],
       dv: Option[String] = None,
-      keep: Option[String] = None): PartitionReader[InternalRow] = {
+      keep: Option[String] = None,
+      plan: GenPlan = defaultPlan): PartitionReader[InternalRow] = {
+    import plan.{slots, dataRequired}
     val inner = new ArrowIpcPartitionReader(file, dataRequired, conf, limit,
       skip = maskOf(dv), keepOnly = maskOf(keep))
-    val consts = internals(values)
+    val consts = plan.internals(values)
     val types = required.fields.map(_.dataType)
     val out = slots.length + (if (posSlot >= 0) 1 else 0)
     new PartitionReader[InternalRow] {
@@ -360,13 +394,15 @@ private[sources] class ArrowIpcHiveReaderFactory(
   }
 
   private def columnarReader(file: String, values: Seq[Option[String]],
-      dv: Option[String] = None, keep: Option[String] = None)
+      dv: Option[String] = None, keep: Option[String] = None,
+      plan: GenPlan = defaultPlan)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     import org.apache.spark.sql.execution.vectorized.ConstantColumnVector
     import org.apache.spark.sql.vectorized.{ColumnarBatch, ColumnVector}
+    import plan.{slots, dataRequired}
     val inner = new ArrowIpcColumnarReader(file, dataRequired, conf, limit,
       skip = maskOf(dv), keepOnly = maskOf(keep))
-    val consts = internals(values)
+    val consts = plan.internals(values)
     new PartitionReader[ColumnarBatch] {
       override def next(): Boolean = inner.next()
       override def get(): ColumnarBatch = {
@@ -404,7 +440,8 @@ private[sources] class ArrowIpcHiveReaderFactory(
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
       case p: ArrowFilePartition => plainFactory.createReader(p)
-      case p: ArrowHiveFilePartition => rowReader(p.file, p.values, p.dv, p.keep)
+      case p: ArrowHiveFilePartition =>
+        rowReader(p.file, p.values, p.dv, p.keep, planOf(p.fields))
       case k: ArrowKeyedPartition =>
         // a storage-partitioned key group over a hive directory: chain the
         // splicing readers, each file with its own directory values
@@ -425,7 +462,7 @@ private[sources] class ArrowIpcHiveReaderFactory(
     partition match {
       case p: ArrowFilePartition => plainFactory.createColumnarReader(p)
       case p: ArrowHiveFilePartition =>
-        columnarReader(p.file, p.values, p.dv, p.keep)
+        columnarReader(p.file, p.values, p.dv, p.keep, planOf(p.fields))
       case k: ArrowKeyedPartition =>
         new ChainedPartitionReader[((String, Seq[Option[String]]), Option[String]),
             org.apache.spark.sql.vectorized.ColumnarBatch](

@@ -721,7 +721,15 @@ private[sources] class ArrowIpcScan(required: StructType, dir: String,
     * and [[layoutMixedFlat]] says whether a flat generation also
     * participates (root files union in). A tampered table with TWO
     * standing hive generations refuses loudly. */
-  private lazy val (hiveFields: Seq[StructField], layoutMixedFlat: Boolean) = {
+  /** Generation resolution. `hiveFields` = the ACTIVE hive generation
+    * (the current layout when it stands, else the newest standing one,
+    * else the current declaration — what new writes nest by);
+    * `oldHiveGens` = every OTHER standing hive generation (round 14:
+    * N-generation reads — each discovered, pruned, and spliced by its
+    * OWN key list; the previous bound of one standing hive generation
+    * is gone). `layoutMixedFlat` = a flat generation also exists. */
+  private lazy val (hiveFields: Seq[StructField], layoutMixedFlat: Boolean,
+      oldHiveGens: Seq[Seq[StructField]]) = {
     val dirPath = new Path(dir)
     val fs = dirPath.getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
     val schemaForKeys = Option(full).getOrElse(required)
@@ -731,22 +739,14 @@ private[sources] class ArrowIpcScan(required: StructType, dir: String,
           s"'$k' which is not in the dataset schema"))
     }
     val gens = ArrowHiveLayout.readGenerations(fs, dirPath)
-    if (gens.size == 1) (resolve(gens.head), gens.head.isEmpty)
+    if (gens.size == 1) (resolve(gens.head), gens.head.isEmpty, Nil)
     else {
-      val hiveGens = gens.filter(_.nonEmpty).distinct
-      val standing = hiveGens.filter { g =>
-        Option(fs.globStatus(new Path(dirPath,
-          ArrowHiveLayout.escape(g.head) + "=*")))
-          .getOrElse(Array.empty).exists(_.isDirectory)
-      }
-      require(standing.size <= 1,
-        s"arrow-ipc: $dir has value directories for ${standing.size} " +
-          s"partition generations (${standing.map(_.mkString(","))
-            .mkString("; ")}) — at most one hive generation may hold " +
-          "files; rewrite (CALL cluster) to unify")
-      val active = standing.headOption
+      val standing = ArrowHiveLayout.standingHiveGens(fs, dirPath)
+      val active = standing.find(_ == gens.last)
+        .orElse(standing.lastOption)
         .orElse(Some(gens.last).filter(_.nonEmpty)).getOrElse(Nil)
-      (resolve(active), gens.exists(_.isEmpty))
+      val olds = standing.filterNot(_ == active)
+      (resolve(active), gens.exists(_.isEmpty), olds.map(resolve))
     }
   }
 
@@ -759,7 +759,12 @@ private[sources] class ArrowIpcScan(required: StructType, dir: String,
     * semantics (a kept file is still filtered exactly by Spark post-scan).
     * Missing stats (foreign or function-style-written directories) keep
     * every file. */
-  private lazy val (allFiles, manifest, refutedShards, hiveVals, hiveDirCounts) = {
+  /** `oldGenVals`: file name → (index into [[oldHiveGens]], canonical
+    * partition values) for files standing under an OLD hive generation's
+    * value directories — each generation discovered and pruned by its
+    * own keys, spliced by its own fields (round 14: N-generation reads). */
+  private lazy val (allFiles, manifest, refutedShards, hiveVals,
+      hiveDirCounts, oldGenVals) = {
     val spark = SparkSession.active
     val conf = spark.sparkContext.hadoopConfiguration
     val dirPath = new Path(dir)
@@ -822,7 +827,7 @@ private[sources] class ArrowIpcScan(required: StructType, dir: String,
     // partial table. Stats-based pruning below stays SOUND for the files
     // the manifest still covers (data files are immutable), and simply
     // keeps the rest.
-    val (all, valsByName, dirCounts) =
+    val (all, valsByName, dirCounts, oldVals) =
       if (asOf.isDefined) {
         val snaps = scala.util.Try(ArrowSnapshots.read(fs, dirPath))
           .getOrElse(Nil)
@@ -847,41 +852,69 @@ private[sources] class ArrowIpcScan(required: StructType, dir: String,
             }
           fs.getFileStatus(p)
         }.toArray
-        val vals =
-          if (hiveFields.isEmpty) Map.empty[String, Seq[Option[String]]]
-          else set.toSeq
-            // partition evolution: a flat-generation rel (bare name) has
-            // no path-borne values — its columns come from the data
-            .filter(_.split('/').length == hiveFields.length + 1)
-            .map { rel =>
-              new Path(rel).getName ->
-                ArrowHiveLayout.parseRelPath(hiveFields, rel)
-            }.toMap
-        (sts, vals, (0, 0))
+        // nested rels assign to the generation whose key names match the
+        // path segments (parse is name-validating, so a wrong generation
+        // fails cleanly and the next is tried); a flat-generation rel
+        // (bare name) has no path-borne values — its columns come from
+        // the data. A nested rel matching NO generation is corruption.
+        val nested = set.toSeq.filter(_.contains('/'))
+        var vals = Map.empty[String, Seq[Option[String]]]
+        var ovals = Map.empty[String, (Int, Seq[Option[String]])]
+        if (hiveFields.nonEmpty) nested.foreach { rel =>
+          val name = new Path(rel).getName
+          scala.util.Try(ArrowHiveLayout.parseRelPath(hiveFields, rel))
+            .toOption match {
+            case Some(v) => vals += name -> v
+            case None =>
+              val hit = oldHiveGens.zipWithIndex.view.flatMap { case (g, i) =>
+                scala.util.Try(ArrowHiveLayout.parseRelPath(g, rel))
+                  .toOption.map(v => name -> (i, v))
+              }.headOption
+              hit match {
+                case Some(h) => ovals += h
+                case None => throw new IllegalStateException(
+                  s"arrow-ipc: snapshot file '$rel' of $dir matches no " +
+                    "declared partition generation")
+              }
+          }
+        }
+        (sts, vals, (0, 0), ovals)
       } else if (hiveFields.isEmpty) {
         val raw = Option(fs.globStatus(new Path(dir, "part-*.arrows")))
           .getOrElse(Array.empty)
         val vis = raw.filter(st => streamVisible(st.getPath.getName))
-        (vis, Map.empty[String, Seq[Option[String]]], (0, 0))
+        (vis, Map.empty[String, Seq[Option[String]]], (0, 0),
+          Map.empty[String, (Int, Seq[Option[String]])])
       } else {
         val (hsts, hvals, hdirs) = ArrowHiveLayout.discover(fs, dirPath,
           hiveFields, filters, streamVisible)
         // partition evolution: a declared FLAT generation's files live
         // at the root and union in — pruned by their own (real) manifest
-        // stats below, exactly like a flat table's; the hive files prune
-        // by directory discovery above. Each generation by its own
-        // mechanism, no rewrite.
-        if (!layoutMixedFlat) (hsts, hvals, hdirs)
-        else {
+        // stats below, exactly like a flat table's; OLD hive generations
+        // (round 14) each run their own discovery walk, pruned by static
+        // filters on THEIR keys. Each generation by its own mechanism,
+        // no rewrite.
+        var allSts = hsts
+        var kept = hdirs._1; var total = hdirs._2
+        var ovals = Map.empty[String, (Int, Seq[Option[String]])]
+        oldHiveGens.zipWithIndex.foreach { case (g, i) =>
+          val (osts, ov, odirs) = ArrowHiveLayout.discover(fs, dirPath,
+            g, filters, streamVisible)
+          allSts = allSts ++ osts
+          kept += odirs._1; total += odirs._2
+          ovals ++= ov.map { case (n, v) => n -> (i, v) }
+        }
+        if (layoutMixedFlat) {
           val flat = Option(fs.globStatus(new Path(dir, "part-*.arrows")))
             .getOrElse(Array.empty)
             .filter(st => streamVisible(st.getPath.getName))
-          (hsts ++ flat, hvals, hdirs)
+          allSts = allSts ++ flat
         }
+        (allSts, hvals, (kept, total), ovals)
       }
     if (all.isEmpty)
       (all, Map.empty[String, FileStats], Set.empty[String], valsByName,
-        dirCounts)
+        dirCounts, oldVals)
     else {
       // shard-level skipping: a commit whose ENVELOPE refutes the pushed
       // filters prunes every one of its files without its per-file stats
@@ -918,10 +951,17 @@ private[sources] class ArrowIpcScan(required: StructType, dir: String,
       // RUNTIME (DPP) filters on partition keys then prune through the
       // same canMatch machinery as data-column stats (a manifest-less
       // foreign file simply stays unpruned, never wrongly skipped)
-      val merged =
+      val merged0 =
         if (hiveFields.isEmpty) stats
         else ArrowHiveLayout.mergeStats(stats, hiveFields, valsByName)
-      (all, merged, refuted.toSet, valsByName, dirCounts)
+      // old generations splice THEIR OWN path-borne keys the same way
+      val merged = oldHiveGens.zipWithIndex.foldLeft(merged0) {
+        case (acc, (g, i)) =>
+          val genVals = oldVals.collect { case (n, (gi, v)) if gi == i => n -> v }
+          if (genVals.isEmpty) acc
+          else ArrowHiveLayout.mergeStats(acc, g, genVals)
+      }
+      (all, merged, refuted.toSet, valsByName, dirCounts, oldVals)
     }
   }
 
@@ -1230,10 +1270,12 @@ private[sources] class ArrowIpcScan(required: StructType, dir: String,
     // shuffled read rather than threading per-file masks through the
     // keyed chain
     else if (eqTombs.nonEmpty) None
-    // mid-evolution mixed layouts: a flat-generation file inside a
-    // keyed chain would feed the hive splicing reader values it does
-    // not have — degrade to a plain shuffled read until unification
-    else if (hiveFields.nonEmpty && layoutMixedFlat) None
+    // mid-evolution mixed layouts: a flat- or old-generation file
+    // inside a keyed chain would feed the hive splicing reader values
+    // it does not have — degrade to a plain shuffled read until
+    // unification
+    else if (hiveFields.nonEmpty && (layoutMixedFlat || oldHiveGens.nonEmpty))
+      None
     else {
       val dirPath = new Path(dir)
       val fs = dirPath.getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
@@ -1394,12 +1436,19 @@ private[sources] class ArrowIpcScan(required: StructType, dir: String,
             case Some(vals) =>
               ArrowHiveFilePartition(st.getPath.toString, vals,
                 dvFor(name)): InputPartition
-            case None =>
-              // a flat-generation file on an evolved table: every
-              // column (including the new partition keys) is in its
-              // data — the plain reader serves it
-              ArrowFilePartition(st.getPath.toString,
-                dvFor(name)): InputPartition
+            case None => oldGenVals.get(name) match {
+              case Some((gi, vals)) =>
+                // an OLD-generation file: spliced by ITS OWN keys
+                ArrowHiveFilePartition(st.getPath.toString, vals,
+                  dvFor(name),
+                  fields = oldHiveGens(gi).map(_.name)): InputPartition
+              case None =>
+                // a flat-generation file on an evolved table: every
+                // column (including the new partition keys) is in its
+                // data — the plain reader serves it
+                ArrowFilePartition(st.getPath.toString,
+                  dvFor(name)): InputPartition
+            }
           }
         }
     }
@@ -1434,6 +1483,10 @@ private[sources] class ArrowIpcScan(required: StructType, dir: String,
     require(posSlot < 0,
       s"arrow-ipc: the _pos metadata column is batch-only — a streaming " +
         "read cannot project it")
+    require(oldHiveGens.isEmpty,
+      s"arrow-ipc: $dir holds files under ${oldHiveGens.size + 1} hive " +
+        "partition generations — streaming reads serve one; rewrite " +
+        "(CALL cluster) to unify first (batch reads union all generations)")
     if (changeFeed)
       new ArrowChangesMicroBatchStream(required, dir, hiveFields,
         startingSnapshot, startingTimestamp, maxSnapshotsPerTrigger)
@@ -1463,7 +1516,8 @@ private[sources] class ArrowIpcScan(required: StructType, dir: String,
           new ArrowIpcReaderFactory(req, conf, limit, innerPos)
             : PartitionReaderFactory
         else
-          new ArrowIpcHiveReaderFactory(req, hiveFields, conf, limit, innerPos)
+          new ArrowIpcHiveReaderFactory(req, hiveFields, conf, limit,
+            innerPos, extraGens = oldHiveGens)
             : PartitionReaderFactory
       if (fileSlot < 0) base
       else {

@@ -784,17 +784,12 @@ object ArrowMaintenance {
           "tombstones — fold them first (CALL graft.system.purge_eq)")
       val gens = ArrowHiveLayout.readGenerations(fs, dirPath)
       if (gens.last == newKeys) return
-      def standing(g: Seq[String]): Boolean = g.nonEmpty &&
-        Option(fs.globStatus(new Path(dirPath,
-          ArrowHiveLayout.escape(g.head) + "=*")))
-          .getOrElse(Array.empty).exists(_.isDirectory)
-      val standingHive = gens.filter(_.nonEmpty).distinct.filter(standing)
-      require(standingHive.isEmpty || newKeys.isEmpty ||
-          standingHive == Seq(newKeys),
-        s"arrow-ipc evolvePartitioning: $dir holds files partitioned by " +
-          s"(${standingHive.map(_.mkString(",")).mkString("; ")}) — " +
-          s"evolving to (${newKeys.mkString(",")}) would leave two hive " +
-          "generations with files; rewrite (CALL cluster) to unify first")
+      // round 14: hive→hive′ with standing value directories is allowed
+      // — batch reads union every standing generation, each discovered,
+      // pruned and spliced by its own keys. Rewrites (compaction, COW
+      // DML) and streaming reads refuse on a multi-generation table
+      // until CALL cluster unifies it; a whole-table cluster also
+      // collapses the history.
       ArrowHiveLayout.declareEvolved(fs, dirPath, newKeys)
     }
   }

@@ -91,24 +91,114 @@ class ArrowPartitionEvolutionSpec extends AnyFunSuite {
     assert(t.select(sum(col("id"))).head().getLong(0) === (0L until 1000L).sum)
   }
 
-  test("hive -> different hive with standing value dirs refuses; CALL face works; aggregate pushdown degrades honestly") {
-    val dir = tmp("graft_pevo_ref")
+  test("hive -> different hive with standing value dirs: both generations read, each pruned by its own keys (round 14)") {
+    val dir = tmp("graft_pevo_hh")
     rows(0, 400).withColumn("q", col("id") % 2)
       .write.format("arrow-ipc")
       .option("hivePartitionKeys", "p").mode("overwrite").save(dir)
     spark.conf.set("spark.sql.catalog.graft", "graft.sources.ArrowCatalog")
-    val e = intercept[IllegalArgumentException] {
-      ArrowMaintenance.evolvePartitioning(spark, dir, Seq("q"))
-    }
-    assert(e.getMessage.contains("unify"))
-    // CALL face: hive -> flat
+    ArrowMaintenance.evolvePartitioning(spark, dir, Seq("q"))
+    rows(400, 800).withColumn("q", col("id") % 2)
+      .write.format("arrow-ipc").mode("append").save(dir)
+    // old gen untouched; new appends nest by q
+    assert(nestedFiles(dir).nonEmpty)
+    assert(Option(fsOf(dir).globStatus(new Path(dir, "q=*/part-*.arrows")))
+      .getOrElse(Array.empty).nonEmpty, "post-evolve append did not nest by q")
+    val t = spark.read.format("arrow-ipc").load(dir)
+    assert(t.count() === 800L)
+    assert(t.select(sum(col("id"))).head().getLong(0) === (0L until 800L).sum)
+    // a filter on q dir-prunes the q generation AND file-prunes the p
+    // generation through its per-file data stats on q
+    val qq = t.filter(col("q") === 1)
+    assert(qq.count() === 400L)
+    val desc = qq.queryExecution.executedPlan.toString
+    val d = "dirs=(\\d+)/(\\d+)".r.findFirstMatchIn(desc)
+    assert(d.isDefined && d.get.group(1).toInt < d.get.group(2).toInt,
+      s"q generation did not dir-prune:\n$desc")
+    // CALL face: hive -> flat still works
     spark.sql(s"CALL graft.system.evolve_partitioning('$dir', '')")
     assert(ArrowHiveLayout.read(fsOf(dir), new Path(dir)).isEmpty)
-    rows(400, 500).withColumn("q", col("id") % 2)
+    rows(800, 900).withColumn("q", col("id") % 2)
       .write.format("arrow-ipc").mode("append").save(dir)
     // a manifest-only COUNT would miss a generation — the gate forces an
     // honest scan; the value must still be exact
-    assert(spark.read.format("arrow-ipc").load(dir).count() === 500L)
+    assert(spark.read.format("arrow-ipc").load(dir).count() === 900L)
+  }
+
+  test("three standing generations (flat, p-hive, q-hive): exact reads, per-generation pruning, MOR delete, cluster unifies (round 14)") {
+    val dir = tmp("graft_pevo_3g")
+    def rows3(from: Long, to: Long) =
+      spark.range(from, to).select(col("id"), (col("id") % 4).as("p"),
+        (col("id") % 2).as("q"),
+        sha2(col("id").cast("string"), 256).as("payload"))
+    // gen 1: FLAT, clustered on p so its per-file stats prune on p
+    rows3(0, 400).repartitionByRange(4, col("p"))
+      .write.format("arrow-ipc").mode("overwrite").save(dir)
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.ArrowCatalog")
+    // gen 2: p-hive
+    ArrowMaintenance.evolvePartitioning(spark, dir, Seq("p"))
+    rows3(400, 800).write.format("arrow-ipc").mode("append").save(dir)
+    // gen 3: q-hive — standing p dirs remain
+    ArrowMaintenance.evolvePartitioning(spark, dir, Seq("q"))
+    rows3(800, 1200).write.format("arrow-ipc").mode("append").save(dir)
+    assert(ArrowHiveLayout.standingHiveGens(fsOf(dir), new Path(dir))
+      === Seq(Seq("p"), Seq("q")))
+
+    val t = spark.read.format("arrow-ipc").load(dir)
+    assert(t.count() === 1200L)
+    assert(t.select(sum(col("id"))).head().getLong(0) === (0L until 1200L).sum)
+    // per-generation pruning, all three mechanisms in ONE scan:
+    // filter on p → p-gen dir-prunes, flat gen stats-prunes, q-gen
+    // file-prunes through its real data stats on p
+    val fp = t.filter(col("p") === 2)
+    assert(fp.count() === 300L)
+    val descP = fp.queryExecution.executedPlan.toString
+    val dP = "dirs=(\\d+)/(\\d+)".r.findFirstMatchIn(descP)
+    assert(dP.isDefined && dP.get.group(1).toInt < dP.get.group(2).toInt,
+      s"p generation did not dir-prune:\n$descP")
+    val mP = "files=(\\d+)/(\\d+)".r.findFirstMatchIn(descP)
+    assert(mP.isDefined &&
+      mP.get.group(1).toInt < mP.get.group(2).toInt,
+      s"file pruning missing on the 3-generation scan:\n$descP")
+    // filter on q → q-gen dir-prunes; the others file-prune on q stats
+    val fq = t.filter(col("q") === 1)
+    assert(fq.count() === 600L)
+    val descQ = fq.queryExecution.executedPlan.toString
+    val dQ = "dirs=(\\d+)/(\\d+)".r.findFirstMatchIn(descQ)
+    assert(dQ.isDefined && dQ.get.group(1).toInt < dQ.get.group(2).toInt,
+      s"q generation did not dir-prune:\n$descQ")
+    // with the partition columns projected away, every generation still
+    // serves its path-borne values
+    assert(t.groupBy("p").count().collect().map(_.getLong(1)).sum === 1200L)
+
+    // MOR delete works across generations (positions are per-file)
+    val del = graft.sources.ArrowDeleteVectors.deleteMor(
+      spark, dir, "id = 5 OR id = 500 OR id = 900")
+    assert(del.deletedRows === 3L)
+    assert(t.count() === 1197L)
+
+    // streaming reads refuse until unified
+    val ckpt = tmp("graft_pevo_3g_ckpt")
+    val sq = spark.readStream.format("arrow-ipc").load(dir)
+      .writeStream.format("noop").option("checkpointLocation", ckpt).start()
+    val se = intercept[Exception] { sq.processAllAvailable() }
+    try assert(se.getMessage.contains("unify") ||
+      Option(se.getCause).exists(_.getMessage.contains("unify")))
+    finally sq.stop()
+
+    // whole-table cluster unifies into the CURRENT (q) layout and
+    // collapses the history; content identical
+    val before = spark.read.format("arrow-ipc").load(dir)
+      .orderBy("id").collect().toSeq
+    assert(ArrowMaintenance.cluster(spark, dir, Seq("id")).isDefined)
+    assert(rootFiles(dir).isEmpty, "cluster left flat-generation files")
+    assert(Option(fsOf(dir).globStatus(new Path(dir, "p=*")))
+      .getOrElse(Array.empty).isEmpty, "cluster left p-generation dirs")
+    assert(ArrowHiveLayout.readGenerations(fsOf(dir), new Path(dir))
+      === Seq(Seq("q")))
+    assert(spark.read.format("arrow-ipc").load(dir)
+      .orderBy("id").collect().toSeq === before,
+      "cluster unify changed the table's content")
   }
 
   test("whole-table cluster unifies the layout and collapses the generation history") {
