@@ -264,6 +264,60 @@ object PipelineQueries {
               LEFT JOIN removed r ON p.doc_id = r.doc_id
               GROUP BY 1 ORDER BY lang""")),
 
+    // THE REMOVAL FACE of exact-substring dedup (round 14): emit the
+    // cleaned TEXT — kept tokens re-joined in position order — for
+    // every trimmed document. The report above says how much would go;
+    // this is what a pipeline actually feeds downstream. One anti-join
+    // against the duplicated-span cover + a per-doc sorted collect of
+    // kept tokens (bounded by the doc's own length). DuckDB reproduces
+    // the reconstructed text verbatim (string_agg ORDER BY pos).
+    ("dedup_substring_apply", (s, d) => {
+      Dedup.substringDedupApply(T(s, d, "documents"), "doc_id", "text", k = 8)
+        .filter(col("kept_tokens") < col("n_tokens"))
+        .orderBy("doc_id")
+    },
+      Some("""WITH toks AS (
+                SELECT doc_id, u.tok, u.pos
+                FROM documents d,
+                LATERAL (SELECT unnest(string_split(d.text, ' ')) AS tok,
+                         generate_subscripts(string_split(d.text, ' '), 1) AS pos) u
+                WHERE d.text IS NOT NULL
+              ), grams AS (
+                SELECT doc_id, pos,
+                       string_agg(tok, ' ') OVER w AS g,
+                       count(*) OVER w AS gn
+                FROM toks
+                WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING)
+              ), anchors AS (
+                SELECT doc_id, pos, g FROM grams WHERE gn = 8
+              ), own AS (
+                SELECT g, MIN(doc_id) AS owner FROM anchors
+                GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2
+              ), cover AS (
+                SELECT DISTINCT a.doc_id, a.pos + i.i AS tp
+                FROM anchors a JOIN own o ON a.g = o.g AND a.doc_id <> o.owner
+                CROSS JOIN (SELECT unnest(range(8)) AS i) i
+              ), kept AS (
+                SELECT t.doc_id, t.pos, t.tok
+                FROM toks t LEFT JOIN cover c
+                  ON t.doc_id = c.doc_id AND t.pos = c.tp
+                WHERE c.tp IS NULL
+              ), per AS (
+                SELECT doc_id, COUNT(*) AS n_tokens FROM toks GROUP BY doc_id
+              ), reb AS (
+                SELECT doc_id, COUNT(*) AS kept_tokens,
+                       string_agg(tok, ' ' ORDER BY pos) AS text_clean
+                FROM kept GROUP BY doc_id
+              )
+              SELECT p.doc_id, CAST(p.n_tokens AS BIGINT) AS n_tokens,
+                     CAST(COALESCE(r.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+                     COALESCE(r.text_clean, '') AS text_clean
+              FROM per p
+              JOIN (SELECT DISTINCT doc_id FROM cover) t USING (doc_id)
+              LEFT JOIN reb r ON p.doc_id = r.doc_id
+              ORDER BY doc_id""")),
+
     // Incremental (continuous-ingest) dedup: LSH candidates for a new doc
     // batch against itself and the existing corpus — never old×old. The
     // per-batch cost is what makes dedup sustainable on a growing corpus.

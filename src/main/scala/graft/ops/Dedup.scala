@@ -522,6 +522,20 @@ object Dedup {
     *   non-null text; removed_tokens = 0 when nothing duplicated. */
   def substringDedup(df: DataFrame, idCol: String, textCol: String,
       k: Int, persistGrams: Boolean = true): DataFrame = {
+    val (toks, cover) = substringCover(df, idCol, textCol, k, persistGrams)
+    val removed = cover
+      .groupBy(col(idCol)).agg(count(lit(1)).as("removed_tokens"))
+    val perDoc = toks.groupBy(col(idCol)).agg(count(lit(1)).as("n_tokens"))
+    perDoc.join(removed, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("removed_tokens"), lit(0L)).as("removed_tokens"))
+  }
+
+  /** The shared spine of [[substringDedup]]/[[substringDedupApply]]:
+    * (tokens frame `(id, pos, tok)`, removal cover `(id, tp)` — the
+    * DISTINCT token positions to drop per non-owner doc). */
+  private def substringCover(df: DataFrame, idCol: String, textCol: String,
+      k: Int, persistGrams: Boolean): (DataFrame, DataFrame) = {
     require(k >= 2, s"substringDedup: need k >= 2 tokens, got $k")
     import org.apache.spark.sql.expressions.Window
     val toks = graft.Engine.rebalanceForCompute(df)
@@ -553,16 +567,42 @@ object Dedup {
       .filter(col("__dn") >= 2)
       .select(col("gh"), col("g"), col("__own"))
     // pass 4: anchors in non-owner docs → k-position covers → union
-    val removed = cand.join(dupOwn, Seq("gh", "g"))
+    val cover = cand.join(dupOwn, Seq("gh", "g"))
       .filter(col(idCol) =!= col("__own"))
       .select(col(idCol),
         explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("tp"))
       .distinct()
-      .groupBy(col(idCol)).agg(count(lit(1)).as("removed_tokens"))
+    (toks, cover)
+  }
+
+  /** The REMOVAL FACE of [[substringDedup]] (round 14): reconstruct
+    * each document's KEPT text — tokens outside the duplicated-span
+    * cover, re-joined in position order. What a pretraining pipeline
+    * actually feeds downstream (Lee et al. 2022 emit the cleaned
+    * corpus, not a report). Reconstruction is one anti-join (kept
+    * positions) plus a per-doc sorted collect of the kept tokens —
+    * driver-free, and the per-doc list is bounded by the document's
+    * own token count (the same bound the tokenize pass already set).
+    *
+    * @return (idCol, n_tokens, kept_tokens, text_clean) — one row per
+    *   doc with non-null text; a fully-duplicated doc keeps 0 tokens
+    *   and reconstructs the empty string. */
+  def substringDedupApply(df: DataFrame, idCol: String, textCol: String,
+      k: Int, persistGrams: Boolean = true): DataFrame = {
+    val (toks, cover) = substringCover(df, idCol, textCol, k, persistGrams)
+    val kept = toks.join(cover,
+      toks(idCol) === cover(idCol) && toks("pos") === cover("tp"),
+      "left_anti")
+    val rebuilt = kept.groupBy(col(idCol)).agg(
+      count(lit(1)).as("kept_tokens"),
+      concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("pos"), col("tok")))),
+        x => x.getField("tok"))).as("text_clean"))
     val perDoc = toks.groupBy(col(idCol)).agg(count(lit(1)).as("n_tokens"))
-    perDoc.join(removed, Seq(idCol), "left")
+    perDoc.join(rebuilt, Seq(idCol), "left")
       .select(col(idCol), col("n_tokens"),
-        coalesce(col("removed_tokens"), lit(0L)).as("removed_tokens"))
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
   }
 
   /** Connected components over a similarity-pair graph — the clustering
