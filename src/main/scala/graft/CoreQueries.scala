@@ -1226,6 +1226,50 @@ object CoreQueries {
               FROM base WHERE o_orderstatus <> 'O' GROUP BY 2
               ORDER BY ver, o_orderstatus""")),
 
+    // TAGS (round 14): named, immutable snapshot refs — `VERSION AS OF
+    // 'v1.0'` reads the exact file set the tag pinned while main moved
+    // on, and expire_snapshots refuses to expire it until the tag drops.
+    // The query exercises the full SQL face (CALL create_tag → DELETE →
+    // read by tag name + current), same adjudication shape as
+    // arrow_time_travel so the oracle is exact.
+    ("arrow_tag", (s, d) => {
+      val ord = T(s, d, "orders").select(
+        col("o_orderkey"), col("o_orderstatus"),
+        (col("o_totalprice").cast(DecimalType(12, 2)) * 100)
+          .cast(LongType).as("cents"))
+      // Scratch contract: see json_roundtrip.
+      val path = graft.sources.Scratch.dir(s, "graft_rt_arrowtag")
+      ord.repartitionByRange(4, col("o_orderkey"))
+        .write.format("arrow-ipc").mode("overwrite").save(path) // snapshot 1
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.ArrowCatalog")
+      s.sql(s"CALL graft.system.create_tag('$path', 'v1.0')") // pins tip = 1
+      s.sql(s"DELETE FROM graft.`$path` WHERE o_orderstatus = 'O'") // snapshot 2
+      // self-assert the retention contract: the tag blocks expiry of its
+      // pinned history (drop-then-expire is the explicit path)
+      val blocked = scala.util.Try(
+        s.sql(s"CALL graft.system.expire_snapshots('$path', 2)").collect())
+      require(blocked.isFailure &&
+        blocked.failed.get.getMessage.contains("v1.0"),
+        "arrow_tag: expire_snapshots should refuse while 'v1.0' pins snapshot 1")
+      val v1 = s.sql(s"SELECT * FROM graft.`$path` VERSION AS OF 'v1.0'")
+      val v2 = s.read.format("arrow-ipc").load(path)
+      v1.withColumn("ver", lit(1)).unionAll(v2.withColumn("ver", lit(2)))
+        .groupBy(col("ver"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("cnt"), sum(col("cents")).as("cents"))
+        .orderBy("ver", "o_orderstatus")
+    },
+      Some("""WITH base AS (SELECT o_orderstatus,
+                     CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
+              FROM orders)
+              SELECT 1 AS ver, o_orderstatus, COUNT(*) AS cnt,
+                     CAST(SUM(c) AS BIGINT) AS cents
+              FROM base GROUP BY 2
+              UNION ALL
+              SELECT 2 AS ver, o_orderstatus, COUNT(*) AS cnt,
+                     CAST(SUM(c) AS BIGINT) AS cents
+              FROM base WHERE o_orderstatus <> 'O' GROUP BY 2
+              ORDER BY ver, o_orderstatus""")),
+
     // CHANGE FEED (round 9): "what changed between snapshot A and B" as
     // insert/delete rows, folded from the snapshot log and served by
     // `_file`-pruned as-of reads — the feed opens exactly the changed

@@ -55,15 +55,27 @@ class ArrowCatalog extends TableCatalog with ProcedureCatalog
     new ArrowIpcTable(ArrowInterchange.readSchema(spark, dir), dir)
   }
 
-  /** TIME TRAVEL — `VERSION AS OF <snapshot-id>`: pins the table to one
-    * entry of the directory's `_snapshots/` log ([[ArrowSnapshots]]);
-    * scans read that snapshot's file set (trash-resolved), mutations
-    * refuse. */
+  /** TIME TRAVEL — `VERSION AS OF <snapshot-id | 'tag-name'>`: pins the
+    * table to one entry of the directory's `_snapshots/` log
+    * ([[ArrowSnapshots]]); a non-numeric version resolves as a TAG
+    * ([[ArrowTags]] — Iceberg's named-ref form, which is why all-digit
+    * tag names are refused at creation). Scans read that snapshot's
+    * file set (trash-resolved), mutations refuse. */
   override def loadTable(ident: Identifier, version: String): Table = {
     val id = try java.lang.Long.parseLong(version)
     catch { case _: NumberFormatException =>
-      throw new IllegalArgumentException(
-        s"$catalogName: VERSION AS OF takes a numeric snapshot id, got '$version'")
+      val dir = dirOf(ident)
+      val p = new Path(dir)
+      val fs = p.getFileSystem(
+        SparkSession.active.sparkContext.hadoopConfiguration)
+      ArrowTags.resolve(fs, p, version).getOrElse {
+        val have = ArrowTags.list(fs, p).map(_.name)
+        throw new IllegalArgumentException(
+          s"$catalogName: VERSION AS OF takes a numeric snapshot id or " +
+            s"a tag name; '$version' is neither" +
+            (if (have.isEmpty) " (no tags)"
+            else s" — tags: ${have.mkString(", ")}"))
+      }
     }
     loadTable(ident) match {
       case t: ArrowIpcTable => new ArrowIpcTable(t.schema(), dirOf(ident), Some(id))
@@ -602,6 +614,53 @@ class ArrowCatalog extends TableCatalog with ProcedureCatalog
           org.apache.spark.sql.types.BooleanType))),
       r => Seq(row(ArrowBranch.drop(SparkSession.active, dirArg(r),
         r.getUTF8String(1).toString)))),
+    GraftProcedure("create_tag",
+      "pin a named, immutable tag to a snapshot (default: the current " +
+        "tip) — readable as VERSION AS OF '<name>' / option('tag', " +
+        "name); expire_snapshots refuses to expire a tagged snapshot " +
+        "until the tag is dropped",
+      Array(in("dir", StringType), in("name", StringType),
+        inDefault("snapshot", LongType, "NULL")),
+      StructType(Seq(
+        org.apache.spark.sql.types.StructField("tag", StringType),
+        org.apache.spark.sql.types.StructField("snapshot", LongType))),
+      r => {
+        val dir = dirArg(r)
+        val p = new Path(dir)
+        val fs = p.getFileSystem(
+          SparkSession.active.sparkContext.hadoopConfiguration)
+        val t = ArrowTags.create(fs, p, r.getUTF8String(1).toString,
+          if (r.isNullAt(2)) None else Some(r.getLong(2)))
+        Seq(row(t.name, t.snapshot))
+      }),
+    GraftProcedure("list_tags",
+      "tags on the table: name, pinned snapshot, creation time",
+      Array(in("dir", StringType)),
+      StructType(Seq(
+        org.apache.spark.sql.types.StructField("tag", StringType),
+        org.apache.spark.sql.types.StructField("snapshot", LongType),
+        org.apache.spark.sql.types.StructField("created_at",
+          org.apache.spark.sql.types.TimestampType))),
+      r => {
+        val p = new Path(dirArg(r))
+        val fs = p.getFileSystem(
+          SparkSession.active.sparkContext.hadoopConfiguration)
+        ArrowTags.list(fs, p).map(t =>
+          row(t.name, t.snapshot, t.createdMs * 1000L))
+      }),
+    GraftProcedure("drop_tag",
+      "remove a tag; its snapshot stays retained until the next " +
+        "expire_snapshots collapses it",
+      Array(in("dir", StringType), in("name", StringType)),
+      StructType(Seq(
+        org.apache.spark.sql.types.StructField("dropped",
+          org.apache.spark.sql.types.BooleanType))),
+      r => {
+        val p = new Path(dirArg(r))
+        val fs = p.getFileSystem(
+          SparkSession.active.sparkContext.hadoopConfiguration)
+        Seq(row(ArrowTags.drop(fs, p, r.getUTF8String(1).toString)))
+      }),
     GraftProcedure("purge_eq",
       "fold every live equality-delete tombstone into positional " +
         "deletion vectors and remove it — restores row-level DML, " +
@@ -862,7 +921,8 @@ class ArrowCatalog extends TableCatalog with ProcedureCatalog
     GraftProcedure("detail",
       "table facts: files, bytes, rows (manifest-exact or -1), deletion " +
         "vectors, layouts, blooms, tip, equality tombstones (count + " +
-        "keys, round 13), WAP branches, partition generations",
+        "keys, round 13), WAP branches, partition generations, tags " +
+        "(round 14)",
       Array(in("dir", StringType)),
       StructType(Seq(
         org.apache.spark.sql.types.StructField("location", StringType),
@@ -882,7 +942,9 @@ class ArrowCatalog extends TableCatalog with ProcedureCatalog
         org.apache.spark.sql.types.StructField("eq_masked_keys", LongType),
         org.apache.spark.sql.types.StructField("branches", StringType),
         org.apache.spark.sql.types.StructField("partition_generations",
-          IntegerType))),
+          IntegerType),
+        // round 14: named snapshot refs
+        org.apache.spark.sql.types.StructField("tags", StringType))),
       r => {
         val dir = dirArg(r)
         val p = new Path(dir)
@@ -917,7 +979,9 @@ class ArrowCatalog extends TableCatalog with ProcedureCatalog
           ArrowSnapshots.currentTip(fs, p),
           tombs.size, tombKeys,
           ArrowBranch.list(fs, p).mkString(","),
-          ArrowHiveLayout.readGenerations(fs, p).size))
+          ArrowHiveLayout.readGenerations(fs, p).size,
+          ArrowTags.list(fs, p).map(t => s"${t.name}=${t.snapshot}")
+            .mkString(",")))
       }),
     // read-only: the DESCRIBE HISTORY analog — one row per retained
     // snapshot, newest first (expired prefixes are folded into the base

@@ -77,20 +77,35 @@ object ArrowCdcApply {
     * rows into phantom inserts); any other key type is REFUSED loudly
     * rather than emitting silently-wrong SQL. */
   def keyBounds(batch: DataFrame, keyCol: String,
+      targetAlias: String): Option[String] =
+    keyBoundsMulti(batch, Seq(keyCol), targetAlias)
+
+  /** Composite-key form (the (tenant, id) CDC shape, matching
+    * [[ArrowEqualityDeletes.upsertBatchKeys]]'s equality field list):
+    * per-column min/max conjuncts, ANDed — each column's interval prunes
+    * independently, exactly how the file-stats manifest stores per-column
+    * intervals. One aggregate over the batch computes every bound. */
+  def keyBoundsMulti(batch: DataFrame, keyCols: Seq[String],
       targetAlias: String): Option[String] = {
-    import org.apache.spark.sql.functions.{max, min}
+    import org.apache.spark.sql.functions.{col, max, min}
     import org.apache.spark.sql.types._
-    val dt = batch.schema(keyCol).dataType
-    dt match {
-      case _: NumericType | StringType | DateType | TimestampType |
-           TimestampNTZType => ()
-      case other => throw new IllegalArgumentException(
-        s"ArrowCdcApply.keyBounds: key column '$keyCol' has type $other — " +
-          "only numeric, string, date and timestamp keys can be rendered " +
-          "as pruning bounds; drop the bounds or cast the key")
+    require(keyCols.nonEmpty && keyCols.distinct == keyCols,
+      s"ArrowCdcApply.keyBounds: key columns must be non-empty and " +
+        s"distinct (got ${keyCols.mkString(",")})")
+    keyCols.foreach { keyCol =>
+      batch.schema(keyCol).dataType match {
+        case _: NumericType | StringType | DateType | TimestampType |
+             TimestampNTZType => ()
+        case other => throw new IllegalArgumentException(
+          s"ArrowCdcApply.keyBounds: key column '$keyCol' has type $other — " +
+            "only numeric, string, date and timestamp keys can be rendered " +
+            "as pruning bounds; drop the bounds or cast the key")
+      }
     }
-    val r = batch.agg(min(keyCol), max(keyCol)).head()
-    if (r.isNullAt(0)) return None // all-null or empty batch
+    val aggs = keyCols.flatMap(k => Seq(min(col(k)), max(col(k))))
+    val r = batch.agg(aggs.head, aggs.tail: _*).head()
+    if ((0 until 2 * keyCols.size).exists(r.isNullAt))
+      return None // empty batch, or some key column all-null
     // TIMESTAMP literals parse in spark.sql.session.timeZone, while
     // java.sql.Timestamp.toString formats in the JVM default — when the
     // two differ the bounds would shift and MATCHED target rows fall
@@ -115,8 +130,10 @@ object ArrowCdcApply {
         "TIMESTAMP_NTZ '" + java.sql.Timestamp.valueOf(t).toString + "'"
       case x => x.toString // numeric (guarded above)
     }
-    Some(s"$targetAlias.$keyCol >= ${lit(r.get(0))} AND " +
-      s"$targetAlias.$keyCol <= ${lit(r.get(1))}")
+    Some(keyCols.zipWithIndex.map { case (k, i) =>
+      s"$targetAlias.$k >= ${lit(r.get(2 * i))} AND " +
+        s"$targetAlias.$k <= ${lit(r.get(2 * i + 1))}"
+    }.mkString(" AND "))
   }
 
   /** Run `body` (the batch's MERGE/DML against `dir`) tagged with

@@ -177,7 +177,15 @@ private[sources] class ArrowIpcTable(tableSchema: StructType, dir: String,
       Option(options.get("maxFilesPerTrigger")).map(_.toInt),
       Option(options.get("partitionKeys"))
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq),
-      asOf = asOf.orElse(Option(options.get("asOfSnapshot")).map(_.toLong)),
+      asOf = asOf.orElse(Option(options.get("asOfSnapshot")).map(_.toLong))
+        // option("tag", name): time travel by named ref (ArrowTags) —
+        // resolves once at plan time to the same asOf pin as a numeric id
+        .orElse(Option(options.get("tag")).map { t =>
+          val p = new Path(dir)
+          ArrowTags.resolveRequired(
+            p.getFileSystem(
+              SparkSession.active.sparkContext.hadoopConfiguration), p, t)
+        }),
       changeFeed = options.getBoolean("changeFeed", false),
       startingSnapshot = Option(options.get("startingSnapshot")).map(_.toLong),
       startingTimestamp = Option(options.get("startingTimestamp")),

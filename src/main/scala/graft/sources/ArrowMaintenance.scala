@@ -962,6 +962,16 @@ object ArrowMaintenance {
     // like every other commit's critical section.
     val (dropped, doomed) = ArrowOcc.withCommitLock(fs, dirPath) {
       val snaps = ArrowSnapshots.read(fs, dirPath)
+      // TAGS pin history: expiring a tagged snapshot would turn a named
+      // release ref into a permanent refusal. Refuse HERE (loudly, naming
+      // the tags) — dropping the tag is the explicit opt-out, a silent
+      // expiry is never. A tag AT keepFrom survives (it becomes the base).
+      val pinned = ArrowTags.list(fs, dirPath).filter(_.snapshot < keepFrom)
+      require(pinned.isEmpty,
+        s"arrow-ipc: expire_snapshots(keepFrom=$keepFrom) would expire " +
+          s"tagged snapshot(s) ${pinned.map(t => s"'${t.name}' -> ${t.snapshot}")
+            .mkString(", ")} on $dir — drop the tag(s) or keep from " +
+          s"${pinned.map(_.snapshot).min} or earlier")
       val base = snaps.find(_.id == keepFrom).getOrElse(
         throw new IllegalArgumentException(
           s"arrow-ipc: $dir has no snapshot $keepFrom to keep from" +

@@ -162,6 +162,54 @@ class ArrowCdcApplySpec extends AnyFunSuite {
     assert(spark.read.format("arrow-ipc").load(dir).count() === 100L)
   }
 
+  test("keyBoundsMulti renders conjunctive per-column bounds; the composite-key bounded MERGE is semantically identical") {
+    val dir = tmp("graft_cdc_bounds2")
+    // composite-keyed table: (grp, sub) -> v, with sibling tuples that a
+    // single-column prune would NOT separate
+    spark.range(0, 100).select((col("id") % 10).as("grp"),
+        expr("id div 10").as("sub"), (col("id") * 10).as("v"))
+      .repartition(3)
+      .write.format("arrow-ipc").mode("overwrite").save(dir)
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.ArrowCatalog")
+
+    val batch = spark.sql(
+      "SELECT * FROM VALUES (3L, 2L, 1L), (5L, 7L, 1L) AS c(grp, sub, d)")
+    val bounds = ArrowCdcApply.keyBoundsMulti(batch, Seq("grp", "sub"), "t")
+    assert(bounds === Some(
+      "t.grp >= 3 AND t.grp <= 5 AND t.sub >= 2 AND t.sub <= 7"))
+    // empty batch and an all-null key column both yield None
+    assert(ArrowCdcApply.keyBoundsMulti(
+      spark.range(0).select(col("id").as("grp"), col("id").as("sub")),
+      Seq("grp", "sub"), "t") === None)
+    assert(ArrowCdcApply.keyBoundsMulti(
+      spark.sql("SELECT * FROM VALUES (1L, CAST(NULL AS BIGINT)) AS v(grp, sub)"),
+      Seq("grp", "sub"), "t") === None)
+    intercept[IllegalArgumentException] {
+      ArrowCdcApply.keyBoundsMulti(batch, Seq("grp", "grp"), "t")
+    }
+
+    // the bounded composite MERGE applies the same rows as the unbounded
+    // shape: exactly the two (grp, sub) tuples update, siblings survive
+    spark.conf.set("spark.graft.arrow.mergeMode", "mor")
+    try {
+      batch.createOrReplaceTempView("cdc_bounds2_src")
+      assert(ArrowCdcApply.applyBatch(spark, dir, "cdc_bounds2", 0L) {
+        ArrowDml.sql(spark, dir,
+          s"""MERGE INTO graft.`$dir` t USING cdc_bounds2_src c
+              ON t.grp = c.grp AND t.sub = c.sub AND ${bounds.get}
+              WHEN MATCHED THEN UPDATE SET v = t.v + c.d
+              WHEN NOT MATCHED THEN INSERT (grp, sub, v)
+                VALUES (c.grp, c.sub, c.d)""")
+        ()
+      })
+    } finally spark.conf.unset("spark.graft.arrow.mergeMode")
+    val t = spark.read.format("arrow-ipc").load(dir)
+    assert(t.count() === 100L)
+    // keys (3,2)=id 23 and (5,7)=id 75 got +1; everything else unchanged
+    assert(t.agg(sum(col("v"))).head().getLong(0) ===
+      (0 until 100).map(_ * 10L).sum + 2L)
+  }
+
   test("an untagged statement never touches the ledger") {
     val dir = tmp("graft_cdc_untagged")
     seed(dir)

@@ -1,0 +1,149 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{ArrowMaintenance, ArrowTags}
+
+/** Tags: named, immutable snapshot refs (Iceberg's named-ref surface) —
+  * created at a snapshot, resolved through VERSION AS OF / option("tag"),
+  * protected from expire_snapshots until dropped. */
+class ArrowTagsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString + "/out"
+
+  private def fsOf(dir: String) = new Path(dir)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** snapshot 1 = 100 rows (v = 10·key); snapshot 2 deletes evens. */
+  private def seed(dir: String): Unit = {
+    spark.range(0, 100)
+      .select(col("id").as("key"), (col("id") * 10).as("v"))
+      .repartition(3)
+      .write.format("arrow-ipc").mode("overwrite").save(dir)
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.ArrowCatalog")
+    spark.sql(s"DELETE FROM graft.`$dir` WHERE key % 2 = 0")
+  }
+
+  test("create / resolve / list / drop; VERSION AS OF and option(tag) read the pinned set") {
+    val dir = tmp("graft_tag")
+    seed(dir)
+    val fs = fsOf(dir)
+    val p = new Path(dir)
+
+    val t1 = ArrowTags.create(fs, p, "v1.0", Some(1L))
+    assert(t1.snapshot === 1L)
+    val tip = ArrowTags.create(fs, p, "release-tip") // default = tip
+    assert(tip.snapshot === 2L)
+    assert(ArrowTags.list(fs, p).map(_.name) === Seq("release-tip", "v1.0"))
+    assert(ArrowTags.resolve(fs, p, "v1.0") === Some(1L))
+    assert(ArrowTags.resolve(fs, p, "nope") === None)
+
+    // SQL face: VERSION AS OF '<tag>' pins exactly like the numeric id
+    val byTag = spark.sql(s"SELECT count(*) c FROM graft.`$dir` VERSION AS OF 'v1.0'")
+    assert(byTag.head().getLong(0) === 100L)
+    assert(spark.sql(s"SELECT count(*) c FROM graft.`$dir` VERSION AS OF 'release-tip'")
+      .head().getLong(0) === 50L)
+    // path-read face: option("tag", …)
+    assert(spark.read.format("arrow-ipc").option("tag", "v1.0").load(dir)
+      .count() === 100L)
+    // numeric VERSION AS OF still works
+    assert(spark.sql(s"SELECT count(*) c FROM graft.`$dir` VERSION AS OF 1")
+      .head().getLong(0) === 100L)
+    // unknown tag refuses loudly, naming the live tags
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft.`$dir` VERSION AS OF 'ghost'").collect()
+    }
+    assert(e.getMessage.contains("ghost") && e.getMessage.contains("v1.0"))
+
+    assert(ArrowTags.drop(fs, p, "v1.0"))
+    assert(!ArrowTags.drop(fs, p, "v1.0")) // idempotent-false
+    assert(ArrowTags.resolve(fs, p, "v1.0") === None)
+  }
+
+  test("tags are immutable; all-digit and malformed names refuse; unknown snapshot refuses") {
+    val dir = tmp("graft_tag_imm")
+    seed(dir)
+    val fs = fsOf(dir)
+    val p = new Path(dir)
+
+    ArrowTags.create(fs, p, "pin", Some(1L))
+    val dup = intercept[IllegalStateException] {
+      ArrowTags.create(fs, p, "pin", Some(2L))
+    }
+    assert(dup.getMessage.contains("immutable"))
+    assert(ArrowTags.resolve(fs, p, "pin") === Some(1L)) // unchanged
+
+    intercept[IllegalArgumentException] { ArrowTags.create(fs, p, "123") }
+    intercept[IllegalArgumentException] { ArrowTags.create(fs, p, "a/b") }
+    intercept[IllegalArgumentException] {
+      ArrowTags.create(fs, p, "later", Some(99L)) // no such snapshot
+    }
+  }
+
+  test("expire_snapshots refuses while a tag pins expired history; drop unblocks; tag AT keepFrom survives") {
+    val dir = tmp("graft_tag_exp")
+    seed(dir)
+    val fs = fsOf(dir)
+    val p = new Path(dir)
+
+    ArrowTags.create(fs, p, "audit-v1", Some(1L))
+    val e = intercept[IllegalArgumentException] {
+      ArrowMaintenance.expireSnapshots(spark, dir, keepFrom = 2L)
+    }
+    assert(e.getMessage.contains("audit-v1"))
+    // still readable — the refusal protected the pin
+    assert(spark.read.format("arrow-ipc").option("tag", "audit-v1").load(dir)
+      .count() === 100L)
+
+    // a tag AT keepFrom survives the expiry (it becomes the base)
+    ArrowTags.create(fs, p, "audit-v2", Some(2L))
+    ArrowTags.drop(fs, p, "audit-v1")
+    val ex = ArrowMaintenance.expireSnapshots(spark, dir, keepFrom = 2L)
+    assert(ex.dropped === 1)
+    assert(spark.read.format("arrow-ipc").option("tag", "audit-v2").load(dir)
+      .count() === 50L)
+    // and the dropped tag's snapshot is really gone
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft.`$dir` VERSION AS OF 1").collect()
+    }
+  }
+
+  test("CALL create_tag / list_tags / drop_tag; detail reports tags") {
+    val dir = tmp("graft_tag_call")
+    seed(dir)
+
+    val created = spark.sql(
+      s"CALL graft.system.create_tag('$dir', 'rel-a', 1)").collect()
+    assert(created.head.getString(0) === "rel-a" &&
+      created.head.getLong(1) === 1L)
+    spark.sql(s"CALL graft.system.create_tag('$dir', 'rel-b')") // tip
+    val listed = spark.sql(s"CALL graft.system.list_tags('$dir')").collect()
+    assert(listed.map(_.getString(0)).toSeq === Seq("rel-a", "rel-b"))
+    assert(listed.map(_.getLong(1)).toSeq === Seq(1L, 2L))
+
+    val det = spark.sql(s"CALL graft.system.detail('$dir')").collect().head
+    assert(det.getAs[String]("tags") === "rel-a=1,rel-b=2")
+
+    assert(spark.sql(s"CALL graft.system.drop_tag('$dir', 'rel-a')")
+      .head().getBoolean(0))
+    assert(spark.sql(s"CALL graft.system.list_tags('$dir')").collect()
+      .map(_.getString(0)).toSeq === Seq("rel-b"))
+  }
+
+  test("a pinned-by-tag relation refuses mutation like any time travel") {
+    val dir = tmp("graft_tag_pin")
+    seed(dir)
+    val fs = fsOf(dir)
+    ArrowTags.create(fs, new Path(dir), "frozen", Some(1L))
+    val e = intercept[Exception] {
+      spark.sql(s"DELETE FROM graft.`$dir` VERSION AS OF 'frozen' WHERE key = 1")
+    }
+    assert(e.getMessage.toLowerCase.contains("time travel") ||
+      e.getMessage.toLowerCase.contains("not supported") ||
+      e.getMessage.toLowerCase.contains("delete"))
+  }
+}
