@@ -790,26 +790,36 @@ class ArrowCatalog extends TableCatalog with ProcedureCatalog
     GraftProcedure("restore",
       "restore the live table to the exact state of snapshot to_snapshot " +
         "— or, via to_timestamp_ms, of the newest snapshot committed at " +
-        "or before that wall clock (exactly one of the two) — " +
+        "or before that wall clock, or, via to_tag, of a tagged release " +
+        "(exactly one of the three) — " +
         "(Iceberg rollback / Delta RESTORE): one new snapshot entry, " +
         "files move between the live set and .trash/, no data rewritten",
       Array(in("dir", StringType),
         inDefault("to_snapshot", LongType, "NULL"),
         inDefault("to_timestamp_ms", LongType, "NULL"),
-        inDefault("dry_run", org.apache.spark.sql.types.BooleanType, "false")),
+        inDefault("dry_run", org.apache.spark.sql.types.BooleanType, "false"),
+        inDefault("to_tag", StringType, "NULL")),
       StructType(Seq(
         org.apache.spark.sql.types.StructField("restored_files", IntegerType),
         org.apache.spark.sql.types.StructField("removed_files", IntegerType),
         org.apache.spark.sql.types.StructField("new_snapshot", LongType))),
       r => {
-        require(r.isNullAt(1) != r.isNullAt(2),
-          "restore: pass exactly one of to_snapshot / to_timestamp_ms")
+        require(Seq(r.isNullAt(1), r.isNullAt(2), r.isNullAt(4))
+            .count(_ == false) == 1,
+          "restore: pass exactly one of to_snapshot / to_timestamp_ms / to_tag")
         val dry = !r.isNullAt(3) && r.getBoolean(3)
+        val spark = SparkSession.active
         val res =
           if (!r.isNullAt(1))
-            ArrowMaintenance.restore(SparkSession.active, dirArg(r),
+            ArrowMaintenance.restore(spark, dirArg(r),
               r.getLong(1), dryRun = dry)
-          else ArrowMaintenance.restoreAt(SparkSession.active, dirArg(r),
+          else if (!r.isNullAt(4)) {
+            val p = new Path(dirArg(r))
+            val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            ArrowMaintenance.restore(spark, dirArg(r),
+              ArrowTags.resolveRequired(fs, p, r.getUTF8String(4).toString),
+              dryRun = dry)
+          } else ArrowMaintenance.restoreAt(spark, dirArg(r),
             r.getLong(2), dryRun = dry)
         Seq(row(res.restoredFiles, res.removedFiles, res.newSnapshot))
       }),

@@ -26,6 +26,18 @@ import org.apache.spark.sql.functions.{broadcast, col, lit}
   * have been expired from the trash. */
 object ArrowChanges {
 
+  /** The change feed between two TAGS ([[ArrowTags]]): what changed
+    * from release `fromTag` to release `toTag` — the named-ref form of
+    * the numeric window, same `(from, to]` semantics. */
+  def changeFeedTags(spark: SparkSession, dir: String,
+      fromTag: String, toTag: String): DataFrame = {
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    changeFeed(spark, dir,
+      ArrowTags.resolveRequired(fs, dirPath, fromTag),
+      ArrowTags.resolveRequired(fs, dirPath, toTag))
+  }
+
   /** The change feed over `(from, to]`. `from = 0` = since the beginning
     * (everything at `to` is an insert). */
   def changeFeed(spark: SparkSession, dir: String,

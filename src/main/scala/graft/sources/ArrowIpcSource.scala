@@ -187,7 +187,15 @@ private[sources] class ArrowIpcTable(tableSchema: StructType, dir: String,
               SparkSession.active.sparkContext.hadoopConfiguration), p, t)
         }),
       changeFeed = options.getBoolean("changeFeed", false),
-      startingSnapshot = Option(options.get("startingSnapshot")).map(_.toLong),
+      startingSnapshot = Option(options.get("startingSnapshot")).map(_.toLong)
+        // option("startingTag", name): start the feed after the tagged
+        // snapshot — "everything since release v1.0", resolved at plan time
+        .orElse(Option(options.get("startingTag")).map { t =>
+          val p = new Path(dir)
+          ArrowTags.resolveRequired(
+            p.getFileSystem(
+              SparkSession.active.sparkContext.hadoopConfiguration), p, t)
+        }),
       startingTimestamp = Option(options.get("startingTimestamp")),
       maxSnapshotsPerTrigger =
         Option(options.get("maxSnapshotsPerTrigger")).map(_.toInt),

@@ -134,6 +134,61 @@ class ArrowTagsSpec extends AnyFunSuite {
       .map(_.getString(0)).toSeq === Seq("rel-b"))
   }
 
+  test("tag compositions: restore to_tag, change feed between tags, streaming startingTag") {
+    val base = java.nio.file.Files.createTempDirectory("graft_tag_comp").toString
+    val dir = s"$base/t"
+    spark.range(0, 100)
+      .select(col("id").as("key"), (col("id") * 10).as("v"))
+      .repartition(3)
+      .write.format("arrow-ipc").mode("overwrite").save(dir)      // snap 1
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.ArrowCatalog")
+    val fs = fsOf(dir)
+    val p = new Path(dir)
+    ArrowTags.create(fs, p, "rel-1")                               // -> 1
+    spark.range(100, 120)
+      .select(col("id").as("key"), (col("id") * 10).as("v"))
+      .write.format("arrow-ipc").mode("append").save(dir)          // snap 2
+    ArrowTags.create(fs, p, "rel-2")                               // -> 2
+    spark.sql(s"DELETE FROM graft.`$dir` WHERE key < 50")          // snap 3
+
+    // change feed between the two releases: exactly the appended rows
+    val feed = graft.sources.ArrowChanges.changeFeedTags(spark, dir, "rel-1", "rel-2")
+    assert(feed.count() === 20L)
+    assert(feed.filter(col("_change_type") === "insert").count() === 20L)
+
+    // streaming startingTag: everything after rel-2 = the delete's effect
+    import spark.implicits._
+    val q = spark.readStream.format("arrow-ipc")
+      .option("changeFeed", true).option("startingTag", "rel-2").load(dir)
+      .writeStream.format("memory").queryName("tag_feed")
+      .option("checkpointLocation", s"$base/ckpt")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // the COW delete rewrote its files: the feed emits the removed
+    // files' rows as deletes and the survivors as re-inserts; the
+    // RECONCILED effect (deleted keys minus re-inserted keys) is
+    // exactly the predicate's rows — and nothing from before the tag
+    val got = spark.table("tag_feed")
+    val deleted = got.filter($"_change_type" === "delete")
+      .select("key").as[Long].collect().toSet
+    val reinserted = got.filter($"_change_type" === "insert")
+      .select("key").as[Long].collect().toSet
+    assert((deleted -- reinserted) === (0L until 50L).toSet)
+
+    // restore to the tagged release by NAME (dry run first, then real)
+    val dry = spark.sql(
+      s"CALL graft.system.restore('$dir', to_tag => 'rel-1', dry_run => true)")
+      .collect().head
+    assert(dry.getInt(1) > 0) // would remove the appended files
+    spark.sql(s"CALL graft.system.restore('$dir', to_tag => 'rel-1')")
+    val t = spark.read.format("arrow-ipc").load(dir)
+    assert(t.count() === 100L && t.agg(max(col("key"))).head().getLong(0) === 99L)
+    // exactly-one-of refusal
+    intercept[Exception] {
+      spark.sql(s"CALL graft.system.restore('$dir', to_snapshot => 1, to_tag => 'rel-1')")
+    }
+  }
+
   test("a pinned-by-tag relation refuses mutation like any time travel") {
     val dir = tmp("graft_tag_pin")
     seed(dir)
