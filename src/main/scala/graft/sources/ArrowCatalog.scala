@@ -691,7 +691,9 @@ class ArrowCatalog extends TableCatalog with ProcedureCatalog
         "of their rows (default 0.5; > 1.0 disables — NOTE: the purge " +
         "leg REWRITES data files and is ON by default since round 12; " +
         "earlier rounds' vacuum was metadata-only); keep_from also " +
-        "expires time-travel history before that snapshot; folds " +
+        "expires time-travel history before that snapshot (clamped to " +
+        "the oldest tag — a pinned release never expires; drop the tag " +
+        "to release it); folds " +
         "equality-delete tombstones once their count reaches " +
         "spark.graft.arrow.vacuumFoldEqAbove (default 16, <= 0 " +
         "disables) so the purge leg can collect the resulting vector " +

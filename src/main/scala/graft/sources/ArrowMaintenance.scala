@@ -927,8 +927,24 @@ object ArrowMaintenance {
           else purgeDeletes(spark, dir, onlyFiles = Some(debtors))
         }
       }
+    // TAG CLAMP (round 14): expireSnapshots refuses to expire a tagged
+    // snapshot (a named release pin must never silently die), but a
+    // nightly vacuum(keepFrom = now - 7d) that THREW forever once a tag
+    // aged past the window would stop ALL retention. Vacuum takes the
+    // degrade-don't-fail stance (same as the purge leg above): clamp
+    // keepFrom to the oldest tagged snapshot — history back to the
+    // oldest pin is retained, everything older still expires, and the
+    // loop keeps running. A tagged id is always retained (creation
+    // validates it; this clamp preserves it), so the clamped expire
+    // succeeds. The direct CALL expire_snapshots keeps the loud refusal
+    // — an explicit request to cross a pin should fail, a cron sweep
+    // should not.
+    val effectiveKeep = keepFrom.map { k =>
+      val tagged = ArrowTags.list(fs, dirPath).map(_.snapshot)
+      if (tagged.isEmpty) k else math.min(k, tagged.min)
+    }
     VacuumResult(recovered, staging, orphans,
-      keepFrom.map(expireSnapshots(spark, dir, _)), purged, eqFolded,
+      effectiveKeep.map(expireSnapshots(spark, dir, _)), purged, eqFolded,
       branchesExpired)
   }
 

@@ -189,6 +189,32 @@ class ArrowTagsSpec extends AnyFunSuite {
     }
   }
 
+  test("vacuum clamps keepFrom to the oldest tag (the nightly loop degrades, never throws); direct expire still refuses") {
+    val dir = tmp("graft_tag_vac")
+    seed(dir) // snapshots 1 (write), 2 (delete)
+    spark.range(200, 210)
+      .select(col("id").as("key"), (col("id") * 10).as("v"))
+      .write.format("arrow-ipc").mode("append").save(dir) // snapshot 3
+    val fs = fsOf(dir)
+    val p = new Path(dir)
+    ArrowTags.create(fs, p, "pin-2", Some(2L))
+
+    // vacuum asked to keep from 3 — the tag at 2 clamps it: snapshot 1
+    // expires, snapshot 2 (tagged) survives, no exception
+    val res = ArrowMaintenance.vacuum(spark, dir, keepFrom = Some(3L))
+    assert(res.expired.exists(_.dropped === 1))
+    assert(spark.read.format("arrow-ipc").option("tag", "pin-2").load(dir)
+      .count() === 50L)
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft.`$dir` VERSION AS OF 1").collect()
+    }
+    // the explicit CALL keeps the loud refusal
+    val e = intercept[Exception] {
+      ArrowMaintenance.expireSnapshots(spark, dir, keepFrom = 3L)
+    }
+    assert(e.getMessage.contains("pin-2"))
+  }
+
   test("a pinned-by-tag relation refuses mutation like any time travel") {
     val dir = tmp("graft_tag_pin")
     seed(dir)
