@@ -28,10 +28,20 @@ import graft.sources.{ArrowEqualityDeletes, ArrowMaintenance}
   * row count must be exact, and no duplicates may exist anywhere.
   *
   * Run: `sbt "runMain graft.tools.EqStressProbe 60"`; log appended to
-  * tools/eq_stress_probe.log by hand after a run. */
+  * tools/eq_stress_probe.log by hand after a run.
+  *
+  * COMPOSITE mode (round 14): `runMain graft.tools.EqStressProbe 60
+  * composite` runs the identical invariant set over a TWO-COLUMN
+  * equality key — every contested scalar key k maps bijectively to the
+  * tuple (grp = k % 50, sub = k / 50), upserts commit through
+  * `upsertBatchKeys(Seq("grp", "sub"))`, and masking/last-writer-wins
+  * must hold per TUPLE (tuple-sibling rows share a grp, so a
+  * component-wise — rather than full-tuple — match would fail the
+  * duplicate checks immediately). */
 object EqStressProbe {
   def main(args: Array[String]): Unit = {
     val secs = args.headOption.map(_.toInt).getOrElse(60)
+    val composite = args.contains("composite")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
@@ -44,7 +54,19 @@ object EqStressProbe {
     fs.delete(new Path(dir), true)
 
     val K = 2000L // the contested upsert key space
-    spark.range(0, K).select(col("id").as("key"), lit(0L).as("v"))
+    // composite mode: scalar key k <-> tuple (grp = k % 50, sub = k / 50)
+    // — a bijection, so the scalar ground truth adjudicates both modes.
+    // Contested subs are < K/50; the appender's (base >= 1e6) subs are
+    // >= 20000, so the spaces stay disjoint in both encodings.
+    def widen(df: org.apache.spark.sql.DataFrame) =
+      if (!composite) df
+      else df.select((col("key") % 50).as("grp"),
+        expr("key div 50").as("sub"), col("v"))
+    def narrowed(df: org.apache.spark.sql.DataFrame) =
+      if (!composite) df.select(col("key"), col("v"))
+      else df.select((col("sub") * 50 + col("grp")).as("key"), col("v"))
+    val keyCols = if (composite) Seq("grp", "sub") else Seq("key")
+    widen(spark.range(0, K).select(col("id").as("key"), lit(0L).as("v")))
       .repartition(4)
       .write.format("arrow-ipc").mode("overwrite").save(dir)
 
@@ -87,7 +109,8 @@ object EqStressProbe {
                 org.apache.spark.sql.types.LongType),
               org.apache.spark.sql.types.StructField("v",
                 org.apache.spark.sql.types.LongType))))
-          val r = ArrowEqualityDeletes.upsertBatch(spark, dir, "key", batch)
+          val r = ArrowEqualityDeletes.upsertBatchKeys(
+            spark, dir, keyCols, widen(batch))
           if (r.applied) {
             upserts.incrementAndGet()
             keys.foreach { k =>
@@ -105,8 +128,8 @@ object EqStressProbe {
       var base = 1000000L
       while (System.nanoTime() < deadline && !stop) guard("appender") {
         val n = 25L
-        spark.range(base, base + n)
-          .select(col("id").as("key"), lit(-9L).as("v"))
+        widen(spark.range(base, base + n)
+            .select(col("id").as("key"), lit(-9L).as("v")))
           .coalesce(1)
           .write.format("arrow-ipc").mode("append").save(dir)
         appended.addAndGet(n)
@@ -129,7 +152,7 @@ object EqStressProbe {
     threads += new Thread(() => {
       while (System.nanoTime() < deadline && !stop) guard("reader") {
         Thread.sleep(1500)
-        val dups = spark.read.format("arrow-ipc").load(dir)
+        val dups = narrowed(spark.read.format("arrow-ipc").load(dir))
           .filter(col("key") < K)
           .groupBy("key").agg(count(lit(1)).as("n"))
           .filter(col("n") > 1).count()
@@ -154,7 +177,7 @@ object EqStressProbe {
     if (ok) {
       ArrowEqualityDeletes.fold(spark, dir)
       ArrowMaintenance.recover(spark, dir)
-      val t = spark.read.format("arrow-ipc").load(dir)
+      val t = narrowed(spark.read.format("arrow-ipc").load(dir))
         .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
       try {
         val total = t.count()
