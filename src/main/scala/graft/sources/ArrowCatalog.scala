@@ -995,6 +995,38 @@ class ArrowCatalog extends TableCatalog with ProcedureCatalog
           ArrowTags.list(fs, p).map(t => s"${t.name}=${t.snapshot}")
             .mkString(",")))
       }),
+    // read-only: the Iceberg `files` metadata-table analog — one row per
+    // LIVE data file, from the listing + manifest + vector names alone
+    // (nothing opened); the ops face for "which files hold the debt"
+    GraftProcedure("list_files",
+      "live data files: relative path, rows (manifest-exact or -1 for a " +
+        "foreign import), bytes, commit sequence (equality-delete " +
+        "ordering), rows masked by this file's deletion vector",
+      Array(in("dir", StringType)),
+      StructType(Seq(
+        org.apache.spark.sql.types.StructField("file", StringType),
+        org.apache.spark.sql.types.StructField("rows", LongType),
+        org.apache.spark.sql.types.StructField("bytes", LongType),
+        org.apache.spark.sql.types.StructField("seq", LongType),
+        org.apache.spark.sql.types.StructField("masked_rows", LongType))),
+      r => {
+        val p = new Path(dirArg(r))
+        val fs = p.getFileSystem(
+          SparkSession.active.sparkContext.hadoopConfiguration)
+        val visible = ArrowStreamCommits.visibleFilter(fs, p)
+        val manifest = ArrowFileStats.read(fs, p)
+        val dvs = ArrowDeleteVectors.live(fs, p)
+        ArrowSnapshots.listDataFileStatuses(fs, p)
+          .filter { case (rel, _) => visible(new Path(rel).getName) }
+          .sortBy(_._1)
+          .map { case (rel, st) =>
+            val name = new Path(rel).getName
+            val m = manifest.get(name)
+            row(rel, m.map(_.rows).getOrElse(-1L), st.getLen,
+              m.map(_.seq).getOrElse(0L),
+              dvs.get(name).map(_.card).getOrElse(0L))
+          }
+      }),
     // read-only: the DESCRIBE HISTORY analog — one row per retained
     // snapshot, newest first (expired prefixes are folded into the base
     // checkpoint entry, which reports its cumulative adds)

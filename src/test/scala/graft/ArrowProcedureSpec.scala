@@ -157,6 +157,27 @@ class ArrowProcedureSpec extends AnyFunSuite {
     assert(d2.getLong(5) === 9L)
   }
 
+  test("CALL list_files is the per-file ops face: rows/bytes/seq/masked from metadata alone") {
+    val dir = tmp("graft_proc_files")
+    spark.range(0, 90).selectExpr("id", "cast(id % 3 as string) k")
+      .repartition(3)
+      .write.format("arrow-ipc").mode("overwrite").save(dir)
+    val before = spark.sql(s"CALL graft.system.list_files('$dir')").collect()
+    assert(before.length === 3)
+    assert(before.map(_.getLong(1)).sum === 90L)          // manifest rows
+    assert(before.forall(_.getLong(2) > 0L))              // bytes
+    assert(before.forall(_.getLong(4) === 0L))            // nothing masked
+    // a MOR delete surfaces as per-file masked_rows; an equality upsert
+    // stamps NEW files with the tombstone's sequence
+    graft.sources.ArrowDeleteVectors.deleteMor(spark, dir, "id < 9")
+    graft.sources.ArrowEqualityDeletes.upsertBatch(spark, dir, "id",
+      spark.range(200, 205).coalesce(1).selectExpr("id", "'x' AS k"))
+    val after = spark.sql(s"CALL graft.system.list_files('$dir')").collect()
+    assert(after.map(_.getLong(4)).sum === 9L)
+    assert(after.exists(_.getLong(3) === 1L))             // stamped insert
+    assert(after.length === 4)
+  }
+
   test("CALL update / delete_where run retrying DML; vacuum takes keep_from") {
     val dir = tmp("graft_proc_dml")
     spark.range(0, 200).select(col("id"), lit("old").as("v"))
