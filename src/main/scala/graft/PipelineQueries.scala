@@ -1034,6 +1034,34 @@ object PipelineQueries {
                  FROM documents) WHERE rn <= 40
                ORDER BY doc_id""")),
 
+    // CLUSTER-BALANCED sampling (round 14, the D4-shaped diversification
+    // step — Tirumala et al. 2023: cluster the embedding space, then
+    // rebalance by capping each cluster's mass): the deterministic
+    // kmeans assigns topics, capPerGroup keeps each cluster's
+    // content-hash top-n — over-represented topics shrink to the cap,
+    // rare topics survive whole. Both kernels are bit-reproducible, so
+    // the oracle replays the ENTIRE pipeline (kmeans CTE + the same
+    // hash order) and the output is the exact kept SET, not a count
+    // claim. 100 TB shape: kmeans is broadcast-centroid (no corpus
+    // shuffle beyond one per iteration's partial means), the cap is one
+    // window per cluster with the salted two-stage escape hatch for a
+    // giant cluster (capPerGroupSalted, property-tested identical).
+    ("sample_cluster_balance", (s, d) => {
+      val e = T(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val assigned = Similarity.kmeans(e, "vec_id", "embedding",
+        k = 8, iters = 2).select(col("vec_id"), col("cluster"))
+      Sampling.capPerGroup(assigned, col("cluster"), col("vec_id"),
+        n = 40, salt = "bal").orderBy("vec_id")
+    },
+      Some(s"""SELECT vec_id, cluster FROM (
+                 SELECT vec_id, cluster,
+                        row_number() OVER (PARTITION BY cluster
+                          ORDER BY ${duckBase("concat('bal', CAST(vec_id AS VARCHAR))")} ASC,
+                                   vec_id ASC) AS rn
+                 FROM (${kmeansOracle(k = 8, iters = 2)}) t) ranked
+               WHERE rn <= 40
+               ORDER BY vec_id""")),
+
     // One-pass numeric column profiling: single Expand-based aggregation
     // for all per-column stats, unpivoted to a tidy row per column.
     ("profile", (s, d) =>
