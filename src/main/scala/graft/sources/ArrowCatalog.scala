@@ -699,11 +699,16 @@ class ArrowCatalog extends TableCatalog with ProcedureCatalog
         "disables) so the purge leg can collect the resulting vector " +
         "debt in the same run; drops WAP branches idle past " +
         "spark.graft.arrow.vacuumBranchTtlMs (default 7 days, <= 0 " +
-        "disables — a write in flight always protects its branch). " +
+        "disables — a write in flight always protects its branch); " +
+        "auto-compacts small files once their count reaches " +
+        "spark.graft.arrow.vacuumCompactMinSmallFiles (default 0 = OFF " +
+        "— this leg rewrites data, so it is opt-in; 'small' = under " +
+        "half spark.graft.arrow.vacuumCompactTargetBytes, default " +
+        "128 MB). " +
         "Output sentinel: -1 in snapshots_dropped/" +
         "trash_deleted/files_purged/eq_tombstones_folded/" +
-        "branches_expired means that leg did not run (or expired " +
-        "nothing)",
+        "branches_expired/files_compacted means that leg did not run " +
+        "(or expired nothing)",
       Array(in("dir", StringType),
         inDefault("keep_from", LongType, "NULL"),
         inDefault("purge_masked_above",
@@ -719,6 +724,8 @@ class ArrowCatalog extends TableCatalog with ProcedureCatalog
         org.apache.spark.sql.types.StructField("eq_tombstones_folded",
           IntegerType),
         org.apache.spark.sql.types.StructField("branches_expired",
+          IntegerType),
+        org.apache.spark.sql.types.StructField("files_compacted",
           IntegerType))),
       r => {
         val keepFrom = if (r.isNullAt(1)) None else Some(r.getLong(1))
@@ -733,7 +740,8 @@ class ArrowCatalog extends TableCatalog with ProcedureCatalog
           // with "ran and purged zero files")
           v.purged.map(_.oldFiles).getOrElse(-1),
           v.eqFolded.map(_.tombstones).getOrElse(-1),
-          v.branchesExpired.map(_.size).getOrElse(-1)))
+          v.branchesExpired.map(_.size).getOrElse(-1),
+          v.compacted.map(_.oldFiles).getOrElse(-1)))
       }),
     // statement-level DML with BOUNDED TRANSPARENT RETRY (round 11):
     // a lost COW commit race re-plans and re-executes the statement

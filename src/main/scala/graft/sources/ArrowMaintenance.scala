@@ -802,7 +802,8 @@ object ArrowMaintenance {
       orphansSwept: Int, expired: Option[ExpireResult],
       purged: Option[CompactionResult] = None,
       eqFolded: Option[ArrowEqualityDeletes.EqFoldResult] = None,
-      branchesExpired: Option[Seq[String]] = None)
+      branchesExpired: Option[Seq[String]] = None,
+      compacted: Option[CompactionResult] = None)
 
   /** VACUUM — the one nightly-cron housekeeping entry point: finish any
     * crashed swap, sweep provably-dead staging dirs (`.compact-*` /
@@ -927,6 +928,34 @@ object ArrowMaintenance {
           else purgeDeletes(spark, dir, onlyFiles = Some(debtors))
         }
       }
+    // AUTO SMALL-FILE COMPACTION (round 14, default OFF): continuous
+    // ingest — micro-batch appends, equality upserts, streaming epochs —
+    // accrues small files that tax every listing and scan until
+    // something merges them; with this leg the nightly `CALL vacuum`
+    // really is the ONE cron entry point for an ingest loop. Trigger:
+    // the count of live data files smaller than HALF the compaction
+    // target (from the listing alone, nothing opened) reaching
+    // `spark.graft.arrow.vacuumCompactMinSmallFiles` (default 0 =
+    // disabled — compaction REWRITES data, so it is opt-in, unlike the
+    // metadata legs). Runs AFTER the purge leg (its rewrites shrink
+    // files this leg then merges) and is skipped while equality
+    // tombstones live (compaction would refuse; the auto-fold above
+    // clears them at its own thresholds).
+    val compactMin = scala.util.Try(spark.conf
+      .get("spark.graft.arrow.vacuumCompactMinSmallFiles", "0").toInt)
+      .getOrElse(0)
+    val compactTarget = scala.util.Try(spark.conf
+      .get("spark.graft.arrow.vacuumCompactTargetBytes",
+        (128L << 20).toString).toLong)
+      .getOrElse(128L << 20)
+    val compacted =
+      if (compactMin <= 0 || ArrowEqualityDeletes.any(fs, dirPath)) None
+      else {
+        val small = ArrowSnapshots.listDataFileStatuses(fs, dirPath)
+          .count(_._2.getLen < compactTarget / 2)
+        if (small < compactMin) None
+        else compact(spark, dir, targetBytes = compactTarget)
+      }
     // TAG CLAMP (round 14): expireSnapshots refuses to expire a tagged
     // snapshot (a named release pin must never silently die), but a
     // nightly vacuum(keepFrom = now - 7d) that THREW forever once a tag
@@ -945,7 +974,7 @@ object ArrowMaintenance {
     }
     VacuumResult(recovered, staging, orphans,
       effectiveKeep.map(expireSnapshots(spark, dir, _)), purged, eqFolded,
-      branchesExpired)
+      branchesExpired, compacted)
   }
 
   /** Expire time-travel history older than snapshot `keepFrom`: the log's

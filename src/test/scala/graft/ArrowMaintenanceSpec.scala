@@ -456,6 +456,39 @@ class ArrowMaintenanceSpec extends AnyFunSuite {
     }
   }
 
+  test("vacuum auto-compacts small-file debt only when opted in; live eq tombstones skip the leg") {
+    val dir = tmp("graft_vacuum_autocompact")
+    (0 until 12).foreach { i => // 12 tiny appends = the ingest-loop debt
+      spark.range(i * 50, (i + 1) * 50).select(col("id"))
+        .coalesce(1).write.format("arrow-ipc").mode("append").save(dir)
+    }
+    // default: OFF — compaction rewrites data, so it is opt-in
+    assert(ArrowMaintenance.vacuum(spark, dir).compacted.isEmpty)
+    assert(partFiles(dir).size === 12)
+    try {
+      spark.conf.set("spark.graft.arrow.vacuumCompactMinSmallFiles", "10")
+      // live tombstone (below the auto-fold count threshold... so force
+      // the fold legs off) — the compact leg must SKIP, not refuse
+      spark.conf.set("spark.graft.arrow.vacuumFoldEqAbove", "0")
+      spark.conf.set("spark.graft.arrow.vacuumFoldEqKeysAbove", "0")
+      graft.sources.ArrowEqualityDeletes.upsertBatch(spark, dir, "id",
+        spark.range(5000, 5003).coalesce(1).select(col("id")))
+      assert(ArrowMaintenance.vacuum(spark, dir).compacted.isEmpty)
+      // fold the debt away; now the opted-in vacuum compacts
+      graft.sources.ArrowEqualityDeletes.fold(spark, dir)
+      val r = ArrowMaintenance.vacuum(spark, dir)
+      assert(r.compacted.exists(_.oldFiles >= 10))
+      assert(partFiles(dir).size < 12)
+      assert(spark.read.format("arrow-ipc").load(dir).count() === 603L)
+      // below the threshold afterwards: the leg no-ops
+      assert(ArrowMaintenance.vacuum(spark, dir).compacted.isEmpty)
+    } finally {
+      spark.conf.unset("spark.graft.arrow.vacuumCompactMinSmallFiles")
+      spark.conf.unset("spark.graft.arrow.vacuumFoldEqAbove")
+      spark.conf.unset("spark.graft.arrow.vacuumFoldEqKeysAbove")
+    }
+  }
+
   test("a crash BEFORE the marker drop (intent recorded, marker up) also recovers") {
     val dir = tmp("graft_compact_crash2")
     (0 until 3).foreach { i =>
