@@ -632,6 +632,44 @@ class ArrowEqualityDeletesSpec extends AnyFunSuite {
       "composite fold changed the table's content")
   }
 
+  test("round 14: composite-key CDC is exactly-once — upsertBatchKeys inside applyBatch, replay commits nothing, fold preserves the ledgered state") {
+    val dir = tmp("graft_eq_cdc_comp")
+    spark.range(0, 100)
+      .select((col("id") % 2).as("g"), (col("id") / 2).cast("long").as("x"),
+        col("id").as("v"))
+      .repartition(4)
+      .write.format("arrow-ipc").mode("overwrite").save(dir)
+    def run(ver: Long, stamp: Long): Boolean =
+      ArrowCdcApply.applyBatch(spark, dir, "eq_cdc_comp", ver) {
+        graft.sources.ArrowEqualityDeletes.upsertBatchKeys(spark, dir,
+          Seq("g", "x"),
+          spark.sql(s"SELECT 0L AS g, 5L AS x, $stamp AS v UNION ALL " +
+            s"SELECT 1L AS g, 7L AS x, ${stamp + 1} AS v"))
+        ()
+      }
+    assert(run(0L, -100L))
+    assert(ArrowCdcApply.appliedVersion(spark, dir, "eq_cdc_comp") === Some(0L))
+    // the foreachBatch replay shape: version 0 again — NOTHING commits,
+    // through the fast path AND the under-lock check
+    assert(!run(0L, -500L))
+    spark.conf.set("spark.graft.arrow.cdcTxn", "eq_cdc_comp:0")
+    try {
+      val r = graft.sources.ArrowEqualityDeletes.upsertBatchKeys(spark, dir,
+        Seq("g", "x"), spark.sql("SELECT 0L AS g, 5L AS x, -999L AS v"))
+      assert(!r.applied, "a replayed version's composite eq upsert committed")
+    } finally spark.conf.unset("spark.graft.arrow.cdcTxn")
+    val t0 = table(dir)
+    assert(t0.count() === 100L)
+    assert(t0.filter(col("g") === 0 && col("x") === 5)
+      .select("v").head().getLong(0) === -100L)
+    assert(run(1L, -200L))
+    val before = table(dir).orderBy("g", "x", "v").collect().toSeq
+    graft.sources.ArrowEqualityDeletes.fold(spark, dir)
+    assert(table(dir).orderBy("g", "x", "v").collect().toSeq === before)
+    assert(table(dir).filter(col("g") === 1 && col("x") === 7)
+      .select("v").head().getLong(0) === -199L)
+  }
+
   test("crash window: fold interrupted between vector commit and tombstone removal converges on re-run") {
     val dir = tmp("graft_eq_crash")
     seed(dir)
