@@ -380,6 +380,48 @@ object PipelineQueries {
                  FROM p) WHERE rk <= 5
                ORDER BY qid, rk""")),
 
+    // INT8-QUANTIZED ANN (round 14): per-vector symmetric quantization
+    // (scale = amax/127, round-half-up via floor(x/s + 0.5)) and top-k by
+    // quantized inner product — the Faiss-SQ8-shaped memory lever (4×
+    // smaller than float32) a 100 TB embedding store actually runs. The
+    // int8 product sum is exact in double, the scale is an
+    // order-independent array_max, and round(·,9) absorbs the one
+    // association-sensitive multiply — so the whole quantize→score→rank
+    // pipeline is bit-reproducible and DuckDB replays it (full hash
+    // match, not a recall claim). The dot rides the same codegen
+    // VectorDot as the float path, extended to tinyint arrays.
+    ("ann_quantized_topk", (s, d) => {
+      val e = T(s, d, "embeddings")
+      Similarity.quantizedTopK(
+        corpus = e.select(col("vec_id"), col("embedding")),
+        queries = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe")),
+        idCol = "vec_id", vecCol = "embedding", qidCol = "qid", qvecCol = "qe",
+        k = 5).orderBy("qid", "rk")
+    },
+      Some(s"""WITH qv AS (
+                 SELECT vec_id, s,
+                        CASE WHEN s = 0
+                             THEN list_transform(embedding, x -> CAST(0 AS TINYINT))
+                             ELSE list_transform(embedding,
+                               x -> CAST(floor(CAST(x AS DOUBLE) / s + 0.5) AS TINYINT))
+                        END AS qq
+                 FROM (SELECT vec_id, embedding,
+                              list_aggregate(list_transform(embedding,
+                                x -> abs(CAST(x AS DOUBLE))), 'max') / 127.0 AS s
+                       FROM embeddings)),
+               q AS (SELECT vec_id AS qid, s AS qs, qq FROM qv WHERE vec_id < 10),
+               p AS (SELECT q.qid, c.vec_id,
+                            round(list_reduce(list_transform(list_zip(q.qq, c.qq),
+                                    z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)),
+                                  (acc, x) -> acc + x) * q.qs * c.s, 9) AS qdot
+                     FROM qv c, q)
+               SELECT qid, vec_id, qdot, rk FROM (
+                 SELECT qid, vec_id, qdot,
+                        row_number() OVER (PARTITION BY qid ORDER BY qdot DESC, vec_id) AS rk
+                 FROM p) WHERE rk <= 5
+               ORDER BY qid, rk""")),
+
     // IVF ANN. The whole index build is order-deterministic (md5-based
     // seeds, exact fixed-point centroid-mean sums), so the oracle replays
     // it bit-for-bit: full hash check (recall vs brute force is also

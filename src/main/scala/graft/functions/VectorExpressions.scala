@@ -29,13 +29,17 @@ case class VectorDot(left: Expression, right: Expression) extends BinaryExpressi
 
   override def dataType: DataType = DoubleType
 
+  // tinyint arrays are the QUANTIZED-embedding path (round 14): an int8
+  // product sum is ≤ 127²·dim — exact in double at any realistic dim, so
+  // quantized scores stay bit-reproducible (and DuckDB-replicable)
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
     case (ArrayType(lt, _), ArrayType(rt, _))
-      if Seq(lt, rt).forall(t => t == FloatType || t == DoubleType) =>
+      if Seq(lt, rt).forall(t =>
+        t == FloatType || t == DoubleType || t == ByteType) =>
       TypeCheckResult.TypeCheckSuccess
     case other =>
       TypeCheckResult.TypeCheckFailure(
-        s"vec_dot needs two array<float|double> args, got $other")
+        s"vec_dot needs two array<float|double|tinyint> args, got $other")
   }
 
   private def elemType(e: Expression): DataType =
@@ -45,22 +49,27 @@ case class VectorDot(left: Expression, right: Expression) extends BinaryExpressi
     val la = a.asInstanceOf[ArrayData]
     val lb = b.asInstanceOf[ArrayData]
     val n = math.min(la.numElements(), lb.numElements())
-    val leftIsFloat = elemType(left) == FloatType
-    val rightIsFloat = elemType(right) == FloatType
+    def get(e: Expression, arr: ArrayData, i: Int): Double =
+      elemType(e) match {
+        case FloatType => arr.getFloat(i).toDouble
+        case ByteType => arr.getByte(i).toDouble
+        case _ => arr.getDouble(i)
+      }
     var sum = 0.0
     var i = 0
     while (i < n) {
-      val x = if (leftIsFloat) la.getFloat(i).toDouble else la.getDouble(i)
-      val y = if (rightIsFloat) lb.getFloat(i).toDouble else lb.getDouble(i)
-      sum += x * y
+      sum += get(left, la, i) * get(right, lb, i)
       i += 1
     }
     sum
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    def getter(e: Expression, v: String, i: String): String =
-      if (elemType(e) == FloatType) s"((double) $v.getFloat($i))" else s"$v.getDouble($i)"
+    def getter(e: Expression, v: String, i: String): String = elemType(e) match {
+      case FloatType => s"((double) $v.getFloat($i))"
+      case ByteType => s"((double) $v.getByte($i))"
+      case _ => s"$v.getDouble($i)"
+    }
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")

@@ -58,6 +58,53 @@ object Similarity {
       .select(col(qidCol), col(idCol), col("cos"), col("rk"))
   }
 
+  // ── int8 quantization (round 14) ─────────────────────────────────────
+
+  /** Per-vector symmetric int8 scale: `amax / 127` (0.0 for an all-zero
+    * vector). `array_max` over |x| is order-independent, so any engine
+    * reproduces it exactly. */
+  def quantScale(v: Column): Column =
+    array_max(transform(v, x => abs(x.cast("double")))) / lit(127.0)
+
+  /** The vector quantized against [[quantScale]]: `floor(x/s + 0.5)` per
+    * element (round-half-up in plain IEEE ops — both engines' floor), as
+    * `array<tinyint>`. Values land in [-127, 127] by construction (the
+    * max element maps to exactly ±127), so no clamp. A zero-scale vector
+    * quantizes to zeros. */
+  def quantVec(v: Column, scale: Column): Column =
+    when(scale === 0.0,
+      transform(v, _ => lit(0).cast("tinyint")))
+      .otherwise(
+        transform(v, x => floor(x.cast("double") / scale + lit(0.5))
+          .cast("tinyint")))
+
+  /** Brute-force top-k by QUANTIZED inner product — the 100 TB memory
+    * lever (4× smaller than float32, int-friendly kernels; the Faiss
+    * SQ8 stance). Scores are `vec_dot(int8, int8) · qs · cs`: the int8
+    * product sum is ≤ 127²·dim, exact in double, so the quantized
+    * ranking is bit-deterministic and the SQL oracle replays it. The
+    * dot rides the same codegen [[graft.functions.VectorDot]] as the
+    * float path (extended to tinyint arrays). Ties and f.p. noise
+    * handled like [[bruteForceTopK]]: round(score, 9) desc, id asc. */
+  def quantizedTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, qidCol: String, qvecCol: String,
+      k: Int): DataFrame = {
+    def quant(df: DataFrame, id: String, v: String, s: String, q: String) = {
+      val withS = df.select(col(id), col(v), quantScale(col(v)).as(s))
+      withS.select(col(id), col(s), quantVec(col(v), col(s)).as(q))
+    }
+    val c = quant(corpus, idCol, vecCol, "cs", "cq")
+    val q = quant(queries, qidCol, qvecCol, "qs", "qq")
+    val scored = c.crossJoin(broadcast(q))
+      .select(col(qidCol), col(idCol),
+        round(dot(col("qq"), col("cq")) * col("qs") * col("cs"), 9)
+          .as("qdot"))
+    val w = Window.partitionBy(col(qidCol)).orderBy(col("qdot").desc, col(idCol).asc)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col(qidCol), col(idCol), col("qdot"), col("rk"))
+  }
+
   /** Deterministic pseudo-random hyperplanes: plane j is seeded Random
     * (seed 1000+j) uniform components in [-1, 1]. Generated at PLAN time and
     * embedded as literals — no per-row hashing, and any engine (the SQL

@@ -21,6 +21,48 @@ class SimilaritySpec extends AnyFunSuite {
     out.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))  // exact, not approx
   }
 
+  test("int8 quantization: tinyint VectorDot bit-matches the HOF, bounds hold, quantized top-k recall vs brute force") {
+    val rnd = new scala.util.Random(43)
+    val frame = (0 until 300).map { i =>
+      (i.toLong, Array.fill(64)(rnd.nextFloat() * 2 - 1))
+    }.toDF("vec_id", "embedding")
+    // quantized values land in [-127, 127]; the codegen tinyint dot is
+    // bit-identical to the HOF over the same arrays
+    val q = frame.select(col("vec_id"),
+      Similarity.quantVec(col("embedding"),
+        Similarity.quantScale(col("embedding"))).as("qv"))
+    val bounds = q.select(
+      array_max(col("qv")).as("hi"), array_min(col("qv")).as("lo")).collect()
+    assert(bounds.forall(r =>
+      r.getAs[Byte]("hi") <= 127 && r.getAs[Byte]("lo") >= -127))
+    val paired = q.as("a").crossJoin(q.as("b"))
+      .filter(col("a.vec_id") < 5 && col("b.vec_id") < 30)
+      .select(Similarity.dot(col("a.qv"), col("b.qv")).as("fast"),
+        Similarity.dotHof(col("a.qv"), col("b.qv")).as("ref")).collect()
+    assert(paired.nonEmpty)
+    paired.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
+    // recall@5 of the quantized ranking vs exact-dot brute force ≥ 0.8
+    // (int8 keeps ~2 decimal digits per component — neighbors survive)
+    val queries = frame.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val quant = Similarity.quantizedTopK(frame, queries,
+      "vec_id", "embedding", "qid", "qe", k = 5)
+      .select(col("qid"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact inner-product ranking (same metric as the quantized path)
+    val c = frame.select(col("vec_id"), col("embedding"))
+    val exact = c.crossJoin(broadcast(queries))
+      .select(col("qid"), col("vec_id"),
+        Similarity.dot(col("qe"), col("embedding")).as("ip"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("ip").desc, col("vec_id").asc)
+    val exactTop = exact.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5).select(col("qid"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (quant & exactTop).size.toDouble / exactTop.size
+    assert(recall >= 0.8, s"quantized recall@5 = $recall")
+  }
+
   test("cosine: self similarity is 1, orthogonal is 0") {
     val df = Seq(
       (Array(3.0f, 4.0f), Array(3.0f, 4.0f)),
