@@ -565,6 +565,58 @@ object PipelineQueries {
 
     // Repetition quality signals (Gopher-rule family): duplicate-line
     // fraction + most-frequent-bigram share per doc.
+    // Duplicate-line REMOVAL (round 14) — the apply face of rep_stats'
+    // dup_line_frac: repeated non-blank lines after their first
+    // occurrence drop, blank lines survive (paragraph structure), text
+    // rebuilt in position order. Gopher/C4 boilerplate removal; exact,
+    // so DuckDB reproduces the cleaned text VERBATIM. The synthetic
+    // corpus has no naturally repeated lines, so the query first wraps
+    // every document in the crawl-page shape the operator exists for —
+    // a banner line repeated top-and-bottom plus a doubled footer —
+    // deterministically (both engines build the identical input), then
+    // strips it: every doc must come back with the banner ONCE, the
+    // footer ONCE, and its own text intact.
+    ("text_dedup_lines", (s, d) => {
+      val wrapped = T(s, d, "documents").select(col("doc_id"),
+        concat(lit("NAV MENU\n"), col("text"),
+          lit("\nNAV MENU\nfooter (c) example\nfooter (c) example"))
+          .as("text"))
+      TextAnalysis.removeDuplicateLines(wrapped, "doc_id", "text")
+        .filter(col("kept_lines") < col("n_lines"))
+        .orderBy("doc_id")
+    },
+      Some("""WITH w AS (
+                SELECT doc_id,
+                       'NAV MENU' || chr(10) || text || chr(10) ||
+                       'NAV MENU' || chr(10) || 'footer (c) example' ||
+                       chr(10) || 'footer (c) example' AS text
+                FROM documents WHERE text IS NOT NULL
+              ), l AS (
+                SELECT doc_id, u.line, u.pos
+                FROM w d,
+                LATERAL (SELECT unnest(string_split(d.text, chr(10))) AS line,
+                         generate_subscripts(string_split(d.text, chr(10)), 1) AS pos) u
+              ), m AS (
+                SELECT doc_id, pos, line,
+                       row_number() OVER (PARTITION BY doc_id, line
+                                          ORDER BY pos) AS rn
+                FROM l
+              ), k AS (
+                SELECT doc_id, pos, line FROM m WHERE rn = 1 OR trim(line) = ''
+              ), per AS (
+                SELECT doc_id, COUNT(*) AS n_lines FROM l GROUP BY doc_id
+              ), reb AS (
+                SELECT doc_id, COUNT(*) AS kept_lines,
+                       string_agg(line, chr(10) ORDER BY pos) AS text_clean
+                FROM k GROUP BY doc_id
+              )
+              SELECT p.doc_id, CAST(p.n_lines AS BIGINT) AS n_lines,
+                     CAST(r.kept_lines AS BIGINT) AS kept_lines,
+                     r.text_clean
+              FROM per p JOIN reb r USING (doc_id)
+              WHERE r.kept_lines < p.n_lines
+              ORDER BY doc_id""")),
+
     ("rep_stats", (s, d) =>
       TextAnalysis.repetitionStats(T(s, d, "documents"), "doc_id", "text")
         .orderBy("doc_id"),

@@ -270,4 +270,38 @@ object TextAnalysis {
       .select(col(idCol), col("dup_line_frac"),
         coalesce(col("top_bigram_share"), lit(0.0)).as("top_bigram_share"))
   }
+
+  /** DUPLICATE-LINE REMOVAL (round 14) — the APPLY face of
+    * [[repetitionStats]]'s dup_line_frac signal: per document, every
+    * repeated non-blank line after its first occurrence is dropped and
+    * the text rebuilt in position order (blank lines always survive —
+    * they are paragraph structure, not boilerplate). The Gopher/C4
+    * boilerplate-removal shape (navigation bars, cookie banners, footer
+    * lines repeated through a crawl page).
+    *
+    * Exact and deterministic (byte-equal lines, first-occurrence keep),
+    * so the oracle reproduces the cleaned text VERBATIM. Scale shape:
+    * doc-partitioned window + per-doc sorted rebuild — the collect_list
+    * is bounded by the document's own line count, no corpus-wide state.
+    *
+    * @return (idCol, n_lines, kept_lines, text_clean), one row per
+    *   non-null-text document. */
+  def removeDuplicateLines(
+      df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String
+  ): org.apache.spark.sql.DataFrame = {
+    val lines = df.filter(col(textCol).isNotNull).select(col(idCol),
+      posexplode(split(col(textCol), "\n", -1)).as(Seq("pos", "line")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol), col("line")).orderBy(col("pos"))
+    val kept = lines.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 || trim(col("line")) === "")
+    val per = lines.groupBy(col(idCol)).agg(count(lit(1)).as("n_lines"))
+    val reb = kept.groupBy(col(idCol)).agg(
+      count(lit(1)).as("kept_lines"),
+      concat_ws("\n", transform(
+        array_sort(collect_list(struct(col("pos"), col("line")))),
+        x => x.getField("line"))).as("text_clean"))
+    per.join(reb, Seq(idCol))
+      .select(col(idCol), col("n_lines"), col("kept_lines"), col("text_clean"))
+  }
 }

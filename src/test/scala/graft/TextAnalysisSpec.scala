@@ -179,6 +179,20 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(4L) === ((0.0, 0.0)))
   }
 
+  test("removeDuplicateLines: later repeats drop, blanks survive, text rebuilds in order") {
+    val docs = Seq(
+      (1L, "nav\nbody one\n\nbody two\nnav\nfooter\nfooter"),
+      (2L, "only\nunique\nlines"),
+      (3L, "\n\na\n\n")).toDF("doc_id", "text") // repeated BLANKS all survive
+    val out = TextAnalysis.removeDuplicateLines(docs, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    assert(out(1L) === ((7L, 5L, "nav\nbody one\n\nbody two\nfooter")))
+    assert(out(2L) === ((3L, 3L, "only\nunique\nlines")))
+    assert(out(3L) === ((5L, 5L, "\n\na\n\n")))
+  }
+
   test("ngram contamination: benchmark overlap flags only contaminated docs") {
     val bench = Seq((100L, "abcdefghijklmnop")).toDF("doc_id", "text")
     val corpus = Seq(
