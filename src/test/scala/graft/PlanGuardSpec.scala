@@ -27,7 +27,9 @@ class PlanGuardSpec extends AnyFunSuite {
     "embed_kmeans",     // corpus × broadcast(k centroids) per Lloyd pass
     "dedup_semantic",   // the same kmeans Lloyd pass (its pair join is
                         // an equi-join on the cluster id, never NLJ)
-    "zorder_values")    // scan × broadcast(1-row min/max stats)
+    "zorder_values",    // scan × broadcast(1-row min/max stats)
+    "ann_quantized_topk",     // corpus × broadcast(query set) — brute contract
+    "sample_cluster_balance") // the kmeans Lloyd pass (corpus × broadcast(k centroids))
 
   test("no query plans a cartesian product or unlisted nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
