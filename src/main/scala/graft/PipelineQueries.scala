@@ -436,6 +436,23 @@ object PipelineQueries {
         k = 5, nlist = 16, nprobe = 4).orderBy("qid", "rk")
     }, Some(ivfOracle)),
 
+    // QUANTIZED IVF (round 14, the Faiss IVF-SQ8 shape): the same cell
+    // construction and float probes as ann_ivf_topk — the oracle shares
+    // the identical CTE core, so both variants rank over the SAME
+    // candidate sets — but candidate scoring runs over int8 vectors:
+    // the O(corpus/nlist · nprobe) term that dominates at scale moves
+    // and scans 4× less data. Full hash match (int8 sums exact in
+    // double), not a recall claim.
+    ("ann_ivf_quantized", (s, d) => {
+      val e = T(s, d, "embeddings")
+      Similarity.ivfTopKQuantized(
+        corpus = e.select(col("vec_id"), col("embedding")),
+        queries = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe")),
+        idCol = "vec_id", vecCol = "embedding", qidCol = "qid", qvecCol = "qe",
+        k = 5, nlist = 16, nprobe = 4).orderBy("qid", "rk")
+    }, Some(ivfQuantizedOracle)),
+
     // STORED IVF index (round 10): build-once (centroids + key-grouped
     // cell files — the inverted-list layout on disk), query-many. The
     // stored query is bit-identical to the inline construction, so the
@@ -1549,7 +1566,11 @@ object PipelineQueries {
     * same order ⇒ identical bits.
     * Tie rules mirrored exactly: cell assignment breaks ties to the LARGER
     * cid (Spark's max(struct(sim, cid))), probe selection to the SMALLER. */
-  private lazy val ivfOracle: String = {
+  /** The shared IVF construction CTEs (seeds → one Lloyd refinement →
+    * cell assignment → per-query probes) — everything up to scoring, so
+    * the exact-cosine and the quantized-dot tails rank over the SAME
+    * candidate sets. */
+  private lazy val ivfOracleCore: String = {
     def dot(a: String, b: String): String =
       s"list_reduce(list_transform(list_zip($a, $b), z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (acc, x) -> acc + x)"
     def norm2(v: String): String =
@@ -1591,7 +1612,13 @@ object PipelineQueries {
                    ORDER BY ${dot("q.embedding", "ct.cvec")} / (q.cn * ${norm2("ct.cvec")}) DESC,
                             ct.cid ASC) AS rn
           FROM c q CROSS JOIN centroids ct WHERE q.vec_id < 10),
-        probes AS (SELECT qid, cid FROM pr WHERE rn <= 4),
+        probes AS (SELECT qid, cid FROM pr WHERE rn <= 4)"""
+  }
+
+  private lazy val ivfOracle: String = {
+    def dot(a: String, b: String): String =
+      s"list_reduce(list_transform(list_zip($a, $b), z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (acc, x) -> acc + x)"
+    s"""$ivfOracleCore,
         scored AS (
           SELECT p.qid, ce.vec_id,
                  round(${dot("q.embedding", "ce.embedding")} / (q.cn * ce.cn), 9) AS cos
@@ -1602,6 +1629,37 @@ object PipelineQueries {
         SELECT qid, vec_id, cos, rk FROM (
           SELECT qid, vec_id, cos,
                  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+          FROM scored) WHERE rk <= 5
+        ORDER BY qid, rk"""
+  }
+
+  /** The quantized tail over the same core: candidates from the float
+    * probes, ranked by int8 inner product (exact in double). */
+  private lazy val ivfQuantizedOracle: String = {
+    def dot(a: String, b: String): String =
+      s"list_reduce(list_transform(list_zip($a, $b), z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (acc, x) -> acc + x)"
+    s"""$ivfOracleCore,
+        qv AS (
+          SELECT vec_id, s,
+                 CASE WHEN s = 0
+                      THEN list_transform(embedding, x -> CAST(0 AS TINYINT))
+                      ELSE list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) / s + 0.5) AS TINYINT))
+                 END AS qq
+          FROM (SELECT vec_id, embedding,
+                       list_aggregate(list_transform(embedding,
+                         x -> abs(CAST(x AS DOUBLE))), 'max') / 127.0 AS s
+                FROM embeddings)),
+        scored AS (
+          SELECT p.qid, m.vec_id,
+                 round(${dot("cq.qq", "qq2.qq")} * qq2.s * cq.s, 9) AS qdot
+          FROM probes p
+          JOIN cells m ON m.cid = p.cid
+          JOIN qv cq ON cq.vec_id = m.vec_id
+          JOIN qv qq2 ON qq2.vec_id = p.qid)
+        SELECT qid, vec_id, qdot, rk FROM (
+          SELECT qid, vec_id, qdot,
+                 row_number() OVER (PARTITION BY qid ORDER BY qdot DESC, vec_id) AS rk
           FROM scored) WHERE rk <= 5
         ORDER BY qid, rk"""
   }

@@ -163,6 +163,50 @@ object Similarity {
       k, nprobe)
   }
 
+  /** IVF top-k with QUANTIZED candidate scoring (round 14): cell
+    * construction and probing stay float (the centroid set is tiny —
+    * quantizing it saves nothing), but every CANDIDATE comparison — the
+    * O(corpus/nlist · nprobe) term that dominates at scale — runs over
+    * int8 vectors: 4× less candidate data moved and scanned, same
+    * bit-reproducible ranking contract as [[quantizedTopK]] (int8
+    * product sums are exact in double). The Faiss IVF-SQ8 shape. */
+  def ivfTopKQuantized(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, qidCol: String, qvecCol: String,
+      k: Int, nlist: Int, nprobe: Int): DataFrame = {
+    require(nprobe >= 1 && nprobe <= nlist)
+    val (centroids, cells) = ivfIndex(corpus, idCol, vecCol, nlist,
+      deterministicMeans = true)
+    // float probes — identical head to ivfProbeScore
+    val queriesN = queries.withColumn("qn", norm(col(qvecCol)))
+    val probes = queriesN.crossJoin(broadcast(centroids))
+      .withColumn("__sim", dot(col(qvecCol), col("cvec")) / (col("qn") * norm(col("cvec"))))
+      .withColumn("__pr", row_number().over(
+        Window.partitionBy(col(qidCol)).orderBy(col("__sim").desc, col("cid"))))
+      .filter(col("__pr") <= nprobe)
+      .select(col(qidCol), col("cid"))
+    // int8 candidates: quantize cell vectors and query vectors once
+    val qcells = {
+      val w = cells.select(col("cid"), col(idCol),
+        quantScale(col(vecCol)).as("cs"), col(vecCol))
+      w.select(col("cid"), col(idCol), col("cs"),
+        quantVec(col(vecCol), col("cs")).as("cq"))
+    }
+    val qqueries = {
+      val w = queries.select(col(qidCol),
+        quantScale(col(qvecCol)).as("qs"), col(qvecCol))
+      w.select(col(qidCol), col("qs"),
+        quantVec(col(qvecCol), col("qs")).as("qq"))
+    }
+    val scored = qqueries.join(probes, qidCol).join(qcells, "cid")
+      .select(col(qidCol), col(idCol),
+        round(dot(col("cq"), col("qq")) * col("qs") * col("cs"), 9)
+          .as("qdot"))
+    val w = Window.partitionBy(col(qidCol)).orderBy(col("qdot").desc, col(idCol).asc)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col(qidCol), col(idCol), col("qdot"), col("rk"))
+  }
+
   /** BUILD-ONCE, QUERY-MANY IVF index persistence (round 10): the index
     * is just two frames, so it stores as two arrow-ipc directories —
     * `dir/centroids` (nlist rows) and `dir/cells`, the cell-assigned

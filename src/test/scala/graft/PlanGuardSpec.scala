@@ -29,7 +29,8 @@ class PlanGuardSpec extends AnyFunSuite {
                         // an equi-join on the cluster id, never NLJ)
     "zorder_values",    // scan × broadcast(1-row min/max stats)
     "ann_quantized_topk",     // corpus × broadcast(query set) — brute contract
-    "sample_cluster_balance") // the kmeans Lloyd pass (corpus × broadcast(k centroids))
+    "sample_cluster_balance", // the kmeans Lloyd pass (corpus × broadcast(k centroids))
+    "ann_ivf_quantized")      // corpus × broadcast(nlist centroids) + float probe head
 
   test("no query plans a cartesian product or unlisted nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

@@ -61,6 +61,16 @@ class SimilaritySpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (quant & exactTop).size.toDouble / exactTop.size
     assert(recall >= 0.8, s"quantized recall@5 = $recall")
+
+    // IVF-quantized recall vs the brute quantized ranking (the SAME int8
+    // inner-product metric — the standard IVF recall check): probing 3/8
+    // cells must recover most of the brute top-k
+    val ivfQ = Similarity.ivfTopKQuantized(frame, queries,
+      "vec_id", "embedding", "qid", "qe", k = 5, nlist = 8, nprobe = 3)
+      .select(col("qid"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfRecall = (ivfQ & quant).size.toDouble / quant.size
+    assert(ivfRecall >= 0.5, s"ivf-quantized recall@5 vs brute quantized = $ivfRecall")
   }
 
   test("cosine: self similarity is 1, orthogonal is 0") {
