@@ -186,6 +186,11 @@ object ArrowInterchange {
   private def toArrowField(f: StructField): Field = {
     val t: ArrowType = f.dataType match {
       case BooleanType   => ArrowType.Bool.INSTANCE
+      // int8/int16 (round 14): the quantized-embedding store's element
+      // type — an int8 lake representation is what realizes the 4×
+      // saving on disk, not just in memory
+      case ByteType      => new ArrowType.Int(8, true)
+      case ShortType     => new ArrowType.Int(16, true)
       case IntegerType   => new ArrowType.Int(32, true)
       case LongType      => new ArrowType.Int(64, true)
       case FloatType     => new ArrowType.FloatingPoint(FloatingPointPrecision.SINGLE)
@@ -242,7 +247,8 @@ object ArrowInterchange {
               toArrowField(StructField("value", vt, valueContainsNull))).asJava)))
       case dt => throw new IllegalArgumentException(
         s"Arrow interchange: unsupported type $dt for column '${f.name}' " +
-          "(supported: boolean, int, bigint, float, double, string, binary, " +
+          "(supported: boolean, tinyint, smallint, int, bigint, float, " +
+          "double, string, binary, " +
           "timestamp[us], date, interval day-second, decimal(<=38), " +
           "array<scalar>, struct<...>, map<k,v>)")
     }
@@ -277,6 +283,8 @@ object ArrowInterchange {
       case _ => ()
     }
     val dt = f.getType match {
+      case t: ArrowType.Int if t.getBitWidth == 8 && t.getIsSigned => ByteType
+      case t: ArrowType.Int if t.getBitWidth == 16 && t.getIsSigned => ShortType
       case t: ArrowType.Int if t.getBitWidth == 32 && t.getIsSigned => IntegerType
       case t: ArrowType.Int if t.getBitWidth == 64 && t.getIsSigned => LongType
       case t: ArrowType.FloatingPoint if t.getPrecision == FloatingPointPrecision.SINGLE => FloatType
@@ -468,6 +476,8 @@ object ArrowInterchange {
     } else (v, dt) match {
       case (x: BitVector, BooleanType) =>
         x.setSafe(idx, if (row.getBoolean(col)) 1 else 0)
+      case (x: TinyIntVector, ByteType)  => x.setSafe(idx, row.getByte(col))
+      case (x: SmallIntVector, ShortType) => x.setSafe(idx, row.getShort(col))
       case (x: IntVector, IntegerType)   => x.setSafe(idx, row.getInt(col))
       case (x: BigIntVector, LongType)   => x.setSafe(idx, row.getLong(col))
       case (x: Float4Vector, FloatType)  => x.setSafe(idx, row.getFloat(col))
@@ -533,6 +543,10 @@ object ArrowInterchange {
       case (x: BitVector, BooleanType) =>
         if (value == null) x.setNull(idx)
         else x.setSafe(idx, if (value.asInstanceOf[Boolean]) 1 else 0)
+      case (x: TinyIntVector, ByteType) =>
+        if (value == null) x.setNull(idx) else x.setSafe(idx, value.asInstanceOf[Byte])
+      case (x: SmallIntVector, ShortType) =>
+        if (value == null) x.setNull(idx) else x.setSafe(idx, value.asInstanceOf[Short])
       case (x: IntVector, IntegerType) =>
         if (value == null) x.setNull(idx) else x.setSafe(idx, value.asInstanceOf[Int])
       case (x: BigIntVector, LongType) =>
@@ -865,6 +879,8 @@ object ArrowInterchange {
     if (v.isNull(idx)) null
     else (v, dt) match {
       case (x: BitVector, BooleanType)      => x.get(idx) == 1
+      case (x: TinyIntVector, ByteType)     => x.get(idx)
+      case (x: SmallIntVector, ShortType)   => x.get(idx)
       case (x: IntVector, IntegerType)      => x.get(idx)
       case (x: BigIntVector, LongType)      => x.get(idx)
       case (x: Float4Vector, FloatType)     => x.get(idx)
@@ -912,6 +928,8 @@ object ArrowInterchange {
     if (v.isNull(idx)) null
     else (v, dt) match {
       case (x: BitVector, BooleanType)      => x.get(idx) == 1
+      case (x: TinyIntVector, ByteType)     => x.get(idx)
+      case (x: SmallIntVector, ShortType)   => x.get(idx)
       case (x: IntVector, IntegerType)      => x.get(idx)
       case (x: BigIntVector, LongType)      => x.get(idx)
       case (x: Float4Vector, FloatType)     => x.get(idx)

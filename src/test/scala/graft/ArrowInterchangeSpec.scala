@@ -131,6 +131,36 @@ class ArrowInterchangeSpec extends AnyFunSuite {
       (4L, Seq.empty[Float], Seq("x"))))
   }
 
+  test("tinyint/smallint columns and arrays roundtrip (the quantized-embedding store shape)") {
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("b", ByteType),
+      StructField("s", ShortType),
+      StructField("qv", ArrayType(ByteType, containsNull = false))))
+    val rows = Seq(
+      Row(1L, 127.toByte, 32767.toShort, Seq(127.toByte, (-127).toByte, 0.toByte)),
+      Row(2L, null, null, Seq((-1).toByte)),
+      Row(3L, (-128).toByte, (-32768).toShort, Seq.empty[Byte]))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+    val dir = tmp("graft_arrow_int8")
+    ArrowInterchange.writeStream(df, dir)
+    val back = ArrowInterchange.readStream(spark, dir)
+    assert(back.schema === schema)
+    val got = back.orderBy("id").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getByte(1),
+        if (r.isNullAt(2)) null else r.getShort(2),
+        r.getSeq[Byte](3))).toSeq
+    assert(got === Seq(
+      (1L, 127.toByte, 32767.toShort, Seq(127.toByte, (-127).toByte, 0.toByte)),
+      (2L, null, null, Seq((-1).toByte)),
+      (3L, (-128).toByte, (-32768).toShort, Seq.empty[Byte])))
+    // the DSv2 read path serves them too, and tinyint stats prune
+    val v2 = spark.read.format("arrow-ipc").load(dir)
+    assert(v2.orderBy("id").collect().map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    assert(v2.filter(col("b") === 127.toByte).count() === 1L)
+  }
+
   test("lz4 and zstd compressed streams roundtrip exactly and actually shrink") {
     // highly repetitive payload so compression has something to do
     val df = spark.range(2000).select(col("id"),
