@@ -474,6 +474,26 @@ object PipelineQueries {
         k = 5, nprobe = 4).orderBy("qid", "rk")
     }, Some(ivfOracle)),
 
+    // STORED quantized IVF (round 14 — IVF-SQ8 persisted): ivfBuild with
+    // quantized = true stores int8 cells (2.99× smaller on disk, measured
+    // in tools/quant_scale_probe.log); the query dispatches on the index
+    // manifest and is BIT-IDENTICAL to the inline ivfTopKQuantized (int8
+    // and double round-trip the interchange exactly) — the SAME oracle
+    // hash-checks both.
+    ("ann_ivf_stored_q8", (s, d) => {
+      val e = T(s, d, "embeddings")
+      // Scratch contract: see json_roundtrip.
+      val path = graft.sources.Scratch.dir(s, "graft_rt_ivf_q8")
+      Similarity.ivfBuild(e.select(col("vec_id"), col("embedding")),
+        idCol = "vec_id", vecCol = "embedding", nlist = 16, dir = path,
+        quantized = true)
+      Similarity.ivfTopKStored(s, path,
+        queries = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe")),
+        idCol = "vec_id", vecCol = "embedding", qidCol = "qid", qvecCol = "qe",
+        k = 5, nprobe = 4).orderBy("qid", "rk")
+    }, Some(ivfQuantizedOracle)),
+
     // LSH-bucketed ANN. The hyperplanes are plan-time literal constants, so
     // the oracle recomputes the same buckets from the same values (doubles
     // serialized via exact decimal expansion).

@@ -238,14 +238,16 @@ object Similarity {
   private[graft] var afterIvfCentroidsHook: () => Unit = () => ()
 
   private case class IvfManifest(generation: String, nlist: Int,
-      idCol: String, vecCol: String, cellsTip: Long)
+      idCol: String, vecCol: String, cellsTip: Long,
+      quantized: Boolean = false)
 
   private def writeManifest(spark: org.apache.spark.sql.SparkSession,
       dir: String, m: IvfManifest): Unit = {
     def esc(s: String) = graft.sources.ArrowFileStats.esc(s)
     val body = s"""{"version":1,"generation":"${esc(m.generation)}",""" +
       s""""nlist":${m.nlist},"idCol":"${esc(m.idCol)}",""" +
-      s""""vecCol":"${esc(m.vecCol)}","cellsTip":${m.cellsTip}}"""
+      s""""vecCol":"${esc(m.vecCol)}","cellsTip":${m.cellsTip},""" +
+      s""""quantized":${m.quantized}}"""
     val p = new org.apache.hadoop.fs.Path(dir, IndexManifest)
     graft.sources.ArrowOcc.writeAtomic(
       p.getFileSystem(spark.sparkContext.hadoopConfiguration), p,
@@ -275,8 +277,13 @@ object Similarity {
           case other => throw new IllegalStateException(
             s"ivf: bad $IndexManifest at $dir: $k = $other")
         }
+        // pre-round-14 manifests carry no "quantized" key → float cells
+        val quant = (o \ "quantized") match {
+          case JBool(b) => b
+          case _ => false
+        }
         IvfManifest(str("generation"), num("nlist").toInt,
-          str("idCol"), str("vecCol"), num("cellsTip"))
+          str("idCol"), str("vecCol"), num("cellsTip"), quant)
       case other => throw new IllegalStateException(
         s"ivf: bad $IndexManifest at $dir: $other")
     }
@@ -289,7 +296,8 @@ object Similarity {
     s"$dir/${readManifest(spark, dir).generation}"
 
   def ivfBuild(corpus: DataFrame, idCol: String, vecCol: String,
-      nlist: Int, dir: String, deterministicMeans: Boolean = true): Unit = {
+      nlist: Int, dir: String, deterministicMeans: Boolean = true,
+      quantized: Boolean = false): Unit = {
     val spark = corpus.sparkSession
     val (centroids, cells) =
       ivfIndex(corpus, idCol, vecCol, nlist, deterministicMeans)
@@ -297,8 +305,20 @@ object Similarity {
     centroids.coalesce(1).write.format("arrow-ipc").mode("overwrite")
       .save(s"$dir/$gen/centroids")
     afterIvfCentroidsHook()
+    // quantized = true stores int8 cells (IVF-SQ8): centroids stay
+    // float (tiny — probing precision is free), but the cell files —
+    // the index's mass — hold (scale, array<tinyint>) instead of
+    // (array<float>, norm), measured 2.99× smaller on disk
+    // (tools/quant_scale_probe.log). Queries dispatch on the manifest.
+    val cellCols =
+      if (!quantized) cells.select(col("cid"), col(idCol), col(vecCol), col("cn"))
+      else cells
+        .select(col("cid"), col(idCol),
+          quantScale(col(vecCol)).as("cs"), col(vecCol))
+        .select(col("cid"), col(idCol), col("cs"),
+          quantVec(col(vecCol), col("cs")).as("cq"))
     graft.sources.Sinks.writeKeyGrouped(
-      cells.select(col("cid"), col(idCol), col(vecCol), col("cn")),
+      cellCols,
       s"$dir/$gen/cells", Seq("cid"), partitions = math.min(nlist, 32))
     val dirPath = new org.apache.hadoop.fs.Path(dir)
     val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -306,7 +326,8 @@ object Similarity {
       fs, new org.apache.hadoop.fs.Path(s"$dir/$gen/cells"))
     // the COMMIT: one atomic flip — readers see the old generation or the
     // new one, never a mix
-    writeManifest(spark, dir, IvfManifest(gen, nlist, idCol, vecCol, tip))
+    writeManifest(spark, dir,
+      IvfManifest(gen, nlist, idCol, vecCol, tip, quantized))
     // sweep superseded/orphaned generations once provably dead (a young
     // foreign dir may be a concurrent build mid-stage or a reader's
     // in-flight old generation)
@@ -340,8 +361,16 @@ object Similarity {
         dot(col(vecCol), col("cvec")) / (col("cn") * norm(col("cvec"))))
       .groupBy(col(idCol))
       .agg(max(struct(col("__sim"), col("cid"))).getField("cid").as("cid"))
-    freshN.join(assigned, idCol)
-      .select(col("cid"), col(idCol), col(vecCol), col("cn"))
+    val freshCells =
+      if (!m.quantized)
+        freshN.join(assigned, idCol)
+          .select(col("cid"), col(idCol), col(vecCol), col("cn"))
+      else freshN.join(assigned, idCol)
+        .select(col("cid"), col(idCol),
+          quantScale(col(vecCol)).as("cs"), col(vecCol))
+        .select(col("cid"), col(idCol), col("cs"),
+          quantVec(col(vecCol), col("cs")).as("cq"))
+    freshCells
       .write.format("arrow-ipc").mode("append")
       .option("partitionKeys", "cid")
       .save(s"$dir/${m.generation}/cells")
@@ -372,8 +401,35 @@ object Similarity {
       .load(s"$dir/${m.generation}/centroids")
     val cells = spark.read.format("arrow-ipc")
       .load(s"$dir/${m.generation}/cells")
-    ivfProbeScore(centroids, cells, queries, idCol, vecCol, qidCol, qvecCol,
-      k, nprobe)
+    if (!m.quantized)
+      ivfProbeScore(centroids, cells, queries, idCol, vecCol, qidCol, qvecCol,
+        k, nprobe)
+    else {
+      // the quantized tail over stored int8 cells — bit-identical to
+      // [[ivfTopKQuantized]] (int8 and double round-trip exactly)
+      val queriesN = queries.withColumn("qn", norm(col(qvecCol)))
+      val probes = queriesN.crossJoin(broadcast(centroids))
+        .withColumn("__sim",
+          dot(col(qvecCol), col("cvec")) / (col("qn") * norm(col("cvec"))))
+        .withColumn("__pr", row_number().over(
+          Window.partitionBy(col(qidCol)).orderBy(col("__sim").desc, col("cid"))))
+        .filter(col("__pr") <= nprobe)
+        .select(col(qidCol), col("cid"))
+      val qqueries = {
+        val w = queries.select(col(qidCol),
+          quantScale(col(qvecCol)).as("qs"), col(qvecCol))
+        w.select(col(qidCol), col("qs"),
+          quantVec(col(qvecCol), col("qs")).as("qq"))
+      }
+      val scored = qqueries.join(probes, qidCol).join(cells, "cid")
+        .select(col(qidCol), col(idCol),
+          round(dot(col("cq"), col("qq")) * col("qs") * col("cs"), 9)
+            .as("qdot"))
+      val w = Window.partitionBy(col(qidCol))
+        .orderBy(col("qdot").desc, col(idCol).asc)
+      scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+        .select(col(qidCol), col(idCol), col("qdot"), col("rk"))
+    }
   }
 
   /** The IVF index as data: (centroids (cid, cvec), cell-assigned corpus

@@ -71,6 +71,30 @@ class SimilaritySpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val ivfRecall = (ivfQ & quant).size.toDouble / quant.size
     assert(ivfRecall >= 0.5, s"ivf-quantized recall@5 vs brute quantized = $ivfRecall")
+
+    // STORED quantized index (IVF-SQ8 persisted): bit-identical to the
+    // inline quantized query (int8 + double round-trip exactly), and an
+    // append through the quantized layout keeps serving
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_q8").toString + "/idx"
+    Similarity.ivfBuild(frame, "vec_id", "embedding", nlist = 8, dir = dir,
+      quantized = true)
+    val stored = Similarity.ivfTopKStored(spark, dir, queries,
+      "vec_id", "embedding", "qid", "qe", k = 5, nprobe = 3)
+      .orderBy("qid", "rk").collect().toSeq
+    val inline = Similarity.ivfTopKQuantized(frame, queries,
+      "vec_id", "embedding", "qid", "qe", k = 5, nlist = 8, nprobe = 3)
+      .orderBy("qid", "rk").collect().toSeq
+    assert(stored === inline, "stored quantized != inline quantized")
+    val freshRows = (300 until 320).map { i =>
+      (i.toLong, Array.fill(64)(rnd.nextFloat() * 2 - 1))
+    }.toDF("vec_id", "embedding")
+    Similarity.ivfAppend(spark, dir, freshRows, "vec_id", "embedding")
+    val afterAppend = Similarity.ivfTopKStored(spark, dir,
+      freshRows.filter(col("vec_id") === 300L)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe")),
+      "vec_id", "embedding", "qid", "qe", k = 1, nprobe = 8)
+    // a fresh vector's nearest neighbor is itself (self-dot dominates)
+    assert(afterAppend.head().getLong(1) === 300L)
   }
 
   test("cosine: self similarity is 1, orthogonal is 0") {
