@@ -1009,7 +1009,9 @@ class ArrowCatalog extends TableCatalog with ProcedureCatalog
     GraftProcedure("list_files",
       "live data files: relative path, rows (manifest-exact or -1 for a " +
         "foreign import), bytes, commit sequence (equality-delete " +
-        "ordering), rows masked by this file's deletion vector",
+        "ordering; -1 for a foreign import, matching rows — a genuine " +
+        "sequence is never negative), rows masked by this file's " +
+        "deletion vector",
       Array(in("dir", StringType)),
       StructType(Seq(
         org.apache.spark.sql.types.StructField("file", StringType),
@@ -1030,8 +1032,11 @@ class ArrowCatalog extends TableCatalog with ProcedureCatalog
           .map { case (rel, st) =>
             val name = new Path(rel).getName
             val m = manifest.get(name)
+            // the same -1 sentinel as `rows` for a manifest-unknown
+            // (foreign) file — seq 0 would be indistinguishable from a
+            // genuine first-commit sequence
             row(rel, m.map(_.rows).getOrElse(-1L), st.getLen,
-              m.map(_.seq).getOrElse(0L),
+              m.map(_.seq).getOrElse(-1L),
               dvs.get(name).map(_.card).getOrElse(0L))
           }
       }),

@@ -640,23 +640,31 @@ object ArrowEqualityDeletes {
       val groupCap = scala.util.Try(spark.conf
         .get("spark.graft.arrow.foldBatchRows", "10000000").toLong)
         .getOrElse(10000000L)
-      val counts = hits.groupBy(ArrowRowLevel.FileColumn)
-        .agg(count(lit(1)).as("n"))
-        .collect().map(r => (r.getString(0), r.getLong(1)))
-        .sortBy(_._1)
+      // STREAMING gather (round 15): the per-file counts arrive one row
+      // per masked file — tiny at any realistic debt, but a pathological
+      // million-masked-file backlog would make a .collect() a ~100 MB
+      // driver materialization. `toLocalIterator` over the executor-side
+      // sort streams one partition at a time into the group builder, so
+      // driver residency is one partition of (path, count) pairs plus
+      // the groups themselves (bounded: 1000 paths per group).
       val groups = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
       var cur = scala.collection.mutable.ArrayBuffer.empty[String]
       var curRows = 0L
-      counts.foreach { case (f, n) =>
-        // rows bound driver memory; the file-count bound keeps the
-        // group's `isin` restriction a sane expression (a group of
-        // 100k tiny masks would otherwise plan a 100k-literal filter)
-        if (cur.nonEmpty && (curRows + n > groupCap || cur.size >= 1000)) {
-          groups += cur.toSeq; cur = scala.collection.mutable.ArrayBuffer.empty
-          curRows = 0L
+      hits.groupBy(ArrowRowLevel.FileColumn)
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col(ArrowRowLevel.FileColumn))
+        .toLocalIterator()
+        .forEachRemaining { r =>
+          val (f, n) = (r.getString(0), r.getLong(1))
+          // rows bound driver memory; the file-count bound keeps the
+          // group's `isin` restriction a sane expression (a group of
+          // 100k tiny masks would otherwise plan a 100k-literal filter)
+          if (cur.nonEmpty && (curRows + n > groupCap || cur.size >= 1000)) {
+            groups += cur.toSeq; cur = scala.collection.mutable.ArrayBuffer.empty
+            curRows = 0L
+          }
+          cur += f; curRows += n
         }
-        cur += f; curRows += n
-      }
       if (cur.nonEmpty) groups += cur.toSeq
       var filesMasked = 0
       groups.foreach { g =>

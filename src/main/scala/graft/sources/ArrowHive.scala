@@ -50,9 +50,14 @@ private[graft] object ArrowHiveLayout {
     * consecutive no-ops collapsed. A layout file written before
     * evolution existed parses as the single-generation history; no
     * layout file = the flat generation only. Readers union the
-    * generations' file sets ([[ArrowMaintenance.evolvePartitioning]]
-    * bounds standing HIVE generations to one, so the union is
-    * flat ∪ one-hive — each side pruned by its own mechanism). */
+    * generations' file sets — since round 14
+    * [[ArrowMaintenance.evolvePartitioning]] admits N standing HIVE
+    * generations (hive→hive′ with standing dirs is a metadata-only
+    * commit), so the union is flat ∪ every standing hive generation,
+    * each side pruned by its own mechanism. Rewrites (compaction, COW
+    * DML) and streaming reads refuse mid-evolution until the table is
+    * unified back to one generation via `cluster` (whole-table) or the
+    * incremental `cluster(generation => oldest)` drain. */
   def readGenerations(fs: FileSystem, dir: Path): Seq[Seq[String]] = {
     val p = new Path(dir, FileName)
     if (!fs.exists(p)) return Seq(Nil)

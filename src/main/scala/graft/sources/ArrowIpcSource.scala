@@ -172,7 +172,19 @@ private[sources] class ArrowIpcTable(tableSchema: StructType, dir: String,
     refuseIfPinned("DELETE")
     ArrowMaintenance.deleteWhere(SparkSession.active, dir, filters)
   }
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // ambiguous time travel refuses LOUDLY (round 15, house style —
+    // matching restore's exactly-one-of contract) instead of resolving
+    // by silent precedence: a reader passing both a snapshot id and a
+    // tag almost certainly believes they agree, and serving one of them
+    // unchecked hides the disagreement
+    require(options.get("asOfSnapshot") == null || options.get("tag") == null,
+      "arrow-ipc: both asOfSnapshot and tag are set — pass exactly one " +
+        "time-travel pin")
+    require(Seq("startingSnapshot", "startingTag", "startingTimestamp")
+        .count(options.get(_) != null) <= 1,
+      "arrow-ipc: more than one of startingSnapshot/startingTag/" +
+        "startingTimestamp is set — pass exactly one change-feed start")
     new ArrowIpcScanBuilder(tableSchema, dir,
       Option(options.get("maxFilesPerTrigger")).map(_.toInt),
       Option(options.get("partitionKeys"))
@@ -202,6 +214,7 @@ private[sources] class ArrowIpcTable(tableSchema: StructType, dir: String,
       ignoreDeletes = options.getBoolean("ignoreDeletes", false),
       ignoreRestores = options.getBoolean("ignoreRestores", false),
       eqEmitDeleted = "deleted".equalsIgnoreCase(options.get("eqEmit")))
+  }
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {

@@ -951,30 +951,34 @@ object ArrowMaintenance {
     val compacted =
       if (compactMin <= 0 || ArrowEqualityDeletes.any(fs, dirPath)) None
       else {
+        // count only COMMITTED files (round 15): an in-flight stream
+        // epoch's uncommitted files are invisible to readers and to
+        // compaction's replaceable set, so letting them trip the trigger
+        // would launch a compaction pass that finds nothing to merge —
+        // the same visibility rule list_files applies to its listing
+        val visible = ArrowStreamCommits.visibleFilter(fs, dirPath)
         val small = ArrowSnapshots.listDataFileStatuses(fs, dirPath)
-          .count(_._2.getLen < compactTarget / 2)
+          .count { case (rel, st) =>
+            visible(new Path(rel).getName) && st.getLen < compactTarget / 2 }
         if (small < compactMin) None
         else compact(spark, dir, targetBytes = compactTarget)
       }
-    // TAG CLAMP (round 14): expireSnapshots refuses to expire a tagged
-    // snapshot (a named release pin must never silently die), but a
-    // nightly vacuum(keepFrom = now - 7d) that THREW forever once a tag
-    // aged past the window would stop ALL retention. Vacuum takes the
-    // degrade-don't-fail stance (same as the purge leg above): clamp
-    // keepFrom to the oldest tagged snapshot — history back to the
-    // oldest pin is retained, everything older still expires, and the
-    // loop keeps running. A tagged id is always retained (creation
-    // validates it; this clamp preserves it), so the clamped expire
-    // succeeds. The direct CALL expire_snapshots keeps the loud refusal
-    // — an explicit request to cross a pin should fail, a cron sweep
-    // should not.
-    val effectiveKeep = keepFrom.map { k =>
-      val tagged = ArrowTags.list(fs, dirPath).map(_.snapshot)
-      if (tagged.isEmpty) k else math.min(k, tagged.min)
-    }
+    // TAG CLAMP (round 14, moved under the commit lock in round 15):
+    // expireSnapshots refuses to expire a tagged snapshot (a named
+    // release pin must never silently die), but a nightly
+    // vacuum(keepFrom = now - 7d) that THREW forever once a tag aged
+    // past the window would stop ALL retention. Vacuum takes the
+    // degrade-don't-fail stance (same as the purge leg above):
+    // `clampToTags` makes expireSnapshots clamp keepFrom to the oldest
+    // tagged snapshot INSIDE its commit lock, over the SAME tag listing
+    // its refusal checks — a create_tag racing the sweep can no longer
+    // slip between a pre-lock clamp and the locked refusal and turn the
+    // cron leg into a throw. The direct CALL expire_snapshots keeps the
+    // loud refusal — an explicit request to cross a pin should fail, a
+    // cron sweep should not.
     VacuumResult(recovered, staging, orphans,
-      effectiveKeep.map(expireSnapshots(spark, dir, _)), purged, eqFolded,
-      branchesExpired, compacted)
+      keepFrom.map(expireSnapshots(spark, dir, _, clampToTags = true)),
+      purged, eqFolded, branchesExpired, compacted)
   }
 
   /** Expire time-travel history older than snapshot `keepFrom`: the log's
@@ -985,7 +989,7 @@ object ArrowMaintenance {
     * WRITER contract as all maintenance; live readers are unaffected
     * (the live set never touches the trash). */
   def expireSnapshots(spark: SparkSession, dir: String,
-      keepFrom: Long): ExpireResult = {
+      keepFrom: Long, clampToTags: Boolean = false): ExpireResult = {
     val dirPath = new Path(dir)
     val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     recover(spark, dir) // a half-swapped directory must finish first
@@ -1008,22 +1012,35 @@ object ArrowMaintenance {
     val (dropped, doomed) = ArrowOcc.withCommitLock(fs, dirPath) {
       val snaps = ArrowSnapshots.read(fs, dirPath)
       // TAGS pin history: expiring a tagged snapshot would turn a named
-      // release ref into a permanent refusal. Refuse HERE (loudly, naming
-      // the tags) — dropping the tag is the explicit opt-out, a silent
-      // expiry is never. A tag AT keepFrom survives (it becomes the base).
-      val pinned = ArrowTags.list(fs, dirPath).filter(_.snapshot < keepFrom)
+      // release ref into a permanent refusal. Decided HERE, under the
+      // commit lock, over ONE tag listing (round 15): with `clampToTags`
+      // (vacuum's cron leg) keepFrom clamps to the oldest pin — history
+      // back to it is retained, everything older still expires, the loop
+      // keeps running, and a create_tag racing the sweep sees the same
+      // listing the refusal would. A tagged id is always retained
+      // (creation validates it; the clamp preserves it), so the clamped
+      // expire succeeds. Without the flag (the direct CALL), refuse
+      // loudly naming the tags — dropping the tag is the explicit
+      // opt-out, a silent expiry is never. A tag AT the keep point
+      // survives (it becomes the base).
+      val tags = ArrowTags.list(fs, dirPath)
+      val keep =
+        if (clampToTags && tags.nonEmpty)
+          math.min(keepFrom, tags.map(_.snapshot).min)
+        else keepFrom
+      val pinned = tags.filter(_.snapshot < keep)
       require(pinned.isEmpty,
-        s"arrow-ipc: expire_snapshots(keepFrom=$keepFrom) would expire " +
+        s"arrow-ipc: expire_snapshots(keepFrom=$keep) would expire " +
           s"tagged snapshot(s) ${pinned.map(t => s"'${t.name}' -> ${t.snapshot}")
             .mkString(", ")} on $dir — drop the tag(s) or keep from " +
           s"${pinned.map(_.snapshot).min} or earlier")
-      val base = snaps.find(_.id == keepFrom).getOrElse(
+      val base = snaps.find(_.id == keep).getOrElse(
         throw new IllegalArgumentException(
-          s"arrow-ipc: $dir has no snapshot $keepFrom to keep from" +
+          s"arrow-ipc: $dir has no snapshot $keep to keep from" +
             (if (snaps.isEmpty) " (no snapshot log)"
             else s" — the log records ${snaps.head.id}..${snaps.last.id}")))
-      val tail = snaps.filter(_.id > keepFrom)
-      val baseState = ArrowSnapshots.resolve(snaps, keepFrom).get
+      val tail = snaps.filter(_.id > keep)
+      val baseState = ArrowSnapshots.resolve(snaps, keep).get
       // every retained snapshot's file set still needs its trash copies.
       // The union of all states ≥ keepFrom is state(keepFrom) ∪ every file
       // ADDED after it (a later-removed file still appears in the state of
@@ -1031,9 +1048,9 @@ object ArrowMaintenance {
       // per retained id would be O(history²) under the commit lock.
       val needed = baseState ++ tail.flatMap(_.adds)
       ArrowSnapshots.writeBase(fs, dirPath,
-        ArrowSnapshots.Snapshot(keepFrom, base.tsMillis,
+        ArrowSnapshots.Snapshot(keep, base.tsMillis,
           baseState.toSeq.sorted, Nil))
-      (snaps.count(_.id < keepFrom), candidates.filterNot(needed))
+      (snaps.count(_.id < keep), candidates.filterNot(needed))
     }
     // O(files) DELETES OUTSIDE the lock: once the base has landed, no
     // retained snapshot references a doomed file and every expired id

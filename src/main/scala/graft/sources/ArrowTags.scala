@@ -27,8 +27,10 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * WAP branches (abandoned workflow staging, expired by age), a tag is
   * a deliberate mark whose whole point is surviving until dropped.
   *
-  * Crash shape: the tag file is written through a create-exclusive
-  * stream; a crash mid-write leaves a torn JSON that [[resolve]]
+  * Crash shape: the tag file is written to a hidden temp name and
+  * renamed into place (round 15), so a crash mid-write leaves only an
+  * invisible `.tmp` orphan — the visible `<name>.json` is always whole.
+  * Should a torn file ever appear anyway (foreign writer), [[resolve]]
   * refuses LOUDLY (naming drop_tag + re-create as the repair) rather
   * than serving a wrong snapshot. No intent/replay needed — a tag
   * references history, it never moves data.
@@ -79,14 +81,34 @@ object ArrowTags {
         "immutable; CALL drop_tag first to re-point it")
     fs.mkdirs(p.getParent)
     val now = System.currentTimeMillis()
-    // create-exclusive: two racing creates of one name — one wins, the
-    // other fails here (or on the exists() above); never a silent
-    // overwrite. A crash mid-write leaves a torn file resolve() refuses.
-    val out = fs.create(p, false)
+    // ATOMIC create (round 15): write the JSON to a hidden temp name,
+    // then rename into place. Because ArrowTags.list sits under the
+    // expireSnapshots pin-check and vacuum's keepFrom clamp, a torn
+    // `<name>.json` from a crashed in-place create would wedge ALL
+    // retention maintenance until a manual drop_tag; with temp+rename a
+    // crash mid-write leaves only an invisible `.tmp` orphan (not
+    // `.json`-suffixed, so list() never sees it) and the visible file is
+    // always whole. Immutability: on FileSystems honoring the spec's
+    // rename contract (HDFS and friends) rename REFUSES an existing
+    // destination; local fs rename replaces, so the exists() pre-check
+    // above plus the re-check here narrow the racing-create window —
+    // the loser of a race refuses loudly, never silently re-points.
+    val tmp = new Path(p.getParent,
+      s".$name.tmp-${java.util.UUID.randomUUID.toString.take(8)}")
+    val out = fs.create(tmp, false)
     try out.write(
       s"""{"snapshot": $id, "createdMs": $now}"""
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    val renamed =
+      try !fs.exists(p) && fs.rename(tmp, p)
+      catch { case _: java.io.IOException => false }
+    if (!renamed) {
+      scala.util.Try(fs.delete(tmp, false))
+      throw new IllegalStateException(
+        s"arrow-ipc tag: '$name' already exists on $dirPath (lost a " +
+          "racing create) — tags are immutable; CALL drop_tag first")
+    }
     TagInfo(name, id, now)
   }
 

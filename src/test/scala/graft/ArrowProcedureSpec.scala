@@ -176,6 +176,20 @@ class ArrowProcedureSpec extends AnyFunSuite {
     assert(after.map(_.getLong(4)).sum === 9L)
     assert(after.exists(_.getLong(3) === 1L))             // stamped insert
     assert(after.length === 4)
+    // a FOREIGN import (file the stats manifest never saw) reports the
+    // -1 sentinel for BOTH rows and seq — a genuine first-commit
+    // sequence of 0 stays distinguishable from "unknown"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val src = fs.globStatus(new org.apache.hadoop.fs.Path(dir, "part-*.arrows")).head.getPath
+    org.apache.hadoop.fs.FileUtil.copy(fs, src, fs,
+      new org.apache.hadoop.fs.Path(dir, "part-foreign-import.arrows"),
+      false, spark.sparkContext.hadoopConfiguration)
+    val withForeign = spark.sql(s"CALL graft.system.list_files('$dir')")
+      .collect().filter(_.getString(0).contains("foreign"))
+    assert(withForeign.length === 1)
+    assert(withForeign.head.getLong(1) === -1L)           // rows sentinel
+    assert(withForeign.head.getLong(3) === -1L)           // seq sentinel
   }
 
   test("CALL update / delete_where run retrying DML; vacuum takes keep_from") {

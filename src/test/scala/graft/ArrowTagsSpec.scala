@@ -215,6 +215,49 @@ class ArrowTagsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("pin-2"))
   }
 
+  test("tag creates leave no temp orphans; a torn FOREIGN tag file still refuses loudly; drop repairs") {
+    val dir = tmp("graft_tag_atomic")
+    seed(dir)
+    val fs = fsOf(dir)
+    val p = new Path(dir)
+    ArrowTags.create(fs, p, "whole-a", Some(1L))
+    ArrowTags.create(fs, p, "whole-b", Some(2L))
+    // the temp+rename path leaves exactly the visible .json files behind
+    val names = fs.listStatus(new Path(p, ArrowTags.TagsDir))
+      .map(_.getPath.getName).sorted.toSeq
+    assert(names === Seq("whole-a.json", "whole-b.json"))
+    // a torn tag (foreign writer / pre-round-15 crash artifact) refuses
+    // loudly on list AND resolve, naming drop_tag as the repair...
+    val out = fs.create(new Path(p, s"${ArrowTags.TagsDir}/torn.json"), false)
+    out.write("{\"snapsh".getBytes("UTF-8")); out.close()
+    val el = intercept[IllegalStateException] { ArrowTags.list(fs, p) }
+    assert(el.getMessage.contains("drop_tag"))
+    intercept[IllegalStateException] { ArrowTags.resolve(fs, p, "torn") }
+    // ...and drop_tag really is the repair: retention works again after
+    assert(ArrowTags.drop(fs, p, "torn"))
+    assert(ArrowTags.list(fs, p).map(_.name) === Seq("whole-a", "whole-b"))
+  }
+
+  test("ambiguous time travel refuses loudly: asOfSnapshot+tag, startingSnapshot+startingTag") {
+    val dir = tmp("graft_tag_ambig")
+    seed(dir)
+    ArrowTags.create(fsOf(dir), new Path(dir), "rel", Some(1L))
+    val e1 = intercept[Exception] {
+      spark.read.format("arrow-ipc")
+        .option("asOfSnapshot", 2L).option("tag", "rel").load(dir).count()
+    }
+    assert(e1.getMessage.contains("exactly one"))
+    val e2 = intercept[Exception] {
+      spark.read.format("arrow-ipc").option("changeFeed", true)
+        .option("startingSnapshot", 1L).option("startingTag", "rel")
+        .load(dir).count()
+    }
+    assert(e2.getMessage.contains("exactly one"))
+    // agreement is not checked — ONE pin is, by either name
+    assert(spark.read.format("arrow-ipc").option("tag", "rel").load(dir)
+      .count() === 100L)
+  }
+
   test("a pinned-by-tag relation refuses mutation like any time travel") {
     val dir = tmp("graft_tag_pin")
     seed(dir)
