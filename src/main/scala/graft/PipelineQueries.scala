@@ -494,6 +494,25 @@ object PipelineQueries {
         k = 5, nprobe = 4).orderBy("qid", "rk")
     }, Some(ivfQuantizedOracle)),
 
+    // FLOAT-REFINED quantized IVF (round 15 — Faiss IndexRefineFlat over
+    // an SQ8 base): the int8 stage selects each query's top k·4
+    // candidates (all the memory/scan savings of ann_ivf_quantized at
+    // candidate-generation volume), then the FLOAT vectors — still in
+    // the corpus — re-score exactly those and keep the float-exact top
+    // k. The refine tax is one broadcast semi-join + |queries|·k·4
+    // exact dots, never a corpus shuffle; the payoff is ≥ 0.95 recall@5
+    // vs float brute (pinned in SimilaritySpec) from a 4×-smaller index.
+    // The oracle replays BOTH stages, so this is a full hash match.
+    ("ann_ivf_q8_refined", (s, d) => {
+      val e = T(s, d, "embeddings")
+      Similarity.ivfTopKQuantizedRefined(
+        corpus = e.select(col("vec_id"), col("embedding")),
+        queries = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe")),
+        idCol = "vec_id", vecCol = "embedding", qidCol = "qid", qvecCol = "qe",
+        k = 5, nlist = 16, nprobe = 4, refineFactor = 4).orderBy("qid", "rk")
+    }, Some(ivfQuantizedRefinedOracle)),
+
     // LSH-bucketed ANN. The hyperplanes are plan-time literal constants, so
     // the oracle recomputes the same buckets from the same values (doubles
     // serialized via exact decimal expansion).
@@ -1681,6 +1700,48 @@ object PipelineQueries {
           SELECT qid, vec_id, qdot,
                  row_number() OVER (PARTITION BY qid ORDER BY qdot DESC, vec_id) AS rk
           FROM scored) WHERE rk <= 5
+        ORDER BY qid, rk"""
+  }
+
+  /** The refined tail (round 15): the quantized ranking SHORT-LISTS the
+    * top k·refineFactor (= 20) candidates per query, the float cosine
+    * re-ranks exactly those — both stages replayed, so the refined
+    * result hash-matches regardless of the quantized stage's recall. */
+  private lazy val ivfQuantizedRefinedOracle: String = {
+    def dot(a: String, b: String): String =
+      s"list_reduce(list_transform(list_zip($a, $b), z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (acc, x) -> acc + x)"
+    s"""$ivfOracleCore,
+        qv AS (
+          SELECT vec_id, s,
+                 CASE WHEN s = 0
+                      THEN list_transform(embedding, x -> CAST(0 AS TINYINT))
+                      ELSE list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) / s + 0.5) AS TINYINT))
+                 END AS qq
+          FROM (SELECT vec_id, embedding,
+                       list_aggregate(list_transform(embedding,
+                         x -> abs(CAST(x AS DOUBLE))), 'max') / 127.0 AS s
+                FROM embeddings)),
+        qscored AS (
+          SELECT p.qid, m.vec_id,
+                 row_number() OVER (PARTITION BY p.qid
+                   ORDER BY round(${dot("cq.qq", "qq2.qq")} * qq2.s * cq.s, 9) DESC,
+                            m.vec_id ASC) AS qrk
+          FROM probes p
+          JOIN cells m ON m.cid = p.cid
+          JOIN qv cq ON cq.vec_id = m.vec_id
+          JOIN qv qq2 ON qq2.vec_id = p.qid),
+        cand AS (SELECT qid, vec_id FROM qscored WHERE qrk <= 20),
+        refined AS (
+          SELECT cand.qid, cand.vec_id,
+                 round(${dot("q.embedding", "ce.embedding")} / (q.cn * ce.cn), 9) AS cos
+          FROM cand
+          JOIN c ce ON ce.vec_id = cand.vec_id
+          JOIN c q ON q.vec_id = cand.qid)
+        SELECT qid, vec_id, cos, rk FROM (
+          SELECT qid, vec_id, cos,
+                 row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+          FROM refined) WHERE rk <= 5
         ORDER BY qid, rk"""
   }
 

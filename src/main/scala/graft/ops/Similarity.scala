@@ -207,6 +207,54 @@ object Similarity {
       .select(col(qidCol), col(idCol), col("qdot"), col("rk"))
   }
 
+  /** FLOAT-REFINE re-rank (round 15) — the standard SQ8 recall-recovery
+    * lever: stage 1 (quantized scoring) selects each query's top
+    * k·`refineFactor` candidates cheaply; stage 2 re-scores exactly those
+    * with the FLOAT vectors (still in the corpus frame) and keeps the
+    * float-exact top k. Output schema and semantics match the float IVF
+    * ranking ((qid, id, cos, rk), round(cos, 9) desc / id asc), so the
+    * refined family is directly comparable to — and at refineFactor·k ≥
+    * probed-candidate count, identical to — the float path.
+    *
+    * Scale shape: the candidate set is |queries|·k·refineFactor rows
+    * (tiny by construction) and is BROADCAST against the corpus, so the
+    * refine tax is one corpus-side broadcast-hash semi-join plus
+    * |candidates| exact dots — never a corpus shuffle. The quantized
+    * stage keeps the 4× memory/scan win where the volume is
+    * (candidate generation); the float stage pays full precision only
+    * where it matters (the kept ranking). Faiss calls this
+    * `IndexRefineFlat` over an SQ8 base. */
+  def refineTopK(
+      candidates: DataFrame, corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, qidCol: String, qvecCol: String,
+      k: Int): DataFrame = {
+    val c = corpus.select(col(idCol), col(vecCol), norm(col(vecCol)).as("cn"))
+    val q = queries.select(col(qidCol), col(qvecCol), norm(col(qvecCol)).as("qn"))
+    val scored = c
+      .join(broadcast(candidates.select(col(qidCol), col(idCol))), idCol)
+      .join(broadcast(q), qidCol)
+      .select(col(qidCol), col(idCol),
+        round(dot(col(qvecCol), col(vecCol)) / (col("qn") * col("cn")), 9)
+          .as("cos"))
+    val w = Window.partitionBy(col(qidCol)).orderBy(col("cos").desc, col(idCol).asc)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col(qidCol), col(idCol), col("cos"), col("rk"))
+  }
+
+  /** [[ivfTopKQuantized]] + [[refineTopK]]: IVF-SQ8 candidate generation,
+    * float-exact final ranking. `refineFactor` ≥ 1 widens the quantized
+    * short-list (k·factor) the float stage re-ranks — the recall lever
+    * (factor 4 pins ≥ 0.95 recall@5 vs float brute in SimilaritySpec). */
+  def ivfTopKQuantizedRefined(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, qidCol: String, qvecCol: String,
+      k: Int, nlist: Int, nprobe: Int, refineFactor: Int = 4): DataFrame = {
+    require(refineFactor >= 1, "refineFactor must be >= 1")
+    val cand = ivfTopKQuantized(corpus, queries, idCol, vecCol, qidCol,
+      qvecCol, k * refineFactor, nlist, nprobe)
+    refineTopK(cand, corpus, queries, idCol, vecCol, qidCol, qvecCol, k)
+  }
+
   /** BUILD-ONCE, QUERY-MANY IVF index persistence (round 10): the index
     * is just two frames, so it stores as two arrow-ipc directories —
     * `dir/centroids` (nlist rows) and `dir/cells`, the cell-assigned
@@ -430,6 +478,22 @@ object Similarity {
       scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
         .select(col(qidCol), col(idCol), col("qdot"), col("rk"))
     }
+  }
+
+  /** [[ivfTopKStored]] + [[refineTopK]] for a QUANTIZED stored index: the
+    * int8 cell files generate candidates (4× less index data scanned),
+    * the float vectors — which live in the source CORPUS table, not the
+    * index — re-rank the short-list exactly. The corpus frame must be
+    * the one the index was built from (same ids); candidate ids the
+    * corpus no longer holds simply drop out of the refined ranking. */
+  def ivfTopKStoredRefined(spark: org.apache.spark.sql.SparkSession,
+      dir: String, queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, qidCol: String, qvecCol: String,
+      k: Int, nprobe: Int, refineFactor: Int = 4): DataFrame = {
+    require(refineFactor >= 1, "refineFactor must be >= 1")
+    val cand = ivfTopKStored(spark, dir, queries, idCol, vecCol, qidCol,
+      qvecCol, k * refineFactor, nprobe)
+    refineTopK(cand, corpus, queries, idCol, vecCol, qidCol, qvecCol, k)
   }
 
   /** The IVF index as data: (centroids (cid, cvec), cell-assigned corpus

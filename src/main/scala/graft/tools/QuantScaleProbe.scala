@@ -81,6 +81,14 @@ object QuantScaleProbe {
       drain(Similarity.ivfTopKQuantized(corpus, queries,
         "vec_id", "embedding", "qid", "qe", k = 10, nlist = 64, nprobe = 8))
     }
+    // the refine tax (round 15): the float re-rank touches only
+    // |queries|·k·factor candidates via a broadcast semi-join, so the
+    // delta vs the unrefined quantized run prices the recall recovery
+    timed("IVF quantized + float refine (factor=4)") {
+      drain(Similarity.ivfTopKQuantizedRefined(corpus, queries,
+        "vec_id", "embedding", "qid", "qe", k = 10, nlist = 64, nprobe = 8,
+        refineFactor = 4))
+    }
     timed("brute float   (k=10)") {
       drain(Similarity.bruteForceTopK(corpus, queries,
         "vec_id", "embedding", "qid", "qe", k = 10))

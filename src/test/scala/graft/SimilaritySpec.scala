@@ -97,6 +97,52 @@ class SimilaritySpec extends AnyFunSuite {
     assert(afterAppend.head().getLong(1) === 300L)
   }
 
+  test("float-refine recovers quantization loss: recall ≥ 0.95 vs float IVF, exact at exhaustive factor, stored ≡ inline") {
+    val rnd = new scala.util.Random(44)
+    val frame = (0 until 300).map { i =>
+      (i.toLong, Array.fill(64)(rnd.nextFloat() * 2 - 1))
+    }.toDF("vec_id", "embedding")
+    val queries = frame.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("qid"), col("vec_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // the float IVF at the same cells/probes is the refine ceiling: the
+    // quantized stage can only lose candidates INSIDE the probed cells,
+    // and a 4·k short-list recovers ≥ 0.95 of them
+    val floatIvf = Similarity.ivfTopK(frame, queries,
+      "vec_id", "embedding", "qid", "qe", k = 5, nlist = 8, nprobe = 3)
+    val refined = Similarity.ivfTopKQuantizedRefined(frame, queries,
+      "vec_id", "embedding", "qid", "qe", k = 5, nlist = 8, nprobe = 3,
+      refineFactor = 4)
+    val ceiling = pairs(floatIvf)
+    val recall = (pairs(refined) & ceiling).size.toDouble / ceiling.size
+    assert(recall >= 0.95, s"refined recall@5 vs float IVF = $recall")
+    // ...and strictly dominates the unrefined quantized ranking
+    val unrefined = pairs(Similarity.ivfTopKQuantized(frame, queries,
+      "vec_id", "embedding", "qid", "qe", k = 5, nlist = 8, nprobe = 3))
+    assert((unrefined & ceiling).size <= (pairs(refined) & ceiling).size)
+
+    // EXHAUSTIVE factor (k·64 ≥ corpus): the short-list holds every
+    // probed candidate, so the refined ranking IS the float IVF ranking
+    // — bit-identical rows, same rounding, same tie-break
+    val exhaustive = Similarity.ivfTopKQuantizedRefined(frame, queries,
+      "vec_id", "embedding", "qid", "qe", k = 5, nlist = 8, nprobe = 3,
+      refineFactor = 64).orderBy("qid", "rk").collect().toSeq
+    assert(exhaustive === floatIvf.orderBy("qid", "rk").collect().toSeq)
+
+    // STORED refined ≡ inline refined (the int8 index generates the same
+    // short-list; the float corpus re-ranks it identically)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_q8r").toString + "/idx"
+    Similarity.ivfBuild(frame, "vec_id", "embedding", nlist = 8, dir = dir,
+      quantized = true)
+    val storedRefined = Similarity.ivfTopKStoredRefined(spark, dir, queries,
+      frame, "vec_id", "embedding", "qid", "qe", k = 5, nprobe = 3,
+      refineFactor = 4).orderBy("qid", "rk").collect().toSeq
+    assert(storedRefined === refined.orderBy("qid", "rk").collect().toSeq)
+  }
+
   test("cosine: self similarity is 1, orthogonal is 0") {
     val df = Seq(
       (Array(3.0f, 4.0f), Array(3.0f, 4.0f)),
