@@ -46,7 +46,8 @@ object Bench {
     "stream_upsert_eq", "arrow_wap", "arrow_partition_evolution",
     "arrow_upsert_eq_composite", "dedup_substring_apply", "arrow_tag",
     "sample_cluster_balance", "ann_quantized_topk", "text_dedup_lines",
-    "ann_ivf_quantized", "ann_ivf_stored_q8", "ann_ivf_q8_refined")
+    "ann_ivf_quantized", "ann_ivf_stored_q8", "ann_ivf_q8_refined",
+    "arrow_unify_generation")
 
   def main(args: Array[String]): Unit = {
     // Iteration aid: SPARK_GRAFT_ONLY=q1,q2 restricts the run to a subset.

@@ -557,7 +557,8 @@ class ArrowCatalog extends TableCatalog with ProcedureCatalog
     GraftProcedure("evolve_partitioning",
       "change the hive partition keys for FUTURE writes, metadata-only " +
         "(empty keys = flat) — existing files stay readable under their " +
-        "own generation; at most one hive generation may hold files",
+        "own generation (N standing generations union; rewrites and " +
+        "streaming refuse until cluster or unify_generation unifies)",
       Array(in("dir", StringType),
         inDefault("keys", StringType, "''")),
       StructType(Seq(
@@ -572,6 +573,27 @@ class ArrowCatalog extends TableCatalog with ProcedureCatalog
           SparkSession.active, dirArg(r), keys)
         Seq(row(true))
       }),
+    GraftProcedure("unify_generation",
+      "drain the OLDEST standing old partition generation into the " +
+        "current layout (one generation per call — cost tracks ITS " +
+        "bytes, the rest of the table is untouched); empty generations " +
+        "collapse metadata-only; generations_remaining = 1 means the " +
+        "table is unified and rewrites/DML/streaming are back. Empty " +
+        "result = already single-generation",
+      Array(in("dir", StringType),
+        inDefault("target_bytes", LongType, "134217728")),
+      StructType(Seq(
+        org.apache.spark.sql.types.StructField("drained", StringType),
+        org.apache.spark.sql.types.StructField("old_files", IntegerType),
+        org.apache.spark.sql.types.StructField("new_files", IntegerType),
+        org.apache.spark.sql.types.StructField("generations_remaining",
+          IntegerType))),
+      r => ArrowMaintenance.unifyGeneration(SparkSession.active, dirArg(r),
+          targetBytes = targetBytes(r, 1))
+        .map(u => row(
+          u.drained.fold("(none standing)")(g =>
+            if (g.isEmpty) "(flat)" else g.mkString(",")),
+          u.oldFiles, u.newFiles, u.generationsRemaining)).toSeq),
     GraftProcedure("publish_branch",
       "atomically move a WAP branch's staged files into the table " +
         "(one intent/replay commit, op = publish); the branch was " +

@@ -56,8 +56,9 @@ private[graft] object ArrowHiveLayout {
     * commit), so the union is flat ∪ every standing hive generation,
     * each side pruned by its own mechanism. Rewrites (compaction, COW
     * DML) and streaming reads refuse mid-evolution until the table is
-    * unified back to one generation via `cluster` (whole-table) or the
-    * incremental `cluster(generation => oldest)` drain. */
+    * unified back to one generation via `cluster` (whole-table) or
+    * `CALL unify_generation` (round 15 — drains one standing generation
+    * per call, [[ArrowMaintenance.unifyGeneration]]). */
   def readGenerations(fs: FileSystem, dir: Path): Seq[Seq[String]] = {
     val p = new Path(dir, FileName)
     if (!fs.exists(p)) return Seq(Nil)
@@ -106,6 +107,18 @@ private[graft] object ArrowHiveLayout {
     * physically unified the layout (and fresh tables). */
   def reset(fs: FileSystem, dir: Path, keys: Seq[String]): Unit =
     writeRaw(fs, dir, keys, Nil)
+
+  /** Drop `gen` from the declared HISTORY (round 15 — the incremental
+    * unifier's bookkeeping): called after a rewrite drained every file
+    * the generation held, so readers stop walking its (now empty)
+    * discovery. The current keys are untouched; when the last history
+    * entry collapses, the layout degenerates to a single generation and
+    * rewrites/streaming resume. Idempotent — collapsing an absent entry
+    * is a no-op write. */
+  def collapseGeneration(fs: FileSystem, dir: Path, gen: Seq[String]): Unit = {
+    val gens = readGenerations(fs, dir)
+    writeRaw(fs, dir, gens.last, gens.init.filterNot(_ == gen))
+  }
 
   /** EVOLVE to `keys`: the full standing history — INCLUDING the
     * implicit flat generation of a table that never had a layout file —

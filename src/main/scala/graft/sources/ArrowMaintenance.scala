@@ -788,10 +788,160 @@ object ArrowMaintenance {
       // — batch reads union every standing generation, each discovered,
       // pruned and spliced by its own keys. Rewrites (compaction, COW
       // DML) and streaming reads refuse on a multi-generation table
-      // until CALL cluster unifies it; a whole-table cluster also
-      // collapses the history.
+      // until it is unified: whole-table CALL cluster (also collapses
+      // the history), or — round 15 — CALL unify_generation, which
+      // drains ONE standing generation per maintenance call
+      // ([[unifyGeneration]]; cost ∝ the drained generation's bytes,
+      // never a full-corpus rewrite for a metadata-only evolution).
       ArrowHiveLayout.declareEvolved(fs, dirPath, newKeys)
     }
+  }
+
+  /** Outcome of [[unifyGeneration]]: the drained generation's key list
+    * (None = nothing held files; the call only collapsed empty history),
+    * the file counts of its rewrite, and the generations still declared
+    * after this call (1 = the table is unified — rewrites, COW DML and
+    * streaming reads are back). */
+  case class UnifyResult(drained: Option[Seq[String]], oldFiles: Int,
+      newFiles: Int, generationsRemaining: Int)
+
+  /** INCREMENTAL generation unification (round 15 — the round-14
+    * verdict's #2): drain ONE standing old partition generation into the
+    * CURRENT layout per call, instead of [[cluster]]'s whole-table
+    * rewrite. A 100 TB table that evolved its keys regains compaction /
+    * COW DML / streaming by running this from its maintenance loop: each
+    * call's cost is ∝ the OLDEST standing generation's bytes (the rest
+    * of the table is untouched — not read, not rewritten), reads stay
+    * green mid-drain (the drained rows reappear under the current keys;
+    * content is identical), and when the last old generation collapses
+    * the layout degenerates to a single generation and every refusal
+    * lifts. None = the table is already single-generation.
+    *
+    * Mechanics: files are attributed to generations exactly like the
+    * reader (current keys parse first, then each old generation in
+    * history order; root files are the flat generation); the oldest
+    * file-holding old generation is rewritten through the same staged
+    * swap as [[cluster]] (crash-safe intent/replay, DV folding,
+    * compaction lineage — rows unchanged), range-partitioned on the
+    * current keys so the rewrite lands ~targetBytes files nested by the
+    * current layout. Declared-but-empty old generations collapse
+    * metadata-only. CRASH CONVERGENCE: a crash between the swap and the
+    * history collapse leaves a standing EMPTY generation — the next call
+    * attributes zero files to it and collapses it for free. Same NO
+    * CONCURRENT WRITER contract as every rewrite here. */
+  def unifyGeneration(spark: SparkSession, dir: String,
+      targetBytes: Long = 128L << 20,
+      codec: Option[String] = None): Option[UnifyResult] =
+    retryOnConflict("unify_generation", dir)(
+      unifyGenerationOnce(spark, dir, targetBytes, codec))
+
+  private def unifyGenerationOnce(spark: SparkSession, dir: String,
+      targetBytes: Long, codec: Option[String]): Option[UnifyResult] = {
+    require(targetBytes >= 1, "targetBytes must be >= 1")
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recover(spark, dir)
+    ArrowOcc.sweepStaleStaging(fs, dirPath, ".compact-*")
+    ArrowStreamCommits.cleanOrphans(fs, dirPath)
+    val gens0 = ArrowHiveLayout.readGenerations(fs, dirPath)
+    if (gens0.size == 1) return None
+    val schema = ArrowInterchange.readSchema(spark, dir)
+    def resolve(keys: Seq[String]): Seq[org.apache.spark.sql.types.StructField] = keys.map { k =>
+      schema.fields.find(_.name == k).getOrElse(
+        throw new IllegalStateException(
+          s"arrow-ipc unify: ${ArrowHiveLayout.FileName} of $dir names " +
+            s"partition key '$k' which is not in the dataset schema"))
+    }
+    val current = gens0.last
+    val currentFields = resolve(current)
+    val oldGens = gens0.init.distinct.filterNot(_ == current)
+    val oldFields = oldGens.map(g => g -> resolve(g)).toMap
+    def parses(fields: Seq[org.apache.spark.sql.types.StructField], rel: String): Boolean =
+      scala.util.Try(ArrowHiveLayout.parseRelPath(fields, rel)).isSuccess
+    // reader-exact attribution: current first, then old generations in
+    // history order; a nested file matching nothing is corruption
+    def genOf(rel: String): Seq[String] =
+      if (!rel.contains('/')) Nil
+      else if (current.nonEmpty && parses(currentFields, rel)) current
+      else oldGens.find(g => g.nonEmpty && parses(oldFields(g), rel))
+        .getOrElse(throw new IllegalStateException(
+          s"arrow-ipc unify: file '$rel' of $dir matches no declared " +
+            "partition generation"))
+    val replaceable = replaceableFilter(fs, dirPath)
+    val byGen = ArrowSnapshots.listDataFileStatuses(fs, dirPath)
+      .filter { case (rel, _) => replaceable(new Path(rel).getName) }
+      .map { case (rel, st) => (genOf(rel), rel, st.getLen) }
+      .groupBy(_._1)
+    // declared-but-empty old generations (never written, or drained by a
+    // call that crashed before its history collapse): metadata-only
+    val emptyOld = oldGens.filter(g => byGen.get(g).forall(_.isEmpty))
+    if (emptyOld.nonEmpty) ArrowOcc.withCommitLock(fs, dirPath) {
+      emptyOld.foreach(g => ArrowHiveLayout.collapseGeneration(fs, dirPath, g))
+    }
+    val target = oldGens.find(g => byGen.get(g).exists(_.nonEmpty)) match {
+      case None => return Some(UnifyResult(None, 0, 0,
+        ArrowHiveLayout.readGenerations(fs, dirPath).size))
+      case Some(g) => g
+    }
+    val olds = byGen(target).map(x => (x._2, x._3))
+    val id = java.util.UUID.randomUUID.toString.take(8)
+    val staging = s".compact-$id"
+    val n = math.min(Int.MaxValue.toLong, math.max(1L,
+      (olds.map(_._2).sum + targetBytes - 1) / targetBytes)).toInt
+    import org.apache.spark.sql.functions.col
+    // the staging read is restricted to exactly the drained generation's
+    // files by static `_file` pushdown — the other generations are never
+    // read, which is the whole point of the incremental path
+    val oldPaths = olds.map(o =>
+      fs.makeQualified(new Path(dirPath, o._1)).toString)
+    val restricted = spark.read.format("arrow-ipc").load(dir)
+      .filter(col(ArrowRowLevel.FileColumn).isin(oldPaths: _*))
+      .drop(ArrowRowLevel.FileColumn)
+    val res =
+      if (current.nonEmpty) {
+        val df = restricted.repartitionByRange(n, current.map(col): _*)
+          .sortWithinPartitions(current.map(col): _*)
+        stageHiveAndSwap(spark, fs, dirPath, current, df, codec,
+          olds.map(_._1), id, staging)
+      } else {
+        val dvRels = ArrowDeleteVectors.relsFor(fs, dirPath, olds.map(_._1))
+        ArrowInterchange.writeStream(restricted.repartition(n),
+          new Path(dirPath, staging).toString, codec = codec,
+          bloomCols = standingBlooms(fs, dirPath, schema.fieldNames.toSeq, Nil))
+        val stagingPath = new Path(dirPath, staging)
+        val staged = Option(fs.globStatus(new Path(stagingPath, "part-*.arrows")))
+          .getOrElse(Array.empty).map(_.getPath.getName).sorted
+        val moves = staged.map(s =>
+          s -> s.replace(".arrows", s"-compact-$id.arrows")).toMap
+        commitSwap(fs, dirPath,
+          Intent(olds.map(_._1).sorted, staging, moves, dvs = dvRels))
+        CompactionResult(olds.length, staged.length)
+      }
+    ArrowOcc.withCommitLock(fs, dirPath) {
+      ArrowHiveLayout.collapseGeneration(fs, dirPath, target)
+    }
+    if (target.nonEmpty) sweepEmptyValueDirs(fs, dirPath, target.head)
+    Some(UnifyResult(Some(target), res.oldFiles, res.newFiles,
+      ArrowHiveLayout.readGenerations(fs, dirPath).size))
+  }
+
+  /** Best-effort removal of the value directories a drain emptied —
+    * depth-first, a directory goes only when it holds NOTHING, so files
+    * of another generation sharing the first key keep their homes; a
+    * concurrent mint loses nothing (the delete just fails). */
+  private def sweepEmptyValueDirs(fs: FileSystem, dirPath: Path,
+      firstKey: String): Unit = {
+    def clean(at: Path): Unit = {
+      Option(scala.util.Try(fs.listStatus(at)).getOrElse(null))
+        .getOrElse(Array.empty)
+        .filter(_.isDirectory).foreach(st => clean(st.getPath))
+      if (scala.util.Try(fs.listStatus(at)).toOption.forall(_.isEmpty))
+        scala.util.Try(fs.delete(at, false))
+    }
+    Option(fs.globStatus(new Path(dirPath,
+        ArrowHiveLayout.escape(firstKey) + "=*")))
+      .getOrElse(Array.empty).filter(_.isDirectory)
+      .foreach(st => clean(st.getPath))
   }
 
   /** Outcome of [[expireSnapshots]]. */

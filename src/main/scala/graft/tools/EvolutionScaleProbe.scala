@@ -107,6 +107,78 @@ object EvolutionScaleProbe {
     timed("baseline: filter a execute") {
       assert(selS.agg(count(lit(1))).head().getLong(0) == 3L * rowsPer)
     }
+
+    // ── incremental unification (round 15): drain one generation per
+    // call — per-call cost tracks the DRAINED generation's bytes (the
+    // whole-table cluster below, on an identical twin, is the old price:
+    // one rewrite of everything), reads stay green mid-drain, and the
+    // streaming refusal lifts after the last drain ──
+    val total = 3L * partitions * rowsPer
+    def checksum(): Long = spark.read.format("arrow-ipc").load(dir)
+      .agg(sum(col("v"))).head().getLong(0)
+    val sumBefore = checksum()
+    val twin = s"$base/twin"
+    timed("twin: rebuild the same 3-generation table") {
+      gen(0).repartitionByRange(64, col("a"))
+        .write.format("arrow-ipc").mode("overwrite").save(twin)
+      graft.sources.ArrowMaintenance.evolvePartitioning(spark, twin, Seq("a"))
+      gen(1000000).write.format("arrow-ipc").mode("append").save(twin)
+      graft.sources.ArrowMaintenance.evolvePartitioning(spark, twin, Seq("b"))
+      gen(2000000).write.format("arrow-ipc").mode("append").save(twin)
+    }
+    timed("twin: WHOLE-TABLE cluster unify (the old price)") {
+      assert(graft.sources.ArrowMaintenance.cluster(spark, twin, Seq("v"))
+        .isDefined)
+    }
+    val u1 = timed("unify 1: drain flat gen A (64 files)") {
+      graft.sources.ArrowMaintenance.unifyGeneration(spark, dir).get
+    }
+    println(s"[evo-probe]   drained=${u1.drained.map(g =>
+      if (g.isEmpty) "(flat)" else g.mkString(","))
+      .getOrElse("(none)")} files ${u1.oldFiles}->${u1.newFiles} " +
+      s"gens_remaining=${u1.generationsRemaining}")
+    timed("mid-drain: unfiltered count + checksum (reads green)") {
+      assert(spark.read.format("arrow-ipc").load(dir)
+        .agg(count(lit(1))).head().getLong(0) == total)
+      assert(checksum() == sumBefore)
+    }
+    val u2 = timed(s"unify 2: drain hive(a) gen B ($partitions dirs)") {
+      graft.sources.ArrowMaintenance.unifyGeneration(spark, dir).get
+    }
+    println(s"[evo-probe]   drained=${u2.drained.map(g =>
+      if (g.isEmpty) "(flat)" else g.mkString(","))
+      .getOrElse("(none)")} files ${u2.oldFiles}->${u2.newFiles} " +
+      s"gens_remaining=${u2.generationsRemaining}")
+    assert(u2.generationsRemaining == 1, "table not unified after drain 2")
+    timed("post-unify: count + checksum + streaming resumes") {
+      assert(spark.read.format("arrow-ipc").load(dir)
+        .agg(count(lit(1))).head().getLong(0) == total)
+      assert(checksum() == sumBefore)
+      val sq = spark.readStream.format("arrow-ipc").load(dir)
+        .writeStream.format("memory").queryName("evo_unify_stream")
+        .option("checkpointLocation", s"$base/ckpt_unify").start()
+      try {
+        sq.processAllAvailable()
+        assert(spark.table("evo_unify_stream").count() == total)
+      } finally sq.stop()
+    }
+    // cost ∝ the DRAINED generation, not the table: a tiny old
+    // generation drains in ~constant time while a 100×-bigger current
+    // generation stands untouched
+    val skew = s"$base/skew"
+    timed(s"skew table: tiny flat gen (4k rows) + big hive(a) current " +
+        s"(${partitions.toLong * rowsPer} rows)") {
+      gen(0).limit(4000).repartition(4)
+        .write.format("arrow-ipc").mode("overwrite").save(skew)
+      graft.sources.ArrowMaintenance.evolvePartitioning(spark, skew, Seq("a"))
+      gen(1000000).write.format("arrow-ipc").mode("append").save(skew)
+    }
+    val u3 = timed("unify skew: drain the 4k-row flat gen only") {
+      graft.sources.ArrowMaintenance.unifyGeneration(spark, skew).get
+    }
+    println(s"[evo-probe]   drained=(flat) files ${u3.oldFiles}->${u3.newFiles} " +
+      s"gens_remaining=${u3.generationsRemaining}")
+    assert(u3.generationsRemaining == 1)
     spark.stop()
   }
 }

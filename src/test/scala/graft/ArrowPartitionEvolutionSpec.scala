@@ -201,6 +201,82 @@ class ArrowPartitionEvolutionSpec extends AnyFunSuite {
       "cluster unify changed the table's content")
   }
 
+  test("incremental unify_generation: one generation per call, oldest first, reads green mid-drain, streaming resumes after the last (round 15)") {
+    val dir = tmp("graft_pevo_unify_inc")
+    def rows3(from: Long, to: Long) =
+      spark.range(from, to).select(col("id"), (col("id") % 4).as("p"),
+        (col("id") % 2).as("q"),
+        sha2(col("id").cast("string"), 256).as("payload"))
+    // gen 1: flat; gen 2: p-hive; gen 3 (current): q-hive
+    rows3(0, 400).repartitionByRange(4, col("p"))
+      .write.format("arrow-ipc").mode("overwrite").save(dir)
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.ArrowCatalog")
+    ArrowMaintenance.evolvePartitioning(spark, dir, Seq("p"))
+    rows3(400, 800).write.format("arrow-ipc").mode("append").save(dir)
+    ArrowMaintenance.evolvePartitioning(spark, dir, Seq("q"))
+    rows3(800, 1200).write.format("arrow-ipc").mode("append").save(dir)
+    // a MOR mask on the flat generation: the drain must FOLD it
+    assert(graft.sources.ArrowDeleteVectors.deleteMor(spark, dir, "id = 5")
+      .deletedRows === 1L)
+    val before = spark.read.format("arrow-ipc").load(dir)
+      .orderBy("id").collect().toSeq
+    assert(before.size === 1199)
+
+    // call 1 drains the OLDEST standing generation — the flat one —
+    // into the current q layout; the p generation is NOT touched
+    val pDirsBefore = Option(fsOf(dir).globStatus(new Path(dir, "p=*")))
+      .getOrElse(Array.empty).map(_.getPath.getName).toSet
+    val u1 = ArrowMaintenance.unifyGeneration(spark, dir).get
+    assert(u1.drained === Some(Nil) && u1.generationsRemaining === 2)
+    assert(u1.oldFiles > 0 && u1.newFiles > 0)
+    assert(rootFiles(dir).isEmpty, "flat files remain after their drain")
+    assert(Option(fsOf(dir).globStatus(new Path(dir, "p=*")))
+      .getOrElse(Array.empty).map(_.getPath.getName).toSet === pDirsBefore,
+      "the p generation moved during the flat drain")
+    // reads stay green mid-drain: identical content (mask folded)
+    assert(spark.read.format("arrow-ipc").load(dir)
+      .orderBy("id").collect().toSeq === before)
+    // still mid-evolution: streaming keeps refusing
+    val ckpt1 = tmp("graft_pevo_ui_ck1")
+    val sq1 = spark.readStream.format("arrow-ipc").load(dir)
+      .writeStream.format("noop").option("checkpointLocation", ckpt1).start()
+    val se = intercept[Exception] { sq1.processAllAvailable() }
+    try assert(se.getMessage.contains("unify") ||
+      Option(se.getCause).exists(_.getMessage.contains("unify")))
+    finally sq1.stop()
+
+    // call 2 (the CALL face) drains p-hive — the table is unified
+    val r2 = spark.sql(s"CALL graft.system.unify_generation('$dir')").head()
+    assert(r2.getString(0) === "p")
+    assert(r2.getInt(3) === 1, "table not unified after the last drain")
+    assert(Option(fsOf(dir).globStatus(new Path(dir, "p=*")))
+      .getOrElse(Array.empty).isEmpty, "drained p value dirs remain")
+    assert(ArrowHiveLayout.readGenerations(fsOf(dir), new Path(dir))
+      === Seq(Seq("q")))
+    assert(spark.read.format("arrow-ipc").load(dir)
+      .orderBy("id").collect().toSeq === before,
+      "incremental unify changed the table's content")
+    // streaming resumes on the unified table
+    val ckpt2 = tmp("graft_pevo_ui_ck2")
+    val sq2 = spark.readStream.format("arrow-ipc").load(dir)
+      .writeStream.format("memory").queryName("unify_inc_stream")
+      .option("checkpointLocation", ckpt2).start()
+    try {
+      sq2.processAllAvailable()
+      assert(spark.table("unify_inc_stream").count() === 1199L)
+    } finally sq2.stop()
+    // already unified: the next call is a no-op None
+    assert(ArrowMaintenance.unifyGeneration(spark, dir).isEmpty)
+
+    // a declared-but-never-written generation collapses metadata-only
+    ArrowMaintenance.evolvePartitioning(spark, dir, Seq("p"))
+    ArrowMaintenance.evolvePartitioning(spark, dir, Seq("q"))
+    assert(ArrowHiveLayout.readGenerations(fsOf(dir), new Path(dir)).size === 3)
+    val u3 = ArrowMaintenance.unifyGeneration(spark, dir).get
+    assert(u3.drained.isEmpty && u3.oldFiles === 0 &&
+      u3.generationsRemaining === 1)
+  }
+
   test("whole-table cluster unifies the layout and collapses the generation history") {
     val dir = tmp("graft_pevo_unify")
     rows(0, 600).repartitionByRange(3, col("id"))
