@@ -1111,7 +1111,19 @@ object ArrowMaintenance {
           .count { case (rel, st) =>
             visible(new Path(rel).getName) && st.getLen < compactTarget / 2 }
         if (small < compactMin) None
-        else compact(spark, dir, targetBytes = compactTarget)
+        else
+          try compact(spark, dir, targetBytes = compactTarget)
+          catch {
+            // an equality tombstone landed BETWEEN this leg's pre-check
+            // and the swap's own refusal (a live upserter racing the
+            // nightly cron): degrade like every other vacuum leg — the
+            // auto-fold clears the debt at its thresholds and the next
+            // sweep compacts. The direct CALL compact keeps the loud
+            // refusal.
+            case e: UnsupportedOperationException
+                if Option(e.getMessage)
+                  .exists(_.contains("equality-delete")) => None
+          }
       }
     // TAG CLAMP (round 14, moved under the commit lock in round 15):
     // expireSnapshots refuses to expire a tagged snapshot (a named

@@ -88,6 +88,27 @@ object EqStressProbe {
           stop = true
       }
 
+    // a maintenance rewrite racing ANOTHER maintenance rewrite (two
+    // folders — manual + vacuum's auto-fold — or a fold vs the
+    // auto-compactor) can exhaust its bounded retries: the documented
+    // contract is "refuse loudly, the re-run converges" (fold is
+    // idempotent; masking is idempotent), not a correctness failure.
+    // The FINAL gate below still checks every invariant exactly.
+    def refusedLoudly(t: Throwable): Boolean = {
+      var c: Throwable = t
+      while (c != null) {
+        if (c.isInstanceOf[graft.sources.ArrowOcc.CommitConflictException] ||
+            c.isInstanceOf[java.io.FileNotFoundException] ||
+            Option(c.getMessage).exists(m =>
+              m.contains("FileNotFoundException") ||
+                m.contains("refusing to read partial data")))
+          return true
+        c = c.getCause
+      }
+      false
+    }
+    val maintRefused = new java.util.concurrent.atomic.AtomicLong(0)
+
     val threads = scala.collection.mutable.ArrayBuffer.empty[Thread]
 
     // U upsert writers: overlapping random key batches, value = a
@@ -139,13 +160,48 @@ object EqStressProbe {
     }, "appender")
 
     // folder: tombstones → positional vectors, racing everything
+    // (including, round 15, vacuum's auto-fold — fold-vs-fold conflicts
+    // refuse loudly and the next iteration converges)
     threads += new Thread(() => {
       while (System.nanoTime() < deadline && !stop) guard("folder") {
         Thread.sleep(3000)
-        val f = ArrowEqualityDeletes.fold(spark, dir)
-        if (f.tombstones > 0) folds.incrementAndGet()
+        try {
+          val f = ArrowEqualityDeletes.fold(spark, dir)
+          if (f.tombstones > 0) folds.incrementAndGet()
+        } catch {
+          case e: Throwable if refusedLoudly(e) =>
+            maintRefused.incrementAndGet()
+        }
       }
     }, "folder")
+
+    // vacuumer (round 15): the nightly entry point with the OPT-IN
+    // auto-compaction leg ENABLED races the upserters, appender, folder
+    // and reader — the compactor fires in the windows where a fold just
+    // cleared the tombstones (the leg skips while they live, and
+    // degrades when one lands between its pre-check and the swap), and
+    // its auto-fold leg adds a second racing folder. A retry-exhausted
+    // maintenance rewrite refuses loudly by contract — counted, not a
+    // failure.
+    val vacuums = new java.util.concurrent.atomic.AtomicLong(0)
+    val vacuumCompacted = new java.util.concurrent.atomic.AtomicLong(0)
+    val vacuumRefused = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.conf.set("spark.graft.arrow.vacuumCompactMinSmallFiles", "6")
+    threads += new Thread(() => {
+      while (System.nanoTime() < deadline && !stop) guard("vacuumer") {
+        Thread.sleep(1200)
+        try {
+          val v = ArrowMaintenance.vacuum(spark, dir)
+          vacuums.incrementAndGet()
+          v.compacted.foreach(c => vacuumCompacted.addAndGet(c.oldFiles))
+          v.eqFolded.foreach(f =>
+            if (f.tombstones > 0) folds.incrementAndGet())
+        } catch {
+          case e: Throwable if refusedLoudly(e) =>
+            vacuumRefused.incrementAndGet()
+        }
+      }
+    }, "vacuumer")
 
     // reader: every committed state must satisfy "one live image per
     // contested key"
@@ -169,7 +225,10 @@ object EqStressProbe {
     threads.foreach(_.join())
 
     println(s"probe phase done: upserts=${upserts.get} folds=${folds.get} " +
-      s"appends=${appended.get} reads=${reads.get} failures=${failures.size}")
+      s"appends=${appended.get} reads=${reads.get} " +
+      s"vacuums=${vacuums.get} (files auto-compacted=${vacuumCompacted.get}, " +
+      s"refused=${vacuumRefused.get}, fold conflicts=${maintRefused.get}) " +
+      s"failures=${failures.size}")
     failures.forEach(f => println(s"  FAILURE: $f"))
 
     // ── final gate ───────────────────────────────────────────────────

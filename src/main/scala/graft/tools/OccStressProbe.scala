@@ -73,8 +73,14 @@ object OccStressProbe {
       case other => sys.error(
         s"unknown commit store '$other' (expected posix | conditional)")
     }
+    // round 15: the OPT-IN auto-compaction leg races the mix like every
+    // other mutation path — vacuum's trigger counts committed small
+    // files (threshold low enough that the appenders' 1-2-file batches
+    // cross it continuously) and its compact rides the same staged swap
+    // invariants the maintainer thread already stresses
+    spark.conf.set("spark.graft.arrow.vacuumCompactMinSmallFiles", "6")
     println(s"hammering $dir for ${seconds}s with 9 uncoordinated writers " +
-      s"(commit store: $storeName)...")
+      s"(commit store: $storeName, vacuum auto-compact ENABLED)...")
 
     val deadline = System.nanoTime() + seconds * 1000000000L
     val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
@@ -260,6 +266,7 @@ object OccStressProbe {
     // retryOnConflict and must lose cleanly or win cleanly.
     val vacuums = new java.util.concurrent.atomic.AtomicInteger(0)
     val vacuumPurged = new java.util.concurrent.atomic.AtomicInteger(0)
+    val vacuumCompacted = new java.util.concurrent.atomic.AtomicInteger(0)
     val vacuumer = new Thread(() => try {
       while (System.nanoTime() < deadline) {
         try {
@@ -267,6 +274,7 @@ object OccStressProbe {
             purgeMaskedAbove = Some(0.25))
           vacuums.incrementAndGet()
           vacuumPurged.addAndGet(v.purged.map(_.oldFiles).getOrElse(0))
+          vacuumCompacted.addAndGet(v.compacted.map(_.oldFiles).getOrElse(0))
         } catch {
           case e: Throwable if refusedLoudly(e) => conflicts.incrementAndGet()
           case e: Throwable if Option(e.getMessage).exists(m =>
@@ -326,7 +334,8 @@ object OccStressProbe {
       f"surfaced), ${morDeletes.get}%d MOR deletes (${morRefused.get}%d " +
       f"refused, $morDeleted%d ids masked), ${cdcApplied.get}%d CDC-apply " +
       f"batches (${cdcSurfaced.get}%d surfaced), ${vacuums.get}%d vacuums " +
-      f"(${vacuumPurged.get}%d files auto-purged), ${conflicts.get}%d " +
+      f"(${vacuumPurged.get}%d files auto-purged, ${vacuumCompacted.get}%d " +
+      f"auto-compacted), ${conflicts.get}%d " +
       "maintenance retry-exhaustions (refused loudly, by contract)")
     require(errs.isEmpty, s"writer failed: ${errs.peek()}")
     require(dmlSurfaced.get == 0,
