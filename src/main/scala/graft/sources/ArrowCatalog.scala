@@ -726,11 +726,14 @@ class ArrowCatalog extends TableCatalog with ProcedureCatalog
         "spark.graft.arrow.vacuumCompactMinSmallFiles (default 0 = OFF " +
         "— this leg rewrites data, so it is opt-in; 'small' = under " +
         "half spark.graft.arrow.vacuumCompactTargetBytes, default " +
-        "128 MB). " +
+        "128 MB); drains one standing old partition generation per run " +
+        "when spark.graft.arrow.vacuumUnifyGenerations=true (default " +
+        "false — this leg rewrites the drained generation, so it is " +
+        "opt-in; see unify_generation). " +
         "Output sentinel: -1 in snapshots_dropped/" +
         "trash_deleted/files_purged/eq_tombstones_folded/" +
-        "branches_expired/files_compacted means that leg did not run " +
-        "(or expired nothing)",
+        "branches_expired/files_compacted/files_unified means that leg " +
+        "did not run (or expired nothing)",
       Array(in("dir", StringType),
         inDefault("keep_from", LongType, "NULL"),
         inDefault("purge_masked_above",
@@ -748,6 +751,8 @@ class ArrowCatalog extends TableCatalog with ProcedureCatalog
         org.apache.spark.sql.types.StructField("branches_expired",
           IntegerType),
         org.apache.spark.sql.types.StructField("files_compacted",
+          IntegerType),
+        org.apache.spark.sql.types.StructField("files_unified",
           IntegerType))),
       r => {
         val keepFrom = if (r.isNullAt(1)) None else Some(r.getLong(1))
@@ -763,7 +768,8 @@ class ArrowCatalog extends TableCatalog with ProcedureCatalog
           v.purged.map(_.oldFiles).getOrElse(-1),
           v.eqFolded.map(_.tombstones).getOrElse(-1),
           v.branchesExpired.map(_.size).getOrElse(-1),
-          v.compacted.map(_.oldFiles).getOrElse(-1)))
+          v.compacted.map(_.oldFiles).getOrElse(-1),
+          v.unified.map(_.oldFiles).getOrElse(-1)))
       }),
     // statement-level DML with BOUNDED TRANSPARENT RETRY (round 11):
     // a lost COW commit race re-plans and re-executes the statement

@@ -953,7 +953,8 @@ object ArrowMaintenance {
       purged: Option[CompactionResult] = None,
       eqFolded: Option[ArrowEqualityDeletes.EqFoldResult] = None,
       branchesExpired: Option[Seq[String]] = None,
-      compacted: Option[CompactionResult] = None)
+      compacted: Option[CompactionResult] = None,
+      unified: Option[UnifyResult] = None)
 
   /** VACUUM — the one nightly-cron housekeeping entry point: finish any
     * crashed swap, sweep provably-dead staging dirs (`.compact-*` /
@@ -1078,6 +1079,27 @@ object ArrowMaintenance {
           else purgeDeletes(spark, dir, onlyFiles = Some(debtors))
         }
       }
+    // INCREMENTAL UNIFY POLICY (round 15, default OFF): a table left
+    // mid-evolution regains rewrites/COW-DML/streaming only once its old
+    // generations drain — with this opt-in leg the nightly vacuum drains
+    // ONE standing generation per run ([[unifyGeneration]]; cost ∝ that
+    // generation's bytes), so a metadata-only key evolution converges to
+    // a unified table in N nights with no operator intervention. Runs
+    // BEFORE the compaction leg — the drain's output files are exactly
+    // the small-file debt that leg then merges. Like every cron leg it
+    // degrades on the tombstone race instead of failing the sweep.
+    val unifyOn = scala.util.Try(spark.conf
+      .get("spark.graft.arrow.vacuumUnifyGenerations", "false").toBoolean)
+      .getOrElse(false)
+    val unified =
+      if (!unifyOn) None
+      else
+        try unifyGeneration(spark, dir)
+        catch {
+          case e: UnsupportedOperationException
+              if Option(e.getMessage)
+                .exists(_.contains("equality-delete")) => None
+        }
     // AUTO SMALL-FILE COMPACTION (round 14, default OFF): continuous
     // ingest — micro-batch appends, equality upserts, streaming epochs —
     // accrues small files that tax every listing and scan until
@@ -1140,7 +1162,7 @@ object ArrowMaintenance {
     // cron sweep should not.
     VacuumResult(recovered, staging, orphans,
       keepFrom.map(expireSnapshots(spark, dir, _, clampToTags = true)),
-      purged, eqFolded, branchesExpired, compacted)
+      purged, eqFolded, branchesExpired, compacted, unified)
   }
 
   /** Expire time-travel history older than snapshot `keepFrom`: the log's

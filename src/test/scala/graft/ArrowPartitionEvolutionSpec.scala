@@ -277,6 +277,32 @@ class ArrowPartitionEvolutionSpec extends AnyFunSuite {
       u3.generationsRemaining === 1)
   }
 
+  test("vacuum's opt-in unify leg drains one generation per nightly run (round 15)") {
+    val dir = tmp("graft_pevo_vac_unify")
+    rows(0, 300).repartitionByRange(2, col("id"))
+      .write.format("arrow-ipc").mode("overwrite").save(dir)
+    ArrowMaintenance.evolvePartitioning(spark, dir, Seq("p"))
+    rows(300, 500).write.format("arrow-ipc").mode("append").save(dir)
+    val before = spark.read.format("arrow-ipc").load(dir)
+      .orderBy("id").collect().toSeq
+    // default OFF: vacuum leaves the generations alone
+    assert(ArrowMaintenance.vacuum(spark, dir).unified.isEmpty)
+    assert(ArrowHiveLayout.readGenerations(fsOf(dir), new Path(dir)).size === 2)
+    // opted in: one nightly run drains the flat generation and unifies
+    spark.conf.set("spark.graft.arrow.vacuumUnifyGenerations", "true")
+    try {
+      val v = ArrowMaintenance.vacuum(spark, dir)
+      assert(v.unified.exists(u =>
+        u.drained.contains(Nil) && u.generationsRemaining === 1))
+      assert(ArrowHiveLayout.readGenerations(fsOf(dir), new Path(dir))
+        === Seq(Seq("p")))
+      assert(spark.read.format("arrow-ipc").load(dir)
+        .orderBy("id").collect().toSeq === before)
+      // already unified: the leg no-ops (None), the sweep still succeeds
+      assert(ArrowMaintenance.vacuum(spark, dir).unified.isEmpty)
+    } finally spark.conf.unset("spark.graft.arrow.vacuumUnifyGenerations")
+  }
+
   test("whole-table cluster unifies the layout and collapses the generation history") {
     val dir = tmp("graft_pevo_unify")
     rows(0, 600).repartitionByRange(3, col("id"))
