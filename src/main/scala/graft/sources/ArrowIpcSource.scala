@@ -179,12 +179,12 @@ private[sources] class ArrowIpcTable(tableSchema: StructType, dir: String,
     // tag almost certainly believes they agree, and serving one of them
     // unchecked hides the disagreement
     require(options.get("asOfSnapshot") == null || options.get("tag") == null,
-      "arrow-ipc: both asOfSnapshot and tag are set — pass exactly one " +
-        "time-travel pin")
+      "arrow-ipc: asOfSnapshot and tag are mutually exclusive — pass " +
+        "exactly one time-travel pin")
     require(Seq("startingSnapshot", "startingTag", "startingTimestamp")
         .count(options.get(_) != null) <= 1,
-      "arrow-ipc: more than one of startingSnapshot/startingTag/" +
-        "startingTimestamp is set — pass exactly one change-feed start")
+      "arrow-ipc: startingSnapshot/startingTag/startingTimestamp are " +
+        "mutually exclusive — pass exactly one change-feed start")
     new ArrowIpcScanBuilder(tableSchema, dir,
       Option(options.get("maxFilesPerTrigger")).map(_.toInt),
       Option(options.get("partitionKeys"))

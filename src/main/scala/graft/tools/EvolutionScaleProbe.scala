@@ -34,6 +34,11 @@ object EvolutionScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     spark.conf.set("spark.sql.catalog.graft", "graft.sources.ArrowCatalog")
+    if (args.contains("race")) {
+      unifyRace(spark,
+        args.filter(_ != "race").headOption.map(_.toInt).getOrElse(45))
+      spark.stop(); return
+    }
 
     val partitions = args.headOption.map(_.toInt).getOrElse(300)
     val rowsPer = 2000
@@ -180,5 +185,118 @@ object EvolutionScaleProbe {
       s"gens_remaining=${u3.generationsRemaining}")
     assert(u3.generationsRemaining == 1)
     spark.stop()
+  }
+
+  /** RACE mode (round 15): `runMain graft.tools.EvolutionScaleProbe race
+    * [secs]` — unifyGeneration drains the old generations of a table a
+    * live appender keeps writing to (current generation) while a reader
+    * asserts, against every committed state, that the seed rows are
+    * exactly-once and the total never shrinks. The drain's swap validates
+    * its olds under the commit lock like every maintenance rewrite —
+    * concurrent appends land NEW files (never in the drained set), and a
+    * lost race refuses loudly and is retried by contract. Final gate:
+    * every id exactly once, single generation, fresh streaming read
+    * agrees. */
+  private def unifyRace(spark: SparkSession, secs: Int): Unit = {
+    val dir = s"/tmp/graft_scale/evolution_race_${System.nanoTime()}/t"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val seedN = 200000L
+    // seed: a fat flat generation + a p-hive generation, then evolve to
+    // q-hive so BOTH stand old while the appender feeds the current gen
+    def shaped(df: org.apache.spark.sql.Dataset[java.lang.Long]) =
+      df.select(col("id"), (col("id") % 7).as("p"), (col("id") % 3).as("q"))
+    shaped(spark.range(0, seedN)).repartition(16)
+      .write.format("arrow-ipc").mode("overwrite").save(dir)
+    graft.sources.ArrowMaintenance.evolvePartitioning(spark, dir, Seq("p"))
+    shaped(spark.range(seedN, 2 * seedN))
+      .write.format("arrow-ipc").mode("append").save(dir)
+    graft.sources.ArrowMaintenance.evolvePartitioning(spark, dir, Seq("q"))
+    println(s"[evo-race] hammering $dir for ${secs}s: appender vs " +
+      "unifyGeneration vs reader")
+    val deadline = System.nanoTime() + secs * 1000000000L
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val appended = new java.util.concurrent.atomic.AtomicLong(0)
+    val unified = new java.util.concurrent.atomic.AtomicLong(0)
+    val refused = new java.util.concurrent.atomic.AtomicLong(0)
+    val reads = new java.util.concurrent.atomic.AtomicLong(0)
+    @volatile var gensLeft = 3
+    def guard(what: String)(body: => Unit): Unit =
+      try body catch { case e: Throwable =>
+        errs.add(s"$what: ${e.getClass.getSimpleName}: ${e.getMessage}") }
+    val appender = new Thread(() => {
+      var base = 1000000000L
+      while (System.nanoTime() < deadline && errs.isEmpty) guard("appender") {
+        val n = 2000L
+        shaped(spark.range(base, base + n)).coalesce(2)
+          .write.format("arrow-ipc").mode("append").save(dir)
+        appended.addAndGet(n); base += n
+        Thread.sleep(150)
+      }
+    }, "appender")
+    val unifier = new Thread(() => {
+      while (System.nanoTime() < deadline && errs.isEmpty && gensLeft > 1)
+        guard("unifier") {
+          Thread.sleep(500)
+          try graft.sources.ArrowMaintenance.unifyGeneration(spark, dir)
+            .foreach { u => unified.incrementAndGet()
+              gensLeft = u.generationsRemaining }
+          catch {
+            case _: graft.sources.ArrowOcc.CommitConflictException =>
+              refused.incrementAndGet()
+          }
+        }
+    }, "unifier")
+    val reader = new Thread(() => {
+      var lastTotal = 0L
+      while (System.nanoTime() < deadline && errs.isEmpty) guard("reader") {
+        Thread.sleep(700)
+        val t = spark.read.format("arrow-ipc").load(dir)
+        val seeds = t.filter(col("id") < 2 * seedN).count()
+        val total = t.count()
+        if (seeds != 2 * seedN)
+          errs.add(s"reader: seed rows $seeds != ${2 * seedN}")
+        if (total < lastTotal)
+          errs.add(s"reader: total shrank $lastTotal -> $total")
+        lastTotal = total; reads.incrementAndGet()
+      }
+    }, "reader")
+    val threads = Seq(appender, unifier, reader)
+    threads.foreach(_.start()); threads.foreach(_.join())
+    // finish the drain if the clock beat it, then the exact final gate
+    while (graft.sources.ArrowMaintenance.unifyGeneration(spark, dir)
+      .exists(_.generationsRemaining > 1)) ()
+    val t = spark.read.format("arrow-ipc").load(dir)
+    val total = t.count()
+    val distinct = t.select("id").distinct().count()
+    val expect = 2 * seedN + appended.get
+    val gens = graft.sources.ArrowHiveLayout.readGenerations(
+      fs, new org.apache.hadoop.fs.Path(dir))
+    println(s"[evo-race] appended=${appended.get} drains=${unified.get} " +
+      s"refused=${refused.get} reads=${reads.get} count=$total " +
+      s"distinct=$distinct expected=$expect gens=${gens.size}")
+    var ok = errs.isEmpty
+    errs.forEach(e => println(s"[evo-race]   FAILURE: $e"))
+    if (total != expect || distinct != expect) {
+      println(s"[evo-race] FINAL: count/distinct mismatch"); ok = false }
+    if (gens.size != 1) {
+      println(s"[evo-race] FINAL: not unified: $gens"); ok = false }
+    if (ok) {
+      val sq = spark.readStream.format("arrow-ipc").load(dir)
+        .writeStream.format("memory").queryName("evo_race_stream")
+        .option("checkpointLocation",
+          s"/tmp/graft_scale/evolution_race_ck_${System.nanoTime()}").start()
+      try {
+        sq.processAllAvailable()
+        val sc = spark.table("evo_race_stream").count()
+        if (sc != expect) {
+          println(s"[evo-race] FINAL: streaming read $sc != $expect")
+          ok = false
+        }
+      } finally sq.stop()
+    }
+    println(if (ok) "[evo-race] ALL INVARIANTS HELD"
+      else "[evo-race] INVARIANTS VIOLATED")
+    if (!ok) { spark.stop(); sys.exit(1) }
   }
 }

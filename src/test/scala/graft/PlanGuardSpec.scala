@@ -31,7 +31,9 @@ class PlanGuardSpec extends AnyFunSuite {
     "ann_quantized_topk",     // corpus × broadcast(query set) — brute contract
     "sample_cluster_balance", // the kmeans Lloyd pass (corpus × broadcast(k centroids))
     "ann_ivf_quantized",      // corpus × broadcast(nlist centroids) + float probe head
-    "ann_ivf_stored_q8")      // same probe head over the stored int8 index
+    "ann_ivf_stored_q8",      // same probe head over the stored int8 index
+    "ann_ivf_q8_refined")     // the quantized candidate stage's probe head;
+                              // the float re-rank itself is an equi-join
 
   test("no query plans a cartesian product or unlisted nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
