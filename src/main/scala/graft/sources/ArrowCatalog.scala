@@ -579,9 +579,12 @@ class ArrowCatalog extends TableCatalog with ProcedureCatalog
         "bytes, the rest of the table is untouched); empty generations " +
         "collapse metadata-only; generations_remaining = 1 means the " +
         "table is unified and rewrites/DML/streaming are back. Empty " +
-        "result = already single-generation",
+        "result = already single-generation. max_bytes bounds one " +
+        "call's rewrite to ~that many bytes of the generation (a " +
+        "partial drain leaves it standing; repeated calls converge)",
       Array(in("dir", StringType),
-        inDefault("target_bytes", LongType, "134217728")),
+        inDefault("target_bytes", LongType, "134217728"),
+        inDefault("max_bytes", LongType, "NULL")),
       StructType(Seq(
         org.apache.spark.sql.types.StructField("drained", StringType),
         org.apache.spark.sql.types.StructField("old_files", IntegerType),
@@ -589,7 +592,8 @@ class ArrowCatalog extends TableCatalog with ProcedureCatalog
         org.apache.spark.sql.types.StructField("generations_remaining",
           IntegerType))),
       r => ArrowMaintenance.unifyGeneration(SparkSession.active, dirArg(r),
-          targetBytes = targetBytes(r, 1))
+          targetBytes = targetBytes(r, 1),
+          maxBytes = if (r.isNullAt(2)) None else Some(r.getLong(2)))
         .map(u => row(
           u.drained.fold("(none standing)")(g =>
             if (g.isEmpty) "(flat)" else g.mkString(",")),

@@ -829,14 +829,24 @@ object ArrowMaintenance {
     * history collapse leaves a standing EMPTY generation — the next call
     * attributes zero files to it and collapses it for free. Same NO
     * CONCURRENT WRITER contract as every rewrite here. */
+  /** `maxBytes` (round 15): bound ONE call's rewrite to ~that many bytes
+    * of the drained generation — the value-slice granularity for a
+    * generation too big for one maintenance window. A partial drain
+    * rewrites a file-subset (files are independent within a generation),
+    * leaves the rest standing, and skips the history collapse; repeated
+    * calls converge (attribution recomputes from what still stands) and
+    * the final call collapses the emptied generation. At least one file
+    * always drains, so progress is guaranteed. */
   def unifyGeneration(spark: SparkSession, dir: String,
       targetBytes: Long = 128L << 20,
-      codec: Option[String] = None): Option[UnifyResult] =
+      codec: Option[String] = None,
+      maxBytes: Option[Long] = None): Option[UnifyResult] =
     retryOnConflict("unify_generation", dir)(
-      unifyGenerationOnce(spark, dir, targetBytes, codec))
+      unifyGenerationOnce(spark, dir, targetBytes, codec, maxBytes))
 
   private def unifyGenerationOnce(spark: SparkSession, dir: String,
-      targetBytes: Long, codec: Option[String]): Option[UnifyResult] = {
+      targetBytes: Long, codec: Option[String],
+      maxBytes: Option[Long]): Option[UnifyResult] = {
     require(targetBytes >= 1, "targetBytes must be >= 1")
     val dirPath = new Path(dir)
     val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -883,7 +893,18 @@ object ArrowMaintenance {
         ArrowHiveLayout.readGenerations(fs, dirPath).size))
       case Some(g) => g
     }
-    val olds = byGen(target).map(x => (x._2, x._3))
+    val oldsAll = byGen(target).map(x => (x._2, x._3)).sortBy(_._1)
+    // byte-bounded slice: take name-ordered files up to maxBytes (always
+    // at least one — progress), leave the rest for the next call
+    val olds = maxBytes match {
+      case None => oldsAll
+      case Some(mb) =>
+        require(mb >= 1, "unify_generation: max_bytes must be >= 1")
+        var acc = 0L
+        val prefix = oldsAll.takeWhile { f => acc += f._2; acc <= mb }
+        if (prefix.isEmpty) oldsAll.take(1) else prefix
+    }
+    val partial = olds.size < oldsAll.size
     val id = java.util.UUID.randomUUID.toString.take(8)
     val staging = s".compact-$id"
     val n = math.min(Int.MaxValue.toLong, math.max(1L,
@@ -917,10 +938,15 @@ object ArrowMaintenance {
           Intent(olds.map(_._1).sorted, staging, moves, dvs = dvRels))
         CompactionResult(olds.length, staged.length)
       }
-    ArrowOcc.withCommitLock(fs, dirPath) {
-      ArrowHiveLayout.collapseGeneration(fs, dirPath, target)
+    // a PARTIAL (byte-bounded) drain leaves the generation standing with
+    // its undrained files — no collapse, no sweep; the final slice's call
+    // does both
+    if (!partial) {
+      ArrowOcc.withCommitLock(fs, dirPath) {
+        ArrowHiveLayout.collapseGeneration(fs, dirPath, target)
+      }
+      if (target.nonEmpty) sweepEmptyValueDirs(fs, dirPath, target.head)
     }
-    if (target.nonEmpty) sweepEmptyValueDirs(fs, dirPath, target.head)
     Some(UnifyResult(Some(target), res.oldFiles, res.newFiles,
       ArrowHiveLayout.readGenerations(fs, dirPath).size))
   }

@@ -277,6 +277,43 @@ class ArrowPartitionEvolutionSpec extends AnyFunSuite {
       u3.generationsRemaining === 1)
   }
 
+  test("byte-bounded partial drain: max_bytes slices a generation across calls; collapse waits for the last slice (round 15)") {
+    val dir = tmp("graft_pevo_unify_slice")
+    // 6 flat files; tiny max_bytes forces one-file-per-call drains
+    rows(0, 600).repartition(6)
+      .write.format("arrow-ipc").mode("overwrite").save(dir)
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.ArrowCatalog")
+    ArrowMaintenance.evolvePartitioning(spark, dir, Seq("p"))
+    rows(600, 700).write.format("arrow-ipc").mode("append").save(dir)
+    val before = spark.read.format("arrow-ipc").load(dir)
+      .orderBy("id").collect().toSeq
+    val flatCount0 = rootFiles(dir).size
+    assert(flatCount0 === 6)
+
+    // slice 1 (API): one file drains, generation stands, content exact
+    val u1 = ArrowMaintenance.unifyGeneration(spark, dir, maxBytes = Some(1L)).get
+    assert(u1.drained.contains(Nil) && u1.oldFiles === 1 &&
+      u1.generationsRemaining === 2, s"unexpected first slice: $u1")
+    assert(rootFiles(dir).size === flatCount0 - 1)
+    assert(spark.read.format("arrow-ipc").load(dir)
+      .orderBy("id").collect().toSeq === before)
+    // slice 2 (CALL face with max_bytes)
+    val r2 = spark.sql(
+      s"CALL graft.system.unify_generation('$dir', max_bytes => 1)").head()
+    assert(r2.getString(0) === "(flat)" && r2.getInt(1) === 1 &&
+      r2.getInt(3) === 2)
+    // drain the rest unbounded: collapse happens with the LAST slice
+    val uRest = ArrowMaintenance.unifyGeneration(spark, dir).get
+    assert(uRest.oldFiles === flatCount0 - 2 &&
+      uRest.generationsRemaining === 1)
+    assert(rootFiles(dir).isEmpty)
+    assert(ArrowHiveLayout.readGenerations(fsOf(dir), new Path(dir))
+      === Seq(Seq("p")))
+    assert(spark.read.format("arrow-ipc").load(dir)
+      .orderBy("id").collect().toSeq === before,
+      "sliced drain changed the table's content")
+  }
+
   test("vacuum's opt-in unify leg drains one generation per nightly run (round 15)") {
     val dir = tmp("graft_pevo_vac_unify")
     rows(0, 300).repartitionByRange(2, col("id"))
