@@ -75,9 +75,16 @@ object ArrowDml {
               if (isCommitConflict(e) ||
                 ArrowMaintenance.lostRace(e, dir)) && attempt < max =>
             attempt += 1
-            // the winner's critical section is milliseconds; a short
-            // jittered beat avoids re-colliding with a maintenance LOOP
-            Thread.sleep(10L + scala.util.Random.nextInt(40))
+            // the winner's critical section is milliseconds; a jittered
+            // beat avoids re-colliding with a maintenance LOOP. The
+            // backoff is EXPONENTIAL (round 15): maintenance yields to
+            // DML, but two DML statements race each other freely, and a
+            // flat beat can re-synchronize with a busy peer's issue loop
+            // until the bounded retries exhaust — doubling the window
+            // per attempt breaks the lockstep at a worst case of ~0.5 s
+            // on the final attempt.
+            Thread.sleep((10L << attempt) +
+              scala.util.Random.nextInt(40 << attempt))
         }
       }
       sys.error("unreachable")
