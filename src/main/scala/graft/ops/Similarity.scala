@@ -343,6 +343,14 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession, dir: String): String =
     s"$dir/${readManifest(spark, dir).generation}"
 
+  /** The (idCol, vecCol, quantized) the index was built with — from the
+    * manifest, so SQL faces need not re-state what the build recorded. */
+  private[graft] def ivfColumns(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (String, String, Boolean) = {
+    val m = readManifest(spark, dir)
+    (m.idCol, m.vecCol, m.quantized)
+  }
+
   def ivfBuild(corpus: DataFrame, idCol: String, vecCol: String,
       nlist: Int, dir: String, deterministicMeans: Boolean = true,
       quantized: Boolean = false): Unit = {

@@ -882,10 +882,14 @@ class ArrowCatalog extends TableCatalog with ProcedureCatalog
     // the oracle-checked queries use
     GraftProcedure("ivf_build",
       "build (or atomically rebuild) the stored IVF ANN index over an " +
-        "arrow-ipc corpus directory",
+        "arrow-ipc corpus directory; quantized => true stores int8 " +
+        "(SQ8) cell files — ~3x smaller, recall recoverable via " +
+        "ivf_search's refine_dir",
       Array(in("index_dir", StringType), in("source_dir", StringType),
         in("id_col", StringType), in("vec_col", StringType),
-        inDefault("nlist", IntegerType, "64")),
+        inDefault("nlist", IntegerType, "64"),
+        inDefault("quantized", org.apache.spark.sql.types.BooleanType,
+          "false")),
       StructType(Seq(
         org.apache.spark.sql.types.StructField("generation", StringType),
         org.apache.spark.sql.types.StructField("nlist", IntegerType))),
@@ -896,10 +900,57 @@ class ArrowCatalog extends TableCatalog with ProcedureCatalog
           .load(r.getUTF8String(1).toString)
         graft.ops.Similarity.ivfBuild(corpus,
           r.getUTF8String(2).toString, r.getUTF8String(3).toString,
-          r.getInt(4), indexDir)
+          r.getInt(4), indexDir,
+          quantized = !r.isNullAt(5) && r.getBoolean(5))
         val gen = new Path(
           graft.ops.Similarity.ivfGenerationDir(spark, indexDir)).getName
         Seq(row(gen, r.getInt(4)))
+      }),
+    // SQL search face (round 15): queries and results are DIRECTORIES —
+    // a result set of |queries|·k rows must not funnel through a
+    // procedure's driver-side row collect (the same stance as CALL
+    // dedup's output_dir). id/vec column names come from the index
+    // manifest; only the query-side names are the caller's to state.
+    GraftProcedure("ivf_search",
+      "top-k cosine ANN against the stored IVF index: queries read " +
+        "from queries_dir (qid_col, qvec_col), the ranking written to " +
+        "output_dir as arrow-ipc; refine_dir (the float corpus the " +
+        "index was built from) re-ranks a quantized index's top " +
+        "k*refine_factor candidates float-exactly",
+      Array(in("index_dir", StringType), in("queries_dir", StringType),
+        in("output_dir", StringType),
+        in("qid_col", StringType), in("qvec_col", StringType),
+        inDefault("k", IntegerType, "10"),
+        inDefault("nprobe", IntegerType, "8"),
+        inDefault("refine_dir", StringType, "NULL"),
+        inDefault("refine_factor", IntegerType, "4")),
+      StructType(Seq(
+        org.apache.spark.sql.types.StructField("queries", LongType),
+        org.apache.spark.sql.types.StructField("results", LongType))),
+      r => {
+        val spark = SparkSession.active
+        val indexDir = dirArg(r)
+        val queries = spark.read.format("arrow-ipc")
+          .load(r.getUTF8String(1).toString)
+        val outDir = r.getUTF8String(2).toString
+        val (qid, qvec) =
+          (r.getUTF8String(3).toString, r.getUTF8String(4).toString)
+        val (idCol, vecCol, _) =
+          graft.ops.Similarity.ivfColumns(spark, indexDir)
+        val res =
+          if (r.isNullAt(7))
+            graft.ops.Similarity.ivfTopKStored(spark, indexDir, queries,
+              idCol, vecCol, qid, qvec, r.getInt(5), r.getInt(6))
+          else
+            graft.ops.Similarity.ivfTopKStoredRefined(spark, indexDir,
+              queries,
+              spark.read.format("arrow-ipc")
+                .load(r.getUTF8String(7).toString),
+              idCol, vecCol, qid, qvec, r.getInt(5), r.getInt(6),
+              r.getInt(8))
+        res.write.format("arrow-ipc").mode("overwrite").save(outDir)
+        Seq(row(queries.count(),
+          spark.read.format("arrow-ipc").load(outDir).count()))
       }),
     GraftProcedure("ivf_append",
       "assign fresh vectors to the stored index's frozen centroids and " +

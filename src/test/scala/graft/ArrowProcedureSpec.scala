@@ -280,6 +280,36 @@ class ArrowProcedureSpec extends AnyFunSuite {
     val got = graft.ops.Similarity.ivfTopKStored(spark, idx, queries,
       "vec_id", "embedding", "qid", "qe", k = 3, nprobe = 4)
     assert(got.count() === 6)
+
+    // CALL ivf_search (round 15): the SQL face writes the SAME ranking
+    // the API returns (id/vec column names resolved from the manifest)
+    val qdir = tmp("graft_proc_ivf_q")
+    val out = tmp("graft_proc_ivf_out")
+    queries.write.format("arrow-ipc").mode("overwrite").save(qdir)
+    val s1 = spark.sql(s"CALL graft.system.ivf_search('$idx', '$qdir', " +
+      s"'$out', 'qid', 'qe', k => 3, nprobe => 4)").head()
+    assert(s1.getLong(0) === 2L && s1.getLong(1) === 6L)
+    assert(spark.read.format("arrow-ipc").load(out)
+      .orderBy("qid", "rk").collect().toSeq
+      === got.orderBy("qid", "rk").collect().toSeq)
+
+    // quantized build via CALL + refined search against the source
+    // corpus: bit-identical to the refined API path
+    val idxQ = tmp("graft_proc_ivf_idxq")
+    spark.sql(s"CALL graft.system.ivf_build('$idxQ', '$src', 'vec_id', " +
+      "'embedding', nlist => 8, quantized => true)")
+    val outQ = tmp("graft_proc_ivf_outq")
+    val s2 = spark.sql(s"CALL graft.system.ivf_search('$idxQ', '$qdir', " +
+      s"'$outQ', 'qid', 'qe', k => 3, nprobe => 4, " +
+      s"refine_dir => '$src', refine_factor => 4)").head()
+    assert(s2.getLong(1) === 6L)
+    val apiRefined = graft.ops.Similarity.ivfTopKStoredRefined(spark, idxQ,
+      queries, spark.read.format("arrow-ipc").load(src),
+      "vec_id", "embedding", "qid", "qe", k = 3, nprobe = 4,
+      refineFactor = 4)
+    assert(spark.read.format("arrow-ipc").load(outQ)
+      .orderBy("qid", "rk").collect().toSeq
+      === apiRefined.orderBy("qid", "rk").collect().toSeq)
   }
 
   test("CALL dedup writes the kept-set of a near-dup document directory") {
