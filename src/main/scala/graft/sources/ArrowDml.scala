@@ -81,10 +81,14 @@ object ArrowDml {
             // DML, but two DML statements race each other freely, and a
             // flat beat can re-synchronize with a busy peer's issue loop
             // until the bounded retries exhaust — doubling the window
-            // per attempt breaks the lockstep at a worst case of ~0.5 s
-            // on the final attempt.
-            Thread.sleep((10L << attempt) +
-              scala.util.Random.nextInt(40 << attempt))
+            // per attempt breaks the lockstep. The shift is CLAMPED (a
+            // user-raised dmlRetries must widen the count, not the
+            // window: an unclamped Int shift overflows Random's bound at
+            // attempt 26 and sleeps for minutes long before) — worst
+            // case ~0.8 s per beat.
+            val shift = math.min(attempt, 4)
+            Thread.sleep((10L << shift) +
+              scala.util.Random.nextInt(40 << shift))
         }
       }
       sys.error("unreachable")

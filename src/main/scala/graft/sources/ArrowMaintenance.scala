@@ -882,10 +882,21 @@ object ArrowMaintenance {
       .filter { case (rel, _) => replaceable(new Path(rel).getName) }
       .map { case (rel, st) => (genOf(rel), rel, st.getLen) }
       .groupBy(_._1)
+    // COLLAPSE FENCE (round 15 review): an append that STARTED under an
+    // old layout (live `_pending-*` marker) can still be in flight — its
+    // task-committed files are hidden by replaceableFilter, so a
+    // generation can look empty/fully-drained while rows are about to
+    // commit INTO it. Collapsing then would strand those rows under an
+    // undeclared layout (readers discover strictly per declared
+    // generation — silently invisible). While any append is pending,
+    // every collapse is deferred to a later call: the drain itself is
+    // safe (it replaces only committed files), only the bookkeeping
+    // waits.
+    val collapseSafe = ArrowOcc.livePendingQueryIds(fs, dirPath).isEmpty
     // declared-but-empty old generations (never written, or drained by a
     // call that crashed before its history collapse): metadata-only
     val emptyOld = oldGens.filter(g => byGen.get(g).forall(_.isEmpty))
-    if (emptyOld.nonEmpty) ArrowOcc.withCommitLock(fs, dirPath) {
+    if (emptyOld.nonEmpty && collapseSafe) ArrowOcc.withCommitLock(fs, dirPath) {
       emptyOld.foreach(g => ArrowHiveLayout.collapseGeneration(fs, dirPath, g))
     }
     val target = oldGens.find(g => byGen.get(g).exists(_.nonEmpty)) match {
@@ -896,7 +907,7 @@ object ArrowMaintenance {
     val oldsAll = byGen(target).map(x => (x._2, x._3)).sortBy(_._1)
     // byte-bounded slice: take name-ordered files up to maxBytes (always
     // at least one — progress), leave the rest for the next call
-    val olds = maxBytes match {
+    val sliced = maxBytes match {
       case None => oldsAll
       case Some(mb) =>
         require(mb >= 1, "unify_generation: max_bytes must be >= 1")
@@ -904,6 +915,12 @@ object ArrowMaintenance {
         val prefix = oldsAll.takeWhile { f => acc += f._2; acc <= mb }
         if (prefix.isEmpty) oldsAll.take(1) else prefix
     }
+    // FILE-COUNT cap (round 15 review): the staging read restricts by a
+    // per-file `isin` literal list — a million-file generation must not
+    // plan a million-literal filter (the same 1000-path bound the eq
+    // fold's grouping uses). A capped call is a partial drain; the loop
+    // converges like any maxBytes slice.
+    val olds = sliced.take(1000)
     val partial = olds.size < oldsAll.size
     val id = java.util.UUID.randomUUID.toString.take(8)
     val staging = s".compact-$id"
@@ -938,10 +955,12 @@ object ArrowMaintenance {
           Intent(olds.map(_._1).sorted, staging, moves, dvs = dvRels))
         CompactionResult(olds.length, staged.length)
       }
-    // a PARTIAL (byte-bounded) drain leaves the generation standing with
-    // its undrained files — no collapse, no sweep; the final slice's call
-    // does both
-    if (!partial) {
+    // a PARTIAL (byte-bounded or count-capped) drain leaves the
+    // generation standing with its undrained files — no collapse, no
+    // sweep; the final slice's call does both. The collapse also defers
+    // while any append is pending (the fence above): a late-committing
+    // append into the drained layout must still find it declared.
+    if (!partial && collapseSafe) {
       ArrowOcc.withCommitLock(fs, dirPath) {
         ArrowHiveLayout.collapseGeneration(fs, dirPath, target)
       }
@@ -1112,20 +1131,16 @@ object ArrowMaintenance {
     // generation's bytes), so a metadata-only key evolution converges to
     // a unified table in N nights with no operator intervention. Runs
     // BEFORE the compaction leg — the drain's output files are exactly
-    // the small-file debt that leg then merges. Like every cron leg it
-    // degrades on the tombstone race instead of failing the sweep.
+    // the small-file debt that leg then merges. No tombstone-race catch
+    // here (unlike the compact leg): a multi-generation table can never
+    // carry live equality tombstones — upserts refuse any table that is
+    // or ever was partitioned (ArrowEqualityDeletes.upsertBatchKeys),
+    // and evolvePartitioning refuses while tombstones live — so the
+    // swap's eq refusal is unreachable from this leg.
     val unifyOn = scala.util.Try(spark.conf
       .get("spark.graft.arrow.vacuumUnifyGenerations", "false").toBoolean)
       .getOrElse(false)
-    val unified =
-      if (!unifyOn) None
-      else
-        try unifyGeneration(spark, dir)
-        catch {
-          case e: UnsupportedOperationException
-              if Option(e.getMessage)
-                .exists(_.contains("equality-delete")) => None
-        }
+    val unified = if (!unifyOn) None else unifyGeneration(spark, dir)
     // AUTO SMALL-FILE COMPACTION (round 14, default OFF): continuous
     // ingest — micro-batch appends, equality upserts, streaming epochs —
     // accrues small files that tax every listing and scan until

@@ -349,7 +349,10 @@ private[graft] object ArrowOcc {
     * count swept. */
   def sweepStaleTmp(fs: FileSystem, dirPath: Path): Int = {
     val now = System.currentTimeMillis()
-    Seq(dirPath, new Path(dirPath, "_snapshots")).map { at =>
+    // `_tags` since round 15: a crashed tag create leaves a hidden
+    // `.<name>-<uuid>.tmp` orphan the rename never consumed
+    Seq(dirPath, new Path(dirPath, "_snapshots"),
+        new Path(dirPath, "_tags")).map { at =>
       if (!fs.exists(at)) 0
       else {
         val dead = Option(fs.listStatus(at)).getOrElse(Array.empty)

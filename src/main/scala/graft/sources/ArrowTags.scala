@@ -87,22 +87,30 @@ object ArrowTags {
     // `<name>.json` from a crashed in-place create would wedge ALL
     // retention maintenance until a manual drop_tag; with temp+rename a
     // crash mid-write leaves only an invisible `.tmp` orphan (not
-    // `.json`-suffixed, so list() never sees it) and the visible file is
-    // always whole. Immutability: on FileSystems honoring the spec's
-    // rename contract (HDFS and friends) rename REFUSES an existing
-    // destination; local fs rename replaces, so the exists() pre-check
-    // above plus the re-check here narrow the racing-create window —
-    // the loser of a race refuses loudly, never silently re-points.
+    // `.json`-suffixed, so list() never sees it — vacuum's staging
+    // sweep collects aged ones) and the visible file is always whole.
+    // Immutability: rename alone is NOT exclusive everywhere (POSIX
+    // rename replaces an existing destination), so the exists-check +
+    // rename pair runs under the TABLE'S COMMIT LOCK — two racing
+    // creates of one name serialize there, exactly one wins, the loser
+    // refuses loudly, never a silent re-point. Tags are rare
+    // control-plane writes; a commit-lock acquisition is the right
+    // price for the exactly-one-winner contract the old
+    // create-exclusive stream gave.
+    // hidden-dot + `.tmp` suffix: the shared stale-tmp sweep
+    // (ArrowOcc.sweepStaleTmp covers `_tags/` since round 15) collects
+    // an orphan a crashed create leaves behind
     val tmp = new Path(p.getParent,
-      s".$name.tmp-${java.util.UUID.randomUUID.toString.take(8)}")
+      s".$name-${java.util.UUID.randomUUID.toString.take(8)}.tmp")
     val out = fs.create(tmp, false)
     try out.write(
       s"""{"snapshot": $id, "createdMs": $now}"""
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    val renamed =
+    val renamed = ArrowOcc.withCommitLock(fs, dirPath) {
       try !fs.exists(p) && fs.rename(tmp, p)
       catch { case _: java.io.IOException => false }
+    }
     if (!renamed) {
       scala.util.Try(fs.delete(tmp, false))
       throw new IllegalStateException(

@@ -314,6 +314,34 @@ class ArrowPartitionEvolutionSpec extends AnyFunSuite {
       "sliced drain changed the table's content")
   }
 
+  test("unify defers the history collapse while an append is pending (a late commit must find its layout declared)") {
+    val dir = tmp("graft_pevo_unify_fence")
+    rows(0, 300).repartition(3)
+      .write.format("arrow-ipc").mode("overwrite").save(dir)
+    ArrowMaintenance.evolvePartitioning(spark, dir, Seq("p"))
+    rows(300, 400).write.format("arrow-ipc").mode("append").save(dir)
+    val before = spark.read.format("arrow-ipc").load(dir)
+      .orderBy("id").collect().toSeq
+    // an append claims to be in flight: the drain proceeds (committed
+    // files only) but the collapse is DEFERRED — a write that started
+    // under the old layout may still commit into it
+    val fs = fsOf(dir)
+    graft.sources.ArrowOcc.markPending(fs, new Path(dir), "fence-test")
+    try {
+      val u = ArrowMaintenance.unifyGeneration(spark, dir).get
+      assert(u.drained.contains(Nil) && u.oldFiles === 3)
+      assert(u.generationsRemaining === 2,
+        "collapse ran despite a pending append")
+      assert(spark.read.format("arrow-ipc").load(dir)
+        .orderBy("id").collect().toSeq === before)
+    } finally graft.sources.ArrowOcc.clearPending(fs, new Path(dir), "fence-test")
+    // marker gone: the next call collapses the (now empty) generation
+    // metadata-only and the table unifies
+    val u2 = ArrowMaintenance.unifyGeneration(spark, dir).get
+    assert(u2.drained.isEmpty && u2.generationsRemaining === 1)
+    assert(ArrowMaintenance.unifyGeneration(spark, dir).isEmpty)
+  }
+
   test("vacuum's opt-in unify leg drains one generation per nightly run (round 15)") {
     val dir = tmp("graft_pevo_vac_unify")
     rows(0, 300).repartitionByRange(2, col("id"))

@@ -238,6 +238,26 @@ class ArrowTagsSpec extends AnyFunSuite {
     assert(ArrowTags.list(fs, p).map(_.name) === Seq("whole-a", "whole-b"))
   }
 
+  test("a crashed create's tmp orphan is swept by vacuum's stale-tmp leg") {
+    val dir = tmp("graft_tag_orphan")
+    seed(dir)
+    val fs = fsOf(dir)
+    val p = new Path(dir)
+    ArrowTags.create(fs, p, "keepme", Some(1L))
+    // simulate the crash artifact: an AGED hidden tmp in _tags
+    val orphan = new Path(p, s"${ArrowTags.TagsDir}/.dead-cafe0123.tmp")
+    fs.create(orphan, false).close()
+    fs.setTimes(orphan, System.currentTimeMillis() - 24L * 3600 * 1000, -1)
+    ArrowMaintenance.vacuum(spark, dir)
+    assert(!fs.exists(orphan), "the aged tag tmp orphan survived vacuum")
+    assert(ArrowTags.resolve(fs, p, "keepme") === Some(1L)) // pin intact
+    // a FRESH tmp (a create possibly in flight) is left alone
+    val young = new Path(p, s"${ArrowTags.TagsDir}/.live-beef4567.tmp")
+    fs.create(young, false).close()
+    ArrowMaintenance.vacuum(spark, dir)
+    assert(fs.exists(young), "vacuum swept a young (possibly live) tmp")
+  }
+
   test("ambiguous time travel refuses loudly: asOfSnapshot+tag, startingSnapshot+startingTag") {
     val dir = tmp("graft_tag_ambig")
     seed(dir)
