@@ -561,6 +561,22 @@ object ArrowEqualityDeletes {
         fs.delete(stagingPath, true)
         return EqUpsertResult(applied = false, 0L, 0, total)
       }
+      // GENERATION RE-CHECK under the lock (round 15 review): the
+      // flat-only precheck above ran before staging, and an
+      // evolvePartitioning can land in between (its own lock section
+      // sees no tombstones YET). Committing here would mint the state
+      // every invariant rules out — a multi-generation table with live
+      // tombstones — so the statement loses the race loudly; staging is
+      // cleaned, the caller may re-issue against the evolved table's
+      // MERGE path.
+      if (!ArrowHiveLayout.readGenerations(fs, dirPath).forall(_.isEmpty)) {
+        fs.delete(stagingPath, true)
+        throw new IllegalStateException(
+          s"arrow-ipc equality upsert: $dir was hive-partitioned by a " +
+            "concurrent evolvePartitioning while this batch staged — " +
+            "refusing to commit a tombstone onto a partitioned table; " +
+            "use the MERGE path (ArrowCdcApply with keyBounds)")
+      }
       if (keyColsOf(fs, dirPath) != keyCols) {
         // legacy single-key field kept alongside for older readers
         val legacy = if (keyCols.size == 1)
@@ -656,10 +672,12 @@ object ArrowEqualityDeletes {
         .toLocalIterator()
         .forEachRemaining { r =>
           val (f, n) = (r.getString(0), r.getLong(1))
-          // rows bound driver memory; the file-count bound keeps the
-          // group's `isin` restriction a sane expression (a group of
-          // 100k tiny masks would otherwise plan a 100k-literal filter)
-          if (cur.nonEmpty && (curRows + n > groupCap || cur.size >= 1000)) {
+          // rows bound driver memory; the file-count bound (the shared
+          // ArrowMaintenance.MaxIsinPaths) keeps the group's `isin`
+          // restriction a sane expression (a group of 100k tiny masks
+          // would otherwise plan a 100k-literal filter)
+          if (cur.nonEmpty && (curRows + n > groupCap ||
+              cur.size >= ArrowMaintenance.MaxIsinPaths)) {
             groups += cur.toSeq; cur = scala.collection.mutable.ArrayBuffer.empty
             curRows = 0L
           }

@@ -67,6 +67,12 @@ object ArrowMaintenance {
   /** Outcome of a [[compact]] run: how many files went in and came out. */
   case class CompactionResult(oldFiles: Int, newFiles: Int)
 
+  /** The largest per-file `isin` literal list a single staged read may
+    * plan — shared by the eq fold's driver-group builder and
+    * unifyGeneration's per-call drain cap, so a planner-limit tune
+    * moves both in lockstep. */
+  private[sources] val MaxIsinPaths = 1000
+
   /** Compact `dir`'s IPC files into ~`targetBytes` files (coalesce — no
     * shuffle; row order within each original file is preserved). Returns
     * the file counts, or None when the directory has ≤ 1 file (nothing to
@@ -878,21 +884,32 @@ object ArrowMaintenance {
           s"arrow-ipc unify: file '$rel' of $dir matches no declared " +
             "partition generation"))
     val replaceable = replaceableFilter(fs, dirPath)
-    val byGen = ArrowSnapshots.listDataFileStatuses(fs, dirPath)
+    val listed = ArrowSnapshots.listDataFileStatuses(fs, dirPath)
+    val byGen = listed
       .filter { case (rel, _) => replaceable(new Path(rel).getName) }
       .map { case (rel, st) => (genOf(rel), rel, st.getLen) }
       .groupBy(_._1)
-    // COLLAPSE FENCE (round 15 review): an append that STARTED under an
-    // old layout (live `_pending-*` marker) can still be in flight — its
-    // task-committed files are hidden by replaceableFilter, so a
-    // generation can look empty/fully-drained while rows are about to
-    // commit INTO it. Collapsing then would strand those rows under an
-    // undeclared layout (readers discover strictly per declared
-    // generation — silently invisible). While any append is pending,
+    // COLLAPSE FENCE (round 15 review): a write that STARTED under an
+    // old layout can still be in flight — a batch append (live
+    // `_pending-*` marker) or an uncommitted STREAM EPOCH (files
+    // present, ledger entry not yet landed); both kinds are hidden by
+    // replaceableFilter, so a generation can look empty/fully-drained
+    // while rows are about to commit INTO it. Collapsing then would
+    // strand those rows under an undeclared layout (readers discover
+    // strictly per declared generation — silently invisible). While any
+    // pending marker is live OR any listed file is hidden as in-flight,
     // every collapse is deferred to a later call: the drain itself is
     // safe (it replaces only committed files), only the bookkeeping
-    // waits.
-    val collapseSafe = ArrowOcc.livePendingQueryIds(fs, dirPath).isEmpty
+    // waits. Crashed leftovers cannot defer forever — cleanOrphans (run
+    // above) collects dead epochs and the pending sweep ages out dead
+    // markers. LIVENESS CAVEAT, documented: under truly continuous
+    // overlapping ingest the one-instant check may keep deferring — the
+    // table stays readable but mid-evolution (generations_remaining >
+    // 1); quiesce ingest for one maintenance call to finish the
+    // collapse.
+    val collapseSafe =
+      listed.forall { case (rel, _) => replaceable(new Path(rel).getName) } &&
+        ArrowOcc.livePendingQueryIds(fs, dirPath).isEmpty
     // declared-but-empty old generations (never written, or drained by a
     // call that crashed before its history collapse): metadata-only
     val emptyOld = oldGens.filter(g => byGen.get(g).forall(_.isEmpty))
@@ -917,10 +934,10 @@ object ArrowMaintenance {
     }
     // FILE-COUNT cap (round 15 review): the staging read restricts by a
     // per-file `isin` literal list — a million-file generation must not
-    // plan a million-literal filter (the same 1000-path bound the eq
-    // fold's grouping uses). A capped call is a partial drain; the loop
-    // converges like any maxBytes slice.
-    val olds = sliced.take(1000)
+    // plan a million-literal filter (the shared [[MaxIsinPaths]] bound
+    // the eq fold's grouping also uses). A capped call is a partial
+    // drain; the loop converges like any maxBytes slice.
+    val olds = sliced.take(MaxIsinPaths)
     val partial = olds.size < oldsAll.size
     val id = java.util.UUID.randomUUID.toString.take(8)
     val staging = s".compact-$id"
@@ -1131,16 +1148,26 @@ object ArrowMaintenance {
     // generation's bytes), so a metadata-only key evolution converges to
     // a unified table in N nights with no operator intervention. Runs
     // BEFORE the compaction leg — the drain's output files are exactly
-    // the small-file debt that leg then merges. No tombstone-race catch
-    // here (unlike the compact leg): a multi-generation table can never
-    // carry live equality tombstones — upserts refuse any table that is
-    // or ever was partitioned (ArrowEqualityDeletes.upsertBatchKeys),
-    // and evolvePartitioning refuses while tombstones live — so the
-    // swap's eq refusal is unreachable from this leg.
+    // the small-file debt that leg then merges. On CURRENT binaries a
+    // multi-generation table cannot carry live equality tombstones
+    // (upserts re-check the generations UNDER their commit lock —
+    // ArrowEqualityDeletes.upsertBatchKeys, round 15 — and
+    // evolvePartitioning refuses while tombstones live), but a table
+    // written by a pre-fix binary may hold that state: the cron leg
+    // DEGRADES on it like every other leg instead of wedging the whole
+    // nightly sweep (CALL purge_eq is the repair).
     val unifyOn = scala.util.Try(spark.conf
       .get("spark.graft.arrow.vacuumUnifyGenerations", "false").toBoolean)
       .getOrElse(false)
-    val unified = if (!unifyOn) None else unifyGeneration(spark, dir)
+    val unified =
+      if (!unifyOn) None
+      else
+        try unifyGeneration(spark, dir)
+        catch {
+          case e: UnsupportedOperationException
+              if Option(e.getMessage)
+                .exists(_.contains("equality-delete")) => None
+        }
     // AUTO SMALL-FILE COMPACTION (round 14, default OFF): continuous
     // ingest — micro-batch appends, equality upserts, streaming epochs —
     // accrues small files that tax every listing and scan until

@@ -358,7 +358,10 @@ private[graft] object ArrowOcc {
         val dead = Option(fs.listStatus(at)).getOrElse(Array.empty)
           .filter(st => st.isFile &&
             st.getPath.getName.startsWith(".") &&
-            st.getPath.getName.endsWith(".tmp") &&
+            // `.tmp-<uuid>` covers orphans from the short-lived earlier
+            // tag-tmp naming; no other hidden artifact carries ".tmp"
+            (st.getPath.getName.endsWith(".tmp") ||
+              st.getPath.getName.contains(".tmp-")) &&
             now - st.getModificationTime > staleMs)
         dead.foreach(st => fs.delete(st.getPath, false))
         dead.length

@@ -107,10 +107,16 @@ object ArrowTags {
       s"""{"snapshot": $id, "createdMs": $now}"""
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    val renamed = ArrowOcc.withCommitLock(fs, dirPath) {
-      try !fs.exists(p) && fs.rename(tmp, p)
-      catch { case _: java.io.IOException => false }
-    }
+    // the tmp is cleaned on EVERY failure path — a lost race below AND
+    // a lock-acquisition failure here (otherwise the orphan waits for
+    // vacuum's aged sweep)
+    val renamed =
+      try ArrowOcc.withCommitLock(fs, dirPath) {
+        try !fs.exists(p) && fs.rename(tmp, p)
+        catch { case _: java.io.IOException => false }
+      } catch { case e: Throwable =>
+        scala.util.Try(fs.delete(tmp, false)); throw e
+      }
     if (!renamed) {
       scala.util.Try(fs.delete(tmp, false))
       throw new IllegalStateException(
