@@ -18,7 +18,7 @@ import org.apache.spark.sql.SparkSession
   * safe to re-plan and re-execute WHOLESALE, which is exactly what this
   * wrapper does: re-run the statement text against the new snapshot
   * (table resolution is stateless — every attempt re-lists the live
-  * files) up to `spark.graft.arrow.dmlRetries` (default 3) extra
+  * files) up to `spark.graft.arrow.dmlRetries` (default 6) extra
   * attempts, then surface. A bare `spark.sql("UPDATE …")` still
   * surfaces the first conflict — honest, since only the statement
   * layer can re-execute a statement; route DML through this surface
@@ -34,11 +34,21 @@ import org.apache.spark.sql.SparkSession
   * foreign path fails once, loudly. */
 object ArrowDml {
 
-  /** Extra attempts after the first (so the default 3 means up to four
-    * executions of a persistently-losing statement). */
+  /** Extra attempts after the first (so the default 6 means up to seven
+    * executions of a persistently-losing statement). Raised 3 → 6 in
+    * round 15: maintenance yields to DML markers, but two DML
+    * statements race each other freely, and under the heavier
+    * background mix the stress probe now runs (vacuum auto-compaction
+    * beside the compact/cluster loops) a seconds-long statement's
+    * scan-to-commit window overlaps a busy peer's commits often enough
+    * that four executions occasionally all lose. Retry capacity is THE
+    * documented lever for collision pressure — losses are cheap and
+    * idempotent (a losing statement changed nothing) — and the clamped
+    * exponential backoff caps the added worst-case sleep at ~2.5 s
+    * across six beats. */
   private def retries: Int =
     scala.util.Try(SparkSession.active.conf
-      .get("spark.graft.arrow.dmlRetries", "3").toInt).getOrElse(3)
+      .get("spark.graft.arrow.dmlRetries", "6").toInt).getOrElse(6)
 
   /** Is a lost COW commit race anywhere in the cause chain? */
   def isCommitConflict(t: Throwable): Boolean = {
