@@ -35,6 +35,12 @@ object PipelineQueries {
   private val minhashR = minhashK / minhashBands
   private val minhashW = 8
 
+  // refined-ANN parameters: ONE definition feeds the Scala query AND the
+  // DuckDB oracle (round-16 advisor) — the final top-k and the quantized
+  // short-list width k·refineFactor cannot silently desync
+  private val annRefineK = 5
+  private val annRefineFactor = 4
+
   // embed_neardup LSH family: 8 tables × 4 planes. At the loose 0.45
   // threshold (p≈0.65/plane) this holds ~80% recall; tight thresholds
   // (the production near-dup case) prune far harder with the same operator.
@@ -510,7 +516,8 @@ object PipelineQueries {
         queries = e.filter(col("vec_id") < 10)
           .select(col("vec_id").as("qid"), col("embedding").as("qe")),
         idCol = "vec_id", vecCol = "embedding", qidCol = "qid", qvecCol = "qe",
-        k = 5, nlist = 16, nprobe = 4, refineFactor = 4).orderBy("qid", "rk")
+        k = annRefineK, nlist = 16, nprobe = 4,
+        refineFactor = annRefineFactor).orderBy("qid", "rk")
     }, Some(ivfQuantizedRefinedOracle)),
 
     // LSH-bucketed ANN. The hyperplanes are plan-time literal constants, so
@@ -1704,7 +1711,8 @@ object PipelineQueries {
   }
 
   /** The refined tail (round 15): the quantized ranking SHORT-LISTS the
-    * top k·refineFactor (= 20) candidates per query, the float cosine
+    * top k·refineFactor (= [[annRefineK]]·[[annRefineFactor]], shared
+    * with the Scala query) candidates per query, the float cosine
     * re-ranks exactly those — both stages replayed, so the refined
     * result hash-matches regardless of the quantized stage's recall. */
   private lazy val ivfQuantizedRefinedOracle: String = {
@@ -1731,7 +1739,8 @@ object PipelineQueries {
           JOIN cells m ON m.cid = p.cid
           JOIN qv cq ON cq.vec_id = m.vec_id
           JOIN qv qq2 ON qq2.vec_id = p.qid),
-        cand AS (SELECT qid, vec_id FROM qscored WHERE qrk <= 20),
+        cand AS (SELECT qid, vec_id FROM qscored
+                 WHERE qrk <= ${annRefineK * annRefineFactor}),
         refined AS (
           SELECT cand.qid, cand.vec_id,
                  round(${dot("q.embedding", "ce.embedding")} / (q.cn * ce.cn), 9) AS cos
@@ -1741,7 +1750,7 @@ object PipelineQueries {
         SELECT qid, vec_id, cos, rk FROM (
           SELECT qid, vec_id, cos,
                  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
-          FROM refined) WHERE rk <= 5
+          FROM refined) WHERE rk <= $annRefineK
         ORDER BY qid, rk"""
   }
 

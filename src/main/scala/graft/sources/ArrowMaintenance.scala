@@ -1167,6 +1167,11 @@ object ArrowMaintenance {
           case e: UnsupportedOperationException
               if Option(e.getMessage)
                 .exists(_.contains("equality-delete")) => None
+          // degrade-don't-fail, like every cron leg (round-16 advisor):
+          // a retry-exhausted conflict on one wedged table surface must
+          // not abort the compaction and expire legs that follow — the
+          // next nightly run retries the drain
+          case _: ArrowOcc.CommitConflictException => None
         }
     // AUTO SMALL-FILE COMPACTION (round 14, default OFF): continuous
     // ingest — micro-batch appends, equality upserts, streaming epochs —

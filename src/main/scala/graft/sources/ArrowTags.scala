@@ -112,8 +112,17 @@ object ArrowTags {
     // vacuum's aged sweep)
     val renamed =
       try ArrowOcc.withCommitLock(fs, dirPath) {
-        try !fs.exists(p) && fs.rename(tmp, p)
-        catch { case _: java.io.IOException => false }
+        if (fs.exists(p)) false
+        else
+          try fs.rename(tmp, p)
+          catch {
+            // a failed rename is a lost race ONLY when the destination
+            // actually appeared; otherwise it is a genuine filesystem
+            // failure — swallowing it as "already exists" would discard
+            // the root cause (round-16 advisor)
+            case e: java.io.IOException =>
+              if (fs.exists(p)) false else throw e
+          }
       } catch { case e: Throwable =>
         scala.util.Try(fs.delete(tmp, false)); throw e
       }
