@@ -1977,10 +1977,12 @@ private[sources] class ArrowIpcWrite(
     // the delete at least serializes it against in-flight COMMITS (a
     // truncate racing a long STAGING job remains the caller's decision —
     // overwrite means overwrite)
+    val preExisting = !truncate &&
+      fs.exists(new Path(dirPath, "_schema.arrows"))
     if (truncate) ArrowOcc.withCommitLock(fs, dirPath) {
       fs.delete(dirPath, true)
     }
-    else if (fs.exists(new Path(dirPath, "_schema.arrows"))) {
+    else if (preExisting) {
       val existing = ArrowInterchange.readSchema(spark, dir)
       // identical names+types; nullability may be STRICTER on the incoming
       // side (non-null data into a nullable column — the shape every
@@ -2015,12 +2017,28 @@ private[sources] class ArrowIpcWrite(
         // atomic flip keeps lock-free readers from a torn sentinel
         ArrowInterchange.writeSentinelAtomic(fs, dirPath,
           ArrowInterchange.withFieldIds(schema))
+      // layout agreement RE-VALIDATED under the lock (round 16): an
+      // evolve landing between the unlocked pre-check above and this
+      // marker write could otherwise slip a write into a generation the
+      // collapse fence already saw as untargeted — under the lock the
+      // agreement and the marker are atomic against evolve and collapse.
+      // Only for tables that PRE-EXISTED this write (mirroring the
+      // pre-check): a truncate or fresh table declares its own layout
+      if (preExisting) {
+        val standingNow = ArrowHiveLayout.read(fs, dirPath)
+        require(standingNow == hiveKeys,
+          s"arrow-ipc: $dir evolved its hive layout to " +
+            s"[${standingNow.mkString(", ")}] while this append planned " +
+            s"[${hiveKeys.mkString(", ")}] — re-run the write")
+      }
       // a write in flight invalidates the completeness marker until
       // commit; the pending marker (written FIRST) tells every concurrent
       // committer not to restore the latch — and marks this write's files
       // (they embed the queryId) as not-yet-replaceable to concurrent
-      // maintenance
-      ArrowOcc.markPending(fs, dirPath, queryId)
+      // maintenance. It records the target layout so the unifier's
+      // generation-targeted collapse fence defers exactly that
+      // generation while this write lives.
+      ArrowOcc.markPending(fs, dirPath, queryId, Some(hiveKeys))
       fs.delete(new Path(dirPath, "_SUCCESS"), false)
     }
     // keep the marker live for the write job's whole duration — without
@@ -2075,7 +2093,7 @@ private[sources] class ArrowIpcWrite(
             s"${gone.head}) — re-run the write")
       }
       // all files survived the unprotected window: safe to commit
-      ArrowOcc.markPending(fs, dirPath, queryId) // restore for the tail
+      ArrowOcc.markPending(fs, dirPath, queryId, Some(hiveKeys)) // restore
     }
     // persist per-file column stats (the scan's file-pruning substrate)
     // BEFORE the completeness marker: a reader that sees _SUCCESS must
@@ -2118,10 +2136,31 @@ private[sources] class ArrowIpcWrite(
         ArrowLayout.write(fs, dirPath, partitionKeys)
       else ArrowLayout.delete(fs, dirPath)
     }
-    // hive layout declaration: appends were already validated to match at
-    // factory-create time, so this is idempotent (or the fresh write after
-    // a truncate)
-    if (hiveKeys.nonEmpty) ArrowHiveLayout.write(fs, dirPath, hiveKeys)
+    // hive layout declaration — straddle-aware (round 16). The common
+    // case is idempotent: the standing layout still equals this append's
+    // keys (validated at factory time UNDER the lock), or the table is
+    // fresh/truncated. If the table EVOLVED mid-append, this append's
+    // files landed nested by what is now an OLD generation: they are
+    // still readable there (the live pending marker kept the generation
+    // declared — the unifier's fence), so commit them WITHOUT clobbering
+    // the new current keys; the next unify drains them. If the target
+    // generation is no longer declared at all (the marker expired —
+    // heartbeat death — and the unifier collapsed it), the files would be
+    // invisible to every reader: refuse loudly, like the file-existence
+    // backstop above — Spark aborts and deletes the files; re-run.
+    val gensNow = ArrowHiveLayout.readGenerations(fs, dirPath)
+    val freshLayout = hiveKeys.nonEmpty &&
+      !fs.exists(new Path(dirPath, ArrowHiveLayout.FileName))
+    if (!freshLayout && !gensNow.contains(hiveKeys)) {
+      ArrowOcc.clearPending(fs, dirPath, queryId)
+      throw new java.io.IOException(
+        s"arrow-ipc: append $queryId to $dir lost its layout protection " +
+          s"(pending marker expired) and its target generation " +
+          s"[${hiveKeys.mkString(", ")}] was unified and collapsed by " +
+          "concurrent maintenance — re-run the write")
+    }
+    if (hiveKeys.nonEmpty && (freshLayout || gensNow.last == hiveKeys))
+      ArrowHiveLayout.write(fs, dirPath, hiveKeys)
     // snapshot log: one delta entry per commit (advisory history — time
     // travel's substrate, never consulted by live reads). A truncate
     // wiped the directory, so its log restarts at snapshot 1.

@@ -158,6 +158,16 @@ private[graft] object ArrowStreamCommits {
   * fed by batch appends, and the curation loop can ingest AND re-emit
   * Arrow without a format detour. Exactly-once rides the
   * [[ArrowStreamCommits]] ledger; see its scaladoc for the protocol. */
+private[graft] object ArrowIpcStreamingWrite {
+  /** TEST SEAM: runs at epoch-commit start (under the commit lock),
+    * before the layout guard — lets a spec inject an evolve INSIDE the
+    * factory-to-commit window deterministically. The guard exists for
+    * exactly that window: between epochs the per-batch write factory
+    * re-reads the standing layout and adapts, so only an intra-epoch
+    * evolve can leave an epoch targeting a non-current generation. */
+  @volatile private[graft] var beforeCommitHook: () => Unit = () => ()
+}
+
 private[sources] class ArrowIpcStreamingWrite(
     schema: StructType, dir: String, codec: Option[String], queryId: String,
     partitionKeys: Seq[String], bloomCols: Set[String] = Set.empty,
@@ -327,6 +337,26 @@ private[sources] class ArrowIpcStreamingWrite(
       }
       return
     }
+    // LAYOUT GUARD (round 16): epoch files nest by the layout validated
+    // at RUN start — if the table's partition keys evolved mid-run, this
+    // epoch targets a layout that is no longer current. Committing it
+    // would feed an old generation indefinitely (starving the
+    // incremental unifier's collapse) or, after that generation's
+    // collapse, record files no reader discovers. Fail the batch loudly
+    // instead: the files stay UNcommitted (invisible via the ledger;
+    // cleanOrphans collects them) and the operator restarts the stream
+    // with the current keys. This is also what makes the unifier's
+    // generation-targeted fence sound against the epoch window where no
+    // task file is visible yet: an epoch that would land in a collapsed
+    // generation dies HERE, under the same commit lock the collapse took.
+    ArrowIpcStreamingWrite.beforeCommitHook()
+    val standingNow = ArrowHiveLayout.read(fs, dirPath)
+    if (standingNow != hiveKeys)
+      throw new IllegalStateException(
+        s"arrow-ipc stream sink: $dir evolved its hive layout to " +
+          s"[${standingNow.mkString(", ")}] mid-run but this stream " +
+          s"nests by [${hiveKeys.mkString(", ")}] — epoch $epochId left " +
+          "uncommitted; restart the stream with the current keys")
     val uuid = commitUuid(epochId)
     // stats BEFORE the ledger flip, same ordering as the batch commit's
     // stats-before-_SUCCESS: a reader that can see the files must be able

@@ -889,32 +889,55 @@ object ArrowMaintenance {
       .filter { case (rel, _) => replaceable(new Path(rel).getName) }
       .map { case (rel, st) => (genOf(rel), rel, st.getLen) }
       .groupBy(_._1)
-    // COLLAPSE FENCE (round 15 review): a write that STARTED under an
-    // old layout can still be in flight — a batch append (live
-    // `_pending-*` marker) or an uncommitted STREAM EPOCH (files
-    // present, ledger entry not yet landed); both kinds are hidden by
-    // replaceableFilter, so a generation can look empty/fully-drained
-    // while rows are about to commit INTO it. Collapsing then would
-    // strand those rows under an undeclared layout (readers discover
-    // strictly per declared generation — silently invisible). While any
-    // pending marker is live OR any listed file is hidden as in-flight,
-    // every collapse is deferred to a later call: the drain itself is
-    // safe (it replaces only committed files), only the bookkeeping
-    // waits. Crashed leftovers cannot defer forever — cleanOrphans (run
-    // above) collects dead epochs and the pending sweep ages out dead
-    // markers. LIVENESS CAVEAT, documented: under truly continuous
-    // overlapping ingest the one-instant check may keep deferring — the
-    // table stays readable but mid-evolution (generations_remaining >
-    // 1); quiesce ingest for one maintenance call to finish the
-    // collapse.
-    val collapseSafe =
-      listed.forall { case (rel, _) => replaceable(new Path(rel).getName) } &&
-        ArrowOcc.livePendingQueryIds(fs, dirPath).isEmpty
+    // GENERATION-TARGETED COLLAPSE FENCE (round 16, replacing round 15's
+    // one-instant global fence and its liveness caveat): a write that
+    // STARTED under an old layout can still be in flight — a batch
+    // append (live `_pending-*` marker) or an uncommitted STREAM EPOCH
+    // (files present, ledger entry not yet landed). Collapsing the
+    // generation such a write nests by would strand its rows under an
+    // undeclared layout (readers discover strictly per declared
+    // generation — silently invisible). The fence therefore defers
+    // collapsing EXACTLY the generations that evidence says are still
+    // live write targets, instead of deferring every collapse for any
+    // in-flight traffic anywhere:
+    //  - a live pending marker whose recorded target layout
+    //    ([[ArrowOcc.markPending]]) equals the generation — or a legacy
+    //    marker with no recorded target (unknown: blocks conservatively);
+    //  - any listed data file ATTRIBUTED to the generation, committed (a
+    //    late append landed mid-drain — the next call drains it) or
+    //    hidden (an in-flight write already renamed task files into the
+    //    generation's directories).
+    // Evaluated INSIDE the commit lock that performs the collapse
+    // (round-16 advisor): the drain can run for minutes, so a
+    // before-the-drain check proves nothing about commit time; under the
+    // lock no marker create (append path takes the same lock), evolve,
+    // or epoch commit can straddle the decision. The re-list is O(files)
+    // driver-side — paid once per actually-collapsed generation, never
+    // per drain slice. LIVENESS: writers target the CURRENT generation
+    // (appends validate against the standing layout under the lock;
+    // stream epochs refuse to commit into a non-current layout — the
+    // sink's mid-run-evolve guard), so continuous ingest never defers an
+    // OLD generation's collapse; generations_remaining reaches 1 without
+    // quiescing. Crashed leftovers cannot defer forever — cleanOrphans
+    // (run above) collects dead epochs and the pending sweep ages out
+    // dead markers.
+    def collapseFenceSafe(gen: Seq[String]): Boolean = {
+      // a concurrent evolve moved the current keys mid-drain: this
+      // call's attribution (genOf) is stale — defer every collapse and
+      // let the next call re-attribute against the new history
+      if (ArrowHiveLayout.readGenerations(fs, dirPath).last != current)
+        return false
+      val targets = ArrowOcc.livePendingTargets(fs, dirPath)
+      if (targets.exists(t => t.isEmpty || t.contains(gen))) return false
+      !ArrowSnapshots.listDataFileStatuses(fs, dirPath)
+        .exists { case (rel, _) => genOf(rel) == gen }
+    }
     // declared-but-empty old generations (never written, or drained by a
     // call that crashed before its history collapse): metadata-only
     val emptyOld = oldGens.filter(g => byGen.get(g).forall(_.isEmpty))
-    if (emptyOld.nonEmpty && collapseSafe) ArrowOcc.withCommitLock(fs, dirPath) {
-      emptyOld.foreach(g => ArrowHiveLayout.collapseGeneration(fs, dirPath, g))
+    if (emptyOld.nonEmpty) ArrowOcc.withCommitLock(fs, dirPath) {
+      emptyOld.filter(collapseFenceSafe).foreach(g =>
+        ArrowHiveLayout.collapseGeneration(fs, dirPath, g))
     }
     val target = oldGens.find(g => byGen.get(g).exists(_.nonEmpty)) match {
       case None => return Some(UnifyResult(None, 0, 0,
@@ -974,14 +997,20 @@ object ArrowMaintenance {
       }
     // a PARTIAL (byte-bounded or count-capped) drain leaves the
     // generation standing with its undrained files — no collapse, no
-    // sweep; the final slice's call does both. The collapse also defers
-    // while any append is pending (the fence above): a late-committing
-    // append into the drained layout must still find it declared.
-    if (!partial && collapseSafe) {
-      ArrowOcc.withCommitLock(fs, dirPath) {
-        ArrowHiveLayout.collapseGeneration(fs, dirPath, target)
+    // sweep; the final slice's call does both. The collapse re-checks
+    // the generation-targeted fence UNDER the lock: a write still
+    // targeting the drained layout (live marker, or files that landed
+    // mid-drain) must still find it declared — the next call drains the
+    // stragglers and collapses then.
+    if (!partial) {
+      val collapsed = ArrowOcc.withCommitLock(fs, dirPath) {
+        if (collapseFenceSafe(target)) {
+          ArrowHiveLayout.collapseGeneration(fs, dirPath, target)
+          true
+        } else false
       }
-      if (target.nonEmpty) sweepEmptyValueDirs(fs, dirPath, target.head)
+      if (collapsed && target.nonEmpty)
+        sweepEmptyValueDirs(fs, dirPath, target.head)
     }
     Some(UnifyResult(Some(target), res.oldFiles, res.newFiles,
       ArrowHiveLayout.readGenerations(fs, dirPath).size))

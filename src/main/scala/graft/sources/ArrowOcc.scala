@@ -195,10 +195,49 @@ private[graft] object ArrowOcc {
   private def markerPath(dirPath: Path, queryId: String) =
     new Path(dirPath, PendingPrefix + queryId)
 
-  /** Record that a batch append is in flight (latch down on purpose). */
-  def markPending(fs: FileSystem, dirPath: Path, queryId: String): Unit = {
+  /** Record that a batch append is in flight (latch down on purpose).
+    * `targetKeys` (round 16): the hive layout the write nests its files
+    * by — the GENERATION-TARGETED collapse fence
+    * ([[ArrowMaintenance.unifyGeneration]]) defers collapsing exactly
+    * that generation while the marker lives, instead of deferring every
+    * collapse for any in-flight write (the round-15 liveness caveat:
+    * continuous ingest into the CURRENT generation starved old-gen
+    * collapses forever). None = unknown target (legacy marker): blocks
+    * every collapse, conservatively. The content is written once here;
+    * the heartbeat refreshes mtime only (setTimes), never the bytes. */
+  def markPending(fs: FileSystem, dirPath: Path, queryId: String,
+      targetKeys: Option[Seq[String]] = None): Unit = {
     fs.mkdirs(dirPath)
-    fs.create(markerPath(dirPath, queryId), true).close()
+    val out = fs.create(markerPath(dirPath, queryId), true)
+    try targetKeys.foreach { ks =>
+      val body = ks.map(k => "\"" + ArrowFileStats.esc(k) + "\"")
+        .mkString("""{"hiveKeys":[""", ",", "]}")
+      out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } finally out.close()
+  }
+
+  /** The declared target layouts of the LIVE pending markers: Some(keys)
+    * when the marker recorded the layout its write nests by, None for a
+    * legacy/empty/unreadable marker (unknown target). Read under the
+    * same commit lock the collapse takes, so a marker's create (also
+    * under the lock on the append path) can never tear. */
+  def livePendingTargets(fs: FileSystem, dirPath: Path)
+      : Seq[Option[Seq[String]]] = {
+    val now = System.currentTimeMillis()
+    Option(fs.globStatus(new Path(dirPath, PendingPrefix + "*")))
+      .getOrElse(Array.empty)
+      .filter(st => now - st.getModificationTime <= pendingStaleMs)
+      .map { st =>
+        if (st.getLen == 0) None
+        else scala.util.Try {
+          import org.json4s._
+          org.json4s.jackson.JsonMethods.parse(
+            ArrowFileStats.readFully(fs, st.getPath)) \ "hiveKeys" match {
+            case JArray(xs) => Some(xs.collect { case JString(s) => s }: Seq[String])
+            case _ => None
+          }
+        }.toOption.flatten
+      }.toSeq
   }
 
   /** The append committed or aborted; its marker goes away. */

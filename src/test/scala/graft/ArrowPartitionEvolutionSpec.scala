@@ -385,4 +385,105 @@ class ArrowPartitionEvolutionSpec extends AnyFunSuite {
     assert(t.count() === 800L)
     assert(t.select(sum(col("id"))).head().getLong(0) === (0L until 800L).sum)
   }
+
+  test("collapse fence is generation-targeted (round 16): traffic into the CURRENT generation never defers an old generation's collapse") {
+    val dir = tmp("graft_pevo_fence_gen")
+    rows(0, 300).repartition(3)
+      .write.format("arrow-ipc").mode("overwrite").save(dir)
+    ArrowMaintenance.evolvePartitioning(spark, dir, Seq("p"))
+    rows(300, 400).write.format("arrow-ipc").mode("append").save(dir)
+    val fs = fsOf(dir)
+    // an append into the CURRENT generation is in flight — exactly the
+    // continuous-ingest shape that starved the round-15 global fence
+    // (generations_remaining stuck > 1 until the operator quiesced)
+    graft.sources.ArrowOcc.markPending(fs, new Path(dir), "cur-traffic",
+      Some(Seq("p")))
+    try {
+      val u = ArrowMaintenance.unifyGeneration(spark, dir).get
+      assert(u.drained.contains(Nil) && u.generationsRemaining === 1,
+        s"current-generation traffic deferred the collapse: $u")
+      assert(ArrowHiveLayout.readGenerations(fs, new Path(dir))
+        === Seq(Seq("p")))
+    } finally {
+      graft.sources.ArrowOcc.clearPending(fs, new Path(dir), "cur-traffic")
+      // the simulated append never commits, so restore the read latch
+      // it held down (what its commit tail would have done)
+      graft.sources.ArrowOcc.withCommitLock(fs, new Path(dir)) {
+        graft.sources.ArrowOcc.restoreLatch(fs, new Path(dir))
+      }
+    }
+    assert(spark.read.format("arrow-ipc").load(dir).count() === 400L)
+  }
+
+  test("a marker targeting the DRAINED generation defers exactly its collapse; the recorded target round-trips (round 16)") {
+    val dir = tmp("graft_pevo_fence_tgt")
+    rows(0, 300).repartition(3)
+      .write.format("arrow-ipc").mode("overwrite").save(dir)
+    ArrowMaintenance.evolvePartitioning(spark, dir, Seq("p"))
+    rows(300, 400).write.format("arrow-ipc").mode("append").save(dir)
+    val fs = fsOf(dir)
+    val dirPath = new Path(dir)
+    // a write that STARTED under the old (flat) layout is still in
+    // flight: its marker records flat as the target
+    graft.sources.ArrowOcc.markPending(fs, dirPath, "old-writer", Some(Nil))
+    assert(graft.sources.ArrowOcc.livePendingTargets(fs, dirPath)
+      .contains(Some(Nil)), "the marker's recorded target did not round-trip")
+    try {
+      val u = ArrowMaintenance.unifyGeneration(spark, dir).get
+      assert(u.drained.contains(Nil) && u.oldFiles === 3 &&
+        u.generationsRemaining === 2,
+        s"collapse ran despite a marker targeting the drained generation: $u")
+    } finally graft.sources.ArrowOcc.clearPending(fs, dirPath, "old-writer")
+    // marker gone: the next call collapses the emptied generation
+    val u2 = ArrowMaintenance.unifyGeneration(spark, dir).get
+    assert(u2.drained.isEmpty && u2.generationsRemaining === 1)
+  }
+
+  test("a streaming sink ADAPTS to a between-epoch evolve and REFUSES an intra-epoch one (round 16)") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_pevo_sguard").toString
+    val out = s"$base/out"
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long)]
+    val q = in.toDF().toDF("id", "p")
+      .writeStream.format("arrow-ipc")
+      .option("checkpointLocation", s"$base/ckpt")
+      .start(out) // option-less: each epoch inherits the standing layout
+    try {
+      in.addData((1L, 1L), (2L, 2L))
+      q.processAllAvailable()
+      assert(spark.read.format("arrow-ipc").load(out).count() === 2L)
+      // BETWEEN epochs: the per-batch write factory re-reads the
+      // standing declaration, so the next epoch nests by the new keys —
+      // the stream feeds the CURRENT generation, never the old one
+      ArrowMaintenance.evolvePartitioning(spark, out, Seq("p"))
+      in.addData((3L, 3L))
+      q.processAllAvailable()
+      assert(spark.read.format("arrow-ipc").load(out).count() === 3L)
+      assert(nestedFiles(out).nonEmpty,
+        "the post-evolve epoch did not nest by the new keys")
+      // INSIDE an epoch (factory planned, commit not yet run — injected
+      // via the test seam): the epoch targets a layout that is no longer
+      // current; the commit guard must fail the batch loudly, never
+      // record files under a non-current generation
+      graft.sources.ArrowIpcStreamingWrite.beforeCommitHook = () =>
+        ArrowMaintenance.evolvePartitioning(spark, out, Seq("id"))
+      try {
+        in.addData((4L, 4L))
+        val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+          q.processAllAvailable()
+        }
+        def messages(t: Throwable): Seq[String] =
+          Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+            .flatMap(x => Option(x.getMessage)).toSeq
+        assert(messages(e).exists(_.contains("evolved its hive layout")),
+          s"unexpected failure: ${messages(e).mkString(" | ")}")
+      } finally
+        graft.sources.ArrowIpcStreamingWrite.beforeCommitHook = () => ()
+    } finally q.stop()
+    // the refused epoch's rows never became visible
+    assert(spark.read.format("arrow-ipc").load(out).count() === 3L)
+  }
 }
