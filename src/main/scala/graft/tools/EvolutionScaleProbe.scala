@@ -39,6 +39,11 @@ object EvolutionScaleProbe {
         args.filter(_ != "race").headOption.map(_.toInt).getOrElse(45))
       spark.stop(); return
     }
+    if (args.contains("stream-race")) {
+      streamRace(spark,
+        args.filter(_ != "stream-race").headOption.map(_.toInt).getOrElse(60))
+      spark.stop(); return
+    }
 
     val partitions = args.headOption.map(_.toInt).getOrElse(300)
     val rowsPer = 2000
@@ -298,5 +303,131 @@ object EvolutionScaleProbe {
     println(if (ok) "[evo-race] ALL INVARIANTS HELD"
       else "[evo-race] INVARIANTS VIOLATED")
     if (!ok) { spark.stop(); sys.exit(1) }
+  }
+
+  /** STREAM-RACE mode (round 16): `runMain graft.tools.EvolutionScaleProbe
+    * stream-race [secs]` — a LIVE Structured Streaming sink commits
+    * epochs into the CURRENT generation continuously (rate source, no
+    * pauses) while `unifyGeneration` drains the old generations and a
+    * reader checks every committed state. This is the probe for the
+    * generation-targeted collapse fence's LIVENESS claim: the table must
+    * reach generations_remaining == 1 WITHOUT quiescing ingest (round
+    * 15's global fence deferred every collapse while ANY write was in
+    * flight anywhere — under continuous epochs the bookkeeping starved).
+    * It also exercises the fence's stream-epoch soundness side: epoch
+    * files are hidden until their ledger flip, and the collapse must
+    * never strand one (final gate: every seed row and every streamed
+    * rate value exactly once — streamed ids must form a contiguous
+    * range, the rate source's exactly-once signature). */
+  private def streamRace(spark: SparkSession, secs: Int): Unit = {
+    val base = s"/tmp/graft_scale/evolution_stream_race_${System.nanoTime()}"
+    val dir = s"$base/t"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val seedN = 600000L // fat enough that each drain races dozens of epochs
+    def shaped(df: org.apache.spark.sql.Dataset[java.lang.Long]) =
+      df.select(col("id"), (col("id") % 7).as("p"), (col("id") % 3).as("q"))
+    // seed: fat flat generation + p-hive generation, then evolve to
+    // q-hive — TWO old generations stand while the stream feeds the
+    // current one
+    shaped(spark.range(0, seedN)).repartition(16)
+      .write.format("arrow-ipc").mode("overwrite").save(dir)
+    graft.sources.ArrowMaintenance.evolvePartitioning(spark, dir, Seq("p"))
+    shaped(spark.range(seedN, 2 * seedN))
+      .write.format("arrow-ipc").mode("append").save(dir)
+    graft.sources.ArrowMaintenance.evolvePartitioning(spark, dir, Seq("q"))
+    val streamBase = 1000000000L
+    val sq = spark.readStream.format("rate")
+      .option("rowsPerSecond", 4000).load()
+      // coalesce pins id non-nullable, matching the seed's schema (the
+      // sink requires identical schemas, nullability included)
+      .select(coalesce(col("value") + streamBase, lit(0L)).as("id"),
+        (col("value") % 7).as("p"), (col("value") % 3).as("q"))
+      .writeStream.format("arrow-ipc")
+      .option("checkpointLocation", s"$base/ckpt")
+      .start(dir) // option-less: each epoch inherits the CURRENT keys (q)
+    println(s"[evo-sstream] hammering $dir for up to ${secs}s: live " +
+      "streaming sink (4000 rows/s into the current generation) vs " +
+      "unifyGeneration vs reader — NO quiescing")
+    val deadline = System.nanoTime() + secs * 1000000000L
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val reads = new java.util.concurrent.atomic.AtomicLong(0)
+    @volatile var unifiedAtNs = -1L
+    val reader = new Thread(() => {
+      var lastTotal = 0L
+      while (System.nanoTime() < deadline && errs.isEmpty &&
+          unifiedAtNs < 0) {
+        try {
+          Thread.sleep(700)
+          val t = spark.read.format("arrow-ipc").load(dir)
+          val seeds = t.filter(col("id") < 2 * seedN).count()
+          val total = t.count()
+          if (seeds != 2 * seedN)
+            errs.add(s"reader: seed rows $seeds != ${2 * seedN}")
+          if (total < lastTotal)
+            errs.add(s"reader: total shrank $lastTotal -> $total")
+          lastTotal = total; reads.incrementAndGet()
+        } catch { case e: Throwable =>
+          errs.add(s"reader: ${e.getClass.getSimpleName}: ${e.getMessage}") }
+      }
+    }, "sstream-reader")
+    reader.start()
+    val t0 = System.nanoTime()
+    var drains = 0
+    var refused = 0
+    var gens = 3
+    try {
+      while (gens > 1 && System.nanoTime() < deadline && errs.isEmpty) {
+        try graft.sources.ArrowMaintenance.unifyGeneration(spark, dir)
+          .foreach { u => drains += 1; gens = u.generationsRemaining }
+        catch {
+          case _: graft.sources.ArrowOcc.CommitConflictException =>
+            refused += 1
+        }
+        Thread.sleep(200)
+      }
+      if (gens == 1) unifiedAtNs = System.nanoTime()
+      // the LIVENESS gate: unified while the stream never stopped
+      if (gens != 1)
+        errs.add(s"liveness: still $gens generations after ${secs}s of " +
+          "draining under continuous ingest — the collapse starved")
+      // let the stream keep committing POST-unify epochs before stopping
+      Thread.sleep(2000)
+    } finally {
+      reader.join(5000)
+      sq.processAllAvailable()
+      sq.stop()
+    }
+    val unifiedIn = (unifiedAtNs - t0) / 1e9
+    val t = spark.read.format("arrow-ipc").load(dir)
+    val total = t.count()
+    val distinct = t.select("id").distinct().count()
+    val streamed = t.filter(col("id") >= streamBase)
+      .agg(count(lit(1)), min(col("id")), max(col("id")))
+      .head()
+    val (sCount, sMin, sMax) =
+      (streamed.getLong(0), streamed.getLong(1), streamed.getLong(2))
+    val gensFinal = graft.sources.ArrowHiveLayout.readGenerations(
+      fs, new org.apache.hadoop.fs.Path(dir)).size
+    println(f"[evo-sstream] unified_in=$unifiedIn%.1fs (stream live " +
+      s"throughout) drains=$drains refused=$refused reads=${reads.get} " +
+      s"count=$total distinct=$distinct streamed=$sCount gens=$gensFinal")
+    if (total != distinct)
+      errs.add(s"final: $total rows but $distinct distinct ids")
+    if (total != 2 * seedN + sCount)
+      errs.add(s"final: seeds lost ($total != ${2 * seedN} + $sCount)")
+    // rate values are contiguous: exactly-once means the streamed ids
+    // form the unbroken range [streamBase, streamBase + sCount)
+    if (sCount == 0)
+      errs.add("final: the stream committed nothing")
+    else if (sMin != streamBase || sMax - sMin + 1 != sCount)
+      errs.add(s"final: streamed ids not contiguous " +
+        s"($sMin..$sMax, count=$sCount) — an epoch was lost or doubled")
+    if (gensFinal != 1)
+      errs.add(s"final: $gensFinal generations declared")
+    errs.forEach(e => println(s"[evo-sstream]   FAILURE: $e"))
+    println(if (errs.isEmpty) "[evo-sstream] ALL INVARIANTS HELD"
+      else "[evo-sstream] INVARIANTS VIOLATED")
+    if (!errs.isEmpty) { spark.stop(); sys.exit(1) }
   }
 }
