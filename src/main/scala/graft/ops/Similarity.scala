@@ -381,9 +381,18 @@ object Similarity {
     val tip = graft.sources.ArrowSnapshots.currentTip(
       fs, new org.apache.hadoop.fs.Path(s"$dir/$gen/cells"))
     // the COMMIT: one atomic flip — readers see the old generation or the
-    // new one, never a mix
-    writeManifest(spark, dir,
-      IvfManifest(gen, nlist, idCol, vecCol, tip, quantized))
+    // new one, never a mix. The flip holds the index directory's commit
+    // lock so it serializes against [[ivfAppend]]'s manifest commit: an
+    // append racing this build either lands its tip BEFORE the flip (its
+    // rows go down with the superseded generation — a rebuild replaces
+    // the index with exactly the corpus it was given) or observes the new
+    // generation under the lock and retries onto it. Without the lock the
+    // append's unconditional trailing manifest write could silently
+    // REVERT the flip, orphaning the fresh build for the next sweep.
+    graft.sources.ArrowOcc.withCommitLock(fs, dirPath) {
+      writeManifest(spark, dir,
+        IvfManifest(gen, nlist, idCol, vecCol, tip, quantized))
+    }
     // sweep superseded/orphaned generations once provably dead (a young
     // foreign dir may be a concurrent build mid-stage or a reader's
     // in-flight old generation)
@@ -405,40 +414,77 @@ object Similarity {
     * FROZEN — the standard IVF ingestion contract (recall drifts only as
     * far as the data does; re-run [[ivfBuild]] to re-center, the analog
     * of a clustering maintenance pass). */
+  /** Test seam: fires after an append's cell write, before its locked
+    * manifest commit — the window where a concurrent [[ivfBuild]] flip
+    * forces the append to retry onto the new generation. */
+  private[graft] var beforeIvfAppendCommitHook: () => Unit = () => ()
+
   def ivfAppend(spark: org.apache.spark.sql.SparkSession, dir: String,
       fresh: DataFrame, idCol: String, vecCol: String): Unit = {
-    val m = readManifest(spark, dir) // refuses a torn/manifest-less index
-    val centroids = spark.read.format("arrow-ipc")
-      .load(s"$dir/${m.generation}/centroids")
-    val freshN = fresh.withColumn("cn", norm(col(vecCol)))
-    val assigned = freshN
-      .crossJoin(broadcast(centroids))
-      .withColumn("__sim",
-        dot(col(vecCol), col("cvec")) / (col("cn") * norm(col("cvec"))))
-      .groupBy(col(idCol))
-      .agg(max(struct(col("__sim"), col("cid"))).getField("cid").as("cid"))
-    val freshCells =
-      if (!m.quantized)
-        freshN.join(assigned, idCol)
-          .select(col("cid"), col(idCol), col(vecCol), col("cn"))
-      else freshN.join(assigned, idCol)
-        .select(col("cid"), col(idCol),
-          quantScale(col(vecCol)).as("cs"), col(vecCol))
-        .select(col("cid"), col(idCol), col("cs"),
-          quantVec(col(vecCol), col("cs")).as("cq"))
-    freshCells
-      .write.format("arrow-ipc").mode("append")
-      .option("partitionKeys", "cid")
-      .save(s"$dir/${m.generation}/cells")
-    // advance the manifest: same generation, new cells tip — bookkeeping
-    // for consumers pinning reproducible reads, and the signal that the
-    // append landed (the cell append itself is atomic under the arrow
-    // source's own commit protocol)
-    val cellsPath = new org.apache.hadoop.fs.Path(s"$dir/${m.generation}/cells")
-    val tip = graft.sources.ArrowSnapshots.currentTip(
-      cellsPath.getFileSystem(spark.sparkContext.hadoopConfiguration),
-      cellsPath)
-    writeManifest(spark, dir, m.copy(cellsTip = tip))
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // RETRY against rebuilds: the cell write targets the generation the
+    // manifest named at the START of the attempt, but a concurrent
+    // [[ivfBuild]] may flip to a fresh generation mid-append — cells
+    // appended to the superseded generation would silently vanish from
+    // queries (they ride a dead directory). The manifest commit therefore
+    // re-reads the manifest UNDER the index directory's commit lock and
+    // only records the tip if the generation is still the one it wrote
+    // to; otherwise the attempt's rows are abandoned with the dead
+    // generation (swept by the next build's staleness gate) and the whole
+    // assign-and-append re-runs against the new centroids — the fresh
+    // rows are never lost and a rebuild's flip is never reverted.
+    val maxAttempts = 5
+    var attempt = 0
+    var committed = false
+    while (!committed) {
+      attempt += 1
+      val m = readManifest(spark, dir) // refuses a torn/manifest-less index
+      val centroids = spark.read.format("arrow-ipc")
+        .load(s"$dir/${m.generation}/centroids")
+      val freshN = fresh.withColumn("cn", norm(col(vecCol)))
+      val assigned = freshN
+        .crossJoin(broadcast(centroids))
+        .withColumn("__sim",
+          dot(col(vecCol), col("cvec")) / (col("cn") * norm(col("cvec"))))
+        .groupBy(col(idCol))
+        .agg(max(struct(col("__sim"), col("cid"))).getField("cid").as("cid"))
+      val freshCells =
+        if (!m.quantized)
+          freshN.join(assigned, idCol)
+            .select(col("cid"), col(idCol), col(vecCol), col("cn"))
+        else freshN.join(assigned, idCol)
+          .select(col("cid"), col(idCol),
+            quantScale(col(vecCol)).as("cs"), col(vecCol))
+          .select(col("cid"), col(idCol), col("cs"),
+            quantVec(col(vecCol), col("cs")).as("cq"))
+      freshCells
+        .write.format("arrow-ipc").mode("append")
+        .option("partitionKeys", "cid")
+        .save(s"$dir/${m.generation}/cells")
+      beforeIvfAppendCommitHook()
+      // advance the manifest: same generation, new cells tip — bookkeeping
+      // for consumers pinning reproducible reads, and the signal that the
+      // append landed (the cell append itself is atomic under the arrow
+      // source's own commit protocol)
+      val cellsPath =
+        new org.apache.hadoop.fs.Path(s"$dir/${m.generation}/cells")
+      committed = graft.sources.ArrowOcc.withCommitLock(fs, dirPath) {
+        val m2 = readManifest(spark, dir)
+        if (m2.generation == m.generation) {
+          // tip computed under the lock: reflects every cell commit that
+          // landed before this manifest write, so tips stay monotonic
+          // across concurrent appends to the same generation
+          val tip = graft.sources.ArrowSnapshots.currentTip(fs, cellsPath)
+          writeManifest(spark, dir, m2.copy(cellsTip = tip))
+          true
+        } else false
+      }
+      if (!committed && attempt >= maxAttempts)
+        throw new IllegalStateException(
+          s"ivfAppend: $dir was rebuilt $maxAttempts times during one " +
+            "append — giving up; re-run against the settled index")
+    }
   }
 
   /** Query a [[ivfBuild]]-persisted index — bit-identical to running

@@ -317,6 +317,55 @@ class SimilaritySpec extends AnyFunSuite {
     assert(cells.count() === 100)
   }
 
+  test("an append racing a rebuild's flip retries onto the new generation, never reverts it") {
+    val rnd = new scala.util.Random(7)
+    val centers = Seq(
+      Array.fill(16)(5.0f), Array.fill(16)(-5.0f),
+      Array.tabulate(16)(i => if (i < 8) 5.0f else -5.0f),
+      Array.tabulate(16)(i => if (i < 8) -5.0f else 5.0f))
+    def mk(ids: Range) = ids.map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(v => v + rnd.nextFloat() * 0.5f))
+    }.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_race").toString + "/ix"
+    Similarity.ivfBuild(mk(0 until 80), "vec_id", "embedding",
+      nlist = 8, dir = dir)
+    val gen0 = Similarity.ivfGenerationDir(spark, dir)
+    // the hook fires between the append's cell write and its locked
+    // manifest commit — exactly where a concurrent rebuild can flip the
+    // generation out from under it; fire once, rebuild over a 90-row
+    // corpus so the flipped generation is distinguishable
+    val fired = new java.util.concurrent.atomic.AtomicInteger(0)
+    var gen1 = ""
+    Similarity.beforeIvfAppendCommitHook = () =>
+      if (fired.getAndIncrement() == 0) {
+        Similarity.ivfBuild(mk(0 until 90), "vec_id", "embedding",
+          nlist = 8, dir = dir)
+        gen1 = Similarity.ivfGenerationDir(spark, dir)
+      }
+    try Similarity.ivfAppend(spark, dir, mk(100 until 110),
+      "vec_id", "embedding")
+    finally Similarity.beforeIvfAppendCommitHook = () => ()
+    assert(fired.get() === 2, "the append must have retried exactly once")
+    // the rebuild's flip survived (the old unconditional manifest write
+    // would have reverted it to gen0), and the retried append landed in
+    // the NEW generation: 90 rebuilt + 10 fresh rows, every id once
+    val genFinal = Similarity.ivfGenerationDir(spark, dir)
+    assert(genFinal === gen1 && genFinal != gen0,
+      s"manifest must stay on the rebuild's generation ($gen0 / $gen1 / $genFinal)")
+    val cells = spark.read.format("arrow-ipc").load(genFinal + "/cells")
+    assert(cells.count() === 100)
+    assert(cells.select("vec_id").distinct().count() === 100)
+    val queries = mk(100 until 104)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"))
+    val got = Similarity.ivfTopKStored(spark, dir, queries,
+      "vec_id", "embedding", "qid", "qe", k = 3, nprobe = 4)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(got.exists(_ >= 100L),
+      "fresh vectors appended through the retry must be retrievable")
+  }
+
   test("LSH top-k: same-bucket neighbors are exact-ranked; buckets deterministic") {
     val rnd = new scala.util.Random(7)
     val corpus = (0L until 100L).map(i => (i, Array.fill(16)(rnd.nextFloat()))).toDF("vec_id", "embedding")
