@@ -206,13 +206,6 @@ object Bench {
     // grows with the query count) goes to an earlier line and a durable
     // file, while the LAST line stays compact (< 500 chars) forever.
     println(perQuery)
-    // the durable map is the round's REFERENCE baseline — a subset run
-    // (SPARK_GRAFT_ONLY iteration/A-B) must not clobber it
-    if (only.isEmpty) try {
-      val out = java.nio.file.Paths.get("tools", "bench_queries_latest.json")
-      java.nio.file.Files.createDirectories(out.getParent)
-      java.nio.file.Files.write(out, perQuery.getBytes("UTF-8"))
-    } catch { case e: Throwable => System.err.println(s"[bench] per-query file: $e") }
     val (steal1, jiffies1) = cpuJiffies
     val stealPct =
       if (jiffies1 > jiffies0)
@@ -220,8 +213,29 @@ object Bench {
       else 0.0
     val loadPeak = if (envByQuery.isEmpty) load1
       else envByQuery.values.map(_._4).max
+    // THE IDLE GATE (round 16): the durable map is the round's REFERENCE
+    // baseline — the lineage every future movers adjudication diffs
+    // against — so a contention-tinted window must never overwrite it.
+    // What round 15 enforced by hand (re-run until load1 < 3) is now the
+    // instrument's own refusal: a run that STARTED loaded (load1 > 3) or
+    // ran under measurable steal (> 1%) keeps its stdout artifact but
+    // leaves the committed map alone. SPARK_GRAFT_BENCH_FORCE=1 overrides
+    // for diagnostics; subset runs (SPARK_GRAFT_ONLY) never write it.
+    val forced = sys.env.get("SPARK_GRAFT_BENCH_FORCE").contains("1")
+    val tinted = load1Start > 3.0 || stealPct > 1.0
+    val mapWritten = only.isEmpty && (!tinted || forced)
+    if (only.isEmpty && tinted && !forced)
+      System.err.println(f"[bench] REFUSED to overwrite the committed map: " +
+        f"load1_start=$load1Start%.2f steal=$stealPct%.2f%% exceed the idle " +
+        "gate (load1 <= 3, steal <= 1%) — re-run in an idle window, or set " +
+        "SPARK_GRAFT_BENCH_FORCE=1 to force a diagnostic overwrite")
+    if (mapWritten) try {
+      val out = java.nio.file.Paths.get("tools", "bench_queries_latest.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out, perQuery.getBytes("UTF-8"))
+    } catch { case e: Throwable => System.err.println(s"[bench] per-query file: $e") }
     println(
-      s"""{"metric":"total","value":${math.rint(total * 1e3) / 1e3},"unit":"sec","runs":$runsPerQuery,"n_queries":${okResults.size},"n_failed":${failedNames.size},"n_outliers":${outliers.size},"max_query":"${maxQ._1}","max_sec":${math.rint(maxQ._2 * 1e3) / 1e3},"cc_mb":$ccUsedMb,"gc_ms":$gcMs,"load1_start":$load1Start,"load1_end":$load1,"load1_peak":$loadPeak,"steal_pct":$stealPct,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${math.rint(total * 1e3) / 1e3},"unit":"sec","runs":$runsPerQuery,"n_queries":${okResults.size},"n_failed":${failedNames.size},"n_outliers":${outliers.size},"max_query":"${maxQ._1}","max_sec":${math.rint(maxQ._2 * 1e3) / 1e3},"cc_mb":$ccUsedMb,"gc_ms":$gcMs,"load1_start":$load1Start,"load1_end":$load1,"load1_peak":$loadPeak,"steal_pct":$stealPct,"map_written":$mapWritten,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
