@@ -47,7 +47,7 @@ object Bench {
     "arrow_upsert_eq_composite", "dedup_substring_apply", "arrow_tag",
     "sample_cluster_balance", "ann_quantized_topk", "text_dedup_lines",
     "ann_ivf_quantized", "ann_ivf_stored_q8", "ann_ivf_q8_refined",
-    "arrow_unify_generation")
+    "arrow_unify_generation", "ann_ivf_compacted")
 
   def main(args: Array[String]): Unit = {
     // Iteration aid: SPARK_GRAFT_ONLY=q1,q2 restricts the run to a subset.

@@ -500,6 +500,43 @@ object PipelineQueries {
         k = 5, nprobe = 4).orderBy("qid", "rk")
     }, Some(ivfQuantizedOracle)),
 
+    // COMPACTED stored IVF (round 16): the index GROW loop at scale —
+    // build over 80% of the corpus, ivfAppend the remaining 20% in two
+    // waves (each append lands its own key-grouped file set — a
+    // long-lived index accumulates one per ingest batch), then
+    // ivfCompact rewrites the accumulated small cell files key-grouped
+    // into a fresh generation and flips the manifest (search results
+    // BIT-IDENTICAL — contents never change, only the file count; the
+    // flip re-checks generation + cells tip under the commit lock so a
+    // racing append or rebuild is never lost). The oracle replays
+    // build-subset kmeans + FULL-corpus assignment, so the hash proves
+    // both the append assignment (frozen centroids, the exact build
+    // formula) and the compact's contents-preserving claim.
+    ("ann_ivf_compacted", (s, d) => {
+      val e = T(s, d, "embeddings")
+      // Scratch contract: see json_roundtrip.
+      val path = graft.sources.Scratch.dir(s, "graft_rt_ivf_compacted")
+      Similarity.ivfBuild(
+        e.filter(col("vec_id") % 5 < 4)
+          .select(col("vec_id"), col("embedding")),
+        idCol = "vec_id", vecCol = "embedding", nlist = 16, dir = path)
+      Similarity.ivfAppend(s, path,
+        e.filter(col("vec_id") % 10 === 4)
+          .select(col("vec_id"), col("embedding")), "vec_id", "embedding")
+      Similarity.ivfAppend(s, path,
+        e.filter(col("vec_id") % 10 === 9)
+          .select(col("vec_id"), col("embedding")), "vec_id", "embedding")
+      val res = Similarity.ivfCompact(s, path)
+      require(res.exists(r => r._2 < r._1),
+        s"ann_ivf_compacted: compact must shrink the grown cell layout " +
+          s"(got $res)")
+      Similarity.ivfTopKStored(s, path,
+        queries = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe")),
+        idCol = "vec_id", vecCol = "embedding", qidCol = "qid", qvecCol = "qe",
+        k = 5, nprobe = 4).orderBy("qid", "rk")
+    }, Some(ivfCompactedOracle)),
+
     // FLOAT-REFINED quantized IVF (round 15 — Faiss IndexRefineFlat over
     // an SQ8 base): the int8 stage selects each query's top k·4
     // candidates (all the memory/scan savings of ann_ivf_quantized at
@@ -1616,27 +1653,38 @@ object PipelineQueries {
     * cell assignment → per-query probes) — everything up to scoring, so
     * the exact-cosine and the quantized-dot tails rank over the SAME
     * candidate sets. */
-  private lazy val ivfOracleCore: String = {
+  private lazy val ivfOracleCore: String = ivfOracleCoreBuiltOver("TRUE")
+
+  /** The shared IVF CTE core, with the index-CONSTRUCTION stages (seed
+    * selection, the Lloyd refinement, the centroid means) computed over
+    * `embeddings WHERE $buildPred` while the CELLS (s1) cover the FULL
+    * table — the stored index's grow path: `ivfBuild` over a subset,
+    * then `ivfAppend` of the rest assigns appended rows to the FROZEN
+    * build centroids with the exact formula s1 applies (max cosine,
+    * ties to the larger cid). `"TRUE"` degenerates to the
+    * build-everything core every inline variant shares. */
+  private def ivfOracleCoreBuiltOver(buildPred: String): String = {
     def dot(a: String, b: String): String =
       s"list_reduce(list_transform(list_zip($a, $b), z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (acc, x) -> acc + x)"
     def norm2(v: String): String =
       s"sqrt(list_reduce(list_transform($v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, x) -> acc + x))"
     s"""WITH c AS (SELECT vec_id, embedding, ${norm2("embedding")} AS cn FROM embeddings),
+        b AS (SELECT vec_id, embedding, cn FROM c WHERE $buildPred),
         seeds AS (
           SELECT vec_id AS cid, embedding AS cvec
-          FROM embeddings
+          FROM embeddings WHERE $buildPred
           ORDER BY ${duckBase("CAST(vec_id AS VARCHAR)")}, vec_id LIMIT 16),
         s0 AS (
           SELECT c.vec_id, s.cid,
                  row_number() OVER (PARTITION BY c.vec_id
                    ORDER BY ${dot("c.embedding", "s.cvec")} / (c.cn * ${norm2("s.cvec")}) DESC,
                             s.cid DESC) AS rn
-          FROM c CROSS JOIN seeds s),
+          FROM b c CROSS JOIN seeds s),
         a0 AS (SELECT vec_id, cid FROM s0 WHERE rn = 1),
         el AS (
           SELECT a0.cid, c.vec_id, i AS pos,
                  CAST(c.embedding[CAST(i AS INT)] AS DOUBLE) AS v
-          FROM a0 JOIN c ON a0.vec_id = c.vec_id,
+          FROM a0 JOIN b c ON a0.vec_id = c.vec_id,
           LATERAL (SELECT unnest(generate_series(1, len(c.embedding)))) t(i)),
         cm AS (
           SELECT cid, pos,
@@ -1661,10 +1709,21 @@ object PipelineQueries {
         probes AS (SELECT qid, cid FROM pr WHERE rn <= 4)"""
   }
 
-  private lazy val ivfOracle: String = {
+  private lazy val ivfOracle: String = ivfFloatTail(ivfOracleCore)
+
+  /** The compacted-index oracle: construction stages over the 80% build
+    * subset (`vec_id % 5 < 4` — the split `ann_ivf_compacted` grows the
+    * index with), cells over the full table. `ivfCompact` itself must be
+    * invisible here — it rewrites files, never contents. */
+  private lazy val ivfCompactedOracle: String =
+    ivfFloatTail(ivfOracleCoreBuiltOver("vec_id % 5 < 4"))
+
+  /** The float scoring tail over a core's probes/cells: exact cosine on
+    * the probed cells, top-5 per query. */
+  private def ivfFloatTail(core: String): String = {
     def dot(a: String, b: String): String =
       s"list_reduce(list_transform(list_zip($a, $b), z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (acc, x) -> acc + x)"
-    s"""$ivfOracleCore,
+    s"""$core,
         scored AS (
           SELECT p.qid, ce.vec_id,
                  round(${dot("q.embedding", "ce.embedding")} / (q.cn * ce.cn), 9) AS cos

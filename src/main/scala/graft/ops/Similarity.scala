@@ -393,16 +393,7 @@ object Similarity {
       writeManifest(spark, dir,
         IvfManifest(gen, nlist, idCol, vecCol, tip, quantized))
     }
-    // sweep superseded/orphaned generations once provably dead (a young
-    // foreign dir may be a concurrent build mid-stage or a reader's
-    // in-flight old generation)
-    val now = System.currentTimeMillis()
-    Option(fs.globStatus(new org.apache.hadoop.fs.Path(dir, "g-*")))
-      .getOrElse(Array.empty)
-      .filter(st => st.getPath.getName != gen &&
-        now - graft.sources.ArrowOcc.newestMTime(fs, st.getPath) >
-          graft.sources.ArrowOcc.staleMs)
-      .foreach(st => fs.delete(st.getPath, true))
+    sweepDeadGenerations(fs, dir, gen)
   }
 
   /** INCREMENTAL index growth: assign `fresh` vectors to the STORED
@@ -485,6 +476,132 @@ object Similarity {
           s"ivfAppend: $dir was rebuilt $maxAttempts times during one " +
             "append — giving up; re-run against the settled index")
     }
+  }
+
+  /** Test seam: fires after a compact's staged rewrite, before its locked
+    * manifest flip — the window where a concurrent append or rebuild
+    * forces the compact to refuse and retry. */
+  private[graft] var beforeIvfCompactCommitHook: () => Unit = () => ()
+
+  /** COMPACT the stored index's cell files. An incrementally grown index
+    * adds one key-grouped file set per [[ivfAppend]] — thousands of
+    * appends mean thousands of small cell files per posting list, and
+    * every search pays the open/footer tax on all of them. The compact
+    * rewrites the CURRENT generation's cells key-grouped on cid into a
+    * fresh generation (centroids copied — floats round-trip the
+    * interchange exactly), so search results are BIT-IDENTICAL before
+    * and after: contents never change, only the file count.
+    *
+    * CONCURRENCY — the index's own generation-flip protocol, made
+    * CONVERGENT under steady ingest by delta catch-up. The staged
+    * rewrite reads the cells at a snapshot tip; the manifest flip holds
+    * the commit lock and re-checks the generation (a racing rebuild
+    * wins — flipping over it would resurrect its superseded corpus) and
+    * the cells tip. A moved tip does NOT restart the rewrite: appends
+    * only ever ADD key-grouped cell files, so the catch-up folds exactly
+    * the rows of the snapshots committed since the last tip into the
+    * staged generation (an O(delta) keyed append — the [[graft.sources
+    * .ArrowSnapshots.readRange]] window, never a re-listing) and re-takes
+    * the lock; each round's delta is bounded by the append traffic of
+    * the previous round's fold, so the loop converges unless ingest
+    * outruns a sub-second append indefinitely. An append mid-flight at
+    * flip time commits nothing to the dead generation — its own locked
+    * manifest check sees the new generation and re-runs onto it
+    * ([[ivfAppend]]'s retry). Returns None when a rebuild won, when the
+    * catch-up budget ran out, or when there is nothing to compact (file
+    * count already at the key-grouped floor: one file per occupied
+    * cell). */
+  def ivfCompact(spark: org.apache.spark.sql.SparkSession, dir: String,
+      attempts: Int = 5): Option[(Int, Int)] = {
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val m = readManifest(spark, dir) // refuses a torn/manifest-less index
+    val cellsPath =
+      new org.apache.hadoop.fs.Path(s"$dir/${m.generation}/cells")
+    var tip0 = graft.sources.ArrowSnapshots.currentTip(fs, cellsPath)
+    val oldCount =
+      graft.sources.ArrowSnapshots.listDataFiles(fs, cellsPath).size
+    // the key-grouped floor: a file is single-valued on cid, so the
+    // layout cannot go below one file per occupied cell — nothing to do
+    // until appends have pushed the count past the build's own shape
+    if (oldCount <= m.nlist) return None
+    val gen = "g-" + java.util.UUID.randomUUID.toString.take(8)
+    val newCellsDir = s"$dir/$gen/cells"
+    def abandon(): Option[(Int, Int)] = {
+      // never became current — safe to delete immediately, no reader can
+      // have resolved it through the manifest
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$gen"), true)
+      None
+    }
+    spark.read.format("arrow-ipc").load(s"$dir/${m.generation}/centroids")
+      .coalesce(1).write.format("arrow-ipc").mode("overwrite")
+      .save(s"$dir/$gen/centroids")
+    graft.sources.Sinks.writeKeyGrouped(
+      spark.read.format("arrow-ipc").load(cellsPath.toString),
+      newCellsDir, Seq("cid"), partitions = math.min(m.nlist, 32))
+    beforeIvfCompactCommitHook()
+    val newCells = new org.apache.hadoop.fs.Path(newCellsDir)
+    var attempt = 0
+    while (attempt < attempts) {
+      attempt += 1
+      // 0 = flipped; -1 = rebuild won; >0 = the tip the catch-up must
+      // reach before the next flip attempt
+      val verdict = graft.sources.ArrowOcc.withCommitLock(fs, dirPath) {
+        val m2 = readManifest(spark, dir)
+        if (m2.generation != m.generation) -1L
+        else {
+          val tip1 = graft.sources.ArrowSnapshots.currentTip(fs, cellsPath)
+          if (tip1 == tip0) {
+            writeManifest(spark, dir, m2.copy(generation = gen,
+              cellsTip =
+                graft.sources.ArrowSnapshots.currentTip(fs, newCells)))
+            0L
+          } else tip1
+        }
+      }
+      if (verdict == 0L) {
+        sweepDeadGenerations(fs, dir, gen)
+        return Some((oldCount,
+          graft.sources.ArrowSnapshots.listDataFiles(fs, newCells).size))
+      }
+      if (verdict < 0L) return abandon()
+      // CATCH-UP, outside the lock: fold the rows of snapshots
+      // (tip0, tip1] into the staged generation. Appends are the only
+      // writer of a live cells table — a remove in the window means a
+      // foreign rewrite this compact must not paper over
+      val window = graft.sources.ArrowSnapshots.readRange(
+        fs, cellsPath, tip0, verdict, "ivf_compact")
+      if (window.exists(_.removes.nonEmpty)) return abandon()
+      val deltaPaths = window.flatMap(_.adds).map(rel => fs.makeQualified(
+        new org.apache.hadoop.fs.Path(cellsPath, rel)).toString)
+      // the shared planner bound (ArrowMaintenance.MaxIsinPaths): a
+      // catch-up this far behind should re-run, not plan a huge literal
+      if (deltaPaths.size > 1000) return abandon()
+      if (deltaPaths.nonEmpty)
+        spark.read.format("arrow-ipc").load(cellsPath.toString)
+          .filter(col(graft.sources.ArrowRowLevel.FileColumn)
+            .isin(deltaPaths: _*))
+          .drop(graft.sources.ArrowRowLevel.FileColumn)
+          .write.format("arrow-ipc").mode("append")
+          .option("partitionKeys", "cid").save(newCellsDir)
+      tip0 = verdict
+    }
+    abandon()
+  }
+
+  /** Sweep superseded/orphaned generation dirs once provably dead (a
+    * young foreign dir may be a concurrent build mid-stage or a reader's
+    * in-flight old generation) — shared by [[ivfBuild]] and
+    * [[ivfCompact]]. */
+  private def sweepDeadGenerations(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String, keep: String): Unit = {
+    val now = System.currentTimeMillis()
+    Option(fs.globStatus(new org.apache.hadoop.fs.Path(dir, "g-*")))
+      .getOrElse(Array.empty)
+      .filter(st => st.getPath.getName != keep &&
+        now - graft.sources.ArrowOcc.newestMTime(fs, st.getPath) >
+          graft.sources.ArrowOcc.staleMs)
+      .foreach(st => fs.delete(st.getPath, true))
   }
 
   /** Query a [[ivfBuild]]-persisted index — bit-identical to running

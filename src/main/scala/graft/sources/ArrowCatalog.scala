@@ -972,6 +972,26 @@ class ArrowCatalog extends TableCatalog with ProcedureCatalog
           graft.ops.Similarity.ivfGenerationDir(spark, indexDir)).getName
         Seq(row(n, gen))
       }),
+    GraftProcedure("ivf_compact",
+      "rewrite the stored index's cell files key-grouped into a fresh " +
+        "generation and flip the manifest — an incrementally grown " +
+        "index sheds its per-append small files; search results are " +
+        "bit-identical. old_files = new_files = 0 when there is " +
+        "nothing to do or every attempt lost to a concurrent " +
+        "append/rebuild",
+      Array(in("index_dir", StringType)),
+      StructType(Seq(
+        org.apache.spark.sql.types.StructField("old_files", IntegerType),
+        org.apache.spark.sql.types.StructField("new_files", IntegerType),
+        org.apache.spark.sql.types.StructField("generation", StringType))),
+      r => {
+        val spark = SparkSession.active
+        val indexDir = dirArg(r)
+        val res = graft.ops.Similarity.ivfCompact(spark, indexDir)
+        val gen = new Path(
+          graft.ops.Similarity.ivfGenerationDir(spark, indexDir)).getName
+        Seq(row(res.map(_._1).getOrElse(0), res.map(_._2).getOrElse(0), gen))
+      }),
     GraftProcedure("dedup",
       "near-dup dedup of a document directory: minhash-LSH pairs -> " +
         "exact-jaccard verify -> connected components -> keep the " +

@@ -121,7 +121,11 @@ object AnnStressProbe {
           Similarity.ivfAppend(spark, dir, mk(blk.lo, blk.hi),
             "vec_id", "embedding")
           blk.endNs = System.nanoTime()
-          Thread.sleep(100)
+          // a small gap between blocks: back-to-back appends starve the
+          // compactor's tip check on every attempt — realistic ingest has
+          // lulls, and the contended path still triggers several times a
+          // run at this cadence
+          Thread.sleep(900)
         }
     }, s"ann-appender$n"))
 
@@ -156,18 +160,38 @@ object AnnStressProbe {
         }
     }, s"ann-searcher$n"))
 
+    // the maintenance thread alternates REBUILD (manifest flips to a
+    // fresh corpus — visibility-eclipsing) and COMPACT (manifest flips
+    // to a contents-identical regrouped generation — visibility-neutral;
+    // refuses when contended by a racing append, counted, never an error)
+    @volatile var lastFlipGen = ""
+    val compacts = new java.util.concurrent.atomic.AtomicLong(0)
+    val compactContended = new java.util.concurrent.atomic.AtomicLong(0)
     val rebuilder = new Thread(() => {
+      var turn = 0
       while (System.nanoTime() < deadline && errs.isEmpty)
         guard("rebuilder") {
           Thread.sleep(8000)
           if (System.nanoTime() < deadline) {
-            val ids = completedIds()
-            Similarity.ivfBuild(mkIds(ids.toSeq.sorted), "vec_id",
-              "embedding", nlist = 16, dir = dir, quantized = quantized)
-            val gen = Similarity.ivfGenerationDir(spark, dir)
-              .split('/').last
-            rebuilds.add(Rebuild(ids, gen, System.nanoTime()))
-            println(s"[ann-stress]   rebuild -> $gen over ${ids.size} ids")
+            if (turn % 2 == 0) {
+              val ids = completedIds()
+              Similarity.ivfBuild(mkIds(ids.toSeq.sorted), "vec_id",
+                "embedding", nlist = 16, dir = dir, quantized = quantized)
+              val gen = Similarity.ivfGenerationDir(spark, dir)
+                .split('/').last
+              rebuilds.add(Rebuild(ids, gen, System.nanoTime()))
+              lastFlipGen = gen
+              println(s"[ann-stress]   rebuild -> $gen over ${ids.size} ids")
+            } else Similarity.ivfCompact(spark, dir, attempts = 6) match {
+              case Some((o, n)) =>
+                val gen = Similarity.ivfGenerationDir(spark, dir)
+                  .split('/').last
+                lastFlipGen = gen
+                compacts.incrementAndGet()
+                println(s"[ann-stress]   compact -> $gen ($o -> $n files)")
+              case None => compactContended.incrementAndGet()
+            }
+            turn += 1
           }
         }
     }, "ann-rebuilder")
@@ -182,11 +206,10 @@ object AnnStressProbe {
       Option(r)
     }
     val genFinal = Similarity.ivfGenerationDir(spark, dir)
-    lastRebuild.foreach { r =>
-      if (!genFinal.endsWith(r.gen))
-        errs.add(s"gate1: manifest generation ${genFinal.split('/').last} " +
-          s"!= last rebuild's ${r.gen} — an append reverted the flip")
-    }
+    if (lastFlipGen.nonEmpty && !genFinal.endsWith(lastFlipGen))
+      errs.add(s"gate1: manifest generation ${genFinal.split('/').last} " +
+        s"!= the last flip's $lastFlipGen — an append reverted a " +
+        "rebuild/compact flip")
     val cells = spark.read.format("arrow-ipc").load(s"$genFinal/cells")
     val visible = cells.select("vec_id").as[Long].collect().toSet
     val rowCount = cells.count()
@@ -252,7 +275,8 @@ object AnnStressProbe {
     }
     println(s"[ann-stress] appends=${completed.size} blocks " +
       s"(${completed.size * blockSz} rows, gray=${gray.size}) " +
-      s"rebuilds=${rebuilds.size} searches=${searches.get} " +
+      s"rebuilds=${rebuilds.size} compacts=${compacts.get} " +
+      s"(contended=${compactContended.get}) searches=${searches.get} " +
       s"visible=${visible.size} must=${must.size} may=${may.size} " +
       s"quantized=$quantized")
     errs.forEach(e => println(s"[ann-stress]   FAILURE: $e"))

@@ -366,6 +366,80 @@ class SimilaritySpec extends AnyFunSuite {
       "fresh vectors appended through the retry must be retrievable")
   }
 
+  test("ivfCompact: fewer files, bit-identical results, layout and racing appends preserved") {
+    val rnd = new scala.util.Random(7)
+    val centers = Seq(
+      Array.fill(16)(5.0f), Array.fill(16)(-5.0f),
+      Array.tabulate(16)(i => if (i < 8) 5.0f else -5.0f),
+      Array.tabulate(16)(i => if (i < 8) -5.0f else 5.0f))
+    def mk(ids: Range) = ids.map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(v => v + rnd.nextFloat() * 0.5f))
+    }.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_cmp").toString + "/ix"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Similarity.ivfBuild(mk(0 until 80), "vec_id", "embedding",
+      nlist = 8, dir = dir)
+    // a fresh build is already at the key-grouped floor: nothing to do
+    assert(Similarity.ivfCompact(spark, dir).isEmpty)
+    // grow it: each append lands its own key-grouped file set
+    Similarity.ivfAppend(spark, dir, mk(80 until 100), "vec_id", "embedding")
+    Similarity.ivfAppend(spark, dir, mk(100 until 120), "vec_id", "embedding")
+    val gen0 = Similarity.ivfGenerationDir(spark, dir)
+    def cellFiles(gen: String) = graft.sources.ArrowSnapshots.listDataFiles(
+      fs, new org.apache.hadoop.fs.Path(s"$gen/cells")).size
+    val grown = cellFiles(gen0)
+    val queries = mk(0 until 6)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"))
+    def topk() = Similarity.ivfTopKStored(spark, dir, queries,
+      "vec_id", "embedding", "qid", "qe", k = 5, nprobe = 4)
+      .orderBy("qid", "rk").collect().toSeq
+    val before = topk()
+    val res = Similarity.ivfCompact(spark, dir)
+    assert(res.isDefined && res.get._1 == grown && res.get._2 < grown,
+      s"compact must shrink $grown files (got $res)")
+    val gen1 = Similarity.ivfGenerationDir(spark, dir)
+    assert(gen1 != gen0, "compact must flip to a fresh generation")
+    // BIT-identical: contents never change, only the file count
+    assert(topk() === before)
+    // the inverted-list claim survives: every cell file single-valued
+    val stats = graft.sources.ArrowFileStats.read(
+      fs, new org.apache.hadoop.fs.Path(s"$gen1/cells"))
+    assert(stats.values.forall { st =>
+      val c = st.cols("cid"); c.nulls == 0 && c.min.isDefined && c.min == c.max
+    })
+    // a racing append between the staged rewrite and the flip moves the
+    // cells tip: the flip refuses (the staged rewrite lacks those rows)
+    // and the CATCH-UP folds exactly the delta snapshots into the staged
+    // generation before re-taking the lock — nothing lost, no restage
+    Similarity.ivfAppend(spark, dir, mk(120 until 140), "vec_id", "embedding")
+    Similarity.ivfAppend(spark, dir, mk(140 until 160), "vec_id", "embedding")
+    val fired = new java.util.concurrent.atomic.AtomicInteger(0)
+    Similarity.beforeIvfCompactCommitHook = () =>
+      if (fired.getAndIncrement() == 0)
+        Similarity.ivfAppend(spark, dir, mk(160 until 170),
+          "vec_id", "embedding")
+    val res2 =
+      try Similarity.ivfCompact(spark, dir)
+      finally Similarity.beforeIvfCompactCommitHook = () => ()
+    assert(fired.get() == 1)
+    assert(res2.isDefined)
+    val cells = spark.read.format("arrow-ipc")
+      .load(Similarity.ivfGenerationDir(spark, dir) + "/cells")
+    assert(cells.count() === 170,
+      "the catch-up must fold the racing append's rows into the flip")
+    assert(cells.select("vec_id").distinct().count() === 170)
+    // the folded rows kept the inverted-list claim too
+    val stats2 = graft.sources.ArrowFileStats.read(
+      fs, new org.apache.hadoop.fs.Path(
+        Similarity.ivfGenerationDir(spark, dir) + "/cells"))
+    assert(stats2.values.forall { st =>
+      val c = st.cols("cid"); c.nulls == 0 && c.min.isDefined && c.min == c.max
+    })
+  }
+
   test("LSH top-k: same-bucket neighbors are exact-ranked; buckets deterministic") {
     val rnd = new scala.util.Random(7)
     val corpus = (0L until 100L).map(i => (i, Array.fill(16)(rnd.nextFloat()))).toDF("vec_id", "embedding")
