@@ -32,7 +32,9 @@ class PlanGuardSpec extends AnyFunSuite {
     "sample_cluster_balance", // the kmeans Lloyd pass (corpus × broadcast(k centroids))
     "ann_ivf_quantized",      // corpus × broadcast(nlist centroids) + float probe head
     "ann_ivf_stored_q8",      // same probe head over the stored int8 index
-    "ann_ivf_q8_refined")     // the quantized candidate stage's probe head;
+    "ann_ivf_q8_refined",     // the quantized candidate stage's probe head;
+    "ann_ivf_compacted")      // build/append assignment + probe head: every
+                              // cross join is × broadcast(nlist centroids)
                               // the float re-rank itself is an equi-join
 
   test("no query plans a cartesian product or unlisted nested-loop join") {
