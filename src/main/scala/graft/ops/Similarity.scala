@@ -592,16 +592,32 @@ object Similarity {
   /** Sweep superseded/orphaned generation dirs once provably dead (a
     * young foreign dir may be a concurrent build mid-stage or a reader's
     * in-flight old generation) — shared by [[ivfBuild]] and
-    * [[ivfCompact]]. */
+    * [[ivfCompact]].
+    *
+    * The staleness clock must start at SUPERSESSION, not at the
+    * generation's last write (round 16 self-review): a QUIET generation
+    * — no appends for longer than the staleness window — would otherwise
+    * be sweepable the instant a flip dethrones it, yanking files from
+    * under a reader that resolved the manifest just before the flip. The
+    * first sweep that finds a dead generation therefore only DROPS a
+    * `_superseded` grace marker into it (which resets its newestMTime);
+    * deletion happens on a later sweep, at least a full staleness window
+    * after the marker — an in-flight reader gets the same grace a live
+    * writer's staging does. */
   private def sweepDeadGenerations(fs: org.apache.hadoop.fs.FileSystem,
       dir: String, keep: String): Unit = {
     val now = System.currentTimeMillis()
     Option(fs.globStatus(new org.apache.hadoop.fs.Path(dir, "g-*")))
       .getOrElse(Array.empty)
-      .filter(st => st.getPath.getName != keep &&
-        now - graft.sources.ArrowOcc.newestMTime(fs, st.getPath) >
-          graft.sources.ArrowOcc.staleMs)
-      .foreach(st => fs.delete(st.getPath, true))
+      .filter(_.getPath.getName != keep)
+      .foreach { st =>
+        val marker = new org.apache.hadoop.fs.Path(st.getPath, "_superseded")
+        if (!fs.exists(marker))
+          fs.create(marker, true).close() // grace clock starts now
+        else if (now - graft.sources.ArrowOcc.newestMTime(fs, st.getPath) >
+            graft.sources.ArrowOcc.staleMs)
+          fs.delete(st.getPath, true)
+      }
   }
 
   /** Query a [[ivfBuild]]-persisted index — bit-identical to running

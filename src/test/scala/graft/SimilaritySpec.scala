@@ -440,6 +440,41 @@ class SimilaritySpec extends AnyFunSuite {
     })
   }
 
+  test("a superseded generation gets a full staleness window of grace before the sweep") {
+    val rnd = new scala.util.Random(7)
+    def mk(ids: Range) = ids.map { i =>
+      (i.toLong, Array.fill(8)(5.0f + rnd.nextFloat()))
+    }.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_grace").toString + "/ix"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def gens() = Option(fs.globStatus(
+      new org.apache.hadoop.fs.Path(dir, "g-*")))
+      .getOrElse(Array.empty).map(_.getPath.getName).toSet
+    spark.conf.set("spark.graft.arrow.occStaleMs", "400")
+    try {
+      Similarity.ivfBuild(mk(0 until 40), "vec_id", "embedding",
+        nlist = 4, dir = dir)
+      val genA = gens().head
+      // generation A goes QUIET for longer than the staleness window —
+      // the pre-fix sweep would have deleted it the instant a rebuild
+      // dethroned it, under any reader that resolved the manifest first
+      Thread.sleep(500)
+      Similarity.ivfBuild(mk(0 until 50), "vec_id", "embedding",
+        nlist = 4, dir = dir)
+      assert(gens().contains(genA),
+        "a just-superseded generation must survive the flip's sweep")
+      assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$genA/_superseded")))
+      // after a full window FROM SUPERSESSION it is fair game
+      Thread.sleep(500)
+      Similarity.ivfBuild(mk(0 until 60), "vec_id", "embedding",
+        nlist = 4, dir = dir)
+      assert(!gens().contains(genA),
+        "a generation dead for a full window must be swept")
+    } finally spark.conf.unset("spark.graft.arrow.occStaleMs")
+  }
+
   test("LSH top-k: same-bucket neighbors are exact-ranked; buckets deterministic") {
     val rnd = new scala.util.Random(7)
     val corpus = (0L until 100L).map(i => (i, Array.fill(16)(rnd.nextFloat()))).toDF("vec_id", "embedding")
