@@ -281,6 +281,93 @@ object Similarity {
     * as maintenance staging). */
   private val IndexManifest = "_index.json"
 
+  /** FOLD LINEAGE (round 17): a compaction's flip preserves the old
+    * generation's rows (base rewrite pinned at a snapshot + delta
+    * catch-up = the whole committed corpus), while a rebuild's flip
+    * deliberately drops them. An [[ivfAppend]] whose locked manifest
+    * check finds the generation flipped out from under it must tell
+    * these apart EXACTLY — a blind retry after a compact's fold would
+    * re-append rows the catch-up already carried over (duplicate ids in
+    * one cell, the advisor-found round-16 bug). So [[ivfCompact]] writes
+    * `$dir/$gen/_folded_from.json` = {"gen": <old>, "tip": <the old
+    * cells tip its staged generation covers>} BEFORE the manifest flip,
+    * under the same commit-lock hold; a retrying append walks the link
+    * chain from the current generation back to the one it wrote to and
+    * compares its OWN cell-commit snapshot id (exact, via the write's
+    * `commitToken` — [[graft.sources.ArrowSnapshots.CommitTokens]])
+    * against the fold tip. Covered → the rows are already live, commit
+    * is a no-op; not covered (or a rebuild in the chain) → retry is
+    * safe. A broken chain (an intermediate generation dir aged out mid-
+    * append — requires the append to stall past the sweep's double
+    * staleness grace) refuses loudly rather than guess either way. */
+  private val FoldedFromMarker = "_folded_from.json"
+
+  private def writeFoldedFrom(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String, gen: String, fromGen: String, tip: Long): Unit = {
+    def esc(s: String) = graft.sources.ArrowFileStats.esc(s)
+    graft.sources.ArrowOcc.writeAtomic(fs,
+      new org.apache.hadoop.fs.Path(s"$dir/$gen", FoldedFromMarker),
+      s"""{"gen":"${esc(fromGen)}","tip":$tip}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  private def readFoldedFrom(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String, gen: String): Option[(String, Long)] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$gen", FoldedFromMarker)
+    if (!fs.exists(p)) None
+    else {
+      import org.json4s._
+      org.json4s.jackson.JsonMethods.parse(
+        graft.sources.ArrowFileStats.readFully(fs, p)) match {
+        case o: JObject =>
+          val g = (o \ "gen") match {
+            case JString(s) => s
+            case other => throw new IllegalStateException(
+              s"ivf: bad $FoldedFromMarker in $dir/$gen: gen = $other")
+          }
+          val t = (o \ "tip") match {
+            case JInt(n) => n.toLong
+            case JLong(n) => n
+            case other => throw new IllegalStateException(
+              s"ivf: bad $FoldedFromMarker in $dir/$gen: tip = $other")
+          }
+          Some((g, t))
+        case other => throw new IllegalStateException(
+          s"ivf: bad $FoldedFromMarker in $dir/$gen: $other")
+      }
+    }
+  }
+
+  /** Whether generation `at`'s corpus provably CONTAINS the rows of cell
+    * commit `snap` made against generation `from` — by walking fold
+    * links back from `at`. Call under the index commit lock (the links
+    * and the manifest must be mutually settled). */
+  private def foldCovers(fs: org.apache.hadoop.fs.FileSystem, dir: String,
+      at: String, from: String, snap: Long): Boolean = {
+    var g = at
+    while (true) {
+      readFoldedFrom(fs, dir, g) match {
+        case Some((pg, tip)) =>
+          if (pg == from) return snap <= tip
+          g = pg
+        case None =>
+          // no link: `g` was created by a rebuild — foreign rows were
+          // dropped by design, a retry re-adds them correctly. Unless
+          // the dir itself is GONE (a swept intermediate hop): then the
+          // lineage cannot be reconstructed and neither retrying (may
+          // duplicate) nor skipping (may lose) is provably safe.
+          if (g != at && !fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$g")))
+            throw new IllegalStateException(
+              s"ivfAppend: $dir was compacted/rebuilt repeatedly during " +
+                s"one append and the fold lineage through $g aged out — " +
+                "cannot prove whether the appended rows survived; verify " +
+                "against the settled index before re-running")
+          return false
+      }
+    }
+    false // unreachable
+  }
+
   /** Test seam: fires between the two dataset writes of a build — the
     * crash window the manifest protocol exists for. */
   private[graft] var afterIvfCentroidsHook: () => Unit = () => ()
@@ -392,6 +479,10 @@ object Similarity {
     graft.sources.ArrowOcc.withCommitLock(fs, dirPath) {
       writeManifest(spark, dir,
         IvfManifest(gen, nlist, idCol, vecCol, tip, quantized))
+      // a sweep that raced this staging may have graced-marked the dir
+      // while it was still foreign; the marker must not ride into the
+      // now-live generation (a later supersession would skip the grace)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$gen/_superseded"), false)
     }
     sweepDeadGenerations(fs, dir, gen)
   }
@@ -414,17 +505,21 @@ object Similarity {
       fresh: DataFrame, idCol: String, vecCol: String): Unit = {
     val dirPath = new org.apache.hadoop.fs.Path(dir)
     val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // RETRY against rebuilds: the cell write targets the generation the
-    // manifest named at the START of the attempt, but a concurrent
-    // [[ivfBuild]] may flip to a fresh generation mid-append — cells
-    // appended to the superseded generation would silently vanish from
-    // queries (they ride a dead directory). The manifest commit therefore
-    // re-reads the manifest UNDER the index directory's commit lock and
-    // only records the tip if the generation is still the one it wrote
-    // to; otherwise the attempt's rows are abandoned with the dead
-    // generation (swept by the next build's staleness gate) and the whole
-    // assign-and-append re-runs against the new centroids — the fresh
-    // rows are never lost and a rebuild's flip is never reverted.
+    // RETRY against rebuilds, FOLD-AWARENESS against compacts: the cell
+    // write targets the generation the manifest named at the START of
+    // the attempt, but a concurrent [[ivfBuild]] or [[ivfCompact]] may
+    // flip to a fresh generation mid-append. The manifest commit
+    // re-reads the manifest UNDER the index directory's commit lock; if
+    // the generation moved, the fold-link chain decides (round 17 — the
+    // advisor-found duplicate window): a COMPACT's flip already folded
+    // every cell commit ≤ its recorded tip into the new generation, so
+    // an append whose own commit id (exact, via the write's commitToken)
+    // is covered must NOT re-append — its rows are live; an uncovered
+    // commit or a REBUILD in the chain means the rows died with the dead
+    // generation (swept by the staleness gate) and the whole
+    // assign-and-append re-runs against the new centroids — fresh rows
+    // are never lost, never doubled, and a rebuild's flip is never
+    // reverted.
     val maxAttempts = 5
     var attempt = 0
     var committed = false
@@ -449,10 +544,16 @@ object Similarity {
             quantScale(col(vecCol)).as("cs"), col(vecCol))
           .select(col("cid"), col(idCol), col("cs"),
             quantVec(col(vecCol), col("cs")).as("cq"))
+      val tok = java.util.UUID.randomUUID.toString
       freshCells
         .write.format("arrow-ipc").mode("append")
         .option("partitionKeys", "cid")
+        .option("commitToken", tok)
         .save(s"$dir/${m.generation}/cells")
+      val myCommit = graft.sources.ArrowSnapshots.CommitTokens.take(tok)
+        .getOrElse(throw new IllegalStateException(
+          "ivfAppend: the cell write recorded no commit id for its " +
+            "token — write-path plumbing bug"))
       beforeIvfAppendCommitHook()
       // advance the manifest: same generation, new cells tip — bookkeeping
       // for consumers pinning reproducible reads, and the signal that the
@@ -469,7 +570,12 @@ object Similarity {
           val tip = graft.sources.ArrowSnapshots.currentTip(fs, cellsPath)
           writeManifest(spark, dir, m2.copy(cellsTip = tip))
           true
-        } else false
+        } else
+          // flipped out from under us: done IFF a compact chain folded
+          // this attempt's cell commit into the live generation (the
+          // manifest tip there already covers the folded rows — the
+          // flip computed it after the catch-up)
+          foldCovers(fs, dir, m2.generation, m.generation, myCommit)
       }
       if (!committed && attempt >= maxAttempts)
         throw new IllegalStateException(
@@ -482,6 +588,11 @@ object Similarity {
     * manifest flip — the window where a concurrent append or rebuild
     * forces the compact to refuse and retry. */
   private[graft] var beforeIvfCompactCommitHook: () => Unit = () => ()
+
+  /** Test seam: fires after a compact samples tip0, before the staged
+    * base rewrite — the window where an unpinned base read would also
+    * see a racing append's rows and the catch-up would fold them twice. */
+  private[graft] var beforeIvfCompactStageHook: () => Unit = () => ()
 
   /** COMPACT the stored index's cell files. An incrementally grown index
     * adds one key-grouped file set per [[ivfAppend]] — thousands of
@@ -504,13 +615,22 @@ object Similarity {
     * .ArrowSnapshots.readRange]] window, never a re-listing) and re-takes
     * the lock; each round's delta is bounded by the append traffic of
     * the previous round's fold, so the loop converges unless ingest
-    * outruns a sub-second append indefinitely. An append mid-flight at
-    * flip time commits nothing to the dead generation — its own locked
-    * manifest check sees the new generation and re-runs onto it
-    * ([[ivfAppend]]'s retry). Returns None when a rebuild won, when the
-    * catch-up budget ran out, or when there is nothing to compact (file
-    * count already at the key-grouped floor: one file per occupied
-    * cell). */
+    * outruns a sub-second append indefinitely.
+    *
+    * EXACTLY-ONCE vs racing appends (round 17, advisor-found): the base
+    * rewrite is PINNED at tip0 (`asOfSnapshot`) — a cell commit landing
+    * between the tip sample and the rewrite scan is folded once by the
+    * catch-up window (tip0, tip1], never twice. And the flip PUBLISHES
+    * its fold lineage (`_folded_from.json`: old generation + the old
+    * cells tip the staged generation covers, written under the same
+    * lock hold as the manifest) so an append whose cell commit the
+    * catch-up folded but whose own manifest commit lost the flip race
+    * can see its rows are already live and must NOT re-append
+    * ([[ivfAppend]]'s fold-aware retry); an append whose cell commit
+    * landed after the flip's tip is not covered and re-runs onto the
+    * new generation. Returns None when a rebuild won, when the catch-up
+    * budget ran out, or when there is nothing to compact (file count
+    * already at the key-grouped floor: one file per occupied cell). */
   def ivfCompact(spark: org.apache.spark.sql.SparkSession, dir: String,
       attempts: Int = 5): Option[(Int, Int)] = {
     val dirPath = new org.apache.hadoop.fs.Path(dir)
@@ -525,6 +645,7 @@ object Similarity {
     // layout cannot go below one file per occupied cell — nothing to do
     // until appends have pushed the count past the build's own shape
     if (oldCount <= m.nlist) return None
+    beforeIvfCompactStageHook()
     val gen = "g-" + java.util.UUID.randomUUID.toString.take(8)
     val newCellsDir = s"$dir/$gen/cells"
     def abandon(): Option[(Int, Int)] = {
@@ -536,9 +657,18 @@ object Similarity {
     spark.read.format("arrow-ipc").load(s"$dir/${m.generation}/centroids")
       .coalesce(1).write.format("arrow-ipc").mode("overwrite")
       .save(s"$dir/$gen/centroids")
+    // the base rewrite is PINNED at tip0: a live read here would also
+    // include any append committed between the tip sample and the scan's
+    // planning — rows the catch-up over (tip0, tip1] then folds AGAIN
+    // (duplicate ids in one cell). tip0 == 0 means a log-less cells
+    // table: no snapshot to pin or catch up from, the live read IS the
+    // only state and the flip's tip re-check still guards it.
+    val baseCells =
+      if (tip0 == 0L) spark.read.format("arrow-ipc").load(cellsPath.toString)
+      else spark.read.format("arrow-ipc")
+        .option("asOfSnapshot", tip0.toString).load(cellsPath.toString)
     graft.sources.Sinks.writeKeyGrouped(
-      spark.read.format("arrow-ipc").load(cellsPath.toString),
-      newCellsDir, Seq("cid"), partitions = math.min(m.nlist, 32))
+      baseCells, newCellsDir, Seq("cid"), partitions = math.min(m.nlist, 32))
     beforeIvfCompactCommitHook()
     val newCells = new org.apache.hadoop.fs.Path(newCellsDir)
     var attempt = 0
@@ -552,9 +682,17 @@ object Similarity {
         else {
           val tip1 = graft.sources.ArrowSnapshots.currentTip(fs, cellsPath)
           if (tip1 == tip0) {
+            // fold lineage FIRST, manifest flip second — both under this
+            // lock hold, so no reader/append ever resolves the flipped
+            // manifest without the link that explains it
+            writeFoldedFrom(fs, dir, gen, m.generation, tip0)
             writeManifest(spark, dir, m2.copy(generation = gen,
               cellsTip =
                 graft.sources.ArrowSnapshots.currentTip(fs, newCells)))
+            // a racing sweep's grace marker must not ride into the
+            // now-live generation (see ivfBuild's flip)
+            fs.delete(
+              new org.apache.hadoop.fs.Path(s"$dir/$gen/_superseded"), false)
             0L
           } else tip1
         }
@@ -574,9 +712,10 @@ object Similarity {
       if (window.exists(_.removes.nonEmpty)) return abandon()
       val deltaPaths = window.flatMap(_.adds).map(rel => fs.makeQualified(
         new org.apache.hadoop.fs.Path(cellsPath, rel)).toString)
-      // the shared planner bound (ArrowMaintenance.MaxIsinPaths): a
-      // catch-up this far behind should re-run, not plan a huge literal
-      if (deltaPaths.size > 1000) return abandon()
+      // the shared planner bound: a catch-up this far behind should
+      // re-run, not plan a huge literal
+      if (deltaPaths.size > graft.sources.ArrowMaintenance.MaxIsinPaths)
+        return abandon()
       if (deltaPaths.nonEmpty)
         spark.read.format("arrow-ipc").load(cellsPath.toString)
           .filter(col(graft.sources.ArrowRowLevel.FileColumn)
@@ -603,7 +742,18 @@ object Similarity {
     * `_superseded` grace marker into it (which resets its newestMTime);
     * deletion happens on a later sweep, at least a full staleness window
     * after the marker — an in-flight reader gets the same grace a live
-    * writer's staging does. */
+    * writer's staging does.
+    *
+    * The marker itself is QUIET-GATED (round 17, advisor-found): a
+    * young foreign dir may be a concurrent build's or compact's
+    * mid-stage generation, and a marker dropped into it would ride
+    * through that writer's flip into the LIVE generation — where a
+    * later supersession would skip the grace step and delete
+    * immediately (the exact yank-under-reader window the marker
+    * exists to close). So a dir is only marked once its newest write
+    * is a full staleness window old; flips also clear any marker from
+    * the generation they keep, as a belt against a sweep racing the
+    * flip itself. */
   private def sweepDeadGenerations(fs: org.apache.hadoop.fs.FileSystem,
       dir: String, keep: String): Unit = {
     val now = System.currentTimeMillis()
@@ -612,10 +762,11 @@ object Similarity {
       .filter(_.getPath.getName != keep)
       .foreach { st =>
         val marker = new org.apache.hadoop.fs.Path(st.getPath, "_superseded")
-        if (!fs.exists(marker))
-          fs.create(marker, true).close() // grace clock starts now
-        else if (now - graft.sources.ArrowOcc.newestMTime(fs, st.getPath) >
-            graft.sources.ArrowOcc.staleMs)
+        val quiet = now - graft.sources.ArrowOcc.newestMTime(fs, st.getPath) >
+          graft.sources.ArrowOcc.staleMs
+        if (!fs.exists(marker)) {
+          if (quiet) fs.create(marker, true).close() // grace clock starts now
+        } else if (quiet)
           fs.delete(st.getPath, true)
       }
   }

@@ -249,7 +249,8 @@ private[sources] class ArrowIpcTable(tableSchema: StructType, dir: String,
         .getOrElse(Set.empty),
       Option(info.options.get("maxRecordsPerFile")).map(_.toLong),
       Option(info.options.get("autoCompactEvery")).map(_.toInt),
-      Option(info.options.get("autoCompactTargetBytes")).map(_.toLong))
+      Option(info.options.get("autoCompactTargetBytes")).map(_.toLong),
+      Option(info.options.get("commitToken")))
   }
 }
 
@@ -1828,7 +1829,8 @@ private[sources] class ArrowIpcWriteBuilder(
     bloomCols: Set[String] = Set.empty,
     maxRecordsPerFile: Option[Long] = None,
     autoCompactEvery: Option[Int] = None,
-    autoCompactTargetBytes: Option[Long] = None)
+    autoCompactTargetBytes: Option[Long] = None,
+    commitToken: Option[String] = None)
     extends org.apache.spark.sql.connector.write.WriteBuilder
     with org.apache.spark.sql.connector.write.SupportsTruncate {
   private var doTruncate = false
@@ -1846,7 +1848,7 @@ private[sources] class ArrowIpcWriteBuilder(
       }
     new ArrowIpcWrite(schema, dir, codec, queryId, doTruncate, partitionKeys,
       hiveKeys, bloomCols, maxRecordsPerFile, autoCompactEvery,
-      autoCompactTargetBytes)
+      autoCompactTargetBytes, commitToken)
   }
 }
 
@@ -1865,7 +1867,8 @@ private[sources] class ArrowIpcWrite(
     hiveKeys: Seq[String] = Nil, bloomCols: Set[String] = Set.empty,
     maxRecordsPerFile: Option[Long] = None,
     autoCompactEvery: Option[Int] = None,
-    autoCompactTargetBytes: Option[Long] = None)
+    autoCompactTargetBytes: Option[Long] = None,
+    commitToken: Option[String] = None)
     extends org.apache.spark.sql.connector.write.Write
     with org.apache.spark.sql.connector.write.BatchWrite
     with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
@@ -2168,7 +2171,12 @@ private[sources] class ArrowIpcWrite(
       files.map { case (path, _) =>
         ArrowSnapshots.relativize(fs, dirPath, new Path(path)) }
     }.flatten
-    ArrowSnapshots.append(fs, dirPath, rels.toSeq, Nil, op = "append")
+    val snapId =
+      ArrowSnapshots.append(fs, dirPath, rels.toSeq, Nil, op = "append")
+    // exact own-commit id for fold-aware retry decisions (an empty
+    // commit records the standing tip — "my rows" are vacuously covered
+    // by any later fold)
+    commitToken.foreach(ArrowSnapshots.CommitTokens.record(_, snapId))
     // this append is done: clear the pending marker, then restore the
     // latch unless ANOTHER live append still owns it
     ArrowOcc.clearPending(fs, dirPath, queryId)

@@ -68,10 +68,11 @@ object ArrowMaintenance {
   case class CompactionResult(oldFiles: Int, newFiles: Int)
 
   /** The largest per-file `isin` literal list a single staged read may
-    * plan — shared by the eq fold's driver-group builder and
-    * unifyGeneration's per-call drain cap, so a planner-limit tune
-    * moves both in lockstep. */
-  private[sources] val MaxIsinPaths = 1000
+    * plan — shared by the eq fold's driver-group builder,
+    * unifyGeneration's per-call drain cap, and the IVF compact's
+    * catch-up bound ([[graft.ops.Similarity.ivfCompact]]), so a
+    * planner-limit tune moves all three in lockstep. */
+  private[graft] val MaxIsinPaths = 1000
 
   /** Compact `dir`'s IPC files into ~`targetBytes` files (coalesce — no
     * shuffle; row order within each original file is preserved). Returns

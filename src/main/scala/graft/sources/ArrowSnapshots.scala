@@ -329,6 +329,27 @@ private[graft] object ArrowSnapshots {
     if (!fs.exists(root)) Nil else walk(root, "")
   }
 
+  /** Exact own-commit observability (round 17): a writer that must later
+    * distinguish "my rows were folded into a successor generation by a
+    * concurrent compaction" from "my rows died with a superseded
+    * generation" ([[graft.ops.Similarity.ivfAppend]]'s retry decision)
+    * passes `option("commitToken", t)` on its write; the batch commit
+    * records the snapshot id it appended under that token, and the
+    * writer consumes it with [[take]]. Entries are one-shot (consumed
+    * immediately after `.save()` returns), so the map is empty in steady
+    * state; the size bound is a leak backstop for callers that never
+    * collect, not a working limit. */
+  object CommitTokens {
+    private val ids =
+      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+    def record(token: String, id: Long): Unit = {
+      if (ids.size > 4096) ids.clear()
+      ids.put(token, id)
+    }
+    def take(token: String): Option[Long] =
+      Option(ids.remove(token)).map(_.longValue())
+  }
+
   /** Resolve a snapshot-relative path the way every historical reader
     * must: live set first, trash second, loud refusal when expired.
     * Returns the QUALIFIED path string (what the scan's `_file` constants

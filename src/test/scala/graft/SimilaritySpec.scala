@@ -440,6 +440,173 @@ class SimilaritySpec extends AnyFunSuite {
     })
   }
 
+  test("an append folded by a racing compact's flip does NOT re-append (exactly-once across the flip)") {
+    // the advisor-found round-16 window: the append's cell write commits,
+    // a compact then folds it (its tip0 covers the commit) and flips; the
+    // append's locked manifest check finds a foreign generation. A blind
+    // retry would re-append rows the fold already carried — the fold-link
+    // chain must tell it the rows are live.
+    val rnd = new scala.util.Random(7)
+    val centers = Seq(
+      Array.fill(16)(5.0f), Array.fill(16)(-5.0f),
+      Array.tabulate(16)(i => if (i < 8) 5.0f else -5.0f),
+      Array.tabulate(16)(i => if (i < 8) -5.0f else 5.0f))
+    def mk(ids: Range) = ids.map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(v => v + rnd.nextFloat() * 0.5f))
+    }.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_fold").toString + "/ix"
+    Similarity.ivfBuild(mk(0 until 80), "vec_id", "embedding",
+      nlist = 8, dir = dir)
+    Similarity.ivfAppend(spark, dir, mk(80 until 100), "vec_id", "embedding")
+    val gen0 = Similarity.ivfGenerationDir(spark, dir)
+    val fired = new java.util.concurrent.atomic.AtomicInteger(0)
+    Similarity.beforeIvfAppendCommitHook = () =>
+      if (fired.getAndIncrement() == 0)
+        assert(Similarity.ivfCompact(spark, dir).isDefined,
+          "the racing compact must flip")
+    try Similarity.ivfAppend(spark, dir, mk(100 until 110),
+      "vec_id", "embedding")
+    finally Similarity.beforeIvfAppendCommitHook = () => ()
+    assert(fired.get() === 1,
+      "the fold-covered append must NOT retry its cell write")
+    val gen1 = Similarity.ivfGenerationDir(spark, dir)
+    assert(gen1 != gen0, "the compact's flip must survive the append")
+    val cells = spark.read.format("arrow-ipc").load(gen1 + "/cells")
+    assert(cells.count() === 110,
+      "the folded append's rows must appear exactly once")
+    assert(cells.select("vec_id").distinct().count() === 110)
+  }
+
+  test("an append folded across TWO compact flips is still covered by the fold-link chain") {
+    val rnd = new scala.util.Random(7)
+    val centers = Seq(
+      Array.fill(16)(5.0f), Array.fill(16)(-5.0f),
+      Array.tabulate(16)(i => if (i < 8) 5.0f else -5.0f),
+      Array.tabulate(16)(i => if (i < 8) -5.0f else 5.0f))
+    def mk(ids: Range) = ids.map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(v => v + rnd.nextFloat() * 0.5f))
+    }.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_fold2").toString + "/ix"
+    Similarity.ivfBuild(mk(0 until 80), "vec_id", "embedding",
+      nlist = 8, dir = dir)
+    Similarity.ivfAppend(spark, dir, mk(80 until 100), "vec_id", "embedding")
+    val fired = new java.util.concurrent.atomic.AtomicInteger(0)
+    Similarity.beforeIvfAppendCommitHook = () =>
+      if (fired.getAndIncrement() == 0) {
+        // flip 1 folds the stalled append's cell commit; a further append
+        // re-grows the file count so flip 2 has something to compact —
+        // the stalled append's rows must survive BOTH hops exactly once
+        assert(Similarity.ivfCompact(spark, dir).isDefined)
+        Similarity.ivfAppend(spark, dir, mk(200 until 220),
+          "vec_id", "embedding")
+        assert(Similarity.ivfCompact(spark, dir).isDefined)
+      }
+    try Similarity.ivfAppend(spark, dir, mk(100 until 110),
+      "vec_id", "embedding")
+    finally Similarity.beforeIvfAppendCommitHook = () => ()
+    // 2 = the stalled outer append once + the hook's own inner append
+    // once; a retry of the outer would make it 3
+    assert(fired.get() === 2,
+      "the chain-covered append must NOT retry its cell write")
+    val cells = spark.read.format("arrow-ipc")
+      .load(Similarity.ivfGenerationDir(spark, dir) + "/cells")
+    assert(cells.count() === 130)
+    assert(cells.select("vec_id").distinct().count() === 130)
+  }
+
+  test("an append landing between a compact's tip sample and its staged rewrite folds exactly once") {
+    // the advisor-found unpinned-base window: the staged rewrite must
+    // read the cells AS OF tip0, or rows committed after the sample are
+    // carried by both the base and the catch-up
+    val rnd = new scala.util.Random(7)
+    val centers = Seq(
+      Array.fill(16)(5.0f), Array.fill(16)(-5.0f),
+      Array.tabulate(16)(i => if (i < 8) 5.0f else -5.0f),
+      Array.tabulate(16)(i => if (i < 8) -5.0f else 5.0f))
+    def mk(ids: Range) = ids.map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(v => v + rnd.nextFloat() * 0.5f))
+    }.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_pin").toString + "/ix"
+    Similarity.ivfBuild(mk(0 until 80), "vec_id", "embedding",
+      nlist = 8, dir = dir)
+    Similarity.ivfAppend(spark, dir, mk(80 until 100), "vec_id", "embedding")
+    val fired = new java.util.concurrent.atomic.AtomicInteger(0)
+    Similarity.beforeIvfCompactStageHook = () =>
+      if (fired.getAndIncrement() == 0)
+        Similarity.ivfAppend(spark, dir, mk(100 until 120),
+          "vec_id", "embedding")
+    val res =
+      try Similarity.ivfCompact(spark, dir)
+      finally Similarity.beforeIvfCompactStageHook = () => ()
+    assert(fired.get() === 1 && res.isDefined)
+    val cells = spark.read.format("arrow-ipc")
+      .load(Similarity.ivfGenerationDir(spark, dir) + "/cells")
+    assert(cells.count() === 120,
+      "the mid-sample append must be folded exactly once (catch-up only)")
+    assert(cells.select("vec_id").distinct().count() === 120)
+  }
+
+  test("the sweep never grace-marks a YOUNG foreign generation, and flips clear a raced marker") {
+    val rnd = new scala.util.Random(7)
+    def mk(ids: Range) = ids.map { i =>
+      (i.toLong, Array.fill(8)(5.0f + rnd.nextFloat()))
+    }.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_young").toString + "/ix"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a wide window for the "young" leg (builds take seconds — the dir
+    // must still count as young at sweep time), narrowed for the aging leg
+    spark.conf.set("spark.graft.arrow.occStaleMs", "60000")
+    try {
+      Similarity.ivfBuild(mk(0 until 40), "vec_id", "embedding",
+        nlist = 4, dir = dir)
+      // a YOUNG foreign dir stands in for a concurrent build's mid-stage
+      // generation: the sweep must not drop a grace marker into it — the
+      // marker would ride through that build's flip into the live
+      // generation, where a later supersession would skip the grace
+      val young = new org.apache.hadoop.fs.Path(s"$dir/g-midstage")
+      fs.mkdirs(young)
+      Similarity.ivfBuild(mk(0 until 50), "vec_id", "embedding",
+        nlist = 4, dir = dir)
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(young, "_superseded")),
+        "a young foreign dir must not be grace-marked")
+      // aged past a NARROWED window, the next sweep marks it like any
+      // dead dir (the dir is already older than 600ms by now)
+      spark.conf.set("spark.graft.arrow.occStaleMs", "600")
+      Thread.sleep(700)
+      Similarity.ivfBuild(mk(0 until 60), "vec_id", "embedding",
+        nlist = 4, dir = dir)
+      assert(fs.exists(new org.apache.hadoop.fs.Path(young, "_superseded")),
+        "an aged foreign dir must enter the grace protocol")
+      // belt: a marker raced into the flip's own generation is cleared
+      // at the flip, so the kept generation never carries one
+      var marked = ""
+      Similarity.afterIvfCentroidsHook = () => {
+        val g = Option(fs.globStatus(
+          new org.apache.hadoop.fs.Path(dir, "g-*"))).getOrElse(Array.empty)
+          .map(_.getPath).find(p =>
+            fs.exists(new org.apache.hadoop.fs.Path(p, "centroids")) &&
+              !fs.exists(new org.apache.hadoop.fs.Path(p, "cells"))).get
+        marked = g.getName
+        fs.create(new org.apache.hadoop.fs.Path(g, "_superseded"), true).close()
+      }
+      try Similarity.ivfBuild(mk(0 until 70), "vec_id", "embedding",
+        nlist = 4, dir = dir)
+      finally Similarity.afterIvfCentroidsHook = () => ()
+      val kept = Similarity.ivfGenerationDir(spark, dir)
+      assert(kept.endsWith(marked), "the hook must have marked the kept gen")
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(kept, "_superseded")),
+        "the flip must clear a marker raced into its own generation")
+    } finally spark.conf.unset("spark.graft.arrow.occStaleMs")
+  }
+
   test("a superseded generation gets a full staleness window of grace before the sweep") {
     val rnd = new scala.util.Random(7)
     def mk(ids: Range) = ids.map { i =>
