@@ -32,9 +32,16 @@ import org.apache.spark.sql.functions._
   *      cells (no block landed twice through the retry path);
   *   4. the inverted-list layout survived: every cell file single-valued
   *      on cid (the runtime-pruning claim appends must not break);
-  *   5. a post-race sentinel append is immediately searchable.
+  *   5. a post-race sentinel append is immediately searchable;
+  *   6. (dual mode) at most one compact flip per predecessor
+  *      generation: with TWO uncoordinated compactors (the cron-overlap
+  *      accident) both staging full rewrites of the same tip, exactly
+  *      one may flip it — the loser must abandon its staged generation,
+  *      never double-flip or double-fold. Verified from the published
+  *      fold lineage (`_folded_from.json`): no two surviving links may
+  *      name the same predecessor.
   *
-  * Run: sbt "runMain graft.tools.AnnStressProbe [secs] [quantized]"
+  * Run: sbt "runMain graft.tools.AnnStressProbe [secs] [quantized] [dual]"
   * (log: tools/ann_stress_probe.log) */
 object AnnStressProbe {
   private val dim = 16
@@ -63,6 +70,7 @@ object AnnStressProbe {
     val secs = args.filter(_.forall(_.isDigit)).headOption.map(_.toInt)
       .getOrElse(45)
     val quantized = args.contains("quantized")
+    val dual = args.contains("dual")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -83,7 +91,8 @@ object AnnStressProbe {
     Similarity.ivfBuild(mk(0, initialN), "vec_id", "embedding",
       nlist = 16, dir = dir, quantized = quantized)
     println(s"[ann-stress] hammering $dir for ${secs}s " +
-      s"(quantized=$quantized): 2 appenders vs 2 searchers vs rebuilder")
+      s"(quantized=$quantized): 2 appenders vs 2 searchers vs rebuilder" +
+      (if (dual) " vs a SECOND uncoordinated compactor" else ""))
 
     // ── ledger ──
     // endNs is read concurrently by the rebuilder's snapshot — volatile,
@@ -165,8 +174,35 @@ object AnnStressProbe {
     // to a contents-identical regrouped generation — visibility-neutral;
     // refuses when contended by a racing append, counted, never an error)
     @volatile var lastFlipGen = ""
+    val flippedGens =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
     val compacts = new java.util.concurrent.atomic.AtomicLong(0)
     val compactContended = new java.util.concurrent.atomic.AtomicLong(0)
+    // the fold links successful compacts published — gate6's substrate.
+    // A SET of (newGen, predecessor) pairs: under the dual race the two
+    // threads can both observe (and record) the SAME flip's link, which
+    // must not read as a double-flip
+    val foldLinks =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String)]()
+    def compactOnce(who: String): Unit =
+      Similarity.ivfCompact(spark, dir, attempts = 6) match {
+        case Some((o, n)) =>
+          val gen = Similarity.ivfGenerationDir(spark, dir)
+            .split('/').last
+          lastFlipGen = gen
+          flippedGens.add(gen)
+          // the flip just published its lineage; record (newGen -> from)
+          val link = java.nio.file.Paths.get(dir, gen, "_folded_from.json")
+          if (java.nio.file.Files.exists(link)) {
+            val body = new String(java.nio.file.Files.readAllBytes(link),
+              java.nio.charset.StandardCharsets.UTF_8)
+            "\"gen\":\"([^\"]+)\"".r.findFirstMatchIn(body)
+              .foreach(m => foldLinks.add((gen, m.group(1))))
+          }
+          compacts.incrementAndGet()
+          println(s"[ann-stress]   $who compact -> $gen ($o -> $n files)")
+        case None => compactContended.incrementAndGet()
+      }
     val rebuilder = new Thread(() => {
       var turn = 0
       while (System.nanoTime() < deadline && errs.isEmpty)
@@ -181,22 +217,27 @@ object AnnStressProbe {
                 .split('/').last
               rebuilds.add(Rebuild(ids, gen, System.nanoTime()))
               lastFlipGen = gen
+              flippedGens.add(gen)
               println(s"[ann-stress]   rebuild -> $gen over ${ids.size} ids")
-            } else Similarity.ivfCompact(spark, dir, attempts = 6) match {
-              case Some((o, n)) =>
-                val gen = Similarity.ivfGenerationDir(spark, dir)
-                  .split('/').last
-                lastFlipGen = gen
-                compacts.incrementAndGet()
-                println(s"[ann-stress]   compact -> $gen ($o -> $n files)")
-              case None => compactContended.incrementAndGet()
-            }
+            } else compactOnce("rebuilder")
             turn += 1
           }
         }
     }, "ann-rebuilder")
+    // dual mode: a SECOND compactor on an offset cadence — the two
+    // compactors regularly stage full rewrites of the same generation
+    // and race the same flip (the cron-overlap accident); exactly one
+    // may win, the loser abandons (counted as contended)
+    val compactor2 = new Thread(() => {
+      while (System.nanoTime() < deadline && errs.isEmpty)
+        guard("compactor2") {
+          Thread.sleep(5500)
+          if (System.nanoTime() < deadline) compactOnce("compactor2")
+        }
+    }, "ann-compactor2")
 
-    val threads = appenders ++ searchers :+ rebuilder
+    val threads = appenders ++ searchers ++
+      (if (dual) Seq(rebuilder, compactor2) else Seq(rebuilder))
     threads.foreach(_.start()); threads.foreach(_.join())
 
     // ── post-race gates ──
@@ -206,10 +247,33 @@ object AnnStressProbe {
       Option(r)
     }
     val genFinal = Similarity.ivfGenerationDir(spark, dir)
-    if (lastFlipGen.nonEmpty && !genFinal.endsWith(lastFlipGen))
+    if (dual) {
+      // two flippers race the probe's own lastFlipGen bookkeeping (the
+      // flip order is the lock's, the assignment order the scheduler's),
+      // so the dual gate is set-membership: the final generation must be
+      // one SOME flip produced — an append reverting a flip would leave
+      // the initial build's or a never-flipped generation current
+      if (!flippedGens.isEmpty &&
+          !flippedGens.contains(genFinal.split('/').last))
+        errs.add(s"gate1: manifest generation ${genFinal.split('/').last} " +
+          "is not one any rebuild/compact flip produced — an append " +
+          "reverted a flip")
+    } else if (lastFlipGen.nonEmpty && !genFinal.endsWith(lastFlipGen))
       errs.add(s"gate1: manifest generation ${genFinal.split('/').last} " +
         s"!= the last flip's $lastFlipGen — an append reverted a " +
         "rebuild/compact flip")
+    // gate6: at most one compact flip per predecessor generation — two
+    // compactors staging the same tip must resolve to one flip + one
+    // abandon, never a double-flip (each flip publishes its lineage)
+    locally {
+      val byPred = scala.jdk.CollectionConverters
+        .SetHasAsScala(foldLinks).asScala.toSeq.groupBy(_._2)
+        .filter(_._2.size > 1)
+      if (byPred.nonEmpty)
+        errs.add(s"gate6: ${byPred.size} generation(s) were compact-" +
+          s"flipped TWICE: ${byPred.map { case (p, ls) =>
+            s"$p -> [${ls.map(_._1).mkString(",")}]" }.mkString("; ")}")
+    }
     val cells = spark.read.format("arrow-ipc").load(s"$genFinal/cells")
     val visible = cells.select("vec_id").as[Long].collect().toSet
     val rowCount = cells.count()
@@ -278,7 +342,12 @@ object AnnStressProbe {
       s"rebuilds=${rebuilds.size} compacts=${compacts.get} " +
       s"(contended=${compactContended.get}) searches=${searches.get} " +
       s"visible=${visible.size} must=${must.size} may=${may.size} " +
-      s"quantized=$quantized")
+      s"quantized=$quantized dual=$dual")
+    if (gray.nonEmpty)
+      println(s"[ann-stress]   note: must < visible is expected here — " +
+        s"the ${gray.size} gray block(s) raced the last rebuild's corpus " +
+        "snapshot and are may-visible, not must-visible; gate2 bounds " +
+        "them from both sides")
     errs.forEach(e => println(s"[ann-stress]   FAILURE: $e"))
     println(if (errs.isEmpty) "[ann-stress] ALL INVARIANTS HELD"
       else "[ann-stress] INVARIANTS VIOLATED")
