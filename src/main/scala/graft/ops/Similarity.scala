@@ -495,7 +495,18 @@ object Similarity {
     * on `cid`) and the runtime cell pruning survive. Centroids stay
     * FROZEN — the standard IVF ingestion contract (recall drifts only as
     * far as the data does; re-run [[ivfBuild]] to re-center, the analog
-    * of a clustering maintenance pass). */
+    * of a clustering maintenance pass).
+    *
+    * MEASURED drift tolerance (tools/ann_drift_probe.log, round 17):
+    * under the worst realistic drift — clusters migrating THROUGH the
+    * cloud, queries chasing the fresh distribution — the frozen index
+    * gives up to 13 recall@5 points vs a re-center (first crossing 5
+    * points at ~20% appended-drifted fraction) and drags up to 1.57×
+    * the candidate rows per probe; base-distribution queries hold flat
+    * at any probed fraction, and OUTWARD drift (new clusters away from
+    * the cloud) held recall 1.000 to 60% appended. Rule of thumb:
+    * re-center by ~20% appended fraction when the workload queries
+    * drifted data, otherwise appends alone are fine. */
   /** Test seam: fires after an append's cell write, before its locked
     * manifest commit — the window where a concurrent [[ivfBuild]] flip
     * forces the append to retry onto the new generation. */
