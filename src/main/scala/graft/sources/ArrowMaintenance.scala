@@ -920,8 +920,16 @@ object ArrowMaintenance {
     // sink's mid-run-evolve guard), so continuous ingest never defers an
     // OLD generation's collapse; generations_remaining reaches 1 without
     // quiescing. Crashed leftovers cannot defer forever — cleanOrphans
-    // (run above) collects dead epochs and the pending sweep ages out
-    // dead markers.
+    // (run above) collects dead epochs, and a crashed writer's marker
+    // stops counting on its own: [[ArrowOcc.livePendingTargets]]
+    // age-filters by [[ArrowOcc.pendingStaleMs]], so even a LEGACY
+    // (target-less) marker — which blocks EVERY generation while live,
+    // the conservative unknown — starves collapses for AT MOST one
+    // pending-liveness window after its writer's heartbeat dies
+    // (default 10 min; a genuinely live legacy writer keeps its marker
+    // fresh). No sweep is needed to unblock; the bound is the fence's
+    // own liveness filter. (Round 17 — the bound was always structural,
+    // now it is contractual: the spec pins it.)
     def collapseFenceSafe(gen: Seq[String]): Boolean = {
       // a concurrent evolve moved the current keys mid-drain: this
       // call's attribution (genOf) is stale — defer every collapse and

@@ -439,6 +439,43 @@ class ArrowPartitionEvolutionSpec extends AnyFunSuite {
     assert(u2.drained.isEmpty && u2.generationsRemaining === 1)
   }
 
+  test("a legacy (target-less) marker defers every collapse while LIVE, and unblocks by aging alone (round 17)") {
+    val dir = tmp("graft_pevo_fence_legacy")
+    rows(0, 300).repartition(3)
+      .write.format("arrow-ipc").mode("overwrite").save(dir)
+    ArrowMaintenance.evolvePartitioning(spark, dir, Seq("p"))
+    rows(300, 400).write.format("arrow-ipc").mode("append").save(dir)
+    val fs = fsOf(dir)
+    val dirPath = new Path(dir)
+    // a crashed PRE-round-16 writer's marker: zero-length, no recorded
+    // target — unknown destination, so the fence must block EVERY
+    // generation's collapse while the marker counts as live
+    graft.sources.ArrowOcc.markPending(fs, dirPath, "legacy-crashed")
+    try {
+      val u = ArrowMaintenance.unifyGeneration(spark, dir).get
+      assert(u.drained.contains(Nil) && u.generationsRemaining === 2,
+        s"collapse ran under a live legacy marker: $u")
+      // the liveness BOUND: the marker is never cleared or swept here —
+      // once its mtime ages past pendingStaleMs the fence's own filter
+      // stops counting it, so a crashed legacy writer starves collapses
+      // for at most one pending-liveness window
+      spark.conf.set("spark.graft.arrow.pendingStaleMs", "400")
+      Thread.sleep(500)
+      val u2 = ArrowMaintenance.unifyGeneration(spark, dir).get
+      assert(u2.drained.isEmpty && u2.generationsRemaining === 1,
+        s"an AGED legacy marker still deferred the collapse: $u2")
+      assert(fs.exists(new Path(dir, "_pending-legacy-crashed")),
+        "the unblock must come from aging, not from a sweep")
+    } finally {
+      spark.conf.unset("spark.graft.arrow.pendingStaleMs")
+      graft.sources.ArrowOcc.clearPending(fs, dirPath, "legacy-crashed")
+      graft.sources.ArrowOcc.withCommitLock(fs, dirPath) {
+        graft.sources.ArrowOcc.restoreLatch(fs, dirPath)
+      }
+    }
+    assert(spark.read.format("arrow-ipc").load(dir).count() === 400L)
+  }
+
   test("a streaming sink ADAPTS to a between-epoch evolve and REFUSES an intra-epoch one (round 16)") {
     val base = java.nio.file.Files
       .createTempDirectory("graft_pevo_sguard").toString
