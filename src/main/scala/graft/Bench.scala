@@ -223,19 +223,48 @@ object Bench {
     // for diagnostics; subset runs (SPARK_GRAFT_ONLY) never write it.
     val forced = sys.env.get("SPARK_GRAFT_BENCH_FORCE").contains("1")
     val tinted = load1Start > 3.0 || stealPct > 1.0
-    val mapWritten = only.isEmpty && (!tinted || forced)
+    // THE LINEAGE-DRIFT GATE (round 17): load1/steal are blind to cache/
+    // bandwidth contention — the r16 committed map passed both yet ran a
+    // uniform ~1.47× the r15 idle lineage, tinting every future movers
+    // adjudication. The counter such a window actually moves is the
+    // per-query ratio vs the CURRENT committed map: a genuine code
+    // change moves SOME queries, a contended-but-calm-looking window
+    // moves ALL of them. Refuse the overwrite when the MEDIAN ratio
+    // across shared succeeded queries exceeds the bound — a uniform
+    // slowdown has no code cause by construction (medians are immune to
+    // a handful of real movers). A genuine whole-engine regression (or
+    // an intentional global config change) still lands via FORCE, with
+    // the refusal recorded in the run log either way. Small overlaps
+    // (< 20 shared queries) don't gate: one noisy name must not veto.
+    val driftBound = 1.25
+    val ratios = results.collect {
+      case (k, v) if v > 0 && committed.get(k).exists(_ > 0) =>
+        v / committed(k)
+    }.sorted
+    val medianRatio =
+      if (ratios.isEmpty) 1.0
+      else math.rint(ratios(ratios.size / 2) * 1000) / 1000.0
+    val drifted = ratios.size >= 20 && medianRatio > driftBound
+    val mapWritten = only.isEmpty && ((!tinted && !drifted) || forced)
     if (only.isEmpty && tinted && !forced)
       System.err.println(f"[bench] REFUSED to overwrite the committed map: " +
         f"load1_start=$load1Start%.2f steal=$stealPct%.2f%% exceed the idle " +
         "gate (load1 <= 3, steal <= 1%) — re-run in an idle window, or set " +
         "SPARK_GRAFT_BENCH_FORCE=1 to force a diagnostic overwrite")
+    if (only.isEmpty && drifted && !forced)
+      System.err.println(f"[bench] REFUSED to overwrite the committed map: " +
+        f"median per-query ratio $medianRatio%.3f vs the committed lineage " +
+        f"(${ratios.size} shared queries) exceeds the drift bound " +
+        f"$driftBound — a uniform slowdown is an environment window, not " +
+        "code; re-run in a quieter window, or set SPARK_GRAFT_BENCH_FORCE=1 " +
+        "if the whole-engine shift is intentional")
     if (mapWritten) try {
       val out = java.nio.file.Paths.get("tools", "bench_queries_latest.json")
       java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.write(out, perQuery.getBytes("UTF-8"))
     } catch { case e: Throwable => System.err.println(s"[bench] per-query file: $e") }
     println(
-      s"""{"metric":"total","value":${math.rint(total * 1e3) / 1e3},"unit":"sec","runs":$runsPerQuery,"n_queries":${okResults.size},"n_failed":${failedNames.size},"n_outliers":${outliers.size},"max_query":"${maxQ._1}","max_sec":${math.rint(maxQ._2 * 1e3) / 1e3},"cc_mb":$ccUsedMb,"gc_ms":$gcMs,"load1_start":$load1Start,"load1_end":$load1,"load1_peak":$loadPeak,"steal_pct":$stealPct,"map_written":$mapWritten,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${math.rint(total * 1e3) / 1e3},"unit":"sec","runs":$runsPerQuery,"n_queries":${okResults.size},"n_failed":${failedNames.size},"n_outliers":${outliers.size},"max_query":"${maxQ._1}","max_sec":${math.rint(maxQ._2 * 1e3) / 1e3},"cc_mb":$ccUsedMb,"gc_ms":$gcMs,"load1_start":$load1Start,"load1_end":$load1,"load1_peak":$loadPeak,"steal_pct":$stealPct,"median_ratio":$medianRatio,"map_written":$mapWritten,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
