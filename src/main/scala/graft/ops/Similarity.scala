@@ -641,7 +641,14 @@ object Similarity {
     * landed after the flip's tip is not covered and re-runs onto the
     * new generation. Returns None when a rebuild won, when the catch-up
     * budget ran out, or when there is nothing to compact (file count
-    * already at the key-grouped floor: one file per occupied cell). */
+    * already at the key-grouped floor: one file per occupied cell).
+    *
+    * The returned (oldFiles, newFiles) usually shrinks, but under heavy
+    * mid-compact append traffic the new count can transiently EXCEED
+    * the pre-sample count (each catch-up round lands as a keyed append
+    * — the probe recorded a 32→48 flip under full cadence): the flip is
+    * still correct (contents-identical, exactly-once) and the next
+    * quiet compact takes the layout to the floor. */
   def ivfCompact(spark: org.apache.spark.sql.SparkSession, dir: String,
       attempts: Int = 5): Option[(Int, Int)] = {
     val dirPath = new org.apache.hadoop.fs.Path(dir)
