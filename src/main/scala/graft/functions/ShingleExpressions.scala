@@ -95,32 +95,49 @@ case class ShingleMinhash(child: Expression, width: Int, k: Int)
     InternalRow(new GenericArrayData(Array.empty[Long]), 0L, new GenericArrayData(mh))
   }
 
+  // Reusable per-thread digest + output buffer: the hot loop below runs
+  // one md5 per shingle — per-call MessageDigest.getInstance / substring /
+  // getBytes / digest-array allocations dominated the kernel (measured in
+  // the round-17 optimization pass: the dedup family is CPU-bound here).
+  @transient private lazy val tlMd =
+    ThreadLocal.withInitial[MessageDigest](() => MessageDigest.getInstance("MD5"))
+  @transient private lazy val tlBuf =
+    ThreadLocal.withInitial[Array[Byte]](() => new Array[Byte](16))
+
   override def eval(input: InternalRow): Any = {
     val t = child.eval(input)
     if (t == null) return nullResult
-    val s = t.asInstanceOf[UTF8String].toString
-    // Code-point offsets (UTF-16 indices) so shingling counts characters
-    // exactly like Substring/substringSQL — not UTF-16 units.
-    val sLen = s.length
+    // Work directly on the value's UTF-8 bytes: ONE copy per document
+    // (getBytes), then every shingle is digested as a (offset, len) slice —
+    // no per-shingle String/byte[]/digest-array allocations. Code-point
+    // boundaries in UTF-8 are exactly the non-continuation bytes
+    // ((b & 0xC0) != 0x80), so shingling still counts CHARACTERS exactly
+    // like Substring/substringSQL, and the digested bytes are identical to
+    // s.substring(cp_i, cp_{i+width}).getBytes(UTF_8) — same md5 input,
+    // bit-identical output to the previous per-substring form.
+    val u8 = t.asInstanceOf[UTF8String]
+    val bytesAll = u8.getBytes
+    val bLen = bytesAll.length
     var nCp = 0
     var off = 0
-    val offsets = new Array[Int](sLen + 1)
-    while (off < sLen) {
-      offsets(nCp) = off
-      off += Character.charCount(s.codePointAt(off))
-      nCp += 1
+    val offsets = new Array[Int](bLen + 1)
+    while (off < bLen) {
+      if ((bytesAll(off) & 0xc0) != 0x80) { offsets(nCp) = off; nCp += 1 }
+      off += 1
     }
-    offsets(nCp) = sLen
+    offsets(nCp) = bLen
 
     val n = math.max(nCp - width + 1, 1)
     val bases = new Array[Long](n)
-    val md = MessageDigest.getInstance("MD5")
+    val md = tlMd.get()
+    md.reset()
+    val d = tlBuf.get()
     var i = 0
     while (i < n) {
       val start = offsets(math.min(i, nCp))
       val end = offsets(math.min(i + width, nCp))
-      val bytes = s.substring(start, end).getBytes(StandardCharsets.UTF_8)
-      val d = md.digest(bytes) // resets the digest for the next round
+      md.update(bytesAll, start, end - start)
+      md.digest(d, 0, 16) // writes in place and resets for the next round
       bases(i) =
         ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
         ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)

@@ -540,17 +540,21 @@ object Similarity {
       val centroids = spark.read.format("arrow-ipc")
         .load(s"$dir/${m.generation}/centroids")
       val freshN = fresh.withColumn("cn", norm(col(vecCol)))
+      // argmax + payload in ONE aggregate (vec/cn ride through via first()
+      // — every row of an id group replicates the same fresh row), so the
+      // assignment costs one exchange, not an agg exchange plus an id
+      // re-join (round-17 optimization pass; same trick as ivfIndex).
       val assigned = freshN
         .crossJoin(broadcast(centroids))
         .withColumn("__sim",
           dot(col(vecCol), col("cvec")) / (col("cn") * norm(col("cvec"))))
         .groupBy(col(idCol))
-        .agg(max(struct(col("__sim"), col("cid"))).getField("cid").as("cid"))
+        .agg(max(struct(col("__sim"), col("cid"))).getField("cid").as("cid"),
+          first(col(vecCol)).as(vecCol), first(col("cn")).as("cn"))
       val freshCells =
         if (!m.quantized)
-          freshN.join(assigned, idCol)
-            .select(col("cid"), col(idCol), col(vecCol), col("cn"))
-        else freshN.join(assigned, idCol)
+          assigned.select(col("cid"), col(idCol), col(vecCol), col("cn"))
+        else assigned
           .select(col("cid"), col(idCol),
             quantScale(col(vecCol)).as("cs"), col(vecCol))
           .select(col("cid"), col(idCol), col("cs"),
@@ -875,11 +879,18 @@ object Similarity {
     // Cell assignment maximizes cosine; ties break to the larger cid via the
     // struct max (deterministic, overflow-safe). `cn` is reused — the only
     // per-pair work is the dot against the tiny broadcast centroid set.
+    // The row payload (vec, cn) rides THROUGH the argmax aggregate
+    // (first() over the per-id group, whose rows all replicate the same
+    // corpus row — ids are unique per the corpus contract, see the seeds
+    // note above), so consumers get (id, vec, cn, cid) from ONE exchange:
+    // the former select-then-rejoin shape paid a second corpus exchange
+    // plus two sorts for the id join (round-17 optimization pass).
     def assign(df: DataFrame, id: String, vec: String, cents: DataFrame): DataFrame =
       df.crossJoin(broadcast(cents))
         .withColumn("__sim", dot(col(vec), col("cvec")) / (col("cn") * norm(col("cvec"))))
         .groupBy(col(id))
-        .agg(max(struct(col("__sim"), col("cid"))).getField("cid").as("cid"))
+        .agg(max(struct(col("__sim"), col("cid"))).getField("cid").as("cid"),
+          first(col(vec)).as(vec), first(col("cn")).as("cn"))
 
     // One Lloyd refinement step: per-cell elementwise mean. Deterministic
     // WITHOUT an order-dependent fold: each component is quantized to
@@ -894,7 +905,7 @@ object Similarity {
     // refined centroid frame is tiny (nlist×dim) but closes over the full
     // seed assignment pass — eagerly checkpointed so the two consumers
     // below (corpus re-assignment + query probes) don't each recompute it.
-    val assigned0 = corpusN.join(assign(corpusN, idCol, vecCol, seeds), idCol)
+    val assigned0 = assign(corpusN, idCol, vecCol, seeds)
     val fix = 1099511627776.0 // 2^40
     val meanAgg =
       if (deterministicMeans)
@@ -910,7 +921,7 @@ object Similarity {
       .select(col("cid"), expr("transform(pm, x -> x.m)").as("cvec"))
       .localCheckpoint(true)
 
-    val cells = corpusN.join(assign(corpusN, idCol, vecCol, centroids), idCol)
+    val cells = assign(corpusN, idCol, vecCol, centroids)
     (centroids, cells)
   }
 
@@ -1009,11 +1020,24 @@ object Similarity {
         .agg(min(struct(col("__d2"), col("cid"))).as("__best"))
         .select(col(idCol), col("__best.cid").as("cluster"),
           col("__best.__d2").as("dist2"))
+    // The update step needs (cluster, vec) — the vector rides THROUGH the
+    // assignment aggregate via first() (all rows of an id group replicate
+    // the same corpus row; ids unique per the seeds contract), replacing
+    // the former corpus-side id re-join: one exchange per iteration
+    // instead of two plus sorts (round-17 optimization pass).
+    def assignWithVec(cents: DataFrame): DataFrame =
+      corpusN.crossJoin(broadcast(cents))
+        .withColumn("__d2",
+          col("__n2") - lit(2.0) * dot(col(vecCol), col("cvec"))
+            + dot(col("cvec"), col("cvec")))
+        .groupBy(col(idCol))
+        .agg(min(struct(col("__d2"), col("cid"))).as("__best"),
+          first(col(vecCol)).as(vecCol))
+        .select(col(idCol), col("__best.cid").as("cluster"), col(vecCol))
     var centroids = seeds
     var it = 0
     while (it < iters) {
-      val assigned = assign(centroids)
-      centroids = corpusN.join(assigned, idCol)
+      centroids = assignWithVec(centroids)
         .select(col("cluster").as("cid"), posexplode(col(vecCol)))
         .groupBy(col("cid"), col("pos"))
         .agg((sum(round(col("col").cast("double") * fix).cast("decimal(20,0)"))

@@ -297,7 +297,9 @@ class DedupSpec extends AnyFunSuite {
       (3L, ""),                          // empty: md5("") shingle
       (4L, "naïve café über straße — ß"), // non-ASCII chars
       (5L, null.asInstanceOf[String]),
-      (6L, "aaaaaaaaaa")                 // one distinct shingle, many positions
+      (6L, "aaaaaaaaaa"),                // one distinct shingle, many positions
+      (7L, "a😀b𝒳c d") // supplementary chars (4-byte UTF-8,
+                                            // 2 UTF-16 units = ONE shingling char)
     ).toDF("doc_id", "text")
     val k = 8; val w = 4
     val kernel = Dedup.jaccardDocs(tricky, "doc_id", "text", w, k, persist = false)

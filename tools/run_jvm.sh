@@ -1,0 +1,11 @@
+#!/bin/bash
+# Dev-only: run a graft main directly on the compiled classes + /opt/spark
+# jars, bypassing sbt (no lock contention with a concurrent `sbt test`).
+# Usage: tools/run_jvm.sh <mainClass> [args...]
+MAIN="$1"; shift
+OPENS="--add-opens java.base/java.lang=ALL-UNNAMED --add-opens java.base/java.lang.invoke=ALL-UNNAMED --add-opens java.base/java.lang.reflect=ALL-UNNAMED --add-opens java.base/java.io=ALL-UNNAMED --add-opens java.base/java.net=ALL-UNNAMED --add-opens java.base/java.nio=ALL-UNNAMED --add-opens java.base/java.util=ALL-UNNAMED --add-opens java.base/java.util.concurrent=ALL-UNNAMED --add-opens java.base/java.util.concurrent.atomic=ALL-UNNAMED --add-opens java.base/sun.nio.ch=ALL-UNNAMED --add-opens java.base/sun.nio.cs=ALL-UNNAMED --add-opens java.base/sun.security.action=ALL-UNNAMED --add-opens java.base/sun.util.calendar=ALL-UNNAMED"
+exec java $OPENS \
+  -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  -Xmx"${SPARK_DRIVER_MEM:-16g}" -XX:ReservedCodeCacheSize=1g \
+  -cp "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*" \
+  "$MAIN" "$@"
