@@ -213,6 +213,13 @@ case class SimHash64(child: Expression)
   @transient private lazy val ws = java.util.regex.Pattern.compile("\\s+")
   private val hex = "0123456789abcdef"
 
+  // Reused per-thread digest + output buffer (round-17 optimization pass —
+  // same rationale as ShingleMinhash: one md5 per token in the hot loop).
+  @transient private lazy val tlMd =
+    ThreadLocal.withInitial[MessageDigest](() => MessageDigest.getInstance("MD5"))
+  @transient private lazy val tlBuf =
+    ThreadLocal.withInitial[Array[Byte]](() => new Array[Byte](16))
+
   override def eval(input: InternalRow): Any = {
     val t = child.eval(input)
     if (t == null) return null
@@ -223,14 +230,17 @@ case class SimHash64(child: Expression)
     // construction's substr(h, 1, 16).
     val counts = new Array[Int](64)
     var n = 0
-    val md = MessageDigest.getInstance("MD5")
+    val md = tlMd.get()
+    md.reset()
+    val d = tlBuf.get()
     val toks = ws.split(s, -1)
     var ti = 0
     while (ti < toks.length) {
       val tok = toks(ti)
       if (tok.nonEmpty) {
         n += 1
-        val d = md.digest(tok.getBytes(StandardCharsets.UTF_8))
+        md.update(tok.getBytes(StandardCharsets.UTF_8))
+        md.digest(d, 0, 16) // in place; resets for the next token
         var j = 0
         while (j < 16) {
           val dig = if ((j & 1) == 0) (d(j >> 1) >> 4) & 0xf else d(j >> 1) & 0xf

@@ -542,15 +542,20 @@ object Dedup {
       .filter(col(textCol).isNotNull)
       .select(col(idCol), posexplode(split(col(textCol), " ")).as(Seq("pos", "tok")))
     val wOrd = Window.partitionBy(col(idCol)).orderBy(col("pos"))
-    val wAll = Window.partitionBy(col(idCol))
     // grams via lead(): exactly ordered, codegen-friendly; the trailing
-    // (k-1) positions of each doc anchor no gram (frame runs short)
+    // (k-1) positions of each doc anchor no gram. Boundary test = "the
+    // gram's last token exists": positions are contiguous 0..n-1 per doc
+    // (posexplode), so lead(tok, k-1) IS NULL ⟺ pos > n-k — equivalent to
+    // the former `count(*) over (partition by id)` bound WITHOUT the
+    // second (unbounded) window pass over every token row (round-17
+    // optimization pass; tokens themselves are never null — split() of a
+    // non-null string yields only non-null strings).
     val gramCols = (0 until k).map(i => lead(col("tok"), i).over(wOrd))
     val grams0 = toks
-      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("__gl", gramCols.last)
       .withColumn("g", concat_ws(" ", gramCols: _*))
-      .filter(col("pos") <= col("n") - k)
-      .select(col(idCol), col("pos"), col("n"), col("g"),
+      .filter(col("__gl").isNotNull)
+      .select(col(idCol), col("pos"), col("g"),
         xxhash64(col("g")).as("gh"))
     val grams =
       if (persistGrams)
