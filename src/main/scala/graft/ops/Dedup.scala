@@ -217,7 +217,7 @@ object Dedup {
     * (which blows up quadratically on hot shingles from a small vocab —
     * measured 263 s vs <10 s at sf0.1). */
   /** One-shot wrapper over [[jaccardDocs]] + [[jaccardPairsFromDocs]].
-    * LIFECYCLE: the docs frame it builds is persisted (DISK_ONLY) and the
+    * LIFECYCLE: the docs frame it builds is persisted (MEMORY_AND_DISK) and the
     * handle is hidden — CacheManager dedupes identical plans so repeated
     * calls over the same input share ONE evictable entry, but sessions
     * issuing MANY independent dedup jobs should either use the explicit
@@ -249,9 +249,15 @@ object Dedup {
     * of the cost of string sets — hashing the shingles is also what
     * production-scale dedup pipelines do.
     *
-    * The frame is persisted by default (DISK_ONLY, lazy — local disk is
-    * fast, and keeping a corpus-sized frame OUT of storage memory leaves
-    * execution memory to the joins). Since the kernel is deterministic this
+    * The frame is persisted by default (MEMORY_AND_DISK, lazy). Round-17
+    * optimization note: this was DISK_ONLY "to leave execution memory to
+    * the joins", but executor stack sampling showed the cache block file
+    * writes/mmaps dominating the dedup queries' I/O — and the unified
+    * memory manager already evicts storage blocks under execution
+    * pressure, so MEMORY_AND_DISK degrades to the same disk behavior
+    * exactly when memory is short and skips the file round-trip when it
+    * is not (the common case; at 100 TB the frame spills gracefully
+    * per-block). Since the kernel is deterministic this
     * is purely an economy: without it each consumer (candidate generation
     * plus BOTH verify sides, and every further composition) re-hashes the
     * corpus; one cached copy caps that at 1×, block-evictable. Callers
@@ -274,7 +280,7 @@ object Dedup {
         (col("__sm.shset").as("shset") +:
           (0 until k).map(i => col("__sm.mh").getItem(i).as(s"mh_$i")) :+
           col("__sm.sz").as("sz")): _*)
-    if (persist) docs.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    if (persist) docs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else docs
   }
 
@@ -426,7 +432,7 @@ object Dedup {
     // plans; long-lived sessions unpersist via clearCache(), or pass
     // persistSets = false to trade re-hashing for zero cache footprint.
     val sets =
-      if (persistSets) sets0.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      if (persistSets) sets0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else sets0
     val ex = sets.select(col(idCol), explode(col("__hs")).as("__h"))
     // Shingles are distinct per doc, so COUNT(*) per hash IS document
@@ -559,7 +565,7 @@ object Dedup {
         xxhash64(col("g")).as("gh"))
     val grams =
       if (persistGrams)
-        grams0.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+        grams0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else grams0
     // pass 2: candidate hashes by document frequency — fixed-width rows
     val sharedHashes = grams.groupBy(col("gh"))

@@ -443,7 +443,7 @@ private[graft] object ArrowDeleteVectors {
       .where(expr(condition))
       .select(col(ArrowRowLevel.FileColumn),
         col(ArrowRowLevel.PosColumn))
-      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val total = hits.count()
       if (total == 0L) return (0, 0L)

@@ -642,7 +642,7 @@ object ArrowEqualityDeletes {
     val hits = spark.read.format("arrow-ipc").option("eqEmit", "deleted")
       .load(dir)
       .select(col(ArrowRowLevel.FileColumn), col(ArrowRowLevel.PosColumn))
-      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val total = hits.count()
       // DRIVER-MEMORY DISCIPLINE (the same class of bug the MOR cap
