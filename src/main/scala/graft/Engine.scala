@@ -69,15 +69,43 @@ object Engine {
   private val schemaCache =
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
 
+  /** Memoized ANALYZED frame per (session, path) — round-18 pass
+    * (VERDICT item 6). The schema cache above removed the footer read;
+    * what remained per [[table]] call was rebuilding and re-ANALYZING
+    * the identical read + normalizeTemporal plan (every withColumn is
+    * its own analysis pass) for every one of a query's table accesses —
+    * pure driver work repeated 2-4× per query, hundreds of times per
+    * bench run. A DataFrame is immutable, so handing the same analyzed
+    * frame out again is metadata reuse only: file listing, pushdown and
+    * all data reads still happen per action. Keyed on the session (a
+    * frame is bound to the session that analyzed it) — entries die with
+    * the JVM; [[clearTableCache]] resets between in-process tests that
+    * regenerate data in place (ADVICE round 17). */
+  private val frameCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** Test hook: drop memoized schemas/frames (e.g. after regenerating a
+    * parquet dir in place at the same path within one JVM). */
+  def clearTableCache(): Unit = {
+    schemaCache.clear()
+    frameCache.clear()
+  }
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$dir/$name.parquet"
+    val hit = frameCache.get((spark, path))
+    if (hit != null) return hit
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val cached = schemaCache.get(path)
-    if (cached != null)
-      return normalizeTemporal(spark.read.schema(cached).parquet(path))
-    val df = spark.read.parquet(path)
-    schemaCache.putIfAbsent(path, df.schema)
-    normalizeTemporal(df)
+    val df =
+      if (cached != null) normalizeTemporal(spark.read.schema(cached).parquet(path))
+      else {
+        val raw = spark.read.parquet(path)
+        schemaCache.putIfAbsent(path, raw.schema)
+        normalizeTemporal(raw)
+      }
+    frameCache.putIfAbsent((spark, path), df)
+    df
   }
 
   /** Canonicalize the temporal columns of a freshly-read frame (see

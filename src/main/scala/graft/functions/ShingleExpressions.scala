@@ -99,10 +99,11 @@ case class ShingleMinhash(child: Expression, width: Int, k: Int)
   // one md5 per shingle — per-call MessageDigest.getInstance / substring /
   // getBytes / digest-array allocations dominated the kernel (measured in
   // the round-17 optimization pass: the dedup family is CPU-bound here).
-  @transient private lazy val tlMd =
-    ThreadLocal.withInitial[MessageDigest](() => MessageDigest.getInstance("MD5"))
-  @transient private lazy val tlBuf =
-    ThreadLocal.withInitial[Array[Byte]](() => new Array[Byte](16))
+  // Shared via the companion (round-18, advisor note): per-INSTANCE
+  // ThreadLocals accumulate one stale slot per (thread, plan) on
+  // long-lived executors running many distinct plans.
+  private def tlMd = ShingleExpressions.tlMd
+  private def tlBuf = ShingleExpressions.tlBuf
 
   override def eval(input: InternalRow): Any = {
     val t = child.eval(input)
@@ -214,11 +215,10 @@ case class SimHash64(child: Expression)
   private val hex = "0123456789abcdef"
 
   // Reused per-thread digest + output buffer (round-17 optimization pass —
-  // same rationale as ShingleMinhash: one md5 per token in the hot loop).
-  @transient private lazy val tlMd =
-    ThreadLocal.withInitial[MessageDigest](() => MessageDigest.getInstance("MD5"))
-  @transient private lazy val tlBuf =
-    ThreadLocal.withInitial[Array[Byte]](() => new Array[Byte](16))
+  // same rationale as ShingleMinhash: one md5 per token in the hot loop;
+  // shared via the companion since round 18 — see ShingleMinhash).
+  private def tlMd = ShingleExpressions.tlMd
+  private def tlBuf = ShingleExpressions.tlBuf
 
   override def eval(input: InternalRow): Any = {
     val t = child.eval(input)
@@ -275,6 +275,18 @@ case class SimHash64(child: Expression)
 }
 
 object ShingleExpressions {
+  /** One per-thread MD5 digest + 16-byte output buffer for ALL kernel
+    * instances (JVM-wide): hoisted from the per-instance ThreadLocals so
+    * a long-lived executor running many distinct plans holds one slot
+    * per thread, not one per (thread, plan) — the minor leak vector the
+    * round-17 advisor flagged. Safety: eval() is single-threaded per
+    * task, and every use is reset-by-digest (md.digest(buf, 0, 16)
+    * resets the digest for the next call). */
+  private[functions] val tlMd =
+    ThreadLocal.withInitial[MessageDigest](() => MessageDigest.getInstance("MD5"))
+  private[functions] val tlBuf =
+    ThreadLocal.withInitial[Array[Byte]](() => new Array[Byte](16))
+
   /** Column wrapper for [[ShingleMinhash]]: struct(shset, sz, mh). */
   def shingleMinhash(text: Column, width: Int, k: Int): Column =
     GraftSqlShim.column(ShingleMinhash(GraftSqlShim.expression(text), width, k))

@@ -809,8 +809,16 @@ object Dedup {
       val both = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
       val mins = both.groupBy(col("u"))
         .agg(min(least(col("v"), col("u"))).as("m"))
+      // NO trailing distinct (round-18 pass): this output only ever feeds
+      // smallStar, whose min-aggregate ignores duplicates and whose own
+      // trailing distinct restores set semantics for the fixpoint probe —
+      // the dedup here was one whole exchange per round spent removing
+      // duplicates bounded by |edges| that the next operator absorbs for
+      // free (guide §2.4: a `distinct` on data whose consumer doesn't
+      // need it). Duplicate volume is bounded: each `both` row emits at
+      // most one (v, m) pair.
       both.join(mins, "u").filter(col("v") > col("u"))
-        .select(col("v").as("u"), col("m").as("v")).distinct()
+        .select(col("v").as("u"), col("m").as("v"))
     }
     def smallStar(e: DataFrame): DataFrame = {
       val directed = e.filter(col("u") =!= col("v"))

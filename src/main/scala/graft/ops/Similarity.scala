@@ -198,7 +198,9 @@ object Similarity {
       w.select(col(qidCol), col("qs"),
         quantVec(col(qvecCol), col("qs")).as("qq"))
     }
-    val scored = qqueries.join(probes, qidCol).join(qcells, "cid")
+    // probe side broadcast against the corpus-sized quantized cells —
+    // same §3.1 rationale as ivfProbeScore (round-18 pass)
+    val scored = qcells.join(broadcast(qqueries.join(probes, qidCol)), "cid")
       .select(col(qidCol), col(idCol),
         round(dot(col("cq"), col("qq")) * col("qs") * col("cs"), 9)
           .as("qdot"))
@@ -829,7 +831,9 @@ object Similarity {
         w.select(col(qidCol), col("qs"),
           quantVec(col(qvecCol), col("qs")).as("qq"))
       }
-      val scored = qqueries.join(probes, qidCol).join(cells, "cid")
+      // probe side broadcast; on this stored path it also activates the
+      // arrow source's runtime cell-file pruning (see ivfProbeScore)
+      val scored = cells.join(broadcast(qqueries.join(probes, qidCol)), "cid")
         .select(col(qidCol), col(idCol),
           round(dot(col("cq"), col("qq")) * col("qs") * col("cs"), 9)
             .as("qdot"))
@@ -943,9 +947,17 @@ object Similarity {
       .filter(col("__pr") <= nprobe)
       .select(col(qidCol), col("cid"))
 
-    val candidates = queriesN
-      .join(probes, qidCol)
-      .join(cells, "cid")
+    // The probe side (queries ⋈ their nprobe cids) is tiny by the query
+    // contract — BROADCAST it against the corpus-sized cells (guide §3.1;
+    // round-18 pass). The former shape sort-merge-joined on cid: two
+    // exchanges + two sorts of which one side was the whole cell corpus.
+    // On a STORED index the broadcast additionally activates the arrow
+    // source's runtime FILE pruning (SupportsRuntimeFiltering hands the
+    // probed-cid set to the scan), so a stored query reads ~nprobe cell
+    // files instead of every one — the shape the round-10 design
+    // documented but the SMJ plan never delivered.
+    val candidates = cells
+      .join(broadcast(queriesN.join(probes, qidCol)), "cid")
     val scored = candidates.select(
       col(qidCol), col(idCol),
       round(dot(col(qvecCol), col(vecCol)) / (col("qn") * col("cn")), 9).as("cos"))

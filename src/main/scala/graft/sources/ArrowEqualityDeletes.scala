@@ -482,29 +482,22 @@ object ArrowEqualityDeletes {
     // may be a concurrent upsert mid-stage and is left alone)
     ArrowOcc.sweepStaleStaging(fs, dirPath, ".equp-*")
 
-    // one small aggregate validates the batch contract (empty / null
-    // keys / duplicate keys) before anything is staged
-    val anyNull = keyCols.map(k => col(k).isNull).reduce(_ || _)
-    val check = batch.agg(count(lit(1)),
-      countDistinct(keyCols.head, keyCols.tail: _*),
-      sum(when(anyNull, 1L).otherwise(0L))).head()
-    val total = check.getLong(0)
-    if (total == 0L) return EqUpsertResult(applied = false, 0L, 0, 0L)
-    require(check.getLong(2) == 0L,
-      "arrow-ipc equality upsert: batch carries NULL keys — a tombstone " +
-        "cannot target null; filter them out")
-    require(check.getLong(1) == total,
-      s"arrow-ipc equality upsert: batch has $total rows but only " +
-        s"${check.getLong(1)} distinct keys — fold the batch to one row " +
-        "per key first (MERGE's source-match rule)")
-
     val id = java.util.UUID.randomUUID.toString.take(8)
     val staging = s".equp-$id"
     val stagingPath = new Path(dirPath, staging)
 
-    // STAGE the batch's rows (skipped for delete-only): an ordinary
+    // STAGE the batch's rows FIRST (skipped for delete-only): an ordinary
     // interchange write into the staging dir — part files + stats,
-    // nothing touches the live table
+    // nothing touches the live table. ONE pass over the batch lineage:
+    // the contract-check aggregate and the tombstone below read the
+    // just-staged local files back instead of re-running the caller's
+    // change pipeline (a stream source read, or a whole filter+groupBy
+    // over the change table) once per action — the former shape computed
+    // that lineage THREE times per commit, the dominant cost of the
+    // O(batch) commit this path exists for (guide §1.2 / §5; round-18
+    // pass — QueryProfile showed the eq-upsert queries MANY-TINY-JOBS
+    // bound with the batch lineage re-run per job). Staged-but-invalid
+    // batches delete their staging before the contract error surfaces.
     if (!deleteOnly)
       ArrowInterchange.writeStream(
         batch.select(tableSchema.fieldNames.map(col).toIndexedSeq: _*),
@@ -512,13 +505,41 @@ object ArrowEqualityDeletes {
     else {
       fs.mkdirs(stagingPath)
     }
+    // key source: the staged files (values round-trip the interchange
+    // exactly for every supported key type); delete-only stages nothing,
+    // so it reads the batch itself — two passes, same as before
+    def keySrc = if (deleteOnly) batch.select(keyCols.map(col): _*)
+      else ArrowInterchange.readStream(spark, stagingPath.toString, keyCols)
+
+    // one small aggregate validates the batch contract (empty / null
+    // keys / duplicate keys) before anything is committed
+    val anyNull = keyCols.map(k => col(k).isNull).reduce(_ || _)
+    val check = keySrc.agg(count(lit(1)),
+      countDistinct(keyCols.head, keyCols.tail: _*),
+      sum(when(anyNull, 1L).otherwise(0L))).head()
+    val total = check.getLong(0)
+    if (total == 0L) {
+      fs.delete(stagingPath, true)
+      return EqUpsertResult(applied = false, 0L, 0, 0L)
+    }
+    def reject(msg: String): Nothing = {
+      fs.delete(stagingPath, true)
+      throw new IllegalArgumentException(msg)
+    }
+    if (check.getLong(2) != 0L)
+      reject("arrow-ipc equality upsert: batch carries NULL keys — a " +
+        "tombstone cannot target null; filter them out")
+    if (check.getLong(1) != total)
+      reject(s"arrow-ipc equality upsert: batch has $total rows but only " +
+        s"${check.getLong(1)} distinct keys — fold the batch to one row " +
+        "per key first (MERGE's source-match rule)")
+
     // STAGE the tombstone: the batch's distinct key tuples as one
     // key-columns-only arrow file inside the staging dir (written
     // through the same interchange writer, then renamed to the staged
     // tomb name so the staged stats never cover it)
     val tombTmp = new Path(stagingPath, ".tomb")
-    ArrowInterchange.writeStream(
-      batch.select(keyCols.map(col): _*).coalesce(1), tombTmp.toString)
+    ArrowInterchange.writeStream(keySrc.coalesce(1), tombTmp.toString)
     val tombPart = Option(fs.globStatus(new Path(tombTmp, "part-*.arrows")))
       .getOrElse(Array.empty).headOption.getOrElse(
         throw new IllegalStateException(
@@ -644,7 +665,12 @@ object ArrowEqualityDeletes {
       .select(col(ArrowRowLevel.FileColumn), col(ArrowRowLevel.PosColumn))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val total = hits.count()
+      // `total` (the result's row count) is summed from the per-file
+      // counts below — the former separate hits.count() was a whole
+      // extra pass over the hits frame just to produce a number the
+      // grouping already computes (guide §1.2; round-18 pass). The
+      // groupBy job is now also what materializes the persisted hits.
+      var total = 0L
       // DRIVER-MEMORY DISCIPLINE (the same class of bug the MOR cap
       // closed in round 11): position lists reach the driver in GROUPS
       // bounded by `spark.graft.arrow.foldBatchRows` (default 10M —
@@ -672,6 +698,7 @@ object ArrowEqualityDeletes {
         .toLocalIterator()
         .forEachRemaining { r =>
           val (f, n) = (r.getString(0), r.getLong(1))
+          total += n
           // rows bound driver memory; the file-count bound (the shared
           // ArrowMaintenance.MaxIsinPaths) keeps the group's `isin`
           // restriction a sane expression (a group of 100k tiny masks

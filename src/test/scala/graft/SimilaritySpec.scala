@@ -762,4 +762,45 @@ class SimilaritySpec extends AnyFunSuite {
     // corpus per query on uniform data — nowhere near exhaustive scan.
     assert(multi.size <= queries.count() * 5)
   }
+
+  test("unique-id contract: a replicated append batch collapses to the dedup'd append (first()-payload argmax)") {
+    // The round-17 assignment optimization carries (vec, cn) through the
+    // per-id argmax via first() — sound because every row of an id group
+    // replicates ONE corpus row (ids unique per the documented corpus
+    // contract). Pin the one duplicate-id shape that IS well-defined:
+    // exact replication (the retry / at-least-once ingest case), against
+    // FROZEN centroids (ivfAppend), where the whole-build seed selection
+    // — which is honestly duplicate-SENSITIVE (orderBy(h, id).limit(n)
+    // can take one id twice) — is out of the picture. An appended batch
+    // with replicated (id, vec) rows must land each id ONCE with the
+    // replicated payload, answering exactly like the dedup'd batch; if
+    // first() ever pulled a different payload than the argmax row, this
+    // diverges.
+    val rnd = new scala.util.Random(7)
+    val base = (0L until 100L)
+      .map(i => (i, Array.fill(32)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val freshRows = (100L until 140L)
+      .map(i => (i, Array.fill(32)(rnd.nextFloat() * 2 - 1)))
+    val fresh = freshRows.toDF("vec_id", "embedding")
+    val freshDup = (freshRows ++ freshRows.filter(_._1 % 3 == 0))
+      .toDF("vec_id", "embedding")
+    val queries = base.filter($"vec_id" < 6)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"))
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Double, Int)] =
+      df.orderBy("qid", "rk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    def buildAppendQuery(batch: org.apache.spark.sql.DataFrame, tag: String) = {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"ivf_dupid_$tag").toString
+      Similarity.ivfBuild(base, "vec_id", "embedding", nlist = 8, dir = dir)
+      Similarity.ivfAppend(spark, dir, batch, "vec_id", "embedding")
+      val out = rows(Similarity.ivfTopKStored(spark, dir, queries,
+        "vec_id", "embedding", "qid", "qe", k = 6, nprobe = 8))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      out
+    }
+    val a = buildAppendQuery(fresh, "clean")
+    val b = buildAppendQuery(freshDup, "dup")
+    assert(a == b, "a replicated append batch changed the stored IVF result")
+  }
 }
