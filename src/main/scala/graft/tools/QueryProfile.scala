@@ -31,40 +31,42 @@ object QueryProfile {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    @volatile var jobs = 0
-    @volatile var stages = 0
-    @volatile var tasks = 0
-    @volatile var shufRead = 0L
-    @volatile var shufWrite = 0L
-    @volatile var input = 0L
-    @volatile var cpuNs = 0L
-    @volatile var taskMs = 0L
+    // LongAdders, not volatile += (round-18, advisor note): listener
+    // callbacks run on the bus thread(s) and volatile read-modify-write
+    // loses increments under concurrency.
+    import java.util.concurrent.atomic.LongAdder
+    val jobs = new LongAdder; val stages = new LongAdder
+    val tasks = new LongAdder; val shufRead = new LongAdder
+    val shufWrite = new LongAdder; val input = new LongAdder
+    val cpuNs = new LongAdder; val taskMs = new LongAdder
     // job-span accounting: union of [start, end] job intervals vs wall time
     // — the complement is driver-only time (planning, FS metadata, commit
     // bookkeeping, listener/codegen), the part no task metric sees.
-    val jobStartNs = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    val jobStartNs = new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Long]()
     val spans = java.util.Collections.synchronizedList(
       new java.util.ArrayList[(Long, Long)]())
     val listener = new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit = {
-        jobs += 1
+        jobs.increment()
         jobStartNs.put(j.jobId, System.nanoTime())
       }
       override def onJobEnd(j: SparkListenerJobEnd): Unit = {
+        // boxed remove: a missing id yields null, never a misattributed
+        // zero-start span (nanoTime may legitimately be any long)
         val s = jobStartNs.remove(j.jobId)
-        if (s != 0L) spans.add((s, System.nanoTime()))
+        if (s != null) spans.add((s.longValue(), System.nanoTime()))
       }
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
-        stages += 1
+        stages.increment()
         val m = s.stageInfo.taskMetrics
         if (m != null) {
-          shufRead += m.shuffleReadMetrics.totalBytesRead
-          shufWrite += m.shuffleWriteMetrics.bytesWritten
-          input += m.inputMetrics.bytesRead
-          cpuNs += m.executorCpuTime
-          taskMs += m.executorRunTime
+          shufRead.add(m.shuffleReadMetrics.totalBytesRead)
+          shufWrite.add(m.shuffleWriteMetrics.bytesWritten)
+          input.add(m.inputMetrics.bytesRead)
+          cpuNs.add(m.executorCpuTime)
+          taskMs.add(m.executorRunTime)
         }
-        tasks += s.stageInfo.numTasks
+        tasks.add(s.stageInfo.numTasks.toLong)
       }
     }
     spark.sparkContext.addSparkListener(listener)
@@ -73,8 +75,12 @@ object QueryProfile {
       val iv = spans.asScala.toSeq
         .map { case (a, b) => (math.max(a, since), math.min(b, until)) }
         .filter(x => x._2 > x._1).sortBy(_._1)
-      var cov = 0L; var curA = 0L; var curB = 0L
-      iv.foreach { case (a, b) =>
+      // coverage scan seeded from the FIRST interval, not (0, 0): nanoTime
+      // has no sign guarantee, so a zero seed could misattribute driver
+      // time on hosts where it runs negative (round-18, advisor note)
+      if (iv.isEmpty) return 0.0
+      var cov = 0L; var curA = iv.head._1; var curB = iv.head._2
+      iv.drop(1).foreach { case (a, b) =>
         if (a > curB) { cov += curB - curA; curA = a; curB = b }
         else if (b > curB) curB = b
       }
@@ -98,8 +104,9 @@ object QueryProfile {
           // settle listener state (private bus — a short sleep suffices for
           // a dev profiler)
           Thread.sleep(300)
-          jobs = 0; stages = 0; tasks = 0; shufRead = 0; shufWrite = 0
-          input = 0; cpuNs = 0; taskMs = 0; spans.clear(); jobStartNs.clear()
+          Seq(jobs, stages, tasks, shufRead, shufWrite, input, cpuNs, taskMs)
+            .foreach(_.reset())
+          spans.clear(); jobStartNs.clear()
           val t0 = System.nanoTime()
           try fn(spark, sfDir).count()
           catch { case e: Throwable => println(s"$name FAILED: $e") }
@@ -107,9 +114,9 @@ object QueryProfile {
           val dt = (t1 - t0) / 1e9
           Thread.sleep(300)
           val span = jobSpanSec(t0, t1)
-          println(f"$name%-28s $dt%7.2f $jobs%5d $stages%5d $tasks%6d " +
-            f"${shufRead / 1e6}%9.2f ${shufWrite / 1e6}%9.2f ${input / 1e6}%7.1f " +
-            f"${cpuNs / 1e9}%7.2f ${taskMs / 1e3}%7.2f $span%8.2f ${dt - span}%7.2f")
+          println(f"$name%-28s $dt%7.2f ${jobs.sum()}%5d ${stages.sum()}%5d ${tasks.sum()}%6d " +
+            f"${shufRead.sum() / 1e6}%9.2f ${shufWrite.sum() / 1e6}%9.2f ${input.sum() / 1e6}%7.1f " +
+            f"${cpuNs.sum() / 1e9}%7.2f ${taskMs.sum() / 1e3}%7.2f $span%8.2f ${dt - span}%7.2f")
           clearState()
       }
     }
